@@ -1,0 +1,67 @@
+"""Table catalog over the driver's parquet testdata layout.
+
+One parquet file (or directory of files) per table under a scale-factor
+directory. On a real deployment these would be partitioned/bucketed
+table roots; the loader is path-based so the same code serves both.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor: the
+# TPC-H spec fixes region at 5 rows and nation at 25 rows regardless of
+# SF, so broadcasting is always correct. customer/supplier/part grow
+# with SF — broadcastability is decided per-query (AQE converts to
+# broadcast when the built side is under the threshold at runtime).
+ALWAYS_BROADCAST = frozenset({"region", "nation"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table as a DataFrame (lazy; schema from parquet footer).
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark
+    reads as raw nanos (``spark.sql.legacy.parquet.nanosAsLong``); we
+    convert to ``timestamp_ntz`` with integer µs truncation — exactly
+    what DuckDB's reader does — so oracle comparisons line up.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # The caller may hand us a session without our factory configs
+        # (the driver builds its own); both confs are runtime-settable.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so spark.sql() can see them."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,348 @@
+"""Relational aggregation operators (TPC-H-style) over the star schema.
+
+Every query is a declarative DataFrame plan: Catalyst pushes filters
+and projections into the parquet scan, plans partial+final hash
+aggregation (map-side combine), and AQE coalesces shuffle partitions —
+the same plan shape that scales to 100 TB unchanged.
+
+Aggregates use exact DECIMAL accumulation (see functions/numeric.py)
+so results hash-match the DuckDB oracle bit-for-bit.
+
+Reference parity note: the reference library (SMurphyDev/parquet-batch,
+reader.py:47-97) exposes no aggregation operators — this module is the
+extension layer mandated by the north star; its scan/filter/projection
+underpinnings are the reference's O1-O9 surface re-expressed through
+Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_batch_spark.catalog import load
+from parquet_batch_spark.functions.numeric import (
+    davg,
+    dec,
+    dec9,
+    dsum,
+    dsum_expr,
+    sql_davg,
+    sql_dsum,
+    sql_dsum_expr,
+)
+
+CUTOFF = "2001-09-01"
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: pricing summary report.
+
+    scan → filter (pushed to parquet row-group stats) → 8-way agg
+    grouped by (returnflag, linestatus). Partial aggregation happens
+    map-side; only 6 groups cross the shuffle — this plan is fully
+    scan-bound at any scale.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(12,4)")
+    disc_price = dec9("l_extendedprice") * (one - dec9("l_discount"))
+    charge = disc_price * (one + dec9("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(CUTOFF).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum_expr(disc_price, "sum_disc_price"),
+            dsum_expr(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+    {sql_dsum("l_quantity")} AS sum_qty,
+    {sql_dsum("l_extendedprice")} AS sum_base_price,
+    {sql_dsum_expr("CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))")} AS sum_disc_price,
+    {sql_dsum_expr("CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) * (CAST(1 AS DECIMAL(12,4)) + CAST(l_tax AS DECIMAL(12,4)))")} AS sum_charge,
+    {sql_davg("l_quantity")} AS avg_qty,
+    {sql_davg("l_extendedprice")} AS avg_price,
+    {sql_davg("l_discount")} AS avg_disc,
+    COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) + multi-agg per group (orders by priority)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "sum_price"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_AGG_DISTINCT_SQL = f"""
+SELECT o_orderpriority,
+    COUNT(DISTINCT o_custkey) AS n_customers,
+    COUNT(*) AS n_orders,
+    {sql_dsum("o_totalprice")} AS sum_price,
+    MIN(o_orderdate) AS first_order,
+    MAX(o_orderdate) AS last_order
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) with grouping_id.
+
+    Hierarchical subtotals computed in one pass (Spark Expand operator
+    — one shuffle, not one per grouping set).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .orderBy(
+            F.col("gid"),
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+_AGG_ROLLUP_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+    {sql_dsum("l_quantity")} AS sum_qty,
+    COUNT(*) AS n_rows,
+    CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority): all 4 grouping sets."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            dsum("o_totalprice", "sum_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .orderBy(
+            F.col("gid"),
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+_AGG_CUBE_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+    {sql_dsum("o_totalprice")} AS sum_price,
+    COUNT(*) AS n_orders,
+    CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — mixed granularities in one shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+            COUNT(*) AS n_rows,
+            CAST(grouping_id() AS BIGINT) AS gid
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """
+    )
+
+
+_AGG_GROUPING_SETS_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+    {sql_dsum("l_quantity")} AS sum_qty,
+    COUNT(*) AS n_rows,
+    CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus values into columns per returnflag.
+
+    Values are enumerated explicitly — at scale an unenumerated pivot
+    costs a distinct-scan; never do that on 100 TB.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(dec("l_quantity")).cast("double"))
+        .withColumnsRenamed({"F": "qty_f", "O": "qty_o"})
+        .orderBy("l_returnflag")
+    )
+
+
+_AGG_PIVOT_SQL = f"""
+SELECT l_returnflag,
+    {sql_dsum_expr("CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END")} AS qty_f,
+    {sql_dsum_expr("CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END")} AS qty_o
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 orders by price — Spark plans TakeOrderedAndProject
+    (per-partition heap + driver merge; no global sort, no full shuffle).
+    """
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+_SORT_TOPK_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT composition over customer key sets.
+
+    Customers who placed an urgent-priority order but none with status
+    'F', unioned with the 5 highest-balance customers.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    f_status = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    top_bal = (
+        c.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(5)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return (
+        urgent.intersect(urgent)  # idempotent intersect (distinct semantics)
+        .exceptAll(f_status)
+        .distinct()
+        .union(top_bal)
+        .distinct()
+        .orderBy("custkey")
+    )
+
+
+_SET_OPS_SQL = """
+SELECT DISTINCT custkey FROM (
+    SELECT custkey FROM (
+        SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        EXCEPT ALL
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    UNION
+    SELECT c_custkey AS custkey FROM (
+        SELECT c_custkey FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 5
+    )
+) ORDER BY custkey
+"""
+
+
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/corr (rounded for
+    cross-engine float stability), min/max, exact median via interpolated
+    percentile — per market segment after a broadcast join."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.stddev_samp("c_acctbal"), 4).alias("std_bal"),
+            F.round(F.var_samp("c_acctbal"), 4).alias("var_bal"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("median_bal"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_AGG_STATS_SQL = """
+SELECT c_mktsegment,
+    ROUND(STDDEV_SAMP(c_acctbal), 4) AS std_bal,
+    ROUND(VAR_SAMP(c_acctbal), 4) AS var_bal,
+    MIN(c_acctbal) AS min_bal,
+    MAX(c_acctbal) AS max_bal,
+    ROUND(QUANTILE_CONT(c_acctbal, 0.5), 4) AS median_bal,
+    COUNT(*) AS n
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "agg_distinct": agg_distinct,
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "agg_grouping_sets": agg_grouping_sets,
+    "agg_pivot": agg_pivot,
+    "agg_stats": agg_stats,
+    "sort_topk": sort_topk,
+    "set_ops": set_ops,
+}
+
+ORACLES = {
+    "q1_pricing_summary": _Q1_SQL,
+    "agg_distinct": _AGG_DISTINCT_SQL,
+    "agg_rollup": _AGG_ROLLUP_SQL,
+    "agg_cube": _AGG_CUBE_SQL,
+    "agg_grouping_sets": _AGG_GROUPING_SETS_SQL,
+    "agg_pivot": _AGG_PIVOT_SQL,
+    "agg_stats": _AGG_STATS_SQL,
+    "sort_topk": _SORT_TOPK_SQL,
+    "set_ops": _SET_OPS_SQL,
+}
