@@ -1,0 +1,277 @@
+"""Join operators over the star schema.
+
+Strategy notes for 100 TB scale (the plans below are asserted in
+tests/test_plans.py):
+
+- Dimension joins (region/nation, and customer/supplier/part at modest
+  SF) go BROADCAST — explicitly hinted with F.broadcast so the plan
+  does not depend on stats being fresh. region/nation are fixed-size
+  (5/25 rows) at every TPC-H scale factor, so those hints are valid
+  at 100 TB too.
+- Fact-fact joins (lineitem ⋈ orders) shuffle on the join key; AQE
+  handles skew splitting. At deployment these tables would be bucketed
+  on the key to elide the shuffle entirely (see sources/writer.py).
+- Semi/anti joins are expressed as left_semi/left_anti so Spark can
+  plan broadcast variants and skip materializing the probe side's
+  non-key columns.
+
+The reference library has no join operator (SURVEY.md §2.2) — this is
+north-star extension surface built on its scan layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_batch_spark.catalog import load
+from parquet_batch_spark.functions.numeric import dec9, dsum, dsum_expr, sql_dsum, sql_dsum_expr
+
+
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join through two broadcast dims: revenue per region.
+
+    customer→nation→region resolved with broadcast hash joins (no
+    shuffle of the fact side for the dim lookups).
+    """
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            dsum("o_totalprice", "revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("r_name")
+    )
+
+
+_JOIN_BROADCAST_SQL = f"""
+SELECT r_name,
+    {sql_dsum("o_totalprice")} AS revenue,
+    COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+def join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join (lineitem ⋈ orders): revenue by orderpriority
+    for a shipdate slice. Shuffle join on orderkey; AQE skew-safe."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    one = F.lit(1).cast("decimal(12,4)")
+    rev = dec9("l_extendedprice") * (one - dec9("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(dsum_expr(rev, "revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_JOIN_FACT_FACT_SQL = f"""
+SELECT o_orderpriority,
+    {sql_dsum_expr("CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))")} AS revenue,
+    COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with null-producing sides: every customer vs
+    customers-with-urgent-orders; proves outer-join null semantics."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    return (
+        c.select("c_custkey", "c_mktsegment")
+        .join(urgent, c.c_custkey == urgent.o_custkey, "full_outer")
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("segment"),
+            F.coalesce("n_urgent", F.lit(0)).alias("n_urgent"),
+        )
+        .orderBy("custkey")
+    )
+
+
+_JOIN_OUTER_SQL = """
+SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+       c_mktsegment AS segment,
+       COALESCE(n_urgent, 0) AS n_urgent
+FROM (SELECT c_custkey, c_mktsegment FROM customer) c
+FULL OUTER JOIN (
+    SELECT o_custkey, COUNT(*) AS n_urgent
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_custkey
+) u ON c.c_custkey = u.o_custkey
+ORDER BY custkey
+"""
+
+
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI: suppliers that ship vs never ship.
+
+    Semi/anti avoid materializing lineitem columns — the build side
+    reduces to a distinct key set (broadcast-able at any SF since the
+    distinct supplier key set is bounded by the supplier dim).
+    """
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    shipped = li.filter(F.col("l_quantity") >= 48).select("l_suppkey")
+    active = (
+        s.join(shipped, s.s_suppkey == shipped.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .withColumn("status", F.lit("heavy_shipper"))
+    )
+    inactive = (
+        s.join(shipped, s.s_suppkey == shipped.l_suppkey, "left_anti")
+        .select("s_suppkey", "s_name")
+        .withColumn("status", F.lit("no_heavy"))
+    )
+    return active.union(inactive).orderBy("s_suppkey")
+
+
+_JOIN_SEMI_ANTI_SQL = """
+SELECT s_suppkey, s_name, 'heavy_shipper' AS status
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_quantity >= 48)
+UNION ALL
+SELECT s_suppkey, s_name, 'no_heavy' AS status
+FROM supplier
+WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem WHERE l_quantity >= 48)
+ORDER BY s_suppkey
+"""
+
+
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: parts priced within a derived price band.
+
+    Bands are a tiny derived dim → broadcast nested-loop join is the
+    RIGHT plan (the band table is O(10) rows at any scale; a shuffle
+    would be pure overhead). At 100 TB the fact side streams through
+    executors once.
+    """
+    p = load(spark, sf_dir, "part")
+    bands = spark.range(0, 10).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 200).cast("double").alias("lo"),
+        ((F.col("id") + 1) * 200).cast("double").alias("hi"),
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band_id")
+        .agg(F.count(F.lit(1)).alias("n_parts"), dsum("p_retailprice", "sum_price"))
+        .orderBy("band_id")
+    )
+
+
+_JOIN_RANGE_SQL = f"""
+SELECT band_id, COUNT(*) AS n_parts, {sql_dsum("p_retailprice")} AS sum_price
+FROM part
+JOIN (
+    SELECT i AS band_id, CAST(i * 200 AS DOUBLE) AS lo, CAST((i + 1) * 200 AS DOUBLE) AS hi
+    FROM generate_series(0, 9) t(i)
+) bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band_id
+ORDER BY band_id
+"""
+
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each order matched to the customer's previous order
+    in (o_orderdate, o_orderkey) order.
+
+    Spark lacks a native as-of join; the scalable formulation is a
+    self-window over the customer partition — one shuffle on custkey,
+    no range explosion, no driver loop. (pd.merge_asof via
+    applyInPandas is the fallback for two-table as-of with irregular
+    keys; see similarity/multimodal modules for that pattern.)
+    """
+    o = load(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select("o_custkey", "o_orderkey", "o_orderdate")
+        .withColumn("prev_orderkey", F.lag("o_orderkey").over(w))
+        .withColumn("prev_orderdate", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev_orderkey").isNotNull())
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+_JOIN_ASOF_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+    LAG(o_orderkey) OVER w AS prev_orderkey,
+    LAG(o_orderdate) OVER w AS prev_orderdate
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+QUALIFY prev_orderkey IS NOT NULL
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join of two tiny dims (region × orderstatus
+    values) — legitimate only when both sides are provably small."""
+    r = load(spark, sf_dir, "region")
+    statuses = spark.createDataFrame(
+        [("F",), ("O",), ("P",)], ["status"]
+    )
+    return (
+        r.select("r_name")
+        .crossJoin(F.broadcast(statuses))
+        .orderBy("r_name", "status")
+    )
+
+
+_JOIN_CROSS_SQL = """
+SELECT r_name, status
+FROM region
+CROSS JOIN (SELECT 'F' AS status UNION ALL SELECT 'O' UNION ALL SELECT 'P') s
+ORDER BY r_name, status
+"""
+
+
+QUERIES = {
+    "join_broadcast_dims": join_broadcast_dims,
+    "join_fact_fact": join_fact_fact,
+    "join_outer": join_outer,
+    "join_semi_anti": join_semi_anti,
+    "join_range": join_range,
+    "join_asof": join_asof,
+    "join_cross_small": join_cross_small,
+}
+
+ORACLES = {
+    "join_broadcast_dims": _JOIN_BROADCAST_SQL,
+    "join_fact_fact": _JOIN_FACT_FACT_SQL,
+    "join_outer": _JOIN_OUTER_SQL,
+    "join_semi_anti": _JOIN_SEMI_ANTI_SQL,
+    "join_range": _JOIN_RANGE_SQL,
+    "join_asof": _JOIN_ASOF_SQL,
+    "join_cross_small": _JOIN_CROSS_SQL,
+}

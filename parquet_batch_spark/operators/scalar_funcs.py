@@ -1,0 +1,232 @@
+"""Scalar function surface: string / date / math / array / JSON / map.
+
+All expressions are built-in pyspark.sql.functions — JVM-side inside
+whole-stage codegen, no Python in the row path. Each family gets one
+oracle-checked query exercising several functions at once.
+
+Absent from the reference (SURVEY.md §2.2 "Scalar functions: Absent"
+— it only does Arrow→Python type conversion, reader.py:64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_batch_spark.catalog import load
+
+
+def func_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """substring/concat/upper/lower/trim/lpad/replace/length over part
+    names; regexp_extract pulls the brand number."""
+    p = load(spark, sf_dir, "part")
+    return (
+        p.select("p_partkey", "p_name", "p_brand")
+        .withColumn("name_upper", F.upper("p_name"))
+        .withColumn("name_prefix", F.substring("p_name", 1, 8))
+        .withColumn("brand_num", F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("int"))
+        .withColumn("padded", F.lpad(F.col("p_partkey").cast("string"), 8, "0"))
+        .withColumn("label", F.concat_ws("-", "p_brand", F.col("p_partkey").cast("string")))
+        .withColumn("name_len", F.length("p_name"))
+        .withColumn("vowelless", F.regexp_replace("p_name", "[aeiou]", ""))
+        .orderBy("p_partkey")
+    )
+
+
+_FUNC_STRING_SQL = """
+SELECT p_partkey, p_name, p_brand,
+    UPPER(p_name) AS name_upper,
+    SUBSTRING(p_name, 1, 8) AS name_prefix,
+    CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS INTEGER) AS brand_num,
+    LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+    CONCAT_WS('-', p_brand, CAST(p_partkey AS VARCHAR)) AS label,
+    LENGTH(p_name) AS name_len,
+    regexp_replace(p_name, '[aeiou]', '', 'g') AS vowelless
+FROM part
+ORDER BY p_partkey
+"""
+
+
+def func_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc/year/month/dayofweek/datediff/add_months over
+    order dates; month-level truncation drives the group-by."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.dayofweek("o_orderdate").alias("dow"),  # 1=Sunday
+            F.datediff(
+                F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("days_to_2002"),
+            F.add_months(F.col("o_orderdate").cast("date"), 3).alias("plus3mo"),
+        )
+        .groupBy("order_month", "yr", "mo")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("dow").alias("min_dow"),
+            F.max("days_to_2002").alias("max_days_to_2002"),
+            F.min("plus3mo").alias("min_plus3mo"),
+        )
+        .orderBy("order_month")
+    )
+
+
+_FUNC_DATE_SQL = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+    CAST(year(o_orderdate) AS INTEGER) AS yr,
+    CAST(month(o_orderdate) AS INTEGER) AS mo,
+    COUNT(*) AS n,
+    CAST(MIN(dayofweek(o_orderdate) + 1) AS INTEGER) AS min_dow,
+    CAST(MAX(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')) AS INTEGER) AS max_days_to_2002,
+    CAST(MIN(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH) AS DATE) AS min_plus3mo
+FROM orders
+GROUP BY order_month, yr, mo
+ORDER BY order_month
+"""
+
+
+def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/abs/ceil/floor/pow/sqrt/log/pmod — rounded to 6dp where
+    transcendental (libm vs JVM may differ in the last ulp)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .filter(F.col("l_linenumber") == 1)
+        .withColumn("qty_ceil", F.ceil(F.col("l_quantity") / 7.0).cast("bigint"))
+        .withColumn("qty_floor", F.floor(F.col("l_quantity") / 7.0).cast("bigint"))
+        .withColumn("price_round", F.round("l_extendedprice", -2))
+        .withColumn("sqrt_qty", F.round(F.sqrt("l_quantity"), 6))
+        .withColumn("log_price", F.round(F.log("l_extendedprice"), 6))
+        .withColumn("pmod7", F.pmod("l_orderkey", F.lit(7)).cast("bigint"))
+        .withColumn("absdiff", F.abs(F.col("l_quantity") - 25.0))
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+_FUNC_MATH_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+    CAST(CEIL(l_quantity / 7.0) AS BIGINT) AS qty_ceil,
+    CAST(FLOOR(l_quantity / 7.0) AS BIGINT) AS qty_floor,
+    ROUND(l_extendedprice, -2) AS price_round,
+    ROUND(SQRT(l_quantity), 6) AS sqrt_qty,
+    ROUND(LN(l_extendedprice), 6) AS log_price,
+    CAST(l_orderkey % 7 AS BIGINT) AS pmod7,
+    ABS(l_quantity - 25.0) AS absdiff
+FROM lineitem
+WHERE l_linenumber = 1
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def func_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from events.props (string column) — typed get
+    + aggregation over the extracted value."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_FUNC_JSON_SQL = """
+SELECT event_type,
+    COUNT(*) AS n,
+    MIN(k) AS min_k, MAX(k) AS max_k, SUM(k) AS sum_k
+FROM (
+    SELECT event_type,
+        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def func_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over embeddings: size/slice/element_at +
+    higher-order transform/filter/aggregate (all JVM-side)."""
+    em = load(spark, sf_dir, "embeddings")
+    vec = F.col("embedding")
+    dvec = F.transform(vec, lambda x: x.cast("double"))
+    return em.select(
+        "vec_id",
+        "label",
+        F.size(vec).alias("dim"),
+        F.round(
+            F.aggregate(F.slice(dvec, 1, 3), F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("first3_sum"),
+        F.round(F.element_at(dvec, 1), 6).alias("head"),
+        F.size(F.filter(vec, lambda x: x > 0)).cast("bigint").alias("n_positive"),
+    ).orderBy("vec_id")
+
+
+_FUNC_ARRAY_SQL = """
+SELECT vec_id, label,
+    CAST(len(embedding) AS INTEGER) AS dim,
+    ROUND(CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+          + CAST(embedding[3] AS DOUBLE), 6) AS first3_sum,
+    ROUND(CAST(embedding[1] AS DOUBLE), 6) AS head,
+    CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+def func_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif / least / greatest."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey", "c_acctbal", "c_mktsegment")
+        .withColumn(
+            "bal_class",
+            F.when(F.col("c_acctbal") < 0, "negative")
+            .when(F.col("c_acctbal") < 1000, "low")
+            .when(F.col("c_acctbal") < 5000, "mid")
+            .otherwise("high"),
+        )
+        .withColumn("seg_or_na", F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("N/A")))
+        .withColumn("clamped", F.least(F.greatest(F.col("c_acctbal"), F.lit(0.0)), F.lit(5000.0)))
+        .orderBy("c_custkey")
+    )
+
+
+_FUNC_CONDITIONAL_SQL = """
+SELECT c_custkey, c_acctbal, c_mktsegment,
+    CASE WHEN c_acctbal < 0 THEN 'negative'
+         WHEN c_acctbal < 1000 THEN 'low'
+         WHEN c_acctbal < 5000 THEN 'mid'
+         ELSE 'high' END AS bal_class,
+    COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'N/A') AS seg_or_na,
+    LEAST(GREATEST(c_acctbal, 0.0), 5000.0) AS clamped
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+QUERIES = {
+    "func_string": func_string,
+    "func_date": func_date,
+    "func_math": func_math,
+    "func_json": func_json,
+    "func_array": func_array,
+    "func_conditional": func_conditional,
+}
+
+ORACLES = {
+    "func_string": _FUNC_STRING_SQL,
+    "func_date": _FUNC_DATE_SQL,
+    "func_math": _FUNC_MATH_SQL,
+    "func_json": _FUNC_JSON_SQL,
+    "func_array": _FUNC_ARRAY_SQL,
+    "func_conditional": _FUNC_CONDITIONAL_SQL,
+}

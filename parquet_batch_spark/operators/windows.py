@@ -1,0 +1,210 @@
+"""Window-function operators.
+
+Windows shuffle once on the partition key, then sort within
+partitions. At 100 TB the concern is partition-key cardinality vs
+skew: customer/supplier partitions are plentiful and narrow, so these
+plans parallelize across executors; a window over a constant key would
+serialize and is never used here.
+
+Absent from the reference (SURVEY.md §2.2 "Window functions: Absent")
+— north-star extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from parquet_batch_spark.catalog import load
+from parquet_batch_spark.functions.numeric import dec
+
+
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer segment by price (dense ranking
+    pattern: rank within partition then filter ≤ k)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    joined = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("c_mktsegment", "rnk")
+    )
+
+
+_WINDOW_TOPK_SQL = """
+SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
+    SELECT c_mktsegment, o_orderkey, o_totalprice,
+        ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+    FROM orders JOIN customer ON o_custkey = c_custkey
+)
+WHERE rnk <= 3
+ORDER BY c_mktsegment, rnk
+"""
+
+
+def window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / percent_rank / ntile over one partition
+    spec (suppliers ranked by balance within nation)."""
+    s = load(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    return (
+        s.select("s_nationkey", "s_suppkey", "s_acctbal")
+        .withColumn("rnk", F.rank().over(w))
+        .withColumn("drnk", F.dense_rank().over(w))
+        .withColumn("prnk", F.round(F.percent_rank().over(w), 6))
+        .withColumn("quartile", F.ntile(4).over(w))
+        .orderBy("s_nationkey", "rnk", "s_suppkey")
+    )
+
+
+_WINDOW_RANKS_SQL = """
+SELECT s_nationkey, s_suppkey, s_acctbal,
+    RANK() OVER w AS rnk,
+    DENSE_RANK() OVER w AS drnk,
+    ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+    NTILE(4) OVER w AS quartile
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+ORDER BY s_nationkey, rnk, s_suppkey
+"""
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total + moving average over an ordered frame
+    (cumulative revenue per customer across their orders)."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    mov = w.rowsBetween(-2, W.currentRow)
+    return (
+        o.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .withColumn("cum_spend", F.sum(dec("o_totalprice")).over(cum).cast("double"))
+        .withColumn(
+            "mov_avg3",
+            (F.sum(dec("o_totalprice")).over(mov).cast("double") / F.count(F.lit(1)).over(mov)),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+_WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER cum AS DOUBLE) AS cum_spend,
+    (CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER mov AS DOUBLE)
+        / COUNT(*) OVER mov) AS mov_avg3
+FROM orders
+WINDOW cum AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       mov AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead with defaults + first/last value frames (event gaps
+    per user: time since previous event, type of next event)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    # exact µs epoch on both engines (session tz pinned to UTC by the
+    # catalog loader, so the ntz→instant cast is deterministic)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        ev.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("gap_us", us - F.lag(us).over(w))
+        .withColumn("next_type", F.lead("event_type", 1, "NONE").over(w))
+        .withColumn("first_type", F.first("event_type").over(full))
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+_WINDOW_LAG_LEAD_SQL = """
+SELECT user_id, event_id, ts, event_type,
+    epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+    COALESCE(LEAD(event_type, 1) OVER w, 'NONE') AS next_type,
+    FIRST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, ts, event_id
+"""
+
+
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 30 min starts a new session (classic
+    lag + conditional cumsum — one shuffle on user_id, linear work).
+
+    This is the batch formulation; streaming/windows.py holds the
+    session_window() streaming equivalent.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = (
+        ev.select("user_id", "event_id", "ts", "value")
+        .withColumn("new_sess", new_sess)
+        .withColumn("session_id", F.sum("new_sess").over(wc).cast("bigint"))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(dec("value")).cast("double").alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+_WINDOW_SESSIONIZE_SQL = """
+SELECT user_id, session_id,
+    COUNT(*) AS n_events,
+    MIN(ts) AS session_start,
+    MAX(ts) AS session_end,
+    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+FROM (
+    SELECT user_id, event_id, ts, value,
+        CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+    FROM (
+        SELECT user_id, event_id, ts, value,
+            CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    )
+)
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+QUERIES = {
+    "window_topk_per_group": window_topk_per_group,
+    "window_ranks": window_ranks,
+    "window_running_sum": window_running_sum,
+    "window_lag_lead": window_lag_lead,
+    "window_sessionize": window_sessionize,
+}
+
+ORACLES = {
+    "window_topk_per_group": _WINDOW_TOPK_SQL,
+    "window_ranks": _WINDOW_RANKS_SQL,
+    "window_running_sum": _WINDOW_RUNNING_SQL,
+    "window_lag_lead": _WINDOW_LAG_LEAD_SQL,
+    "window_sessionize": _WINDOW_SESSIONIZE_SQL,
+}
