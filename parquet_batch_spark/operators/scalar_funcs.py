@@ -141,7 +141,7 @@ def func_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FUNC_JSON_SQL = """
 SELECT event_type,
     COUNT(*) AS n,
-    MIN(k) AS min_k, MAX(k) AS max_k, SUM(k) AS sum_k
+    MIN(k) AS min_k, MAX(k) AS max_k, CAST(SUM(k) AS BIGINT) AS sum_k
 FROM (
     SELECT event_type,
         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

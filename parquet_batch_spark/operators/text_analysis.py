@@ -1,0 +1,243 @@
+"""Text-analysis operators over the documents corpus (north-star).
+
+Everything is built-in JVM expressions (split / regexp / higher-order
+array functions) — zero Python in the row path, so throughput scales
+with executors and stays inside whole-stage codegen. Each operator has
+an exact DuckDB mirror; all arithmetic is integer or single-expression
+double so results are bit-identical.
+
+At 100 TB these are embarrassingly parallel map-only plans: no
+shuffle at all except the final aggregations (which are partial
+map-side first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_batch_spark.catalog import load
+from parquet_batch_spark.functions.hashing import MERSENNE_P, hash32, sql_hash32
+from parquet_batch_spark.functions.text import sql_tokens, tokens_col
+
+# ---------------------------------------------------------------- stats
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char statistics + quality score.
+
+    Quality heuristic (deterministic, engine-portable): penalize very
+    short docs, reward moderate mean word length, penalize digit and
+    punctuation density — the usual pre-training corpus filters.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    n_tok = F.size(toks).cast("bigint")
+    n_char = F.length("text").cast("bigint")
+    n_digit = n_char - F.length(F.regexp_replace("text", r"[0-9]", "")).cast("bigint")
+    n_space = n_char - F.length(F.regexp_replace("text", r" ", "")).cast("bigint")
+    mean_wlen = (n_char - n_space).cast("double") / n_tok
+    quality = F.round(
+        F.least(n_tok.cast("double") / 100.0, F.lit(1.0)) * 0.5
+        + F.when((mean_wlen >= 3.0) & (mean_wlen <= 8.0), 0.4).otherwise(0.1)
+        - n_digit.cast("double") / (n_char.cast("double") + 1.0) * 0.2,
+        6,
+    )
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_char.alias("n_chars_computed"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        quality.alias("quality"),
+    ).orderBy("doc_id")
+
+
+_TEXT_STATS_SQL = f"""
+SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(length(text) AS BIGINT) AS n_chars_computed,
+    CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
+    ROUND(CAST(length(text) - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE) / len(toks), 6) AS mean_word_len,
+    ROUND(
+        LEAST(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.5
+        + CASE WHEN CAST(length(text) - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE) / len(toks) BETWEEN 3.0 AND 8.0
+               THEN 0.4 ELSE 0.1 END
+        - CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+          / (CAST(length(text) AS DOUBLE) + 1.0) * 0.2,
+    6) AS quality
+FROM (SELECT doc_id, text, {sql_tokens("text")} AS toks FROM documents)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------- lang id
+
+# marker stopwords per language (n-gram-free heuristic: distinctive
+# function words; deterministic argmax with fixed language order)
+_LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "les", "et", "une"],
+    "de": ["der", "die", "das", "und", "ein"],
+}
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID with per-language hit counts.
+
+    Each language's score = number of tokens that are in its marker
+    set (with multiplicity). Prediction = argmax with ties broken by
+    the fixed language order, 'unknown' when all scores are zero.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+
+    def marker_score(markers: list[str]):
+        # NB: the lambda must take exactly one parameter — F.filter
+        # passes (element, index) to two-parameter lambdas.
+        return F.size(F.filter(toks, lambda t: t.isin(markers))).cast("bigint")
+
+    scores = {lang: marker_score(markers) for lang, markers in _LANG_MARKERS.items()}
+    pred = F.lit("unknown")
+    best = F.lit(0).cast("bigint")
+    # iterate in reverse so earlier languages win ties; zero scores
+    # never win (stay 'unknown')
+    for lang in reversed(list(_LANG_MARKERS)):
+        s = scores[lang]
+        pred = F.when((s >= best) & (s > 0), F.lit(lang)).otherwise(pred)
+        best = F.greatest(best, s)
+    sel = [F.col("doc_id"), F.col("lang").alias("lang_label")]
+    sel += [scores[lang].alias(f"score_{lang}") for lang in _LANG_MARKERS]
+    sel.append(pred.alias("lang_pred"))
+    return d.select(*sel).orderBy("doc_id")
+
+
+def _sql_lang_score(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang])
+    return (
+        f"CAST(len(list_filter(toks, t -> list_contains([{markers}], t)))"
+        f" AS BIGINT)"
+    )
+
+
+_TEXT_LANGID_SQL = f"""
+SELECT doc_id, lang AS lang_label,
+    {_sql_lang_score("en")} AS score_en,
+    {_sql_lang_score("es")} AS score_es,
+    {_sql_lang_score("fr")} AS score_fr,
+    {_sql_lang_score("de")} AS score_de,
+    CASE
+        WHEN {_sql_lang_score("en")} >= GREATEST({_sql_lang_score("es")}, {_sql_lang_score("fr")}, {_sql_lang_score("de")})
+             AND {_sql_lang_score("en")} > 0 THEN 'en'
+        WHEN {_sql_lang_score("es")} >= GREATEST({_sql_lang_score("fr")}, {_sql_lang_score("de")})
+             AND {_sql_lang_score("es")} > 0 THEN 'es'
+        WHEN {_sql_lang_score("fr")} >= {_sql_lang_score("de")}
+             AND {_sql_lang_score("fr")} > 0 THEN 'fr'
+        WHEN {_sql_lang_score("de")} > 0 THEN 'de'
+        ELSE 'unknown'
+    END AS lang_pred
+FROM (SELECT doc_id, lang, {sql_tokens("text")} AS toks FROM documents)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------- fingerprint
+
+_POLY_B = [1, 31, 961, 29791, 923521, 28629151, 887503681, 1742810335]  # 31^i % P
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional polynomial document fingerprint (rolling-hash style).
+
+    fp = Σ_i (hash32(tok_i) mod P) · B[(i-1) mod 8] mod P, all int64 —
+    position-sensitive (re-ordered words change the fingerprint),
+    engine-exact, and computable in one map-only pass at any scale.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    n = F.size(toks)
+    b_arr = F.array(*[F.lit(b) for b in _POLY_B])
+    terms = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: (hash32(F.element_at(toks, i)) % MERSENNE_P)
+        * F.element_at(b_arr, ((i - 1) % 8) + 1)
+        % MERSENNE_P,
+    )
+    fp = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x) % MERSENNE_P
+    return d.select("doc_id", fp.alias("fingerprint"), n.cast("bigint").alias("n_tokens")).orderBy(
+        "doc_id"
+    )
+
+
+_B_SQL = "[" + ", ".join(str(b) for b in _POLY_B) + "]"
+
+_TEXT_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+    CAST(list_sum(list_transform(generate_series(1, len(toks)),
+        i -> ({sql_hash32("toks[i]")} % {MERSENNE_P}) * ({_B_SQL})[((i - 1) % 8) + 1] % {MERSENNE_P}
+    )) % {MERSENNE_P} AS BIGINT) AS fingerprint,
+    CAST(len(toks) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, {sql_tokens("text")} AS toks FROM documents)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------- corpus rollup
+
+def text_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level aggregation by (lang, source): doc counts, token
+    totals, vocabulary richness — the partial-agg shuffle is tiny
+    (|langs|×|sources| groups) at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    return (
+        d.select(
+            "lang",
+            "source",
+            F.size(toks).cast("bigint").alias("n_tok"),
+            F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_uniq").alias("total_unique_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max("n_tok").alias("max_doc_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_TEXT_CORPUS_SQL = f"""
+SELECT lang, source,
+    COUNT(*) AS n_docs,
+    CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+    CAST(SUM(n_uniq) AS BIGINT) AS total_unique_tokens,
+    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+    MAX(n_tok) AS max_doc_tokens
+FROM (
+    SELECT lang, source, n_chars,
+        CAST(len(toks) AS BIGINT) AS n_tok,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq
+    FROM (SELECT lang, source, n_chars, {sql_tokens("text")} AS toks FROM documents)
+)
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+    "text_corpus_rollup": text_corpus_rollup,
+}
+
+ORACLES = {
+    "text_stats": _TEXT_STATS_SQL,
+    "text_langid": _TEXT_LANGID_SQL,
+    "text_fingerprint": _TEXT_FINGERPRINT_SQL,
+    "text_corpus_rollup": _TEXT_CORPUS_SQL,
+}
