@@ -35,6 +35,10 @@ HEADLINE = [
     "agg_distinct",
     "join_broadcast_dims",
     "join_fact_fact",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q10",
+    "tpch_q18",
     "window_topk_per_group",
     "window_sessionize",
     "sort_topk",
