@@ -61,6 +61,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, spark: SparkSession, *cols: str) -> DataFrame:
+    """Widen a small scan feeding a computation-heavy derivation.
+
+    A few-MB parquet file arrives as ONE input split, so an expensive
+    per-row derivation (shingling, hashing, vector math) would run on a
+    single core. Repartitioning to the cluster's parallelism costs a
+    tiny shuffle of the raw rows and unlocks full parallelism for the
+    derivation. At 100 TB the scan already yields >> cores partitions
+    and this is a no-op — the guard makes the helper safe to apply
+    unconditionally.
+
+    Pass key columns when downstream groups/joins on them: hash
+    partitioning on the key lets Catalyst elide the next shuffle.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *cols) if cols else df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so spark.sql() can see them."""
     for name in TABLES:

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parquet_batch_spark.catalog import load
+from parquet_batch_spark.catalog import fan_out, load
 from parquet_batch_spark.functions.hashing import (
     MERSENNE_P,
     affine_hash,
@@ -84,7 +84,7 @@ ORDER BY keep_doc_id
 
 def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h) for every DISTINCT shingle hash per document."""
-    d = load(spark, sf_dir, "documents")
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
     sh = d.select(
         "doc_id",
         F.explode(F.array_distinct(shingles_col(tokens_col("text"), SHINGLE_K))).alias(
@@ -230,7 +230,7 @@ ORDER BY doc_a, doc_b
 def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit simhash per document: per-bit majority vote over token
     hashes (with multiplicity) — one explode + one groupBy."""
-    d = load(spark, sf_dir, "documents")
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
     tok = d.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
     h = hash32(F.col("tok"))
     votes = [
@@ -417,7 +417,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    em = load(spark, sf_dir, "embeddings")
+    em = fan_out(load(spark, sf_dir, "embeddings"), spark)
     dvec = F.transform("embedding", lambda x: x.cast("double"))
     chunks = (
         em.select(

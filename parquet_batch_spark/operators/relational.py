@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parquet_batch_spark.catalog import load
+from parquet_batch_spark.catalog import fan_out, load
 from parquet_batch_spark.functions.numeric import (
     davg,
     dec,
@@ -43,7 +43,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side; only 6 groups cross the shuffle — this plan is fully
     scan-bound at any scale.
     """
-    li = load(spark, sf_dir, "lineitem")
+    li = fan_out(load(spark, sf_dir, "lineitem"), spark)
     one = F.lit(1).cast("decimal(12,4)")
     disc_price = dec9("l_extendedprice") * (one - dec9("l_discount"))
     charge = disc_price * (one + dec9("l_tax"))
@@ -83,7 +83,7 @@ ORDER BY l_returnflag, l_linestatus
 
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) + multi-agg per group (orders by priority)."""
-    o = load(spark, sf_dir, "orders")
+    o = fan_out(load(spark, sf_dir, "orders"), spark)
     return (
         o.groupBy("o_orderpriority")
         .agg(
@@ -116,7 +116,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hierarchical subtotals computed in one pass (Spark Expand operator
     — one shuffle, not one per grouping set).
     """
-    li = load(spark, sf_dir, "lineitem")
+    li = fan_out(load(spark, sf_dir, "lineitem"), spark)
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
@@ -145,7 +145,7 @@ ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (orderstatus, orderpriority): all 4 grouping sets."""
-    o = load(spark, sf_dir, "orders")
+    o = fan_out(load(spark, sf_dir, "orders"), spark)
     return (
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
@@ -174,7 +174,7 @@ ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS — mixed granularities in one shuffle."""
-    li = load(spark, sf_dir, "lineitem")
+    li = fan_out(load(spark, sf_dir, "lineitem"), spark)
     li.createOrReplaceTempView("lineitem")
     return spark.sql(
         f"""
@@ -206,7 +206,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     Values are enumerated explicitly — at scale an unenumerated pivot
     costs a distinct-scan; never do that on 100 TB.
     """
-    li = load(spark, sf_dir, "lineitem")
+    li = fan_out(load(spark, sf_dir, "lineitem"), spark)
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parquet_batch_spark.catalog import load
+from parquet_batch_spark.catalog import fan_out, load
 
 
 def func_string(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,7 +90,7 @@ ORDER BY order_month
 def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """round/abs/ceil/floor/pow/sqrt/log/pmod — rounded to 6dp where
     transcendental (libm vs JVM may differ in the last ulp)."""
-    li = load(spark, sf_dir, "lineitem")
+    li = fan_out(load(spark, sf_dir, "lineitem"), spark)
     return (
         li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
         .filter(F.col("l_linenumber") == 1)
@@ -123,7 +123,7 @@ ORDER BY l_orderkey, l_linenumber
 def func_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from events.props (string column) — typed get
     + aggregation over the extracted value."""
-    ev = load(spark, sf_dir, "events")
+    ev = fan_out(load(spark, sf_dir, "events"), spark)
     k = F.get_json_object("props", "$.k").cast("int")
     return (
         ev.withColumn("k", k)

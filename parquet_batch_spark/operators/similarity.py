@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from parquet_batch_spark.catalog import load
+from parquet_batch_spark.catalog import fan_out, load
 from parquet_batch_spark.functions.hashing import MERSENNE_P
 
 TOP_K = 5
@@ -46,7 +46,7 @@ def _norm(v):
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for each query vector (vec_id<10),
     self excluded; ties broken by neighbor id."""
-    em = load(spark, sf_dir, "embeddings")
+    em = fan_out(load(spark, sf_dir, "embeddings"), spark)
     base = em.select("vec_id", _dvec().alias("v"))
     base = base.select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
     queries = base.filter(F.col("vec_id") < N_QUERIES).select(
@@ -139,7 +139,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     is; the driver's synthetic vectors are near-uniform (the hardest
     case), where tests assert ≥3× lift over a random-candidate scan.
     """
-    em = load(spark, sf_dir, "embeddings")
+    em = fan_out(load(spark, sf_dir, "embeddings"), spark)
     base = em.select("vec_id", _dvec().alias("v"))
     base = base.select(
         "vec_id", "v", _norm(F.col("v")).alias("nrm"), _bucket_col(F.col("v")).alias("bucket")

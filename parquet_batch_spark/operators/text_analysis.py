@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parquet_batch_spark.catalog import load
+from parquet_batch_spark.catalog import fan_out, load
 from parquet_batch_spark.functions.hashing import MERSENNE_P, hash32, sql_hash32
 from parquet_batch_spark.functions.text import sql_tokens, tokens_col
 
@@ -29,7 +29,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     short docs, reward moderate mean word length, penalize digit and
     punctuation density — the usual pre-training corpus filters.
     """
-    d = load(spark, sf_dir, "documents")
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
     toks = tokens_col("text")
     n_tok = F.size(toks).cast("bigint")
     n_char = F.length("text").cast("bigint")
@@ -89,7 +89,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     set (with multiplicity). Prediction = argmax with ties broken by
     the fixed language order, 'unknown' when all scores are zero.
     """
-    d = load(spark, sf_dir, "documents")
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
     toks = tokens_col("text")
 
     def marker_score(markers: list[str]):
@@ -153,7 +153,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     position-sensitive (re-ordered words change the fingerprint),
     engine-exact, and computable in one map-only pass at any scale.
     """
-    d = load(spark, sf_dir, "documents")
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
     toks = tokens_col("text")
     n = F.size(toks)
     b_arr = F.array(*[F.lit(b) for b in _POLY_B])
@@ -188,7 +188,7 @@ def text_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level aggregation by (lang, source): doc counts, token
     totals, vocabulary richness — the partial-agg shuffle is tiny
     (|langs|×|sources| groups) at any corpus size."""
-    d = load(spark, sf_dir, "documents")
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
     toks = tokens_col("text")
     return (
         d.select(
