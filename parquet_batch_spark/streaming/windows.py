@@ -162,13 +162,136 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id", "event_type", "event_id")
 
 
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time session windows (30-minute gap) per user via the
+    native ``session_window`` streaming aggregation.
+
+    Complete-mode drain over the availableNow replay emits every
+    session, equal to the batch gaps-and-islands formulation
+    (operators/windows.py window_sessionize) — the oracle asserts
+    exactly that equivalence. Session merge state is partitioned by
+    (user_id) and bounded by the watermark at cluster scale.
+    """
+    ev = _event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _drain(agg, spark, mode="complete")
+    return out.select(
+        "user_id",
+        F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+        F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    ).orderBy("user_id", "session_start")
+
+
+# Spark session semantics: an event at EXACTLY last_ts + gap starts a
+# new session (windows [ts, ts+gap) must overlap to merge) → the oracle
+# breaks sessions on gap >= 30 min; session_end = last event + gap.
+_STREAMING_SESSION_SQL = """
+SELECT user_id,
+    MIN(ts) AS session_start,
+    MAX(ts) + INTERVAL 30 MINUTES AS session_end,
+    COUNT(*) AS n_events
+FROM (
+    SELECT user_id, ts,
+        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM (
+        SELECT user_id, event_id, ts,
+            CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+                 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    )
+)
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (n_events, max_value, last_event_id) maintained
+    across micro-batches, final state emitted per update.
+
+    This is the arbitrary-stateful escape hatch for operators the
+    built-in aggregations can't express (per-key models, EMA, CEP).
+    State lives partitioned by user_id on the executors; under the
+    availableNow full replay the final emitted state per user equals
+    the batch aggregate, which the oracle checks exactly.
+    """
+    import pandas as pd
+
+    ev = _event_stream(spark, sf_dir)
+
+    def update(key, pdfs, state):
+        n, mx, last = state.get() if state.exists else (0, float("-inf"), -1)
+        for pdf in pdfs:
+            n += len(pdf)
+            mx = max(mx, float(pdf["value"].max()))
+            last = max(last, int(pdf["event_id"].max()))
+        state.update((n, mx, last))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx], "last_event_id": [last]}
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("max_value", T.DoubleType()),
+            T.StructField("last_event_id", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("mx", T.DoubleType()),
+            T.StructField("last", T.LongType()),
+        ]
+    )
+    stats = ev.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )
+    out = _drain(stats, spark, mode="update")
+    # update-mode memory sink appends every emission; keep the final
+    # state per user (monotone n_events makes max() the latest).
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("max_value").alias("max_value"),
+            F.max("last_event_id").alias("last_event_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_STREAMING_STATEFUL_SQL = """
+SELECT user_id,
+    COUNT(*) AS n_events,
+    MAX(value) AS max_value,
+    MAX(event_id) AS last_event_id
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "streaming_tumbling_window": streaming_tumbling_window,
     "streaming_sliding_window": streaming_sliding_window,
     "streaming_dedup_watermark": streaming_dedup_watermark,
+    "streaming_session_window": streaming_session_window,
+    "streaming_stateful_user_stats": streaming_stateful_user_stats,
 }
 
 ORACLES = {
     "streaming_tumbling_window": _STREAMING_TUMBLING_SQL,
     "streaming_sliding_window": _STREAMING_SLIDING_SQL,
+    "streaming_session_window": _STREAMING_SESSION_SQL,
+    "streaming_stateful_user_stats": _STREAMING_STATEFUL_SQL,
 }
