@@ -22,6 +22,7 @@ _MODULES = [
     "parquet_batch_spark.operators.relational",
     "parquet_batch_spark.operators.joins",
     "parquet_batch_spark.operators.tpch",
+    "parquet_batch_spark.operators.tpch2",
     "parquet_batch_spark.operators.windows",
     "parquet_batch_spark.operators.scalar_funcs",
     "parquet_batch_spark.operators.text_analysis",
