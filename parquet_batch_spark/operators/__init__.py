@@ -24,6 +24,7 @@ _MODULES = [
     "parquet_batch_spark.operators.tpch",
     "parquet_batch_spark.operators.tpch2",
     "parquet_batch_spark.operators.windows",
+    "parquet_batch_spark.operators.analytics",
     "parquet_batch_spark.operators.scalar_funcs",
     "parquet_batch_spark.operators.text_analysis",
     "parquet_batch_spark.operators.dedup",

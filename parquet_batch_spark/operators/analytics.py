@@ -1,0 +1,257 @@
+"""Statistical / analytical operators beyond plain aggregation.
+
+The reference library has no aggregation surface at all (reference:
+src/parquetreader/reader.py — scan/projection only; SURVEY.md §2.2);
+this module extends the engine with the statistics a data-quality /
+training-data pipeline needs: exact quantiles, histograms, correlation,
+deterministic sampling, tokenized word counts, and cardinality
+sketches.
+
+Numeric policy (see functions/numeric.py): every sum that feeds a
+hash-checked result runs in DECIMAL so partial-aggregation order can
+never change a bit. Second-moment sums (x·y, x², y²) use wider
+DECIMAL(30,6) finals — at the 100 TB design point those sums reach
+~1e19-1e20, past DECIMAL(18,*) but far inside (30,6) capacity (1e24).
+The final Pearson quotient is rounded to 6 decimals: the inputs are
+exact, so both engines round the same value.
+
+Exact percentiles ARE oracle-safe: Spark's ``percentile`` and DuckDB's
+``quantile_cont`` both linearly interpolate over the fully sorted
+group, and were verified bit-identical on this data. At 100 TB an
+exact percentile is a heavy (per-group sort) operation — the
+``approx_distinct_sketch`` entry demonstrates the sketch alternative
+(HLL++, mergeable, one pass, no sort) that a real pipeline would
+prefer; being approximate it carries the driver's rows-only check, and
+tests/test_analytics.py bounds its relative error against the exact
+count instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_batch_spark.catalog import fan_out, load
+from parquet_batch_spark.functions.numeric import dec9, dsum, sql_dsum
+
+# ------------------------------------------------------ percentiles
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p95 of extended price (and median quantity) per
+    return flag. Spark plans a single shuffle on the group key; the
+    per-group sort happens inside the aggregate buffer."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.25)").alias("price_p25"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("price_p50"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("price_p95"),
+            F.expr("percentile(l_quantity, 0.5)").alias("qty_median"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_PCTL_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.25) AS price_p25,
+       quantile_cont(l_extendedprice, 0.5)  AS price_p50,
+       quantile_cont(l_extendedprice, 0.95) AS price_p95,
+       quantile_cont(l_quantity, 0.5)       AS qty_median
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# -------------------------------------------------------- histogram
+
+
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (5k buckets) × order
+    status — the classic data-profiling two-way frequency table.
+    Integer bucket arithmetic: nothing float-order-sensitive."""
+    o = load(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(50000)).cast("int")
+    return (
+        o.withColumn("price_bucket", bucket)
+        .groupBy("price_bucket", "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("price_bucket", "o_orderstatus")
+    )
+
+
+_HIST_SQL = """
+SELECT CAST(FLOOR(o_totalprice / 50000) AS INTEGER) AS price_bucket,
+       o_orderstatus, COUNT(*) AS n_orders
+FROM orders
+GROUP BY price_bucket, o_orderstatus
+ORDER BY price_bucket, o_orderstatus
+"""
+
+
+# ------------------------------------------------------ correlation
+
+
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation (quantity vs. extended price) per return
+    flag, computed from exact decimal co-moments instead of the
+    engines' streaming ``corr`` (whose co-moment accumulation is
+    float-order-dependent and differs across engines). Five decimal
+    sums + one double-arithmetic finish = bit-stable and one pass."""
+    li = load(spark, sf_dir, "lineitem")
+    W = "decimal(30,6)"
+    sx = F.sum(dec9("l_quantity")).cast(W).cast("double")
+    sy = F.sum(dec9("l_extendedprice")).cast(W).cast("double")
+    sxx = F.sum(dec9("l_quantity") * dec9("l_quantity")).cast(W).cast("double")
+    syy = F.sum(dec9("l_extendedprice") * dec9("l_extendedprice")).cast(W).cast("double")
+    sxy = F.sum(dec9("l_quantity") * dec9("l_extendedprice")).cast(W).cast("double")
+    n = F.count(F.lit(1)).cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(corr, 6).alias("corr_qty_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _sql_mom(expr: str) -> str:
+    return f"CAST(CAST(SUM({expr}) AS DECIMAL(30,6)) AS DOUBLE)"
+
+
+_D9 = "CAST({c} AS DECIMAL(12,4))"
+# DuckDB executes a width-24 product in int64 and overflows on price²;
+# widening one operand to DECIMAL(24,4) forces its int128 path. The
+# values are exact either way, so Spark/DuckDB results stay identical.
+_D9W = "CAST({c} AS DECIMAL(24,4))"
+_CORR_SQL = """
+SELECT l_returnflag,
+       ROUND((n * sxy - sx * sy)
+             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6)
+           AS corr_qty_price,
+       CAST(n AS BIGINT) AS n_rows
+FROM (
+    SELECT l_returnflag,
+           {sx} AS sx, {sy} AS sy, {sxx} AS sxx, {syy} AS syy, {sxy} AS sxy,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+) m
+ORDER BY l_returnflag
+""".format(
+    sx=_sql_mom(_D9.format(c="l_quantity")),
+    sy=_sql_mom(_D9.format(c="l_extendedprice")),
+    sxx=_sql_mom(f"{_D9W.format(c='l_quantity')} * {_D9.format(c='l_quantity')}"),
+    syy=_sql_mom(
+        f"{_D9W.format(c='l_extendedprice')} * {_D9.format(c='l_extendedprice')}"
+    ),
+    sxy=_sql_mom(f"{_D9W.format(c='l_quantity')} * {_D9.format(c='l_extendedprice')}"),
+)
+
+
+# --------------------------------------------------------- sampling
+
+
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% systematic sample (orderkey ≡ 0 mod 20) with a
+    revenue summary. Unlike TABLESAMPLE this is reproducible across
+    engines, partitionings, and reruns — the property that matters for
+    auditable pipeline sampling; the modulo filter pushes down to the
+    scan."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_SAMPLE_SQL = f"""
+SELECT l_returnflag, COUNT(*) AS n_rows, {sql_dsum("l_extendedprice")} AS sum_price
+FROM lineitem
+WHERE l_orderkey % 20 = 0
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------- explode/words
+
+
+def explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-25 whitespace tokens via explode (Spark's
+    generator/UNNEST surface). The per-document token explosion is
+    map-side; only (word, partial-count) pairs shuffle, so the exchange
+    is bounded by vocabulary size — not corpus size — at any scale."""
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    words = d.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(25)
+    )
+
+
+_WORDS_SQL = r"""
+SELECT word, COUNT(*) AS n
+FROM (
+    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+    FROM documents
+) w
+WHERE word <> ''
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 25
+"""
+
+
+# ----------------------------------------------------------- sketch
+
+
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct-customer estimate per order priority, alongside
+    the exact count. At 100 TB the sketch is the right default: one
+    pass, constant memory, mergeable across partials — where exact
+    COUNT(DISTINCT) shuffles every distinct key. Approximate ⇒ no SQL
+    oracle (driver rows-only check); tests/test_analytics.py bounds the
+    relative error instead."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES = {
+    "agg_percentiles": agg_percentiles,
+    "agg_histogram": agg_histogram,
+    "agg_corr_exact": agg_corr_exact,
+    "sample_systematic": sample_systematic,
+    "explode_word_counts": explode_word_counts,
+    "approx_distinct_sketch": approx_distinct_sketch,
+}
+
+ORACLES = {
+    "agg_percentiles": _PCTL_SQL,
+    "agg_histogram": _HIST_SQL,
+    "agg_corr_exact": _CORR_SQL,
+    "sample_systematic": _SAMPLE_SQL,
+    "explode_word_counts": _WORDS_SQL,
+}

@@ -1,0 +1,30 @@
+"""Checks for the analytics operators that the DuckDB oracle cannot
+express (approximate sketches) plus a guard on the exact-corr math."""
+
+from __future__ import annotations
+
+from parquet_batch_spark.operators.analytics import (
+    agg_corr_exact,
+    approx_distinct_sketch,
+)
+
+
+def test_hll_sketch_error_bound(spark, sf_dir):
+    """HLL++ at rsd=0.02 should land well within 5% of the exact
+    distinct count for every group."""
+    rows = approx_distinct_sketch(spark, sf_dir).collect()
+    assert rows, "sketch query returned no groups"
+    for r in rows:
+        exact = r.exact_customers
+        approx = r.approx_customers
+        assert exact > 0
+        rel_err = abs(approx - exact) / exact
+        assert rel_err < 0.05, f"{r.o_orderpriority}: rel err {rel_err:.3f}"
+
+
+def test_corr_in_valid_range(spark, sf_dir):
+    rows = agg_corr_exact(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.corr_qty_price <= 1.0
+        assert r.n_rows > 0
