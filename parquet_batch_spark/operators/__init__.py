@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MODULES = [
     "parquet_batch_spark.operators.scans",
+    "parquet_batch_spark.operators.sources_ext",
     "parquet_batch_spark.operators.relational",
     "parquet_batch_spark.operators.joins",
     "parquet_batch_spark.operators.tpch",

@@ -1,0 +1,182 @@
+"""Source/sink format breadth: CSV, JSON, and partitioned parquet.
+
+The reference is parquet-only (reference: src/parquetreader/reader.py:
+128-129 — ``ds.dataset(path)`` with ``format="parquet"``; its writer
+surface is the test-only ``ds.write_dataset`` at
+tests/test_parquetbatch.py:197-208). A production pipeline also
+ingests CSV/JSON landing data and writes hive-partitioned parquet, so
+the engine exposes those paths as first-class, oracle-checked
+operators. Each query round-trips driver testdata through the format
+under test into a deterministic aggregate, so the oracle (which reads
+the original parquet) proves the round-trip was lossless.
+
+Fidelity rules baked in:
+
+- CSV/JSON carry no parquet statistics and (for CSV) no types — the
+  read-back supplies an explicit schema; floats are EXCLUDED from the
+  text-format round-trips because double→text→double is not guaranteed
+  bit-identical across engines' formatters. Ints, strings, and ISO
+  timestamps are.
+- The partitioned sink writes hive-style ``key=value`` directories;
+  the read-back filter on the partition column must prune at planning
+  time (asserted in tests/test_plans.py — ``PartitionFilters``), which
+  is the mechanism that turns a 100 TB scan into a single-partition
+  scan in production.
+
+Sink tuning mirrors the reference's writer surface: its
+``max_rows_per_file`` (tests/test_parquetbatch.py:202) maps to
+``maxRecordsPerFile`` (see sources/writer.py).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from parquet_batch_spark.catalog import load
+from parquet_batch_spark.functions.numeric import dsum, sql_dsum
+
+_IO_ROOT = os.path.join(tempfile.gettempdir(), "parquet_batch_spark_io")
+
+
+def _io_dir(sf_dir: str, name: str) -> str:
+    return os.path.join(_IO_ROOT, os.path.basename(sf_dir.rstrip("/")), name)
+
+
+_ORDERS_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_orderpriority", T.StringType()),
+        T.StructField("o_orderdate", T.TimestampNTZType()),
+    ]
+)
+
+
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → CSV (header, ISO timestamps) → read back with explicit
+    schema → per-status/priority counts and date range. Matching the
+    parquet-based oracle proves the CSV path is lossless for the typed
+    subset."""
+    out = _io_dir(sf_dir, "orders_csv")
+    cols = [f.name for f in _ORDERS_TEXT_SCHEMA.fields]
+    (
+        load(spark, sf_dir, "orders")
+        .select(*cols)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .csv(out)
+    )
+    back = (
+        spark.read.schema(_ORDERS_TEXT_SCHEMA)
+        .option("header", True)
+        .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .csv(out)
+    )
+    return (
+        back.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.min("o_orderdate").alias("first_date"),
+            F.max("o_orderdate").alias("last_date"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+_CSV_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → JSON lines → schema-inferred read back → per-brand/type
+    counts and size sums. JSON preserves int64 exactly; schema
+    inference must recover long/string types for the hash to match."""
+    out = _io_dir(sf_dir, "part_json")
+    (
+        load(spark, sf_dir, "part")
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+        .write.mode("overwrite")
+        .json(out)
+    )
+    back = spark.read.json(out)
+    return (
+        back.groupBy("p_brand", "p_type")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("p_size").alias("sum_size"),
+            F.max("p_partkey").alias("max_partkey"),
+        )
+        .orderBy("p_brand", "p_type")
+    )
+
+
+_JSON_SQL = """
+SELECT p_brand, p_type, COUNT(*) AS n_parts,
+       SUM(p_size) AS sum_size, MAX(p_partkey) AS max_partkey
+FROM part
+GROUP BY p_brand, p_type
+ORDER BY p_brand, p_type
+"""
+
+
+def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → hive-partitioned parquet on (l_returnflag,
+    l_linestatus) → read back ONE partition → revenue summary. The
+    read-back filter prunes to a single ``l_returnflag=R/…`` directory
+    at planning time — at 100 TB, the difference between scanning the
+    lake and scanning one leaf."""
+    out = _io_dir(sf_dir, "lineitem_part")
+    (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus"
+        )
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag", "l_linestatus")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "F")
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_price"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+_PART_SQL = f"""
+SELECT COUNT(*) AS n_rows, {sql_dsum("l_quantity")} AS sum_qty,
+       {sql_dsum("l_extendedprice")} AS sum_price,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+"""
+
+
+QUERIES = {
+    "source_csv_roundtrip": source_csv_roundtrip,
+    "source_json_roundtrip": source_json_roundtrip,
+    "sink_partitioned_prune": sink_partitioned_prune,
+}
+
+ORACLES = {
+    "source_csv_roundtrip": _CSV_SQL,
+    "source_json_roundtrip": _JSON_SQL,
+    "sink_partitioned_prune": _PART_SQL,
+}

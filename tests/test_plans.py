@@ -8,6 +8,8 @@ cluster.
 
 from __future__ import annotations
 
+import re
+
 from parquet_batch_spark.operators.joins import join_broadcast_dims, join_range
 from parquet_batch_spark.operators.relational import q1_pricing_summary
 from parquet_batch_spark.operators.scans import filter_pushdown, scan_projection
@@ -58,3 +60,33 @@ def test_q1_stays_in_codegen(spark, sf_dir):
     df = q1_pricing_summary(spark, sf_dir)
     df.collect()  # finalize the AQE plan so codegen markers appear
     assert whole_stage_codegen_spans(df) >= 2  # scan+partial agg, final agg
+
+
+def test_partitioned_sink_prunes_partitions(spark, sf_dir):
+    """The hive-partitioned read-back must prune to one partition at
+    planning time (PartitionFilters on the scan, not a post-scan
+    Filter over every partition)."""
+    from parquet_batch_spark.operators.sources_ext import sink_partitioned_prune
+    from parquet_batch_spark.plans.inspect import explain_formatted
+
+    df = sink_partitioned_prune(spark, sf_dir)
+    plan = explain_formatted(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan[:2000]
+    assert "l_returnflag" in m.group(1) and "l_linestatus" in m.group(1), m.group(1)
+
+
+def test_tpch2_filters_push_and_dims_broadcast(spark, sf_dir):
+    """Spot-check the second TPC-H tranche: Q6's predicates reach the
+    parquet scan; Q8's seven-table star resolves its dims as
+    broadcasts with no sort-merge join on any dimension edge."""
+    from parquet_batch_spark.operators.tpch2 import tpch_q6, tpch_q8
+
+    q6 = tpch_q6(spark, sf_dir)
+    pushed = " ".join(pushed_filters(q6))
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+    q8 = tpch_q8(spark, sf_dir)
+    q8.collect()  # finalize AQE so join strategies are decided
+    plan = executed_plan(q8)
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:3000]
