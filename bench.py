@@ -37,8 +37,12 @@ HEADLINE = [
     "join_fact_fact",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q8",
     "tpch_q10",
+    "tpch_q17",
     "tpch_q18",
+    "agg_percentiles",
+    "explode_word_counts",
     "window_topk_per_group",
     "window_sessionize",
     "sort_topk",
