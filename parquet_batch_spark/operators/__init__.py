@@ -27,6 +27,7 @@ _MODULES = [
     "parquet_batch_spark.operators.windows",
     "parquet_batch_spark.operators.analytics",
     "parquet_batch_spark.operators.scalar_funcs",
+    "parquet_batch_spark.operators.udfs",
     "parquet_batch_spark.operators.text_analysis",
     "parquet_batch_spark.operators.dedup",
     "parquet_batch_spark.operators.similarity",
