@@ -213,7 +213,47 @@ ORDER BY c_custkey
 """
 
 
+def func_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction and access: create_map / map_concat /
+    element_at / map_keys / map_contains_key / size. The oracle states
+    the known ground truth directly (DuckDB's MAP accessors return
+    lists, so cross-engine map comparison would test DuckDB quirks,
+    not our engine) — the map round-trip itself is what's under test."""
+    p = load(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    m2 = F.map_concat(m, F.create_map(F.lit("size"), F.col("p_size").cast("string")))
+    return (
+        p.select("p_partkey", "p_brand", "p_type", "p_size")
+        .withColumn("brand_val", F.element_at(m, "brand"))
+        .withColumn("type_val", F.element_at(m2, "type"))
+        .withColumn("size_val", F.element_at(m2, "size"))
+        .withColumn("missing_val", F.element_at(m, "nope"))
+        .withColumn("n_keys", F.size(m2))
+        .withColumn("has_brand", F.map_contains_key(m2, "brand"))
+        .withColumn("keys_sorted", F.array_sort(F.map_keys(m2)))
+        .drop("p_brand", "p_type", "p_size")
+        .orderBy("p_partkey")
+    )
+
+
+_FUNC_MAP_SQL = """
+SELECT p_partkey,
+    p_brand AS brand_val,
+    p_type AS type_val,
+    CAST(p_size AS VARCHAR) AS size_val,
+    CAST(NULL AS VARCHAR) AS missing_val,
+    3 AS n_keys,
+    TRUE AS has_brand,
+    ['brand', 'size', 'type'] AS keys_sorted
+FROM part
+ORDER BY p_partkey
+"""
+
+
 QUERIES = {
+    "func_map": func_map,
     "func_string": func_string,
     "func_date": func_date,
     "func_math": func_math,
@@ -223,6 +263,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "func_map": _FUNC_MAP_SQL,
     "func_string": _FUNC_STRING_SQL,
     "func_date": _FUNC_DATE_SQL,
     "func_math": _FUNC_MATH_SQL,

@@ -193,7 +193,57 @@ ORDER BY user_id, session_id
 """
 
 
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: trailing-7-day revenue and active
+    day count per order day. The range key is an integer day number so
+    both engines bound the frame identically; the in-frame sum runs in
+    DECIMAL, exact under either engine's frame-evaluation strategy
+    (Spark's running accumulation vs DuckDB's segment tree)."""
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy("o_orderdate")
+        .agg(
+            F.sum(dec("o_totalprice")).alias("day_rev_dec"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .withColumn(
+            "day_no",
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp_ntz")),
+        )
+    )
+    w = W.orderBy("day_no").rangeBetween(-6, 0)
+    return (
+        daily.select(
+            "o_orderdate",
+            "n_orders",
+            F.col("day_rev_dec").cast("double").alias("day_rev"),
+            F.sum("day_rev_dec").over(w).cast("double").alias("rev_7d"),
+            F.count(F.lit(1)).over(w).alias("days_in_window"),
+        )
+        .orderBy("o_orderdate")
+    )
+
+
+_WINDOW_RANGE_SQL = """
+SELECT o_orderdate, n_orders,
+    CAST(day_rev_dec AS DOUBLE) AS day_rev,
+    CAST(SUM(day_rev_dec) OVER w AS DOUBLE) AS rev_7d,
+    COUNT(*) OVER w AS days_in_window
+FROM (
+    SELECT o_orderdate,
+        SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS day_rev_dec,
+        COUNT(*) AS n_orders,
+        date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS day_no
+    FROM orders
+    GROUP BY o_orderdate
+) d
+WINDOW w AS (ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY o_orderdate
+"""
+
+
 QUERIES = {
+    "window_range_interval": window_range_interval,
     "window_topk_per_group": window_topk_per_group,
     "window_ranks": window_ranks,
     "window_running_sum": window_running_sum,
@@ -202,6 +252,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_range_interval": _WINDOW_RANGE_SQL,
     "window_topk_per_group": _WINDOW_TOPK_SQL,
     "window_ranks": _WINDOW_RANKS_SQL,
     "window_running_sum": _WINDOW_RUNNING_SQL,
