@@ -495,7 +495,107 @@ ORDER BY vec_a, vec_b
 """
 
 
+# ------------------------------------------------- connected components
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the
+    minhash-LSH pair graph, so each dup group gets one canonical doc
+    (the minimum doc_id in its component) — the step that turns
+    pairwise dedup output into keep/drop decisions.
+
+    Algorithm: iterative min-label propagation (each node repeatedly
+    adopts the smallest label among itself and its neighbours) —
+    converges in O(component diameter) rounds; near-dup components are
+    tiny, so a handful of Spark jobs. Each round is one shuffle join +
+    groupBy; ``localCheckpoint`` truncates lineage so plans stay flat.
+    This is the standard large-scale CC topology (cf. the small-star /
+    large-star refinement); a 100 TB run would add per-round
+    persistence to a checkpoint dir. The driver-side loop only
+    inspects a one-row convergence count per round — no data is
+    collected.
+
+    Oracle: DuckDB recursive CTE computing reachability over the same
+    edge set, then min(reachable ∪ self) per node.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("doc_a").alias("doc"))
+        .distinct()
+        .withColumn("lbl", F.col("doc"))
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc)
+            .groupBy("doc_a")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc == neighbor_min.doc_a, "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("doc").alias("doc_id"), F.col("lbl").alias("cluster_root")
+    ).orderBy("doc_id")
+
+
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_sql_minhash_core()},
+bands AS (
+    SELECT doc_id, sig, i - 1 AS band_idx, ([{_BAND_EXPRS}])[i] AS band_sig
+    FROM sigarr, generate_series(1, {N_BANDS}) t(i)
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.sig AS sig_a, b.sig AS sig_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+        AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT doc_a, doc_b FROM cands
+    WHERE CAST(len(list_filter(generate_series(1, {N_HASHES}),
+            i -> sig_a[i] = sig_b[i])) AS DOUBLE) / {N_HASHES}
+        >= {MINHASH_EST_THRESHOLD}
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_root
+FROM reach
+GROUP BY a
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "dedup_clusters": dedup_clusters,
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -504,6 +604,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
     "dedup_simhash": _DEDUP_SIMHASH_SQL,

@@ -256,7 +256,50 @@ ORDER BY r_name, status
 """
 
 
+_SALT_BUCKETS = 8
+
+
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually salted fact-fact join — the explicit skew-mitigation
+    pattern for when one join key dominates (a viral document, a bot
+    user). The probe side derives a DETERMINISTIC salt (linenumber mod
+    S, not rand() — reruns and retried tasks must agree); the build
+    side replicates each row S times via explode. The hot key's rows
+    then spread over S reducers instead of one. Result is provably
+    identical to the unsalted join (the oracle runs the plain join).
+    AQE's skewJoin handles moderate skew automatically; explicit
+    salting is the heavy-artillery variant that also works mid-shuffle
+    in aggregations. S=8 multiplies build-side shuffle volume 8× —
+    worth it only when the straggler dominates wall-clock."""
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "salt", (F.col("l_linenumber") % _SALT_BUCKETS).cast("int")
+    )
+    o = load(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT_BUCKETS)]))
+    )
+    one = F.lit(1).cast("decimal(12,4)")
+    rev = dec9("l_extendedprice") * (one - dec9("l_discount"))
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt))
+        .groupBy("o_orderpriority")
+        .agg(dsum_expr(rev, "revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_JOIN_SALTED_SQL = f"""
+SELECT o_orderpriority,
+    {sql_dsum_expr("CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))")} AS revenue,
+    COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
+    "join_skew_salted": join_skew_salted,
     "join_broadcast_dims": join_broadcast_dims,
     "join_fact_fact": join_fact_fact,
     "join_outer": join_outer,
@@ -267,6 +310,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_skew_salted": _JOIN_SALTED_SQL,
     "join_broadcast_dims": _JOIN_BROADCAST_SQL,
     "join_fact_fact": _JOIN_FACT_FACT_SQL,
     "join_outer": _JOIN_OUTER_SQL,

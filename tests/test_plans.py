@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import re
 
+from pyspark.sql import functions as F
+
 from parquet_batch_spark.operators.joins import join_broadcast_dims, join_range
 from parquet_batch_spark.operators.relational import q1_pricing_summary
 from parquet_batch_spark.operators.scans import filter_pushdown, scan_projection
@@ -90,3 +92,45 @@ def test_tpch2_filters_push_and_dims_broadcast(spark, sf_dir):
     q8.collect()  # finalize AQE so join strategies are decided
     plan = executed_plan(q8)
     assert plan.count("BroadcastHashJoin") >= 4, plan[:3000]
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
+    """Co-bucketed tables on the join key must sort-merge join with
+    ZERO exchanges — the bucketing payoff that at 100 TB removes the
+    dominant fact-fact shuffle entirely (pay the shuffle once at
+    write time, reuse it every join)."""
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.plans.inspect import executed_plan
+
+    for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        (
+            load(spark, sf_dir, name)
+            .write.mode("overwrite")
+            .option("path", str(tmp_path / name))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(f"bkt_{name}")
+        )
+    # at test SF the small side would broadcast (which ignores
+    # bucketing); the merge hint forces the SMJ path that bucketing
+    # exists to serve — at 100 TB both sides exceed any broadcast
+    # threshold and SMJ is what the planner picks unhinted
+    j = (
+        spark.table("bkt_lineitem")
+        .hint("merge")
+        .join(spark.table("bkt_orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    j.collect()
+    # under AQE the toString appends an "== Initial Plan ==" copy —
+    # keep only the final adaptive plan
+    plan = executed_plan(j).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in plan, plan[:2000]
+    # the join must consume bucket-local partitions directly: no
+    # shuffle exchange below the join (the only exchange allowed is
+    # the final tiny groupBy-on-priority)
+    join_section = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in join_section, join_section[:2000]
+    for name in ("bkt_orders", "bkt_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
