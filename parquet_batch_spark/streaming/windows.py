@@ -281,7 +281,53 @@ ORDER BY user_id
 """
 
 
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins the
+    customer dimension (user_id → market segment) BEFORE the windowed
+    aggregation. Stream-static inner joins are stateless — the static
+    side is re-planned per micro-batch (broadcast at dim size), no
+    join state accumulates, and the watermark only governs the
+    downstream aggregation state. This is the canonical "enrich then
+    aggregate" streaming topology; at cluster scale the same plan runs
+    with the dim as a slowly-changing broadcast table."""
+    from parquet_batch_spark.catalog import load
+
+    ev = _event_stream(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .join(cust, "user_id")
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("c_mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+    out = _drain(agg, spark, mode="complete")
+    return out.select(
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+        "c_mktsegment",
+        "n_events",
+        "sum_value",
+    ).orderBy("window_start", "c_mktsegment")
+
+
+_STREAMING_STATIC_JOIN_SQL = """
+SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+    c_mktsegment,
+    COUNT(*) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+JOIN customer ON user_id = c_custkey
+GROUP BY window_start, c_mktsegment
+ORDER BY window_start, c_mktsegment
+"""
+
+
 QUERIES = {
+    "streaming_static_join": streaming_static_join,
     "streaming_tumbling_window": streaming_tumbling_window,
     "streaming_sliding_window": streaming_sliding_window,
     "streaming_dedup_watermark": streaming_dedup_watermark,
@@ -290,6 +336,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_static_join": _STREAMING_STATIC_JOIN_SQL,
     "streaming_tumbling_window": _STREAMING_TUMBLING_SQL,
     "streaming_sliding_window": _STREAMING_SLIDING_SQL,
     "streaming_session_window": _STREAMING_SESSION_SQL,
