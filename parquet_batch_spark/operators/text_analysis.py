@@ -228,7 +228,48 @@ ORDER BY lang, source
 """
 
 
+# BPE-style pretokenizer regex (simplified GPT-2 pattern, kept inside
+# the RE2 subset so Spark's Java regex and DuckDB's RE2 agree: no
+# lookahead, no unicode property classes): a token is an optional
+# leading space + a letter run, digit run, or punctuation run.
+_BPEISH = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways a data pipeline needs it: whitespace
+    words and a BPE-ish pretokenizer regex (the standard proxy for LLM
+    token budgets when the real tokenizer is out-of-process). Pure
+    JVM regexp_extract_all — no Python in the row path; the ratio
+    column is the chars-per-token compression estimate used for corpus
+    budgeting."""
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    ws = F.size(tokens_col("text")).cast("bigint")
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPEISH), 0)).cast("bigint")
+    return d.select(
+        "doc_id",
+        ws.alias("n_words"),
+        bpe.alias("n_bpeish_tokens"),
+        F.round(F.length("text").cast("double") / bpe.cast("double"), 6).alias(
+            "chars_per_token"
+        ),
+    ).orderBy("doc_id")
+
+
+_TEXT_TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+    CAST(len({sql_tokens("text")}) AS BIGINT) AS n_words,
+    CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT)
+        AS n_bpeish_tokens,
+    ROUND(CAST(length(text) AS DOUBLE)
+        / CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS DOUBLE),
+    6) AS chars_per_token
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "text_token_count": text_token_count,
     "text_stats": text_stats,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -236,6 +277,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_token_count": _TEXT_TOKEN_COUNT_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "text_langid": _TEXT_LANGID_SQL,
     "text_fingerprint": _TEXT_FINGERPRINT_SQL,
