@@ -134,3 +134,32 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
     assert "Exchange" not in join_section, join_section[:2000]
     for name in ("bkt_orders", "bkt_lineitem"):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_dedup_pipelines_avoid_cartesian(spark, sf_dir):
+    """Every near-dup pipeline must pair documents through an inverted
+    index (band/shingle/bucket join) — never an O(n²) cartesian. A
+    CartesianProduct or unconditioned BroadcastNestedLoopJoin in these
+    plans would be a 100 TB death sentence."""
+    from parquet_batch_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+        dedup_simhash,
+    )
+
+    for fn in (dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard):
+        plan = executed_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{fn.__name__}: cartesian!"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{fn.__name__}: NLJ!"
+
+
+def test_minhash_band_join_is_equi_join(spark, sf_dir):
+    """The LSH candidate join must be a hash/sort-merge EQUI-join on
+    the band key (its shuffle is bounded by bucket size), with the
+    doc_a < doc_b ordering applied as a post-join condition."""
+    from parquet_batch_spark.operators.dedup import dedup_minhash_lsh
+
+    plan = executed_plan(dedup_minhash_lsh(spark, sf_dir))
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan[:2000]

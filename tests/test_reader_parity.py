@@ -156,3 +156,31 @@ def test_writer_partition_by(spark, tmp_path):
     assert pruned.count() == 10
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "bucket" in plan
+
+
+def test_hidden_and_corrupt_files_excluded(spark, sf_dir, tmp_path):
+    """Reference O3 parity (exclude_invalid_files=True +
+    ignore_prefixes=['.', '_'], /root/reference/tests/
+    test_parquetbatch.py:392-398): Spark's parquet source skips
+    dot/underscore-prefixed files by default, and ignoreCorruptFiles
+    drops unreadable ones instead of failing the scan."""
+    from parquet_batch_spark.catalog import load
+
+    src = load(spark, sf_dir, "region")
+    d = tmp_path / "ds"
+    src.write.parquet(str(d))
+    n = src.count()
+    # hidden + metadata-prefixed + corrupt junk alongside real data
+    (d / ".hidden.parquet").write_bytes(b"not parquet at all")
+    (d / "_metadata_junk.parquet").write_bytes(b"junk")
+    (d / "corrupt.parquet").write_bytes(b"PAR1 but not really")
+
+    # the reference's expert path passes an explicit schema alongside
+    # exclude_invalid_files (test_parquetbatch.py:392-398) — same here,
+    # since schema inference would otherwise die on the corrupt footer
+    back = (
+        spark.read.schema(src.schema)
+        .option("ignoreCorruptFiles", True)
+        .parquet(str(d))
+    )
+    assert back.count() == n
