@@ -181,13 +181,71 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ann_lsh_bucketed is *approximate relative to brute force* but fully
+# DETERMINISTIC (LCG-seeded hyperplanes, fixed multiprobe set), so it
+# still gets an exact SQL oracle: DuckDB recomputes the same buckets
+# from the same inlined plane weights. tests/test_similarity.py
+# additionally asserts recall ≥ 0.8 vs the exact top-k.
+
+_DIM = 64
+
+
+def _sql_plane_list(p: int, dim: int = _DIM) -> str:
+    return "[" + ", ".join(repr(_plane_weight(p, d)) for d in range(dim)) + "]"
+
+
+_SQL_BUCKET = "\n        + ".join(
+    f"(CASE WHEN list_sum(list_transform(generate_series(1, {_DIM}),"
+    f" i -> v[i] * ({_sql_plane_list(p)})[i])) > 0 THEN {1 << p} ELSE 0 END)"
+    for p in range(N_PLANES)
+)
+
+_FLIPS = [0] + [1 << p for p in range(N_PLANES)] + [
+    (1 << p) | (1 << q) for p in range(N_PLANES) for q in range(p + 1, N_PLANES)
+]
+
+_ANN_LSH_SQL = f"""
+WITH nv AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+base AS (
+    SELECT vec_id, v,
+        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+        {_SQL_BUCKET} AS bucket
+    FROM nv
+),
+probes AS (
+    SELECT vec_id AS query_id, v AS qv, nrm AS qnrm,
+        xor(bucket, f) AS probe_bucket
+    FROM base, unnest({_FLIPS}) AS t(f)
+    WHERE vec_id < {N_QUERIES}
+),
+cands AS (
+    SELECT DISTINCT p.query_id, b.vec_id AS neighbor_id,
+        list_sum(list_transform(generate_series(1, {_DIM}), i -> b.v[i] * p.qv[i]))
+            / (b.nrm * p.qnrm) AS cos_raw
+    FROM base b
+    JOIN probes p ON b.bucket = p.probe_bucket AND b.vec_id <> p.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos_raw,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cos_raw DESC, neighbor_id) AS rank
+    FROM cands
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cos_sim, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
 }
 
-# ann_lsh_bucketed is approximate → no SQL oracle (driver rows-only
-# check); tests/test_similarity.py asserts recall ≥ 0.8 vs brute force.
 ORACLES = {
     "ann_bruteforce_topk": _ANN_BRUTE_SQL,
+    "ann_lsh_bucketed": _ANN_LSH_SQL,
 }
