@@ -226,6 +226,51 @@ ORDER BY l_returnflag
 """
 
 
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt — the inverse reshape of agg_pivot: the wide
+    per-returnflag (qty_f, qty_o) table melts back to long
+    (returnflag, linestatus, qty) form. Unpivot is a zero-shuffle
+    projection (each input row fans out to k output rows map-side);
+    the only exchange here belongs to the upstream aggregate."""
+    wide = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(dec("l_quantity")).cast("double"))
+        .withColumnsRenamed({"F": "qty_f", "O": "qty_o"})
+    )
+    return (
+        wide.unpivot(
+            ids=["l_returnflag"],
+            values=["qty_f", "qty_o"],
+            variableColumnName="l_linestatus",
+            valueColumnName="sum_qty",
+        )
+        .withColumn(
+            "l_linestatus",
+            F.when(F.col("l_linestatus") == "qty_f", "F").otherwise("O"),
+        )
+        .filter(F.col("sum_qty").isNotNull())
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_RESHAPE_UNPIVOT_SQL = f"""
+SELECT l_returnflag, l_linestatus, sum_qty
+FROM (
+    SELECT l_returnflag, 'F' AS l_linestatus,
+        {sql_dsum_expr("CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END")} AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag, 'O' AS l_linestatus,
+        {sql_dsum_expr("CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END")} AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+) long
+WHERE sum_qty IS NOT NULL
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 orders by price — Spark plans TakeOrderedAndProject
     (per-partition heap + driver merge; no global sort, no full shuffle).
@@ -325,6 +370,7 @@ ORDER BY c_mktsegment
 
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "reshape_unpivot": reshape_unpivot,
     "agg_distinct": agg_distinct,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
@@ -337,6 +383,7 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": _Q1_SQL,
+    "reshape_unpivot": _RESHAPE_UNPIVOT_SQL,
     "agg_distinct": _AGG_DISTINCT_SQL,
     "agg_rollup": _AGG_ROLLUP_SQL,
     "agg_cube": _AGG_CUBE_SQL,
