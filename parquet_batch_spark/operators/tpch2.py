@@ -702,8 +702,174 @@ ORDER BY c_nationkey
 """
 
 
+# --------------------------------------------------------------- Q11
+
+
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 (adapted) important stock: per (suppkey, partkey) traded
+    value from lineitem (no partsupp table), keeping pairs whose value
+    exceeds 0.05% of the total. The scalar total broadcasts; both
+    aggregations share one shuffle lineage."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    nkeys = n.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select("n_nationkey")
+    snk = s.join(F.broadcast(nkeys), s.s_nationkey == F.col("n_nationkey"), "left_semi")
+    li_n = li.join(
+        F.broadcast(snk.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"), "left_semi"
+    )
+    per_pair = li_n.groupBy("l_suppkey", "l_partkey").agg(
+        dsum("l_extendedprice", "pair_value")
+    )
+    total = per_pair.agg((F.sum(dec("pair_value")) * 0.0005).cast("double").alias("thr"))
+    return (
+        per_pair.crossJoin(F.broadcast(total))
+        .filter(F.col("pair_value") > F.col("thr"))
+        .select("l_suppkey", "l_partkey", "pair_value")
+        .orderBy(F.desc("pair_value"), "l_suppkey", "l_partkey")
+    )
+
+
+_Q11_SQL = f"""
+WITH per_pair AS (
+    SELECT l_suppkey, l_partkey, {sql_dsum("l_extendedprice")} AS pair_value
+    FROM lineitem
+    WHERE l_suppkey IN (
+        SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_1', 'NATION_2')
+    )
+    GROUP BY l_suppkey, l_partkey
+)
+SELECT l_suppkey, l_partkey, pair_value
+FROM per_pair
+WHERE pair_value > (
+    SELECT CAST(SUM(CAST(pair_value AS DECIMAL(18,4))) * 0.0005 AS DOUBLE) FROM per_pair
+)
+ORDER BY pair_value DESC, l_suppkey, l_partkey
+"""
+
+
+# --------------------------------------------------------------- Q20
+
+
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 (adapted) potential part promotion: suppliers who moved
+    more than 50 units of some red part in 1997 — a nested
+    semi-join chain (parts → qualifying (supp,part) volumes →
+    suppliers), each level collapsing before the next join."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    qual = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum("l_quantity", "qty"))
+        .filter(F.col("qty") > 50.0)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(qual, s.s_suppkey == qual.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q20_SQL = f"""
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM (
+        SELECT l_suppkey, l_partkey, {sql_dsum("l_quantity")} AS qty
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+    ) q WHERE qty > 50.0
+)
+ORDER BY s_suppkey
+"""
+
+
+# --------------------------------------------------------------- Q21
+
+
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 (adapted) suppliers who kept orders waiting: count of
+    multi-supplier F-status orders where THIS supplier shipped late
+    (>60 days after order) and no co-supplier did. The exists /
+    not-exists pair decorrelates to two aggregates over one
+    lineitem⋈orders lineage."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load(spark, sf_dir, "supplier")
+    lo = li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+    per = (
+        lo.withColumn(
+            "late",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast("int"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late"))
+    )
+    stats = per.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("late").alias("n_late"),
+    )
+    waiting = (
+        per.filter(F.col("late") == 1)
+        .join(
+            stats.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+            "l_orderkey",
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return (
+        waiting.join(s, waiting.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_suppkey")
+    )
+
+
+_Q21_SQL = """
+WITH per AS (
+    SELECT l_orderkey, l_suppkey,
+        MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS late
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY l_orderkey, l_suppkey
+), stats AS (
+    SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late
+    FROM per GROUP BY l_orderkey
+)
+SELECT s_suppkey, s_name, numwait
+FROM (
+    SELECT l_suppkey, COUNT(*) AS numwait
+    FROM per
+    WHERE late = 1
+      AND l_orderkey IN (SELECT l_orderkey FROM stats WHERE n_supp > 1 AND n_late = 1)
+    GROUP BY l_suppkey
+) w
+JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY numwait DESC, s_suppkey
+"""
+
+
 QUERIES = {
     "tpch_q2": tpch_q2,
+    "tpch_q11": tpch_q11,
+    "tpch_q20": tpch_q20,
+    "tpch_q21": tpch_q21,
     "tpch_q4": tpch_q4,
     "tpch_q6": tpch_q6,
     "tpch_q7": tpch_q7,
@@ -721,6 +887,9 @@ QUERIES = {
 
 ORACLES = {
     "tpch_q2": _Q2_SQL,
+    "tpch_q11": _Q11_SQL,
+    "tpch_q20": _Q20_SQL,
+    "tpch_q21": _Q21_SQL,
     "tpch_q4": _Q4_SQL,
     "tpch_q6": _Q6_SQL,
     "tpch_q7": _Q7_SQL,
