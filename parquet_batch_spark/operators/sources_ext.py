@@ -169,13 +169,73 @@ WHERE l_returnflag = 'R' AND l_linestatus = 'F'
 """
 
 
+def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 MERGE (upsert) expressed as a full-outer join — the
+    pattern behind Delta/Iceberg ``MERGE INTO``, runnable on plain
+    parquet: a deterministic delta batch (balance bump for every 10th
+    customer + synthetic new customers for every 97th key) merges into
+    the customer dim; each output row is tagged updated / inserted /
+    unchanged. At 100 TB both sides hash-partition on the merge key
+    (one shuffle) — or zero shuffles if the dim is bucketed on it
+    (cf. tests/test_plans.py::test_bucketed_join_eliminates_shuffle)."""
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    updates = base.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("d_key"),
+        (F.col("c_acctbal") + 100.0).alias("d_bal"),
+        F.col("c_mktsegment").alias("d_seg"),
+    )
+    inserts = base.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("d_key"),
+        F.lit(0.0).alias("d_bal"),
+        F.lit("NEW").alias("d_seg"),
+    )
+    delta = updates.unionByName(inserts)
+    return (
+        base.join(delta, base.c_custkey == delta.d_key, "full_outer")
+        .select(
+            F.coalesce(F.col("c_custkey"), F.col("d_key")).alias("c_custkey"),
+            F.coalesce(F.col("d_bal"), F.col("c_acctbal")).alias("c_acctbal"),
+            F.coalesce(F.col("d_seg"), F.col("c_mktsegment")).alias("c_mktsegment"),
+            F.when(F.col("c_custkey").isNull(), "inserted")
+            .when(F.col("d_key").isNull(), "unchanged")
+            .otherwise("updated")
+            .alias("action"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+_MERGE_SQL = """
+WITH delta AS (
+    SELECT c_custkey AS d_key, c_acctbal + 100.0 AS d_bal, c_mktsegment AS d_seg
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey + 1000000, 0.0, 'NEW'
+    FROM customer WHERE c_custkey % 97 = 0
+)
+SELECT COALESCE(c_custkey, d_key) AS c_custkey,
+       COALESCE(d_bal, c_acctbal) AS c_acctbal,
+       COALESCE(d_seg, c_mktsegment) AS c_mktsegment,
+       CASE WHEN c_custkey IS NULL THEN 'inserted'
+            WHEN d_key IS NULL THEN 'unchanged'
+            ELSE 'updated' END AS action
+FROM customer
+FULL OUTER JOIN delta ON c_custkey = d_key
+ORDER BY c_custkey
+"""
+
+
 QUERIES = {
+    "etl_merge_upsert": etl_merge_upsert,
     "source_csv_roundtrip": source_csv_roundtrip,
     "source_json_roundtrip": source_json_roundtrip,
     "sink_partitioned_prune": sink_partitioned_prune,
 }
 
 ORACLES = {
+    "etl_merge_upsert": _MERGE_SQL,
     "source_csv_roundtrip": _CSV_SQL,
     "source_json_roundtrip": _JSON_SQL,
     "sink_partitioned_prune": _PART_SQL,
