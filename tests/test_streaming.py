@@ -127,3 +127,46 @@ def test_stateful_user_stats_matches_batch(spark):
            .agg(F.count(F.lit(1)).alias("n"), F.max("event_id").alias("last"))
            .collect()}
     assert got == exp
+
+
+def test_foreach_batch_incremental_sink(spark, tmp_path):
+    """foreachBatch custom sink: each micro-batch appends PARTIAL
+    aggregates to parquet; re-aggregating the partials reproduces the
+    batch answer exactly. This is the idempotent-append topology for
+    sinks without transactional merge (counts are associative, so
+    replayed batches only need dedup by batch_id at scale — here the
+    availableNow replay is single-pass)."""
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.streaming.windows import _event_stream
+
+    out = str(tmp_path / "partials")
+
+    def upsert(batch_df, batch_id):
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        _event_stream(spark, SF_DIR)
+        .writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        r["event_type"]: r["total"]
+        for r in spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("total"))
+        .collect()
+    }
+    exp = {
+        r["event_type"]: r["count"]
+        for r in load(spark, SF_DIR, "events").groupBy("event_type").count().collect()
+    }
+    assert got == exp
