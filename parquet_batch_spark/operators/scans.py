@@ -33,8 +33,12 @@ SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
 
 
 def scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-table row count — parquet footer metadata only (Spark's
-    aggregate pushdown reads zero data pages)."""
+    """Full-table row count. Catalyst prunes the projection to ZERO
+    columns (``ReadSchema: struct<>``), so the scan materializes no
+    column data — the vectorized reader emits row counts from parquet
+    metadata. (Spark's DSv2 PushedAggregation would collapse even the
+    partial-count stage, but parquet defaults to the V1 source; the
+    empty-projection path is equally metadata-bound.)"""
     li = load(spark, sf_dir, "lineitem")
     return li.agg(F.count(F.lit(1)).alias("n_rows"))
 
