@@ -242,7 +242,35 @@ ORDER BY o_orderdate
 """
 
 
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile quartiles, percent_rank,
+    cume_dist over customer balances per market segment. All three are
+    rank arithmetic (exact integer ratios in double), so cross-engine
+    results are bit-identical without rounding."""
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_custkey", "c_mktsegment", "c_acctbal")
+        .withColumn("quartile", F.ntile(4).over(w))
+        .withColumn("pct_rank", F.percent_rank().over(w))
+        .withColumn("cume", F.cume_dist().over(w))
+        .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+    )
+
+
+_WINDOW_DISTRIBUTION_SQL = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+    NTILE(4) OVER w AS quartile,
+    PERCENT_RANK() OVER w AS pct_rank,
+    CUME_DIST() OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+ORDER BY c_mktsegment, c_acctbal, c_custkey
+"""
+
+
 QUERIES = {
+    "window_distribution": window_distribution,
     "window_range_interval": window_range_interval,
     "window_topk_per_group": window_topk_per_group,
     "window_ranks": window_ranks,
@@ -252,6 +280,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_distribution": _WINDOW_DISTRIBUTION_SQL,
     "window_range_interval": _WINDOW_RANGE_SQL,
     "window_topk_per_group": _WINDOW_TOPK_SQL,
     "window_ranks": _WINDOW_RANKS_SQL,
