@@ -298,7 +298,63 @@ ORDER BY o_orderpriority
 """
 
 
+def join_bucketed_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both fact tables are written bucketed
+    (+sorted) on the join key, so the subsequent sort-merge join reads
+    bucket-local partitions with ZERO shuffle exchanges (asserted in
+    tests/test_plans.py::test_bucketed_join_eliminates_shuffle). This
+    is the pay-once-shuffle-never-again pattern for 100 TB fact-fact
+    joins; the write cost here is the demo's setup, amortized across
+    every downstream join in production. The merge hint pins the SMJ
+    path the planner would pick unhinted at real scale."""
+    import os
+    import tempfile
+
+    wh = os.path.join(
+        tempfile.gettempdir(),
+        "parquet_batch_spark_io",
+        os.path.basename(sf_dir.rstrip("/")),
+        "bucketed",
+    )
+    for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        tbl = f"pbs_bkt_{name}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            load(spark, sf_dir, name)
+            .write.mode("overwrite")
+            .option("path", os.path.join(wh, name))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(tbl)
+        )
+    one = F.lit(1).cast("decimal(12,4)")
+    rev = dec9("l_extendedprice") * (one - dec9("l_discount"))
+    return (
+        spark.table("pbs_bkt_lineitem")
+        .hint("merge")
+        .join(
+            spark.table("pbs_bkt_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(dsum_expr(rev, "revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("o_orderstatus")
+    )
+
+
+_JOIN_BUCKETED_SQL = f"""
+SELECT o_orderstatus,
+    {sql_dsum_expr("CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))")} AS revenue,
+    COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
+    "join_bucketed_colocate": join_bucketed_colocate,
     "join_skew_salted": join_skew_salted,
     "join_broadcast_dims": join_broadcast_dims,
     "join_fact_fact": join_fact_fact,
@@ -310,6 +366,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_bucketed_colocate": _JOIN_BUCKETED_SQL,
     "join_skew_salted": _JOIN_SALTED_SQL,
     "join_broadcast_dims": _JOIN_BROADCAST_SQL,
     "join_fact_fact": _JOIN_FACT_FACT_SQL,

@@ -326,7 +326,62 @@ ORDER BY window_start, c_mktsegment
 """
 
 
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: per user, pair each 'click' event
+    with 'purchase' events that follow within 30 minutes. Both sides
+    carry watermarks and the join condition bounds event-time distance,
+    so Spark can expire join state (the unbounded-state trap of
+    unconstrained stream joins). Output counts pairs per user bucket —
+    the conversion-attribution topology. The batch oracle computes the
+    identical interval join."""
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    out = _drain(joined, spark, mode="append")
+    return (
+        out.groupBy(F.col("c_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
+_STREAMING_SS_JOIN_SQL = """
+SELECT c.user_id, COUNT(*) AS n_pairs
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts > c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+GROUP BY c.user_id
+ORDER BY c.user_id
+"""
+
+
 QUERIES = {
+    "streaming_stream_stream_join": streaming_stream_stream_join,
     "streaming_static_join": streaming_static_join,
     "streaming_tumbling_window": streaming_tumbling_window,
     "streaming_sliding_window": streaming_sliding_window,
@@ -336,6 +391,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_stream_stream_join": _STREAMING_SS_JOIN_SQL,
     "streaming_static_join": _STREAMING_STATIC_JOIN_SQL,
     "streaming_tumbling_window": _STREAMING_TUMBLING_SQL,
     "streaming_sliding_window": _STREAMING_SLIDING_SQL,
