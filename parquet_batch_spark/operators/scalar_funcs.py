@@ -213,6 +213,36 @@ ORDER BY c_custkey
 """
 
 
+def func_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON parsing: ``from_json`` with an explicit struct
+    schema (vs. func_json's path-based ``get_json_object``). Typed
+    struct access survives Catalyst optimization (JsonTuple /
+    constant-folded field access), and malformed documents surface as
+    NULL structs rather than runtime errors — the PERMISSIVE-mode
+    contract a pipeline needs at scale."""
+    ev = load(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return (
+        ev.select(
+            "event_id",
+            parsed.getField("k").alias("k"),
+            parsed.isNotNull().alias("parse_ok"),
+        )
+        .withColumn("k_bucket", F.floor(F.col("k") / 10).cast("int"))
+        .orderBy("event_id")
+    )
+
+
+_FUNC_JSON_STRUCT_SQL = """
+SELECT event_id,
+    CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+    (json_valid(props)) AS parse_ok,
+    CAST(FLOOR(CAST(json_extract(props, '$.k') AS INTEGER) / 10) AS INTEGER) AS k_bucket
+FROM events
+ORDER BY event_id
+"""
+
+
 def func_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map construction and access: create_map / map_concat /
     element_at / map_keys / map_contains_key / size. The oracle states
@@ -253,6 +283,7 @@ ORDER BY p_partkey
 
 
 QUERIES = {
+    "func_json_struct": func_json_struct,
     "func_map": func_map,
     "func_string": func_string,
     "func_date": func_date,
@@ -263,6 +294,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "func_json_struct": _FUNC_JSON_STRUCT_SQL,
     "func_map": _FUNC_MAP_SQL,
     "func_string": _FUNC_STRING_SQL,
     "func_date": _FUNC_DATE_SQL,
