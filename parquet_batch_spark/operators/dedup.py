@@ -594,8 +594,68 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------- fuzzy (edit distance)
+
+
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching: candidate pairs share a (lang,
+    length-bucket) block — an EQUI-join, never a cartesian — then the
+    exact Levenshtein distance over a 40-char prefix filters real
+    near-matches (≤ 12 edits). Blocking is the classical record-linkage
+    topology: at corpus scale the shuffle is bounded by block sizes,
+    and the O(len²) edit-distance DP runs only on candidates.
+
+    Cross-engine caveat pinned by test data: Spark's levenshtein is
+    character-based, DuckDB's byte-based — identical on this ASCII
+    corpus (verified); non-ASCII corpora would normalize first."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / 100).cast("int").alias("len_bucket"),
+        F.substring("text", 1, 40).alias("prefix"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        "len_bucket",
+        F.col("prefix").alias("prefix_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("len_bucket").alias("len_bucket_b"),
+        F.col("prefix").alias("prefix_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("len_bucket") == F.col("len_bucket_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .withColumn("edit_dist", F.levenshtein("prefix_a", "prefix_b"))
+        .filter(F.col("edit_dist") <= 12)
+        .select("doc_a", "doc_b", "lang", "edit_dist")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_DEDUP_FUZZY_SQL = """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+       levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) AS edit_dist
+FROM documents a
+JOIN documents b
+  ON a.lang = b.lang
+ AND CAST(FLOOR(a.n_chars / 100) AS INTEGER) = CAST(FLOOR(b.n_chars / 100) AS INTEGER)
+ AND a.doc_id < b.doc_id
+WHERE levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) <= 12
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
+    "dedup_fuzzy_levenshtein": dedup_fuzzy_levenshtein,
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -605,6 +665,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+    "dedup_fuzzy_levenshtein": _DEDUP_FUZZY_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
     "dedup_simhash": _DEDUP_SIMHASH_SQL,
