@@ -244,7 +244,31 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch via
+    ``approx_percentile``) next to their exact counterparts — the
+    one-pass, constant-memory, mergeable alternative to the per-group
+    sort that ``agg_percentiles`` pays. At 100 TB this is the default;
+    exactness is the opt-in. Approximate ⇒ rows-only driver check;
+    tests/test_analytics.py bounds the rank error against the exact
+    values."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.95), 10000)"
+            ).alias("approx_price_pcts"),
+            F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.95))").alias(
+                "exact_price_pcts"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
+    "approx_percentile_sketch": approx_percentile_sketch,
     "agg_percentiles": agg_percentiles,
     "agg_histogram": agg_histogram,
     "agg_corr_exact": agg_corr_exact,

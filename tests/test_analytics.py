@@ -28,3 +28,14 @@ def test_corr_in_valid_range(spark, sf_dir):
     for r in rows:
         assert -1.0 <= r.corr_qty_price <= 1.0
         assert r.n_rows > 0
+
+
+def test_approx_percentile_error_bound(spark, sf_dir):
+    """GK sketch at accuracy 10000 must land within 1% relative error
+    of the exact percentile for every group and probe point."""
+    from parquet_batch_spark.operators.analytics import approx_percentile_sketch
+
+    for r in approx_percentile_sketch(spark, sf_dir).collect():
+        for approx, exact in zip(r.approx_price_pcts, r.exact_price_pcts):
+            assert exact > 0
+            assert abs(approx - exact) / exact < 0.01, (r.l_returnflag, approx, exact)
