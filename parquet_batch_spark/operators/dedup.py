@@ -642,7 +642,7 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DEDUP_FUZZY_SQL = """
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
-       levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) AS edit_dist
+       levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40))::INTEGER AS edit_dist
 FROM documents a
 JOIN documents b
   ON a.lang = b.lang

@@ -40,7 +40,7 @@ SELECT p_partkey, p_name, p_brand,
     CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS INTEGER) AS brand_num,
     LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
     CONCAT_WS('-', p_brand, CAST(p_partkey AS VARCHAR)) AS label,
-    LENGTH(p_name) AS name_len,
+    LENGTH(p_name)::INTEGER AS name_len,
     regexp_replace(p_name, '[aeiou]', '', 'g') AS vowelless
 FROM part
 ORDER BY p_partkey

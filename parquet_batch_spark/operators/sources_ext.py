@@ -126,7 +126,7 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JSON_SQL = """
 SELECT p_brand, p_type, COUNT(*) AS n_parts,
-       SUM(p_size) AS sum_size, MAX(p_partkey) AS max_partkey
+       CAST(SUM(p_size) AS BIGINT) AS sum_size, MAX(p_partkey) AS max_partkey
 FROM part
 GROUP BY p_brand, p_type
 ORDER BY p_brand, p_type

@@ -40,8 +40,8 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINDOW_TOPK_SQL = """
 SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
     SELECT c_mktsegment, o_orderkey, o_totalprice,
-        ROW_NUMBER() OVER (PARTITION BY c_mktsegment
-                           ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        (ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                           ORDER BY o_totalprice DESC, o_orderkey))::INTEGER AS rnk
     FROM orders JOIN customer ON o_custkey = c_custkey
 )
 WHERE rnk <= 3
@@ -68,10 +68,10 @@ def window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINDOW_RANKS_SQL = """
 SELECT s_nationkey, s_suppkey, s_acctbal,
-    RANK() OVER w AS rnk,
-    DENSE_RANK() OVER w AS drnk,
+    (RANK() OVER w)::INTEGER AS rnk,
+    (DENSE_RANK() OVER w)::INTEGER AS drnk,
     ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
-    NTILE(4) OVER w AS quartile
+    (NTILE(4) OVER w)::INTEGER AS quartile
 FROM supplier
 WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
 ORDER BY s_nationkey, rnk, s_suppkey
@@ -260,7 +260,7 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINDOW_DISTRIBUTION_SQL = """
 SELECT c_custkey, c_mktsegment, c_acctbal,
-    NTILE(4) OVER w AS quartile,
+    (NTILE(4) OVER w)::INTEGER AS quartile,
     PERCENT_RANK() OVER w AS pct_rank,
     CUME_DIST() OVER w AS cume
 FROM customer

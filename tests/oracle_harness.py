@@ -61,6 +61,54 @@ def _rows_to_multiset(cols: list[str], rows: list[tuple]) -> dict[str, int]:
     return out
 
 
+def _type_sig(t) -> str:
+    """Canonical Arrow type signature: nested child field names (e.g.
+    ``list<element: …>`` vs DuckDB's ``list<l: …>``) don't affect value
+    hashing, so normalize them away."""
+    import pyarrow as pa
+
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_type_sig(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{_type_sig(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    if pa.types.is_map(t):
+        return f"map<{_type_sig(t.key_type)},{_type_sig(t.item_type)}>"
+    return str(t)
+
+
+def check_types(
+    name: str,
+    spark_df: DataFrame,
+    sql: str,
+    con: duckdb.DuckDBPyConnection,
+) -> CompareResult:
+    """Driver-grade Arrow type check (schema-only, cheap): the driver
+    hashes values over Arrow, where e.g. DuckDB's integer ``SUM``
+    surfaces as ``decimal128(38,0)`` while Spark's is ``int64`` —
+    identical Python values, different hashes (the round-1 tpch_q12 /
+    source_json_roundtrip failures).  We hold oracles to exact Arrow
+    type equality, stricter than the driver (which normalizes int
+    widths), so any hasher is satisfied."""
+    s_types = {f.name: _type_sig(f.type) for f in spark_df.limit(0).toArrow().schema}
+    d_types = {
+        f.name: _type_sig(f.type)
+        for f in con.sql(f"SELECT * FROM ({sql}) LIMIT 0").arrow().schema
+    }
+    if sorted(s_types) != sorted(d_types):
+        return CompareResult(
+            name, False, f"columns differ: spark={sorted(s_types)} duckdb={sorted(d_types)}"
+        )
+    mism = [
+        f"{c}: spark={s_types[c]} duckdb={d_types[c]}"
+        for c in s_types
+        if s_types[c] != d_types[c]
+    ]
+    if mism:
+        return CompareResult(name, False, "arrow type mismatch", mism)
+    return CompareResult(name, True, "types identical")
+
+
 def compare(
     name: str,
     spark_df: DataFrame,
@@ -68,6 +116,9 @@ def compare(
     con: duckdb.DuckDBPyConnection,
     max_report: int = 5,
 ) -> CompareResult:
+    tr = check_types(name, spark_df, sql, con)
+    if not tr.ok:
+        return tr
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = list(spark_df.columns)
     rel = con.sql(sql)
