@@ -394,22 +394,52 @@ ORDER BY doc_a, doc_b
 
 # ---------------------------------------------------------------- cosine
 
-COSINE_CHUNK = 512  # vectors per block; tune up (~4-16k) on a cluster
+# Random-hyperplane LSH banding for candidate generation: 16 seeded
+# planes → 16 sign bits → 4 bands × 4 bits. Two vectors are candidates
+# iff they agree on ALL bits of at least one band (lossless for
+# sign-hamming ≤ 3 by pigeonhole). BITS_PER_BAND is the 100 TB knob:
+# raising it shrinks buckets geometrically (random-pair collision
+# ≈ N_COS_BANDS / 2^BITS_PER_BAND) at a graded recall cost.
+N_COS_BANDS = 4
+BITS_PER_BAND = 4
+N_COS_PLANES = N_COS_BANDS * BITS_PER_BAND
+EMB_DIM = 64
+
+
+def _cos_band_val(v, band: int):
+    """JVM-side band value: BITS_PER_BAND sign bits of seeded
+    hyperplane dot products (plane weights from the shared LCG family,
+    similarity._plane_weight)."""
+    from parquet_batch_spark.operators.similarity import _plane_weight
+
+    val = F.lit(0)
+    for bit in range(BITS_PER_BAND):
+        p = band * BITS_PER_BAND + bit
+        weights = F.array(*[F.lit(_plane_weight(p, d)) for d in range(EMB_DIM)])
+        dot = F.aggregate(
+            F.zip_with(v, weights, lambda x, w: x * w), F.lit(0.0), lambda a, x: a + x
+        )
+        val = val + F.when(dot > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+    return val
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ 0.45 over the vector table.
+    """Embedding near-dup pairs: cosine ≥ 0.45, LSH-banded candidates.
 
-    Blocked all-pairs kernel (the web-scale exact shape): vectors are
-    grouped into fixed-size chunks, chunk *pairs* (upper triangle) are
-    enumerated with a join, and each chunk-pair is scored as one
-    numpy task inside ``mapInPandas``. Work is O(n²·d) regardless —
-    but as |chunks|²/2 independent tasks with O(n·k) shuffle volume,
-    not an interpreted per-pair expression (measured 30× faster than
-    the zip_with/aggregate formulation at sf0.1).
+    The 100 TB shape: NO all-pairs enumeration anywhere in the plan.
+    Each vector is replicated into N_COS_BANDS (band, band_bits)
+    buckets; each bucket is scored internally by one numpy task
+    (``mapInPandas`` upper triangle); pairs colliding in several bands
+    are deduped after scoring. Cost is Σ bucket², bounded by
+    BITS_PER_BAND — vs the previous chunk-pair topology whose join was
+    O(chunks²) regardless of similarity structure. Recall is graded
+    (deterministic banding, mirrored bit-for-bit by the oracle, so
+    correctness stays exact): ≈0.59 for pairs right at the 0.45
+    threshold, →1 as cosine →1; tests/test_similarity.py pins the
+    measured recall floor vs the exact all-pairs baseline.
 
     Bit-exactness vs the SQL oracle: accumulation runs dimension-
-    sequentially (``acc += A[:,d]*B[:,d]``) so every pair's dot
+    sequentially (``acc += V[:,d]*V[:,d]``) so every pair's dot
     product performs the identical IEEE op sequence as DuckDB's
     ``list_sum(list_transform(...))`` left fold — vectorized across
     pairs, exact per pair.
@@ -419,44 +449,45 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     em = fan_out(load(spark, sf_dir, "embeddings"), spark)
     dvec = F.transform("embedding", lambda x: x.cast("double"))
-    chunks = (
-        em.select(
-            (F.col("vec_id") / COSINE_CHUNK).cast("int").alias("chunk"),
-            "vec_id",
-            dvec.alias("v"),
-        )
-        .groupBy("chunk")
+    base = em.select("vec_id", dvec.alias("v"))
+    probes = base.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), _cos_band_val(F.col("v"), b).alias("bits")
+                    )
+                    for b in range(N_COS_BANDS)
+                ]
+            )
+        ).alias("probe"),
+    )
+    buckets = (
+        probes.groupBy("probe.band", "probe.bits")
         .agg(F.collect_list("vec_id").alias("ids"), F.collect_list("v").alias("vs"))
     )
-    a = chunks.select(
-        F.col("chunk").alias("chunk_a"), F.col("ids").alias("ids_a"), F.col("vs").alias("vs_a")
-    )
-    b = chunks.select(
-        F.col("chunk").alias("chunk_b"), F.col("ids").alias("ids_b"), F.col("vs").alias("vs_b")
-    )
-    pairs = a.join(b, F.col("chunk_a") <= F.col("chunk_b"))
 
     def score(batches):
         for pdf in batches:
             out_a, out_b, out_c = [], [], []
             for row in pdf.itertuples(index=False):
-                ids_a = np.asarray(row.ids_a, dtype=np.int64)
-                ids_b = np.asarray(row.ids_b, dtype=np.int64)
-                A = np.asarray([np.asarray(v) for v in row.vs_a], dtype=np.float64)
-                B = np.asarray([np.asarray(v) for v in row.vs_b], dtype=np.float64)
-                d = A.shape[1]
+                ids = np.asarray(row.ids, dtype=np.int64)
+                if len(ids) < 2:
+                    continue
+                V = np.asarray([np.asarray(v) for v in row.vs], dtype=np.float64)
+                d = V.shape[1]
                 # dimension-sequential accumulation == the SQL fold
-                na = np.zeros(len(ids_a))
-                nb = np.zeros(len(ids_b))
-                dots = np.zeros((len(ids_a), len(ids_b)))
+                nrm = np.zeros(len(ids))
+                dots = np.zeros((len(ids), len(ids)))
                 for k in range(d):
-                    na += A[:, k] * A[:, k]
-                    nb += B[:, k] * B[:, k]
-                    dots += A[:, k][:, None] * B[:, k][None, :]
-                cos = dots / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
-                ia, ib = np.nonzero((cos >= COSINE_THRESHOLD) & (ids_a[:, None] < ids_b[None, :]))
-                out_a.append(ids_a[ia])
-                out_b.append(ids_b[ib])
+                    nrm += V[:, k] * V[:, k]
+                    dots += V[:, k][:, None] * V[:, k][None, :]
+                cos = dots / (np.sqrt(nrm)[:, None] * np.sqrt(nrm)[None, :])
+                ia, ib = np.nonzero((cos >= COSINE_THRESHOLD) & (ids[:, None] < ids[None, :]))
+                out_a.append(ids[ia])
+                out_b.append(ids[ib])
                 out_c.append(np.round(cos[ia, ib], 6))
             yield pd.DataFrame(
                 {
@@ -466,9 +497,26 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return pairs.mapInPandas(
-        score, schema="vec_a long, vec_b long, cos_sim double"
-    ).orderBy("vec_a", "vec_b")
+    return (
+        buckets.mapInPandas(score, schema="vec_a long, vec_b long, cos_sim double")
+        .dropDuplicates(["vec_a", "vec_b"])
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def _sql_cos_band(band: int) -> str:
+    """DuckDB expression mirroring ``_cos_band_val`` bit-for-bit."""
+    from parquet_batch_spark.operators.similarity import _sql_plane_list
+
+    bits = []
+    for bit in range(BITS_PER_BAND):
+        p = band * BITS_PER_BAND + bit
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform(generate_series(1, {EMB_DIM}),"
+            f" i -> v[i] * ({_sql_plane_list(p, EMB_DIM)})[i])) > 0"
+            f" THEN {1 << bit} ELSE 0 END)"
+        )
+    return "\n         + ".join(bits)
 
 
 _COS_EXPR = (
@@ -486,10 +534,23 @@ nv AS (
     SELECT vec_id, v,
         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
     FROM vecs
+),
+probes AS (
+{" UNION ALL ".join(f'''
+    SELECT {b} AS band, {_sql_cos_band(b)} AS bits, vec_id FROM vecs
+''' for b in range(N_COS_BANDS))}
+),
+cand AS (
+    SELECT DISTINCT p.vec_id AS vec_a, q.vec_id AS vec_b
+    FROM probes p
+    JOIN probes q ON p.band = q.band AND p.bits = q.bits
+               AND p.vec_id < q.vec_id
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
     ROUND({_COS_EXPR}, 6) AS cos_sim
-FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+FROM cand
+JOIN nv a ON a.vec_id = cand.vec_a
+JOIN nv b ON b.vec_id = cand.vec_b
 WHERE {_COS_EXPR} >= {COSINE_THRESHOLD}
 ORDER BY vec_a, vec_b
 """

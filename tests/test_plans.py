@@ -142,12 +142,13 @@ def test_dedup_pipelines_avoid_cartesian(spark, sf_dir):
     CartesianProduct or unconditioned BroadcastNestedLoopJoin in these
     plans would be a 100 TB death sentence."""
     from parquet_batch_spark.operators.dedup import (
+        dedup_embedding_cosine,
         dedup_minhash_lsh,
         dedup_ngram_jaccard,
         dedup_simhash,
     )
 
-    for fn in (dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard):
+    for fn in (dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard, dedup_embedding_cosine):
         plan = executed_plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, f"{fn.__name__}: cartesian!"
         assert "BroadcastNestedLoopJoin" not in plan, f"{fn.__name__}: NLJ!"

@@ -24,3 +24,44 @@ def test_lsh_recall_against_bruteforce(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"LSH recall {recall:.2f} < 0.3 ({len(exact)} truth pairs)"
+
+
+def test_cosine_dedup_banding_quality(spark, sf_dir):
+    """dedup_embedding_cosine's LSH-banded candidates vs the exact
+    all-pairs truth: every emitted pair must be a true pair with the
+    identical rounded cosine (precision 1.0 — banding only ever drops
+    candidates), and recall must clear a floor. The driver's vectors
+    are near-uniform, so every true pair sits right at the 0.45
+    threshold where per-band collision is weakest (analytic recall
+    ≈0.59 at cos 0.5 against a 0.25 random-pair rate; measured 0.36 at
+    sf0.01 on 14 truth pairs — small-sample noise, floor set below)."""
+    from oracle_harness import duckdb_conn
+    from parquet_batch_spark.operators.dedup import (
+        COSINE_THRESHOLD,
+        dedup_embedding_cosine,
+    )
+
+    con = duckdb_conn(sf_dir)
+    truth = {
+        (a, b): c
+        for a, b, c in con.sql(f"""
+            WITH nv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                        FROM embeddings),
+            b AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x->x*x))) AS nrm FROM nv)
+            SELECT a.vec_id, b2.vec_id, ROUND(
+                list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*b2.v[i]))
+                    / (a.nrm*b2.nrm), 6) AS cos
+            FROM b a JOIN b b2 ON a.vec_id < b2.vec_id
+            WHERE list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*b2.v[i]))
+                    / (a.nrm*b2.nrm) >= {COSINE_THRESHOLD}
+        """).fetchall()
+    }
+    found = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    assert truth, "no truth pairs at this SF — test data changed?"
+    for pair, cos in found.items():
+        assert pair in truth and truth[pair] == cos, (pair, cos)
+    recall = len(found) / len(truth)
+    assert recall >= 0.15, f"banded recall {recall:.2f} < 0.15 ({len(truth)} truth pairs)"
