@@ -23,7 +23,7 @@ run only on candidate pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from parquet_batch_spark.catalog import fan_out, load
@@ -45,6 +45,15 @@ MINHASH_EST_THRESHOLD = 0.5
 JACCARD_THRESHOLD = 0.5
 SIMHASH_MAX_HAMMING = 3
 COSINE_THRESHOLD = 0.45
+# Shingle document-frequency cap: a shingle present in more than
+# max(MIN, FRAC·|corpus|) documents is boilerplate (stop phrases, site
+# chrome) — it contributes nothing to near-dup identity but makes the
+# inverted-index self-join quadratic in its bucket (the classic
+# stop-shingle hot key). Dropped consistently in BOTH engines before
+# any join; MIN keeps small corpora intact, FRAC scales the cap with
+# the corpus so true dup clusters (≪ 2% of docs) are never dropped.
+SHINGLE_DF_CAP_MIN = 32
+SHINGLE_DF_CAP_FRAC = 0.02
 
 _HASH_PARAMS = hash_params(N_HASHES)
 
@@ -83,7 +92,9 @@ ORDER BY keep_doc_id
 # ---------------------------------------------------------------- minhash
 
 def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, h) for every DISTINCT shingle hash per document."""
+    """(doc_id, h) for every DISTINCT shingle hash per document, with
+    boilerplate shingles (document frequency above the corpus-relative
+    cap) dropped before any downstream self-join."""
     d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
     sh = d.select(
         "doc_id",
@@ -91,7 +102,18 @@ def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shingle"
         ),
     )
-    return sh.select("doc_id", hash32(F.col("shingle")).alias("h"))
+    hashes = sh.select("doc_id", hash32(F.col("shingle")).alias("h"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    cap = F.greatest(
+        F.lit(SHINGLE_DF_CAP_MIN).cast("long"),
+        F.floor(F.col("n_docs") * F.lit(SHINGLE_DF_CAP_FRAC)),
+    )
+    return (
+        hashes.crossJoin(F.broadcast(n_docs))
+        .withColumn("df", F.count(F.lit(1)).over(W.partitionBy("h")))
+        .filter(F.col("df") <= cap)
+        .select("doc_id", "h")
+    )
 
 
 def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,7 +137,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimated Jaccard = fraction of equal signature positions ≥ 0.5.
     The band join is the only shuffle that grows with corpus size and
     it is keyed on (band_idx, band_signature) — bounded fan-out per
-    bucket, AQE-skew-safe.
+    bucket, AQE-skew-safe. Signatures are computed over df-capped
+    shingles (SHINGLE_DF_CAP_*), so boilerplate can't glue unrelated
+    documents into one band bucket.
     """
     sigs = _minhash_signatures(spark, sf_dir)
     bands = sigs.select(
@@ -169,22 +193,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_minhash_core() -> str:
-    """Shared oracle CTEs: per-doc distinct shingle hashes + 16-slot
-    minhash signature."""
-    mins = ",\n        ".join(
-        f"MIN({sql_affine_hash('h', a, b)}) AS mh{j}"
-        for j, (a, b) in enumerate(_HASH_PARAMS)
-    )
-    sig = ", ".join(f"mh{j}" for j in range(N_HASHES))
+def _sql_capped_hash_ctes() -> str:
+    """Oracle CTEs mirroring ``_doc_shingle_hashes``: distinct shingle
+    hashes per doc, then the corpus-relative document-frequency cap."""
     return f"""
 shingles AS (
     SELECT doc_id, unnest(list_distinct({sql_shingles("toks", SHINGLE_K)})) AS shingle
     FROM (SELECT doc_id, {sql_tokens("text")} AS toks FROM documents)
 ),
-hashes AS (
+hashes_all AS (
     SELECT doc_id, {sql_hash32("shingle")} AS h FROM shingles
 ),
+hashes AS (
+    SELECT doc_id, h FROM (
+        SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM hashes_all)
+    WHERE df <= GREATEST({SHINGLE_DF_CAP_MIN},
+        CAST(floor((SELECT COUNT(*) FROM documents) * {SHINGLE_DF_CAP_FRAC}) AS BIGINT))
+)"""
+
+
+def _sql_minhash_core() -> str:
+    """Shared oracle CTEs: per-doc distinct capped shingle hashes +
+    16-slot minhash signature."""
+    mins = ",\n        ".join(
+        f"MIN({sql_affine_hash('h', a, b)}) AS mh{j}"
+        for j, (a, b) in enumerate(_HASH_PARAMS)
+    )
+    sig = ", ".join(f"mh{j}" for j in range(N_HASHES))
+    return f"""{_sql_capped_hash_ctes()},
 sigs AS (
     SELECT doc_id,
         {mins}
@@ -341,7 +377,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     |A∩B| comes from joining docs on shared shingle hashes (only
     pairs that share content ever meet — no n² enumeration);
-    |A∪B| = |A|+|B|−|A∩B|. Exact, scalable, oracle-checked.
+    |A∪B| = |A|+|B|−|A∩B|. Boilerplate shingles above the document-
+    frequency cap are dropped first (see SHINGLE_DF_CAP_*), so no
+    stop-phrase bucket can go quadratic. Exact over the capped shingle
+    sets, scalable, oracle-checked.
     """
     hashes = _doc_shingle_hashes(spark, sf_dir)
     sizes = hashes.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -367,13 +406,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DEDUP_JACCARD_SQL = f"""
-WITH shingles AS (
-    SELECT doc_id, unnest(list_distinct({sql_shingles("toks", SHINGLE_K)})) AS shingle
-    FROM (SELECT doc_id, {sql_tokens("text")} AS toks FROM documents)
-),
-hashes AS (
-    SELECT doc_id, {sql_hash32("shingle")} AS h FROM shingles
-),
+WITH {_sql_capped_hash_ctes()},
 sizes AS (
     SELECT doc_id, COUNT(*) AS n_sh FROM hashes GROUP BY doc_id
 ),
