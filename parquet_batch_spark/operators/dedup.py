@@ -691,58 +691,117 @@ ORDER BY doc_id
 # ------------------------------------------------- fuzzy (edit distance)
 
 
+FUZZY_PREFIX = 40
+FUZZY_MAX_EDITS = 12
+
+
 def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked fuzzy matching: candidate pairs share a (lang,
-    length-bucket) block — an EQUI-join, never a cartesian — then the
-    exact Levenshtein distance over a 40-char prefix filters real
-    near-matches (≤ 12 edits). Blocking is the classical record-linkage
-    topology: at corpus scale the shuffle is bounded by block sizes,
-    and the O(len²) edit-distance DP runs only on candidates.
+    """Blocked fuzzy matching with bounded blocks and no boundary loss.
+
+    Candidate pairs must share (lang, token ANCHOR, ≈length): the
+    anchor — first OR second whitespace token, two banding passes — is
+    the secondary blocking key that keeps every block's size bounded by
+    anchor-value frequency instead of growing linearly with the corpus
+    (the round-1 O(block²) scale flaw). Length blocking replicates the
+    left side into buckets lb−1..lb+1, so a 199/201-char near-dup pair
+    straddling a bucket boundary still meets (each surviving pair meets
+    exactly once per probe — no dedupe shuffle for the length axis; the
+    anchor axis dedupes pairs that match on both tokens). The exact
+    O(len²) Levenshtein DP (40-char prefix, ≤ 12 edits) runs only on
+    candidates. Recall caveat: a pair whose first TWO tokens are all
+    edited away never meets — documented blocking tradeoff, mirrored
+    exactly by the oracle.
 
     Cross-engine caveat pinned by test data: Spark's levenshtein is
     character-based, DuckDB's byte-based — identical on this ASCII
     corpus (verified); non-ASCII corpora would normalize first."""
+    toks = tokens_col("text")
     d = load(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         F.floor(F.col("n_chars") / 100).cast("int").alias("len_bucket"),
-        F.substring("text", 1, 40).alias("prefix"),
+        F.substring("text", 1, FUZZY_PREFIX).alias("prefix"),
+        F.get(toks, 0).alias("t1"),
+        F.get(toks, 1).alias("t2"),
     )
-    a = d.select(
-        F.col("doc_id").alias("doc_a"),
+    anchors = d.select(
+        "doc_id",
         "lang",
         "len_bucket",
+        "prefix",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("ak"), F.col("t1").alias("av")),
+                F.struct(F.lit(1).alias("ak"), F.col("t2").alias("av")),
+            )
+        ).alias("anchor"),
+    ).filter(F.col("anchor.av").isNotNull())
+    a = anchors.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        F.col("anchor.ak").alias("ak"),
+        F.col("anchor.av").alias("av"),
         F.col("prefix").alias("prefix_a"),
+        F.explode(
+            F.array(*[F.col("len_bucket") + F.lit(off) for off in (-1, 0, 1)])
+        ).alias("probe_bucket"),
     )
-    b = d.select(
+    b = anchors.select(
         F.col("doc_id").alias("doc_b"),
         F.col("lang").alias("lang_b"),
+        F.col("anchor.ak").alias("ak_b"),
+        F.col("anchor.av").alias("av_b"),
         F.col("len_bucket").alias("len_bucket_b"),
         F.col("prefix").alias("prefix_b"),
     )
-    return (
+    cands = (
         a.join(
             b,
             (F.col("lang") == F.col("lang_b"))
-            & (F.col("len_bucket") == F.col("len_bucket_b"))
+            & (F.col("ak") == F.col("ak_b"))
+            & (F.col("av") == F.col("av_b"))
+            & (F.col("probe_bucket") == F.col("len_bucket_b"))
             & (F.col("doc_a") < F.col("doc_b")),
         )
-        .withColumn("edit_dist", F.levenshtein("prefix_a", "prefix_b"))
-        .filter(F.col("edit_dist") <= 12)
+        .select("doc_a", "doc_b", "lang", "prefix_a", "prefix_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cands.withColumn("edit_dist", F.levenshtein("prefix_a", "prefix_b"))
+        .filter(F.col("edit_dist") <= FUZZY_MAX_EDITS)
         .select("doc_a", "doc_b", "lang", "edit_dist")
         .orderBy("doc_a", "doc_b")
     )
 
 
-_DEDUP_FUZZY_SQL = """
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
-       levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40))::INTEGER AS edit_dist
-FROM documents a
-JOIN documents b
-  ON a.lang = b.lang
- AND CAST(FLOOR(a.n_chars / 100) AS INTEGER) = CAST(FLOOR(b.n_chars / 100) AS INTEGER)
- AND a.doc_id < b.doc_id
-WHERE levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) <= 12
+_DEDUP_FUZZY_SQL = f"""
+WITH base AS (
+    SELECT doc_id, lang,
+        CAST(FLOOR(n_chars / 100) AS INTEGER) AS lb,
+        substring(text, 1, {FUZZY_PREFIX}) AS prefix,
+        {sql_tokens("text")} AS toks
+    FROM documents
+),
+anch AS (
+    SELECT doc_id, lang, lb, prefix, 0 AS ak, toks[1] AS av FROM base
+        WHERE len(toks) >= 1
+    UNION ALL
+    SELECT doc_id, lang, lb, prefix, 1, toks[2] FROM base
+        WHERE len(toks) >= 2
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+        a.prefix AS pa, b.prefix AS pb
+    FROM (SELECT anch.*, lb + d AS probe
+          FROM anch, unnest([-1, 0, 1]) t(d)) a
+    JOIN anch b
+      ON a.lang = b.lang AND a.ak = b.ak AND a.av = b.av
+     AND a.probe = b.lb AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, lang,
+       levenshtein(pa, pb)::INTEGER AS edit_dist
+FROM cand
+WHERE levenshtein(pa, pb) <= {FUZZY_MAX_EDITS}
 ORDER BY doc_a, doc_b
 """
 

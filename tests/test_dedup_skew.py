@@ -60,6 +60,47 @@ def test_df_cap_drops_stop_shingles_keeps_true_dups(spark, tmp_path):
     assert not any(a < 100 and b < 100 for a, b in pairs), pairs
 
 
+def test_fuzzy_blocking_catches_bucket_straddlers(spark, tmp_path):
+    """A 199/201-char near-dup pair falls in adjacent length buckets
+    (floor(n/100) = 1 vs 2); adjacent-bucket probing must still pair
+    them. Also pins the anchor key: a pair sharing a first token but
+    exceeding the edit threshold stays out."""
+    base199 = ("shared opening words here " + "x " * 200)[:199]
+    base201 = (base199 + "yy")[:201]
+    other = "totally different start " + "z " * 100
+    rows = [
+        (0, base199),
+        (1, base201),
+        (2, other[:150]),  # same first-token anchor as nothing above
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["synthetic"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    from parquet_batch_spark.operators.dedup import (
+        _DEDUP_FUZZY_SQL,
+        dedup_fuzzy_levenshtein,
+    )
+
+    out = dedup_fuzzy_levenshtein(spark, str(tmp_path))
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    assert (0, 1) in pairs, pairs
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    res = compare("dedup_fuzzy_levenshtein", out, _DEDUP_FUZZY_SQL, con)
+    assert res.ok, f"{res.detail}\n" + "\n".join(res.mismatches)
+
+
 def test_df_cap_matches_oracle_on_skewed_corpus(spark, tmp_path):
     """Borderline document frequencies must be capped identically in
     both engines (same floor/greatest arithmetic)."""
