@@ -310,14 +310,16 @@ def join_bucketed_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    # PID-namespaced path and table names: concurrent runs must not
+    # clobber each other's staged buckets or catalog entries (ADVICE r1)
     wh = os.path.join(
         tempfile.gettempdir(),
-        "parquet_batch_spark_io",
+        f"parquet_batch_spark_io_{os.getpid()}",
         os.path.basename(sf_dir.rstrip("/")),
         "bucketed",
     )
     for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
-        tbl = f"pbs_bkt_{name}"
+        tbl = f"pbs_bkt_{name}_{os.getpid()}"
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         (
             load(spark, sf_dir, name)
@@ -330,10 +332,10 @@ def join_bucketed_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast("decimal(12,4)")
     rev = dec9("l_extendedprice") * (one - dec9("l_discount"))
     return (
-        spark.table("pbs_bkt_lineitem")
+        spark.table(f"pbs_bkt_lineitem_{os.getpid()}")
         .hint("merge")
         .join(
-            spark.table("pbs_bkt_orders"),
+            spark.table(f"pbs_bkt_orders_{os.getpid()}"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("o_orderstatus")

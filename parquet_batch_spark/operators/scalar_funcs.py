@@ -216,17 +216,32 @@ ORDER BY c_custkey
 def func_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-full JSON parsing: ``from_json`` with an explicit struct
     schema (vs. func_json's path-based ``get_json_object``). Typed
-    struct access survives Catalyst optimization (JsonTuple /
-    constant-folded field access), and malformed documents surface as
-    NULL structs rather than runtime errors — the PERMISSIVE-mode
-    contract a pipeline needs at scale."""
+    struct access survives Catalyst optimization, and malformed
+    documents surface through the PERMISSIVE-mode corrupt-record
+    column rather than runtime errors — the contract a pipeline needs
+    at scale. ``parse_ok`` is TRUE iff the document parsed cleanly
+    (corrupt-record column NULL), FALSE for malformed input, NULL for
+    NULL input — matching DuckDB's ``json_valid`` on objects (Spark 4's
+    bare ``from_json(...).isNotNull()`` is TRUE even for malformed
+    input, because PERMISSIVE mode yields an all-null struct, not a
+    NULL struct; pinned by tests/test_scalar_funcs_semantics.py).
+    Known residual divergence: valid non-object JSON (``"5"``, ``[1]``)
+    is json_valid-TRUE but corrupt for a struct schema — absent from
+    the events corpus."""
     ev = load(spark, sf_dir, "events")
-    parsed = F.from_json("props", "k INT")
+    parsed = F.from_json(
+        "props",
+        "k INT, _corrupt_record STRING",
+        {"columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    parse_ok = F.when(
+        F.col("props").isNull(), F.lit(None).cast("boolean")
+    ).otherwise(parsed.getField("_corrupt_record").isNull())
     return (
         ev.select(
             "event_id",
             parsed.getField("k").alias("k"),
-            parsed.isNotNull().alias("parse_ok"),
+            parse_ok.alias("parse_ok"),
         )
         .withColumn("k_bucket", F.floor(F.col("k") / 10).cast("int"))
         .orderBy("event_id")

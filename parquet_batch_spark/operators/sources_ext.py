@@ -40,7 +40,9 @@ from pyspark.sql import types as T
 from parquet_batch_spark.catalog import load
 from parquet_batch_spark.functions.numeric import dsum, sql_dsum
 
-_IO_ROOT = os.path.join(tempfile.gettempdir(), "parquet_batch_spark_io")
+# PID-namespaced so concurrent bench/test runs on one machine never
+# clobber each other's staged files (ADVICE r1)
+_IO_ROOT = os.path.join(tempfile.gettempdir(), f"parquet_batch_spark_io_{os.getpid()}")
 
 
 def _io_dir(sf_dir: str, name: str) -> str:

@@ -91,11 +91,12 @@ def test_nested_roundtrip_every_row(spark, rows):
         )
         # keep input order recoverable: single partition write
         df.coalesce(1).write.mode("overwrite").parquet(out)
-        got = sorted(
-            from_path(spark, out).get_rows_with_args(),
-            key=lambda d: (d["s"], d["i"]),
-        )
-        expected_sorted = sorted(expected, key=lambda d: (d["s"], d["i"]))
+        # sort by the WHOLE row: (s, i) alone is not unique, and two
+        # rows equal on it but differing in f/st/ls would make the
+        # pairwise asserts depend on parquet read order (ADVICE r1)
+        full_key = lambda d: repr((d["s"], d["i"], d["f"], d["st"], d["ls"]))  # noqa: E731
+        got = sorted(from_path(spark, out).get_rows_with_args(), key=full_key)
+        expected_sorted = sorted(expected, key=full_key)
         assert len(got) == len(expected_sorted)
         for g, e in zip(got, expected_sorted):
             assert g["s"] == e["s"] and g["i"] == e["i"]
