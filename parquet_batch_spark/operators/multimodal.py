@@ -76,16 +76,48 @@ ORDER BY doc_id
 
 # ------------------------------------------------------------- decode path
 
-def _fake_decode(payload: bytes) -> dict:
-    """STUB decode: deterministic pseudo-features from raw bytes.
+try:  # real codec, used automatically when the environment provides it
+    from PIL import Image as _PIL_Image  # pragma: no cover - not in container
+except ImportError:
+    _PIL_Image = None
 
-    A real deployment replaces this with e.g. PIL.Image.open /
-    torchaudio.load; the container ships no codecs. Raising path kept
-    explicit so nobody mistakes the stub for a real decoder.
-    """
+
+def _real_decode(payload: bytes) -> dict:
+    """Real image decode via Pillow when installed (import-guarded —
+    this container ships no codecs, so the guard keeps the module
+    importable and the synthetic path fully functional)."""
+    if _PIL_Image is None:
+        raise NotImplementedError(
+            "non-IMGX payload and no codec available: install Pillow to "
+            "decode real image bytes"
+        )
+    import io
+
+    img = _PIL_Image.open(io.BytesIO(payload))
+    gray = img.convert("L")
+    data = list(gray.getdata())
+    return {
+        "n_body_bytes": len(payload),
+        "mean_byte": sum(data) / len(data) if data else 0.0,
+        "width": img.width,
+        "height": img.height,
+    }
+
+
+def _decode(payload: bytes) -> dict:
+    """Dispatch: synthetic IMGX payloads use the deterministic stub
+    (oracle-checkable); anything else goes to the real codec path."""
+    payload = bytes(payload)
+    if payload.startswith(_MAGIC.encode()):
+        return _fake_decode(payload)
+    return _real_decode(payload)
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """STUB decode for the synthetic IMGX corpus: deterministic
+    pseudo-features from raw bytes, so the full pipeline is
+    oracle-checkable without codecs."""
     body = payload[HEADER_LEN:]
-    if not payload.startswith(_MAGIC.encode()):
-        raise NotImplementedError("real codec required for non-IMGX payloads")
     n = len(body)
     mean_byte = sum(body) / n if n else 0.0
     # fake "resolution" derived from the header id — stands in for
@@ -117,7 +149,7 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_decode(raw) for raw in pdf["payload"]]
+            feats = [_decode(raw) for raw in pdf["payload"]]
             out = pd.DataFrame(feats)
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out

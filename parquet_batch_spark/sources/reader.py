@@ -31,10 +31,13 @@ envelope contract. ``prefetchPartitions`` maps to the reference's
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Generator, Iterable
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
+
+_BATCH_SIZE_CONF = "spark.sql.parquet.columnarReaderBatchSize"
 
 
 class ParquetReader:
@@ -53,37 +56,86 @@ class ParquetReader:
         self,
         columns: list[str] | None = None,
         filter: Column | str | None = None,  # noqa: A002 - reference kwarg name
-        prefetch_partitions: bool = False,
+        batch_size: int | None = None,
+        batch_readahead: int | None = None,
+        fragment_readahead: int | None = None,
+        use_threads: bool | None = None,
+        prefetch_partitions: bool | None = None,
         **_ignored: Any,
     ) -> Generator[dict, None, None]:
         """Expert path (reference reader.py:47-72).
 
         ``columns`` → projection pushdown (reference O4);
         ``filter``  → predicate pushdown (reference O9, the Arrow
-        ``filter=`` passthrough); extra kwargs accepted-and-ignored
-        for drop-in compatibility with Arrow scan-tuning knobs that
-        have no Spark analog (batch_size/readahead are handled by the
-        scan planner and ``spark.sql.files.maxPartitionBytes``).
+        ``filter=`` passthrough).
+
+        Arrow scan-tuning kwargs (reference reader.py:93-96) map to
+        their Spark analogs so the reference's documented RAM contract
+        actually takes effect here:
+
+        - ``batch_size`` (rows per Arrow batch) → the vectorized
+          parquet reader's ``spark.sql.parquet.columnarReaderBatchSize``
+          (rows per columnar batch), set for the duration of the scan
+          and restored when the generator closes;
+        - ``batch_readahead`` → ``toLocalIterator(prefetchPartitions=)``
+          (driver prefetches the next partition while consuming the
+          current one — Spark's unit of readahead is the partition);
+        - ``fragment_readahead`` / ``use_threads`` — no per-query Spark
+          analog (executor-side IO parallelism is cluster-scheduled);
+          accepted for drop-in compatibility with a one-time warning.
         """
         df = self.df
         if filter is not None:
             df = df.filter(filter)
         if columns is not None:
             df = df.select(*columns)
-        for row in df.toLocalIterator(prefetchPartitions=prefetch_partitions):
-            yield row.asDict(recursive=True)
+        if fragment_readahead is not None or use_threads is not None:
+            warnings.warn(
+                "fragment_readahead/use_threads have no Spark analog: "
+                "executor-side scan parallelism is cluster-scheduled",
+                stacklevel=2,
+            )
+        if prefetch_partitions is None:
+            prefetch_partitions = bool(batch_readahead)
+        conf = df.sparkSession.conf
+        prior = conf.get(_BATCH_SIZE_CONF, None) if batch_size is not None else None
+        if batch_size is not None:
+            conf.set(_BATCH_SIZE_CONF, str(batch_size))
+        try:
+            for row in df.toLocalIterator(prefetchPartitions=prefetch_partitions):
+                yield row.asDict(recursive=True)
+        finally:
+            if batch_size is not None:
+                if prior is None:
+                    conf.unset(_BATCH_SIZE_CONF)
+                else:
+                    conf.set(_BATCH_SIZE_CONF, prior)
 
     def get_rows(self, columns: list[str]) -> Generator[dict, None, None]:
         """Primary path (reference reader.py:90-97): projected scan,
-        bounded-memory row generator."""
-        return self.get_rows_with_args(columns=columns)
+        bounded-memory row generator with the reference's documented
+        memory-constrained defaults mapped to Spark."""
+        return self.get_rows_with_args(
+            columns=columns, batch_size=10000, batch_readahead=4
+        )
 
 
-def from_path(spark: SparkSession, parquet_path: str | Iterable[str]) -> ParquetReader:
+def from_path(
+    spark: SparkSession, parquet_path: str | Iterable[str], **options: Any
+) -> ParquetReader:
     """Build a reader from a file, directory, or list of paths
-    (reference reader.py:128-129; multi-file datasets per O2)."""
+    (reference reader.py:128-129; multi-file datasets per O2).
+
+    ``options`` pass through to the ``DataFrameReader`` — e.g.
+    ``ignoreCorruptFiles=True`` / ``pathGlobFilter="*.parquet"`` for
+    the reference's ``exclude_invalid_files`` / ``ignore_prefixes``
+    convenience (reference tests/test_parquetbatch.py:392-398) without
+    dropping to ``from_dataset``."""
     paths = [parquet_path] if isinstance(parquet_path, str) else list(parquet_path)
-    return ParquetReader(spark.read.parquet(*paths))
+    reader = spark.read
+    if options:
+        reader = reader.options(**options)
+    return ParquetReader(reader.parquet(*paths))
 
 
 def from_dataset(df: DataFrame) -> ParquetReader:

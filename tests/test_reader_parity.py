@@ -103,16 +103,50 @@ def test_filter_passthrough(spark, tmp_path):
     assert sorted(r["f_int"] for r in rows) == list(range(5, 10))
 
 
-def test_extra_kwargs_ignored(spark, tmp_path):
-    """Arrow scan-tuning kwargs (batch_size etc.) are accepted for
-    drop-in compatibility and ignored (reader.py:93-96 analog)."""
+def test_batch_size_maps_to_spark_conf(spark, tmp_path):
+    """Arrow scan-tuning kwargs take effect via their Spark analogs
+    (reference reader.py:93-96): batch_size sets the vectorized
+    reader's columnarReaderBatchSize for the scan's duration and is
+    restored when the generator closes."""
+    conf_key = "spark.sql.parquet.columnarReaderBatchSize"
+    prior = spark.conf.get(conf_key, None)
     path = _write_fixture(str(tmp_path / "ds"), 5, 5)
-    rows = list(
-        from_path(spark, path).get_rows_with_args(
-            columns=["f_int"], batch_size=2, batch_readahead=4, use_threads=False
+    gen = from_path(spark, path).get_rows_with_args(columns=["f_int"], batch_size=2)
+    first = next(gen)
+    assert first is not None
+    assert spark.conf.get(conf_key) == "2"
+    gen.close()
+    assert spark.conf.get(conf_key, None) == prior
+
+
+def test_use_threads_warns_no_analog(spark, tmp_path):
+    import warnings
+
+    path = _write_fixture(str(tmp_path / "ds"), 5, 5)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        rows = list(
+            from_path(spark, path).get_rows_with_args(
+                columns=["f_int"], use_threads=False, fragment_readahead=1
+            )
         )
-    )
     assert len(rows) == 5
+    assert any("no Spark analog" in str(w.message) for w in caught)
+
+
+def test_from_path_reader_options(spark, tmp_path):
+    """from_path forwards DataFrameReader options, so the reference's
+    exclude_invalid_files / ignore_prefixes convenience works without
+    dropping to from_dataset."""
+    path = _write_fixture(str(tmp_path / "ds"), 8, 4)
+    with open(f"{path}/junk.txt", "w") as fh:
+        fh.write("not parquet")
+    rows = list(
+        from_path(
+            spark, path, pathGlobFilter="*.parquet", ignoreCorruptFiles="true"
+        ).get_rows(["f_int"])
+    )
+    assert len(rows) == 8
 
 
 def test_from_dataset_preconfigured(spark, tmp_path):
