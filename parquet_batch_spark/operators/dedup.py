@@ -103,15 +103,15 @@ def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     hashes = sh.select("doc_id", hash32(F.col("shingle")).alias("h"))
-    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    cap = F.greatest(
-        F.lit(SHINGLE_DF_CAP_MIN).cast("long"),
-        F.floor(F.col("n_docs") * F.lit(SHINGLE_DF_CAP_FRAC)),
-    )
+    # scalar corpus count resolved eagerly (zero-column scan, one cheap
+    # job) so the cap is a plan literal — no scalar-broadcast join in
+    # every downstream dedup plan; int() truncation == the oracle's
+    # floor() for non-negative counts
+    n_docs = load(spark, sf_dir, "documents").count()
+    cap = max(SHINGLE_DF_CAP_MIN, int(n_docs * SHINGLE_DF_CAP_FRAC))
     return (
-        hashes.crossJoin(F.broadcast(n_docs))
-        .withColumn("df", F.count(F.lit(1)).over(W.partitionBy("h")))
-        .filter(F.col("df") <= cap)
+        hashes.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("h")))
+        .filter(F.col("df") <= F.lit(cap))
         .select("doc_id", "h")
     )
 
