@@ -53,6 +53,10 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "ann_bruteforce_topk",
     "multimodal_decode_features",
+    # r2 additions (HEADLINE is add-only so per-round deltas stay comparable)
+    "pii_detect",
+    "decontam_ngram_overlap",
+    "quality_repetition",
 ]
 
 

@@ -104,6 +104,7 @@ _MODULES = [
     "parquet_batch_spark.operators.dedup",
     "parquet_batch_spark.operators.similarity",
     "parquet_batch_spark.operators.multimodal",
+    "parquet_batch_spark.operators.pipeline_ops",
     "parquet_batch_spark.streaming.windows",
 ]
 

@@ -1,0 +1,264 @@
+"""Training-data curation operators (north-star, beyond the reference).
+
+The four curation stages every large-scale LLM data pipeline runs that
+the reference library (a parquet row reader) has no notion of — each a
+Catalyst-planned pipeline with an exact DuckDB oracle:
+
+- ``pii_detect``            : regex PII counts + redacted-text digest
+- ``decontam_ngram_overlap``: train/eval n-gram contamination join
+- ``sample_stratified``     : deterministic per-stratum downsampling
+- ``quality_repetition``    : Gopher-style repetition/quality signals
+
+Scale design (100 TB): pii/quality are embarrassingly parallel JVM
+expressions (no shuffle beyond the final ORDER BY, which a pipeline
+drops). Decontamination is an inverted-index equi-join on shingle
+hashes — identical topology to dedup_ngram_jaccard, never an all-pairs
+comparison. Stratified sampling is a stateless hash predicate: no
+shuffle at all, any executor can decide keep/drop per row, and the
+sample is reproducible across runs and engines (portable md5-derived
+hash32, functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_batch_spark.catalog import fan_out, load
+from parquet_batch_spark.functions.hashing import hash32, sql_hash32
+from parquet_batch_spark.functions.text import (
+    shingles_col,
+    sql_shingles,
+    sql_tokens,
+    tokens_col,
+)
+
+# Patterns restricted to syntax Java regex and RE2 interpret identically
+# (character classes, bounded repetition, \d and word boundaries).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\d{3}[- .]\d{3}[- .]\d{4}"
+IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+DECONTAM_K = 5  # eval-overlap n-gram length
+BENCH_MOD = 97  # doc_id % 97 == 0 -> the held-out "benchmark" slice
+
+SAMPLE_RATES = {"en": 500, "es": 250, "de": 250}  # per-mille keep rates
+SAMPLE_DEFAULT_RATE = 100
+
+
+def pii_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII scan: email/phone/IP match counts plus a digest
+    of the redacted text (emails → ``<EMAIL>`` etc.) so the redaction
+    itself is oracle-checked without shipping full text through the
+    comparison. Pure JVM regexp — embarrassingly parallel, zero
+    shuffle before the output sort."""
+    d = load(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+            IP_RE,
+            "<IP>",
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    n_email = F.regexp_count(F.col("text"), F.lit(EMAIL_RE))
+    n_phone = F.regexp_count(F.col("text"), F.lit(PHONE_RE))
+    n_ip = F.regexp_count(F.col("text"), F.lit(IP_RE))
+    return (
+        d.select(
+            "doc_id",
+            n_email.cast("long").alias("n_email"),
+            n_phone.cast("long").alias("n_phone"),
+            n_ip.cast("long").alias("n_ip"),
+            (n_email + n_phone + n_ip > 0).alias("has_pii"),
+            F.md5(redacted).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PII_SQL = f"""
+SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_email,
+    CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phone,
+    CAST(len(regexp_extract_all(text, '{IP_RE}')) AS BIGINT) AS n_ip,
+    (len(regexp_extract_all(text, '{EMAIL_RE}'))
+     + len(regexp_extract_all(text, '{PHONE_RE}'))
+     + len(regexp_extract_all(text, '{IP_RE}'))) > 0 AS has_pii,
+    md5(regexp_replace(regexp_replace(regexp_replace(
+        text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+        '{IP_RE}', '<IP>', 'g'),
+        '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    {DECONTAM_K}-gram with the held-out slice (doc_id % {BENCH_MOD} == 0
+    stands in for an eval suite). The overlap check is an equi-join on
+    shingle hashes against the (small) benchmark index — at 100 TB the
+    benchmark side broadcasts and the train side streams once; never an
+    all-pairs text comparison."""
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles_col(tokens_col("text"), DECONTAM_K))
+        ).alias("g"),
+    ).select("doc_id", hash32(F.col("g")).alias("h"))
+    bench = (
+        grams.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select("h")
+        .distinct()
+    )
+    train = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+    hits = (
+        train.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+    return (
+        train.select("doc_id")
+        .distinct()
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_contaminated_grams", F.lit(0)).alias("n_contaminated_grams"),
+            F.col("n_contaminated_grams").isNotNull().alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DECONTAM_SQL = f"""
+WITH grams AS (
+    SELECT doc_id, {sql_hash32("g")} AS h FROM (
+        SELECT doc_id,
+            unnest(list_distinct({sql_shingles("toks", DECONTAM_K)})) AS g
+        FROM (SELECT doc_id, {sql_tokens("text")} AS toks FROM documents)
+    )
+),
+bench AS (
+    SELECT DISTINCT h FROM grams WHERE doc_id % {BENCH_MOD} = 0
+),
+train AS (
+    SELECT doc_id, h FROM grams WHERE doc_id % {BENCH_MOD} <> 0
+),
+hits AS (
+    SELECT t.doc_id, COUNT(*) AS n
+    FROM train t JOIN bench b ON t.h = b.h
+    GROUP BY t.doc_id
+)
+SELECT d.doc_id AS doc_id,
+    CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_contaminated_grams,
+    hits.n IS NOT NULL AS contaminated
+FROM (SELECT DISTINCT doc_id FROM train) d
+LEFT JOIN hits ON d.doc_id = hits.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: per-language keep rates
+    (en 50%, es/de 25%, rest 10%) decided by a stateless portable hash
+    predicate — hash32(doc_id) mod 1000 < rate. No shuffle, no RNG
+    state, reproducible across engines and runs; the summary aggregates
+    kept counts per stratum so rates are oracle-auditable."""
+    d = load(spark, sf_dir, "documents")
+    rate = F.lit(SAMPLE_DEFAULT_RATE)
+    for lang, r in sorted(SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    bucket = hash32(F.col("doc_id").cast("string")) % 1000
+    kept = d.filter(bucket < rate)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_rate_case() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {r}" for lang, r in sorted(SAMPLE_RATES.items())
+    )
+    return f"CASE lang {whens} ELSE {SAMPLE_DEFAULT_RATE} END"
+
+
+_SAMPLE_SQL = f"""
+SELECT lang,
+    COUNT(*) AS n_kept,
+    MIN(doc_id) AS first_doc,
+    MAX(doc_id) AS last_doc
+FROM documents
+WHERE {sql_hash32("CAST(doc_id AS VARCHAR)")} % 1000 < {_sql_rate_case()}
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality signals per document: top-word
+    frequency fraction (boilerplate detector), distinct-word ratio,
+    symbol-to-word ratio, and mean word length. One explode + one
+    groupBy — linear in corpus size, partial-aggregated map-side."""
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
+    words = d.select("doc_id", F.explode(tokens_col("text")).alias("w"))
+    per_word = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    sym = F.regexp_count(F.col("w"), F.lit(r"[^A-Za-z0-9\s]"))
+    return (
+        per_word.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
+            F.round(F.max("c") / F.sum("c"), 6).alias("top_word_frac"),
+            F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("distinct_ratio"),
+            F.round(F.sum(sym * F.col("c")) / F.sum("c"), 6).alias("symbol_per_word"),
+            F.round(F.sum(F.length("w") * F.col("c")) / F.sum("c"), 6).alias(
+                "mean_word_len"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_QUALITY_SQL = f"""
+WITH words AS (
+    SELECT doc_id, unnest({sql_tokens("text")}) AS w FROM documents
+),
+per_word AS (
+    SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+)
+SELECT doc_id,
+    CAST(SUM(c) AS BIGINT) AS n_words,
+    CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+    ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_word_frac,
+    ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS distinct_ratio,
+    ROUND(CAST(SUM(len(regexp_extract_all(w, '[^A-Za-z0-9\\s]')) * c) AS DOUBLE)
+        / SUM(c), 6) AS symbol_per_word,
+    ROUND(CAST(SUM(length(w) * c) AS DOUBLE) / SUM(c), 6) AS mean_word_len
+FROM per_word
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "pii_detect": pii_detect,
+    "decontam_ngram_overlap": decontam_ngram_overlap,
+    "sample_stratified": sample_stratified,
+    "quality_repetition": quality_repetition,
+}
+
+ORACLES = {
+    "pii_detect": _PII_SQL,
+    "decontam_ngram_overlap": _DECONTAM_SQL,
+    "sample_stratified": _SAMPLE_SQL,
+    "quality_repetition": _QUALITY_SQL,
+}
