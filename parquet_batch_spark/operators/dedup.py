@@ -108,16 +108,18 @@ def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar-broadcast join in every downstream dedup plan; int()
     # truncation == the oracle's floor() for non-negative counts
     cap = max(SHINGLE_DF_CAP_MIN, int(_corpus_count(spark, sf_dir) * SHINGLE_DF_CAP_FRAC))
-    # df via groupBy (map-side partial combine — the shuffle carries one
-    # row per distinct shingle, not one per (doc, shingle)) + semi join;
-    # a count window over h would re-shuffle the full pair list instead
-    rare = (
+    # the HOT list (df > cap) is tiny by construction — at most
+    # total-shingle-occurrences / cap entries of 8 bytes each — so the
+    # cap is a broadcast ANTI-join: the (doc, h) stream is never
+    # shuffled for the filter, only per-shingle counts are (map-side
+    # partial combine). The classic stop-shingle-list topology.
+    hot = (
         hashes.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= F.lit(cap))
+        .filter(F.col("df") > F.lit(cap))
         .select("h")
     )
-    return hashes.join(rare, "h", "left_semi")
+    return hashes.join(F.broadcast(hot), "h", "left_anti")
 
 
 _CORPUS_COUNTS: dict[str, int] = {}
