@@ -87,6 +87,14 @@ _PRIORITY = [
     # round-1 hash-fails, oracles fixed this round (2) -> slots 49-50
     "source_json_roundtrip",
     "tpch_q12",
+    # new r2 curation ops (51-54): first in line if the driver's check
+    # window stretches past 50, ahead of re-verifying r1-green entries
+    "pii_detect",
+    "decontam_ngram_overlap",
+    "sample_stratified",
+    "quality_repetition",
+    "func_variant",
+    "streaming_foreach_batch_merge",
 ]
 
 _MODULES = [

@@ -297,8 +297,54 @@ ORDER BY p_partkey
 """
 
 
+def func_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``VariantType`` over semi-structured ``events.props``:
+    ``parse_json`` once into the binary variant encoding, then typed
+    ``try_variant_get`` extraction and ``schema_of_variant`` discovery,
+    rolled up per event_type. Variant keeps the parsed tree in a
+    compact binary form — at 100 TB, repeated path extraction over
+    variant beats re-parsing JSON text per expression (the
+    shredded-storage path Spark 4 is built around). Oracle: DuckDB
+    JSON extraction computes identical values; schema strings are
+    asserted against the known literal."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    extracted = v.select(
+        "event_type",
+        F.try_variant_get("v", "$.k", "bigint").alias("k"),
+        F.expr("schema_of_variant(v)").alias("sch"),
+    )
+    return (
+        extracted.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count_distinct("sch").alias("n_schemas"),
+            F.min("sch").alias("schema_str"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_FUNC_VARIANT_SQL = """
+SELECT event_type,
+    COUNT(*) AS n_events,
+    CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+    MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+    MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+    CAST(1 AS BIGINT) AS n_schemas,
+    'OBJECT<k: BIGINT>' AS schema_str
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "func_json_struct": func_json_struct,
+    "func_variant": func_variant,
     "func_map": func_map,
     "func_string": func_string,
     "func_date": func_date,
@@ -310,6 +356,7 @@ QUERIES = {
 
 ORACLES = {
     "func_json_struct": _FUNC_JSON_STRUCT_SQL,
+    "func_variant": _FUNC_VARIANT_SQL,
     "func_map": _FUNC_MAP_SQL,
     "func_string": _FUNC_STRING_SQL,
     "func_date": _FUNC_DATE_SQL,

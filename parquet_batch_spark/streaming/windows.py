@@ -380,8 +380,60 @@ ORDER BY c.user_id
 """
 
 
+def streaming_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` custom sink: the escape hatch for per-batch
+    MERGE into external stores (JDBC upsert, Delta MERGE, key-value
+    puts). Each micro-batch writes its partial per-user aggregate to a
+    staging area (append — idempotent under retry because compaction
+    re-aggregates); the read side compacts partials into final state.
+    Under the availableNow replay the compacted result equals the
+    batch aggregate, which the oracle asserts exactly. No driver-side
+    collect: batch callbacks run standard distributed writes."""
+    import os
+    import tempfile
+
+    ev = _event_stream(spark, sf_dir)
+    staging = os.path.join(
+        tempfile.gettempdir(), f"pbs_febatch_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.max("value").alias("max_value"),
+            )
+            .write.mode("append")
+            .parquet(staging)
+        )
+
+    q = ev.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return (
+        spark.read.parquet(staging)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.max("max_value").alias("max_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_STREAMING_FOREACH_BATCH_SQL = """
+SELECT user_id,
+    COUNT(*) AS n_events,
+    MAX(value) AS max_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "streaming_stream_stream_join": streaming_stream_stream_join,
+    "streaming_foreach_batch_merge": streaming_foreach_batch_merge,
     "streaming_static_join": streaming_static_join,
     "streaming_tumbling_window": streaming_tumbling_window,
     "streaming_sliding_window": streaming_sliding_window,
@@ -392,6 +444,7 @@ QUERIES = {
 
 ORACLES = {
     "streaming_stream_stream_join": _STREAMING_SS_JOIN_SQL,
+    "streaming_foreach_batch_merge": _STREAMING_FOREACH_BATCH_SQL,
     "streaming_static_join": _STREAMING_STATIC_JOIN_SQL,
     "streaming_tumbling_window": _STREAMING_TUMBLING_SQL,
     "streaming_sliding_window": _STREAMING_SLIDING_SQL,
