@@ -154,6 +154,48 @@ def test_dedup_pipelines_avoid_cartesian(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, f"{fn.__name__}: NLJ!"
 
 
+def test_decontam_benchmark_side_broadcasts(spark, sf_dir):
+    """The benchmark gram index must broadcast (it is the ~1% eval
+    slice); the training side streams once with no shuffle for the
+    containment join."""
+    from parquet_batch_spark.operators.pipeline_ops import decontam_ngram_overlap
+
+    df = decontam_ngram_overlap(spark, sf_dir)
+    df.collect()
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_curation_ops_no_cartesian(spark, sf_dir):
+    """No curation pipeline may degrade to an all-pairs join."""
+    from parquet_batch_spark.operators.dedup import dedup_fuzzy_levenshtein
+    from parquet_batch_spark.operators.pipeline_ops import (
+        pii_detect,
+        quality_repetition,
+        sample_stratified,
+    )
+
+    for fn in (pii_detect, quality_repetition, sample_stratified, dedup_fuzzy_levenshtein):
+        plan = executed_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{fn.__name__}: cartesian!"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{fn.__name__}: NLJ!"
+
+
+def test_stratified_sample_filter_is_shuffle_free(spark, sf_dir):
+    """The keep/drop decision is a stateless hash predicate: the only
+    exchange in the plan belongs to the tiny per-lang summary, never
+    the row filter itself (at 100 TB the sample is a map-only pass)."""
+    from parquet_batch_spark.operators.pipeline_ops import sample_stratified
+
+    plan = executed_plan(sample_stratified(spark, sf_dir))
+    # filter must appear below (executed before) any exchange
+    assert "Filter" in plan
+    filter_pos = plan.rindex("Filter")
+    exchange_pos = plan.find("Exchange")
+    assert exchange_pos == -1 or filter_pos > exchange_pos, plan[:2000]
+
+
 def test_minhash_band_join_is_equi_join(spark, sf_dir):
     """The LSH candidate join must be a hash/sort-merge EQUI-join on
     the band key (its shuffle is bounded by bucket size), with the
