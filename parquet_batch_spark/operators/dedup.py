@@ -644,6 +644,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lbl", F.col("doc"))
         .localCheckpoint(eager=True)
     )
+    # labels only ever DECREASE under min-propagation, so the label sum
+    # strictly shrinks until the fixed point: comparing one aggregate
+    # per round replaces the join+filter+count convergence probe (one
+    # cheap job over checkpointed labels instead of a shuffle join)
+    lbl_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     while True:
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc)
@@ -660,15 +665,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == lbl_sum:
             break
+        lbl_sum = new_sum
     return labels.select(
         F.col("doc").alias("doc_id"), F.col("lbl").alias("cluster_root")
     ).orderBy("doc_id")
