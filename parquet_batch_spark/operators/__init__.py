@@ -95,6 +95,7 @@ _PRIORITY = [
     "quality_repetition",
     "func_variant",
     "streaming_foreach_batch_merge",
+    "ann_ivf_topk",
 ]
 
 _MODULES = [
