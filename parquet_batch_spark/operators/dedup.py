@@ -107,19 +107,40 @@ def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # job, memoized per sf_dir) so the cap is a plan literal — no
     # scalar-broadcast join in every downstream dedup plan; int()
     # truncation == the oracle's floor() for non-negative counts
-    cap = max(SHINGLE_DF_CAP_MIN, int(_corpus_count(spark, sf_dir) * SHINGLE_DF_CAP_FRAC))
     # the HOT list (df > cap) is tiny by construction — at most
-    # total-shingle-occurrences / cap entries of 8 bytes each — so the
-    # cap is a broadcast ANTI-join: the (doc, h) stream is never
-    # shuffled for the filter, only per-shingle counts are (map-side
-    # partial combine). The classic stop-shingle-list topology.
-    hot = (
-        hashes.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > F.lit(cap))
-        .select("h")
-    )
-    return hashes.join(F.broadcast(hot), "h", "left_anti")
+    # total-shingle-occurrences / cap entries — so the cap is a
+    # stop-shingle-list lookup, not a shuffle of the (doc, h) stream.
+    # Memoized per sf_dir: minhash, jaccard and clusters all consume it
+    # in one bench/driver run. Small lists inline as a literal NOT IN
+    # (what a broadcast anti-join computes, minus the join machinery);
+    # larger lists fall back to the broadcast anti-join.
+    hot = _hot_shingles(spark, sf_dir, hashes)
+    if not hot:
+        return hashes
+    if len(hot) <= 10_000:
+        return hashes.filter(~F.col("h").isin(hot))
+    hot_df = spark.createDataFrame([(h,) for h in hot], "h long")
+    return hashes.join(F.broadcast(hot_df), "h", "left_anti")
+
+
+_HOT_SHINGLES: dict[str, list[int]] = {}
+
+
+def _hot_shingles(spark: SparkSession, sf_dir: str, hashes: DataFrame) -> list[int]:
+    if sf_dir not in _HOT_SHINGLES:
+        cap = max(
+            SHINGLE_DF_CAP_MIN, int(_corpus_count(spark, sf_dir) * SHINGLE_DF_CAP_FRAC)
+        )
+        _HOT_SHINGLES[sf_dir] = sorted(
+            r["h"]
+            for r in (
+                hashes.groupBy("h")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") > F.lit(cap))
+                .collect()
+            )
+        )
+    return _HOT_SHINGLES[sf_dir]
 
 
 _CORPUS_COUNTS: dict[str, int] = {}
