@@ -120,10 +120,12 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
     )
+    # every doc yields ≥1 gram (shingles fall back to the whole text),
+    # so the train-doc list comes straight from the documents scan —
+    # no DISTINCT over the exploded gram stream
+    train_docs = d.filter(F.col("doc_id") % BENCH_MOD != 0).select("doc_id")
     return (
-        train.select("doc_id")
-        .distinct()
-        .join(hits, "doc_id", "left")
+        train_docs.join(hits, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_contaminated_grams", F.lit(0)).alias("n_contaminated_grams"),
@@ -155,7 +157,7 @@ hits AS (
 SELECT d.doc_id AS doc_id,
     CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_contaminated_grams,
     hits.n IS NOT NULL AS contaminated
-FROM (SELECT DISTINCT doc_id FROM train) d
+FROM (SELECT doc_id FROM documents WHERE doc_id % {BENCH_MOD} <> 0) d
 LEFT JOIN hits ON d.doc_id = hits.doc_id
 ORDER BY d.doc_id
 """
