@@ -96,6 +96,7 @@ _PRIORITY = [
     "func_variant",
     "streaming_foreach_batch_merge",
     "ann_ivf_topk",
+    "window_gap_fill",
 ]
 
 _MODULES = [

@@ -269,8 +269,70 @@ ORDER BY c_mktsegment, c_acctbal, c_custkey
 """
 
 
+GAP_BUCKET_SEC = 6 * 3600  # resample grain
+
+
+def window_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill: events bucketed to a 6-hour
+    grid per user, EVERY bucket between the user's first and last
+    activity emitted (gaps get n_events=0), and the last observed max
+    value carried forward — the standard telemetry gap-fill. The spine
+    comes from ``sequence()`` + explode (each user's row count is its
+    own time span — no global cartesian), the fill from
+    ``last(ignorenulls)`` over an unbounded-preceding frame. Only
+    order-independent aggregates (count/max) cross the engines, so no
+    float-summation drift."""
+    ev = load(spark, sf_dir, "events")
+    b = F.floor(F.unix_timestamp("ts") / GAP_BUCKET_SEC)
+    obs = (
+        ev.select("user_id", b.alias("b"), "value")
+        .groupBy("user_id", "b")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("value").alias("mx"))
+    )
+    spine = (
+        obs.groupBy("user_id")
+        .agg(F.min("b").alias("mn"), F.max("b").alias("mx_b"))
+        .select("user_id", F.explode(F.sequence("mn", "mx_b")).alias("b"))
+    )
+    w = W.partitionBy("user_id").orderBy("b").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        spine.join(obs, ["user_id", "b"], "left")
+        .select(
+            "user_id",
+            F.timestamp_seconds(F.col("b") * GAP_BUCKET_SEC)
+            .cast("timestamp_ntz")
+            .alias("bucket_ts"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("mx", ignorenulls=True).over(w).alias("filled_max"),
+        )
+        .orderBy("user_id", "bucket_ts")
+    )
+
+
+_WINDOW_GAP_FILL_SQL = f"""
+WITH obs AS (
+    SELECT user_id, CAST(FLOOR(epoch(ts) / {GAP_BUCKET_SEC}) AS BIGINT) AS b,
+        COUNT(*) AS n_events, MAX(value) AS mx
+    FROM events GROUP BY user_id, b
+),
+spine AS (
+    SELECT user_id, unnest(generate_series(MIN(b), MAX(b))) AS b
+    FROM obs GROUP BY user_id
+)
+SELECT s.user_id,
+    (to_timestamp(s.b * {GAP_BUCKET_SEC}))::TIMESTAMP AS bucket_ts,
+    COALESCE(o.n_events, 0) AS n_events,
+    LAST_VALUE(o.mx IGNORE NULLS) OVER (
+        PARTITION BY s.user_id ORDER BY s.b
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_max
+FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.b = o.b
+ORDER BY s.user_id, bucket_ts
+"""
+
+
 QUERIES = {
     "window_distribution": window_distribution,
+    "window_gap_fill": window_gap_fill,
     "window_range_interval": window_range_interval,
     "window_topk_per_group": window_topk_per_group,
     "window_ranks": window_ranks,
@@ -281,6 +343,7 @@ QUERIES = {
 
 ORACLES = {
     "window_distribution": _WINDOW_DISTRIBUTION_SQL,
+    "window_gap_fill": _WINDOW_GAP_FILL_SQL,
     "window_range_interval": _WINDOW_RANGE_SQL,
     "window_topk_per_group": _WINDOW_TOPK_SQL,
     "window_ranks": _WINDOW_RANKS_SQL,
