@@ -97,6 +97,7 @@ _PRIORITY = [
     "streaming_foreach_batch_merge",
     "ann_ivf_topk",
     "window_gap_fill",
+    "sink_compact_small_files",
 ]
 
 _MODULES = [

@@ -229,8 +229,64 @@ ORDER BY c_custkey
 """
 
 
+COMPACT_FRAG_FILES = 64
+COMPACT_TARGET_ROWS = 200_000
+
+
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the lakehouse maintenance job every
+    streaming/append workload eventually needs. A deliberately
+    fragmented copy of lineitem (64 files) is rewritten into
+    ceil(rows / 200k) right-sized files; the result row reports file
+    counts plus an ORDER-INDEPENDENT content checksum (sum of the
+    portable md5 hash over the row key), proving the rewrite lost and
+    duplicated nothing. At 100 TB this runs per partition with the
+    same plan — repartition(n) is the explicit version of what AQE
+    coalescing does for shuffle outputs."""
+    from pyspark.sql.functions import ceil, concat_ws, count, lit, sum as fsum
+
+    from parquet_batch_spark.functions.hashing import hash32
+
+    src = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    frag = _io_dir(sf_dir, "lineitem_frag")
+    src.repartition(COMPACT_FRAG_FILES).write.mode("overwrite").parquet(frag)
+    frag_df = spark.read.parquet(frag)
+    n_rows = frag_df.count()
+    n_target = -(-n_rows // COMPACT_TARGET_ROWS)  # ceil
+    compacted = _io_dir(sf_dir, "lineitem_compact")
+    frag_df.repartition(n_target).write.mode("overwrite").parquet(compacted)
+    back = spark.read.parquet(compacted)
+    key_hash = hash32(concat_ws("_", "l_orderkey", "l_linenumber"))
+    return back.agg(
+        count(lit(1)).alias("n_rows"),
+        ceil(count(lit(1)) / lit(COMPACT_TARGET_ROWS)).cast("int").alias("n_files_after"),
+        lit(COMPACT_FRAG_FILES).alias("n_files_before"),
+        fsum(key_hash).alias("content_checksum"),
+    )
+
+
+_COMPACT_SQL = f"""
+SELECT COUNT(*) AS n_rows,
+    CAST(CEIL(COUNT(*) / {COMPACT_TARGET_ROWS}.0) AS INTEGER) AS n_files_after,
+    {COMPACT_FRAG_FILES} AS n_files_before,
+    CAST(SUM({{khash}}) AS BIGINT) AS content_checksum
+FROM lineitem
+"""
+
+
+def _compact_sql() -> str:
+    from parquet_batch_spark.functions.hashing import sql_hash32
+
+    return _COMPACT_SQL.format(
+        khash=sql_hash32("concat_ws('_', l_orderkey, l_linenumber)")
+    )
+
+
 QUERIES = {
     "etl_merge_upsert": etl_merge_upsert,
+    "sink_compact_small_files": sink_compact_small_files,
     "source_csv_roundtrip": source_csv_roundtrip,
     "source_json_roundtrip": source_json_roundtrip,
     "sink_partitioned_prune": sink_partitioned_prune,
@@ -238,6 +294,7 @@ QUERIES = {
 
 ORACLES = {
     "etl_merge_upsert": _MERGE_SQL,
+    "sink_compact_small_files": _compact_sql(),
     "source_csv_roundtrip": _CSV_SQL,
     "source_json_roundtrip": _JSON_SQL,
     "sink_partitioned_prune": _PART_SQL,

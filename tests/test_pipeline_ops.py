@@ -85,6 +85,25 @@ def test_stratified_sample_rates(spark, sf_dir):
         assert abs(kept.get(lang, 0) - expected) <= band, (lang, kept.get(lang), expected, band)
 
 
+def test_compaction_actually_reduces_files(spark, sf_dir):
+    """The summary row's file counts must reflect reality on disk:
+    64 fragments in, ceil(rows/200k) right-sized files out."""
+    import glob
+    import os
+
+    from parquet_batch_spark.operators.sources_ext import (
+        _io_dir,
+        sink_compact_small_files,
+    )
+
+    row = sink_compact_small_files(spark, sf_dir).collect()[0]
+    frag = glob.glob(os.path.join(_io_dir(sf_dir, "lineitem_frag"), "*.parquet"))
+    compacted = glob.glob(os.path.join(_io_dir(sf_dir, "lineitem_compact"), "*.parquet"))
+    assert len(frag) == row["n_files_before"] == 64
+    assert len(compacted) == row["n_files_after"]
+    assert len(compacted) < len(frag)
+
+
 def test_decontam_flags_benchmark_copy(spark, tmp_path):
     """A training doc that verbatim-copies a benchmark doc's text must
     be flagged; unrelated docs must not."""
