@@ -98,6 +98,7 @@ _PRIORITY = [
     "ann_ivf_topk",
     "window_gap_fill",
     "sink_compact_small_files",
+    "multimodal_resize",
 ]
 
 _MODULES = [

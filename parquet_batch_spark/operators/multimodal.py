@@ -169,6 +169,69 @@ ORDER BY doc_id
 """
 
 
+RESIZE_TARGET = 256  # bytes in the "thumbnail"
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/thumbnail plumbing: downsample each payload body to ≤256
+    bytes by a deterministic stride (the nearest-neighbor shape a real
+    image resize takes — stride sampling per axis), emitting the new
+    size and sampled-byte mean. A real deployment swaps the stride
+    kernel for PIL's ``Image.resize`` inside the same ``mapInPandas``
+    stage (see ``_real_decode`` for the import-guard pattern); the
+    Spark-side contract — Arrow batches in, fixed schema out, no
+    shuffle — is identical. Oracle mirrors the stride arithmetic over
+    the source text bytes."""
+    import numpy as np
+
+    d = load(spark, sf_dir, "documents")
+    p = _with_payload(d)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, n_out, means = [], [], []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                body = bytes(raw)[HEADER_LEN:]
+                stride = max(1, len(body) // RESIZE_TARGET)
+                sampled = body[::stride][:RESIZE_TARGET]
+                ids.append(doc_id)
+                n_out.append(len(sampled))
+                means.append(
+                    float(np.mean(np.frombuffer(sampled, dtype=np.uint8)))
+                    if sampled
+                    else 0.0
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "resized_bytes": n_out, "sampled_mean": means}
+            )
+
+    return (
+        p.mapInPandas(resize, schema="doc_id long, resized_bytes int, sampled_mean double")
+        .orderBy("doc_id")
+    )
+
+
+# stride sampling positions: 1, 1+s, 1+2s, ... (1-based), ≤ 256 samples
+_MULTIMODAL_RESIZE_SQL = f"""
+SELECT doc_id,
+    CAST(LEAST({RESIZE_TARGET},
+        CAST(CEIL(CAST(blen AS DOUBLE) / stride) AS BIGINT)) AS INTEGER)
+        AS resized_bytes,
+    CAST(list_sum(list_transform(
+            generate_series(0, LEAST({RESIZE_TARGET},
+                CAST(CEIL(CAST(blen AS DOUBLE) / stride) AS BIGINT)) - 1),
+            i -> unicode(text[1 + i * stride]))) AS DOUBLE)
+        / LEAST({RESIZE_TARGET}, CAST(CEIL(CAST(blen AS DOUBLE) / stride) AS BIGINT))
+        AS sampled_mean
+FROM (
+    SELECT doc_id, text, strlen(text) AS blen,
+        GREATEST(1, strlen(text) // {RESIZE_TARGET}) AS stride
+    FROM documents
+)
+ORDER BY doc_id
+"""
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: split each payload body into fixed
     64-byte 'frames', keep every 4th, emit (doc_id, frame_idx, bytes)
@@ -210,11 +273,13 @@ ORDER BY doc_id, frame_idx
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_decode_features": multimodal_decode_features,
+    "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLES = {
     "multimodal_metadata": _MULTIMODAL_METADATA_SQL,
     "multimodal_decode_features": _MULTIMODAL_DECODE_SQL,
+    "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
     "multimodal_frame_sample": _MULTIMODAL_FRAME_SQL,
 }
