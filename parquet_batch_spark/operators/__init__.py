@@ -99,6 +99,7 @@ _PRIORITY = [
     "window_gap_fill",
     "sink_compact_small_files",
     "multimodal_resize",
+    "approx_heavy_hitters_cms",
 ]
 
 _MODULES = [

@@ -267,8 +267,120 @@ def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_D = 4  # hash rows
+CMS_W = 2048  # counters per row
+
+
+def approx_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch heavy hitters: the frequency-sketch sibling of
+    the HLL (distinct) and GK (percentile) sketches. Word occurrences
+    fold into a {CMS_D}×{CMS_W} counter grid via the portable affine
+    hash family — one groupBy whose shuffle is bounded by the GRID, not
+    the vocabulary — and the exact top-25 words are then estimated as
+    min-over-rows. CMS never underestimates (collisions only add), so
+    the output carries the exact count, the estimate, and their gap;
+    tests pin estimate ≥ exact and the εN error bound. Deterministic
+    hashing ⇒ full SQL oracle, unlike the engine-internal HLL/GK
+    sketches."""
+    from parquet_batch_spark.functions.hashing import (
+        affine_hash,
+        hash32,
+        hash_params,
+    )
+
+    params = hash_params(CMS_D)
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    words = d.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    wcount = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    h = hash32(F.col("word"))
+    with_buckets = wcount.select(
+        "word",
+        "n",
+        *[
+            (affine_hash(h, a, b) % CMS_W).alias(f"b{j}")
+            for j, (a, b) in enumerate(params)
+        ],
+    )
+    grids = [
+        with_buckets.groupBy(F.col(f"b{j}").alias("bucket"))
+        .agg(F.sum("n").alias("counter"))
+        .select(F.lit(j).alias("row"), "bucket", "counter")
+        for j in range(CMS_D)
+    ]
+    cms = grids[0]
+    for g in grids[1:]:
+        cms = cms.unionAll(g)
+    top = with_buckets.orderBy(F.desc("n"), "word").limit(25)
+    est = top
+    for j in range(CMS_D):
+        row_j = cms.filter(F.col("row") == j).select(
+            F.col("bucket").alias(f"b{j}"), F.col("counter").alias(f"c{j}")
+        )
+        est = est.join(F.broadcast(row_j), f"b{j}")
+    cms_min = F.least(*[F.col(f"c{j}") for j in range(CMS_D)])
+    return est.select(
+        "word",
+        F.col("n").alias("exact_n"),
+        cms_min.alias("cms_estimate"),
+        (cms_min - F.col("n")).alias("overestimate"),
+    ).orderBy(F.desc("exact_n"), "word")
+
+
+def _cms_sql() -> str:
+    from parquet_batch_spark.functions.hashing import (
+        hash_params,
+        sql_affine_hash,
+        sql_hash32,
+    )
+
+    params = hash_params(CMS_D)
+    h = sql_hash32("word")
+    bucket_cols = ", ".join(
+        f"({sql_affine_hash(h, a, b)}) % {CMS_W} AS b{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    grid_union = "\n    UNION ALL ".join(
+        f"SELECT {j} AS row, b{j} AS bucket, CAST(SUM(n) AS BIGINT) AS counter "
+        f"FROM wb GROUP BY b{j}"
+        for j in range(CMS_D)
+    )
+    joins = "\n".join(
+        f"JOIN (SELECT bucket AS jb{j}, counter AS c{j} FROM cms WHERE row = {j}) g{j}"
+        f" ON t.b{j} = g{j}.jb{j}"
+        for j in range(CMS_D)
+    )
+    least = "LEAST(" + ", ".join(f"c{j}" for j in range(CMS_D)) + ")"
+    return rf"""
+WITH words AS (
+    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents
+),
+wc AS (
+    SELECT word, COUNT(*) AS n FROM words WHERE word <> '' GROUP BY word
+),
+wb AS (
+    SELECT word, n, {bucket_cols} FROM wc
+),
+cms AS (
+    {grid_union}
+),
+top AS (
+    SELECT * FROM wb ORDER BY n DESC, word LIMIT 25
+)
+SELECT t.word AS word,
+    CAST(t.n AS BIGINT) AS exact_n,
+    {least} AS cms_estimate,
+    {least} - CAST(t.n AS BIGINT) AS overestimate
+FROM top t
+{joins}
+ORDER BY exact_n DESC, word
+"""
+
+
 QUERIES = {
     "approx_percentile_sketch": approx_percentile_sketch,
+    "approx_heavy_hitters_cms": approx_heavy_hitters_cms,
     "agg_percentiles": agg_percentiles,
     "agg_histogram": agg_histogram,
     "agg_corr_exact": agg_corr_exact,
@@ -279,6 +391,7 @@ QUERIES = {
 
 ORACLES = {
     "agg_percentiles": _PCTL_SQL,
+    "approx_heavy_hitters_cms": _cms_sql(),
     "agg_histogram": _HIST_SQL,
     "agg_corr_exact": _CORR_SQL,
     "sample_systematic": _SAMPLE_SQL,

@@ -39,3 +39,24 @@ def test_approx_percentile_error_bound(spark, sf_dir):
         for approx, exact in zip(r.approx_price_pcts, r.exact_price_pcts):
             assert exact > 0
             assert abs(approx - exact) / exact < 0.01, (r.l_returnflag, approx, exact)
+
+
+def test_cms_never_underestimates_and_bounds_error(spark, sf_dir, monkeypatch):
+    """CMS invariants: estimate ≥ exact always (collisions only add);
+    error within the εN = (e/w)·N bound at the default grid. A second
+    pass with a deliberately tiny grid (w=8) forces collisions and
+    must still never underestimate."""
+    from parquet_batch_spark.operators import analytics as an
+
+    rows = an.approx_heavy_hitters_cms(spark, sf_dir).collect()
+    assert rows, "no heavy hitters returned"
+    total = sum(r["exact_n"] for r in rows)  # lower bound on corpus N
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_n"], r
+        assert r["overestimate"] <= max(64, 2.72 / an.CMS_W * total * 50), r
+
+    monkeypatch.setattr(an, "CMS_W", 8)
+    squeezed = an.approx_heavy_hitters_cms(spark, sf_dir).collect()
+    assert any(r["overestimate"] > 0 for r in squeezed), "w=8 must collide"
+    for r in squeezed:
+        assert r["cms_estimate"] >= r["exact_n"], r
