@@ -100,6 +100,8 @@ _PRIORITY = [
     "sink_compact_small_files",
     "multimodal_resize",
     "approx_heavy_hitters_cms",
+    "text_chunk_windows",
+    "sample_train_val_test",
 ]
 
 _MODULES = [

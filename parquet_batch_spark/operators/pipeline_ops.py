@@ -205,6 +205,52 @@ ORDER BY lang
 """
 
 
+SPLIT_VAL_PERMILLE = 50  # 5% val
+SPLIT_TEST_PERMILLE = 50  # 5% test
+
+
+def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: every document lands in
+    exactly one split via the portable hash bucket — disjoint,
+    complete, reproducible across engines/runs/cluster sizes, and
+    stable under corpus growth (a doc's split never changes when other
+    docs arrive — the property random splits lack). Summary rows carry
+    per-split counts and an order-independent doc-id checksum so the
+    oracle verifies membership, not just sizes."""
+    d = load(spark, sf_dir, "documents")
+    bucket = hash32(F.col("doc_id").cast("string")) % 1000
+    split = (
+        F.when(bucket < SPLIT_VAL_PERMILLE, F.lit("val"))
+        .when(bucket < SPLIT_VAL_PERMILLE + SPLIT_TEST_PERMILLE, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        d.select(split.alias("split"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("docid_checksum"),
+        )
+        .orderBy("split")
+    )
+
+
+_SPLIT_SQL = f"""
+SELECT CASE
+        WHEN {sql_hash32("CAST(doc_id AS VARCHAR)")} % 1000 < {SPLIT_VAL_PERMILLE}
+            THEN 'val'
+        WHEN {sql_hash32("CAST(doc_id AS VARCHAR)")} % 1000
+                < {SPLIT_VAL_PERMILLE + SPLIT_TEST_PERMILLE}
+            THEN 'test'
+        ELSE 'train' END AS split,
+    COUNT(*) AS n_docs,
+    CAST(SUM(doc_id) AS BIGINT) AS docid_checksum
+FROM documents
+GROUP BY split
+ORDER BY split
+"""
+
+
 def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/quality signals per document: top-word
     frequency fraction (boilerplate detector), distinct-word ratio,
@@ -255,10 +301,12 @@ QUERIES = {
     "pii_detect": pii_detect,
     "decontam_ngram_overlap": decontam_ngram_overlap,
     "sample_stratified": sample_stratified,
+    "sample_train_val_test": sample_train_val_test,
     "quality_repetition": quality_repetition,
 }
 
 ORACLES = {
+    "sample_train_val_test": _SPLIT_SQL,
     "pii_detect": _PII_SQL,
     "decontam_ngram_overlap": _DECONTAM_SQL,
     "sample_stratified": _SAMPLE_SQL,

@@ -268,7 +268,77 @@ ORDER BY doc_id
 """
 
 
+CHUNK_LEN = 64  # tokens per training window
+CHUNK_STRIDE = 48  # overlap = CHUNK_LEN - CHUNK_STRIDE
+
+
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the standard pretraining prep
+    that turns variable-length documents into fixed training windows
+    with overlap. Each doc yields ceil-ish windows of {CHUNK_LEN}
+    tokens at stride {CHUNK_STRIDE}; short docs yield their single
+    short window. All JVM array ops (sequence/slice/explode) — the
+    chunk stream scales linearly and partitions with the documents.
+    Output carries window token count plus a portable hash of the
+    joined window so the oracle verifies CONTENT, not just shape."""
+    from parquet_batch_spark.functions.hashing import hash32
+
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = tokens_col("text")
+    n = F.size(toks)
+    n_win = F.when(
+        n <= CHUNK_LEN, F.lit(1)
+    ).otherwise(
+        F.ceil((n - F.lit(CHUNK_LEN)) / F.lit(CHUNK_STRIDE)) + 1
+    ).cast("int")
+    win = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), n_win - 1)).alias("chunk_idx"),
+    )
+    chunk = F.slice(
+        F.col("toks"), F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_LEN
+    )
+    return win.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(chunk).cast("int").alias("n_tokens"),
+        hash32(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def _chunk_sql() -> str:
+    from parquet_batch_spark.functions.hashing import sql_hash32
+
+    return f"""
+WITH base AS (
+    SELECT doc_id, {sql_tokens("text")} AS toks,
+        len({sql_tokens("text")}) AS n
+    FROM documents
+),
+wins AS (
+    SELECT doc_id, toks,
+        unnest(generate_series(0,
+            CASE WHEN n <= {CHUNK_LEN} THEN 0
+                 ELSE CAST(CEIL(CAST(n - {CHUNK_LEN} AS DOUBLE) / {CHUNK_STRIDE}) AS BIGINT)
+            END)) AS chunk_idx
+    FROM base
+),
+chunks AS (
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+        toks[chunk_idx * {CHUNK_STRIDE} + 1 : chunk_idx * {CHUNK_STRIDE} + {CHUNK_LEN}] AS c
+    FROM wins
+)
+SELECT doc_id, chunk_idx,
+    CAST(len(c) AS INTEGER) AS n_tokens,
+    {sql_hash32("array_to_string(c, ' ')")} AS chunk_hash
+FROM chunks
+ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES = {
+    "text_chunk_windows": text_chunk_windows,
     "text_token_count": text_token_count,
     "text_stats": text_stats,
     "text_langid": text_langid,
@@ -277,6 +347,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_chunk_windows": _chunk_sql(),
     "text_token_count": _TEXT_TOKEN_COUNT_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "text_langid": _TEXT_LANGID_SQL,
