@@ -102,6 +102,7 @@ _PRIORITY = [
     "approx_heavy_hitters_cms",
     "text_chunk_windows",
     "sample_train_val_test",
+    "graph_pagerank",
 ]
 
 _MODULES = [

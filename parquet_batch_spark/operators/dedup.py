@@ -732,6 +732,118 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------------ pagerank
+
+PR_ITERS = 8
+PR_SCALE = 10**12  # fixed-point rank units
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as integer ratio
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the minhash near-dup graph — the canonical
+    iterative-algorithm shape (fixed {PR_ITERS} power iterations, one
+    contribution join + aggregate per round, lineage truncated by
+    localCheckpoint). High-rank docs sit at the center of dup clusters
+    — a useful curation signal beyond binary keep/drop.
+
+    Cross-engine exactness by construction: ranks live in BIGINT
+    fixed-point (1e12 units) and every update is integer arithmetic
+    (div/mul/sum — order-independent), so Spark and the oracle agree
+    bit-for-bit with no float-summation drift; the oracle unrolls the
+    same {PR_ITERS} iterations as chained CTEs (standard SQL forbids
+    aggregation inside a recursive CTE)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    deg = edges.groupBy("doc_a").agg(F.count(F.lit(1)).alias("deg"))
+    e2 = (
+        edges.join(deg, "doc_a")
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"), "deg")
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = deg.count()
+    init = PR_SCALE // n_nodes
+    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n_nodes)
+    ranks = deg.select(F.col("doc_a").alias("doc"), F.lit(init).alias("r"))
+    for _ in range(PR_ITERS):
+        contrib = e2.join(ranks, e2.src == ranks.doc).select(
+            F.col("dst").alias("doc"), F.expr("r div deg").alias("c")
+        )
+        ranks = (
+            contrib.groupBy("doc")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                "doc",
+                (F.lit(base) + F.expr(f"({PR_DAMP_NUM} * s) div {PR_DAMP_DEN}")).alias(
+                    "r"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("doc").alias("doc_id"),
+        F.col("r").alias("rank_fp"),
+        F.round(F.col("r").cast("double") / F.lit(float(PR_SCALE)), 9).alias("rank"),
+    ).orderBy("doc_id")
+
+
+def _pagerank_sql() -> str:
+    steps = []
+    for i in range(PR_ITERS):
+        steps.append(f"""
+pr{i + 1} AS (
+    SELECT e.doc_b AS doc,
+        (SELECT base FROM consts)
+        + ({PR_DAMP_NUM} * CAST(SUM(p.r // d.deg) AS BIGINT)) // {PR_DAMP_DEN} AS r
+    FROM pr{i} p
+    JOIN edges e ON e.doc_a = p.doc
+    JOIN deg d ON d.doc_a = p.doc
+    GROUP BY e.doc_b
+)""")
+    return f"""
+WITH {_sql_minhash_core()},
+bands AS (
+    SELECT doc_id, sig, i - 1 AS band_idx, ([{_BAND_EXPRS}])[i] AS band_sig
+    FROM sigarr, generate_series(1, {N_BANDS}) t(i)
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.sig AS sig_a, b.sig AS sig_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+        AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT doc_a, doc_b FROM cands
+    WHERE CAST(len(list_filter(generate_series(1, {N_HASHES}),
+            i -> sig_a[i] = sig_b[i])) AS DOUBLE) / {N_HASHES}
+        >= {MINHASH_EST_THRESHOLD}
+),
+edges AS (
+    SELECT doc_a, doc_b FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+),
+deg AS (
+    SELECT doc_a, COUNT(*) AS deg FROM edges GROUP BY doc_a
+),
+consts AS (
+    SELECT ({PR_SCALE} * {PR_DAMP_DEN - PR_DAMP_NUM})
+               // ({PR_DAMP_DEN} * COUNT(*)) AS base,
+           {PR_SCALE} // COUNT(*) AS init
+    FROM deg
+),
+pr0 AS (
+    SELECT doc_a AS doc, (SELECT init FROM consts) AS r FROM deg
+),{",".join(steps)}
+SELECT doc AS doc_id, r AS rank_fp,
+    ROUND(CAST(r AS DOUBLE) / {float(PR_SCALE)}, 9) AS rank
+FROM pr{PR_ITERS}
+ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------- fuzzy (edit distance)
 
 
@@ -852,6 +964,7 @@ ORDER BY doc_a, doc_b
 
 QUERIES = {
     "dedup_clusters": dedup_clusters,
+    "graph_pagerank": graph_pagerank,
     "dedup_fuzzy_levenshtein": dedup_fuzzy_levenshtein,
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -862,6 +975,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+    "graph_pagerank": _pagerank_sql(),
     "dedup_fuzzy_levenshtein": _DEDUP_FUZZY_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
