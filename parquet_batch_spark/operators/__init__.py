@@ -103,6 +103,7 @@ _PRIORITY = [
     "text_chunk_windows",
     "sample_train_val_test",
     "graph_pagerank",
+    "rollup_hypertable",
 ]
 
 _MODULES = [

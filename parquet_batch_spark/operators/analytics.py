@@ -267,6 +267,79 @@ def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-grain rollup (continuous-aggregate
+    pattern): events aggregated to minute buckets, hours computed FROM
+    the minute aggregates, days FROM the hours — never re-reading raw
+    data for a coarser grain. At 100 TB this is the difference between
+    one fine-grain pass + tiny re-aggregations and three full scans;
+    the same shape maintains materialized rollups incrementally.
+    Decimal sums keep the re-aggregation exact (sum-of-sums ==
+    direct sum, which is what the oracle computes per grain from raw
+    events), with the (18,4) squeeze before the double cast."""
+    from parquet_batch_spark.functions.numeric import dec
+
+    ev = load(spark, sf_dir, "events")
+    m = (
+        ev.groupBy(F.floor(F.unix_timestamp("ts") / 60).alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).alias("s"),
+            F.max("value").alias("mx"),
+        )
+    )
+    h = m.groupBy(F.expr("b div 60").alias("b")).agg(
+        F.sum("n").alias("n"), F.sum("s").alias("s"), F.max("mx").alias("mx")
+    )
+    d = h.groupBy(F.expr("b div 24").alias("b")).agg(
+        F.sum("n").alias("n"), F.sum("s").alias("s"), F.max("mx").alias("mx")
+    )
+
+    def emit(df: DataFrame, grain: str, sec: int) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.timestamp_seconds(F.col("b") * sec).cast("timestamp_ntz").alias(
+                "bucket_ts"
+            ),
+            F.col("n").cast("long").alias("n_events"),
+            F.col("s").cast("decimal(18,4)").cast("double").alias("sum_value"),
+            F.col("mx").alias("max_value"),
+        )
+
+    return (
+        emit(m, "minute", 60)
+        .unionAll(emit(h, "hour", 3600))
+        .unionAll(emit(d, "day", 86400))
+        .orderBy("grain", "bucket_ts")
+    )
+
+
+_ROLLUP_GRAIN = """
+SELECT '{g}' AS grain,
+    (to_timestamp(({b}) * {sec}))::TIMESTAMP AS bucket_ts,
+    CAST(SUM(n) AS BIGINT) AS n_events,
+    CAST(CAST(SUM(s) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value,
+    MAX(mx) AS max_value
+FROM m GROUP BY ({b})
+"""
+
+_ROLLUP_SQL = f"""
+WITH m AS (
+    SELECT CAST(FLOOR(epoch(ts) / 60) AS BIGINT) AS b,
+        COUNT(*) AS n,
+        SUM(CAST(value AS DECIMAL(18,4))) AS s,
+        MAX(value) AS mx
+    FROM events GROUP BY b
+)
+{_ROLLUP_GRAIN.format(g="minute", b="b", sec=60)}
+UNION ALL
+{_ROLLUP_GRAIN.format(g="hour", b="b // 60", sec=3600)}
+UNION ALL
+{_ROLLUP_GRAIN.format(g="day", b="b // 1440", sec=86400)}
+ORDER BY grain, bucket_ts
+"""
+
+
 CMS_D = 4  # hash rows
 CMS_W = 2048  # counters per row
 
@@ -380,6 +453,7 @@ ORDER BY exact_n DESC, word
 
 QUERIES = {
     "approx_percentile_sketch": approx_percentile_sketch,
+    "rollup_hypertable": rollup_hypertable,
     "approx_heavy_hitters_cms": approx_heavy_hitters_cms,
     "agg_percentiles": agg_percentiles,
     "agg_histogram": agg_histogram,
@@ -391,6 +465,7 @@ QUERIES = {
 
 ORACLES = {
     "agg_percentiles": _PCTL_SQL,
+    "rollup_hypertable": _ROLLUP_SQL,
     "approx_heavy_hitters_cms": _cms_sql(),
     "agg_histogram": _HIST_SQL,
     "agg_corr_exact": _CORR_SQL,
