@@ -104,6 +104,7 @@ _PRIORITY = [
     "sample_train_val_test",
     "graph_pagerank",
     "rollup_hypertable",
+    "window_anomaly_zscore",
 ]
 
 _MODULES = [

@@ -269,6 +269,70 @@ ORDER BY c_mktsegment, c_acctbal, c_custkey
 """
 
 
+ZS_FRAME = 20  # trailing events per user
+ZS_MIN_N = 5  # warmup: need this many priors
+ZS_THRESHOLD = 3.0
+
+
+def window_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly detection: each event scored against the
+    trailing {ZS_FRAME} events of the SAME user (frame excludes the
+    current row — no self-leak), flagged when |z| > {ZS_THRESHOLD}.
+    The rolling moments come from DECIMAL window sums (sum and
+    sum-of-squares), so Spark's running-frame accumulation and DuckDB's
+    segment tree produce bit-identical inputs to the double-arithmetic
+    finish — the float-order trap rolling variance usually falls into.
+    The sum-of-squares is squeezed to (18,4) before the double cast
+    (DuckDB's int128→double conversion is off by 1 ulp past 2^53)."""
+    from parquet_batch_spark.functions.numeric import dec
+
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ZS_FRAME, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    mean = F.sum(dec("value")).over(w).cast("double") / n
+    msq = (
+        F.sum(dec("value") * dec("value")).over(w).cast("decimal(18,4)").cast("double")
+        / n
+    )
+    std = F.sqrt(F.greatest(msq - mean * mean, F.lit(0.0)))
+    z = (F.col("value") - mean) / std
+    return (
+        ev.select("user_id", "ts", "event_id", "value",
+                  n.alias("n_prior"), std.alias("std"), z.alias("z"))
+        .filter((F.col("n_prior") >= ZS_MIN_N) & (F.col("std") > 0)
+                & (F.abs(F.col("z")) > ZS_THRESHOLD))
+        .select("user_id", "ts", "event_id", "value", F.round("z", 6).alias("zscore"))
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+_WINDOW_ANOMALY_SQL = f"""
+SELECT user_id, ts, event_id, value, ROUND((value - mean) / std, 6) AS zscore
+FROM (
+    SELECT user_id, ts, event_id, value, n_prior, mean,
+        SQRT(GREATEST(msq - mean * mean, 0.0)) AS std
+    FROM (
+        SELECT user_id, ts, event_id, value,
+            COUNT(*) OVER w AS n_prior,
+            CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                / COUNT(*) OVER w AS mean,
+            CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))
+                           * CAST(value AS DECIMAL(18,4))) OVER w
+                      AS DECIMAL(18,4)) AS DOUBLE) / COUNT(*) OVER w AS msq
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {ZS_FRAME} PRECEDING AND 1 PRECEDING)
+    )
+)
+WHERE n_prior >= {ZS_MIN_N} AND std > 0 AND ABS((value - mean) / std) > {ZS_THRESHOLD}
+ORDER BY user_id, ts, event_id
+"""
+
+
 GAP_BUCKET_SEC = 6 * 3600  # resample grain
 
 
@@ -332,6 +396,7 @@ ORDER BY s.user_id, bucket_ts
 
 QUERIES = {
     "window_distribution": window_distribution,
+    "window_anomaly_zscore": window_anomaly_zscore,
     "window_gap_fill": window_gap_fill,
     "window_range_interval": window_range_interval,
     "window_topk_per_group": window_topk_per_group,
@@ -343,6 +408,7 @@ QUERIES = {
 
 ORACLES = {
     "window_distribution": _WINDOW_DISTRIBUTION_SQL,
+    "window_anomaly_zscore": _WINDOW_ANOMALY_SQL,
     "window_gap_fill": _WINDOW_GAP_FILL_SQL,
     "window_range_interval": _WINDOW_RANGE_SQL,
     "window_topk_per_group": _WINDOW_TOPK_SQL,
