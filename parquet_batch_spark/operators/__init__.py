@@ -105,6 +105,7 @@ _PRIORITY = [
     "graph_pagerank",
     "rollup_hypertable",
     "window_anomaly_zscore",
+    "source_schema_evolution",
 ]
 
 _MODULES = [

@@ -229,6 +229,49 @@ ORDER BY c_custkey
 """
 
 
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: a dataset whose files were written at two
+    schema versions (v2 adds a column) read back with ``mergeSchema``
+    — Spark unions the footers and back-fills NULL for files missing
+    the new column, the lake-evolution contract every long-lived table
+    needs. Oracle reads the same two files with DuckDB's
+    ``union_by_name``. Summarized per region so the driver compare
+    stays small."""
+    src = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    out = _io_dir(sf_dir, "evolving")
+    v1 = src.filter(F.col("r_regionkey") % 2 == 0)
+    v2 = src.filter(F.col("r_regionkey") % 2 == 1).withColumn(
+        "ingest_batch", F.lit(2).cast("int")
+    )
+    v1.coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "v1"))
+    v2.coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "v2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "v1"), os.path.join(out, "v2")
+    )
+    return (
+        merged.groupBy("ingest_batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("r_name").alias("first_region"),
+        )
+        .orderBy(F.col("ingest_batch").asc_nulls_first())
+    )
+
+
+_SCHEMA_EVO_SQL = """
+SELECT ingest_batch, COUNT(*) AS n_rows, MIN(r_name) AS first_region
+FROM (
+    SELECT r_name, CAST(NULL AS INTEGER) AS ingest_batch
+    FROM region WHERE r_regionkey % 2 = 0
+    UNION ALL
+    SELECT r_name, 2 AS ingest_batch
+    FROM region WHERE r_regionkey % 2 = 1
+)
+GROUP BY ingest_batch
+ORDER BY ingest_batch ASC NULLS FIRST
+"""
+
+
 COMPACT_FRAG_FILES = 64
 COMPACT_TARGET_ROWS = 200_000
 
@@ -287,6 +330,7 @@ def _compact_sql() -> str:
 QUERIES = {
     "etl_merge_upsert": etl_merge_upsert,
     "sink_compact_small_files": sink_compact_small_files,
+    "source_schema_evolution": source_schema_evolution,
     "source_csv_roundtrip": source_csv_roundtrip,
     "source_json_roundtrip": source_json_roundtrip,
     "sink_partitioned_prune": sink_partitioned_prune,
@@ -295,6 +339,7 @@ QUERIES = {
 ORACLES = {
     "etl_merge_upsert": _MERGE_SQL,
     "sink_compact_small_files": _compact_sql(),
+    "source_schema_evolution": _SCHEMA_EVO_SQL,
     "source_csv_roundtrip": _CSV_SQL,
     "source_json_roundtrip": _JSON_SQL,
     "sink_partitioned_prune": _PART_SQL,
