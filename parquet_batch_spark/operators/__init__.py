@@ -106,6 +106,9 @@ _PRIORITY = [
     "rollup_hypertable",
     "window_anomaly_zscore",
     "source_schema_evolution",
+    "window_funnel",
+    "etl_scd2",
+    "sink_zorder_cluster",
 ]
 
 _MODULES = [
@@ -124,6 +127,7 @@ _MODULES = [
     "parquet_batch_spark.operators.similarity",
     "parquet_batch_spark.operators.multimodal",
     "parquet_batch_spark.operators.pipeline_ops",
+    "parquet_batch_spark.operators.warehouse",
     "parquet_batch_spark.streaming.windows",
 ]
 
