@@ -109,6 +109,7 @@ _PRIORITY = [
     "window_funnel",
     "etl_scd2",
     "sink_zorder_cluster",
+    "table_stats_profile",
 ]
 
 _MODULES = [

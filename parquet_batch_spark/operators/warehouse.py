@@ -299,15 +299,102 @@ WHERE l_orderkey <= {_Z_OK_HI} AND l_partkey <= {_Z_PK_HI}
 # zorder_output_dir consumers only
 _ = os.path
 
+# ---------------------------------------------------------------------------
+# table_stats_profile — ANALYZE-style single-pass column profiling
+# ---------------------------------------------------------------------------
+
+
+def table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog statistics collection (ANALYZE TABLE): per-column row
+    count, null count, exact NDV, and min/max, computed in ONE scan of
+    lineitem and unpivoted to a row per column.
+
+    Min/max are rendered to strings with explicit formats (fixed-scale
+    decimal for money, explicit timestamp pattern) so heterogeneous
+    column types share one schema and both engines format identically.
+    Exact ``COUNT(DISTINCT)`` is the oracle-checkable choice here; the
+    100 TB path swaps in ``approx_count_distinct`` (HLL++, one pass, no
+    expand) — see ``approx_distinct_sketch`` for the error-bounded
+    version of that trade.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    ship_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    one = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        # l_orderkey
+        (F.count(F.lit(1)) - F.count("l_orderkey")).alias("nulls_ok"),
+        F.countDistinct("l_orderkey").alias("ndv_ok"),
+        F.min("l_orderkey").cast("string").alias("min_ok"),
+        F.max("l_orderkey").cast("string").alias("max_ok"),
+        # l_quantity (fixed-scale decimal rendering)
+        (F.count(F.lit(1)) - F.count("l_quantity")).alias("nulls_qty"),
+        F.countDistinct("l_quantity").alias("ndv_qty"),
+        F.min(qty).cast("string").alias("min_qty"),
+        F.max(qty).cast("string").alias("max_qty"),
+        # l_returnflag
+        (F.count(F.lit(1)) - F.count("l_returnflag")).alias("nulls_rf"),
+        F.countDistinct("l_returnflag").alias("ndv_rf"),
+        F.min("l_returnflag").alias("min_rf"),
+        F.max("l_returnflag").alias("max_rf"),
+        # l_shipdate (explicit pattern, engine-stable)
+        (F.count(F.lit(1)) - F.count("l_shipdate")).alias("nulls_sd"),
+        F.countDistinct("l_shipdate").alias("ndv_sd"),
+        F.date_format(F.min("l_shipdate"), ship_fmt).alias("min_sd"),
+        F.date_format(F.max("l_shipdate"), ship_fmt).alias("max_sd"),
+    )
+    return one.selectExpr(
+        "n_rows",
+        """stack(4,
+            'l_orderkey',  nulls_ok,  ndv_ok,  min_ok,  max_ok,
+            'l_quantity',  nulls_qty, ndv_qty, min_qty, max_qty,
+            'l_returnflag',nulls_rf,  ndv_rf,  min_rf,  max_rf,
+            'l_shipdate',  nulls_sd,  ndv_sd,  min_sd,  max_sd
+        ) AS (col_name, n_nulls, ndv, min_val, max_val)""",
+    ).select("col_name", "n_rows", "n_nulls", "ndv", "min_val", "max_val").orderBy(
+        "col_name"
+    )
+
+
+_STATS_SQL = """
+SELECT col_name, n_rows, n_nulls, ndv, min_val, max_val FROM (
+    SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows,
+        COUNT(*) - COUNT(l_orderkey) AS n_nulls,
+        COUNT(DISTINCT l_orderkey) AS ndv,
+        CAST(MIN(l_orderkey) AS VARCHAR) AS min_val,
+        CAST(MAX(l_orderkey) AS VARCHAR) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', COUNT(*), COUNT(*) - COUNT(l_quantity),
+        COUNT(DISTINCT l_quantity),
+        CAST(MIN(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR),
+        CAST(MAX(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+        COUNT(DISTINCT l_returnflag), MIN(l_returnflag), MAX(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', COUNT(*), COUNT(*) - COUNT(l_shipdate),
+        COUNT(DISTINCT l_shipdate),
+        STRFTIME(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S.%f'),
+        STRFTIME(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S.%f')
+    FROM lineitem
+)
+ORDER BY col_name
+"""
+
 
 QUERIES = {
     "window_funnel": window_funnel,
     "etl_scd2": etl_scd2,
     "sink_zorder_cluster": sink_zorder_cluster,
+    "table_stats_profile": table_stats_profile,
 }
 
 ORACLES = {
     "window_funnel": _FUNNEL_SQL,
     "etl_scd2": _SCD2_SQL,
     "sink_zorder_cluster": _zorder_sql(),
+    "table_stats_profile": _STATS_SQL,
 }
