@@ -110,6 +110,8 @@ _PRIORITY = [
     "etl_scd2",
     "sink_zorder_cluster",
     "table_stats_profile",
+    "window_retention_cohort",
+    "source_orc_roundtrip",
 ]
 
 _MODULES = [

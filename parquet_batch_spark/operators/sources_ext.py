@@ -135,6 +135,40 @@ ORDER BY p_brand, p_type
 """
 
 
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → ORC → read back → per-nation balance summary. ORC is
+    Spark's second first-class columnar format (the reference is
+    parquet-only, reference: src/parquetreader/reader.py:128-129);
+    unlike the CSV/JSON text paths it is binary and type-complete, so
+    doubles round-trip bit-exactly and the aggregate may include the
+    double ``s_acctbal`` (summed in exact decimal per the engine's
+    numeric policy, functions/numeric.py). The oracle reads the
+    original parquet — matching hashes prove the ORC hop lossless."""
+    out = _io_dir(sf_dir, "supplier_orc")
+    load(spark, sf_dir, "supplier").write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            dsum("s_acctbal", "sum_bal"),
+            F.min("s_name").alias("first_name"),
+            F.max("s_suppkey").alias("max_suppkey"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+_ORC_SQL = f"""
+SELECT s_nationkey, COUNT(*) AS n_suppliers,
+       {sql_dsum("s_acctbal")} AS sum_bal,
+       MIN(s_name) AS first_name, MAX(s_suppkey) AS max_suppkey
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
 def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem → hive-partitioned parquet on (l_returnflag,
     l_linestatus) → read back ONE partition → revenue summary. The
@@ -333,6 +367,7 @@ QUERIES = {
     "source_schema_evolution": source_schema_evolution,
     "source_csv_roundtrip": source_csv_roundtrip,
     "source_json_roundtrip": source_json_roundtrip,
+    "source_orc_roundtrip": source_orc_roundtrip,
     "sink_partitioned_prune": sink_partitioned_prune,
 }
 
@@ -342,5 +377,6 @@ ORACLES = {
     "source_schema_evolution": _SCHEMA_EVO_SQL,
     "source_csv_roundtrip": _CSV_SQL,
     "source_json_roundtrip": _JSON_SQL,
+    "source_orc_roundtrip": _ORC_SQL,
     "sink_partitioned_prune": _PART_SQL,
 }

@@ -385,8 +385,82 @@ ORDER BY col_name
 """
 
 
+# ---------------------------------------------------------------------------
+# window_retention_cohort — daily cohort retention matrix over events
+# ---------------------------------------------------------------------------
+
+
+def window_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention matrix: users grouped by first-activity
+    day (their cohort); for each (cohort_day, day_offset) the count of
+    cohort members active that day and the retention ratio.
+
+    The classic product-analytics rollup the reference's scan-only
+    surface (reference: src/parquetreader/reader.py:128-129) leaves to
+    the consumer. Scale notes: the event stream is first reduced to
+    the DISTINCT user-day grain (map-side combine before any join), so
+    the join back to the per-user cohort assignment moves one row per
+    user-day, not per event; both sides hash-partition on ``user_id``
+    (one shuffle each); the final matrix + cohort-size join is on
+    ``cohort_day`` — at most ~365 rows/year of keys — which AQE turns
+    into a broadcast. No window over raw events, no skew (user grain),
+    no collect.
+    """
+    user_days = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    cohorts = user_days.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    # (user_id, d) is unique and each user has one cohort_day, so
+    # (cohort_day, day_offset, user_id) is unique -> count(*) counts users.
+    activity = user_days.join(cohorts, "user_id").select(
+        "cohort_day", F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset")
+    )
+    matrix = activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    sizes = cohorts.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("n_cohort"))
+    return (
+        matrix.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_active",
+            "n_cohort",
+            (F.col("n_active").cast("double") / F.col("n_cohort")).alias("retention"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+_RETENTION_SQL = """
+WITH user_days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+cohorts AS (
+    SELECT user_id, MIN(d) AS cohort_day FROM user_days GROUP BY user_id
+),
+matrix AS (
+    SELECT c.cohort_day,
+           CAST(DATEDIFF('day', c.cohort_day, u.d) AS INTEGER) AS day_offset,
+           COUNT(*) AS n_active
+    FROM user_days u JOIN cohorts c ON u.user_id = c.user_id
+    GROUP BY 1, 2
+),
+sizes AS (
+    SELECT cohort_day, COUNT(*) AS n_cohort FROM cohorts GROUP BY cohort_day
+)
+SELECT m.cohort_day, m.day_offset, m.n_active, s.n_cohort,
+       CAST(m.n_active AS DOUBLE) / s.n_cohort AS retention
+FROM matrix m JOIN sizes s ON m.cohort_day = s.cohort_day
+ORDER BY m.cohort_day, m.day_offset
+"""
+
+
 QUERIES = {
     "window_funnel": window_funnel,
+    "window_retention_cohort": window_retention_cohort,
     "etl_scd2": etl_scd2,
     "sink_zorder_cluster": sink_zorder_cluster,
     "table_stats_profile": table_stats_profile,
@@ -394,6 +468,7 @@ QUERIES = {
 
 ORACLES = {
     "window_funnel": _FUNNEL_SQL,
+    "window_retention_cohort": _RETENTION_SQL,
     "etl_scd2": _SCD2_SQL,
     "sink_zorder_cluster": _zorder_sql(),
     "table_stats_profile": _STATS_SQL,
