@@ -112,6 +112,7 @@ _PRIORITY = [
     "table_stats_profile",
     "window_retention_cohort",
     "source_orc_roundtrip",
+    "quality_expectations",
 ]
 
 _MODULES = [

@@ -386,6 +386,109 @@ ORDER BY col_name
 
 
 # ---------------------------------------------------------------------------
+# quality_expectations — dbt-test-style table constraint audit
+# ---------------------------------------------------------------------------
+
+
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit over the warehouse tables — the
+    dbt-test / Great-Expectations pattern: each expectation yields one
+    row ``(check_name, n_checked, n_violations, passed)``.
+
+    Checks: primary-key uniqueness (orders, lineitem compound key),
+    not-null, accepted range, and referential integrity
+    (orders.o_custkey → customer, a broadcast left join with a
+    conditional count — one pass over the fact, no shuffle of the
+    fact side at any scale where the dim fits in memory; a 100 TB
+    fact is checked by the same plan). Uniqueness checks are a single
+    count + count-distinct aggregate (one shuffle each); everything
+    else is a map-side conditional sum folded into one pass per
+    table.
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+
+    def row(name: str, checked: Column, violations: Column, src: DataFrame) -> DataFrame:
+        return src.agg(
+            checked.cast("long").alias("n_checked"),
+            violations.cast("long").alias("n_violations"),
+        ).select(F.lit(name).alias("check_name"), "n_checked", "n_violations")
+
+    n = F.count(F.lit(1))
+    checks = [
+        row(
+            "orders_pk_unique",
+            n,
+            n - F.countDistinct("o_orderkey"),
+            o,
+        ),
+        row(
+            "lineitem_pk_unique",
+            n,
+            n - F.countDistinct("l_orderkey", "l_linenumber"),
+            li,
+        ),
+        row(
+            "orders_orderdate_not_null",
+            n,
+            F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)),
+            o,
+        ),
+        row(
+            "lineitem_quantity_range",
+            n,
+            F.sum(
+                F.when(
+                    (F.col("l_quantity") < 0) | (F.col("l_quantity") > 100), 1
+                ).otherwise(0)
+            ),
+            li,
+        ),
+        row(
+            "orders_custkey_ri",
+            n,
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)),
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left"),
+        ),
+    ]
+    out = checks[0]
+    for chk in checks[1:]:
+        out = out.unionAll(chk)
+    return out.withColumn("passed", F.col("n_violations") == 0).orderBy("check_name")
+
+
+_EXPECT_SQL = """
+WITH checks AS (
+    SELECT 'orders_pk_unique' AS check_name, COUNT(*) AS n_checked,
+           COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_pk_unique', COUNT(*),
+           COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_orderdate_not_null', COUNT(*),
+           SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_quantity_range', COUNT(*),
+           SUM(CASE WHEN l_quantity < 0 OR l_quantity > 100 THEN 1 ELSE 0 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_custkey_ri', COUNT(*),
+           SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+)
+SELECT check_name, CAST(n_checked AS BIGINT) AS n_checked,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS passed
+FROM checks
+ORDER BY check_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # window_retention_cohort — daily cohort retention matrix over events
 # ---------------------------------------------------------------------------
 
@@ -461,6 +564,7 @@ ORDER BY m.cohort_day, m.day_offset
 QUERIES = {
     "window_funnel": window_funnel,
     "window_retention_cohort": window_retention_cohort,
+    "quality_expectations": quality_expectations,
     "etl_scd2": etl_scd2,
     "sink_zorder_cluster": sink_zorder_cluster,
     "table_stats_profile": table_stats_profile,
@@ -469,6 +573,7 @@ QUERIES = {
 ORACLES = {
     "window_funnel": _FUNNEL_SQL,
     "window_retention_cohort": _RETENTION_SQL,
+    "quality_expectations": _EXPECT_SQL,
     "etl_scd2": _SCD2_SQL,
     "sink_zorder_cluster": _zorder_sql(),
     "table_stats_profile": _STATS_SQL,
