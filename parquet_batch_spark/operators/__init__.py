@@ -113,6 +113,7 @@ _PRIORITY = [
     "window_retention_cohort",
     "source_orc_roundtrip",
     "quality_expectations",
+    "join_dpp_prune",
 ]
 
 _MODULES = [

@@ -205,6 +205,75 @@ WHERE l_returnflag = 'R' AND l_linestatus = 'F'
 """
 
 
+def join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: lineitem staged as a hive-partitioned
+    fact on ``ship_month`` (83 monthly partitions at sf0.01), joined to
+    a month dimension filtered to 1996-Q1. The dim filter is NOT on the
+    fact's columns, so static pruning can't help — Catalyst instead
+    injects a ``dynamicpruning`` subquery into the fact scan's
+    PartitionFilters (asserted in tests/test_plans.py) and only the
+    three matching month directories are ever opened. At 100 TB this is
+    THE mechanism that turns "scan seven years" into "scan one quarter"
+    when the predicate lives on the dimension, runtime-decided, no
+    manual partition list. The dim is broadcast (tiny), so the join
+    itself adds no shuffle."""
+    out = _io_dir(sf_dir, "lineitem_by_month")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_quantity",
+        "l_extendedprice",
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+    )
+    li.write.mode("overwrite").partitionBy("ship_month").parquet(out)
+    fact = spark.read.parquet(out)
+    months = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.date_format("l_shipdate", "yyyy-MM").alias("m_month"))
+        .distinct()
+        .select(
+            "m_month",
+            F.concat(
+                F.substring("m_month", 1, 4),
+                F.lit("-Q"),
+                F.ceil(F.substring("m_month", 6, 2).cast("int") / 3).cast("int"),
+            ).alias("m_quarter"),
+        )
+    )
+    dim = months.filter(F.col("m_quarter") == "1996-Q1")
+    return (
+        fact.join(F.broadcast(dim), fact.ship_month == dim.m_month)
+        .groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+_DPP_SQL = f"""
+WITH fact AS (
+    SELECT l_quantity, l_extendedprice,
+           STRFTIME(l_shipdate, '%Y-%m') AS ship_month
+    FROM lineitem
+),
+dim AS (
+    SELECT m_month,
+           SUBSTR(m_month, 1, 4) || '-Q' ||
+           CAST(CEIL(CAST(SUBSTR(m_month, 6, 2) AS INTEGER) / 3.0) AS INTEGER)
+               AS m_quarter
+    FROM (SELECT DISTINCT ship_month AS m_month FROM fact)
+)
+SELECT ship_month, COUNT(*) AS n_rows,
+       {sql_dsum("l_quantity")} AS sum_qty,
+       {sql_dsum("l_extendedprice")} AS sum_price
+FROM fact JOIN dim ON fact.ship_month = dim.m_month
+WHERE dim.m_quarter = '1996-Q1'
+GROUP BY ship_month
+ORDER BY ship_month
+"""
+
+
 def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD-1 MERGE (upsert) expressed as a full-outer join — the
     pattern behind Delta/Iceberg ``MERGE INTO``, runnable on plain
@@ -363,6 +432,7 @@ def _compact_sql() -> str:
 
 QUERIES = {
     "etl_merge_upsert": etl_merge_upsert,
+    "join_dpp_prune": join_dpp_prune,
     "sink_compact_small_files": sink_compact_small_files,
     "source_schema_evolution": source_schema_evolution,
     "source_csv_roundtrip": source_csv_roundtrip,
@@ -373,6 +443,7 @@ QUERIES = {
 
 ORACLES = {
     "etl_merge_upsert": _MERGE_SQL,
+    "join_dpp_prune": _DPP_SQL,
     "sink_compact_small_files": _compact_sql(),
     "source_schema_evolution": _SCHEMA_EVO_SQL,
     "source_csv_roundtrip": _CSV_SQL,

@@ -206,3 +206,17 @@ def test_minhash_band_join_is_equi_join(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     ), plan[:2000]
+
+
+def test_dpp_join_injects_dynamic_pruning(spark, sf_dir):
+    """join_dpp_prune's fact scan must carry a dynamicpruning
+    expression in its PartitionFilters — proof the month partitions
+    are pruned at runtime from the dim filter, not post-scan."""
+    from parquet_batch_spark.operators.sources_ext import join_dpp_prune
+    from parquet_batch_spark.plans.inspect import explain_formatted
+
+    df = join_dpp_prune(spark, sf_dir)
+    plan = explain_formatted(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan[:2000]
+    assert "dynamicpruning" in m.group(1), m.group(1)
