@@ -57,6 +57,8 @@ HEADLINE = [
     "pii_detect",
     "decontam_ngram_overlap",
     "quality_repetition",
+    "window_retention_cohort",
+    "join_dpp_prune",
 ]
 
 

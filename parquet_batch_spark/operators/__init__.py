@@ -114,6 +114,7 @@ _PRIORITY = [
     "source_orc_roundtrip",
     "quality_expectations",
     "join_dpp_prune",
+    "text_tfidf_topk",
 ]
 
 _MODULES = [

@@ -337,7 +337,79 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+TFIDF_TOPK = 3
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by tf-idf.
+
+    Uses the RATIONAL idf variant ``tf * N / df`` (no logarithm): the
+    score stays an exact integer ratio, so its IEEE-754 quotient is
+    bit-identical in every engine — a log-based idf differs in the
+    last ulp between libm implementations and would poison the value
+    hash. Ranking ties (same score within a doc) break on the term
+    string, making the top-k fully deterministic.
+
+    Scale path: term explode → (doc, term) count (one shuffle with
+    map-side combine), document frequency from the already-reduced
+    tf table (second, smaller shuffle on term), tf⋈df equi-join on
+    term (vocabulary-sized — Zipf keeps it far smaller than the
+    corpus), then a per-doc window over ≤|vocab ∩ doc| rows. The
+    only driver scalar is the corpus doc count. No all-pairs, no
+    collect of per-doc data.
+    """
+    from pyspark.sql import Window as W
+
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    n_docs = d.count()
+    terms = d.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score", (F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOPK)
+        .select("doc_id", "rnk", "term", "tf", "df", "score")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+_TFIDF_SQL = f"""
+WITH terms AS (
+    SELECT doc_id, unnest({sql_tokens("lower(text)")}) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+),
+dfreq AS (
+    SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT doc_id, term, tf, df,
+           CAST(tf * n_docs AS DOUBLE) / df AS score
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+    SELECT doc_id, term, tf, df, score,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, term ASC
+           ) AS INTEGER) AS rnk
+    FROM scored
+)
+SELECT doc_id, rnk, term, tf, df, score
+FROM ranked WHERE rnk <= {TFIDF_TOPK}
+ORDER BY doc_id, rnk
+"""
+
+
 QUERIES = {
+    "text_tfidf_topk": text_tfidf_topk,
     "text_chunk_windows": text_chunk_windows,
     "text_token_count": text_token_count,
     "text_stats": text_stats,
@@ -347,6 +419,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_tfidf_topk": _TFIDF_SQL,
     "text_chunk_windows": _chunk_sql(),
     "text_token_count": _TEXT_TOKEN_COUNT_SQL,
     "text_stats": _TEXT_STATS_SQL,
