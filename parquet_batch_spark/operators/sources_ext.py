@@ -223,7 +223,14 @@ def join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
         F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
     )
-    li.write.mode("overwrite").partitionBy("ship_month").parquet(out)
+    # repartition on the partition column first: without it every write
+    # task emits a file into every month directory (tasks × partitions
+    # small files — the classic partitioned-write explosion); with it
+    # each month is one task → one file. Same fix at 100 TB, where the
+    # explosion is 10k tasks × 84 months.
+    li.repartition("ship_month").write.mode("overwrite").partitionBy(
+        "ship_month"
+    ).parquet(out)
     fact = spark.read.parquet(out)
     months = (
         load(spark, sf_dir, "lineitem")
