@@ -82,3 +82,42 @@ def test_zorder_layout_prunes(spark, sf_dir):
     overlap, total = _overlapping_files(zorder_output_dir(sf_dir))
     assert total >= 8
     assert overlap <= max(2, total // 4), (overlap, total)
+
+
+def test_retention_cohort_invariants(spark, sf_dir):
+    """Properties the oracle can't see: offset-0 retention is exactly
+    1.0 for every cohort (everyone is active on their first day), all
+    ratios are in (0, 1], offsets are non-negative, and n_active never
+    exceeds the cohort size."""
+    from parquet_batch_spark.operators.warehouse import window_retention_cohort
+
+    rows = window_retention_cohort(spark, sf_dir).collect()
+    assert rows, "retention matrix must be non-empty"
+    day0 = {r.cohort_day: r for r in rows if r.day_offset == 0}
+    cohorts = {r.cohort_day for r in rows}
+    assert set(day0) == cohorts  # every cohort has an offset-0 row
+    for r in day0.values():
+        assert r.n_active == r.n_cohort and r.retention == 1.0
+    for r in rows:
+        assert r.day_offset >= 0
+        assert 0 < r.n_active <= r.n_cohort
+        assert 0.0 < r.retention <= 1.0
+
+
+def test_quality_expectations_detects_planted_violations(spark):
+    """Run the same check expressions against a planted frame with
+    known defects and assert each check counts exactly its violations."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (1, 50.0), (2, -3.0), (3, 101.0), (4, None)],
+        "k long, v double",
+    )
+    out = df.agg(
+        (F.count(F.lit(1)) - F.countDistinct("k")).alias("dup"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("nulls"),
+        F.sum(
+            F.when((F.col("v") < 0) | (F.col("v") > 100), 1).otherwise(0)
+        ).alias("range_viol"),
+    ).collect()[0]
+    assert out.dup == 1 and out.nulls == 1 and out.range_viol == 2
