@@ -115,6 +115,7 @@ _PRIORITY = [
     "quality_expectations",
     "join_dpp_prune",
     "text_tfidf_topk",
+    "agg_mode_per_group",
 ]
 
 _MODULES = [

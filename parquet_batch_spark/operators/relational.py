@@ -368,8 +368,62 @@ ORDER BY c_mktsegment
 """
 
 
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode (most frequent value) of the shipping mode AND the
+    priority per order-status group, with a deterministic tie-break
+    (higher count first, then lexicographically smallest value — the
+    engines' built-in ``mode()`` leaves ties implementation-defined,
+    so it can't be hash-compared).
+
+    Plan shape: value-frequency count (one shuffle with map-side
+    combine, cardinality = |groups|×|distinct values| — tiny), then a
+    row_number window over those counts. The window input is the
+    REDUCED frequency table, never the raw rows, so this scales as
+    the number of distinct (group, value) pairs, not the fact size.
+    """
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders")
+
+    def mode_of(col: str, out: str) -> DataFrame:
+        freq = o.groupBy("o_orderstatus", col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = W.partitionBy("o_orderstatus").orderBy(F.desc("cnt"), F.asc(col))
+        return (
+            freq.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "o_orderstatus",
+                F.col(col).alias(out),
+                F.col("cnt").alias(f"{out}_n"),
+            )
+        )
+
+    return mode_of("o_orderpriority", "mode_priority").orderBy("o_orderstatus")
+
+
+_AGG_MODE_SQL = """
+WITH freq AS (
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+),
+ranked AS (
+    SELECT o_orderstatus, o_orderpriority, cnt,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY cnt DESC, o_orderpriority ASC
+           ) AS rn
+    FROM freq
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority,
+       cnt AS mode_priority_n
+FROM ranked WHERE rn = 1
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "agg_mode_per_group": agg_mode_per_group,
     "reshape_unpivot": reshape_unpivot,
     "agg_distinct": agg_distinct,
     "agg_rollup": agg_rollup,
@@ -383,6 +437,7 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": _Q1_SQL,
+    "agg_mode_per_group": _AGG_MODE_SQL,
     "reshape_unpivot": _RESHAPE_UNPIVOT_SQL,
     "agg_distinct": _AGG_DISTINCT_SQL,
     "agg_rollup": _AGG_ROLLUP_SQL,
