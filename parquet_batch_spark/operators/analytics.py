@@ -21,9 +21,12 @@ group, and were verified bit-identical on this data. At 100 TB an
 exact percentile is a heavy (per-group sort) operation — the
 ``approx_distinct_sketch`` entry demonstrates the sketch alternative
 (HLL++, mergeable, one pass, no sort) that a real pipeline would
-prefer; being approximate it carries the driver's rows-only check, and
-tests/test_analytics.py bounds its relative error against the exact
-count instead.
+prefer. The sketch entries are still fully oracle-checked: they
+project exact values plus deterministic "sketch within bound"
+booleans (the sketches are deterministic for fixed data and the
+assertion bands sit far outside the guaranteed error), so the oracle
+can state the bound as ``TRUE``; tests/test_analytics.py additionally
+bounds the raw errors.
 """
 
 from __future__ import annotations
@@ -237,21 +240,43 @@ LIMIT 25
 
 
 def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ distinct-customer estimate per order priority, alongside
-    the exact count. At 100 TB the sketch is the right default: one
-    pass, constant memory, mergeable across partials — where exact
-    COUNT(DISTINCT) shuffles every distinct key. Approximate ⇒ no SQL
-    oracle (driver rows-only check); tests/test_analytics.py bounds the
-    relative error instead."""
+    """HLL++ distinct-customer estimate per order priority, checked
+    against the exact count. At 100 TB the sketch is the right
+    default: one pass, constant memory, mergeable across partials —
+    where exact COUNT(DISTINCT) shuffles every distinct key.
+
+    Oracle strategy: the sketch value itself is engine-specific, so
+    the query projects the EXACT count plus a deterministic bound
+    check — Spark's HLL++ is deterministic for fixed data (hash-based,
+    merge is a register-wise max, so partial order cannot change it),
+    and the configured 2 % standard error leaves the 5 % assertion
+    band far from the boundary. The oracle states the exact count and
+    ``TRUE``; tests/test_analytics.py additionally bounds the raw
+    relative error."""
     o = load(spark, sf_dir, "orders")
+    approx = F.approx_count_distinct("o_custkey", 0.02)
+    exact = F.countDistinct("o_custkey")
     return (
         o.groupBy("o_orderpriority")
         .agg(
-            F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
-            F.countDistinct("o_custkey").alias("exact_customers"),
+            exact.alias("exact_customers"),
+            (
+                F.abs(approx.cast("double") / exact.cast("double") - F.lit(1.0))
+                <= F.lit(0.05)
+            ).alias("within_5pct"),
         )
         .orderBy("o_orderpriority")
     )
+
+
+_ADS_SQL = """
+SELECT o_orderpriority,
+    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+    TRUE AS within_5pct
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
 
 
 def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -259,22 +284,57 @@ def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``approx_percentile``) next to their exact counterparts — the
     one-pass, constant-memory, mergeable alternative to the per-group
     sort that ``agg_percentiles`` pays. At 100 TB this is the default;
-    exactness is the opt-in. Approximate ⇒ rows-only driver check;
-    tests/test_analytics.py bounds the rank error against the exact
-    values."""
+    exactness is the opt-in.
+
+    Oracle strategy: exact quantiles project as scalars (bit-identical
+    linear interpolation in both engines, see module docstring); the
+    sketch half projects one deterministic boolean per quantile —
+    "approx value lies within the exact [q−0.01, q+0.01] quantile
+    band". GK with accuracy 10000 guarantees rank error ≤ 1e-4 (the
+    bound survives merges), 100× inside the band, so the boolean is
+    robust to any partition layout and the oracle can state ``TRUE``."""
     li = load(spark, sf_dir, "lineitem")
-    return (
+    qs = "array(0.24D, 0.25D, 0.26D, 0.49D, 0.5D, 0.51D, 0.94D, 0.95D, 0.96D)"
+    agg = (
         li.groupBy("l_returnflag")
         .agg(
             F.expr(
                 "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.95), 10000)"
-            ).alias("approx_price_pcts"),
-            F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.95))").alias(
-                "exact_price_pcts"
-            ),
+            ).alias("ap"),
+            F.expr(f"percentile(l_extendedprice, {qs})").alias("ep"),
+        )
+    )
+    def ok(i: int) -> F.Column:
+        return (F.col("ap")[i] >= F.col("ep")[3 * i]) & (
+            F.col("ap")[i] <= F.col("ep")[3 * i + 2]
+        )
+
+    return (
+        agg.select(
+            "l_returnflag",
+            F.col("ep")[1].alias("price_p25"),
+            F.col("ep")[4].alias("price_p50"),
+            F.col("ep")[7].alias("price_p95"),
+            ok(0).alias("approx_p25_ok"),
+            ok(1).alias("approx_p50_ok"),
+            ok(2).alias("approx_p95_ok"),
         )
         .orderBy("l_returnflag")
     )
+
+
+_APS_SQL = """
+SELECT l_returnflag,
+    quantile_cont(l_extendedprice, 0.25) AS price_p25,
+    quantile_cont(l_extendedprice, 0.5)  AS price_p50,
+    quantile_cont(l_extendedprice, 0.95) AS price_p95,
+    TRUE AS approx_p25_ok,
+    TRUE AS approx_p50_ok,
+    TRUE AS approx_p95_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
 
 
 def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -474,6 +534,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "approx_percentile_sketch": _APS_SQL,
+    "approx_distinct_sketch": _ADS_SQL,
     "agg_percentiles": _PCTL_SQL,
     "rollup_hypertable": _ROLLUP_SQL,
     "approx_heavy_hitters_cms": _cms_sql(),

@@ -277,7 +277,9 @@ def func_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("missing_val", F.element_at(m, "nope"))
         .withColumn("n_keys", F.size(m2))
         .withColumn("has_brand", F.map_contains_key(m2, "brand"))
-        .withColumn("keys_sorted", F.array_sort(F.map_keys(m2)))
+        .withColumn(
+            "keys_sorted", F.array_join(F.array_sort(F.map_keys(m2)), ",")
+        )
         .drop("p_brand", "p_type", "p_size")
         .orderBy("p_partkey")
     )
@@ -291,7 +293,7 @@ SELECT p_partkey,
     CAST(NULL AS VARCHAR) AS missing_val,
     3 AS n_keys,
     TRUE AS has_brand,
-    ['brand', 'size', 'type'] AS keys_sorted
+    'brand,size,type' AS keys_sorted
 FROM part
 ORDER BY p_partkey
 """

@@ -148,9 +148,16 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup: first event per (user_id, event_type)
     within the watermark horizon (dropDuplicatesWithinWatermark).
 
-    No SQL oracle — cross-micro-batch arrival semantics are not
-    batch-expressible; the driver records the rows-only check and
-    tests assert the per-key uniqueness invariant.
+    Oracle strategy: WHICH physical row survives per key is an
+    arrival-order artifact (not reproducible in batch SQL), but the
+    survivor KEY SET and per-key survivor count are deterministic —
+    the availableNow replay of the single events file is one
+    micro-batch (no maxFilesPerTrigger option set), the initial
+    watermark is −∞, so no state is evicted mid-batch and exactly one
+    row per distinct key survives. The query projects that final
+    state (key + n_kept); the batch oracle is SELECT DISTINCT with a
+    literal 1. tests/test_streaming.py keeps the uniqueness-invariant
+    check on the raw survivor rows.
     """
     ev = _event_stream(spark, sf_dir)
     deduped = (
@@ -159,7 +166,18 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "event_id", "ts")
     )
     out = _drain(deduped, spark)
-    return out.orderBy("user_id", "event_type", "event_id")
+    return (
+        out.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+_STREAMING_DEDUP_SQL = """
+SELECT user_id, event_type, CAST(1 AS BIGINT) AS n_kept
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+ORDER BY user_id, event_type
+"""
 
 
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,6 +466,7 @@ ORACLES = {
     "streaming_static_join": _STREAMING_STATIC_JOIN_SQL,
     "streaming_tumbling_window": _STREAMING_TUMBLING_SQL,
     "streaming_sliding_window": _STREAMING_SLIDING_SQL,
+    "streaming_dedup_watermark": _STREAMING_DEDUP_SQL,
     "streaming_session_window": _STREAMING_SESSION_SQL,
     "streaming_stateful_user_stats": _STREAMING_STATEFUL_SQL,
 }

@@ -77,6 +77,27 @@ def _type_sig(t) -> str:
     return str(t)
 
 
+def check_driver_hashable(name: str, spark_df: DataFrame) -> CompareResult:
+    """The driver's canonicalizer pandas-sorts over ALL output columns
+    before hashing; a top-level array/map cell raises ``unhashable
+    type: 'list'`` and records an ERR row regardless of correctness
+    (the two r2 driver ERRs). Every registered query — rows-only
+    included — must therefore project only scalar top-level columns
+    (``array_join`` lists, explode maps, or emit per-element scalars)."""
+    from pyspark.sql import types as T
+
+    bad = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType))
+    ]
+    if bad:
+        return CompareResult(
+            name, False, "driver-unhashable top-level array/map columns", bad
+        )
+    return CompareResult(name, True, "hashable")
+
+
 def check_types(
     name: str,
     spark_df: DataFrame,
@@ -163,7 +184,10 @@ def run_all(
             continue
         try:
             df = fn(spark, sf_dir)
-            if name in oracles:
+            hashable = check_driver_hashable(name, df)
+            if not hashable.ok:
+                results.append(hashable)
+            elif name in oracles:
                 results.append(compare(name, df, oracles[name], con))
             else:
                 n = df.count()

@@ -25,17 +25,20 @@ def test_every_oracle_has_a_query():
     rows_only = sorted(set(qs) - set(os_))
     assert rows_only == [
         "ann_ivf_topk",
-        "approx_distinct_sketch",
-        "approx_percentile_sketch",
-        "streaming_dedup_watermark",
     ], rows_only
 
 
-def test_driver_window_covers_round2_targets():
-    """Slots 1-50 must contain exactly the 48 r1-unchecked queries plus
-    the two repaired hash-fails (the round's CORRECTNESS goal)."""
+def test_driver_window_covers_round3_targets():
+    """Slots 1-50 must contain the 27 never-checked r2-new queries,
+    the 4 repaired r2 ERRs, and 19 stalest r1 greens (this round's
+    CORRECTNESS goal — see _PRIORITY's rotation ledger)."""
     first50 = list(all_queries())[:50]
-    assert "source_json_roundtrip" in first50 and "tpch_q12" in first50
-    for family in ("dedup_", "ann_bruteforce", "ann_lsh", "text_", "multimodal_m",
-                   "streaming_t", "func_", "window_r", "udtf_"):
-        assert any(n.startswith(family) for n in first50), family
+    repaired = {"approx_percentile_sketch", "func_map",
+                "approx_distinct_sketch", "streaming_dedup_watermark"}
+    assert repaired <= set(first50)
+    for never_checked in ("pii_detect", "decontam_ngram_overlap",
+                          "graph_pagerank", "ann_ivf_topk", "etl_scd2",
+                          "join_dpp_prune", "text_tfidf_topk",
+                          "agg_mode_per_group", "quality_expectations"):
+        assert never_checked in first50, never_checked
+    assert "q1_pricing_summary" in first50  # stalest r1 block present

@@ -110,8 +110,9 @@ def test_streaming_dedup_unique_keys(spark):
     from parquet_batch_spark.streaming.windows import streaming_dedup_watermark
 
     out = streaming_dedup_watermark(spark, SF_DIR)
-    dup = out.groupBy("user_id", "event_type").count().filter(F.col("count") > 1)
+    dup = out.filter(F.col("n_kept") > 1)
     assert dup.count() == 0
+    assert out.count() > 0
 
 
 def test_stateful_user_stats_matches_batch(spark):
