@@ -463,136 +463,186 @@ ORDER BY doc_a, doc_b
 
 # ---------------------------------------------------------------- cosine
 
-# Random-hyperplane LSH banding for candidate generation: 16 seeded
-# planes → 16 sign bits → 4 bands × 4 bits. Two vectors are candidates
-# iff they agree on ALL bits of at least one band (lossless for
-# sign-hamming ≤ 3 by pigeonhole). BITS_PER_BAND is the 100 TB knob:
-# raising it shrinks buckets geometrically (random-pair collision
-# ≈ N_COS_BANDS / 2^BITS_PER_BAND) at a graded recall cost.
+# Random-hyperplane LSH banding for candidate generation: each of
+# N_COS_BANDS bands hashes a vector to a sign-bit code; two vectors are
+# candidates iff they share at least one band's code. The number of
+# code bits actually used is DERIVED FROM CORPUS SIZE — the smallest
+# b ∈ [COS_MIN_BITS, COS_MAX_BITS] with N ≤ COS_TARGET_BUCKET·2^b — so
+# the expected bucket stays ≈ COS_TARGET_BUCKET rows and total pair
+# work is Θ(N·bucket), not Θ(N²/2^bits) with a fixed grid. Recall is
+# the deliberate trade: per-band collision for a pair at angle θ is
+# (1−θ/π)^bits, so doubling the corpus costs one bit ≈ one factor of
+# (1−θ/π) of per-band recall (graded: →1 as cos→1, where near-dups
+# live). Both engines compute bits from the same integer ladder, so
+# results stay bit-exactly comparable at every corpus size. Past
+# N = COS_TARGET_BUCKET·2^COS_MAX_BITS (≈4M at the defaults), raise
+# COS_MAX_BITS / N_COS_BANDS together to hold bucket size and recall.
 N_COS_BANDS = 4
-BITS_PER_BAND = 4
-N_COS_PLANES = N_COS_BANDS * BITS_PER_BAND
+COS_MIN_BITS = 4
+COS_MAX_BITS = 16  # plane-index stride per band; fixed, mask selects low bits
+COS_TARGET_BUCKET = 64
 EMB_DIM = 64
 
 
-def _band_assign(batches):
+def _cos_bits(n: int) -> int:
+    """Smallest code width whose expected bucket ≤ COS_TARGET_BUCKET —
+    integer comparisons only, mirrored by the oracle's CASE ladder."""
+    bits = COS_MIN_BITS
+    while bits < COS_MAX_BITS and n > COS_TARGET_BUCKET << bits:
+        bits += 1
+    return bits
+
+
+def _band_assign(nbits: int):
     """Vectorized band assignment: one Arrow batch in, each vector out
-    once per band with its (band, bits) bucket key. Plane dot products
-    accumulate dimension-sequentially (``acc += V[:,k]·w[p,k]``) — the
-    identical IEEE op sequence as the oracle's list_sum fold, so sign
-    bits match bit-for-bit. ~100× the throughput of per-row interpreted
-    higher-order-function folds (0.2 ms/vector → ~2 µs), which at
-    billions of vectors is the difference between hours and minutes of
-    CPU per corpus pass."""
+    once per band with its (band, bits) bucket key — SLIM (no vector
+    payload; vectors rejoin by id only for surviving candidate pairs,
+    so the banding shuffle moves 16 bytes/row, not the embedding).
+    Plane p for (band, bit) is ``band*COS_MAX_BITS + bit`` — fixed
+    indexing, so growing the corpus only APPENDS bits to each band's
+    code. Plane dot products accumulate dimension-sequentially
+    (``acc += V[:,k]·w[p,k]``) — the identical IEEE op sequence as the
+    oracle's list_sum fold, so sign bits match bit-for-bit. ~100× the
+    throughput of per-row interpreted higher-order-function folds,
+    which at billions of vectors is the difference between hours and
+    minutes of CPU per corpus pass."""
     import numpy as np
     import pandas as pd
 
     from parquet_batch_spark.operators.similarity import _plane_weight
 
+    plane_ids = [
+        b * COS_MAX_BITS + bit for b in range(N_COS_BANDS) for bit in range(nbits)
+    ]
     planes = np.asarray(
-        [[_plane_weight(p, d) for d in range(EMB_DIM)] for p in range(N_COS_PLANES)],
+        [[_plane_weight(p, d) for d in range(EMB_DIM)] for p in plane_ids],
         dtype=np.float64,
     )
-    for pdf in batches:
-        if not len(pdf):
-            continue
-        V = np.asarray([np.asarray(x) for x in pdf["v"]], dtype=np.float64)
-        acc = np.zeros((len(V), N_COS_PLANES))
-        for k in range(EMB_DIM):
-            acc += V[:, k][:, None] * planes[:, k][None, :]
-        signs = acc > 0
-        for b in range(N_COS_BANDS):
-            bits = np.zeros(len(V), dtype=np.int32)
-            for bit in range(BITS_PER_BAND):
-                bits |= signs[:, b * BITS_PER_BAND + bit].astype(np.int32) << bit
-            yield pd.DataFrame(
-                {"band": b, "bits": bits, "vec_id": pdf["vec_id"], "v": pdf["v"]}
-            )
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray([np.asarray(x) for x in pdf["v"]], dtype=np.float64)
+            acc = np.zeros((len(V), len(plane_ids)))
+            for k in range(EMB_DIM):
+                acc += V[:, k][:, None] * planes[:, k][None, :]
+            signs = acc > 0
+            for b in range(N_COS_BANDS):
+                bits = np.zeros(len(V), dtype=np.int32)
+                for bit in range(nbits):
+                    bits |= signs[:, b * nbits + bit].astype(np.int32) << bit
+                yield pd.DataFrame(
+                    {"band": b, "bits": bits, "vec_id": pdf["vec_id"]}
+                )
+
+    return gen
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ 0.45, LSH-banded candidates.
 
-    The 100 TB shape: NO all-pairs enumeration anywhere in the plan.
-    Each vector is replicated into N_COS_BANDS (band, band_bits)
-    buckets; each bucket is scored internally by one numpy task
-    (``mapInPandas`` upper triangle); pairs colliding in several bands
-    are deduped after scoring. Cost is Σ bucket², bounded by
-    BITS_PER_BAND — vs the previous chunk-pair topology whose join was
-    O(chunks²) regardless of similarity structure. Recall is graded
-    (deterministic banding, mirrored bit-for-bit by the oracle, so
-    correctness stays exact): ≈0.59 for pairs right at the 0.45
-    threshold, →1 as cosine →1; tests/test_similarity.py pins the
-    measured recall floor vs the exact all-pairs baseline.
+    The 100 TB shape: NO all-pairs enumeration anywhere in the plan,
+    and no task ever owns a whole bucket. Candidate generation is a
+    SLIM self-join — each vector contributes N_COS_BANDS 16-byte
+    (band, code, vec_id) rows, the join key is (band, code), and the
+    pair stream flows through the sort-merge join without ever being
+    materialized per-bucket (the previous design collect_list'ed every
+    bucket into one row, so one hot bucket = one straggler task holding
+    it all in memory). Code width grows with corpus size (``_cos_bits``:
+    expected bucket ≈ COS_TARGET_BUCKET rows at any N), so pair work is
+    Θ(N·bucket) with a deliberately graded recall cost — not Θ(N²) over
+    a fixed grid. Vectors rejoin by id only for SURVIVING candidate
+    pairs, and scoring is pure JVM: the same ``F.aggregate``/``zip_with``
+    sequential fold that ``ann_bruteforce_topk`` hash-matches against
+    DuckDB's ``list_sum`` fold — identical IEEE op order, bit-exact.
+    (An Arrow-batched numpy pair scorer was measured and REJECTED: it
+    must ship both 64-dim vectors per candidate pair through Arrow,
+    ~1.5 GB at the 10× scale test, and lost 3× to the in-place JVM
+    fold — the transfer, not the flops, dominates pair scoring.)
 
-    Bit-exactness vs the SQL oracle: accumulation runs dimension-
-    sequentially (``acc += V[:,d]*V[:,d]``) so every pair's dot
-    product performs the identical IEEE op sequence as DuckDB's
-    ``list_sum(list_transform(...))`` left fold — vectorized across
-    pairs, exact per pair.
+    The one driver-side scalar is ``count()`` (parquet metadata read)
+    to derive the code width — the same bounded pattern as the CC
+    convergence probe. tests/test_similarity.py pins precision 1.0 and
+    the measured recall floor vs the exact all-pairs baseline.
     """
-    import numpy as np
-    import pandas as pd
-
     em = fan_out(load(spark, sf_dir, "embeddings"), spark)
     dvec = F.transform("embedding", lambda x: x.cast("double"))
     base = em.select("vec_id", dvec.alias("v"))
+    nbits = _cos_bits(load(spark, sf_dir, "embeddings").count())
     probes = base.mapInPandas(
-        _band_assign, schema="band int, bits int, vec_id long, v array<double>"
+        _band_assign(nbits), schema="band int, bits int, vec_id long"
     )
-    buckets = (
-        probes.groupBy("band", "bits")
-        .agg(F.collect_list("vec_id").alias("ids"), F.collect_list("v").alias("vs"))
-    )
-
-    def score(batches):
-        for pdf in batches:
-            out_a, out_b, out_c = [], [], []
-            for row in pdf.itertuples(index=False):
-                ids = np.asarray(row.ids, dtype=np.int64)
-                if len(ids) < 2:
-                    continue
-                V = np.asarray([np.asarray(v) for v in row.vs], dtype=np.float64)
-                d = V.shape[1]
-                # dimension-sequential accumulation == the SQL fold
-                nrm = np.zeros(len(ids))
-                dots = np.zeros((len(ids), len(ids)))
-                for k in range(d):
-                    nrm += V[:, k] * V[:, k]
-                    dots += V[:, k][:, None] * V[:, k][None, :]
-                cos = dots / (np.sqrt(nrm)[:, None] * np.sqrt(nrm)[None, :])
-                ia, ib = np.nonzero((cos >= COSINE_THRESHOLD) & (ids[:, None] < ids[None, :]))
-                out_a.append(ids[ia])
-                out_b.append(ids[ib])
-                out_c.append(np.round(cos[ia, ib], 6))
-            yield pd.DataFrame(
-                {
-                    "vec_a": np.concatenate(out_a) if out_a else [],
-                    "vec_b": np.concatenate(out_b) if out_b else [],
-                    "cos_sim": np.concatenate(out_c) if out_c else [],
-                }
-            )
-
-    return (
-        buckets.mapInPandas(score, schema="vec_a long, vec_b long, cos_sim double")
+    cand = (
+        probes.select("band", "bits", F.col("vec_id").alias("vec_a"))
+        .join(
+            probes.select("band", "bits", F.col("vec_id").alias("vec_b")),
+            ["band", "bits"],
+        )
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    nv = base.withColumn("nrm", nrm)
+    pairs = cand.join(
+        nv.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+        ),
+        "vec_a",
+    ).join(
+        nv.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+        ),
+        "vec_b",
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    cos = dot / (F.col("na") * F.col("nb"))
+    return (
+        pairs.withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
         .orderBy("vec_a", "vec_b")
     )
 
 
-def _sql_cos_band(band: int) -> str:
-    """DuckDB expression mirroring ``_cos_band_val`` bit-for-bit."""
+def _sql_cos_code(band: int) -> str:
+    """DuckDB expression for band's FULL COS_MAX_BITS-bit sign code,
+    mirroring ``_band_assign`` plane-for-plane; the dynamic code width
+    is applied afterwards as ``code & mask`` (low ``bits`` bits of the
+    full code ARE the ``bits``-wide code, since bit i always comes from
+    plane band*COS_MAX_BITS+i)."""
     from parquet_batch_spark.operators.similarity import _sql_plane_list
 
     bits = []
-    for bit in range(BITS_PER_BAND):
-        p = band * BITS_PER_BAND + bit
+    for bit in range(COS_MAX_BITS):
+        p = band * COS_MAX_BITS + bit
         bits.append(
             f"(CASE WHEN list_sum(list_transform(generate_series(1, {EMB_DIM}),"
             f" i -> v[i] * ({_sql_plane_list(p, EMB_DIM)})[i])) > 0"
             f" THEN {1 << bit} ELSE 0 END)"
         )
     return "\n         + ".join(bits)
+
+
+def _sql_cos_mask_ladder() -> str:
+    """CASE ladder computing (1 << _cos_bits(n)) - 1 from the corpus
+    row count — integer comparisons only, identical to the Python."""
+    arms = []
+    for b in range(COS_MIN_BITS, COS_MAX_BITS):
+        arms.append(f"WHEN n <= {COS_TARGET_BUCKET << b} THEN {(1 << b) - 1}")
+    arms.append(f"ELSE {(1 << COS_MAX_BITS) - 1}")
+    return "CASE " + " ".join(arms) + " END"
 
 
 _COS_EXPR = (
@@ -606,6 +656,10 @@ WITH vecs AS (
         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings
 ),
+params AS (
+    SELECT {_sql_cos_mask_ladder()} AS mask
+    FROM (SELECT COUNT(*) AS n FROM vecs)
+),
 nv AS (
     SELECT vec_id, v,
         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
@@ -613,7 +667,9 @@ nv AS (
 ),
 probes AS (
 {" UNION ALL ".join(f'''
-    SELECT {b} AS band, {_sql_cos_band(b)} AS bits, vec_id FROM vecs
+    SELECT {b} AS band,
+        ({_sql_cos_code(b)}) & (SELECT mask FROM params) AS bits,
+        vec_id FROM vecs
 ''' for b in range(N_COS_BANDS))}
 ),
 cand AS (

@@ -152,6 +152,10 @@ def test_dedup_pipelines_avoid_cartesian(spark, sf_dir):
         plan = executed_plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, f"{fn.__name__}: cartesian!"
         assert "BroadcastNestedLoopJoin" not in plan, f"{fn.__name__}: NLJ!"
+        # no whole-bucket materialization either: a collect_list of
+        # vectors puts an entire LSH bucket in ONE aggregation row —
+        # a straggler task holding the hot bucket in memory at 100 TB
+        assert "collect_list" not in plan, f"{fn.__name__}: bucket collect_list!"
 
 
 def test_decontam_benchmark_side_broadcasts(spark, sf_dir):
