@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from parquet_batch_spark.catalog import fan_out, load
-from parquet_batch_spark.functions.hashing import MERSENNE_P
+from parquet_batch_spark.functions.hashing import MERSENNE_P, hash32, sql_hash32
 
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 serve as the query set
@@ -242,95 +242,118 @@ ORDER BY query_id, rank
 
 # ---------------------------------------------------------------- IVF path
 
-IVF_K = 16  # coarse-quantizer cells
-IVF_ITERS = 3  # fixed Lloyd iterations (determinism > marginal quality)
-IVF_NPROBE = 4  # cells probed per query
+IVF_MIN_K = 16  # floor on coarse-quantizer cell count
+IVF_NPROBE_FLOOR = 4  # floor on cells probed per query
+IVF_ASSIGN = 2  # spill assignment: each vector indexed in its 2 nearest cells
 
 
-def _ivf_assignments(spark: SparkSession, sf_dir: str):
-    """Deterministic IVF coarse quantizer: seed centroids are the
-    vectors with the IVF_K smallest vec_ids, refined by IVF_ITERS fixed
-    Lloyd iterations (assign via numpy mapInPandas, re-center via
-    groupBy avg — one shuffle per iteration, centroids broadcast).
-    Returns (assignments df: vec_id, v, cell; centroids: {cell: np
-    array}). Fixed iteration count keeps the operator deterministic —
-    no convergence-dependent results across runs or cluster sizes."""
-    import numpy as np
+def _ivf_k(n: int) -> int:
+    """K = max(16, ceil(sqrt(N))) — integer-exact (isqrt), mirrored by
+    the oracle's GREATEST(16, CEIL(SQRT(n)))."""
+    import math
 
-    em = fan_out(load(spark, sf_dir, "embeddings"), spark)
-    base = em.select("vec_id", _dvec().alias("v"))
-    cents = np.asarray(
-        [
-            np.asarray(r["v"], dtype=np.float64)
-            for r in base.orderBy("vec_id").limit(IVF_K).collect()
-        ]
-    )
+    return max(IVF_MIN_K, math.isqrt(n - 1) + 1) if n > 0 else IVF_MIN_K
 
-    def assigner(centroids):
-        def assign(batches):
-            import pandas as pd
 
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                V = np.asarray([np.asarray(x) for x in pdf["v"]], dtype=np.float64)
-                # nearest centroid by L2; ties break to the lower cell id
-                d2 = ((V[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-                yield pd.DataFrame(
-                    {
-                        "vec_id": pdf["vec_id"],
-                        "v": pdf["v"],
-                        "cell": d2.argmin(axis=1).astype("int32"),
-                    }
-                )
-
-        return assign
-
-    schema = "vec_id long, v array<double>, cell int"
-    assigned = base.mapInPandas(assigner(cents), schema=schema)
-    for _ in range(IVF_ITERS):
-        means = (
-            assigned.select(
-                "cell", F.posexplode("v").alias("dim", "x")
-            )
-            .groupBy("cell", "dim")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
-        new_cents = cents.copy()
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cell.setdefault(r["cell"], {})[r["dim"]] = r["m"]
-        for cell, dims in by_cell.items():
-            for dim, m in dims.items():
-                new_cents[cell, dim] = m
-        cents = new_cents
-        assigned = base.mapInPandas(assigner(cents), schema=schema)
-    return assigned, cents
+def _ivf_nprobe(k: int) -> int:
+    """nprobe grows with the cell count (k/4, floor 4) so the probed
+    corpus fraction nprobe/K shrinks as ~4/sqrt(N) instead of pinning
+    a constant fraction."""
+    return max(IVF_NPROBE_FLOOR, k // 4)
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate top-5: the third ANN tier after
-    brute-force (exact) and hyperplane LSH. A coarse quantizer
-    partitions the corpus into IVF_K cells; each query scores only the
-    IVF_NPROBE nearest cells' vectors — candidate generation is an
-    equi-join on cell id, the same bucketed topology that scales to
-    100 TB (cells ≈ partitions; a real deployment raises K with corpus
-    size and stores cells clustered on disk so probes are partition
-    prunes). Deterministic (fixed seeds/iterations) but its results
-    encode float k-means geometry, which SQL can't reproduce readably —
-    registered rows-only (driver), with recall vs the exact baseline
-    pinned in tests/test_similarity.py."""
+    brute-force (exact) and hyperplane LSH.
+
+    Coarse quantizer: the K = max(16, ceil(sqrt(N))) corpus vectors
+    with the smallest portable md5 hash of their id (cell = rank in
+    that ordering) serve directly as centroids — the FAISS-style
+    "random data points" initialization WITHOUT Lloyd refinement.
+    Dropping Lloyd (vs the previous revision) removes all four full
+    corpus training passes — training is now a single top-K selection
+    by hash — and makes the quantizer exactly SQL-expressible, so the
+    driver hash-checks this operator instead of recording a rows-only
+    row. The quality cost is modest and measured: recall vs the exact
+    baseline is pinned in tests/test_similarity.py.
+
+    Scale shape: K grows as sqrt(N), so cells hold ~sqrt(N) vectors and
+    a query probes nprobe·sqrt(N) of them (nprobe = max(4, K/4) —
+    probed fraction shrinks as 1/sqrt(N)). Each vector is indexed in
+    its IVF_ASSIGN=2 nearest cells (spill assignment — the standard
+    boundary-loss fix; 2× index size, bought back many times over in
+    recall on corpora without strong cluster structure). Assignment is one corpus
+    pass with the K×64 centroid matrix broadcast into an Arrow-batched
+    numpy task (16 MB at N=1e9 — a real deployment chunks K if it
+    outgrows the broadcast budget); candidate generation is an
+    equi-join on cell id, the bucketed topology that scales to 100 TB
+    (cells ≈ partitions, stored clustered so probes become partition
+    prunes). N·K distance evaluations per corpus pass is the inherent
+    IVF assignment cost (FAISS pays the same, via BLAS).
+
+    Bit-exactness: every distance/score accumulates dimension-
+    sequentially (numpy ``acc += (V[:,d]-C[:,d])²`` / JVM fold), the
+    identical IEEE op order as the oracle's list_sum folds, so cell
+    assignment, probe choice, and cosine ranks match DuckDB exactly;
+    ties break to the lower cell id / vec_id in both engines."""
     import numpy as np
 
-    assigned, cents = _ivf_assignments(spark, sf_dir)
-    # query -> its IVF_NPROBE nearest cells (driver-side: K×Q tiny)
-    queries = assigned.filter(F.col("vec_id") < N_QUERIES).collect()
+    em = fan_out(load(spark, sf_dir, "embeddings"), spark)
+    base = em.select("vec_id", _dvec().alias("v"))
+    n = load(spark, sf_dir, "embeddings").count()
+    k = _ivf_k(n)
+    nprobe = _ivf_nprobe(k)
+    seed_rows = (
+        base.withColumn("hk", hash32(F.col("vec_id").cast("string")))
+        .orderBy("hk", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    cents = np.asarray(
+        [np.asarray(r["v"], dtype=np.float64) for r in seed_rows]
+    )
+    dim = cents.shape[1]
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray([np.asarray(x) for x in pdf["v"]], dtype=np.float64)
+            # dimension-sequential accumulation == the SQL fold
+            acc = np.zeros((len(V), len(cents)))
+            for d in range(dim):
+                diff = V[:, d][:, None] - cents[None, :, d]
+                acc += diff * diff
+            # stable argsort: ties go to the lower cell id, matching
+            # the oracle's ORDER BY d2, cell; take the IVF_ASSIGN
+            # nearest cells (spill assignment)
+            near = np.argsort(acc, axis=1, kind="stable")[:, :IVF_ASSIGN]
+            out = []
+            for j in range(IVF_ASSIGN):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"],
+                            "v": pdf["v"],
+                            "cell": near[:, j].astype("int32"),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    assigned = base.mapInPandas(assign, schema="vec_id long, v array<double>, cell int")
+    # query -> its nprobe nearest cells (driver-side: Q×K tiny)
+    q_rows = base.filter(F.col("vec_id") < N_QUERIES).collect()
     probe_rows = []
-    for r in queries:
+    for r in q_rows:
         qv = np.asarray(r["v"], dtype=np.float64)
-        d2 = ((cents - qv[None, :]) ** 2).sum(axis=1)
-        for cell in np.argsort(d2, kind="stable")[:IVF_NPROBE]:
+        d2 = np.zeros(len(cents))
+        for d in range(dim):
+            diff = qv[d] - cents[:, d]
+            d2 += diff * diff
+        for cell in np.argsort(d2, kind="stable")[:nprobe]:
             probe_rows.append((r["vec_id"], int(cell), r["v"]))
     probes = spark.createDataFrame(
         probe_rows, "query_id long, cell int, qv array<double>"
@@ -343,6 +366,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
+        # spill assignment can surface the same (query, neighbor) via
+        # both of the neighbor's cells — dedup before ranking
+        .dropDuplicates(["query_id", "vec_id"])
         .withColumn("cos_sim", dot / (nrm * qnrm))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
@@ -359,6 +385,84 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_D2_FOLD = (
+    f"list_sum(list_transform(generate_series(1, {_DIM}),"
+    " i -> (({q})[i] - ({c})[i]) * (({q})[i] - ({c})[i])))"
+)
+
+
+def _d2(q: str, c: str) -> str:
+    return _D2_FOLD.replace("{q}", q).replace("{c}", c)
+
+
+_ANN_IVF_SQL = f"""
+WITH nv AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+params AS (
+    SELECT GREATEST({IVF_MIN_K}, CAST(CEIL(SQRT(n)) AS INTEGER)) AS k,
+           GREATEST({IVF_NPROBE_FLOOR},
+                    GREATEST({IVF_MIN_K}, CAST(CEIL(SQRT(n)) AS INTEGER)) // 4
+           ) AS nprobe
+    FROM (SELECT COUNT(*) AS n FROM nv)
+),
+seeds AS (
+    SELECT v AS c,
+        ROW_NUMBER() OVER (
+            ORDER BY {sql_hash32("CAST(vec_id AS VARCHAR)")}, vec_id
+        ) - 1 AS cell
+    FROM nv
+    QUALIFY cell < (SELECT k FROM params)
+),
+base AS (
+    SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM nv
+),
+assign AS (
+    SELECT vec_id, v, nrm, cell
+    FROM (
+        SELECT b.vec_id, b.v, b.nrm, s.cell,
+            ROW_NUMBER() OVER (
+                PARTITION BY b.vec_id
+                ORDER BY {_d2("b.v", "s.c")}, s.cell
+            ) AS rn
+        FROM base b, seeds s
+    )
+    WHERE rn <= {IVF_ASSIGN}
+),
+qprobe AS (
+    SELECT query_id, qv, qnrm, cell
+    FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qnrm, s.cell,
+            ROW_NUMBER() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY {_d2("q.v", "s.c")}, s.cell
+            ) AS pr
+        FROM base q, seeds s
+        WHERE q.vec_id < {N_QUERIES}
+    )
+    WHERE pr <= (SELECT nprobe FROM params)
+),
+cands AS (
+    SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+        list_sum(list_transform(generate_series(1, {_DIM}),
+                                i -> a.v[i] * p.qv[i]))
+            / (a.nrm * p.qnrm) AS cos_raw
+    FROM assign a
+    JOIN qprobe p ON a.cell = p.cell AND a.vec_id <> p.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos_raw,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cos_raw DESC, neighbor_id) AS rank
+    FROM cands
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cos_sim, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
@@ -368,6 +472,8 @@ QUERIES = {
 ORACLES = {
     "ann_bruteforce_topk": _ANN_BRUTE_SQL,
     "ann_lsh_bucketed": _ANN_LSH_SQL,
-    # ann_ivf_topk: rows-only by design (float k-means geometry is not
-    # readably SQL-expressible; recall pinned in tests/test_similarity.py)
+    # oracle-checkable since the quantizer moved to hash-sampled data
+    # points (the previous Lloyd-refined float geometry wasn't readably
+    # SQL-expressible and forced a rows-only driver row)
+    "ann_ivf_topk": _ANN_IVF_SQL,
 }

@@ -21,11 +21,11 @@ def test_every_oracle_has_a_query():
     qs, os_ = all_queries(), all_oracles()
     orphans = [n for n in os_ if n not in qs]
     assert not orphans, f"oracles without queries: {orphans}"
-    # rows-only set is deliberate and small — fail loudly if it grows
+    # every query is oracle-checked — fail loudly if a rows-only entry
+    # sneaks in (ann_ivf_topk, the last one, gained an oracle in r4
+    # when its quantizer moved to hash-sampled data points)
     rows_only = sorted(set(qs) - set(os_))
-    assert rows_only == [
-        "ann_ivf_topk",
-    ], rows_only
+    assert rows_only == [], rows_only
 
 
 def test_driver_window_covers_round3_targets():

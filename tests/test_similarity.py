@@ -27,10 +27,13 @@ def test_lsh_recall_against_bruteforce(spark, sf_dir):
 
 
 def test_ivf_recall_against_bruteforce(spark, sf_dir):
-    """IVF coarse quantizer + nprobe=4/16 cells: measured recall
-    0.88-0.92 across test SFs on the near-uniform corpus (cell
-    geometry adapts to the data, unlike fixed hyperplanes — LSH
-    measures ~0.3-0.5 here). Floor set with safety margin."""
+    """IVF with hash-sampled data-point centroids (K=ceil(sqrt(N)),
+    nprobe=K/4, 2-way spill assignment): measured recall 0.68 at
+    sf0.01 (n=500, k=23, 22% of cells probed) on the near-uniform
+    corpus — the hardest case (no cluster structure for cells to
+    adapt to; LSH measures ~0.3-0.5 here at a similar scan budget).
+    The probed fraction shrinks as 1/sqrt(N) at scale. Floor set
+    with safety margin below the measurement."""
     from parquet_batch_spark.operators.similarity import ann_ivf_topk
 
     exact = {
@@ -42,7 +45,7 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir):
         for r in ann_ivf_topk(spark, sf_dir).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.6, f"IVF recall {recall:.2f} < 0.6 ({len(exact)} truth pairs)"
+    assert recall >= 0.55, f"IVF recall {recall:.2f} < 0.55 ({len(exact)} truth pairs)"
 
 
 def test_cosine_dedup_banding_quality(spark, sf_dir):
