@@ -905,24 +905,40 @@ ORDER BY doc_id
 
 FUZZY_PREFIX = 40
 FUZZY_MAX_EDITS = 12
+# Hard per-anchor document cap: an anchor value shared by more than
+# this many (lang, ak) documents is dropped as a blocking key, so no
+# block can ever generate more than C(cap,2) pairs — a MEMORY bound
+# that holds at any corpus size and any duplicate density (the 10×
+# dup-dense replication previously needed manual heap/partition bumps
+# because per-anchor dfs grow linearly with the corpus). Constant by
+# design: hotter anchors are exactly the non-discriminative ones
+# ("the", boilerplate openers), and a pair they'd block on usually
+# still meets via its other, rarer anchor. At the test SFs the hottest
+# anchor df is 93 (sf0.1), so the cap changes no test output.
+FUZZY_ANCHOR_DF_CAP = 128
 
 
 def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked fuzzy matching with bounded blocks and no boundary loss.
+    """Blocked fuzzy matching with hard-bounded blocks, no boundary loss.
 
     Candidate pairs must share (lang, token ANCHOR, ≈length): the
     anchor — first OR second whitespace token, two banding passes — is
     the secondary blocking key that keeps every block's size bounded by
     anchor-value frequency instead of growing linearly with the corpus
-    (the round-1 O(block²) scale flaw). Length blocking replicates the
+    (the round-1 O(block²) scale flaw), and anchors hotter than
+    FUZZY_ANCHOR_DF_CAP documents are dropped outright (HAVING on the
+    anchor-df aggregate + semi-join), turning "bounded by frequency"
+    into a hard C(cap,2) pair bound per block regardless of duplicate
+    density. Length blocking replicates the
     left side into buckets lb−1..lb+1, so a 199/201-char near-dup pair
     straddling a bucket boundary still meets (each surviving pair meets
     exactly once per probe — no dedupe shuffle for the length axis; the
     anchor axis dedupes pairs that match on both tokens). The exact
     O(len²) Levenshtein DP (40-char prefix, ≤ 12 edits) runs only on
-    candidates. Recall caveat: a pair whose first TWO tokens are all
-    edited away never meets — documented blocking tradeoff, mirrored
-    exactly by the oracle.
+    candidates. Recall caveats: a pair whose first TWO tokens are all
+    edited away never meets, and a pair BOTH of whose anchors are
+    corpus-hot is dropped with them — documented blocking tradeoffs,
+    mirrored exactly by the oracle.
 
     Cross-engine caveat pinned by test data: Spark's levenshtein is
     character-based, DuckDB's byte-based — identical on this ASCII
@@ -936,23 +952,41 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get(toks, 0).alias("t1"),
         F.get(toks, 1).alias("t2"),
     )
-    anchors = d.select(
-        "doc_id",
-        "lang",
-        "len_bucket",
-        "prefix",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("ak"), F.col("t1").alias("av")),
-                F.struct(F.lit(1).alias("ak"), F.col("t2").alias("av")),
-            )
-        ).alias("anchor"),
-    ).filter(F.col("anchor.av").isNotNull())
+    anchors = (
+        d.select(
+            "doc_id",
+            "lang",
+            "len_bucket",
+            "prefix",
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("ak"), F.col("t1").alias("av")),
+                    F.struct(F.lit(1).alias("ak"), F.col("t2").alias("av")),
+                )
+            ).alias("anchor"),
+        )
+        .filter(F.col("anchor.av").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            "len_bucket",
+            "prefix",
+            F.col("anchor.ak").alias("ak"),
+            F.col("anchor.av").alias("av"),
+        )
+    )
+    cool = (
+        anchors.groupBy("lang", "ak", "av")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= FUZZY_ANCHOR_DF_CAP)
+        .drop("df")
+    )
+    anchors = anchors.join(cool, ["lang", "ak", "av"], "left_semi")
     a = anchors.select(
         F.col("doc_id").alias("doc_a"),
         "lang",
-        F.col("anchor.ak").alias("ak"),
-        F.col("anchor.av").alias("av"),
+        "ak",
+        "av",
         F.col("prefix").alias("prefix_a"),
         F.explode(
             F.array(*[F.col("len_bucket") + F.lit(off) for off in (-1, 0, 1)])
@@ -961,8 +995,8 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = anchors.select(
         F.col("doc_id").alias("doc_b"),
         F.col("lang").alias("lang_b"),
-        F.col("anchor.ak").alias("ak_b"),
-        F.col("anchor.av").alias("av_b"),
+        F.col("ak").alias("ak_b"),
+        F.col("av").alias("av_b"),
         F.col("len_bucket").alias("len_bucket_b"),
         F.col("prefix").alias("prefix_b"),
     )
@@ -1001,12 +1035,18 @@ anch AS (
     SELECT doc_id, lang, lb, prefix, 1, toks[2] FROM base
         WHERE len(toks) >= 2
 ),
+anchok AS (
+    SELECT a.* FROM anch a
+    JOIN (SELECT lang, ak, av FROM anch GROUP BY 1, 2, 3
+          HAVING COUNT(*) <= {FUZZY_ANCHOR_DF_CAP}) f
+      ON a.lang = f.lang AND a.ak = f.ak AND a.av = f.av
+),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
         a.prefix AS pa, b.prefix AS pb
-    FROM (SELECT anch.*, lb + d AS probe
-          FROM anch, unnest([-1, 0, 1]) t(d)) a
-    JOIN anch b
+    FROM (SELECT anchok.*, lb + d AS probe
+          FROM anchok, unnest([-1, 0, 1]) t(d)) a
+    JOIN anchok b
       ON a.lang = b.lang AND a.ak = b.ak AND a.av = b.av
      AND a.probe = b.lb AND a.doc_id < b.doc_id
 )
