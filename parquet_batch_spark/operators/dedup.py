@@ -604,6 +604,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "vec_b",
     )
+    # aggregate() fold, not an unrolled 64-term expression: both were
+    # measured (the unrolled GetArrayItem chain looked codegen-friendly
+    # but ran 2-5× SLOWER — the giant tree is duplicated into the join
+    # condition and the projection and blows past codegen's method
+    # limits), and the fold is also what the oracle's list_sum mirrors
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
     )
