@@ -40,10 +40,15 @@ def table_path(sf_dir: str, name: str) -> str:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table as a DataFrame (lazy; schema from parquet footer).
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark
-    reads as raw nanos (``spark.sql.legacy.parquet.nanosAsLong``); we
-    convert to ``timestamp_ntz`` with integer µs truncation — exactly
-    what DuckDB's reader does — so oracle comparisons line up.
+    ``events.ts`` has shipped as BOTH parquet TIMESTAMP(NANOS) (rounds
+    1-3) and TIMESTAMP(MICROS) (round 4) — the generator is outside
+    our control, so the loader normalizes EITHER encoding to
+    ``timestamp_ntz`` at µs precision: nanos arrive as a raw long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and are truncated with
+    integer division — exactly what DuckDB's reader does — while
+    micros arrive as a native timestamp and only need the ntz cast
+    (session tz pinned to UTC first, so the cast is wall-clock
+    exact).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -53,11 +58,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-        )
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+        elif ts_type != "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 

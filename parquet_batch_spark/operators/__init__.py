@@ -28,73 +28,53 @@ from pyspark.sql import DataFrame, SparkSession
 #   r2 window: the 48 r1-unchecked (windows, analytics, scalar funcs,
 #     UDFs, text, dedup, similarity, multimodal, streaming) + the two
 #     repaired r1 fails.  46 green; 4 ERRs (2 array-column outputs,
-#     2 no-oracle rows-only) — all four repaired this round.
-#   r3 window (this ordering): slots 1-27 = the 27 ops that have NEVER
-#     had a driver row (r2-new: curation, warehouse lifecycle, extra
-#     windows, pagerank, IVF, variant, ORC/schema-evolution, tfidf,
-#     mode, CMS, DPP); slots 28-31 = the 4 repaired r2 ERRs; slots
-#     32-50 = the stalest r1 greens (scans/sources/sinks/joins/q1,
-#     green r1, unchecked since).  Tail: remaining r1 greens (2 rounds
-#     stale) ahead of r2 greens (1 round stale), then module order.
-#   r4 plan: remaining twice-stale r1 greens (aggs, sort/set,
-#     window_distribution, tpch q2-q22) + the then-stalest r2 greens.
+#     2 no-oracle rows-only) — all four repaired in r3.
+#   r3 window: 27 never-checked r2-new + 4 repaired ERRs + 19 stalest
+#     r1 greens (scans/sources/sinks/joins/q1/agg_distinct).  49 green;
+#     ann_ivf_topk no_oracle (rows-only then — oracle added in r4).
+#   r4 window (this ordering): slots 1-5 = the 5 r4-NEW ops (new ops go
+#     first — the r2 lesson); slots 6-8 = r4-CHANGED ops needing fresh
+#     rows (IVF's first-ever hash check, reworked cosine + fuzzy);
+#     slots 9-37 = the 29 entries green in r1 and unchecked since
+#     (tpch q2-q11/q13-q22, agg rollup/cube/sets/pivot/stats, unpivot,
+#     sort/set, window_distribution); slots 38-50 = stalest r2 greens
+#     (dedup family, ANN pair, json/q12 repairs, first windows).
+#     Tail: remaining r2 greens (2 rounds stale) ahead of r3 greens.
+#   r5 plan: remaining r2 greens (windows/analytics/scalar/UDF/text/
+#     multimodal/streaming blocks) + the then-stalest r3 greens
+#     (curation + warehouse blocks).
 _PRIORITY = [
-    # --- never driver-checked (r2-new), slots 1-27 ---
-    "pii_detect",
-    "decontam_ngram_overlap",
-    "sample_stratified",
-    "quality_repetition",
-    "func_variant",
-    "streaming_foreach_batch_merge",
+    # --- r4-new operators, slots 1-5 ---
+    "dedup_containment",
+    "join_bloom_prefilter",
+    "etl_cdc_apply",
+    "sample_reservoir_per_group",
+    "embedding_kmeans_rollup",
+    # --- r4-changed operators, slots 6-8 ---
     "ann_ivf_topk",
-    "window_gap_fill",
-    "sink_compact_small_files",
-    "multimodal_resize",
-    "approx_heavy_hitters_cms",
-    "text_chunk_windows",
-    "sample_train_val_test",
-    "graph_pagerank",
-    "rollup_hypertable",
-    "window_anomaly_zscore",
-    "source_schema_evolution",
-    "window_funnel",
-    "etl_scd2",
-    "sink_zorder_cluster",
-    "table_stats_profile",
-    "window_retention_cohort",
-    "source_orc_roundtrip",
-    "quality_expectations",
-    "join_dpp_prune",
-    "text_tfidf_topk",
-    "agg_mode_per_group",
-    # --- r2 ERRs repaired this round (scalar outputs / new oracles),
-    #     slots 28-31 ---
-    "approx_percentile_sketch",
-    "func_map",
-    "approx_distinct_sketch",
-    "streaming_dedup_watermark",
-    # --- stalest r1 greens (green r1, unchecked r2), slots 32-50 ---
-    "scan_projection",
-    "scan_count",
-    "scan_multifile",
-    "filter_pushdown",
-    "filter_null_semantics",
-    "source_csv_roundtrip",
-    "sink_partitioned_prune",
-    "etl_merge_upsert",
-    "join_broadcast_dims",
-    "join_fact_fact",
-    "join_outer",
-    "join_semi_anti",
-    "join_range",
-    "join_asof",
-    "join_cross_small",
-    "join_skew_salted",
-    "join_bucketed_colocate",
-    "q1_pricing_summary",
-    "agg_distinct",
-    # --- tail beyond the window: remaining r1 greens (2 rounds stale)
-    #     first in line if the check window stretches past 50 ---
+    "dedup_embedding_cosine",
+    "dedup_fuzzy_levenshtein",
+    # --- green r1, never rechecked (2 rounds stale), slots 9-37 ---
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
@@ -104,6 +84,53 @@ _PRIORITY = [
     "sort_topk",
     "set_ops",
     "window_distribution",
+    # --- stalest r2 greens (1 round stale), slots 38-50 ---
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "ann_bruteforce_topk",
+    "ann_lsh_bucketed",
+    "source_json_roundtrip",
+    "tpch_q12",
+    "window_ranks",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_topk_per_group",
+    # --- tail beyond the window: remaining r2 greens first in line if
+    #     the check window stretches past 50 ---
+    "window_sessionize",
+    "window_range_interval",
+    "agg_percentiles",
+    "agg_histogram",
+    "agg_corr_exact",
+    "sample_systematic",
+    "explode_word_counts",
+    "func_string",
+    "func_date",
+    "func_math",
+    "func_json",
+    "func_array",
+    "func_conditional",
+    "func_json_struct",
+    "udtf_bigram_topk",
+    "udaf_pandas_exact_sum",
+    "apply_in_pandas_profile",
+    "text_stats",
+    "text_langid",
+    "text_fingerprint",
+    "text_corpus_rollup",
+    "text_token_count",
+    "multimodal_metadata",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "streaming_tumbling_window",
+    "streaming_sliding_window",
+    "streaming_session_window",
+    "streaming_stateful_user_stats",
+    "streaming_static_join",
+    "streaming_stream_stream_join",
 ]
 
 _MODULES = [

@@ -43,6 +43,7 @@ N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
 MINHASH_EST_THRESHOLD = 0.5
 JACCARD_THRESHOLD = 0.5
+OVERLAP_THRESHOLD = 0.8  # overlap coefficient |A∩B|/min(|A|,|B|)
 SIMHASH_MAX_HAMMING = 3
 COSINE_THRESHOLD = 0.45
 # Shingle document-frequency cap: a shingle present in more than
@@ -439,6 +440,59 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))  # round for output
         .orderBy("doc_a", "doc_b")
     )
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-CONTAINMENT pairs via the overlap coefficient
+    |A∩B| / min(|A|, |B|) ≥ {OVERLAP_THRESHOLD} — the asymmetric
+    companion to Jaccard that catches a document EMBEDDED in a larger
+    one (quote farms, boilerplate-wrapped reposts, prompt/response
+    concatenations), where Jaccard is diluted by the size ratio and
+    misses. Same inverted-index topology and capped shingle stream as
+    ``dedup_ngram_jaccard`` (only pairs sharing a sub-cap shingle ever
+    meet; no n² enumeration), so the marginal cost over running
+    Jaccard alone is one extra aggregation — a real pipeline computes
+    both from one intersection pass.
+    """
+    hashes = _doc_shingle_hashes(spark, sf_dir)
+    sizes = hashes.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = hashes.alias("a")
+    b = hashes.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    ov = F.col("n_inter").cast("double") / F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(ov >= OVERLAP_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(ov, 6).alias("overlap"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_DEDUP_CONTAINMENT_SQL = f"""
+WITH {_sql_capped_hash_ctes()},
+sizes AS (
+    SELECT doc_id, COUNT(*) AS n_sh FROM hashes GROUP BY doc_id
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+    FROM hashes a JOIN hashes b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+    ROUND(CAST(n_inter AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh), 6) AS overlap
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= {OVERLAP_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
 
 
 _DEDUP_JACCARD_SQL = f"""
@@ -1071,6 +1125,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_containment": dedup_containment,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
@@ -1082,5 +1137,6 @@ ORACLES = {
     "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
     "dedup_simhash": _DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
+    "dedup_containment": _DEDUP_CONTAINMENT_SQL,
     "dedup_embedding_cosine": _DEDUP_COSINE_SQL,
 }

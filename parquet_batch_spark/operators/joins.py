@@ -355,7 +355,101 @@ ORDER BY o_orderstatus
 """
 
 
+BLOOM_WORDS_LOG2 = 16  # 2^16 64-bit words = 512 KiB filter
+BLOOM_K = 4  # bits set per key inside its word
+
+
+def _bloom_word(key: str):
+    """Which 64-bit word of the filter a key belongs to."""
+    return F.pmod(F.xxhash64(F.col(key)), F.lit(1 << BLOOM_WORDS_LOG2))
+
+
+def _bloom_mask(key: str):
+    """The key's BLOOM_K-bit pattern inside its word (blocked-bloom:
+    all of a key's bits live in one word, so probing is ONE lookup).
+    Built via F.expr because the Python shiftleft wrapper only takes
+    literal shift amounts; the SQL form shifts by a computed column."""
+    terms = " | ".join(
+        f"shiftleft(cast(1 as bigint), cast(pmod(xxhash64({key}, {i}), 64) as int))"
+        for i in range(BLOOM_K)
+    )
+    return F.expr(terms)
+
+
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered fact⋈selective-dim join: revenue of lineitems
+    belonging to urgent orders with orderkey % 10 == 0 (~2% of orders).
+
+    THE mechanism for a 100 TB join when the build side's key set is
+    too large to broadcast as an exact hash set but its ~10-bits-per-
+    key Bloom image is not (1e9 keys ≈ 8+ GB hashed vs ~1 GB bloom;
+    1e7 keys ≈ 10 MB). Implemented natively in DataFrame ops as a
+    BLOCKED bloom filter (the Impala/DuckDB cache-line variant): each
+    key hashes to one 64-bit word and sets BLOOM_K bits inside it, so
+
+    - build = ``groupBy(word).agg(bit_or(mask))`` — a partial-
+      aggregating reduction to AT MOST 2^BLOOM_WORDS_LOG2 slim rows,
+      whatever the key count;
+    - probe = broadcast hash EQUI-join on the word index + a bitmask
+      check — one lookup per fact row, pruning the fact BEFORE its
+      shuffle, so only true matches + ~fp·|fact| rows pay shuffle cost.
+
+    False positives are removed by the real equi-join that follows, so
+    the RESULT is exact — the bloom affects cost, never answers — which
+    is why a plain join is a valid oracle and no cross-engine hash
+    portability is needed (xxhash64 stays JVM-side). Spark's own
+    runtime bloom injection (spark.sql.optimizer.runtime.bloomFilter.*)
+    builds this plan automatically above its 10 GB application-side
+    threshold; this operator IS that plan, explicit and assertable at
+    test scale (tests/test_plans.py). Sizing: 2^16 words ≈ 512 KiB
+    serves ~4e5 keys at ~10 bits/key; scale BLOOM_WORDS_LOG2 with the
+    build-side estimate exactly as Spark sizes its own filter.
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    sel = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderkey") % 10 == 0)
+    ).select("o_orderkey")
+    bloom = (
+        sel.select(
+            _bloom_word("o_orderkey").alias("w"),
+            _bloom_mask("o_orderkey").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    probe = li.withColumn("pw", _bloom_word("l_orderkey")).withColumn(
+        "pm", _bloom_mask("l_orderkey")
+    )
+    pruned = (
+        probe.join(F.broadcast(bloom), probe.pw == bloom.w)
+        .filter(F.col("bits").bitwiseAND(F.col("pm")) == F.col("pm"))
+        .drop("pw", "pm", "w", "bits")
+    )
+    one = F.lit(1).cast("decimal(12,4)")
+    rev = dec9("l_extendedprice") * (one - dec9("l_discount"))
+    return (
+        pruned.join(sel, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(dsum_expr(rev, "revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("l_returnflag")
+    )
+
+
+_JOIN_BLOOM_SQL = f"""
+SELECT l_returnflag,
+    {sql_dsum_expr("CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))")} AS revenue,
+    COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 10 = 0
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
+    "join_bloom_prefilter": join_bloom_prefilter,
     "join_bucketed_colocate": join_bucketed_colocate,
     "join_skew_salted": join_skew_salted,
     "join_broadcast_dims": join_broadcast_dims,
@@ -368,6 +462,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_bloom_prefilter": _JOIN_BLOOM_SQL,
     "join_bucketed_colocate": _JOIN_BUCKETED_SQL,
     "join_skew_salted": _JOIN_SALTED_SQL,
     "join_broadcast_dims": _JOIN_BROADCAST_SQL,

@@ -297,10 +297,60 @@ ORDER BY doc_id
 """
 
 
+RESERVOIR_M = 10  # kept documents per (lang, source) group
+
+
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap-per-domain sampling: keep a deterministic uniform sample of
+    at most {RESERVOIR_M} documents per (lang, source) group — the
+    "no single domain dominates the training mix" stage of every
+    large-scale data pipeline. Reservoir semantics without reservoir
+    STATE: rank docs inside each group by the portable hash of their
+    id (uniform, seed-free, reproducible across engines/runs/cluster
+    sizes) and keep the first M — equivalent to a uniform without-
+    replacement draw of M per group.
+
+    Scale shape: one shuffle on the group key, then a per-group sort
+    of (hash, id) pairs only — no payload columns move until the keep
+    decision is made. A pathological group (billions of docs in one
+    domain) serializes in its sort task; the production refinement is
+    a superset hash-threshold prefilter (keep hash < c·M/|group| ·
+    2^32, then exact-rank the survivors), which this operator's
+    deterministic hash ordering makes a pure optimization — the kept
+    set is identical."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang", "source").orderBy("hk", "doc_id")
+    return (
+        d.withColumn("hk", hash32(F.col("doc_id").cast("string")))
+        .withColumn("samp_rank", F.row_number().over(w))
+        .filter(F.col("samp_rank") <= RESERVOIR_M)
+        .select("lang", "source", "doc_id", "samp_rank")
+        .orderBy("lang", "source", "samp_rank")
+    )
+
+
+_RESERVOIR_SQL = f"""
+SELECT lang, source, doc_id, CAST(rn AS INTEGER) AS samp_rank
+FROM (
+    SELECT lang, source, doc_id,
+        ROW_NUMBER() OVER (
+            PARTITION BY lang, source
+            ORDER BY {sql_hash32("CAST(doc_id AS VARCHAR)")}, doc_id
+        ) AS rn
+    FROM documents
+)
+WHERE rn <= {RESERVOIR_M}
+ORDER BY lang, source, samp_rank
+"""
+
+
 QUERIES = {
     "pii_detect": pii_detect,
     "decontam_ngram_overlap": decontam_ngram_overlap,
     "sample_stratified": sample_stratified,
+    "sample_reservoir_per_group": sample_reservoir_per_group,
     "sample_train_val_test": sample_train_val_test,
     "quality_repetition": quality_repetition,
 }
@@ -310,5 +360,6 @@ ORACLES = {
     "pii_detect": _PII_SQL,
     "decontam_ngram_overlap": _DECONTAM_SQL,
     "sample_stratified": _SAMPLE_SQL,
+    "sample_reservoir_per_group": _RESERVOIR_SQL,
     "quality_repetition": _QUALITY_SQL,
 }

@@ -262,6 +262,67 @@ def _ivf_nprobe(k: int) -> int:
     return max(IVF_NPROBE_FLOOR, k // 4)
 
 
+def _hash_seed_cells(spark: SparkSession, sf_dir: str):
+    """(base df, centroid matrix, k) for the hash-sampled coarse
+    quantizer shared by ann_ivf_topk and embedding_kmeans_rollup:
+    centroids are the k = max(16, ceil(sqrt(N))) corpus vectors with
+    the smallest portable md5 hash of their id; cell id = rank in that
+    ordering. Training is ONE top-k-by-hash selection — no Lloyd
+    corpus passes — and the k×dim collect is bounded (~16 MB at
+    N=1e9)."""
+    import numpy as np
+
+    em = fan_out(load(spark, sf_dir, "embeddings"), spark)
+    base = em.select("vec_id", _dvec().alias("v"))
+    n = load(spark, sf_dir, "embeddings").count()
+    k = _ivf_k(n)
+    seed_rows = (
+        base.withColumn("hk", hash32(F.col("vec_id").cast("string")))
+        .orderBy("hk", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    cents = np.asarray([np.asarray(r["v"], dtype=np.float64) for r in seed_rows])
+    return base, cents, k
+
+
+def _assign_cells(base: DataFrame, cents, n_assign: int) -> DataFrame:
+    """Assign each vector to its n_assign nearest centroids via one
+    Arrow-batched numpy corpus pass; dimension-sequential accumulation
+    == the oracle's SQL fold, stable argsort ties to the lower cell id
+    (matching ORDER BY d2, cell)."""
+    import numpy as np
+
+    dim = cents.shape[1]
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray([np.asarray(x) for x in pdf["v"]], dtype=np.float64)
+            acc = np.zeros((len(V), len(cents)))
+            for d in range(dim):
+                diff = V[:, d][:, None] - cents[None, :, d]
+                acc += diff * diff
+            near = np.argsort(acc, axis=1, kind="stable")[:, :n_assign]
+            out = []
+            for j in range(n_assign):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"],
+                            "v": pdf["v"],
+                            "cell": near[:, j].astype("int32"),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return base.mapInPandas(assign, schema="vec_id long, v array<double>, cell int")
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate top-5: the third ANN tier after
     brute-force (exact) and hyperplane LSH.
@@ -298,52 +359,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties break to the lower cell id / vec_id in both engines."""
     import numpy as np
 
-    em = fan_out(load(spark, sf_dir, "embeddings"), spark)
-    base = em.select("vec_id", _dvec().alias("v"))
-    n = load(spark, sf_dir, "embeddings").count()
-    k = _ivf_k(n)
+    base, cents, k = _hash_seed_cells(spark, sf_dir)
     nprobe = _ivf_nprobe(k)
-    seed_rows = (
-        base.withColumn("hk", hash32(F.col("vec_id").cast("string")))
-        .orderBy("hk", "vec_id")
-        .limit(k)
-        .collect()
-    )
-    cents = np.asarray(
-        [np.asarray(r["v"], dtype=np.float64) for r in seed_rows]
-    )
     dim = cents.shape[1]
-
-    def assign(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = np.asarray([np.asarray(x) for x in pdf["v"]], dtype=np.float64)
-            # dimension-sequential accumulation == the SQL fold
-            acc = np.zeros((len(V), len(cents)))
-            for d in range(dim):
-                diff = V[:, d][:, None] - cents[None, :, d]
-                acc += diff * diff
-            # stable argsort: ties go to the lower cell id, matching
-            # the oracle's ORDER BY d2, cell; take the IVF_ASSIGN
-            # nearest cells (spill assignment)
-            near = np.argsort(acc, axis=1, kind="stable")[:, :IVF_ASSIGN]
-            out = []
-            for j in range(IVF_ASSIGN):
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "vec_id": pdf["vec_id"],
-                            "v": pdf["v"],
-                            "cell": near[:, j].astype("int32"),
-                        }
-                    )
-                )
-            yield pd.concat(out, ignore_index=True)
-
-    assigned = base.mapInPandas(assign, schema="vec_id long, v array<double>, cell int")
+    assigned = _assign_cells(base, cents, IVF_ASSIGN)
     # query -> its nprobe nearest cells (driver-side: Q×K tiny)
     q_rows = base.filter(F.col("vec_id") < N_QUERIES).collect()
     probe_rows = []
@@ -463,10 +482,93 @@ ORDER BY query_id, rank
 """
 
 
+def embedding_kmeans_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering profile: assign every embedding to its nearest
+    hash-seeded centroid (the same single-pass quantizer as
+    ``ann_ivf_topk``, 1-way assignment) and roll each cluster up to
+    (size, id range, mean vector norm) — the "what does my embedding
+    space look like" diagnostic that decides dedup thresholds and IVF
+    sizing before a big run. K grows as ceil(sqrt(N)), so the output
+    is ~sqrt(N) rows at any corpus size.
+
+    Numeric policy: mean norm sums FLOOR(nrm·1e6) as BIGINT — exact,
+    order-insensitive under any partial-aggregation schedule, and
+    immune to the cast-rounding divergence (Spark truncates double→
+    decimal ties differently than DuckDB rounds); the explicit FLOOR
+    is identical in both engines on the bit-identical fold outputs.
+    Headroom: 1e8 micro-units/row → exact to ~9e10 rows per cluster.
+    """
+    base, cents, _k = _hash_seed_cells(spark, sf_dir)
+    assigned = _assign_cells(base, cents, 1)
+    qn = F.floor(_norm(F.col("v")) * F.lit(1000000.0))
+    return (
+        assigned.withColumn("qn", qn)
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("vec_id").alias("min_vec"),
+            F.max("vec_id").alias("max_vec"),
+            F.sum("qn").alias("sum_qn"),
+        )
+        .select(
+            "cell",
+            "n_vecs",
+            "min_vec",
+            "max_vec",
+            F.round(
+                F.col("sum_qn").cast("double") / (F.lit(1000000.0) * F.col("n_vecs")),
+                6,
+            ).alias("avg_nrm"),
+        )
+        .orderBy("cell")
+    )
+
+
+_KMEANS_ROLLUP_SQL = f"""
+WITH nv AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+params AS (
+    SELECT GREATEST({IVF_MIN_K}, CAST(CEIL(SQRT(n)) AS INTEGER)) AS k
+    FROM (SELECT COUNT(*) AS n FROM nv)
+),
+seeds AS (
+    SELECT v AS c,
+        ROW_NUMBER() OVER (
+            ORDER BY {sql_hash32("CAST(vec_id AS VARCHAR)")}, vec_id
+        ) - 1 AS cell
+    FROM nv
+    QUALIFY cell < (SELECT k FROM params)
+),
+assign AS (
+    SELECT vec_id, v, cell
+    FROM (
+        SELECT b.vec_id, b.v, s.cell,
+            ROW_NUMBER() OVER (
+                PARTITION BY b.vec_id
+                ORDER BY {_d2("b.v", "s.c")}, s.cell
+            ) AS rn
+        FROM nv b, seeds s
+    )
+    WHERE rn = 1
+)
+SELECT CAST(cell AS INTEGER) AS cell,
+    COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec,
+    ROUND(CAST(SUM(CAST(FLOOR(
+            sqrt(list_sum(list_transform(v, x -> x * x))) * 1000000.0
+        ) AS BIGINT)) AS DOUBLE) / (1000000.0 * COUNT(*)), 6) AS avg_nrm
+FROM assign
+GROUP BY cell
+ORDER BY cell
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_topk": ann_ivf_topk,
+    "embedding_kmeans_rollup": embedding_kmeans_rollup,
 }
 
 ORACLES = {
@@ -476,4 +578,5 @@ ORACLES = {
     # points (the previous Lloyd-refined float geometry wasn't readably
     # SQL-expressible and forced a rows-only driver row)
     "ann_ivf_topk": _ANN_IVF_SQL,
+    "embedding_kmeans_rollup": _KMEANS_ROLLUP_SQL,
 }

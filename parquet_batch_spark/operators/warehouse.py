@@ -201,6 +201,95 @@ SELECT c_custkey, new_bal, DATE '{_SCD2_BATCH}', NULL, TRUE, 2 FROM chg
 ORDER BY c_custkey, version
 """
 
+def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply an ordered CDC change-log (upserts + deletes) to a base
+    snapshot — the ingestion step that keeps a warehouse table in sync
+    with an OLTP source, and the one MERGE (etl_merge_upsert) doesn't
+    cover: multiple competing changes per key, ordered by a sequence
+    number, with deletes.
+
+    Deterministic derivation so the oracle reproduces it: base = the
+    80% of customers with custkey % 10 < 8; change-log = one event per
+    order (key = o_custkey, seq = o_orderkey, DELETE when
+    o_orderkey % 13 == 0 else UPSERT to o_totalprice).
+
+    Scale shape: the log is compacted per key with ``max_by(·, seq)``
+    — a PARTIAL-aggregating reduction (map-side combine, no per-key
+    sort, no window straggler on hot keys) — then ONE equi-join
+    against the snapshot. That is the standard CDC-compaction
+    topology; at 100 TB both sides would be bucketed on the key so
+    the join is shuffle-free. Output labels each surviving row
+    ``unchanged`` / ``updated`` / ``inserted``; deleted keys vanish.
+    """
+    base = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 < 8)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_acctbal").alias("old_bal"),
+            # explicit presence flag: "old_bal IS NULL" is not a valid
+            # exists-in-base test if the source column is nullable
+            F.lit(True).alias("in_base"),
+        )
+    )
+    chg = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_totalprice").alias("new_bal"),
+    )
+    last = chg.groupBy("k").agg(
+        F.max_by("op", "seq").alias("op"),
+        F.max_by("new_bal", "seq").alias("new_bal"),
+    )
+    merged = base.join(last, "k", "full_outer")
+    return (
+        merged.filter(
+            (F.col("op") == "U") | (F.col("op").isNull() & F.col("in_base").isNotNull())
+        )
+        .select(
+            "k",
+            F.when(F.col("op").isNull(), F.col("old_bal"))
+            .otherwise(F.col("new_bal"))
+            .alias("bal"),
+            F.when(F.col("op").isNull(), F.lit("unchanged"))
+            .when(F.col("in_base").isNotNull(), F.lit("updated"))
+            .otherwise(F.lit("inserted"))
+            .alias("action"),
+        )
+        .orderBy("k")
+    )
+
+
+_CDC_SQL = """
+WITH base AS (
+    SELECT c_custkey AS k, c_acctbal AS old_bal, TRUE AS in_base
+    FROM customer WHERE c_custkey % 10 < 8
+),
+chg AS (
+    SELECT o_custkey AS k, o_orderkey AS seq,
+        CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+        o_totalprice AS new_bal
+    FROM orders
+),
+last AS (
+    SELECT k, arg_max(op, seq) AS op, arg_max(new_bal, seq) AS new_bal
+    FROM chg GROUP BY k
+)
+SELECT COALESCE(b.k, l.k) AS k,
+    CASE WHEN l.op IS NULL THEN b.old_bal ELSE l.new_bal END AS bal,
+    CASE WHEN l.op IS NULL THEN 'unchanged'
+         WHEN b.in_base IS NOT NULL THEN 'updated'
+         ELSE 'inserted' END AS action
+FROM base b
+FULL JOIN last l ON b.k = l.k
+WHERE l.op = 'U' OR (l.op IS NULL AND b.in_base IS NOT NULL)
+ORDER BY k
+"""
+
+
 # ---------------------------------------------------------------------------
 # sink_zorder_cluster — Morton-interleaved 2-D clustering layout
 # ---------------------------------------------------------------------------
@@ -566,6 +655,7 @@ QUERIES = {
     "window_retention_cohort": window_retention_cohort,
     "quality_expectations": quality_expectations,
     "etl_scd2": etl_scd2,
+    "etl_cdc_apply": etl_cdc_apply,
     "sink_zorder_cluster": sink_zorder_cluster,
     "table_stats_profile": table_stats_profile,
 }
@@ -575,6 +665,7 @@ ORACLES = {
     "window_retention_cohort": _RETENTION_SQL,
     "quality_expectations": _EXPECT_SQL,
     "etl_scd2": _SCD2_SQL,
+    "etl_cdc_apply": _CDC_SQL,
     "sink_zorder_cluster": _zorder_sql(),
     "table_stats_profile": _STATS_SQL,
 }

@@ -29,31 +29,44 @@ from pyspark.sql import types as T
 from parquet_batch_spark.catalog import table_path
 from parquet_batch_spark.functions.numeric import dec
 
-# events.ts is parquet TIMESTAMP(NANOS) → read as raw nanos (see
-# catalog.load); the stream schema declares the post-read long type.
-_EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) (rounds 1-3,
+# read as a raw long via nanosAsLong) and TIMESTAMP(MICROS) (round 4,
+# a native timestamp). FileStreamSource needs the schema up front, so
+# probe the footer with a zero-row batch read and declare whichever
+# shape the file actually has; either way the stream normalizes to a
+# µs-precision ntz event-time column (matching catalog.load).
+def _events_stream_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    batch = spark.read.parquet(table_path(sf_dir, "events"))
+    ts_type = batch.schema["ts"].dataType
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = _events_stream_schema(spark, sf_dir)
     # FileStreamSource needs a directory; select just the events file
     # from the scale-factor dir with a glob filter.
     raw = (
-        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(schema["ts"].dataType, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # watermarks/windows require TIMESTAMP (ltz), same as the nanos
+    # path's timestamp_micros output; UTC session tz makes the cast
+    # wall-clock exact. Outputs cast back to ntz at projection time.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _drain(stream_df: DataFrame, spark: SparkSession, mode: str = "append") -> DataFrame:

@@ -158,6 +158,22 @@ def test_dedup_pipelines_avoid_cartesian(spark, sf_dir):
         assert "collect_list" not in plan, f"{fn.__name__}: bucket collect_list!"
 
 
+def test_bloom_prefilter_plan(spark, sf_dir):
+    """The blocked-bloom prefilter must be a broadcast EQUI-join on the
+    word index (not a nested-loop against a scalar blob), fed by a
+    bit_or reduction on the build side, with the bitmask check pruning
+    fact rows before the aggregation's shuffle."""
+    from parquet_batch_spark.operators.joins import join_bloom_prefilter
+
+    df = join_bloom_prefilter(spark, sf_dir)
+    df.collect()
+    plan = executed_plan(df)
+    assert "bit_or" in plan, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]  # bloom + exact
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"&\s*pm", plan), "bitmask prune filter missing"
+
+
 def test_decontam_benchmark_side_broadcasts(spark, sf_dir):
     """The benchmark gram index must broadcast (it is the ~1% eval
     slice); the training side streams once with no shuffle for the

@@ -28,17 +28,19 @@ def test_every_oracle_has_a_query():
     assert rows_only == [], rows_only
 
 
-def test_driver_window_covers_round3_targets():
-    """Slots 1-50 must contain the 27 never-checked r2-new queries,
-    the 4 repaired r2 ERRs, and 19 stalest r1 greens (this round's
-    CORRECTNESS goal — see _PRIORITY's rotation ledger)."""
+def test_driver_window_covers_round4_targets():
+    """Slots 1-50 must contain every r4-NEW op (new ops go first — the
+    r2 lesson), every r4-CHANGED op, and the 29 entries unchecked
+    since r1 (see _PRIORITY's rotation ledger)."""
     first50 = list(all_queries())[:50]
-    repaired = {"approx_percentile_sketch", "func_map",
-                "approx_distinct_sketch", "streaming_dedup_watermark"}
-    assert repaired <= set(first50)
-    for never_checked in ("pii_detect", "decontam_ngram_overlap",
-                          "graph_pagerank", "ann_ivf_topk", "etl_scd2",
-                          "join_dpp_prune", "text_tfidf_topk",
-                          "agg_mode_per_group", "quality_expectations"):
-        assert never_checked in first50, never_checked
-    assert "q1_pricing_summary" in first50  # stalest r1 block present
+    new_ops = {"dedup_containment", "join_bloom_prefilter", "etl_cdc_apply",
+               "sample_reservoir_per_group", "embedding_kmeans_rollup"}
+    assert new_ops <= set(first50), new_ops - set(first50)
+    changed = {"ann_ivf_topk", "dedup_embedding_cosine",
+               "dedup_fuzzy_levenshtein"}
+    assert changed <= set(first50)
+    r1_stale = {f"tpch_q{i}" for i in range(2, 23) if i != 12} | {
+        "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_pivot",
+        "agg_stats", "reshape_unpivot", "sort_topk", "set_ops",
+        "window_distribution"}
+    assert r1_stale <= set(first50), r1_stale - set(first50)
