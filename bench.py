@@ -59,6 +59,12 @@ HEADLINE = [
     "quality_repetition",
     "window_retention_cohort",
     "join_dpp_prune",
+    # r4 additions
+    "join_bloom_prefilter",
+    "dedup_containment",
+    "etl_cdc_apply",
+    "sample_reservoir_per_group",
+    "embedding_kmeans_rollup",
 ]
 
 

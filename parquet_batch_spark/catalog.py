@@ -70,6 +70,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_TABLE_COUNTS: dict[tuple[str, str], int] = {}
+
+
+def count_table(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Memoized row count of a source table (parquet footer metadata —
+    one cheap job the first time, free afterwards). Several operators
+    derive plan constants from corpus size (LSH code width, IVF cell
+    count); memoizing keeps that construction-time job out of every
+    repeated bench/driver invocation. Source tables are immutable for
+    a session, so the memo can never go stale."""
+    key = (sf_dir, name)
+    if key not in _TABLE_COUNTS:
+        _TABLE_COUNTS[key] = load(spark, sf_dir, name).count()
+    return _TABLE_COUNTS[key]
+
+
 def fan_out(df: DataFrame, spark: SparkSession, *cols: str) -> DataFrame:
     """Widen a small scan feeding a computation-heavy derivation.
 

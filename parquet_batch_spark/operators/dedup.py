@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parquet_batch_spark.catalog import fan_out, load
+from parquet_batch_spark.catalog import count_table, fan_out, load
 from parquet_batch_spark.functions.hashing import (
     MERSENNE_P,
     affine_hash,
@@ -623,7 +623,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = fan_out(load(spark, sf_dir, "embeddings"), spark)
     dvec = F.transform("embedding", lambda x: x.cast("double"))
     base = em.select("vec_id", dvec.alias("v"))
-    nbits = _cos_bits(load(spark, sf_dir, "embeddings").count())
+    nbits = _cos_bits(count_table(spark, sf_dir, "embeddings"))
     probes = base.mapInPandas(
         _band_assign(nbits), schema="band int, bits int, vec_id long"
     )

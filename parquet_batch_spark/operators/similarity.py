@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from parquet_batch_spark.catalog import fan_out, load
+from parquet_batch_spark.catalog import count_table, fan_out, load
 from parquet_batch_spark.functions.hashing import MERSENNE_P, hash32, sql_hash32
 
 TOP_K = 5
@@ -274,7 +274,7 @@ def _hash_seed_cells(spark: SparkSession, sf_dir: str):
 
     em = fan_out(load(spark, sf_dir, "embeddings"), spark)
     base = em.select("vec_id", _dvec().alias("v"))
-    n = load(spark, sf_dir, "embeddings").count()
+    n = count_table(spark, sf_dir, "embeddings")
     k = _ivf_k(n)
     seed_rows = (
         base.withColumn("hk", hash32(F.col("vec_id").cast("string")))
