@@ -65,6 +65,13 @@ HEADLINE = [
     "etl_cdc_apply",
     "sample_reservoir_per_group",
     "embedding_kmeans_rollup",
+    # r4 additions, llm_prep batch
+    "seq_pack_chunks",
+    "dedup_paragraph",
+    "dedup_incremental_novelty",
+    "text_rarity_score",
+    "window_ewma_decay",
+    "curation_pipeline_funnel",
 ]
 
 

@@ -44,7 +44,19 @@ from pyspark.sql import DataFrame, SparkSession
 #     multimodal/streaming blocks) + the then-stalest r3 greens
 #     (curation + warehouse blocks).
 _PRIORITY = [
-    # --- r4-new operators, slots 1-5 ---
+    # --- r4-new operators (llm_prep batch, landed later in r4),
+    #     slots 1-8: sequence packing, mixture sampling, paragraph /
+    #     incremental dedup, int8 quantization, rarity scoring, EWMA,
+    #     composed curation funnel ---
+    "seq_pack_chunks",
+    "sample_mix_domains",
+    "dedup_paragraph",
+    "dedup_incremental_novelty",
+    "embedding_quantize_int8",
+    "text_rarity_score",
+    "window_ewma_decay",
+    "curation_pipeline_funnel",
+    # --- r4-new operators (first batch), slots 9-13 ---
     "dedup_containment",
     "join_bloom_prefilter",
     "etl_cdc_apply",
@@ -149,6 +161,7 @@ _MODULES = [
     "parquet_batch_spark.operators.similarity",
     "parquet_batch_spark.operators.multimodal",
     "parquet_batch_spark.operators.pipeline_ops",
+    "parquet_batch_spark.operators.llm_prep",
     "parquet_batch_spark.operators.warehouse",
     "parquet_batch_spark.streaming.windows",
 ]

@@ -1,0 +1,877 @@
+"""LLM training-data preparation operators (round 4, north-star).
+
+The preparation stages that sit BETWEEN curation (pipeline_ops.py) and
+the trainer, which the reference (a parquet row reader, reader.py:47-97)
+has no notion of — plus the composed end-to-end funnel. Every operator
+is a Catalyst-planned DataFrame pipeline with an exact DuckDB oracle:
+
+- ``seq_pack_chunks``        : concat-and-chunk sequence packing into
+                               fixed token-budget training sequences
+- ``sample_mix_domains``     : target domain-mixture sampling (weighted
+                               per-source quotas, deterministic)
+- ``dedup_paragraph``        : segment-level exact dedup with first-seen
+                               reconstruction accounting
+- ``dedup_incremental_novelty``: incremental-crawl novelty check of an
+                               incoming batch against an existing corpus
+- ``embedding_quantize_int8``: max-abs int8 vector quantization with
+                               integer checksums
+- ``text_rarity_score``      : corpus-level unigram information-content
+                               scoring (integer bit-length arithmetic)
+- ``window_ewma_decay``      : per-user exponentially-decayed event
+                               value (dyadic weights, 16-lag window)
+- ``curation_pipeline_funnel``: the composed lang → quality → dedup →
+                               decontam funnel with per-stage counts
+
+Scale design (100 TB):
+
+* ``seq_pack_chunks`` packs within (lang) shards so the running-offset
+  window never needs a global single-partition sort — each shard is an
+  independent prefix-sum. At 100 TB you add a hash shard key next to
+  lang (pack within ``(lang, shard)``); the semantics per shard are
+  unchanged and every shard windows in parallel.
+* ``sample_mix_domains`` is a per-source ``row_number`` cap: one
+  shuffle on ``source``, no global coordination; quotas derive from a
+  memoized corpus count, not a runtime collect.
+* ``dedup_paragraph`` / ``dedup_incremental_novelty`` are inverted-
+  index equi-joins on segment/shingle hashes — the same
+  never-all-pairs topology as the dedup family (dedup.py).
+* ``embedding_quantize_int8`` / ``text_rarity_score`` /
+  ``window_ewma_decay`` are embarrassingly parallel or single-shuffle
+  window/agg shapes.
+* ``curation_pipeline_funnel`` evaluates every stage predicate in ONE
+  pass over the corpus (flags, then a single aggregate + stack) — the
+  funnel costs one scan plus the dedup/decontam index joins, not one
+  scan per stage.
+
+All numeric outputs are exact integers, exact decimals, or doubles
+produced by the identical IEEE expression in both engines (documented
+per operator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_batch_spark.catalog import count_table, fan_out, load
+from parquet_batch_spark.functions.hashing import hash32, sql_hash32
+from parquet_batch_spark.functions.text import (
+    shingles_col,
+    sql_shingles,
+    sql_tokens,
+    tokens_col,
+)
+
+# ------------------------------------------------------------------
+# seq_pack_chunks
+# ------------------------------------------------------------------
+
+PACK_BUDGET = 256  # tokens per training sequence
+
+
+def seq_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid end-to-end
+    in a deterministic shuffled order (portable hash of doc_id, then
+    doc_id) within each ``lang`` shard, and the stream is cut into
+    {PACK_BUDGET}-token training sequences; a document belongs to the
+    sequence containing its first token. This is the standard
+    pretraining packing layout (documents concatenated, chunked at the
+    context length, boundary docs straddle).
+
+    Output: one row per (lang, seq_id) with member count, token count
+    and a member checksum.
+
+    Scale: the running token offset is a window prefix-sum PARTITIONED
+    BY lang — no global ordering, every shard packs in parallel. At
+    100 TB, pack within (lang, hash-shard) instead: same window, more
+    shards, identical per-shard semantics. One shuffle (the window
+    partition), one aggregate on the already-co-located keys.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "lang")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.size(tokens_col("text")).cast("long").alias("n_tok"),
+        hash32(F.col("doc_id").cast("string")).alias("hk"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("long"))
+    seq = t.withColumn("seq_id", F.floor(off / F.lit(PACK_BUDGET)).cast("long"))
+    return (
+        seq.groupBy("lang", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("seq_tokens"),
+            F.sum("doc_id").alias("docs_checksum"),
+        )
+        .orderBy("lang", "seq_id")
+    )
+
+
+_SEQ_PACK_SQL = f"""
+WITH t AS (
+    SELECT doc_id, lang,
+           CAST(len({sql_tokens("text")}) AS BIGINT) AS n_tok,
+           {sql_hash32("CAST(doc_id AS VARCHAR)")} AS hk
+    FROM documents
+),
+o AS (
+    SELECT lang, doc_id, n_tok,
+           COALESCE(SUM(n_tok) OVER (
+               PARTITION BY lang ORDER BY hk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS off
+    FROM t
+)
+SELECT lang, CAST(FLOOR(off / {PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS docs_checksum
+FROM o
+GROUP BY lang, seq_id
+ORDER BY lang, seq_id
+"""
+
+
+# ------------------------------------------------------------------
+# sample_mix_domains
+# ------------------------------------------------------------------
+
+# Per-source mixture weights: "curated" sources get 4x mass, "good" 2x,
+# long-tail 1x. The quota for a source is its weight share of the
+# target budget (one quarter of the corpus), in integer arithmetic so
+# both engines compute identical caps at any scale factor.
+MIX_HI = ("src0", "src1", "src2", "src3")  # weight 4
+MIX_MID = ("src4", "src5", "src6", "src7", "src8", "src9")  # weight 2
+MIX_W_SUM = 4 * len(MIX_HI) + 2 * len(MIX_MID) + 10  # + 10 tail sources x1
+
+
+def _mix_weight_col() -> F.Column:
+    return (
+        F.when(F.col("source").isin(*MIX_HI), F.lit(4))
+        .when(F.col("source").isin(*MIX_MID), F.lit(2))
+        .otherwise(F.lit(1))
+        .cast("long")
+    )
+
+
+def sample_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: allocate a global budget (corpus/4)
+    across sources proportionally to fixed mixture weights, then take
+    each source's quota deterministically by portable-hash rank. The
+    stage every pretraining pipeline runs to stop one crawl domain from
+    dominating the mix.
+
+    Output: per source, the quota, how many documents were actually
+    taken (min(quota, available)) and a checksum of the taken set.
+
+    Scale: one shuffle (row_number partitioned by source); the quota is
+    a closed-form integer expression of the memoized corpus count — no
+    runtime collect, no global coordination. Skewed sources cost only
+    their own partition's sort, bounded further at 100 TB by pre-
+    filtering each source to ~quota candidates with a hash-threshold
+    predicate before ranking (noted, not needed at bench scale).
+    """
+    n_total = count_table(spark, sf_dir, "documents")
+    n_target = n_total // 4
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "source")
+    ranked = d.select(
+        "doc_id",
+        "source",
+        _mix_weight_col().alias("w"),
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                hash32(F.col("doc_id").cast("string")), "doc_id"
+            )
+        )
+        .alias("rk"),
+    ).withColumn(
+        "quota", (F.col("w") * F.lit(n_target)) / F.lit(MIX_W_SUM)
+    ).withColumn("quota", F.floor("quota").cast("long"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.max("w").alias("w"),
+            F.max("quota").alias("quota"),
+            F.sum(F.when(F.col("rk") <= F.col("quota"), 1).otherwise(0)).alias(
+                "taken"
+            ),
+            F.sum(
+                F.when(F.col("rk") <= F.col("quota"), F.col("doc_id")).otherwise(0)
+            ).alias("taken_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+_MIX_CASE = (
+    "CASE WHEN source IN ('src0','src1','src2','src3') THEN 4 "
+    "WHEN source IN ('src4','src5','src6','src7','src8','src9') THEN 2 "
+    "ELSE 1 END"
+)
+
+_MIX_SQL = f"""
+WITH ranked AS (
+    SELECT doc_id, source,
+           CAST({_MIX_CASE} AS BIGINT) AS w,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {sql_hash32("CAST(doc_id AS VARCHAR)")}, doc_id
+           ) AS rk,
+           CAST(FLOOR(CAST({_MIX_CASE} AS BIGINT)
+                * ((SELECT COUNT(*) FROM documents) // 4)
+                / {MIX_W_SUM}.0) AS BIGINT) AS quota
+    FROM documents
+)
+SELECT source, MAX(w) AS w, MAX(quota) AS quota,
+       CAST(SUM(CASE WHEN rk <= quota THEN 1 ELSE 0 END) AS BIGINT) AS taken,
+       CAST(SUM(CASE WHEN rk <= quota THEN doc_id ELSE 0 END) AS BIGINT)
+           AS taken_checksum
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ------------------------------------------------------------------
+# dedup_paragraph
+# ------------------------------------------------------------------
+
+SEG_TOKENS = 20  # segment ("paragraph") width in tokens
+
+
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level exact dedup: each document is cut into consecutive
+    {SEG_TOKENS}-token segments; a segment occurrence survives iff it is
+    the globally first occurrence of its content (min (doc_id, pos)).
+    Boilerplate paragraphs repeated across pages collapse to one copy
+    while unique prose survives — the paragraph-dedup stage of C4-style
+    pipelines. Output: per-document segment accounting.
+
+    Scale: segments are an explode + first-seen ranking on the segment
+    hash — one shuffle on the hash (window partition), one shuffle back
+    to doc_id. Never pairs segments against each other; the window per
+    hash value is the duplicate-cluster size, bounded by the same
+    hot-content realities as dedup_exact (a pathological 10^6-copy
+    boilerplate segment is one window partition — at 100 TB a
+    pre-aggregated (hash → min_rank) two-step replaces the window;
+    same topology as dedup.py's first-seen reductions).
+    """
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = tokens_col("text")
+    n_seg = F.ceil(F.size(toks) / F.lit(SEG_TOKENS)).cast("int")
+    segs = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_seg),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, (i - 1) * SEG_TOKENS + 1, SEG_TOKENS)
+                ),
+            )
+        ).alias("pos0", "seg"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        hash32(F.col("seg")).alias("seg_h"),
+    )
+    first = F.row_number().over(
+        Window.partitionBy("seg_h").orderBy("doc_id", "pos")
+    )
+    flagged = segs.withColumn("keep", (first == 1).cast("int"))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum("keep").alias("n_kept"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(F.lit(1.0) - F.col("n_kept") / F.col("n_segs"), 6),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PARA_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, {sql_tokens("text")} AS tk FROM documents
+),
+segs AS (
+    SELECT doc_id, pos, {sql_hash32("seg")} AS seg_h
+    FROM (
+        SELECT doc_id,
+               UNNEST(generate_series(
+                   1, CAST(CEIL(len(tk) / {SEG_TOKENS}.0) AS INTEGER))) AS pos,
+               UNNEST(list_transform(
+                   generate_series(
+                       1, CAST(CEIL(len(tk) / {SEG_TOKENS}.0) AS INTEGER)),
+                   i -> array_to_string(
+                       tk[(i-1)*{SEG_TOKENS}+1 : (i-1)*{SEG_TOKENS}+{SEG_TOKENS}],
+                       ' '))) AS seg
+        FROM toks
+    )
+),
+flagged AS (
+    SELECT doc_id,
+           CASE WHEN ROW_NUMBER() OVER (
+               PARTITION BY seg_h ORDER BY doc_id, pos) = 1
+           THEN 1 ELSE 0 END AS keep
+    FROM segs
+)
+SELECT doc_id, COUNT(*) AS n_segs, CAST(SUM(keep) AS BIGINT) AS n_kept,
+       ROUND(1.0 - SUM(keep) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
+FROM flagged
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------------
+# dedup_incremental_novelty
+# ------------------------------------------------------------------
+
+NOVELTY_K = 5  # shingle width for the novelty index
+
+
+def dedup_incremental_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl novelty: treat even doc_ids as the existing
+    corpus and odd doc_ids as the incoming batch (the standing corpus /
+    new crawl split every production pipeline maintains). Each incoming
+    document is checked (a) for an exact content-hash collision with
+    the existing corpus and (b) for {NOVELTY_K}-gram overlap — what
+    fraction of its distinct shingles the existing corpus has already
+    seen. Novel content scores near 1.0; re-crawls near 0.0.
+
+    Scale: the exact check is a left-semi-shaped join on md5(text);
+    the overlap check is an equi-join of incoming shingle hashes
+    against the DISTINCT existing-shingle index — the decontamination
+    topology (pipeline_ops.py): the index side is the smaller
+    reduction, the incoming side streams once, never all-pairs.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
+    hashed = d.select(
+        "doc_id", F.md5(F.col("text")).alias("txt_md5"), "text"
+    )
+    existing = hashed.filter(F.col("doc_id") % 2 == 0)
+    incoming = hashed.filter(F.col("doc_id") % 2 == 1)
+
+    exact = (
+        incoming.join(
+            existing.select(F.col("txt_md5").alias("e_md5")).distinct(),
+            incoming.txt_md5 == F.col("e_md5"),
+            "left",
+        )
+        .select(
+            "doc_id", "text", (~F.isnull("e_md5")).cast("int").alias("is_exact_dup")
+        )
+    )
+
+    grams = hashed.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles_col(tokens_col("text"), NOVELTY_K))
+        ).alias("g"),
+    ).select("doc_id", hash32(F.col("g")).alias("h"))
+    seen_index = (
+        grams.filter(F.col("doc_id") % 2 == 0).select("h").distinct()
+    )
+    inc_grams = grams.filter(F.col("doc_id") % 2 == 1)
+    overlap = (
+        inc_grams.join(
+            F.broadcast(seen_index.withColumn("seen", F.lit(1))), "h", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("seen"), F.lit(0))).alias("n_seen_grams"),
+        )
+    )
+    return (
+        exact.select("doc_id", "is_exact_dup")
+        .join(overlap, "doc_id")
+        .select(
+            "doc_id",
+            "is_exact_dup",
+            "n_grams",
+            "n_seen_grams",
+            F.round(
+                F.lit(1.0) - F.col("n_seen_grams") / F.col("n_grams"), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_NOVELTY_SQL = f"""
+WITH hashed AS (
+    SELECT doc_id, md5(text) AS txt_md5, text FROM documents
+),
+exact AS (
+    SELECT i.doc_id,
+           CASE WHEN EXISTS (
+               SELECT 1 FROM hashed e
+               WHERE e.doc_id % 2 = 0 AND e.txt_md5 = i.txt_md5
+           ) THEN 1 ELSE 0 END AS is_exact_dup
+    FROM hashed i WHERE i.doc_id % 2 = 1
+),
+grams AS (
+    SELECT doc_id, {sql_hash32("g")} AS h
+    FROM (
+        SELECT doc_id,
+               UNNEST(list_distinct({sql_shingles(sql_tokens("text"), NOVELTY_K)}))
+                   AS g
+        FROM documents
+    )
+),
+seen_index AS (
+    SELECT DISTINCT h FROM grams WHERE doc_id % 2 = 0
+),
+overlap AS (
+    SELECT g.doc_id, COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN s.h IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_seen_grams
+    FROM grams g LEFT JOIN seen_index s ON g.h = s.h
+    WHERE g.doc_id % 2 = 1
+    GROUP BY g.doc_id
+)
+SELECT e.doc_id, e.is_exact_dup, o.n_grams, o.n_seen_grams,
+       ROUND(1.0 - o.n_seen_grams / CAST(o.n_grams AS DOUBLE), 6) AS novelty
+FROM exact e JOIN overlap o ON e.doc_id = o.doc_id
+ORDER BY e.doc_id
+"""
+
+
+# ------------------------------------------------------------------
+# embedding_quantize_int8
+# ------------------------------------------------------------------
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-abs int8 quantization of the embedding column — the storage
+    layout ANN indexes and training shards actually persist (4 bytes →
+    1 byte per dimension). code(x) = floor(x / maxabs * 127 + 0.5),
+    clamp-free because |x| <= maxabs by construction. Output: integer
+    checksums (sum, L1, saturation count) plus the rounded scale, so
+    the full code vector is value-checked without array columns.
+
+    Determinism: float→double widening is exact in both engines; the
+    code expression is the identical IEEE double sequence (one divide,
+    one multiply, one add, floor) evaluated per element, so codes are
+    bit-identical cross-engine. All aggregates are integer.
+
+    Scale: embarrassingly parallel (per-row transform, no shuffle
+    before the output sort, which a real pipeline drops); at 100 TB
+    this runs as a projection fused into whatever scan feeds it.
+    """
+    e = fan_out(load(spark, sf_dir, "embeddings"), spark, "vec_id")
+    maxabs = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x))
+    ).cast("double")
+    codes = F.transform(
+        F.col("embedding"),
+        lambda x: F.when(
+            maxabs > 0,
+            F.floor(x.cast("double") / maxabs * F.lit(127.0) + F.lit(0.5)),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        e.select(
+            "vec_id",
+            F.size("embedding").alias("n_dims"),
+            F.aggregate(codes, zero, lambda a, x: a + x).alias("q_sum"),
+            F.aggregate(codes, zero, lambda a, x: a + F.abs(x)).alias("q_l1"),
+            F.aggregate(
+                codes,
+                zero,
+                lambda a, x: a + (F.abs(x) == 127).cast("long"),
+            ).alias("n_sat"),
+            F.round(maxabs / F.lit(127.0), 6).alias("scale6"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_QUANT_SQL = """
+WITH q AS (
+    SELECT vec_id,
+           len(embedding) AS n_dims,
+           CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE)
+               AS maxabs,
+           list_transform(embedding, x ->
+               CASE WHEN CAST(list_max(list_transform(embedding, y -> abs(y)))
+                          AS DOUBLE) > 0
+               THEN CAST(FLOOR(CAST(x AS DOUBLE)
+                    / CAST(list_max(list_transform(embedding, y -> abs(y)))
+                           AS DOUBLE) * 127.0 + 0.5) AS BIGINT)
+               ELSE 0 END) AS codes
+    FROM embeddings
+)
+SELECT vec_id, CAST(n_dims AS INTEGER) AS n_dims,
+       CAST(list_sum(codes) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT) AS q_l1,
+       CAST(list_sum(list_transform(codes,
+            c -> CASE WHEN abs(c) = 127 THEN 1 ELSE 0 END)) AS BIGINT) AS n_sat,
+       ROUND(maxabs / 127.0, 6) AS scale6
+FROM q
+ORDER BY vec_id
+"""
+
+
+# ------------------------------------------------------------------
+# text_rarity_score
+# ------------------------------------------------------------------
+
+
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram information-content scoring — the cheap perplexity proxy
+    used to rank documents by "surprisingness" before a real LM scores
+    them. ic(word) = bitlen(N_docs) - bitlen(df(word)) ≈ log2(N/df),
+    computed in EXACT integer arithmetic (bit length = length of the
+    binary representation, ``bin()`` in both engines) so the score is
+    bit-identical cross-engine with no transcendental functions.
+    Common words score ~0 bits; rare words score high.
+
+    Scale: one explode + aggregate builds the document-frequency table
+    (shuffle on word), one equi-join streams tokens against it (the df
+    side is vocabulary-sized — broadcast here; at web scale, a plain
+    shuffled join on the word key), one aggregate back to doc_id.
+    """
+    n_docs = count_table(spark, sf_dir, "documents")
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
+    words = d.select(
+        "doc_id", F.explode(tokens_col("text")).alias("word")
+    )
+    df_tab = (
+        words.distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "word",
+            (
+                F.length(F.bin(F.lit(int(n_docs))))
+                - F.length(F.bin(F.col("df")))
+            )
+            .cast("long")
+            .alias("ic"),
+        )
+    )
+    return (
+        words.join(F.broadcast(df_tab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("ic").alias("rarity_sum"),
+        )
+        .withColumn(
+            "rarity_mean", F.round(F.col("rarity_sum") / F.col("n_tok"), 6)
+        )
+        .orderBy("doc_id")
+    )
+
+
+_RARITY_SQL = """
+WITH words AS (
+    SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS word
+    FROM documents
+),
+df_tab AS (
+    SELECT word,
+           CAST(length(bin((SELECT COUNT(*) FROM documents)))
+                - length(bin(COUNT(DISTINCT doc_id))) AS BIGINT) AS ic
+    FROM words
+    GROUP BY word
+)
+SELECT w.doc_id, COUNT(*) AS n_tok, CAST(SUM(d.ic) AS BIGINT) AS rarity_sum,
+       ROUND(SUM(d.ic) / CAST(COUNT(*) AS DOUBLE), 6) AS rarity_mean
+FROM words w JOIN df_tab d ON w.word = d.word
+GROUP BY w.doc_id
+ORDER BY w.doc_id
+"""
+
+
+# ------------------------------------------------------------------
+# window_ewma_decay
+# ------------------------------------------------------------------
+
+EWMA_LAGS = 16  # decay horizon; weight of lag k is 2^-(k+?) — see below
+
+
+def window_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-decayed event value: the monitoring
+    primitive behind "recent activity" scores. Weight halves per step
+    back; the window truncates at {EWMA_LAGS} lags (residual mass
+    2^-16 ≈ 1.5e-5, below any reporting precision). Values are
+    quantized to integer hundredths (floor(value*100) — identical IEEE
+    multiply + floor in both engines) and the decayed sum is kept
+    SCALED BY 2^{EWMA_LAGS-1} so every intermediate is an exact BIGINT:
+    no float summation order anywhere. Output: each user's latest
+    decayed score.
+
+    Scale: one shuffle (window partition by user_id); the {EWMA_LAGS}
+    lag() calls share a single window frame pass. Hot users cost their
+    own partition sort only.
+    """
+    ev = fan_out(load(spark, sf_dir, "events"), spark, "user_id")
+    v = F.floor(F.col("value") * F.lit(100.0)).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    decayed = None
+    for k in range(EWMA_LAGS):
+        lagged = v if k == 0 else F.coalesce(F.lag(v, k).over(w), F.lit(0).cast("long"))
+        term = lagged * F.lit(1 << (EWMA_LAGS - 1 - k))
+        decayed = term if decayed is None else decayed + term
+    scored = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        decayed.alias("ewma_scaled"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id")))
+        .alias("rk"),
+    )
+    scale = float((1 << (EWMA_LAGS - 1)) * 100)
+    return (
+        scored.filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "ewma_scaled",
+            F.round(F.col("ewma_scaled") / F.lit(scale), 6).alias("ewma"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _ewma_terms_sql() -> str:
+    terms = []
+    for k in range(EWMA_LAGS):
+        lag = "v" if k == 0 else f"LAG(v, {k}) OVER w"
+        terms.append(f"COALESCE({lag}, 0) * {1 << (EWMA_LAGS - 1 - k)}")
+    return " + ".join(terms)
+
+
+_EWMA_SQL = f"""
+WITH q AS (
+    SELECT user_id, ts, event_id,
+           CAST(FLOOR(value * 100.0) AS BIGINT) AS v
+    FROM events
+),
+scored AS (
+    SELECT user_id, ts, event_id,
+           {_ewma_terms_sql()} AS ewma_scaled,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rk
+    FROM q
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, ewma_scaled,
+       ROUND(ewma_scaled / {float((1 << (EWMA_LAGS - 1)) * 100)!r}, 6) AS ewma
+FROM scored WHERE rk = 1
+ORDER BY user_id
+"""
+
+
+# ------------------------------------------------------------------
+# curation_pipeline_funnel
+# ------------------------------------------------------------------
+
+FUNNEL_LANGS = ("en", "es", "de")
+FUNNEL_MIN_TOK = 30
+FUNNEL_BENCH_MOD = 97  # benchmark slice for the decontam stage
+FUNNEL_K = 5
+
+
+def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-to-end curation funnel — language filter →
+    quality gate → exact dedup → benchmark decontamination — reported
+    as per-stage survivor/dropped counts, the acceptance dashboard of
+    every corpus build. Stages nest (a doc survives stage n only if it
+    survived n-1), so the funnel is monotonic by construction.
+
+    Stage predicates:
+      1_lang     lang ∈ {FUNNEL_LANGS}
+      2_quality  ≥{FUNNEL_MIN_TOK} tokens and mean word length in [3,8]
+      3_dedup    first occurrence of md5(text) (min doc_id wins)
+      4_decontam not in the benchmark slice (doc_id % {FUNNEL_BENCH_MOD}
+                 == 0) and shares no {FUNNEL_K}-gram with it
+
+    Scale: every scalar predicate is evaluated in ONE scan; dedup rank
+    is a window on the content hash (duplicate-cluster-sized
+    partitions); decontam is the broadcast benchmark-index semi-join
+    from pipeline_ops.py. The final stack is a single-row aggregate
+    unpivoted to 5 rows — funnel reporting costs one pass, not one
+    pass per stage.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = tokens_col("text")
+    base = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    mean_wl = (F.col("n_chars") - (F.col("n_tok") - 1)) / F.col("n_tok")
+    flagged = base.select(
+        "doc_id",
+        "text",
+        F.col("lang").isin(*FUNNEL_LANGS).alias("p_lang"),
+        (
+            (F.col("n_tok") >= FUNNEL_MIN_TOK)
+            & (mean_wl >= 3.0)
+            & (mean_wl <= 8.0)
+        ).alias("p_quality"),
+    )
+    first = (
+        F.row_number().over(
+            Window.partitionBy(F.md5("text")).orderBy("doc_id")
+        )
+        == 1
+    )
+    flagged = flagged.withColumn("p_first", first)
+
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles_col(tokens_col("text"), FUNNEL_K))
+        ).alias("g"),
+    ).select("doc_id", hash32(F.col("g")).alias("h"))
+    bench = (
+        grams.filter(F.col("doc_id") % FUNNEL_BENCH_MOD == 0)
+        .select("h")
+        .distinct()
+    )
+    contaminated = (
+        grams.filter(F.col("doc_id") % FUNNEL_BENCH_MOD != 0)
+        .join(F.broadcast(bench), "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contam", F.lit(1))
+    )
+    flagged = (
+        flagged.join(contaminated, "doc_id", "left")
+        .withColumn(
+            "p_clean",
+            (F.col("doc_id") % FUNNEL_BENCH_MOD != 0)
+            & F.isnull(F.col("contam")),
+        )
+    )
+
+    s0 = F.count(F.lit(1))
+    s1 = F.sum(F.col("p_lang").cast("long"))
+    s2 = F.sum((F.col("p_lang") & F.col("p_quality")).cast("long"))
+    s3 = F.sum(
+        (F.col("p_lang") & F.col("p_quality") & F.col("p_first")).cast("long")
+    )
+    s4 = F.sum(
+        (
+            F.col("p_lang")
+            & F.col("p_quality")
+            & F.col("p_first")
+            & F.col("p_clean")
+        ).cast("long")
+    )
+    one = flagged.agg(
+        s0.alias("s0"), s1.alias("s1"), s2.alias("s2"), s3.alias("s3"), s4.alias("s4")
+    )
+    return one.select(
+        F.expr(
+            "stack(5, '0_all', s0, CAST(0 AS BIGINT),"
+            " '1_lang', s1, s0 - s1,"
+            " '2_quality', s2, s1 - s2,"
+            " '3_dedup', s3, s2 - s3,"
+            " '4_decontam', s4, s3 - s4)"
+            " AS (stage, survivors, dropped)"
+        )
+    ).orderBy("stage")
+
+
+_FUNNEL_LANG_IN = ", ".join(f"'{l}'" for l in FUNNEL_LANGS)
+
+_FUNNEL_SQL = f"""
+WITH base AS (
+    SELECT doc_id, lang, text,
+           CAST(len({sql_tokens("text")}) AS BIGINT) AS n_tok,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, {sql_hash32("g")} AS h
+    FROM (
+        SELECT doc_id,
+               UNNEST(list_distinct({sql_shingles(sql_tokens("text"), FUNNEL_K)}))
+                   AS g
+        FROM documents
+    )
+),
+bench AS (
+    SELECT DISTINCT h FROM grams WHERE doc_id % {FUNNEL_BENCH_MOD} = 0
+),
+contaminated AS (
+    SELECT DISTINCT g.doc_id
+    FROM grams g JOIN bench b ON g.h = b.h
+    WHERE g.doc_id % {FUNNEL_BENCH_MOD} <> 0
+),
+flagged AS (
+    SELECT b.doc_id,
+           (b.lang IN ({_FUNNEL_LANG_IN})) AS p_lang,
+           (b.n_tok >= {FUNNEL_MIN_TOK}
+            AND (b.n_chars - (b.n_tok - 1)) / CAST(b.n_tok AS DOUBLE) >= 3.0
+            AND (b.n_chars - (b.n_tok - 1)) / CAST(b.n_tok AS DOUBLE) <= 8.0)
+               AS p_quality,
+           (ROW_NUMBER() OVER (PARTITION BY md5(b.text) ORDER BY b.doc_id) = 1)
+               AS p_first,
+           (b.doc_id % {FUNNEL_BENCH_MOD} <> 0
+            AND b.doc_id NOT IN (SELECT doc_id FROM contaminated)) AS p_clean
+    FROM base b
+),
+one AS (
+    SELECT COUNT(*) AS s0,
+           CAST(SUM(CASE WHEN p_lang THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+           CAST(SUM(CASE WHEN p_lang AND p_quality THEN 1 ELSE 0 END)
+                AS BIGINT) AS s2,
+           CAST(SUM(CASE WHEN p_lang AND p_quality AND p_first
+               THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+           CAST(SUM(CASE WHEN p_lang AND p_quality AND p_first AND p_clean
+               THEN 1 ELSE 0 END) AS BIGINT) AS s4
+    FROM flagged
+)
+SELECT stage, survivors, dropped FROM (
+    SELECT '0_all' AS stage, s0 AS survivors, CAST(0 AS BIGINT) AS dropped
+    FROM one
+    UNION ALL SELECT '1_lang', s1, s0 - s1 FROM one
+    UNION ALL SELECT '2_quality', s2, s1 - s2 FROM one
+    UNION ALL SELECT '3_dedup', s3, s2 - s3 FROM one
+    UNION ALL SELECT '4_decontam', s4, s3 - s4 FROM one
+)
+ORDER BY stage
+"""
+
+
+QUERIES = {
+    "seq_pack_chunks": seq_pack_chunks,
+    "sample_mix_domains": sample_mix_domains,
+    "dedup_paragraph": dedup_paragraph,
+    "dedup_incremental_novelty": dedup_incremental_novelty,
+    "embedding_quantize_int8": embedding_quantize_int8,
+    "text_rarity_score": text_rarity_score,
+    "window_ewma_decay": window_ewma_decay,
+    "curation_pipeline_funnel": curation_pipeline_funnel,
+}
+
+ORACLES = {
+    "seq_pack_chunks": _SEQ_PACK_SQL,
+    "sample_mix_domains": _MIX_SQL,
+    "dedup_paragraph": _PARA_SQL,
+    "dedup_incremental_novelty": _NOVELTY_SQL,
+    "embedding_quantize_int8": _QUANT_SQL,
+    "text_rarity_score": _RARITY_SQL,
+    "window_ewma_decay": _EWMA_SQL,
+    "curation_pipeline_funnel": _FUNNEL_SQL,
+}
