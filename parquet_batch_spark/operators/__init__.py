@@ -56,7 +56,13 @@ _PRIORITY = [
     "text_rarity_score",
     "window_ewma_decay",
     "curation_pipeline_funnel",
-    # --- r4-new operators (first batch), slots 9-13 ---
+    # --- r4-new operators (third batch): media-fingerprint dedup,
+    #     rolling median, bigram LM surprisal, snapshot diff ---
+    "multimodal_dedup_phash",
+    "window_rolling_median",
+    "text_bigram_surprisal",
+    "etl_snapshot_diff",
+    # --- r4-new operators (first batch) ---
     "dedup_containment",
     "join_bloom_prefilter",
     "etl_cdc_apply",

@@ -23,7 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parquet_batch_spark.catalog import load
+from parquet_batch_spark.catalog import fan_out, load
+from parquet_batch_spark.functions.hashing import hash32, sql_hash32
 
 HEADER_LEN = 12
 _MAGIC = "IMGX"
@@ -270,11 +271,166 @@ ORDER BY doc_id, frame_idx
 """
 
 
+# ------------------------------------------------------------------
+# multimodal_dedup_phash
+# ------------------------------------------------------------------
+
+PHASH_BANDS = 4
+PHASH_MIN_BANDS = 2  # near-dup threshold: >= 2 of 4 segment bands agree
+PHASH_HOT_CAP = 256  # drop band values hotter than this (boilerplate guard)
+
+
+def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash-style near-dup detection over the BINARY media
+    payload: the decoded content (payload minus the container header)
+    is cut into {PHASH_BANDS} equal byte segments, each segment is
+    fingerprinted, and two media objects are near-duplicates when at
+    least {PHASH_MIN_BANDS} segment fingerprints agree. Output is the
+    per-object fingerprint summary (band checksum, partner count, best
+    band agreement, near-dup flag) so every object is value-checked
+    even in a dup-free corpus — the banding
+    trick of SimHash applied to media bytes (a real deployment swaps
+    the segment hash for a DCT pHash inside the same topology;
+    cf. dedup.py's simhash bands over text).
+
+    Byte-exact portability: segments are sliced on ``hex(payload)``
+    (2 hex chars per byte) because byte-slicing must behave
+    identically in both engines regardless of the payload's encoding;
+    the fingerprint is the portable md5-derived hash32 of the hex
+    slice.
+
+    Scale: candidates come ONLY from the (band_idx, band_hash)
+    equi-join — never an all-pairs comparison. Band values shared by
+    more than {PHASH_HOT_CAP} objects (the all-black-frame /
+    boilerplate-header case) are dropped as blocking keys (HAVING +
+    semi-join), bounding every join bucket at C({PHASH_HOT_CAP},2)
+    pairs at ANY corpus size — the same hot-key guard as
+    dedup_fuzzy_levenshtein's anchor cap.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
+    p = _with_payload(d)
+    content_hex = F.expr(f"substring(hex(payload), {HEADER_LEN * 2 + 1})")
+    hex_len = F.length(content_hex)
+    # even per-band hex width (2 hex chars per byte, ceil split)
+    band_w = F.ceil(hex_len / F.lit(2 * PHASH_BANDS)).cast("int") * 2
+    bands = p.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(PHASH_BANDS)),
+                lambda i: F.substring(content_hex, (i - 1) * band_w + 1, band_w),
+            )
+        ).alias("band0", "seg"),
+    ).select(
+        "doc_id",
+        (F.col("band0") + 1).alias("band_idx"),
+        hash32(F.col("seg")).alias("band_hash"),
+    )
+    hot = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > PHASH_HOT_CAP)
+        .select("band_idx", "band_hash")
+    )
+    cold = bands.join(F.broadcast(hot), ["band_idx", "band_hash"], "left_anti")
+    b2 = cold.select(
+        F.col("band_idx").alias("band_idx2"),
+        F.col("band_hash").alias("band_hash2"),
+        F.col("doc_id").alias("doc_b"),
+    )
+    pairs = (
+        cold.join(
+            b2,
+            (F.col("band_idx") == F.col("band_idx2"))
+            & (F.col("band_hash") == F.col("band_hash2"))
+            & (F.col("doc_id") != F.col("doc_b")),
+        )
+        .groupBy("doc_id", "doc_b")
+        .agg(F.countDistinct("band_idx").alias("n_bands"))
+    )
+    partner = pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_partners"),
+        F.max("n_bands").alias("best_shared"),
+    )
+    per_doc = bands.groupBy("doc_id").agg(
+        F.sum("band_hash").alias("band_sum")
+    )
+    return (
+        per_doc.join(partner, "doc_id", "left")
+        .select(
+            "doc_id",
+            "band_sum",
+            F.coalesce("n_partners", F.lit(0).cast("long")).alias("n_partners"),
+            F.coalesce("best_shared", F.lit(0).cast("long")).alias("best_shared"),
+            (F.coalesce("best_shared", F.lit(0)) >= PHASH_MIN_BANDS).alias(
+                "is_near_dup"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PHASH_SQL = f"""
+WITH p AS (
+    SELECT doc_id,
+           substring(hex(encode('{_MAGIC}' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                     || text)), {HEADER_LEN * 2 + 1}) AS content_hex
+    FROM documents
+),
+bands AS (
+    SELECT doc_id, band_idx, {sql_hash32("seg")} AS band_hash
+    FROM (
+        SELECT doc_id,
+               UNNEST(generate_series(1, {PHASH_BANDS})) AS band_idx,
+               UNNEST(list_transform(
+                   generate_series(1, {PHASH_BANDS}),
+                   i -> substring(content_hex,
+                        (i - 1) * (CAST(CEIL(length(content_hex) / {2 * PHASH_BANDS}.0)
+                                   AS INTEGER) * 2) + 1,
+                        CAST(CEIL(length(content_hex) / {2 * PHASH_BANDS}.0)
+                             AS INTEGER) * 2))) AS seg
+        FROM p
+    )
+),
+hot AS (
+    SELECT band_idx, band_hash FROM bands
+    GROUP BY band_idx, band_hash HAVING COUNT(*) > {PHASH_HOT_CAP}
+),
+cold AS (
+    SELECT b.doc_id, b.band_idx, b.band_hash
+    FROM bands b LEFT JOIN hot h
+      ON b.band_idx = h.band_idx AND b.band_hash = h.band_hash
+    WHERE h.band_idx IS NULL
+),
+pairs AS (
+    SELECT a.doc_id, b.doc_id AS doc_b,
+           COUNT(DISTINCT a.band_idx) AS n_bands
+    FROM cold a JOIN cold b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id <> b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+partner AS (
+    SELECT doc_id, COUNT(*) AS n_partners, MAX(n_bands) AS best_shared
+    FROM pairs GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(SUM(d.band_hash) AS BIGINT) AS band_sum,
+       COALESCE(MAX(p.n_partners), 0) AS n_partners,
+       COALESCE(MAX(p.best_shared), 0) AS best_shared,
+       COALESCE(MAX(p.best_shared), 0) >= {PHASH_MIN_BANDS} AS is_near_dup
+FROM bands d LEFT JOIN partner p ON d.doc_id = p.doc_id
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_decode_features": multimodal_decode_features,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_dedup_phash": multimodal_dedup_phash,
 }
 
 ORACLES = {
@@ -282,4 +438,5 @@ ORACLES = {
     "multimodal_decode_features": _MULTIMODAL_DECODE_SQL,
     "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
     "multimodal_frame_sample": _MULTIMODAL_FRAME_SQL,
+    "multimodal_dedup_phash": _PHASH_SQL,
 }

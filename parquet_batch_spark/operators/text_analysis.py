@@ -408,7 +408,101 @@ ORDER BY doc_id, rnk
 """
 
 
+# ------------------------------------------------- bigram surprisal
+
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal scoring — one step past text_rarity_score's
+    unigram model: how predictable is each next word GIVEN the word
+    before it? surprisal(w1→w2) ≈ log2 P(w2|w1)⁻¹ is computed in EXACT
+    integer arithmetic as bitlen(c1(w1·)) - bitlen(c2(w1,w2)), where c2
+    counts corpus occurrences of the pair and c1 counts w1 as a pair
+    head (Σ c2 over its continuations). Formulaic text (low surprisal)
+    separates from shuffled/high-entropy text — the signal behind
+    cheap LM-free quality filters.
+
+    Scale: pair counts are one explode + groupBy (shuffle on the pair
+    hash); head counts are a second aggregate OF THE REDUCED pair
+    table (vocabulary², not corpus, sized); the per-doc score is one
+    equi-join of the doc's pairs against the count table and a final
+    groupBy doc_id. Identical topology to text_tfidf_topk.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = tokens_col("text")
+    n = F.size(toks)
+    pairs = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array()),
+        ).alias("pr"),
+    ).select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    scored_pairs = (
+        c2.join(c1, "w1")
+        .select(
+            "w1",
+            "w2",
+            (F.length(F.bin(F.col("c1"))) - F.length(F.bin(F.col("c2"))))
+            .cast("long")
+            .alias("bits"),
+        )
+    )
+    return (
+        pairs.join(F.broadcast(scored_pairs), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("bits").alias("surprisal_sum"),
+        )
+        .withColumn(
+            "surprisal_mean",
+            F.round(F.col("surprisal_sum") / F.col("n_pairs"), 6),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BIGRAM_SURPRISAL_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, {sql_tokens("text")} AS tk FROM documents
+),
+pairs AS (
+    SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+    FROM toks, UNNEST(
+        CASE WHEN len(tk) >= 2 THEN generate_series(1, len(tk) - 1)
+             ELSE [] END) AS u(i)
+),
+c2 AS (
+    SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY w1, w2
+),
+c1 AS (
+    SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+),
+scored AS (
+    SELECT c2.w1, c2.w2,
+           CAST(length(bin(c1.c1)) - length(bin(c2.c2)) AS BIGINT) AS bits
+    FROM c2 JOIN c1 ON c2.w1 = c1.w1
+)
+SELECT p.doc_id, COUNT(*) AS n_pairs,
+       CAST(SUM(s.bits) AS BIGINT) AS surprisal_sum,
+       ROUND(SUM(s.bits) / CAST(COUNT(*) AS DOUBLE), 6) AS surprisal_mean
+FROM pairs p JOIN scored s ON p.w1 = s.w1 AND p.w2 = s.w2
+GROUP BY p.doc_id
+ORDER BY p.doc_id
+"""
+
+
 QUERIES = {
+    "text_bigram_surprisal": text_bigram_surprisal,
     "text_tfidf_topk": text_tfidf_topk,
     "text_chunk_windows": text_chunk_windows,
     "text_token_count": text_token_count,
@@ -419,6 +513,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_bigram_surprisal": _BIGRAM_SURPRISAL_SQL,
     "text_tfidf_topk": _TFIDF_SQL,
     "text_chunk_windows": _chunk_sql(),
     "text_token_count": _TEXT_TOKEN_COUNT_SQL,

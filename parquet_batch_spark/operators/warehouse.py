@@ -650,7 +650,107 @@ ORDER BY m.cohort_day, m.day_offset
 """
 
 
+# ------------------------------------------------- snapshot diff
+
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-version diff — the audit step after any CDC/merge cycle
+    (etl_cdc_apply, etl_merge_upsert): compare snapshot v2 against v1
+    and report added / removed / changed / unchanged row classes with
+    key and value checksums, so a 100 TB reconciliation produces four
+    numbers instead of a 100 TB diff dump.
+
+    Deterministic v2 derivation so the oracle reproduces it from the
+    same base: customers with custkey % 19 == 0 are deleted, % 7 == 0
+    get acctbal + 100 (changed), and a shifted-key copy of % 23 == 0
+    is inserted (added).
+
+    Scale: ONE full-outer equi-join on the key (both sides bucketable
+    at 100 TB → shuffle-free), then a partial-aggregating rollup to
+    4 rows. The value comparison is on exact decimal, so "changed" is
+    never a float-noise artifact.
+    """
+    from parquet_batch_spark.functions.numeric import dec
+
+    base = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), dec("c_acctbal").alias("bal")
+    )
+    max_k = 100_000_000  # key shift for inserted rows (beyond any SF)
+    v2 = (
+        base.filter(F.col("k") % 19 != 0)
+        .select(
+            "k",
+            F.when(F.col("k") % 7 == 0, F.col("bal") + 100).otherwise(
+                F.col("bal")
+            ).alias("bal"),
+        )
+        .unionByName(
+            base.filter(F.col("k") % 23 == 0).select(
+                (F.col("k") + max_k).alias("k"), "bal"
+            )
+        )
+    )
+    j = base.select(
+        F.col("k").alias("k1"), F.col("bal").alias("bal1"), F.lit(True).alias("in1")
+    ).join(
+        v2.select(
+            F.col("k").alias("k2"), F.col("bal").alias("bal2"), F.lit(True).alias("in2")
+        ),
+        F.col("k1") == F.col("k2"),
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("in1").isNull(), F.lit("added"))
+        .when(F.col("in2").isNull(), F.lit("removed"))
+        .when(F.col("bal1") != F.col("bal2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    key = F.coalesce(F.col("k1"), F.col("k2"))
+    bal = F.coalesce(F.col("bal2"), F.col("bal1"))  # v2 value, v1 if removed
+    return (
+        j.select(status.alias("status"), key.alias("k"), bal.alias("bal"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").alias("key_checksum"),
+            F.sum("bal").cast("decimal(18,6)").cast("double").alias("bal_checksum"),
+        )
+        .orderBy("status")
+    )
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH base AS (
+    SELECT c_custkey AS k, CAST(c_acctbal AS DECIMAL(18,4)) AS bal
+    FROM customer
+),
+v2 AS (
+    SELECT k,
+           CASE WHEN k % 7 = 0 THEN bal + 100 ELSE bal END AS bal
+    FROM base WHERE k % 19 <> 0
+    UNION ALL
+    SELECT k + 100000000 AS k, bal FROM base WHERE k % 23 = 0
+),
+j AS (
+    SELECT b.k AS k1, b.bal AS bal1, (b.k IS NOT NULL) AS in1,
+           v.k AS k2, v.bal AS bal2, (v.k IS NOT NULL) AS in2
+    FROM base b FULL OUTER JOIN v2 v ON b.k = v.k
+)
+SELECT CASE WHEN NOT in1 THEN 'added'
+            WHEN NOT in2 THEN 'removed'
+            WHEN bal1 <> bal2 THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       COUNT(*) AS n_rows,
+       CAST(SUM(COALESCE(k1, k2)) AS BIGINT) AS key_checksum,
+       CAST(CAST(SUM(COALESCE(bal2, bal1)) AS DECIMAL(18,6)) AS DOUBLE)
+           AS bal_checksum
+FROM j
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
+    "etl_snapshot_diff": etl_snapshot_diff,
     "window_funnel": window_funnel,
     "window_retention_cohort": window_retention_cohort,
     "quality_expectations": quality_expectations,
@@ -661,6 +761,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "etl_snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "window_funnel": _FUNNEL_SQL,
     "window_retention_cohort": _RETENTION_SQL,
     "quality_expectations": _EXPECT_SQL,

@@ -394,7 +394,68 @@ ORDER BY s.user_id, bucket_ts
 """
 
 
+# ---------------------------------------------------- rolling median
+
+ROLL_MED_N = 25  # trailing window width (rows)
+
+
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median of event value over each user's trailing
+    {ROLL_MED_N} events — the robust-baseline monitor (median ignores
+    the spike that wrecks a rolling mean). ``percentile(…, 0.5)`` as a
+    WINDOW aggregate: the frame buffer is at most {ROLL_MED_N} values,
+    so unlike a whole-group exact percentile this stays O(frame) memory
+    per row at any scale. Interpolation parity with the oracle's
+    ``quantile_cont`` is already established by agg_percentiles (the
+    midpoint formula is the identical IEEE expression in both engines).
+
+    Scale: one shuffle (window partition by user_id); frame evaluation
+    is per-row bounded, no whole-partition buffering beyond the sort.
+    The output keeps every 10th event per user (deterministic thinning
+    on event_id) so the result set stays bench-sized without losing the
+    per-row check granularity.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ROLL_MED_N - 1), 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.expr("percentile(value, 0.5)")
+            .over(w)
+            .alias("rolling_median"),
+            F.count(F.lit(1)).over(w).alias("n_in_frame"),
+        )
+        .filter(F.col("event_id") % 10 == 0)
+        .orderBy("user_id", "event_id")
+    )
+
+
+_ROLL_MED_SQL = f"""
+SELECT user_id, event_id, rolling_median, n_in_frame
+FROM (
+    SELECT user_id, event_id,
+           quantile_cont(value, 0.5) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {ROLL_MED_N - 1} PRECEDING AND CURRENT ROW
+           ) AS rolling_median,
+           COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {ROLL_MED_N - 1} PRECEDING AND CURRENT ROW
+           ) AS n_in_frame
+    FROM events
+)
+WHERE event_id % 10 = 0
+ORDER BY user_id, event_id
+"""
+
+
 QUERIES = {
+    "window_rolling_median": window_rolling_median,
     "window_distribution": window_distribution,
     "window_anomaly_zscore": window_anomaly_zscore,
     "window_gap_fill": window_gap_fill,
@@ -407,6 +468,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_rolling_median": _ROLL_MED_SQL,
     "window_distribution": _WINDOW_DISTRIBUTION_SQL,
     "window_anomaly_zscore": _WINDOW_ANOMALY_SQL,
     "window_gap_fill": _WINDOW_GAP_FILL_SQL,
