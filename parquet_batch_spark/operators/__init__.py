@@ -32,17 +32,18 @@ from pyspark.sql import DataFrame, SparkSession
 #   r3 window: 27 never-checked r2-new + 4 repaired ERRs + 19 stalest
 #     r1 greens (scans/sources/sinks/joins/q1/agg_distinct).  49 green;
 #     ann_ivf_topk no_oracle (rows-only then — oracle added in r4).
-#   r4 window (this ordering): slots 1-5 = the 5 r4-NEW ops (new ops go
-#     first — the r2 lesson); slots 6-8 = r4-CHANGED ops needing fresh
-#     rows (IVF's first-ever hash check, reworked cosine + fuzzy);
-#     slots 9-37 = the 29 entries green in r1 and unchecked since
-#     (tpch q2-q11/q13-q22, agg rollup/cube/sets/pivot/stats, unpivot,
-#     sort/set, window_distribution); slots 38-50 = stalest r2 greens
-#     (dedup family, ANN pair, json/q12 repairs, first windows).
-#     Tail: remaining r2 greens (2 rounds stale) ahead of r3 greens.
-#   r5 plan: remaining r2 greens (windows/analytics/scalar/UDF/text/
-#     multimodal/streaming blocks) + the then-stalest r3 greens
-#     (curation + warehouse blocks).
+#   r4 window (this ordering): slots 1-21 = the 21 r4-NEW ops (new ops
+#     go first — the r2 lesson: 16 late-r4 llm_prep/batch-3/batch-4 ops,
+#     then the 5 early-r4 ops); slots 22-24 = r4-CHANGED ops needing
+#     fresh rows (IVF's first-ever hash check, reworked cosine + fuzzy);
+#     slots 25-50 = the r1-green entries unchecked since r1 that fit
+#     (tpch q2-q11/q13-q22, agg rollup/cube/sets/pivot/stats, unpivot).
+#     sort_topk / set_ops / window_distribution no longer fit — they
+#     lead the r5 window along with the stalest r2 greens below.
+#   r5 plan: sort_topk, set_ops, window_distribution (r1-stale), then
+#     the r2 greens (dedup family, ANN pair, json/q12 repairs, windows/
+#     analytics/scalar/UDF/text/multimodal/streaming blocks), then the
+#     then-stalest r3 greens (curation + warehouse blocks).
 _PRIORITY = [
     # --- r4-new operators (llm_prep batch, landed later in r4),
     #     slots 1-8: sequence packing, mixture sampling, paragraph /
@@ -62,6 +63,12 @@ _PRIORITY = [
     "window_rolling_median",
     "text_bigram_surprisal",
     "etl_snapshot_diff",
+    # --- r4-new operators (fourth batch): temperature mixture,
+    #     segment-graph degrees, running distinct, bitwise family ---
+    "sample_temperature_mixture",
+    "graph_degree_histogram",
+    "window_running_distinct",
+    "func_bitwise",
     # --- r4-new operators (first batch) ---
     "dedup_containment",
     "join_bloom_prefilter",

@@ -854,7 +854,223 @@ ORDER BY stage
 """
 
 
+# ------------------------------------------------------------------
+# sample_temperature_mixture
+# ------------------------------------------------------------------
+
+TEMP_TAU_NOTE = "tau = 0.5 (sqrt scaling)"
+TEMP_Q = 1_000_000  # weight quantization (micro-units)
+
+
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixture — the multilingual sampling
+    rule p(lang) ∝ n(lang)^τ that upweights low-resource languages
+    relative to proportional sampling. τ = 0.5: the weight is √n,
+    chosen deliberately because IEEE-754 sqrt is CORRECTLY ROUNDED in
+    both engines (unlike pow(x, 0.7), which is implementation-defined
+    in the last ulp) — quantized to integer micro-units, every quota
+    is then exact integer arithmetic, bit-identical cross-engine.
+
+    Everything derives in-query (per-lang counts → weights → quotas →
+    hash-rank take): no driver-side constants, so the same plan serves
+    any corpus. The Σ-weights total is a broadcast-scalar join (a
+    5-row aggregate), the take is one row_number per lang partition.
+
+    Scale: one shuffle for the per-lang counts (tiny reduction), one
+    for the ranked take; the quota table is langs-sized and broadcast.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "lang")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_avail"))
+    weights = counts.select(
+        "lang",
+        "n_avail",
+        F.floor(F.sqrt(F.col("n_avail").cast("double")) * TEMP_Q)
+        .cast("long")
+        .alias("w_q"),
+    )
+    totals = weights.agg(
+        F.sum("w_q").alias("w_total"), F.sum("n_avail").alias("n_total")
+    )
+    quotas = weights.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        "n_avail",
+        "w_q",
+        F.floor((F.col("n_total") / 2).cast("long") * F.col("w_q") / F.col("w_total"))
+        .cast("long")
+        .alias("quota"),
+    )
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(
+                hash32(F.col("doc_id").cast("string")), "doc_id"
+            )
+        )
+        .alias("rk"),
+    )
+    return (
+        ranked.join(F.broadcast(quotas), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("n_avail").alias("n_avail"),
+            F.max("w_q").alias("w_q"),
+            F.max("quota").alias("quota"),
+            F.sum(F.when(F.col("rk") <= F.col("quota"), 1).otherwise(0)).alias(
+                "taken"
+            ),
+            F.sum(
+                F.when(F.col("rk") <= F.col("quota"), F.col("doc_id")).otherwise(0)
+            ).alias("taken_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+_TEMP_MIX_SQL = f"""
+WITH counts AS (
+    SELECT lang, COUNT(*) AS n_avail FROM documents GROUP BY lang
+),
+weights AS (
+    SELECT lang, n_avail,
+           CAST(FLOOR(SQRT(CAST(n_avail AS DOUBLE)) * {TEMP_Q}) AS BIGINT) AS w_q
+    FROM counts
+),
+quotas AS (
+    SELECT lang, n_avail, w_q,
+           CAST(FLOOR(CAST((SUM(n_avail) OVER ()) // 2 AS BIGINT) * w_q
+                      / CAST(SUM(w_q) OVER () AS DOUBLE)) AS BIGINT) AS quota
+    FROM weights
+),
+ranked AS (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {sql_hash32("CAST(doc_id AS VARCHAR)")}, doc_id
+           ) AS rk
+    FROM documents
+)
+SELECT r.lang, MAX(q.n_avail) AS n_avail, MAX(q.w_q) AS w_q,
+       MAX(q.quota) AS quota,
+       CAST(SUM(CASE WHEN r.rk <= q.quota THEN 1 ELSE 0 END) AS BIGINT) AS taken,
+       CAST(SUM(CASE WHEN r.rk <= q.quota THEN r.doc_id ELSE 0 END) AS BIGINT)
+           AS taken_checksum
+FROM ranked r JOIN quotas q ON r.lang = q.lang
+GROUP BY r.lang
+ORDER BY r.lang
+"""
+
+
+# ------------------------------------------------------------------
+# graph_degree_histogram
+# ------------------------------------------------------------------
+
+DEGREE_HOT_CAP = 256  # segments shared by more docs don't form edges
+
+
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the content-sharing graph: docs are
+    vertices, an edge connects two docs sharing at least one
+    {SEG_TOKENS}-token segment (the dedup_paragraph segmentation) —
+    the first diagnostic every dedup run reports ("how clustered is
+    my corpus?") and the input shape for graph_pagerank /
+    dedup_clusters. Output: degree → number of documents, including
+    the degree-0 mass.
+
+    Scale: edges come from the inverted segment index (equi-join on
+    segment hash), never all-pairs; segments hotter than
+    {DEGREE_HOT_CAP} docs are dropped as edge generators (HAVING), so
+    a boilerplate segment cannot create a quadratic edge set. Degree
+    is a partial-aggregating count; the histogram is a second tiny
+    aggregate.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = tokens_col("text")
+    n_seg = F.ceil(F.size(toks) / F.lit(SEG_TOKENS)).cast("int")
+    segs = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n_seg),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(toks, (i - 1) * SEG_TOKENS + 1, SEG_TOKENS)
+                    ),
+                )
+            )
+        ).alias("seg"),
+    ).select("doc_id", hash32(F.col("seg")).alias("seg_h"))
+    hot = (
+        segs.groupBy("seg_h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > DEGREE_HOT_CAP)
+        .select("seg_h")
+    )
+    cold = segs.join(F.broadcast(hot), "seg_h", "left_anti")
+    partners = (
+        cold.join(
+            cold.select(F.col("seg_h").alias("h2"), F.col("doc_id").alias("doc_b")),
+            (F.col("seg_h") == F.col("h2")) & (F.col("doc_id") != F.col("doc_b")),
+        )
+        .select("doc_id", "doc_b")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    all_docs = d.select("doc_id")
+    return (
+        all_docs.join(partners, "doc_id", "left")
+        .select(F.coalesce("degree", F.lit(0).cast("long")).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("degree")
+    )
+
+
+_DEGREE_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, {sql_tokens("text")} AS tk FROM documents
+),
+segs AS (
+    SELECT DISTINCT doc_id, {sql_hash32("seg")} AS seg_h
+    FROM (
+        SELECT doc_id,
+               UNNEST(list_distinct(list_transform(
+                   generate_series(1, CAST(CEIL(len(tk) / {SEG_TOKENS}.0) AS INTEGER)),
+                   i -> array_to_string(
+                       tk[(i-1)*{SEG_TOKENS}+1 : (i-1)*{SEG_TOKENS}+{SEG_TOKENS}],
+                       ' ')))) AS seg
+        FROM toks
+    )
+),
+hot AS (
+    SELECT seg_h FROM segs GROUP BY seg_h HAVING COUNT(*) > {DEGREE_HOT_CAP}
+),
+cold AS (
+    SELECT s.doc_id, s.seg_h
+    FROM segs s LEFT JOIN hot h ON s.seg_h = h.seg_h
+    WHERE h.seg_h IS NULL
+),
+partners AS (
+    SELECT a.doc_id, COUNT(DISTINCT b.doc_id) AS degree
+    FROM cold a JOIN cold b ON a.seg_h = b.seg_h AND a.doc_id <> b.doc_id
+    GROUP BY a.doc_id
+),
+deg AS (
+    SELECT d.doc_id, COALESCE(p.degree, 0) AS degree
+    FROM documents d LEFT JOIN partners p ON d.doc_id = p.doc_id
+)
+SELECT degree, COUNT(*) AS n_docs
+FROM deg
+GROUP BY degree
+ORDER BY degree
+"""
+
+
 QUERIES = {
+    "sample_temperature_mixture": sample_temperature_mixture,
+    "graph_degree_histogram": graph_degree_histogram,
     "seq_pack_chunks": seq_pack_chunks,
     "sample_mix_domains": sample_mix_domains,
     "dedup_paragraph": dedup_paragraph,
@@ -866,6 +1082,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sample_temperature_mixture": _TEMP_MIX_SQL,
+    "graph_degree_histogram": _DEGREE_SQL,
     "seq_pack_chunks": _SEQ_PACK_SQL,
     "sample_mix_domains": _MIX_SQL,
     "dedup_paragraph": _PARA_SQL,

@@ -344,7 +344,49 @@ ORDER BY event_type
 """
 
 
+# ----------------------------------------------------- bitwise family
+
+def func_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar-function family — AND/OR/XOR, shifts, popcount,
+    complement — the primitives under bitmap indexes, bloom masks
+    (join_bloom_prefilter builds on them), and flag-field decoding.
+    Dialect note baked into the oracle: ``^`` is XOR in Spark SQL but
+    EXPONENT in DuckDB, so the oracle uses ``xor()``; everything else
+    maps 1:1. All outputs are exact integers."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    k = F.col("o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            (k.bitwiseAND(F.lit(255))).alias("and_255"),
+            (k.bitwiseOR(F.lit(4096))).alias("or_4096"),
+            (k.bitwiseXOR(F.shiftright(k, 4))).alias("xor_shift"),
+            F.shiftleft(k, 2).alias("shl_2"),
+            F.shiftright(k, 3).alias("shr_3"),
+            F.bit_count(k).cast("int").alias("popcount"),
+            F.expr("~o_orderkey").alias("complement"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_BITWISE_SQL = """
+SELECT o_orderkey,
+       o_orderkey & 255 AS and_255,
+       o_orderkey | 4096 AS or_4096,
+       xor(o_orderkey, o_orderkey >> 4) AS xor_shift,
+       o_orderkey << 2 AS shl_2,
+       o_orderkey >> 3 AS shr_3,
+       CAST(bit_count(o_orderkey) AS INTEGER) AS popcount,
+       ~o_orderkey AS complement
+FROM orders
+WHERE o_orderkey < 2000
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
+    "func_bitwise": func_bitwise,
     "func_json_struct": func_json_struct,
     "func_variant": func_variant,
     "func_map": func_map,
@@ -357,6 +399,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "func_bitwise": _BITWISE_SQL,
     "func_json_struct": _FUNC_JSON_STRUCT_SQL,
     "func_variant": _FUNC_VARIANT_SQL,
     "func_map": _FUNC_MAP_SQL,

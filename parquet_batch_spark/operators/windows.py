@@ -454,7 +454,65 @@ ORDER BY user_id, event_id
 """
 
 
+# ------------------------------------------- running distinct count
+
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count of DISTINCT event types seen so far per user —
+    the engagement-breadth metric ("how many features has this user
+    touched by time t?"). COUNT(DISTINCT) is not a window function in
+    either engine; the exact decomposition is: flag each row that is
+    the FIRST occurrence of its (user, event_type), then running-sum
+    the flags — two windows, both exact integers, no approximation.
+
+    Scale: both windows partition by user_id (the second by
+    (user_id, event_type)), so this is one shuffle on user_id with
+    co-partitioned reuse; per-row state is O(1). Output thinned to
+    every 10th event like window_rolling_median.
+    """
+    ev = load(spark, sf_dir, "events")
+    first = (
+        F.row_number().over(
+            W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        )
+        == 1
+    ).cast("long")
+    running = F.sum("is_first").over(
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        ev.select("user_id", "event_id", first.alias("is_first"), "ts")
+        .withColumn("n_types_seen", running)
+        .filter(F.col("event_id") % 10 == 0)
+        .select("user_id", "event_id", "n_types_seen")
+        .orderBy("user_id", "event_id")
+    )
+
+
+_RUN_DISTINCT_SQL = """
+SELECT user_id, event_id, n_types_seen
+FROM (
+    SELECT user_id, event_id,
+           CAST(SUM(is_first) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_types_seen
+    FROM (
+        SELECT user_id, event_id, ts,
+               CASE WHEN ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ) = 1 THEN 1 ELSE 0 END AS is_first
+        FROM events
+    )
+)
+WHERE event_id % 10 = 0
+ORDER BY user_id, event_id
+"""
+
+
 QUERIES = {
+    "window_running_distinct": window_running_distinct,
     "window_rolling_median": window_rolling_median,
     "window_distribution": window_distribution,
     "window_anomaly_zscore": window_anomaly_zscore,
@@ -468,6 +526,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_running_distinct": _RUN_DISTINCT_SQL,
     "window_rolling_median": _ROLL_MED_SQL,
     "window_distribution": _WINDOW_DISTRIBUTION_SQL,
     "window_anomaly_zscore": _WINDOW_ANOMALY_SQL,

@@ -240,3 +240,58 @@ def test_dpp_join_injects_dynamic_pruning(spark, sf_dir):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m, plan[:2000]
     assert "dynamicpruning" in m.group(1), m.group(1)
+
+
+def test_llm_prep_pipelines_scale_shapes(spark, sf_dir):
+    """r4 llm_prep batch: the paragraph/novelty/phash dedup family must
+    pair rows only through inverted-index equi-joins (no cartesian, no
+    NLJ, no whole-bucket collect_list), and the packing window must be
+    partitioned (a global unpartitioned window is a single-task sort at
+    100 TB)."""
+    from parquet_batch_spark.operators.llm_prep import (
+        curation_pipeline_funnel,
+        dedup_incremental_novelty,
+        dedup_paragraph,
+        seq_pack_chunks,
+        text_rarity_score,
+    )
+    from parquet_batch_spark.operators.multimodal import multimodal_dedup_phash
+
+    for fn in (
+        dedup_paragraph,
+        dedup_incremental_novelty,
+        multimodal_dedup_phash,
+        curation_pipeline_funnel,
+        text_rarity_score,
+    ):
+        plan = executed_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{fn.__name__}: cartesian!"
+        assert "collect_list" not in plan, f"{fn.__name__}: collect_list!"
+
+    pack_plan = executed_plan(seq_pack_chunks(spark, sf_dir))
+    m = re.search(r"Window .*partitionBy|Window \[[^\]]*\], \[lang", pack_plan)
+    assert "Window" in pack_plan and ("lang" in pack_plan), pack_plan[:2000]
+
+
+def test_rarity_and_novelty_index_sides_broadcast(spark, sf_dir):
+    """The vocabulary-sized df table (rarity) and the benchmark/seen
+    shingle indexes (novelty, funnel) are the small reduced sides —
+    they must broadcast so the corpus side streams without a shuffle
+    for the join."""
+    from parquet_batch_spark.operators.llm_prep import (
+        dedup_incremental_novelty,
+        text_rarity_score,
+    )
+
+    for fn in (text_rarity_score, dedup_incremental_novelty):
+        assert has_broadcast_join(fn(spark, sf_dir)), f"{fn.__name__}: no broadcast"
+
+
+def test_snapshot_diff_single_outer_join(spark, sf_dir):
+    """The version diff is exactly one full-outer key join — no extra
+    join pass per row class."""
+    from parquet_batch_spark.operators.warehouse import etl_snapshot_diff
+
+    plan = executed_plan(etl_snapshot_diff(spark, sf_dir))
+    joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert joins == 1, f"expected exactly 1 shuffle join, got {joins}"

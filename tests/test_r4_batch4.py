@@ -1,0 +1,82 @@
+"""Invariant tests for the fourth r4 operator batch: temperature-
+mixture allocation maths, degree-histogram mass conservation,
+running-distinct monotonicity, bitwise identities."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from parquet_batch_spark.catalog import load
+from parquet_batch_spark.operators.llm_prep import (
+    TEMP_Q,
+    graph_degree_histogram,
+    sample_temperature_mixture,
+)
+from parquet_batch_spark.operators.scalar_funcs import func_bitwise
+from parquet_batch_spark.operators.windows import window_running_distinct
+
+
+def test_temperature_mixture_flattens(spark, sf_dir):
+    """τ=0.5 must compress the mixture: the largest language's share of
+    the sample is strictly below its share of the corpus, the smallest
+    language's share strictly above; quotas match √n allocation."""
+    rows = sample_temperature_mixture(spark, sf_dir).collect()
+    n_total = sum(r["n_avail"] for r in rows)
+    w_total = sum(r["w_q"] for r in rows)
+    for r in rows:
+        assert r["w_q"] == math.floor(math.sqrt(r["n_avail"]) * TEMP_Q)
+        assert r["quota"] == math.floor((n_total // 2) * r["w_q"] / w_total)
+        assert r["taken"] == min(r["quota"], r["n_avail"])
+    big = max(rows, key=lambda r: r["n_avail"])
+    small = min(rows, key=lambda r: r["n_avail"])
+    taken_total = sum(r["taken"] for r in rows)
+    assert big["taken"] / taken_total < big["n_avail"] / n_total
+    assert small["taken"] / taken_total > small["n_avail"] / n_total
+
+
+def test_degree_histogram_conserves_mass(spark, sf_dir):
+    """Histogram counts sum to the corpus size; degrees are
+    non-negative; there is non-trivial structure (some degree-0 docs
+    AND some connected docs in this corpus)."""
+    rows = graph_degree_histogram(spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    degs = {r["degree"] for r in rows}
+    assert all(d >= 0 for d in degs)
+    assert 0 in degs and max(degs) >= 1
+
+
+def test_running_distinct_monotone_and_bounded(spark, sf_dir):
+    """Per user, n_types_seen is non-decreasing in event order and
+    never exceeds the user's total distinct types."""
+    rows = window_running_distinct(spark, sf_dir).collect()
+    totals = {
+        r["user_id"]: r["n"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("n"))
+        .collect()
+    }
+    last: dict = {}
+    for r in rows:  # already ordered by user_id, event_id
+        u = r["user_id"]
+        assert 1 <= r["n_types_seen"] <= totals[u]
+        if u in last:
+            assert r["n_types_seen"] >= last[u]
+        last[u] = r["n_types_seen"]
+
+
+def test_bitwise_identities(spark, sf_dir):
+    rows = func_bitwise(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:200]:
+        k = r["o_orderkey"]
+        assert r["and_255"] == k & 255
+        assert r["or_4096"] == k | 4096
+        assert r["xor_shift"] == k ^ (k >> 4)
+        assert r["shl_2"] == k << 2
+        assert r["shr_3"] == k >> 3
+        assert r["popcount"] == bin(k).count("1")
+        assert r["complement"] == ~k

@@ -30,17 +30,26 @@ def test_every_oracle_has_a_query():
 
 def test_driver_window_covers_round4_targets():
     """Slots 1-50 must contain every r4-NEW op (new ops go first — the
-    r2 lesson), every r4-CHANGED op, and the 29 entries unchecked
-    since r1 (see _PRIORITY's rotation ledger)."""
+    r2 lesson: 21 of them after the late-r4 batches landed), every
+    r4-CHANGED op, and as many of the r1-stale entries as fit (the
+    TPC-H block + the agg/reshape block; sort_topk / set_ops /
+    window_distribution spill to the r5 window — ledger updated)."""
     first50 = list(all_queries())[:50]
-    new_ops = {"dedup_containment", "join_bloom_prefilter", "etl_cdc_apply",
-               "sample_reservoir_per_group", "embedding_kmeans_rollup"}
+    new_ops = {
+        "seq_pack_chunks", "sample_mix_domains", "dedup_paragraph",
+        "dedup_incremental_novelty", "embedding_quantize_int8",
+        "text_rarity_score", "window_ewma_decay", "curation_pipeline_funnel",
+        "multimodal_dedup_phash", "window_rolling_median",
+        "text_bigram_surprisal", "etl_snapshot_diff",
+        "sample_temperature_mixture", "graph_degree_histogram",
+        "window_running_distinct", "func_bitwise",
+        "dedup_containment", "join_bloom_prefilter", "etl_cdc_apply",
+        "sample_reservoir_per_group", "embedding_kmeans_rollup"}
     assert new_ops <= set(first50), new_ops - set(first50)
     changed = {"ann_ivf_topk", "dedup_embedding_cosine",
                "dedup_fuzzy_levenshtein"}
     assert changed <= set(first50)
     r1_stale = {f"tpch_q{i}" for i in range(2, 23) if i != 12} | {
         "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_pivot",
-        "agg_stats", "reshape_unpivot", "sort_topk", "set_ops",
-        "window_distribution"}
+        "agg_stats", "reshape_unpivot"}
     assert r1_stale <= set(first50), r1_stale - set(first50)
