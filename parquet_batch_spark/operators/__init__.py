@@ -36,11 +36,13 @@ from pyspark.sql import DataFrame, SparkSession
 #     go first — the r2 lesson: 16 late-r4 llm_prep/batch-3/batch-4 ops,
 #     then the 5 early-r4 ops); slots 22-24 = r4-CHANGED ops needing
 #     fresh rows (IVF's first-ever hash check, reworked cosine + fuzzy);
-#     slots 25-50 = the r1-green entries unchecked since r1 that fit
-#     (tpch q2-q11/q13-q22, agg rollup/cube/sets/pivot/stats, unpivot).
-#     sort_topk / set_ops / window_distribution no longer fit — they
-#     lead the r5 window along with the stalest r2 greens below.
-#   r5 plan: sort_topk, set_ops, window_distribution (r1-stale), then
+#     slots 28-50 = the r1-green entries unchecked since r1 that fit
+#     (tpch q2-q11/q13-q22, agg rollup/cube/sets). agg_pivot /
+#     agg_stats / reshape_unpivot / sort_topk / set_ops /
+#     window_distribution no longer fit — they lead the r5 window
+#     along with the stalest r2 greens below.
+#   r5 plan: agg_pivot, agg_stats, reshape_unpivot, sort_topk,
+#     set_ops, window_distribution (r1-stale), then
 #     the r2 greens (dedup family, ANN pair, json/q12 repairs, windows/
 #     analytics/scalar/UDF/text/multimodal/streaming blocks), then the
 #     then-stalest r3 greens (curation + warehouse blocks).
@@ -69,6 +71,11 @@ _PRIORITY = [
     "graph_degree_histogram",
     "window_running_distinct",
     "func_bitwise",
+    # --- r4-new operators (fifth batch): tolerance as-of join,
+    #     FILTER-clause aggregates, ordered LISTAGG ---
+    "join_asof_tolerance",
+    "agg_filtered",
+    "agg_listagg_sorted",
     # --- r4-new operators (first batch) ---
     "dedup_containment",
     "join_bloom_prefilter",

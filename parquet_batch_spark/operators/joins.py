@@ -448,7 +448,100 @@ ORDER BY l_returnflag
 """
 
 
+# ------------------------------------------ as-of with tolerance
+
+ASOF_TOL_SECONDS = 3600  # match window: preceding view within 1 hour
+
+
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stream as-of join WITH tolerance: each ``click`` event is
+    matched to the user's most recent preceding ``view`` event, but
+    only if it happened within {ASOF_TOL_SECONDS}s — the attribution
+    join ("which impression caused this click?") where a stale match
+    is worse than no match. Complements join_asof (self-table lag,
+    no tolerance).
+
+    Scalable formulation: union both event roles into one stream and
+    carry the last non-null view timestamp forward with
+    ``last(…, ignorenulls=True)`` over the user partition — one
+    shuffle, no range-join explosion, tolerance applied as a filter
+    on the carried value. Gap arithmetic is integer microseconds
+    (``unix_micros``), so the per-user rollup is exact.
+
+    Output: per user, click/match counts and the exact total matched
+    gap in microseconds.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    tagged = ev.select("user_id", "event_id", "ts", "event_type").withColumn(
+        "last_view_ts", F.last(view_ts, ignorenulls=True).over(w)
+    )
+    clicks = tagged.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "event_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("last_view_ts").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+    matched = F.col("gap_us").isNotNull() & (
+        F.col("gap_us") <= ASOF_TOL_SECONDS * 1_000_000
+    )
+    return (
+        clicks.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.sum(matched.cast("long")).alias("n_matched"),
+            F.sum(F.when(matched, F.col("gap_us")).otherwise(0)).alias(
+                "matched_gap_us"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+_ASOF_TOL_SQL = f"""
+WITH ev AS (
+    SELECT user_id, event_id, ts, event_type
+    FROM events WHERE event_type IN ('view', 'click')
+),
+tagged AS (
+    SELECT user_id, event_id, ts, event_type,
+           LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_view_ts
+    FROM ev
+),
+clicks AS (
+    SELECT user_id, event_id,
+           epoch_us(ts) - epoch_us(last_view_ts) AS gap_us
+    FROM tagged WHERE event_type = 'click'
+)
+SELECT user_id, COUNT(*) AS n_clicks,
+       CAST(SUM(CASE WHEN gap_us IS NOT NULL
+                     AND gap_us <= {ASOF_TOL_SECONDS * 1_000_000}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN gap_us IS NOT NULL
+                     AND gap_us <= {ASOF_TOL_SECONDS * 1_000_000}
+                THEN gap_us ELSE 0 END) AS BIGINT) AS matched_gap_us
+FROM clicks
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "join_asof_tolerance": join_asof_tolerance,
     "join_bloom_prefilter": join_bloom_prefilter,
     "join_bucketed_colocate": join_bucketed_colocate,
     "join_skew_salted": join_skew_salted,
@@ -462,6 +555,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_asof_tolerance": _ASOF_TOL_SQL,
     "join_bloom_prefilter": _JOIN_BLOOM_SQL,
     "join_bucketed_colocate": _JOIN_BUCKETED_SQL,
     "join_skew_salted": _JOIN_SALTED_SQL,

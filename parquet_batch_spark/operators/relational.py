@@ -421,7 +421,105 @@ ORDER BY o_orderstatus
 """
 
 
+# -------------------------------------------- FILTER-clause aggregates
+
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation via the SQL FILTER clause — the
+    one-pass replacement for N self-joins when a report needs counts
+    and sums over different predicates of the same scan ("orders by
+    status, but urgent ones, 1995+ ones, and big-ticket ones broken
+    out"). One scan, one shuffle on the group key; every branch is a
+    partial-aggregating conditional — the cheapest possible shape for
+    multi-predicate dashboards at 100 TB.
+
+    Money sums go through the exact-decimal policy (numeric.py) so
+    every branch is order-insensitive and bit-identical cross-engine.
+    """
+    o = load(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    recent = F.year("o_orderdate") >= 1995
+    big = F.col("o_totalprice") > 200000
+    price_dec = dec("o_totalprice")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.sum(urgent.cast("long")).alias("n_urgent"),
+            F.sum(recent.cast("long")).alias("n_recent"),
+            F.sum(F.when(big, 1).otherwise(0)).cast("long").alias("n_big"),
+            F.sum(F.when(urgent, price_dec))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("urgent_revenue"),
+            F.sum(F.when(recent & big, price_dec))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("recent_big_revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_AGG_FILTERED_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_all,
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+           AS n_urgent,
+       CAST(COUNT(*) FILTER (WHERE year(o_orderdate) >= 1995) AS BIGINT)
+           AS n_recent,
+       CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_big,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                 FILTER (WHERE o_orderpriority = '1-URGENT')
+            AS DECIMAL(18,6)) AS DOUBLE) AS urgent_revenue,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                 FILTER (WHERE year(o_orderdate) >= 1995
+                         AND o_totalprice > 200000)
+            AS DECIMAL(18,6)) AS DOUBLE) AS recent_big_revenue
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+# ----------------------------------------------- ordered LISTAGG
+
+def agg_listagg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg) — the report
+    column "which members make up this group", deterministic by
+    sorting members before joining. Spark has no ordered listagg
+    aggregate; the exact equivalent is collect_list → array_sort →
+    array_join, which keeps the whole pipeline JVM-side. Group sizes
+    here are bounded (nations per region, order-priority values per
+    status); at 100 TB you cap or top-k the member list first — an
+    unbounded listagg is a straggler by construction.
+    """
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), ","
+            ).alias("nations_csv"),
+        )
+        .orderBy("r_name")
+    )
+
+
+_LISTAGG_SQL = """
+SELECT r_name, COUNT(*) AS n_nations,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
 QUERIES = {
+    "agg_filtered": agg_filtered,
+    "agg_listagg_sorted": agg_listagg_sorted,
     "q1_pricing_summary": q1_pricing_summary,
     "agg_mode_per_group": agg_mode_per_group,
     "reshape_unpivot": reshape_unpivot,
@@ -436,6 +534,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_filtered": _AGG_FILTERED_SQL,
+    "agg_listagg_sorted": _LISTAGG_SQL,
     "q1_pricing_summary": _Q1_SQL,
     "agg_mode_per_group": _AGG_MODE_SQL,
     "reshape_unpivot": _RESHAPE_UNPIVOT_SQL,

@@ -80,3 +80,49 @@ def test_bitwise_identities(spark, sf_dir):
         assert r["shr_3"] == k >> 3
         assert r["popcount"] == bin(k).count("1")
         assert r["complement"] == ~k
+
+
+def test_asof_tolerance_bounds(spark, sf_dir):
+    """Matched count never exceeds click count; matched gaps are
+    within tolerance; a user's first-ever click (no preceding view)
+    can never match."""
+    from parquet_batch_spark.operators.joins import (
+        ASOF_TOL_SECONDS,
+        join_asof_tolerance,
+    )
+
+    rows = join_asof_tolerance(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_matched"] <= r["n_clicks"]
+        assert 0 <= r["matched_gap_us"] <= r["n_matched"] * ASOF_TOL_SECONDS * 1_000_000
+
+
+def test_agg_filtered_branch_consistency(spark, sf_dir):
+    """Each FILTER branch is a subset of the group: branch counts never
+    exceed n_all and sum to plausible totals recomputed directly."""
+    from parquet_batch_spark.operators.relational import agg_filtered
+
+    rows = agg_filtered(spark, sf_dir).collect()
+    o = load(spark, sf_dir, "orders")
+    urgent_direct = {
+        r["o_orderstatus"]: r["n"]
+        for r in o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert max(r["n_urgent"], r["n_recent"], r["n_big"]) <= r["n_all"]
+        assert r["n_urgent"] == urgent_direct.get(r["o_orderstatus"], 0)
+
+
+def test_listagg_sorted_and_complete(spark, sf_dir):
+    from parquet_batch_spark.operators.relational import agg_listagg_sorted
+
+    rows = agg_listagg_sorted(spark, sf_dir).collect()
+    assert len(rows) == 5  # TPC-H fixed regions
+    for r in rows:
+        members = r["nations_csv"].split(",")
+        assert members == sorted(members)
+        assert len(members) == r["n_nations"]

@@ -30,10 +30,11 @@ def test_every_oracle_has_a_query():
 
 def test_driver_window_covers_round4_targets():
     """Slots 1-50 must contain every r4-NEW op (new ops go first — the
-    r2 lesson: 21 of them after the late-r4 batches landed), every
+    r2 lesson: 24 of them after the late-r4 batches landed), every
     r4-CHANGED op, and as many of the r1-stale entries as fit (the
-    TPC-H block + the agg/reshape block; sort_topk / set_ops /
-    window_distribution spill to the r5 window — ledger updated)."""
+    TPC-H block + rollup/cube/sets; agg_pivot / agg_stats /
+    reshape_unpivot / sort_topk / set_ops / window_distribution spill
+    to the r5 window — ledger updated)."""
     first50 = list(all_queries())[:50]
     new_ops = {
         "seq_pack_chunks", "sample_mix_domains", "dedup_paragraph",
@@ -43,6 +44,7 @@ def test_driver_window_covers_round4_targets():
         "text_bigram_surprisal", "etl_snapshot_diff",
         "sample_temperature_mixture", "graph_degree_histogram",
         "window_running_distinct", "func_bitwise",
+        "join_asof_tolerance", "agg_filtered", "agg_listagg_sorted",
         "dedup_containment", "join_bloom_prefilter", "etl_cdc_apply",
         "sample_reservoir_per_group", "embedding_kmeans_rollup"}
     assert new_ops <= set(first50), new_ops - set(first50)
@@ -50,6 +52,5 @@ def test_driver_window_covers_round4_targets():
                "dedup_fuzzy_levenshtein"}
     assert changed <= set(first50)
     r1_stale = {f"tpch_q{i}" for i in range(2, 23) if i != 12} | {
-        "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_pivot",
-        "agg_stats", "reshape_unpivot"}
+        "agg_rollup", "agg_cube", "agg_grouping_sets"}
     assert r1_stale <= set(first50), r1_stale - set(first50)
