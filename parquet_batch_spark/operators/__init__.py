@@ -32,17 +32,18 @@ from pyspark.sql import DataFrame, SparkSession
 #   r3 window: 27 never-checked r2-new + 4 repaired ERRs + 19 stalest
 #     r1 greens (scans/sources/sinks/joins/q1/agg_distinct).  49 green;
 #     ann_ivf_topk no_oracle (rows-only then — oracle added in r4).
-#   r4 window (this ordering): slots 1-21 = the 21 r4-NEW ops (new ops
-#     go first — the r2 lesson: 16 late-r4 llm_prep/batch-3/batch-4 ops,
-#     then the 5 early-r4 ops); slots 22-24 = r4-CHANGED ops needing
+#   r4 window (this ordering): slots 1-27 = the 27 r4-NEW ops (new ops
+#     go first — the r2 lesson: 22 late-r4 llm_prep/batch-3/4/5/6 ops,
+#     then the 5 early-r4 ops); slots 28-30 = r4-CHANGED ops needing
 #     fresh rows (IVF's first-ever hash check, reworked cosine + fuzzy);
-#     slots 28-50 = the r1-green entries unchecked since r1 that fit
-#     (tpch q2-q11/q13-q22, agg rollup/cube/sets). agg_pivot /
-#     agg_stats / reshape_unpivot / sort_topk / set_ops /
+#     slots 31-50 = the r1-green entries unchecked since r1 that fit
+#     (exactly the 20 TPC-H queries q2-q11/q13-q22). agg rollup/cube/
+#     sets/pivot/stats, reshape_unpivot, sort_topk, set_ops and
 #     window_distribution no longer fit — they lead the r5 window
 #     along with the stalest r2 greens below.
-#   r5 plan: agg_pivot, agg_stats, reshape_unpivot, sort_topk,
-#     set_ops, window_distribution (r1-stale), then
+#   r5 plan: agg_rollup, agg_cube, agg_grouping_sets, agg_pivot,
+#     agg_stats, reshape_unpivot, sort_topk, set_ops,
+#     window_distribution (r1-stale), then
 #     the r2 greens (dedup family, ANN pair, json/q12 repairs, windows/
 #     analytics/scalar/UDF/text/multimodal/streaming blocks), then the
 #     then-stalest r3 greens (curation + warehouse blocks).
@@ -76,17 +77,24 @@ _PRIORITY = [
     "join_asof_tolerance",
     "agg_filtered",
     "agg_listagg_sorted",
+    # --- r4-new operators (sixth batch): langid confusion matrix,
+    #     period-over-period change, codec-lossless matrix ---
+    "quality_langid_confusion",
+    "window_percent_change",
+    "sink_compression_codecs",
     # --- r4-new operators (first batch) ---
     "dedup_containment",
     "join_bloom_prefilter",
     "etl_cdc_apply",
     "sample_reservoir_per_group",
     "embedding_kmeans_rollup",
-    # --- r4-changed operators, slots 6-8 ---
+    # --- r4-changed operators, slots 28-30 ---
     "ann_ivf_topk",
     "dedup_embedding_cosine",
     "dedup_fuzzy_levenshtein",
-    # --- green r1, never rechecked (2 rounds stale), slots 9-37 ---
+    # --- green r1, never rechecked: tpch block fills slots 31-50;
+    #     the agg/reshape/sort/set/window_distribution block is beyond
+    #     the window → leads r5 ---
     "tpch_q2",
     "tpch_q3",
     "tpch_q4",
@@ -116,7 +124,7 @@ _PRIORITY = [
     "sort_topk",
     "set_ops",
     "window_distribution",
-    # --- stalest r2 greens (1 round stale), slots 38-50 ---
+    # --- stalest r2 greens (beyond the r4 window; r5 candidates) ---
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -447,7 +447,56 @@ def _compact_sql() -> str:
     )
 
 
+# ------------------------------------------ compression codec matrix
+
+SINK_CODECS = ("snappy", "zstd", "gzip")
+
+
+def sink_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the same slice through every production parquet codec and
+    prove each hop lossless: per codec, read back and emit identical
+    content checksums. Codec choice is a pure storage/CPU trade at
+    100 TB (zstd ≈ best ratio, snappy ≈ fastest, gzip legacy) and must
+    NEVER change query results — this operator pins that invariant
+    with a value check instead of a comment.
+    """
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    parts = []
+    for codec in SINK_CODECS:
+        out = _io_dir(sf_dir, f"orders_codec_{codec}")
+        src.write.mode("overwrite").option("compression", codec).parquet(out)
+        back = spark.read.parquet(out)
+        parts.append(
+            back.agg(
+                F.lit(codec).alias("codec"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").alias("key_checksum"),
+                dsum("o_totalprice", "price_sum"),
+                F.countDistinct("o_orderstatus").alias("n_statuses"),
+            )
+        )
+    res = parts[0]
+    for p_ in parts[1:]:
+        res = res.unionByName(p_)
+    return res.orderBy("codec")
+
+
+def _codec_sql() -> str:
+    one = f"""SELECT '{{codec}}' AS codec, COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+       {sql_dsum("o_totalprice")} AS price_sum,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+FROM orders"""
+    return (
+        " UNION ALL ".join(one.format(codec=c) for c in SINK_CODECS)
+        + " ORDER BY codec"
+    )
+
+
 QUERIES = {
+    "sink_compression_codecs": sink_compression_codecs,
     "etl_merge_upsert": etl_merge_upsert,
     "join_dpp_prune": join_dpp_prune,
     "sink_compact_small_files": sink_compact_small_files,
@@ -459,6 +508,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sink_compression_codecs": _codec_sql(),
     "etl_merge_upsert": _MERGE_SQL,
     "join_dpp_prune": _DPP_SQL,
     "sink_compact_small_files": _compact_sql(),

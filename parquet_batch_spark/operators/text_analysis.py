@@ -501,7 +501,41 @@ ORDER BY p.doc_id
 """
 
 
+# -------------------------------------------- langid confusion matrix
+
+def quality_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-marker language-ID heuristic
+    (text_langid's exact predictor, reused verbatim) against the
+    labeled ``lang`` column — the calibration step before trusting a
+    cheap classifier to gate a corpus: which languages does it
+    actually confuse, and how often does it abstain ('unknown')?
+
+    Scale: the predictor is a pure JVM expression per row; the matrix
+    is one groupBy over a ≤(langs+1)² key space — a tiny reduction at
+    any corpus size.
+    """
+    scored = text_langid(spark, sf_dir)
+    return (
+        scored.select(
+            F.col("lang_label").alias("labeled"),
+            F.col("lang_pred").alias("predicted"),
+        )
+        .groupBy("labeled", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("labeled", "predicted")
+    )
+
+
+_LANGID_CONFUSION_SQL = f"""
+SELECT lang_label AS labeled, lang_pred AS predicted, COUNT(*) AS n_docs
+FROM ({_TEXT_LANGID_SQL})
+GROUP BY labeled, predicted
+ORDER BY labeled, predicted
+"""
+
+
 QUERIES = {
+    "quality_langid_confusion": quality_langid_confusion,
     "text_bigram_surprisal": text_bigram_surprisal,
     "text_tfidf_topk": text_tfidf_topk,
     "text_chunk_windows": text_chunk_windows,
@@ -513,6 +547,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quality_langid_confusion": _LANGID_CONFUSION_SQL,
     "text_bigram_surprisal": _BIGRAM_SURPRISAL_SQL,
     "text_tfidf_topk": _TFIDF_SQL,
     "text_chunk_windows": _chunk_sql(),

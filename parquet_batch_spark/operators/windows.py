@@ -511,7 +511,65 @@ ORDER BY user_id, event_id
 """
 
 
+# ------------------------------------------ period-over-period change
+
+def window_percent_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue change per order status — the
+    reporting primitive behind every trend dashboard. Revenue is the
+    exact-decimal monthly sum (numeric.py policy) cast to double, so
+    the lag ratio divides two bit-identical doubles and rounds to 6
+    decimals: cross-engine exact despite being a derived float.
+
+    Scale: one shuffle for the monthly aggregate (the reduction), one
+    partition-local window over the ~100-row month series per status —
+    the window input is the REDUCED table, never the fact table.
+    """
+    from parquet_batch_spark.functions.numeric import dsum
+
+    o = load(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(dsum("o_totalprice", "revenue"))
+    )
+    w = W.partitionBy("status").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return (
+        monthly.select(
+            "status",
+            "month",
+            "revenue",
+            F.round((F.col("revenue") - prev) / prev * 100, 6).alias(
+                "pct_change"
+            ),
+        )
+        .orderBy("status", "month")
+    )
+
+
+def _pct_change_sql() -> str:
+    from parquet_batch_spark.functions.numeric import sql_dsum
+
+    return f"""
+WITH monthly AS (
+    SELECT o_orderstatus AS status, STRFTIME(o_orderdate, '%Y-%m') AS month,
+           {sql_dsum("o_totalprice")} AS revenue
+    FROM orders
+    GROUP BY status, month
+)
+SELECT status, month, revenue,
+       ROUND((revenue - LAG(revenue) OVER w) / LAG(revenue) OVER w * 100, 6)
+           AS pct_change
+FROM monthly
+WINDOW w AS (PARTITION BY status ORDER BY month)
+ORDER BY status, month
+"""
+
+
 QUERIES = {
+    "window_percent_change": window_percent_change,
     "window_running_distinct": window_running_distinct,
     "window_rolling_median": window_rolling_median,
     "window_distribution": window_distribution,
@@ -526,6 +584,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_percent_change": _pct_change_sql(),
     "window_running_distinct": _RUN_DISTINCT_SQL,
     "window_rolling_median": _ROLL_MED_SQL,
     "window_distribution": _WINDOW_DISTRIBUTION_SQL,

@@ -126,3 +126,49 @@ def test_listagg_sorted_and_complete(spark, sf_dir):
         members = r["nations_csv"].split(",")
         assert members == sorted(members)
         assert len(members) == r["n_nations"]
+
+
+def test_langid_confusion_mass_and_diagonal(spark, sf_dir):
+    """Cell counts sum to the corpus; the heuristic must beat chance:
+    diagonal mass (correct predictions) exceeds any single off-diagonal
+    cell."""
+    from parquet_batch_spark.operators.text_analysis import (
+        quality_langid_confusion,
+    )
+
+    rows = quality_langid_confusion(spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    diag = sum(r["n_docs"] for r in rows if r["labeled"] == r["predicted"])
+    off = max(
+        (r["n_docs"] for r in rows if r["labeled"] != r["predicted"]), default=0
+    )
+    assert diag > off
+
+
+def test_percent_change_first_month_null(spark, sf_dir):
+    from parquet_batch_spark.operators.windows import window_percent_change
+
+    rows = window_percent_change(spark, sf_dir).collect()
+    by_status: dict = {}
+    for r in rows:  # ordered by status, month
+        if r["status"] not in by_status:
+            assert r["pct_change"] is None, "first month must have no prior"
+        else:
+            assert r["pct_change"] is not None
+        by_status[r["status"]] = True
+        assert r["revenue"] > 0
+
+
+def test_codec_matrix_identical_content(spark, sf_dir):
+    from parquet_batch_spark.operators.sources_ext import (
+        SINK_CODECS,
+        sink_compression_codecs,
+    )
+
+    rows = sink_compression_codecs(spark, sf_dir).collect()
+    assert {r["codec"] for r in rows} == set(SINK_CODECS)
+    ref = rows[0]
+    for r in rows[1:]:
+        for c in ("n_rows", "key_checksum", "price_sum", "n_statuses"):
+            assert r[c] == ref[c], f"codec {r['codec']} diverges on {c}"
