@@ -72,6 +72,13 @@ HEADLINE = [
     "text_rarity_score",
     "window_ewma_decay",
     "curation_pipeline_funnel",
+    # r4 additions, batches 3-6
+    "multimodal_dedup_phash",
+    "text_bigram_surprisal",
+    "graph_degree_histogram",
+    "join_asof_tolerance",
+    "agg_filtered",
+    "window_percent_change",
 ]
 
 
