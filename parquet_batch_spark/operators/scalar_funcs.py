@@ -385,7 +385,58 @@ ORDER BY o_orderkey
 """
 
 
+# --------------------------------------------------- URL parsing
+
+def func_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing via Spark's ``parse_url`` — host / path / query-
+    parameter extraction, the normalization step before any URL-keyed
+    dedup. URLs are synthesized deterministically from (source,
+    doc_id) so the operator is corpus-driven; the oracle mirrors
+    parse_url with anchored regexps (DuckDB has no URL parser), which
+    doubles as documentation of exactly which grammar subset is
+    relied upon.
+    """
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("lang"),
+        F.lit("/page?id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&ref=crawl"),
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.parse_url(url, F.lit("HOST")).alias("host"),
+            F.parse_url(url, F.lit("PATH")).alias("path"),
+            F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("qid"),
+            F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("qref"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_FUNC_URL_SQL = """
+WITH u AS (
+    SELECT doc_id,
+           'https://' || source || '.example.com/docs/' || lang ||
+           '/page?id=' || CAST(doc_id AS VARCHAR) || '&ref=crawl' AS url
+    FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/]+([^?]*)', 1) AS path,
+       regexp_extract(url, '[?&]id=([^&]*)', 1) AS qid,
+       regexp_extract(url, '[?&]ref=([^&]*)', 1) AS qref
+FROM u
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "func_url": func_url,
     "func_bitwise": func_bitwise,
     "func_json_struct": func_json_struct,
     "func_variant": func_variant,
@@ -399,6 +450,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "func_url": _FUNC_URL_SQL,
     "func_bitwise": _BITWISE_SQL,
     "func_json_struct": _FUNC_JSON_STRUCT_SQL,
     "func_variant": _FUNC_VARIANT_SQL,

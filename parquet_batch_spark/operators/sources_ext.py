@@ -495,7 +495,53 @@ FROM orders"""
     )
 
 
+# ------------------------------------------ corrupt-file tolerance
+
+def scan_ignore_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan a directory where one "parquet" file is garbage bytes and
+    prove the reader skips it and reads everything else — the
+    reference's ``exclude_invalid_files=True`` surface (reference
+    tests/test_parquetbatch.py:392-398) as a first-class, value-checked
+    operator: ``ignoreCorruptFiles`` keeps a 100 TB nightly job alive
+    when one landing file is truncated, at the cost of silently
+    dropping that file — which is why the result is checksummed, not
+    just counted.
+    """
+    out = _io_dir(sf_dir, "orders_with_corrupt")
+    if out not in _CORRUPT_STAGED:
+        src = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        )
+        src.coalesce(2).write.mode("overwrite").parquet(out)
+        with open(os.path.join(out, "part-corrupt.parquet"), "wb") as fh:
+            fh.write(b"PAR1 this is not a real parquet file \x00\x01\x02")
+        _CORRUPT_STAGED.add(out)
+    back = (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .parquet(out)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("key_checksum"),
+        dsum("o_totalprice", "price_sum"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+_CORRUPT_STAGED: set[str] = set()
+
+
+_IGNORE_CORRUPT_SQL = f"""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+       {sql_dsum("o_totalprice")} AS price_sum,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+FROM orders
+"""
+
+
 QUERIES = {
+    "scan_ignore_corrupt": scan_ignore_corrupt,
     "sink_compression_codecs": sink_compression_codecs,
     "etl_merge_upsert": etl_merge_upsert,
     "join_dpp_prune": join_dpp_prune,
@@ -508,6 +554,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "scan_ignore_corrupt": _IGNORE_CORRUPT_SQL,
     "sink_compression_codecs": _codec_sql(),
     "etl_merge_upsert": _MERGE_SQL,
     "join_dpp_prune": _DPP_SQL,

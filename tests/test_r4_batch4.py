@@ -172,3 +172,41 @@ def test_codec_matrix_identical_content(spark, sf_dir):
     for r in rows[1:]:
         for c in ("n_rows", "key_checksum", "price_sum", "n_statuses"):
             assert r[c] == ref[c], f"codec {r['codec']} diverges on {c}"
+
+
+def test_arrow_udf_matches_python(spark, sf_dir):
+    from parquet_batch_spark.operators.udfs import udf_arrow_scalar
+
+    rows = udf_arrow_scalar(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:200]:
+        k = r["o_orderkey"]
+        assert r["digit_check"] == sum(int(c) for c in str(k)) * 7 + k % 7
+
+
+def test_ignore_corrupt_reads_all_good_rows(spark, sf_dir):
+    """The corrupt file is skipped, every good row survives."""
+    from parquet_batch_spark.operators.sources_ext import scan_ignore_corrupt
+
+    row = scan_ignore_corrupt(spark, sf_dir).collect()[0]
+    o = load(spark, sf_dir, "orders")
+    assert row["n_rows"] == o.count()
+    assert row["key_checksum"] == o.agg(F.sum("o_orderkey")).collect()[0][0]
+
+
+def test_func_url_parse_fields(spark, sf_dir):
+    from parquet_batch_spark.operators.scalar_funcs import func_url
+
+    rows = func_url(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source")
+        .collect()
+    }
+    for r in rows[:100]:
+        d = docs[r["doc_id"]]
+        assert r["host"] == f"{d['source']}.example.com"
+        assert r["path"] == f"/docs/{d['lang']}/page"
+        assert r["qid"] == str(r["doc_id"])
+        assert r["qref"] == "crawl"

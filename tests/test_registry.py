@@ -30,10 +30,10 @@ def test_every_oracle_has_a_query():
 
 def test_driver_window_covers_round4_targets():
     """Slots 1-50 must contain every r4-NEW op (new ops go first — the
-    r2 lesson: 27 of them after the late-r4 batches landed), every
-    r4-CHANGED op, and as many of the r1-stale entries as fit (exactly
-    the 20-query TPC-H block; the agg/reshape/sort/set/window_
-    distribution stales spill to the r5 window — ledger updated)."""
+    r2 lesson: 30 of them after the late-r4 batches landed), every
+    r4-CHANGED op, and as many of the r1-stale entries as fit (TPC-H
+    q2-q19; q20-q22 and the agg/reshape/sort/set/window_distribution
+    stales spill to the r5 window — ledger updated)."""
     first50 = list(all_queries())[:50]
     new_ops = {
         "seq_pack_chunks", "sample_mix_domains", "dedup_paragraph",
@@ -46,11 +46,12 @@ def test_driver_window_covers_round4_targets():
         "join_asof_tolerance", "agg_filtered", "agg_listagg_sorted",
         "quality_langid_confusion", "window_percent_change",
         "sink_compression_codecs",
+        "udf_arrow_scalar", "scan_ignore_corrupt", "func_url",
         "dedup_containment", "join_bloom_prefilter", "etl_cdc_apply",
         "sample_reservoir_per_group", "embedding_kmeans_rollup"}
     assert new_ops <= set(first50), new_ops - set(first50)
     changed = {"ann_ivf_topk", "dedup_embedding_cosine",
                "dedup_fuzzy_levenshtein"}
     assert changed <= set(first50)
-    r1_stale = {f"tpch_q{i}" for i in range(2, 23) if i != 12}
+    r1_stale = {f"tpch_q{i}" for i in range(2, 20) if i != 12}
     assert r1_stale <= set(first50), r1_stale - set(first50)
