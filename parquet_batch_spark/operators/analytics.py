@@ -521,7 +521,85 @@ ORDER BY exact_n DESC, word
 """
 
 
+# ------------------------------------------- exact higher moments
+
+def agg_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and kurtosis per event type from EXACT power sums —
+    the distribution-shape profile (is value heavy-tailed? asymmetric?)
+    computed reproducibly: built-in skewness()/kurtosis() accumulate
+    doubles in partition order and are not bit-stable across engines
+    or re-plans, so values are quantized to integer hundredths and
+    power products are computed in exact int64 (|v_c| < 5·10⁴ ⇒ v_c⁴ <
+    2⁶³) and summed in DECIMAL(38,0) — exact, associative, order-
+    insensitive. The sums exceed 2⁵³, where DuckDB's wide-decimal →
+    double cast is not correctly rounded (numeric.py), so the moment
+    formulas run on possibly-1-ulp-different doubles; the O(1) outputs
+    are rounded to 6 dp, absorbing the ~1e-16 relative wobble — the
+    hash check at both SFs is the empirical gate. Same policy as
+    numeric.py, one power higher.
+    """
+    ev = load(spark, sf_dir, "events")
+    vc = F.floor(F.col("value") * 100)  # exact long; |vc| < 5e4 so vc^4 < 2^63
+    dec38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731 - exact sums
+    sums = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec38(vc)).cast("double").alias("s1"),
+        F.sum(dec38(vc * vc)).cast("double").alias("s2"),
+        F.sum(dec38(vc * vc * vc)).cast("double").alias("s3"),
+        F.sum(dec38(vc * vc * vc * vc)).cast("double").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    m = s1 / n
+    m2 = s2 / n - m * m
+    m3 = s3 / n - F.lit(3.0) * m * (s2 / n) + F.lit(2.0) * m * m * m
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * m * (s3 / n)
+        + F.lit(6.0) * m * m * (s2 / n)
+        - F.lit(3.0) * m * m * m * m
+    )
+    return sums.select(
+        "event_type",
+        n.cast("long").alias("n_events"),
+        F.round(m2, 6).alias("variance_c2"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("excess_kurtosis"),
+    ).orderBy("event_type")
+
+
+_MOMENTS_SQL = """
+WITH sums AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(CAST(SUM(vc) AS DECIMAL(38,0)) AS DOUBLE) AS s1,
+           CAST(CAST(SUM(vc * vc) AS DECIMAL(38,0)) AS DOUBLE) AS s2,
+           CAST(CAST(SUM(vc * vc * vc) AS DECIMAL(38,0)) AS DOUBLE) AS s3,
+           CAST(CAST(SUM(vc * vc * vc * vc) AS DECIMAL(38,0)) AS DOUBLE) AS s4
+    FROM (SELECT event_type,
+                 CAST(FLOOR(value * 100) AS BIGINT) AS vc
+          FROM events)
+    GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_events,
+       ROUND(s2 / n - (s1 / n) * (s1 / n), 6) AS variance_c2,
+       ROUND((s3 / n - 3.0 * (s1 / n) * (s2 / n)
+              + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+             / ((s2 / n - (s1 / n) * (s1 / n))
+                * SQRT(s2 / n - (s1 / n) * (s1 / n))), 6) AS skewness,
+       ROUND((s4 / n - 4.0 * (s1 / n) * (s3 / n)
+              + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+              - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+             / ((s2 / n - (s1 / n) * (s1 / n))
+                * (s2 / n - (s1 / n) * (s1 / n))) - 3.0, 6)
+           AS excess_kurtosis
+FROM sums
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "agg_moments_exact": agg_moments_exact,
     "approx_percentile_sketch": approx_percentile_sketch,
     "rollup_hypertable": rollup_hypertable,
     "approx_heavy_hitters_cms": approx_heavy_hitters_cms,
@@ -534,6 +612,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_moments_exact": _MOMENTS_SQL,
     "approx_percentile_sketch": _APS_SQL,
     "approx_distinct_sketch": _ADS_SQL,
     "agg_percentiles": _PCTL_SQL,

@@ -540,7 +540,64 @@ ORDER BY user_id
 """
 
 
+# ------------------------------------------------ null-safe equality
+
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other, unlike plain ``=`` where NULL never joins.
+    The semantics that make or break a dim lookup whose natural key is
+    nullable ("unknown" buckets must land on the "unknown" dim row,
+    not be dropped). Derived nullable keys on both sides: order
+    priority digit, NULL for the lowest-priority band, joined to a
+    digit dimension that includes a NULL row.
+
+    Scale note: Spark plans ``<=>`` as an equi-join (hash/SMJ capable
+    — NULL hashes like any value under null-safe semantics), NOT a
+    theta join; the broadcast dim keeps it shuffle-free here.
+    """
+    o = load(spark, sf_dir, "orders")
+    digit = F.when(
+        F.col("o_orderpriority") != "5-LOW",
+        F.substring("o_orderpriority", 1, 1).cast("long"),
+    )  # 5-LOW -> NULL: the "unknown" band
+    fact = o.select(digit.alias("prio_digit"), "o_totalprice")
+    dim = spark.createDataFrame(
+        [(1, "urgent"), (2, "high"), (3, "medium"), (4, "normal"), (None, "unknown")],
+        "d_digit long, d_label string",
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.prio_digit.eqNullSafe(dim.d_digit))
+        .groupBy("d_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+        )
+        .orderBy("d_label")
+    )
+
+
+_NULL_SAFE_SQL = f"""
+WITH fact AS (
+    SELECT CASE WHEN o_orderpriority <> '5-LOW'
+                THEN CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) END
+               AS prio_digit,
+           o_totalprice
+    FROM orders
+),
+dim AS (
+    SELECT * FROM (VALUES (1, 'urgent'), (2, 'high'), (3, 'medium'),
+                          (4, 'normal'), (NULL, 'unknown')) d(d_digit, d_label)
+)
+SELECT d_label, COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice")} AS total_price
+FROM fact JOIN dim ON fact.prio_digit IS NOT DISTINCT FROM dim.d_digit
+GROUP BY d_label
+ORDER BY d_label
+"""
+
+
 QUERIES = {
+    "join_null_safe": join_null_safe,
     "join_asof_tolerance": join_asof_tolerance,
     "join_bloom_prefilter": join_bloom_prefilter,
     "join_bucketed_colocate": join_bucketed_colocate,
@@ -555,6 +612,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_null_safe": _NULL_SAFE_SQL,
     "join_asof_tolerance": _ASOF_TOL_SQL,
     "join_bloom_prefilter": _JOIN_BLOOM_SQL,
     "join_bucketed_colocate": _JOIN_BUCKETED_SQL,

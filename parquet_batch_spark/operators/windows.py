@@ -568,7 +568,51 @@ ORDER BY status, month
 """
 
 
+# ---------------------------------------------- nth_value frames
+
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value / first / last over a full-partition frame: each
+    customer's order history annotated with their 1st, 2nd and latest
+    order keys — the "anchor rows" pattern (compare every row to
+    onboarding and to the current state). One shuffle on the partition
+    key; the full frame costs one pass because the anchors are
+    frame-constant.
+
+    Output thinned to one summary row per customer (the anchors are
+    per-partition constants; emitting them per order row would be
+    40× redundant).
+    """
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    annotated = o.select(
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+        F.last("o_orderkey").over(w).alias("latest_key"),
+        F.count(F.lit(1)).over(w).alias("n_orders"),
+    )
+    return annotated.dropDuplicates(["o_custkey"]).orderBy("o_custkey")
+
+
+_NTH_VALUE_SQL = """
+SELECT DISTINCT o_custkey,
+       FIRST_VALUE(o_orderkey) OVER w AS first_key,
+       NTH_VALUE(o_orderkey, 2) OVER w AS second_key,
+       LAST_VALUE(o_orderkey) OVER w AS latest_key,
+       COUNT(*) OVER w AS n_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey
+"""
+
+
 QUERIES = {
+    "window_nth_value": window_nth_value,
     "window_percent_change": window_percent_change,
     "window_running_distinct": window_running_distinct,
     "window_rolling_median": window_rolling_median,
@@ -584,6 +628,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_nth_value": _NTH_VALUE_SQL,
     "window_percent_change": _pct_change_sql(),
     "window_running_distinct": _RUN_DISTINCT_SQL,
     "window_rolling_median": _ROLL_MED_SQL,

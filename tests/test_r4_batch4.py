@@ -210,3 +210,55 @@ def test_func_url_parse_fields(spark, sf_dir):
         assert r["path"] == f"/docs/{d['lang']}/page"
         assert r["qid"] == str(r["doc_id"])
         assert r["qref"] == "crawl"
+
+
+def test_null_safe_join_keeps_unknown_band(spark, sf_dir):
+    """Every order lands in exactly one label; the NULL band maps to
+    'unknown' instead of being dropped (the <=> semantics)."""
+    from parquet_batch_spark.operators.joins import join_null_safe
+
+    rows = {r["d_label"]: r["n_orders"] for r in join_null_safe(spark, sf_dir).collect()}
+    o = load(spark, sf_dir, "orders")
+    assert sum(rows.values()) == o.count(), "null keys must not drop rows"
+    n_low = o.filter(F.col("o_orderpriority") == "5-LOW").count()
+    assert rows.get("unknown", 0) == n_low
+
+
+def test_moments_match_numpy(spark, sf_dir):
+    """Recompute one event type's moments in numpy from the same
+    quantized values and match to 1e-6."""
+    import math
+
+    from parquet_batch_spark.operators.analytics import agg_moments_exact
+
+    rows = {r["event_type"]: r for r in agg_moments_exact(spark, sf_dir).collect()}
+    vals = [
+        math.floor(r["value"] * 100)
+        for r in load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("value")
+        .collect()
+    ]
+    import numpy as np
+
+    a = np.array(vals, dtype=np.float64)
+    m2 = a.var()
+    skew = ((a - a.mean()) ** 3).mean() / m2**1.5
+    kurt = ((a - a.mean()) ** 4).mean() / m2**2 - 3.0
+    got = rows["click"]
+    assert abs(got["variance_c2"] - m2) < 1e-4 * max(1, m2)
+    assert abs(got["skewness"] - skew) < 1e-6
+    assert abs(got["excess_kurtosis"] - kurt) < 1e-6
+
+
+def test_nth_value_anchors(spark, sf_dir):
+    from parquet_batch_spark.operators.windows import window_nth_value
+
+    rows = window_nth_value(spark, sf_dir).collect()
+    for r in rows[:200]:
+        assert r["n_orders"] >= 1
+        if r["n_orders"] == 1:
+            assert r["second_key"] is None
+            assert r["first_key"] == r["latest_key"]
+        else:
+            assert r["second_key"] is not None and r["second_key"] != r["first_key"]
