@@ -528,7 +528,7 @@ def agg_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distribution-shape profile (is value heavy-tailed? asymmetric?)
     computed reproducibly: built-in skewness()/kurtosis() accumulate
     doubles in partition order and are not bit-stable across engines
-    or re-plans, so values are quantized to integer hundredths and
+    or re-plans, so values are quantized to integer units and
     power products are computed in exact int64 (|v_c| < 5·10⁴ ⇒ v_c⁴ <
     2⁶³) and summed in DECIMAL(38,0) — exact, associative, order-
     insensitive. The sums exceed 2⁵³, where DuckDB's wide-decimal →
@@ -539,7 +539,12 @@ def agg_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     numeric.py, one power higher.
     """
     ev = load(spark, sf_dir, "events")
-    vc = F.floor(F.col("value") * 100)  # exact long; |vc| < 5e4 so vc^4 < 2^63
+    # Quantization grid = integer units: |value| < 5.5e4 keeps vc^4
+    # inside int64 (the sf0.1 sweep caught the hundredths grid
+    # overflowing at |value| ≈ 560: 56021^4 > 2^63). The grid is part
+    # of the operator contract; shape statistics on unit-quantized
+    # values lose nothing at these magnitudes.
+    vc = F.floor(F.col("value"))
     dec38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731 - exact sums
     sums = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
@@ -561,7 +566,7 @@ def agg_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         "event_type",
         n.cast("long").alias("n_events"),
-        F.round(m2, 6).alias("variance_c2"),
+        F.round(m2, 6).alias("variance_u2"),
         F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
         F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("excess_kurtosis"),
     ).orderBy("event_type")
@@ -576,13 +581,13 @@ WITH sums AS (
            CAST(CAST(SUM(vc * vc * vc) AS DECIMAL(38,0)) AS DOUBLE) AS s3,
            CAST(CAST(SUM(vc * vc * vc * vc) AS DECIMAL(38,0)) AS DOUBLE) AS s4
     FROM (SELECT event_type,
-                 CAST(FLOOR(value * 100) AS BIGINT) AS vc
+                 CAST(FLOOR(value) AS BIGINT) AS vc
           FROM events)
     GROUP BY event_type
 )
 SELECT event_type,
        CAST(n AS BIGINT) AS n_events,
-       ROUND(s2 / n - (s1 / n) * (s1 / n), 6) AS variance_c2,
+       ROUND(s2 / n - (s1 / n) * (s1 / n), 6) AS variance_u2,
        ROUND((s3 / n - 3.0 * (s1 / n) * (s2 / n)
               + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
              / ((s2 / n - (s1 / n) * (s1 / n))
