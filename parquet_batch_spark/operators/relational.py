@@ -517,7 +517,75 @@ ORDER BY r_name
 """
 
 
+# --------------------------------------- outer-explode semantics
+
+def explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode vs explode_outer on empty arrays — the UNNEST corner
+    that silently drops rows: a document whose filter yields no
+    matching tokens VANISHES under plain explode but survives as one
+    NULL row under explode_outer. Both behaviors are computed side by
+    side (rare-token filter: tokens longer than 6 chars, absent from
+    many docs) so the row-accounting difference is value-checked, not
+    assumed.
+
+    Scale: two explodes of the same derived array — Catalyst evaluates
+    the Generate operators per-row, no shuffle before the final sort.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = F.split(F.trim("text"), r"\s+")
+    rare = F.filter(toks, lambda t: F.length(t) > 6)
+    base = d.select("doc_id", rare.alias("rare"))
+    inner = base.select(
+        "doc_id", F.explode("rare").alias("tok")
+    ).groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    outer = base.select(
+        "doc_id", F.explode_outer("rare").alias("tok")
+    ).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("tok").alias("n_toks"),
+    )
+    return (
+        outer.join(inner.withColumnRenamed("n", "n_inner"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_rows",
+            "n_toks",
+            F.coalesce("n_inner", F.lit(0).cast("long")).alias("n_inner_rows"),
+            (F.col("n_toks") == 0).alias("dropped_by_inner"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_EXPLODE_OUTER_SQL = r"""
+WITH base AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'),
+                       t -> length(t) > 6) AS rare
+    FROM documents
+),
+outer_rows AS (
+    SELECT b.doc_id, COUNT(*) AS n_rows, COUNT(u.tok) AS n_toks
+    FROM base b LEFT JOIN (
+        SELECT doc_id, UNNEST(rare) AS tok FROM base
+    ) u ON b.doc_id = u.doc_id
+    GROUP BY b.doc_id
+),
+inner_rows AS (
+    SELECT doc_id, COUNT(*) AS n_inner
+    FROM (SELECT doc_id, UNNEST(rare) AS tok FROM base)
+    GROUP BY doc_id
+)
+SELECT o.doc_id, o.n_rows, o.n_toks,
+       COALESCE(i.n_inner, 0) AS n_inner_rows,
+       o.n_toks = 0 AS dropped_by_inner
+FROM outer_rows o LEFT JOIN inner_rows i ON o.doc_id = i.doc_id
+ORDER BY o.doc_id
+"""
+
+
 QUERIES = {
+    "explode_outer_semantics": explode_outer_semantics,
     "agg_filtered": agg_filtered,
     "agg_listagg_sorted": agg_listagg_sorted,
     "q1_pricing_summary": q1_pricing_summary,
@@ -534,6 +602,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "explode_outer_semantics": _EXPLODE_OUTER_SQL,
     "agg_filtered": _AGG_FILTERED_SQL,
     "agg_listagg_sorted": _LISTAGG_SQL,
     "q1_pricing_summary": _Q1_SQL,

@@ -435,7 +435,52 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------- error-safe arithmetic
+
+def func_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe functions: ``try_divide`` / ``try_cast``
+    return NULL where strict evaluation would abort the job — the
+    difference between one bad row poisoning a 100 TB pipeline and a
+    NULL you can quarantine. Division by zero, malformed numeric
+    strings, and out-of-range casts are each exercised; the oracle
+    mirrors NULL-on-error with guards/TRY_CAST, documenting exactly
+    which failures are tolerated.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    zero_every_7 = F.col("o_orderkey") % 7  # 0 for multiples of 7
+    numlike = F.when(
+        F.col("o_orderkey") % 3 == 0, F.col("o_orderkey").cast("string")
+    ).otherwise(F.concat(F.lit("k"), F.col("o_orderkey").cast("string")))
+    return (
+        o.select(
+            "o_orderkey",
+            F.try_divide(F.col("o_totalprice"), zero_every_7.cast("double"))
+            .alias("safe_div"),
+            numlike.try_cast("long").alias("safe_long"),
+            F.col("o_totalprice").cast("string").try_cast("decimal(5,2)")
+            .alias("overflow_dec"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_TRY_ARITH_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 7 = 0 THEN NULL
+            ELSE o_totalprice / CAST(o_orderkey % 7 AS DOUBLE) END AS safe_div,
+       TRY_CAST(CASE WHEN o_orderkey % 3 = 0
+                     THEN CAST(o_orderkey AS VARCHAR)
+                     ELSE 'k' || CAST(o_orderkey AS VARCHAR) END
+                AS BIGINT) AS safe_long,
+       TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(5,2)) AS overflow_dec
+FROM orders
+WHERE o_orderkey < 3000
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
+    "func_try_arith": func_try_arith,
     "func_url": func_url,
     "func_bitwise": func_bitwise,
     "func_json_struct": func_json_struct,
@@ -450,6 +495,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "func_try_arith": _TRY_ARITH_SQL,
     "func_url": _FUNC_URL_SQL,
     "func_bitwise": _BITWISE_SQL,
     "func_json_struct": _FUNC_JSON_STRUCT_SQL,

@@ -262,3 +262,33 @@ def test_nth_value_anchors(spark, sf_dir):
             assert r["first_key"] == r["latest_key"]
         else:
             assert r["second_key"] is not None and r["second_key"] != r["first_key"]
+
+
+def test_explode_outer_accounts_for_dropped_docs(spark, sf_dir):
+    """Outer keeps every doc (one NULL row when the array is empty);
+    inner drops exactly the empty-array docs."""
+    from parquet_batch_spark.operators.relational import explode_outer_semantics
+
+    rows = explode_outer_semantics(spark, sf_dir).collect()
+    assert len(rows) == load(spark, sf_dir, "documents").count()
+    saw_dropped = False
+    for r in rows:
+        if r["dropped_by_inner"]:
+            saw_dropped = True
+            assert r["n_rows"] == 1 and r["n_toks"] == 0 and r["n_inner_rows"] == 0
+        else:
+            assert r["n_rows"] == r["n_toks"] == r["n_inner_rows"] >= 1
+    assert saw_dropped, "corpus must contain docs with no rare tokens"
+
+
+def test_try_arith_null_on_error(spark, sf_dir):
+    from parquet_batch_spark.operators.scalar_funcs import func_try_arith
+
+    rows = func_try_arith(spark, sf_dir).collect()
+    for r in rows[:300]:
+        k = r["o_orderkey"]
+        assert (r["safe_div"] is None) == (k % 7 == 0)
+        assert (r["safe_long"] is None) == (k % 3 != 0)
+        if r["safe_long"] is not None:
+            assert r["safe_long"] == k
+        assert r["overflow_dec"] is None or abs(r["overflow_dec"]) < 1000
