@@ -32,16 +32,16 @@ from pyspark.sql import DataFrame, SparkSession
 #   r3 window: 27 never-checked r2-new + 4 repaired ERRs + 19 stalest
 #     r1 greens (scans/sources/sinks/joins/q1/agg_distinct).  49 green;
 #     ann_ivf_topk no_oracle (rows-only then — oracle added in r4).
-#   r4 window (this ordering): slots 1-35 = the 35 r4-NEW ops (new ops
-#     go first — the r2 lesson: 30 late-r4 llm_prep/batch-3..9 ops,
-#     then the 5 early-r4 ops); slots 36-38 = r4-CHANGED ops needing
+#   r4 window (this ordering): slots 1-37 = the 37 r4-NEW ops (new ops
+#     go first — the r2 lesson: 32 late-r4 llm_prep/batch-3..10 ops,
+#     then the 5 early-r4 ops); slots 38-40 = r4-CHANGED ops needing
 #     fresh rows (IVF's first-ever hash check, reworked cosine + fuzzy);
-#     slots 39-50 = the r1-green entries unchecked since r1 that fit
-#     (TPC-H q2-q11/q13-q14). tpch q15-q22, agg rollup/cube/sets/pivot/
-#     stats, reshape_unpivot, sort_topk, set_ops and
-#     window_distribution no longer fit — they lead the r5 window
-#     along with the stalest r2 greens below.
-#   r5 plan: tpch_q15..q22, agg_rollup, agg_cube, agg_grouping_sets,
+#     slots 41-50 = the r1-green entries unchecked since r1 that fit
+#     (TPC-H q2-q11). tpch q13-q22, agg rollup/cube/sets/pivot/stats,
+#     reshape_unpivot, sort_topk, set_ops and window_distribution no
+#     longer fit — they lead the r5 window along with the stalest r2
+#     greens below.
+#   r5 plan: tpch_q13..q22, agg_rollup, agg_cube, agg_grouping_sets,
 #     agg_pivot, agg_stats, reshape_unpivot, sort_topk, set_ops,
 #     window_distribution (r1-stale), then
 #     the r2 greens (dedup family, ANN pair, json/q12 repairs, windows/
@@ -96,6 +96,10 @@ _PRIORITY = [
     #     error-safe try_* arithmetic ---
     "explode_outer_semantics",
     "func_try_arith",
+    # --- r4-new operators (tenth batch): gaps-and-islands streaks,
+    #     class-balanced sampling ---
+    "window_streak_islands",
+    "sample_balanced_labels",
     # --- r4-new operators (first batch) ---
     "dedup_containment",
     "join_bloom_prefilter",

@@ -1068,7 +1068,90 @@ ORDER BY degree
 """
 
 
+# ------------------------------------------------------------------
+# sample_balanced_labels
+# ------------------------------------------------------------------
+
+BALANCE_CAP_FACTOR = 2  # cap = 2x the rarest class size
+
+
+def sample_balanced_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced sampling over the labeled embeddings table: cap
+    every label at {BALANCE_CAP_FACTOR}× the rarest class's size
+    (deterministic hash-rank take) — the de-skewing stage before
+    training a classifier on imbalanced data. The cap derives from the
+    data in-query (min class count via a window over the tiny class-
+    count table), no driver constants.
+
+    Scale: one shuffle for class counts (tiny reduction), one for the
+    per-label rank; identical topology to sample_temperature_mixture.
+    """
+    e = fan_out(load(spark, sf_dir, "embeddings"), spark, "label")
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_avail"))
+    capped = counts.select(
+        "label",
+        "n_avail",
+        (F.min("n_avail").over(Window.partitionBy()) * BALANCE_CAP_FACTOR)
+        .cast("long")
+        .alias("cap"),
+    )
+    ranked = e.select(
+        "vec_id",
+        "label",
+        F.row_number()
+        .over(
+            Window.partitionBy("label").orderBy(
+                hash32(F.col("vec_id").cast("string")), "vec_id"
+            )
+        )
+        .alias("rk"),
+    )
+    return (
+        ranked.join(F.broadcast(capped), "label")
+        .groupBy("label")
+        .agg(
+            F.max("n_avail").alias("n_avail"),
+            F.max("cap").alias("cap"),
+            F.sum(F.when(F.col("rk") <= F.col("cap"), 1).otherwise(0)).alias(
+                "taken"
+            ),
+            F.sum(
+                F.when(F.col("rk") <= F.col("cap"), F.col("vec_id")).otherwise(0)
+            ).alias("taken_checksum"),
+        )
+        .orderBy("label")
+    )
+
+
+_BALANCED_SQL = f"""
+WITH counts AS (
+    SELECT label, COUNT(*) AS n_avail FROM embeddings GROUP BY label
+),
+capped AS (
+    SELECT label, n_avail,
+           CAST(MIN(n_avail) OVER () * {BALANCE_CAP_FACTOR} AS BIGINT) AS cap
+    FROM counts
+),
+ranked AS (
+    SELECT vec_id, label,
+           ROW_NUMBER() OVER (
+               PARTITION BY label
+               ORDER BY {sql_hash32("CAST(vec_id AS VARCHAR)")}, vec_id
+           ) AS rk
+    FROM embeddings
+)
+SELECT r.label, MAX(c.n_avail) AS n_avail, MAX(c.cap) AS cap,
+       CAST(SUM(CASE WHEN r.rk <= c.cap THEN 1 ELSE 0 END) AS BIGINT) AS taken,
+       CAST(SUM(CASE WHEN r.rk <= c.cap THEN r.vec_id ELSE 0 END) AS BIGINT)
+           AS taken_checksum
+FROM ranked r JOIN capped c ON r.label = c.label
+GROUP BY r.label
+ORDER BY r.label
+"""
+
+
 QUERIES = {
+    "sample_balanced_labels": sample_balanced_labels,
     "sample_temperature_mixture": sample_temperature_mixture,
     "graph_degree_histogram": graph_degree_histogram,
     "seq_pack_chunks": seq_pack_chunks,
@@ -1082,6 +1165,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sample_balanced_labels": _BALANCED_SQL,
     "sample_temperature_mixture": _TEMP_MIX_SQL,
     "graph_degree_histogram": _DEGREE_SQL,
     "seq_pack_chunks": _SEQ_PACK_SQL,

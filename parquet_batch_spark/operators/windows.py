@@ -611,7 +611,69 @@ ORDER BY o_custkey
 """
 
 
+# --------------------------------------------- gaps and islands
+
+def window_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: the longest consecutive run of SAME-TYPE
+    events per user — the classic streak/sequence-mining pattern
+    (error bursts, repeated retries, habit streaks) that plain
+    aggregation can't see. The standard O(n) formulation: island id =
+    row_number over the user minus row_number over (user, type) is
+    constant within a run — two window passes sharing one shuffle on
+    user_id, then an island-size aggregate; no self-join, no
+    quadratic anything.
+
+    Output: per (user, event_type), the longest island and island
+    count.
+    """
+    ev = load(spark, sf_dir, "events")
+    rn_all = F.row_number().over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    rn_typ = F.row_number().over(
+        W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    )
+    islands = ev.select(
+        "user_id",
+        "event_type",
+        (rn_all - rn_typ).alias("island"),
+    )
+    sized = islands.groupBy("user_id", "event_type", "island").agg(
+        F.count(F.lit(1)).alias("streak")
+    )
+    return (
+        sized.groupBy("user_id", "event_type")
+        .agg(
+            F.max("streak").alias("longest_streak"),
+            F.count(F.lit(1)).alias("n_islands"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+_STREAK_SQL = """
+WITH islands AS (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS island
+    FROM events
+),
+sized AS (
+    SELECT user_id, event_type, island, COUNT(*) AS streak
+    FROM islands GROUP BY user_id, event_type, island
+)
+SELECT user_id, event_type,
+       CAST(MAX(streak) AS BIGINT) AS longest_streak,
+       COUNT(*) AS n_islands
+FROM sized
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+"""
+
+
 QUERIES = {
+    "window_streak_islands": window_streak_islands,
     "window_nth_value": window_nth_value,
     "window_percent_change": window_percent_change,
     "window_running_distinct": window_running_distinct,
@@ -628,6 +690,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_streak_islands": _STREAK_SQL,
     "window_nth_value": _NTH_VALUE_SQL,
     "window_percent_change": _pct_change_sql(),
     "window_running_distinct": _RUN_DISTINCT_SQL,

@@ -292,3 +292,40 @@ def test_try_arith_null_on_error(spark, sf_dir):
         if r["safe_long"] is not None:
             assert r["safe_long"] == k
         assert r["overflow_dec"] is None or abs(r["overflow_dec"]) < 1000
+
+
+def test_streak_islands_consistency(spark, sf_dir):
+    """Longest streak >= 1, islands partition each user's per-type
+    events: sum over (streaks x islands bound) holds and total island
+    membership equals the user's event count."""
+    from parquet_batch_spark.operators.windows import window_streak_islands
+
+    rows = window_streak_islands(spark, sf_dir).collect()
+    per_user_type = {
+        (r["user_id"], r["event_type"]): r["n"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert len(rows) == len(per_user_type)
+    for r in rows:
+        n = per_user_type[(r["user_id"], r["event_type"])]
+        assert 1 <= r["longest_streak"] <= n
+        assert 1 <= r["n_islands"] <= n
+        assert r["longest_streak"] + (r["n_islands"] - 1) <= n
+
+
+def test_balanced_labels_cap(spark, sf_dir):
+    from parquet_batch_spark.operators.llm_prep import (
+        BALANCE_CAP_FACTOR,
+        sample_balanced_labels,
+    )
+
+    rows = sample_balanced_labels(spark, sf_dir).collect()
+    min_avail = min(r["n_avail"] for r in rows)
+    for r in rows:
+        assert r["cap"] == min_avail * BALANCE_CAP_FACTOR
+        assert r["taken"] == min(r["cap"], r["n_avail"])
+    takes = [r["taken"] for r in rows]
+    assert max(takes) <= BALANCE_CAP_FACTOR * min(takes)

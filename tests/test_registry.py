@@ -30,9 +30,9 @@ def test_every_oracle_has_a_query():
 
 def test_driver_window_covers_round4_targets():
     """Slots 1-50 must contain every r4-NEW op (new ops go first — the
-    r2 lesson: 35 of them after the late-r4 batches landed), every
+    r2 lesson: 37 of them after the late-r4 batches landed), every
     r4-CHANGED op, and as many of the r1-stale entries as fit (TPC-H
-    q2-q14; q15-q22 and the agg/reshape/sort/set/window_distribution
+    q2-q11; q13-q22 and the agg/reshape/sort/set/window_distribution
     stales spill to the r5 window — ledger updated)."""
     first50 = list(all_queries())[:50]
     new_ops = {
@@ -49,11 +49,12 @@ def test_driver_window_covers_round4_targets():
         "udf_arrow_scalar", "scan_ignore_corrupt", "func_url",
         "join_null_safe", "agg_moments_exact", "window_nth_value",
         "explode_outer_semantics", "func_try_arith",
+        "window_streak_islands", "sample_balanced_labels",
         "dedup_containment", "join_bloom_prefilter", "etl_cdc_apply",
         "sample_reservoir_per_group", "embedding_kmeans_rollup"}
     assert new_ops <= set(first50), new_ops - set(first50)
     changed = {"ann_ivf_topk", "dedup_embedding_cosine",
                "dedup_fuzzy_levenshtein"}
     assert changed <= set(first50)
-    r1_stale = {f"tpch_q{i}" for i in range(2, 15) if i != 12}
+    r1_stale = {f"tpch_q{i}" for i in range(2, 12)}
     assert r1_stale <= set(first50), r1_stale - set(first50)
