@@ -536,6 +536,15 @@ COS_MIN_BITS = 4
 COS_MAX_BITS = 16  # plane-index stride per band; fixed, mask selects low bits
 COS_TARGET_BUCKET = 64
 EMB_DIM = 64
+# Below this corpus size the distributed pair join's fixed cost (three
+# shuffles + ~N·bucket interpreted 64-dim folds) dominates actual work,
+# so a single-partition vectorized scorer runs instead — the same
+# adaptive-threshold idea as Spark's own broadcast-join gate. The gate
+# bounds the one-task state at ≤ 4096×64 doubles ≈ 2 MB (one Arrow
+# batch); at any real corpus size the join path runs. Both paths use
+# the SAME banding codes and the SAME dimension-sequential IEEE fold,
+# so their outputs are bit-identical (asserted in tests/test_dedup.py).
+COS_SMALL_CORPUS = 4096
 
 
 def _cos_bits(n: int) -> int:
@@ -593,6 +602,81 @@ def _band_assign(nbits: int):
     return gen
 
 
+def _cosine_small(nbits: int):
+    """Single-partition scorer for corpora under ``COS_SMALL_CORPUS``:
+    identical candidate semantics (same planes, same per-band sign
+    codes, pairs share ≥1 band code) and identical arithmetic (norms,
+    dots and the final division accumulate dimension-sequentially —
+    vectorized ACROSS pairs, sequential WITHIN each vector — the exact
+    IEEE op order of the join path's ``F.aggregate`` fold), so the two
+    paths return bit-identical rows. Emits raw cosines; threshold,
+    rounding and ordering stay JVM-side so the tail of the plan is
+    literally shared with the join path."""
+    import numpy as np
+    import pandas as pd
+
+    from parquet_batch_spark.operators.similarity import _plane_weight
+
+    plane_ids = [
+        b * COS_MAX_BITS + bit for b in range(N_COS_BANDS) for bit in range(nbits)
+    ]
+    planes = np.asarray(
+        [[_plane_weight(p, d) for d in range(EMB_DIM)] for p in plane_ids],
+        dtype=np.float64,
+    )
+
+    def gen(batches):
+        frames = [pdf for pdf in batches if len(pdf)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        V = np.asarray([np.asarray(x) for x in pdf["v"]], dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        acc = np.zeros((len(V), len(plane_ids)))
+        for k in range(EMB_DIM):
+            acc += V[:, k][:, None] * planes[:, k][None, :]
+        signs = acc > 0
+        # Candidate pairs: same (band, code) bucket in at least one band.
+        cand: set[tuple[int, int]] = set()
+        for b in range(N_COS_BANDS):
+            codes = np.zeros(len(V), dtype=np.int64)
+            for bit in range(nbits):
+                codes |= signs[:, b * nbits + bit].astype(np.int64) << bit
+            order = np.argsort(codes, kind="stable")
+            sorted_codes = codes[order]
+            starts = np.flatnonzero(
+                np.r_[True, sorted_codes[1:] != sorted_codes[:-1]]
+            )
+            for s, e in zip(starts, np.r_[starts[1:], len(order)]):
+                members = order[s:e]
+                for i in range(len(members)):
+                    for j in range(i + 1, len(members)):
+                        a, c = ids[members[i]], ids[members[j]]
+                        cand.add((a, c) if a < c else (c, a))
+        if not cand:
+            return
+        pairs = np.asarray(sorted(cand), dtype=np.int64)
+        pos = {int(v): i for i, v in enumerate(ids)}
+        ia = np.asarray([pos[int(a)] for a in pairs[:, 0]])
+        ib = np.asarray([pos[int(b)] for b in pairs[:, 1]])
+        ssq = np.zeros(len(V))
+        for k in range(EMB_DIM):
+            ssq += V[:, k] * V[:, k]
+        nrm = np.sqrt(ssq)
+        dot = np.zeros(len(pairs))
+        for k in range(EMB_DIM):
+            dot += V[ia, k] * V[ib, k]
+        yield pd.DataFrame(
+            {
+                "vec_a": pairs[:, 0],
+                "vec_b": pairs[:, 1],
+                "cos_raw": dot / (nrm[ia] * nrm[ib]),
+            }
+        )
+
+    return gen
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ 0.45, LSH-banded candidates.
 
@@ -619,11 +703,29 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     to derive the code width — the same bounded pattern as the CC
     convergence probe. tests/test_similarity.py pins precision 1.0 and
     the measured recall floor vs the exact all-pairs baseline.
+
+    Corpora at or under ``COS_SMALL_CORPUS`` (= one Arrow batch of
+    vectors) take the ``_cosine_small`` single-task path instead: the
+    three-shuffle join constant dominates at toy sizes, exactly the
+    regime Spark's broadcast-join threshold exists for. Outputs are
+    bit-identical either way (tests/test_dedup.py equivalence test).
     """
     em = fan_out(load(spark, sf_dir, "embeddings"), spark)
     dvec = F.transform("embedding", lambda x: x.cast("double"))
     base = em.select("vec_id", dvec.alias("v"))
-    nbits = _cos_bits(count_table(spark, sf_dir, "embeddings"))
+    n = count_table(spark, sf_dir, "embeddings")
+    nbits = _cos_bits(n)
+    if n <= COS_SMALL_CORPUS:
+        # Adaptive small-corpus path (see COS_SMALL_CORPUS): one
+        # executor task, bit-identical output to the join path below.
+        scored = base.coalesce(1).mapInPandas(
+            _cosine_small(nbits), schema="vec_a long, vec_b long, cos_raw double"
+        )
+        return (
+            scored.filter(F.col("cos_raw") >= COSINE_THRESHOLD)
+            .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
+            .orderBy("vec_a", "vec_b")
+        )
     probes = base.mapInPandas(
         _band_assign(nbits), schema="band int, bits int, vec_id long"
     )

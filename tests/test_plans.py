@@ -136,11 +136,14 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
-def test_dedup_pipelines_avoid_cartesian(spark, sf_dir):
+def test_dedup_pipelines_avoid_cartesian(spark, sf_dir, monkeypatch):
     """Every near-dup pipeline must pair documents through an inverted
     index (band/shingle/bucket join) — never an O(n²) cartesian. A
     CartesianProduct or unconditioned BroadcastNestedLoopJoin in these
-    plans would be a 100 TB death sentence."""
+    plans would be a 100 TB death sentence. COS_SMALL_CORPUS is forced
+    to 0 so the SCALE path of the cosine pipeline is what gets
+    plan-audited, not the gated single-task toy path."""
+    from parquet_batch_spark.operators import dedup as dedup_mod
     from parquet_batch_spark.operators.dedup import (
         dedup_embedding_cosine,
         dedup_minhash_lsh,
@@ -148,6 +151,7 @@ def test_dedup_pipelines_avoid_cartesian(spark, sf_dir):
         dedup_simhash,
     )
 
+    monkeypatch.setattr(dedup_mod, "COS_SMALL_CORPUS", 0)
     for fn in (dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard, dedup_embedding_cosine):
         plan = executed_plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, f"{fn.__name__}: cartesian!"

@@ -87,3 +87,23 @@ def test_cosine_dedup_banding_quality(spark, sf_dir):
         assert pair in truth and truth[pair] == cos, (pair, cos)
     recall = len(found) / len(truth)
     assert recall >= 0.15, f"banded recall {recall:.2f} < 0.15 ({len(truth)} truth pairs)"
+
+
+def test_cosine_small_and_join_paths_identical(spark, sf_dir, monkeypatch):
+    """The COS_SMALL_CORPUS gate must be a pure physical-plan decision:
+    the single-task small-corpus scorer and the distributed pair-join
+    path share candidate semantics (same planes, same band codes) and
+    IEEE op order (dimension-sequential folds), so their outputs must
+    be row-for-row identical — including every rounded cosine."""
+    from parquet_batch_spark.operators import dedup as dedup_mod
+    from parquet_batch_spark.operators.dedup import dedup_embedding_cosine
+
+    def rows(df):
+        return [(r["vec_a"], r["vec_b"], r["cos_sim"]) for r in df.collect()]
+
+    monkeypatch.setattr(dedup_mod, "COS_SMALL_CORPUS", 10**9)
+    small = rows(dedup_embedding_cosine(spark, sf_dir))
+    monkeypatch.setattr(dedup_mod, "COS_SMALL_CORPUS", 0)
+    joined = rows(dedup_embedding_cosine(spark, sf_dir))
+    assert small, "gate test is vacuous — no pairs at this SF"
+    assert small == joined
