@@ -279,6 +279,82 @@ ORDER BY o_orderpriority
 """
 
 
+def approx_hll_union_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches HLL partial-sketch MERGE — the mechanism that makes
+    distinct counting compose at 100 TB: each shard (here: order
+    priority) aggregates its own ``hll_sketch_agg`` binary sketch, and
+    the global distinct comes from ``hll_union_agg`` over those FIVE
+    sketch blobs — no second pass over the fact, no distinct-key
+    shuffle. This is how a 1000-executor rollup tree or an incremental
+    daily pipeline maintains corpus-wide distincts: store per-partition
+    sketches, union on demand.
+
+    Oracle strategy (same as ``approx_distinct_sketch``): sketches are
+    deterministic for fixed data and union is register-wise max (order
+    cannot change it), so the query projects the EXACT distinct plus a
+    within-5% bound boolean for both the per-shard estimates and the
+    unioned global — the oracle states the exacts and ``TRUE``. The
+    union row additionally checks estimate-vs-union consistency: the
+    union of the five shard sketches must equal the sketch built over
+    the whole table in one pass (mergeability, bit-for-bit)."""
+    o = load(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )
+    shard_rows = per.select(
+        F.col("o_orderpriority").alias("grain"),
+        "exact_customers",
+        (
+            F.abs(
+                F.hll_sketch_estimate("sk").cast("double")
+                / F.col("exact_customers").cast("double")
+                - F.lit(1.0)
+            )
+            <= F.lit(0.05)
+        ).alias("within_5pct"),
+    )
+    merged = per.agg(F.hll_union_agg("sk").alias("sk_union"))
+    whole = o.agg(
+        F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk_whole"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )
+    union_row = merged.crossJoin(whole).select(
+        F.lit("ALL_UNIONED").alias("grain"),
+        "exact_customers",
+        (
+            (
+                F.abs(
+                    F.hll_sketch_estimate("sk_union").cast("double")
+                    / F.col("exact_customers").cast("double")
+                    - F.lit(1.0)
+                )
+                <= F.lit(0.05)
+            )
+            & (
+                F.hll_sketch_estimate("sk_union")
+                == F.hll_sketch_estimate("sk_whole")
+            )
+        ).alias("within_5pct"),
+    )
+    return shard_rows.unionByName(union_row).orderBy("grain")
+
+
+_HLL_UNION_SQL = """
+SELECT o_orderpriority AS grain,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+       TRUE AS within_5pct
+FROM orders
+GROUP BY o_orderpriority
+UNION ALL
+SELECT 'ALL_UNIONED' AS grain,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+       TRUE AS within_5pct
+FROM orders
+ORDER BY grain
+"""
+
+
 def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (Greenwald-Khanna sketch via
     ``approx_percentile``) next to their exact counterparts — the
@@ -604,6 +680,7 @@ ORDER BY event_type
 
 
 QUERIES = {
+    "approx_hll_union_sketch": approx_hll_union_sketch,
     "agg_moments_exact": agg_moments_exact,
     "approx_percentile_sketch": approx_percentile_sketch,
     "rollup_hypertable": rollup_hypertable,
@@ -617,6 +694,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "approx_hll_union_sketch": _HLL_UNION_SQL,
     "agg_moments_exact": _MOMENTS_SQL,
     "approx_percentile_sketch": _APS_SQL,
     "approx_distinct_sketch": _ADS_SQL,

@@ -540,7 +540,80 @@ FROM orders
 """
 
 
+N_META_SHARDS = 4
+
+
+def scan_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file provenance accounting through the hidden ``_metadata``
+    struct — the lineage surface every landing-zone audit needs: which
+    file did each row come from, how many rows per file, and does each
+    file's content checksum match what the upstream manifest says.
+    Orders are staged into ``N_META_SHARDS`` hive shard dirs keyed by a
+    portable hash (repartition-by-shard first, so each shard dir is
+    exactly ONE file), then read back grouping on the shard parsed out
+    of ``_metadata.file_path``; ``_metadata.row_index`` participates
+    via its order-independent per-file sum n·(n−1)/2, so the hidden
+    row-position column is value-checked without depending on
+    intra-file row order. At 100 TB this exact query (group by
+    ``_metadata.file_name``) is the dead-file / partial-write detector
+    that runs after every bulk ingest."""
+    from parquet_batch_spark.functions.hashing import hash32
+
+    out = _io_dir(sf_dir, "orders_meta_shards")
+    key_hash = hash32(F.col("o_orderkey").cast("string"))
+    if out not in _META_STAGED:
+        src = (
+            load(spark, sf_dir, "orders")
+            .select("o_orderkey")
+            .withColumn("shard", (key_hash % N_META_SHARDS).cast("int"))
+        )
+        src.repartition("shard").write.mode("overwrite").partitionBy(
+            "shard"
+        ).parquet(out)
+        _META_STAGED.add(out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy(
+            F.regexp_extract(F.col("_metadata.file_path"), r"shard=(\d+)", 1)
+            .cast("int")
+            .alias("shard")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(F.col("_metadata.file_name")).alias("n_files"),
+            F.sum(F.col("_metadata.row_index")).alias("rowidx_checksum"),
+            F.sum(key_hash).alias("key_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+_META_STAGED: set[str] = set()
+
+
+def _files_metadata_sql() -> str:
+    from parquet_batch_spark.functions.hashing import sql_hash32
+
+    khash = sql_hash32("CAST(o_orderkey AS VARCHAR)")
+    return f"""
+WITH s AS (
+    SELECT o_orderkey, CAST(({khash}) % {N_META_SHARDS} AS INTEGER) AS shard,
+           {khash} AS khash
+    FROM orders
+)
+SELECT shard,
+       COUNT(*) AS n_rows,
+       CAST(1 AS BIGINT) AS n_files,
+       CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS rowidx_checksum,
+       CAST(SUM(khash) AS BIGINT) AS key_checksum
+FROM s
+GROUP BY shard
+ORDER BY shard
+"""
+
+
 QUERIES = {
+    "scan_files_metadata": scan_files_metadata,
     "scan_ignore_corrupt": scan_ignore_corrupt,
     "sink_compression_codecs": sink_compression_codecs,
     "etl_merge_upsert": etl_merge_upsert,
@@ -554,6 +627,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "scan_files_metadata": _files_metadata_sql(),
     "scan_ignore_corrupt": _IGNORE_CORRUPT_SQL,
     "sink_compression_codecs": _codec_sql(),
     "etl_merge_upsert": _MERGE_SQL,

@@ -228,7 +228,53 @@ ORDER BY o_orderkey
 """
 
 
+# --------------------------------------------------------- mapInArrow
+
+
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the fifth Python-execution surface, and the
+    closest analogue to the reference's own consumption model
+    (reference reader.py:93-96 hands consumers Arrow RecordBatches):
+    user code receives raw ``pyarrow.RecordBatch`` objects per
+    partition, no pandas materialization at all. The batch work here
+    is pyarrow.compute kernels only (C++ vectorized — zero per-row
+    Python), producing a byte/char length profile and the bytes/4
+    BPE-ish token-budget estimate for every document. All three
+    derived columns are trivially SQL-mirrorable so the whole Arrow
+    round-trip is value-checked."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def profile(batches):
+        for rb in batches:
+            text = rb.column("text")
+            chars = pc.cast(pc.utf8_length(text), pa.int64())
+            nbytes = pc.cast(pc.binary_length(text), pa.int64())
+            tok_est = pc.divide(pc.add(nbytes, 3), 4)  # int floor-div
+            yield pa.RecordBatch.from_arrays(
+                [rb.column("doc_id"), chars, nbytes, tok_est],
+                names=["doc_id", "n_chars", "n_bytes", "tok_est"],
+            )
+
+    return docs.mapInArrow(
+        profile, schema="doc_id long, n_chars long, n_bytes long, tok_est long"
+    ).orderBy("doc_id")
+
+
+_MAP_IN_ARROW_SQL = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       strlen(text) AS n_bytes,
+       (strlen(text) + 3) // 4 AS tok_est
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "udf_map_in_arrow": udf_map_in_arrow,
     "udf_arrow_scalar": udf_arrow_scalar,
     "udtf_bigram_topk": udtf_bigram_topk,
     "udaf_pandas_exact_sum": udaf_pandas_exact_sum,
@@ -236,6 +282,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "udf_map_in_arrow": _MAP_IN_ARROW_SQL,
     "udf_arrow_scalar": _ARROW_UDF_SQL,
     "udtf_bigram_topk": _BIGRAM_SQL,
     "udaf_pandas_exact_sum": _UDAF_SQL,
