@@ -596,7 +596,53 @@ ORDER BY d_label
 """
 
 
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — the SQL
+    surface for "top-N related rows per driving row" (Spark supports
+    LATERAL since 3.4; the correlated LIMIT decorrelates cleanly).
+    The driving side here is deliberately REDUCED first (the 5
+    distinct market segments), which is the scale discipline for this
+    operator: a lateral per fact row is a nested loop in disguise —
+    drive laterals from dimensions/reduced sets, and use
+    ``window_topk_per_group`` when the per-key top-N must run over the
+    whole fact. Ties broken by order key so results are deterministic.
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView("pbs_lat_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("pbs_lat_orders")
+    return spark.sql(
+        """
+        SELECT s.c_mktsegment, t.o_orderkey, t.o_totalprice
+        FROM (SELECT DISTINCT c_mktsegment FROM pbs_lat_customer) s,
+        LATERAL (
+            SELECT o.o_orderkey, o.o_totalprice
+            FROM pbs_lat_orders o
+            JOIN pbs_lat_customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = s.c_mktsegment
+            ORDER BY o.o_totalprice DESC, o.o_orderkey
+            LIMIT 3
+        ) t
+        ORDER BY s.c_mktsegment, t.o_totalprice DESC, t.o_orderkey
+        """
+    )
+
+
+_JOIN_LATERAL_SQL = """
+SELECT s.c_mktsegment, t.o_orderkey, t.o_totalprice
+FROM (SELECT DISTINCT c_mktsegment FROM customer) s,
+LATERAL (
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = s.c_mktsegment
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 3
+) t
+ORDER BY s.c_mktsegment, t.o_totalprice DESC, t.o_orderkey
+"""
+
+
 QUERIES = {
+    "join_lateral_topk": join_lateral_topk,
     "join_null_safe": join_null_safe,
     "join_asof_tolerance": join_asof_tolerance,
     "join_bloom_prefilter": join_bloom_prefilter,
@@ -612,6 +658,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_lateral_topk": _JOIN_LATERAL_SQL,
     "join_null_safe": _NULL_SAFE_SQL,
     "join_asof_tolerance": _ASOF_TOL_SQL,
     "join_bloom_prefilter": _JOIN_BLOOM_SQL,

@@ -584,7 +584,52 @@ ORDER BY o.doc_id
 """
 
 
+def reshape_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose`` (Spark 4.0) — rows↔columns flip of a
+    REDUCED metrics table: per-segment customer metrics become one row
+    per metric with a column per segment, the report-matrix shape BI
+    layers ask for. Transpose requires a common value type, so every
+    metric is cast to double first (the exact-decimal sums land on
+    doubles already, per the numeric policy). The discipline is the
+    same as ``agg_pivot``'s: transpose AFTER the reduction — the input
+    here is 5 rows regardless of corpus size, never the fact table.
+    The oracle rebuilds the matrix with scalar subqueries per cell."""
+    c = load(spark, sf_dir, "customer")
+    agg = (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_customers"),
+            dsum("c_acctbal", "bal_sum"),
+            F.countDistinct("c_nationkey").cast("double").alias("n_nations"),
+        )
+        .orderBy("c_mktsegment")
+    )
+    return agg.transpose().withColumnRenamed("key", "metric").orderBy("metric")
+
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def _transpose_sql() -> str:
+    def cell(metric_expr: str, seg: str) -> str:
+        return (
+            f"(SELECT {metric_expr} FROM customer WHERE c_mktsegment = '{seg}')"
+            f' AS "{seg}"'
+        )
+
+    rows = []
+    for metric, expr in [
+        ("n_customers", "CAST(COUNT(*) AS DOUBLE)"),
+        ("bal_sum", sql_dsum("c_acctbal")),
+        ("n_nations", "CAST(COUNT(DISTINCT c_nationkey) AS DOUBLE)"),
+    ]:
+        cells = ", ".join(cell(expr, seg) for seg in _SEGMENTS)
+        rows.append(f"SELECT '{metric}' AS metric, {cells}")
+    return "\nUNION ALL\n".join(rows) + "\nORDER BY metric"
+
+
 QUERIES = {
+    "reshape_transpose": reshape_transpose,
     "explode_outer_semantics": explode_outer_semantics,
     "agg_filtered": agg_filtered,
     "agg_listagg_sorted": agg_listagg_sorted,
@@ -602,6 +647,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "reshape_transpose": _transpose_sql(),
     "explode_outer_semantics": _EXPLODE_OUTER_SQL,
     "agg_filtered": _AGG_FILTERED_SQL,
     "agg_listagg_sorted": _LISTAGG_SQL,

@@ -116,7 +116,78 @@ ORDER BY src
 """
 
 
+def scan_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.observe`` / ``Observation`` — pipeline health counters that
+    piggyback the SAME pass as the work (CollectMetrics plan nodes):
+    rows/quantity at the scan, rows/quantity after the quality filter,
+    and the keep ratio. At 100 TB this replaces the classic
+    "run the job, then run COUNT(*) twice more to fill the run report"
+    pattern — the metrics are aggregated by executors inline and cost
+    nothing beyond the registers. Observe nodes also pin filter
+    placement: the scan-level observation counts PRE-filter rows even
+    though the filter would otherwise push into the scan (verified —
+    that subtlety is the point of checking rows_scanned).
+
+    The exact-decimal quantity sums flow through the same numeric
+    policy as every other aggregate, so the observed values
+    hash-match the oracle bit-for-bit."""
+    from pyspark.sql import Observation
+
+    from parquet_batch_spark.functions.numeric import dsum
+
+    li = load(spark, sf_dir, "lineitem")
+    scan_obs = Observation("scan")
+    kept_obs = Observation("kept")
+    kept = (
+        li.observe(
+            scan_obs,
+            F.count(F.lit(1)).alias("rows_scanned"),
+            dsum("l_quantity", "qty_scanned"),
+        )
+        .filter(F.col("l_quantity") > 25)
+        .observe(
+            kept_obs,
+            F.count(F.lit(1)).alias("rows_kept"),
+            dsum("l_quantity", "qty_kept"),
+        )
+    )
+    kept.count()  # one action; both observations fill from this pass
+    m = {**scan_obs.get, **kept_obs.get}
+    return spark.createDataFrame(
+        [
+            (
+                m["rows_scanned"],
+                m["qty_scanned"],
+                m["rows_kept"],
+                m["qty_kept"],
+                float(m["rows_kept"]) / float(m["rows_scanned"]),
+            )
+        ],
+        schema="rows_scanned long, qty_scanned double, rows_kept long, "
+        "qty_kept double, keep_ratio double",
+    )
+
+
+def _observed_sql() -> str:
+    from parquet_batch_spark.functions.numeric import sql_dsum
+
+    kept_sum = (
+        "CAST(CAST(SUM(CASE WHEN l_quantity > 25 THEN "
+        "CAST(l_quantity AS DECIMAL(18,4)) END) AS DECIMAL(18,6)) AS DOUBLE)"
+    )
+    return f"""
+SELECT COUNT(*) AS rows_scanned,
+       {sql_dsum("l_quantity")} AS qty_scanned,
+       COUNT(*) FILTER (l_quantity > 25) AS rows_kept,
+       {kept_sum} AS qty_kept,
+       CAST(COUNT(*) FILTER (l_quantity > 25) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           AS keep_ratio
+FROM lineitem
+"""
+
+
 QUERIES = {
+    "scan_observed_metrics": scan_observed_metrics,
     "scan_projection": scan_projection,
     "scan_count": scan_count,
     "scan_multifile": scan_multifile,
@@ -125,6 +196,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "scan_observed_metrics": _observed_sql(),
     "scan_projection": _SCAN_PROJECTION_SQL,
     "scan_count": _SCAN_COUNT_SQL,
     "scan_multifile": _SCAN_MULTIFILE_SQL,
