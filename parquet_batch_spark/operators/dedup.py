@@ -1219,7 +1219,97 @@ ORDER BY doc_a, doc_b
 """
 
 
+def dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop DECISION on top of the near-dup clusters: one
+    canonical representative per connected component — the longest
+    member (ties to the smallest doc_id), the standard "keep the most
+    complete copy" curation rule (min-doc_id alone keeps whichever
+    copy happened to be crawled first). Emits one row per cluster with
+    the representative, member count, and the char mass kept vs
+    dropped — exactly the report a pipeline owner reads before
+    signing off a dedup pass.
+
+    Plan shape: the CC labels (one row per clustered doc) join
+    ``documents`` on doc_id — a key equi-join — then one window over
+    ``cluster_root`` partitions (cluster-sized, tiny) and one
+    aggregation. Nothing here scales worse than the CC step itself.
+    """
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    joined = clusters.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_root").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = joined.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster_root")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("rep_doc_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("rep_chars"),
+            (F.sum("n_chars") - F.max(F.when(F.col("rn") == 1, F.col("n_chars"))))
+            .alias("dropped_chars"),
+        )
+        .orderBy("cluster_root")
+    )
+
+
+_DEDUP_REP_SQL = f"""
+WITH RECURSIVE {_sql_minhash_core()},
+bands AS (
+    SELECT doc_id, sig, i - 1 AS band_idx, ([{_BAND_EXPRS}])[i] AS band_sig
+    FROM sigarr, generate_series(1, {N_BANDS}) t(i)
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.sig AS sig_a, b.sig AS sig_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+        AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT doc_a, doc_b FROM cands
+    WHERE CAST(len(list_filter(generate_series(1, {N_HASHES}),
+            i -> sig_a[i] = sig_b[i])) AS DOUBLE) / {N_HASHES}
+        >= {MINHASH_EST_THRESHOLD}
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+cc AS (
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_root
+    FROM reach
+    GROUP BY a
+),
+ranked AS (
+    SELECT cc.cluster_root, cc.doc_id, d.n_chars,
+           ROW_NUMBER() OVER (PARTITION BY cc.cluster_root
+                              ORDER BY d.n_chars DESC, cc.doc_id ASC) AS rn
+    FROM cc JOIN documents d ON cc.doc_id = d.doc_id
+)
+SELECT cluster_root,
+       COUNT(*) AS n_members,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc_id,
+       MAX(CASE WHEN rn = 1 THEN n_chars END) AS rep_chars,
+       CAST(SUM(n_chars) - MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT)
+           AS dropped_chars
+FROM ranked
+GROUP BY cluster_root
+ORDER BY cluster_root
+"""
+
+
 QUERIES = {
+    "dedup_cluster_representative": dedup_cluster_representative,
     "dedup_clusters": dedup_clusters,
     "graph_pagerank": graph_pagerank,
     "dedup_fuzzy_levenshtein": dedup_fuzzy_levenshtein,
@@ -1232,6 +1322,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_cluster_representative": _DEDUP_REP_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "graph_pagerank": _pagerank_sql(),
     "dedup_fuzzy_levenshtein": _DEDUP_FUZZY_SQL,

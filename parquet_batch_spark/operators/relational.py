@@ -628,7 +628,34 @@ def _transpose_sql() -> str:
     return "\nUNION ALL\n".join(rows) + "\nORDER BY metric"
 
 
+def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.stat.crosstab`` — the contingency-table member of the
+    DataFrameStatFunctions surface: pairwise frequency of returnflag ×
+    linestatus in one pass. Under the hood this is a count aggregation
+    pivoted over the (bounded) value domain, so the same discipline as
+    ``agg_pivot`` applies — the crossed columns must be low-cardinality
+    (their product becomes the result grid), never raw keys. Column
+    types are crosstab's own (string key, long counts); the oracle
+    mirrors them with FILTER-clause counts."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.stat.crosstab("l_returnflag", "l_linestatus")
+        .orderBy("l_returnflag_l_linestatus")
+    )
+
+
+_CROSSTAB_SQL = """
+SELECT l_returnflag AS l_returnflag_l_linestatus,
+       COUNT(*) FILTER (l_linestatus = 'F') AS "F",
+       COUNT(*) FILTER (l_linestatus = 'O') AS "O"
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag_l_linestatus
+"""
+
+
 QUERIES = {
+    "stat_crosstab": stat_crosstab,
     "reshape_transpose": reshape_transpose,
     "explode_outer_semantics": explode_outer_semantics,
     "agg_filtered": agg_filtered,
@@ -647,6 +674,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stat_crosstab": _CROSSTAB_SQL,
     "reshape_transpose": _transpose_sql(),
     "explode_outer_semantics": _EXPLODE_OUTER_SQL,
     "agg_filtered": _AGG_FILTERED_SQL,

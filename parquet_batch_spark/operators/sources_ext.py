@@ -612,7 +612,58 @@ ORDER BY shard
 """
 
 
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent-backfill mechanism:
+    rewriting one partition's corrected data must replace ONLY the
+    partitions present in the incoming frame, leaving every other
+    partition byte-identical (static overwrite mode would silently
+    truncate the whole table — the classic lakehouse footgun). Orders
+    are staged hive-partitioned by status, then the 'P' partition is
+    overwritten with repriced rows (price doubled) in dynamic mode;
+    the read-back aggregates per status prove F/O survived untouched
+    and P carries exactly the corrected values. At 100 TB this is the
+    nightly reprocess: overwrite yesterday's partition, touch nothing
+    else."""
+    out = _io_dir(sf_dir, "orders_dyn_overwrite")
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    fixed = (
+        src.filter(F.col("o_orderstatus") == "P")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    (
+        fixed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_checksum"),
+            dsum("o_totalprice", "price_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_DYN_OVERWRITE_SQL = f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+       {sql_dsum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 2 ELSE o_totalprice END")} AS price_sum
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
+    "sink_dynamic_partition_overwrite": sink_dynamic_partition_overwrite,
     "scan_files_metadata": scan_files_metadata,
     "scan_ignore_corrupt": scan_ignore_corrupt,
     "sink_compression_codecs": sink_compression_codecs,
@@ -627,6 +678,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sink_dynamic_partition_overwrite": _DYN_OVERWRITE_SQL,
     "scan_files_metadata": _files_metadata_sql(),
     "scan_ignore_corrupt": _IGNORE_CORRUPT_SQL,
     "sink_compression_codecs": _codec_sql(),

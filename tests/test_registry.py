@@ -32,12 +32,14 @@ def test_driver_window_covers_round4_targets():
     """Slots 1-50 must contain every r4-NEW op (new ops go first — the
     r2 lesson: 37 of them after the late-r4 batches landed), every
     r4-CHANGED op, and as many of the r1-stale entries as fit (TPC-H
-    q2-q5; q6-q22 and the agg/reshape/sort/set/window_distribution
+    q2 only; q3-q22 and the agg/reshape/sort/set/window_distribution
     stales spill to the r5 window — ledger updated)."""
     first50 = list(all_queries())[:50]
     new_ops = {
         "udf_map_in_arrow", "approx_hll_union_sketch", "scan_files_metadata",
         "join_lateral_topk", "reshape_transpose", "scan_observed_metrics",
+        "dedup_cluster_representative", "stat_crosstab",
+        "sink_dynamic_partition_overwrite",
         "seq_pack_chunks", "sample_mix_domains", "dedup_paragraph",
         "dedup_incremental_novelty", "embedding_quantize_int8",
         "text_rarity_score", "window_ewma_decay", "curation_pipeline_funnel",
@@ -58,5 +60,5 @@ def test_driver_window_covers_round4_targets():
     changed = {"ann_ivf_topk", "dedup_embedding_cosine",
                "dedup_fuzzy_levenshtein"}
     assert changed <= set(first50)
-    r1_stale = {f"tpch_q{i}" for i in range(2, 6)}
+    r1_stale = {"tpch_q2"}
     assert r1_stale <= set(first50), r1_stale - set(first50)
