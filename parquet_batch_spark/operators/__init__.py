@@ -32,18 +32,17 @@ from pyspark.sql import DataFrame, SparkSession
 #   r3 window: 27 never-checked r2-new + 4 repaired ERRs + 19 stalest
 #     r1 greens (scans/sources/sinks/joins/q1/agg_distinct).  49 green;
 #     ann_ivf_topk no_oracle (rows-only then — oracle added in r4).
-#   r4 window (this ordering): slots 1-46 = the 46 r4-NEW ops (new ops
-#     go first — the r2 lesson: 9 final-session ops, 32 late-r4
-#     llm_prep/batch-3..10 ops, then the 5 early-r4 ops); slots 47-49 =
-#     r4-CHANGED ops needing fresh rows (IVF's first-ever hash check,
-#     reworked cosine + fuzzy); slot 50 = the stalest r1-green that
-#     still fits (TPC-H q2). tpch q3-q22, agg rollup/cube/sets/pivot/
-#     stats, reshape_unpivot, sort_topk, set_ops and
-#     window_distribution no longer fit — they lead the r5 window
-#     along with the stalest r2 greens below.
-#   r5 plan: tpch_q3..q22, agg_rollup, agg_cube, agg_grouping_sets,
-#     agg_pivot, agg_stats, reshape_unpivot, sort_topk, set_ops,
-#     window_distribution (r1-stale), then
+#   r4 window (this ordering): slots 1-49 = the 49 r4-NEW ops (new ops
+#     go first — the r2 lesson: 12 final-session ops, 32 late-r4
+#     llm_prep/batch-3..10 ops, then the 5 early-r4 ops); slot 50 =
+#     ann_ivf_topk (r4-CHANGED, first-ever hash check — its only row
+#     ever is r3's no_oracle). The other two r4-CHANGED ops (reworked
+#     cosine + fuzzy: r2-green on unchanged test-SF outputs, plus
+#     local dual-SF sweeps) and ALL r1/r2 stales spill to r5.
+#   r5 plan: dedup_embedding_cosine, dedup_fuzzy_levenshtein
+#     (r4-changed), tpch_q2..q22, agg_rollup, agg_cube,
+#     agg_grouping_sets, agg_pivot, agg_stats, reshape_unpivot,
+#     sort_topk, set_ops, window_distribution (r1-stale), then
 #     the r2 greens (dedup family, ANN pair, json/q12 repairs, windows/
 #     analytics/scalar/UDF/text/multimodal/streaming blocks), then the
 #     then-stalest r3 greens (curation + warehouse blocks).
@@ -62,6 +61,11 @@ _PRIORITY = [
     "dedup_cluster_representative",
     "stat_crosstab",
     "sink_dynamic_partition_overwrite",
+    # --- r4-new (final session, batch D): regexp family, Spark 4
+    #     collations, max_by/min_by extremes ---
+    "func_regexp",
+    "func_collation",
+    "agg_minmax_by",
     # --- r4-new operators (llm_prep batch, landed later in r4),
     #     slots 1-8: sequence packing, mixture sampling, paragraph /
     #     incremental dedup, int8 quantization, rarity scoring, EWMA,

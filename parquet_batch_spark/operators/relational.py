@@ -654,7 +654,55 @@ ORDER BY l_returnflag_l_linestatus
 """
 
 
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``max_by`` / ``min_by`` — "the key at the extreme" in ONE
+    aggregation pass, where the naive formulation is a self-join back
+    onto the group maxima (two scans + a shuffle join) or a full
+    row_number window (sorts every group). The ordering argument is a
+    struct so ties break deterministically on the order key —
+    ``max_by(k, price)`` alone is implementation-defined under ties
+    and could never hash-match. The oracle mirrors the struct
+    comparison with twin row_number windows (DuckDB's arg_max does
+    not take a composite ordering)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))").alias(
+                "best_order"
+            ),
+            F.max("o_totalprice").alias("best_price"),
+            F.expr("min_by(o_orderkey, struct(o_totalprice, o_orderkey))").alias(
+                "worst_order"
+            ),
+            F.min("o_totalprice").alias("worst_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_MINMAX_BY_SQL = """
+WITH r AS (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+    FROM orders
+)
+SELECT o_orderpriority,
+       MAX(CASE WHEN rmax = 1 THEN o_orderkey END) AS best_order,
+       MAX(CASE WHEN rmax = 1 THEN o_totalprice END) AS best_price,
+       MAX(CASE WHEN rmin = 1 THEN o_orderkey END) AS worst_order,
+       MAX(CASE WHEN rmin = 1 THEN o_totalprice END) AS worst_price
+FROM r
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
+    "agg_minmax_by": agg_minmax_by,
     "stat_crosstab": stat_crosstab,
     "reshape_transpose": reshape_transpose,
     "explode_outer_semantics": explode_outer_semantics,
@@ -674,6 +722,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_minmax_by": _MINMAX_BY_SQL,
     "stat_crosstab": _CROSSTAB_SQL,
     "reshape_transpose": _transpose_sql(),
     "explode_outer_semantics": _EXPLODE_OUTER_SQL,

@@ -479,7 +479,109 @@ ORDER BY o_orderkey
 """
 
 
+def func_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The regexp family beyond single extract: ``regexp_count``,
+    ``regexp_extract_all`` (array surface — joined/sliced to scalars
+    for the driver-hashable contract), and global ``regexp_replace``
+    digested via md5 so the full rewritten text is value-checked
+    without shipping it. Patterns stay in the character-class subset
+    where Java regex (Spark) and RE2 (DuckDB) agree — the docstring is
+    the contract: no backrefs, no lookarounds in cross-engine paths.
+    DuckDB's ``regexp_replace`` is first-match-only by default; the
+    oracle passes the ``'g'`` flag to match Spark's replace-all."""
+    d = load(spark, sf_dir, "documents")
+    runs = F.regexp_extract_all("text", F.lit(r"[aeiou]+"), 0)
+    return (
+        d.select("doc_id", "text")
+        .withColumn("n_vowel_runs", F.regexp_count("text", F.lit(r"[aeiou]+")))
+        .withColumn("first_word", F.regexp_extract("text", r"[a-z]+", 0))
+        .withColumn("runs_head", F.array_join(F.slice(runs, 1, 5), ","))
+        .withColumn(
+            "devoweled_md5", F.md5(F.regexp_replace("text", r"[aeiou]+", "_"))
+        )
+        .drop("text")
+        .orderBy("doc_id")
+    )
+
+
+_FUNC_REGEXP_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[aeiou]+')) AS INTEGER) AS n_vowel_runs,
+       regexp_extract(text, '[a-z]+') AS first_word,
+       array_to_string(list_slice(regexp_extract_all(text, '[aeiou]+'), 1, 5), ',')
+           AS runs_head,
+       md5(regexp_replace(text, '[aeiou]+', '_', 'g')) AS devoweled_md5
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def func_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collations: ``collate(s, 'UTF8_LCASE')`` makes equality,
+    grouping and DISTINCT case-insensitive WITHOUT rewriting values —
+    the engine-level answer to the lower()-everywhere idiom. A
+    three-way-cased variant of p_type is grouped case-insensitively;
+    each group also reports its case-sensitive variant count, and an
+    ALL row shows the corpus-level cs-vs-ci distinct gap. Collated
+    columns never reach the output schema (they carry a distinct
+    Arrow type) — only plain strings and counts do; the oracle
+    mirrors with lower()."""
+    p = load(spark, sf_dir, "part")
+    # first-char-upper built explicitly (NOT initcap: Spark's initcap
+    # capitalizes every word, DuckDB has no exact mirror)
+    titled = F.concat(
+        F.upper(F.substring(F.lower("p_type"), 1, 1)),
+        F.expr("substr(lower(p_type), 2)"),
+    )
+    variant = (
+        F.when(F.col("p_partkey") % 3 == 0, F.lower("p_type"))
+        .when(F.col("p_partkey") % 3 == 1, F.col("p_type"))
+        .otherwise(titled)
+    )
+    base = p.select(F.col("p_partkey"), variant.alias("s"))
+    ci = F.collate(F.col("s"), "UTF8_LCASE")
+    per = (
+        base.groupBy(F.lower("s").cast("string").alias("type_ci"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("s").alias("n_case_variants"),
+        )
+    )
+    total = base.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.countDistinct("s") - F.countDistinct(ci)).alias("n_case_variants"),
+    ).select(F.lit("ALL:cs_minus_ci").alias("type_ci"), "n_rows", "n_case_variants")
+    return per.unionByName(total).orderBy("type_ci")
+
+
+_FUNC_COLLATION_SQL = """
+SELECT lower(s) AS type_ci, COUNT(*) AS n_rows,
+       COUNT(DISTINCT s) AS n_case_variants
+FROM (
+    SELECT CASE WHEN p_partkey % 3 = 0 THEN lower(p_type)
+                WHEN p_partkey % 3 = 1 THEN p_type
+                ELSE concat(upper(substr(lower(p_type), 1, 1)),
+                            substr(lower(p_type), 2)) END AS s
+    FROM part
+)
+GROUP BY lower(s)
+UNION ALL
+SELECT 'ALL:cs_minus_ci' AS type_ci, COUNT(*) AS n_rows,
+       COUNT(DISTINCT s) - COUNT(DISTINCT lower(s)) AS n_case_variants
+FROM (
+    SELECT CASE WHEN p_partkey % 3 = 0 THEN lower(p_type)
+                WHEN p_partkey % 3 = 1 THEN p_type
+                ELSE concat(upper(substr(lower(p_type), 1, 1)),
+                            substr(lower(p_type), 2)) END AS s
+    FROM part
+)
+ORDER BY type_ci
+"""
+
+
 QUERIES = {
+    "func_regexp": func_regexp,
+    "func_collation": func_collation,
     "func_try_arith": func_try_arith,
     "func_url": func_url,
     "func_bitwise": func_bitwise,
@@ -495,6 +597,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "func_regexp": _FUNC_REGEXP_SQL,
+    "func_collation": _FUNC_COLLATION_SQL,
     "func_try_arith": _TRY_ARITH_SQL,
     "func_url": _FUNC_URL_SQL,
     "func_bitwise": _BITWISE_SQL,

@@ -32,14 +32,16 @@ def test_driver_window_covers_round4_targets():
     """Slots 1-50 must contain every r4-NEW op (new ops go first — the
     r2 lesson: 37 of them after the late-r4 batches landed), every
     r4-CHANGED op, and as many of the r1-stale entries as fit (TPC-H
-    q2 only; q3-q22 and the agg/reshape/sort/set/window_distribution
-    stales spill to the r5 window — ledger updated)."""
+    window plus ann_ivf_topk, whose only driver row ever is r3's
+    no_oracle; the other changed/stale entries lead the r5 window —
+    ledger updated)."""
     first50 = list(all_queries())[:50]
     new_ops = {
         "udf_map_in_arrow", "approx_hll_union_sketch", "scan_files_metadata",
         "join_lateral_topk", "reshape_transpose", "scan_observed_metrics",
         "dedup_cluster_representative", "stat_crosstab",
         "sink_dynamic_partition_overwrite",
+        "func_regexp", "func_collation", "agg_minmax_by",
         "seq_pack_chunks", "sample_mix_domains", "dedup_paragraph",
         "dedup_incremental_novelty", "embedding_quantize_int8",
         "text_rarity_score", "window_ewma_decay", "curation_pipeline_funnel",
@@ -57,8 +59,7 @@ def test_driver_window_covers_round4_targets():
         "dedup_containment", "join_bloom_prefilter", "etl_cdc_apply",
         "sample_reservoir_per_group", "embedding_kmeans_rollup"}
     assert new_ops <= set(first50), new_ops - set(first50)
-    changed = {"ann_ivf_topk", "dedup_embedding_cosine",
-               "dedup_fuzzy_levenshtein"}
-    assert changed <= set(first50)
-    r1_stale = {"tpch_q2"}
-    assert r1_stale <= set(first50), r1_stale - set(first50)
+    assert "ann_ivf_topk" in first50  # only driver row ever: no_oracle
+    # reworked cosine/fuzzy (r2-green, dual-SF sweep locally) lead r5
+    next_up = list(all_queries())[50:52]
+    assert next_up == ["dedup_embedding_cosine", "dedup_fuzzy_levenshtein"]
