@@ -79,6 +79,12 @@ HEADLINE = [
     "join_asof_tolerance",
     "agg_filtered",
     "window_percent_change",
+    # r4 additions, final session
+    "udf_map_in_arrow",
+    "approx_hll_union_sketch",
+    "join_lateral_topk",
+    "agg_minmax_by",
+    "func_regexp",
 ]
 
 

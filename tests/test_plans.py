@@ -299,3 +299,57 @@ def test_snapshot_diff_single_outer_join(spark, sf_dir):
     plan = executed_plan(etl_snapshot_diff(spark, sf_dir))
     joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
     assert joins == 1, f"expected exactly 1 shuffle join, got {joins}"
+
+
+def test_lateral_topk_decorrelates_to_window_limit(spark, sf_dir):
+    """The correlated LATERAL (ORDER BY + LIMIT) must decorrelate into
+    the window top-k plan — WindowGroupLimit prunes each partition to
+    its top 3 MAP-SIDE before the shuffle — and must never fall back
+    to a per-row nested loop (CartesianProduct / unconditioned NLJ
+    would re-scan orders once per driving row)."""
+    from parquet_batch_spark.operators.joins import join_lateral_topk
+
+    plan = executed_plan(join_lateral_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan, "top-k not pushed below the shuffle"
+
+
+def test_observed_metrics_sees_prefilter_rows(spark, sf_dir):
+    """The scan-level Observation must count PRE-filter rows: the
+    CollectMetrics node has to pin the filter above the observed scan
+    (a pushdown through it would silently turn rows_scanned into
+    rows_kept)."""
+    from parquet_batch_spark.operators.scans import scan_observed_metrics
+
+    row = scan_observed_metrics(spark, sf_dir).collect()[0]
+    assert row["rows_scanned"] > row["rows_kept"] > 0
+    assert 0.0 < row["keep_ratio"] < 1.0
+
+
+def test_dynamic_overwrite_preserves_other_partitions(spark, sf_dir):
+    """Dynamic partition overwrite must leave partitions absent from
+    the incoming frame untouched: F/O keep their original checksums
+    while P carries the corrected (doubled) prices — checked against
+    the untouched source table."""
+    from pyspark.sql import functions as F
+
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.operators.sources_ext import (
+        sink_dynamic_partition_overwrite,
+    )
+
+    got = {
+        r["o_orderstatus"]: (r["n_orders"], r["key_checksum"])
+        for r in sink_dynamic_partition_overwrite(spark, sf_dir).collect()
+    }
+    want = {
+        r["o_orderstatus"]: (r["n_orders"], r["key_checksum"])
+        for r in load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_checksum"),
+        )
+        .collect()
+    }
+    assert got == want  # row inventory identical in every partition
