@@ -32,14 +32,17 @@ from pyspark.sql import DataFrame, SparkSession
 #   r3 window: 27 never-checked r2-new + 4 repaired ERRs + 19 stalest
 #     r1 greens (scans/sources/sinks/joins/q1/agg_distinct).  49 green;
 #     ann_ivf_topk no_oracle (rows-only then — oracle added in r4).
-#   r4 window (this ordering): slots 1-49 = the 49 r4-NEW ops (new ops
-#     go first — the r2 lesson: 12 final-session ops, 32 late-r4
-#     llm_prep/batch-3..10 ops, then the 5 early-r4 ops); slot 50 =
-#     ann_ivf_topk (r4-CHANGED, first-ever hash check — its only row
-#     ever is r3's no_oracle). The other two r4-CHANGED ops (reworked
-#     cosine + fuzzy: r2-green on unchanged test-SF outputs, plus
-#     local dual-SF sweeps) and ALL r1/r2 stales spill to r5.
-#   r5 plan: dedup_embedding_cosine, dedup_fuzzy_levenshtein
+#   r4 window (this ordering): slots 1-49 = 49 of the 51 r4-NEW ops
+#     (new ops go first — the r2 lesson: 14 final-session ops, 32
+#     late-r4 llm_prep/batch-3..10 ops, 3 of the 5 early-r4 ops);
+#     slot 50 = ann_ivf_topk (r4-CHANGED, first-ever hash check — its
+#     only row ever is r3's no_oracle). Two r4-new ops with dedicated
+#     invariant tests (reservoir, kmeans rollup), the other two
+#     r4-CHANGED ops (reworked cosine + fuzzy: r2-green on unchanged
+#     test-SF outputs, plus local dual-SF sweeps) and ALL r1/r2
+#     stales spill to r5.
+#   r5 plan: sample_reservoir_per_group, embedding_kmeans_rollup
+#     (r4-new spill), dedup_embedding_cosine, dedup_fuzzy_levenshtein
 #     (r4-changed), tpch_q2..q22, agg_rollup, agg_cube,
 #     agg_grouping_sets, agg_pivot, agg_stats, reshape_unpivot,
 #     sort_topk, set_ops, window_distribution (r1-stale), then
@@ -66,6 +69,10 @@ _PRIORITY = [
     "func_regexp",
     "func_collation",
     "agg_minmax_by",
+    # --- r4-new (final session, batch E): boolean aggregates,
+    #     positional explode ---
+    "agg_boolean",
+    "explode_positional_tokens",
     # --- r4-new operators (llm_prep batch, landed later in r4),
     #     slots 1-8: sequence packing, mixture sampling, paragraph /
     #     incremental dedup, int8 quantization, rarity scoring, EWMA,
@@ -118,14 +125,18 @@ _PRIORITY = [
     #     class-balanced sampling ---
     "window_streak_islands",
     "sample_balanced_labels",
-    # --- r4-new operators (first batch) ---
+    # --- r4-new operators (first batch; the last two carry dedicated
+    #     invariant tests in tests/test_r4_ops.py — the strongest
+    #     non-driver evidence — so THEY spill past slot 50, not the
+    #     IVF op whose only driver row ever is r3's no_oracle err ---
     "dedup_containment",
     "join_bloom_prefilter",
     "etl_cdc_apply",
+    # --- r4-changed: first-ever hash-checkable row for IVF ---
+    "ann_ivf_topk",
+    # --- spill past the 50-slot window → lead r5 ---
     "sample_reservoir_per_group",
     "embedding_kmeans_rollup",
-    # --- r4-changed operators, slots 28-30 ---
-    "ann_ivf_topk",
     "dedup_embedding_cosine",
     "dedup_fuzzy_levenshtein",
     # --- green r1, never rechecked: tpch block fills slots 31-50;

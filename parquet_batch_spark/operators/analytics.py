@@ -206,6 +206,38 @@ ORDER BY l_returnflag
 # ---------------------------------------------------- explode/words
 
 
+def explode_positional_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``posexplode`` — UNNEST WITH ORDINALITY: each token carries its
+    0-based position, the surface that ``explode`` loses (and the one
+    sequence work needs: token offsets, windowed chunk boundaries,
+    alignment back into the source). A position-stride filter keeps
+    the sample bounded; the whole expansion is map-side — no shuffle
+    at any corpus size."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "token"),
+        )
+        .filter(F.col("pos") % 25 == 0)
+        .orderBy("doc_id", "pos")
+    )
+
+
+_POS_TOKENS_SQL = """
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, token
+FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS token,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM documents
+    WHERE doc_id < 100
+)
+WHERE (i - 1) % 25 = 0
+ORDER BY doc_id, pos
+"""
+
+
 def explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-25 whitespace tokens via explode (Spark's
     generator/UNNEST surface). The per-document token explosion is
@@ -680,6 +712,7 @@ ORDER BY event_type
 
 
 QUERIES = {
+    "explode_positional_tokens": explode_positional_tokens,
     "approx_hll_union_sketch": approx_hll_union_sketch,
     "agg_moments_exact": agg_moments_exact,
     "approx_percentile_sketch": approx_percentile_sketch,
@@ -694,6 +727,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "explode_positional_tokens": _POS_TOKENS_SQL,
     "approx_hll_union_sketch": _HLL_UNION_SQL,
     "agg_moments_exact": _MOMENTS_SQL,
     "approx_percentile_sketch": _APS_SQL,

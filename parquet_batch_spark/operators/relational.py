@@ -701,7 +701,40 @@ ORDER BY o_orderpriority
 """
 
 
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family — ``count_if`` / ``bool_and`` /
+    ``bool_or`` — the data-quality assertion primitives: "how many
+    rows violate", "do ALL rows satisfy", "does ANY row satisfy", each
+    a single-bit aggregation state (the cheapest aggregates that
+    exist; at 100 TB these are the expectations layer's fast path,
+    cf. ``quality_expectations``)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+            F.bool_and(F.col("o_custkey") % 2 == 0).alias("all_even_cust"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_AGG_BOOLEAN_SQL = """
+SELECT o_orderstatus,
+       CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+       bool_and(o_totalprice > 0) AS all_positive,
+       bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+       bool_and(o_custkey % 2 = 0) AS all_even_cust
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
+    "agg_boolean": agg_boolean,
     "agg_minmax_by": agg_minmax_by,
     "stat_crosstab": stat_crosstab,
     "reshape_transpose": reshape_transpose,
@@ -722,6 +755,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_boolean": _AGG_BOOLEAN_SQL,
     "agg_minmax_by": _MINMAX_BY_SQL,
     "stat_crosstab": _CROSSTAB_SQL,
     "reshape_transpose": _transpose_sql(),
