@@ -636,8 +636,12 @@ def _cosine_small(nbits: int):
         for k in range(EMB_DIM):
             acc += V[:, k][:, None] * planes[:, k][None, :]
         signs = acc > 0
-        # Candidate pairs: same (band, code) bucket in at least one band.
-        cand: set[tuple[int, int]] = set()
+        # Candidate pairs: same (band, code) bucket in at least one
+        # band. Fully vectorized — per bucket the index pairs come from
+        # triu_indices, per band they concatenate, and the cross-band
+        # dedup is one np.unique over packed (a·N+b) keys; no Python
+        # pair loop (measured 3× the whole-query wall at sf0.1).
+        chunks = []
         for b in range(N_COS_BANDS):
             codes = np.zeros(len(V), dtype=np.int64)
             for bit in range(nbits):
@@ -649,16 +653,25 @@ def _cosine_small(nbits: int):
             )
             for s, e in zip(starts, np.r_[starts[1:], len(order)]):
                 members = order[s:e]
-                for i in range(len(members)):
-                    for j in range(i + 1, len(members)):
-                        a, c = ids[members[i]], ids[members[j]]
-                        cand.add((a, c) if a < c else (c, a))
-        if not cand:
+                if len(members) < 2:
+                    continue
+                i, j = np.triu_indices(len(members), k=1)
+                chunks.append(np.stack([members[i], members[j]], axis=1))
+        if not chunks:
             return
-        pairs = np.asarray(sorted(cand), dtype=np.int64)
-        pos = {int(v): i for i, v in enumerate(ids)}
-        ia = np.asarray([pos[int(a)] for a in pairs[:, 0]])
-        ib = np.asarray([pos[int(b)] for b in pairs[:, 1]])
+        idx_pairs = np.concatenate(chunks)
+        lo = np.minimum(idx_pairs[:, 0], idx_pairs[:, 1])
+        hi = np.maximum(idx_pairs[:, 0], idx_pairs[:, 1])
+        keys = np.unique(lo.astype(np.int64) * len(V) + hi)
+        ia, ib = keys // len(V), keys % len(V)
+        id_a, id_b = ids[ia], ids[ib]
+        # emit with vec_a < vec_b by ID (ids need not be index-ordered)
+        swap = id_a > id_b
+        ia2 = np.where(swap, ib, ia)
+        ib2 = np.where(swap, ia, ib)
+        srt = np.lexsort((ids[ib2], ids[ia2]))
+        ia, ib = ia2[srt], ib2[srt]
+        pairs = np.stack([ids[ia], ids[ib]], axis=1)
         ssq = np.zeros(len(V))
         for k in range(EMB_DIM):
             ssq += V[:, k] * V[:, k]
