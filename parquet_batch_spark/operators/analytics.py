@@ -322,13 +322,18 @@ def approx_hll_union_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches, union on demand.
 
     Oracle strategy (same as ``approx_distinct_sketch``): sketches are
-    deterministic for fixed data and union is register-wise max (order
-    cannot change it), so the query projects the EXACT distinct plus a
-    within-5% bound boolean for both the per-shard estimates and the
-    unioned global — the oracle states the exacts and ``TRUE``. The
-    union row additionally checks estimate-vs-union consistency: the
-    union of the five shard sketches must equal the sketch built over
-    the whole table in one pass (mergeability, bit-for-bit)."""
+    deterministic for fixed data and union is order-insensitive, so
+    the query projects the EXACT distinct plus a within-5% bound
+    boolean for both the per-shard estimates and the unioned global —
+    the oracle states the exacts and ``TRUE``. The union row
+    additionally checks union-vs-single-pass consistency WITHIN the
+    sketch's own error band (±2%): bit-equality of the two estimates
+    holds only while the sketch is sparse — in dense mode the
+    Datasketches union gadget re-projects HLL_4 registers through its
+    HLL_8 accumulator and the estimates legitimately differ in the
+    last few counts (measured 15041 vs 15072 against 14999 exact at
+    sf0.1 — the scale-dependent behavior the dual-SF sweep exists to
+    catch; an == check here failed at sf0.1 and passed at sf0.01)."""
     o = load(spark, sf_dir, "orders")
     per = o.groupBy("o_orderpriority").agg(
         F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk"),
@@ -364,8 +369,12 @@ def approx_hll_union_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= F.lit(0.05)
             )
             & (
-                F.hll_sketch_estimate("sk_union")
-                == F.hll_sketch_estimate("sk_whole")
+                F.abs(
+                    F.hll_sketch_estimate("sk_union").cast("double")
+                    / F.hll_sketch_estimate("sk_whole").cast("double")
+                    - F.lit(1.0)
+                )
+                <= F.lit(0.02)
             )
         ).alias("within_5pct"),
     )
