@@ -73,6 +73,9 @@ _PRIORITY = [
     #     positional explode ---
     "agg_boolean",
     "explode_positional_tokens",
+    # --- r4-new (final session, batch F): Spark 4 Python Data Source
+    #     API — the reference's O11 synthetic-generator surface ---
+    "source_python_datasource",
     # --- r4-new operators (llm_prep batch, landed later in r4),
     #     slots 1-8: sequence packing, mixture sampling, paragraph /
     #     incremental dedup, int8 quantization, rarity scoring, EWMA,
@@ -125,16 +128,17 @@ _PRIORITY = [
     #     class-balanced sampling ---
     "window_streak_islands",
     "sample_balanced_labels",
-    # --- r4-new operators (first batch; the last two carry dedicated
-    #     invariant tests in tests/test_r4_ops.py — the strongest
-    #     non-driver evidence — so THEY spill past slot 50, not the
-    #     IVF op whose only driver row ever is r3's no_oracle err ---
+    # --- r4-new operators (first batch; the ones that spill past
+    #     slot 50 below all carry dedicated invariant tests in
+    #     tests/test_r4_ops.py — the strongest non-driver evidence —
+    #     unlike the IVF op whose only driver row ever is r3's
+    #     no_oracle err ---
     "dedup_containment",
-    "join_bloom_prefilter",
     "etl_cdc_apply",
     # --- r4-changed: first-ever hash-checkable row for IVF ---
     "ann_ivf_topk",
     # --- spill past the 50-slot window → lead r5 ---
+    "join_bloom_prefilter",
     "sample_reservoir_per_group",
     "embedding_kmeans_rollup",
     "dedup_embedding_cosine",

@@ -662,7 +662,103 @@ ORDER BY o_orderstatus
 """
 
 
+SYNTH_ROWS = 20000
+SYNTH_PARTS = 8
+
+
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python Data Source API — a user-defined SOURCE, not just
+    user-defined functions: ``spark.dataSource.register`` + a
+    ``DataSourceReader`` whose ``partitions()`` declares the parallel
+    split and whose ``read(partition)`` yields rows per partition on
+    executors. This closes the reference's O11 surface (its synthetic
+    test-data generator, reference tests/test_parquetbatch.py:155-208)
+    with a REAL registered source: a deterministic closed-form row
+    generator (``row i ↦ f(i)`` — no sequential RNG state, so any
+    partitioning of [0, N) yields identical data, and the DuckDB
+    oracle regenerates the same rows from ``generate_series``).
+
+    Scale notes: partitions() is the parallelism contract (P
+    independent executor tasks — a 100 TB synthetic load would raise
+    ``parts``); Python sources get no filter/projection pushdown
+    (rows cross the Arrow boundary before Catalyst sees them), so
+    this surface is for ingest/generation, never a hot query path.
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _RangePart(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start, self.end = start, end
+
+    class _SynthReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("rows", SYNTH_ROWS))
+            self.p = int(options.get("parts", SYNTH_PARTS))
+
+        def partitions(self):
+            step = -(-self.n // self.p)
+            return [
+                _RangePart(i, min(i + step, self.n))
+                for i in range(0, self.n, step)
+            ]
+
+        def read(self, part):
+            for i in range(part.start, part.end):
+                # closed-form per-row values: Knuth multiplicative
+                # bucket, LCG-style 2-dp amount — pure integer
+                # arithmetic, bit-identical in the SQL mirror
+                yield (
+                    i,
+                    (i * 2654435761) % 97,
+                    ((i * 48271) % 1000000) / 100.0,
+                )
+
+    class _SynthSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "pbs_synth"
+
+        def schema(self):
+            return "id bigint, bucket bigint, amount double"
+
+        def reader(self, schema):
+            return _SynthReader(self.options)
+
+    spark.dataSource.register(_SynthSource)
+    df = (
+        spark.read.format("pbs_synth")
+        .option("rows", SYNTH_ROWS)
+        .option("parts", SYNTH_PARTS)
+        .load()
+    )
+    return (
+        df.groupBy((F.col("bucket") % 10).alias("bucket_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("id").alias("id_checksum"),
+            dsum("amount", "amount_sum"),
+        )
+        .orderBy("bucket_mod")
+    )
+
+
+_PY_DATASOURCE_SQL = f"""
+SELECT ((i * 2654435761) % 97) % 10 AS bucket_mod,
+       COUNT(*) AS n_rows,
+       CAST(SUM(i) AS BIGINT) AS id_checksum,
+       {sql_dsum("((i * 48271) % 1000000) / 100.0")} AS amount_sum
+FROM generate_series(0, {SYNTH_ROWS - 1}) t(i)
+GROUP BY bucket_mod
+ORDER BY bucket_mod
+"""
+
+
 QUERIES = {
+    "source_python_datasource": source_python_datasource,
     "sink_dynamic_partition_overwrite": sink_dynamic_partition_overwrite,
     "scan_files_metadata": scan_files_metadata,
     "scan_ignore_corrupt": scan_ignore_corrupt,
@@ -678,6 +774,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "source_python_datasource": _PY_DATASOURCE_SQL,
     "sink_dynamic_partition_overwrite": _DYN_OVERWRITE_SQL,
     "scan_files_metadata": _files_metadata_sql(),
     "scan_ignore_corrupt": _IGNORE_CORRUPT_SQL,
