@@ -74,8 +74,10 @@ _PRIORITY = [
     "agg_boolean",
     "explode_positional_tokens",
     # --- r4-new (final session, batch F): Spark 4 Python Data Source
-    #     API — the reference's O11 synthetic-generator surface ---
+    #     API — the reference's O11 synthetic-generator surface, batch
+    #     and streaming halves ---
     "source_python_datasource",
+    "streaming_python_source",
     # --- r4-new operators (llm_prep batch, landed later in r4),
     #     slots 1-8: sequence packing, mixture sampling, paragraph /
     #     incremental dedup, int8 quantization, rarity scoring, EWMA,
@@ -134,10 +136,10 @@ _PRIORITY = [
     #     unlike the IVF op whose only driver row ever is r3's
     #     no_oracle err ---
     "dedup_containment",
-    "etl_cdc_apply",
     # --- r4-changed: first-ever hash-checkable row for IVF ---
     "ann_ivf_topk",
     # --- spill past the 50-slot window → lead r5 ---
+    "etl_cdc_apply",
     "join_bloom_prefilter",
     "sample_reservoir_per_group",
     "embedding_kmeans_rollup",

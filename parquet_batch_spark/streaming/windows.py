@@ -462,7 +462,100 @@ ORDER BY user_id
 """
 
 
+STREAM_SYNTH_ROWS = 2000
+STREAM_SYNTH_STEP = 500  # rows per micro-batch → 4 deterministic batches
+
+
+def streaming_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python STREAMING data source — a user-defined micro-batch
+    source (``SimpleDataSourceStreamReader``): ``initialOffset`` /
+    ``read(start) -> (rows, nextOffset)`` implement the offset
+    protocol, and ``readBetweenOffsets`` is the replay contract a
+    checkpoint recovery would call. The offset ladder is a closed-form
+    row counter, so every micro-batch boundary — and therefore the
+    final state — is deterministic; the ninth streaming pattern in the
+    registry, and the streaming half of ``source_python_datasource``'s
+    O11 story. Drained with ``processAllAvailable`` (availableNow is
+    not supported for Python stream sources — Spark logs the fallback
+    to single-batch; the explicit drain keeps ALL four micro-batches).
+
+    At scale this is the shape of a custom queue/api connector:
+    offsets partition the upstream, executors read slices, the
+    aggregation state merges across micro-batches exactly as here.
+    """
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    n_total, step = STREAM_SYNTH_ROWS, STREAM_SYNTH_STEP
+
+    def _rows(start: int, end: int):
+        # a concrete list-iterator, NOT a generator: the runner's
+        # prefetch cache copy.copy()s the iterator for replay, and
+        # generators are neither copyable nor picklable
+        return iter(
+            [
+                (i, (i * 2654435761) % 13, ((i * 48271) % 1000000) / 100.0)
+                for i in range(start, end)
+            ]
+        )
+
+    class _Reader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            s = start["pos"]
+            if s >= n_total:
+                return iter([]), {"pos": s}
+            e = min(s + step, n_total)
+            return _rows(s, e), {"pos": e}
+
+        def readBetweenOffsets(self, start, end):
+            return _rows(start["pos"], end["pos"])
+
+    class _Stream(DataSource):
+        @classmethod
+        def name(cls):
+            return "pbs_synth_stream"
+
+        def schema(self):
+            return "id bigint, k bigint, amount double"
+
+        def simpleStreamReader(self, schema):
+            return _Reader()
+
+    spark.dataSource.register(_Stream)
+    sdf = spark.readStream.format("pbs_synth_stream").load()
+    agg = sdf.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("id").alias("id_checksum"),
+        F.sum(dec("amount")).cast("double").alias("amount_sum"),
+    )
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).orderBy("k")
+
+
+_STREAMING_PY_SOURCE_SQL = f"""
+SELECT (i * 2654435761) % 13 AS k,
+       COUNT(*) AS n_rows,
+       CAST(SUM(i) AS BIGINT) AS id_checksum,
+       CAST(SUM(CAST(((i * 48271) % 1000000) / 100.0 AS DECIMAL(18,4))) AS DOUBLE)
+           AS amount_sum
+FROM generate_series(0, {STREAM_SYNTH_ROWS - 1}) t(i)
+GROUP BY k
+ORDER BY k
+"""
+
+
 QUERIES = {
+    "streaming_python_source": streaming_python_source,
     "streaming_stream_stream_join": streaming_stream_stream_join,
     "streaming_foreach_batch_merge": streaming_foreach_batch_merge,
     "streaming_static_join": streaming_static_join,
@@ -474,6 +567,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_python_source": _STREAMING_PY_SOURCE_SQL,
     "streaming_stream_stream_join": _STREAMING_SS_JOIN_SQL,
     "streaming_foreach_batch_merge": _STREAMING_FOREACH_BATCH_SQL,
     "streaming_static_join": _STREAMING_STATIC_JOIN_SQL,

@@ -43,7 +43,7 @@ def test_driver_window_covers_round4_targets():
         "sink_dynamic_partition_overwrite",
         "func_regexp", "func_collation", "agg_minmax_by",
         "agg_boolean", "explode_positional_tokens",
-        "source_python_datasource",
+        "source_python_datasource", "streaming_python_source",
         "seq_pack_chunks", "sample_mix_domains", "dedup_paragraph",
         "dedup_incremental_novelty", "embedding_quantize_int8",
         "text_rarity_score", "window_ewma_decay", "curation_pipeline_funnel",
@@ -58,14 +58,14 @@ def test_driver_window_covers_round4_targets():
         "join_null_safe", "agg_moments_exact", "window_nth_value",
         "explode_outer_semantics", "func_try_arith",
         "window_streak_islands", "sample_balanced_labels",
-        "dedup_containment", "etl_cdc_apply"}
+        "dedup_containment"}
     assert new_ops <= set(first50), new_ops - set(first50)
     assert "ann_ivf_topk" in first50  # only driver row ever: no_oracle
-    # spills lead r5: three r4-new ops with dedicated invariant tests,
+    # spills lead r5: four r4-new ops with dedicated invariant tests,
     # then the reworked cosine/fuzzy (r2-green, dual-SF sweep locally)
-    next_up = list(all_queries())[50:55]
+    next_up = list(all_queries())[50:56]
     assert next_up == [
-        "join_bloom_prefilter", "sample_reservoir_per_group",
-        "embedding_kmeans_rollup",
+        "etl_cdc_apply", "join_bloom_prefilter",
+        "sample_reservoir_per_group", "embedding_kmeans_rollup",
         "dedup_embedding_cosine", "dedup_fuzzy_levenshtein",
     ]
