@@ -32,18 +32,18 @@ from pyspark.sql import DataFrame, SparkSession
 #   r3 window: 27 never-checked r2-new + 4 repaired ERRs + 19 stalest
 #     r1 greens (scans/sources/sinks/joins/q1/agg_distinct).  49 green;
 #     ann_ivf_topk no_oracle (rows-only then — oracle added in r4).
-#   r4 window (this ordering): slots 1-49 = 49 of the 51 r4-NEW ops
-#     (new ops go first — the r2 lesson: 14 final-session ops, 32
-#     late-r4 llm_prep/batch-3..10 ops, 3 of the 5 early-r4 ops);
+#   r4 window (this ordering): slots 1-49 = 49 of the 56 r4-NEW ops
+#     (new ops go first — the r2 lesson: 19 final-session ops, then
+#     the late-r4 llm_prep/batch-3..10 ops, then dedup_containment);
 #     slot 50 = ann_ivf_topk (r4-CHANGED, first-ever hash check — its
-#     only row ever is r3's no_oracle). Two r4-new ops with dedicated
-#     invariant tests (reservoir, kmeans rollup), the other two
-#     r4-CHANGED ops (reworked cosine + fuzzy: r2-green on unchanged
-#     test-SF outputs, plus local dual-SF sweeps) and ALL r1/r2
-#     stales spill to r5.
-#   r5 plan: sample_reservoir_per_group, embedding_kmeans_rollup
-#     (r4-new spill), dedup_embedding_cosine, dedup_fuzzy_levenshtein
-#     (r4-changed), tpch_q2..q22, agg_rollup, agg_cube,
+#     only row ever is r3's no_oracle). Seven r4-new ops — each
+#     carrying a dedicated invariant/semantics test (listagg,
+#     running-distinct, bitwise, cdc, bloom, reservoir, kmeans) — the
+#     other two r4-CHANGED ops (reworked cosine + fuzzy: r2-green on
+#     unchanged test-SF outputs, plus local dual-SF sweeps) and ALL
+#     r1/r2 stales spill to r5.
+#   r5 plan: the nine spills in list order (agg_listagg_sorted …
+#     dedup_fuzzy_levenshtein), tpch_q2..q22, agg_rollup, agg_cube,
 #     agg_grouping_sets, agg_pivot, agg_stats, reshape_unpivot,
 #     sort_topk, set_ops, window_distribution (r1-stale), then
 #     the r2 greens (dedup family, ANN pair, json/q12 repairs, windows/
@@ -78,6 +78,11 @@ _PRIORITY = [
     #     and streaming halves ---
     "source_python_datasource",
     "streaming_python_source",
+    # --- r4-new (final session, batch G): row-level CSV codec,
+    #     parameterized SQL, nested-struct surgery ---
+    "func_csv_struct",
+    "sql_named_params",
+    "func_struct_field_ops",
     # --- r4-new operators (llm_prep batch, landed later in r4),
     #     slots 1-8: sequence packing, mixture sampling, paragraph /
     #     incremental dedup, int8 quantization, rarity scoring, EWMA,
@@ -100,13 +105,10 @@ _PRIORITY = [
     #     segment-graph degrees, running distinct, bitwise family ---
     "sample_temperature_mixture",
     "graph_degree_histogram",
-    "window_running_distinct",
-    "func_bitwise",
     # --- r4-new operators (fifth batch): tolerance as-of join,
     #     FILTER-clause aggregates, ordered LISTAGG ---
     "join_asof_tolerance",
     "agg_filtered",
-    "agg_listagg_sorted",
     # --- r4-new operators (sixth batch): langid confusion matrix,
     #     period-over-period change, codec-lossless matrix ---
     "quality_langid_confusion",
@@ -138,7 +140,11 @@ _PRIORITY = [
     "dedup_containment",
     # --- r4-changed: first-ever hash-checkable row for IVF ---
     "ann_ivf_topk",
-    # --- spill past the 50-slot window → lead r5 ---
+    # --- spill past the 50-slot window → lead r5 (each carries a
+    #     dedicated invariant/semantics test in tests/) ---
+    "agg_listagg_sorted",
+    "window_running_distinct",
+    "func_bitwise",
     "etl_cdc_apply",
     "join_bloom_prefilter",
     "sample_reservoir_per_group",

@@ -579,7 +579,135 @@ ORDER BY type_ci
 """
 
 
+def func_csv_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row CSV codec functions — ``to_csv`` serializes a struct to
+    a CSV line, ``from_csv`` parses it back against a DDL schema (the
+    row-level cousins of the CSV source/sink: what you reach for when
+    a STRING COLUMN carries embedded CSV, e.g. a log field). The
+    round-trip re-extracts the original values, so the oracle just
+    recomputes them from the source columns — proving the
+    serialize→parse loop lossless for the typed subset (ints +
+    strings; floats are excluded for the same text-format reason as
+    ``source_csv_roundtrip``)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000)
+    line = F.to_csv(
+        F.struct("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    )
+    parsed = F.from_csv(
+        F.col("csv_line"),
+        F.lit("k bigint, c bigint, s string, p string"),
+    )
+    return (
+        o.select("o_orderkey", line.alias("csv_line"))
+        .withColumn("parsed", parsed)
+        .select(
+            "o_orderkey",
+            "csv_line",
+            F.col("parsed.c").alias("back_custkey"),
+            F.col("parsed.s").alias("back_status"),
+            F.col("parsed.p").alias("back_priority"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_FUNC_CSV_SQL = """
+SELECT o_orderkey,
+       CAST(o_orderkey AS VARCHAR) || ',' || CAST(o_custkey AS VARCHAR)
+           || ',' || o_orderstatus || ',' || o_orderpriority AS csv_line,
+       o_custkey AS back_custkey,
+       o_orderstatus AS back_status,
+       o_orderpriority AS back_priority
+FROM orders
+WHERE o_orderkey < 4000
+ORDER BY o_orderkey
+"""
+
+
+def sql_named_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized ``spark.sql`` (named parameter markers, Spark
+    3.4+): values bind as TYPED LITERALS through ``args`` instead of
+    string interpolation — the SQL-injection-safe templating surface
+    every parameterized report/job runner needs. The markers land in
+    the plan as foldable literals, so pushdown/pruning work exactly
+    as with hand-written constants."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("pbs_param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CASE WHEN o_totalprice > :big THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_big
+        FROM pbs_param_orders
+        WHERE o_orderstatus = :status
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"big": 150000.0, "status": "O"},
+    )
+
+
+_SQL_NAMED_PARAMS_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_big
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def func_struct_field_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct surgery — ``Column.withField`` / ``dropFields``
+    (Spark 3.1+): patch one field inside a nested struct WITHOUT
+    rebuilding the whole struct expression — the schema-evolution
+    idiom for deeply nested event payloads. A struct is assembled,
+    one field overwritten, one added, one dropped; the result is
+    flattened back to scalars (struct columns stay out of the output
+    schema per the driver-hashable contract)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    base = F.struct(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("drop_me").alias("scratch"),
+    )
+    patched = (
+        F.col("s")
+        .withField("bal", F.round(F.col("s.bal") * 2, 2))
+        .withField("tier", F.when(F.col("s.bal") > 0, "pos").otherwise("nonpos"))
+        .dropFields("scratch")
+    )
+    return (
+        c.select("c_custkey", base.alias("s"))
+        .withColumn("s2", patched)
+        .select(
+            "c_custkey",
+            F.col("s2.seg").alias("seg"),
+            F.col("s2.bal").alias("bal_doubled"),
+            F.col("s2.tier").alias("tier"),
+        )
+        .drop("s", "s2")
+        .orderBy("c_custkey")
+    )
+
+
+_FUNC_STRUCT_OPS_SQL = """
+SELECT c_custkey,
+       c_mktsegment AS seg,
+       ROUND(c_acctbal * 2, 2) AS bal_doubled,
+       CASE WHEN c_acctbal > 0 THEN 'pos' ELSE 'nonpos' END AS tier
+FROM customer
+WHERE c_custkey < 300
+ORDER BY c_custkey
+"""
+
+
 QUERIES = {
+    "func_csv_struct": func_csv_struct,
+    "sql_named_params": sql_named_params,
+    "func_struct_field_ops": func_struct_field_ops,
     "func_regexp": func_regexp,
     "func_collation": func_collation,
     "func_try_arith": func_try_arith,
@@ -597,6 +725,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "func_csv_struct": _FUNC_CSV_SQL,
+    "sql_named_params": _SQL_NAMED_PARAMS_SQL,
+    "func_struct_field_ops": _FUNC_STRUCT_OPS_SQL,
     "func_regexp": _FUNC_REGEXP_SQL,
     "func_collation": _FUNC_COLLATION_SQL,
     "func_try_arith": _TRY_ARITH_SQL,

@@ -44,14 +44,14 @@ def test_driver_window_covers_round4_targets():
         "func_regexp", "func_collation", "agg_minmax_by",
         "agg_boolean", "explode_positional_tokens",
         "source_python_datasource", "streaming_python_source",
+        "func_csv_struct", "sql_named_params", "func_struct_field_ops",
         "seq_pack_chunks", "sample_mix_domains", "dedup_paragraph",
         "dedup_incremental_novelty", "embedding_quantize_int8",
         "text_rarity_score", "window_ewma_decay", "curation_pipeline_funnel",
         "multimodal_dedup_phash", "window_rolling_median",
         "text_bigram_surprisal", "etl_snapshot_diff",
         "sample_temperature_mixture", "graph_degree_histogram",
-        "window_running_distinct", "func_bitwise",
-        "join_asof_tolerance", "agg_filtered", "agg_listagg_sorted",
+        "join_asof_tolerance", "agg_filtered",
         "quality_langid_confusion", "window_percent_change",
         "sink_compression_codecs",
         "udf_arrow_scalar", "scan_ignore_corrupt", "func_url",
@@ -61,10 +61,11 @@ def test_driver_window_covers_round4_targets():
         "dedup_containment"}
     assert new_ops <= set(first50), new_ops - set(first50)
     assert "ann_ivf_topk" in first50  # only driver row ever: no_oracle
-    # spills lead r5: four r4-new ops with dedicated invariant tests,
+    # spills lead r5: six r4-new ops with dedicated invariant tests,
     # then the reworked cosine/fuzzy (r2-green, dual-SF sweep locally)
-    next_up = list(all_queries())[50:56]
+    next_up = list(all_queries())[50:59]
     assert next_up == [
+        "agg_listagg_sorted", "window_running_distinct", "func_bitwise",
         "etl_cdc_apply", "join_bloom_prefilter",
         "sample_reservoir_per_group", "embedding_kmeans_rollup",
         "dedup_embedding_cosine", "dedup_fuzzy_levenshtein",
