@@ -676,6 +676,13 @@ def _cosine_small(nbits: int):
         for k in range(EMB_DIM):
             ssq += V[:, k] * V[:, k]
         nrm = np.sqrt(ssq)
+        # same zero-norm guard as the join path (which drops them at
+        # the vector rejoin): a pair with an undefined cosine is not a
+        # candidate, it's a data defect to skip
+        ok = (nrm[ia] > 0) & (nrm[ib] > 0)
+        ia, ib, pairs = ia[ok], ib[ok], pairs[ok]
+        if not len(pairs):
+            return
         dot = np.zeros(len(pairs))
         for k in range(EMB_DIM):
             dot += V[ia, k] * V[ib, k]
@@ -757,7 +764,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
         )
     )
-    nv = base.withColumn("nrm", nrm)
+    # zero-norm vectors have no cosine — drop them before the division
+    # (ANSI mode raises DIVIDE_BY_ZERO otherwise; the small path and
+    # the oracle apply the identical guard). Found by the hypothesis
+    # property test on random corpora, not by the driver data.
+    nv = base.withColumn("nrm", nrm).filter(F.col("nrm") > 0)
     pairs = cand.join(
         nv.select(
             F.col("vec_id").alias("vec_a"),
@@ -835,9 +846,12 @@ params AS (
     FROM (SELECT COUNT(*) AS n FROM vecs)
 ),
 nv AS (
-    SELECT vec_id, v,
-        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-    FROM vecs
+    -- zero-norm guard mirrors the engine (no cosine for a zero vector)
+    SELECT * FROM (
+        SELECT vec_id, v,
+            sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM vecs
+    ) WHERE nrm > 0
 ),
 probes AS (
 {" UNION ALL ".join(f'''

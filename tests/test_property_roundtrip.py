@@ -105,3 +105,70 @@ def test_nested_roundtrip_every_row(spark, rows):
             assert g["ls"] == e["ls"]
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.large_base_example,  # 64-dim vectors are inherently big
+    ],
+)
+@given(
+    data=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1.0, max_value=1.0, allow_nan=False, width=32
+            ),
+            min_size=64,
+            max_size=64,
+        ),
+        min_size=8,
+        max_size=40,
+    )
+)
+def test_cosine_gate_paths_identical_on_random_vectors(spark, tmp_path, data):
+    """Property: for ANY small vector corpus (not just the driver's
+    near-uniform embeddings), the COS_SMALL_CORPUS single-task scorer
+    and the distributed pair join emit identical rows — same candidate
+    pairs, same rounded cosines. Random float32 vectors (incl.
+    degenerate all-negative / near-zero cases hypothesis likes to
+    find) are staged as a tiny embeddings table and both paths run
+    against it."""
+    import uuid as _uuid
+
+    from pyspark.sql import types as T2
+
+    from parquet_batch_spark.operators import dedup as dedup_mod
+    from parquet_batch_spark.operators.dedup import dedup_embedding_cosine
+
+    schema = T2.StructType(
+        [
+            T2.StructField("vec_id", T2.LongType()),
+            T2.StructField("label", T2.StringType()),
+            T2.StructField("embedding", T2.ArrayType(T2.FloatType())),
+        ]
+    )
+    sf_dir = str(tmp_path / f"cos_{_uuid.uuid4().hex[:8]}")
+    rows = [(i, "x", [float(v) for v in vec]) for i, vec in enumerate(data)]
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        f"{sf_dir}/embeddings.parquet"
+    )
+
+    def run():
+        return [
+            (r["vec_a"], r["vec_b"], r["cos_sim"])
+            for r in dedup_embedding_cosine(spark, sf_dir).collect()
+        ]
+
+    # count_table memoizes per sf_dir; unique dirs per example keep it honest
+    old = dedup_mod.COS_SMALL_CORPUS
+    try:
+        dedup_mod.COS_SMALL_CORPUS = 10**9
+        small = run()
+        dedup_mod.COS_SMALL_CORPUS = 0
+        joined = run()
+    finally:
+        dedup_mod.COS_SMALL_CORPUS = old
+    assert small == joined
