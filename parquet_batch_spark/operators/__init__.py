@@ -32,17 +32,17 @@ from pyspark.sql import DataFrame, SparkSession
 #   r3 window: 27 never-checked r2-new + 4 repaired ERRs + 19 stalest
 #     r1 greens (scans/sources/sinks/joins/q1/agg_distinct).  49 green;
 #     ann_ivf_topk no_oracle (rows-only then — oracle added in r4).
-#   r4 window (this ordering): slots 1-49 = 49 of the 56 r4-NEW ops
-#     (new ops go first — the r2 lesson: 19 final-session ops, then
+#   r4 window (this ordering): slots 1-49 = 49 of the 58 r4-NEW ops
+#     (new ops go first — the r2 lesson: 21 final-session ops, then
 #     the late-r4 llm_prep/batch-3..10 ops, then dedup_containment);
 #     slot 50 = ann_ivf_topk (r4-CHANGED, first-ever hash check — its
-#     only row ever is r3's no_oracle). Seven r4-new ops — each
-#     carrying a dedicated invariant/semantics test (listagg,
-#     running-distinct, bitwise, cdc, bloom, reservoir, kmeans) — the
-#     other two r4-CHANGED ops (reworked cosine + fuzzy: r2-green on
-#     unchanged test-SF outputs, plus local dual-SF sweeps) and ALL
-#     r1/r2 stales spill to r5.
-#   r5 plan: the nine spills in list order (agg_listagg_sorted …
+#     only row ever is r3's no_oracle). Nine r4-new ops — each
+#     carrying a dedicated invariant/semantics test (ewma,
+#     rolling-median, listagg, running-distinct, bitwise, cdc, bloom,
+#     reservoir, kmeans) — the other two r4-CHANGED ops (reworked
+#     cosine + fuzzy: r2-green on unchanged test-SF outputs, plus
+#     local dual-SF sweeps) and ALL r1/r2 stales spill to r5.
+#   r5 plan: the eleven spills in list order (window_ewma_decay …
 #     dedup_fuzzy_levenshtein), tpch_q2..q22, agg_rollup, agg_cube,
 #     agg_grouping_sets, agg_pivot, agg_stats, reshape_unpivot,
 #     sort_topk, set_ops, window_distribution (r1-stale), then
@@ -83,6 +83,10 @@ _PRIORITY = [
     "func_csv_struct",
     "sql_named_params",
     "func_struct_field_ops",
+    # --- r4-new (final session, batch H): trainer shard manifests,
+    #     binary payload chunking ---
+    "seq_shard_manifest",
+    "multimodal_payload_chunks",
     # --- r4-new operators (llm_prep batch, landed later in r4),
     #     slots 1-8: sequence packing, mixture sampling, paragraph /
     #     incremental dedup, int8 quantization, rarity scoring, EWMA,
@@ -93,12 +97,10 @@ _PRIORITY = [
     "dedup_incremental_novelty",
     "embedding_quantize_int8",
     "text_rarity_score",
-    "window_ewma_decay",
     "curation_pipeline_funnel",
     # --- r4-new operators (third batch): media-fingerprint dedup,
     #     rolling median, bigram LM surprisal, snapshot diff ---
     "multimodal_dedup_phash",
-    "window_rolling_median",
     "text_bigram_surprisal",
     "etl_snapshot_diff",
     # --- r4-new operators (fourth batch): temperature mixture,
@@ -142,6 +144,8 @@ _PRIORITY = [
     "ann_ivf_topk",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
+    "window_ewma_decay",
+    "window_rolling_median",
     "agg_listagg_sorted",
     "window_running_distinct",
     "func_bitwise",

@@ -1150,7 +1150,73 @@ ORDER BY r.label
 """
 
 
+SHARD_TOKENS = 4096
+
+
+def seq_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard MANIFEST — the trainer-facing artifact the
+    packing stage feeds: documents laid out in a deterministic order
+    per ``lang`` shard key, cut into ~{SHARD_TOKENS}-token shards by
+    token prefix sums (a doc belongs to the shard containing its
+    first token), and summarized one row per shard: doc count, token
+    mass, id range, and a content checksum the loader can verify
+    against. This is what a 100 TB run hands to the data loader — the
+    shard table IS the dataset from the trainer's point of view.
+
+    Plan: one window per lang partition (prefix sum), one aggregation
+    — same shape as ``seq_pack_chunks``; at 100 TB add a hash shard
+    key to the window partition so no single lang sorts in one task.
+    """
+    from parquet_batch_spark.functions.hashing import hash32 as _h32
+
+    d = load(spark, sf_dir, "documents")
+    tok = ((F.col("n_chars") + 3) / 4).cast("bigint")
+    base = d.select("lang", "doc_id", tok.alias("tok"))
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    cum = F.sum("tok").over(w)
+    shard = F.floor((cum - F.col("tok")) / SHARD_TOKENS).cast("bigint")
+    return (
+        base.withColumn("shard_id", shard)
+        .groupBy("lang", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.sum(_h32(F.col("doc_id").cast("string"))).alias("content_checksum"),
+        )
+        .orderBy("lang", "shard_id")
+    )
+
+
+def _shard_manifest_sql() -> str:
+    khash = sql_hash32("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH base AS (
+    SELECT lang, doc_id, CAST((n_chars + 3) // 4 AS BIGINT) AS tok
+    FROM documents
+),
+cum AS (
+    SELECT lang, doc_id, tok,
+           SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+    FROM base
+)
+SELECT lang,
+       CAST(FLOOR((cum_tok - tok) / {SHARD_TOKENS}) AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS shard_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc,
+       CAST(SUM({khash}) AS BIGINT) AS content_checksum
+FROM cum
+GROUP BY lang, shard_id
+ORDER BY lang, shard_id
+"""
+
+
 QUERIES = {
+    "seq_shard_manifest": seq_shard_manifest,
     "sample_balanced_labels": sample_balanced_labels,
     "sample_temperature_mixture": sample_temperature_mixture,
     "graph_degree_histogram": graph_degree_histogram,
@@ -1165,6 +1231,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "seq_shard_manifest": _shard_manifest_sql(),
     "sample_balanced_labels": _BALANCED_SQL,
     "sample_temperature_mixture": _TEMP_MIX_SQL,
     "graph_degree_histogram": _DEGREE_SQL,

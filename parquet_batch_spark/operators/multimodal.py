@@ -425,7 +425,71 @@ ORDER BY d.doc_id
 """
 
 
+CHUNK_BYTES = 256
+
+
+def multimodal_payload_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size BINARY chunking — how large media payloads actually
+    move at 100 TB (multipart upload parts, content-defined transport
+    blocks, per-chunk integrity hashes): each payload splits into
+    {CHUNK_BYTES}-byte slices via binary ``substring`` over a
+    ``sequence()`` of offsets (map-side, no shuffle), every chunk gets
+    its md5, and reassembly is provable because chunk lengths sum to
+    the payload length. Spark operates on the real BINARY column; the
+    oracle mirrors on the source string (DuckDB has no BLOB substring/
+    md5) — sound because the synthetic payload bytes are pure ASCII
+    (asserted across all SFs; Spark's md5 of utf-8 bytes == DuckDB's
+    md5 of the equal VARCHAR)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    p = _with_payload(d)
+    n_chunks = F.ceil(F.length("payload") / F.lit(CHUNK_BYTES)).cast("int")
+    chunks = p.select(
+        "doc_id",
+        F.length("payload").cast("bigint").alias("payload_bytes"),
+        "payload",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "_c"),
+    )
+    chunk = F.expr(f"substring(payload, chunk_idx * {CHUNK_BYTES} + 1, {CHUNK_BYTES})")
+    return (
+        chunks.select(
+            "doc_id",
+            "payload_bytes",
+            "chunk_idx",
+            F.length(chunk).cast("bigint").alias("chunk_bytes"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+_PAYLOAD_CHUNKS_SQL = f"""
+WITH p AS (
+    SELECT doc_id,
+           'IMGX' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || text AS payload
+    FROM documents
+    WHERE doc_id < 50
+),
+c AS (
+    -- unnest(range(...)) instead of a lateral generate_series: DuckDB
+    -- table functions cannot take lateral column parameters
+    SELECT doc_id,
+           CAST(strlen(payload) AS BIGINT) AS payload_bytes,
+           payload,
+           CAST(unnest(range(0, CAST(CEIL(strlen(payload) / {CHUNK_BYTES}.0) AS BIGINT)))
+                AS INTEGER) AS chunk_idx
+    FROM p
+)
+SELECT doc_id, payload_bytes, chunk_idx,
+       CAST(strlen(substring(payload, chunk_idx * {CHUNK_BYTES} + 1, {CHUNK_BYTES})) AS BIGINT)
+           AS chunk_bytes,
+       md5(substring(payload, chunk_idx * {CHUNK_BYTES} + 1, {CHUNK_BYTES})) AS chunk_md5
+FROM c
+ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES = {
+    "multimodal_payload_chunks": multimodal_payload_chunks,
     "multimodal_metadata": multimodal_metadata,
     "multimodal_decode_features": multimodal_decode_features,
     "multimodal_resize": multimodal_resize,
@@ -434,6 +498,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_payload_chunks": _PAYLOAD_CHUNKS_SQL,
     "multimodal_metadata": _MULTIMODAL_METADATA_SQL,
     "multimodal_decode_features": _MULTIMODAL_DECODE_SQL,
     "multimodal_resize": _MULTIMODAL_RESIZE_SQL,

@@ -45,10 +45,11 @@ def test_driver_window_covers_round4_targets():
         "agg_boolean", "explode_positional_tokens",
         "source_python_datasource", "streaming_python_source",
         "func_csv_struct", "sql_named_params", "func_struct_field_ops",
+        "seq_shard_manifest", "multimodal_payload_chunks",
         "seq_pack_chunks", "sample_mix_domains", "dedup_paragraph",
         "dedup_incremental_novelty", "embedding_quantize_int8",
-        "text_rarity_score", "window_ewma_decay", "curation_pipeline_funnel",
-        "multimodal_dedup_phash", "window_rolling_median",
+        "text_rarity_score", "curation_pipeline_funnel",
+        "multimodal_dedup_phash",
         "text_bigram_surprisal", "etl_snapshot_diff",
         "sample_temperature_mixture", "graph_degree_histogram",
         "join_asof_tolerance", "agg_filtered",
@@ -63,8 +64,9 @@ def test_driver_window_covers_round4_targets():
     assert "ann_ivf_topk" in first50  # only driver row ever: no_oracle
     # spills lead r5: six r4-new ops with dedicated invariant tests,
     # then the reworked cosine/fuzzy (r2-green, dual-SF sweep locally)
-    next_up = list(all_queries())[50:59]
+    next_up = list(all_queries())[50:61]
     assert next_up == [
+        "window_ewma_decay", "window_rolling_median",
         "agg_listagg_sorted", "window_running_distinct", "func_bitwise",
         "etl_cdc_apply", "join_bloom_prefilter",
         "sample_reservoir_per_group", "embedding_kmeans_rollup",
