@@ -641,7 +641,99 @@ ORDER BY s.c_mktsegment, t.o_totalprice DESC, t.o_orderkey
 """
 
 
+IVB_WIDTH_DAYS = 7  # bucket width == interval length → each interval
+# spans at most 2 buckets, each point exactly 1 ⇒ no pair dedup needed
+
+
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LARGE×LARGE interval-overlap join via bucket binning — the scale
+    pattern ``join_range`` (broadcast-dim) cannot cover: when BOTH
+    sides are fact-sized, the non-equi predicate alone would plan a
+    nested loop. Binning turns it into an EQUI-join: each 7-day order
+    interval [orderdate, +7d) registers in the ≤2 week-buckets it
+    touches, each shipment point in exactly 1, the join key is the
+    bucket, and the true overlap predicate refines the bucket matches.
+    Pair work is Θ(points·intervals-per-bucket), never |O|·|L|, and
+    the shuffle is a plain hash partition on the bucket id — the same
+    topology at 100 TB with AQE handling hot weeks. A pair can meet in
+    only one bucket (the point's), so no post-join dedup is needed —
+    that's why the bucket width equals the interval length.
+
+    Q1-2000 orders × shipments: per order-week, how many shipments
+    (any order's) landed within a week of an order being placed.
+    The oracle is the plain non-equi join — same answer, a plan Spark
+    must never be allowed to choose at scale (plan-asserted)."""
+    epoch = F.lit("1970-01-01").cast("date")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("2000-04-01").cast("timestamp_ntz"))
+        )
+        .select(
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("oday"),
+        )
+    )
+    b0 = F.floor(F.col("oday") / IVB_WIDTH_DAYS)
+    b1 = F.floor((F.col("oday") + IVB_WIDTH_DAYS - 1) / IVB_WIDTH_DAYS)
+    oint = o.withColumn(
+        "bucket", F.explode(F.array_distinct(F.array(b0, b1)))
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("2000-04-08").cast("timestamp_ntz"))
+        )
+        .select(
+            F.datediff(F.col("l_shipdate").cast("date"), epoch).alias("sday"),
+            "l_quantity",
+        )
+        .withColumn("bucket", F.floor(F.col("sday") / IVB_WIDTH_DAYS))
+    )
+    j = oint.join(li, "bucket").where(
+        (F.col("sday") >= F.col("oday"))
+        & (F.col("sday") < F.col("oday") + IVB_WIDTH_DAYS)
+    )
+    return (
+        j.groupBy(F.floor(F.col("oday") / IVB_WIDTH_DAYS).alias("order_week"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            dsum("l_quantity", "qty_sum"),
+        )
+        .orderBy("order_week")
+    )
+
+
+_JOIN_INTERVAL_SQL = f"""
+WITH o AS (
+    SELECT o_orderkey,
+           date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS oday
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '2000-04-01 00:00:00'
+),
+l AS (
+    SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS sday,
+           l_quantity
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '2000-04-08 00:00:00'
+)
+SELECT CAST(FLOOR(oday / {IVB_WIDTH_DAYS}.0) AS BIGINT) AS order_week,
+       COUNT(DISTINCT o_orderkey) AS n_orders,
+       COUNT(*) AS n_pairs,
+       {sql_dsum("l_quantity")} AS qty_sum
+FROM o JOIN l ON l.sday >= o.oday AND l.sday < o.oday + {IVB_WIDTH_DAYS}
+GROUP BY order_week
+ORDER BY order_week
+"""
+
+
 QUERIES = {
+    "join_interval_bucketed": join_interval_bucketed,
     "join_lateral_topk": join_lateral_topk,
     "join_null_safe": join_null_safe,
     "join_asof_tolerance": join_asof_tolerance,
