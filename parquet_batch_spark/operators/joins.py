@@ -750,6 +750,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_interval_bucketed": _JOIN_INTERVAL_SQL,
     "join_lateral_topk": _JOIN_LATERAL_SQL,
     "join_null_safe": _NULL_SAFE_SQL,
     "join_asof_tolerance": _ASOF_TOL_SQL,
