@@ -254,6 +254,7 @@ _MODULES = [
     "parquet_batch_spark.operators.pipeline_ops",
     "parquet_batch_spark.operators.llm_prep",
     "parquet_batch_spark.operators.warehouse",
+    "parquet_batch_spark.operators.scale_ops",
     "parquet_batch_spark.streaming.windows",
 ]
 

@@ -1,0 +1,337 @@
+"""Scale-pattern operators: incremental aggregate maintenance, file-level
+min/max data skipping, exact mergeable distinct via bitmaps, and
+explicit join-strategy control.
+
+The reference is a scan-only Arrow wrapper (reference: src/
+parquetreader/reader.py:128-129); these four operators are the plans a
+100 TB deployment leans on every day:
+
+- ``etl_incremental_agg``: a standing aggregate ("materialized view")
+  is refreshed by scanning ONLY the delta partition and merging exact
+  decimal partials — the difference between re-reading 100 TB nightly
+  and re-reading 1 TB. Decimal partial sums are associative and exact,
+  so partial + merge is bit-identical to a full recompute (the oracle
+  IS the full recompute).
+- ``scan_minmax_skipping``: the table-format data-skipping pattern
+  (Delta/Iceberg manifests, parquet row-group stats writ large): a
+  per-file min/max stats manifest is consulted first and only files
+  whose [min,max] range intersects the predicate are opened. The
+  manifest is thousands of rows where the data is billions — the scan
+  reducer that works even without hive partitioning.
+- ``agg_bitmap_distinct``: EXACT distinct counting from mergeable
+  per-shard bitmaps (``bitmap_construct_agg`` / ``bitmap_or_agg``) —
+  the pattern for incremental / cube-level exact COUNT DISTINCT where
+  HLL's ±2% is not acceptable. Partial bitmaps are tiny (≤4 KB per
+  32k-id bucket), OR-merge is associative, and no shuffle ever carries
+  raw ids twice.
+- ``join_strategy_hints``: the explicit-strategy escape hatch. The
+  optimizer picks SortMergeJoin for two large inputs; when the build
+  side is known to fit (or the sort would dominate), ``SHUFFLE_HASH``
+  skips both sorts. Results are strategy-independent (the invariant a
+  planner must guarantee); tests assert the plan actually switched.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_batch_spark.catalog import load
+from parquet_batch_spark.functions.numeric import dec, sql_dsum
+from parquet_batch_spark.operators.sources_ext import _io_dir
+
+# ---------------------------------------------------------------------------
+# etl_incremental_agg — materialized-view delta maintenance
+# ---------------------------------------------------------------------------
+
+# The standing view covers history strictly before the cutoff; the
+# delta batch is everything at/after it (~15% of rows at the test SFs).
+INC_CUTOFF = "2001-01-01"
+
+_MV_STAGED: set[str] = set()
+
+
+def etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a monthly revenue aggregate.
+
+    The standing MV (monthly ``n_orders`` + exact DECIMAL revenue
+    partials for all history < {INC_CUTOFF}) is staged to parquet once
+    per process — in production it already exists; refresh must never
+    rescan it from the fact table. The refresh scans ONLY the delta
+    partition (o_orderdate >= cutoff), partial-aggregates it to the
+    same grain, unions the two partial sets and re-aggregates. Because
+    the partials are exact decimals (associative, order-insensitive),
+    the merged result is bit-identical to a full recompute — which is
+    exactly what the DuckDB oracle runs.
+
+    Scale: the delta scan is partition-pruned (a date predicate on a
+    date-partitioned fact), partials shuffle at month grain (dozens of
+    rows per shard), and the merge is a union of two already-tiny
+    relations. Full-history rescans never happen.
+    """
+    out = _io_dir(sf_dir, "orders_monthly_mv")
+    if out not in _MV_STAGED:
+        base = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderdate") < F.lit(INC_CUTOFF).cast("timestamp_ntz"))
+            .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(dec("o_totalprice")).alias("rev_partial"),
+            )
+        )
+        base.write.mode("overwrite").parquet(out)
+        _MV_STAGED.add(out)
+    mv = spark.read.parquet(out)
+    delta = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(INC_CUTOFF).cast("timestamp_ntz"))
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).alias("rev_partial"),
+        )
+    )
+    return (
+        mv.unionByName(delta)
+        .groupBy("month")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("rev_partial").cast("decimal(18,6)").cast("double").alias("revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+_INC_AGG_SQL = f"""
+SELECT STRFTIME(o_orderdate, '%Y-%m') AS month,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice")} AS revenue
+FROM orders
+GROUP BY month
+ORDER BY month
+"""
+
+# ---------------------------------------------------------------------------
+# scan_minmax_skipping — file-level stats manifest pruning
+# ---------------------------------------------------------------------------
+
+SKIP_SHARDS = 16  # staged file count; range-sharded on the skip column
+SKIP_LO, SKIP_HI = "1996-06-01", "1996-09-01"
+
+_SKIP_STAGED: set[str] = set()
+
+
+def scan_minmax_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File skipping from a min/max stats manifest.
+
+    Orders are staged once per process as {SKIP_SHARDS} range-sharded
+    parquet files (``repartitionByRange`` on the skip column, so each
+    file covers a narrow o_orderdate band — the layout a clustered
+    table or a time-ordered ingest produces for free). The query then:
+
+    1. builds the stats manifest — one row per FILE (``_metadata``
+       grouping): min/max o_orderdate. Manifest size = file count,
+       independent of row count; at 100 TB it is the table-format
+       manifest a catalog serves without touching data.
+    2. keeps only files whose [min,max] intersects the predicate range
+       (a driver-side list of paths — bounded by file count).
+    3. scans ONLY those files, re-applies the exact predicate (stats
+       prune at file grain; the residual filter is still required),
+       and aggregates.
+
+    tests/test_scale_ops.py asserts real skipping (kept < total). The
+    oracle is the plain predicate over the logical table — skipping
+    must never change answers.
+    """
+    out = _io_dir(sf_dir, "orders_range_sharded")
+    if out not in _SKIP_STAGED:
+        (
+            load(spark, sf_dir, "orders")
+            .repartitionByRange(SKIP_SHARDS, "o_orderdate")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        _SKIP_STAGED.add(out)
+    lo = F.lit(SKIP_LO).cast("timestamp_ntz")
+    hi = F.lit(SKIP_HI).cast("timestamp_ntz")
+    staged = spark.read.parquet(out)
+    manifest = (
+        staged.groupBy(F.col("_metadata.file_path").alias("path"))
+        .agg(
+            F.min("o_orderdate").alias("mn"),
+            F.max("o_orderdate").alias("mx"),
+        )
+        .filter((F.col("mx") >= lo) & (F.col("mn") < hi))
+    )
+    kept = [r["path"] for r in manifest.select("path").collect()]
+    pruned = spark.read.parquet(*kept) if kept else staged.limit(0)
+    return (
+        pruned.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("decimal(18,6)").cast("double").alias(
+                "revenue"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+def skip_file_counts(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(kept, total) staged-file counts for the skipping predicate —
+    test hook proving the manifest actually pruned files."""
+    scan_minmax_skipping(spark, sf_dir)  # ensure staged
+    out = _io_dir(sf_dir, "orders_range_sharded")
+    staged = spark.read.parquet(out)
+    lo = F.lit(SKIP_LO).cast("timestamp_ntz")
+    hi = F.lit(SKIP_HI).cast("timestamp_ntz")
+    manifest = staged.groupBy(F.col("_metadata.file_path").alias("path")).agg(
+        F.min("o_orderdate").alias("mn"), F.max("o_orderdate").alias("mx")
+    )
+    total = manifest.count()
+    kept = manifest.filter((F.col("mx") >= lo) & (F.col("mn") < hi)).count()
+    return kept, total
+
+
+_SKIP_SQL = f"""
+SELECT STRFTIME(o_orderdate, '%Y-%m') AS month,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice")} AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{SKIP_LO} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{SKIP_HI} 00:00:00'
+GROUP BY month
+ORDER BY month
+"""
+
+# ---------------------------------------------------------------------------
+# agg_bitmap_distinct — exact mergeable COUNT DISTINCT
+# ---------------------------------------------------------------------------
+
+BM_SHARDS = 8  # simulated ingest shards whose partial bitmaps merge
+
+
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct customers per order priority via mergeable
+    bitmaps, the incremental-exact-distinct pattern: each ingest shard
+    builds per-bucket bitmaps (``bitmap_construct_agg`` over
+    ``bitmap_bit_position``; a bucket covers 32k ids → ≤4 KB bitmap),
+    shards merge with ``bitmap_or_agg`` (associative — works across
+    days/partitions/retries), and the final count is the sum of per-
+    bucket popcounts. Raw ids cross the wire once, into fixed-size
+    bitmap states; re-aggregating history is never needed.
+
+    ``n_partial_bitmaps`` (distinct (shard, bucket) partials that were
+    merged) is part of the output so the oracle also pins the partial
+    structure, not just the final counts. Ids are shifted +1: the
+    bitmap position functions require strictly positive input and the
+    generator's custkeys start at 0.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_custkey") + 1).alias("ck"),
+        (F.col("o_custkey") % BM_SHARDS).alias("shard"),
+    )
+    partials = o.groupBy(
+        "o_orderpriority",
+        "shard",
+        F.bitmap_bucket_number(F.col("ck")).alias("bucket"),
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position(F.col("ck"))).alias("bm"))
+    merged = partials.groupBy("o_orderpriority", "bucket").agg(
+        F.bitmap_or_agg("bm").alias("bm"),
+        F.count(F.lit(1)).alias("n_partials"),
+    )
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.bitmap_count("bm")).alias("n_distinct_custkeys"),
+            F.sum("n_partials").alias("n_partial_bitmaps"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# Oracle: plain exact COUNT DISTINCT; the partial-bitmap count is
+# mirrored arithmetically — bitmap_bucket_number(v) buckets ids in
+# 32768-wide blocks starting at 1, i.e. floor((v-1)/32768)+1.
+_BITMAP_SQL = f"""
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_distinct_custkeys,
+       COUNT(DISTINCT (o_custkey % {BM_SHARDS}, (o_custkey + 1 - 1) // 32768))
+           AS n_partial_bitmaps
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+# ---------------------------------------------------------------------------
+# join_strategy_hints — explicit physical-strategy control
+# ---------------------------------------------------------------------------
+
+
+def _hinted_rollup(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    j = o.join(c.hint(strategy), o["o_custkey"] == c["c_custkey"])
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("decimal(18,6)").cast("double").alias(
+                "revenue"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact×dim rollup under an explicit ``SHUFFLE_HASH`` hint.
+
+    With broadcast disabled by size, Spark's default for two unsorted
+    inputs is SortMergeJoin; when the build side is known to fit in a
+    task (or the sort would dominate — e.g. high-cardinality keys read
+    once), ``SHUFFLE_HASH`` skips BOTH sorts: hash-shuffle both sides,
+    hash-build the smaller, stream the larger. The answer is strategy-
+    independent — the invariant every optimizer transform must hold —
+    and tests/test_scale_ops.py asserts (a) this plan contains a
+    ShuffledHashJoin while the MERGE-hinted twin plans a SortMergeJoin
+    and (b) both produce identical rows. At 100 TB the same hint is
+    how you stop an SMJ sort-spill on a join whose output feeds a
+    hash aggregate anyway.
+    """
+    return _hinted_rollup(spark, sf_dir, "shuffle_hash")
+
+
+def join_strategy_merge_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-hinted twin of :func:`join_strategy_hints` (test hook)."""
+    return _hinted_rollup(spark, sf_dir, "merge")
+
+
+_HINT_SQL = f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice")} AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+QUERIES = {
+    "etl_incremental_agg": etl_incremental_agg,
+    "scan_minmax_skipping": scan_minmax_skipping,
+    "agg_bitmap_distinct": agg_bitmap_distinct,
+    "join_strategy_hints": join_strategy_hints,
+}
+
+ORACLES = {
+    "etl_incremental_agg": _INC_AGG_SQL,
+    "scan_minmax_skipping": _SKIP_SQL,
+    "agg_bitmap_distinct": _BITMAP_SQL,
+    "join_strategy_hints": _HINT_SQL,
+}

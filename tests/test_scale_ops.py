@@ -1,0 +1,98 @@
+"""Semantics + plan-shape tests for the scale_ops module (incremental
+MV maintenance, min/max file skipping, bitmap exact distinct, join
+strategy hints)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquet_batch_spark.operators.scale_ops import (
+    INC_CUTOFF,
+    agg_bitmap_distinct,
+    etl_incremental_agg,
+    join_strategy_hints,
+    join_strategy_merge_twin,
+    scan_minmax_skipping,
+    skip_file_counts,
+)
+from parquet_batch_spark.plans.inspect import executed_plan, pushed_filters
+
+
+def test_incremental_delta_scan_is_pruned(spark, sf_dir):
+    """The refresh plan's orders scan must carry the delta predicate —
+    the whole point is never rescanning history from the fact table."""
+    df = etl_incremental_agg(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pushed, pushed
+    # exactly one orders scan (the delta); history comes from the MV
+    plan = executed_plan(df)
+    assert plan.count("orders.parquet") == 1, plan
+
+
+def test_incremental_merge_equals_full_recompute(spark, sf_dir):
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.functions.numeric import dec
+
+    full = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice"))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    inc = {r["month"]: (r["n_orders"], r["revenue"]) for r in etl_incremental_agg(spark, sf_dir).collect()}
+    ful = {r["month"]: (r["n_orders"], r["revenue"]) for r in full.collect()}
+    assert inc == ful  # bit-identical: decimal partials are exact
+
+
+def test_minmax_skipping_actually_skips(spark, sf_dir):
+    kept, total = skip_file_counts(spark, sf_dir)
+    assert total == 16, total
+    assert 0 < kept < total // 2, (kept, total)
+
+
+def test_minmax_skipping_result_complete(spark, sf_dir):
+    """Stats-pruned scan == unpruned filtered scan (skipping must never
+    drop qualifying rows that straddle file boundaries)."""
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.operators.scale_ops import SKIP_HI, SKIP_LO
+
+    lo = F.lit(SKIP_LO).cast("timestamp_ntz")
+    hi = F.lit(SKIP_HI).cast("timestamp_ntz")
+    expect = (
+        load(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .count()
+    )
+    got = scan_minmax_skipping(spark, sf_dir).agg(F.sum("n_orders")).collect()[0][0]
+    assert got == expect, (got, expect)
+
+
+def test_bitmap_distinct_no_raw_distinct(spark, sf_dir):
+    """The exact count must come from bitmap popcounts, not a planner
+    count-distinct expand over raw ids."""
+    df = agg_bitmap_distinct(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "bitmapCount" in plan or "bitmap_count" in plan, plan
+    assert "Expand" not in plan, plan
+
+
+def test_bitmap_partials_are_mergeable(spark, sf_dir):
+    """Partial bitmaps must actually merge: with 8 id-shards over ≥1
+    bucket, some (priority, bucket) group merges >1 partial."""
+    rows = agg_bitmap_distinct(spark, sf_dir).collect()
+    assert all(r["n_partial_bitmaps"] >= r["n_distinct_custkeys"] / 32768 for r in rows)
+    assert any(r["n_partial_bitmaps"] > 1 for r in rows)
+
+
+def test_strategy_hints_switch_plans_same_answer(spark, sf_dir):
+    sh = join_strategy_hints(spark, sf_dir)
+    mj = join_strategy_merge_twin(spark, sf_dir)
+    p_sh, p_mj = executed_plan(sh), executed_plan(mj)
+    assert "ShuffledHashJoin" in p_sh, p_sh
+    assert "SortMergeJoin" in p_mj, p_mj
+    assert sh.collect() == mj.collect()
