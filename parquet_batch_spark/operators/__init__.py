@@ -255,6 +255,7 @@ _MODULES = [
     "parquet_batch_spark.operators.llm_prep",
     "parquet_batch_spark.operators.warehouse",
     "parquet_batch_spark.operators.scale_ops",
+    "parquet_batch_spark.operators.corpus_ops",
     "parquet_batch_spark.streaming.windows",
 ]
 
