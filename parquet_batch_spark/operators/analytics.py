@@ -720,7 +720,77 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# agg_weighted_median — exact weighted percentile
+# ---------------------------------------------------------------------------
+
+
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median: per return flag, the smallest
+    extendedprice v whose cumulative quantity-weight reaches half the
+    total (2·cumw ≥ total — pure integer arithmetic, no float
+    ordering anywhere). ``percentile_approx`` cannot weight rows;
+    the exact construction is reduce-first: collapse to one row per
+    DISTINCT price (so tie order cannot matter), then a running-sum
+    window over the reduced table.
+
+    Scale: the groupBy reduces the fact to |distinct prices per flag|
+    rows before any window runs; the window partitions by flag — never
+    a global sort of raw rows. This is the same reduced-window
+    discipline as ``window_percent_change``.
+    """
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    g = li.groupBy("l_returnflag", "price").agg(F.sum("w").alias("w"))
+    cum = F.sum("w").over(
+        W.partitionBy("l_returnflag").orderBy("price").rowsBetween(
+            W.unboundedPreceding, 0
+        )
+    )
+    tot = F.sum("w").over(W.partitionBy("l_returnflag"))
+    return (
+        g.select("l_returnflag", "price", cum.alias("cumw"), tot.alias("total"))
+        .filter(2 * F.col("cumw") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("total").alias("total_weight"),
+            F.min("price").alias("weighted_median_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_WMEDIAN_SQL = """
+WITH g AS (
+    SELECT l_returnflag, l_extendedprice AS price,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+    FROM lineitem
+    GROUP BY l_returnflag, price
+),
+c AS (
+    SELECT l_returnflag, price,
+           SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price
+                        ROWS UNBOUNDED PRECEDING) AS cumw,
+           SUM(w) OVER (PARTITION BY l_returnflag) AS total
+    FROM g
+)
+SELECT l_returnflag,
+       CAST(MAX(total) AS BIGINT) AS total_weight,
+       MIN(price) AS weighted_median_price
+FROM c
+WHERE 2 * cumw >= total
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
+    "agg_weighted_median": agg_weighted_median,
     "explode_positional_tokens": explode_positional_tokens,
     "approx_hll_union_sketch": approx_hll_union_sketch,
     "agg_moments_exact": agg_moments_exact,
@@ -736,6 +806,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_weighted_median": _WMEDIAN_SQL,
     "explode_positional_tokens": _POS_TOKENS_SQL,
     "approx_hll_union_sketch": _HLL_UNION_SQL,
     "agg_moments_exact": _MOMENTS_SQL,

@@ -393,6 +393,118 @@ FROM wedges, tri, en
 """
 
 # ---------------------------------------------------------------------------
+# graph_community_labels — synchronous label propagation
+# ---------------------------------------------------------------------------
+
+LPA_ITERS = 3  # fixed synchronous rounds (unrolled in the oracle)
+
+
+def graph_community_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    segment-sharing graph: every vertex starts with its own id as
+    label; each round it adopts the MAJORITY label among its neighbors
+    (ties → smallest label — a total order, so the rounds are fully
+    deterministic and the DuckDB oracle unrolls them exactly).
+    {LPA_ITERS} fixed rounds — LPA's standard near-convergence budget;
+    a fixed budget also keeps the oracle expressible.
+
+    Unlike ``dedup_clusters`` (connected components = reachability),
+    LPA yields DENSITY communities: a chain of weak links does not
+    merge two dense groups. Scale: each round is one equi-join
+    (adjacency ⋈ labels on the neighbor id) + one count aggregate +
+    one per-vertex argmax window — all hash-partitioned by vertex id;
+    ``localCheckpoint`` flattens the iterative lineage exactly as in
+    ``dedup_clusters``.
+    """
+    e = _segment_edges(spark, sf_dir).localCheckpoint(eager=False)
+    adj = e.select(F.col("a").alias("v"), F.col("b").alias("u")).unionAll(
+        e.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    )
+    labels = adj.select("v").distinct().select("v", F.col("v").alias("lbl"))
+    from pyspark.sql import Window as W
+
+    for _ in range(LPA_ITERS):
+        nb = adj.join(
+            labels.select(F.col("v").alias("u"), "lbl"), "u"
+        ).select("v", "lbl")
+        counts = nb.groupBy("v", "lbl").agg(F.count(F.lit(1)).alias("cnt"))
+        rn = F.row_number().over(
+            W.partitionBy("v").orderBy(F.desc("cnt"), F.asc("lbl"))
+        )
+        labels = (
+            counts.withColumn("rn", rn).filter(F.col("rn") == 1).select("v", "lbl")
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("v").alias("member_min"),
+            F.max("v").alias("member_max"),
+        )
+        .orderBy("community")
+    )
+
+
+def _lpa_sql() -> str:
+    edges_cte = f"""
+toks AS (
+    SELECT doc_id, {sql_tokens("text")} AS tk FROM documents
+),
+segs AS (
+    SELECT DISTINCT doc_id, {sql_hash32("seg")} AS seg_h
+    FROM (
+        SELECT doc_id,
+               UNNEST(list_distinct(list_transform(
+                   generate_series(1, CAST(CEIL(len(tk) / {SEG_TOKENS}.0) AS INTEGER)),
+                   i -> array_to_string(
+                       tk[(i-1)*{SEG_TOKENS}+1 : (i-1)*{SEG_TOKENS}+{SEG_TOKENS}],
+                       ' ')))) AS seg
+        FROM toks
+    )
+),
+hot AS (
+    SELECT seg_h FROM segs GROUP BY seg_h HAVING COUNT(*) > {DEGREE_HOT_CAP}
+),
+cold AS (
+    SELECT * FROM segs WHERE seg_h NOT IN (SELECT seg_h FROM hot)
+),
+edges AS (
+    SELECT DISTINCT s1.doc_id AS a, s2.doc_id AS b
+    FROM cold s1 JOIN cold s2 ON s1.seg_h = s2.seg_h AND s1.doc_id < s2.doc_id
+),
+adj AS (
+    SELECT a AS v, b AS u FROM edges UNION ALL SELECT b AS v, a AS u FROM edges
+),
+l0 AS (
+    SELECT DISTINCT v, v AS lbl FROM adj
+)"""
+    parts = [edges_cte]
+    for k in range(1, LPA_ITERS + 1):
+        parts.append(f"""
+c{k} AS (
+    SELECT adj.v, l.lbl, COUNT(*) AS cnt
+    FROM adj JOIN l{k - 1} l ON l.v = adj.u
+    GROUP BY adj.v, l.lbl
+),
+l{k} AS (
+    SELECT v, lbl FROM (
+        SELECT v, lbl,
+               ROW_NUMBER() OVER (PARTITION BY v ORDER BY cnt DESC, lbl ASC) AS rn
+        FROM c{k}
+    ) WHERE rn = 1
+)""")
+    return (
+        "WITH " + ",".join(parts) + f"""
+SELECT lbl AS community, COUNT(*) AS n_members,
+       MIN(v) AS member_min, MAX(v) AS member_max
+FROM l{LPA_ITERS}
+GROUP BY community
+ORDER BY community
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
 # text_bpe_merges — first K BPE tokenizer merge steps
 # ---------------------------------------------------------------------------
 
@@ -540,10 +652,12 @@ QUERIES = {
     "quality_gopher_rules": quality_gopher_rules,
     "dedup_url_canonical": dedup_url_canonical,
     "graph_triangle_count": graph_triangle_count,
+    "graph_community_labels": graph_community_labels,
     "text_bpe_merges": text_bpe_merges,
 }
 
 ORACLES = {
+    "graph_community_labels": _lpa_sql(),
     "quality_gopher_rules": _GOPHER_SQL,
     "dedup_url_canonical": _URL_SQL,
     "graph_triangle_count": _TRIANGLE_SQL,

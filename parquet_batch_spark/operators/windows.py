@@ -672,7 +672,96 @@ ORDER BY user_id, event_type
 """
 
 
+# ------------------------------------------- interval coalescing
+
+IVC_WIDTH_US = 1_800_000_000  # each event spawns a [ts, ts+30min) interval
+
+
+def window_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping/touching per-user intervals (each event opens
+    a 30-minute window; overlapping windows coalesce into islands) —
+    the classic interval-union problem behind ad-burst detection,
+    on-call coverage and effective-watch-time. Differs from
+    ``window_sessionize``: inputs are [start, end) INTERVALS, and two
+    intervals merge when start ≤ running-max(previous ends) — the
+    cumulative-max gaps-and-islands construction, exact in integer µs.
+
+    Scale: one window per user ordered by start (a hash shuffle at
+    user grain), running-max and running-sum frames only — no
+    self-join of intervals, no explode of timeline ticks.
+    """
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("s"),
+        (us + IVC_WIDTH_US).alias("e"),
+    )
+    order = W.partitionBy("user_id").orderBy("s", "e", "event_id")
+    prev_max_e = F.max("e").over(order.rowsBetween(W.unboundedPreceding, -1))
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1)
+        .otherwise(0)
+        .alias("new_island"),
+        F.col("event_id"),
+    )
+    island = F.sum("new_island").over(order.rowsBetween(W.unboundedPreceding, 0))
+    islands = (
+        flagged.select("user_id", "s", "e", island.alias("island"))
+        .groupBy("user_id", "island")
+        .agg(F.min("s").alias("start_us"), F.max("e").alias("end_us"))
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(F.col("end_us") - F.col("start_us")).alias("covered_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_IVC_SQL = f"""
+WITH iv AS (
+    SELECT user_id, event_id, epoch_us(ts) AS s,
+           epoch_us(ts) + {IVC_WIDTH_US} AS e
+    FROM events
+),
+flagged AS (
+    SELECT user_id, s, e,
+           CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     IS NULL
+                  OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS new_island,
+           event_id
+    FROM iv
+),
+islands AS (
+    SELECT user_id, s, e,
+           SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS island
+    FROM flagged
+),
+merged AS (
+    SELECT user_id, island, MIN(s) AS start_us, MAX(e) AS end_us
+    FROM islands GROUP BY user_id, island
+)
+SELECT user_id, COUNT(*) AS n_islands,
+       CAST(SUM(end_us - start_us) AS BIGINT) AS covered_us
+FROM merged
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "window_interval_coalesce": window_interval_coalesce,
     "window_streak_islands": window_streak_islands,
     "window_nth_value": window_nth_value,
     "window_percent_change": window_percent_change,
@@ -690,6 +779,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_interval_coalesce": _IVC_SQL,
     "window_streak_islands": _STREAK_SQL,
     "window_nth_value": _NTH_VALUE_SQL,
     "window_percent_change": _pct_change_sql(),

@@ -78,3 +78,73 @@ def test_bpe_merge_fixpoint_on_repeats(spark):
     )
     out = _apply_merge(vocab, "a", "b").collect()[0]["rep"]
     assert out == " ab ab ab </w> ", repr(out)
+
+
+def test_lpa_labels_partition_vertices(spark, sf_dir):
+    from parquet_batch_spark.operators.corpus_ops import (
+        _segment_edges,
+        graph_community_labels,
+    )
+
+    rows = graph_community_labels(spark, sf_dir).collect()
+    e = _segment_edges(spark, sf_dir)
+    nv = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_members"] for r in rows) == nv
+    for r in rows:
+        assert r["member_min"] <= r["member_max"]
+        assert r["n_members"] >= 1
+
+
+def test_weighted_median_is_attained_and_window_is_reduced(spark, sf_dir):
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.operators.analytics import agg_weighted_median
+
+    df = agg_weighted_median(spark, sf_dir)
+    rows = {r["l_returnflag"]: r for r in df.collect()}
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("mn"),
+            F.max("l_extendedprice").alias("mx"),
+            F.sum(F.col("l_quantity").cast("long")).alias("tot"),
+        )
+    )
+    for r in li.collect():
+        got = rows[r["l_returnflag"]]
+        assert r["mn"] <= got["weighted_median_price"] <= r["mx"]
+        assert got["total_weight"] == r["tot"]
+    # the window runs over the price-distinct reduced table, never raw rows
+    plan = executed_plan(df)
+    assert plan.index("Window") < plan.index("FileScan")  # window above scan
+    import re
+
+    agg_before_window = re.search(r"Window.*?HashAggregate.*?FileScan", plan, re.S)
+    assert agg_before_window, plan
+
+
+def test_interval_coalesce_bounds(spark, sf_dir):
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.operators.windows import (
+        IVC_WIDTH_US,
+        window_interval_coalesce,
+    )
+
+    rows = window_interval_coalesce(spark, sf_dir).collect()
+    ev_counts = {
+        r["user_id"]: r["n"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(rows) == len(ev_counts)
+    for r in rows:
+        n = ev_counts[r["user_id"]]
+        assert 1 <= r["n_islands"] <= n
+        assert IVC_WIDTH_US <= r["covered_us"] <= n * IVC_WIDTH_US
