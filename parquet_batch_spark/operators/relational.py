@@ -733,7 +733,65 @@ ORDER BY o_orderstatus
 """
 
 
+# ---------------------------------------------------------------------------
+# sql_recursive_hierarchy — Spark 4 recursive CTE
+# ---------------------------------------------------------------------------
+
+
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.0+ ``WITH RECURSIVE``) walking an
+    implicit binary tree over doc ids (parent(i) = (i-1) div 2): each
+    round joins the frontier to its children until the tree is
+    exhausted, then rolls up node count / id range / char mass per
+    depth. This is the SQL-native form of iterative graph traversal —
+    before Spark 4 it required a driver-side loop (see
+    ``dedup_clusters``); the engine now plans the fixpoint itself.
+
+    Scale: each recursive step is one equi-join of the current
+    frontier against the child relation (hash-partitioned on the
+    parent key); depth is log₂(N) for this topology, so the step
+    count grows logarithmically with corpus size. The aggregate is a
+    depth-grain reduction.
+    """
+    load(spark, sf_dir, "documents").createOrReplaceTempView("pbs_rec_docs")
+    return spark.sql(
+        """
+        WITH RECURSIVE tree(id, depth, chars) AS (
+            SELECT doc_id, 0, n_chars FROM pbs_rec_docs WHERE doc_id = 0
+            UNION ALL
+            SELECT d.doc_id, t.depth + 1, d.n_chars
+            FROM pbs_rec_docs d
+            JOIN tree t ON (d.doc_id - 1) div 2 = t.id AND d.doc_id > 0
+        )
+        SELECT depth, COUNT(*) AS n_nodes,
+               MIN(id) AS min_id, MAX(id) AS max_id,
+               SUM(chars) AS sum_chars
+        FROM tree
+        GROUP BY depth
+        ORDER BY depth
+        """
+    )
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE tree(id, depth, chars) AS (
+    SELECT doc_id, 0, n_chars FROM documents WHERE doc_id = 0
+    UNION ALL
+    SELECT d.doc_id, t.depth + 1, d.n_chars
+    FROM documents d
+    JOIN tree t ON (d.doc_id - 1) // 2 = t.id AND d.doc_id > 0
+)
+SELECT depth, COUNT(*) AS n_nodes,
+       MIN(id) AS min_id, MAX(id) AS max_id,
+       CAST(SUM(chars) AS BIGINT) AS sum_chars
+FROM tree
+GROUP BY depth
+ORDER BY depth
+"""
+
+
 QUERIES = {
+    "sql_recursive_hierarchy": sql_recursive_hierarchy,
     "agg_boolean": agg_boolean,
     "agg_minmax_by": agg_minmax_by,
     "stat_crosstab": stat_crosstab,
@@ -755,6 +813,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sql_recursive_hierarchy": _RECURSIVE_SQL,
     "agg_boolean": _AGG_BOOLEAN_SQL,
     "agg_minmax_by": _MINMAX_BY_SQL,
     "stat_crosstab": _CROSSTAB_SQL,

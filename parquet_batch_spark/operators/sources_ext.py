@@ -757,7 +757,69 @@ ORDER BY bucket_mod
 """
 
 
+# ---------------------------------------------------------------------------
+# source_binaryfile_ingest — whole-file binary source format
+# ---------------------------------------------------------------------------
+
+
+def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file ingest via the ``binaryFile`` source — the format a
+    multimodal pipeline uses to pull images/audio/shards in as opaque
+    bytes with path metadata (one row per FILE: path, length,
+    content). Staging: one deterministic text file per lang
+    (partitionBy write, rows sorted by doc_id inside the partition),
+    so each file's byte stream — and hence its md5 — is reproducible
+    and the DuckDB oracle can rebuild it with an ordered
+    ``string_agg``. The query reads the staged tree back as binary,
+    recovers the lang from the partition path, and emits per-file
+    length + md5.
+
+    Scale: binaryFile parallelizes at file grain and never splits a
+    file — exactly right for opaque media objects; pair with
+    ``maxPartitionBytes``-sized objects upstream. Metadata columns
+    (path/length) bind without reading content until content is
+    projected.
+    """
+    out = _io_dir(sf_dir, "docs_text_by_lang")
+    if out not in _BINARYFILE_STAGED:
+        (
+            load(spark, sf_dir, "documents")
+            .select("lang", "doc_id", "text")
+            .repartition("lang")
+            .sortWithinPartitions("lang", "doc_id")
+            .select("lang", "text")  # text sink: one value column + partition col
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .text(out)
+        )
+        _BINARYFILE_STAGED.add(out)
+    files = spark.read.format("binaryFile").load(out)
+    return (
+        files.select(
+            F.regexp_extract("path", r"lang=([^/]+)/", 1).alias("lang"),
+            F.col("length").alias("n_bytes"),
+            F.md5("content").alias("payload_md5"),
+        )
+        .orderBy("lang")
+    )
+
+
+_BINARYFILE_STAGED: set[str] = set()
+
+# The text writer emits each row as line + '\n'; per-lang file bytes
+# are therefore the doc_id-ordered concatenation the oracle rebuilds.
+_BINARYFILE_SQL = """
+SELECT lang,
+       CAST(SUM(len(text) + 1) AS BIGINT) AS n_bytes,
+       md5(string_agg(text, chr(10) ORDER BY doc_id) || chr(10)) AS payload_md5
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
+    "source_binaryfile_ingest": source_binaryfile_ingest,
     "source_python_datasource": source_python_datasource,
     "sink_dynamic_partition_overwrite": sink_dynamic_partition_overwrite,
     "scan_files_metadata": scan_files_metadata,
@@ -774,6 +836,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "source_binaryfile_ingest": _BINARYFILE_SQL,
     "source_python_datasource": _PY_DATASOURCE_SQL,
     "sink_dynamic_partition_overwrite": _DYN_OVERWRITE_SQL,
     "scan_files_metadata": _files_metadata_sql(),

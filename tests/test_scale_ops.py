@@ -96,3 +96,23 @@ def test_strategy_hints_switch_plans_same_answer(spark, sf_dir):
     assert "ShuffledHashJoin" in p_sh, p_sh
     assert "SortMergeJoin" in p_mj, p_mj
     assert sh.collect() == mj.collect()
+
+
+def test_recursive_hierarchy_tree_shape(spark, sf_dir):
+    from parquet_batch_spark.operators.relational import sql_recursive_hierarchy
+
+    rows = sql_recursive_hierarchy(spark, sf_dir).collect()
+    assert sum(r["n_nodes"] for r in rows) == 500
+    for r in rows:
+        assert r["n_nodes"] <= 2 ** r["depth"]
+    assert [r["depth"] for r in rows] == list(range(len(rows)))
+
+
+def test_binaryfile_ingest_stable_across_invocations(spark, sf_dir):
+    from parquet_batch_spark.operators.sources_ext import source_binaryfile_ingest
+
+    a = sorted(map(tuple, source_binaryfile_ingest(spark, sf_dir).collect()))
+    b = sorted(map(tuple, source_binaryfile_ingest(spark, sf_dir).collect()))
+    assert a == b
+    assert len(a) == 5  # one file per lang
+    assert all(n > 0 for (_, n, _) in a)
