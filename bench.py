@@ -85,6 +85,14 @@ HEADLINE = [
     "join_lateral_topk",
     "agg_minmax_by",
     "func_regexp",
+    # r4 additions, continuation session
+    "etl_incremental_agg",
+    "scan_minmax_skipping",
+    "agg_bitmap_distinct",
+    "quality_gopher_rules",
+    "dedup_url_canonical",
+    "agg_weighted_median",
+    "window_interval_coalesce",
 ]
 
 
