@@ -721,6 +721,161 @@ ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# rollup_ohlc_bars — open/high/low/close time-series downsampling
+# ---------------------------------------------------------------------------
+
+OHLC_BUCKET_US = 900_000_000  # 15-minute bars
+
+
+def rollup_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per (event_type, 15-min bucket), the bar a
+    market-data / metrics system keeps — open (first value), high,
+    low, close (last value), tick count, decimal-exact volume.
+    First/last are defined by the TOTAL order (ts, event_id), so ties
+    in ts cannot flip open/close between engines.
+
+    Scale: one window pass ordered within (type, bucket) for the
+    open/close row-numbers, then one aggregate — both hash-partitioned
+    on the bar key. The bucket id is exact integer arithmetic on epoch
+    µs (the float division is exact: quotient magnitude ≪ 2^53 and
+    ≥ 1e-9 away from any integer). Downsampling reduces the stream by
+    ~bucket/event-rate before anything wide happens.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = ev.select(
+        "event_type",
+        F.floor(us / F.lit(OHLC_BUCKET_US)).alias("bucket"),
+        "value",
+        us.alias("us"),
+        "event_id",
+    )
+    w = W.partitionBy("event_type", "bucket")
+    rn_a = F.row_number().over(w.orderBy("us", "event_id"))
+    rn_d = F.row_number().over(w.orderBy(F.desc("us"), F.desc("event_id")))
+    marked = base.select(
+        "event_type",
+        "bucket",
+        "value",
+        rn_a.alias("rn_a"),
+        rn_d.alias("rn_d"),
+    )
+    return (
+        marked.groupBy("event_type", "bucket")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "volume"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+_OHLC_SQL = f"""
+WITH base AS (
+    SELECT event_type,
+           CAST(FLOOR(epoch_us(ts) / {OHLC_BUCKET_US}.0) AS BIGINT) AS bucket,
+           value, epoch_us(ts) AS us, event_id
+    FROM events
+),
+marked AS (
+    SELECT event_type, bucket, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                              ORDER BY us, event_id) AS rn_a,
+           ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                              ORDER BY us DESC, event_id DESC) AS rn_d
+    FROM base
+)
+SELECT event_type, bucket,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n_events,
+       {sql_dsum("value")} AS volume
+FROM marked
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""
+
+# ---------------------------------------------------------------------------
+# quality_mad_outliers — median-absolute-deviation outlier screen
+# ---------------------------------------------------------------------------
+
+MAD_K = 3  # flag docs beyond K MADs from the cohort median
+
+
+def quality_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust length-outlier screen per language cohort: median and
+    MAD (median absolute deviation) of n_chars, then count docs
+    beyond {MAD_K}·MAD — the robust alternative to z-scores
+    (``window_anomaly_zscore``) that a single pathological document
+    cannot drag. Exact interpolated percentiles over integer inputs
+    (the ``agg_percentiles``-proven ``percentile``/``quantile_cont``
+    pairing), deviations in exact arithmetic.
+
+    Scale: two reduce+broadcast rounds (cohort medians are |langs|
+    rows, broadcast back), never a per-row window over the corpus.
+    """
+    d = load(spark, sf_dir, "documents").select("lang", "n_chars")
+    med = d.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("med")
+    )
+    dev = d.join(F.broadcast(med), "lang").select(
+        "lang", "n_chars", "med", F.abs(F.col("n_chars") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("lang").agg(
+        F.max("med").alias("med"),
+        F.percentile("adev", F.lit(0.5)).alias("mad"),
+    )
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("med").alias("median_chars"),
+            F.max("mad").alias("mad_chars"),
+            F.sum(
+                F.when(F.col("adev") > MAD_K * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("lang")
+    )
+
+
+_MAD_SQL = f"""
+WITH med AS (
+    SELECT lang, quantile_cont(n_chars, 0.5) AS med
+    FROM documents GROUP BY lang
+),
+dev AS (
+    SELECT d.lang, d.n_chars, m.med, ABS(d.n_chars - m.med) AS adev
+    FROM documents d JOIN med m ON d.lang = m.lang
+),
+mad AS (
+    SELECT lang, MAX(med) AS med, quantile_cont(adev, 0.5) AS mad
+    FROM dev GROUP BY lang
+)
+SELECT dev.lang,
+       COUNT(*) AS n_docs,
+       MAX(mad.med) AS median_chars,
+       MAX(mad.mad) AS mad_chars,
+       CAST(SUM(CASE WHEN dev.adev > {MAD_K} * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers
+FROM dev JOIN mad ON dev.lang = mad.lang
+GROUP BY dev.lang
+ORDER BY dev.lang
+"""
+
+# ---------------------------------------------------------------------------
 # agg_weighted_median — exact weighted percentile
 # ---------------------------------------------------------------------------
 
@@ -790,6 +945,8 @@ ORDER BY l_returnflag
 
 
 QUERIES = {
+    "rollup_ohlc_bars": rollup_ohlc_bars,
+    "quality_mad_outliers": quality_mad_outliers,
     "agg_weighted_median": agg_weighted_median,
     "explode_positional_tokens": explode_positional_tokens,
     "approx_hll_union_sketch": approx_hll_union_sketch,
@@ -806,6 +963,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rollup_ohlc_bars": _OHLC_SQL,
+    "quality_mad_outliers": _MAD_SQL,
     "agg_weighted_median": _WMEDIAN_SQL,
     "explode_positional_tokens": _POS_TOKENS_SQL,
     "approx_hll_union_sketch": _HLL_UNION_SQL,

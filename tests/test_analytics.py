@@ -60,3 +60,26 @@ def test_cms_never_underestimates_and_bounds_error(spark, sf_dir, monkeypatch):
     assert any(r["overestimate"] > 0 for r in squeezed), "w=8 must collide"
     for r in squeezed:
         assert r["cms_estimate"] >= r["exact_n"], r
+
+
+def test_ohlc_bar_invariants(spark, sf_dir):
+    from parquet_batch_spark.operators.analytics import rollup_ohlc_bars
+
+    rows = rollup_ohlc_bars(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        assert r["n_events"] >= 1
+        assert r["volume"] >= r["low"] * r["n_events"] - 1e-6
+
+
+def test_mad_outliers_robustness_bounds(spark, sf_dir):
+    from parquet_batch_spark.operators.analytics import quality_mad_outliers
+
+    rows = quality_mad_outliers(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in rows) == 500
+    for r in rows:
+        assert r["mad_chars"] >= 0
+        # by Chebyshev-like MAD bound, outliers beyond 3 MAD are a minority
+        assert r["n_outliers"] <= r["n_docs"] // 2
