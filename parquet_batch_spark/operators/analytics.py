@@ -721,6 +721,60 @@ ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# agg_pareto_frontier — 2-D skyline
+# ---------------------------------------------------------------------------
+
+
+def agg_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline) of orders maximizing both
+    total price and order date: the non-dominated (price, date) pairs
+    — "no later order was also more expensive". The classic
+    sorted-scan construction: reduce to one row per distinct price
+    (its max date — same-price earlier dates are dominated), then a
+    single running-max window over price descending keeps exactly the
+    rows whose date beats every higher-priced row.
+
+    Scale: the dominance test never compares pairs — it is one
+    groupBy reduction plus one window over the REDUCED (distinct
+    prices) table. The frontier of n random points is O(log n) rows;
+    the window input is |distinct prices|, not |orders|.
+    """
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders")
+    per_price = o.groupBy(F.col("o_totalprice").alias("price")).agg(
+        F.max("o_orderdate").alias("best_date")
+    )
+    prev_best = F.max("best_date").over(
+        W.orderBy(F.desc("price")).rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        per_price.withColumn("prev_best", prev_best)
+        .filter(F.col("prev_best").isNull() | (F.col("best_date") > F.col("prev_best")))
+        .select("price", "best_date")
+        .orderBy(F.desc("price"))
+    )
+
+
+_PARETO_SQL = """
+WITH per_price AS (
+    SELECT o_totalprice AS price, MAX(o_orderdate) AS best_date
+    FROM orders GROUP BY price
+),
+scanned AS (
+    SELECT price, best_date,
+           MAX(best_date) OVER (ORDER BY price DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_best
+    FROM per_price
+)
+SELECT price, best_date
+FROM scanned
+WHERE prev_best IS NULL OR best_date > prev_best
+ORDER BY price DESC
+"""
+
+# ---------------------------------------------------------------------------
 # rollup_ohlc_bars — open/high/low/close time-series downsampling
 # ---------------------------------------------------------------------------
 
@@ -945,6 +999,7 @@ ORDER BY l_returnflag
 
 
 QUERIES = {
+    "agg_pareto_frontier": agg_pareto_frontier,
     "rollup_ohlc_bars": rollup_ohlc_bars,
     "quality_mad_outliers": quality_mad_outliers,
     "agg_weighted_median": agg_weighted_median,
@@ -963,6 +1018,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_pareto_frontier": _PARETO_SQL,
     "rollup_ohlc_bars": _OHLC_SQL,
     "quality_mad_outliers": _MAD_SQL,
     "agg_weighted_median": _WMEDIAN_SQL,

@@ -790,7 +790,71 @@ ORDER BY depth
 """
 
 
+# ---------------------------------------------------------------------------
+# set_ops_multiset — INTERSECT ALL / EXCEPT ALL bag semantics
+# ---------------------------------------------------------------------------
+
+
+def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — ``intersectAll`` / ``exceptAll``
+    — where DUPLICATE COUNTS carry meaning: the custkey multiset of
+    urgent orders vs the multiset of 'F'-status orders. INTERSECT ALL
+    keeps min(n₁,n₂) copies per key, EXCEPT ALL keeps n₁−n₂ — the
+    per-customer "matched demand" and "excess demand" accounting that
+    DISTINCT set ops destroy (cf. ``set_ops``). Output: one summary
+    row per operation (row count + exact key checksum), so the bag
+    cardinalities — the semantics under test — are pinned directly.
+
+    Scale: Spark plans both as a single hash shuffle per side with
+    count-based merge (no explode of duplicates); identical topology
+    to a groupBy. At 100 TB these replace the fragile
+    join-on-rownumber emulation hand-rolled bags need.
+    """
+    o = load(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("ck")
+    )
+    fdone = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("ck")
+    )
+
+    def summarize(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("op"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("ck").alias("key_checksum"),
+        )
+
+    return (
+        summarize(urgent.intersectAll(fdone), "intersect_all")
+        .unionAll(summarize(urgent.exceptAll(fdone), "except_all"))
+        .unionAll(summarize(fdone.exceptAll(urgent), "except_all_rev"))
+        .orderBy("op")
+    )
+
+
+_SET_MULTI_SQL = """
+WITH urgent AS (
+    SELECT o_custkey AS ck FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+fdone AS (
+    SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'F'
+),
+ia AS (SELECT ck FROM urgent INTERSECT ALL SELECT ck FROM fdone),
+ea AS (SELECT ck FROM urgent EXCEPT ALL SELECT ck FROM fdone),
+er AS (SELECT ck FROM fdone EXCEPT ALL SELECT ck FROM urgent)
+SELECT 'intersect_all' AS op, COUNT(*) AS n_rows,
+       CAST(SUM(ck) AS BIGINT) AS key_checksum FROM ia
+UNION ALL
+SELECT 'except_all', COUNT(*), CAST(SUM(ck) AS BIGINT) FROM ea
+UNION ALL
+SELECT 'except_all_rev', COUNT(*), CAST(SUM(ck) AS BIGINT) FROM er
+ORDER BY op
+"""
+
+
 QUERIES = {
+    "set_ops_multiset": set_ops_multiset,
     "sql_recursive_hierarchy": sql_recursive_hierarchy,
     "agg_boolean": agg_boolean,
     "agg_minmax_by": agg_minmax_by,
@@ -813,6 +877,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "set_ops_multiset": _SET_MULTI_SQL,
     "sql_recursive_hierarchy": _RECURSIVE_SQL,
     "agg_boolean": _AGG_BOOLEAN_SQL,
     "agg_minmax_by": _MINMAX_BY_SQL,

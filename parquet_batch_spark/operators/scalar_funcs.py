@@ -704,7 +704,53 @@ ORDER BY c_custkey
 """
 
 
+# ---------------------------------------------------------------------------
+# func_crypto_roundtrip — column-level crypto primitives
+# ---------------------------------------------------------------------------
+
+_AES_KEY = "0123456789abcdef"  # 16-byte demo key (AES-128)
+
+
+def func_crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level crypto surface: content fingerprints (sha256/md5 —
+    the provenance hashes a data-lineage system stores) and an
+    AES-128-ECB encrypt→decrypt round trip per document. ECB is used
+    deliberately: it is the one deterministic mode (GCM salts a random
+    IV per call, which would be unhashable across engines — and
+    un-reproducible across retried tasks, the same reason a 100 TB
+    pipeline must pin deterministic modes for idempotent re-runs).
+    DuckDB has no AES, so the oracle pins the ciphertext via its exact
+    PKCS#7 arithmetic (16·(⌊len/16⌋+1) bytes) and the round trip via
+    the decrypted plaintext equalling the source — both fully
+    determined. All JVM-side, one codegen stage, no shuffle.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    key = F.lit(_AES_KEY)
+    ct = F.aes_encrypt(F.col("text"), key, F.lit("ECB"))
+    rt = F.aes_decrypt(ct, key, F.lit("ECB")).cast("string")
+    return d.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+        F.md5(F.col("text")).alias("md5_hex"),
+        F.length(ct).alias("cipher_len"),
+        (rt == F.col("text")).alias("roundtrip_ok"),
+    ).orderBy("doc_id")
+
+
+_CRYPTO_SQL = """
+SELECT doc_id,
+       sha256(text) AS sha256_hex,
+       md5(text) AS md5_hex,
+       CAST(16 * (len(text) // 16 + 1) AS INTEGER) AS cipher_len,
+       TRUE AS roundtrip_ok
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "func_crypto_roundtrip": func_crypto_roundtrip,
     "func_csv_struct": func_csv_struct,
     "sql_named_params": sql_named_params,
     "func_struct_field_ops": func_struct_field_ops,
@@ -725,6 +771,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "func_crypto_roundtrip": _CRYPTO_SQL,
     "func_csv_struct": _FUNC_CSV_SQL,
     "sql_named_params": _SQL_NAMED_PARAMS_SQL,
     "func_struct_field_ops": _FUNC_STRUCT_OPS_SQL,

@@ -116,3 +116,37 @@ def test_binaryfile_ingest_stable_across_invocations(spark, sf_dir):
     assert a == b
     assert len(a) == 5  # one file per lang
     assert all(n > 0 for (_, n, _) in a)
+
+
+def test_pareto_frontier_is_nondominated(spark, sf_dir):
+    from parquet_batch_spark.operators.analytics import agg_pareto_frontier
+
+    rows = agg_pareto_frontier(spark, sf_dir).collect()
+    assert rows
+    # descending price must mean strictly ascending date along the frontier
+    for a, b in zip(rows, rows[1:]):
+        assert a["price"] > b["price"]
+        assert a["best_date"] < b["best_date"]
+
+
+def test_multiset_bag_accounting(spark, sf_dir):
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.operators.relational import set_ops_multiset
+
+    got = {r["op"]: r for r in set_ops_multiset(spark, sf_dir).collect()}
+    o = load(spark, sf_dir, "orders")
+    n_urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    n_f = o.filter(F.col("o_orderstatus") == "F").count()
+    # |A ∩all B| + |A \all B| == |A|, and symmetrically for B
+    assert got["intersect_all"]["n_rows"] + got["except_all"]["n_rows"] == n_urgent
+    assert got["intersect_all"]["n_rows"] + got["except_all_rev"]["n_rows"] == n_f
+
+
+def test_crypto_roundtrip_all_ok(spark, sf_dir):
+    from parquet_batch_spark.operators.scalar_funcs import func_crypto_roundtrip
+
+    rows = func_crypto_roundtrip(spark, sf_dir).collect()
+    assert len(rows) == 200
+    assert all(r["roundtrip_ok"] for r in rows)
+    assert all(r["cipher_len"] % 16 == 0 for r in rows)
+    assert len({r["sha256_hex"] for r in rows}) == len(rows)  # distinct texts
