@@ -1215,7 +1215,246 @@ ORDER BY lang, shard_id
 """
 
 
+# ---------------------------------------------------------------------------
+# feature_hashing_vectorize — hashing-trick featurization
+# ---------------------------------------------------------------------------
+
+FH_BUCKETS = 1024  # hashing-trick dimensionality
+
+
+def feature_hashing_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (the fixed-dimension, vocabularyless
+    text vectorizer): every token maps to ``hash(token) mod
+    {FH_BUCKETS}``, so feature extraction needs NO vocabulary build,
+    no broadcast dictionary, and no second pass — the property that
+    makes it the default featurizer at corpus scale. Output: the
+    corpus-level bucket profile (per bucket: total token mass, docs
+    touched, distinct tokens hashed in — the collision diagnostics
+    that size the hash dimension).
+
+    Scale: explode → hash → one aggregate at bucket grain (bounded at
+    {FH_BUCKETS} rows out). The portable md5-based ``hash32`` keeps
+    bucket ids engine-independent.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = d.select(
+        "doc_id", F.explode(tokens_col("text")).alias("tok")
+    ).select("doc_id", "tok", (hash32(F.col("tok")) % FH_BUCKETS).alias("bucket"))
+    return (
+        toks.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("token_mass"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("tok").alias("n_distinct_tokens"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_FEAT_HASH_SQL = f"""
+SELECT {sql_hash32("tok")} % {FH_BUCKETS} AS bucket,
+       COUNT(*) AS token_mass,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(DISTINCT tok) AS n_distinct_tokens
+FROM (SELECT doc_id, UNNEST({sql_tokens("text")}) AS tok FROM documents)
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+# ---------------------------------------------------------------------------
+# dedup_blocking_quality — pair completeness / reduction ratio
+# ---------------------------------------------------------------------------
+
+BQ_PREFIX_TOKENS = 5  # ground-truth proxy: docs sharing a 5-token prefix
+
+
+def dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme evaluation — the two standard entity-resolution
+    metrics for any dedup candidate generator: PAIR COMPLETENESS
+    (how many true duplicate pairs the blocking scheme catches) and
+    REDUCTION RATIO (how far below all-pairs the candidate count
+    stays). Ground truth: doc pairs sharing a {BQ_PREFIX_TOKENS}-token
+    prefix (the deterministic near-dup proxy this corpus admits);
+    candidates: the capped segment-sharing edges every graph/dedup op
+    here blocks on. Both metrics in exact integer micro-units.
+
+    This is the harness that justifies a blocking design at 100 TB:
+    you never run it on the full corpus — you run it on a fixed
+    evaluation slice (here: the whole test table) and ship the
+    blocking scheme the numbers support. One inverted-index join per
+    pair source; the intersection is an equi-join on the pair key.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = tokens_col("text")
+    pref = d.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(toks, 1, BQ_PREFIX_TOKENS)).alias("pref"),
+    )
+    true_pairs = (
+        pref.join(
+            pref.select(
+                F.col("pref").alias("p2"), F.col("doc_id").alias("doc_b")
+            ),
+            (F.col("pref") == F.col("p2")) & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select(F.col("doc_id").alias("a"), F.col("doc_b").alias("b"))
+        .distinct()
+    )
+    from parquet_batch_spark.operators.corpus_ops import _segment_edges
+
+    cand = _segment_edges(spark, sf_dir)
+    caught = true_pairs.join(cand, ["a", "b"]).agg(
+        F.count(F.lit(1)).alias("n_caught")
+    )
+    nt = true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nd = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        nt.crossJoin(nc)
+        .crossJoin(caught)
+        .crossJoin(nd)
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_caught",
+            F.when(
+                F.col("n_true") > 0,
+                F.floor(F.lit(1000000.0) * F.col("n_caught") / F.col("n_true")),
+            )
+            .otherwise(F.lit(1000000))
+            .cast("long")
+            .alias("pair_completeness_micro"),
+            F.floor(
+                F.lit(1000000.0)
+                * (
+                    1
+                    - F.col("n_candidates")
+                    / (F.col("n") * (F.col("n") - 1) / 2)
+                )
+            )
+            .cast("long")
+            .alias("reduction_ratio_micro"),
+        )
+    )
+
+
+def _blocking_quality_sql() -> str:
+    from parquet_batch_spark.operators.corpus_ops import _TRIANGLE_SQL
+
+    edges_part = _TRIANGLE_SQL.split("deg AS")[0].rstrip().rstrip(",")
+    return f"""{edges_part},
+pref AS (
+    SELECT doc_id,
+           array_to_string(({sql_tokens("text")})[1:{BQ_PREFIX_TOKENS}], ' ') AS pref
+    FROM documents
+),
+true_pairs AS (
+    SELECT DISTINCT p1.doc_id AS a, p2.doc_id AS b
+    FROM pref p1 JOIN pref p2 ON p1.pref = p2.pref AND p1.doc_id < p2.doc_id
+),
+m AS (
+    SELECT (SELECT COUNT(*) FROM true_pairs) AS n_true,
+           (SELECT COUNT(*) FROM edges) AS n_candidates,
+           (SELECT COUNT(*) FROM true_pairs t JOIN edges e
+              ON t.a = e.a AND t.b = e.b) AS n_caught,
+           (SELECT COUNT(*) FROM documents) AS n
+)
+SELECT n_true, n_candidates, n_caught,
+       CAST(CASE WHEN n_true > 0
+            THEN FLOOR(1000000.0 * n_caught / n_true) ELSE 1000000 END AS BIGINT)
+           AS pair_completeness_micro,
+       CAST(FLOOR(1000000.0 * (1 - n_candidates / (n * (n - 1) / 2)))
+           AS BIGINT) AS reduction_ratio_micro
+FROM m
+"""
+
+# ---------------------------------------------------------------------------
+# sample_neyman_allocation — variance-optimal stratified sampling
+# ---------------------------------------------------------------------------
+
+NEYMAN_TOTAL = 100  # sample budget to allocate across strata
+
+
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman (variance-optimal) allocation of a {NEYMAN_TOTAL}-doc
+    sample budget across language strata: n_h ∝ N_h·S_h, where S_h is
+    the stratum's population standard deviation of n_chars — the
+    allocation that minimizes estimator variance for a fixed budget
+    (vs ``sample_stratified``'s proportional allocation). The moments
+    are exact integer sums; S_h uses the one transcendental IEEE
+    requires correctly rounded (sqrt — the ``sample_temperature_
+    mixture`` precedent), then quantizes to integer micro-units so the
+    cross-stratum normalization is pure integer arithmetic.
+
+    Scale: one moment pass at stratum grain (|langs| rows), then a
+    |langs|×|langs| scalar normalization — allocation is a catalog-
+    sized computation no matter the corpus size.
+    """
+    d = load(spark, sf_dir, "documents").select("lang", "n_chars")
+    m = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)")).alias("sx"),
+        F.sum(
+            (F.col("n_chars") * F.col("n_chars")).cast("decimal(38,0)")
+        ).alias("sxx"),
+    )
+    var = (
+        F.col("n_h").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) / (F.col("n_h").cast("double") * F.col("n_h").cast("double"))
+    sm = m.select(
+        "lang",
+        "n_h",
+        F.floor(F.lit(1000000.0) * F.sqrt(var)).cast("long").alias("s_micro"),
+    )
+    tot = sm.agg(F.sum(F.col("n_h") * F.col("s_micro")).alias("denom"))
+    return (
+        sm.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_h",
+            "s_micro",
+            F.floor(
+                F.lit(float(NEYMAN_TOTAL))
+                * (F.col("n_h") * F.col("s_micro"))
+                / F.col("denom")
+            )
+            .cast("long")
+            .alias("n_alloc"),
+        )
+        .orderBy("lang")
+    )
+
+
+_NEYMAN_SQL = f"""
+WITH m AS (
+    SELECT lang, COUNT(*) AS n_h,
+           SUM(CAST(n_chars AS DECIMAL(38,0))) AS sx,
+           SUM(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS sxx
+    FROM documents GROUP BY lang
+),
+sm AS (
+    SELECT lang, n_h,
+           CAST(FLOOR(1000000.0 * SQRT(
+               (CAST(n_h AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               / (CAST(n_h AS DOUBLE) * CAST(n_h AS DOUBLE)))) AS BIGINT)
+               AS s_micro
+    FROM m
+),
+tot AS (SELECT SUM(n_h * s_micro) AS denom FROM sm)
+SELECT lang, n_h, s_micro,
+       CAST(FLOOR({NEYMAN_TOTAL}.0 * (n_h * s_micro) / denom) AS BIGINT)
+           AS n_alloc
+FROM sm, tot
+ORDER BY lang
+"""
+
+
 QUERIES = {
+    "feature_hashing_vectorize": feature_hashing_vectorize,
+    "dedup_blocking_quality": dedup_blocking_quality,
+    "sample_neyman_allocation": sample_neyman_allocation,
     "seq_shard_manifest": seq_shard_manifest,
     "sample_balanced_labels": sample_balanced_labels,
     "sample_temperature_mixture": sample_temperature_mixture,
@@ -1231,6 +1470,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "feature_hashing_vectorize": _FEAT_HASH_SQL,
+    "dedup_blocking_quality": _blocking_quality_sql(),
+    "sample_neyman_allocation": _NEYMAN_SQL,
     "seq_shard_manifest": _shard_manifest_sql(),
     "sample_balanced_labels": _BALANCED_SQL,
     "sample_temperature_mixture": _TEMP_MIX_SQL,

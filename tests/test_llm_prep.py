@@ -185,3 +185,47 @@ def test_funnel_monotonic(spark, sf_dir):
         prev = s
     assert rows["0_all"]["survivors"] == load(spark, sf_dir, "documents").count()
     assert rows["4_decontam"]["survivors"] > 0, "funnel must not empty the corpus"
+
+
+def test_feature_hashing_conserves_token_mass(spark, sf_dir):
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.functions.text import tokens_col
+    from parquet_batch_spark.operators.llm_prep import (
+        FH_BUCKETS,
+        feature_hashing_vectorize,
+    )
+
+    rows = feature_hashing_vectorize(spark, sf_dir).collect()
+    total_tokens = (
+        load(spark, sf_dir, "documents")
+        .select(F.size(tokens_col("text")).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert sum(r["token_mass"] for r in rows) == total_tokens
+    assert all(0 <= r["bucket"] < FH_BUCKETS for r in rows)
+    assert all(r["n_distinct_tokens"] >= 1 for r in rows)
+
+
+def test_blocking_quality_metric_ranges(spark, sf_dir):
+    from parquet_batch_spark.operators.llm_prep import dedup_blocking_quality
+
+    r = dedup_blocking_quality(spark, sf_dir).collect()[0]
+    assert 0 <= r["n_caught"] <= r["n_true"]
+    assert 0 <= r["pair_completeness_micro"] <= 1_000_000
+    # blocking must beat all-pairs by a wide margin
+    assert r["reduction_ratio_micro"] > 900_000
+    assert r["n_true"] > 0  # the prefix proxy finds families in this corpus
+
+
+def test_neyman_allocation_budget(spark, sf_dir):
+    from parquet_batch_spark.operators.llm_prep import (
+        NEYMAN_TOTAL,
+        sample_neyman_allocation,
+    )
+
+    rows = sample_neyman_allocation(spark, sf_dir).collect()
+    alloc = sum(r["n_alloc"] for r in rows)
+    # floor() loses at most one unit per stratum
+    assert NEYMAN_TOTAL - len(rows) <= alloc <= NEYMAN_TOTAL
+    assert all(r["s_micro"] > 0 for r in rows)
