@@ -32,16 +32,19 @@ from pyspark.sql import DataFrame, SparkSession
 #   r3 window: 27 never-checked r2-new + 4 repaired ERRs + 19 stalest
 #     r1 greens (scans/sources/sinks/joins/q1/agg_distinct).  49 green;
 #     ann_ivf_topk no_oracle (rows-only then — oracle added in r4).
-#   r4 window (this ordering): slots 1-49 = 49 of the 58 r4-NEW ops
-#     (new ops go first — the r2 lesson: 21 final-session ops, then
-#     the late-r4 llm_prep/batch-3..10 ops, then dedup_containment);
-#     slot 50 = ann_ivf_topk (r4-CHANGED, first-ever hash check — its
-#     only row ever is r3's no_oracle). Nine r4-new ops — each
-#     carrying a dedicated invariant/semantics test (ewma,
-#     rolling-median, listagg, running-distinct, bitwise, cdc, bloom,
-#     reservoir, kmeans) — the other two r4-CHANGED ops (reworked
-#     cosine + fuzzy: r2-green on unchanged test-SF outputs, plus
-#     local dual-SF sweeps) and ALL r1/r2 stales spill to r5.
+#   r4 window (this ordering, rebalanced in the continuation
+#     session): slots 1-21 = the 21 continuation-session ops, slot 22
+#     = join_interval_bucketed (landed late in the prior session; its
+#     oracle was registered this session), slot 23 = ann_ivf_topk
+#     (r4-CHANGED, first-ever hash check — its only row ever is r3's
+#     no_oracle), slots 24-50 = the first 27 earlier-r4-session ops in
+#     batch order (mapInArrow … text_rarity_score). Everything from
+#     curation_pipeline_funnel down — including the nine
+#     invariant-tested spills (ewma, rolling-median, listagg,
+#     running-distinct, bitwise, cdc, bloom, reservoir, kmeans), the
+#     two reworked dedup ops, and ALL r1/r2 stales — spills to r5.
+#     Every never-checked op has a local dual-SF oracle sweep + a
+#     dedicated test as interim evidence.
 #   r5 plan: the eleven spills in list order (window_ewma_decay …
 #     dedup_fuzzy_levenshtein), tpch_q2..q22, agg_rollup, agg_cube,
 #     agg_grouping_sets, agg_pivot, agg_stats, reshape_unpivot,
@@ -50,6 +53,43 @@ from pyspark.sql import DataFrame, SparkSession
 #     analytics/scalar/UDF/text/multimodal/streaming blocks), then the
 #     then-stalest r3 greens (curation + warehouse blocks).
 _PRIORITY = [
+    # --- r4-new operators (continuation session — newest first, the
+    #     standing policy): scale patterns (incremental MV, min/max
+    #     file skipping, exact bitmap distinct, strategy hints),
+    #     corpus curation (Gopher rules, URL canonical dedup,
+    #     triangle census, LPA communities, BPE merges), analytics
+    #     (weighted median, interval coalesce, OHLC bars, MAD
+    #     outliers, Pareto frontier), engine surface (recursive CTE,
+    #     binaryFile source, AES/sha fingerprints, multiset set ops),
+    #     llm_prep (feature hashing, blocking quality, Neyman
+    #     allocation) — every one dual-SF locally swept ---
+    "etl_incremental_agg",
+    "scan_minmax_skipping",
+    "agg_bitmap_distinct",
+    "join_strategy_hints",
+    "quality_gopher_rules",
+    "dedup_url_canonical",
+    "graph_triangle_count",
+    "graph_community_labels",
+    "text_bpe_merges",
+    "agg_weighted_median",
+    "window_interval_coalesce",
+    "sql_recursive_hierarchy",
+    "source_binaryfile_ingest",
+    "rollup_ohlc_bars",
+    "quality_mad_outliers",
+    "func_crypto_roundtrip",
+    "agg_pareto_frontier",
+    "set_ops_multiset",
+    "feature_hashing_vectorize",
+    "dedup_blocking_quality",
+    "sample_neyman_allocation",
+    # landed at the tail of the previous session without an ORACLES
+    # entry (registered this session) — first checkable round
+    "join_interval_bucketed",
+    # r4-changed: first-ever hash-checkable row for IVF (held from the
+    # previous window plan)
+    "ann_ivf_topk",
     # --- r4-new operators (final r4 session): mapInArrow surface,
     #     HLL partial-sketch union, _metadata per-file provenance,
     #     LATERAL top-k, Spark-4 transpose, observe() metrics ---
@@ -140,8 +180,6 @@ _PRIORITY = [
     #     unlike the IVF op whose only driver row ever is r3's
     #     no_oracle err ---
     "dedup_containment",
-    # --- r4-changed: first-ever hash-checkable row for IVF ---
-    "ann_ivf_topk",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",
