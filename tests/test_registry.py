@@ -29,46 +29,27 @@ def test_every_oracle_has_a_query():
 
 
 def test_driver_window_covers_round4_targets():
-    """Slots 1-50 must contain every r4-NEW op (new ops go first — the
-    r2 lesson: 37 of them after the late-r4 batches landed), every
-    r4-CHANGED op, and as many of the r1-stale entries as fit (TPC-H
-    window plus ann_ivf_topk, whose only driver row ever is r3's
-    no_oracle; the other changed/stale entries lead the r5 window —
-    ledger updated)."""
+    """Slots 1-50 (the driver's check window) must lead with every op
+    that is new or changed THIS session (21 continuation-session ops +
+    join_interval_bucketed, whose oracle was registered this session +
+    ann_ivf_topk, whose only driver row ever is r3's no_oracle), then
+    fill with the earliest never-checked prior-session batches. The
+    exact spill boundary is pinned so the r5 rotation plan in the
+    ledger comment stays truthful."""
     first50 = list(all_queries())[:50]
-    new_ops = {
-        "udf_map_in_arrow", "approx_hll_union_sketch", "scan_files_metadata",
-        "join_lateral_topk", "reshape_transpose", "scan_observed_metrics",
-        "dedup_cluster_representative", "stat_crosstab",
-        "sink_dynamic_partition_overwrite",
-        "func_regexp", "func_collation", "agg_minmax_by",
-        "agg_boolean", "explode_positional_tokens",
-        "source_python_datasource", "streaming_python_source",
-        "func_csv_struct", "sql_named_params", "func_struct_field_ops",
-        "seq_shard_manifest", "multimodal_payload_chunks",
-        "seq_pack_chunks", "sample_mix_domains", "dedup_paragraph",
-        "dedup_incremental_novelty", "embedding_quantize_int8",
-        "text_rarity_score", "curation_pipeline_funnel",
-        "multimodal_dedup_phash",
-        "text_bigram_surprisal", "etl_snapshot_diff",
-        "sample_temperature_mixture", "graph_degree_histogram",
-        "join_asof_tolerance", "agg_filtered",
-        "quality_langid_confusion", "window_percent_change",
-        "sink_compression_codecs",
-        "udf_arrow_scalar", "scan_ignore_corrupt", "func_url",
-        "join_null_safe", "agg_moments_exact", "window_nth_value",
-        "explode_outer_semantics", "func_try_arith",
-        "window_streak_islands", "sample_balanced_labels",
-        "dedup_containment"}
-    assert new_ops <= set(first50), new_ops - set(first50)
-    assert "ann_ivf_topk" in first50  # only driver row ever: no_oracle
-    # spills lead r5: six r4-new ops with dedicated invariant tests,
-    # then the reworked cosine/fuzzy (r2-green, dual-SF sweep locally)
-    next_up = list(all_queries())[50:61]
-    assert next_up == [
-        "window_ewma_decay", "window_rolling_median",
-        "agg_listagg_sorted", "window_running_distinct", "func_bitwise",
-        "etl_cdc_apply", "join_bloom_prefilter",
-        "sample_reservoir_per_group", "embedding_kmeans_rollup",
-        "dedup_embedding_cosine", "dedup_fuzzy_levenshtein",
-    ]
+    session_ops = {
+        "etl_incremental_agg", "scan_minmax_skipping", "agg_bitmap_distinct",
+        "join_strategy_hints", "quality_gopher_rules", "dedup_url_canonical",
+        "graph_triangle_count", "graph_community_labels", "text_bpe_merges",
+        "agg_weighted_median", "window_interval_coalesce",
+        "sql_recursive_hierarchy", "source_binaryfile_ingest",
+        "rollup_ohlc_bars", "quality_mad_outliers", "func_crypto_roundtrip",
+        "agg_pareto_frontier", "set_ops_multiset", "feature_hashing_vectorize",
+        "dedup_blocking_quality", "sample_neyman_allocation",
+        "join_interval_bucketed", "ann_ivf_topk"}
+    assert session_ops <= set(first50), session_ops - set(first50)
+    # the remaining 27 slots hold the earliest prior-session batches
+    assert first50[23] == "udf_map_in_arrow"
+    assert first50[49] == "text_rarity_score"
+    # spill boundary: curation_pipeline_funnel leads the r5 plan
+    assert list(all_queries())[50] == "curation_pipeline_funnel"
