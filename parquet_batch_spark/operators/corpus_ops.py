@@ -39,7 +39,12 @@ from pyspark.sql import functions as F
 from parquet_batch_spark.catalog import fan_out, load
 from parquet_batch_spark.functions.hashing import hash32, sql_hash32
 from parquet_batch_spark.functions.text import sql_tokens, tokens_col
-from parquet_batch_spark.operators.llm_prep import DEGREE_HOT_CAP, SEG_TOKENS
+from parquet_batch_spark.operators.llm_prep import (
+    DEGREE_HOT_CAP,
+    SEG_TOKENS,
+    SEGMENT_EDGES_CTE,
+    segment_edges as _segment_edges,
+)
 
 # ---------------------------------------------------------------------------
 # quality_gopher_rules — composite quality rule battery
@@ -265,43 +270,6 @@ ORDER BY canonical_url
 # ---------------------------------------------------------------------------
 
 
-def _segment_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Undirected unique edges (a < b) of the segment-sharing graph —
-    the same capped inverted-index construction as
-    ``graph_degree_histogram`` (llm_prep.py), oriented one way."""
-    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
-    toks = tokens_col("text")
-    n_seg = F.ceil(F.size(toks) / F.lit(SEG_TOKENS)).cast("int")
-    segs = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), n_seg),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(toks, (i - 1) * SEG_TOKENS + 1, SEG_TOKENS)
-                    ),
-                )
-            )
-        ).alias("seg"),
-    ).select("doc_id", hash32(F.col("seg")).alias("seg_h"))
-    hot = (
-        segs.groupBy("seg_h")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > DEGREE_HOT_CAP)
-        .select("seg_h")
-    )
-    cold = segs.join(F.broadcast(hot), "seg_h", "left_anti")
-    return (
-        cold.join(
-            cold.select(F.col("seg_h").alias("h2"), F.col("doc_id").alias("doc_b")),
-            (F.col("seg_h") == F.col("h2")) & (F.col("doc_id") < F.col("doc_b")),
-        )
-        .select(F.col("doc_id").alias("a"), F.col("doc_b").alias("b"))
-        .distinct()
-    )
-
-
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census + global clustering coefficient.
 
@@ -346,31 +314,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TRIANGLE_SQL = f"""
-WITH toks AS (
-    SELECT doc_id, {sql_tokens("text")} AS tk FROM documents
-),
-segs AS (
-    SELECT DISTINCT doc_id, {sql_hash32("seg")} AS seg_h
-    FROM (
-        SELECT doc_id,
-               UNNEST(list_distinct(list_transform(
-                   generate_series(1, CAST(CEIL(len(tk) / {SEG_TOKENS}.0) AS INTEGER)),
-                   i -> array_to_string(
-                       tk[(i-1)*{SEG_TOKENS}+1 : (i-1)*{SEG_TOKENS}+{SEG_TOKENS}],
-                       ' ')))) AS seg
-        FROM toks
-    )
-),
-hot AS (
-    SELECT seg_h FROM segs GROUP BY seg_h HAVING COUNT(*) > {DEGREE_HOT_CAP}
-),
-cold AS (
-    SELECT * FROM segs WHERE seg_h NOT IN (SELECT seg_h FROM hot)
-),
-edges AS (
-    SELECT DISTINCT s1.doc_id AS a, s2.doc_id AS b
-    FROM cold s1 JOIN cold s2 ON s1.seg_h = s2.seg_h AND s1.doc_id < s2.doc_id
-),
+WITH {SEGMENT_EDGES_CTE},
 deg AS (
     SELECT v, COUNT(*) AS deg
     FROM (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
@@ -446,32 +390,7 @@ def graph_community_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lpa_sql() -> str:
-    edges_cte = f"""
-toks AS (
-    SELECT doc_id, {sql_tokens("text")} AS tk FROM documents
-),
-segs AS (
-    SELECT DISTINCT doc_id, {sql_hash32("seg")} AS seg_h
-    FROM (
-        SELECT doc_id,
-               UNNEST(list_distinct(list_transform(
-                   generate_series(1, CAST(CEIL(len(tk) / {SEG_TOKENS}.0) AS INTEGER)),
-                   i -> array_to_string(
-                       tk[(i-1)*{SEG_TOKENS}+1 : (i-1)*{SEG_TOKENS}+{SEG_TOKENS}],
-                       ' ')))) AS seg
-        FROM toks
-    )
-),
-hot AS (
-    SELECT seg_h FROM segs GROUP BY seg_h HAVING COUNT(*) > {DEGREE_HOT_CAP}
-),
-cold AS (
-    SELECT * FROM segs WHERE seg_h NOT IN (SELECT seg_h FROM hot)
-),
-edges AS (
-    SELECT DISTINCT s1.doc_id AS a, s2.doc_id AS b
-    FROM cold s1 JOIN cold s2 ON s1.seg_h = s2.seg_h AND s1.doc_id < s2.doc_id
-),
+    edges_cte = f"""{SEGMENT_EDGES_CTE},
 adj AS (
     SELECT a AS v, b AS u FROM edges UNION ALL SELECT b AS v, a AS u FROM edges
 ),

@@ -969,6 +969,72 @@ ORDER BY r.lang
 DEGREE_HOT_CAP = 256  # segments shared by more docs don't form edges
 
 
+def segment_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected unique edges (a < b) of the segment-sharing graph —
+    the capped inverted-index construction shared by
+    ``graph_degree_histogram`` and the corpus_ops graph family."""
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = tokens_col("text")
+    n_seg = F.ceil(F.size(toks) / F.lit(SEG_TOKENS)).cast("int")
+    segs = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n_seg),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(toks, (i - 1) * SEG_TOKENS + 1, SEG_TOKENS)
+                    ),
+                )
+            )
+        ).alias("seg"),
+    ).select("doc_id", hash32(F.col("seg")).alias("seg_h"))
+    hot = (
+        segs.groupBy("seg_h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > DEGREE_HOT_CAP)
+        .select("seg_h")
+    )
+    cold = segs.join(F.broadcast(hot), "seg_h", "left_anti")
+    return (
+        cold.join(
+            cold.select(F.col("seg_h").alias("h2"), F.col("doc_id").alias("doc_b")),
+            (F.col("seg_h") == F.col("h2")) & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select(F.col("doc_id").alias("a"), F.col("doc_b").alias("b"))
+        .distinct()
+    )
+
+
+# DuckDB CTE block (toks → … → edges) mirroring segment_edges; callers
+# append their own downstream CTEs / SELECT.
+SEGMENT_EDGES_CTE = f"""toks AS (
+    SELECT doc_id, {sql_tokens("text")} AS tk FROM documents
+),
+segs AS (
+    SELECT DISTINCT doc_id, {sql_hash32("seg")} AS seg_h
+    FROM (
+        SELECT doc_id,
+               UNNEST(list_distinct(list_transform(
+                   generate_series(1, CAST(CEIL(len(tk) / {SEG_TOKENS}.0) AS INTEGER)),
+                   i -> array_to_string(
+                       tk[(i-1)*{SEG_TOKENS}+1 : (i-1)*{SEG_TOKENS}+{SEG_TOKENS}],
+                       ' ')))) AS seg
+        FROM toks
+    )
+),
+hot AS (
+    SELECT seg_h FROM segs GROUP BY seg_h HAVING COUNT(*) > {DEGREE_HOT_CAP}
+),
+cold AS (
+    SELECT * FROM segs WHERE seg_h NOT IN (SELECT seg_h FROM hot)
+),
+edges AS (
+    SELECT DISTINCT s1.doc_id AS a, s2.doc_id AS b
+    FROM cold s1 JOIN cold s2 ON s1.seg_h = s2.seg_h AND s1.doc_id < s2.doc_id
+)"""
+
+
 def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the content-sharing graph: docs are
     vertices, an edge connects two docs sharing at least one
@@ -1300,9 +1366,7 @@ def dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("a"), F.col("doc_b").alias("b"))
         .distinct()
     )
-    from parquet_batch_spark.operators.corpus_ops import _segment_edges
-
-    cand = _segment_edges(spark, sf_dir)
+    cand = segment_edges(spark, sf_dir)
     caught = true_pairs.join(cand, ["a", "b"]).agg(
         F.count(F.lit(1)).alias("n_caught")
     )
@@ -1339,10 +1403,7 @@ def dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _blocking_quality_sql() -> str:
-    from parquet_batch_spark.operators.corpus_ops import _TRIANGLE_SQL
-
-    edges_part = _TRIANGLE_SQL.split("deg AS")[0].rstrip().rstrip(",")
-    return f"""{edges_part},
+    return f"""WITH {SEGMENT_EDGES_CTE},
 pref AS (
     SELECT doc_id,
            array_to_string(({sql_tokens("text")})[1:{BQ_PREFIX_TOKENS}], ' ') AS pref

@@ -534,7 +534,89 @@ ORDER BY labeled, predicted
 """
 
 
+# ---------------------------------------------------------------------------
+# text_overlap_stitch — suffix/prefix boundary-overlap detection
+# ---------------------------------------------------------------------------
+
+STITCH_K = 3  # boundary width in tokens
+STITCH_HOT_CAP = 256  # boundary grams hotter than this don't join
+
+
+def text_overlap_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect document pairs where A's last {STITCH_K} tokens equal
+    B's first {STITCH_K} tokens — the signature of a document that was
+    SPLIT across crawl records (or of boilerplate stitched between
+    shards). Exact-dedup and shingle near-dedup both miss this shape:
+    the overlap is a sliver of each doc. Output: the stitchable (a→b)
+    pairs, ordered.
+
+    Scale: one equi-join of the suffix-gram table against the
+    prefix-gram table on the gram hash — never a substring scan of
+    all pairs. Grams hotter than {STITCH_HOT_CAP} docs are dropped as
+    join keys (the same hot-key cap as the segment index), so a
+    ubiquitous boundary phrase cannot go quadratic.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = tokens_col("text")
+    eligible = d.filter(F.size(toks) >= STITCH_K)
+    suf = eligible.select(
+        F.col("doc_id").alias("a"),
+        hash32(F.concat_ws(" ", F.slice(toks, -STITCH_K, STITCH_K))).alias("g"),
+    )
+    pre = eligible.select(
+        F.col("doc_id").alias("b"),
+        hash32(F.concat_ws(" ", F.slice(toks, 1, STITCH_K))).alias("g"),
+    )
+    hot = (
+        suf.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+        .unionAll(pre.groupBy("g").agg(F.count(F.lit(1)).alias("n")))
+        .groupBy("g")
+        .agg(F.max("n").alias("n"))
+        .filter(F.col("n") > STITCH_HOT_CAP)
+        .select("g")
+    )
+    suf_c = suf.join(F.broadcast(hot), "g", "left_anti")
+    pre_c = pre.join(F.broadcast(hot), "g", "left_anti")
+    return (
+        suf_c.join(pre_c, "g")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .orderBy("a", "b")
+    )
+
+
+_STITCH_SQL = f"""
+WITH t AS (
+    SELECT doc_id, {sql_tokens("text")} AS tk FROM documents
+),
+el AS (SELECT * FROM t WHERE len(tk) >= {STITCH_K}),
+suf AS (
+    SELECT doc_id AS a,
+           {sql_hash32(f"array_to_string(tk[-{STITCH_K}:], ' ')")} AS g
+    FROM el
+),
+pre AS (
+    SELECT doc_id AS b,
+           {sql_hash32(f"array_to_string(tk[1:{STITCH_K}], ' ')")} AS g
+    FROM el
+),
+hot AS (
+    SELECT g FROM (
+        SELECT g, COUNT(*) AS n FROM suf GROUP BY g
+        UNION ALL
+        SELECT g, COUNT(*) AS n FROM pre GROUP BY g
+    ) GROUP BY g HAVING MAX(n) > {STITCH_HOT_CAP}
+)
+SELECT DISTINCT s.a, p.b
+FROM suf s JOIN pre p ON s.g = p.g AND s.a != p.b
+WHERE s.g NOT IN (SELECT g FROM hot)
+ORDER BY a, b
+"""
+
+
 QUERIES = {
+    "text_overlap_stitch": text_overlap_stitch,
     "quality_langid_confusion": quality_langid_confusion,
     "text_bigram_surprisal": text_bigram_surprisal,
     "text_tfidf_topk": text_tfidf_topk,
@@ -547,6 +629,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_overlap_stitch": _STITCH_SQL,
     "quality_langid_confusion": _LANGID_CONFUSION_SQL,
     "text_bigram_surprisal": _BIGRAM_SURPRISAL_SQL,
     "text_tfidf_topk": _TFIDF_SQL,

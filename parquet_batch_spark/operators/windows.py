@@ -760,7 +760,100 @@ ORDER BY user_id
 """
 
 
+# ------------------------------------------- linear interpolation
+
+INTERP_BUCKET_SEC = 21600  # 6-hour resample grid (matches gap_fill)
+
+
+def window_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + LINEAR interpolation — gap_fill's
+    forward-fill sibling for continuous signals (sensor readings,
+    rates) where a flat carry-forward biases downstream aggregates:
+    missing buckets get v0 + (v1−v0)·(t−t0)/(t1−t0) between the
+    nearest observed neighbors. Spine construction is per-user
+    ``sequence()`` (no global cartesian); neighbors come from four
+    IGNORE-NULLS window lookups (last/first value and bucket id over
+    the preceding/following frames). Interior gaps always have both
+    neighbors (the spine is bounded by each user's first/last observed
+    bucket), so the arithmetic never divides by a missing anchor. The
+    interpolation expression is the same IEEE double sequence in both
+    engines; rounded to 6dp.
+    """
+    ev = load(spark, sf_dir, "events")
+    b = F.floor(F.unix_timestamp("ts") / INTERP_BUCKET_SEC)
+    obs = (
+        ev.select("user_id", b.alias("b"), "value")
+        .groupBy("user_id", "b")
+        .agg(F.max("value").alias("mx"))
+    )
+    spine = (
+        obs.groupBy("user_id")
+        .agg(F.min("b").alias("mn"), F.max("b").alias("mx_b"))
+        .select("user_id", F.explode(F.sequence("mn", "mx_b")).alias("b"))
+    )
+    joined = spine.join(obs, ["user_id", "b"], "left")
+    wp = W.partitionBy("user_id").orderBy("b").rowsBetween(W.unboundedPreceding, 0)
+    wf = W.partitionBy("user_id").orderBy("b").rowsBetween(0, W.unboundedFollowing)
+    obs_b = F.when(F.col("mx").isNotNull(), F.col("b"))
+    v0 = F.last("mx", ignorenulls=True).over(wp)
+    b0 = F.last(obs_b, ignorenulls=True).over(wp)
+    v1 = F.first("mx", ignorenulls=True).over(wf)
+    b1 = F.first(obs_b, ignorenulls=True).over(wf)
+    interp = F.when(F.col("mx").isNotNull(), F.col("mx")).otherwise(
+        v0 + (v1 - v0) * (F.col("b") - b0) / (b1 - b0)
+    )
+    return (
+        joined.select(
+            "user_id",
+            F.timestamp_seconds(F.col("b") * INTERP_BUCKET_SEC)
+            .cast("timestamp_ntz")
+            .alias("bucket_ts"),
+            F.col("mx").isNotNull().alias("observed"),
+            F.round(interp, 6).alias("value_interp"),
+        )
+        .orderBy("user_id", "bucket_ts")
+    )
+
+
+_INTERP_SQL = f"""
+WITH obs AS (
+    SELECT user_id, CAST(FLOOR(epoch(ts) / {INTERP_BUCKET_SEC}) AS BIGINT) AS b,
+           MAX(value) AS mx
+    FROM events GROUP BY user_id, b
+),
+spine AS (
+    SELECT user_id, unnest(generate_series(MIN(b), MAX(b))) AS b
+    FROM obs GROUP BY user_id
+),
+j AS (
+    SELECT s.user_id, s.b, o.mx,
+           CASE WHEN o.mx IS NOT NULL THEN s.b END AS ob
+    FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.b = o.b
+),
+n AS (
+    SELECT user_id, b, mx,
+           LAST_VALUE(mx IGNORE NULLS) OVER wp AS v0,
+           LAST_VALUE(ob IGNORE NULLS) OVER wp AS b0,
+           FIRST_VALUE(mx IGNORE NULLS) OVER wf AS v1,
+           FIRST_VALUE(ob IGNORE NULLS) OVER wf AS b1
+    FROM j
+    WINDOW wp AS (PARTITION BY user_id ORDER BY b
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wf AS (PARTITION BY user_id ORDER BY b
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id,
+       (to_timestamp(b * {INTERP_BUCKET_SEC}))::TIMESTAMP AS bucket_ts,
+       (mx IS NOT NULL) AS observed,
+       ROUND(CASE WHEN mx IS NOT NULL THEN mx
+             ELSE v0 + (v1 - v0) * (b - b0) / (b1 - b0) END, 6) AS value_interp
+FROM n
+ORDER BY user_id, bucket_ts
+"""
+
+
 QUERIES = {
+    "window_linear_interpolate": window_linear_interpolate,
     "window_interval_coalesce": window_interval_coalesce,
     "window_streak_islands": window_streak_islands,
     "window_nth_value": window_nth_value,
@@ -779,6 +872,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_linear_interpolate": _INTERP_SQL,
     "window_interval_coalesce": _IVC_SQL,
     "window_streak_islands": _STREAK_SQL,
     "window_nth_value": _NTH_VALUE_SQL,

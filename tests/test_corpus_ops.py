@@ -148,3 +148,42 @@ def test_interval_coalesce_bounds(spark, sf_dir):
         n = ev_counts[r["user_id"]]
         assert 1 <= r["n_islands"] <= n
         assert IVC_WIDTH_US <= r["covered_us"] <= n * IVC_WIDTH_US
+
+
+def test_linear_interpolate_semantics(spark, sf_dir):
+    from parquet_batch_spark.operators.windows import window_linear_interpolate
+
+    rows = window_linear_interpolate(spark, sf_dir).collect()
+    assert all(r["value_interp"] is not None for r in rows)
+    # interpolated points lie between their neighbors per user
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    gaps = 0
+    for seq in by_user.values():
+        assert seq[0]["observed"] and seq[-1]["observed"]  # spine bounded
+        for i, r in enumerate(seq):
+            if not r["observed"]:
+                gaps += 1
+                lo = next(x for x in reversed(seq[:i]) if x["observed"])
+                hi = next(x for x in seq[i + 1:] if x["observed"])
+                a, b = sorted((lo["value_interp"], hi["value_interp"]))
+                assert a - 1e-6 <= r["value_interp"] <= b + 1e-6
+    assert gaps > 0  # the grid actually has gaps to interpolate
+
+
+def test_overlap_stitch_pairs_verified(spark, sf_dir):
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.operators.text_analysis import (
+        STITCH_K,
+        text_overlap_stitch,
+    )
+
+    pairs = text_overlap_stitch(spark, sf_dir).collect()
+    assert pairs  # this corpus contains stitchable pairs at K=3
+    texts = {
+        r["doc_id"]: r["text"].split()
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+    for p in pairs:
+        assert texts[p["a"]][-STITCH_K:] == texts[p["b"]][:STITCH_K]
