@@ -732,7 +732,117 @@ ORDER BY order_week
 """
 
 
+# ---------------------------------------------------------------------------
+# join_spatial_grid_radius — 2-D radius self-join via grid bucketing
+# ---------------------------------------------------------------------------
+
+SP_SPACE = 100_000  # coordinate space per axis
+SP_RADIUS = 200  # pair radius (L2)
+SP_CELL = 200  # grid cell width == radius ⇒ 3×3 neighbor probing is complete
+
+
+def join_spatial_grid_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All point pairs within L2 radius {SP_RADIUS} — the 2-D analogue
+    of ``join_interval_bucketed``: a radius self-join is a nested loop
+    unless you BIN. Points (synthesized from event ids by
+    multiplicative hashing — integer coords, both engines identical)
+    land in {SP_CELL}-wide grid cells; each LEFT point expands to its
+    3×3 neighbor cells (cell = radius ⇒ any within-radius partner is
+    in one of them — completeness is geometric, not probabilistic),
+    the join is a plain EQUI-join on the cell id, and the exact
+    integer distance check refines. Each unordered pair is found
+    exactly once: only via the smaller id's expansion into the larger
+    id's unique home cell.
+
+    Scale: candidate work is Θ(9·N·density-per-cell) — output-bound
+    like every true pair-finder, never N². The shuffle is a hash
+    partition on cell id; AQE handles hot cells.
+    """
+    ev = load(spark, sf_dir, "events").select("event_id")
+    px = (F.col("event_id") * 2654435761) % SP_SPACE
+    py = (F.col("event_id") * 2246822519 + 12345) % SP_SPACE
+    pts = ev.select(
+        "event_id",
+        px.alias("px"),
+        py.alias("py"),
+        F.floor(px / SP_CELL).alias("cx"),
+        F.floor(py / SP_CELL).alias("cy"),
+    )
+    off = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    probes = (
+        pts.withColumn("dx", F.explode(off))
+        .withColumn("dy", F.explode(off))
+        .select(
+            F.col("event_id").alias("ida"),
+            F.col("px").alias("pxa"),
+            F.col("py").alias("pya"),
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+        )
+    )
+    cand = probes.join(
+        pts.select(
+            F.col("event_id").alias("idb"),
+            F.col("px").alias("pxb"),
+            F.col("py").alias("pyb"),
+            "cx",
+            "cy",
+        ),
+        ["cx", "cy"],
+    ).filter(F.col("ida") < F.col("idb"))
+    ddx = F.col("pxa") - F.col("pxb")
+    ddy = F.col("pya") - F.col("pyb")
+    d2 = ddx * ddx + ddy * ddy  # integer arithmetic — never pow()
+    hits = cand.withColumn("d2", d2.cast("long")).filter(
+        F.col("d2") <= SP_RADIUS * SP_RADIUS
+    )
+    return (
+        hits.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("d2").alias("sum_dist2"),
+            F.min("d2").alias("min_dist2"),
+        )
+        .crossJoin(pts.agg(F.count(F.lit(1)).alias("n_points")))
+        .select("n_points", "n_pairs", "sum_dist2", "min_dist2")
+    )
+
+
+_SPATIAL_SQL = f"""
+WITH pts AS (
+    SELECT event_id,
+           (event_id * 2654435761) % {SP_SPACE} AS px,
+           (event_id * 2246822519 + 12345) % {SP_SPACE} AS py
+    FROM events
+),
+cells AS (
+    SELECT event_id, px, py,
+           CAST(FLOOR(px / {SP_CELL}) AS BIGINT) AS cx,
+           CAST(FLOOR(py / {SP_CELL}) AS BIGINT) AS cy
+    FROM pts
+),
+probes AS (
+    SELECT event_id AS ida, px AS pxa, py AS pya,
+           cx + dx.d AS cx, cy + dy.d AS cy
+    FROM cells, UNNEST([-1, 0, 1]) AS dx(d), UNNEST([-1, 0, 1]) AS dy(d)
+),
+hits AS (
+    SELECT (p.pxa - c.px) * (p.pxa - c.px)
+         + (p.pya - c.py) * (p.pya - c.py) AS d2
+    FROM probes p
+    JOIN cells c ON p.cx = c.cx AND p.cy = c.cy AND p.ida < c.event_id
+    WHERE (p.pxa - c.px) * (p.pxa - c.px)
+        + (p.pya - c.py) * (p.pya - c.py) <= {SP_RADIUS * SP_RADIUS}
+)
+SELECT (SELECT COUNT(*) FROM pts) AS n_points,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(d2) AS BIGINT) AS sum_dist2,
+       CAST(MIN(d2) AS BIGINT) AS min_dist2
+FROM hits
+"""
+
+
 QUERIES = {
+    "join_spatial_grid_radius": join_spatial_grid_radius,
     "join_interval_bucketed": join_interval_bucketed,
     "join_lateral_topk": join_lateral_topk,
     "join_null_safe": join_null_safe,
@@ -750,6 +860,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_spatial_grid_radius": _SPATIAL_SQL,
     "join_interval_bucketed": _JOIN_INTERVAL_SQL,
     "join_lateral_topk": _JOIN_LATERAL_SQL,
     "join_null_safe": _NULL_SAFE_SQL,

@@ -852,7 +852,128 @@ ORDER BY user_id, bucket_ts
 """
 
 
+# ------------------------------------------- max drawdown
+
+
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each user's value series — the largest
+    peak-to-trough drop along the (ts, event_id)-ordered path; the
+    risk metric every portfolio/SLA monitor reports. One running-max
+    window pass (drawdown_i = runmax_i − value_i), then a per-user
+    reduction; never a pairwise (peak, trough) join. 2-dp inputs and
+    identical IEEE subtraction on both engines keep it hash-exact.
+    """
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(us, "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    runmax = F.max("value").over(w)
+    return (
+        ev.select(
+            "user_id",
+            "value",
+            (runmax - F.col("value")).alias("dd"),
+            runmax.alias("peak_so_far"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.round(F.max("dd"), 6).alias("max_drawdown"),
+            F.max("peak_so_far").alias("peak_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_DRAWDOWN_SQL = """
+WITH r AS (
+    SELECT user_id, value,
+           MAX(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                            ROWS UNBOUNDED PRECEDING) AS runmax
+    FROM events
+)
+SELECT user_id,
+       ROUND(MAX(runmax - value), 6) AS max_drawdown,
+       MAX(runmax) AS peak_value,
+       COUNT(*) AS n_events
+FROM r
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+# ------------------------------------------- time-weighted average
+
+
+def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) of each user's value series: each
+    observation is weighted by how long it was in force (until the
+    next event) — the correct mean for irregularly-sampled state, vs
+    the event-weighted mean that overweights bursty periods. Exact
+    arithmetic: values are 2-dp → integer centi-units; durations in
+    whole seconds; Σ(centivalue·dur_s) stays < 2^53, so the closing
+    double division is correctly rounded identically in both engines.
+    Scale: one lead() window pass + one per-user reduction.
+    """
+    ev = load(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    vc = F.round(F.col("value") * 100).cast("long")
+    base = ev.select(
+        "user_id",
+        vc.alias("vc"),
+        sec.alias("s"),
+        "event_id",
+    ).select(
+        "user_id",
+        "vc",
+        (F.lead("s").over(W.partitionBy("user_id").orderBy("s", "event_id")) - F.col("s")).alias(
+            "dur_s"
+        ),
+    )
+    held = base.filter(F.col("dur_s").isNotNull())
+    return (
+        held.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_held"),
+            F.sum("dur_s").alias("span_s"),
+            F.round(
+                F.sum(F.col("vc") * F.col("dur_s"))
+                / (F.lit(100.0) * F.sum("dur_s")),
+                6,
+            ).alias("twap"),
+        )
+        .filter(F.col("span_s") > 0)
+        .orderBy("user_id")
+    )
+
+
+_TWAP_SQL = """
+WITH base AS (
+    SELECT user_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS vc,
+           LEAD(CAST(FLOOR(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id
+                     ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id)
+             - CAST(FLOOR(epoch(ts)) AS BIGINT) AS dur_s
+    FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_held,
+       CAST(SUM(dur_s) AS BIGINT) AS span_s,
+       ROUND(SUM(vc * dur_s) / (100.0 * SUM(dur_s)), 6) AS twap
+FROM base
+WHERE dur_s IS NOT NULL
+GROUP BY user_id
+HAVING SUM(dur_s) > 0
+ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "window_max_drawdown": window_max_drawdown,
+    "window_time_weighted_avg": window_time_weighted_avg,
     "window_linear_interpolate": window_linear_interpolate,
     "window_interval_coalesce": window_interval_coalesce,
     "window_streak_islands": window_streak_islands,
@@ -872,6 +993,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_max_drawdown": _DRAWDOWN_SQL,
+    "window_time_weighted_avg": _TWAP_SQL,
     "window_linear_interpolate": _INTERP_SQL,
     "window_interval_coalesce": _IVC_SQL,
     "window_streak_islands": _STREAK_SQL,

