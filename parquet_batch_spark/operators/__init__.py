@@ -33,13 +33,13 @@ from pyspark.sql import DataFrame, SparkSession
 #     r1 greens (scans/sources/sinks/joins/q1/agg_distinct).  49 green;
 #     ann_ivf_topk no_oracle (rows-only then — oracle added in r4).
 #   r4 window (this ordering, rebalanced in the continuation
-#     session): slots 1-23 = the 23 continuation-session ops, slot 24
+#     session): slots 1-26 = the 26 continuation-session ops, slot 27
 #     = join_interval_bucketed (landed late in the prior session; its
-#     oracle was registered this session), slot 25 = ann_ivf_topk
+#     oracle was registered this session), slot 28 = ann_ivf_topk
 #     (r4-CHANGED, first-ever hash check — its only row ever is r3's
-#     no_oracle), slots 26-50 = the first 25 earlier-r4-session ops in
-#     batch order (mapInArrow … dedup_incremental_novelty). Everything
-#     from embedding_quantize_int8 down — including the nine
+#     no_oracle), slots 29-50 = the first 22 earlier-r4-session ops in
+#     batch order (mapInArrow … multimodal_payload_chunks). Everything
+#     from seq_pack_chunks down — including the nine
 #     invariant-tested spills (ewma, rolling-median, listagg,
 #     running-distinct, bitwise, cdc, bloom, reservoir, kmeans), the
 #     two reworked dedup ops, and ALL r1/r2 stales — spills to r5.
@@ -86,6 +86,9 @@ _PRIORITY = [
     "sample_neyman_allocation",
     "window_linear_interpolate",
     "text_overlap_stitch",
+    "join_spatial_grid_radius",
+    "window_max_drawdown",
+    "window_time_weighted_avg",
     # landed at the tail of the previous session without an ORACLES
     # entry (registered this session) — first checkable round
     "join_interval_bucketed",

@@ -47,10 +47,12 @@ def test_driver_window_covers_round4_targets():
         "agg_pareto_frontier", "set_ops_multiset", "feature_hashing_vectorize",
         "dedup_blocking_quality", "sample_neyman_allocation",
         "window_linear_interpolate", "text_overlap_stitch",
+        "join_spatial_grid_radius", "window_max_drawdown",
+        "window_time_weighted_avg",
         "join_interval_bucketed", "ann_ivf_topk"}
     assert session_ops <= set(first50), session_ops - set(first50)
     # the remaining 27 slots hold the earliest prior-session batches
-    assert first50[25] == "udf_map_in_arrow"
-    assert first50[49] == "dedup_incremental_novelty"
+    assert first50[28] == "udf_map_in_arrow"
+    assert first50[49] == "multimodal_payload_chunks"
     # spill boundary: curation_pipeline_funnel leads the r5 plan
-    assert list(all_queries())[50] == "embedding_quantize_int8"
+    assert list(all_queries())[50] == "seq_pack_chunks"
