@@ -38,8 +38,8 @@ from pyspark.sql import DataFrame, SparkSession
 #     oracle was registered this session), slot 28 = ann_ivf_topk
 #     (r4-CHANGED, first-ever hash check — its only row ever is r3's
 #     no_oracle), slots 29-50 = the first 22 earlier-r4-session ops in
-#     batch order (mapInArrow … multimodal_payload_chunks). Everything
-#     from seq_pack_chunks down — including the nine
+#     batch order (mapInArrow … seq_pack_chunks). Everything
+#     from sample_mix_domains down — including the nine
 #     invariant-tested spills (ewma, rolling-median, listagg,
 #     running-distinct, bitwise, cdc, bloom, reservoir, kmeans), the
 #     two reworked dedup ops, and ALL r1/r2 stales — spills to r5.

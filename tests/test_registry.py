@@ -53,6 +53,6 @@ def test_driver_window_covers_round4_targets():
     assert session_ops <= set(first50), session_ops - set(first50)
     # the remaining 27 slots hold the earliest prior-session batches
     assert first50[28] == "udf_map_in_arrow"
-    assert first50[49] == "multimodal_payload_chunks"
+    assert first50[49] == "seq_pack_chunks"
     # spill boundary: curation_pipeline_funnel leads the r5 plan
-    assert list(all_queries())[50] == "seq_pack_chunks"
+    assert list(all_queries())[50] == "sample_mix_domains"
