@@ -564,7 +564,79 @@ ORDER BY cell
 """
 
 
+# ---------------------------------------------------------------------------
+# embedding_dim_stats — per-dimension normalization statistics
+# ---------------------------------------------------------------------------
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance/extremes profile of the embedding
+    corpus — the statistics table every feature-normalization /
+    whitening / quantizer-calibration step consumes (and the first
+    thing you inspect when an ANN index misbehaves: dead dimensions,
+    scale outliers). Floats are quantized to integer micro-units
+    FIRST (both engines perform the identical float→int floor), so
+    mean/variance come from exact integer power sums — no float
+    summation order anywhere; DECIMAL(38,0) sums absorb any corpus
+    size. One posexplode pass, one aggregate at dimension grain
+    (64 rows out regardless of corpus size).
+    """
+    e = fan_out(load(spark, sf_dir, "embeddings"), spark, "vec_id")
+    dim = e.select(
+        F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("x").cast("double") * 1000000).cast("long").alias("xq"),
+    )
+    m = dim.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xq").cast("decimal(38,0)")).alias("sx"),
+        F.sum((F.col("xq") * F.col("xq")).cast("decimal(38,0)")).alias("sxx"),
+        F.min("xq").alias("min_micro"),
+        F.max("xq").alias("max_micro"),
+    )
+    n_d = F.col("n").cast("double")
+    var = (
+        n_d * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) / (n_d * n_d)
+    return m.select(
+        "dim",
+        "n",
+        F.floor(F.col("sx").cast("double") / n_d).cast("long").alias("mean_micro"),
+        F.floor(var).cast("long").alias("var_micro2"),
+        "min_micro",
+        "max_micro",
+    ).orderBy("dim")
+
+
+_DIM_STATS_SQL = """
+WITH d AS (
+    SELECT dim - 1 AS dim, CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xq
+    FROM (SELECT UNNEST(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS dim
+          FROM embeddings)
+),
+m AS (
+    SELECT dim, COUNT(*) AS n,
+           SUM(CAST(xq AS DECIMAL(38,0))) AS sx,
+           SUM(CAST(xq * xq AS DECIMAL(38,0))) AS sxx,
+           MIN(xq) AS min_micro, MAX(xq) AS max_micro
+    FROM d GROUP BY dim
+)
+SELECT dim, n,
+       CAST(FLOOR(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS mean_micro,
+       CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT)
+           AS var_micro2,
+       min_micro, max_micro
+FROM m
+ORDER BY dim
+"""
+
+
 QUERIES = {
+    "embedding_dim_stats": embedding_dim_stats,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_topk": ann_ivf_topk,
@@ -572,6 +644,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_dim_stats": _DIM_STATS_SQL,
     "ann_bruteforce_topk": _ANN_BRUTE_SQL,
     "ann_lsh_bucketed": _ANN_LSH_SQL,
     # oracle-checkable since the quantizer moved to hash-sampled data

@@ -818,7 +818,85 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# source_csv_quoted_multiline — CSV edge semantics (quotes + newlines)
+# ---------------------------------------------------------------------------
+
+
+def source_csv_quoted_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round trip through the HARD cases: fields containing the
+    delimiter, double quotes, and embedded NEWLINES (the cases that
+    break naive line-splitting parsers — and the reason
+    ``multiLine=true`` exists: a quoted record spans physical lines,
+    so the file can no longer be split at arbitrary byte offsets).
+    Synthesizes adversarial values from doc columns (same expression
+    in the oracle), writes with Spark's quoting writer, reads back
+    with ``multiLine`` + escaped quotes, and checksums per lang.
+
+    Scale note: multiLine forces one-file-per-task parsing (no
+    intra-file splits) — correct but parallelism-limited; the staged
+    write keeps many small files so task parallelism survives. Plain
+    (newline-free) CSV keeps splittable scans — the trade-off this
+    operator documents.
+    """
+    out = _io_dir(sf_dir, "csv_quoted_multiline")
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tricky = F.concat(
+        F.lit('pre,"q" '),
+        F.substring("text", 1, 20),
+        F.lit("\nline2:"),
+        F.col("lang"),
+    )
+    src = d.select("doc_id", "lang", tricky.alias("payload"))
+    (
+        src.repartition(8)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("escape", '"')
+        .csv(out)
+    )
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .schema("doc_id BIGINT, lang STRING, payload STRING")
+        .csv(out)
+    )
+    from parquet_batch_spark.functions.hashing import hash32
+
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.length("payload")).alias("payload_chars"),
+            F.sum(hash32(F.col("payload")) % 1000003).alias("payload_crc_mod"),
+        )
+        .orderBy("lang")
+    )
+
+
+# The checksum is the portable md5-derived 32-bit hash (DuckDB has no
+# crc32), summed mod a prime per cohort.
+_CSV_MULTILINE_SQL = """
+WITH src AS (
+    SELECT doc_id, lang,
+           'pre,"q" ' || substr(text, 1, 20) || chr(10) || 'line2:' || lang
+               AS payload
+    FROM documents WHERE doc_id < 200
+)
+SELECT lang,
+       COUNT(*) AS n_rows,
+       CAST(SUM(len(payload)) AS BIGINT) AS payload_chars,
+       CAST(SUM(CAST(('0x' || substr(md5(payload), 1, 8)) AS UBIGINT)::BIGINT % 1000003) AS BIGINT)
+           AS payload_crc_mod
+FROM src
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
+    "source_csv_quoted_multiline": source_csv_quoted_multiline,
     "source_binaryfile_ingest": source_binaryfile_ingest,
     "source_python_datasource": source_python_datasource,
     "sink_dynamic_partition_overwrite": sink_dynamic_partition_overwrite,
@@ -836,6 +914,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "source_csv_quoted_multiline": _CSV_MULTILINE_SQL,
     "source_binaryfile_ingest": _BINARYFILE_SQL,
     "source_python_datasource": _PY_DATASOURCE_SQL,
     "sink_dynamic_partition_overwrite": _DYN_OVERWRITE_SQL,

@@ -48,11 +48,12 @@ def test_driver_window_covers_round4_targets():
         "dedup_blocking_quality", "sample_neyman_allocation",
         "window_linear_interpolate", "text_overlap_stitch",
         "join_spatial_grid_radius", "window_max_drawdown",
-        "window_time_weighted_avg",
+        "window_time_weighted_avg", "embedding_dim_stats",
+        "source_csv_quoted_multiline",
         "join_interval_bucketed", "ann_ivf_topk"}
     assert session_ops <= set(first50), session_ops - set(first50)
     # the remaining 27 slots hold the earliest prior-session batches
-    assert first50[28] == "udf_map_in_arrow"
-    assert first50[49] == "seq_pack_chunks"
+    assert first50[30] == "udf_map_in_arrow"
+    assert first50[49] == "seq_shard_manifest"
     # spill boundary: curation_pipeline_funnel leads the r5 plan
-    assert list(all_queries())[50] == "sample_mix_domains"
+    assert list(all_queries())[50] == "multimodal_payload_chunks"

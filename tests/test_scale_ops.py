@@ -207,3 +207,26 @@ def test_twap_within_value_range(spark, sf_dir):
         mn, mx = bounds[r["user_id"]]
         assert mn - 1e-6 <= r["twap"] <= mx + 1e-6
         assert r["span_s"] > 0
+
+
+def test_embedding_dim_stats_shape(spark, sf_dir):
+    from parquet_batch_spark.operators.similarity import embedding_dim_stats
+
+    rows = embedding_dim_stats(spark, sf_dir).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r["n"] == 500
+        assert r["min_micro"] <= r["mean_micro"] <= r["max_micro"]
+        assert r["var_micro2"] >= 0
+
+
+def test_csv_multiline_roundtrip_counts(spark, sf_dir):
+    from parquet_batch_spark.operators.sources_ext import (
+        source_csv_quoted_multiline,
+    )
+
+    rows = source_csv_quoted_multiline(spark, sf_dir).collect()
+    assert sum(r["n_rows"] for r in rows) == 200
+    # payload embeds one newline per row: chars per row > the 20-char slice
+    for r in rows:
+        assert r["payload_chars"] > r["n_rows"] * 20
