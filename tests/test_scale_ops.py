@@ -230,3 +230,15 @@ def test_csv_multiline_roundtrip_counts(spark, sf_dir):
     # payload embeds one newline per row: chars per row > the 20-char slice
     for r in rows:
         assert r["payload_chars"] > r["n_rows"] * 20
+
+
+def test_spatial_pair_join_is_hash_equi(spark, sf_dir):
+    """The candidate join must be a hash equi-join on the cell id —
+    a nested loop over points would be the N² plan binning exists to
+    avoid. (The only BNLJ allowed is the final 1-row scalar combine.)"""
+    from parquet_batch_spark.operators.joins import join_spatial_grid_radius
+
+    plan = executed_plan(join_spatial_grid_radius(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    joins = [l for l in plan.splitlines() if "HashJoin" in l]
+    assert any("cx" in l and "cy" in l for l in joins), plan
