@@ -1282,6 +1282,65 @@ ORDER BY lang, shard_id
 
 
 # ---------------------------------------------------------------------------
+# quality_source_gini — corpus concentration report
+# ---------------------------------------------------------------------------
+
+
+def quality_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How concentrated is the corpus across sources? Gini coefficient
+    of per-source character mass (0 = perfectly balanced, →1 = one
+    source dominates) plus the top source's share — the one-row
+    imbalance report a mixture-rebalancing stage (cf.
+    ``sample_mix_domains``, ``sample_temperature_mixture``) is
+    triggered by. Exact integer arithmetic end to end: the sorted-rank
+    Gini formula G = (2·Σᵢ i·xᵢ − (n+1)·T) / (n·T) over the REDUCED
+    per-source table (|sources| rows — the window sort is catalog-
+    sized no matter the corpus; equal masses make rank order
+    irrelevant since Σ i·x is tie-invariant).
+    """
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(F.sum("n_chars").alias("mass"))
+    ranked = per_src.select(
+        "mass",
+        F.row_number().over(W.orderBy("mass", "source")).alias("i"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("mass").alias("total_chars"),
+        F.floor(
+            F.lit(1000000.0)
+            * (2 * F.sum(F.col("i") * F.col("mass")) - (F.count(F.lit(1)) + 1) * F.sum("mass"))
+            / (F.count(F.lit(1)) * F.sum("mass"))
+        )
+        .cast("long")
+        .alias("gini_micro"),
+        F.floor(F.lit(1000000.0) * F.max("mass") / F.sum("mass"))
+        .cast("long")
+        .alias("top_share_micro"),
+    )
+
+
+_SOURCE_GINI_SQL = """
+WITH per_src AS (
+    SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass
+    FROM documents GROUP BY source
+),
+ranked AS (
+    SELECT mass, ROW_NUMBER() OVER (ORDER BY mass, source) AS i FROM per_src
+)
+SELECT COUNT(*) AS n_sources,
+       CAST(SUM(mass) AS BIGINT) AS total_chars,
+       CAST(FLOOR(1000000.0
+            * (2 * SUM(i * mass) - (COUNT(*) + 1) * SUM(mass))
+            / (COUNT(*) * SUM(mass))) AS BIGINT) AS gini_micro,
+       CAST(FLOOR(1000000.0 * MAX(mass) / SUM(mass)) AS BIGINT)
+           AS top_share_micro
+FROM ranked
+"""
+
+# ---------------------------------------------------------------------------
 # feature_hashing_vectorize — hashing-trick featurization
 # ---------------------------------------------------------------------------
 
@@ -1513,6 +1572,7 @@ ORDER BY lang
 
 
 QUERIES = {
+    "quality_source_gini": quality_source_gini,
     "feature_hashing_vectorize": feature_hashing_vectorize,
     "dedup_blocking_quality": dedup_blocking_quality,
     "sample_neyman_allocation": sample_neyman_allocation,
@@ -1531,6 +1591,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quality_source_gini": _SOURCE_GINI_SQL,
     "feature_hashing_vectorize": _FEAT_HASH_SQL,
     "dedup_blocking_quality": _blocking_quality_sql(),
     "sample_neyman_allocation": _NEYMAN_SQL,

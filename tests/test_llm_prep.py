@@ -229,3 +229,13 @@ def test_neyman_allocation_budget(spark, sf_dir):
     # floor() loses at most one unit per stratum
     assert NEYMAN_TOTAL - len(rows) <= alloc <= NEYMAN_TOTAL
     assert all(r["s_micro"] > 0 for r in rows)
+
+
+def test_source_gini_range(spark, sf_dir):
+    from parquet_batch_spark.operators.llm_prep import quality_source_gini
+
+    r = quality_source_gini(spark, sf_dir).collect()[0]
+    assert r["n_sources"] == 20
+    assert 0 <= r["gini_micro"] < 1_000_000
+    # top share is at least 1/n and at most total
+    assert 1_000_000 // 20 <= r["top_share_micro"] < 1_000_000
