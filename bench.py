@@ -93,6 +93,12 @@ HEADLINE = [
     "dedup_url_canonical",
     "agg_weighted_median",
     "window_interval_coalesce",
+    "join_spatial_grid_radius",
+    "window_max_drawdown",
+    "window_time_weighted_avg",
+    "embedding_dim_stats",
+    "feature_hashing_vectorize",
+    "sql_recursive_hierarchy",
 ]
 
 
