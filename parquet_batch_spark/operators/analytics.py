@@ -721,6 +721,64 @@ ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# agg_decile_report — distribution report without a global sort
+# ---------------------------------------------------------------------------
+
+
+def agg_decile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile distribution report of order totals (per-decile count /
+    min / max / exact revenue) — computed the way it must be at scale:
+    ``ntile(10)`` needs a GLOBAL SORT of every row; instead, the nine
+    exact decile boundaries come from one percentile aggregate (9
+    scalars), broadcast back, and each row buckets itself with nine
+    comparisons — one reduce + one map, no total order anywhere.
+    Boundary-equal values land in the lower decile (strict-> rule,
+    identical in both engines since the interpolated boundaries are
+    bit-identical — the agg_percentiles pairing).
+    """
+    o = load(spark, sf_dir, "orders")
+    qs = [i / 10.0 for i in range(1, 10)]
+    bounds = o.agg(
+        F.expr(
+            "percentile(o_totalprice, array("
+            + ", ".join(f"{q}D" for q in qs)
+            + "))"
+        ).alias("bs")
+    )
+    bucket = F.lit(1)
+    for i in range(9):
+        bucket = bucket + F.when(F.col("o_totalprice") > F.col("bs")[i], 1).otherwise(0)
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("decile"), "o_totalprice")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            dsum("o_totalprice", "revenue"),
+        )
+        .orderBy("decile")
+    )
+
+
+_DECILE_SQL = f"""
+WITH b AS (
+    SELECT [{", ".join(f"quantile_cont(o_totalprice, {i / 10.0})" for i in range(1, 10))}] AS bs
+    FROM orders
+)
+SELECT 1 {" ".join(f"+ CASE WHEN o_totalprice > bs[{i}] THEN 1 ELSE 0 END" for i in range(1, 10))}
+           AS decile,
+       COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       {sql_dsum("o_totalprice")} AS revenue
+FROM orders, b
+GROUP BY decile
+ORDER BY decile
+"""
+
+# ---------------------------------------------------------------------------
 # agg_pareto_frontier — 2-D skyline
 # ---------------------------------------------------------------------------
 
@@ -999,6 +1057,7 @@ ORDER BY l_returnflag
 
 
 QUERIES = {
+    "agg_decile_report": agg_decile_report,
     "agg_pareto_frontier": agg_pareto_frontier,
     "rollup_ohlc_bars": rollup_ohlc_bars,
     "quality_mad_outliers": quality_mad_outliers,
@@ -1018,6 +1077,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_decile_report": _DECILE_SQL,
     "agg_pareto_frontier": _PARETO_SQL,
     "rollup_ohlc_bars": _OHLC_SQL,
     "quality_mad_outliers": _MAD_SQL,

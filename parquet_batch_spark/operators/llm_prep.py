@@ -1282,6 +1282,84 @@ ORDER BY lang, shard_id
 
 
 # ---------------------------------------------------------------------------
+# text_boilerplate_segments — cross-document repeated-segment report
+# ---------------------------------------------------------------------------
+
+BOILER_MIN_DOCS = 2  # a segment in ≥ this many docs counts as boilerplate
+BOILER_TOP = 20
+
+
+def text_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: the {SEG_TOKENS}-token segments repeated
+    across ≥{BOILER_MIN_DOCS} DISTINCT documents, ranked by document
+    reach — headers, footers, license blurbs, navigation chrome; the
+    stage a web pipeline runs BEFORE near-dup so boilerplate doesn't
+    glue unrelated documents into one cluster (exactly why the
+    dedup/graph family here caps hot segments — this op is that cap's
+    diagnostic view). Top {BOILER_TOP} segments with doc reach and
+    corpus coverage share in exact micro-units.
+
+    Scale: segment explode → distinct (doc, segment) → count at
+    segment grain — one shuffle on the segment hash; the top-k is a
+    TakeOrdered over the reduced segment table.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = tokens_col("text")
+    n_seg = F.ceil(F.size(toks) / F.lit(SEG_TOKENS)).cast("int")
+    segs = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n_seg),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(toks, (i - 1) * SEG_TOKENS + 1, SEG_TOKENS)
+                    ),
+                )
+            )
+        ).alias("seg"),
+    )
+    n_docs = count_table(spark, sf_dir, "documents")
+    return (
+        segs.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILER_MIN_DOCS)
+        .select(
+            "seg",
+            "n_docs",
+            F.floor(F.lit(1000000.0) * F.col("n_docs") / F.lit(n_docs))
+            .cast("long")
+            .alias("reach_micro"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("seg"))
+        .limit(BOILER_TOP)
+    )
+
+
+_BOILER_SQL = f"""
+WITH segs AS (
+    SELECT DISTINCT doc_id, seg
+    FROM (
+        SELECT doc_id,
+               UNNEST(list_distinct(list_transform(
+                   generate_series(1, CAST(CEIL(len(tk) / {SEG_TOKENS}.0) AS INTEGER)),
+                   i -> array_to_string(
+                       tk[(i-1)*{SEG_TOKENS}+1 : (i-1)*{SEG_TOKENS}+{SEG_TOKENS}],
+                       ' ')))) AS seg
+        FROM (SELECT doc_id, {sql_tokens("text")} AS tk FROM documents)
+    )
+)
+SELECT seg, COUNT(DISTINCT doc_id) AS n_docs,
+       CAST(FLOOR(1000000.0 * COUNT(DISTINCT doc_id)
+            / (SELECT COUNT(*) FROM documents)) AS BIGINT) AS reach_micro
+FROM segs
+GROUP BY seg
+HAVING COUNT(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+ORDER BY n_docs DESC, seg ASC
+LIMIT {BOILER_TOP}
+"""
+
+# ---------------------------------------------------------------------------
 # quality_source_gini — corpus concentration report
 # ---------------------------------------------------------------------------
 
@@ -1572,6 +1650,7 @@ ORDER BY lang
 
 
 QUERIES = {
+    "text_boilerplate_segments": text_boilerplate_segments,
     "quality_source_gini": quality_source_gini,
     "feature_hashing_vectorize": feature_hashing_vectorize,
     "dedup_blocking_quality": dedup_blocking_quality,
@@ -1591,6 +1670,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_boilerplate_segments": _BOILER_SQL,
     "quality_source_gini": _SOURCE_GINI_SQL,
     "feature_hashing_vectorize": _FEAT_HASH_SQL,
     "dedup_blocking_quality": _blocking_quality_sql(),

@@ -41,10 +41,92 @@ from parquet_batch_spark.functions.numeric import dsum
 from parquet_batch_spark.operators.sources_ext import _io_dir
 
 # ---------------------------------------------------------------------------
-# window_funnel — ordered-step conversion funnel over events
+# window_funnel_latency — time-to-convert distribution
 # ---------------------------------------------------------------------------
 
 _FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def window_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert for funnel completers: for every user who walks
+    view → click → purchase (first-touch semantics, exactly
+    ``window_funnel``'s step definition), the view→click, click→
+    purchase and end-to-end gaps in exact integer µs, reduced to the
+    report row product analytics ships: converter count, mean (floored
+    integer division) and exact median of each gap. One row out.
+
+    Scale: the same per-user MIN-aggregate + equi-join ladder as
+    ``window_funnel`` (each join input is one row per user BEFORE it
+    shuffles), then a single global aggregate over |converters| rows.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = ev.select("user_id", "event_type", us.alias("us"))
+
+    s1 = (
+        e.filter(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+
+    def first_after(step: str, prev: DataFrame, prev_col: str, out: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == step)
+            .join(prev, "user_id")
+            .filter(F.col("us") > F.col(prev_col))
+            .groupBy("user_id")
+            .agg(F.min("us").alias(out))
+        )
+
+    s2 = first_after(_FUNNEL_STEPS[1], s1, "t1", "t2")
+    s3 = first_after(_FUNNEL_STEPS[2], s2, "t2", "t3")
+    conv = s1.join(s2, "user_id").join(s3, "user_id").select(
+        (F.col("t2") - F.col("t1")).alias("g12"),
+        (F.col("t3") - F.col("t2")).alias("g23"),
+        (F.col("t3") - F.col("t1")).alias("g13"),
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        F.floor(F.sum("g12") / F.count(F.lit(1))).cast("long").alias("mean_view_click_us"),
+        F.percentile("g12", F.lit(0.5)).alias("median_view_click_us"),
+        F.floor(F.sum("g23") / F.count(F.lit(1))).cast("long").alias("mean_click_buy_us"),
+        F.percentile("g23", F.lit(0.5)).alias("median_click_buy_us"),
+        F.percentile("g13", F.lit(0.5)).alias("median_total_us"),
+    )
+
+
+_FUNNEL_LATENCY_SQL = f"""
+WITH e AS (
+    SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+s1 AS (
+    SELECT user_id, MIN(us) AS t1 FROM e
+    WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, MIN(us) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id
+    WHERE event_type = '{_FUNNEL_STEPS[1]}' AND us > t1 GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, MIN(us) AS t3 FROM e JOIN s2 ON e.user_id = s2.user_id
+    WHERE event_type = '{_FUNNEL_STEPS[2]}' AND us > t2 GROUP BY e.user_id
+),
+conv AS (
+    SELECT t2 - t1 AS g12, t3 - t2 AS g23, t3 - t1 AS g13
+    FROM s1 JOIN s2 ON s1.user_id = s2.user_id JOIN s3 ON s1.user_id = s3.user_id
+)
+SELECT COUNT(*) AS n_converters,
+       CAST(FLOOR(SUM(g12) / COUNT(*)) AS BIGINT) AS mean_view_click_us,
+       quantile_cont(g12, 0.5) AS median_view_click_us,
+       CAST(FLOOR(SUM(g23) / COUNT(*)) AS BIGINT) AS mean_click_buy_us,
+       quantile_cont(g23, 0.5) AS median_click_buy_us,
+       quantile_cont(g13, 0.5) AS median_total_us
+FROM conv
+"""
+
+# ---------------------------------------------------------------------------
+# window_funnel — ordered-step conversion funnel over events
+# ---------------------------------------------------------------------------
 
 
 def window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -750,6 +832,7 @@ ORDER BY 1
 
 
 QUERIES = {
+    "window_funnel_latency": window_funnel_latency,
     "etl_snapshot_diff": etl_snapshot_diff,
     "window_funnel": window_funnel,
     "window_retention_cohort": window_retention_cohort,
@@ -761,6 +844,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_funnel_latency": _FUNNEL_LATENCY_SQL,
     "etl_snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "window_funnel": _FUNNEL_SQL,
     "window_retention_cohort": _RETENTION_SQL,

@@ -239,3 +239,30 @@ def test_source_gini_range(spark, sf_dir):
     assert 0 <= r["gini_micro"] < 1_000_000
     # top share is at least 1/n and at most total
     assert 1_000_000 // 20 <= r["top_share_micro"] < 1_000_000
+
+
+def test_boilerplate_reach_ordering(spark, sf_dir):
+    from parquet_batch_spark.operators.llm_prep import (
+        BOILER_MIN_DOCS,
+        text_boilerplate_segments,
+    )
+
+    rows = text_boilerplate_segments(spark, sf_dir).collect()
+    assert rows
+    reaches = [r["n_docs"] for r in rows]
+    assert reaches == sorted(reaches, reverse=True)
+    assert all(r["n_docs"] >= BOILER_MIN_DOCS for r in rows)
+    assert all(0 < r["reach_micro"] <= 1_000_000 for r in rows)
+
+
+def test_funnel_latency_consistency(spark, sf_dir):
+    from parquet_batch_spark.operators.warehouse import (
+        window_funnel,
+        window_funnel_latency,
+    )
+
+    lat = window_funnel_latency(spark, sf_dir).collect()[0]
+    funnel = {r["step_no"]: r["users"] for r in window_funnel(spark, sf_dir).collect()}
+    assert lat["n_converters"] == funnel[3]  # completers == step-3 users
+    assert 0 < lat["median_view_click_us"]
+    assert lat["median_total_us"] >= lat["median_view_click_us"]

@@ -49,12 +49,13 @@ def test_driver_window_covers_round4_targets():
         "window_linear_interpolate", "text_overlap_stitch",
         "join_spatial_grid_radius", "window_max_drawdown",
         "window_time_weighted_avg", "embedding_dim_stats",
-        "quality_source_gini",
+        "quality_source_gini", "agg_decile_report",
+        "window_funnel_latency", "text_boilerplate_segments",
         "source_csv_quoted_multiline",
         "join_interval_bucketed", "ann_ivf_topk"}
     assert session_ops <= set(first50), session_ops - set(first50)
     # the remaining 27 slots hold the earliest prior-session batches
-    assert first50[31] == "udf_map_in_arrow"
-    assert first50[49] == "func_struct_field_ops"
+    assert first50[34] == "udf_map_in_arrow"
+    assert first50[49] == "streaming_python_source"
     # spill boundary: curation_pipeline_funnel leads the r5 plan
-    assert list(all_queries())[50] == "seq_shard_manifest"
+    assert list(all_queries())[50] == "func_csv_struct"
