@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from parquet_batch_spark.catalog import load
-from parquet_batch_spark.functions.numeric import dsum, sql_dsum
+from parquet_batch_spark.functions.numeric import dec, dsum, sql_dsum
 
 # PID-namespaced so concurrent bench/test runs on one machine never
 # clobber each other's staged files (ADVICE r1)
@@ -758,6 +758,92 @@ ORDER BY bucket_mod
 
 
 # ---------------------------------------------------------------------------
+# sink_selective_compaction — stats-driven partial table maintenance
+# ---------------------------------------------------------------------------
+
+# Deterministic skewed staging: files per status partition. Only
+# partitions over the threshold get rewritten.
+_COMPACT_LAYOUT = {"O": 12, "F": 3, "P": 1}
+COMPACT_FILE_THRESHOLD = 4
+
+_SEL_COMPACT_STAGED: set[str] = set()
+
+
+def sink_selective_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-driven SELECTIVE compaction — the table-maintenance job a
+    lakehouse runs nightly: consult the file manifest (`_metadata`
+    grouping — catalog-sized), rewrite ONLY partitions whose
+    small-file count exceeds the threshold, and leave healthy
+    partitions untouched (compacting everything would rewrite the
+    whole table; the entire point of the manifest is not to).
+    Staged layout: status O=12 files (fragmented), F=3, P=1 → only O
+    crosses the {COMPACT_FILE_THRESHOLD}-file threshold and collapses
+    to 1 file; F and P keep their bytes unrewritten. Output pins both
+    halves: per-partition content (count + exact revenue — compaction
+    must never change data) and the post-maintenance file counts.
+    Idempotent: a second run finds no partition over threshold.
+    """
+    root = _io_dir(sf_dir, "orders_by_status_skewed")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    if root not in _SEL_COMPACT_STAGED:
+        for st, nfiles in _COMPACT_LAYOUT.items():
+            (
+                o.filter(F.col("o_orderstatus") == st)
+                .drop("o_orderstatus")
+                .repartition(nfiles)
+                .write.mode("overwrite")
+                .parquet(os.path.join(root, f"o_orderstatus={st}"))
+            )
+        _SEL_COMPACT_STAGED.add(root)
+    staged = spark.read.parquet(root)  # partition col inferred from dirs
+    manifest = (
+        staged.groupBy(F.col("o_orderstatus").cast("string").alias("st"))
+        .agg(F.countDistinct("_metadata.file_path").alias("files"))
+    )
+    targets = [
+        r["st"] for r in manifest.filter(F.col("files") > COMPACT_FILE_THRESHOLD).collect()
+    ]
+    for st in targets:
+        part_dir = os.path.join(root, f"o_orderstatus={st}")
+        compacted = spark.read.parquet(part_dir).repartition(1)
+        tmp = part_dir + "_compact"
+        compacted.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(part_dir)
+        os.rename(tmp, part_dir)
+    after = spark.read.parquet(root)
+    return (
+        after.groupBy(F.col("o_orderstatus").cast("string").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(dec("o_totalprice")).cast("decimal(18,6)").cast("double").alias(
+                "revenue"
+            ),
+            F.countDistinct("_metadata.file_path").alias("files_after"),
+        )
+        .orderBy("status")
+    )
+
+
+# files_after literals pin the deterministic post-maintenance layout:
+# O fragments to 12 staged files > threshold 4 → compacted to 1;
+# F (3) and P (1) sit under the threshold and are never rewritten.
+_SEL_COMPACT_SQL = f"""
+SELECT o_orderstatus AS status,
+       COUNT(*) AS n_rows,
+       {sql_dsum("o_totalprice")} AS revenue,
+       CAST(CASE o_orderstatus WHEN 'O' THEN 1
+            WHEN 'F' THEN {_COMPACT_LAYOUT["F"]}
+            ELSE {_COMPACT_LAYOUT["P"]} END AS BIGINT) AS files_after
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY status
+"""
+
+# ---------------------------------------------------------------------------
 # source_binaryfile_ingest — whole-file binary source format
 # ---------------------------------------------------------------------------
 
@@ -896,6 +982,7 @@ ORDER BY lang
 
 
 QUERIES = {
+    "sink_selective_compaction": sink_selective_compaction,
     "source_csv_quoted_multiline": source_csv_quoted_multiline,
     "source_binaryfile_ingest": source_binaryfile_ingest,
     "source_python_datasource": source_python_datasource,
@@ -914,6 +1001,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sink_selective_compaction": _SEL_COMPACT_SQL,
     "source_csv_quoted_multiline": _CSV_MULTILINE_SQL,
     "source_binaryfile_ingest": _BINARYFILE_SQL,
     "source_python_datasource": _PY_DATASOURCE_SQL,

@@ -852,6 +852,70 @@ ORDER BY user_id, bucket_ts
 """
 
 
+# ------------------------------------------- leaderboard rank shifts
+
+
+def window_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard movement: revenue RANK of each market segment
+    within each month, plus the rank delta vs the previous month —
+    the riser/faller report every periodic leaderboard ships. Two
+    stacked windows over the REDUCED (month × segment) table: rank
+    within month, then lag along each segment's month series. The
+    fact table is aggregated before either window runs (the standing
+    reduced-window discipline); revenue is exact decimal so rank
+    order can never drift between engines.
+    """
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice", "o_orderdate")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    monthly = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(18,6)").cast("double").alias("revenue"))
+    )
+    rnk = F.rank().over(
+        W.partitionBy("month").orderBy(F.desc("revenue"), F.asc("segment"))
+    )
+    ranked = monthly.select("month", "segment", "revenue", rnk.alias("rnk"))
+    prev = F.lag("rnk").over(W.partitionBy("segment").orderBy("month"))
+    return (
+        ranked.select(
+            "month",
+            "segment",
+            "revenue",
+            F.col("rnk").cast("int").alias("rnk"),
+            (F.col("rnk") - prev).cast("int").alias("rank_delta"),
+        )
+        .orderBy("month", "rnk", "segment")
+    )
+
+
+def _rank_shift_sql() -> str:
+    from parquet_batch_spark.functions.numeric import sql_dsum
+
+    return f"""
+WITH monthly AS (
+    SELECT STRFTIME(o_orderdate, '%Y-%m') AS month, c_mktsegment AS segment,
+           {sql_dsum("o_totalprice")} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY month, segment
+),
+ranked AS (
+    SELECT month, segment, revenue,
+           RANK() OVER (PARTITION BY month ORDER BY revenue DESC, segment ASC)
+               AS rnk
+    FROM monthly
+)
+SELECT month, segment, revenue, CAST(rnk AS INTEGER) AS rnk,
+       CAST(rnk - LAG(rnk) OVER (PARTITION BY segment ORDER BY month)
+            AS INTEGER) AS rank_delta
+FROM ranked
+ORDER BY month, rnk, segment
+"""
+
+
 # ------------------------------------------- max drawdown
 
 
@@ -972,6 +1036,7 @@ ORDER BY user_id
 
 
 QUERIES = {
+    "window_rank_shift": window_rank_shift,
     "window_max_drawdown": window_max_drawdown,
     "window_time_weighted_avg": window_time_weighted_avg,
     "window_linear_interpolate": window_linear_interpolate,
@@ -993,6 +1058,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_rank_shift": _rank_shift_sql(),
     "window_max_drawdown": _DRAWDOWN_SQL,
     "window_time_weighted_avg": _TWAP_SQL,
     "window_linear_interpolate": _INTERP_SQL,

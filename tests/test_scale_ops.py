@@ -242,3 +242,35 @@ def test_spatial_pair_join_is_hash_equi(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     joins = [l for l in plan.splitlines() if "HashJoin" in l]
     assert any("cx" in l and "cy" in l for l in joins), plan
+
+
+def test_selective_compaction_targets_only(spark, sf_dir):
+    from parquet_batch_spark.operators.sources_ext import (
+        _COMPACT_LAYOUT,
+        COMPACT_FILE_THRESHOLD,
+        sink_selective_compaction,
+    )
+
+    rows = {r["status"]: r for r in sink_selective_compaction(spark, sf_dir).collect()}
+    for st, staged in _COMPACT_LAYOUT.items():
+        expect = 1 if staged > COMPACT_FILE_THRESHOLD else staged
+        assert rows[st]["files_after"] == expect, (st, rows[st])
+    # idempotent second run, identical content
+    again = {r["status"]: r for r in sink_selective_compaction(spark, sf_dir).collect()}
+    assert {k: (v["n_rows"], v["revenue"], v["files_after"]) for k, v in rows.items()} == {
+        k: (v["n_rows"], v["revenue"], v["files_after"]) for k, v in again.items()
+    }
+
+
+def test_rank_shift_delta_consistency(spark, sf_dir):
+    from parquet_batch_spark.operators.windows import window_rank_shift
+
+    rows = window_rank_shift(spark, sf_dir).collect()
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r["segment"], []).append(r)
+    for seq in by_seg.values():
+        seq.sort(key=lambda r: r["month"])
+        for a, b in zip(seq, seq[1:]):
+            assert b["rank_delta"] == b["rnk"] - a["rnk"]
+        assert seq[0]["rank_delta"] is None
