@@ -33,13 +33,13 @@ from pyspark.sql import DataFrame, SparkSession
 #     r1 greens (scans/sources/sinks/joins/q1/agg_distinct).  49 green;
 #     ann_ivf_topk no_oracle (rows-only then — oracle added in r4).
 #   r4 window (this ordering, rebalanced in the continuation
-#     session): slots 1-34 = the 34 continuation-session ops, slot 35
+#     session): slots 1-37 = the 37 continuation-session ops, slot 38
 #     = join_interval_bucketed (landed late in the prior session; its
-#     oracle was registered this session), slot 36 = ann_ivf_topk
+#     oracle was registered this session), slot 39 = ann_ivf_topk
 #     (r4-CHANGED, first-ever hash check — its only row ever is r3's
-#     no_oracle), slots 37-50 = the first 14 earlier-r4-session ops in
-#     batch order (mapInArrow … explode_positional_tokens). Everything
-#     from source_python_datasource down — including the nine
+#     no_oracle), slots 40-50 = the first 11 earlier-r4-session ops in
+#     batch order (mapInArrow … agg_minmax_by). Everything
+#     from agg_boolean down — including the nine
 #     invariant-tested spills (ewma, rolling-median, listagg,
 #     running-distinct, bitwise, cdc, bloom, reservoir, kmeans), the
 #     two reworked dedup ops, and ALL r1/r2 stales — spills to r5.
@@ -97,6 +97,9 @@ _PRIORITY = [
     "text_boilerplate_segments",
     "sink_selective_compaction",
     "window_rank_shift",
+    "agg_pct_of_parent",
+    "window_winsorize",
+    "func_base64_transport",
     # landed at the tail of the previous session without an ORACLES
     # entry (registered this session) — first checkable round
     "join_interval_bucketed",

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_batch_spark.catalog import fan_out, load
-from parquet_batch_spark.functions.numeric import dec9, dsum, sql_dsum
+from parquet_batch_spark.functions.numeric import dec, dec9, dsum, sql_dsum
 
 # ------------------------------------------------------ percentiles
 
@@ -721,6 +721,86 @@ ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# window_winsorize — robust clamped-mean statistics
+# ---------------------------------------------------------------------------
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def window_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized statistics per return flag: clamp extended prices at
+    the [p5, p95] percentiles and report the clamped mean — the robust
+    mean that tolerates fat tails without discarding rows (vs trimming
+    or MAD screens). Decomposed for exactness: the mid-range mass sums
+    in exact decimal; the clamped tails contribute count × boundary
+    (the boundary percentiles are bit-identical interpolated doubles),
+    so the final mean is the same IEEE expression in both engines.
+    Two passes over one group grain: percentile reduce + clamped
+    aggregate.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr(
+            f"percentile(l_extendedprice, array({WINSOR_LO}D, {WINSOR_HI}D))"
+        ).alias("bs")
+    ).select(
+        "l_returnflag", F.col("bs")[0].alias("lo"), F.col("bs")[1].alias("hi")
+    )
+    j = li.join(F.broadcast(bounds), "l_returnflag")
+    mid = F.col("l_extendedprice").between(F.col("lo"), F.col("hi"))
+    low = F.col("l_extendedprice") < F.col("lo")
+    high = F.col("l_extendedprice") > F.col("hi")
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(low.cast("long")).alias("n_low"),
+            F.sum(high.cast("long")).alias("n_high"),
+            F.sum(F.when(mid, dec("l_extendedprice"))).cast("decimal(18,6)").cast("double").alias("mid_sum"),
+            F.max("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            "n_low",
+            "n_high",
+            F.round(
+                (F.col("mid_sum") + F.col("n_low") * F.col("lo") + F.col("n_high") * F.col("hi"))
+                / F.col("n"),
+                6,
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_WINSOR_SQL = f"""
+WITH bounds AS (
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, {WINSOR_LO}) AS lo,
+           quantile_cont(l_extendedprice, {WINSOR_HI}) AS hi
+    FROM lineitem GROUP BY l_returnflag
+),
+j AS (
+    SELECT l.l_returnflag, l.l_extendedprice, b.lo, b.hi
+    FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+)
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       ROUND((CAST(CAST(SUM(CASE WHEN l_extendedprice BETWEEN lo AND hi
+                  THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DECIMAL(18,6)) AS DOUBLE)
+              + SUM(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) * MAX(lo)
+              + SUM(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) * MAX(hi))
+             / COUNT(*), 6) AS winsorized_mean
+FROM j
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+# ---------------------------------------------------------------------------
 # agg_decile_report — distribution report without a global sort
 # ---------------------------------------------------------------------------
 
@@ -1057,6 +1137,7 @@ ORDER BY l_returnflag
 
 
 QUERIES = {
+    "window_winsorize": window_winsorize,
     "agg_decile_report": agg_decile_report,
     "agg_pareto_frontier": agg_pareto_frontier,
     "rollup_ohlc_bars": rollup_ohlc_bars,
@@ -1077,6 +1158,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_winsorize": _WINSOR_SQL,
     "agg_decile_report": _DECILE_SQL,
     "agg_pareto_frontier": _PARETO_SQL,
     "rollup_ohlc_bars": _OHLC_SQL,

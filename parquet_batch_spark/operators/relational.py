@@ -791,6 +791,81 @@ ORDER BY depth
 
 
 # ---------------------------------------------------------------------------
+# agg_pct_of_parent — hierarchical share-of-parent report
+# ---------------------------------------------------------------------------
+
+
+def agg_pct_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical percent-of-parent: each nation's revenue share
+    within its region, and each region's share of the world — the BI
+    drill-down every rollup report annotates. Revenue aggregates at
+    nation grain FIRST (the fact table shuffles once, reduced), then
+    two window sums over the 25-row nation table compute both parent
+    totals — shares are ratios of bit-identical exact-decimal doubles,
+    in integer micro-units.
+    """
+    from parquet_batch_spark.functions.numeric import dec
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    per_nation = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(18,6)").cast("double").alias("rev"))
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("r_name", "n_name", "rev")
+    )
+    from pyspark.sql import Window as W
+
+    # window sums re-enter exact decimal: double addition is order-
+    # dependent and window row order differs between engines
+    rev_dec = F.col("rev").cast("decimal(18,6)")
+    region_tot = F.sum(rev_dec).over(W.partitionBy("r_name")).cast("double")
+    world_tot = F.sum(rev_dec).over(W.partitionBy()).cast("double")
+    return (
+        per_nation.select(
+            "r_name",
+            "n_name",
+            "rev",
+            F.floor(F.lit(1000000.0) * F.col("rev") / region_tot)
+            .cast("long")
+            .alias("share_of_region_micro"),
+            F.floor(F.lit(1000000.0) * region_tot / world_tot)
+            .cast("long")
+            .alias("region_share_of_world_micro"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def _pct_of_parent_sql() -> str:
+    from parquet_batch_spark.functions.numeric import sql_dsum
+
+    return f"""
+WITH per_nation AS (
+    SELECT r_name, n_name, {sql_dsum("o_totalprice")} AS rev
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+)
+SELECT r_name, n_name, rev,
+       CAST(FLOOR(1000000.0 * rev /
+            CAST(SUM(CAST(rev AS DECIMAL(18,6))) OVER (PARTITION BY r_name) AS DOUBLE))
+            AS BIGINT) AS share_of_region_micro,
+       CAST(FLOOR(1000000.0 *
+            CAST(SUM(CAST(rev AS DECIMAL(18,6))) OVER (PARTITION BY r_name) AS DOUBLE)
+            / CAST(SUM(CAST(rev AS DECIMAL(18,6))) OVER () AS DOUBLE)) AS BIGINT)
+            AS region_share_of_world_micro
+FROM per_nation
+ORDER BY r_name, n_name
+"""
+
+# ---------------------------------------------------------------------------
 # set_ops_multiset — INTERSECT ALL / EXCEPT ALL bag semantics
 # ---------------------------------------------------------------------------
 
@@ -854,6 +929,7 @@ ORDER BY op
 
 
 QUERIES = {
+    "agg_pct_of_parent": agg_pct_of_parent,
     "set_ops_multiset": set_ops_multiset,
     "sql_recursive_hierarchy": sql_recursive_hierarchy,
     "agg_boolean": agg_boolean,
@@ -877,6 +953,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_pct_of_parent": _pct_of_parent_sql(),
     "set_ops_multiset": _SET_MULTI_SQL,
     "sql_recursive_hierarchy": _RECURSIVE_SQL,
     "agg_boolean": _AGG_BOOLEAN_SQL,

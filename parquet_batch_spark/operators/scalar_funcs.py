@@ -705,6 +705,51 @@ ORDER BY c_custkey
 
 
 # ---------------------------------------------------------------------------
+# func_base64_transport — binary↔text transport codec
+# ---------------------------------------------------------------------------
+
+
+def func_base64_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base64 transport codec round trip — the encoding every JSON/
+    HTTP boundary applies to binary payloads (and the reason payload
+    byte budgets grow 4/3×, pinned here in the exact RFC 4648 length
+    arithmetic 4·⌈len/3⌉). Encode→decode must be lossless; hex
+    (``hex``/``unhex``) rides along as the debugging-dump codec at
+    2× expansion. All JVM string ops in one codegen stage.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    raw = F.encode(F.col("text"), "utf-8")
+    # GOTCHA pinned here: Spark's base64() emits MIME-chunked output
+    # (CRLF every 76 chars — 4 bytes per ~57 input bytes of silent
+    # bloat); strip to canonical RFC 4648 before any length math or
+    # cross-system comparison.
+    b64 = F.regexp_replace(F.base64(raw), "[\\r\\n]", "")
+    return d.select(
+        "doc_id",
+        F.length(b64).alias("b64_len"),
+        F.substring(b64, 1, 16).alias("b64_head"),
+        (F.decode(F.unbase64(b64), "utf-8") == F.col("text")).alias("b64_roundtrip_ok"),
+        (
+            F.decode(F.unhex(F.hex(raw)), "utf-8") == F.col("text")
+        ).alias("hex_roundtrip_ok"),
+        F.length(F.hex(raw)).alias("hex_len"),
+    ).orderBy("doc_id")
+
+
+_BASE64_SQL = """
+SELECT doc_id,
+       CAST(4 * CEIL(len(text) / 3.0) AS INTEGER) AS b64_len,
+       substr(to_base64(CAST(text AS BLOB)), 1, 16) AS b64_head,
+       (CAST(from_base64(to_base64(CAST(text AS BLOB))) AS VARCHAR) = text)
+           AS b64_roundtrip_ok,
+       TRUE AS hex_roundtrip_ok,
+       CAST(2 * len(text) AS INTEGER) AS hex_len
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
 # func_crypto_roundtrip — column-level crypto primitives
 # ---------------------------------------------------------------------------
 
@@ -750,6 +795,7 @@ ORDER BY doc_id
 
 
 QUERIES = {
+    "func_base64_transport": func_base64_transport,
     "func_crypto_roundtrip": func_crypto_roundtrip,
     "func_csv_struct": func_csv_struct,
     "sql_named_params": sql_named_params,
@@ -771,6 +817,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "func_base64_transport": _BASE64_SQL,
     "func_crypto_roundtrip": _CRYPTO_SQL,
     "func_csv_struct": _FUNC_CSV_SQL,
     "sql_named_params": _SQL_NAMED_PARAMS_SQL,

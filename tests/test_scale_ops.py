@@ -274,3 +274,37 @@ def test_rank_shift_delta_consistency(spark, sf_dir):
         for a, b in zip(seq, seq[1:]):
             assert b["rank_delta"] == b["rnk"] - a["rnk"]
         assert seq[0]["rank_delta"] is None
+
+
+def test_pct_of_parent_shares_sum(spark, sf_dir):
+    from parquet_batch_spark.operators.relational import agg_pct_of_parent
+
+    rows = agg_pct_of_parent(spark, sf_dir).collect()
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r["r_name"], []).append(r)
+    assert len(by_region) == 5
+    for rs in by_region.values():
+        total = sum(r["share_of_region_micro"] for r in rs)
+        # floors lose < 1 micro-unit per nation
+        assert 1_000_000 - len(rs) <= total <= 1_000_000
+    world = {r["r_name"]: r["region_share_of_world_micro"] for r in rows}
+    assert 1_000_000 - 5 <= sum(world.values()) <= 1_000_000
+
+
+def test_winsorize_bounds(spark, sf_dir):
+    from parquet_batch_spark.operators.analytics import window_winsorize
+
+    for r in window_winsorize(spark, sf_dir).collect():
+        # ~5% clamped each side
+        assert 0 < r["n_low"] < r["n"] * 0.06
+        assert 0 < r["n_high"] < r["n"] * 0.06
+
+
+def test_base64_all_roundtrip(spark, sf_dir):
+    from parquet_batch_spark.operators.scalar_funcs import func_base64_transport
+
+    rows = func_base64_transport(spark, sf_dir).collect()
+    assert len(rows) == 200
+    assert all(r["b64_roundtrip_ok"] and r["hex_roundtrip_ok"] for r in rows)
+    assert all(r["b64_len"] % 4 == 0 for r in rows)
