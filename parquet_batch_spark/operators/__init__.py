@@ -38,8 +38,8 @@ from pyspark.sql import DataFrame, SparkSession
 #     oracle was registered this session), slot 39 = ann_ivf_topk
 #     (r4-CHANGED, first-ever hash check — its only row ever is r3's
 #     no_oracle), slots 40-50 = the first 11 earlier-r4-session ops in
-#     batch order (mapInArrow … agg_minmax_by). Everything
-#     from agg_boolean down — including the nine
+#     batch order (mapInArrow … func_collation). Everything
+#     from agg_minmax_by down — including the nine
 #     invariant-tested spills (ewma, rolling-median, listagg,
 #     running-distinct, bitwise, cdc, bloom, reservoir, kmeans), the
 #     two reworked dedup ops, and ALL r1/r2 stales — spills to r5.

@@ -58,6 +58,6 @@ def test_driver_window_covers_round4_targets():
     assert session_ops <= set(first50), session_ops - set(first50)
     # the remaining 27 slots hold the earliest prior-session batches
     assert first50[39] == "udf_map_in_arrow"
-    assert first50[49] == "agg_minmax_by"
+    assert first50[49] == "func_collation"
     # spill boundary: curation_pipeline_funnel leads the r5 plan
-    assert list(all_queries())[50] == "agg_boolean"
+    assert list(all_queries())[50] == "agg_minmax_by"
