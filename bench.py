@@ -99,6 +99,10 @@ HEADLINE = [
     "embedding_dim_stats",
     "feature_hashing_vectorize",
     "sql_recursive_hierarchy",
+    "agg_decile_report",
+    "agg_pct_of_parent",
+    "window_rank_shift",
+    "quality_source_gini",
 ]
 
 
