@@ -33,13 +33,13 @@ from pyspark.sql import DataFrame, SparkSession
 #     r1 greens (scans/sources/sinks/joins/q1/agg_distinct).  49 green;
 #     ann_ivf_topk no_oracle (rows-only then — oracle added in r4).
 #   r4 window (this ordering, rebalanced in the continuation
-#     session): slots 1-37 = the 37 continuation-session ops, slot 38
+#     session): slots 1-39 = the 39 continuation-session ops, slot 40
 #     = join_interval_bucketed (landed late in the prior session; its
-#     oracle was registered this session), slot 39 = ann_ivf_topk
+#     oracle was registered this session), slot 41 = ann_ivf_topk
 #     (r4-CHANGED, first-ever hash check — its only row ever is r3's
-#     no_oracle), slots 40-50 = the first 11 earlier-r4-session ops in
-#     batch order (mapInArrow … func_collation). Everything
-#     from agg_minmax_by down — including the nine
+#     no_oracle), slots 42-50 = the first 9 earlier-r4-session ops in
+#     batch order (mapInArrow … sink_dynamic_partition_overwrite).
+#     Everything from func_regexp down — including the nine
 #     invariant-tested spills (ewma, rolling-median, listagg,
 #     running-distinct, bitwise, cdc, bloom, reservoir, kmeans), the
 #     two reworked dedup ops, and ALL r1/r2 stales — spills to r5.
@@ -100,6 +100,8 @@ _PRIORITY = [
     "agg_pct_of_parent",
     "window_winsorize",
     "func_base64_transport",
+    "etl_golden_record",
+    "window_seasonal_baseline",
     # landed at the tail of the previous session without an ORACLES
     # entry (registered this session) — first checkable round
     "join_interval_bucketed",

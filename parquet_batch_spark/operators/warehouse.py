@@ -37,8 +37,83 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from parquet_batch_spark.catalog import load
-from parquet_batch_spark.functions.numeric import dsum
+from parquet_batch_spark.functions.numeric import dsum, sql_dsum
 from parquet_batch_spark.operators.sources_ext import _io_dir
+
+# ---------------------------------------------------------------------------
+# etl_golden_record — multi-source survivorship merge
+# ---------------------------------------------------------------------------
+
+
+def etl_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship: the same entity arrives from two
+    feeds (feed A: authoritative but incomplete — keys ≢0 mod 3;
+    feed B: complete but stale — every price drifted +10) and the
+    merge keeps, per key, the highest-priority version available.
+    This is the master-data pattern CRM/catalog pipelines run on every
+    ingest; ``etl_cdc_apply`` orders by sequence, this orders by
+    SOURCE TRUST. One union + one max_by(struct) aggregate — partial-
+    aggregating, no window sort, no skew beyond the key grain.
+    Output: per status, how many golden records came from each feed
+    and the exact merged revenue (provably: A's values where A exists,
+    B's +10 drift only for A's gaps).
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    feed_a = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(1).alias("prio"),
+        F.lit("A").alias("src"),
+    )
+    feed_b = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+        F.lit(2).alias("prio"),
+        F.lit("B").alias("src"),
+    )
+    golden = (
+        feed_a.unionByName(feed_b)
+        .groupBy("o_orderkey")
+        .agg(
+            F.min_by(
+                F.struct("o_orderstatus", "o_totalprice", "src"), F.col("prio")
+            ).alias("g")
+        )
+        .select("o_orderkey", "g.o_orderstatus", "g.o_totalprice", "g.src")
+    )
+    return (
+        golden.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_golden"),
+            F.sum((F.col("src") == "A").cast("long")).alias("n_from_a"),
+            F.sum((F.col("src") == "B").cast("long")).alias("n_from_b"),
+            dsum("o_totalprice", "revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_GOLDEN_SQL = f"""
+WITH golden AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CASE WHEN o_orderkey % 3 != 0 THEN 'A' ELSE 'B' END AS src,
+           CASE WHEN o_orderkey % 3 != 0 THEN o_totalprice
+                ELSE o_totalprice + 10.0 END AS golden_price
+    FROM orders
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_golden,
+       CAST(SUM(CASE WHEN src = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_from_a,
+       CAST(SUM(CASE WHEN src = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_from_b,
+       {sql_dsum("golden_price")} AS revenue
+FROM golden
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
 
 # ---------------------------------------------------------------------------
 # window_funnel_latency — time-to-convert distribution
@@ -832,6 +907,7 @@ ORDER BY 1
 
 
 QUERIES = {
+    "etl_golden_record": etl_golden_record,
     "window_funnel_latency": window_funnel_latency,
     "etl_snapshot_diff": etl_snapshot_diff,
     "window_funnel": window_funnel,
@@ -844,6 +920,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "etl_golden_record": _GOLDEN_SQL,
     "window_funnel_latency": _FUNNEL_LATENCY_SQL,
     "etl_snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "window_funnel": _FUNNEL_SQL,

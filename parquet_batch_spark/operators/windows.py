@@ -852,6 +852,77 @@ ORDER BY user_id, bucket_ts
 """
 
 
+# ------------------------------------------- seasonal naive baseline
+
+SEASONAL_LAG_DAYS = 7
+
+
+def window_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecasting baseline: predict each day's revenue
+    with the value from {SEASONAL_LAG_DAYS} days earlier (same
+    weekday), and score the baseline's MAE / worst error per status —
+    the floor every forecasting model must beat before it ships.
+    Daily revenue reduces first (exact decimal), the lag runs over the
+    REDUCED daily table, and the error aggregation re-enters decimal
+    (|a−b| of exact (18,6) values) so the MAE is bit-stable.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            "o_orderstatus",
+            F.date_trunc("day", "o_orderdate").cast("date").alias("day"),
+        )
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(18,6)").alias("rev"))
+    )
+    w = W.partitionBy("o_orderstatus").orderBy("day")
+    fc = F.lag("rev", SEASONAL_LAG_DAYS).over(w)
+    scored = daily.select(
+        "o_orderstatus",
+        "day",
+        "rev",
+        fc.alias("fc"),
+    ).filter(F.col("fc").isNotNull())
+    err = F.abs(F.col("rev") - F.col("fc"))
+    return (
+        scored.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            (F.sum(err).cast("double") / F.count(F.lit(1))).alias("mae_raw"),
+            F.max(err).cast("double").alias("max_abs_err"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_days",
+            F.round("mae_raw", 6).alias("mae"),
+            "max_abs_err",
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def _seasonal_sql() -> str:
+    return f"""
+WITH daily AS (
+    SELECT o_orderstatus, CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS rev
+    FROM orders GROUP BY o_orderstatus, day
+),
+scored AS (
+    SELECT o_orderstatus, day, rev,
+           LAG(rev, {SEASONAL_LAG_DAYS}) OVER (PARTITION BY o_orderstatus ORDER BY day) AS fc
+    FROM daily
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_days,
+       ROUND(CAST(SUM(ABS(rev - fc)) AS DOUBLE) / COUNT(*), 6) AS mae,
+       CAST(MAX(ABS(rev - fc)) AS DOUBLE) AS max_abs_err
+FROM scored
+WHERE fc IS NOT NULL
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 # ------------------------------------------- leaderboard rank shifts
 
 
@@ -1036,6 +1107,7 @@ ORDER BY user_id
 
 
 QUERIES = {
+    "window_seasonal_baseline": window_seasonal_baseline,
     "window_rank_shift": window_rank_shift,
     "window_max_drawdown": window_max_drawdown,
     "window_time_weighted_avg": window_time_weighted_avg,
@@ -1058,6 +1130,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_seasonal_baseline": _seasonal_sql(),
     "window_rank_shift": _rank_shift_sql(),
     "window_max_drawdown": _DRAWDOWN_SQL,
     "window_time_weighted_avg": _TWAP_SQL,

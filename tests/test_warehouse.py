@@ -121,3 +121,31 @@ def test_quality_expectations_detects_planted_violations(spark):
         ).alias("range_viol"),
     ).collect()[0]
     assert out.dup == 1 and out.nulls == 1 and out.range_viol == 2
+
+
+def test_golden_record_survivorship(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.operators.warehouse import etl_golden_record
+
+    rows = etl_golden_record(spark, sf_dir).collect()
+    n_orders = load(spark, sf_dir, "orders").count()
+    assert sum(r["n_golden"] for r in rows) == n_orders  # every key survives once
+    total_b = sum(r["n_from_b"] for r in rows)
+    # B fills exactly the keys A lacks (o_orderkey % 3 == 0)
+    expect_b = (
+        load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0).count()
+    )
+    assert total_b == expect_b
+
+
+def test_seasonal_baseline_sane(spark, sf_dir):
+    from parquet_batch_spark.operators.warehouse import window_funnel  # noqa: F401
+    from parquet_batch_spark.operators.windows import window_seasonal_baseline
+
+    rows = window_seasonal_baseline(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_days"] > 0
+        assert 0 <= r["mae"] <= r["max_abs_err"]
