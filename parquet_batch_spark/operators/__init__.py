@@ -33,13 +33,13 @@ from pyspark.sql import DataFrame, SparkSession
 #     r1 greens (scans/sources/sinks/joins/q1/agg_distinct).  49 green;
 #     ann_ivf_topk no_oracle (rows-only then — oracle added in r4).
 #   r4 window (this ordering, rebalanced in the continuation
-#     session): slots 1-39 = the 39 continuation-session ops, slot 40
+#     session): slots 1-42 = the 42 continuation-session ops, slot 43
 #     = join_interval_bucketed (landed late in the prior session; its
-#     oracle was registered this session), slot 41 = ann_ivf_topk
+#     oracle was registered this session), slot 44 = ann_ivf_topk
 #     (r4-CHANGED, first-ever hash check — its only row ever is r3's
-#     no_oracle), slots 42-50 = the first 9 earlier-r4-session ops in
-#     batch order (mapInArrow … sink_dynamic_partition_overwrite).
-#     Everything from func_regexp down — including the nine
+#     no_oracle), slots 45-50 = the first 6 earlier-r4-session ops in
+#     batch order (mapInArrow … scan_observed_metrics).
+#     Everything from dedup_cluster_representative down — incl the nine
 #     invariant-tested spills (ewma, rolling-median, listagg,
 #     running-distinct, bitwise, cdc, bloom, reservoir, kmeans), the
 #     two reworked dedup ops, and ALL r1/r2 stales — spills to r5.
@@ -102,6 +102,9 @@ _PRIORITY = [
     "func_base64_transport",
     "etl_golden_record",
     "window_seasonal_baseline",
+    "agg_period_overlap",
+    "embedding_drift_report",
+    "window_local_extrema",
     # landed at the tail of the previous session without an ORACLES
     # entry (registered this session) — first checkable round
     "join_interval_bucketed",

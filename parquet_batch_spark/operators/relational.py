@@ -791,6 +791,64 @@ ORDER BY depth
 
 
 # ---------------------------------------------------------------------------
+# agg_period_overlap — audience overlap between periods
+# ---------------------------------------------------------------------------
+
+OVERLAP_Y1, OVERLAP_Y2 = 2000, 2001
+
+
+def agg_period_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between two activity periods: customers who
+    ordered in {OVERLAP_Y1}, in {OVERLAP_Y2}, in both (retained), and
+    the Jaccard of the two sets — the year-over-year audience health
+    metric. Set sizes and the intersection come from ONE scan: per
+    customer, a boolean pair (bool_or per year), then a single count
+    aggregate; no self-join of the fact table, no distinct-expand.
+    Jaccard in exact integer micro-units.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    flags = (
+        o.filter(F.col("yr").isin(OVERLAP_Y1, OVERLAP_Y2))
+        .groupBy("o_custkey")
+        .agg(
+            F.max((F.col("yr") == OVERLAP_Y1).cast("int")).alias("in_y1"),
+            F.max((F.col("yr") == OVERLAP_Y2).cast("int")).alias("in_y2"),
+        )
+    )
+    return flags.agg(
+        F.sum("in_y1").cast("long").alias("n_y1"),
+        F.sum("in_y2").cast("long").alias("n_y2"),
+        F.sum(F.col("in_y1") * F.col("in_y2")).cast("long").alias("n_both"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.sum(F.col("in_y1") * F.col("in_y2"))
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("jaccard_micro"),
+    )
+
+
+_PERIOD_OVERLAP_SQL = f"""
+WITH flags AS (
+    SELECT o_custkey,
+           MAX(CASE WHEN year(o_orderdate) = {OVERLAP_Y1} THEN 1 ELSE 0 END) AS in_y1,
+           MAX(CASE WHEN year(o_orderdate) = {OVERLAP_Y2} THEN 1 ELSE 0 END) AS in_y2
+    FROM orders
+    WHERE year(o_orderdate) IN ({OVERLAP_Y1}, {OVERLAP_Y2})
+    GROUP BY o_custkey
+)
+SELECT CAST(SUM(in_y1) AS BIGINT) AS n_y1,
+       CAST(SUM(in_y2) AS BIGINT) AS n_y2,
+       CAST(SUM(in_y1 * in_y2) AS BIGINT) AS n_both,
+       CAST(FLOOR(1000000.0 * SUM(in_y1 * in_y2) / COUNT(*)) AS BIGINT)
+           AS jaccard_micro
+FROM flags
+"""
+
+# ---------------------------------------------------------------------------
 # agg_pct_of_parent — hierarchical share-of-parent report
 # ---------------------------------------------------------------------------
 
@@ -929,6 +987,7 @@ ORDER BY op
 
 
 QUERIES = {
+    "agg_period_overlap": agg_period_overlap,
     "agg_pct_of_parent": agg_pct_of_parent,
     "set_ops_multiset": set_ops_multiset,
     "sql_recursive_hierarchy": sql_recursive_hierarchy,
@@ -953,6 +1012,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_period_overlap": _PERIOD_OVERLAP_SQL,
     "agg_pct_of_parent": _pct_of_parent_sql(),
     "set_ops_multiset": _SET_MULTI_SQL,
     "sql_recursive_hierarchy": _RECURSIVE_SQL,

@@ -635,7 +635,75 @@ ORDER BY dim
 """
 
 
+# ---------------------------------------------------------------------------
+# embedding_drift_report — distribution drift between corpus cohorts
+# ---------------------------------------------------------------------------
+
+
+def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding distribution drift between two cohorts (even vs odd
+    vec_ids — in production: last week's embeddings vs this week's,
+    or model v1 vs v2): per-dimension mean shift in integer
+    micro-units, rolled up to the one-row drift report an ML monitor
+    alerts on (L1 drift mass, worst dimension, how many dimensions
+    moved beyond a threshold). Same exact integer-quantized moments as
+    ``embedding_dim_stats``; cohort means subtract exactly, so the
+    report is bit-stable. One pass, dimension-grain aggregate, 1 row.
+    """
+    e = fan_out(load(spark, sf_dir, "embeddings"), spark, "vec_id")
+    d = e.select(
+        (F.col("vec_id") % 2).alias("cohort"),
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "cohort",
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("x").cast("double") * 1000000).cast("long").alias("xq"),
+    )
+    per = d.groupBy("dim").agg(
+        F.floor(
+            F.sum(F.when(F.col("cohort") == 0, F.col("xq"))).cast("double")
+            / F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0))
+        ).alias("m0"),
+        F.floor(
+            F.sum(F.when(F.col("cohort") == 1, F.col("xq"))).cast("double")
+            / F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0))
+        ).alias("m1"),
+    )
+    shift = F.abs(F.col("m0") - F.col("m1"))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.sum(shift).cast("long").alias("l1_drift_micro"),
+        F.max(shift).cast("long").alias("max_dim_shift_micro"),
+        F.sum((shift > 10000).cast("long")).alias("n_dims_shifted_1pct"),
+    )
+
+
+_DRIFT_SQL = """
+WITH d AS (
+    SELECT vec_id % 2 AS cohort,
+           generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xq
+    FROM embeddings
+),
+per AS (
+    SELECT dim,
+           FLOOR(CAST(SUM(CASE WHEN cohort = 0 THEN xq END) AS DOUBLE)
+                 / SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)) AS m0,
+           FLOOR(CAST(SUM(CASE WHEN cohort = 1 THEN xq END) AS DOUBLE)
+                 / SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)) AS m1
+    FROM d GROUP BY dim
+)
+SELECT COUNT(*) AS n_dims,
+       CAST(SUM(ABS(m0 - m1)) AS BIGINT) AS l1_drift_micro,
+       CAST(MAX(ABS(m0 - m1)) AS BIGINT) AS max_dim_shift_micro,
+       CAST(SUM(CASE WHEN ABS(m0 - m1) > 10000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dims_shifted_1pct
+FROM per
+"""
+
+
 QUERIES = {
+    "embedding_drift_report": embedding_drift_report,
     "embedding_dim_stats": embedding_dim_stats,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
@@ -644,6 +712,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_drift_report": _DRIFT_SQL,
     "embedding_dim_stats": _DIM_STATS_SQL,
     "ann_bruteforce_topk": _ANN_BRUTE_SQL,
     "ann_lsh_bucketed": _ANN_LSH_SQL,

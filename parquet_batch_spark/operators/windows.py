@@ -852,6 +852,59 @@ ORDER BY user_id, bucket_ts
 """
 
 
+# ------------------------------------------- local extrema census
+
+
+def window_local_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local extrema census per user value series: peaks (value
+    strictly above both neighbors) and troughs (strictly below) — the
+    turning-point counter behind volatility heuristics and
+    peak-detection prefilters. One lag+lead window pass over the
+    (ts, event_id)-ordered series, then a per-user count aggregate;
+    strict comparisons on raw 2-dp doubles are engine-exact. Series
+    endpoints have one neighbor and are never extrema.
+    """
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy(us, "event_id")
+    prev = F.lag("value").over(w)
+    nxt = F.lead("value").over(w)
+    marked = ev.select(
+        "user_id",
+        "value",
+        ((F.col("value") > prev) & (F.col("value") > nxt)).cast("long").alias("is_peak"),
+        ((F.col("value") < prev) & (F.col("value") < nxt)).cast("long").alias("is_trough"),
+    )
+    return (
+        marked.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_peak").alias("n_peaks"),
+            F.sum("is_trough").alias("n_troughs"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_EXTREMA_SQL = """
+WITH marked AS (
+    SELECT user_id, value,
+           CASE WHEN value > LAG(value) OVER w AND value > LEAD(value) OVER w
+                THEN 1 ELSE 0 END AS is_peak,
+           CASE WHEN value < LAG(value) OVER w AND value < LEAD(value) OVER w
+                THEN 1 ELSE 0 END AS is_trough
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(is_peak) AS BIGINT) AS n_peaks,
+       CAST(SUM(is_trough) AS BIGINT) AS n_troughs
+FROM marked
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 # ------------------------------------------- seasonal naive baseline
 
 SEASONAL_LAG_DAYS = 7
@@ -1107,6 +1160,7 @@ ORDER BY user_id
 
 
 QUERIES = {
+    "window_local_extrema": window_local_extrema,
     "window_seasonal_baseline": window_seasonal_baseline,
     "window_rank_shift": window_rank_shift,
     "window_max_drawdown": window_max_drawdown,
@@ -1130,6 +1184,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_local_extrema": _EXTREMA_SQL,
     "window_seasonal_baseline": _seasonal_sql(),
     "window_rank_shift": _rank_shift_sql(),
     "window_max_drawdown": _DRAWDOWN_SQL,

@@ -308,3 +308,30 @@ def test_base64_all_roundtrip(spark, sf_dir):
     assert len(rows) == 200
     assert all(r["b64_roundtrip_ok"] and r["hex_roundtrip_ok"] for r in rows)
     assert all(r["b64_len"] % 4 == 0 for r in rows)
+
+
+def test_period_overlap_set_identities(spark, sf_dir):
+    from parquet_batch_spark.operators.relational import agg_period_overlap
+
+    r = agg_period_overlap(spark, sf_dir).collect()[0]
+    assert r["n_both"] <= min(r["n_y1"], r["n_y2"])
+    assert 0 <= r["jaccard_micro"] <= 1_000_000
+    assert r["n_y1"] > 0 and r["n_y2"] > 0
+
+
+def test_drift_report_consistency(spark, sf_dir):
+    from parquet_batch_spark.operators.similarity import embedding_drift_report
+
+    r = embedding_drift_report(spark, sf_dir).collect()[0]
+    assert r["n_dims"] == 64
+    assert r["max_dim_shift_micro"] <= r["l1_drift_micro"]
+    assert 0 <= r["n_dims_shifted_1pct"] <= 64
+
+
+def test_local_extrema_bounds(spark, sf_dir):
+    from parquet_batch_spark.operators.windows import window_local_extrema
+
+    for r in window_local_extrema(spark, sf_dir).collect():
+        # extrema alternate: counts differ by at most 1; endpoints excluded
+        assert abs(r["n_peaks"] - r["n_troughs"]) <= 1
+        assert r["n_peaks"] + r["n_troughs"] <= max(r["n_events"] - 2, 0)
