@@ -172,3 +172,76 @@ def test_cosine_gate_paths_identical_on_random_vectors(spark, tmp_path, data):
     finally:
         dedup_mod.COS_SMALL_CORPUS = old
     assert small == joined
+
+
+# ---------------------------------------------------------------------------
+# Property: interval coalescing == pure-Python reference on random series
+# ---------------------------------------------------------------------------
+
+_events = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 10_000)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(evs=_events)
+def test_interval_coalesce_matches_reference(spark, evs):
+    """window_interval_coalesce run end-to-end over a synthetic events
+    table must equal the textbook merge-overlapping-intervals
+    algorithm for every random series hypothesis produces."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_batch_spark.operators.windows import (
+        IVC_WIDTH_US,
+        window_interval_coalesce,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ivc_prop_")
+    try:
+        df = spark.createDataFrame(
+            [(i, t * 1_000_000, u, "view", 1.0, "{}") for i, (u, t) in enumerate(evs)],
+            "event_id BIGINT, us BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+        ).select(
+            "event_id",
+            F.timestamp_micros("us").cast("timestamp_ntz").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+        got = {
+            r["user_id"]: (r["n_islands"], r["covered_us"])
+            for r in window_interval_coalesce(spark, tmp).collect()
+        }
+        # pure-Python reference: merge [t, t+W) intervals per user
+        expect = {}
+        by_user = {}
+        for u, t in evs:
+            by_user.setdefault(u, []).append(t * 1_000_000)
+        for u, starts in by_user.items():
+            starts.sort()
+            islands, covered = 0, 0
+            cur_s = cur_e = None
+            for s in starts:
+                e = s + IVC_WIDTH_US
+                if cur_e is None or s > cur_e:
+                    if cur_e is not None:
+                        covered += cur_e - cur_s
+                    islands += 1
+                    cur_s, cur_e = s, e
+                else:
+                    cur_e = max(cur_e, e)
+            covered += cur_e - cur_s
+            expect[u] = (islands, covered)
+        assert got == expect, (got, expect)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
