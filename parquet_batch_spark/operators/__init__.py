@@ -33,13 +33,13 @@ from pyspark.sql import DataFrame, SparkSession
 #     r1 greens (scans/sources/sinks/joins/q1/agg_distinct).  49 green;
 #     ann_ivf_topk no_oracle (rows-only then — oracle added in r4).
 #   r4 window (this ordering, rebalanced in the continuation
-#     session): slots 1-42 = the 42 continuation-session ops, slot 43
+#     session): slots 1-45 = the 45 continuation-session ops, slot 46
 #     = join_interval_bucketed (landed late in the prior session; its
-#     oracle was registered this session), slot 44 = ann_ivf_topk
+#     oracle was registered this session), slot 47 = ann_ivf_topk
 #     (r4-CHANGED, first-ever hash check — its only row ever is r3's
-#     no_oracle), slots 45-50 = the first 6 earlier-r4-session ops in
-#     batch order (mapInArrow … scan_observed_metrics).
-#     Everything from dedup_cluster_representative down — incl the nine
+#     no_oracle), slots 48-50 = the first 3 earlier-r4-session ops in
+#     batch order (mapInArrow, hll_union, scan_files_metadata).
+#     Everything from join_lateral_topk down — including the nine
 #     invariant-tested spills (ewma, rolling-median, listagg,
 #     running-distinct, bitwise, cdc, bloom, reservoir, kmeans), the
 #     two reworked dedup ops, and ALL r1/r2 stales — spills to r5.
@@ -105,6 +105,9 @@ _PRIORITY = [
     "agg_period_overlap",
     "embedding_drift_report",
     "window_local_extrema",
+    "udtf_dynamic_schema",
+    "agg_vwap",
+    "quality_merkle_checksums",
     # landed at the tail of the previous session without an ORACLES
     # entry (registered this session) — first checkable round
     "join_interval_bucketed",

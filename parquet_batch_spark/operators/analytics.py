@@ -721,6 +721,50 @@ ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# agg_vwap — volume-weighted average price
+# ---------------------------------------------------------------------------
+
+
+def agg_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per return flag — Σ(p·q)/Σq, the
+    market-standard weighted mean (``agg_weighted_median`` is its
+    robust sibling). Both the price·quantity products and the sums run
+    in exact decimal (the ``agg_corr_exact`` second-moment discipline),
+    so the closing division is a ratio of bit-identical doubles. One
+    pass, map-side partial aggregation.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    pq = F.sum(dec9("l_extendedprice") * dec9("l_quantity")).cast(
+        "decimal(30,6)"
+    ).cast("double")
+    q = F.sum(dec("l_quantity")).cast("decimal(18,6)").cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            q.alias("total_qty"),
+            F.round(pq / q, 6).alias("vwap"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_VWAP_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE)
+           AS total_qty,
+       ROUND(
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
+                         * CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(30,6)) AS DOUBLE)
+           / CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE),
+           6) AS vwap
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+# ---------------------------------------------------------------------------
 # window_winsorize — robust clamped-mean statistics
 # ---------------------------------------------------------------------------
 
@@ -1137,6 +1181,7 @@ ORDER BY l_returnflag
 
 
 QUERIES = {
+    "agg_vwap": agg_vwap,
     "window_winsorize": window_winsorize,
     "agg_decile_report": agg_decile_report,
     "agg_pareto_frontier": agg_pareto_frontier,
@@ -1158,6 +1203,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_vwap": _VWAP_SQL,
     "window_winsorize": _WINSOR_SQL,
     "agg_decile_report": _DECILE_SQL,
     "agg_pareto_frontier": _PARETO_SQL,

@@ -273,7 +273,84 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# udtf_dynamic_schema — Spark 4 polymorphic UDTF (analyze-time schema)
+# ---------------------------------------------------------------------------
+
+NGRAM_WIDTH = 3  # literal argument that DRIVES the output schema
+
+
+def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4): the output SCHEMA is computed
+    at plan time by the class's ``analyze`` method from the literal
+    ``n`` argument — ``ngrams(text, 3)`` emits columns (tok_1, tok_2,
+    tok_3), ``ngrams(text, 5)`` would emit five, with no code change.
+    This is the sixth Python execution surface in the engine (after
+    scalar/pandas/grouped-agg/applyInPandas/mapInArrow/UDTF-static) and
+    the API that makes table functions reusable across call sites —
+    the static-returnType UDTF (``udtf_bigram_topk``) must hardcode
+    its shape. Top-10 trigram census; explosion is map-side, only
+    (gram, partial count) rows shuffle.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class NGrams:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            width = int(n.value)
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField(f"tok_{i + 1}", StringType())
+                        for i in range(width)
+                    ]
+                )
+            )
+
+        def eval(self, text: str, n: int):
+            words = [w for w in re.split(r"\s+", text.strip()) if w]
+            for i in range(len(words) - n + 1):
+                yield tuple(words[i : i + n])
+
+    spark.udtf.register("pbs_ngrams", udtf(NGrams))
+    load(spark, sf_dir, "documents").createOrReplaceTempView("pbs_docs_ng")
+    cols = ", ".join(f"g.tok_{i + 1}" for i in range(NGRAM_WIDTH))
+    return spark.sql(
+        f"""
+        SELECT {cols}, COUNT(*) AS n
+        FROM pbs_docs_ng, LATERAL pbs_ngrams(text, {NGRAM_WIDTH}) g
+        GROUP BY {cols}
+        ORDER BY n DESC, {cols}
+        LIMIT 10
+        """
+    )
+
+
+_DYN_UDTF_SQL = rf"""
+WITH w0 AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(text), '\s+')) AS word,
+           generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS i
+    FROM documents
+),
+g AS (
+    SELECT word AS tok_1,
+           lead(word, 1) OVER (PARTITION BY doc_id ORDER BY i) AS tok_2,
+           lead(word, 2) OVER (PARTITION BY doc_id ORDER BY i) AS tok_3
+    FROM w0
+)
+SELECT tok_1, tok_2, tok_3, COUNT(*) AS n
+FROM g
+WHERE tok_2 IS NOT NULL AND tok_3 IS NOT NULL
+GROUP BY tok_1, tok_2, tok_3
+ORDER BY n DESC, tok_1, tok_2, tok_3
+LIMIT 10
+"""
+
+
 QUERIES = {
+    "udtf_dynamic_schema": udtf_dynamic_schema,
     "udf_map_in_arrow": udf_map_in_arrow,
     "udf_arrow_scalar": udf_arrow_scalar,
     "udtf_bigram_topk": udtf_bigram_topk,
@@ -282,6 +359,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "udtf_dynamic_schema": _DYN_UDTF_SQL,
     "udf_map_in_arrow": _MAP_IN_ARROW_SQL,
     "udf_arrow_scalar": _ARROW_UDF_SQL,
     "udtf_bigram_topk": _BIGRAM_SQL,

@@ -41,6 +41,78 @@ from parquet_batch_spark.functions.numeric import dsum, sql_dsum
 from parquet_batch_spark.operators.sources_ext import _io_dir
 
 # ---------------------------------------------------------------------------
+# quality_merkle_checksums — hierarchical content integrity
+# ---------------------------------------------------------------------------
+
+
+def quality_merkle_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (Merkle-style) content checksums: row hashes fold
+    into per-partition digests, partition digests fold into one table
+    root — the replication/migration integrity scheme that localizes
+    a mismatch to the partition level without re-reading the table.
+    Order-insensitivity comes from sorting digests before folding
+    (any task/partition execution order yields the same root). The
+    per-partition ``collect_list`` is bounded by partition row count —
+    the same bounded-group caveat as ``agg_listagg_sorted``; a 100 TB
+    deployment folds at file grain first (cf. ``scan_files_metadata``)
+    so no single group exceeds a file's rows. Output: one row per
+    partition plus the TABLE root row.
+    """
+    o = load(spark, sf_dir, "orders")
+    row_hash = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice").cast("string"),
+        )
+    )
+    parts = (
+        o.select(F.col("o_orderstatus").alias("pkey"), row_hash.alias("rh"))
+        .groupBy("pkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.md5(F.array_join(F.array_sort(F.collect_list("rh")), "")).alias(
+                "digest"
+            ),
+        )
+    )
+    root = parts.agg(
+        F.lit("TABLE").alias("pkey"),
+        F.sum("n_rows").alias("n_rows"),
+        F.md5(F.array_join(F.array_sort(F.collect_list("digest")), "")).alias(
+            "digest"
+        ),
+    )
+    return parts.select(F.lit("partition").alias("level"), "pkey", "n_rows", "digest").unionAll(
+        root.select(F.lit("root").alias("level"), "pkey", "n_rows", "digest")
+    ).orderBy("level", "pkey")
+
+
+_MERKLE_SQL = """
+WITH rows_h AS (
+    SELECT o_orderstatus AS pkey,
+           md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|'
+               || CAST(o_totalprice AS VARCHAR)) AS rh
+    FROM orders
+),
+parts AS (
+    SELECT pkey, COUNT(*) AS n_rows,
+           md5(string_agg(rh, '' ORDER BY rh)) AS digest
+    FROM rows_h GROUP BY pkey
+),
+root AS (
+    SELECT 'TABLE' AS pkey, CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           md5(string_agg(digest, '' ORDER BY digest)) AS digest
+    FROM parts
+)
+SELECT 'partition' AS level, pkey, n_rows, digest FROM parts
+UNION ALL
+SELECT 'root', pkey, n_rows, digest FROM root
+ORDER BY level, pkey
+"""
+
+# ---------------------------------------------------------------------------
 # etl_golden_record — multi-source survivorship merge
 # ---------------------------------------------------------------------------
 
@@ -907,6 +979,7 @@ ORDER BY 1
 
 
 QUERIES = {
+    "quality_merkle_checksums": quality_merkle_checksums,
     "etl_golden_record": etl_golden_record,
     "window_funnel_latency": window_funnel_latency,
     "etl_snapshot_diff": etl_snapshot_diff,
@@ -920,6 +993,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quality_merkle_checksums": _MERKLE_SQL,
     "etl_golden_record": _GOLDEN_SQL,
     "window_funnel_latency": _FUNNEL_LATENCY_SQL,
     "etl_snapshot_diff": _SNAPSHOT_DIFF_SQL,

@@ -55,12 +55,13 @@ def test_driver_window_covers_round4_targets():
         "agg_pct_of_parent", "window_winsorize", "func_base64_transport",
         "etl_golden_record", "window_seasonal_baseline",
         "agg_period_overlap", "embedding_drift_report",
+        "udtf_dynamic_schema", "agg_vwap", "quality_merkle_checksums",
         "window_local_extrema",
         "source_csv_quoted_multiline",
         "join_interval_bucketed", "ann_ivf_topk"}
     assert session_ops <= set(first50), session_ops - set(first50)
     # the remaining 27 slots hold the earliest prior-session batches
-    assert first50[44] == "udf_map_in_arrow"
-    assert first50[49] == "scan_observed_metrics"
+    assert first50[47] == "udf_map_in_arrow"
+    assert first50[49] == "scan_files_metadata"
     # spill boundary: curation_pipeline_funnel leads the r5 plan
-    assert list(all_queries())[50] == "dedup_cluster_representative"
+    assert list(all_queries())[50] == "join_lateral_topk"

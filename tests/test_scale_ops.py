@@ -335,3 +335,41 @@ def test_local_extrema_bounds(spark, sf_dir):
         # extrema alternate: counts differ by at most 1; endpoints excluded
         assert abs(r["n_peaks"] - r["n_troughs"]) <= 1
         assert r["n_peaks"] + r["n_troughs"] <= max(r["n_events"] - 2, 0)
+
+
+def test_dynamic_udtf_schema_from_literal(spark, sf_dir):
+    from parquet_batch_spark.operators.udfs import udtf_dynamic_schema
+
+    df = udtf_dynamic_schema(spark, sf_dir)
+    # the schema was derived from the literal n=3 at PLAN time
+    assert [f.name for f in df.schema.fields] == ["tok_1", "tok_2", "tok_3", "n"]
+    rows = df.collect()
+    assert len(rows) == 10
+    assert all(r["n"] >= 1 for r in rows)
+
+
+def test_vwap_between_min_max_price(spark, sf_dir):
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.operators.analytics import agg_vwap
+
+    bounds = {
+        r["l_returnflag"]: (r["mn"], r["mx"])
+        for r in load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx"))
+        .collect()
+    }
+    for r in agg_vwap(spark, sf_dir).collect():
+        mn, mx = bounds[r["l_returnflag"]]
+        assert mn <= r["vwap"] <= mx
+
+
+def test_merkle_root_localizes_partitions(spark, sf_dir):
+    from parquet_batch_spark.operators.warehouse import quality_merkle_checksums
+
+    rows = quality_merkle_checksums(spark, sf_dir).collect()
+    parts = [r for r in rows if r["level"] == "partition"]
+    roots = [r for r in rows if r["level"] == "root"]
+    assert len(roots) == 1
+    assert roots[0]["n_rows"] == sum(r["n_rows"] for r in parts)
+    assert len({r["digest"] for r in rows}) == len(rows)  # all digests distinct
