@@ -245,3 +245,52 @@ def test_interval_coalesce_matches_reference(spark, evs):
         assert got == expect, (got, expect)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Property: Pareto frontier == brute-force dominance on random points
+# ---------------------------------------------------------------------------
+
+_points = st.lists(
+    st.tuples(st.integers(0, 50), st.integers(0, 50)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pts=_points)
+def test_pareto_scan_matches_bruteforce(spark, pts):
+    """The sorted-scan frontier construction (the exact plan shape
+    agg_pareto_frontier uses: per-x max-y reduce + one running-max
+    window) must equal brute-force dominance filtering for every
+    random point set."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pts, "x LONG, y LONG")
+    per_x = df.groupBy("x").agg(F.max("y").alias("y"))
+    prev = F.max("y").over(
+        W.orderBy(F.desc("x")).rowsBetween(W.unboundedPreceding, -1)
+    )
+    got = {
+        (r["x"], r["y"])
+        for r in per_x.withColumn("p", prev)
+        .filter(F.col("p").isNull() | (F.col("y") > F.col("p")))
+        .collect()
+    }
+    # brute force: (x, y) is on the frontier iff no other point
+    # dominates it (>= both, > at least one)
+    uniq = set(pts)
+    expect = {
+        (x, y)
+        for (x, y) in uniq
+        if not any(
+            (a >= x and b >= y and (a > x or b > y)) for (a, b) in uniq
+        )
+    }
+    assert got == expect, (sorted(got), sorted(expect))
