@@ -103,6 +103,10 @@ HEADLINE = [
     "agg_pct_of_parent",
     "window_rank_shift",
     "quality_source_gini",
+    "agg_vwap",
+    "window_seasonal_baseline",
+    "etl_golden_record",
+    "quality_merkle_checksums",
 ]
 
 
