@@ -721,6 +721,74 @@ ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# agg_benford_profile — first-digit fraud screen
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) in micro-units, precomputed as LITERALS so neither
+# engine evaluates a (not-correctly-rounded) log10 at query time.
+_BENFORD_MICRO = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910,
+    5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def agg_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit profile of order totals — the classic
+    forensic-accounting screen (organic amounts follow
+    P(d)=log10(1+1/d); fabricated ones usually don't). First digits
+    come from the string head (every total is ≥ 1000, so no leading
+    '0.' case), observed shares are exact integer micro-units, and the
+    Benford expectations are Python-precomputed literals — no
+    transcendental is evaluated in either engine. Output per digit:
+    count, observed share, expected share, absolute deviation.
+    """
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders")
+    digit = F.substring(F.col("o_totalprice").cast("string"), 1, 1).cast("int")
+    counts = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = F.sum("n").over(W.partitionBy())
+    benford = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_MICRO.items() for x in kv]
+    )
+    share = F.floor(F.lit(1000000.0) * F.col("n") / total).cast("long")
+    return (
+        counts.select(
+            "digit",
+            "n",
+            share.alias("share_micro"),
+            benford[F.col("digit")].cast("long").alias("benford_micro"),
+        )
+        .withColumn(
+            "abs_dev_micro",
+            F.abs(F.col("share_micro") - F.col("benford_micro")),
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {v}" for d, v in _BENFORD_MICRO.items()
+)
+
+_BENFORD_SQL = f"""
+WITH counts AS (
+    SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+           COUNT(*) AS n
+    FROM orders GROUP BY digit
+)
+SELECT digit, n,
+       CAST(FLOOR(1000000.0 * n / SUM(n) OVER ()) AS BIGINT) AS share_micro,
+       CAST(CASE digit {_BENFORD_CASE} END AS BIGINT) AS benford_micro,
+       ABS(CAST(FLOOR(1000000.0 * n / SUM(n) OVER ()) AS BIGINT)
+           - CAST(CASE digit {_BENFORD_CASE} END AS BIGINT)) AS abs_dev_micro
+FROM counts
+ORDER BY digit
+"""
+
+# ---------------------------------------------------------------------------
 # agg_vwap — volume-weighted average price
 # ---------------------------------------------------------------------------
 
@@ -1181,6 +1249,7 @@ ORDER BY l_returnflag
 
 
 QUERIES = {
+    "agg_benford_profile": agg_benford_profile,
     "agg_vwap": agg_vwap,
     "window_winsorize": window_winsorize,
     "agg_decile_report": agg_decile_report,
@@ -1203,6 +1272,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_benford_profile": _BENFORD_SQL,
     "agg_vwap": _VWAP_SQL,
     "window_winsorize": _WINSOR_SQL,
     "agg_decile_report": _DECILE_SQL,

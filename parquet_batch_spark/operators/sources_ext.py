@@ -758,6 +758,142 @@ ORDER BY bucket_mod
 
 
 # ---------------------------------------------------------------------------
+# sink_retention_prune — TTL partition lifecycle
+# ---------------------------------------------------------------------------
+
+RETENTION_MIN_YEAR = 1999
+
+_RETENTION_STAGED: set[str] = set()
+
+
+def sink_retention_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention/TTL enforcement at partition grain — the lifecycle
+    job behind GDPR windows and storage budgets: orders staged as a
+    year-partitioned hive table, partitions older than
+    {RETENTION_MIN_YEAR} DELETED AS DIRECTORIES (never row-level
+    deletes — dropping a partition is a metadata+unlink operation;
+    rewriting 100 TB to delete 20% of rows is the anti-pattern),
+    surviving partitions byte-untouched. Output: per surviving year,
+    exact content accounting; the oracle's date predicate over the
+    source table proves the drop removed exactly the expired years.
+    Idempotent — a second run finds nothing expired.
+    """
+    import shutil
+
+    root = _io_dir(sf_dir, "orders_by_year_ttl")
+    if root not in _RETENTION_STAGED:
+        (
+            load(spark, sf_dir, "orders")
+            .withColumn("o_year", F.year("o_orderdate"))
+            .repartition("o_year")
+            .write.mode("overwrite")
+            .partitionBy("o_year")
+            .parquet(root)
+        )
+        _RETENTION_STAGED.add(root)
+    for name in sorted(os.listdir(root)):
+        if name.startswith("o_year="):
+            yr = int(name.split("=")[1])
+            if yr < RETENTION_MIN_YEAR:
+                shutil.rmtree(os.path.join(root, name))
+    kept = spark.read.parquet(root)
+    return (
+        kept.groupBy(F.col("o_year").cast("int").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("decimal(18,6)").cast("double").alias(
+                "revenue"
+            ),
+            F.sum("o_orderkey").alias("key_checksum"),
+        )
+        .orderBy("o_year")
+    )
+
+
+_RETENTION_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice")} AS revenue,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+FROM orders
+WHERE year(o_orderdate) >= {RETENTION_MIN_YEAR}
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+# ---------------------------------------------------------------------------
+# source_multiformat_union — cross-format logical table federation
+# ---------------------------------------------------------------------------
+
+_MULTIFMT_STAGED: set[str] = set()
+
+
+def source_multiformat_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One logical table federated across THREE storage formats — the
+    landing-zone reality of every lake (historical parquet + a legacy
+    ORC export + this week's CSV drop): orders are staged in disjoint
+    key slices (mod 3) as parquet / ORC / CSV, each slice read back
+    with its format's reader (CSV with an explicit schema — text
+    formats carry none), aligned with ``unionByName``, and aggregated.
+    Matching the single-source oracle proves the federation is exactly
+    lossless across all three hops. Scale: each format scan
+    parallelizes independently; the union is a plan-level concat (no
+    shuffle), and the aggregate shuffles once.
+    """
+    root = _io_dir(sf_dir, "orders_multifmt")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+            "o_orderdate"]
+    o = load(spark, sf_dir, "orders").select(*cols)
+    if root not in _MULTIFMT_STAGED:
+        o.filter(F.col("o_orderkey") % 3 == 0).write.mode("overwrite").parquet(
+            os.path.join(root, "pq")
+        )
+        o.filter(F.col("o_orderkey") % 3 == 1).write.mode("overwrite").orc(
+            os.path.join(root, "orc")
+        )
+        (
+            o.filter(F.col("o_orderkey") % 3 == 2)
+            .write.mode("overwrite")
+            .option("header", True)
+            .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+            .csv(os.path.join(root, "csv"))
+        )
+        _MULTIFMT_STAGED.add(root)
+    pq = spark.read.parquet(os.path.join(root, "pq"))
+    orc = spark.read.orc(os.path.join(root, "orc"))
+    csv = (
+        spark.read.schema(_ORDERS_TEXT_SCHEMA)
+        .option("header", True)
+        .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .csv(os.path.join(root, "csv"))
+    )
+    unioned = pq.unionByName(orc).unionByName(csv.select(*cols))
+    return (
+        unioned.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.min("o_orderdate").alias("first_date"),
+            F.max("o_orderdate").alias("last_date"),
+            F.sum("o_orderkey").alias("key_checksum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_MULTIFMT_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       MIN(o_orderdate) AS first_date,
+       MAX(o_orderdate) AS last_date,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+# ---------------------------------------------------------------------------
 # sink_selective_compaction — stats-driven partial table maintenance
 # ---------------------------------------------------------------------------
 
@@ -982,6 +1118,8 @@ ORDER BY lang
 
 
 QUERIES = {
+    "sink_retention_prune": sink_retention_prune,
+    "source_multiformat_union": source_multiformat_union,
     "sink_selective_compaction": sink_selective_compaction,
     "source_csv_quoted_multiline": source_csv_quoted_multiline,
     "source_binaryfile_ingest": source_binaryfile_ingest,
@@ -1001,6 +1139,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sink_retention_prune": _RETENTION_SQL,
+    "source_multiformat_union": _MULTIFMT_SQL,
     "sink_selective_compaction": _SEL_COMPACT_SQL,
     "source_csv_quoted_multiline": _CSV_MULTILINE_SQL,
     "source_binaryfile_ingest": _BINARYFILE_SQL,

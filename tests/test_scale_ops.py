@@ -373,3 +373,37 @@ def test_merkle_root_localizes_partitions(spark, sf_dir):
     assert len(roots) == 1
     assert roots[0]["n_rows"] == sum(r["n_rows"] for r in parts)
     assert len({r["digest"] for r in rows}) == len(rows)  # all digests distinct
+
+
+def test_benford_profile_shape(spark, sf_dir):
+    from parquet_batch_spark.operators.analytics import agg_benford_profile
+
+    rows = agg_benford_profile(spark, sf_dir).collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    assert abs(sum(r["share_micro"] for r in rows) - 1_000_000) <= 9
+    assert sum(r["benford_micro"] for r in rows) in range(999_990, 1_000_001)
+
+
+def test_multiformat_union_covers_all_slices(spark, sf_dir):
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.operators.sources_ext import source_multiformat_union
+
+    rows = source_multiformat_union(spark, sf_dir).collect()
+    assert sum(r["n_rows"] for r in rows) == load(spark, sf_dir, "orders").count()
+
+
+def test_retention_prune_drops_only_expired(spark, sf_dir):
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.operators.sources_ext import (
+        RETENTION_MIN_YEAR,
+        sink_retention_prune,
+    )
+
+    rows = sink_retention_prune(spark, sf_dir).collect()
+    assert all(r["o_year"] >= RETENTION_MIN_YEAR for r in rows)
+    expect = (
+        load(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") >= RETENTION_MIN_YEAR)
+        .count()
+    )
+    assert sum(r["n_orders"] for r in rows) == expect
