@@ -733,6 +733,86 @@ ORDER BY order_week
 
 
 # ---------------------------------------------------------------------------
+# join_nearest_price — 1-D nearest-neighbor without a cross product
+# ---------------------------------------------------------------------------
+
+
+def join_nearest_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D nearest-neighbor statistics: for every DISTINCT order total
+    within a status, the gap to the closest other total — price-
+    clustering diagnostics (tight gaps ⇒ algorithmic/menu pricing).
+    The naive formulation is a |P|² self-join with ABS(a−b) ranking;
+    sorted 1-D data makes the nearest neighbor one of the two SORT
+    NEIGHBORS, so one window pass (lag+lead over the price-distinct
+    reduced table) replaces the cross product entirely. Output per
+    status: distinct-price count and the min / mean / max
+    nearest-gap in exact cents.
+    """
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders")
+    prices = (
+        o.select(
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("pc"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("o_orderstatus").orderBy("pc")
+    prev_gap = F.col("pc") - F.lag("pc").over(w)
+    next_gap = F.lead("pc").over(w) - F.col("pc")
+    # explicit NULL handling: LEAST-with-NULL semantics differ across
+    # engines (Spark skips NULLs; DuckDB's behavior changed across
+    # versions) — never rely on it
+    gap = (
+        F.when(prev_gap.isNull(), next_gap)
+        .when(next_gap.isNull(), prev_gap)
+        .otherwise(F.least(prev_gap, next_gap))
+    )
+    scored = prices.select(
+        "o_orderstatus", gap.alias("gap_cents")
+    ).filter(F.col("gap_cents").isNotNull())
+    return (
+        scored.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_prices"),
+            F.min("gap_cents").alias("min_gap_cents"),
+            F.floor(F.sum("gap_cents") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("mean_gap_cents"),
+            F.max("gap_cents").alias("max_gap_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_NEAREST_SQL = """
+WITH prices AS (
+    SELECT DISTINCT o_orderstatus,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc
+    FROM orders
+),
+scored AS (
+    SELECT o_orderstatus,
+           CASE WHEN LAG(pc) OVER w IS NULL THEN LEAD(pc) OVER w - pc
+                WHEN LEAD(pc) OVER w IS NULL THEN pc - LAG(pc) OVER w
+                ELSE LEAST(pc - LAG(pc) OVER w, LEAD(pc) OVER w - pc)
+           END AS gap_cents
+    FROM prices
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY pc)
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_prices,
+       MIN(gap_cents) AS min_gap_cents,
+       CAST(FLOOR(SUM(gap_cents) / COUNT(*)) AS BIGINT) AS mean_gap_cents,
+       MAX(gap_cents) AS max_gap_cents
+FROM scored
+WHERE gap_cents IS NOT NULL
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+# ---------------------------------------------------------------------------
 # join_spatial_grid_radius — 2-D radius self-join via grid bucketing
 # ---------------------------------------------------------------------------
 
@@ -842,6 +922,7 @@ FROM hits
 
 
 QUERIES = {
+    "join_nearest_price": join_nearest_price,
     "join_spatial_grid_radius": join_spatial_grid_radius,
     "join_interval_bucketed": join_interval_bucketed,
     "join_lateral_topk": join_lateral_topk,
@@ -860,6 +941,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_nearest_price": _NEAREST_SQL,
     "join_spatial_grid_radius": _SPATIAL_SQL,
     "join_interval_bucketed": _JOIN_INTERVAL_SQL,
     "join_lateral_topk": _JOIN_LATERAL_SQL,

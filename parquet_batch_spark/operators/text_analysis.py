@@ -541,6 +541,66 @@ ORDER BY labeled, predicted
 
 
 # ---------------------------------------------------------------------------
+# text_vocab_growth — Heaps'-law vocabulary growth curve
+# ---------------------------------------------------------------------------
+
+VOCAB_CHECKPOINT = 50  # sample the curve every N documents
+
+
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: distinct-token count after the
+    first N, 2N, … documents (in doc_id order) — the curve that tells
+    you whether more crawl still buys vocabulary (sub-linear growth
+    flattening = saturation; the diagnostic behind corpus-size
+    decisions). Each token contributes at its FIRST document (one
+    min-aggregate over the exploded stream), first-occurrence counts
+    bucket to checkpoints, and one running sum over the tiny
+    checkpoint table yields the curve — no per-prefix rescans, no
+    quadratic work.
+    """
+    from pyspark.sql import Window as W
+
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
+    first_seen = (
+        d.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    ckpt = F.ceil((F.col("first_doc") + 1) / VOCAB_CHECKPOINT).cast("long")
+    per_ckpt = first_seen.groupBy(ckpt.alias("checkpoint")).agg(
+        F.count(F.lit(1)).alias("new_tokens")
+    )
+    run = F.sum("new_tokens").over(
+        W.orderBy("checkpoint").rowsBetween(W.unboundedPreceding, 0)
+    )
+    return per_ckpt.select(
+        (F.col("checkpoint") * VOCAB_CHECKPOINT).alias("docs_seen"),
+        "new_tokens",
+        run.cast("long").alias("vocab_size"),
+    ).orderBy("docs_seen")
+
+
+_VOCAB_GROWTH_SQL = f"""
+WITH first_seen AS (
+    SELECT tok, MIN(doc_id) AS first_doc
+    FROM (SELECT doc_id, UNNEST({sql_tokens("text")}) AS tok FROM documents)
+    GROUP BY tok
+),
+per_ckpt AS (
+    SELECT CAST(CEIL((first_doc + 1) / {VOCAB_CHECKPOINT}.0) AS BIGINT)
+               AS checkpoint,
+           COUNT(*) AS new_tokens
+    FROM first_seen GROUP BY checkpoint
+)
+SELECT checkpoint * {VOCAB_CHECKPOINT} AS docs_seen,
+       new_tokens,
+       CAST(SUM(new_tokens) OVER (ORDER BY checkpoint
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+FROM per_ckpt
+ORDER BY docs_seen
+"""
+
+# ---------------------------------------------------------------------------
 # text_overlap_stitch — suffix/prefix boundary-overlap detection
 # ---------------------------------------------------------------------------
 
@@ -622,6 +682,7 @@ ORDER BY a, b
 
 
 QUERIES = {
+    "text_vocab_growth": text_vocab_growth,
     "text_overlap_stitch": text_overlap_stitch,
     "quality_langid_confusion": quality_langid_confusion,
     "text_bigram_surprisal": text_bigram_surprisal,
@@ -635,6 +696,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_vocab_growth": _VOCAB_GROWTH_SQL,
     "text_overlap_stitch": _STITCH_SQL,
     "quality_langid_confusion": _LANGID_CONFUSION_SQL,
     "text_bigram_surprisal": _BIGRAM_SURPRISAL_SQL,

@@ -852,6 +852,93 @@ ORDER BY user_id, bucket_ts
 """
 
 
+# ------------------------------------------- Bollinger band breaches
+
+BOLL_N = 10  # trailing window width
+BOLL_K = 2  # band width in standard deviations
+
+
+def window_bollinger_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breach census: per user, how often the value
+    pierces mean ± {BOLL_K}σ of its trailing-{BOLL_N} window — the
+    volatility-adaptive threshold that a fixed cutoff can't give
+    (cf. ``window_anomaly_zscore``'s global z-score). Trailing moments
+    come from exact integer centi-sums over the ROWS frame; σ is one
+    correctly-rounded sqrt; the breach comparisons run the identical
+    IEEE expression in both engines. Rows with a full window only.
+    """
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    vc = F.round(F.col("value") * 100).cast("long")
+    base = ev.select("user_id", vc.alias("vc"), us.alias("us"), "event_id")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-(BOLL_N - 1), 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("vc").over(w)
+    sxx = F.sum(F.col("vc") * F.col("vc")).over(w)
+    mean = sx.cast("double") / n
+    var = (
+        n.cast("double") * sxx.cast("double")
+        - sx.cast("double") * sx.cast("double")
+    ) / (n.cast("double") * n.cast("double"))
+    sd = F.sqrt(var)
+    scored = base.select(
+        "user_id",
+        "vc",
+        n.alias("wn"),
+        mean.alias("m"),
+        sd.alias("sd"),
+    ).filter(F.col("wn") == BOLL_N)
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum(
+                (F.col("vc") > F.col("m") + BOLL_K * F.col("sd")).cast("long")
+            ).alias("n_upper_breach"),
+            F.sum(
+                (F.col("vc") < F.col("m") - BOLL_K * F.col("sd")).cast("long")
+            ).alias("n_lower_breach"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_BOLL_SQL = f"""
+WITH base AS (
+    SELECT user_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS vc,
+           epoch_us(ts) AS us, event_id
+    FROM events
+),
+scored AS (
+    SELECT user_id, vc,
+           COUNT(*) OVER w AS wn,
+           CAST(SUM(vc) OVER w AS DOUBLE) / COUNT(*) OVER w AS m,
+           SQRT((CAST(COUNT(*) OVER w AS DOUBLE) * CAST(SUM(vc * vc) OVER w AS DOUBLE)
+                 - CAST(SUM(vc) OVER w AS DOUBLE) * CAST(SUM(vc) OVER w AS DOUBLE))
+                / (CAST(COUNT(*) OVER w AS DOUBLE) * CAST(COUNT(*) OVER w AS DOUBLE)))
+               AS sd
+    FROM base
+    WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN {BOLL_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT user_id,
+       COUNT(*) AS n_scored,
+       CAST(SUM(CASE WHEN vc > m + {BOLL_K} * sd THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_upper_breach,
+       CAST(SUM(CASE WHEN vc < m - {BOLL_K} * sd THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_lower_breach
+FROM scored
+WHERE wn = {BOLL_N}
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 # ------------------------------------------- local extrema census
 
 
@@ -1160,6 +1247,7 @@ ORDER BY user_id
 
 
 QUERIES = {
+    "window_bollinger_breaches": window_bollinger_breaches,
     "window_local_extrema": window_local_extrema,
     "window_seasonal_baseline": window_seasonal_baseline,
     "window_rank_shift": window_rank_shift,
@@ -1184,6 +1272,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_bollinger_breaches": _BOLL_SQL,
     "window_local_extrema": _EXTREMA_SQL,
     "window_seasonal_baseline": _seasonal_sql(),
     "window_rank_shift": _rank_shift_sql(),

@@ -407,3 +407,32 @@ def test_retention_prune_drops_only_expired(spark, sf_dir):
         .count()
     )
     assert sum(r["n_orders"] for r in rows) == expect
+
+
+def test_nearest_price_gap_positive(spark, sf_dir):
+    from parquet_batch_spark.operators.joins import join_nearest_price
+
+    for r in join_nearest_price(spark, sf_dir).collect():
+        assert 0 <= r["min_gap_cents"] <= r["mean_gap_cents"] <= r["max_gap_cents"]
+        assert r["n_prices"] > 100
+
+
+def test_vocab_growth_monotone_concave(spark, sf_dir):
+    from parquet_batch_spark.operators.text_analysis import text_vocab_growth
+
+    rows = text_vocab_growth(spark, sf_dir).collect()
+    sizes = [r["vocab_size"] for r in rows]
+    assert sizes == sorted(sizes)  # monotone growth
+    assert sizes[-1] == sum(r["new_tokens"] for r in rows)
+    # Heaps: later checkpoints add fewer new tokens than the first
+    assert rows[-1]["new_tokens"] <= rows[0]["new_tokens"]
+
+
+def test_bollinger_breaches_bounded(spark, sf_dir):
+    from parquet_batch_spark.operators.windows import window_bollinger_breaches
+
+    rows = window_bollinger_breaches(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # 2σ breaches are rare by construction (Chebyshev: ≤ 25%)
+        assert r["n_upper_breach"] + r["n_lower_breach"] <= r["n_scored"] * 0.25 + 1
