@@ -337,6 +337,71 @@ FROM wedges, tri, en
 """
 
 # ---------------------------------------------------------------------------
+# dedup_cross_source_matrix — who copies whom
+# ---------------------------------------------------------------------------
+
+
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: segment-sharing edges rolled up
+    by (source_a, source_b) — the "who copies whom" report that tells
+    a crawl team which feeds mirror each other (high off-diagonal
+    mass) vs which self-duplicate (diagonal). Edges come from the
+    standard capped segment index; the doc→source map is a broadcast
+    dimension join; sources are ordered within the pair so each
+    unordered source pair appears once. Output: source pair, shared-
+    edge count, distinct docs involved.
+    """
+    e = _segment_edges(spark, sf_dir)
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    labeled = (
+        e.join(
+            F.broadcast(src.select(F.col("doc_id").alias("a"), F.col("source").alias("sa"))),
+            "a",
+        )
+        .join(
+            F.broadcast(src.select(F.col("doc_id").alias("b"), F.col("source").alias("sb"))),
+            "b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+            "a",
+            "b",
+        )
+    )
+    return (
+        labeled.groupBy("source_x", "source_y")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list(F.array("a", "b"))))
+            )
+            .cast("long")
+            .alias("n_docs"),
+        )
+        .orderBy("source_x", "source_y")
+    )
+
+
+_CROSS_SOURCE_SQL = f"""
+WITH {SEGMENT_EDGES_CTE},
+labeled AS (
+    SELECT LEAST(da.source, db.source) AS source_x,
+           GREATEST(da.source, db.source) AS source_y,
+           e.a, e.b
+    FROM edges e
+    JOIN documents da ON e.a = da.doc_id
+    JOIN documents db ON e.b = db.doc_id
+)
+SELECT source_x, source_y,
+       COUNT(*) AS n_edges,
+       CAST(len(list_distinct(flatten(list(ARRAY[a, b])))) AS BIGINT) AS n_docs
+FROM labeled
+GROUP BY source_x, source_y
+ORDER BY source_x, source_y
+"""
+
+# ---------------------------------------------------------------------------
 # graph_community_labels — synchronous label propagation
 # ---------------------------------------------------------------------------
 
@@ -568,6 +633,7 @@ w{k} AS (
 
 
 QUERIES = {
+    "dedup_cross_source_matrix": dedup_cross_source_matrix,
     "quality_gopher_rules": quality_gopher_rules,
     "dedup_url_canonical": dedup_url_canonical,
     "graph_triangle_count": graph_triangle_count,
@@ -576,6 +642,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_cross_source_matrix": _CROSS_SOURCE_SQL,
     "graph_community_labels": _lpa_sql(),
     "quality_gopher_rules": _GOPHER_SQL,
     "dedup_url_canonical": _URL_SQL,

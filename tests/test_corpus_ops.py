@@ -187,3 +187,17 @@ def test_overlap_stitch_pairs_verified(spark, sf_dir):
     }
     for p in pairs:
         assert texts[p["a"]][-STITCH_K:] == texts[p["b"]][:STITCH_K]
+
+
+def test_cross_source_matrix_consistency(spark, sf_dir):
+    from parquet_batch_spark.operators.corpus_ops import (
+        _segment_edges,
+        dedup_cross_source_matrix,
+    )
+
+    rows = dedup_cross_source_matrix(spark, sf_dir).collect()
+    total_edges = sum(r["n_edges"] for r in rows)
+    assert total_edges == _segment_edges(spark, sf_dir).count()
+    for r in rows:
+        assert r["source_x"] <= r["source_y"]
+        assert 2 <= r["n_docs"] <= 2 * r["n_edges"]
