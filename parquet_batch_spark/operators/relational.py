@@ -791,6 +791,223 @@ ORDER BY depth
 
 
 # ---------------------------------------------------------------------------
+# agg_basket_pairs — market-basket co-occurrence
+# ---------------------------------------------------------------------------
+
+BASKET_TOP = 20
+
+
+def agg_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis: the top co-occurring part-brand pairs
+    across orders, with support and lift — the association-rule
+    primer (lift > 1 ⇒ brands bought together more than chance).
+    Baskets reduce to DISTINCT (order, brand) first; the pair join is
+    a self-equi-join on the order key with brand_x < brand_y, so pair
+    work is Θ(Σ C(basket_size, 2)) — basket-bounded (≤13 items here),
+    never |orders|². Lift is an exact integer-ratio floor (every
+    factor < 2^53). Top {BASKET_TOP} under a total order.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_baskets = baskets.select("l_orderkey").distinct().count()
+    singles = baskets.groupBy("p_brand").agg(F.count(F.lit(1)).alias("s"))
+    pairs = (
+        baskets.alias("x")
+        .join(
+            baskets.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.p_brand") < F.col("y.p_brand")),
+        )
+        .groupBy(
+            F.col("x.p_brand").alias("brand_x"),
+            F.col("y.p_brand").alias("brand_y"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    lift = F.floor(
+        F.lit(1000000.0)
+        * F.lit(n_baskets)
+        * F.col("support")
+        / (F.col("sx") * F.col("sy"))
+    ).cast("long")
+    return (
+        pairs.join(
+            F.broadcast(singles.select(F.col("p_brand").alias("brand_x"), F.col("s").alias("sx"))),
+            "brand_x",
+        )
+        .join(
+            F.broadcast(singles.select(F.col("p_brand").alias("brand_y"), F.col("s").alias("sy"))),
+            "brand_y",
+        )
+        .select("brand_x", "brand_y", "support", lift.alias("lift_micro"))
+        .orderBy(F.desc("support"), "brand_x", "brand_y")
+        .limit(BASKET_TOP)
+    )
+
+
+def _basket_sql() -> str:
+    return f"""
+WITH baskets AS (
+    SELECT DISTINCT l_orderkey, p_brand
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS nb FROM baskets),
+singles AS (
+    SELECT p_brand, COUNT(*) AS s FROM baskets GROUP BY p_brand
+),
+pairs AS (
+    SELECT x.p_brand AS brand_x, y.p_brand AS brand_y, COUNT(*) AS support
+    FROM baskets x JOIN baskets y
+      ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand
+    GROUP BY brand_x, brand_y
+)
+SELECT brand_x, brand_y, support,
+       CAST(FLOOR(1000000.0 * n.nb * support / (sx.s * sy.s)) AS BIGINT)
+           AS lift_micro
+FROM pairs, n
+JOIN singles sx ON pairs.brand_x = sx.p_brand
+JOIN singles sy ON pairs.brand_y = sy.p_brand
+ORDER BY support DESC, brand_x, brand_y
+LIMIT {BASKET_TOP}
+"""
+
+# ---------------------------------------------------------------------------
+# agg_abc_classification — Pareto/ABC revenue segmentation
+# ---------------------------------------------------------------------------
+
+ABC_A, ABC_B = 800_000, 950_000  # cumulative-share boundaries (micro)
+
+
+def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) segmentation: customers ranked by revenue, class A
+    = the head covering the first 80% of cumulative revenue, B = the
+    next 15%, C = the tail — the inventory/account-management staple.
+    Revenue reduces to customer grain first; the cumulative share is
+    one running decimal sum over the reduced table (total order:
+    revenue desc, custkey — ties can never flip classes between
+    engines); shares quantize to exact integer micro-units BEFORE the
+    class thresholds apply. Output: class → customers, revenue, share.
+    """
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice")).cast("decimal(18,6)").alias("rev")
+    )
+    w = W.orderBy(F.desc("rev"), F.asc("o_custkey")).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = F.sum("rev").over(w)
+    tot = F.sum("rev").over(W.partitionBy())
+    share_micro = F.floor(
+        F.lit(1000000.0) * cum.cast("double") / tot.cast("double")
+    )
+    classed = per_cust.select(
+        "rev",
+        F.when(share_micro <= ABC_A, "A")
+        .when(share_micro <= ABC_B, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rev").cast("decimal(18,6)").cast("double").alias("revenue"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+_ABC_SQL = f"""
+WITH per_cust AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS rev
+    FROM orders GROUP BY o_custkey
+),
+classed AS (
+    SELECT rev,
+           CASE WHEN FLOOR(1000000.0
+                    * CAST(SUM(rev) OVER (ORDER BY rev DESC, o_custkey ASC
+                                          ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                    / CAST(SUM(rev) OVER () AS DOUBLE)) <= {ABC_A} THEN 'A'
+                WHEN FLOOR(1000000.0
+                    * CAST(SUM(rev) OVER (ORDER BY rev DESC, o_custkey ASC
+                                          ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                    / CAST(SUM(rev) OVER () AS DOUBLE)) <= {ABC_B} THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM per_cust
+)
+SELECT abc_class,
+       COUNT(*) AS n_customers,
+       CAST(CAST(SUM(rev) AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+FROM classed
+GROUP BY abc_class
+ORDER BY abc_class
+"""
+
+# ---------------------------------------------------------------------------
+# agg_new_vs_returning — growth-accounting split
+# ---------------------------------------------------------------------------
+
+
+def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning growth accounting: per month, orders (and
+    revenue) from customers placing their FIRST-ever order that month
+    vs repeat customers — the top-line decomposition every growth
+    report leads with. Customer first-months reduce once (a min
+    aggregate), broadcast back, and each order classifies itself;
+    no window over the fact table, no self-join at order grain.
+    """
+    o = load(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    first = o.groupBy("o_custkey").agg(F.min(month).alias("first_month"))
+    return (
+        o.select("o_custkey", month.alias("month"), "o_totalprice")
+        .join(F.broadcast(first), "o_custkey")
+        .groupBy("month")
+        .agg(
+            F.sum((F.col("month") == F.col("first_month")).cast("long")).alias(
+                "n_new"
+            ),
+            F.sum((F.col("month") != F.col("first_month")).cast("long")).alias(
+                "n_returning"
+            ),
+            F.sum(
+                F.when(F.col("month") == F.col("first_month"), dec("o_totalprice"))
+            )
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("new_revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+_NEW_RET_SQL = """
+WITH first AS (
+    SELECT o_custkey, MIN(STRFTIME(o_orderdate, '%Y-%m')) AS first_month
+    FROM orders GROUP BY o_custkey
+)
+SELECT STRFTIME(o_orderdate, '%Y-%m') AS month,
+       CAST(SUM(CASE WHEN STRFTIME(o_orderdate, '%Y-%m') = first_month
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN STRFTIME(o_orderdate, '%Y-%m') != first_month
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+       CAST(CAST(SUM(CASE WHEN STRFTIME(o_orderdate, '%Y-%m') = first_month
+                THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+            AS DECIMAL(18,6)) AS DOUBLE) AS new_revenue
+FROM orders JOIN first USING (o_custkey)
+GROUP BY month
+ORDER BY month
+"""
+
+# ---------------------------------------------------------------------------
 # agg_period_overlap — audience overlap between periods
 # ---------------------------------------------------------------------------
 
@@ -987,6 +1204,9 @@ ORDER BY op
 
 
 QUERIES = {
+    "agg_basket_pairs": agg_basket_pairs,
+    "agg_abc_classification": agg_abc_classification,
+    "agg_new_vs_returning": agg_new_vs_returning,
     "agg_period_overlap": agg_period_overlap,
     "agg_pct_of_parent": agg_pct_of_parent,
     "set_ops_multiset": set_ops_multiset,
@@ -1012,6 +1232,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_basket_pairs": _basket_sql(),
+    "agg_abc_classification": _ABC_SQL,
+    "agg_new_vs_returning": _NEW_RET_SQL,
     "agg_period_overlap": _PERIOD_OVERLAP_SQL,
     "agg_pct_of_parent": _pct_of_parent_sql(),
     "set_ops_multiset": _SET_MULTI_SQL,

@@ -436,3 +436,42 @@ def test_bollinger_breaches_bounded(spark, sf_dir):
     for r in rows:
         # 2σ breaches are rare by construction (Chebyshev: ≤ 25%)
         assert r["n_upper_breach"] + r["n_lower_breach"] <= r["n_scored"] * 0.25 + 1
+
+
+def test_abc_partition_and_order(spark, sf_dir):
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.operators.relational import agg_abc_classification
+
+    rows = {r["abc_class"]: r for r in agg_abc_classification(spark, sf_dir).collect()}
+    n_cust = load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    assert sum(r["n_customers"] for r in rows.values()) == n_cust
+    # Pareto shape: the A class has fewer customers than C but more revenue
+    assert rows["A"]["n_customers"] < rows["C"]["n_customers"]
+    assert rows["A"]["revenue"] > rows["C"]["revenue"]
+
+
+def test_new_vs_returning_conservation(spark, sf_dir):
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.operators.relational import agg_new_vs_returning
+
+    rows = agg_new_vs_returning(spark, sf_dir).collect()
+    total = sum(r["n_new"] + r["n_returning"] for r in rows)
+    assert total == load(spark, sf_dir, "orders").count()
+    n_cust = load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    assert sum(r["n_new"] for r in rows) == n_cust  # each customer new once
+    assert rows[0]["n_returning"] == 0  # nobody returns in the first month
+
+
+def test_basket_pairs_lift_sane(spark, sf_dir):
+    from parquet_batch_spark.operators.relational import (
+        BASKET_TOP,
+        agg_basket_pairs,
+    )
+
+    rows = agg_basket_pairs(spark, sf_dir).collect()
+    assert len(rows) == BASKET_TOP
+    supports = [r["support"] for r in rows]
+    assert supports == sorted(supports, reverse=True)
+    for r in rows:
+        assert r["brand_x"] < r["brand_y"]
+        assert r["lift_micro"] > 0
