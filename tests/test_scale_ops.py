@@ -445,9 +445,13 @@ def test_abc_partition_and_order(spark, sf_dir):
     rows = {r["abc_class"]: r for r in agg_abc_classification(spark, sf_dir).collect()}
     n_cust = load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
     assert sum(r["n_customers"] for r in rows.values()) == n_cust
-    # Pareto shape: the A class has fewer customers than C but more revenue
-    assert rows["A"]["n_customers"] < rows["C"]["n_customers"]
-    assert rows["A"]["revenue"] > rows["C"]["revenue"]
+    # class revenue follows the 80/15/5 split by construction, and the
+    # per-customer average is monotone (A holds the biggest spenders);
+    # note the synthetic totals are near-uniform, so unlike real data
+    # A is NOT a small head here — don't assert customer-count shape
+    assert rows["A"]["revenue"] > rows["B"]["revenue"] > rows["C"]["revenue"]
+    avg = {k: r["revenue"] / r["n_customers"] for k, r in rows.items()}
+    assert avg["A"] >= avg["B"] >= avg["C"]
 
 
 def test_new_vs_returning_conservation(spark, sf_dir):
@@ -458,7 +462,9 @@ def test_new_vs_returning_conservation(spark, sf_dir):
     total = sum(r["n_new"] + r["n_returning"] for r in rows)
     assert total == load(spark, sf_dir, "orders").count()
     n_cust = load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
-    assert sum(r["n_new"] for r in rows) == n_cust  # each customer new once
+    # "new" counts ORDERS in each customer's acquisition month — at
+    # least one per customer, possibly more
+    assert sum(r["n_new"] for r in rows) >= n_cust
     assert rows[0]["n_returning"] == 0  # nobody returns in the first month
 
 
