@@ -204,6 +204,15 @@ _PRIORITY = [
     #     unlike the IVF op whose only driver row ever is r3's
     #     no_oracle err ---
     "dedup_containment",
+    # --- r4-new operators (final session, stats batch): closed-form
+    #     OLS per group, Zipf rank-frequency fit, rolling correlation —
+    #     exact integer moment sums, derived stats rounded to 6dp ---
+    "agg_regression_per_group",
+    "text_zipf_fit",
+    "window_rolling_corr",
+    "quality_psi_drift",
+    "agg_entropy_balance",
+    "seq_transition_matrix",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",
@@ -318,6 +327,7 @@ _MODULES = [
     "parquet_batch_spark.operators.warehouse",
     "parquet_batch_spark.operators.scale_ops",
     "parquet_batch_spark.operators.corpus_ops",
+    "parquet_batch_spark.operators.stats_ops",
     "parquet_batch_spark.streaming.windows",
 ]
 

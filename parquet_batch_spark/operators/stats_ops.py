@@ -1,0 +1,540 @@
+"""Statistical-modeling operators: per-group linear regression, Zipf
+rank-frequency fit, rolling correlation, distribution-drift scores
+(PSI), categorical entropy, and Markov transition matrices.
+
+The reference is a scan-only Arrow wrapper (reference: src/
+parquetreader/reader.py:128-129); these are the model-adjacent
+statistics a data-quality / trend-analysis pass computes on top of the
+scan, each re-expressed as shuffle-after-reduction Spark plans.
+
+Numeric policy (shared with functions/numeric.py): every aggregate
+that feeds a derived statistic is an EXACT integer or decimal sum of
+deterministically quantized inputs, so the sums are order-insensitive
+(AQE/partial-agg safe) and bit-identical to the DuckDB oracle; the
+closed-form statistic is then derived in double with an expression
+written identically in both engines and rounded to 6 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_batch_spark.catalog import load
+from parquet_batch_spark.functions.text import sql_tokens, tokens_col
+
+# ---------------------------------------------------------------------------
+# agg_regression_per_group — closed-form OLS trend per group
+# ---------------------------------------------------------------------------
+
+
+def agg_regression_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority OLS trend of order value over time.
+
+    y = whole-dollar order value (``floor(o_totalprice)`` — the floor
+    is a deterministic quantization so every moment sum is an exact
+    int64 in BOTH engines; at 2^53 headroom the double casts are
+    exact), x = days since epoch. Slope/intercept/r² are the textbook
+    closed forms from the five moment sums — the same algebra
+    ``regr_slope``/``regr_r2`` use, but with order-insensitive exact
+    accumulation instead of float partials, so results are stable
+    under any partial-aggregate ordering (AQE-safe at 100 TB).
+
+    Scale: one scan, map-side partial aggregation to 5 scalars per
+    group, one tiny shuffle. No second pass, no window.
+    """
+    o = load(spark, sf_dir, "orders")
+    x = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    y = F.floor("o_totalprice").cast("long")
+    moments = (
+        o.select(F.col("o_orderpriority").alias("priority"), x.alias("x"), y.alias("y"))
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = F.col("sxy").cast("double"), F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    slope = cov_n / varx_n
+    return (
+        moments.select(
+            "priority",
+            F.col("n").cast("long").alias("n_orders"),
+            F.round(slope, 6).alias("slope_usd_per_day"),
+            F.round((sy - slope * sx) / n, 6).alias("intercept_usd"),
+            F.round(cov_n * cov_n / (varx_n * vary_n), 6).alias("r2"),
+        )
+        .orderBy("priority")
+    )
+
+
+_REGR_SQL = """
+WITH m AS (
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n,
+           SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+    FROM (
+        SELECT o_orderpriority,
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
+               CAST(FLOOR(o_totalprice) AS BIGINT) AS y
+        FROM orders
+    )
+    GROUP BY 1
+)
+SELECT priority,
+       CAST(n AS BIGINT) AS n_orders,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS slope_usd_per_day,
+       ROUND((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS intercept_usd,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r2
+FROM m
+ORDER BY priority
+"""
+
+# ---------------------------------------------------------------------------
+# text_zipf_fit — Zipf exponent of the corpus rank-frequency curve
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP = 1000  # fit over the head of the rank-frequency curve
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit of log(freq) on log(rank) over the top-{ZIPF_TOP} tokens.
+
+    A natural-language corpus follows Zipf's law (slope ≈ −1); crawl
+    corpora polluted by boilerplate or spam bend the curve — the slope
+    is a standard corpus-health metric. Logs are quantized to integer
+    MILLI-units (``round(1000·ln(v))``) so every moment sum is an
+    exact int64, order-insensitive and bit-identical to the oracle
+    (the ~1e-3 quantization error is far below the metric's useful
+    resolution). Ranks are made total by (freq DESC, token ASC).
+
+    Scale: token count is one explode+reduce shuffle; the top-K head
+    is a single ``ORDER BY … LIMIT`` (Spark's TakeOrdered — no full
+    sort materialization) and the 5-scalar moment reduce is driver-free.
+    """
+    d = load(spark, sf_dir, "documents")
+    freqs = (
+        d.select(F.explode(tokens_col("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(ZIPF_TOP)
+    )
+    ranked = freqs.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), F.asc("token")))
+        .alias("rank"),
+        "freq",
+    )
+    xm = F.round(F.log(F.col("rank").cast("double")) * 1000).cast("long")
+    ym = F.round(F.log(F.col("freq").cast("double")) * 1000).cast("long")
+    moments = ranked.select(xm.alias("x"), ym.alias("y")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = F.col("sxy").cast("double"), F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    slope = cov_n / varx_n
+    return moments.select(
+        F.col("n").cast("long").alias("n_tokens_fit"),
+        F.round(slope, 6).alias("zipf_slope_milli"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept_milli"),
+        F.round(cov_n * cov_n / (varx_n * vary_n), 6).alias("r2"),
+    )
+
+
+_ZIPF_SQL = f"""
+WITH freqs AS (
+    SELECT token, COUNT(*) AS freq
+    FROM (SELECT UNNEST({sql_tokens("text")}) AS token FROM documents)
+    GROUP BY token
+    ORDER BY freq DESC, token ASC
+    LIMIT {ZIPF_TOP}
+),
+ranked AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS rank, freq
+    FROM freqs
+),
+m AS (
+    SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+    FROM (
+        SELECT CAST(ROUND(LN(CAST(rank AS DOUBLE)) * 1000) AS BIGINT) AS x,
+               CAST(ROUND(LN(CAST(freq AS DOUBLE)) * 1000) AS BIGINT) AS y
+        FROM ranked
+    )
+)
+SELECT CAST(n AS BIGINT) AS n_tokens_fit,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS zipf_slope_milli,
+       ROUND((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS intercept_milli,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r2
+FROM m
+"""
+
+# ---------------------------------------------------------------------------
+# window_rolling_corr — rolling correlation between two measures
+# ---------------------------------------------------------------------------
+
+CORR_FRAME = 20  # rows per rolling frame
+CORR_EVERY = 100  # emit every Nth row per supplier
+
+
+def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {CORR_FRAME}-row Pearson correlation between quantity
+    and price (in cents) per supplier, sampled every {CORR_EVERY}th
+    shipment.
+
+    The frame's five moment sums are exact int64 window aggregates
+    (quantity is integral; price quantized to cents — lossless for a
+    2-dp input), so the closed-form correlation is bit-identical to
+    the oracle. Window order is made TOTAL by (shipdate, orderkey,
+    linenumber) — a partial order would make frame contents
+    nondeterministic under shuffle.
+
+    Scale: one hash-partition by supplier + one sort per partition;
+    all five sums share the same window frame so Spark computes them
+    in a single window pass. Emitting every Nth row keeps the output
+    a sample, not a copy, of the fact table.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    yc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    w = Window.partitionBy("l_suppkey").orderBy(*order).rowsBetween(-(CORR_FRAME - 1), 0)
+    wn = Window.partitionBy("l_suppkey").orderBy(*order)
+    base = li.select(
+        "l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+        x.alias("x"), yc.alias("y"),
+    )
+    framed = base.select(
+        "l_suppkey",
+        F.row_number().over(wn).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = F.col("sxy").cast("double"), F.col("sxx").cast("double"), F.col("syy").cast("double")
+    corr = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return (
+        framed.where((F.col("rn") % CORR_EVERY == 0) & (F.col("n") == CORR_FRAME))
+        .select(
+            "l_suppkey",
+            F.col("rn").cast("long").alias("rn"),
+            F.round(corr, 6).alias("rolling_corr"),
+        )
+        .orderBy("l_suppkey", "rn")
+    )
+
+
+_ROLLCORR_SQL = f"""
+WITH base AS (
+    SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+           CAST(l_quantity AS BIGINT) AS x,
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+    FROM lineitem
+),
+framed AS (
+    SELECT l_suppkey,
+           ROW_NUMBER() OVER w_ord AS rn,
+           COUNT(*) OVER w AS n,
+           SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+           SUM(x * y) OVER w AS sxy, SUM(x * x) OVER w AS sxx,
+           SUM(y * y) OVER w AS syy
+    FROM base
+    WINDOW
+        w_ord AS (PARTITION BY l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber),
+        w AS (PARTITION BY l_suppkey
+              ORDER BY l_shipdate, l_orderkey, l_linenumber
+              ROWS BETWEEN {CORR_FRAME - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT l_suppkey, rn,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) AS rolling_corr
+FROM framed
+WHERE rn % {CORR_EVERY} = 0 AND n = {CORR_FRAME}
+ORDER BY l_suppkey, rn
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality_psi_drift — population stability index between two periods
+# ---------------------------------------------------------------------------
+
+PSI_BINS = 10
+PSI_WIDTH = 50_000  # fixed-width bins over order value
+PSI_SPLIT = "1998-01-01"  # period A strictly before, period B from
+
+
+def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-value distribution,
+    early period vs late period — the standard drift score a feature
+    store computes before retraining on new data.
+
+    Fixed-width bins (deterministic, engine-independent — quantile
+    bins would couple the binning to a percentile implementation),
+    add-one smoothing so empty bins stay finite, PSI terms rounded to
+    6dp and totaled with an exact decimal sum. The full bin grid is
+    generated with ``sequence``/``range`` so both engines emit every
+    bin even when a period leaves it empty.
+
+    Scale: two conditional-count aggregations in ONE pass over the
+    fact (map-side partial, {PSI_BINS}-row result), then constant-size
+    arithmetic. The shuffle is {PSI_BINS} rows regardless of corpus
+    size.
+    """
+    o = load(spark, sf_dir, "orders")
+    split = F.lit(PSI_SPLIT).cast("timestamp")
+    bin_id = F.least(
+        F.lit(PSI_BINS - 1), F.floor(F.col("o_totalprice") / PSI_WIDTH)
+    ).cast("long")
+    counts = (
+        o.select(
+            bin_id.alias("bin_id"),
+            (F.col("o_orderdate") < split).alias("is_a"),
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+            F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("long").alias("n_b"),
+        )
+    )
+    grid = spark.range(PSI_BINS).select(F.col("id").alias("bin_id"))
+    full = (
+        grid.join(counts, "bin_id", "left")
+        .select(
+            "bin_id",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    tot = Window.partitionBy()
+    p = (F.col("n_a") + 1).cast("double") / (F.sum("n_a").over(tot) + PSI_BINS).cast("double")
+    q = (F.col("n_b") + 1).cast("double") / (F.sum("n_b").over(tot) + PSI_BINS).cast("double")
+    term = F.round((p - q) * F.log(p / q), 6)
+    with_term = full.select(
+        "bin_id", "n_a", "n_b", term.alias("psi_term"),
+    )
+    total = F.sum(F.col("psi_term").cast("decimal(18,6)")).over(tot)
+    return (
+        with_term.select(
+            "bin_id",
+            "n_a",
+            "n_b",
+            "psi_term",
+            total.cast("decimal(18,6)").cast("double").alias("psi_total"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+_PSI_SQL = f"""
+WITH counts AS (
+    SELECT LEAST({PSI_BINS - 1}, CAST(FLOOR(o_totalprice / {PSI_WIDTH}) AS BIGINT)) AS bin_id,
+           SUM(CASE WHEN o_orderdate < TIMESTAMP '{PSI_SPLIT} 00:00:00' THEN 1 ELSE 0 END) AS n_a,
+           SUM(CASE WHEN o_orderdate < TIMESTAMP '{PSI_SPLIT} 00:00:00' THEN 0 ELSE 1 END) AS n_b
+    FROM orders
+    GROUP BY 1
+),
+full_grid AS (
+    SELECT g.bin_id,
+           CAST(COALESCE(c.n_a, 0) AS BIGINT) AS n_a,
+           CAST(COALESCE(c.n_b, 0) AS BIGINT) AS n_b
+    FROM (SELECT UNNEST(range({PSI_BINS})) AS bin_id) g
+    LEFT JOIN counts c USING (bin_id)
+),
+terms AS (
+    SELECT bin_id, n_a, n_b,
+           ROUND((CAST(n_a + 1 AS DOUBLE) / CAST(SUM(n_a) OVER () + {PSI_BINS} AS DOUBLE)
+                  - CAST(n_b + 1 AS DOUBLE) / CAST(SUM(n_b) OVER () + {PSI_BINS} AS DOUBLE))
+                 * LN((CAST(n_a + 1 AS DOUBLE) / CAST(SUM(n_a) OVER () + {PSI_BINS} AS DOUBLE))
+                      / (CAST(n_b + 1 AS DOUBLE) / CAST(SUM(n_b) OVER () + {PSI_BINS} AS DOUBLE))),
+                 6) AS psi_term
+    FROM full_grid
+)
+SELECT bin_id, n_a, n_b, psi_term,
+       CAST(CAST(SUM(CAST(psi_term AS DECIMAL(18,6))) OVER () AS DECIMAL(18,6)) AS DOUBLE) AS psi_total
+FROM terms
+ORDER BY bin_id
+"""
+
+# ---------------------------------------------------------------------------
+# agg_entropy_balance — Shannon entropy of the language mix per source
+# ---------------------------------------------------------------------------
+
+
+def agg_entropy_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) and evenness of each source's language
+    mix — the diversity diagnostic a corpus-mixing step publishes
+    alongside quotas (a source whose evenness collapses is feeding a
+    monolingual stream into a multilingual quota).
+
+    Per-term ``-p·log2(p)`` values are rounded to 6dp and summed as
+    exact decimals (order-insensitive); evenness divides by
+    ``log2(n_langs)`` with a single-language guard.
+
+    Scale: (source, lang) count, then a source-grain reduce over a
+    handful of rows; the first aggregation is the only data-size
+    shuffle and is map-side combined.
+    """
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    tot_w = Window.partitionBy("source")
+    p = F.col("cnt").cast("double") / F.sum("cnt").over(tot_w).cast("double")
+    term = F.round(-p * F.log2(p), 6).cast("decimal(18,6)")
+    per_lang = counts.select("source", "cnt", term.alias("term"))
+    agg = per_lang.groupBy("source").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.sum("term").cast("decimal(18,6)").cast("double").alias("entropy_bits"),
+    )
+    evenness = F.when(
+        F.col("n_langs") > 1,
+        F.round(F.col("entropy_bits") / F.round(F.log2(F.col("n_langs").cast("double")), 6), 6),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "source", "n_docs", "n_langs", "entropy_bits", evenness.alias("evenness")
+    ).orderBy("source")
+
+
+_ENTROPY_SQL = """
+WITH counts AS (
+    SELECT source, lang, COUNT(*) AS cnt FROM documents GROUP BY 1, 2
+),
+terms AS (
+    SELECT source, cnt,
+           CAST(ROUND(-(CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY source) AS DOUBLE))
+                 * LOG2(CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY source) AS DOUBLE)),
+                 6) AS DECIMAL(18,6)) AS term
+    FROM counts
+),
+agg AS (
+    SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_docs, CAST(COUNT(*) AS BIGINT) AS n_langs,
+           CAST(CAST(SUM(term) AS DECIMAL(18,6)) AS DOUBLE) AS entropy_bits
+    FROM terms
+    GROUP BY source
+)
+SELECT source, n_docs, n_langs, entropy_bits,
+       CASE WHEN n_langs > 1
+            THEN ROUND(entropy_bits / ROUND(LOG2(CAST(n_langs AS DOUBLE)), 6), 6)
+            ELSE 0.0 END AS evenness
+FROM agg
+ORDER BY source
+"""
+
+# ---------------------------------------------------------------------------
+# seq_transition_matrix — first-order Markov transitions between events
+# ---------------------------------------------------------------------------
+
+
+def seq_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences:
+    for each (from_type → to_type) pair, the transition count and the
+    row-normalized probability — the behavioral fingerprint used for
+    session modeling and bot detection.
+
+    Order within a user is made total by (ts, event_id); probabilities
+    are integer-count ratios rounded to 6dp, so both engines derive
+    identical values.
+
+    Scale: one hash-partition by user + per-partition sort for the
+    ``lead``, then a count aggregate over a (types × types)-sized
+    result. The window carries only (user, ts, event_id, type) — the
+    projection is pruned before the shuffle.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    row_w = Window.partitionBy("from_type")
+    prob = F.round(
+        F.col("n_transitions").cast("double")
+        / F.sum("n_transitions").over(row_w).cast("double"),
+        6,
+    )
+    return pairs.select(
+        "from_type", "to_type", "n_transitions", prob.alias("prob")
+    ).orderBy("from_type", "to_type")
+
+
+_TRANSITION_SQL = """
+WITH pairs AS (
+    SELECT from_type, to_type, COUNT(*) AS n_transitions
+    FROM (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        FROM events
+    )
+    WHERE to_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       ROUND(CAST(n_transitions AS DOUBLE)
+             / CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE),
+             6) AS prob
+FROM pairs
+ORDER BY from_type, to_type
+"""
+
+
+QUERIES = {
+    "agg_regression_per_group": agg_regression_per_group,
+    "text_zipf_fit": text_zipf_fit,
+    "window_rolling_corr": window_rolling_corr,
+    "quality_psi_drift": quality_psi_drift,
+    "agg_entropy_balance": agg_entropy_balance,
+    "seq_transition_matrix": seq_transition_matrix,
+}
+
+ORACLES = {
+    "agg_regression_per_group": _REGR_SQL,
+    "text_zipf_fit": _ZIPF_SQL,
+    "window_rolling_corr": _ROLLCORR_SQL,
+    "quality_psi_drift": _PSI_SQL,
+    "agg_entropy_balance": _ENTROPY_SQL,
+    "seq_transition_matrix": _TRANSITION_SQL,
+}

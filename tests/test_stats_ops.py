@@ -1,0 +1,138 @@
+"""Invariant tests for the stats-ops batch: OLS closed forms against
+numpy's lstsq on the same quantized inputs, Zipf slope sanity, rolling
+correlation bounds."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from parquet_batch_spark.catalog import load
+from parquet_batch_spark.operators.stats_ops import (
+    CORR_FRAME,
+    PSI_BINS,
+    ZIPF_TOP,
+    agg_entropy_balance,
+    agg_regression_per_group,
+    quality_psi_drift,
+    seq_transition_matrix,
+    text_zipf_fit,
+    window_rolling_corr,
+)
+
+
+def test_regression_matches_numpy(spark, sf_dir):
+    """The exact-sum closed form must agree with numpy lstsq on the
+    identically quantized (day, floor-dollar) pairs, per group."""
+    got = {r["priority"]: r for r in agg_regression_per_group(spark, sf_dir).collect()}
+    raw = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("p"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("x"),
+            F.floor("o_totalprice").cast("long").alias("y"),
+        )
+        .collect()
+    )
+    by_p: dict[str, list[tuple[int, int]]] = {}
+    for r in raw:
+        by_p.setdefault(r["p"], []).append((r["x"], r["y"]))
+    assert set(got) == set(by_p)
+    for p, pairs in by_p.items():
+        x = np.array([a for a, _ in pairs], dtype=float)
+        y = np.array([b for _, b in pairs], dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert got[p]["n_orders"] == len(pairs)
+        assert abs(got[p]["slope_usd_per_day"] - slope) < 1e-4
+        assert abs(got[p]["intercept_usd"] - intercept) < 1e-1
+        r = np.corrcoef(x, y)[0, 1]
+        assert abs(got[p]["r2"] - r * r) < 1e-6
+
+
+def test_zipf_slope_in_language_range(spark, sf_dir):
+    """The fit covers the whole (small, near-uniform) synthetic
+    vocabulary: slope is negative (frequency falls with rank by
+    construction of the ranking) and r² is a valid fraction. The
+    synthetic corpus draws tokens near-uniformly, so the slope is
+    shallow and the fit weak — the op's job is the mechanism; real
+    corpora land near slope ≈ −1."""
+    row = text_zipf_fit(spark, sf_dir).collect()[0]
+    assert 10 <= row["n_tokens_fit"] <= ZIPF_TOP
+    assert row["zipf_slope_milli"] < 0
+    assert 0.0 <= row["r2"] <= 1.0
+
+
+def test_rolling_corr_bounded_and_full_frames(spark, sf_dir):
+    """Every emitted correlation is in [-1, 1] and only full frames
+    (rn ≥ CORR_FRAME, rn % CORR_EVERY == 0) are emitted."""
+    rows = window_rolling_corr(spark, sf_dir).collect()
+    assert rows, "expected sampled rows"
+    for r in rows:
+        assert r["rn"] % 100 == 0 and r["rn"] >= CORR_FRAME
+        assert -1.0 - 1e-9 <= r["rolling_corr"] <= 1.0 + 1e-9
+    # spot-check one frame against numpy on the same quantized inputs
+    sup, rn = rows[0]["l_suppkey"], rows[0]["rn"]
+    frame = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_suppkey") == sup)
+        .select(
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("long").alias("x"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        )
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .collect()[rn - CORR_FRAME : rn]
+    )
+    x = np.array([r["x"] for r in frame], dtype=float)
+    y = np.array([r["y"] for r in frame], dtype=float)
+    want = float(np.corrcoef(x, y)[0, 1])
+    assert math.isclose(rows[0]["rolling_corr"], want, abs_tol=1e-5)
+
+
+def test_psi_full_grid_and_identity(spark, sf_dir):
+    """All PSI_BINS bins are emitted, counts cover every order, the
+    total equals the exact sum of the terms, and PSI of a distribution
+    against itself would be 0 (every term ≥ 0 is NOT true for PSI —
+    terms are individually sign-free — but (p−q) and ln(p/q) always
+    share a sign, so each term must be ≥ 0 up to rounding)."""
+    rows = quality_psi_drift(spark, sf_dir).collect()
+    assert [r["bin_id"] for r in rows] == list(range(PSI_BINS))
+    n_orders = load(spark, sf_dir, "orders").count()
+    assert sum(r["n_a"] + r["n_b"] for r in rows) == n_orders
+    total = rows[0]["psi_total"]
+    assert all(math.isclose(r["psi_total"], total) for r in rows)
+    assert math.isclose(total, sum(r["psi_term"] for r in rows), abs_tol=1e-9)
+    assert all(r["psi_term"] >= -1e-6 for r in rows)
+
+
+def test_entropy_bounds(spark, sf_dir):
+    """0 ≤ entropy ≤ log2(n_langs); evenness ∈ [0, 1]; doc counts
+    conserve corpus mass."""
+    rows = agg_entropy_balance(spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        cap = math.log2(r["n_langs"]) if r["n_langs"] > 1 else 0.0
+        assert -1e-6 <= r["entropy_bits"] <= cap + 1e-4
+        assert -1e-6 <= r["evenness"] <= 1.0 + 1e-6
+
+
+def test_transition_matrix_stochastic(spark, sf_dir):
+    """Each from_type's probabilities sum to ~1 and transition counts
+    equal total events minus one last-event per user."""
+    rows = seq_transition_matrix(spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_transitions"] for r in rows) == n_events - n_users
+    by_from: dict[str, float] = {}
+    for r in rows:
+        by_from[r["from_type"]] = by_from.get(r["from_type"], 0.0) + r["prob"]
+    for s in by_from.values():
+        assert math.isclose(s, 1.0, abs_tol=1e-4)
