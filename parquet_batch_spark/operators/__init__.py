@@ -213,6 +213,8 @@ _PRIORITY = [
     "quality_psi_drift",
     "agg_entropy_balance",
     "seq_transition_matrix",
+    "quality_ks_drift",
+    "join_null_aware_anti",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

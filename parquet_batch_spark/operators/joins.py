@@ -921,7 +921,73 @@ FROM hits
 """
 
 
+def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``NOT IN (subquery)`` three-valued-logic semantics — the join
+    shape that silently breaks hand-rolled anti-join rewrites: when
+    the subquery's value set contains even ONE NULL, ``x NOT IN (…)``
+    is never TRUE, so the result is EMPTY — while ``NOT EXISTS`` (a
+    plain left-anti) still returns rows. Spark plans the NOT IN form
+    as a null-aware anti join; this op measures all three counts
+    side by side so the semantic cliff is visible in the data:
+
+    - ``n_not_exists``: customers with no URGENT order (left-anti).
+    - ``n_not_in_clean``: same predicate via NOT IN over a NULL-free
+      subquery — must equal ``n_not_exists``.
+    - ``n_not_in_nullable``: NOT IN over the same subquery with one
+      injected NULL — must be 0.
+
+    Scale note: the NULL-free NOT IN plans as a broadcast/shuffled
+    anti equi-join; the nullable variant degenerates to a
+    BroadcastNestedLoopJoin by necessity (every row must be compared
+    with the NULL) — the measurement IS the reason pipelines sanitize
+    keys before NOT IN at 100 TB.
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView("pbs_naa_cust")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("pbs_naa_orders")
+    return spark.sql(
+        """
+        SELECT
+            (SELECT COUNT(*) FROM pbs_naa_cust c
+             WHERE NOT EXISTS (
+                 SELECT 1 FROM pbs_naa_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                   AND o.o_orderpriority = '1-URGENT')) AS n_not_exists,
+            (SELECT COUNT(*) FROM pbs_naa_cust
+             WHERE c_custkey NOT IN (
+                 SELECT o_custkey FROM pbs_naa_orders
+                 WHERE o_orderpriority = '1-URGENT')) AS n_not_in_clean,
+            (SELECT COUNT(*) FROM pbs_naa_cust
+             WHERE c_custkey NOT IN (
+                 SELECT CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                             ELSE o_custkey END
+                 FROM pbs_naa_orders
+                 WHERE o_orderpriority = '1-URGENT')) AS n_not_in_nullable
+        """
+    )
+
+
+_NULL_AWARE_ANTI_SQL = """
+SELECT
+    (SELECT COUNT(*) FROM customer c
+     WHERE NOT EXISTS (
+         SELECT 1 FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+           AND o.o_orderpriority = '1-URGENT')) AS n_not_exists,
+    (SELECT COUNT(*) FROM customer
+     WHERE c_custkey NOT IN (
+         SELECT o_custkey FROM orders
+         WHERE o_orderpriority = '1-URGENT')) AS n_not_in_clean,
+    (SELECT COUNT(*) FROM customer
+     WHERE c_custkey NOT IN (
+         SELECT CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                     ELSE o_custkey END
+         FROM orders
+         WHERE o_orderpriority = '1-URGENT')) AS n_not_in_nullable
+"""
+
+
 QUERIES = {
+    "join_null_aware_anti": join_null_aware_anti,
     "join_nearest_price": join_nearest_price,
     "join_spatial_grid_radius": join_spatial_grid_radius,
     "join_interval_bucketed": join_interval_bucketed,
@@ -941,6 +1007,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_null_aware_anti": _NULL_AWARE_ANTI_SQL,
     "join_nearest_price": _NEAREST_SQL,
     "join_spatial_grid_radius": _SPATIAL_SQL,
     "join_interval_bucketed": _JOIN_INTERVAL_SQL,

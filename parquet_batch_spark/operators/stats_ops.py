@@ -521,6 +521,93 @@ ORDER BY from_type, to_type
 """
 
 
+# ---------------------------------------------------------------------------
+# quality_ks_drift — binned Kolmogorov–Smirnov distance between periods
+# ---------------------------------------------------------------------------
+
+KS_BINS = 1000
+KS_WIDTH = 500  # $500 bins over order value
+
+
+def quality_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the early- and
+    late-period order-value distributions, on a fixed ${KS_WIDTH}
+    binning — the shape-sensitive companion to ``quality_psi_drift``
+    (PSI weighs density ratios; KS finds the worst CDF gap and WHERE
+    it occurs).
+
+    The CDF difference is a step function that only changes at
+    occupied bins, so evaluating after each step needs no bin grid.
+    Tie-break for the argmax: smallest bin. All inputs to the max are
+    integer-count ratios rounded to 6dp — engine-identical.
+
+    Scale: one map-side-combined count per (bin), then a cumulative
+    window over ≤{KS_BINS} REDUCED rows — the unpartitioned window is
+    domain-bounded, not data-bounded, which is the only time a global
+    window is acceptable at 100 TB.
+    """
+    o = load(spark, sf_dir, "orders")
+    split = F.lit(PSI_SPLIT).cast("timestamp")
+    bin_id = F.least(F.lit(KS_BINS - 1), F.floor(F.col("o_totalprice") / KS_WIDTH)).cast(
+        "long"
+    )
+    counts = (
+        o.select(bin_id.alias("bin_id"), (F.col("o_orderdate") < split).alias("is_a"))
+        .groupBy("bin_id")
+        .agg(
+            F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("na"),
+            F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("long").alias("nb"),
+        )
+    )
+    cum = Window.orderBy("bin_id").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    stepped = counts.select(
+        "bin_id",
+        F.sum("na").over(cum).alias("ca"),
+        F.sum("nb").over(cum).alias("cb"),
+        F.sum("na").over(tot).alias("n_a"),
+        F.sum("nb").over(tot).alias("n_b"),
+    )
+    diff = F.round(
+        F.abs(
+            F.col("ca").cast("double") / F.col("n_a").cast("double")
+            - F.col("cb").cast("double") / F.col("n_b").cast("double")
+        ),
+        6,
+    )
+    return (
+        stepped.select("n_a", "n_b", diff.alias("ks_stat"), F.col("bin_id").alias("at_bin"))
+        .orderBy(F.desc("ks_stat"), F.asc("at_bin"))
+        .limit(1)
+    )
+
+
+_KS_SQL = f"""
+WITH counts AS (
+    SELECT LEAST({KS_BINS - 1}, CAST(FLOOR(o_totalprice / {KS_WIDTH}) AS BIGINT)) AS bin_id,
+           SUM(CASE WHEN o_orderdate < TIMESTAMP '{PSI_SPLIT} 00:00:00' THEN 1 ELSE 0 END) AS na,
+           SUM(CASE WHEN o_orderdate < TIMESTAMP '{PSI_SPLIT} 00:00:00' THEN 0 ELSE 1 END) AS nb
+    FROM orders
+    GROUP BY 1
+),
+stepped AS (
+    SELECT bin_id,
+           SUM(na) OVER (ORDER BY bin_id ROWS UNBOUNDED PRECEDING) AS ca,
+           SUM(nb) OVER (ORDER BY bin_id ROWS UNBOUNDED PRECEDING) AS cb,
+           CAST(SUM(na) OVER () AS BIGINT) AS n_a,
+           CAST(SUM(nb) OVER () AS BIGINT) AS n_b
+    FROM counts
+)
+SELECT n_a, n_b,
+       ROUND(ABS(CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 - CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE)), 6) AS ks_stat,
+       bin_id AS at_bin
+FROM stepped
+ORDER BY ks_stat DESC, at_bin ASC
+LIMIT 1
+"""
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -528,9 +615,11 @@ QUERIES = {
     "quality_psi_drift": quality_psi_drift,
     "agg_entropy_balance": agg_entropy_balance,
     "seq_transition_matrix": seq_transition_matrix,
+    "quality_ks_drift": quality_ks_drift,
 }
 
 ORACLES = {
+    "quality_ks_drift": _KS_SQL,
     "agg_regression_per_group": _REGR_SQL,
     "text_zipf_fit": _ZIPF_SQL,
     "window_rolling_corr": _ROLLCORR_SQL,

@@ -14,6 +14,7 @@ from parquet_batch_spark.operators.stats_ops import (
     CORR_FRAME,
     PSI_BINS,
     ZIPF_TOP,
+    quality_ks_drift,
     agg_entropy_balance,
     agg_regression_per_group,
     quality_psi_drift,
@@ -136,3 +137,37 @@ def test_transition_matrix_stochastic(spark, sf_dir):
         by_from[r["from_type"]] = by_from.get(r["from_type"], 0.0) + r["prob"]
     for s in by_from.values():
         assert math.isclose(s, 1.0, abs_tol=1e-4)
+
+
+def test_ks_matches_numpy(spark, sf_dir):
+    """Binned two-sample KS against a numpy recomputation on the same
+    binning; bounds and mass conservation."""
+    row = quality_ks_drift(spark, sf_dir).collect()[0]
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.least(F.lit(999), F.floor(F.col("o_totalprice") / 500)).alias("b"),
+            (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")).alias("a"),
+        )
+        .collect()
+    )
+    assert row["n_a"] + row["n_b"] == len(orders)
+    assert 0.0 <= row["ks_stat"] <= 1.0
+    bins_a = np.zeros(1000)
+    bins_b = np.zeros(1000)
+    for r in orders:
+        (bins_a if r["a"] else bins_b)[r["b"]] += 1
+    cdf_a = np.cumsum(bins_a) / bins_a.sum()
+    cdf_b = np.cumsum(bins_b) / bins_b.sum()
+    assert math.isclose(row["ks_stat"], np.abs(cdf_a - cdf_b).max(), abs_tol=1e-5)
+
+
+def test_null_aware_anti_semantics(spark, sf_dir):
+    """NOT IN over a NULL-free subquery equals NOT EXISTS; one NULL in
+    the subquery collapses NOT IN to zero rows."""
+    from parquet_batch_spark.operators.joins import join_null_aware_anti
+
+    row = join_null_aware_anti(spark, sf_dir).collect()[0]
+    assert row["n_not_exists"] > 0
+    assert row["n_not_in_clean"] == row["n_not_exists"]
+    assert row["n_not_in_nullable"] == 0
