@@ -215,6 +215,10 @@ _PRIORITY = [
     "seq_transition_matrix",
     "quality_ks_drift",
     "join_null_aware_anti",
+    "agg_chi_square_independence",
+    "ml_ols_multivar",
+    "text_pmi_cooccurrence",
+    "sample_bootstrap_means",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

@@ -608,6 +608,364 @@ LIMIT 1
 """
 
 
+# ---------------------------------------------------------------------------
+# agg_chi_square_independence — contingency-table independence statistic
+# ---------------------------------------------------------------------------
+
+
+def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² statistic for independence of order status ×
+    priority — the categorical-association test a data-quality pass
+    runs before trusting a stratification key (a high χ² says the two
+    labels are entangled and stratifying on one skews the other).
+
+    Expected counts are exact-integer ratios (row·col/N) evaluated in
+    double from identical operands; per-cell terms are rounded to 6dp
+    and totaled with an exact decimal sum. Output also carries the
+    degrees of freedom so the reader can look up the p-value.
+
+    Scale: one map-side-combined (r × c)-cell count, then constant
+    work — the classic two-level reduction.
+    """
+    o = load(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    row_w = Window.partitionBy("s")
+    col_w = Window.partitionBy("p")
+    tot_w = Window.partitionBy()
+    exp = (
+        F.sum("obs").over(row_w).cast("double")
+        * F.sum("obs").over(col_w).cast("double")
+        / F.sum("obs").over(tot_w).cast("double")
+    )
+    term = F.round(
+        (F.col("obs").cast("double") - exp) * (F.col("obs").cast("double") - exp) / exp,
+        6,
+    )
+    per_cell = cells.select(
+        "s",
+        "p",
+        term.alias("term"),
+    )
+    return per_cell.agg(
+        F.sum(F.col("term").cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("chi2_stat"),
+        (
+            (F.count_distinct(F.col("s")) - 1) * (F.count_distinct(F.col("p")) - 1)
+        ).alias("dof"),
+    )
+
+
+_CHI2_SQL = """
+WITH cells AS (
+    SELECT o_orderstatus AS s, o_orderpriority AS p, COUNT(*) AS obs
+    FROM orders GROUP BY 1, 2
+),
+terms AS (
+    SELECT s, p,
+           ROUND((CAST(obs AS DOUBLE)
+                  - CAST(SUM(obs) OVER (PARTITION BY s) AS DOUBLE)
+                    * CAST(SUM(obs) OVER (PARTITION BY p) AS DOUBLE)
+                    / CAST(SUM(obs) OVER () AS DOUBLE))
+                 * (CAST(obs AS DOUBLE)
+                  - CAST(SUM(obs) OVER (PARTITION BY s) AS DOUBLE)
+                    * CAST(SUM(obs) OVER (PARTITION BY p) AS DOUBLE)
+                    / CAST(SUM(obs) OVER () AS DOUBLE))
+                 / (CAST(SUM(obs) OVER (PARTITION BY s) AS DOUBLE)
+                    * CAST(SUM(obs) OVER (PARTITION BY p) AS DOUBLE)
+                    / CAST(SUM(obs) OVER () AS DOUBLE)),
+                 6) AS term
+    FROM cells
+)
+SELECT CAST(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS chi2_stat,
+       (COUNT(DISTINCT s) - 1) * (COUNT(DISTINCT p) - 1) AS dof
+FROM terms
+"""
+
+# ---------------------------------------------------------------------------
+# ml_ols_multivar — two-feature least squares via normal equations
+# ---------------------------------------------------------------------------
+
+
+def ml_ols_multivar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS (order value ~ item count + total quantity)
+    solved in closed form from the normal equations — the pattern that
+    turns "fit a small model on 100 TB" into ONE aggregation: the
+    executors reduce the 9 moment sums of [1, x1, x2] ⊗ [y, 1], the
+    3×3 system is solved by Cramer's rule on the driver-free final
+    projection. No iteration, no collect, no MLlib dependency.
+
+    Features and target are exact integers (counts, integral
+    quantities, floor-dollars), so every moment is an exact int64;
+    the determinant arithmetic runs in double from identical operands.
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("x1"),
+        F.sum(F.col("l_quantity").cast("long")).alias("x2"),
+    )
+    joined = o.join(per_order, o.o_orderkey == per_order.l_orderkey).select(
+        F.col("x1"),
+        F.col("x2"),
+        F.floor("o_totalprice").cast("long").alias("y"),
+    )
+    m = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, s1, s2 = (F.col(c).cast("double") for c in ("n", "s1", "s2"))
+    sy, s11, s12 = (F.col(c).cast("double") for c in ("sy", "s11", "s12"))
+    s22, s1y, s2y, syy = (F.col(c).cast("double") for c in ("s22", "s1y", "s2y", "syy"))
+    # Cramer's rule on [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]] β = [sy,s1y,s2y]
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    sst = syy - sy * sy / n
+    ssr = b0 * sy + b1 * s1y + b2 * s2y - sy * sy / n
+    return m.select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(b0, 6).alias("beta_intercept"),
+        F.round(b1, 6).alias("beta_items"),
+        F.round(b2, 6).alias("beta_quantity"),
+        F.round(ssr / sst, 6).alias("r2"),
+    )
+
+
+_OLS_MULTI_SQL = """
+WITH per_order AS (
+    SELECT l_orderkey, COUNT(*) AS x1, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x2
+    FROM lineitem GROUP BY 1
+),
+j AS (
+    SELECT x1, x2, CAST(FLOOR(o_totalprice) AS BIGINT) AS y
+    FROM orders JOIN per_order ON o_orderkey = l_orderkey
+),
+m AS (
+    SELECT COUNT(*) AS n, SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+           SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12, SUM(x2 * x2) AS s22,
+           SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y, SUM(y * y) AS syy
+    FROM j
+),
+d AS (
+    SELECT CAST(n AS DOUBLE) AS n, CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+           CAST(sy AS DOUBLE) AS sy, CAST(s11 AS DOUBLE) AS s11, CAST(s12 AS DOUBLE) AS s12,
+           CAST(s22 AS DOUBLE) AS s22, CAST(s1y AS DOUBLE) AS s1y, CAST(s2y AS DOUBLE) AS s2y,
+           CAST(syy AS DOUBLE) AS syy
+    FROM m
+),
+solved AS (
+    SELECT n, sy, s1y, s2y, syy,
+           (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s12 - s11 * s2)) AS det,
+           (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y)) AS det0,
+           (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2)) AS det1,
+           (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2)) AS det2
+    FROM d
+)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       ROUND(det0 / det, 6) AS beta_intercept,
+       ROUND(det1 / det, 6) AS beta_items,
+       ROUND(det2 / det, 6) AS beta_quantity,
+       ROUND(((det0 / det) * sy + (det1 / det) * s1y + (det2 / det) * s2y - sy * sy / n)
+             / (syy - sy * sy / n), 6) AS r2
+FROM solved
+"""
+
+# ---------------------------------------------------------------------------
+# text_pmi_cooccurrence — pointwise mutual information of token pairs
+# ---------------------------------------------------------------------------
+
+PMI_MIN_PAIRS = 5  # drop pairs rarer than this
+
+
+def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level pointwise mutual information for token pairs:
+    which words co-occur more than independence predicts — collocation
+    mining, the classic first step of phrase detection for tokenizer
+    and n-gram vocabulary decisions.
+
+    PMI = log2(N·c_ab / (c_a·c_b)) over DISTINCT-per-document token
+    incidence; pairs are oriented a < b. All counts are exact; the log
+    is rounded to 6dp.
+
+    Scale: the pair join is per-document over the DISTINCT token set —
+    bounded by vocabulary size per doc, not doc length — and the
+    (a, b) count aggregation is map-side combined. Vocabulary-bounded
+    output (≤ |V|²/2 rows) regardless of corpus size.
+    """
+    d = load(spark, sf_dir, "documents")
+    incidence = (
+        d.select("doc_id", F.explode(F.array_distinct(tokens_col("text"))).alias("t"))
+    )
+    n_docs = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    singles = incidence.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    a = incidence.select("doc_id", F.col("t").alias("ta"))
+    b = incidence.select("doc_id", F.col("t").alias("tb"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= PMI_MIN_PAIRS)
+    )
+    ca = singles.select(F.col("t").alias("ta"), F.col("c").alias("c_a"))
+    cb = singles.select(F.col("t").alias("tb"), F.col("c").alias("c_b"))
+    pmi = F.round(
+        F.log2(
+            F.col("n_docs").cast("double")
+            * F.col("c_ab").cast("double")
+            / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+        ),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(ca), "ta")
+        .join(F.broadcast(cb), "tb")
+        .crossJoin(F.broadcast(n_docs))
+        .select("ta", "tb", "c_ab", "c_a", "c_b", pmi.alias("pmi"))
+        .orderBy("ta", "tb")
+    )
+
+
+_PMI_SQL = f"""
+WITH incidence AS (
+    SELECT doc_id, t
+    FROM (SELECT doc_id, UNNEST(list_distinct({sql_tokens("text")})) AS t FROM documents)
+),
+singles AS (
+    SELECT t, COUNT(*) AS c FROM incidence GROUP BY t
+),
+pairs AS (
+    SELECT a.t AS ta, b.t AS tb, COUNT(*) AS c_ab
+    FROM incidence a JOIN incidence b ON a.doc_id = b.doc_id AND a.t < b.t
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {PMI_MIN_PAIRS}
+)
+SELECT ta, tb, c_ab, sa.c AS c_a, sb.c AS c_b,
+       ROUND(LOG2(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) * CAST(c_ab AS DOUBLE)
+                  / (CAST(sa.c AS DOUBLE) * CAST(sb.c AS DOUBLE))), 6) AS pmi
+FROM pairs
+JOIN singles sa ON pairs.ta = sa.t
+JOIN singles sb ON pairs.tb = sb.t
+ORDER BY ta, tb
+"""
+
+# ---------------------------------------------------------------------------
+# sample_bootstrap_means — deterministic Poissonized bootstrap
+# ---------------------------------------------------------------------------
+
+BOOT_B = 32  # resamples
+# Poisson(1) CDF thresholds scaled to 2^32 (P(0), ≤1, ≤2, ≤3): a
+# uniform 32-bit hash below threshold k gets weight k. Identical
+# literals on both engines.
+BOOT_T = (1580030168, 3160060337, 3950075421, 4213413783)
+
+
+def sample_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{BOOT_B}-resample Poissonized bootstrap of the mean order value
+    — the distributed-bootstrap standard: instead of resampling rows
+    (impossible without global coordination), each row draws a
+    Poisson(1) replication weight per resample from a deterministic
+    portable hash, giving i.i.d.-in-expectation resamples in ONE scan.
+    The spread of the {BOOT_B} means is the standard error estimate a
+    pipeline attaches to any corpus-level statistic.
+
+    Scale: the explode multiplies rows by B={BOOT_B} BEFORE a map-side
+    combined aggregation to B groups — the shuffle is B rows. Weights
+    and targets are exact integers; means are rounded to 6dp.
+    """
+    o = load(spark, sf_dir, "orders")
+    exploded = o.select(
+        F.floor("o_totalprice").cast("long").alias("y"),
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+        F.col("o_orderkey"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("o_orderkey"), F.col("b"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    w = (
+        F.when(h < BOOT_T[0], 0)
+        .when(h < BOOT_T[1], 1)
+        .when(h < BOOT_T[2], 2)
+        .when(h < BOOT_T[3], 3)
+        .otherwise(4)
+    )
+    return (
+        exploded.select(F.col("b").cast("long").alias("b"), w.alias("w"), "y")
+        .groupBy("b")
+        .agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            F.round(
+                F.sum(F.col("w") * F.col("y")).cast("double")
+                / F.sum("w").cast("double"),
+                6,
+            ).alias("boot_mean"),
+        )
+        .orderBy("b")
+    )
+
+
+_BOOT_SQL = f"""
+WITH exploded AS (
+    SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS y, b.b AS b, o_orderkey
+    FROM orders, (SELECT UNNEST(range({BOOT_B})) AS b) b
+),
+weighted AS (
+    SELECT b, y,
+           CASE WHEN h < {BOOT_T[0]} THEN 0
+                WHEN h < {BOOT_T[1]} THEN 1
+                WHEN h < {BOOT_T[2]} THEN 2
+                WHEN h < {BOOT_T[3]} THEN 3
+                ELSE 4 END AS w
+    FROM (
+        SELECT y, b, o_orderkey,
+               CAST(('0x' || substr(md5(o_orderkey || ':' || b), 1, 8)) AS UBIGINT)::BIGINT AS h
+        FROM exploded
+    )
+)
+SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
+       ROUND(CAST(SUM(w * y) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6) AS boot_mean
+FROM weighted
+GROUP BY b
+ORDER BY b
+"""
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -616,10 +974,18 @@ QUERIES = {
     "agg_entropy_balance": agg_entropy_balance,
     "seq_transition_matrix": seq_transition_matrix,
     "quality_ks_drift": quality_ks_drift,
+    "agg_chi_square_independence": agg_chi_square_independence,
+    "ml_ols_multivar": ml_ols_multivar,
+    "text_pmi_cooccurrence": text_pmi_cooccurrence,
+    "sample_bootstrap_means": sample_bootstrap_means,
 }
 
 ORACLES = {
     "quality_ks_drift": _KS_SQL,
+    "agg_chi_square_independence": _CHI2_SQL,
+    "ml_ols_multivar": _OLS_MULTI_SQL,
+    "text_pmi_cooccurrence": _PMI_SQL,
+    "sample_bootstrap_means": _BOOT_SQL,
     "agg_regression_per_group": _REGR_SQL,
     "text_zipf_fit": _ZIPF_SQL,
     "window_rolling_corr": _ROLLCORR_SQL,

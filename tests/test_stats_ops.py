@@ -14,7 +14,11 @@ from parquet_batch_spark.operators.stats_ops import (
     CORR_FRAME,
     PSI_BINS,
     ZIPF_TOP,
+    agg_chi_square_independence,
+    ml_ols_multivar,
     quality_ks_drift,
+    sample_bootstrap_means,
+    text_pmi_cooccurrence,
     agg_entropy_balance,
     agg_regression_per_group,
     quality_psi_drift,
@@ -171,3 +175,75 @@ def test_null_aware_anti_semantics(spark, sf_dir):
     assert row["n_not_exists"] > 0
     assert row["n_not_in_clean"] == row["n_not_exists"]
     assert row["n_not_in_nullable"] == 0
+
+
+def test_chi2_nonnegative_and_dof(spark, sf_dir):
+    """χ² ≥ 0; dof = (r−1)(c−1) for the status × priority table."""
+    row = agg_chi_square_independence(spark, sf_dir).collect()[0]
+    o = load(spark, sf_dir, "orders")
+    r = o.select("o_orderstatus").distinct().count()
+    c = o.select("o_orderpriority").distinct().count()
+    assert row["dof"] == (r - 1) * (c - 1)
+    assert row["chi2_stat"] >= 0.0
+
+
+def test_ols_multivar_matches_numpy(spark, sf_dir):
+    """Cramer's-rule betas match numpy lstsq on the same integer
+    design matrix; r² in [0, 1]."""
+    row = ml_ols_multivar(spark, sf_dir).collect()[0]
+    per_order = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("x1"),
+            F.sum(F.col("l_quantity").cast("long")).alias("x2"),
+        )
+    )
+    data = (
+        load(spark, sf_dir, "orders")
+        .join(per_order, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("x1", "x2", F.floor("o_totalprice").cast("long").alias("y"))
+        .collect()
+    )
+    X = np.array([[1.0, r["x1"], r["x2"]] for r in data])
+    y = np.array([float(r["y"]) for r in data])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert row["n_orders"] == len(data)
+    assert abs(row["beta_intercept"] - beta[0]) < 1e-2
+    assert abs(row["beta_items"] - beta[1]) < 1e-2
+    assert abs(row["beta_quantity"] - beta[2]) < 1e-2
+    assert 0.0 <= row["r2"] <= 1.0
+
+
+def test_pmi_symmetric_bounds(spark, sf_dir):
+    """Pair counts never exceed either single count; PMI ≤ the
+    theoretical max log2(N/max(c_a,c_b)); pairs are oriented a<b."""
+    rows = text_pmi_cooccurrence(spark, sf_dir).collect()
+    assert rows
+    n_docs = load(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert r["ta"] < r["tb"]
+        assert r["c_ab"] <= min(r["c_a"], r["c_b"])
+        cap = math.log2(n_docs / max(r["c_a"], r["c_b"])) + 1e-6
+        assert r["pmi"] <= cap
+
+
+def test_bootstrap_means_concentrate(spark, sf_dir):
+    """All B resamples emitted; each effective n within 5σ of the
+    Poisson total (≈N ± 5√N); resample means bracket the observed
+    mean collectively."""
+    from parquet_batch_spark.operators.stats_ops import BOOT_B
+
+    rows = sample_bootstrap_means(spark, sf_dir).collect()
+    assert len(rows) == BOOT_B
+    o = load(spark, sf_dir, "orders")
+    n = o.count()
+    true_mean = (
+        o.select(F.floor("o_totalprice").cast("long").alias("y"))
+        .agg(F.avg("y"))
+        .collect()[0][0]
+    )
+    for r in rows:
+        assert abs(r["n_eff"] - n) < 5 * math.sqrt(n) + 10
+    boot = [r["boot_mean"] for r in rows]
+    assert min(boot) < true_mean < max(boot)
