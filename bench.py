@@ -107,6 +107,13 @@ HEADLINE = [
     "window_seasonal_baseline",
     "etl_golden_record",
     "quality_merkle_checksums",
+    # r4 additions, stats batch (third session)
+    "agg_regression_per_group",
+    "ml_ols_multivar",
+    "window_rolling_corr",
+    "quality_psi_drift",
+    "text_pmi_cooccurrence",
+    "sample_bootstrap_means",
 ]
 
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from parquet_batch_spark.catalog import load
+from parquet_batch_spark.catalog import fan_out, load
 from parquet_batch_spark.functions.text import sql_tokens, tokens_col
 
 # ---------------------------------------------------------------------------
@@ -908,7 +908,11 @@ def sample_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     and targets are exact integers; means are rounded to 6dp.
     """
     o = load(spark, sf_dir, "orders")
-    exploded = o.select(
+    # fan_out: a few-MB scan arrives as ONE split, and the B× explode +
+    # per-row md5 below is the expensive part — spread the raw rows
+    # across the cluster BEFORE multiplying them (no-op at real scale).
+    base = fan_out(o.select("o_orderkey", "o_totalprice"), spark)
+    exploded = base.select(
         F.floor("o_totalprice").cast("long").alias("y"),
         F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
         F.col("o_orderkey"),
