@@ -221,6 +221,10 @@ _PRIORITY = [
     "ml_ols_multivar",
     "text_pmi_cooccurrence",
     "sample_bootstrap_means",
+    "agg_survival_km",
+    "window_cusum_changepoint",
+    "agg_pivot_multi",
+    "sample_ab_assignment_srm",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

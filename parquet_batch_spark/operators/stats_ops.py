@@ -970,6 +970,322 @@ ORDER BY b
 """
 
 
+# ---------------------------------------------------------------------------
+# agg_survival_km — Kaplan–Meier retention curve with right censoring
+# ---------------------------------------------------------------------------
+
+KM_CHURN_CUTOFF = "2000-07-01"  # last order before this ⇒ observed churn
+KM_GRAIN_DAYS = 90  # lifetime bucketed to quarters
+
+
+def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of customer lifetime (quarters
+    between first and last order), with customers still ordering near
+    the end of the observation window treated as right-CENSORED — the
+    estimator behind every "day-N retention" curve that doesn't throw
+    away still-alive users.
+
+    S(t) = Π_{u ≤ t} (1 − d_u/n_u) evaluated as exp of a cumulative
+    sum of 6dp-rounded log factors (an exact decimal cumulation), so
+    both engines produce identical curves. n_at_risk at t counts
+    customers with lifetime ≥ t (churned or censored).
+
+    Scale: one customer-grain reduction (first/last order), then all
+    windows run over the LIFETIME-distinct table — bounded by the
+    observation window in quarters, not by customers.
+    """
+    o = load(spark, sf_dir, "orders")
+    users = o.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d1"),
+    )
+    lifetimes = users.select(
+        F.floor(F.datediff("d1", "d0") / KM_GRAIN_DAYS).cast("long").alias("t"),
+        (F.col("d1") < F.lit(KM_CHURN_CUTOFF).cast("date")).alias("churned"),
+    )
+    per_t = lifetimes.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_end"),
+        F.sum(F.when(F.col("churned"), 1).otherwise(0)).cast("long").alias("d"),
+    )
+    after = Window.orderBy("t").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    at_risk = per_t.select(
+        "t",
+        F.sum("n_end").over(after).alias("n_risk"),
+        "d",
+    )
+    logf = F.round(
+        F.log(
+            (F.col("n_risk") - F.col("d")).cast("double") / F.col("n_risk").cast("double")
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    stepped = at_risk.where(F.col("d") > 0).select(
+        "t",
+        "n_risk",
+        "d",
+        F.sum(logf).over(cum).cast("decimal(18,6)").cast("double").alias("logsurv"),
+    )
+    return stepped.select(
+        "t",
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.round(F.exp("logsurv"), 6).alias("survival"),
+    ).orderBy("t")
+
+
+_KM_SQL = f"""
+WITH users AS (
+    SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS d0, MAX(CAST(o_orderdate AS DATE)) AS d1
+    FROM orders GROUP BY o_custkey
+),
+lifetimes AS (
+    SELECT CAST(FLOOR(date_diff('day', d0, d1) / {KM_GRAIN_DAYS}) AS BIGINT) AS t,
+           d1 < DATE '{KM_CHURN_CUTOFF}' AS churned
+    FROM users
+),
+per_t AS (
+    SELECT t, COUNT(*) AS n_end,
+           CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d
+    FROM lifetimes GROUP BY t
+),
+at_risk AS (
+    SELECT t,
+           CAST(SUM(n_end) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk,
+           d
+    FROM per_t
+),
+stepped AS (
+    SELECT t, n_risk, d,
+           CAST(CAST(SUM(CAST(ROUND(LN(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)), 6) AS DECIMAL(18,6)))
+                OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,6)) AS DOUBLE) AS logsurv
+    FROM at_risk
+    WHERE d > 0
+)
+SELECT t, n_risk, d AS n_events, ROUND(EXP(logsurv), 6) AS survival
+FROM stepped
+ORDER BY t
+"""
+
+# ---------------------------------------------------------------------------
+# window_cusum_changepoint — CUSUM excursion change-point estimate
+# ---------------------------------------------------------------------------
+
+
+def window_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type: the day where the
+    cumulative deviation from the series mean peaks — the standard
+    level-shift estimator for "when did this metric change regime".
+
+    Daily totals are exact integer cents; the excursion C_t =
+    cumsum(x) − t·(Σx/n) is derived from an exact cumulative integer
+    sum and an exact-ratio mean, so it's engine-identical. The
+    reported change point is the day maximizing |C_t| (6dp-rounded,
+    earliest day on ties).
+
+    Scale: day-grain reduction first; windows run over (types × days)
+    REDUCED rows — domain-bounded.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("vc"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("vc").alias("x"))
+    )
+    seq = Window.partitionBy("event_type").orderBy("day")
+    cum = seq.rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy("event_type")
+    stepped = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(seq).cast("long").alias("i"),
+        F.sum("x").over(cum).alias("cx"),
+        F.sum("x").over(tot).alias("sx"),
+        F.count(F.lit(1)).over(tot).alias("n"),
+    )
+    c = F.round(
+        F.abs(
+            F.col("cx").cast("double")
+            - F.col("i").cast("double") * F.col("sx").cast("double") / F.col("n").cast("double")
+        )
+        / 100.0,
+        6,
+    )
+    ranked = stepped.select(
+        "event_type",
+        "day",
+        F.col("n").alias("n_days"),
+        c.alias("excursion_usd"),
+    )
+    top = Window.partitionBy("event_type").orderBy(
+        F.desc("excursion_usd"), F.asc("day")
+    )
+    return (
+        ranked.withColumn("rn", F.row_number().over(top))
+        .where(F.col("rn") == 1)
+        .select("event_type", F.col("day").alias("changepoint_day"), "n_days", "excursion_usd")
+        .orderBy("event_type")
+    )
+
+
+_CUSUM_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS x
+    FROM events
+    GROUP BY 1, 2
+),
+stepped AS (
+    SELECT event_type, day,
+           CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i,
+           SUM(x) OVER (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING) AS cx,
+           SUM(x) OVER (PARTITION BY event_type) AS sx,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM daily
+),
+ranked AS (
+    SELECT event_type, day, CAST(n AS BIGINT) AS n_days,
+           ROUND(ABS(CAST(cx AS DOUBLE) - CAST(i AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 6) AS excursion_usd,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY ROUND(ABS(CAST(cx AS DOUBLE) - CAST(i AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 6) DESC, day ASC) AS rn
+    FROM stepped
+)
+SELECT event_type, day AS changepoint_day, n_days, excursion_usd
+FROM ranked WHERE rn = 1
+ORDER BY event_type
+"""
+
+# ---------------------------------------------------------------------------
+# agg_pivot_multi — pivot with MULTIPLE aggregates per cell
+# ---------------------------------------------------------------------------
+
+PIVOT_STATUSES = ("F", "O", "P")
+
+
+def agg_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with TWO aggregates per pivoted value (count + exact
+    decimal revenue): Spark flattens to ``<value>_<agg>`` columns in
+    one pass — the report shape that otherwise costs one self-join
+    per measure. Pivot values are an explicit literal list (required
+    discipline at scale: no pre-pass to discover the domain, and the
+    output schema is plan-time stable).
+    """
+    from parquet_batch_spark.functions.numeric import dsum
+
+    o = load(spark, sf_dir, "orders")
+    pv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(PIVOT_STATUSES))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice", "rev"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    cols = [F.col("o_orderpriority").alias("priority")]
+    for s in PIVOT_STATUSES:
+        cols.append(F.coalesce(F.col(f"{s}_n"), F.lit(0)).alias(f"{s.lower()}_n"))
+        cols.append(F.coalesce(F.col(f"{s}_rev"), F.lit(0.0)).alias(f"{s.lower()}_rev"))
+    return pv.select(*cols)
+
+
+def _pivot_multi_sql() -> str:
+    from parquet_batch_spark.functions.numeric import sql_dsum_expr
+
+    parts = []
+    for s in PIVOT_STATUSES:
+        parts.append(
+            f"CAST(COALESCE(SUM(CASE WHEN o_orderstatus = '{s}' THEN 1 ELSE 0 END), 0) AS BIGINT) AS {s.lower()}_n"
+        )
+        cond = f"CASE WHEN o_orderstatus = '{s}' THEN CAST(o_totalprice AS DECIMAL(18,4)) END"
+        parts.append(f"COALESCE({sql_dsum_expr(cond)}, 0.0) AS {s.lower()}_rev")
+    cols = ",\n       ".join(parts)
+    return f"""
+SELECT o_orderpriority AS priority,
+       {cols}
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY priority
+"""
+
+# ---------------------------------------------------------------------------
+# sample_ab_assignment_srm — hash bucketing + sample-ratio-mismatch check
+# ---------------------------------------------------------------------------
+
+AB_SALT = "exp42"
+
+
+def sample_ab_assignment_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 50/50 A/B assignment by portable hash of
+    (salt, customer key) plus the sample-ratio-mismatch χ² — the
+    guardrail every experimentation platform computes before trusting
+    a readout (an SRM χ² above ~3.84 means the split itself is broken).
+
+    Assignment is pure map-side arithmetic on a salted md5 — stable
+    across runs, engines, and cluster sizes (never ``rand()``, which
+    is partition-order-dependent). Per-arm means are exact decimal
+    sums over 2-dp values.
+    """
+    from parquet_batch_spark.functions.numeric import davg
+
+    c = load(spark, sf_dir, "customer")
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(AB_SALT), F.col("c_custkey"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    arm = F.when(h % 100 < 50, "A").otherwise("B")
+    per_arm = (
+        c.select(arm.alias("arm"), "c_acctbal")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            davg("c_acctbal", "mean_acctbal"),
+        )
+    )
+    tot = Window.partitionBy()
+    expected = F.sum("n").over(tot).cast("double") / 2.0
+    srm = F.round(
+        (F.col("n").cast("double") - expected) * (F.col("n").cast("double") - expected)
+        / expected
+        * 2.0,
+        6,
+    )
+    return per_arm.select(
+        "arm",
+        "n",
+        F.round("mean_acctbal", 6).alias("mean_acctbal"),
+        srm.alias("srm_chi2"),
+    ).orderBy("arm")
+
+
+def _ab_srm_sql() -> str:
+    from parquet_batch_spark.functions.numeric import sql_davg
+
+    return f"""
+WITH per_arm AS (
+    SELECT CASE WHEN CAST(('0x' || substr(md5('{AB_SALT}' || ':' || c_custkey), 1, 8)) AS UBIGINT)::BIGINT % 100 < 50
+                THEN 'A' ELSE 'B' END AS arm,
+           c_acctbal
+    FROM customer
+),
+agg AS (
+    SELECT arm, COUNT(*) AS n, {sql_davg("c_acctbal")} AS mean_acctbal
+    FROM per_arm GROUP BY arm
+)
+SELECT arm, n, ROUND(mean_acctbal, 6) AS mean_acctbal,
+       ROUND((CAST(n AS DOUBLE) - CAST(SUM(n) OVER () AS DOUBLE) / 2.0)
+             * (CAST(n AS DOUBLE) - CAST(SUM(n) OVER () AS DOUBLE) / 2.0)
+             / (CAST(SUM(n) OVER () AS DOUBLE) / 2.0) * 2.0, 6) AS srm_chi2
+FROM agg
+ORDER BY arm
+"""
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -978,6 +1294,10 @@ QUERIES = {
     "agg_entropy_balance": agg_entropy_balance,
     "seq_transition_matrix": seq_transition_matrix,
     "quality_ks_drift": quality_ks_drift,
+    "agg_survival_km": agg_survival_km,
+    "window_cusum_changepoint": window_cusum_changepoint,
+    "agg_pivot_multi": agg_pivot_multi,
+    "sample_ab_assignment_srm": sample_ab_assignment_srm,
     "agg_chi_square_independence": agg_chi_square_independence,
     "ml_ols_multivar": ml_ols_multivar,
     "text_pmi_cooccurrence": text_pmi_cooccurrence,
@@ -986,6 +1306,10 @@ QUERIES = {
 
 ORACLES = {
     "quality_ks_drift": _KS_SQL,
+    "agg_survival_km": _KM_SQL,
+    "window_cusum_changepoint": _CUSUM_SQL,
+    "agg_pivot_multi": _pivot_multi_sql(),
+    "sample_ab_assignment_srm": _ab_srm_sql(),
     "agg_chi_square_independence": _CHI2_SQL,
     "ml_ols_multivar": _OLS_MULTI_SQL,
     "text_pmi_cooccurrence": _PMI_SQL,

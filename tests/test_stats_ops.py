@@ -247,3 +247,67 @@ def test_bootstrap_means_concentrate(spark, sf_dir):
         assert abs(r["n_eff"] - n) < 5 * math.sqrt(n) + 10
     boot = [r["boot_mean"] for r in rows]
     assert min(boot) < true_mean < max(boot)
+
+
+def test_km_survival_monotone(spark, sf_dir):
+    """Survival is non-increasing in t, within (0, 1]; n_risk is
+    non-increasing; first n_risk equals the user count."""
+    from parquet_batch_spark.operators.stats_ops import agg_survival_km
+
+    rows = agg_survival_km(spark, sf_dir).collect()
+    assert rows
+    n_users = load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    assert rows[0]["n_risk"] <= n_users
+    last_s, last_r = 1.0 + 1e-9, n_users + 1
+    for r in rows:
+        assert 0.0 < r["survival"] <= last_s + 1e-9
+        assert r["n_risk"] <= last_r
+        assert 0 < r["n_events"] <= r["n_risk"]
+        last_s, last_r = r["survival"], r["n_risk"]
+
+
+def test_cusum_one_row_per_type(spark, sf_dir):
+    """One changepoint per event type; excursion ≥ 0; the changepoint
+    day lies within the observed day range."""
+    from parquet_batch_spark.operators.stats_ops import window_cusum_changepoint
+
+    rows = window_cusum_changepoint(spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events")
+    types = {r["event_type"] for r in ev.select("event_type").distinct().collect()}
+    assert {r["event_type"] for r in rows} == types
+    lo, hi = ev.agg(
+        F.min(F.col("ts").cast("date")), F.max(F.col("ts").cast("date"))
+    ).collect()[0]
+    for r in rows:
+        assert r["excursion_usd"] >= 0.0
+        assert lo <= r["changepoint_day"] <= hi
+
+
+def test_pivot_multi_mass_conserved(spark, sf_dir):
+    """Pivoted counts sum to the order count; revenue cells sum to
+    total revenue (exact decimal on both sides)."""
+    from parquet_batch_spark.operators.stats_ops import agg_pivot_multi
+
+    rows = agg_pivot_multi(spark, sf_dir).collect()
+    o = load(spark, sf_dir, "orders")
+    assert sum(r["f_n"] + r["o_n"] + r["p_n"] for r in rows) == o.count()
+    from parquet_batch_spark.functions.numeric import dsum
+
+    total = o.agg(dsum("o_totalprice", "t")).collect()[0]["t"]
+    got = sum(r["f_rev"] + r["o_rev"] + r["p_rev"] for r in rows)
+    assert abs(got - total) < 1e-4
+
+
+def test_ab_assignment_balanced_and_deterministic(spark, sf_dir):
+    """Both arms present, near-50/50 (SRM χ² under a generous bound for
+    an honest hash), and the assignment is identical across runs."""
+    from parquet_batch_spark.operators.stats_ops import sample_ab_assignment_srm
+
+    rows1 = sample_ab_assignment_srm(spark, sf_dir).collect()
+    rows2 = sample_ab_assignment_srm(spark, sf_dir).collect()
+    assert [tuple(r) for r in rows1] == [tuple(r) for r in rows2]
+    assert {r["arm"] for r in rows1} == {"A", "B"}
+    n = sum(r["n"] for r in rows1)
+    for r in rows1:
+        assert abs(r["n"] - n / 2) < 4 * math.sqrt(n)
+        assert r["srm_chi2"] == rows1[0]["srm_chi2"]
