@@ -225,6 +225,8 @@ _PRIORITY = [
     "window_cusum_changepoint",
     "agg_pivot_multi",
     "sample_ab_assignment_srm",
+    "window_acf_lags",
+    "agg_cohort_ltv_curve",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

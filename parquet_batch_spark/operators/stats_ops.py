@@ -1286,6 +1286,205 @@ ORDER BY arm
 """
 
 
+# ---------------------------------------------------------------------------
+# window_acf_lags — autocorrelation of the daily revenue series
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 7
+
+
+def window_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily order revenue at lags 1..{ACF_MAX_LAG}
+    — the seasonality detector that decides whether a forecast
+    baseline should be lag-1 or lag-7 (see window_seasonal_baseline).
+
+    Uses the standard overall-mean estimator: r_k = (Σ'x_t·x_{{t−k}} −
+    x̄(Σ'x_t + Σ'x_{{t−k}}) + (n−k)·x̄²) / (Σx² − n·x̄²), where every Σ
+    is an exact int64 over whole-dollar daily totals, so both engines
+    derive identical values.
+
+    Scale: the day-grain reduction carries the data cost; the 7
+    lag-window passes run over the REDUCED day series (domain-bounded)
+    and union to a {ACF_MAX_LAG}-row result.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.floor("o_totalprice").cast("long").alias("yd"),
+        )
+        .groupBy("day")
+        .agg(F.sum("yd").alias("x"))
+    )
+    seq = Window.orderBy("day")
+    glob = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    per_lag = None
+    for k in range(1, ACF_MAX_LAG + 1):
+        lagged = daily.select(
+            "x", F.lag("x", k).over(seq).alias("xl")
+        ).where(F.col("xl").isNotNull())
+        row = lagged.agg(
+            F.lit(k).cast("long").alias("lag"),
+            F.count(F.lit(1)).alias("np"),
+            F.sum(F.col("x") * F.col("xl")).alias("sxy"),
+            F.sum("x").alias("sa"),
+            F.sum("xl").alias("sb"),
+        )
+        per_lag = row if per_lag is None else per_lag.unionAll(row)
+    n, sx, sxx = (F.col(c).cast("double") for c in ("n", "sx", "sxx"))
+    np_, sxy = F.col("np").cast("double"), F.col("sxy").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    mean = sx / n
+    acf = F.round(
+        (sxy - mean * (sa + sb) + np_ * mean * mean) / (sxx - n * mean * mean), 6
+    )
+    return (
+        per_lag.crossJoin(F.broadcast(glob))
+        .select("lag", F.col("np").alias("n_pairs"), acf.alias("acf"))
+        .orderBy("lag")
+    )
+
+
+def _acf_sql() -> str:
+    lag_ctes = ",\n".join(
+        f"""l{k} AS (
+    SELECT CAST({k} AS BIGINT) AS lag, COUNT(*) AS np,
+           SUM(x * xl) AS sxy, SUM(x) AS sa, SUM(xl) AS sb
+    FROM (SELECT x, LAG(x, {k}) OVER (ORDER BY day) AS xl FROM daily)
+    WHERE xl IS NOT NULL
+)"""
+        for k in range(1, ACF_MAX_LAG + 1)
+    )
+    lag_union = " UNION ALL ".join(
+        f"SELECT * FROM l{k}" for k in range(1, ACF_MAX_LAG + 1)
+    )
+    return f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS x
+    FROM orders GROUP BY 1
+),
+overall AS (
+    SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx FROM daily
+),
+{lag_ctes},
+lags AS ({lag_union})
+SELECT lag, CAST(np AS BIGINT) AS n_pairs,
+       ROUND((CAST(sxy AS DOUBLE)
+              - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+              + CAST(np AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+             / (CAST(sxx AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))),
+             6) AS acf
+FROM lags, overall
+ORDER BY lag
+"""
+
+# ---------------------------------------------------------------------------
+# agg_cohort_ltv_curve — cumulative revenue per acquisition cohort
+# ---------------------------------------------------------------------------
+
+LTV_MAX_OFFSET = 11  # months after acquisition
+
+
+def agg_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value curve: for each acquisition YEAR cohort
+    and month offset 0..{LTV_MAX_OFFSET}, cumulative revenue per
+    cohort customer — the money-denominated sibling of
+    window_retention_cohort (who still BUYS, not who still shows up).
+
+    Month arithmetic is integer (year·12+month); revenue accumulates
+    in exact decimal through the cumulative window, and the per-head
+    division happens once at the end from bit-identical operands.
+
+    Scale: customer-grain first-order reduce, broadcast back to the
+    fact, then a (cohorts × offsets)-sized aggregate; the cumulative
+    window runs over that reduced grid.
+    """
+    from parquet_batch_spark.functions.numeric import dec
+
+    o = load(spark, sf_dir, "orders")
+    mk = F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    first = o.groupBy("o_custkey").agg(F.min(mk).alias("m0"))
+    cohort_sizes = first.select(
+        (F.floor(F.col("m0") / 12)).cast("long").alias("cohort_year"),
+        "o_custkey",
+    ).groupBy("cohort_year").agg(F.count(F.lit(1)).alias("n_customers"))
+    facts = (
+        o.select("o_custkey", mk.alias("m"), "o_totalprice")
+        .join(first, "o_custkey")
+        .select(
+            (F.floor(F.col("m0") / 12)).cast("long").alias("cohort_year"),
+            (F.col("m") - F.col("m0")).cast("long").alias("offset"),
+            "o_totalprice",
+        )
+        .where(F.col("offset") <= LTV_MAX_OFFSET)
+    )
+    per_cell = facts.groupBy("cohort_year", "offset").agg(
+        F.sum(dec("o_totalprice")).alias("rev_dec")
+    )
+    cum = (
+        Window.partitionBy("cohort_year")
+        .orderBy("offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    stepped = per_cell.select(
+        "cohort_year",
+        "offset",
+        F.sum("rev_dec").over(cum).cast("decimal(18,6)").alias("cum_dec"),
+    )
+    return (
+        stepped.join(F.broadcast(cohort_sizes), "cohort_year")
+        .select(
+            "cohort_year",
+            "offset",
+            "n_customers",
+            F.col("cum_dec").cast("double").alias("cum_revenue"),
+            F.round(
+                F.col("cum_dec").cast("double") / F.col("n_customers").cast("double"), 6
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort_year", "offset")
+    )
+
+
+_LTV_SQL = f"""
+WITH firsts AS (
+    SELECT o_custkey, MIN(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1) AS m0
+    FROM orders GROUP BY o_custkey
+),
+cohort_sizes AS (
+    SELECT CAST(FLOOR(m0 / 12) AS BIGINT) AS cohort_year, COUNT(*) AS n_customers
+    FROM firsts GROUP BY 1
+),
+facts AS (
+    SELECT CAST(FLOOR(f.m0 / 12) AS BIGINT) AS cohort_year,
+           CAST((YEAR(o.o_orderdate) * 12 + MONTH(o.o_orderdate) - 1) - f.m0 AS BIGINT) AS "offset",
+           o.o_totalprice
+    FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    WHERE (YEAR(o.o_orderdate) * 12 + MONTH(o.o_orderdate) - 1) - f.m0 <= {LTV_MAX_OFFSET}
+),
+per_cell AS (
+    SELECT cohort_year, "offset", SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_dec
+    FROM facts GROUP BY 1, 2
+),
+stepped AS (
+    SELECT cohort_year, "offset",
+           CAST(SUM(rev_dec) OVER (PARTITION BY cohort_year ORDER BY "offset"
+                ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,6)) AS cum_dec
+    FROM per_cell
+)
+SELECT s.cohort_year, s."offset" AS offset, c.n_customers,
+       CAST(s.cum_dec AS DOUBLE) AS cum_revenue,
+       ROUND(CAST(s.cum_dec AS DOUBLE) / CAST(c.n_customers AS DOUBLE), 6) AS ltv_per_customer
+FROM stepped s JOIN cohort_sizes c ON s.cohort_year = c.cohort_year
+ORDER BY s.cohort_year, s."offset"
+"""
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -1295,6 +1494,8 @@ QUERIES = {
     "seq_transition_matrix": seq_transition_matrix,
     "quality_ks_drift": quality_ks_drift,
     "agg_survival_km": agg_survival_km,
+    "window_acf_lags": window_acf_lags,
+    "agg_cohort_ltv_curve": agg_cohort_ltv_curve,
     "window_cusum_changepoint": window_cusum_changepoint,
     "agg_pivot_multi": agg_pivot_multi,
     "sample_ab_assignment_srm": sample_ab_assignment_srm,
@@ -1307,6 +1508,8 @@ QUERIES = {
 ORACLES = {
     "quality_ks_drift": _KS_SQL,
     "agg_survival_km": _KM_SQL,
+    "window_acf_lags": _acf_sql(),
+    "agg_cohort_ltv_curve": _LTV_SQL,
     "window_cusum_changepoint": _CUSUM_SQL,
     "agg_pivot_multi": _pivot_multi_sql(),
     "sample_ab_assignment_srm": _ab_srm_sql(),

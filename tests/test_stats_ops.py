@@ -311,3 +311,53 @@ def test_ab_assignment_balanced_and_deterministic(spark, sf_dir):
     for r in rows1:
         assert abs(r["n"] - n / 2) < 4 * math.sqrt(n)
         assert r["srm_chi2"] == rows1[0]["srm_chi2"]
+
+
+def test_acf_bounds_and_lag1_positive(spark, sf_dir):
+    """ACF values lie in [-1, 1]; exactly ACF_MAX_LAG rows; pair counts
+    shrink by one per lag; numpy cross-check at lag 1."""
+    from parquet_batch_spark.operators.stats_ops import ACF_MAX_LAG, window_acf_lags
+
+    rows = window_acf_lags(spark, sf_dir).collect()
+    assert [r["lag"] for r in rows] == list(range(1, ACF_MAX_LAG + 1))
+    for r in rows:
+        assert -1.0 - 1e-6 <= r["acf"] <= 1.0 + 1e-6
+    assert all(
+        rows[i]["n_pairs"] == rows[0]["n_pairs"] - i for i in range(len(rows))
+    )
+    daily = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.floor("o_totalprice").cast("long").alias("yd"),
+        )
+        .groupBy("day")
+        .agg(F.sum("yd").alias("x"))
+        .orderBy("day")
+        .collect()
+    )
+    x = np.array([r["x"] for r in daily], dtype=float)
+    mean = x.mean()
+    denom = ((x - mean) ** 2).sum()
+    num = ((x[1:] * x[:-1]).sum() - mean * (x[1:].sum() + x[:-1].sum())
+           + (len(x) - 1) * mean * mean)
+    assert math.isclose(rows[0]["acf"], num / denom, abs_tol=1e-5)
+
+
+def test_ltv_curve_monotone(spark, sf_dir):
+    """Cumulative revenue is non-decreasing within each cohort; LTV per
+    customer equals cum/size; offsets within range."""
+    from parquet_batch_spark.operators.stats_ops import LTV_MAX_OFFSET, agg_cohort_ltv_curve
+
+    rows = agg_cohort_ltv_curve(spark, sf_dir).collect()
+    assert rows
+    last = {}
+    for r in rows:
+        assert 0 <= r["offset"] <= LTV_MAX_OFFSET
+        key = r["cohort_year"]
+        assert r["cum_revenue"] >= last.get(key, 0.0) - 1e-9
+        last[key] = r["cum_revenue"]
+        assert math.isclose(
+            r["ltv_per_customer"], round(r["cum_revenue"] / r["n_customers"], 6),
+            abs_tol=1e-9,
+        )
