@@ -353,3 +353,52 @@ def test_dynamic_overwrite_preserves_other_partitions(spark, sf_dir):
         .collect()
     }
     assert got == want  # row inventory identical in every partition
+
+
+def test_stats_ops_scale_shapes(spark, sf_dir):
+    """Stats-batch plan contracts: no op may degrade to a cartesian
+    or (except the deliberately nested null-aware NOT IN probe) a
+    nested-loop join; single-agg moment reductions must contain
+    exactly the aggregation exchanges their docstrings claim."""
+    from parquet_batch_spark.operators.stats_ops import (
+        agg_chi_square_independence,
+        agg_cohort_ltv_curve,
+        agg_regression_per_group,
+        ml_ols_multivar,
+        sample_bootstrap_means,
+        seq_transition_matrix,
+        text_pmi_cooccurrence,
+        window_acf_lags,
+        window_rolling_corr,
+    )
+
+    for fn in (
+        agg_regression_per_group,
+        ml_ols_multivar,
+        window_rolling_corr,
+        seq_transition_matrix,
+        agg_chi_square_independence,
+        sample_bootstrap_means,
+        agg_cohort_ltv_curve,
+    ):
+        plan = executed_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{fn.__name__}: cartesian!"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{fn.__name__}: NLJ!"
+    # PMI's pair join must be an equi-join on doc_id, count sides broadcast
+    plan = executed_plan(text_pmi_cooccurrence(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    # ACF's scalar-global side joins via broadcast (7-row left side)
+    plan = executed_plan(window_acf_lags(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_regression_single_shuffle(spark, sf_dir):
+    """The per-group OLS is one partial-agg + one exchange: no window,
+    no join, no second scan-side exchange."""
+    from parquet_batch_spark.operators.stats_ops import agg_regression_per_group
+
+    plan = executed_plan(agg_regression_per_group(spark, sf_dir))
+    assert plan.count("Exchange") <= 2, plan[:3000]  # agg + final orderBy
+    assert "Window" not in plan
+    assert "Join" not in plan
