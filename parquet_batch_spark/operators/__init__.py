@@ -227,6 +227,8 @@ _PRIORITY = [
     "sample_ab_assignment_srm",
     "window_acf_lags",
     "agg_cohort_ltv_curve",
+    "quality_freshness_sla",
+    "agg_hist2d_joint",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

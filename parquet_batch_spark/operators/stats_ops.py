@@ -1485,6 +1485,145 @@ ORDER BY s.cohort_year, s."offset"
 """
 
 
+# ---------------------------------------------------------------------------
+# quality_freshness_sla — arrival-cadence / gap audit per event stream
+# ---------------------------------------------------------------------------
+
+
+def quality_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness/cadence audit per event stream at HOURLY grain: hours
+    covered vs the corpus-wide observation span, longest silent gap,
+    and how stale the stream was at the end of the window — the
+    monitoring table a warehouse publishes so consumers can see which
+    feeds are late BEFORE joining against them.
+
+    All quantities are integer hour indices (epoch seconds div 3600),
+    so both engines agree exactly. The expected span comes from the
+    corpus-wide min/max (one scalar aggregate, broadcast).
+
+    Scale: distinct (type, hour) reduction first — everything after
+    runs on a domain-bounded series (span-hours × types). The
+    longest-gap window is a per-type lag over that reduced series.
+    """
+    ev = load(spark, sf_dir, "events")
+    hour = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+    hours = ev.select(F.col("event_type"), hour.alias("h")).distinct()
+    span = hours.agg(
+        F.min("h").alias("h0"),
+        F.max("h").alias("h1"),
+    )
+    seq = Window.partitionBy("event_type").orderBy("h")
+    gaps = hours.select(
+        "event_type",
+        "h",
+        (F.col("h") - F.lag("h").over(seq) - 1).alias("gap"),
+    )
+    per_type = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours_active"),
+        F.max("h").alias("last_h"),
+        F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias("longest_gap_hours"),
+    )
+    return (
+        per_type.crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            (F.col("h1") - F.col("h0") + 1).alias("n_hours_expected"),
+            "n_hours_active",
+            (F.col("h1") - F.col("h0") + 1 - F.col("n_hours_active")).alias(
+                "n_hours_missing"
+            ),
+            "longest_gap_hours",
+            (F.col("h1") - F.col("last_h")).alias("staleness_hours"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_FRESHNESS_SQL = """
+WITH hours AS (
+    SELECT DISTINCT event_type,
+           CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h
+    FROM events
+),
+span AS (
+    SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hours
+),
+gaps AS (
+    SELECT event_type, h,
+           h - LAG(h) OVER (PARTITION BY event_type ORDER BY h) - 1 AS gap
+    FROM hours
+),
+per_type AS (
+    SELECT event_type, COUNT(*) AS n_hours_active, MAX(h) AS last_h,
+           CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS longest_gap_hours
+    FROM gaps GROUP BY event_type
+)
+SELECT event_type,
+       (h1 - h0 + 1) AS n_hours_expected,
+       n_hours_active,
+       (h1 - h0 + 1 - n_hours_active) AS n_hours_missing,
+       longest_gap_hours,
+       (h1 - last_h) AS staleness_hours
+FROM per_type, span
+ORDER BY event_type
+"""
+
+# ---------------------------------------------------------------------------
+# agg_hist2d_joint — joint 2-D histogram with marginal shares
+# ---------------------------------------------------------------------------
+
+H2_PRICE_W = 10_000  # price band width
+H2_QTY_W = 10  # quantity band width
+
+
+def agg_hist2d_joint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint (price band × quantity band) histogram over lineitem with
+    row-marginal shares — the 2-D density heatmap a pricing analysis
+    reads to see whether quantity mixes shift with price. Counts are
+    exact; shares are integer ratios rounded to 6dp.
+
+    Scale: ONE map-side-combined count to a (price bands × quantity
+    bands) grid — domain-bounded output, no window over raw data.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    pb = F.floor(F.col("l_extendedprice") / H2_PRICE_W).cast("long")
+    qb = F.floor(F.col("l_quantity") / H2_QTY_W).cast("long")
+    cells = (
+        li.select(pb.alias("price_band"), qb.alias("qty_band"))
+        .groupBy("price_band", "qty_band")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_w = Window.partitionBy("price_band")
+    tot_w = Window.partitionBy()
+    return cells.select(
+        "price_band",
+        "qty_band",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(row_w).cast("double"), 6).alias(
+            "row_share"
+        ),
+        F.round(F.col("n").cast("double") / F.sum("n").over(tot_w).cast("double"), 6).alias(
+            "total_share"
+        ),
+    ).orderBy("price_band", "qty_band")
+
+
+_HIST2D_SQL = f"""
+WITH cells AS (
+    SELECT CAST(FLOOR(l_extendedprice / {H2_PRICE_W}) AS BIGINT) AS price_band,
+           CAST(FLOOR(l_quantity / {H2_QTY_W}) AS BIGINT) AS qty_band,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY 1, 2
+)
+SELECT price_band, qty_band, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY price_band) AS DOUBLE), 6) AS row_share,
+       ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE), 6) AS total_share
+FROM cells
+ORDER BY price_band, qty_band
+"""
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -1495,6 +1634,8 @@ QUERIES = {
     "quality_ks_drift": quality_ks_drift,
     "agg_survival_km": agg_survival_km,
     "window_acf_lags": window_acf_lags,
+    "quality_freshness_sla": quality_freshness_sla,
+    "agg_hist2d_joint": agg_hist2d_joint,
     "agg_cohort_ltv_curve": agg_cohort_ltv_curve,
     "window_cusum_changepoint": window_cusum_changepoint,
     "agg_pivot_multi": agg_pivot_multi,
@@ -1509,6 +1650,8 @@ ORACLES = {
     "quality_ks_drift": _KS_SQL,
     "agg_survival_km": _KM_SQL,
     "window_acf_lags": _acf_sql(),
+    "quality_freshness_sla": _FRESHNESS_SQL,
+    "agg_hist2d_joint": _HIST2D_SQL,
     "agg_cohort_ltv_curve": _LTV_SQL,
     "window_cusum_changepoint": _CUSUM_SQL,
     "agg_pivot_multi": _pivot_multi_sql(),

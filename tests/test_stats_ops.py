@@ -361,3 +361,34 @@ def test_ltv_curve_monotone(spark, sf_dir):
             r["ltv_per_customer"], round(r["cum_revenue"] / r["n_customers"], 6),
             abs_tol=1e-9,
         )
+
+
+def test_freshness_accounting(spark, sf_dir):
+    """active + missing = expected for every stream; gaps and staleness
+    fit inside the span; every event type present."""
+    from parquet_batch_spark.operators.stats_ops import quality_freshness_sla
+
+    rows = quality_freshness_sla(spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events")
+    types = {r["event_type"] for r in ev.select("event_type").distinct().collect()}
+    assert {r["event_type"] for r in rows} == types
+    for r in rows:
+        assert r["n_hours_active"] + r["n_hours_missing"] == r["n_hours_expected"]
+        assert 0 <= r["longest_gap_hours"] < r["n_hours_expected"]
+        assert 0 <= r["staleness_hours"] < r["n_hours_expected"]
+
+
+def test_hist2d_shares(spark, sf_dir):
+    """Cell counts conserve mass; row shares sum to 1 per price band;
+    total shares sum to 1."""
+    from parquet_batch_spark.operators.stats_ops import agg_hist2d_joint
+
+    rows = agg_hist2d_joint(spark, sf_dir).collect()
+    n = load(spark, sf_dir, "lineitem").count()
+    assert sum(r["n"] for r in rows) == n
+    assert math.isclose(sum(r["total_share"] for r in rows), 1.0, abs_tol=1e-3)
+    by_band: dict[int, float] = {}
+    for r in rows:
+        by_band[r["price_band"]] = by_band.get(r["price_band"], 0.0) + r["row_share"]
+    for s in by_band.values():
+        assert math.isclose(s, 1.0, abs_tol=1e-3)
