@@ -229,6 +229,7 @@ _PRIORITY = [
     "agg_cohort_ltv_curve",
     "quality_freshness_sla",
     "agg_hist2d_joint",
+    "window_peak_concurrency",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

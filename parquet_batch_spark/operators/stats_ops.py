@@ -1624,6 +1624,164 @@ ORDER BY price_band, qty_band
 """
 
 
+# ---------------------------------------------------------------------------
+# window_peak_concurrency — distributed sweep-line over session intervals
+# ---------------------------------------------------------------------------
+
+PEAK_GAP_S = 1800  # session gap, same convention as window_sessionize
+
+
+def window_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — capacity planning's first
+    question — computed as a DISTRIBUTED sweep line: each session
+    contributes a +1 at its start second and a −1 at its end second,
+    and the running sum at any instant is the concurrency.
+
+    The global running sum is the classic scale trap (one unpartitioned
+    window). This op uses the two-phase form instead: per-day delta
+    totals (tiny) become each day's carry-in via a cumulative window
+    over DAYS; the within-day cumulation then runs partitioned by day.
+    Sessions spanning midnight need no interval splitting — their −1
+    simply lands on a later day and the carry-in accounts for them.
+    Event order is made total by (second, delta, user) with ends
+    before starts at the same instant, identically in both engines.
+
+    Scale: sessionize is one user-partition window; the sweep is one
+    day-partition window over 2 events/session; the carry-in window
+    runs over ~days rows. No global sort anywhere.
+    """
+    ev = load(spark, sf_dir, "events")
+    sec = F.floor(F.unix_timestamp("ts")).cast("long")
+    user_w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    marked = ev.select("user_id", "event_id", sec.alias("s")).withColumn(
+        "new_sess",
+        F.when(
+            (F.col("s") - F.lag("s").over(user_w)) > PEAK_GAP_S, 1
+        ).otherwise(0),
+    )
+    sess_w = Window.partitionBy("user_id").orderBy("s", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = (
+        marked.withColumn("sess_id", F.sum("new_sess").over(sess_w))
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("s").alias("s0"), F.max("s").alias("s1"))
+    )
+    deltas = sessions.select(
+        F.col("s0").alias("sec"), F.lit(1).alias("delta"), "user_id"
+    ).unionAll(
+        sessions.select(F.col("s1").alias("sec"), F.lit(-1).alias("delta"), "user_id")
+    )
+    with_day = deltas.select(
+        (F.floor(F.col("sec") / 86400)).cast("long").alias("day_idx"),
+        "sec",
+        "delta",
+        "user_id",
+    )
+    per_day = with_day.groupBy("day_idx").agg(F.sum("delta").alias("day_delta"))
+    days_w = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, -1)
+    carry = per_day.select(
+        "day_idx",
+        F.coalesce(F.sum("day_delta").over(days_w), F.lit(0)).cast("long").alias("carry_in"),
+    )
+    sweep_w = (
+        Window.partitionBy("day_idx")
+        .orderBy("sec", "delta", "user_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = with_day.withColumn("run", F.sum("delta").over(sweep_w)).join(
+        F.broadcast(carry), "day_idx"
+    )
+    conc = (F.col("run") + F.col("carry_in")).cast("long").alias("conc")
+    top = Window.partitionBy("day_idx").orderBy(F.desc("conc"), F.asc("sec"))
+    peaks = (
+        swept.select("day_idx", "sec", conc)
+        .withColumn("rn", F.row_number().over(top))
+        .where(F.col("rn") == 1)
+        .select(
+            "day_idx",
+            F.col("conc").alias("peak_concurrency"),
+            F.col("sec").alias("peak_first_sec"),
+        )
+    )
+    starts = with_day.where(F.col("delta") == 1).groupBy("day_idx").agg(
+        F.count(F.lit(1)).alias("n_sessions_started")
+    )
+    return (
+        peaks.join(starts, "day_idx", "left")
+        .select(
+            "day_idx",
+            F.coalesce("n_sessions_started", F.lit(0)).cast("long").alias(
+                "n_sessions_started"
+            ),
+            "peak_concurrency",
+            "peak_first_sec",
+        )
+        .orderBy("day_idx")
+    )
+
+
+_PEAK_SQL = f"""
+WITH marked AS (
+    SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+           CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                     - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id)
+                     > {PEAK_GAP_S} THEN 1 ELSE 0 END AS new_sess
+    FROM events
+),
+sessions AS (
+    SELECT user_id, sess_id, MIN(s) AS s0, MAX(s) AS s1
+    FROM (
+        SELECT user_id, s,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM marked
+    )
+    GROUP BY user_id, sess_id
+),
+deltas AS (
+    SELECT s0 AS sec, 1 AS delta, user_id FROM sessions
+    UNION ALL
+    SELECT s1 AS sec, -1 AS delta, user_id FROM sessions
+),
+with_day AS (
+    SELECT CAST(FLOOR(sec / 86400) AS BIGINT) AS day_idx, sec, delta, user_id
+    FROM deltas
+),
+carry AS (
+    SELECT day_idx,
+           CAST(COALESCE(SUM(day_delta) OVER (ORDER BY day_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS carry_in
+    FROM (SELECT day_idx, SUM(delta) AS day_delta FROM with_day GROUP BY day_idx)
+),
+swept AS (
+    SELECT w.day_idx, w.sec,
+           SUM(w.delta) OVER (PARTITION BY w.day_idx ORDER BY w.sec, w.delta, w.user_id
+                              ROWS UNBOUNDED PRECEDING) + c.carry_in AS conc
+    FROM with_day w JOIN carry c ON w.day_idx = c.day_idx
+),
+peaks AS (
+    SELECT day_idx, CAST(conc AS BIGINT) AS peak_concurrency, sec AS peak_first_sec
+    FROM (
+        SELECT day_idx, sec, conc,
+               ROW_NUMBER() OVER (PARTITION BY day_idx ORDER BY conc DESC, sec ASC) AS rn
+        FROM swept
+    )
+    WHERE rn = 1
+),
+starts AS (
+    SELECT day_idx, COUNT(*) AS n_sessions_started
+    FROM with_day WHERE delta = 1 GROUP BY day_idx
+)
+SELECT p.day_idx,
+       CAST(COALESCE(s.n_sessions_started, 0) AS BIGINT) AS n_sessions_started,
+       p.peak_concurrency, p.peak_first_sec
+FROM peaks p LEFT JOIN starts s ON p.day_idx = s.day_idx
+ORDER BY p.day_idx
+"""
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -1635,6 +1793,7 @@ QUERIES = {
     "agg_survival_km": agg_survival_km,
     "window_acf_lags": window_acf_lags,
     "quality_freshness_sla": quality_freshness_sla,
+    "window_peak_concurrency": window_peak_concurrency,
     "agg_hist2d_joint": agg_hist2d_joint,
     "agg_cohort_ltv_curve": agg_cohort_ltv_curve,
     "window_cusum_changepoint": window_cusum_changepoint,
@@ -1651,6 +1810,7 @@ ORACLES = {
     "agg_survival_km": _KM_SQL,
     "window_acf_lags": _acf_sql(),
     "quality_freshness_sla": _FRESHNESS_SQL,
+    "window_peak_concurrency": _PEAK_SQL,
     "agg_hist2d_joint": _HIST2D_SQL,
     "agg_cohort_ltv_curve": _LTV_SQL,
     "window_cusum_changepoint": _CUSUM_SQL,

@@ -392,3 +392,48 @@ def test_hist2d_shares(spark, sf_dir):
         by_band[r["price_band"]] = by_band.get(r["price_band"], 0.0) + r["row_share"]
     for s in by_band.values():
         assert math.isclose(s, 1.0, abs_tol=1e-3)
+
+
+def test_peak_concurrency_brute_force(spark, sf_dir):
+    """Distributed two-phase sweep equals a driver-side brute-force
+    sweep over the same session intervals; peaks are positive and
+    bounded by the user count."""
+    from parquet_batch_spark.operators.stats_ops import (
+        PEAK_GAP_S,
+        window_peak_concurrency,
+    )
+
+    rows = window_peak_concurrency(spark, sf_dir).collect()
+    assert rows
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", F.floor(F.unix_timestamp("ts")).cast("long").alias("s"))
+        .orderBy("user_id", "s", "event_id")
+        .collect()
+    )
+    n_users = len({r["user_id"] for r in ev})
+    # brute-force sessionize + sweep
+    sessions = []
+    cur_user, s0, s1 = None, None, None
+    for r in ev:
+        if r["user_id"] != cur_user or r["s"] - s1 > PEAK_GAP_S:
+            if cur_user is not None:
+                sessions.append((s0, s1))
+            cur_user, s0 = r["user_id"], r["s"]
+        s1 = r["s"]
+    sessions.append((s0, s1))
+    events = sorted(
+        [(s, 1) for s, _ in sessions] + [(e, -1) for _, e in sessions],
+        key=lambda t: (t[0], t[1]),
+    )
+    run, peak_by_day = 0, {}
+    for sec, d in events:
+        run += d
+        day = sec // 86400
+        if run > peak_by_day.get(day, (0, None))[0]:
+            peak_by_day[day] = (run, sec)
+    got = {r["day_idx"]: (r["peak_concurrency"], r["peak_first_sec"]) for r in rows}
+    for day, (p, sec) in peak_by_day.items():
+        assert got[day][0] == p, (day, got[day], p)
+    for r in rows:
+        assert 0 < r["peak_concurrency"] <= n_users
