@@ -167,17 +167,10 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding near-dup detection.
-
-    sig(16) → 4 bands × 4 rows; candidates share ≥1 band signature;
-    estimated Jaccard = fraction of equal signature positions ≥ 0.5.
-    The band join is the only shuffle that grows with corpus size and
-    it is keyed on (band_idx, band_signature) — bounded fan-out per
-    bucket, AQE-skew-safe. Signatures are computed over df-capped
-    shingles (SHINGLE_DF_CAP_*), so boilerplate can't glue unrelated
-    documents into one band bucket.
-    """
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, sig_a, sig_b) pairs sharing ≥1 LSH band — the
+    raw candidate set BEFORE the estimated-Jaccard filter (shared by
+    dedup_minhash_lsh and the recall evaluation)."""
     sigs = _minhash_signatures(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
@@ -199,7 +192,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    cands = (
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -214,6 +207,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup detection.
+
+    sig(16) → 4 bands × 4 rows; candidates share ≥1 band signature;
+    estimated Jaccard = fraction of equal signature positions ≥ 0.5.
+    The band join is the only shuffle that grows with corpus size and
+    it is keyed on (band_idx, band_signature) — bounded fan-out per
+    bucket, AQE-skew-safe. Signatures are computed over df-capped
+    shingles (SHINGLE_DF_CAP_*), so boilerplate can't glue unrelated
+    documents into one band bucket.
+    """
+    cands = _lsh_candidate_pairs(spark, sf_dir)
     est = (
         F.size(
             F.filter(
@@ -1335,7 +1342,110 @@ ORDER BY cluster_root
 """
 
 
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall evaluation of the MinHash-LSH blocking against the EXACT
+    n-gram-Jaccard ground truth on the same capped shingle sets — the
+    measurement that justifies (or re-tunes) the {N_BANDS}×{ROWS_PER_BAND}
+    band configuration before a 100 TB run: ground-truth pairs are
+    every pair with exact Jaccard ≥ {JACCARD_THRESHOLD}; a pair is
+    recalled if it shares ≥1 LSH band.
+
+    Output: one row of exact counts + 6dp ratios (recall of the
+    candidate set, and the candidate "precision proxy" — the fraction
+    of candidates that are true near-dups; low values mean wasted
+    verification work downstream).
+
+    Scale: both sides are the existing bucketed joins (inverted-index
+    intersection, band equi-join); the comparison itself is one more
+    equi-join on the (doc_a, doc_b) pair key plus a scalar aggregate.
+    """
+    hashes = _doc_shingle_hashes(spark, sf_dir)
+    sizes = hashes.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = hashes.alias("a")
+    b = hashes.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    truth = (
+        inter.join(sa, "doc_a").join(sb, "doc_b").filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    cands = _lsh_candidate_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("is_cand")
+    )
+    joined = truth.join(cands, ["doc_a", "doc_b"], "left")
+    t = joined.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.sum(F.coalesce("is_cand", F.lit(0))).cast("long").alias("n_recalled"),
+    )
+    c = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+    return t.crossJoin(F.broadcast(c)).select(
+        "n_true_pairs",
+        "n_candidates",
+        "n_recalled",
+        F.round(
+            F.col("n_recalled").cast("double") / F.col("n_true_pairs").cast("double"), 6
+        ).alias("recall"),
+        F.round(
+            F.col("n_recalled").cast("double") / F.col("n_candidates").cast("double"), 6
+        ).alias("precision_proxy"),
+    )
+
+
+_LSH_RECALL_SQL = f"""
+WITH {_sql_minhash_core()},
+bands AS (
+    SELECT doc_id, sig, i - 1 AS band_idx, ([{_BAND_EXPRS}])[i] AS band_sig
+    FROM sigarr, generate_series(1, {N_BANDS}) t(i)
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+        AND a.doc_id < b.doc_id
+),
+sizes AS (
+    SELECT doc_id, COUNT(*) AS n_sh FROM hashes GROUP BY doc_id
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+    FROM hashes a JOIN hashes b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+truth AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON inter.doc_a = sa.doc_id
+    JOIN sizes sb ON inter.doc_b = sb.doc_id
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_THRESHOLD}
+),
+t AS (
+    SELECT COUNT(*) AS n_true_pairs,
+           CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_recalled
+    FROM truth tr
+    LEFT JOIN cands c ON tr.doc_a = c.doc_a AND tr.doc_b = c.doc_b
+),
+cc AS (
+    SELECT COUNT(*) AS n_candidates FROM cands
+)
+SELECT CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       n_recalled,
+       ROUND(CAST(n_recalled AS DOUBLE) / CAST(n_true_pairs AS DOUBLE), 6) AS recall,
+       ROUND(CAST(n_recalled AS DOUBLE) / CAST(n_candidates AS DOUBLE), 6) AS precision_proxy
+FROM t, cc
+"""
+
+
 QUERIES = {
+    "dedup_lsh_recall_eval": dedup_lsh_recall_eval,
     "dedup_cluster_representative": dedup_cluster_representative,
     "dedup_clusters": dedup_clusters,
     "graph_pagerank": graph_pagerank,
@@ -1354,6 +1464,7 @@ ORACLES = {
     "graph_pagerank": _pagerank_sql(),
     "dedup_fuzzy_levenshtein": _DEDUP_FUZZY_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_lsh_recall_eval": _LSH_RECALL_SQL,
     "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
     "dedup_simhash": _DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,

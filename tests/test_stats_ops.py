@@ -437,3 +437,14 @@ def test_peak_concurrency_brute_force(spark, sf_dir):
         assert got[day][0] == p, (day, got[day], p)
     for r in rows:
         assert 0 < r["peak_concurrency"] <= n_users
+
+
+def test_lsh_recall_eval_consistent(spark, sf_dir):
+    """Recall counts are consistent (recalled ≤ both true pairs and
+    candidates); the configured 4x4 banding recalls most true pairs."""
+    from parquet_batch_spark.operators.dedup import dedup_lsh_recall_eval
+
+    row = dedup_lsh_recall_eval(spark, sf_dir).collect()[0]
+    assert 0 < row["n_recalled"] <= row["n_true_pairs"]
+    assert row["n_recalled"] <= row["n_candidates"]
+    assert row["recall"] >= 0.5  # 4 bands x 4 rows at tau=0.5
