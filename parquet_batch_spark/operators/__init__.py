@@ -231,6 +231,7 @@ _PRIORITY = [
     "agg_hist2d_joint",
     "window_peak_concurrency",
     "dedup_lsh_recall_eval",
+    "agg_touch_attribution",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

@@ -1782,6 +1782,124 @@ ORDER BY p.day_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# agg_touch_attribution — first/last-touch attribution for purchases
+# ---------------------------------------------------------------------------
+
+ATTR_WINDOW_S = 86_400  # last-touch credit window: 24h
+
+
+def agg_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution per day: for every purchase, whether a
+    view/click by the same user preceded it within 24 h (last-touch)
+    or at any earlier time (first-touch), and the mean seconds since
+    the last touch — the attribution table a growth team reads before
+    crediting spend.
+
+    The "last preceding touch" is a carry-forward MAX window over the
+    user's ordered stream (rows preceding, exclusive), never a
+    self-join; all quantities are integer seconds with floor-division
+    means, so both engines agree exactly.
+
+    Scale: one user-partition window pass over the event stream, then
+    a day-grain aggregate. No join, no second scan.
+    """
+    ev = load(spark, sf_dir, "events")
+    sec = F.floor(F.unix_timestamp("ts")).cast("long")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        sec.alias("s"),
+    )
+    before = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_s = F.when(F.col("event_type").isin("view", "click"), F.col("s"))
+    flagged = base.select(
+        "user_id",
+        "event_type",
+        "s",
+        F.max(touch_s).over(before).alias("last_touch_s"),
+        F.min(touch_s).over(before).alias("first_touch_s"),
+    )
+    purchases = flagged.where(F.col("event_type") == "purchase")
+    day = F.floor(F.col("s") / 86400).cast("long")
+    gap = F.col("s") - F.col("last_touch_s")
+    return (
+        purchases.select(
+            day.alias("day_idx"),
+            (F.col("last_touch_s").isNotNull() & (gap <= ATTR_WINDOW_S)).alias(
+                "last_24h"
+            ),
+            F.col("first_touch_s").isNotNull().alias("any_first"),
+            F.when(
+                F.col("last_touch_s").isNotNull() & (gap <= ATTR_WINDOW_S), gap
+            ).alias("credited_gap"),
+        )
+        .groupBy("day_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.when(F.col("last_24h"), 1).otherwise(0)).cast("long").alias(
+                "n_last_touch_24h"
+            ),
+            F.sum(F.when(F.col("any_first"), 1).otherwise(0)).cast("long").alias(
+                "n_first_touch_ever"
+            ),
+            F.when(
+                F.sum(F.when(F.col("last_24h"), 1).otherwise(0)) > 0,
+                F.floor(
+                    F.sum("credited_gap")
+                    / F.sum(F.when(F.col("last_24h"), 1).otherwise(0))
+                ),
+            )
+            .otherwise(F.lit(None))
+            .cast("long")
+            .alias("mean_gap_s"),
+        )
+        .orderBy("day_idx")
+    )
+
+
+_ATTR_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, event_type, s,
+           MAX(CASE WHEN event_type IN ('view', 'click') THEN s END)
+               OVER (PARTITION BY user_id ORDER BY s, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch_s,
+           MIN(CASE WHEN event_type IN ('view', 'click') THEN s END)
+               OVER (PARTITION BY user_id ORDER BY s, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch_s
+    FROM (
+        SELECT user_id, event_id, event_type,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS s
+        FROM events
+    )
+),
+purchases AS (
+    SELECT CAST(FLOOR(s / 86400) AS BIGINT) AS day_idx,
+           last_touch_s IS NOT NULL AND s - last_touch_s <= {ATTR_WINDOW_S} AS last_24h,
+           first_touch_s IS NOT NULL AS any_first,
+           CASE WHEN last_touch_s IS NOT NULL AND s - last_touch_s <= {ATTR_WINDOW_S}
+                THEN s - last_touch_s END AS credited_gap
+    FROM flagged
+    WHERE event_type = 'purchase'
+)
+SELECT day_idx,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(CASE WHEN last_24h THEN 1 ELSE 0 END) AS BIGINT) AS n_last_touch_24h,
+       CAST(SUM(CASE WHEN any_first THEN 1 ELSE 0 END) AS BIGINT) AS n_first_touch_ever,
+       CAST(CASE WHEN SUM(CASE WHEN last_24h THEN 1 ELSE 0 END) > 0
+            THEN FLOOR(SUM(credited_gap) / SUM(CASE WHEN last_24h THEN 1 ELSE 0 END))
+            END AS BIGINT) AS mean_gap_s
+FROM purchases
+GROUP BY day_idx
+ORDER BY day_idx
+"""
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -1794,6 +1912,7 @@ QUERIES = {
     "window_acf_lags": window_acf_lags,
     "quality_freshness_sla": quality_freshness_sla,
     "window_peak_concurrency": window_peak_concurrency,
+    "agg_touch_attribution": agg_touch_attribution,
     "agg_hist2d_joint": agg_hist2d_joint,
     "agg_cohort_ltv_curve": agg_cohort_ltv_curve,
     "window_cusum_changepoint": window_cusum_changepoint,
@@ -1811,6 +1930,7 @@ ORACLES = {
     "window_acf_lags": _acf_sql(),
     "quality_freshness_sla": _FRESHNESS_SQL,
     "window_peak_concurrency": _PEAK_SQL,
+    "agg_touch_attribution": _ATTR_SQL,
     "agg_hist2d_joint": _HIST2D_SQL,
     "agg_cohort_ltv_curve": _LTV_SQL,
     "window_cusum_changepoint": _CUSUM_SQL,

@@ -448,3 +448,21 @@ def test_lsh_recall_eval_consistent(spark, sf_dir):
     assert 0 < row["n_recalled"] <= row["n_true_pairs"]
     assert row["n_recalled"] <= row["n_candidates"]
     assert row["recall"] >= 0.5  # 4 bands x 4 rows at tau=0.5
+
+
+def test_attribution_consistent(spark, sf_dir):
+    """Attributed counts never exceed purchase counts; 24h-credited ≤
+    ever-touched; total purchases match a direct count."""
+    from parquet_batch_spark.operators.stats_ops import agg_touch_attribution
+
+    rows = agg_touch_attribution(spark, sf_dir).collect()
+    assert rows
+    ev = load(spark, sf_dir, "events")
+    n_purch = ev.where(F.col("event_type") == "purchase").count()
+    assert sum(r["n_purchases"] for r in rows) == n_purch
+    for r in rows:
+        assert 0 <= r["n_last_touch_24h"] <= r["n_first_touch_ever"] <= r["n_purchases"]
+        if r["n_last_touch_24h"] > 0:
+            assert 0 <= r["mean_gap_s"] <= 86_400
+        else:
+            assert r["mean_gap_s"] is None
