@@ -232,6 +232,7 @@ _PRIORITY = [
     "window_peak_concurrency",
     "dedup_lsh_recall_eval",
     "agg_touch_attribution",
+    "agg_rfm_segmentation",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

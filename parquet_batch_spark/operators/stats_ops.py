@@ -1900,6 +1900,120 @@ ORDER BY day_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# agg_rfm_segmentation — recency/frequency/monetary customer segments
+# ---------------------------------------------------------------------------
+
+RFM_ASOF = "2001-09-01"  # scoring date (just past the order horizon)
+# Fixed scoring thresholds (deterministic, engine-independent — quantile
+# thresholds would couple the segmentation to a percentile
+# implementation and make scores drift as data arrives):
+RFM_R_DAYS = (180, 365, 730)  # recency: ≤6mo, ≤1y, ≤2y, else
+RFM_F_ORDERS = (12, 9, 6)  # frequency: ≥12, ≥9, ≥6, else
+RFM_M_DOLLARS = (2_000_000, 1_500_000, 1_000_000)  # lifetime value
+
+
+def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored 1–4 on Recency (days
+    since last order), Frequency (order count), and Monetary
+    (whole-dollar lifetime value), rolled up to segment sizes and
+    revenue share — the standard customer-base health matrix.
+
+    Scores use FIXED thresholds (see constants) so the segmentation is
+    stable run-to-run and engine-identical; monetary sums are exact
+    int64 whole-dollars; revenue share is an exact-ratio 6dp round.
+
+    Scale: one customer-grain reduction carries all the data cost; the
+    scoring is map-side arithmetic on the reduced table and the
+    segment rollup is a ≤64-row aggregate.
+    """
+    o = load(spark, sf_dir, "orders")
+    asof = F.lit(RFM_ASOF).cast("date")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.datediff(asof, F.max(F.col("o_orderdate").cast("date"))).cast("long").alias(
+            "r_days"
+        ),
+        F.count(F.lit(1)).alias("f_orders"),
+        F.sum(F.floor("o_totalprice").cast("long")).alias("m_dollars"),
+    )
+    r_score = (
+        F.when(F.col("r_days") <= RFM_R_DAYS[0], 4)
+        .when(F.col("r_days") <= RFM_R_DAYS[1], 3)
+        .when(F.col("r_days") <= RFM_R_DAYS[2], 2)
+        .otherwise(1)
+    )
+    f_score = (
+        F.when(F.col("f_orders") >= RFM_F_ORDERS[0], 4)
+        .when(F.col("f_orders") >= RFM_F_ORDERS[1], 3)
+        .when(F.col("f_orders") >= RFM_F_ORDERS[2], 2)
+        .otherwise(1)
+    )
+    m_score = (
+        F.when(F.col("m_dollars") >= RFM_M_DOLLARS[0], 4)
+        .when(F.col("m_dollars") >= RFM_M_DOLLARS[1], 3)
+        .when(F.col("m_dollars") >= RFM_M_DOLLARS[2], 2)
+        .otherwise(1)
+    )
+    scored = per_cust.select(
+        r_score.cast("long").alias("r"),
+        f_score.cast("long").alias("f"),
+        m_score.cast("long").alias("m"),
+        "m_dollars",
+    )
+    tot = Window.partitionBy()
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("m_dollars").alias("segment_dollars"),
+        )
+        .select(
+            "r",
+            "f",
+            "m",
+            "n_customers",
+            "segment_dollars",
+            F.round(
+                F.col("segment_dollars").cast("double")
+                / F.sum("segment_dollars").over(tot).cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("r", "f", "m")
+    )
+
+
+_RFM_SQL = f"""
+WITH per_cust AS (
+    SELECT o_custkey,
+           CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)), DATE '{RFM_ASOF}') AS BIGINT) AS r_days,
+           COUNT(*) AS f_orders,
+           SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS m_dollars
+    FROM orders GROUP BY o_custkey
+),
+scored AS (
+    SELECT CAST(CASE WHEN r_days <= {RFM_R_DAYS[0]} THEN 4
+                     WHEN r_days <= {RFM_R_DAYS[1]} THEN 3
+                     WHEN r_days <= {RFM_R_DAYS[2]} THEN 2 ELSE 1 END AS BIGINT) AS r,
+           CAST(CASE WHEN f_orders >= {RFM_F_ORDERS[0]} THEN 4
+                     WHEN f_orders >= {RFM_F_ORDERS[1]} THEN 3
+                     WHEN f_orders >= {RFM_F_ORDERS[2]} THEN 2 ELSE 1 END AS BIGINT) AS f,
+           CAST(CASE WHEN m_dollars >= {RFM_M_DOLLARS[0]} THEN 4
+                     WHEN m_dollars >= {RFM_M_DOLLARS[1]} THEN 3
+                     WHEN m_dollars >= {RFM_M_DOLLARS[2]} THEN 2 ELSE 1 END AS BIGINT) AS m,
+           m_dollars
+    FROM per_cust
+)
+SELECT r, f, m, COUNT(*) AS n_customers,
+       CAST(SUM(m_dollars) AS BIGINT) AS segment_dollars,
+       ROUND(CAST(SUM(m_dollars) AS DOUBLE)
+             / CAST(SUM(SUM(m_dollars)) OVER () AS DOUBLE), 6) AS revenue_share
+FROM scored
+GROUP BY r, f, m
+ORDER BY r, f, m
+"""
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -1913,6 +2027,7 @@ QUERIES = {
     "quality_freshness_sla": quality_freshness_sla,
     "window_peak_concurrency": window_peak_concurrency,
     "agg_touch_attribution": agg_touch_attribution,
+    "agg_rfm_segmentation": agg_rfm_segmentation,
     "agg_hist2d_joint": agg_hist2d_joint,
     "agg_cohort_ltv_curve": agg_cohort_ltv_curve,
     "window_cusum_changepoint": window_cusum_changepoint,
@@ -1931,6 +2046,7 @@ ORACLES = {
     "quality_freshness_sla": _FRESHNESS_SQL,
     "window_peak_concurrency": _PEAK_SQL,
     "agg_touch_attribution": _ATTR_SQL,
+    "agg_rfm_segmentation": _RFM_SQL,
     "agg_hist2d_joint": _HIST2D_SQL,
     "agg_cohort_ltv_curve": _LTV_SQL,
     "window_cusum_changepoint": _CUSUM_SQL,

@@ -466,3 +466,17 @@ def test_attribution_consistent(spark, sf_dir):
             assert 0 <= r["mean_gap_s"] <= 86_400
         else:
             assert r["mean_gap_s"] is None
+
+
+def test_rfm_mass_and_shares(spark, sf_dir):
+    """Segment sizes sum to the customer count; revenue shares sum to
+    1; all scores within 1..4; non-trivial segmentation (>5 cells)."""
+    from parquet_batch_spark.operators.stats_ops import agg_rfm_segmentation
+
+    rows = agg_rfm_segmentation(spark, sf_dir).collect()
+    n_cust = load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    assert math.isclose(sum(r["revenue_share"] for r in rows), 1.0, abs_tol=1e-3)
+    assert len(rows) > 5
+    for r in rows:
+        assert 1 <= r["r"] <= 4 and 1 <= r["f"] <= 4 and 1 <= r["m"] <= 4
