@@ -986,8 +986,87 @@ SELECT
 """
 
 
+PIT_SWITCH = "1998-01-01"  # every 7th customer re-versions here
+
+
+def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) join against a type-2 versioned dimension:
+    each order resolves the customer attribute version that was valid
+    ON ITS ORDER DATE — the lookup every backtest / feature-store read
+    must get right (joining the CURRENT version leaks the future into
+    training data).
+
+    The versioned dim is built deterministically: every 7th customer
+    has version 1 until {PIT_SWITCH} and version 2 after; the rest have
+    one open version. The join is an EQUI-join on the customer key
+    with the validity range as a residual predicate — per-key fan-out
+    is bounded by the version count, so the shuffle behaves exactly
+    like a plain key join at 100 TB (never a range-only join).
+
+    Output: orders and exact-decimal revenue by matched (version,
+    is_current) — plus total match accounting the test pins to prove
+    the PIT invariant (exactly one version per order).
+    """
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    d0 = F.lit("1992-01-01").cast("date")
+    dswitch = F.lit(PIT_SWITCH).cast("date")
+    dinf = F.lit("2999-01-01").cast("date")
+    versioned = c.filter(F.col("c_custkey") % 7 == 0)
+    v1 = versioned.select(
+        "c_custkey", F.lit(1).alias("version"), d0.alias("vf"), dswitch.alias("vt"),
+        F.lit(False).alias("is_current"),
+    )
+    v2 = versioned.select(
+        "c_custkey", F.lit(2).alias("version"), dswitch.alias("vf"), dinf.alias("vt"),
+        F.lit(True).alias("is_current"),
+    )
+    single = c.filter(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey", F.lit(1).alias("version"), d0.alias("vf"), dinf.alias("vt"),
+        F.lit(True).alias("is_current"),
+    )
+    dim = v1.unionAll(v2).unionAll(single)
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("od"), "o_totalprice"
+    )
+    matched = o.join(
+        dim,
+        (o.o_custkey == dim.c_custkey) & (F.col("od") >= F.col("vf")) & (F.col("od") < F.col("vt")),
+    )
+    return (
+        matched.groupBy("version", "is_current")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+        )
+        .orderBy("version", "is_current")
+    )
+
+
+_PIT_SQL = f"""
+WITH dim AS (
+    SELECT c_custkey, 1 AS version, DATE '1992-01-01' AS vf, DATE '{PIT_SWITCH}' AS vt, FALSE AS is_current
+    FROM customer WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT c_custkey, 2, DATE '{PIT_SWITCH}', DATE '2999-01-01', TRUE
+    FROM customer WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT c_custkey, 1, DATE '1992-01-01', DATE '2999-01-01', TRUE
+    FROM customer WHERE c_custkey % 7 <> 0
+)
+SELECT version, is_current, COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice")} AS revenue
+FROM orders
+JOIN dim ON o_custkey = c_custkey
+        AND CAST(o_orderdate AS DATE) >= vf
+        AND CAST(o_orderdate AS DATE) < vt
+GROUP BY version, is_current
+ORDER BY version, is_current
+"""
+
+
 QUERIES = {
     "join_null_aware_anti": join_null_aware_anti,
+    "join_point_in_time_scd2": join_point_in_time_scd2,
     "join_nearest_price": join_nearest_price,
     "join_spatial_grid_radius": join_spatial_grid_radius,
     "join_interval_bucketed": join_interval_bucketed,
@@ -1008,6 +1087,7 @@ QUERIES = {
 
 ORACLES = {
     "join_null_aware_anti": _NULL_AWARE_ANTI_SQL,
+    "join_point_in_time_scd2": _PIT_SQL,
     "join_nearest_price": _NEAREST_SQL,
     "join_spatial_grid_radius": _SPATIAL_SQL,
     "join_interval_bucketed": _JOIN_INTERVAL_SQL,

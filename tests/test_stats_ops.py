@@ -480,3 +480,16 @@ def test_rfm_mass_and_shares(spark, sf_dir):
     assert len(rows) > 5
     for r in rows:
         assert 1 <= r["r"] <= 4 and 1 <= r["f"] <= 4 and 1 <= r["m"] <= 4
+
+
+def test_pit_join_exactly_one_version_per_order(spark, sf_dir):
+    """The PIT invariant: total matched orders equals the order count
+    (every order resolves exactly one dimension version); versioned
+    customers split across versions at the switch date."""
+    from parquet_batch_spark.operators.joins import join_point_in_time_scd2
+
+    rows = join_point_in_time_scd2(spark, sf_dir).collect()
+    n_orders = load(spark, sf_dir, "orders").count()
+    assert sum(r["n_orders"] for r in rows) == n_orders
+    versions = {(r["version"], r["is_current"]) for r in rows}
+    assert (1, False) in versions and (2, True) in versions and (1, True) in versions
