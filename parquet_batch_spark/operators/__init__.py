@@ -234,6 +234,7 @@ _PRIORITY = [
     "agg_touch_attribution",
     "agg_rfm_segmentation",
     "join_point_in_time_scd2",
+    "streaming_windowed_topk",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

@@ -554,7 +554,74 @@ ORDER BY k
 """
 
 
+def streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leader per event-time window: the event type with the highest
+    exact value sum in each 1-hour tumbling window. Ranking window
+    functions are unsupported ON a streaming DataFrame, so this uses
+    the standard two-stage pattern every streaming leaderboard ships:
+    the STREAM maintains the (window × key) aggregate state (bounded
+    by the watermark), and the rank-and-keep-1 step runs on the drained
+    sink output — exactly what a foreachBatch sink would do per
+    micro-batch at deployment.
+
+    Deterministic tie-break: higher sum, then lexicographic type.
+    """
+    from pyspark.sql import Window as W
+
+    ev = _event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("decimal(18,4)").alias("sum_dec"),
+        )
+    )
+    out = _drain(agg, spark, mode="complete")
+    ranked = out.select(
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("window_start").orderBy(
+                F.desc("sum_value"), F.asc("event_type")
+            )
+        ),
+    )
+    return (
+        ranked.where(F.col("rn") == 1)
+        .select("window_start", F.col("event_type").alias("top_type"), "n_events", "sum_value")
+        .orderBy("window_start")
+    )
+
+
+_STREAMING_TOPK_SQL = """
+WITH agg AS (
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_dec
+    FROM events
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT window_start, event_type, n_events, sum_dec,
+           ROW_NUMBER() OVER (PARTITION BY window_start
+                              ORDER BY sum_dec DESC, event_type ASC) AS rn
+    FROM agg
+)
+SELECT window_start, event_type AS top_type, n_events,
+       CAST(sum_dec AS DOUBLE) AS sum_value
+FROM ranked WHERE rn = 1
+ORDER BY window_start
+"""
+
+
 QUERIES = {
+    "streaming_windowed_topk": streaming_windowed_topk,
     "streaming_python_source": streaming_python_source,
     "streaming_stream_stream_join": streaming_stream_stream_join,
     "streaming_foreach_batch_merge": streaming_foreach_batch_merge,
@@ -567,6 +634,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_windowed_topk": _STREAMING_TOPK_SQL,
     "streaming_python_source": _STREAMING_PY_SOURCE_SQL,
     "streaming_stream_stream_join": _STREAMING_SS_JOIN_SQL,
     "streaming_foreach_batch_merge": _STREAMING_FOREACH_BATCH_SQL,

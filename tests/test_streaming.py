@@ -171,3 +171,34 @@ def test_foreach_batch_incremental_sink(spark, tmp_path):
         for r in load(spark, SF_DIR, "events").groupBy("event_type").count().collect()
     }
     assert got == exp
+
+
+def test_streaming_topk_one_leader_per_window(spark, sf_dir):
+    """Exactly one leader per window; the leader's sum is the maximum
+    over the batch-computed per-type sums for that window."""
+    from pyspark.sql import functions as F
+
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.functions.numeric import dec
+    from parquet_batch_spark.streaming.windows import streaming_windowed_topk
+
+    rows = streaming_windowed_topk(spark, sf_dir).collect()
+    starts = [r["window_start"] for r in rows]
+    assert len(starts) == len(set(starts))
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.sum(dec("value")).cast("double").alias("s"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("ws"), "event_type", "s")
+        .collect()
+    )
+    best: dict = {}
+    for b in batch:
+        cur = best.get(b["ws"])
+        if cur is None or b["s"] > cur[1] or (b["s"] == cur[1] and b["event_type"] < cur[0]):
+            best[b["ws"]] = (b["event_type"], b["s"])
+    for r in rows:
+        t, s = best[r["window_start"]]
+        assert r["top_type"] == t and abs(r["sum_value"] - s) < 1e-6
