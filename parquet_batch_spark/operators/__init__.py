@@ -235,6 +235,9 @@ _PRIORITY = [
     "agg_rfm_segmentation",
     "join_point_in_time_scd2",
     "streaming_windowed_topk",
+    "window_order_gap_distribution",
+    "text_ngram_coverage_curve",
+    "sample_importance_weights",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

@@ -2014,6 +2014,233 @@ ORDER BY r, f, m
 """
 
 
+# ---------------------------------------------------------------------------
+# window_order_gap_distribution — inter-purchase interval histogram
+# ---------------------------------------------------------------------------
+
+GAP_EDGES = (7, 30, 90, 180, 365)  # bucket upper bounds in days
+
+
+def window_order_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of days between consecutive orders per customer —
+    the inter-purchase-interval histogram behind replenishment and
+    churn-risk models.
+
+    Gaps come from one lag window over (date, orderkey) per customer;
+    fixed bucket edges {GAP_EDGES} keep the histogram deterministic.
+    Counts are exact; shares are 6dp integer ratios.
+
+    Scale: one customer-partition window, then a ≤{len(GAP_EDGES) + 1}-row
+    aggregate. The shuffle carries (custkey, date, key) only.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date"), "o_orderkey"
+    )
+    gaps = (
+        o.select(
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate").cast("date")).over(w),
+            ).alias("gap_days"),
+        )
+        .where(F.col("gap_days").isNotNull())
+    )
+    bucket = (
+        F.when(F.col("gap_days") <= GAP_EDGES[0], 0)
+        .when(F.col("gap_days") <= GAP_EDGES[1], 1)
+        .when(F.col("gap_days") <= GAP_EDGES[2], 2)
+        .when(F.col("gap_days") <= GAP_EDGES[3], 3)
+        .when(F.col("gap_days") <= GAP_EDGES[4], 4)
+        .otherwise(5)
+    )
+    tot = Window.partitionBy()
+    return (
+        gaps.select(bucket.cast("long").alias("bucket_id"))
+        .groupBy("bucket_id")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+        .select(
+            "bucket_id",
+            "n_gaps",
+            F.round(
+                F.col("n_gaps").cast("double") / F.sum("n_gaps").over(tot).cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("bucket_id")
+    )
+
+
+_GAP_SQL = f"""
+WITH gaps AS (
+    SELECT date_diff('day',
+               LAG(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+                   ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+               CAST(o_orderdate AS DATE)) AS gap_days
+    FROM orders
+),
+bucketed AS (
+    SELECT CAST(CASE WHEN gap_days <= {GAP_EDGES[0]} THEN 0
+                     WHEN gap_days <= {GAP_EDGES[1]} THEN 1
+                     WHEN gap_days <= {GAP_EDGES[2]} THEN 2
+                     WHEN gap_days <= {GAP_EDGES[3]} THEN 3
+                     WHEN gap_days <= {GAP_EDGES[4]} THEN 4
+                     ELSE 5 END AS BIGINT) AS bucket_id
+    FROM gaps WHERE gap_days IS NOT NULL
+)
+SELECT bucket_id, COUNT(*) AS n_gaps,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS share
+FROM bucketed
+GROUP BY bucket_id
+ORDER BY bucket_id
+"""
+
+# ---------------------------------------------------------------------------
+# text_ngram_coverage_curve — cumulative token coverage of the top vocab
+# ---------------------------------------------------------------------------
+
+COVERAGE_CHECKPOINTS = (1, 2, 4, 8, 16, 32, 64, 128)
+
+
+def text_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative corpus coverage of the top-k vocabulary: what
+    fraction of all token occurrences the k most frequent tokens
+    cover, at power-of-two checkpoints — the curve that sizes a
+    tokenizer vocabulary (where it flattens, bigger vocab buys
+    nothing).
+
+    Ranks are total (freq DESC, token ASC); cumulative counts are
+    exact int64 window sums over the REDUCED vocabulary table; shares
+    are 6dp ratios.
+    """
+    d = load(spark, sf_dir, "documents")
+    freqs = (
+        d.select(F.explode(tokens_col("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    rank_w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    cum_w = rank_w.rowsBetween(Window.unboundedPreceding, 0)
+    tot_w = Window.partitionBy()
+    ranked = freqs.select(
+        F.row_number().over(rank_w).cast("long").alias("rank"),
+        F.sum("freq").over(cum_w).alias("cum_tokens"),
+        F.sum("freq").over(tot_w).alias("total_tokens"),
+    )
+    return (
+        ranked.where(F.col("rank").isin(*COVERAGE_CHECKPOINTS))
+        .select(
+            "rank",
+            "cum_tokens",
+            F.round(
+                F.col("cum_tokens").cast("double") / F.col("total_tokens").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("rank")
+    )
+
+
+_COVERAGE_SQL = f"""
+WITH freqs AS (
+    SELECT token, COUNT(*) AS freq
+    FROM (SELECT UNNEST({sql_tokens("text")}) AS token FROM documents)
+    GROUP BY token
+),
+ranked AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS BIGINT) AS rank,
+           SUM(freq) OVER (ORDER BY freq DESC, token ASC ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+           SUM(freq) OVER () AS total_tokens
+    FROM freqs
+)
+SELECT rank, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       ROUND(CAST(cum_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6) AS coverage
+FROM ranked
+WHERE rank IN {COVERAGE_CHECKPOINTS}
+ORDER BY rank
+"""
+
+# ---------------------------------------------------------------------------
+# sample_importance_weights — mixture reweighting with effective sample size
+# ---------------------------------------------------------------------------
+
+IW_CAP = 10.0  # weight clip — standard variance-control practice
+
+
+def sample_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance weights that reshape the corpus language mix toward
+    UNIFORM, with the effective-sample-size diagnostic: w_l =
+    target_share / actual_share (clipped at {IW_CAP}), and
+    ESS = (Σw)²/Σw² over documents — the number that says how much
+    statistical power survives the reweighting (ESS « N means the
+    target mixture is too far from the data).
+
+    Weights are 6dp-rounded ratios of exact counts; the ESS moment
+    sums are exact decimal products of those rounded weights with
+    integer counts, so both engines agree bit-for-bit.
+
+    Scale: one (lang) count; everything else is arithmetic on the
+    reduced table. The per-doc weight column at train time is a
+    broadcast-join of this ≤|langs|-row table.
+    """
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = Window.partitionBy()
+    n_langs = F.count(F.lit(1)).over(tot)
+    total = F.sum("n_docs").over(tot)
+    actual = F.col("n_docs").cast("double") / total.cast("double")
+    target = F.lit(1.0) / n_langs.cast("double")
+    w = F.round(F.least(F.lit(IW_CAP), target / actual), 6)
+    weighted = counts.select(
+        "lang",
+        "n_docs",
+        F.round(actual, 6).alias("actual_share"),
+        w.alias("weight"),
+    )
+    wd = F.col("weight").cast("decimal(18,6)")
+    sums = weighted.select(
+        "lang",
+        "n_docs",
+        "actual_share",
+        "weight",
+        F.sum(wd * F.col("n_docs")).over(tot).cast("decimal(28,6)").alias("sw"),
+        F.sum(wd * wd * F.col("n_docs")).over(tot).cast("decimal(28,12)").alias("sww"),
+    )
+    ess = F.round(
+        F.col("sw").cast("double") * F.col("sw").cast("double")
+        / F.col("sww").cast("double"),
+        6,
+    )
+    return sums.select(
+        "lang", "n_docs", "actual_share", "weight", ess.alias("ess_overall")
+    ).orderBy("lang")
+
+
+_IW_SQL = f"""
+WITH counts AS (
+    SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+),
+weighted AS (
+    SELECT lang, n_docs,
+           ROUND(CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE), 6) AS actual_share,
+           ROUND(LEAST({IW_CAP}, (1.0 / CAST(COUNT(*) OVER () AS DOUBLE))
+                 / (CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE))), 6) AS weight
+    FROM counts
+),
+sums AS (
+    SELECT lang, n_docs, actual_share, weight,
+           CAST(SUM(CAST(weight AS DECIMAL(18,6)) * n_docs) OVER () AS DECIMAL(28,6)) AS sw,
+           CAST(SUM(CAST(weight AS DECIMAL(18,6)) * CAST(weight AS DECIMAL(18,6)) * n_docs) OVER () AS DECIMAL(28,12)) AS sww
+    FROM weighted
+)
+SELECT lang, n_docs, actual_share, weight,
+       ROUND(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sww AS DOUBLE), 6) AS ess_overall
+FROM sums
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -2028,6 +2255,9 @@ QUERIES = {
     "window_peak_concurrency": window_peak_concurrency,
     "agg_touch_attribution": agg_touch_attribution,
     "agg_rfm_segmentation": agg_rfm_segmentation,
+    "window_order_gap_distribution": window_order_gap_distribution,
+    "text_ngram_coverage_curve": text_ngram_coverage_curve,
+    "sample_importance_weights": sample_importance_weights,
     "agg_hist2d_joint": agg_hist2d_joint,
     "agg_cohort_ltv_curve": agg_cohort_ltv_curve,
     "window_cusum_changepoint": window_cusum_changepoint,
@@ -2047,6 +2277,9 @@ ORACLES = {
     "window_peak_concurrency": _PEAK_SQL,
     "agg_touch_attribution": _ATTR_SQL,
     "agg_rfm_segmentation": _RFM_SQL,
+    "window_order_gap_distribution": _GAP_SQL,
+    "text_ngram_coverage_curve": _COVERAGE_SQL,
+    "sample_importance_weights": _IW_SQL,
     "agg_hist2d_joint": _HIST2D_SQL,
     "agg_cohort_ltv_curve": _LTV_SQL,
     "window_cusum_changepoint": _CUSUM_SQL,

@@ -493,3 +493,42 @@ def test_pit_join_exactly_one_version_per_order(spark, sf_dir):
     assert sum(r["n_orders"] for r in rows) == n_orders
     versions = {(r["version"], r["is_current"]) for r in rows}
     assert (1, False) in versions and (2, True) in versions and (1, True) in versions
+
+
+def test_gap_distribution_mass(spark, sf_dir):
+    """Gap count equals orders minus customers; shares sum to 1."""
+    from parquet_batch_spark.operators.stats_ops import window_order_gap_distribution
+
+    rows = window_order_gap_distribution(spark, sf_dir).collect()
+    o = load(spark, sf_dir, "orders")
+    n_orders = o.count()
+    n_cust = o.select("o_custkey").distinct().count()
+    assert sum(r["n_gaps"] for r in rows) == n_orders - n_cust
+    assert math.isclose(sum(r["share"] for r in rows), 1.0, abs_tol=1e-3)
+
+
+def test_coverage_curve_monotone(spark, sf_dir):
+    """Coverage is strictly increasing in rank and ends ≤ 1; the last
+    checkpoint at or beyond the vocab size covers everything."""
+    from parquet_batch_spark.operators.stats_ops import text_ngram_coverage_curve
+
+    rows = text_ngram_coverage_curve(spark, sf_dir).collect()
+    assert rows
+    last = 0.0
+    for r in rows:
+        assert last < r["coverage"] <= 1.0 + 1e-9
+        last = r["coverage"]
+
+
+def test_importance_weights_ess(spark, sf_dir):
+    """Weights are positive and capped; ESS ≤ N and equal across rows;
+    a uniform corpus would give weight 1 everywhere."""
+    from parquet_batch_spark.operators.stats_ops import IW_CAP, sample_importance_weights
+
+    rows = sample_importance_weights(spark, sf_dir).collect()
+    n = load(spark, sf_dir, "documents").count()
+    ess = rows[0]["ess_overall"]
+    for r in rows:
+        assert 0 < r["weight"] <= IW_CAP
+        assert r["ess_overall"] == ess
+    assert 0 < ess <= n + 1e-6
