@@ -238,6 +238,7 @@ _PRIORITY = [
     "window_order_gap_distribution",
     "text_ngram_coverage_curve",
     "sample_importance_weights",
+    "embedding_pca_power_iteration",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

@@ -2241,6 +2241,97 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# embedding_pca_power_iteration — top principal direction, matrix-free
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 2
+PCA_DIMS = 64
+
+
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus by
+    matrix-free power iteration: v ← normalize(Xᵀ(Xv)), {PCA_ITERS}
+    rounds — "run PCA on 100 TB of embeddings" without ever
+    materializing the covariance matrix. Each round is two
+    aggregations: a per-row dot product y=Xv (JVM ``zip_with`` over
+    the quantized vector), then per-dimension sums Xᵀy via posexplode.
+    Only the 64-dim direction vector returns to the driver per round —
+    the same bounded driver-scalar pattern as dedup_clusters / BPE.
+
+    Cross-engine identity: embeddings quantize to integer micro-units,
+    the direction to integer milli-units after each round, and the
+    row dot products to floor-millionths before the transpose pass —
+    every aggregation is an exact int64 sum, and the oracle unrolls
+    the identical iterations in SQL. (Uncentered PCA — the dominant
+    direction of the raw second moment; centering is one more
+    subtraction pass if needed.)
+
+    Output: (dim, loading_milli) for all {PCA_DIMS} dimensions.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    xq = F.transform("embedding", lambda x: F.round(x * 1000000).cast("long"))
+    rows = emb.select(xq.alias("xq"))
+    rows.cache()
+    v = [1000] * PCA_DIMS
+    for _ in range(PCA_ITERS):
+        varr = F.array(*[F.lit(int(c)).cast("long") for c in v])
+        y = F.aggregate(
+            F.zip_with("xq", varr, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        yq = F.floor(y / F.lit(1000000.0)).cast("long")
+        u_rows = (
+            rows.select(yq.alias("yq"), F.posexplode("xq").alias("d", "xv"))
+            .groupBy("d")
+            .agg(F.sum(F.col("yq") * F.col("xv")).alias("u"))
+            .orderBy("d")
+            .collect()
+        )
+        u = [r["u"] for r in u_rows]
+        m = max(abs(c) for c in u) or 1
+        v = [int(round(1000.0 * c / m)) for c in u]
+    out = spark.createDataFrame(
+        [(d + 1, int(v[d])) for d in range(PCA_DIMS)], "dim long, loading_milli long"
+    )
+    return out.orderBy("dim")
+
+
+def _pca_sql() -> str:
+    parts = [
+        """xrows AS (
+    SELECT list_transform(embedding, x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS xq
+    FROM embeddings
+)""",
+        f"""v0 AS (
+    SELECT d, CAST(1000 AS BIGINT) AS v
+    FROM (SELECT UNNEST(range(1, {PCA_DIMS + 1})) AS d)
+)""",
+    ]
+    for k in range(1, PCA_ITERS + 1):
+        parts.append(f"""y{k} AS (
+    SELECT xq,
+           CAST(FLOOR(CAST((SELECT SUM(xq[v.d] * v.v) FROM v{k - 1} v) AS DOUBLE)
+                / 1000000.0) AS BIGINT) AS yq
+    FROM xrows
+)""")
+        parts.append(f"""u{k} AS (
+    SELECT r.d, SUM(y.yq * y.xq[r.d]) AS u
+    FROM y{k} y, (SELECT UNNEST(range(1, {PCA_DIMS + 1})) AS d) r
+    GROUP BY r.d
+)""")
+        parts.append(f"""v{k} AS (
+    SELECT d, CAST(ROUND(1000.0 * u / GREATEST((SELECT MAX(ABS(u)) FROM u{k}), 1)) AS BIGINT) AS v
+    FROM u{k}
+)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT d AS dim, v AS loading_milli FROM v{PCA_ITERS} ORDER BY dim"
+    )
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -2258,6 +2349,7 @@ QUERIES = {
     "window_order_gap_distribution": window_order_gap_distribution,
     "text_ngram_coverage_curve": text_ngram_coverage_curve,
     "sample_importance_weights": sample_importance_weights,
+    "embedding_pca_power_iteration": embedding_pca_power_iteration,
     "agg_hist2d_joint": agg_hist2d_joint,
     "agg_cohort_ltv_curve": agg_cohort_ltv_curve,
     "window_cusum_changepoint": window_cusum_changepoint,
@@ -2280,6 +2372,7 @@ ORACLES = {
     "window_order_gap_distribution": _GAP_SQL,
     "text_ngram_coverage_curve": _COVERAGE_SQL,
     "sample_importance_weights": _IW_SQL,
+    "embedding_pca_power_iteration": _pca_sql(),
     "agg_hist2d_joint": _HIST2D_SQL,
     "agg_cohort_ltv_curve": _LTV_SQL,
     "window_cusum_changepoint": _CUSUM_SQL,

@@ -532,3 +532,31 @@ def test_importance_weights_ess(spark, sf_dir):
         assert 0 < r["weight"] <= IW_CAP
         assert r["ess_overall"] == ess
     assert 0 < ess <= n + 1e-6
+
+
+def test_pca_power_iteration_matches_numpy_replica(spark, sf_dir):
+    """The distributed quantized power iteration equals an exact numpy
+    replica of the same integer arithmetic, and the output direction
+    is milli-normalized (max |loading| = 1000)."""
+    from parquet_batch_spark.operators.stats_ops import (
+        PCA_DIMS,
+        PCA_ITERS,
+        embedding_pca_power_iteration,
+    )
+
+    rows = embedding_pca_power_iteration(spark, sf_dir).collect()
+    assert len(rows) == PCA_DIMS
+    got = [r["loading_milli"] for r in sorted(rows, key=lambda r: r["dim"])]
+    assert max(abs(c) for c in got) == 1000
+    emb = load(spark, sf_dir, "embeddings").select("embedding").collect()
+    X = np.array(
+        [[int(round(x * 1000000)) for x in r["embedding"]] for r in emb], dtype=object
+    )
+    v = np.array([1000] * PCA_DIMS, dtype=object)
+    for _ in range(PCA_ITERS):
+        y = X @ v
+        yq = np.array([int(math.floor(float(t) / 1000000.0)) for t in y], dtype=object)
+        u = X.T @ yq
+        m = max(int(abs(c)) for c in u) or 1
+        v = np.array([int(round(1000.0 * int(c) / m)) for c in u], dtype=object)
+    assert got == [int(c) for c in v]
