@@ -239,6 +239,9 @@ _PRIORITY = [
     "text_ngram_coverage_curve",
     "sample_importance_weights",
     "embedding_pca_power_iteration",
+    "agg_seasonality_index",
+    "agg_weekday_hour_heatmap",
+    "agg_price_elasticity",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

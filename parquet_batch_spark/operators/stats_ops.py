@@ -2332,6 +2332,191 @@ def _pca_sql() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# agg_seasonality_index — month-of-year revenue seasonality
+# ---------------------------------------------------------------------------
+
+
+def agg_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonality index: each calendar month's average
+    daily revenue relative to the overall daily average (index 1.0 =
+    neutral) — the multiplicative factor a demand forecast applies
+    before trend.
+
+    Revenue is exact whole-dollar int64; day counts are exact
+    (distinct order dates per month-of-year); the index is a ratio of
+    two exact-ratio doubles rounded to 6dp.
+
+    Scale: one (month, day)-grain reduction, then a 12-row rollup.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.month("o_orderdate").cast("long").alias("moy"),
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.floor("o_totalprice").cast("long").alias("yd"),
+        )
+        .groupBy("moy", "day")
+        .agg(F.sum("yd").alias("rev"))
+    )
+    per_month = daily.groupBy("moy").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("rev").alias("rev"),
+    )
+    tot = Window.partitionBy()
+    month_avg = F.col("rev").cast("double") / F.col("n_days").cast("double")
+    overall_avg = F.sum("rev").over(tot).cast("double") / F.sum("n_days").over(
+        tot
+    ).cast("double")
+    return per_month.select(
+        "moy",
+        "n_days",
+        F.col("rev").alias("revenue_usd"),
+        F.round(month_avg / overall_avg, 6).alias("seasonality_index"),
+    ).orderBy("moy")
+
+
+_SEASON_SQL = """
+WITH daily AS (
+    SELECT CAST(MONTH(o_orderdate) AS BIGINT) AS moy,
+           CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS rev
+    FROM orders GROUP BY 1, 2
+),
+per_month AS (
+    SELECT moy, COUNT(*) AS n_days, CAST(SUM(rev) AS BIGINT) AS rev
+    FROM daily GROUP BY moy
+)
+SELECT moy, n_days, rev AS revenue_usd,
+       ROUND((CAST(rev AS DOUBLE) / CAST(n_days AS DOUBLE))
+             / (CAST(SUM(rev) OVER () AS DOUBLE) / CAST(SUM(n_days) OVER () AS DOUBLE)),
+             6) AS seasonality_index
+FROM per_month
+ORDER BY moy
+"""
+
+# ---------------------------------------------------------------------------
+# agg_weekday_hour_heatmap — activity heatmap with engine-free DOW
+# ---------------------------------------------------------------------------
+
+
+def agg_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-activity heatmap by (weekday, hour) with traffic shares —
+    the load-pattern view capacity planning and anomaly baselines both
+    start from.
+
+    Weekday comes from integer epoch-day arithmetic ((days+4) % 7,
+    0=Sunday) — NEVER from the engines' dayofweek() builtins, whose
+    0-vs-1-based Sunday conventions differ between Spark and DuckDB;
+    pinning the formula makes the bucketing engine-independent by
+    construction.
+
+    Scale: one map-side-combined count to a ≤168-cell grid.
+    """
+    ev = load(spark, sf_dir, "events")
+    sec = F.floor(F.unix_timestamp("ts")).cast("long")
+    dow = (F.floor(sec / 86400) + 4) % 7
+    hour = F.floor((sec % 86400) / 3600)
+    tot = Window.partitionBy()
+    return (
+        ev.select(dow.cast("long").alias("dow"), hour.cast("long").alias("hour"))
+        .groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "dow",
+            "hour",
+            "n_events",
+            F.round(
+                F.col("n_events").cast("double")
+                / F.sum("n_events").over(tot).cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+_HEATMAP_SQL = """
+WITH cells AS (
+    SELECT CAST((FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 86400) + 4) % 7 AS BIGINT) AS dow,
+           CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT) % 86400) / 3600) AS BIGINT) AS hour,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT dow, hour, n_events,
+       ROUND(CAST(n_events AS DOUBLE) / CAST(SUM(n_events) OVER () AS DOUBLE), 6) AS share
+FROM cells
+ORDER BY dow, hour
+"""
+
+# ---------------------------------------------------------------------------
+# agg_price_elasticity — log-log elasticity of quantity on price
+# ---------------------------------------------------------------------------
+
+
+def agg_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price elasticity of demand per part type: OLS slope of
+    log(quantity) on log(unit price) over lineitem joined to the part
+    dim — the classic log-log elasticity estimate (slope ≈ %Δqty per
+    %Δprice).
+
+    Unit price is the 6dp-rounded price/quantity ratio; both logs are
+    quantized to integer milli-units so the per-group moment sums are
+    exact int64 (same device as text_zipf_fit). The part dim join is
+    an explicit broadcast.
+
+    Scale: broadcast dim join (no fact shuffle), then a 5-scalar
+    moment reduce per part type.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    unit = F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)
+    x = F.round(F.log(unit) * 1000).cast("long")
+    y = F.round(F.log(F.col("l_quantity").cast("double")) * 1000).cast("long")
+    base = (
+        li.where(F.col("l_quantity") > 0)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("p_type", x.alias("x"), y.alias("y"))
+    )
+    m = base.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "p_type",
+        F.col("n").cast("long").alias("n_items"),
+        F.round(slope, 6).alias("elasticity"),
+    ).orderBy("p_type")
+
+
+_ELASTICITY_SQL = """
+WITH base AS (
+    SELECT p_type,
+           CAST(ROUND(LN(ROUND(l_extendedprice / l_quantity, 6)) * 1000) AS BIGINT) AS x,
+           CAST(ROUND(LN(CAST(l_quantity AS DOUBLE)) * 1000) AS BIGINT) AS y
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_quantity > 0
+),
+m AS (
+    SELECT p_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sxx
+    FROM base GROUP BY p_type
+)
+SELECT p_type, CAST(n AS BIGINT) AS n_items,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS elasticity
+FROM m
+ORDER BY p_type
+"""
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -2350,6 +2535,9 @@ QUERIES = {
     "text_ngram_coverage_curve": text_ngram_coverage_curve,
     "sample_importance_weights": sample_importance_weights,
     "embedding_pca_power_iteration": embedding_pca_power_iteration,
+    "agg_seasonality_index": agg_seasonality_index,
+    "agg_weekday_hour_heatmap": agg_weekday_hour_heatmap,
+    "agg_price_elasticity": agg_price_elasticity,
     "agg_hist2d_joint": agg_hist2d_joint,
     "agg_cohort_ltv_curve": agg_cohort_ltv_curve,
     "window_cusum_changepoint": window_cusum_changepoint,
@@ -2373,6 +2561,9 @@ ORACLES = {
     "text_ngram_coverage_curve": _COVERAGE_SQL,
     "sample_importance_weights": _IW_SQL,
     "embedding_pca_power_iteration": _pca_sql(),
+    "agg_seasonality_index": _SEASON_SQL,
+    "agg_weekday_hour_heatmap": _HEATMAP_SQL,
+    "agg_price_elasticity": _ELASTICITY_SQL,
     "agg_hist2d_joint": _HIST2D_SQL,
     "agg_cohort_ltv_curve": _LTV_SQL,
     "window_cusum_changepoint": _CUSUM_SQL,

@@ -560,3 +560,50 @@ def test_pca_power_iteration_matches_numpy_replica(spark, sf_dir):
         m = max(int(abs(c)) for c in u) or 1
         v = np.array([int(round(1000.0 * int(c) / m)) for c in u], dtype=object)
     assert got == [int(c) for c in v]
+
+
+def test_seasonality_index_weighted_mean_one(spark, sf_dir):
+    """Day-weighted mean of the indices is 1 (by construction); all 12
+    months present with positive revenue."""
+    from parquet_batch_spark.operators.stats_ops import agg_seasonality_index
+
+    rows = agg_seasonality_index(spark, sf_dir).collect()
+    assert [r["moy"] for r in rows] == list(range(1, 13))
+    total_days = sum(r["n_days"] for r in rows)
+    weighted = sum(r["seasonality_index"] * r["n_days"] for r in rows) / total_days
+    # the index is avg_month/avg_overall; weighting by revenue/idx days
+    # recovers ~1 up to rounding
+    assert abs(weighted - 1.0) < 0.05
+    assert all(r["revenue_usd"] > 0 for r in rows)
+
+
+def test_heatmap_cells_and_dow_formula(spark, sf_dir):
+    """Shares sum to 1; dow/hour in range; the epoch-arithmetic dow
+    matches python's weekday convention on a sample day."""
+    import datetime
+
+    from parquet_batch_spark.operators.stats_ops import agg_weekday_hour_heatmap
+
+    rows = agg_weekday_hour_heatmap(spark, sf_dir).collect()
+    assert math.isclose(sum(r["share"] for r in rows), 1.0, abs_tol=1e-3)
+    for r in rows:
+        assert 0 <= r["dow"] <= 6 and 0 <= r["hour"] <= 23
+    # 2024-01-01 was a Monday: epoch day 19723 -> (19723+4)%7 == 1 (0=Sunday)
+    d = datetime.date(2024, 1, 1)
+    epoch_day = (d - datetime.date(1970, 1, 1)).days
+    assert (epoch_day + 4) % 7 == 1
+
+
+def test_elasticity_negative_like_demand(spark, sf_dir):
+    """Every part type yields a finite elasticity; n_items conserve the
+    joined row count."""
+    from parquet_batch_spark.operators.stats_ops import agg_price_elasticity
+
+    rows = agg_price_elasticity(spark, sf_dir).collect()
+    assert rows
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    p = load(spark, sf_dir, "part")
+    joined = li.join(p, li.l_partkey == p.p_partkey).count()
+    assert sum(r["n_items"] for r in rows) == joined
+    for r in rows:
+        assert math.isfinite(r["elasticity"])
