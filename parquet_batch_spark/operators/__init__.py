@@ -242,6 +242,7 @@ _PRIORITY = [
     "agg_seasonality_index",
     "agg_weekday_hour_heatmap",
     "agg_price_elasticity",
+    "window_rsi_momentum",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

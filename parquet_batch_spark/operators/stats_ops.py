@@ -2517,6 +2517,98 @@ ORDER BY p_type
 """
 
 
+# ---------------------------------------------------------------------------
+# window_rsi_momentum — relative strength index over revenue series
+# ---------------------------------------------------------------------------
+
+RSI_PERIOD = 14
+RSI_EVERY = 30  # emit every Nth day per series
+
+
+def window_rsi_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple (SMA-flavored) {RSI_PERIOD}-day Relative Strength Index
+    of each priority class's daily revenue — the bounded momentum
+    oscillator (0..100) analysts read for overheating/exhaustion; the
+    Wilder-smoothed variant needs recursion, the SMA variant used here
+    is the window-expressible standard.
+
+    Day-over-day changes are exact whole-dollar int64 diffs; gain and
+    loss sums share one window frame; RSI = 100·gain/(gain+loss) is an
+    exact-integer ratio rounded to 6dp (algebraically identical to
+    100 − 100/(1+RS) without the divide-by-zero edge).
+
+    Scale: day-grain reduction first; the lag/frame windows run per
+    priority over the reduced day series.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.floor("o_totalprice").cast("long").alias("yd"),
+        )
+        .groupBy("priority", "day")
+        .agg(F.sum("yd").alias("x"))
+    )
+    seq = Window.partitionBy("priority").orderBy("day")
+    diffed = daily.select(
+        "priority",
+        "day",
+        (F.col("x") - F.lag("x").over(seq)).alias("chg"),
+        F.row_number().over(seq).cast("long").alias("rn"),
+    ).where(F.col("chg").isNotNull())
+    frame = Window.partitionBy("priority").orderBy("day").rowsBetween(
+        -(RSI_PERIOD - 1), 0
+    )
+    gains = F.sum(F.when(F.col("chg") > 0, F.col("chg")).otherwise(0)).over(frame)
+    losses = F.sum(F.when(F.col("chg") < 0, -F.col("chg")).otherwise(0)).over(frame)
+    nfull = F.count(F.lit(1)).over(frame)
+    rsi = F.round(
+        F.lit(100.0)
+        * gains.cast("double")
+        / (gains + losses).cast("double"),
+        6,
+    )
+    return (
+        diffed.select("priority", "day", "rn", rsi.alias("rsi"), nfull.alias("nf"))
+        .where((F.col("rn") % RSI_EVERY == 0) & (F.col("nf") == RSI_PERIOD))
+        .select("priority", "day", "rsi")
+        .orderBy("priority", "day")
+    )
+
+
+_RSI_SQL = f"""
+WITH daily AS (
+    SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS x
+    FROM orders GROUP BY 1, 2
+),
+diffed AS (
+    SELECT priority, day,
+           x - LAG(x) OVER (PARTITION BY priority ORDER BY day) AS chg,
+           CAST(ROW_NUMBER() OVER (PARTITION BY priority ORDER BY day) AS BIGINT) AS rn
+    FROM daily
+),
+framed AS (
+    SELECT priority, day, rn,
+           SUM(CASE WHEN chg > 0 THEN chg ELSE 0 END)
+               OVER w AS gains,
+           SUM(CASE WHEN chg < 0 THEN -chg ELSE 0 END)
+               OVER w AS losses,
+           COUNT(*) OVER w AS nf
+    FROM diffed
+    WHERE chg IS NOT NULL
+    WINDOW w AS (PARTITION BY priority ORDER BY day
+                 ROWS BETWEEN {RSI_PERIOD - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT priority, day,
+       ROUND(100.0 * CAST(gains AS DOUBLE) / CAST(gains + losses AS DOUBLE), 6) AS rsi
+FROM framed
+WHERE rn % {RSI_EVERY} = 0 AND nf = {RSI_PERIOD}
+ORDER BY priority, day
+"""
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -2538,6 +2630,7 @@ QUERIES = {
     "agg_seasonality_index": agg_seasonality_index,
     "agg_weekday_hour_heatmap": agg_weekday_hour_heatmap,
     "agg_price_elasticity": agg_price_elasticity,
+    "window_rsi_momentum": window_rsi_momentum,
     "agg_hist2d_joint": agg_hist2d_joint,
     "agg_cohort_ltv_curve": agg_cohort_ltv_curve,
     "window_cusum_changepoint": window_cusum_changepoint,
@@ -2564,6 +2657,7 @@ ORACLES = {
     "agg_seasonality_index": _SEASON_SQL,
     "agg_weekday_hour_heatmap": _HEATMAP_SQL,
     "agg_price_elasticity": _ELASTICITY_SQL,
+    "window_rsi_momentum": _RSI_SQL,
     "agg_hist2d_joint": _HIST2D_SQL,
     "agg_cohort_ltv_curve": _LTV_SQL,
     "window_cusum_changepoint": _CUSUM_SQL,

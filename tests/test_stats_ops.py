@@ -607,3 +607,16 @@ def test_elasticity_negative_like_demand(spark, sf_dir):
     assert sum(r["n_items"] for r in rows) == joined
     for r in rows:
         assert math.isfinite(r["elasticity"])
+
+
+def test_rsi_bounded(spark, sf_dir):
+    """RSI lies in [0, 100]; every priority series emits rows; only
+    full frames at sampled ranks appear."""
+    from parquet_batch_spark.operators.stats_ops import window_rsi_momentum
+
+    rows = window_rsi_momentum(spark, sf_dir).collect()
+    assert rows
+    prios = {r["priority"] for r in rows}
+    assert len(prios) == 5
+    for r in rows:
+        assert 0.0 <= r["rsi"] <= 100.0
