@@ -294,3 +294,52 @@ def test_pareto_scan_matches_bruteforce(spark, pts):
         )
     }
     assert got == expect, (sorted(got), sorted(expect))
+
+
+# ---------------------------------------------------------------------------
+# Property: the exact-integer-moment OLS closed form used across
+# stats_ops agrees with numpy's lstsq for ARBITRARY integer samples —
+# not just the fixture tables. Small deadline-free batches: Spark jobs
+# inside hypothesis examples are slow, so examples are few but each
+# checks the whole algebra path.
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=-1000, max_value=1000),
+            st.integers(min_value=-100000, max_value=100000),
+        ),
+        min_size=3,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_ols_moment_algebra_matches_numpy(spark, pairs):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    xs = np.array([p[0] for p in pairs], dtype=float)
+    ys = np.array([p[1] for p in pairs], dtype=float)
+    if np.var(xs) == 0:
+        return
+    df = spark.createDataFrame(pairs, "x long, y long")
+    m = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).collect()[0]
+    n, sx, sy, sxy, sxx = (float(m[c]) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    want_slope, want_intercept = np.polyfit(xs, ys, 1)
+    assert math.isclose(slope, want_slope, rel_tol=1e-9, abs_tol=1e-6)
+    assert math.isclose(intercept, want_intercept, rel_tol=1e-9, abs_tol=1e-4)
