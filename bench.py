@@ -114,6 +114,10 @@ HEADLINE = [
     "quality_psi_drift",
     "text_pmi_cooccurrence",
     "sample_bootstrap_means",
+    "agg_survival_km",
+    "window_peak_concurrency",
+    "dedup_lsh_recall_eval",
+    "embedding_pca_power_iteration",
 ]
 
 
