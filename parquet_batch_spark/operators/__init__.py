@@ -243,6 +243,8 @@ _PRIORITY = [
     "agg_weekday_hour_heatmap",
     "agg_price_elasticity",
     "window_rsi_momentum",
+    "etl_surrogate_keys",
+    "agg_growth_cmgr",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

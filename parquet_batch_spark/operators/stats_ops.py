@@ -2609,6 +2609,113 @@ ORDER BY priority, day
 """
 
 
+# ---------------------------------------------------------------------------
+# etl_surrogate_keys — dense + stable-hash surrogate key minting
+# ---------------------------------------------------------------------------
+
+
+def etl_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-key minting for a dimension extracted from facts: the
+    distinct (lang, source) combinations each get (a) a DENSE integer
+    key from a total deterministic order and (b) a STABLE 64-bit hash
+    key from the md5 of the natural key — the two key styles a
+    warehouse needs (dense for storage/bitmaps, stable for
+    cross-system identity that survives reloads).
+
+    Never ``monotonically_increasing_id()``: its values depend on the
+    physical partition layout and change run-to-run. The dense key's
+    window runs over the REDUCED dim table (domain-bounded) — the only
+    place a global row_number is acceptable.
+    """
+    d = load(spark, sf_dir, "documents")
+    dim = d.select("lang", "source").distinct()
+    nat = F.concat_ws("|", "lang", "source")
+    stable = F.conv(F.substring(F.md5(nat), 1, 15), 16, 10).cast("long")
+    w = Window.orderBy("lang", "source")
+    return (
+        dim.select(
+            "lang",
+            "source",
+            F.row_number().over(w).cast("long").alias("dense_key"),
+            stable.alias("stable_key"),
+        )
+        .orderBy("dense_key")
+    )
+
+
+_SURROGATE_SQL = """
+SELECT lang, source,
+       CAST(ROW_NUMBER() OVER (ORDER BY lang, source) AS BIGINT) AS dense_key,
+       CAST(('0x' || substr(md5(lang || '|' || source), 1, 15)) AS UBIGINT)::BIGINT AS stable_key
+FROM (SELECT DISTINCT lang, source FROM documents)
+ORDER BY dense_key
+"""
+
+# ---------------------------------------------------------------------------
+# agg_growth_cmgr — compound monthly growth rate per segment
+# ---------------------------------------------------------------------------
+
+
+def agg_growth_cmgr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound monthly growth rate of revenue per order priority:
+    (last_month/first_month)^(1/(n−1)) − 1 — the normalized growth
+    figure that makes segments with different absolute sizes
+    comparable.
+
+    First/last month revenues are exact whole-dollar sums selected by
+    min/max month index (max_by/min_by on the reduced month table);
+    the fractional power is computed from identical operands via
+    exp/ln and rounded to 6dp.
+
+    Scale: month-grain reduce, then a per-priority 4-scalar aggregate.
+    """
+    o = load(spark, sf_dir, "orders")
+    mk = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast("long")
+    monthly = (
+        o.select(
+            F.col("o_orderpriority").alias("priority"),
+            mk.alias("m"),
+            F.floor("o_totalprice").cast("long").alias("yd"),
+        )
+        .groupBy("priority", "m")
+        .agg(F.sum("yd").alias("rev"))
+    )
+    agg = monthly.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.min_by("rev", "m").alias("first_rev"),
+        F.max_by("rev", "m").alias("last_rev"),
+    )
+    cmgr = F.round(
+        F.exp(
+            F.log(F.col("last_rev").cast("double") / F.col("first_rev").cast("double"))
+            / (F.col("n_months") - 1).cast("double")
+        )
+        - 1.0,
+        6,
+    )
+    return agg.select(
+        "priority", "n_months", "first_rev", "last_rev", cmgr.alias("cmgr")
+    ).orderBy("priority")
+
+
+_CMGR_SQL = """
+WITH monthly AS (
+    SELECT o_orderpriority AS priority,
+           CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1 AS BIGINT) AS m,
+           SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS rev
+    FROM orders GROUP BY 1, 2
+)
+SELECT priority, COUNT(*) AS n_months,
+       CAST(arg_min(rev, m) AS BIGINT) AS first_rev,
+       CAST(arg_max(rev, m) AS BIGINT) AS last_rev,
+       ROUND(EXP(LN(CAST(arg_max(rev, m) AS DOUBLE) / CAST(arg_min(rev, m) AS DOUBLE))
+                 / CAST(COUNT(*) - 1 AS DOUBLE)) - 1.0, 6) AS cmgr
+FROM monthly
+GROUP BY priority
+ORDER BY priority
+"""
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -2631,6 +2738,8 @@ QUERIES = {
     "agg_weekday_hour_heatmap": agg_weekday_hour_heatmap,
     "agg_price_elasticity": agg_price_elasticity,
     "window_rsi_momentum": window_rsi_momentum,
+    "etl_surrogate_keys": etl_surrogate_keys,
+    "agg_growth_cmgr": agg_growth_cmgr,
     "agg_hist2d_joint": agg_hist2d_joint,
     "agg_cohort_ltv_curve": agg_cohort_ltv_curve,
     "window_cusum_changepoint": window_cusum_changepoint,
@@ -2658,6 +2767,8 @@ ORACLES = {
     "agg_weekday_hour_heatmap": _HEATMAP_SQL,
     "agg_price_elasticity": _ELASTICITY_SQL,
     "window_rsi_momentum": _RSI_SQL,
+    "etl_surrogate_keys": _SURROGATE_SQL,
+    "agg_growth_cmgr": _CMGR_SQL,
     "agg_hist2d_joint": _HIST2D_SQL,
     "agg_cohort_ltv_curve": _LTV_SQL,
     "window_cusum_changepoint": _CUSUM_SQL,

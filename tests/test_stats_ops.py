@@ -620,3 +620,29 @@ def test_rsi_bounded(spark, sf_dir):
     assert len(prios) == 5
     for r in rows:
         assert 0.0 <= r["rsi"] <= 100.0
+
+
+def test_surrogate_keys_dense_and_stable(spark, sf_dir):
+    """Dense keys are 1..N with no gaps; stable keys are unique and
+    invariant across runs; one row per distinct natural key."""
+    from parquet_batch_spark.operators.stats_ops import etl_surrogate_keys
+
+    rows1 = etl_surrogate_keys(spark, sf_dir).collect()
+    rows2 = etl_surrogate_keys(spark, sf_dir).collect()
+    assert [tuple(r) for r in rows1] == [tuple(r) for r in rows2]
+    n = load(spark, sf_dir, "documents").select("lang", "source").distinct().count()
+    assert [r["dense_key"] for r in rows1] == list(range(1, n + 1))
+    stable = [r["stable_key"] for r in rows1]
+    assert len(set(stable)) == len(stable)
+
+
+def test_cmgr_recovers_ratio(spark, sf_dir):
+    """(1+cmgr)^(n-1) ≈ last/first for every priority."""
+    from parquet_batch_spark.operators.stats_ops import agg_growth_cmgr
+
+    rows = agg_growth_cmgr(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        got = (1.0 + r["cmgr"]) ** (r["n_months"] - 1)
+        want = r["last_rev"] / r["first_rev"]
+        assert math.isclose(got, want, rel_tol=1e-3)
