@@ -245,6 +245,9 @@ _PRIORITY = [
     "window_rsi_momentum",
     "etl_surrogate_keys",
     "agg_growth_cmgr",
+    "text_readability_scores",
+    "seq_event_paths",
+    "agg_dau_mau_stickiness",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

@@ -2716,6 +2716,231 @@ ORDER BY priority
 """
 
 
+# ---------------------------------------------------------------------------
+# text_readability_scores — Flesch-style reading ease per cohort
+# ---------------------------------------------------------------------------
+
+
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style reading-ease per (lang, source) cohort: 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/words), with syllables
+    approximated by vowel-group counts (the standard proxy when no
+    dictionary is available) — the readability screen a curation
+    pipeline adds next to Gopher rules.
+
+    All three counts are exact integers (regexp counts per document,
+    summed per cohort); the score is derived from exact-ratio doubles
+    and rounded to 6dp. Sentences floor at 1 per document so the ratio
+    is defined for fragment documents.
+
+    Scale: pure JVM regexp counting in one pass, then a cohort-grain
+    reduce.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    n_words = F.size(toks)
+    n_sent = F.greatest(
+        F.lit(1),
+        F.size(F.split("text", r"[.!?]+")) - 1,
+    )
+    n_syl = F.size(
+        F.filter(
+            F.split(F.lower("text"), r"[^aeiou]+"),
+            lambda t: t != "",
+        )
+    )
+    per_cohort = (
+        d.select("lang", "source", n_words.alias("w"), n_sent.alias("s"), n_syl.alias("y"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w").alias("sw"),
+            F.sum("s").alias("ss"),
+            F.sum("y").alias("sy"),
+        )
+    )
+    score = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("sw").cast("double") / F.col("ss").cast("double"))
+        - F.lit(84.6) * (F.col("sy").cast("double") / F.col("sw").cast("double")),
+        6,
+    )
+    return per_cohort.select(
+        "lang",
+        "source",
+        "n_docs",
+        F.col("sw").alias("n_words"),
+        F.col("ss").alias("n_sentences"),
+        F.col("sy").alias("n_syllables"),
+        score.alias("reading_ease"),
+    ).orderBy("lang", "source")
+
+
+_READABILITY_SQL = """
+WITH per_doc AS (
+    SELECT lang, source,
+           len(string_split_regex(trim(text), '\\s+')) AS w,
+           GREATEST(1, len(string_split_regex(text, '[.!?]+')) - 1) AS s,
+           len(list_filter(string_split_regex(lower(text), '[^aeiou]+'), t -> t <> '')) AS y
+    FROM documents
+)
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS n_words,
+       CAST(SUM(s) AS BIGINT) AS n_sentences,
+       CAST(SUM(y) AS BIGINT) AS n_syllables,
+       ROUND(206.835
+             - 1.015 * (CAST(SUM(w) AS DOUBLE) / CAST(SUM(s) AS DOUBLE))
+             - 84.6 * (CAST(SUM(y) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)), 6) AS reading_ease
+FROM per_doc
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+# ---------------------------------------------------------------------------
+# seq_event_paths — top 3-step behavioral paths
+# ---------------------------------------------------------------------------
+
+PATH_TOP_K = 20
+
+
+def seq_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top {PATH_TOP_K} three-step event paths across all users — the
+    Sankey-diagram edge list one level deeper than the first-order
+    transition matrix (``seq_transition_matrix``): which full journeys
+    actually happen, not just which hops.
+
+    Paths come from two stacked leads over the totally-ordered user
+    stream; counts are exact; the top-k cut is a deterministic
+    (count DESC, path ASC) rank.
+
+    Scale: one user-partition window pass; the aggregate is bounded by
+    |types|³ regardless of corpus size.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select(
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+    ranked = paths.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.desc("n_paths"), F.asc("e1"), F.asc("e2"), F.asc("e3"))
+        ),
+    )
+    return (
+        ranked.where(F.col("rn") <= PATH_TOP_K)
+        .select(F.col("rn").cast("long").alias("rank"), "e1", "e2", "e3", "n_paths")
+        .orderBy("rank")
+    )
+
+
+_PATHS_SQL = f"""
+WITH paths AS (
+    SELECT e1, e2, e3, COUNT(*) AS n_paths
+    FROM (
+        SELECT event_type AS e1,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY 1, 2, 3
+),
+ranked AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_paths DESC, e1, e2, e3) AS BIGINT) AS rank,
+           e1, e2, e3, n_paths
+    FROM paths
+)
+SELECT rank, e1, e2, e3, n_paths
+FROM ranked WHERE rank <= {PATH_TOP_K}
+ORDER BY rank
+"""
+
+# ---------------------------------------------------------------------------
+# agg_dau_mau_stickiness — activity ratios per day
+# ---------------------------------------------------------------------------
+
+
+def agg_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU, trailing-7-day WAU, trailing-30-day MAU, and the DAU/MAU
+    stickiness ratio per day — the engagement dashboard's first row.
+
+    Distinct-user sets per day reduce FIRST (user-day grain); the
+    trailing window unions are counted via a day×user equi-join
+    against the day spine bounded by the trailing range — never a
+    distinct over raw events per window. Ratios are exact-count 6dp
+    rounds.
+
+    Scale: user-day reduction carries the data cost; the trailing
+    distinct counts join (day_spine × active-user-days within 30 days)
+    — bounded by days × daily-active-users, the already-reduced grain.
+    """
+    ev = load(spark, sf_dir, "events")
+    ud = (
+        ev.select(
+            F.floor(F.floor(F.unix_timestamp("ts")) / 86400).cast("long").alias("d"),
+            "user_id",
+        )
+        .distinct()
+    )
+    days = ud.select("d").distinct()
+    a = days.alias("a")
+    u = ud.alias("u")
+    trailing = a.join(
+        u,
+        (F.col("u.d") <= F.col("a.d")) & (F.col("u.d") > F.col("a.d") - 30),
+    )
+    rolled = trailing.groupBy(F.col("a.d").alias("day_idx")).agg(
+        F.count_distinct(
+            F.when(F.col("u.d") == F.col("a.d"), F.col("u.user_id"))
+        ).alias("dau"),
+        F.count_distinct(
+            F.when(F.col("u.d") > F.col("a.d") - 7, F.col("u.user_id"))
+        ).alias("wau"),
+        F.count_distinct("u.user_id").alias("mau"),
+    )
+    return rolled.select(
+        "day_idx",
+        "dau",
+        "wau",
+        "mau",
+        F.round(F.col("dau").cast("double") / F.col("mau").cast("double"), 6).alias(
+            "stickiness"
+        ),
+    ).orderBy("day_idx")
+
+
+_DAU_SQL = """
+WITH ud AS (
+    SELECT DISTINCT CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 86400) AS BIGINT) AS d,
+           user_id
+    FROM events
+),
+days AS (SELECT DISTINCT d FROM ud),
+rolled AS (
+    SELECT a.d AS day_idx,
+           COUNT(DISTINCT CASE WHEN u.d = a.d THEN u.user_id END) AS dau,
+           COUNT(DISTINCT CASE WHEN u.d > a.d - 7 THEN u.user_id END) AS wau,
+           COUNT(DISTINCT u.user_id) AS mau
+    FROM days a
+    JOIN ud u ON u.d <= a.d AND u.d > a.d - 30
+    GROUP BY a.d
+)
+SELECT day_idx, dau, wau, mau,
+       ROUND(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 6) AS stickiness
+FROM rolled
+ORDER BY day_idx
+"""
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -2740,6 +2965,9 @@ QUERIES = {
     "window_rsi_momentum": window_rsi_momentum,
     "etl_surrogate_keys": etl_surrogate_keys,
     "agg_growth_cmgr": agg_growth_cmgr,
+    "text_readability_scores": text_readability_scores,
+    "seq_event_paths": seq_event_paths,
+    "agg_dau_mau_stickiness": agg_dau_mau_stickiness,
     "agg_hist2d_joint": agg_hist2d_joint,
     "agg_cohort_ltv_curve": agg_cohort_ltv_curve,
     "window_cusum_changepoint": window_cusum_changepoint,
@@ -2769,6 +2997,9 @@ ORACLES = {
     "window_rsi_momentum": _RSI_SQL,
     "etl_surrogate_keys": _SURROGATE_SQL,
     "agg_growth_cmgr": _CMGR_SQL,
+    "text_readability_scores": _READABILITY_SQL,
+    "seq_event_paths": _PATHS_SQL,
+    "agg_dau_mau_stickiness": _DAU_SQL,
     "agg_hist2d_joint": _HIST2D_SQL,
     "agg_cohort_ltv_curve": _LTV_SQL,
     "window_cusum_changepoint": _CUSUM_SQL,

@@ -646,3 +646,44 @@ def test_cmgr_recovers_ratio(spark, sf_dir):
         got = (1.0 + r["cmgr"]) ** (r["n_months"] - 1)
         want = r["last_rev"] / r["first_rev"]
         assert math.isclose(got, want, rel_tol=1e-3)
+
+
+def test_readability_counts_positive(spark, sf_dir):
+    """Counts are positive; cohorts cover all docs; words ≥ sentences
+    would not hold in general but syllables ≥ words does for vowel
+    text — assert the defined invariants only."""
+    from parquet_batch_spark.operators.stats_ops import text_readability_scores
+
+    rows = text_readability_scores(spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["n_words"] > 0 and r["n_sentences"] > 0 and r["n_syllables"] > 0
+        assert math.isfinite(r["reading_ease"])
+
+
+def test_event_paths_ranked(spark, sf_dir):
+    """Ranks are 1..k with counts non-increasing; path counts conserve
+    (each user contributes max(0, n_i - 2) paths)."""
+    from parquet_batch_spark.operators.stats_ops import seq_event_paths
+
+    rows = seq_event_paths(spark, sf_dir).collect()
+    assert rows and [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_paths"] >= b["n_paths"]
+
+
+def test_stickiness_bounds(spark, sf_dir):
+    """dau ≤ wau ≤ mau and stickiness in (0, 1]; every active day has
+    a row."""
+    from parquet_batch_spark.operators.stats_ops import agg_dau_mau_stickiness
+
+    rows = agg_dau_mau_stickiness(spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events")
+    n_days = ev.select(
+        F.floor(F.floor(F.unix_timestamp("ts")) / 86400)
+    ).distinct().count()
+    assert len(rows) == n_days
+    for r in rows:
+        assert 0 < r["dau"] <= r["wau"] <= r["mau"]
+        assert 0.0 < r["stickiness"] <= 1.0
