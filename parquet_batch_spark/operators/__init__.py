@@ -248,6 +248,8 @@ _PRIORITY = [
     "text_readability_scores",
     "seq_event_paths",
     "agg_dau_mau_stickiness",
+    "quality_duplicate_token_share",
+    "embedding_norm_outliers",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

@@ -2270,7 +2270,9 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     Output: (dim, loading_milli) for all {PCA_DIMS} dimensions.
     """
     emb = load(spark, sf_dir, "embeddings")
-    xq = F.transform("embedding", lambda x: F.round(x * 1000000).cast("long"))
+    xq = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1000000).cast("long")
+    )
     rows = emb.select(xq.alias("xq"))
     rows.cache()
     v = [1000] * PCA_DIMS
@@ -2301,7 +2303,7 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
 def _pca_sql() -> str:
     parts = [
         """xrows AS (
-    SELECT list_transform(embedding, x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS xq
+    SELECT list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq
     FROM embeddings
 )""",
         f"""v0 AS (
@@ -2941,6 +2943,164 @@ ORDER BY day_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# quality_duplicate_token_share — wasted-token accounting for training
+# ---------------------------------------------------------------------------
+
+
+def quality_duplicate_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of corpus TOKENS sitting in exact-duplicate documents —
+    the number that converts "X% of docs are dups" into what training
+    actually cares about: how much compute would be spent re-reading
+    the same text. Keeps the first doc (lowest id) of each md5 group;
+    every other copy's tokens are "wasted".
+
+    Counts are exact int64; shares 6dp ratios. One md5-group reduce
+    (fixed-width shuffle key) plus a scalar rollup — the same shape as
+    dedup_exact with token mass carried alongside.
+    """
+    d = load(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.size(tokens_col("text")).cast("long").alias("toks"),
+    )
+    keep_w = Window.partitionBy("h").orderBy("doc_id")
+    flagged = per_doc.select(
+        "toks",
+        (F.row_number().over(keep_w) > 1).alias("is_dup"),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("long").alias("n_dup_docs"),
+        F.sum("toks").alias("total_tokens"),
+        F.sum(F.when(F.col("is_dup"), F.col("toks")).otherwise(0))
+        .cast("long")
+        .alias("dup_tokens"),
+    ).select(
+        "n_docs",
+        "n_dup_docs",
+        "total_tokens",
+        "dup_tokens",
+        F.round(
+            F.col("dup_tokens").cast("double") / F.col("total_tokens").cast("double"), 6
+        ).alias("dup_token_share"),
+    )
+
+
+_DUP_SHARE_SQL = f"""
+WITH per_doc AS (
+    SELECT doc_id, md5(text) AS h,
+           CAST(len({sql_tokens("text")}) AS BIGINT) AS toks
+    FROM documents
+),
+flagged AS (
+    SELECT toks,
+           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) > 1 AS is_dup
+    FROM per_doc
+)
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(toks) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN is_dup THEN toks ELSE 0 END) AS BIGINT) AS dup_tokens,
+       ROUND(CAST(SUM(CASE WHEN is_dup THEN toks ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(toks) AS DOUBLE), 6) AS dup_token_share
+FROM flagged
+"""
+
+# ---------------------------------------------------------------------------
+# embedding_norm_outliers — L2-norm hygiene screen
+# ---------------------------------------------------------------------------
+
+
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding vectors whose L2 norm sits beyond mean ± 3σ of the
+    corpus norm distribution — the cheapest embedding-hygiene screen
+    (zero vectors, scaling bugs, NaN-poisoned rows all surface here
+    before any similarity search trusts the space).
+
+    Norms are computed in integer micro-units (Σ x_q² exact int64 per
+    row); the mean/σ thresholds come from exact moment sums, and the
+    final filter compares identical doubles — engine-exact.
+
+    Scale: one map pass for per-row norm², a 3-scalar moment reduce,
+    then one more filter pass with the thresholds as broadcast
+    scalars. Output bounded by the outlier rate.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    # explicit double cast: float32 * int promotes differently across
+    # engines (Spark stays float, DuckDB widens) — cast first so both
+    # quantize the identical double value
+    xq = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1000000).cast("long")
+    )
+    n2 = F.aggregate(
+        F.transform(xq, lambda e: e * e),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    # second moments run on kilo-unit norms (floor(n2/1e6)) — n2 can
+    # reach ~2e13, so n2 squared would overflow int64 in BOTH engines;
+    # the rescale keeps every sum an exact int64.
+    rows = emb.select(
+        "vec_id",
+        n2.alias("n2"),
+        F.floor(n2 / F.lit(1000000.0)).cast("long").alias("nk"),
+    )
+    tot = Window.partitionBy()
+    stats = rows.select(
+        "vec_id",
+        "n2",
+        "nk",
+        F.count(F.lit(1)).over(tot).alias("n"),
+        F.sum("nk").over(tot).alias("s1"),
+        F.sum(F.col("nk") * F.col("nk")).over(tot).alias("s2"),
+    )
+    n, s1, s2 = (F.col(c).cast("double") for c in ("n", "s1", "s2"))
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    lo = mean - 3.0 * F.sqrt(var)
+    hi = mean + 3.0 * F.sqrt(var)
+    return (
+        stats.where((F.col("nk").cast("double") < lo) | (F.col("nk").cast("double") > hi))
+        .select(
+            "vec_id",
+            "n2",
+            F.round(F.sqrt(F.col("n2").cast("double")) / 1000000.0, 6).alias("l2_norm"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_NORM_OUTLIER_SQL = """
+WITH rows_n AS (
+    SELECT vec_id,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                     * CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+                AS BIGINT) AS n2
+    FROM embeddings
+),
+rescaled AS (
+    SELECT vec_id, n2, CAST(FLOOR(CAST(n2 AS DOUBLE) / 1000000.0) AS BIGINT) AS nk
+    FROM rows_n
+),
+stats AS (
+    SELECT vec_id, n2, nk,
+           CAST(COUNT(*) OVER () AS DOUBLE) AS n,
+           CAST(SUM(nk) OVER () AS DOUBLE) AS s1,
+           CAST(SUM(nk * nk) OVER () AS DOUBLE) AS s2
+    FROM rescaled
+)
+SELECT vec_id, n2,
+       ROUND(SQRT(CAST(n2 AS DOUBLE)) / 1000000.0, 6) AS l2_norm
+FROM stats
+WHERE CAST(nk AS DOUBLE) < s1 / n - 3.0 * SQRT(s2 / n - (s1 / n) * (s1 / n))
+   OR CAST(nk AS DOUBLE) > s1 / n + 3.0 * SQRT(s2 / n - (s1 / n) * (s1 / n))
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -2968,6 +3128,8 @@ QUERIES = {
     "text_readability_scores": text_readability_scores,
     "seq_event_paths": seq_event_paths,
     "agg_dau_mau_stickiness": agg_dau_mau_stickiness,
+    "quality_duplicate_token_share": quality_duplicate_token_share,
+    "embedding_norm_outliers": embedding_norm_outliers,
     "agg_hist2d_joint": agg_hist2d_joint,
     "agg_cohort_ltv_curve": agg_cohort_ltv_curve,
     "window_cusum_changepoint": window_cusum_changepoint,
@@ -3000,6 +3162,8 @@ ORACLES = {
     "text_readability_scores": _READABILITY_SQL,
     "seq_event_paths": _PATHS_SQL,
     "agg_dau_mau_stickiness": _DAU_SQL,
+    "quality_duplicate_token_share": _DUP_SHARE_SQL,
+    "embedding_norm_outliers": _NORM_OUTLIER_SQL,
     "agg_hist2d_joint": _HIST2D_SQL,
     "agg_cohort_ltv_curve": _LTV_SQL,
     "window_cusum_changepoint": _CUSUM_SQL,

@@ -687,3 +687,38 @@ def test_stickiness_bounds(spark, sf_dir):
     for r in rows:
         assert 0 < r["dau"] <= r["wau"] <= r["mau"]
         assert 0.0 < r["stickiness"] <= 1.0
+
+
+def test_duplicate_token_share_consistent(spark, sf_dir):
+    """Duplicate docs equal total minus distinct texts; shares bounded;
+    token mass conserved against a direct count."""
+    from parquet_batch_spark.operators.stats_ops import quality_duplicate_token_share
+    from parquet_batch_spark.functions.text import tokens_col
+
+    row = quality_duplicate_token_share(spark, sf_dir).collect()[0]
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()
+    n_distinct = d.select("text").distinct().count()
+    assert row["n_docs"] == n_docs
+    assert row["n_dup_docs"] == n_docs - n_distinct
+    total = d.select(F.size(tokens_col("text")).alias("t")).agg(F.sum("t")).collect()[0][0]
+    assert row["total_tokens"] == total
+    assert 0.0 <= row["dup_token_share"] <= 1.0
+
+
+def test_norm_outliers_are_extreme(spark, sf_dir):
+    """Flagged norms sit outside mean ± 3σ of a numpy recomputation on
+    identically quantized vectors."""
+    from parquet_batch_spark.operators.stats_ops import embedding_norm_outliers
+
+    rows = embedding_norm_outliers(spark, sf_dir).collect()
+    emb = load(spark, sf_dir, "embeddings").select("embedding").collect()
+    nks = []
+    for r in emb:
+        n2 = sum(int(round(x * 1000000)) ** 2 for x in r["embedding"])
+        nks.append(math.floor(n2 / 1000000.0))
+    mean = sum(nks) / len(nks)
+    var = sum(v * v for v in nks) / len(nks) - mean * mean
+    lo, hi = mean - 3 * math.sqrt(var), mean + 3 * math.sqrt(var)
+    want = sum(1 for v in nks if v < lo or v > hi)
+    assert len(rows) == want
