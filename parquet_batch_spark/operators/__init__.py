@@ -45,10 +45,12 @@ from pyspark.sql import DataFrame, SparkSession
 #     two reworked dedup ops, and ALL r1/r2 stales — spills to r5.
 #     Every never-checked op has a local dual-SF oracle sweep + a
 #     dedicated test as interim evidence.
-#   r5 plan: the twelve third-session stats ops (agg_regression_per_group
-#     … sample_bootstrap_means, directly after dedup_containment below),
-#     then the eleven spills in list order (window_ewma_decay …
-#     dedup_fuzzy_levenshtein), tpch_q2..q22, agg_rollup, agg_cube,
+#   r5 plan: the ~41 third-session stats/ML/warehouse ops
+#     (agg_regression_per_group … embedding_norm_outliers, directly
+#     after dedup_containment below — every one dual-SF swept and
+#     invariant-tested this session), then the eleven spills in list
+#     order (window_ewma_decay … dedup_fuzzy_levenshtein), tpch_q2..q22,
+#     agg_rollup, agg_cube,
 #     agg_grouping_sets, agg_pivot, agg_stats, reshape_unpivot,
 #     sort_topk, set_ops, window_distribution (r1-stale), then
 #     the r2 greens (dedup family, ANN pair, json/q12 repairs, windows/
