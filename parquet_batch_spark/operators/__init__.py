@@ -252,6 +252,8 @@ _PRIORITY = [
     "agg_dau_mau_stickiness",
     "quality_duplicate_token_share",
     "embedding_norm_outliers",
+    "agg_xyz_classification",
+    "text_code_detection",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

@@ -3101,6 +3101,165 @@ ORDER BY vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# agg_xyz_classification — demand-variability classes (ABC's companion)
+# ---------------------------------------------------------------------------
+
+XYZ_CV_X = 500_000  # CV ≤ 0.5 (micro-units) → X (stable demand)
+XYZ_CV_Y = 1_000_000  # CV ≤ 1.0 → Y; else Z (erratic)
+
+
+def agg_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification per part brand: the
+    coefficient of variation of monthly demanded quantity sorts brands
+    into X (stable — forecastable), Y (moderate), Z (erratic — safety
+    stock, not forecasts). The standard companion to ABC revenue
+    classification (``agg_abc_classification``).
+
+    CV² = (n·Σq² − (Σq)²)/(Σq)² from exact integer monthly sums;
+    the class compare happens on micro-quantized CV so the thresholds
+    are integer comparisons in both engines.
+
+    Scale: (brand, month) reduce → brand-grain 3-scalar moments →
+    ≤|brands| rows with a 3-row rollup.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    mk = (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1).cast("long")
+    monthly = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("p_brand", mk.alias("m"), F.col("l_quantity").cast("long").alias("q"))
+        .groupBy("p_brand", "m")
+        .agg(F.sum("q").alias("qm"))
+    )
+    moments = monthly.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qm").alias("s1"),
+        F.sum(F.col("qm") * F.col("qm")).alias("s2"),
+    )
+    n, s1, s2 = (F.col(c).cast("double") for c in ("n", "s1", "s2"))
+    cv_micro = F.floor(
+        F.lit(1000000.0) * F.sqrt((n * s2 - s1 * s1) / (s1 * s1))
+    ).cast("long")
+    classed = moments.select(
+        "p_brand",
+        cv_micro.alias("cv_micro"),
+    ).select(
+        "p_brand",
+        "cv_micro",
+        F.when(F.col("cv_micro") <= XYZ_CV_X, "X")
+        .when(F.col("cv_micro") <= XYZ_CV_Y, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    return (
+        classed.groupBy("xyz_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_brands"),
+            F.min("cv_micro").alias("min_cv_micro"),
+            F.max("cv_micro").alias("max_cv_micro"),
+        )
+        .orderBy("xyz_class")
+    )
+
+
+_XYZ_SQL = f"""
+WITH monthly AS (
+    SELECT p_brand, CAST(YEAR(l_shipdate) * 12 + MONTH(l_shipdate) - 1 AS BIGINT) AS m,
+           SUM(CAST(l_quantity AS BIGINT)) AS qm
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1, 2
+),
+moments AS (
+    SELECT p_brand, COUNT(*) AS n, SUM(qm) AS s1, SUM(qm * qm) AS s2
+    FROM monthly GROUP BY p_brand
+),
+classed AS (
+    SELECT p_brand,
+           CAST(FLOOR(1000000.0 * SQRT((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                / (CAST(s1 AS DOUBLE) * s1))) AS BIGINT) AS cv_micro
+    FROM moments
+)
+SELECT CASE WHEN cv_micro <= {XYZ_CV_X} THEN 'X'
+            WHEN cv_micro <= {XYZ_CV_Y} THEN 'Y'
+            ELSE 'Z' END AS xyz_class,
+       COUNT(*) AS n_brands,
+       CAST(MIN(cv_micro) AS BIGINT) AS min_cv_micro,
+       CAST(MAX(cv_micro) AS BIGINT) AS max_cv_micro
+FROM classed
+GROUP BY 1
+ORDER BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# text_code_detection — code-vs-prose heuristic screen
+# ---------------------------------------------------------------------------
+
+CODE_SYMBOL_MICRO = 30_000  # ≥3% symbol chars → code-ish signal
+CODE_MIN_SIGNALS = 2
+
+
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose screen per cohort: three cheap signals — symbol
+    density ({{}}();=<> etc.), line-initial indentation, and
+    camelCase/snake_case identifiers — each an exact integer
+    micro-ratio; a document is "code-like" when ≥{CODE_MIN_SIGNALS}
+    signals fire. The router that decides whether text goes to the
+    prose pipeline or the code pipeline (different dedup, different
+    quality rules).
+
+    Scale: three JVM regexp counts in one pass, cohort-grain reduce.
+    """
+    d = load(spark, sf_dir, "documents")
+    n_chars = F.greatest(F.lit(1), F.length("text"))
+    n_sym = n_chars - F.length(F.regexp_replace("text", r"[{}()\[\];=<>]", ""))
+    sym_micro = F.floor(F.lit(1000000.0) * n_sym / n_chars)
+    n_indent = F.size(F.split("text", r"\n[ \t]{2,}")) - 1
+    n_ident = F.size(F.split("text", r"[a-z][A-Z]|_[a-z]")) - 1
+    s1 = (sym_micro >= CODE_SYMBOL_MICRO).cast("int")
+    s2 = (n_indent >= 2).cast("int")
+    s3 = (n_ident >= 3).cast("int")
+    flagged = d.select(
+        "lang",
+        "source",
+        ((s1 + s2 + s3) >= CODE_MIN_SIGNALS).alias("code_like"),
+    )
+    return (
+        flagged.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("code_like"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_code_like"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_CODE_SQL = f"""
+WITH per_doc AS (
+    SELECT lang, source,
+           GREATEST(1, LENGTH(text)) AS n_chars,
+           GREATEST(1, LENGTH(text)) - LENGTH(regexp_replace(text, '[{{}}()\\[\\];=<>]', '', 'g')) AS n_sym,
+           len(string_split_regex(text, '\\n[ \\t]{{2,}}')) - 1 AS n_indent,
+           len(string_split_regex(text, '[a-z][A-Z]|_[a-z]')) - 1 AS n_ident
+    FROM documents
+),
+flagged AS (
+    SELECT lang, source,
+           (CASE WHEN FLOOR(1000000.0 * n_sym / n_chars) >= {CODE_SYMBOL_MICRO} THEN 1 ELSE 0 END
+            + CASE WHEN n_indent >= 2 THEN 1 ELSE 0 END
+            + CASE WHEN n_ident >= 3 THEN 1 ELSE 0 END) >= {CODE_MIN_SIGNALS} AS code_like
+    FROM per_doc
+)
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN code_like THEN 1 ELSE 0 END) AS BIGINT) AS n_code_like
+FROM flagged
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -3130,6 +3289,8 @@ QUERIES = {
     "agg_dau_mau_stickiness": agg_dau_mau_stickiness,
     "quality_duplicate_token_share": quality_duplicate_token_share,
     "embedding_norm_outliers": embedding_norm_outliers,
+    "agg_xyz_classification": agg_xyz_classification,
+    "text_code_detection": text_code_detection,
     "agg_hist2d_joint": agg_hist2d_joint,
     "agg_cohort_ltv_curve": agg_cohort_ltv_curve,
     "window_cusum_changepoint": window_cusum_changepoint,
@@ -3164,6 +3325,8 @@ ORACLES = {
     "agg_dau_mau_stickiness": _DAU_SQL,
     "quality_duplicate_token_share": _DUP_SHARE_SQL,
     "embedding_norm_outliers": _NORM_OUTLIER_SQL,
+    "agg_xyz_classification": _XYZ_SQL,
+    "text_code_detection": _CODE_SQL,
     "agg_hist2d_joint": _HIST2D_SQL,
     "agg_cohort_ltv_curve": _LTV_SQL,
     "window_cusum_changepoint": _CUSUM_SQL,

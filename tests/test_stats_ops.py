@@ -722,3 +722,30 @@ def test_norm_outliers_are_extreme(spark, sf_dir):
     lo, hi = mean - 3 * math.sqrt(var), mean + 3 * math.sqrt(var)
     want = sum(1 for v in nks if v < lo or v > hi)
     assert len(rows) == want
+
+
+def test_xyz_classes_conserve_brands(spark, sf_dir):
+    """Class counts sum to the brand count; min ≤ max CV per class."""
+    from parquet_batch_spark.operators.stats_ops import agg_xyz_classification
+
+    rows = agg_xyz_classification(spark, sf_dir).collect()
+    n_brands = load(spark, sf_dir, "part").select("p_brand").distinct().count()
+    assert sum(r["n_brands"] for r in rows) == n_brands
+    for r in rows:
+        assert r["xyz_class"] in {"X", "Y", "Z"}
+        assert 0 <= r["min_cv_micro"] <= r["max_cv_micro"]
+
+
+def test_code_detection_counts(spark, sf_dir):
+    """Cohort doc counts conserve corpus mass; code-like never exceeds
+    the cohort size (the synthetic prose corpus should be mostly
+    non-code)."""
+    from parquet_batch_spark.operators.stats_ops import text_code_detection
+
+    rows = text_code_detection(spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    total_code = sum(r["n_code_like"] for r in rows)
+    assert 0 <= total_code < n_docs / 2
+    for r in rows:
+        assert 0 <= r["n_code_like"] <= r["n_docs"]
