@@ -254,6 +254,8 @@ _PRIORITY = [
     "embedding_norm_outliers",
     "agg_xyz_classification",
     "text_code_detection",
+    "sample_time_split_leakage",
+    "agg_welch_ttest",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

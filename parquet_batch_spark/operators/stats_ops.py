@@ -3260,6 +3260,151 @@ ORDER BY lang, source
 """
 
 
+# ---------------------------------------------------------------------------
+# sample_time_split_leakage — temporal split with entity-leakage audit
+# ---------------------------------------------------------------------------
+
+SPLIT_DATE = "2000-01-01"
+
+
+def sample_time_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/validation split at {SPLIT_DATE} with the
+    audit every forecasting/ML pipeline needs BEFORE trusting the
+    split: row counts per side, plus ENTITY leakage — customers that
+    appear on both sides (for entity-level generalization claims those
+    must be zero or explicitly accepted; a random row split would hide
+    this entirely).
+
+    One scan computes per-customer min/max order dates; the leakage
+    set is customers with orders straddling the boundary. All counts
+    exact.
+
+    Scale: customer-grain reduce (two dates per key), then scalar
+    conditional counts — no join, no second scan.
+    """
+    o = load(spark, sf_dir, "orders")
+    split = F.lit(SPLIT_DATE).cast("timestamp")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("d0"),
+        F.max("o_orderdate").alias("d1"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_orderdate") < split, 1).otherwise(0)).alias("n_train"),
+    )
+    return per_cust.agg(
+        F.sum("n_train").cast("long").alias("n_train_rows"),
+        (F.sum("n") - F.sum("n_train")).cast("long").alias("n_val_rows"),
+        F.sum(F.when(F.col("d1") < split, 1).otherwise(0))
+        .cast("long")
+        .alias("n_train_only_customers"),
+        F.sum(F.when(F.col("d0") >= split, 1).otherwise(0))
+        .cast("long")
+        .alias("n_val_only_customers"),
+        F.sum(F.when((F.col("d0") < split) & (F.col("d1") >= split), 1).otherwise(0))
+        .cast("long")
+        .alias("n_leaking_customers"),
+    )
+
+
+_TIME_SPLIT_SQL = f"""
+WITH per_cust AS (
+    SELECT o_custkey, MIN(o_orderdate) AS d0, MAX(o_orderdate) AS d1,
+           COUNT(*) AS n,
+           SUM(CASE WHEN o_orderdate < TIMESTAMP '{SPLIT_DATE} 00:00:00' THEN 1 ELSE 0 END) AS n_train
+    FROM orders GROUP BY o_custkey
+)
+SELECT CAST(SUM(n_train) AS BIGINT) AS n_train_rows,
+       CAST(SUM(n) - SUM(n_train) AS BIGINT) AS n_val_rows,
+       CAST(SUM(CASE WHEN d1 < TIMESTAMP '{SPLIT_DATE} 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_train_only_customers,
+       CAST(SUM(CASE WHEN d0 >= TIMESTAMP '{SPLIT_DATE} 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_val_only_customers,
+       CAST(SUM(CASE WHEN d0 < TIMESTAMP '{SPLIT_DATE} 00:00:00'
+                      AND d1 >= TIMESTAMP '{SPLIT_DATE} 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_leaking_customers
+FROM per_cust
+"""
+
+# ---------------------------------------------------------------------------
+# agg_welch_ttest — two-sample mean comparison from exact moments
+# ---------------------------------------------------------------------------
+
+TT_GROUP_A = "1-URGENT"
+TT_GROUP_B = "5-LOW"
+
+
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic comparing whole-dollar order
+    value between '{TT_GROUP_A}' and '{TT_GROUP_B}' priorities, with
+    Welch–Satterthwaite degrees of freedom — the readout statistic an
+    experimentation pipeline computes after the SRM guardrail
+    (``sample_ab_assignment_srm``) passes.
+
+    Both groups' (n, Σy, Σy²) are exact int64 from ONE conditional
+    pass; t and dof are derived in double from identical operands and
+    rounded to 6dp. (p-values need a t CDF — out of SQL scope; the
+    statistic + dof are the lookup key.)
+
+    Scale: single-pass conditional moment sums — no groupBy shuffle at
+    all, one scalar row out.
+    """
+    o = load(spark, sf_dir, "orders")
+    y = F.floor("o_totalprice").cast("long")
+    is_a = F.col("o_orderpriority") == TT_GROUP_A
+    is_b = F.col("o_orderpriority") == TT_GROUP_B
+    m = o.select(y.alias("y"), is_a.alias("a"), is_b.alias("b")).agg(
+        F.sum(F.when(F.col("a"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("a"), F.col("y")).otherwise(0)).alias("sa"),
+        F.sum(F.when(F.col("a"), F.col("y") * F.col("y")).otherwise(0)).alias("qa"),
+        F.sum(F.when(F.col("b"), 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("b"), F.col("y")).otherwise(0)).alias("sb"),
+        F.sum(F.when(F.col("b"), F.col("y") * F.col("y")).otherwise(0)).alias("qb"),
+    )
+    na, sa, qa = (F.col(c).cast("double") for c in ("na", "sa", "qa"))
+    nb, sb, qb = (F.col(c).cast("double") for c in ("nb", "sb", "qb"))
+    va = (qa - sa * sa / na) / (na - 1.0)
+    vb = (qb - sb * sb / nb) / (nb - 1.0)
+    se2 = va / na + vb / nb
+    t = (sa / na - sb / nb) / F.sqrt(se2)
+    dof = se2 * se2 / (
+        (va / na) * (va / na) / (na - 1.0) + (vb / nb) * (vb / nb) / (nb - 1.0)
+    )
+    return m.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(sa / na, 6).alias("mean_a"),
+        F.round(sb / nb, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("welch_dof"),
+    )
+
+
+_TTEST_SQL = f"""
+WITH m AS (
+    SELECT SUM(CASE WHEN o_orderpriority = '{TT_GROUP_A}' THEN 1 ELSE 0 END) AS na,
+           SUM(CASE WHEN o_orderpriority = '{TT_GROUP_A}' THEN CAST(FLOOR(o_totalprice) AS BIGINT) ELSE 0 END) AS sa,
+           SUM(CASE WHEN o_orderpriority = '{TT_GROUP_A}' THEN CAST(FLOOR(o_totalprice) AS BIGINT) * CAST(FLOOR(o_totalprice) AS BIGINT) ELSE 0 END) AS qa,
+           SUM(CASE WHEN o_orderpriority = '{TT_GROUP_B}' THEN 1 ELSE 0 END) AS nb,
+           SUM(CASE WHEN o_orderpriority = '{TT_GROUP_B}' THEN CAST(FLOOR(o_totalprice) AS BIGINT) ELSE 0 END) AS sb,
+           SUM(CASE WHEN o_orderpriority = '{TT_GROUP_B}' THEN CAST(FLOOR(o_totalprice) AS BIGINT) * CAST(FLOOR(o_totalprice) AS BIGINT) ELSE 0 END) AS qb
+    FROM orders
+),
+d AS (
+    SELECT CAST(na AS DOUBLE) AS na, CAST(sa AS DOUBLE) AS sa, CAST(qa AS DOUBLE) AS qa,
+           CAST(nb AS DOUBLE) AS nb, CAST(sb AS DOUBLE) AS sb, CAST(qb AS DOUBLE) AS qb
+    FROM m
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       ROUND(sa / na, 6) AS mean_a,
+       ROUND(sb / nb, 6) AS mean_b,
+       ROUND((sa / na - sb / nb)
+             / SQRT(((qa - sa * sa / na) / (na - 1.0)) / na
+                    + ((qb - sb * sb / nb) / (nb - 1.0)) / nb), 6) AS t_stat,
+       ROUND((((qa - sa * sa / na) / (na - 1.0)) / na + ((qb - sb * sb / nb) / (nb - 1.0)) / nb)
+             * (((qa - sa * sa / na) / (na - 1.0)) / na + ((qb - sb * sb / nb) / (nb - 1.0)) / nb)
+             / ((((qa - sa * sa / na) / (na - 1.0)) / na) * (((qa - sa * sa / na) / (na - 1.0)) / na) / (na - 1.0)
+                + (((qb - sb * sb / nb) / (nb - 1.0)) / nb) * (((qb - sb * sb / nb) / (nb - 1.0)) / nb) / (nb - 1.0)),
+             6) AS welch_dof
+FROM d
+"""
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -3291,6 +3436,8 @@ QUERIES = {
     "embedding_norm_outliers": embedding_norm_outliers,
     "agg_xyz_classification": agg_xyz_classification,
     "text_code_detection": text_code_detection,
+    "sample_time_split_leakage": sample_time_split_leakage,
+    "agg_welch_ttest": agg_welch_ttest,
     "agg_hist2d_joint": agg_hist2d_joint,
     "agg_cohort_ltv_curve": agg_cohort_ltv_curve,
     "window_cusum_changepoint": window_cusum_changepoint,
@@ -3327,6 +3474,8 @@ ORACLES = {
     "embedding_norm_outliers": _NORM_OUTLIER_SQL,
     "agg_xyz_classification": _XYZ_SQL,
     "text_code_detection": _CODE_SQL,
+    "sample_time_split_leakage": _TIME_SPLIT_SQL,
+    "agg_welch_ttest": _TTEST_SQL,
     "agg_hist2d_joint": _HIST2D_SQL,
     "agg_cohort_ltv_curve": _LTV_SQL,
     "window_cusum_changepoint": _CUSUM_SQL,

@@ -749,3 +749,47 @@ def test_code_detection_counts(spark, sf_dir):
     assert 0 <= total_code < n_docs / 2
     for r in rows:
         assert 0 <= r["n_code_like"] <= r["n_docs"]
+
+
+def test_time_split_accounting(spark, sf_dir):
+    """Rows and customers conserve; leakage + train-only + val-only
+    equals the customer count."""
+    from parquet_batch_spark.operators.stats_ops import sample_time_split_leakage
+
+    row = sample_time_split_leakage(spark, sf_dir).collect()[0]
+    o = load(spark, sf_dir, "orders")
+    assert row["n_train_rows"] + row["n_val_rows"] == o.count()
+    n_cust = o.select("o_custkey").distinct().count()
+    assert (
+        row["n_train_only_customers"]
+        + row["n_val_only_customers"]
+        + row["n_leaking_customers"]
+        == n_cust
+    )
+
+
+def test_welch_ttest_matches_scipy_free_formula(spark, sf_dir):
+    """t statistic and dof match a numpy recomputation on the same
+    floor-dollar samples."""
+    from parquet_batch_spark.operators.stats_ops import (
+        TT_GROUP_A,
+        TT_GROUP_B,
+        agg_welch_ttest,
+    )
+
+    row = agg_welch_ttest(spark, sf_dir).collect()[0]
+    o = load(spark, sf_dir, "orders")
+    vals = o.select(
+        "o_orderpriority", F.floor("o_totalprice").cast("long").alias("y")
+    ).collect()
+    a = np.array([r["y"] for r in vals if r["o_orderpriority"] == TT_GROUP_A], dtype=float)
+    b = np.array([r["y"] for r in vals if r["o_orderpriority"] == TT_GROUP_B], dtype=float)
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / len(a) + vb / len(b)
+    t = (a.mean() - b.mean()) / math.sqrt(se2)
+    dof = se2 * se2 / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert math.isclose(row["t_stat"], t, abs_tol=1e-4)
+    assert math.isclose(row["welch_dof"], dof, rel_tol=1e-4)
