@@ -256,6 +256,7 @@ _PRIORITY = [
     "text_code_detection",
     "sample_time_split_leakage",
     "agg_welch_ttest",
+    "multimodal_content_sniff",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

@@ -488,7 +488,84 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+_SNIFF_MAGICS = (
+    ("png", "89504E47"),  # \x89PNG
+    ("jpeg", "FFD8FFE0"),  # JFIF SOI+APP0
+    ("riff", "52494646"),  # RIFF (wav/avi containers)
+)
+
+
+def multimodal_content_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-type sniffing by MAGIC BYTES over binary payloads — the
+    first gate of any media ingestion path (extensions lie; the
+    leading bytes don't). Synthetic payloads carry a real 4-byte
+    signature (PNG / JPEG-JFIF / RIFF, assigned by doc_id mod 3)
+    followed by the document bytes, so the sniffer exercises true
+    binary prefix dispatch; unknown content falls through to
+    'unknown'.
+
+    The comparison runs in HEX space (``hex(substring(payload, 1,
+    4))``) — identical uppercase hex in both engines — and byte
+    accounting uses binary length (octet_length in the oracle).
+
+    Scale: map-only signature dispatch + a ≤4-row rollup; payload
+    bytes never shuffle (only the per-type integer sums do).
+    """
+    d = load(spark, sf_dir, "documents")
+    magic = (
+        F.when(F.col("doc_id") % 3 == 0, F.unhex(F.lit(_SNIFF_MAGICS[0][1])))
+        .when(F.col("doc_id") % 3 == 1, F.unhex(F.lit(_SNIFF_MAGICS[1][1])))
+        .otherwise(F.unhex(F.lit(_SNIFF_MAGICS[2][1])))
+    )
+    payload = F.concat(magic, F.col("text").cast("binary"))
+    pfx = F.substring(F.hex(payload), 1, 8)
+    mtype = (
+        F.when(pfx == _SNIFF_MAGICS[0][1], _SNIFF_MAGICS[0][0])
+        .when(pfx == _SNIFF_MAGICS[1][1], _SNIFF_MAGICS[1][0])
+        .when(pfx == _SNIFF_MAGICS[2][1], _SNIFF_MAGICS[2][0])
+        .otherwise("unknown")
+    )
+    return (
+        d.select(mtype.alias("media_type"), F.length(payload).cast("long").alias("nbytes"))
+        .groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("nbytes").alias("total_bytes"),
+            F.min("nbytes").alias("min_bytes"),
+            F.max("nbytes").alias("max_bytes"),
+        )
+        .orderBy("media_type")
+    )
+
+
+_SNIFF_SQL = f"""
+WITH payloads AS (
+    SELECT CASE WHEN doc_id % 3 = 0 THEN unhex('{_SNIFF_MAGICS[0][1]}')
+                WHEN doc_id % 3 = 1 THEN unhex('{_SNIFF_MAGICS[1][1]}')
+                ELSE unhex('{_SNIFF_MAGICS[2][1]}') END || encode(text) AS payload
+    FROM documents
+),
+sniffed AS (
+    SELECT CASE substring(hex(payload), 1, 8)
+                WHEN '{_SNIFF_MAGICS[0][1]}' THEN '{_SNIFF_MAGICS[0][0]}'
+                WHEN '{_SNIFF_MAGICS[1][1]}' THEN '{_SNIFF_MAGICS[1][0]}'
+                WHEN '{_SNIFF_MAGICS[2][1]}' THEN '{_SNIFF_MAGICS[2][0]}'
+                ELSE 'unknown' END AS media_type,
+           CAST(octet_length(payload) AS BIGINT) AS nbytes
+    FROM payloads
+)
+SELECT media_type, COUNT(*) AS n_files,
+       CAST(SUM(nbytes) AS BIGINT) AS total_bytes,
+       CAST(MIN(nbytes) AS BIGINT) AS min_bytes,
+       CAST(MAX(nbytes) AS BIGINT) AS max_bytes
+FROM sniffed
+GROUP BY media_type
+ORDER BY media_type
+"""
+
+
 QUERIES = {
+    "multimodal_content_sniff": multimodal_content_sniff,
     "multimodal_payload_chunks": multimodal_payload_chunks,
     "multimodal_metadata": multimodal_metadata,
     "multimodal_decode_features": multimodal_decode_features,
@@ -498,6 +575,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_content_sniff": _SNIFF_SQL,
     "multimodal_payload_chunks": _PAYLOAD_CHUNKS_SQL,
     "multimodal_metadata": _MULTIMODAL_METADATA_SQL,
     "multimodal_decode_features": _MULTIMODAL_DECODE_SQL,

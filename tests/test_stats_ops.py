@@ -793,3 +793,21 @@ def test_welch_ttest_matches_scipy_free_formula(spark, sf_dir):
     assert row["n_a"] == len(a) and row["n_b"] == len(b)
     assert math.isclose(row["t_stat"], t, abs_tol=1e-4)
     assert math.isclose(row["welch_dof"], dof, rel_tol=1e-4)
+
+
+def test_content_sniff_partition(spark, sf_dir):
+    """Every doc sniffs into one of the three magic types (no unknown
+    for the synthetic corpus); counts follow doc_id mod 3."""
+    from parquet_batch_spark.operators.multimodal import multimodal_content_sniff
+
+    rows = multimodal_content_sniff(spark, sf_dir).collect()
+    types = {r["media_type"] for r in rows}
+    assert types == {"png", "jpeg", "riff"}
+    d = load(spark, sf_dir, "documents")
+    by_mod = {
+        m: d.where(F.col("doc_id") % 3 == m).count() for m in range(3)
+    }
+    got = {r["media_type"]: r["n_files"] for r in rows}
+    assert got["png"] == by_mod[0] and got["jpeg"] == by_mod[1] and got["riff"] == by_mod[2]
+    for r in rows:
+        assert 4 <= r["min_bytes"] <= r["max_bytes"]
