@@ -257,6 +257,8 @@ _PRIORITY = [
     "sample_time_split_leakage",
     "agg_welch_ttest",
     "multimodal_content_sniff",
+    "quality_schema_contract",
+    "sample_kfold_assignment",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

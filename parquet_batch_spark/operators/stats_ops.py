@@ -3405,6 +3405,164 @@ FROM d
 """
 
 
+# ---------------------------------------------------------------------------
+# quality_schema_contract — physical-schema contract validation
+# ---------------------------------------------------------------------------
+
+ORDERS_CONTRACT = (
+    ("o_orderkey", "INT64"),
+    ("o_custkey", "INT64"),
+    ("o_orderstatus", "BYTE_ARRAY"),
+    ("o_totalprice", "DOUBLE"),
+    ("o_orderdate", "INT64"),
+    ("o_orderpriority", "BYTE_ARRAY"),
+)
+
+_SPARK_TO_PHYSICAL = {
+    "bigint": "INT64",
+    "long": "INT64",
+    "int": "INT32",
+    "integer": "INT32",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "string": "BYTE_ARRAY",
+    "timestamp": "INT64",
+    "timestamp_ntz": "INT64",
+}
+
+
+def quality_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation at the PHYSICAL parquet level: the
+    orders table's columns checked (name, parquet physical type,
+    position) against the pinned contract — the gate an ingestion
+    pipeline runs before a producer's schema change silently reshapes
+    a 100 TB table. Logical Spark types are normalized to parquet
+    physical types (timestamps encode as INT64, strings as
+    BYTE_ARRAY) so the check matches what is actually on disk; the
+    oracle reads the same truth from parquet footer metadata.
+
+    Scale: pure metadata — a footer read, zero data rows scanned.
+    """
+    from parquet_batch_spark.catalog import table_path
+
+    actual = spark.read.parquet(table_path(sf_dir, "orders")).schema
+    rows = []
+    contract = dict(ORDERS_CONTRACT)
+    order = {name: i + 1 for i, (name, _) in enumerate(ORDERS_CONTRACT)}
+    for i, f in enumerate(actual.fields, 1):
+        phys = _SPARK_TO_PHYSICAL.get(f.dataType.simpleString(), "UNKNOWN")
+        rows.append(
+            (
+                f.name,
+                int(i),
+                phys,
+                contract.get(f.name, "MISSING"),
+                bool(contract.get(f.name) == phys and order.get(f.name) == i),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "column_name string, position long, physical_type string, "
+        "contract_type string, matches boolean",
+    ).orderBy("position")
+
+
+def _schema_contract_sql() -> str:
+    # The oracle reads footer truth from the sf0.01 file by FIXED path:
+    # the driver's comparison harness only registers table VIEWS (no
+    # path substitution), and the physical schema is scale-factor-
+    # invariant — the contract is a property of the dataset family.
+    contract_rows = ", ".join(
+        f"('{n}', {i + 1}, '{t}')" for i, (n, t) in enumerate(ORDERS_CONTRACT)
+    )
+    return f"""
+WITH actual AS (
+    SELECT name AS column_name,
+           CAST(ROW_NUMBER() OVER () AS BIGINT) AS position,
+           type AS physical_type
+    FROM (SELECT name, type
+          FROM parquet_schema('/root/testdata/sf0.01/orders.parquet')
+          WHERE type IS NOT NULL)
+),
+contract(column_name, cpos, contract_type) AS (VALUES {contract_rows})
+SELECT a.column_name, a.position, a.physical_type,
+       COALESCE(c.contract_type, 'MISSING') AS contract_type,
+       COALESCE(a.physical_type = c.contract_type AND a.position = c.cpos, FALSE) AS matches
+FROM actual a LEFT JOIN contract c USING (column_name)
+ORDER BY a.position
+"""
+
+# ---------------------------------------------------------------------------
+# sample_kfold_assignment — deterministic k-fold cross-validation splits
+# ---------------------------------------------------------------------------
+
+KFOLD_K = 5
+KFOLD_SALT = "cv1"
+
+
+def sample_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {KFOLD_K}-fold assignment by salted hash of the
+    CUSTOMER key (entity-level folds — row-level folds leak entities
+    across folds, the same trap ``sample_time_split_leakage`` audits
+    for time splits). Per fold: customer count, order count, exact
+    revenue, and the complement (training-side) customer count.
+
+    Assignment is pure map-side hash arithmetic — stable across runs,
+    engines, partitionings; fold membership travels with the entity.
+    """
+    from parquet_batch_spark.functions.numeric import dsum
+
+    o = load(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(KFOLD_SALT), F.col("o_custkey"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    fold = (h % KFOLD_K).alias("fold")
+    per_fold = (
+        o.select(fold, "o_custkey", "o_totalprice")
+        .groupBy("fold")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+        )
+    )
+    tot = Window.partitionBy()
+    return per_fold.select(
+        "fold",
+        "n_customers",
+        "n_orders",
+        "revenue",
+        (F.sum("n_customers").over(tot) - F.col("n_customers"))
+        .cast("long")
+        .alias("n_train_customers"),
+    ).orderBy("fold")
+
+
+def _kfold_sql() -> str:
+    from parquet_batch_spark.functions.numeric import sql_dsum
+
+    return f"""
+WITH assigned AS (
+    SELECT CAST(('0x' || substr(md5('{KFOLD_SALT}' || ':' || o_custkey), 1, 8)) AS UBIGINT)::BIGINT % {KFOLD_K} AS fold,
+           o_custkey, o_totalprice
+    FROM orders
+),
+per_fold AS (
+    SELECT fold, COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders, {sql_dsum("o_totalprice")} AS revenue
+    FROM assigned GROUP BY fold
+)
+SELECT fold, n_customers, n_orders, revenue,
+       CAST(SUM(n_customers) OVER () - n_customers AS BIGINT) AS n_train_customers
+FROM per_fold
+ORDER BY fold
+"""
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -3438,6 +3596,8 @@ QUERIES = {
     "text_code_detection": text_code_detection,
     "sample_time_split_leakage": sample_time_split_leakage,
     "agg_welch_ttest": agg_welch_ttest,
+    "quality_schema_contract": quality_schema_contract,
+    "sample_kfold_assignment": sample_kfold_assignment,
     "agg_hist2d_joint": agg_hist2d_joint,
     "agg_cohort_ltv_curve": agg_cohort_ltv_curve,
     "window_cusum_changepoint": window_cusum_changepoint,
@@ -3476,6 +3636,8 @@ ORACLES = {
     "text_code_detection": _CODE_SQL,
     "sample_time_split_leakage": _TIME_SPLIT_SQL,
     "agg_welch_ttest": _TTEST_SQL,
+    "quality_schema_contract": _schema_contract_sql(),
+    "sample_kfold_assignment": _kfold_sql(),
     "agg_hist2d_joint": _HIST2D_SQL,
     "agg_cohort_ltv_curve": _LTV_SQL,
     "window_cusum_changepoint": _CUSUM_SQL,

@@ -811,3 +811,33 @@ def test_content_sniff_partition(spark, sf_dir):
     assert got["png"] == by_mod[0] and got["jpeg"] == by_mod[1] and got["riff"] == by_mod[2]
     for r in rows:
         assert 4 <= r["min_bytes"] <= r["max_bytes"]
+
+
+def test_schema_contract_all_match(spark, sf_dir):
+    """Every orders column matches the pinned physical contract at this
+    SF (the negative case is covered by construction: a MISSING or
+    mismatched column would flip `matches`)."""
+    from parquet_batch_spark.operators.stats_ops import (
+        ORDERS_CONTRACT,
+        quality_schema_contract,
+    )
+
+    rows = quality_schema_contract(spark, sf_dir).collect()
+    assert len(rows) == len(ORDERS_CONTRACT)
+    assert all(r["matches"] for r in rows)
+    assert [r["column_name"] for r in rows] == [n for n, _ in ORDERS_CONTRACT]
+
+
+def test_kfold_partitions_customers(spark, sf_dir):
+    """All K folds present; customer counts partition the customer set;
+    train+fold = total for every fold; assignment deterministic."""
+    from parquet_batch_spark.operators.stats_ops import KFOLD_K, sample_kfold_assignment
+
+    rows1 = sample_kfold_assignment(spark, sf_dir).collect()
+    rows2 = sample_kfold_assignment(spark, sf_dir).collect()
+    assert [tuple(r) for r in rows1] == [tuple(r) for r in rows2]
+    assert [r["fold"] for r in rows1] == list(range(KFOLD_K))
+    n_cust = load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    assert sum(r["n_customers"] for r in rows1) == n_cust
+    for r in rows1:
+        assert r["n_customers"] + r["n_train_customers"] == n_cust
