@@ -259,6 +259,8 @@ _PRIORITY = [
     "multimodal_content_sniff",
     "quality_schema_contract",
     "sample_kfold_assignment",
+    "func_edit_distance",
+    "sort_nulls_placement",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

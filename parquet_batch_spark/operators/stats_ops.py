@@ -3563,6 +3563,121 @@ ORDER BY fold
 """
 
 
+# ---------------------------------------------------------------------------
+# func_edit_distance — built-in Levenshtein + normalized similarity
+# ---------------------------------------------------------------------------
+
+
+def func_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in Levenshtein edit distance between neighboring part
+    names (by part key) with a micro-quantized normalized similarity
+    1 − d/max(|a|,|b|) — the scalar primitive under fuzzy matching,
+    exposed directly (``dedup_fuzzy_levenshtein`` builds the scalable
+    pair generation on top; this op pins the METRIC's cross-engine
+    agreement).
+
+    Both engines implement classic unweighted Levenshtein; similarity
+    is exact-integer micro-units. One lead window per sorted slice.
+    """
+    p = load(spark, sf_dir, "part")
+    w = Window.orderBy("p_partkey")
+    pairs = (
+        p.where(F.col("p_partkey") % 20 == 0)
+        .select("p_partkey", "p_name")
+        .select(
+            "p_partkey",
+            "p_name",
+            F.lead("p_name").over(w).alias("next_name"),
+        )
+        .where(F.col("next_name").isNotNull())
+    )
+    d = F.levenshtein("p_name", "next_name")
+    sim = F.floor(
+        F.lit(1000000.0)
+        * (
+            F.lit(1.0)
+            - d.cast("double")
+            / F.greatest(F.length("p_name"), F.length("next_name")).cast("double")
+        )
+    ).cast("long")
+    return pairs.select(
+        "p_partkey",
+        "p_name",
+        "next_name",
+        d.cast("long").alias("edit_distance"),
+        sim.alias("similarity_micro"),
+    ).orderBy("p_partkey")
+
+
+_EDIT_SQL = """
+WITH pairs AS (
+    SELECT p_partkey, p_name,
+           LEAD(p_name) OVER (ORDER BY p_partkey) AS next_name
+    FROM part
+    WHERE p_partkey % 20 = 0
+)
+SELECT p_partkey, p_name, next_name,
+       CAST(levenshtein(p_name, next_name) AS BIGINT) AS edit_distance,
+       CAST(FLOOR(1000000.0 * (1.0 - CAST(levenshtein(p_name, next_name) AS DOUBLE)
+            / CAST(GREATEST(LENGTH(p_name), LENGTH(next_name)) AS DOUBLE))) AS BIGINT) AS similarity_micro
+FROM pairs
+WHERE next_name IS NOT NULL
+ORDER BY p_partkey
+"""
+
+# ---------------------------------------------------------------------------
+# sort_nulls_placement — explicit NULLS FIRST/LAST ordering semantics
+# ---------------------------------------------------------------------------
+
+
+def sort_nulls_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST vs NULLS LAST ordering made observable:
+    the engines' DEFAULTS differ (Spark ascends nulls-first, DuckDB
+    nulls-last), so portable ORDER BY must always say which — this op
+    ranks a nullable key both ways and emits both row numbers, the
+    regression test any cross-engine sort migration needs.
+
+    Ties are totalized by the order key, so both rankings are fully
+    deterministic.
+    """
+    o = load(spark, sf_dir, "orders")
+    digit = F.when(
+        F.col("o_orderpriority") != "5-LOW",
+        F.substring("o_orderpriority", 1, 1).cast("long"),
+    )
+    base = o.where(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", digit.alias("prio_digit")
+    )
+    rn_last = F.row_number().over(
+        Window.orderBy(F.col("prio_digit").asc_nulls_last(), F.col("o_orderkey").asc())
+    )
+    rn_first = F.row_number().over(
+        Window.orderBy(F.col("prio_digit").asc_nulls_first(), F.col("o_orderkey").asc())
+    )
+    return base.select(
+        "o_orderkey",
+        "prio_digit",
+        rn_last.cast("long").alias("rn_nulls_last"),
+        rn_first.cast("long").alias("rn_nulls_first"),
+    ).orderBy("o_orderkey")
+
+
+_NULLS_SORT_SQL = """
+WITH base AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority <> '5-LOW'
+                THEN CAST(substring(o_orderpriority, 1, 1) AS BIGINT) END AS prio_digit
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+)
+SELECT o_orderkey, prio_digit,
+       CAST(ROW_NUMBER() OVER (ORDER BY prio_digit ASC NULLS LAST, o_orderkey ASC) AS BIGINT) AS rn_nulls_last,
+       CAST(ROW_NUMBER() OVER (ORDER BY prio_digit ASC NULLS FIRST, o_orderkey ASC) AS BIGINT) AS rn_nulls_first
+FROM base
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -3598,6 +3713,8 @@ QUERIES = {
     "agg_welch_ttest": agg_welch_ttest,
     "quality_schema_contract": quality_schema_contract,
     "sample_kfold_assignment": sample_kfold_assignment,
+    "func_edit_distance": func_edit_distance,
+    "sort_nulls_placement": sort_nulls_placement,
     "agg_hist2d_joint": agg_hist2d_joint,
     "agg_cohort_ltv_curve": agg_cohort_ltv_curve,
     "window_cusum_changepoint": window_cusum_changepoint,
@@ -3638,6 +3755,8 @@ ORACLES = {
     "agg_welch_ttest": _TTEST_SQL,
     "quality_schema_contract": _schema_contract_sql(),
     "sample_kfold_assignment": _kfold_sql(),
+    "func_edit_distance": _EDIT_SQL,
+    "sort_nulls_placement": _NULLS_SORT_SQL,
     "agg_hist2d_joint": _HIST2D_SQL,
     "agg_cohort_ltv_curve": _LTV_SQL,
     "window_cusum_changepoint": _CUSUM_SQL,

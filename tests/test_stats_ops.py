@@ -841,3 +841,35 @@ def test_kfold_partitions_customers(spark, sf_dir):
     assert sum(r["n_customers"] for r in rows1) == n_cust
     for r in rows1:
         assert r["n_customers"] + r["n_train_customers"] == n_cust
+
+
+def test_edit_distance_properties(spark, sf_dir):
+    """Edit distance respects the length-difference lower bound and
+    max-length upper bound; similarity in [0, 1e6]."""
+    from parquet_batch_spark.operators.stats_ops import func_edit_distance
+
+    rows = func_edit_distance(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        la, lb = len(r["p_name"]), len(r["next_name"])
+        assert abs(la - lb) <= r["edit_distance"] <= max(la, lb)
+        assert 0 <= r["similarity_micro"] <= 1_000_000
+
+
+def test_nulls_placement_semantics(spark, sf_dir):
+    """With NULLS LAST the null keys take the highest ranks; with
+    NULLS FIRST the lowest; non-null relative order is identical."""
+    from parquet_batch_spark.operators.stats_ops import sort_nulls_placement
+
+    rows = sort_nulls_placement(spark, sf_dir).collect()
+    nulls = [r for r in rows if r["prio_digit"] is None]
+    nonnull = [r for r in rows if r["prio_digit"] is not None]
+    assert nulls and nonnull
+    n = len(rows)
+    assert {r["rn_nulls_last"] for r in nulls} == set(
+        range(n - len(nulls) + 1, n + 1)
+    )
+    assert {r["rn_nulls_first"] for r in nulls} == set(range(1, len(nulls) + 1))
+    shift = len(nulls)
+    for r in nonnull:
+        assert r["rn_nulls_first"] == r["rn_nulls_last"] + shift
