@@ -261,6 +261,7 @@ _PRIORITY = [
     "sample_kfold_assignment",
     "func_edit_distance",
     "sort_nulls_placement",
+    "agg_smoothed_group_means",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

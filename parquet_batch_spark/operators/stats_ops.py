@@ -3678,6 +3678,74 @@ ORDER BY o_orderkey
 """
 
 
+# ---------------------------------------------------------------------------
+# agg_smoothed_group_means — empirical-Bayes shrinkage toward the grand mean
+# ---------------------------------------------------------------------------
+
+SMOOTH_K = 50  # prior strength (pseudo-observations at the grand mean)
+
+
+def agg_smoothed_group_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian-smoothed per-brand average retail price: the standard
+    empirical-Bayes / additive-smoothing estimator sm_g = (Σy_g +
+    K·M) / (n_g + K) with K={SMOOTH_K} pseudo-observations at the
+    grand mean M — the technique every CTR / rating / conversion
+    pipeline uses so small groups don't whipsaw rankings.
+
+    Group sums are exact whole-dollar int64; the grand mean is an
+    exact global ratio broadcast into the per-group projection; raw
+    and smoothed means are rounded to 6dp. The output also carries the
+    shrink weight n/(n+K) so readers see HOW much each group was
+    pulled.
+
+    Scale: one group reduce + one scalar global reduce; the smoothing
+    itself is arithmetic in the final projection.
+    """
+    p = load(spark, sf_dir, "part")
+    y = F.floor("p_retailprice").cast("long")
+    groups = p.select(F.col("p_brand").alias("brand"), y.alias("y")).groupBy(
+        "brand"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("s"))
+    glob = groups.agg(
+        F.sum("n").alias("gn"),
+        F.sum("s").alias("gs"),
+    )
+    joined = groups.crossJoin(F.broadcast(glob))
+    grand = F.col("gs").cast("double") / F.col("gn").cast("double")
+    raw = F.col("s").cast("double") / F.col("n").cast("double")
+    smooth = (F.col("s").cast("double") + F.lit(float(SMOOTH_K)) * grand) / (
+        F.col("n").cast("double") + F.lit(float(SMOOTH_K))
+    )
+    return joined.select(
+        "brand",
+        "n",
+        F.round(raw, 6).alias("raw_mean"),
+        F.round(smooth, 6).alias("smoothed_mean"),
+        F.round(
+            F.col("n").cast("double") / (F.col("n") + F.lit(SMOOTH_K)).cast("double"), 6
+        ).alias("shrink_weight"),
+    ).orderBy("brand")
+
+
+_SMOOTH_SQL = f"""
+WITH groups AS (
+    SELECT p_brand AS brand, COUNT(*) AS n,
+           SUM(CAST(FLOOR(p_retailprice) AS BIGINT)) AS s
+    FROM part GROUP BY p_brand
+),
+overall AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS gn, CAST(SUM(s) AS BIGINT) AS gs FROM groups
+)
+SELECT brand, n,
+       ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_mean,
+       ROUND((CAST(s AS DOUBLE) + {SMOOTH_K}.0 * (CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE)))
+             / (CAST(n AS DOUBLE) + {SMOOTH_K}.0), 6) AS smoothed_mean,
+       ROUND(CAST(n AS DOUBLE) / CAST(n + {SMOOTH_K} AS DOUBLE), 6) AS shrink_weight
+FROM groups, overall
+ORDER BY brand
+"""
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -3715,6 +3783,7 @@ QUERIES = {
     "sample_kfold_assignment": sample_kfold_assignment,
     "func_edit_distance": func_edit_distance,
     "sort_nulls_placement": sort_nulls_placement,
+    "agg_smoothed_group_means": agg_smoothed_group_means,
     "agg_hist2d_joint": agg_hist2d_joint,
     "agg_cohort_ltv_curve": agg_cohort_ltv_curve,
     "window_cusum_changepoint": window_cusum_changepoint,
@@ -3757,6 +3826,7 @@ ORACLES = {
     "sample_kfold_assignment": _kfold_sql(),
     "func_edit_distance": _EDIT_SQL,
     "sort_nulls_placement": _NULLS_SORT_SQL,
+    "agg_smoothed_group_means": _SMOOTH_SQL,
     "agg_hist2d_joint": _HIST2D_SQL,
     "agg_cohort_ltv_curve": _LTV_SQL,
     "window_cusum_changepoint": _CUSUM_SQL,

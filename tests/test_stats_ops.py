@@ -873,3 +873,23 @@ def test_nulls_placement_semantics(spark, sf_dir):
     shift = len(nulls)
     for r in nonnull:
         assert r["rn_nulls_first"] == r["rn_nulls_last"] + shift
+
+
+def test_smoothed_means_shrink_toward_grand(spark, sf_dir):
+    """Smoothed means sit between the raw mean and the grand mean;
+    shrink weight matches n/(n+K); group masses conserve."""
+    from parquet_batch_spark.operators.stats_ops import SMOOTH_K, agg_smoothed_group_means
+
+    rows = agg_smoothed_group_means(spark, sf_dir).collect()
+    p = load(spark, sf_dir, "part")
+    n_parts = p.count()
+    assert sum(r["n"] for r in rows) == n_parts
+    grand = (
+        p.select(F.floor("p_retailprice").cast("long").alias("y"))
+        .agg(F.sum("y") / F.count("y"))
+        .collect()[0][0]
+    )
+    for r in rows:
+        lo, hi = sorted((r["raw_mean"], grand))
+        assert lo - 1e-6 <= r["smoothed_mean"] <= hi + 1e-6
+        assert math.isclose(r["shrink_weight"], r["n"] / (r["n"] + SMOOTH_K), abs_tol=1e-6)
