@@ -262,6 +262,9 @@ _PRIORITY = [
     "func_edit_distance",
     "sort_nulls_placement",
     "agg_smoothed_group_means",
+    "agg_fano_dispersion",
+    "agg_anova_oneway",
+    "agg_conversion_wilson_ci",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

@@ -3746,6 +3746,223 @@ ORDER BY brand
 """
 
 
+# ---------------------------------------------------------------------------
+# agg_fano_dispersion — burstiness of daily event arrivals
+# ---------------------------------------------------------------------------
+
+
+def agg_fano_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio) of daily event counts per
+    type — the point-process dispersion diagnostic: ≈1 is Poisson
+    (memoryless arrivals), >1 bursty (campaigns, incidents), <1
+    regular (rate-limited/scheduled). The cheap test that tells a
+    capacity model which arrival assumption is safe.
+
+    Daily counts are exact integers; variance comes from exact moment
+    sums (population variance over observed days); the ratio is a 6dp
+    round.
+
+    Scale: (type, day) reduce then a per-type 3-scalar moment reduce.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.col("ts").cast("date").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    n, s1, s2 = (F.col(c).cast("double") for c in ("n", "s1", "s2"))
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(var / mean, 6).alias("fano_factor"),
+    ).orderBy("event_type")
+
+
+_FANO_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+    FROM events GROUP BY 1, 2
+),
+m AS (
+    SELECT event_type, COUNT(*) AS n, SUM(c) AS s1, SUM(c * c) AS s2
+    FROM daily GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_daily,
+       ROUND((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+             / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS fano_factor
+FROM m
+ORDER BY event_type
+"""
+
+# ---------------------------------------------------------------------------
+# agg_anova_oneway — F statistic across all priority groups
+# ---------------------------------------------------------------------------
+
+
+ANOVA_PRIORITIES = (
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+)
+
+
+def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across ALL priority classes at once (the k-group
+    generalization of ``agg_welch_ttest``): F = (SSB/(k−1)) /
+    (SSW/(N−k)) — "does priority move order value at all", before any
+    pairwise digging.
+
+    The priority domain is a FIXED literal list, so the per-group
+    moment sums land as separate conditional-aggregate columns and
+    Σ s_g²/n_g is written as a fixed-order expression — a float SUM
+    over groups would be partial-aggregation-order-dependent and broke
+    the oracle hash on first write (caught by the dual-SF sweep).
+    All row-level sums are exact int64.
+
+    Scale: ONE conditional-aggregation pass (no groupBy shuffle),
+    constant arithmetic in the projection.
+    """
+    o = load(spark, sf_dir, "orders")
+    y = F.floor("o_totalprice").cast("long")
+    aggs = []
+    for i, p in enumerate(ANOVA_PRIORITIES):
+        is_p = F.col("o_orderpriority") == p
+        aggs.append(F.sum(F.when(is_p, 1).otherwise(0)).alias(f"n{i}"))
+        aggs.append(F.sum(F.when(is_p, F.col("y")).otherwise(0)).alias(f"s{i}"))
+    aggs.append(F.sum(F.col("y") * F.col("y")).alias("qq"))
+    m = o.select("o_orderpriority", y.alias("y")).agg(*aggs)
+    k = float(len(ANOVA_PRIORITIES))
+    nn = sum((F.col(f"n{i}").cast("double") for i in range(len(ANOVA_PRIORITIES))), F.lit(0.0))
+    ss = sum((F.col(f"s{i}").cast("double") for i in range(len(ANOVA_PRIORITIES))), F.lit(0.0))
+    sg = sum(
+        (
+            F.col(f"s{i}").cast("double")
+            * F.col(f"s{i}").cast("double")
+            / F.col(f"n{i}").cast("double")
+            for i in range(len(ANOVA_PRIORITIES))
+        ),
+        F.lit(0.0),
+    )
+    qq = F.col("qq").cast("double")
+    ssb = sg - ss * ss / nn
+    ssw = qq - sg
+    f_stat = (ssb / (k - 1.0)) / (ssw / (nn - k))
+    return m.select(
+        F.lit(len(ANOVA_PRIORITIES)).cast("long").alias("n_groups"),
+        nn.cast("long").alias("n_rows"),
+        # FLOOR, not round: ROUND(x, 6) on ~1e11 values multiplies past
+        # 2^53 inside DuckDB and drifts in the last decimals; floor of
+        # the identical double is exact in both engines.
+        F.floor(ssb).cast("long").alias("ss_between"),
+        F.floor(ssw).cast("long").alias("ss_within"),
+        F.round(f_stat, 6).alias("f_stat"),
+    )
+
+
+_ANOVA_SQL = """
+WITH m AS (
+    SELECT SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n0,\n           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(FLOOR(o_totalprice) AS BIGINT) ELSE 0 END) AS s0,\n           SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS n1,\n           SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(FLOOR(o_totalprice) AS BIGINT) ELSE 0 END) AS s1,\n           SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS n2,\n           SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(FLOOR(o_totalprice) AS BIGINT) ELSE 0 END) AS s2,\n           SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS n3,\n           SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(FLOOR(o_totalprice) AS BIGINT) ELSE 0 END) AS s3,\n           SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS n4,\n           SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(FLOOR(o_totalprice) AS BIGINT) ELSE 0 END) AS s4,\n           SUM(CAST(FLOOR(o_totalprice) AS BIGINT) * CAST(FLOOR(o_totalprice) AS BIGINT)) AS qq
+    FROM orders
+),
+d AS (
+    SELECT (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + CAST(n3 AS DOUBLE) + CAST(n4 AS DOUBLE)) AS nn, (CAST(s0 AS DOUBLE) + CAST(s1 AS DOUBLE) + CAST(s2 AS DOUBLE) + CAST(s3 AS DOUBLE) + CAST(s4 AS DOUBLE)) AS ss, (CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) + CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) + CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) / CAST(n3 AS DOUBLE) + CAST(s4 AS DOUBLE) * CAST(s4 AS DOUBLE) / CAST(n4 AS DOUBLE)) AS sg, CAST(qq AS DOUBLE) AS qq
+    FROM m
+)
+SELECT CAST(5 AS BIGINT) AS n_groups, CAST(nn AS BIGINT) AS n_rows,
+       CAST(FLOOR(sg - ss * ss / nn) AS BIGINT) AS ss_between,
+       CAST(FLOOR(qq - sg) AS BIGINT) AS ss_within,
+       ROUND(((sg - ss * ss / nn) / (5.0 - 1.0)) / ((qq - sg) / (nn - 5.0)), 6) AS f_stat
+FROM d
+"""
+
+# ---------------------------------------------------------------------------
+# agg_conversion_wilson_ci — Wilson score intervals for rates
+# ---------------------------------------------------------------------------
+
+WILSON_Z = 1.959964  # 95% two-sided, fixed literal in both engines
+
+
+def agg_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user-day purchase conversion rate with the WILSON score
+    interval — the small-sample-safe CI (the naive ±z√(p(1−p)/n)
+    interval goes negative and covers badly at low rates; Wilson is
+    what experimentation platforms actually ship).
+
+    Per DAY: of that day's active users, the share who purchased.
+    Counts exact; the interval is closed-form from identical operands
+    with the z literal pinned as a fixed constant in both engines.
+
+    Scale: user-day reduce, then day-grain conditional counts.
+    """
+    ev = load(spark, sf_dir, "events")
+    ud = (
+        ev.select(
+            F.col("ts").cast("date").alias("day"),
+            "user_id",
+            (F.col("event_type") == "purchase").alias("p"),
+        )
+        .groupBy("day", "user_id")
+        .agg(F.max(F.when(F.col("p"), 1).otherwise(0)).alias("purchased"))
+    )
+    daily = ud.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("purchased").cast("long").alias("x"),
+    )
+    n, x = F.col("n").cast("double"), F.col("x").cast("double")
+    z = F.lit(WILSON_Z)
+    phat = x / n
+    denom = 1.0 + z * z / n
+    center = (phat + z * z / (2.0 * n)) / denom
+    half = (
+        z
+        * F.sqrt(phat * (1.0 - phat) / n + z * z / (4.0 * n * n))
+        / denom
+    )
+    return daily.select(
+        "day",
+        "n",
+        "x",
+        F.round(phat, 6).alias("rate"),
+        F.round(center - half, 6).alias("wilson_lo"),
+        F.round(center + half, 6).alias("wilson_hi"),
+    ).orderBy("day")
+
+
+_WILSON_SQL = f"""
+WITH ud AS (
+    SELECT CAST(ts AS DATE) AS day, user_id,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+    FROM events GROUP BY 1, 2
+),
+daily AS (
+    SELECT day, COUNT(*) AS n, CAST(SUM(purchased) AS BIGINT) AS x
+    FROM ud GROUP BY day
+)
+SELECT day, n, x,
+       ROUND(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+       ROUND(((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) + {WILSON_Z} * {WILSON_Z} / (2.0 * CAST(n AS DOUBLE)))
+             / (1.0 + {WILSON_Z} * {WILSON_Z} / CAST(n AS DOUBLE))
+             - {WILSON_Z} * SQRT((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                                 + {WILSON_Z} * {WILSON_Z} / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+               / (1.0 + {WILSON_Z} * {WILSON_Z} / CAST(n AS DOUBLE)), 6) AS wilson_lo,
+       ROUND(((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) + {WILSON_Z} * {WILSON_Z} / (2.0 * CAST(n AS DOUBLE)))
+             / (1.0 + {WILSON_Z} * {WILSON_Z} / CAST(n AS DOUBLE))
+             + {WILSON_Z} * SQRT((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                                 + {WILSON_Z} * {WILSON_Z} / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+               / (1.0 + {WILSON_Z} * {WILSON_Z} / CAST(n AS DOUBLE)), 6) AS wilson_hi
+FROM daily
+ORDER BY day
+"""
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -3784,6 +4001,9 @@ QUERIES = {
     "func_edit_distance": func_edit_distance,
     "sort_nulls_placement": sort_nulls_placement,
     "agg_smoothed_group_means": agg_smoothed_group_means,
+    "agg_fano_dispersion": agg_fano_dispersion,
+    "agg_anova_oneway": agg_anova_oneway,
+    "agg_conversion_wilson_ci": agg_conversion_wilson_ci,
     "agg_hist2d_joint": agg_hist2d_joint,
     "agg_cohort_ltv_curve": agg_cohort_ltv_curve,
     "window_cusum_changepoint": window_cusum_changepoint,
@@ -3827,6 +4047,9 @@ ORACLES = {
     "func_edit_distance": _EDIT_SQL,
     "sort_nulls_placement": _NULLS_SORT_SQL,
     "agg_smoothed_group_means": _SMOOTH_SQL,
+    "agg_fano_dispersion": _FANO_SQL,
+    "agg_anova_oneway": _ANOVA_SQL,
+    "agg_conversion_wilson_ci": _WILSON_SQL,
     "agg_hist2d_joint": _HIST2D_SQL,
     "agg_cohort_ltv_curve": _LTV_SQL,
     "window_cusum_changepoint": _CUSUM_SQL,

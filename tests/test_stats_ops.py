@@ -893,3 +893,50 @@ def test_smoothed_means_shrink_toward_grand(spark, sf_dir):
         lo, hi = sorted((r["raw_mean"], grand))
         assert lo - 1e-6 <= r["smoothed_mean"] <= hi + 1e-6
         assert math.isclose(r["shrink_weight"], r["n"] / (r["n"] + SMOOTH_K), abs_tol=1e-6)
+
+
+def test_fano_positive(spark, sf_dir):
+    """Fano factors positive and finite; all event types covered."""
+    from parquet_batch_spark.operators.stats_ops import agg_fano_dispersion
+
+    rows = agg_fano_dispersion(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["mean_daily"] > 0 and r["fano_factor"] >= 0
+        assert math.isfinite(r["fano_factor"])
+
+
+def test_anova_matches_numpy(spark, sf_dir):
+    """F statistic matches a numpy recomputation on floor-dollar
+    values; SS decomposition is consistent (SSB + SSW = SST)."""
+    from parquet_batch_spark.operators.stats_ops import agg_anova_oneway
+
+    row = agg_anova_oneway(spark, sf_dir).collect()[0]
+    vals = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderpriority", F.floor("o_totalprice").cast("long").alias("y"))
+        .collect()
+    )
+    groups: dict = {}
+    for r in vals:
+        groups.setdefault(r["o_orderpriority"], []).append(float(r["y"]))
+    ys = [v for g in groups.values() for v in g]
+    grand = sum(ys) / len(ys)
+    ssb = sum(len(g) * (sum(g) / len(g) - grand) ** 2 for g in groups.values())
+    ssw = sum((v - sum(g) / len(g)) ** 2 for g in groups.values() for v in g)
+    k, n = len(groups), len(ys)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row["n_groups"] == k and row["n_rows"] == n
+    assert math.isclose(row["f_stat"], f, rel_tol=1e-6)
+    assert abs(row["ss_between"] + row["ss_within"] - (ssb + ssw)) < 10
+
+
+def test_wilson_interval_contains_rate(spark, sf_dir):
+    """Wilson bounds bracket the point rate, stay in [0,1], and narrow
+    as n grows."""
+    from parquet_batch_spark.operators.stats_ops import agg_conversion_wilson_ci
+
+    rows = agg_conversion_wilson_ci(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["wilson_lo"] <= r["rate"] <= r["wilson_hi"] <= 1.0
