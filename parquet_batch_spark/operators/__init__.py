@@ -265,6 +265,8 @@ _PRIORITY = [
     "agg_fano_dispersion",
     "agg_anova_oneway",
     "agg_conversion_wilson_ci",
+    "agg_power_mde",
+    "window_ship_latency_histogram",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

@@ -3963,6 +3963,151 @@ ORDER BY day
 """
 
 
+# ---------------------------------------------------------------------------
+# agg_power_mde — minimum detectable effect for the A/B design
+# ---------------------------------------------------------------------------
+
+MDE_Z_ALPHA = 1.959964  # two-sided 5%
+MDE_Z_BETA = 0.841621  # 80% power
+
+
+def agg_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power analysis for the customer A/B design: the minimum
+    detectable effect on mean account balance at 80% power / 5% α,
+    given the arms the salted hash actually produced
+    (``sample_ab_assignment_srm``'s design) — the number that says
+    whether an experiment is even worth launching at this sample size.
+
+    MDE = (z_α + z_β) · √(s²_a/n_a + s²_b/n_b) with variances from
+    exact integer cent-moments; z literals are fixed constants in both
+    engines. Also reports MDE relative to the pooled mean (the
+    "detectable lift").
+
+    Scale: one conditional-moment pass, scalar output.
+    """
+    c = load(spark, sf_dir, "customer")
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(AB_SALT), F.col("c_custkey"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    arm_a = (h % 100) < 50
+    yc = F.round(F.col("c_acctbal") * 100).cast("long")
+    m = c.select(arm_a.alias("a"), yc.alias("y")).agg(
+        F.sum(F.when(F.col("a"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("a"), F.col("y")).otherwise(0)).alias("sa"),
+        F.sum(F.when(F.col("a"), F.col("y") * F.col("y")).otherwise(0)).alias("qa"),
+        F.sum(F.when(~F.col("a"), 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(~F.col("a"), F.col("y")).otherwise(0)).alias("sb"),
+        F.sum(F.when(~F.col("a"), F.col("y") * F.col("y")).otherwise(0)).alias("qb"),
+    )
+    na, sa, qa = (F.col(x).cast("double") for x in ("na", "sa", "qa"))
+    nb, sb, qb = (F.col(x).cast("double") for x in ("nb", "sb", "qb"))
+    va = (qa - sa * sa / na) / (na - 1.0)
+    vb = (qb - sb * sb / nb) / (nb - 1.0)
+    mde_cents = (MDE_Z_ALPHA + MDE_Z_BETA) * F.sqrt(va / na + vb / nb)
+    pooled_mean = (sa + sb) / (na + nb)
+    return m.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(mde_cents / 100.0, 6).alias("mde_usd"),
+        F.round(mde_cents / pooled_mean, 6).alias("mde_relative"),
+    )
+
+
+_MDE_SQL = f"""
+WITH m AS (
+    SELECT
+        SUM(CASE WHEN arm_a THEN 1 ELSE 0 END) AS na,
+        SUM(CASE WHEN arm_a THEN y ELSE 0 END) AS sa,
+        SUM(CASE WHEN arm_a THEN y * y ELSE 0 END) AS qa,
+        SUM(CASE WHEN NOT arm_a THEN 1 ELSE 0 END) AS nb,
+        SUM(CASE WHEN NOT arm_a THEN y ELSE 0 END) AS sb,
+        SUM(CASE WHEN NOT arm_a THEN y * y ELSE 0 END) AS qb
+    FROM (
+        SELECT CAST(('0x' || substr(md5('{AB_SALT}' || ':' || c_custkey), 1, 8)) AS UBIGINT)::BIGINT % 100 < 50 AS arm_a,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS y
+        FROM customer
+    )
+),
+d AS (
+    SELECT CAST(na AS DOUBLE) AS na, CAST(sa AS DOUBLE) AS sa, CAST(qa AS DOUBLE) AS qa,
+           CAST(nb AS DOUBLE) AS nb, CAST(sb AS DOUBLE) AS sb, CAST(qb AS DOUBLE) AS qb
+    FROM m
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       ROUND(({MDE_Z_ALPHA} + {MDE_Z_BETA})
+             * SQRT(((qa - sa * sa / na) / (na - 1.0)) / na
+                    + ((qb - sb * sb / nb) / (nb - 1.0)) / nb) / 100.0, 6) AS mde_usd,
+       ROUND(({MDE_Z_ALPHA} + {MDE_Z_BETA})
+             * SQRT(((qa - sa * sa / na) / (na - 1.0)) / na
+                    + ((qb - sb * sb / nb) / (nb - 1.0)) / nb)
+             / ((sa + sb) / (na + nb)), 6) AS mde_relative
+FROM d
+"""
+
+# ---------------------------------------------------------------------------
+# window_ship_latency_histogram — order-to-ship latency distribution
+# ---------------------------------------------------------------------------
+
+LAT_BUCKET_DAYS = 30
+
+
+def window_ship_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per priority: days between
+    order date and each line's ship date, bucketed by {LAT_BUCKET_DAYS}
+    days with per-priority shares — the SLA view that shows whether
+    urgent orders actually ship faster.
+
+    Latencies are exact integer day gaps; the fact-fact join runs on
+    the order key (bounded per-key fan-out = lines per order).
+
+    Scale: key equi-join, then a (priority × bucket)-bounded count.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_orderdate").cast("date").alias("od")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    gap = F.datediff("sd", "od")
+    bucket = F.floor(gap / LAT_BUCKET_DAYS).cast("long")
+    row_w = Window.partitionBy("o_orderpriority")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_orderpriority").alias("priority"), bucket.alias("bucket"))
+        .groupBy("priority", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .select(
+            "priority",
+            "bucket",
+            "n_lines",
+            F.round(
+                F.col("n_lines").cast("double")
+                / F.sum("n_lines").over(Window.partitionBy("priority")).cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("priority", "bucket")
+    )
+
+
+_LATENCY_SQL = f"""
+WITH gaps AS (
+    SELECT o_orderpriority AS priority,
+           CAST(FLOOR(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+                / {LAT_BUCKET_DAYS}) AS BIGINT) AS bucket
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)
+SELECT priority, bucket, COUNT(*) AS n_lines,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER (PARTITION BY priority) AS DOUBLE), 6) AS share
+FROM gaps
+GROUP BY priority, bucket
+ORDER BY priority, bucket
+"""
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -4004,6 +4149,8 @@ QUERIES = {
     "agg_fano_dispersion": agg_fano_dispersion,
     "agg_anova_oneway": agg_anova_oneway,
     "agg_conversion_wilson_ci": agg_conversion_wilson_ci,
+    "agg_power_mde": agg_power_mde,
+    "window_ship_latency_histogram": window_ship_latency_histogram,
     "agg_hist2d_joint": agg_hist2d_joint,
     "agg_cohort_ltv_curve": agg_cohort_ltv_curve,
     "window_cusum_changepoint": window_cusum_changepoint,
@@ -4050,6 +4197,8 @@ ORACLES = {
     "agg_fano_dispersion": _FANO_SQL,
     "agg_anova_oneway": _ANOVA_SQL,
     "agg_conversion_wilson_ci": _WILSON_SQL,
+    "agg_power_mde": _MDE_SQL,
+    "window_ship_latency_histogram": _LATENCY_SQL,
     "agg_hist2d_joint": _HIST2D_SQL,
     "agg_cohort_ltv_curve": _LTV_SQL,
     "window_cusum_changepoint": _CUSUM_SQL,
