@@ -269,6 +269,7 @@ _PRIORITY = [
     "window_ship_latency_histogram",
     "agg_diff_in_diff",
     "text_js_divergence",
+    "agg_mann_whitney_u",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

@@ -4287,6 +4287,104 @@ ORDER BY sa, sb
 """
 
 
+# ---------------------------------------------------------------------------
+# agg_mann_whitney_u — rank-based nonparametric group comparison
+# ---------------------------------------------------------------------------
+
+
+def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U comparing order value between '{TT_GROUP_A}'
+    and '{TT_GROUP_B}' priorities — the rank-based test that stays
+    valid when the t-test's normality story doesn't (heavy-tailed
+    money data is the canonical case).
+
+    Average ranks are computed EXACTLY over the value-DISTINCT reduced
+    table: doubling the rank sum keeps tied-rank averages integral
+    (2·R_A = Σ n_Av·(2·cum_before + n_v + 1)), so U is exact int64;
+    the normal z approximation (no tie correction — noted) derives in
+    double and rounds to 6dp.
+
+    Scale: value-grain reduction first (domain-bounded for
+    whole-dollar prices), one cumulative window over that reduced
+    table, scalar output.
+    """
+    o = load(spark, sf_dir, "orders")
+    y = F.floor("o_totalprice").cast("long")
+    vals = (
+        o.where(F.col("o_orderpriority").isin(TT_GROUP_A, TT_GROUP_B))
+        .select(
+            y.alias("v"),
+            (F.col("o_orderpriority") == TT_GROUP_A).alias("a"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("a"), 1).otherwise(0)).cast("long").alias("na_v"),
+            F.sum(F.when(F.col("a"), 0).otherwise(1)).cast("long").alias("nb_v"),
+        )
+    )
+    cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    stepped = vals.select(
+        "v",
+        "na_v",
+        "nb_v",
+        F.coalesce(F.sum(F.col("na_v") + F.col("nb_v")).over(cum), F.lit(0)).alias(
+            "cum_before"
+        ),
+    )
+    two_ra = F.sum(
+        F.col("na_v")
+        * (2 * F.col("cum_before") + F.col("na_v") + F.col("nb_v") + 1)
+    )
+    m = stepped.agg(
+        F.sum("na_v").alias("na"),
+        F.sum("nb_v").alias("nb"),
+        two_ra.alias("two_ra"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    u_a = (F.col("two_ra").cast("double") - F.col("na").cast("double") * (F.col("na") + 1).cast("double")) / 2.0
+    mu = na * nb / 2.0
+    sigma = F.sqrt(na * nb * (na + nb + 1.0) / 12.0)
+    return m.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(u_a, 6).alias("u_a"),
+        F.round(na * nb - u_a, 6).alias("u_b"),
+        F.round((u_a - mu) / sigma, 6).alias("z_approx"),
+    )
+
+
+_MWU_SQL = f"""
+WITH vals AS (
+    SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS v,
+           CAST(SUM(CASE WHEN o_orderpriority = '{TT_GROUP_A}' THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+           CAST(SUM(CASE WHEN o_orderpriority = '{TT_GROUP_B}' THEN 1 ELSE 0 END) AS BIGINT) AS nb_v
+    FROM orders
+    WHERE o_orderpriority IN ('{TT_GROUP_A}', '{TT_GROUP_B}')
+    GROUP BY 1
+),
+stepped AS (
+    SELECT v, na_v, nb_v,
+           COALESCE(SUM(na_v + nb_v) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+    FROM vals
+),
+m AS (
+    SELECT SUM(na_v) AS na, SUM(nb_v) AS nb,
+           SUM(na_v * (2 * cum_before + na_v + nb_v + 1)) AS two_ra
+    FROM stepped
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       ROUND((CAST(two_ra AS DOUBLE) - CAST(na AS DOUBLE) * CAST(na + 1 AS DOUBLE)) / 2.0, 6) AS u_a,
+       ROUND(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+             - (CAST(two_ra AS DOUBLE) - CAST(na AS DOUBLE) * CAST(na + 1 AS DOUBLE)) / 2.0, 6) AS u_b,
+       ROUND(((CAST(two_ra AS DOUBLE) - CAST(na AS DOUBLE) * CAST(na + 1 AS DOUBLE)) / 2.0
+              - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+             / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0) / 12.0),
+             6) AS z_approx
+FROM m
+"""
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -4332,6 +4430,7 @@ QUERIES = {
     "window_ship_latency_histogram": window_ship_latency_histogram,
     "agg_diff_in_diff": agg_diff_in_diff,
     "text_js_divergence": text_js_divergence,
+    "agg_mann_whitney_u": agg_mann_whitney_u,
     "agg_hist2d_joint": agg_hist2d_joint,
     "agg_cohort_ltv_curve": agg_cohort_ltv_curve,
     "window_cusum_changepoint": window_cusum_changepoint,
@@ -4382,6 +4481,7 @@ ORACLES = {
     "window_ship_latency_histogram": _LATENCY_SQL,
     "agg_diff_in_diff": _DID_SQL,
     "text_js_divergence": _JS_SQL,
+    "agg_mann_whitney_u": _MWU_SQL,
     "agg_hist2d_joint": _HIST2D_SQL,
     "agg_cohort_ltv_curve": _LTV_SQL,
     "window_cusum_changepoint": _CUSUM_SQL,

@@ -1004,3 +1004,40 @@ def test_js_divergence_bounds(spark, sf_dir):
     assert len(rows) == k * (k - 1) // 2
     for r in rows:
         assert -1e-6 <= r["js_bits"] <= 1.0 + 1e-6
+
+
+def test_mann_whitney_matches_scipy_formula(spark, sf_dir):
+    """U statistics match a direct tie-aware recomputation; U_a + U_b
+    = n_a * n_b."""
+    from parquet_batch_spark.operators.stats_ops import (
+        TT_GROUP_A,
+        TT_GROUP_B,
+        agg_mann_whitney_u,
+    )
+
+    row = agg_mann_whitney_u(spark, sf_dir).collect()[0]
+    vals = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority").isin(TT_GROUP_A, TT_GROUP_B))
+        .select("o_orderpriority", F.floor("o_totalprice").cast("long").alias("y"))
+        .collect()
+    )
+    a = sorted(r["y"] for r in vals if r["o_orderpriority"] == TT_GROUP_A)
+    b = sorted(r["y"] for r in vals if r["o_orderpriority"] == TT_GROUP_B)
+    # tie-aware U via average ranks
+    combined = sorted((v, 0) for v in a) + sorted((v, 1) for v in b)
+    combined.sort(key=lambda t: t[0])
+    ranks: dict = {}
+    i = 0
+    while i < len(combined):
+        j = i
+        while j < len(combined) and combined[j][0] == combined[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2.0
+        ranks[combined[i][0]] = avg
+        i = j
+    ra = sum(ranks[v] for v in a)
+    u_a = ra - len(a) * (len(a) + 1) / 2.0
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert math.isclose(row["u_a"], u_a, abs_tol=1e-6)
+    assert math.isclose(row["u_a"] + row["u_b"], len(a) * len(b), abs_tol=1e-6)
