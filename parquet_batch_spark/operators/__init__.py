@@ -270,6 +270,7 @@ _PRIORITY = [
     "agg_diff_in_diff",
     "text_js_divergence",
     "agg_mann_whitney_u",
+    "window_runs_test",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

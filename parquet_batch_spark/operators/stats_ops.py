@@ -4385,6 +4385,111 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# window_runs_test — Wald–Wolfowitz randomness test on daily direction
+# ---------------------------------------------------------------------------
+
+
+def window_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the direction (up/down) of daily
+    revenue: too FEW runs means trending/sticky days, too MANY means
+    oscillation — the quick randomness screen before anyone fits a
+    fancy time-series model. Ties count as "down" (pinned convention,
+    noted in the output column names).
+
+    Run and direction counts are exact integers from two lag passes
+    over the reduced day series; the z score uses the standard
+    expected-runs formula from identical operands.
+
+    Scale: day-grain reduce; both windows run over the domain-bounded
+    series; scalar output.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.floor("o_totalprice").cast("long").alias("yd"),
+        )
+        .groupBy("day")
+        .agg(F.sum("yd").alias("x"))
+    )
+    seq = Window.orderBy("day")
+    signed = daily.select(
+        "day",
+        F.when(F.col("x") > F.lag("x").over(seq), 1).otherwise(0).alias("up"),
+        F.lag("x").over(seq).isNotNull().alias("has_prev"),
+    ).where(F.col("has_prev"))
+    runs_marked = signed.select(
+        "up",
+        F.when(
+            F.lag("up").over(Window.orderBy("day")).isNull()
+            | (F.col("up") != F.lag("up").over(Window.orderBy("day"))),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    m = runs_marked.agg(
+        F.sum("up").cast("long").alias("n_up"),
+        (F.count(F.lit(1)) - F.sum("up")).cast("long").alias("n_down"),
+        F.sum("new_run").cast("long").alias("n_runs"),
+    )
+    n1, n2, r = (F.col(c).cast("double") for c in ("n_up", "n_down", "n_runs"))
+    er = 1.0 + 2.0 * n1 * n2 / (n1 + n2)
+    vr = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    return m.select(
+        "n_up",
+        "n_down",
+        "n_runs",
+        F.round(er, 6).alias("expected_runs"),
+        F.round((r - er) / F.sqrt(vr), 6).alias("z_score"),
+    )
+
+
+_RUNS_SQL = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS x
+    FROM orders GROUP BY 1
+),
+signed AS (
+    SELECT day,
+           CASE WHEN x > LAG(x) OVER (ORDER BY day) THEN 1 ELSE 0 END AS up,
+           LAG(x) OVER (ORDER BY day) IS NOT NULL AS has_prev
+    FROM daily
+),
+runs_marked AS (
+    SELECT up,
+           CASE WHEN LAG(up) OVER (ORDER BY day) IS NULL
+                  OR up <> LAG(up) OVER (ORDER BY day) THEN 1 ELSE 0 END AS new_run
+    FROM (SELECT day, up FROM signed WHERE has_prev)
+),
+m AS (
+    SELECT CAST(SUM(up) AS BIGINT) AS n_up,
+           CAST(COUNT(*) - SUM(up) AS BIGINT) AS n_down,
+           CAST(SUM(new_run) AS BIGINT) AS n_runs
+    FROM runs_marked
+)
+SELECT n_up, n_down, n_runs,
+       ROUND(1.0 + 2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+             / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)), 6) AS expected_runs,
+       ROUND((CAST(n_runs AS DOUBLE)
+              - (1.0 + 2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                 / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))))
+             / SQRT(2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                    * (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                       - CAST(n_up AS DOUBLE) - CAST(n_down AS DOUBLE))
+                    / ((CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+                       * (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+                       * (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE) - 1.0))),
+             6) AS z_score
+FROM m
+"""
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -4431,6 +4536,7 @@ QUERIES = {
     "agg_diff_in_diff": agg_diff_in_diff,
     "text_js_divergence": text_js_divergence,
     "agg_mann_whitney_u": agg_mann_whitney_u,
+    "window_runs_test": window_runs_test,
     "agg_hist2d_joint": agg_hist2d_joint,
     "agg_cohort_ltv_curve": agg_cohort_ltv_curve,
     "window_cusum_changepoint": window_cusum_changepoint,
@@ -4482,6 +4588,7 @@ ORACLES = {
     "agg_diff_in_diff": _DID_SQL,
     "text_js_divergence": _JS_SQL,
     "agg_mann_whitney_u": _MWU_SQL,
+    "window_runs_test": _RUNS_SQL,
     "agg_hist2d_joint": _HIST2D_SQL,
     "agg_cohort_ltv_curve": _LTV_SQL,
     "window_cusum_changepoint": _CUSUM_SQL,

@@ -1041,3 +1041,28 @@ def test_mann_whitney_matches_scipy_formula(spark, sf_dir):
     assert row["n_a"] == len(a) and row["n_b"] == len(b)
     assert math.isclose(row["u_a"], u_a, abs_tol=1e-6)
     assert math.isclose(row["u_a"] + row["u_b"], len(a) * len(b), abs_tol=1e-6)
+
+
+def test_runs_test_brute_force(spark, sf_dir):
+    """Runs count matches a driver-side recomputation; counts conserve
+    the day series length minus one."""
+    from parquet_batch_spark.operators.stats_ops import window_runs_test
+
+    row = window_runs_test(spark, sf_dir).collect()[0]
+    daily = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.floor("o_totalprice").cast("long").alias("yd"),
+        )
+        .groupBy("day")
+        .agg(F.sum("yd").alias("x"))
+        .orderBy("day")
+        .collect()
+    )
+    xs = [r["x"] for r in daily]
+    ups = [1 if b > a else 0 for a, b in zip(xs, xs[1:])]
+    runs = 1 + sum(1 for a, b in zip(ups, ups[1:]) if a != b)
+    assert row["n_up"] + row["n_down"] == len(xs) - 1
+    assert row["n_up"] == sum(ups)
+    assert row["n_runs"] == runs
