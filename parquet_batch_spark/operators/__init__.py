@@ -271,6 +271,7 @@ _PRIORITY = [
     "text_js_divergence",
     "agg_mann_whitney_u",
     "window_runs_test",
+    "source_jsonl_corrupt_tolerant",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

@@ -1117,7 +1117,74 @@ ORDER BY lang
 """
 
 
+CORRUPT_EVERY = 7  # every Nth line is malformed
+
+
+def source_jsonl_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE JSONL ingestion with corrupt-record capture: a
+    staged line file (derived deterministically from the part table,
+    every {CORRUPT_EVERY}th line truncated mid-object) is read with an
+    explicit schema + ``_corrupt_record`` column, and the op accounts
+    for every line — the tolerant-ingestion contract a crawl/log
+    pipeline needs (FAILFAST would kill a 100 TB job for one bad
+    line; silent DROPMALFORMED loses the evidence).
+
+    The oracle never parses the broken file: the staging content is a
+    pure function of the part table, so good/corrupt accounting is
+    recomputed relationally.
+
+    Scale: line-splittable JSONL (no multiline), schema provided (no
+    inference pass), corrupt capture is per-row local work.
+    """
+    stage = _io_dir(sf_dir, "jsonl_corrupt")
+    os.makedirs(stage, exist_ok=True)
+    rows = (
+        load(spark, sf_dir, "part")
+        .select("p_partkey", "p_size")
+        .orderBy("p_partkey")
+        .collect()
+    )
+    path = os.path.join(stage, "parts.jsonl")
+    with open(path, "w") as fh:
+        for r in rows:
+            if r["p_partkey"] % CORRUPT_EVERY == 0:
+                fh.write('{"id": %d, "size":\n' % r["p_partkey"])
+            else:
+                fh.write('{"id": %d, "size": %d}\n' % (r["p_partkey"], r["p_size"]))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("size", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(path)
+    good = F.col("_corrupt_record").isNull()
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(good, 1).otherwise(0)).cast("long").alias("n_good"),
+        F.sum(F.when(~good, 1).otherwise(0)).cast("long").alias("n_corrupt"),
+        F.sum(F.when(good, F.col("size")).otherwise(0)).cast("long").alias(
+            "sum_size_good"
+        ),
+        F.max(F.when(good, F.col("id"))).alias("max_id_good"),
+    )
+
+
+_JSONL_CORRUPT_SQL = f"""
+SELECT COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN p_partkey % {CORRUPT_EVERY} <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+       CAST(SUM(CASE WHEN p_partkey % {CORRUPT_EVERY} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+       CAST(SUM(CASE WHEN p_partkey % {CORRUPT_EVERY} <> 0 THEN p_size ELSE 0 END) AS BIGINT) AS sum_size_good,
+       MAX(CASE WHEN p_partkey % {CORRUPT_EVERY} <> 0 THEN p_partkey END) AS max_id_good
+FROM part
+"""
+
+
 QUERIES = {
+    "source_jsonl_corrupt_tolerant": source_jsonl_corrupt_tolerant,
     "sink_retention_prune": sink_retention_prune,
     "source_multiformat_union": source_multiformat_union,
     "sink_selective_compaction": sink_selective_compaction,
@@ -1139,6 +1206,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "source_jsonl_corrupt_tolerant": _JSONL_CORRUPT_SQL,
     "sink_retention_prune": _RETENTION_SQL,
     "source_multiformat_union": _MULTIFMT_SQL,
     "sink_selective_compaction": _SEL_COMPACT_SQL,

@@ -1066,3 +1066,20 @@ def test_runs_test_brute_force(spark, sf_dir):
     assert row["n_up"] + row["n_down"] == len(xs) - 1
     assert row["n_up"] == sum(ups)
     assert row["n_runs"] == runs
+
+
+def test_jsonl_corrupt_accounting(spark, sf_dir):
+    """Good + corrupt = total lines; corrupt count matches the staging
+    rule; size sum matches the relational recomputation."""
+    from parquet_batch_spark.operators.sources_ext import (
+        CORRUPT_EVERY,
+        source_jsonl_corrupt_tolerant,
+    )
+
+    row = source_jsonl_corrupt_tolerant(spark, sf_dir).collect()[0]
+    p = load(spark, sf_dir, "part")
+    n = p.count()
+    n_corrupt = p.where(F.col("p_partkey") % CORRUPT_EVERY == 0).count()
+    assert row["n_lines"] == n
+    assert row["n_corrupt"] == n_corrupt
+    assert row["n_good"] == n - n_corrupt
