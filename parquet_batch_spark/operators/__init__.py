@@ -272,6 +272,7 @@ _PRIORITY = [
     "agg_mann_whitney_u",
     "window_runs_test",
     "source_jsonl_corrupt_tolerant",
+    "agg_split_gain_gini",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

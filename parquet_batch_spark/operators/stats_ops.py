@@ -4490,6 +4490,152 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# agg_split_gain_gini — decision-tree split screening
+# ---------------------------------------------------------------------------
+
+
+def agg_split_gain_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-impurity split gain of each candidate feature for
+    predicting order status — the univariate screen a feature-
+    selection pass runs before training trees: parent impurity minus
+    the child-weighted impurity after splitting on the feature
+    (priority class, value band, order year).
+
+    Impurities are Σp² forms over exact counts: per (feature_value,
+    status) counts reduce first, per-child terms are 6dp-rounded and
+    decimal-summed with exact-count weights — order-insensitive.
+
+    Scale: one (feature × value × status) count per feature (three
+    conditional passes unioned), all bounded by label×value domains.
+    """
+    o = load(spark, sf_dir, "orders")
+    feats = {
+        "priority": F.col("o_orderpriority"),
+        "value_band": F.floor(F.col("o_totalprice") / 100000).cast("string"),
+        "order_year": F.year("o_orderdate").cast("string"),
+    }
+    base = o.select(
+        F.col("o_orderstatus").alias("label"),
+        *[expr.alias(name) for name, expr in feats.items()],
+    )
+    per_feature = None
+    for name in feats:
+        cells = base.select(F.lit(name).alias("feature"), F.col(name).alias("v"), "label")
+        per_feature = cells if per_feature is None else per_feature.unionAll(cells)
+    counts = per_feature.groupBy("feature", "v", "label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    child_w = Window.partitionBy("feature", "v")
+    feat_w = Window.partitionBy("feature")
+    p = F.col("c").cast("double") / F.sum("c").over(child_w).cast("double")
+    # child Gini = 1 − Σ p²; accumulate Σ p² exactly via rounded terms
+    term = F.round(p * p, 6).cast("decimal(18,6)")
+    child = counts.select(
+        "feature",
+        "v",
+        F.col("c"),
+        term.alias("p2"),
+    ).groupBy("feature", "v").agg(
+        F.sum("c").alias("n_child"),
+        F.sum("p2").cast("decimal(18,6)").cast("double").alias("sum_p2"),
+    )
+    tot = Window.partitionBy("feature")
+    weighted = child.select(
+        "feature",
+        "n_child",
+        (
+            F.col("n_child").cast("double") / F.sum("n_child").over(tot).cast("double")
+            * (1.0 - F.col("sum_p2"))
+        ).alias("w_gini"),
+    )
+    wterm = F.round(F.col("w_gini"), 6).cast("decimal(18,6)")
+    split = weighted.select("feature", wterm.alias("wg")).groupBy("feature").agg(
+        F.sum("wg").cast("decimal(18,6)").cast("double").alias("child_gini")
+    )
+    parent_counts = base.groupBy("label").agg(F.count(F.lit(1)).alias("c"))
+    pw = Window.partitionBy()
+    pp = F.col("c").cast("double") / F.sum("c").over(pw).cast("double")
+    parent = (
+        parent_counts.select(F.round(pp * pp, 6).cast("decimal(18,6)").alias("p2"))
+        .agg((1.0 - F.sum("p2").cast("decimal(18,6)").cast("double")).alias("parent_gini"))
+    )
+    return (
+        split.crossJoin(F.broadcast(parent))
+        .select(
+            "feature",
+            F.round("parent_gini", 6).alias("parent_gini"),
+            F.round("child_gini", 6).alias("child_gini"),
+            F.round(F.col("parent_gini") - F.col("child_gini"), 6).alias("gain"),
+        )
+        .orderBy("feature")
+    )
+
+
+_SPLIT_GAIN_SQL = """
+WITH base AS (
+    SELECT o_orderstatus AS label,
+           o_orderpriority AS priority,
+           CAST(CAST(FLOOR(o_totalprice / 100000) AS BIGINT) AS VARCHAR) AS value_band,
+           CAST(YEAR(o_orderdate) AS VARCHAR) AS order_year
+    FROM orders
+),
+per_feature AS (
+    SELECT 'priority' AS feature, priority AS v, label FROM base
+    UNION ALL
+    SELECT 'value_band', value_band, label FROM base
+    UNION ALL
+    SELECT 'order_year', order_year, label FROM base
+),
+counts AS (
+    SELECT feature, v, label, COUNT(*) AS c
+    FROM per_feature GROUP BY 1, 2, 3
+),
+p2terms AS (
+    SELECT feature, v, c,
+           CAST(ROUND(
+               (CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY feature, v) AS DOUBLE))
+               * (CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY feature, v) AS DOUBLE)),
+               6) AS DECIMAL(18,6)) AS p2
+    FROM counts
+),
+child AS (
+    SELECT feature, v, CAST(SUM(c) AS BIGINT) AS n_child,
+           CAST(CAST(SUM(p2) AS DECIMAL(18,6)) AS DOUBLE) AS sum_p2
+    FROM p2terms
+    GROUP BY feature, v
+),
+wterms AS (
+    SELECT feature,
+           CAST(ROUND(
+               CAST(n_child AS DOUBLE) / CAST(SUM(n_child) OVER (PARTITION BY feature) AS DOUBLE)
+               * (1.0 - sum_p2), 6) AS DECIMAL(18,6)) AS wg
+    FROM child
+),
+split AS (
+    SELECT feature, CAST(CAST(SUM(wg) AS DECIMAL(18,6)) AS DOUBLE) AS child_gini
+    FROM wterms
+    GROUP BY feature
+),
+pterms AS (
+    SELECT CAST(ROUND(
+               (CAST(c AS DOUBLE) / CAST(SUM(c) OVER () AS DOUBLE))
+               * (CAST(c AS DOUBLE) / CAST(SUM(c) OVER () AS DOUBLE)), 6) AS DECIMAL(18,6)) AS p2
+    FROM (SELECT label, COUNT(*) AS c FROM base GROUP BY label)
+),
+parent AS (
+    SELECT 1.0 - CAST(CAST(SUM(p2) AS DECIMAL(18,6)) AS DOUBLE) AS parent_gini
+    FROM pterms
+)
+SELECT feature,
+       ROUND(parent_gini, 6) AS parent_gini,
+       ROUND(child_gini, 6) AS child_gini,
+       ROUND(parent_gini - child_gini, 6) AS gain
+FROM split, parent
+ORDER BY feature
+"""
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -4537,6 +4683,7 @@ QUERIES = {
     "text_js_divergence": text_js_divergence,
     "agg_mann_whitney_u": agg_mann_whitney_u,
     "window_runs_test": window_runs_test,
+    "agg_split_gain_gini": agg_split_gain_gini,
     "agg_hist2d_joint": agg_hist2d_joint,
     "agg_cohort_ltv_curve": agg_cohort_ltv_curve,
     "window_cusum_changepoint": window_cusum_changepoint,
@@ -4589,6 +4736,7 @@ ORACLES = {
     "text_js_divergence": _JS_SQL,
     "agg_mann_whitney_u": _MWU_SQL,
     "window_runs_test": _RUNS_SQL,
+    "agg_split_gain_gini": _SPLIT_GAIN_SQL,
     "agg_hist2d_joint": _HIST2D_SQL,
     "agg_cohort_ltv_curve": _LTV_SQL,
     "window_cusum_changepoint": _CUSUM_SQL,

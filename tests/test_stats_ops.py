@@ -1083,3 +1083,17 @@ def test_jsonl_corrupt_accounting(spark, sf_dir):
     assert row["n_lines"] == n
     assert row["n_corrupt"] == n_corrupt
     assert row["n_good"] == n - n_corrupt
+
+
+def test_split_gain_nonnegative(spark, sf_dir):
+    """Split gain is ≥ 0 (up to term rounding) for every feature —
+    conditioning never increases Gini impurity; parent impurity within
+    (0, 1−1/k]."""
+    from parquet_batch_spark.operators.stats_ops import agg_split_gain_gini
+
+    rows = agg_split_gain_gini(spark, sf_dir).collect()
+    assert {r["feature"] for r in rows} == {"priority", "value_band", "order_year"}
+    for r in rows:
+        assert 0.0 < r["parent_gini"] <= 1.0
+        assert r["gain"] >= -1e-4
+        assert r["child_gini"] <= r["parent_gini"] + 1e-4
