@@ -273,6 +273,7 @@ _PRIORITY = [
     "window_runs_test",
     "source_jsonl_corrupt_tolerant",
     "agg_split_gain_gini",
+    "text_char_entropy",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

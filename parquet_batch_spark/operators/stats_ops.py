@@ -4636,6 +4636,100 @@ ORDER BY feature
 """
 
 
+# ---------------------------------------------------------------------------
+# text_char_entropy — character-entropy junk screen per cohort
+# ---------------------------------------------------------------------------
+
+
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy averaged per (lang, source)
+    cohort — the junk detector orthogonal to word-level rules:
+    base64/hex blobs score near log2(alphabet) (too HIGH), repeated-
+    character padding scores near 0 (too LOW); natural text sits in a
+    band. Complements ``text_code_detection``'s symbol heuristics.
+
+    Per (doc, char) counts reduce first (rows ≤ corpus characters,
+    map-side combined); per-doc entropies are 6dp-rounded sums of
+    rounded −p·log2 p terms (exact decimal accumulation at BOTH
+    levels), then averaged per cohort with exact counts.
+
+    Scale: the explode is the honest cost (1 row per character before
+    combine); everything after runs on (doc × alphabet)-bounded rows.
+    """
+    d = load(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.split(F.col("text"), "")).alias("ch"),
+    ).where(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "lang", "source", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    doc_w = Window.partitionBy("doc_id")
+    p = F.col("c").cast("double") / F.sum("c").over(doc_w).cast("double")
+    term = F.round(-p * F.log2(p), 6).cast("decimal(18,6)")
+    per_doc = (
+        counts.select("doc_id", "lang", "source", term.alias("t"))
+        .groupBy("doc_id", "lang", "source")
+        .agg(F.sum("t").cast("decimal(18,6)").alias("h"))
+    )
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("h").cast("decimal(28,6)").alias("h_sum"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            # integer micro-units: h_sum is 6dp-exact decimal, so
+            # h_sum·1e6 is an exact int and the floor-divide is
+            # engine-identical — ROUND(sum/n, 6) was NOT (on-grid
+            # decimal quotients straddle the double grid and the two
+            # engines' round implementations disagree; caught by the
+            # dual-SF sweep)
+            F.floor(
+                (F.col("h_sum") * 1000000).cast("long")
+                / F.col("n_docs").cast("double")
+            )
+            .cast("long")
+            .alias("avg_char_entropy_micro"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_CHAR_ENTROPY_SQL = """
+WITH chars AS (
+    SELECT doc_id, lang, source, UNNEST(string_split_regex(text, '')) AS ch
+    FROM documents
+),
+counts AS (
+    SELECT doc_id, lang, source, ch, COUNT(*) AS c
+    FROM chars WHERE ch <> '' GROUP BY 1, 2, 3, 4
+),
+terms AS (
+    SELECT doc_id, lang, source,
+           CAST(ROUND(-(CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY doc_id) AS DOUBLE))
+                * LOG2(CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY doc_id) AS DOUBLE)),
+                6) AS DECIMAL(18,6)) AS t
+    FROM counts
+),
+per_doc AS (
+    SELECT doc_id, lang, source, CAST(SUM(t) AS DECIMAL(18,6)) AS h
+    FROM terms GROUP BY 1, 2, 3
+)
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(FLOOR(CAST(CAST(CAST(SUM(h) AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS avg_char_entropy_micro
+FROM per_doc
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -4684,6 +4778,7 @@ QUERIES = {
     "agg_mann_whitney_u": agg_mann_whitney_u,
     "window_runs_test": window_runs_test,
     "agg_split_gain_gini": agg_split_gain_gini,
+    "text_char_entropy": text_char_entropy,
     "agg_hist2d_joint": agg_hist2d_joint,
     "agg_cohort_ltv_curve": agg_cohort_ltv_curve,
     "window_cusum_changepoint": window_cusum_changepoint,
@@ -4737,6 +4832,7 @@ ORACLES = {
     "agg_mann_whitney_u": _MWU_SQL,
     "window_runs_test": _RUNS_SQL,
     "agg_split_gain_gini": _SPLIT_GAIN_SQL,
+    "text_char_entropy": _CHAR_ENTROPY_SQL,
     "agg_hist2d_joint": _HIST2D_SQL,
     "agg_cohort_ltv_curve": _LTV_SQL,
     "window_cusum_changepoint": _CUSUM_SQL,

@@ -1097,3 +1097,15 @@ def test_split_gain_nonnegative(spark, sf_dir):
         assert 0.0 < r["parent_gini"] <= 1.0
         assert r["gain"] >= -1e-4
         assert r["child_gini"] <= r["parent_gini"] + 1e-4
+
+
+def test_char_entropy_band(spark, sf_dir):
+    """Natural-language cohorts sit in a sane entropy band (2-6 bits);
+    doc counts conserve corpus mass."""
+    from parquet_batch_spark.operators.stats_ops import text_char_entropy
+
+    rows = text_char_entropy(spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert 2_000_000 <= r["avg_char_entropy_micro"] <= 6_000_000
