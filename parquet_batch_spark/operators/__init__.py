@@ -274,6 +274,8 @@ _PRIORITY = [
     "source_jsonl_corrupt_tolerant",
     "agg_split_gain_gini",
     "text_char_entropy",
+    "window_bounce_rate",
+    "approx_hll_precision_sweep",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

@@ -4730,6 +4730,139 @@ ORDER BY lang, source
 """
 
 
+# ---------------------------------------------------------------------------
+# window_bounce_rate — single-event sessions per day
+# ---------------------------------------------------------------------------
+
+
+def window_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of sessions containing exactly ONE
+    event — the engagement-quality headline next to peak concurrency
+    (``window_peak_concurrency`` reuses the same {PEAK_GAP_S}s gap
+    sessionization, so the two dashboards agree on what a session is).
+
+    Counts exact; rate is a 6dp integer ratio. A session belongs to
+    the day of its first event.
+
+    Scale: one user-partition sessionize window, session-grain
+    reduce, day-grain rollup.
+    """
+    ev = load(spark, sf_dir, "events")
+    sec = F.floor(F.unix_timestamp("ts")).cast("long")
+    user_w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    marked = ev.select("user_id", "event_id", sec.alias("s")).withColumn(
+        "new_sess",
+        F.when((F.col("s") - F.lag("s").over(user_w)) > PEAK_GAP_S, 1).otherwise(0),
+    )
+    sess_w = Window.partitionBy("user_id").orderBy("s", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = (
+        marked.withColumn("sess_id", F.sum("new_sess").over(sess_w))
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("s").alias("s0"), F.count(F.lit(1)).alias("n_events"))
+    )
+    day = F.floor(F.col("s0") / 86400).cast("long")
+    return (
+        sessions.select(day.alias("day_idx"), (F.col("n_events") == 1).alias("b"))
+        .groupBy("day_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.when(F.col("b"), 1).otherwise(0)).cast("long").alias("n_bounces"),
+        )
+        .select(
+            "day_idx",
+            "n_sessions",
+            "n_bounces",
+            F.round(
+                F.col("n_bounces").cast("double") / F.col("n_sessions").cast("double"),
+                6,
+            ).alias("bounce_rate"),
+        )
+        .orderBy("day_idx")
+    )
+
+
+_BOUNCE_SQL = f"""
+WITH marked AS (
+    SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+           CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                     - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id)
+                     > {PEAK_GAP_S} THEN 1 ELSE 0 END AS new_sess
+    FROM events
+),
+sessions AS (
+    SELECT user_id, sess_id, MIN(s) AS s0, COUNT(*) AS n_events
+    FROM (
+        SELECT user_id, s,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM marked
+    )
+    GROUP BY user_id, sess_id
+),
+daily AS (
+    SELECT CAST(FLOOR(s0 / 86400) AS BIGINT) AS day_idx,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces
+    FROM sessions
+    GROUP BY 1
+)
+SELECT day_idx, n_sessions, n_bounces,
+       ROUND(CAST(n_bounces AS DOUBLE) / CAST(n_sessions AS DOUBLE), 6) AS bounce_rate
+FROM daily
+ORDER BY day_idx
+"""
+
+# ---------------------------------------------------------------------------
+# approx_hll_precision_sweep — sketch accuracy vs configured error
+# ---------------------------------------------------------------------------
+
+HLL_RSDS = (0.01, 0.02, 0.05, 0.10)
+
+
+def approx_hll_precision_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ precision/accuracy sweep: the distinct-customer estimate
+    at four configured relative standard deviations against the exact
+    count — the sizing table that picks a sketch precision for a
+    100 TB rollup (memory scales ~1/rsd², so 1% costs 25× the
+    registers of 5%).
+
+    Oracle strategy (as ``approx_distinct_sketch``): sketch values
+    are engine-specific, so the projection is the exact count plus a
+    deterministic within-3σ bound check per precision — Spark's HLL++
+    is deterministic for fixed data; oracle states TRUE.
+    """
+    o = load(spark, sf_dir, "orders")
+    aggs = [F.countDistinct("o_custkey").alias("exact_customers")]
+    for rsd in HLL_RSDS:
+        tag = str(rsd).replace(".", "_")
+        aggs.append(F.approx_count_distinct("o_custkey", rsd).alias(f"est_{tag}"))
+    m = o.agg(*aggs)
+    cols = [F.col("exact_customers").cast("long").alias("exact_customers")]
+    for rsd in HLL_RSDS:
+        tag = str(rsd).replace(".", "_")
+        rel_err = F.abs(
+            F.col(f"est_{tag}").cast("double")
+            / F.col("exact_customers").cast("double")
+            - 1.0
+        )
+        cols.append((rel_err <= 3.0 * rsd).alias(f"within_3sigma_{tag}"))
+    return m.select(*cols)
+
+
+def _hll_sweep_sql() -> str:
+    bools = ",\n       ".join(
+        f"TRUE AS within_3sigma_{str(r).replace('.', '_')}" for r in HLL_RSDS
+    )
+    return f"""
+SELECT COUNT(DISTINCT o_custkey) AS exact_customers,
+       {bools}
+FROM orders
+"""
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -4779,6 +4912,8 @@ QUERIES = {
     "window_runs_test": window_runs_test,
     "agg_split_gain_gini": agg_split_gain_gini,
     "text_char_entropy": text_char_entropy,
+    "window_bounce_rate": window_bounce_rate,
+    "approx_hll_precision_sweep": approx_hll_precision_sweep,
     "agg_hist2d_joint": agg_hist2d_joint,
     "agg_cohort_ltv_curve": agg_cohort_ltv_curve,
     "window_cusum_changepoint": window_cusum_changepoint,
@@ -4833,6 +4968,8 @@ ORACLES = {
     "window_runs_test": _RUNS_SQL,
     "agg_split_gain_gini": _SPLIT_GAIN_SQL,
     "text_char_entropy": _CHAR_ENTROPY_SQL,
+    "window_bounce_rate": _BOUNCE_SQL,
+    "approx_hll_precision_sweep": _hll_sweep_sql(),
     "agg_hist2d_joint": _HIST2D_SQL,
     "agg_cohort_ltv_curve": _LTV_SQL,
     "window_cusum_changepoint": _CUSUM_SQL,

@@ -1109,3 +1109,35 @@ def test_char_entropy_band(spark, sf_dir):
     assert sum(r["n_docs"] for r in rows) == n_docs
     for r in rows:
         assert 2_000_000 <= r["avg_char_entropy_micro"] <= 6_000_000
+
+
+def test_bounce_rate_consistency(spark, sf_dir):
+    """Bounces never exceed sessions; session totals match the peak-
+    concurrency op's session starts per day."""
+    from parquet_batch_spark.operators.stats_ops import (
+        window_bounce_rate,
+        window_peak_concurrency,
+    )
+
+    rows = window_bounce_rate(spark, sf_dir).collect()
+    peaks = {
+        r["day_idx"]: r["n_sessions_started"]
+        for r in window_peak_concurrency(spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert 0 <= r["n_bounces"] <= r["n_sessions"]
+        assert r["n_sessions"] == peaks[r["day_idx"]]
+        assert 0.0 <= r["bounce_rate"] <= 1.0
+
+
+def test_hll_sweep_bounds_hold(spark, sf_dir):
+    """Every configured precision lands within its 3-sigma band and
+    the exact count matches a direct distinct."""
+    from parquet_batch_spark.operators.stats_ops import approx_hll_precision_sweep
+
+    row = approx_hll_precision_sweep(spark, sf_dir).collect()[0]
+    exact = load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    assert row["exact_customers"] == exact
+    for k, v in row.asDict().items():
+        if k.startswith("within_3sigma_"):
+            assert v is True, k
