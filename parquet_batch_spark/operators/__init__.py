@@ -276,6 +276,8 @@ _PRIORITY = [
     "text_char_entropy",
     "window_bounce_rate",
     "approx_hll_precision_sweep",
+    "quality_cross_field_consistency",
+    "ml_rule_eval_f1",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

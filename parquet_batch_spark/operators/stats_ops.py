@@ -4863,6 +4863,132 @@ FROM orders
 """
 
 
+# ---------------------------------------------------------------------------
+# quality_cross_field_consistency — cross-table temporal invariant audit
+# ---------------------------------------------------------------------------
+
+
+def quality_cross_field_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-field invariant audit: line items that SHIP BEFORE their
+    order date — a physically impossible sequence the generator of
+    this synthetic dataset actually produces (discovered while
+    building the latency histogram), which is precisely the class of
+    violation a real pipeline must count, not silently absorb, before
+    computing any latency metric.
+
+    Output per priority: lines, violations, share, and the worst
+    (most negative) lead in days — exact integers and 6dp ratios.
+
+    Scale: one bounded-fanout key join, conditional counts.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_orderdate").cast("date").alias("od")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    gap = F.datediff("sd", "od")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_orderpriority").alias("priority"), gap.alias("g"))
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("g") < 0, 1).otherwise(0)).cast("long").alias(
+                "n_violations"
+            ),
+            F.min("g").cast("long").alias("worst_lead_days"),
+        )
+        .select(
+            "priority",
+            "n_lines",
+            "n_violations",
+            F.round(
+                F.col("n_violations").cast("double") / F.col("n_lines").cast("double"),
+                6,
+            ).alias("violation_share"),
+            "worst_lead_days",
+        )
+        .orderBy("priority")
+    )
+
+
+_CONSISTENCY_SQL = """
+WITH gaps AS (
+    SELECT o_orderpriority AS priority,
+           date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS g
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)
+SELECT priority, COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN g < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       ROUND(CAST(SUM(CASE WHEN g < 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS violation_share,
+       CAST(MIN(g) AS BIGINT) AS worst_lead_days
+FROM gaps
+GROUP BY priority
+ORDER BY priority
+"""
+
+# ---------------------------------------------------------------------------
+# ml_rule_eval_f1 — precision/recall/F1 of a threshold rule
+# ---------------------------------------------------------------------------
+
+RULE_THRESHOLD = 300_000  # predict URGENT when order value exceeds this
+
+
+def ml_rule_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation primitives from one conditional pass:
+    the rule "order value > ${RULE_THRESHOLD} ⇒ urgent" scored
+    against the actual priority label with exact confusion-matrix
+    counts and 6dp precision / recall / F1 — the evaluation harness
+    every model-vs-heuristic bake-off needs, with the confusion cells
+    exposed so the ratios are auditable.
+
+    (The rule is deliberately weak on this near-uniform synthetic
+    data — the op pins the MECHANISM; a real feature would move F1.)
+
+    Scale: map-only predicate + four conditional counts, no shuffle.
+    """
+    o = load(spark, sf_dir, "orders")
+    pred = F.col("o_totalprice") > RULE_THRESHOLD
+    actual = F.col("o_orderpriority") == "1-URGENT"
+    m = o.select(pred.alias("p"), actual.alias("a")).agg(
+        F.sum(F.when(F.col("p") & F.col("a"), 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(F.col("p") & ~F.col("a"), 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(~F.col("p") & F.col("a"), 1).otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when(~F.col("p") & ~F.col("a"), 1).otherwise(0)).cast("long").alias("tn"),
+    )
+    tp, fp, fn = (F.col(c).cast("double") for c in ("tp", "fp", "fn"))
+    precision = tp / (tp + fp)
+    recall = tp / (tp + fn)
+    return m.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(precision, 6).alias("precision"),
+        F.round(recall, 6).alias("recall"),
+        F.round(2.0 * precision * recall / (precision + recall), 6).alias("f1"),
+    )
+
+
+_RULE_F1_SQL = f"""
+WITH m AS (
+    SELECT
+        CAST(SUM(CASE WHEN o_totalprice > {RULE_THRESHOLD} AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN o_totalprice > {RULE_THRESHOLD} AND o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN o_totalprice <= {RULE_THRESHOLD} AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN o_totalprice <= {RULE_THRESHOLD} AND o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS tn
+    FROM orders
+)
+SELECT tp, fp, fn, tn,
+       ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision,
+       ROUND(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall,
+       ROUND(2.0 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)) * (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
+             / ((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)) + (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))), 6) AS f1
+FROM m
+"""
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -4914,6 +5040,8 @@ QUERIES = {
     "text_char_entropy": text_char_entropy,
     "window_bounce_rate": window_bounce_rate,
     "approx_hll_precision_sweep": approx_hll_precision_sweep,
+    "quality_cross_field_consistency": quality_cross_field_consistency,
+    "ml_rule_eval_f1": ml_rule_eval_f1,
     "agg_hist2d_joint": agg_hist2d_joint,
     "agg_cohort_ltv_curve": agg_cohort_ltv_curve,
     "window_cusum_changepoint": window_cusum_changepoint,
@@ -4970,6 +5098,8 @@ ORACLES = {
     "text_char_entropy": _CHAR_ENTROPY_SQL,
     "window_bounce_rate": _BOUNCE_SQL,
     "approx_hll_precision_sweep": _hll_sweep_sql(),
+    "quality_cross_field_consistency": _CONSISTENCY_SQL,
+    "ml_rule_eval_f1": _RULE_F1_SQL,
     "agg_hist2d_joint": _HIST2D_SQL,
     "agg_cohort_ltv_curve": _LTV_SQL,
     "window_cusum_changepoint": _CUSUM_SQL,

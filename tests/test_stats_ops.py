@@ -1141,3 +1141,31 @@ def test_hll_sweep_bounds_hold(spark, sf_dir):
     for k, v in row.asDict().items():
         if k.startswith("within_3sigma_"):
             assert v is True, k
+
+
+def test_consistency_audit_counts(spark, sf_dir):
+    """Violation counts match a direct filter; shares bounded."""
+    from parquet_batch_spark.operators.stats_ops import quality_cross_field_consistency
+
+    rows = quality_cross_field_consistency(spark, sf_dir).collect()
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    joined = o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    direct = joined.where(
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")) < 0
+    ).count()
+    assert sum(r["n_violations"] for r in rows) == direct
+    for r in rows:
+        assert 0.0 <= r["violation_share"] <= 1.0
+
+
+def test_rule_eval_confusion_consistent(spark, sf_dir):
+    """Confusion cells partition the orders; F1 is the harmonic mean of
+    the reported precision/recall."""
+    from parquet_batch_spark.operators.stats_ops import ml_rule_eval_f1
+
+    row = ml_rule_eval_f1(spark, sf_dir).collect()[0]
+    n = load(spark, sf_dir, "orders").count()
+    assert row["tp"] + row["fp"] + row["fn"] + row["tn"] == n
+    p, r = row["precision"], row["recall"]
+    assert math.isclose(row["f1"], 2 * p * r / (p + r), abs_tol=2e-6)
