@@ -278,6 +278,7 @@ _PRIORITY = [
     "approx_hll_precision_sweep",
     "quality_cross_field_consistency",
     "ml_rule_eval_f1",
+    "agg_lognormal_fit",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

@@ -4989,6 +4989,72 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# agg_lognormal_fit — distribution fitting by method of moments on logs
+# ---------------------------------------------------------------------------
+
+
+def agg_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-normal fit of order value per priority by method of moments
+    on logs: μ̂ and σ̂ of ln(value), plus the fitted median e^μ̂ and the
+    fitted mean e^(μ̂+σ̂²/2) — the parametric summary a pricing or
+    simulation model consumes instead of raw histograms (money-like
+    quantities are the textbook log-normal case).
+
+    Logs quantize to integer MILLI-units (same device as
+    ``text_zipf_fit``), so both moment sums are exact int64; the
+    parameter transforms run on identical doubles and round to 6dp.
+
+    Scale: one map-side-combined moment reduce per group.
+    """
+    o = load(spark, sf_dir, "orders")
+    lm = F.round(F.log(F.col("o_totalprice")) * 1000).cast("long")
+    m = o.select(F.col("o_orderpriority").alias("priority"), lm.alias("x")).groupBy(
+        "priority"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    n, s1, s2 = (F.col(c).cast("double") for c in ("n", "s1", "s2"))
+    mu = s1 / n / 1000.0
+    var = (s2 / n - (s1 / n) * (s1 / n)) / 1000000.0
+    return m.select(
+        "priority",
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(mu, 6).alias("mu_log"),
+        F.round(F.sqrt(var), 6).alias("sigma_log"),
+        F.round(F.exp(mu), 6).alias("fitted_median"),
+        F.round(F.exp(mu + var / 2.0), 6).alias("fitted_mean"),
+    ).orderBy("priority")
+
+
+_LOGNORMAL_SQL = """
+WITH m AS (
+    SELECT o_orderpriority AS priority, COUNT(*) AS n,
+           SUM(x) AS s1, SUM(x * x) AS s2
+    FROM (
+        SELECT o_orderpriority,
+               CAST(ROUND(LN(o_totalprice) * 1000) AS BIGINT) AS x
+        FROM orders
+    )
+    GROUP BY 1
+)
+SELECT priority, CAST(n AS BIGINT) AS n_orders,
+       ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0, 6) AS mu_log,
+       ROUND(SQRT((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                   - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                  / 1000000.0), 6) AS sigma_log,
+       ROUND(EXP(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0), 6) AS fitted_median,
+       ROUND(EXP(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0
+                 + (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                   / 1000000.0 / 2.0), 6) AS fitted_mean
+FROM m
+ORDER BY priority
+"""
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -5042,6 +5108,7 @@ QUERIES = {
     "approx_hll_precision_sweep": approx_hll_precision_sweep,
     "quality_cross_field_consistency": quality_cross_field_consistency,
     "ml_rule_eval_f1": ml_rule_eval_f1,
+    "agg_lognormal_fit": agg_lognormal_fit,
     "agg_hist2d_joint": agg_hist2d_joint,
     "agg_cohort_ltv_curve": agg_cohort_ltv_curve,
     "window_cusum_changepoint": window_cusum_changepoint,
@@ -5100,6 +5167,7 @@ ORACLES = {
     "approx_hll_precision_sweep": _hll_sweep_sql(),
     "quality_cross_field_consistency": _CONSISTENCY_SQL,
     "ml_rule_eval_f1": _RULE_F1_SQL,
+    "agg_lognormal_fit": _LOGNORMAL_SQL,
     "agg_hist2d_joint": _HIST2D_SQL,
     "agg_cohort_ltv_curve": _LTV_SQL,
     "window_cusum_changepoint": _CUSUM_SQL,

@@ -1169,3 +1169,26 @@ def test_rule_eval_confusion_consistent(spark, sf_dir):
     assert row["tp"] + row["fp"] + row["fn"] + row["tn"] == n
     p, r = row["precision"], row["recall"]
     assert math.isclose(row["f1"], 2 * p * r / (p + r), abs_tol=2e-6)
+
+
+def test_lognormal_fit_matches_numpy(spark, sf_dir):
+    """mu/sigma match numpy on identically milli-quantized logs; the
+    fitted mean exceeds the fitted median (lognormal skew)."""
+    from parquet_batch_spark.operators.stats_ops import agg_lognormal_fit
+
+    rows = {r["priority"]: r for r in agg_lognormal_fit(spark, sf_dir).collect()}
+    vals = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderpriority", F.round(F.log("o_totalprice") * 1000).cast("long").alias("x"))
+        .collect()
+    )
+    groups: dict = {}
+    for r in vals:
+        groups.setdefault(r["o_orderpriority"], []).append(r["x"])
+    for p, xs in groups.items():
+        a = np.array(xs, dtype=float)
+        mu = a.mean() / 1000.0
+        sigma = math.sqrt(a.var() / 1e6)
+        assert math.isclose(rows[p]["mu_log"], mu, abs_tol=1e-5)
+        assert math.isclose(rows[p]["sigma_log"], sigma, abs_tol=1e-5)
+        assert rows[p]["fitted_mean"] > rows[p]["fitted_median"]
