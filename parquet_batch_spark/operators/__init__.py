@@ -279,6 +279,7 @@ _PRIORITY = [
     "quality_cross_field_consistency",
     "ml_rule_eval_f1",
     "agg_lognormal_fit",
+    "rollup_iso_week",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

@@ -5055,6 +5055,56 @@ ORDER BY priority
 """
 
 
+# ---------------------------------------------------------------------------
+# rollup_iso_week — ISO-week revenue rollup with year-boundary audit
+# ---------------------------------------------------------------------------
+
+
+def rollup_iso_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly revenue rollup on the ISO calendar (ISO year + ISO week,
+    via YEAROFWEEK/isoyear) — the grouping that gets year boundaries
+    RIGHT: Jan 1 1995 belongs to ISO 1994-W52 and Dec 30 1996 to ISO
+    1997-W01 (both engines verified to agree). Grouping by
+    (YEAR, weekofyear) instead silently splits those weeks across two
+    rows — the op also counts each week's cross-calendar-year orders
+    so the off-by-one-week class of reporting bug is visible.
+
+    Scale: one map-side-combined (iso_year, iso_week) reduce.
+    """
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    iso_y = F.expr("extract(YEAROFWEEK FROM CAST(o_orderdate AS DATE))").cast("long")
+    iso_w = F.weekofyear(d).cast("long")
+    cross = (F.year(d) != iso_y).cast("int")
+    return (
+        o.select(
+            iso_y.alias("iso_year"),
+            iso_w.alias("iso_week"),
+            F.floor("o_totalprice").cast("long").alias("yd"),
+            cross.alias("x"),
+        )
+        .groupBy("iso_year", "iso_week")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("yd").alias("revenue_usd"),
+            F.sum("x").cast("long").alias("n_cross_year"),
+        )
+        .orderBy("iso_year", "iso_week")
+    )
+
+
+_ISO_WEEK_SQL = """
+SELECT CAST(isoyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_year,
+       CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS revenue_usd,
+       CAST(SUM(CASE WHEN YEAR(CAST(o_orderdate AS DATE)) <> isoyear(CAST(o_orderdate AS DATE)) THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_year
+FROM orders
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -5109,6 +5159,7 @@ QUERIES = {
     "quality_cross_field_consistency": quality_cross_field_consistency,
     "ml_rule_eval_f1": ml_rule_eval_f1,
     "agg_lognormal_fit": agg_lognormal_fit,
+    "rollup_iso_week": rollup_iso_week,
     "agg_hist2d_joint": agg_hist2d_joint,
     "agg_cohort_ltv_curve": agg_cohort_ltv_curve,
     "window_cusum_changepoint": window_cusum_changepoint,
@@ -5168,6 +5219,7 @@ ORACLES = {
     "quality_cross_field_consistency": _CONSISTENCY_SQL,
     "ml_rule_eval_f1": _RULE_F1_SQL,
     "agg_lognormal_fit": _LOGNORMAL_SQL,
+    "rollup_iso_week": _ISO_WEEK_SQL,
     "agg_hist2d_joint": _HIST2D_SQL,
     "agg_cohort_ltv_curve": _LTV_SQL,
     "window_cusum_changepoint": _CUSUM_SQL,

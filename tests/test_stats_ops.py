@@ -1192,3 +1192,18 @@ def test_lognormal_fit_matches_numpy(spark, sf_dir):
         assert math.isclose(rows[p]["mu_log"], mu, abs_tol=1e-5)
         assert math.isclose(rows[p]["sigma_log"], sigma, abs_tol=1e-5)
         assert rows[p]["fitted_mean"] > rows[p]["fitted_median"]
+
+
+def test_iso_week_rollup_boundaries(spark, sf_dir):
+    """Order mass conserves; cross-year orders exist only in weeks 1
+    and 52/53; weeks within 1..53."""
+    from parquet_batch_spark.operators.stats_ops import rollup_iso_week
+
+    rows = rollup_iso_week(spark, sf_dir).collect()
+    n = load(spark, sf_dir, "orders").count()
+    assert sum(r["n_orders"] for r in rows) == n
+    for r in rows:
+        assert 1 <= r["iso_week"] <= 53
+        if r["n_cross_year"] > 0:
+            assert r["iso_week"] in (1, 52, 53)
+    assert any(r["n_cross_year"] > 0 for r in rows)
