@@ -648,7 +648,7 @@ def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p",
         term.alias("term"),
     )
-    return per_cell.agg(
+    agg = per_cell.agg(
         F.sum(F.col("term").cast("decimal(18,6)"))
         .cast("decimal(18,6)")
         .cast("double")
@@ -656,6 +656,23 @@ def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (F.count_distinct(F.col("s")) - 1) * (F.count_distinct(F.col("p")) - 1)
         ).alias("dof"),
+        F.least(
+            F.count_distinct(F.col("s")) - 1, F.count_distinct(F.col("p")) - 1
+        ).alias("mindim"),
+    )
+    n_total = o.count()
+    return agg.select(
+        "chi2_stat",
+        "dof",
+        # Cramér's V — the bounded [0,1] effect size that makes χ²
+        # comparable across table shapes and sample sizes
+        F.round(
+            F.sqrt(
+                F.col("chi2_stat")
+                / (F.lit(float(n_total)) * F.col("mindim").cast("double"))
+            ),
+            6,
+        ).alias("cramers_v"),
     )
 
 
@@ -681,7 +698,11 @@ terms AS (
     FROM cells
 )
 SELECT CAST(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS chi2_stat,
-       (COUNT(DISTINCT s) - 1) * (COUNT(DISTINCT p) - 1) AS dof
+       (COUNT(DISTINCT s) - 1) * (COUNT(DISTINCT p) - 1) AS dof,
+       ROUND(SQRT(CAST(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE)
+                  / (CAST((SELECT COUNT(*) FROM orders) AS DOUBLE)
+                     * CAST(LEAST(COUNT(DISTINCT s) - 1, COUNT(DISTINCT p) - 1) AS DOUBLE))),
+             6) AS cramers_v
 FROM terms
 """
 

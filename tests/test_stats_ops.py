@@ -185,6 +185,10 @@ def test_chi2_nonnegative_and_dof(spark, sf_dir):
     c = o.select("o_orderpriority").distinct().count()
     assert row["dof"] == (r - 1) * (c - 1)
     assert row["chi2_stat"] >= 0.0
+    n = o.count()
+    want_v = math.sqrt(row["chi2_stat"] / (n * min(r - 1, c - 1)))
+    assert math.isclose(row["cramers_v"], want_v, abs_tol=1e-5)
+    assert 0.0 <= row["cramers_v"] <= 1.0
 
 
 def test_ols_multivar_matches_numpy(spark, sf_dir):
