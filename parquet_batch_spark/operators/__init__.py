@@ -280,6 +280,8 @@ _PRIORITY = [
     "ml_rule_eval_f1",
     "agg_lognormal_fit",
     "rollup_iso_week",
+    "window_realized_volatility",
+    "agg_kendall_tau",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

@@ -5126,6 +5126,165 @@ ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# window_realized_volatility — monthly realized vol of daily revenue
+# ---------------------------------------------------------------------------
+
+
+def window_realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly realized volatility of daily revenue: √Σ r², where r is
+    the day-over-day milli-quantized log return — the model-free
+    volatility estimate (the financial-ops sibling of Bollinger/RSI
+    that owns the VARIANCE of the series, not its level or momentum).
+
+    Log returns quantize to integer milli-units, so the per-month
+    Σ r² is an exact int64; the square root runs on identical doubles
+    and rounds to 6dp.
+
+    Scale: day-grain reduce, one lag pass, month-grain rollup.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.floor("o_totalprice").cast("long").alias("yd"),
+        )
+        .groupBy("day")
+        .agg(F.sum("yd").alias("x"))
+    )
+    seq = Window.orderBy("day")
+    rets = daily.select(
+        "day",
+        (
+            F.round(F.log(F.col("x").cast("double")) * 1000).cast("long")
+            - F.round(
+                F.log(F.lag("x").over(seq).cast("double")) * 1000
+            ).cast("long")
+        ).alias("r"),
+    ).where(F.col("r").isNotNull())
+    month = (F.year("day") * 12 + F.month("day") - 1).cast("long")
+    return (
+        rets.select(month.alias("month_idx"), "r")
+        .groupBy("month_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_returns"),
+            F.sum(F.col("r") * F.col("r")).alias("ss"),
+        )
+        .select(
+            "month_idx",
+            "n_returns",
+            F.round(F.sqrt(F.col("ss").cast("double")) / 1000.0, 6).alias(
+                "realized_vol"
+            ),
+        )
+        .orderBy("month_idx")
+    )
+
+
+_RVOL_SQL = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS x
+    FROM orders GROUP BY 1
+),
+rets AS (
+    SELECT day,
+           CAST(ROUND(LN(CAST(x AS DOUBLE)) * 1000) AS BIGINT)
+           - CAST(ROUND(LN(CAST(LAG(x) OVER (ORDER BY day) AS DOUBLE)) * 1000) AS BIGINT) AS r
+    FROM daily
+)
+SELECT CAST(YEAR(day) * 12 + MONTH(day) - 1 AS BIGINT) AS month_idx,
+       COUNT(*) AS n_returns,
+       ROUND(SQRT(CAST(SUM(r * r) AS DOUBLE)) / 1000.0, 6) AS realized_vol
+FROM rets
+WHERE r IS NOT NULL
+GROUP BY 1
+ORDER BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# agg_kendall_tau — rank correlation over a reduced dimension table
+# ---------------------------------------------------------------------------
+
+
+def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-a between nation revenue and nation customer count
+    — the rank correlation that asks "do bigger markets also spend
+    more, ORDINALLY", robust to any monotone transform of either
+    measure. Pair counting runs over the NATION-reduced table (≤25
+    rows → ≤625 ordered pairs), the only place an all-pairs join is
+    legitimate — the reduction IS the scalability argument.
+
+    Concordant/discordant/tied counts are exact integers; τ = (C −
+    D)/(n(n−1)/2) rounds to 6dp.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.floor("o_totalprice").cast("long")).alias("rev")
+    )
+    nation = (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.coalesce("rev", F.lit(0))).alias("rev"),
+        )
+    )
+    a = nation.select(
+        F.col("c_nationkey").alias("ka"), F.col("n_cust").alias("xa"), F.col("rev").alias("ya")
+    )
+    b = nation.select(
+        F.col("c_nationkey").alias("kb"), F.col("n_cust").alias("xb"), F.col("rev").alias("yb")
+    )
+    pairs = a.join(b, F.col("ka") < F.col("kb"))
+    sx = F.signum(F.col("xa") - F.col("xb"))
+    sy = F.signum(F.col("ya") - F.col("yb"))
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(sx * sy > 0, 1).otherwise(0)).cast("long").alias("concordant"),
+        F.sum(F.when(sx * sy < 0, 1).otherwise(0)).cast("long").alias("discordant"),
+        F.sum(F.when((sx == 0) | (sy == 0), 1).otherwise(0)).cast("long").alias("tied"),
+    )
+    return m.select(
+        "n_pairs",
+        "concordant",
+        "discordant",
+        "tied",
+        F.round(
+            (F.col("concordant") - F.col("discordant")).cast("double")
+            / F.col("n_pairs").cast("double"),
+            6,
+        ).alias("kendall_tau"),
+    )
+
+
+_KENDALL_SQL = """
+WITH per_cust AS (
+    SELECT o_custkey, SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS rev
+    FROM orders GROUP BY 1
+),
+nation AS (
+    SELECT c_nationkey, COUNT(*) AS n_cust,
+           CAST(SUM(COALESCE(rev, 0)) AS BIGINT) AS rev
+    FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+    GROUP BY 1
+),
+pairs AS (
+    SELECT SIGN(a.n_cust - b.n_cust) AS sx, SIGN(a.rev - b.rev) AS sy
+    FROM nation a JOIN nation b ON a.c_nationkey < b.c_nationkey
+)
+SELECT COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+       CAST(SUM(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+       CAST(SUM(CASE WHEN sx = 0 OR sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tied,
+       ROUND(CAST(SUM(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END)
+                  - SUM(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS kendall_tau
+FROM pairs
+"""
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -5181,6 +5340,8 @@ QUERIES = {
     "ml_rule_eval_f1": ml_rule_eval_f1,
     "agg_lognormal_fit": agg_lognormal_fit,
     "rollup_iso_week": rollup_iso_week,
+    "window_realized_volatility": window_realized_volatility,
+    "agg_kendall_tau": agg_kendall_tau,
     "agg_hist2d_joint": agg_hist2d_joint,
     "agg_cohort_ltv_curve": agg_cohort_ltv_curve,
     "window_cusum_changepoint": window_cusum_changepoint,
@@ -5241,6 +5402,8 @@ ORACLES = {
     "ml_rule_eval_f1": _RULE_F1_SQL,
     "agg_lognormal_fit": _LOGNORMAL_SQL,
     "rollup_iso_week": _ISO_WEEK_SQL,
+    "window_realized_volatility": _RVOL_SQL,
+    "agg_kendall_tau": _KENDALL_SQL,
     "agg_hist2d_joint": _HIST2D_SQL,
     "agg_cohort_ltv_curve": _LTV_SQL,
     "window_cusum_changepoint": _CUSUM_SQL,

@@ -1211,3 +1211,52 @@ def test_iso_week_rollup_boundaries(spark, sf_dir):
         if r["n_cross_year"] > 0:
             assert r["iso_week"] in (1, 52, 53)
     assert any(r["n_cross_year"] > 0 for r in rows)
+
+
+def test_realized_vol_positive(spark, sf_dir):
+    """Volatility positive for months with returns; return counts
+    conserve (days − 1)."""
+    from parquet_batch_spark.operators.stats_ops import window_realized_volatility
+
+    rows = window_realized_volatility(spark, sf_dir).collect()
+    n_days = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_orderdate").cast("date"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_returns"] for r in rows) == n_days - 1
+    for r in rows:
+        assert r["realized_vol"] >= 0.0
+
+
+def test_kendall_tau_matches_brute_force(spark, sf_dir):
+    """τ matches a driver-side pair count; components partition the
+    pair count."""
+    from parquet_batch_spark.operators.stats_ops import agg_kendall_tau
+
+    row = agg_kendall_tau(spark, sf_dir).collect()[0]
+    assert row["concordant"] + row["discordant"] + row["tied"] == row["n_pairs"]
+    assert -1.0 <= row["kendall_tau"] <= 1.0
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.floor("o_totalprice").cast("long")).alias("rev"))
+    )
+    nation = (
+        load(spark, sf_dir, "customer")
+        .join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.coalesce("rev", F.lit(0))).alias("r"))
+        .collect()
+    )
+    pts = [(x["n"], x["r"]) for x in nation]
+    conc = disc = 0
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            s = (pts[i][0] - pts[j][0]) * (pts[i][1] - pts[j][1])
+            if s > 0:
+                conc += 1
+            elif s < 0:
+                disc += 1
+    assert row["concordant"] == conc and row["discordant"] == disc
