@@ -282,6 +282,7 @@ _PRIORITY = [
     "rollup_iso_week",
     "window_realized_volatility",
     "agg_kendall_tau",
+    "window_seasonal_decompose",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

@@ -5285,6 +5285,171 @@ FROM pairs
 """
 
 
+# ---------------------------------------------------------------------------
+# window_seasonal_decompose — additive trend/seasonal/residual split
+# ---------------------------------------------------------------------------
+
+DECOMP_MA = 29  # centered moving-average window (odd ⇒ symmetric)
+
+
+def window_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of daily revenue — trend
+    (centered {DECOMP_MA}-day moving average), day-of-week seasonal
+    component (means of the detrended series), residual — reported as
+    the VARIANCE ATTRIBUTION row every forecasting postmortem starts
+    from: how much of the series is trend, how much weekly rhythm,
+    how much noise.
+
+    Determinism chain: daily totals are exact int64 → the centered MA
+    is an exact-int ratio → the detrended series quantizes to integer
+    MILLI-dollars (floor) BEFORE the day-of-week grouping, because
+    group means of raw doubles would be partial-order-dependent →
+    seasonal means floor back to milli-ints → residuals stay integer →
+    all three variance sums are exact int64 moments.
+
+    Scale: day-grain reduce; every window runs over the
+    domain-bounded day series.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.floor("o_totalprice").cast("long").alias("yd"),
+        )
+        .groupBy("day")
+        .agg(F.sum("yd").alias("x"))
+    )
+    half = DECOMP_MA // 2
+    ma_w = Window.orderBy("day").rowsBetween(-half, half)
+    seq = Window.orderBy("day")
+    with_ma = daily.select(
+        "day",
+        "x",
+        F.count(F.lit(1)).over(ma_w).alias("nw"),
+        F.sum("x").over(ma_w).alias("sw"),
+        F.row_number().over(seq).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_days"),
+    ).where((F.col("rn") > half) & (F.col("rn") <= F.col("n_days") - half))
+    detr = with_ma.select(
+        "day",
+        "x",
+        F.floor(
+            (F.col("x").cast("double") - F.col("sw").cast("double") / F.col("nw").cast("double"))
+            * 1000.0
+        )
+        .cast("long")
+        .alias("d_milli"),
+    )
+    epoch_day = F.datediff("day", F.lit("1970-01-01").cast("date"))
+    dow = ((epoch_day + 4) % 7).cast("long")
+    keyed = detr.select("day", "x", "d_milli", dow.alias("dow"))
+    dow_w = Window.partitionBy("dow")
+    seasoned = keyed.select(
+        "x",
+        "d_milli",
+        F.floor(
+            F.sum("d_milli").over(dow_w).cast("double")
+            / F.count(F.lit(1)).over(dow_w).cast("double")
+        )
+        .cast("long")
+        .alias("s_milli"),
+    )
+    resid = seasoned.select(
+        "x",
+        "d_milli",
+        "s_milli",
+        (F.col("d_milli") - F.col("s_milli")).alias("r_milli"),
+    )
+    m = resid.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("d_milli").alias("sd"),
+        # milli-squares can pass 2^63 at larger SFs — accumulate the
+        # second moments in exact decimal (HUGEINT on the oracle side)
+        F.sum(F.col("d_milli").cast("decimal(18,0)") * F.col("d_milli")).alias("sdd"),
+        F.sum("r_milli").alias("sr"),
+        F.sum(F.col("r_milli").cast("decimal(18,0)") * F.col("r_milli")).alias("srr"),
+    )
+    n = F.col("n").cast("double")
+    var_total = (
+        F.col("sxx").cast("double") / n
+        - (F.col("sx").cast("double") / n) * (F.col("sx").cast("double") / n)
+    )
+    var_detr = (
+        F.col("sdd").cast("double") / n
+        - (F.col("sd").cast("double") / n) * (F.col("sd").cast("double") / n)
+    ) / 1000000.0
+    var_resid = (
+        F.col("srr").cast("double") / n
+        - (F.col("sr").cast("double") / n) * (F.col("sr").cast("double") / n)
+    ) / 1000000.0
+    return m.select(
+        F.col("n").cast("long").alias("n_days_used"),
+        F.round(1.0 - var_detr / var_total, 6).alias("trend_share"),
+        F.round((var_detr - var_resid) / var_total, 6).alias("seasonal_share"),
+        F.round(var_resid / var_total, 6).alias("residual_share"),
+    )
+
+
+_DECOMP_SQL = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS x
+    FROM orders GROUP BY 1
+),
+with_ma AS (
+    SELECT day, x,
+           COUNT(*) OVER w AS nw, SUM(x) OVER w AS sw,
+           ROW_NUMBER() OVER (ORDER BY day) AS rn,
+           COUNT(*) OVER () AS n_days
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN {DECOMP_MA // 2} PRECEDING AND {DECOMP_MA // 2} FOLLOWING)
+),
+detr AS (
+    SELECT day, x,
+           CAST(FLOOR((CAST(x AS DOUBLE) - CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE)) * 1000.0) AS BIGINT) AS d_milli
+    FROM with_ma
+    WHERE rn > {DECOMP_MA // 2} AND rn <= n_days - {DECOMP_MA // 2}
+),
+keyed AS (
+    SELECT x, d_milli,
+           CAST((date_diff('day', DATE '1970-01-01', day) + 4) % 7 AS BIGINT) AS dow
+    FROM detr
+),
+seasoned AS (
+    SELECT x, d_milli,
+           CAST(FLOOR(CAST(SUM(d_milli) OVER (PARTITION BY dow) AS DOUBLE)
+                / CAST(COUNT(*) OVER (PARTITION BY dow) AS DOUBLE)) AS BIGINT) AS s_milli
+    FROM keyed
+),
+m AS (
+    SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+           SUM(d_milli) AS sd,
+           SUM(CAST(d_milli AS HUGEINT) * d_milli) AS sdd,
+           SUM(d_milli - s_milli) AS sr,
+           SUM(CAST(d_milli - s_milli AS HUGEINT) * (d_milli - s_milli)) AS srr
+    FROM seasoned
+)
+SELECT CAST(n AS BIGINT) AS n_days_used,
+       ROUND(1.0 - (CAST(sdd AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))) / 1000000.0
+             / (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS trend_share,
+       ROUND(((CAST(sdd AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))) / 1000000.0
+              - (CAST(srr AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))) / 1000000.0)
+             / (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS seasonal_share,
+       ROUND((CAST(srr AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))) / 1000000.0
+             / (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS residual_share
+FROM m
+"""
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -5342,6 +5507,7 @@ QUERIES = {
     "rollup_iso_week": rollup_iso_week,
     "window_realized_volatility": window_realized_volatility,
     "agg_kendall_tau": agg_kendall_tau,
+    "window_seasonal_decompose": window_seasonal_decompose,
     "agg_hist2d_joint": agg_hist2d_joint,
     "agg_cohort_ltv_curve": agg_cohort_ltv_curve,
     "window_cusum_changepoint": window_cusum_changepoint,
@@ -5404,6 +5570,7 @@ ORACLES = {
     "rollup_iso_week": _ISO_WEEK_SQL,
     "window_realized_volatility": _RVOL_SQL,
     "agg_kendall_tau": _KENDALL_SQL,
+    "window_seasonal_decompose": _DECOMP_SQL,
     "agg_hist2d_joint": _HIST2D_SQL,
     "agg_cohort_ltv_curve": _LTV_SQL,
     "window_cusum_changepoint": _CUSUM_SQL,

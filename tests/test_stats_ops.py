@@ -1260,3 +1260,22 @@ def test_kendall_tau_matches_brute_force(spark, sf_dir):
             elif s < 0:
                 disc += 1
     assert row["concordant"] == conc and row["discordant"] == disc
+
+
+def test_seasonal_decompose_shares(spark, sf_dir):
+    """The three variance shares approximately partition 1 (cross-terms
+    and quantization keep it from exact); each share is a sane
+    fraction; interior-day count matches days − (MA − 1)."""
+    from parquet_batch_spark.operators.stats_ops import DECOMP_MA, window_seasonal_decompose
+
+    row = window_seasonal_decompose(spark, sf_dir).collect()[0]
+    n_days = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_orderdate").cast("date"))
+        .distinct()
+        .count()
+    )
+    assert row["n_days_used"] == n_days - (DECOMP_MA - 1)
+    total = row["trend_share"] + row["seasonal_share"] + row["residual_share"]
+    assert 0.8 < total < 1.2
+    assert row["residual_share"] >= 0.0
