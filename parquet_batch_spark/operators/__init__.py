@@ -45,8 +45,8 @@ from pyspark.sql import DataFrame, SparkSession
 #     two reworked dedup ops, and ALL r1/r2 stales — spills to r5.
 #     Every never-checked op has a local dual-SF oracle sweep + a
 #     dedicated test as interim evidence.
-#   r5 plan: the ~41 third-session stats/ML/warehouse ops
-#     (agg_regression_per_group … embedding_norm_outliers, directly
+#   r5 plan: the ~73 third-session stats/ML/warehouse ops
+#     (agg_regression_per_group … window_seasonal_decompose, directly
 #     after dedup_containment below — every one dual-SF swept and
 #     invariant-tested this session), then the eleven spills in list
 #     order (window_ewma_decay … dedup_fuzzy_levenshtein), tpch_q2..q22,
