@@ -1341,7 +1341,8 @@ def window_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     glob = daily.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        # daily totals square past 2^63 at ~100x scale — exact decimal
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("x")).alias("sxx"),
     )
     per_lag = None
     for k in range(1, ACF_MAX_LAG + 1):
@@ -1351,7 +1352,7 @@ def window_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = lagged.agg(
             F.lit(k).cast("long").alias("lag"),
             F.count(F.lit(1)).alias("np"),
-            F.sum(F.col("x") * F.col("xl")).alias("sxy"),
+            F.sum(F.col("x").cast("decimal(18,0)") * F.col("xl")).alias("sxy"),
             F.sum("x").alias("sa"),
             F.sum("xl").alias("sb"),
         )
@@ -1374,7 +1375,7 @@ def _acf_sql() -> str:
     lag_ctes = ",\n".join(
         f"""l{k} AS (
     SELECT CAST({k} AS BIGINT) AS lag, COUNT(*) AS np,
-           SUM(x * xl) AS sxy, SUM(x) AS sa, SUM(xl) AS sb
+           SUM(CAST(x AS HUGEINT) * xl) AS sxy, SUM(x) AS sa, SUM(xl) AS sb
     FROM (SELECT x, LAG(x, {k}) OVER (ORDER BY day) AS xl FROM daily)
     WHERE xl IS NOT NULL
 )"""
@@ -1390,7 +1391,9 @@ WITH daily AS (
     FROM orders GROUP BY 1
 ),
 overall AS (
-    SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx FROM daily
+    SELECT COUNT(*) AS n, SUM(x) AS sx,
+           SUM(CAST(x AS HUGEINT) * x) AS sxx
+    FROM daily
 ),
 {lag_ctes},
 lags AS ({lag_union})
@@ -5363,7 +5366,9 @@ def window_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = resid.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        # daily totals square past 2^63 at ~100x scale (caught by the
+        # 100x stress run) — exact decimal, HUGEINT on the oracle side
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("x")).alias("sxx"),
         F.sum("d_milli").alias("sd"),
         # milli-squares can pass 2^63 at larger SFs — accumulate the
         # second moments in exact decimal (HUGEINT on the oracle side)
@@ -5424,7 +5429,8 @@ seasoned AS (
     FROM keyed
 ),
 m AS (
-    SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+    SELECT COUNT(*) AS n, SUM(x) AS sx,
+           SUM(CAST(x AS HUGEINT) * x) AS sxx,
            SUM(d_milli) AS sd,
            SUM(CAST(d_milli AS HUGEINT) * d_milli) AS sdd,
            SUM(d_milli - s_milli) AS sr,
