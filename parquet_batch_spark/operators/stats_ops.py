@@ -53,9 +53,9 @@ def agg_regression_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum("x").alias("sx"),
             F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("y")).alias("sxy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x").cast("decimal(18,0)") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x").cast("decimal(18,0)") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y").cast("decimal(18,0)") * F.col("y")).alias("syy"),
         )
     )
     n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
@@ -81,7 +81,9 @@ WITH m AS (
     SELECT o_orderpriority AS priority,
            COUNT(*) AS n,
            SUM(x) AS sx, SUM(y) AS sy,
-           SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+           SUM(CAST(x AS HUGEINT) * y) AS sxy,
+           SUM(CAST(x AS HUGEINT) * x) AS sxx,
+           SUM(CAST(y AS HUGEINT) * y) AS syy
     FROM (
         SELECT o_orderpriority,
                date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
@@ -739,12 +741,12 @@ def ml_ols_multivar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x1").alias("s1"),
         F.sum("x2").alias("s2"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
-        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
-        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
-        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
-        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x1").cast("decimal(18,0)") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1").cast("decimal(18,0)") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2").cast("decimal(18,0)") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1").cast("decimal(18,0)") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2").cast("decimal(18,0)") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y").cast("decimal(18,0)") * F.col("y")).alias("syy"),
     )
     n, s1, s2 = (F.col(c).cast("double") for c in ("n", "s1", "s2"))
     sy, s11, s12 = (F.col(c).cast("double") for c in ("sy", "s11", "s12"))
@@ -793,8 +795,10 @@ j AS (
 ),
 m AS (
     SELECT COUNT(*) AS n, SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
-           SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12, SUM(x2 * x2) AS s22,
-           SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y, SUM(y * y) AS syy
+           SUM(CAST(x1 AS HUGEINT) * x1) AS s11, SUM(CAST(x1 AS HUGEINT) * x2) AS s12,
+           SUM(CAST(x2 AS HUGEINT) * x2) AS s22,
+           SUM(CAST(x1 AS HUGEINT) * y) AS s1y, SUM(CAST(x2 AS HUGEINT) * y) AS s2y,
+           SUM(CAST(y AS HUGEINT) * y) AS syy
     FROM j
 ),
 d AS (
@@ -2509,8 +2513,8 @@ def agg_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("x")).alias("sxx"),
     )
     n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
@@ -2532,7 +2536,7 @@ WITH base AS (
 ),
 m AS (
     SELECT p_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
-           SUM(x * y) AS sxy, SUM(x * x) AS sxx
+           SUM(CAST(x AS HUGEINT) * y) AS sxy, SUM(CAST(x AS HUGEINT) * x) AS sxx
     FROM base GROUP BY p_type
 )
 SELECT p_type, CAST(n AS BIGINT) AS n_items,
@@ -3375,10 +3379,10 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = o.select(y.alias("y"), is_a.alias("a"), is_b.alias("b")).agg(
         F.sum(F.when(F.col("a"), 1).otherwise(0)).alias("na"),
         F.sum(F.when(F.col("a"), F.col("y")).otherwise(0)).alias("sa"),
-        F.sum(F.when(F.col("a"), F.col("y") * F.col("y")).otherwise(0)).alias("qa"),
+        F.sum(F.when(F.col("a"), F.col("y").cast("decimal(18,0)") * F.col("y")).otherwise(0)).alias("qa"),
         F.sum(F.when(F.col("b"), 1).otherwise(0)).alias("nb"),
         F.sum(F.when(F.col("b"), F.col("y")).otherwise(0)).alias("sb"),
-        F.sum(F.when(F.col("b"), F.col("y") * F.col("y")).otherwise(0)).alias("qb"),
+        F.sum(F.when(F.col("b"), F.col("y").cast("decimal(18,0)") * F.col("y")).otherwise(0)).alias("qb"),
     )
     na, sa, qa = (F.col(c).cast("double") for c in ("na", "sa", "qa"))
     nb, sb, qb = (F.col(c).cast("double") for c in ("nb", "sb", "qb"))
@@ -3403,10 +3407,10 @@ _TTEST_SQL = f"""
 WITH m AS (
     SELECT SUM(CASE WHEN o_orderpriority = '{TT_GROUP_A}' THEN 1 ELSE 0 END) AS na,
            SUM(CASE WHEN o_orderpriority = '{TT_GROUP_A}' THEN CAST(FLOOR(o_totalprice) AS BIGINT) ELSE 0 END) AS sa,
-           SUM(CASE WHEN o_orderpriority = '{TT_GROUP_A}' THEN CAST(FLOOR(o_totalprice) AS BIGINT) * CAST(FLOOR(o_totalprice) AS BIGINT) ELSE 0 END) AS qa,
+           SUM(CASE WHEN o_orderpriority = '{TT_GROUP_A}' THEN CAST(FLOOR(o_totalprice) AS HUGEINT) * CAST(FLOOR(o_totalprice) AS BIGINT) ELSE 0 END) AS qa,
            SUM(CASE WHEN o_orderpriority = '{TT_GROUP_B}' THEN 1 ELSE 0 END) AS nb,
            SUM(CASE WHEN o_orderpriority = '{TT_GROUP_B}' THEN CAST(FLOOR(o_totalprice) AS BIGINT) ELSE 0 END) AS sb,
-           SUM(CASE WHEN o_orderpriority = '{TT_GROUP_B}' THEN CAST(FLOOR(o_totalprice) AS BIGINT) * CAST(FLOOR(o_totalprice) AS BIGINT) ELSE 0 END) AS qb
+           SUM(CASE WHEN o_orderpriority = '{TT_GROUP_B}' THEN CAST(FLOOR(o_totalprice) AS HUGEINT) * CAST(FLOOR(o_totalprice) AS BIGINT) ELSE 0 END) AS qb
     FROM orders
 ),
 d AS (
@@ -3861,7 +3865,7 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_p = F.col("o_orderpriority") == p
         aggs.append(F.sum(F.when(is_p, 1).otherwise(0)).alias(f"n{i}"))
         aggs.append(F.sum(F.when(is_p, F.col("y")).otherwise(0)).alias(f"s{i}"))
-    aggs.append(F.sum(F.col("y") * F.col("y")).alias("qq"))
+    aggs.append(F.sum(F.col("y").cast("decimal(18,0)") * F.col("y")).alias("qq"))
     m = o.select("o_orderpriority", y.alias("y")).agg(*aggs)
     k = float(len(ANOVA_PRIORITIES))
     nn = sum((F.col(f"n{i}").cast("double") for i in range(len(ANOVA_PRIORITIES))), F.lit(0.0))
@@ -3893,7 +3897,7 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ANOVA_SQL = """
 WITH m AS (
-    SELECT SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n0,\n           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(FLOOR(o_totalprice) AS BIGINT) ELSE 0 END) AS s0,\n           SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS n1,\n           SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(FLOOR(o_totalprice) AS BIGINT) ELSE 0 END) AS s1,\n           SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS n2,\n           SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(FLOOR(o_totalprice) AS BIGINT) ELSE 0 END) AS s2,\n           SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS n3,\n           SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(FLOOR(o_totalprice) AS BIGINT) ELSE 0 END) AS s3,\n           SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS n4,\n           SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(FLOOR(o_totalprice) AS BIGINT) ELSE 0 END) AS s4,\n           SUM(CAST(FLOOR(o_totalprice) AS BIGINT) * CAST(FLOOR(o_totalprice) AS BIGINT)) AS qq
+    SELECT SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n0,\n           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(FLOOR(o_totalprice) AS BIGINT) ELSE 0 END) AS s0,\n           SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS n1,\n           SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(FLOOR(o_totalprice) AS BIGINT) ELSE 0 END) AS s1,\n           SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS n2,\n           SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(FLOOR(o_totalprice) AS BIGINT) ELSE 0 END) AS s2,\n           SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS n3,\n           SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(FLOOR(o_totalprice) AS BIGINT) ELSE 0 END) AS s3,\n           SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS n4,\n           SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(FLOOR(o_totalprice) AS BIGINT) ELSE 0 END) AS s4,\n           SUM(CAST(FLOOR(o_totalprice) AS HUGEINT) * CAST(FLOOR(o_totalprice) AS BIGINT)) AS qq
     FROM orders
 ),
 d AS (
@@ -4020,10 +4024,10 @@ def agg_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = c.select(arm_a.alias("a"), yc.alias("y")).agg(
         F.sum(F.when(F.col("a"), 1).otherwise(0)).alias("na"),
         F.sum(F.when(F.col("a"), F.col("y")).otherwise(0)).alias("sa"),
-        F.sum(F.when(F.col("a"), F.col("y") * F.col("y")).otherwise(0)).alias("qa"),
+        F.sum(F.when(F.col("a"), F.col("y").cast("decimal(18,0)") * F.col("y")).otherwise(0)).alias("qa"),
         F.sum(F.when(~F.col("a"), 1).otherwise(0)).alias("nb"),
         F.sum(F.when(~F.col("a"), F.col("y")).otherwise(0)).alias("sb"),
-        F.sum(F.when(~F.col("a"), F.col("y") * F.col("y")).otherwise(0)).alias("qb"),
+        F.sum(F.when(~F.col("a"), F.col("y").cast("decimal(18,0)") * F.col("y")).otherwise(0)).alias("qb"),
     )
     na, sa, qa = (F.col(x).cast("double") for x in ("na", "sa", "qa"))
     nb, sb, qb = (F.col(x).cast("double") for x in ("nb", "sb", "qb"))
@@ -4044,10 +4048,10 @@ WITH m AS (
     SELECT
         SUM(CASE WHEN arm_a THEN 1 ELSE 0 END) AS na,
         SUM(CASE WHEN arm_a THEN y ELSE 0 END) AS sa,
-        SUM(CASE WHEN arm_a THEN y * y ELSE 0 END) AS qa,
+        SUM(CASE WHEN arm_a THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS qa,
         SUM(CASE WHEN NOT arm_a THEN 1 ELSE 0 END) AS nb,
         SUM(CASE WHEN NOT arm_a THEN y ELSE 0 END) AS sb,
-        SUM(CASE WHEN NOT arm_a THEN y * y ELSE 0 END) AS qb
+        SUM(CASE WHEN NOT arm_a THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS qb
     FROM (
         SELECT CAST(('0x' || substr(md5('{AB_SALT}' || ':' || c_custkey), 1, 8)) AS UBIGINT)::BIGINT % 100 < 50 AS arm_a,
                CAST(ROUND(c_acctbal * 100) AS BIGINT) AS y
@@ -5038,7 +5042,7 @@ def agg_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("s1"),
-        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("x")).alias("s2"),
     )
     n, s1, s2 = (F.col(c).cast("double") for c in ("n", "s1", "s2"))
     mu = s1 / n / 1000.0
@@ -5056,7 +5060,7 @@ def agg_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LOGNORMAL_SQL = """
 WITH m AS (
     SELECT o_orderpriority AS priority, COUNT(*) AS n,
-           SUM(x) AS s1, SUM(x * x) AS s2
+           SUM(x) AS s1, SUM(CAST(x AS HUGEINT) * x) AS s2
     FROM (
         SELECT o_orderpriority,
                CAST(ROUND(LN(o_totalprice) * 1000) AS BIGINT) AS x
