@@ -283,6 +283,7 @@ _PRIORITY = [
     "window_realized_volatility",
     "agg_kendall_tau",
     "window_seasonal_decompose",
+    "agg_spearman_rho",
     # --- spill past the 50-slot window → lead r5 (each carries a
     #     dedicated invariant/semantics test in tests/) ---
     "window_ewma_decay",

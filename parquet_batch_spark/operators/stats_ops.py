@@ -5460,6 +5460,98 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# agg_spearman_rho — rank correlation via Pearson on dense ranks
+# ---------------------------------------------------------------------------
+
+
+def agg_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman's ρ between nation revenue and customer count —
+    Kendall's τ's sibling (``agg_kendall_tau``): Pearson correlation
+    computed on AVERAGE ranks of each measure over the nation-reduced
+    table. Ranks double to stay integral under ties (the Mann–Whitney
+    device), so every moment sum is exact int64 and the closed form
+    is engine-identical.
+
+    Scale: rank windows run over the ≤25-row reduced dim — the
+    reduction is the scalability argument, as with τ.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.floor("o_totalprice").cast("long")).alias("rev")
+    )
+    nation = (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.coalesce("rev", F.lit(0))).alias("rev"),
+        )
+    )
+    # doubled average rank: 2·avg_rank = 2·(count below) + (ties + 1)
+    def dr(col):
+        below = Window.orderBy(col).rangeBetween(Window.unboundedPreceding, -1)
+        ties = Window.partitionBy(col)
+        return (
+            2 * F.coalesce(F.count(F.lit(1)).over(below), F.lit(0))
+            + F.count(F.lit(1)).over(ties)
+            + 1
+        ).cast("long")
+
+    ranked = nation.select(
+        dr(F.col("n_cust")).alias("rx"),
+        dr(F.col("rev")).alias("ry"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = F.col("sxy").cast("double"), F.col("sxx").cast("double"), F.col("syy").cast("double")
+    rho = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return m.select(
+        F.col("n").cast("long").alias("n_nations"),
+        F.round(rho, 6).alias("spearman_rho"),
+    )
+
+
+_SPEARMAN_SQL = """
+WITH per_cust AS (
+    SELECT o_custkey, SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS rev
+    FROM orders GROUP BY 1
+),
+nation AS (
+    SELECT c_nationkey, COUNT(*) AS n_cust,
+           CAST(SUM(COALESCE(rev, 0)) AS BIGINT) AS rev
+    FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+    GROUP BY 1
+),
+ranked AS (
+    SELECT
+        CAST(2 * COALESCE(COUNT(*) OVER (ORDER BY n_cust RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + COUNT(*) OVER (PARTITION BY n_cust) + 1 AS BIGINT) AS rx,
+        CAST(2 * COALESCE(COUNT(*) OVER (ORDER BY rev RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + COUNT(*) OVER (PARTITION BY rev) + 1 AS BIGINT) AS ry
+    FROM nation
+),
+m AS (
+    SELECT COUNT(*) AS n, SUM(rx) AS sx, SUM(ry) AS sy,
+           SUM(rx * ry) AS sxy, SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+    FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_nations,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS spearman_rho
+FROM m
+"""
+
+
 QUERIES = {
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -5518,6 +5610,7 @@ QUERIES = {
     "window_realized_volatility": window_realized_volatility,
     "agg_kendall_tau": agg_kendall_tau,
     "window_seasonal_decompose": window_seasonal_decompose,
+    "agg_spearman_rho": agg_spearman_rho,
     "agg_hist2d_joint": agg_hist2d_joint,
     "agg_cohort_ltv_curve": agg_cohort_ltv_curve,
     "window_cusum_changepoint": window_cusum_changepoint,
@@ -5581,6 +5674,7 @@ ORACLES = {
     "window_realized_volatility": _RVOL_SQL,
     "agg_kendall_tau": _KENDALL_SQL,
     "window_seasonal_decompose": _DECOMP_SQL,
+    "agg_spearman_rho": _SPEARMAN_SQL,
     "agg_hist2d_joint": _HIST2D_SQL,
     "agg_cohort_ltv_curve": _LTV_SQL,
     "window_cusum_changepoint": _CUSUM_SQL,

@@ -1279,3 +1279,44 @@ def test_seasonal_decompose_shares(spark, sf_dir):
     total = row["trend_share"] + row["seasonal_share"] + row["residual_share"]
     assert 0.8 < total < 1.2
     assert row["residual_share"] >= 0.0
+
+
+def test_spearman_matches_scipy_free(spark, sf_dir):
+    """ρ matches a driver-side recomputation with average ranks and is
+    directionally consistent with Kendall's τ on the same table."""
+    from parquet_batch_spark.operators.stats_ops import agg_kendall_tau, agg_spearman_rho
+
+    row = agg_spearman_rho(spark, sf_dir).collect()[0]
+    tau = agg_kendall_tau(spark, sf_dir).collect()[0]["kendall_tau"]
+    assert -1.0 <= row["spearman_rho"] <= 1.0
+    if abs(tau) > 0.2:
+        assert (row["spearman_rho"] > 0) == (tau > 0)
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.floor("o_totalprice").cast("long")).alias("rev"))
+    )
+    nation = (
+        load(spark, sf_dir, "customer")
+        .join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.coalesce("rev", F.lit(0))).alias("r"))
+        .collect()
+    )
+    def avg_ranks(vals):
+        out = {}
+        sv = sorted(vals)
+        for v in set(vals):
+            lo = sv.index(v) + 1
+            hi = lo + vals.count(v) - 1
+            out[v] = (lo + hi) / 2.0
+        return [out[v] for v in vals]
+
+    xs = [x["n"] for x in nation]
+    ys = [x["r"] for x in nation]
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(rx)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = math.sqrt(sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry))
+    assert math.isclose(row["spearman_rho"], num / den, abs_tol=1e-6)
