@@ -144,17 +144,34 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline suite wall time (noop-materialized)",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
+        "metric": "headline suite wall time (noop-materialized)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    # Full per-query detail: sidecar file + an EARLY stdout line.  The
+    # driver's capture keeps only the last ~2000 chars of stdout, so the
+    # LAST line must stay compact (r4's 84-query line outgrew the window
+    # and the round's headline was lost — BENCH_r04.json parsed: null).
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(json.dumps(detail))
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:15])
+    summary = {
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "queries": {k: round(v, 2) for k, v in slowest.items()},
+        "queries_detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(summary)
+    assert len(line) < 1800, f"summary line too long for capture: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -32,185 +32,38 @@ from pyspark.sql import DataFrame, SparkSession
 #   r3 window: 27 never-checked r2-new + 4 repaired ERRs + 19 stalest
 #     r1 greens (scans/sources/sinks/joins/q1/agg_distinct).  49 green;
 #     ann_ivf_topk no_oracle (rows-only then — oracle added in r4).
-#   r4 window (this ordering, rebalanced in the continuation
-#     session): slots 1-45 = the 45 continuation-session ops, slot 46
-#     = join_interval_bucketed (landed late in the prior session; its
-#     oracle was registered this session), slot 47 = ann_ivf_topk
-#     (r4-CHANGED, first-ever hash check — its only row ever is r3's
-#     no_oracle), slots 48-50 = the first 3 earlier-r4-session ops in
-#     batch order (mapInArrow, hll_union, scan_files_metadata).
-#     Everything from join_lateral_topk down — including the nine
-#     invariant-tested spills (ewma, rolling-median, listagg,
-#     running-distinct, bitwise, cdc, bloom, reservoir, kmeans), the
-#     two reworked dedup ops, and ALL r1/r2 stales — spills to r5.
-#     Every never-checked op has a local dual-SF oracle sweep + a
-#     dedicated test as interim evidence.
-#   r5 plan: the ~73 third-session stats/ML/warehouse ops
-#     (agg_regression_per_group … window_seasonal_decompose, directly
-#     after dedup_containment below — every one dual-SF swept and
-#     invariant-tested this session), then the eleven spills in list
-#     order (window_ewma_decay … dedup_fuzzy_levenshtein), tpch_q2..q22,
-#     agg_rollup, agg_cube,
-#     agg_grouping_sets, agg_pivot, agg_stats, reshape_unpivot,
-#     sort_topk, set_ops, window_distribution (r1-stale), then
-#     the r2 greens (dedup family, ANN pair, json/q12 repairs, windows/
-#     analytics/scalar/UDF/text/multimodal/streaming blocks), then the
-#     then-stalest r3 greens (curation + warehouse blocks).
+#   r4 window: slots 1-45 = the 45 continuation-session ops, 46 =
+#     join_interval_bucketed, 47 = ann_ivf_topk (first hash check),
+#     48-50 = mapInArrow/hll_union/scan_files_metadata.  50/50 green.
+#   r5 window (this ordering): slots 1-9 = the ops CHANGED this round
+#     (3 int64 second-moment overflow fixes, 2 oracle-portability
+#     fixes, 4 dedup ops touched by the absolute shingle cap / shared
+#     intersection pass / CC rewrite), slots 10-50 = 41 never-checked
+#     stats_ops entries.  45 of 50 slots are stats_ops (VERDICT r4 #1).
+#   r6 plan: the remaining 22 never-checked stats_ops, then the 69
+#     never-checked entries from the other modules in module order
+#     (llm_prep, relational, scalar_funcs, windows, joins, sources_ext,
+#     dedup, analytics, multimodal, text, warehouse, streaming...).
+#   r7+: driver-checked entries, stalest round first (r1 block leads).
 _PRIORITY = [
-    # --- r4-new operators (continuation session — newest first, the
-    #     standing policy): scale patterns (incremental MV, min/max
-    #     file skipping, exact bitmap distinct, strategy hints),
-    #     corpus curation (Gopher rules, URL canonical dedup,
-    #     triangle census, LPA communities, BPE merges), analytics
-    #     (weighted median, interval coalesce, OHLC bars, MAD
-    #     outliers, Pareto frontier), engine surface (recursive CTE,
-    #     binaryFile source, AES/sha fingerprints, multiset set ops),
-    #     llm_prep (feature hashing, blocking quality, Neyman
-    #     allocation) — every one dual-SF locally swept ---
-    "etl_incremental_agg",
-    "scan_minmax_skipping",
-    "agg_bitmap_distinct",
-    "join_strategy_hints",
-    "quality_gopher_rules",
-    "dedup_url_canonical",
-    "graph_triangle_count",
-    "graph_community_labels",
-    "text_bpe_merges",
-    "agg_weighted_median",
-    "window_interval_coalesce",
-    "sql_recursive_hierarchy",
-    "source_binaryfile_ingest",
-    "rollup_ohlc_bars",
-    "quality_mad_outliers",
-    "func_crypto_roundtrip",
-    "agg_pareto_frontier",
-    "set_ops_multiset",
-    "feature_hashing_vectorize",
-    "dedup_blocking_quality",
-    "sample_neyman_allocation",
-    "window_linear_interpolate",
-    "text_overlap_stitch",
-    "join_spatial_grid_radius",
-    "window_max_drawdown",
-    "window_time_weighted_avg",
-    "embedding_dim_stats",
-    "source_csv_quoted_multiline",
-    "quality_source_gini",
-    "agg_decile_report",
-    "window_funnel_latency",
-    "text_boilerplate_segments",
-    "sink_selective_compaction",
-    "window_rank_shift",
-    "agg_pct_of_parent",
-    "window_winsorize",
+    # --- r5-CHANGED ops (re-verify first): the three int64 second-moment
+    #     overflow fixes + the two oracle-portability fixes (ADVICE r4),
+    #     and the dedup family touched by the absolute shingle-df cap,
+    #     the shared jaccard/containment intersection pass, and the
+    #     large-star/small-star connected-components rewrite ---
+    "agg_xyz_classification",
+    "agg_fano_dispersion",
+    "embedding_norm_outliers",
+    "quality_schema_contract",
     "func_base64_transport",
-    "etl_golden_record",
-    "window_seasonal_baseline",
-    "agg_period_overlap",
-    "embedding_drift_report",
-    "window_local_extrema",
-    "udtf_dynamic_schema",
-    "agg_vwap",
-    "quality_merkle_checksums",
-    # landed at the tail of the previous session without an ORACLES
-    # entry (registered this session) — first checkable round
-    "join_interval_bucketed",
-    # r4-changed: first-ever hash-checkable row for IVF (held from the
-    # previous window plan)
-    "ann_ivf_topk",
-    # --- r4-new operators (final r4 session): mapInArrow surface,
-    #     HLL partial-sketch union, _metadata per-file provenance,
-    #     LATERAL top-k, Spark-4 transpose, observe() metrics ---
-    "udf_map_in_arrow",
-    "approx_hll_union_sketch",
-    "scan_files_metadata",
-    "join_lateral_topk",
-    "reshape_transpose",
-    "scan_observed_metrics",
-    # --- r4-new (final session, batch C): cluster keep/drop decision,
-    #     contingency table, dynamic partition overwrite ---
-    "dedup_cluster_representative",
-    "stat_crosstab",
-    "sink_dynamic_partition_overwrite",
-    # --- r4-new (final session, batch D): regexp family, Spark 4
-    #     collations, max_by/min_by extremes ---
-    "func_regexp",
-    "func_collation",
-    "agg_minmax_by",
-    # --- r4-new (final session, batch E): boolean aggregates,
-    #     positional explode ---
-    "agg_boolean",
-    "explode_positional_tokens",
-    # --- r4-new (final session, batch F): Spark 4 Python Data Source
-    #     API — the reference's O11 synthetic-generator surface, batch
-    #     and streaming halves ---
-    "source_python_datasource",
-    "streaming_python_source",
-    # --- r4-new (final session, batch G): row-level CSV codec,
-    #     parameterized SQL, nested-struct surgery ---
-    "func_csv_struct",
-    "sql_named_params",
-    "func_struct_field_ops",
-    # --- r4-new (final session, batch H): trainer shard manifests,
-    #     binary payload chunking ---
-    "seq_shard_manifest",
-    "multimodal_payload_chunks",
-    # --- r4-new operators (llm_prep batch, landed later in r4),
-    #     slots 1-8: sequence packing, mixture sampling, paragraph /
-    #     incremental dedup, int8 quantization, rarity scoring, EWMA,
-    #     composed curation funnel ---
-    "seq_pack_chunks",
-    "sample_mix_domains",
-    "dedup_paragraph",
-    "dedup_incremental_novelty",
-    "embedding_quantize_int8",
-    "text_rarity_score",
-    "curation_pipeline_funnel",
-    # --- r4-new operators (third batch): media-fingerprint dedup,
-    #     rolling median, bigram LM surprisal, snapshot diff ---
-    "multimodal_dedup_phash",
-    "text_bigram_surprisal",
-    "etl_snapshot_diff",
-    # --- r4-new operators (fourth batch): temperature mixture,
-    #     segment-graph degrees, running distinct, bitwise family ---
-    "sample_temperature_mixture",
-    "graph_degree_histogram",
-    # --- r4-new operators (fifth batch): tolerance as-of join,
-    #     FILTER-clause aggregates, ordered LISTAGG ---
-    "join_asof_tolerance",
-    "agg_filtered",
-    # --- r4-new operators (sixth batch): langid confusion matrix,
-    #     period-over-period change, codec-lossless matrix ---
-    "quality_langid_confusion",
-    "window_percent_change",
-    "sink_compression_codecs",
-    # --- r4-new operators (seventh batch): arrow-optimized scalar UDF,
-    #     corrupt-file-tolerant scan, URL parsing ---
-    "udf_arrow_scalar",
-    "scan_ignore_corrupt",
-    "func_url",
-    # --- r4-new operators (eighth batch): null-safe join, exact
-    #     higher moments, nth_value anchors ---
-    "join_null_safe",
-    "agg_moments_exact",
-    "window_nth_value",
-    # --- r4-new operators (ninth batch): outer-explode semantics,
-    #     error-safe try_* arithmetic ---
-    "explode_outer_semantics",
-    "func_try_arith",
-    # --- r4-new operators (tenth batch): gaps-and-islands streaks,
-    #     class-balanced sampling ---
-    "window_streak_islands",
-    "sample_balanced_labels",
-    # --- r4-new operators (first batch; the ones that spill past
-    #     slot 50 below all carry dedicated invariant tests in
-    #     tests/test_r4_ops.py — the strongest non-driver evidence —
-    #     unlike the IVF op whose only driver row ever is r3's
-    #     no_oracle err ---
+    "dedup_ngram_jaccard",
     "dedup_containment",
-    # --- r4-new operators (final session, stats batch): closed-form
-    #     OLS per group, Zipf rank-frequency fit, rolling correlation —
-    #     exact integer moment sums, derived stats rounded to 6dp ---
+    "dedup_lsh_recall_eval",
+    "dedup_clusters",
+    # --- never-driver-checked, stats_ops first (63 of the 67 stats/ML
+    #     entries that have zero driver rows across r1-r4; the other 4
+    #     are in the CHANGED block above).  Slots 1-50 = 9 changed +
+    #     41 of these => 45 stats_ops driver rows this round ---
     "agg_regression_per_group",
     "text_zipf_fit",
     "window_rolling_corr",
@@ -218,25 +71,12 @@ _PRIORITY = [
     "agg_entropy_balance",
     "seq_transition_matrix",
     "quality_ks_drift",
-    "join_null_aware_anti",
-    "agg_chi_square_independence",
-    "ml_ols_multivar",
-    "text_pmi_cooccurrence",
-    "sample_bootstrap_means",
     "agg_survival_km",
-    "window_cusum_changepoint",
-    "agg_pivot_multi",
-    "sample_ab_assignment_srm",
     "window_acf_lags",
-    "agg_cohort_ltv_curve",
     "quality_freshness_sla",
-    "agg_hist2d_joint",
     "window_peak_concurrency",
-    "dedup_lsh_recall_eval",
     "agg_touch_attribution",
     "agg_rfm_segmentation",
-    "join_point_in_time_scd2",
-    "streaming_windowed_topk",
     "window_order_gap_distribution",
     "text_ngram_coverage_curve",
     "sample_importance_weights",
@@ -251,18 +91,13 @@ _PRIORITY = [
     "seq_event_paths",
     "agg_dau_mau_stickiness",
     "quality_duplicate_token_share",
-    "embedding_norm_outliers",
-    "agg_xyz_classification",
     "text_code_detection",
     "sample_time_split_leakage",
     "agg_welch_ttest",
-    "multimodal_content_sniff",
-    "quality_schema_contract",
     "sample_kfold_assignment",
     "func_edit_distance",
     "sort_nulls_placement",
     "agg_smoothed_group_means",
-    "agg_fano_dispersion",
     "agg_anova_oneway",
     "agg_conversion_wilson_ci",
     "agg_power_mde",
@@ -271,7 +106,6 @@ _PRIORITY = [
     "text_js_divergence",
     "agg_mann_whitney_u",
     "window_runs_test",
-    "source_jsonl_corrupt_tolerant",
     "agg_split_gain_gini",
     "text_char_entropy",
     "window_bounce_rate",
@@ -284,99 +118,263 @@ _PRIORITY = [
     "agg_kendall_tau",
     "window_seasonal_decompose",
     "agg_spearman_rho",
-    # --- spill past the 50-slot window → lead r5 (each carries a
-    #     dedicated invariant/semantics test in tests/) ---
-    "window_ewma_decay",
-    "window_rolling_median",
+    "agg_hist2d_joint",
+    "agg_cohort_ltv_curve",
+    "window_cusum_changepoint",
+    "agg_pivot_multi",
+    "sample_ab_assignment_srm",
+    "agg_chi_square_independence",
+    "ml_ols_multivar",
+    "text_pmi_cooccurrence",
+    "sample_bootstrap_means",
+    # --- never-driver-checked, remaining modules in module order
+    #     (llm_prep, relational, scalar_funcs, windows, joins,
+    #     sources_ext, dedup, analytics, multimodal, text, warehouse,
+    #     streaming, ...).  These lead the r6 window ---
+    "scan_observed_metrics",
+    "source_jsonl_corrupt_tolerant",
+    "sink_retention_prune",
+    "source_multiformat_union",
+    "source_python_datasource",
+    "sink_dynamic_partition_overwrite",
+    "scan_ignore_corrupt",
+    "sink_compression_codecs",
+    "agg_basket_pairs",
+    "agg_abc_classification",
+    "agg_new_vs_returning",
+    "agg_boolean",
+    "agg_minmax_by",
+    "stat_crosstab",
+    "reshape_transpose",
+    "explode_outer_semantics",
+    "agg_filtered",
     "agg_listagg_sorted",
-    "window_running_distinct",
-    "func_bitwise",
-    "etl_cdc_apply",
+    "join_null_aware_anti",
+    "join_point_in_time_scd2",
+    "join_nearest_price",
+    "join_lateral_topk",
+    "join_null_safe",
+    "join_asof_tolerance",
     "join_bloom_prefilter",
-    "sample_reservoir_per_group",
+    "window_bollinger_breaches",
+    "window_streak_islands",
+    "window_nth_value",
+    "window_percent_change",
+    "window_running_distinct",
+    "window_rolling_median",
+    "agg_benford_profile",
+    "explode_positional_tokens",
+    "agg_moments_exact",
+    "func_csv_struct",
+    "sql_named_params",
+    "func_struct_field_ops",
+    "func_regexp",
+    "func_collation",
+    "func_try_arith",
+    "func_url",
+    "func_bitwise",
+    "udf_arrow_scalar",
+    "text_vocab_growth",
+    "quality_langid_confusion",
+    "text_bigram_surprisal",
+    "dedup_cluster_representative",
     "embedding_kmeans_rollup",
-    "dedup_embedding_cosine",
-    "dedup_fuzzy_levenshtein",
-    # --- green r1, never rechecked: tpch block fills slots 31-50;
-    #     the agg/reshape/sort/set/window_distribution block is beyond
-    #     the window → leads r5 ---
-    "tpch_q2",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
+    "multimodal_content_sniff",
+    "multimodal_payload_chunks",
+    "multimodal_dedup_phash",
+    "sample_reservoir_per_group",
+    "seq_shard_manifest",
+    "sample_balanced_labels",
+    "sample_temperature_mixture",
+    "graph_degree_histogram",
+    "seq_pack_chunks",
+    "sample_mix_domains",
+    "dedup_paragraph",
+    "dedup_incremental_novelty",
+    "embedding_quantize_int8",
+    "text_rarity_score",
+    "window_ewma_decay",
+    "curation_pipeline_funnel",
+    "etl_snapshot_diff",
+    "etl_cdc_apply",
+    "dedup_cross_source_matrix",
+    "streaming_windowed_topk",
+    "streaming_python_source",
+    # --- driver-checked entries, stalest round first (r1 -> r4), each
+    #     in module order within its round.  Tail of the rotation ---
+    "reshape_unpivot",
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
     "agg_pivot",
     "agg_stats",
-    "reshape_unpivot",
     "sort_topk",
     "set_ops",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q10",
+    "tpch_q18",
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q4",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q22",
     "window_distribution",
-    # --- stalest r2 greens (beyond the r4 window; r5 candidates) ---
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "ann_bruteforce_topk",
-    "ann_lsh_bucketed",
     "source_json_roundtrip",
     "tpch_q12",
-    "window_ranks",
-    "window_lag_lead",
-    "window_running_sum",
-    "window_topk_per_group",
-    # --- tail beyond the window: remaining r2 greens first in line if
-    #     the check window stretches past 50 ---
-    "window_sessionize",
     "window_range_interval",
+    "window_topk_per_group",
+    "window_ranks",
+    "window_running_sum",
+    "window_lag_lead",
+    "window_sessionize",
     "agg_percentiles",
     "agg_histogram",
     "agg_corr_exact",
     "sample_systematic",
     "explode_word_counts",
+    "func_json_struct",
     "func_string",
     "func_date",
     "func_math",
     "func_json",
     "func_array",
     "func_conditional",
-    "func_json_struct",
     "udtf_bigram_topk",
     "udaf_pandas_exact_sum",
     "apply_in_pandas_profile",
+    "text_token_count",
     "text_stats",
     "text_langid",
     "text_fingerprint",
     "text_corpus_rollup",
-    "text_token_count",
+    "dedup_fuzzy_levenshtein",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_bruteforce_topk",
+    "ann_lsh_bucketed",
     "multimodal_metadata",
     "multimodal_decode_features",
     "multimodal_frame_sample",
+    "streaming_stream_stream_join",
+    "streaming_static_join",
     "streaming_tumbling_window",
     "streaming_sliding_window",
     "streaming_session_window",
     "streaming_stateful_user_stats",
-    "streaming_static_join",
-    "streaming_stream_stream_join",
+    "scan_projection",
+    "scan_count",
+    "scan_multifile",
+    "filter_pushdown",
+    "filter_null_semantics",
+    "etl_merge_upsert",
+    "join_dpp_prune",
+    "sink_compact_small_files",
+    "source_schema_evolution",
+    "source_csv_roundtrip",
+    "source_orc_roundtrip",
+    "sink_partitioned_prune",
+    "q1_pricing_summary",
+    "agg_mode_per_group",
+    "agg_distinct",
+    "join_bucketed_colocate",
+    "join_skew_salted",
+    "join_broadcast_dims",
+    "join_fact_fact",
+    "join_outer",
+    "join_semi_anti",
+    "join_range",
+    "join_asof",
+    "join_cross_small",
+    "window_anomaly_zscore",
+    "window_gap_fill",
+    "approx_percentile_sketch",
+    "rollup_hypertable",
+    "approx_heavy_hitters_cms",
+    "approx_distinct_sketch",
+    "func_variant",
+    "func_map",
+    "text_tfidf_topk",
+    "text_chunk_windows",
+    "graph_pagerank",
+    "multimodal_resize",
+    "pii_detect",
+    "decontam_ngram_overlap",
+    "sample_stratified",
+    "sample_train_val_test",
+    "quality_repetition",
+    "window_funnel",
+    "window_retention_cohort",
+    "quality_expectations",
+    "etl_scd2",
+    "sink_zorder_cluster",
+    "table_stats_profile",
+    "streaming_foreach_batch_merge",
+    "streaming_dedup_watermark",
+    "sink_selective_compaction",
+    "source_csv_quoted_multiline",
+    "source_binaryfile_ingest",
+    "scan_files_metadata",
+    "agg_period_overlap",
+    "agg_pct_of_parent",
+    "set_ops_multiset",
+    "sql_recursive_hierarchy",
+    "join_spatial_grid_radius",
+    "join_interval_bucketed",
+    "window_local_extrema",
+    "window_seasonal_baseline",
+    "window_rank_shift",
+    "window_max_drawdown",
+    "window_time_weighted_avg",
+    "window_linear_interpolate",
+    "window_interval_coalesce",
+    "agg_vwap",
+    "window_winsorize",
+    "agg_decile_report",
+    "agg_pareto_frontier",
+    "rollup_ohlc_bars",
+    "quality_mad_outliers",
+    "agg_weighted_median",
+    "approx_hll_union_sketch",
+    "func_crypto_roundtrip",
+    "udtf_dynamic_schema",
+    "udf_map_in_arrow",
+    "text_overlap_stitch",
+    "embedding_drift_report",
+    "embedding_dim_stats",
+    "ann_ivf_topk",
+    "text_boilerplate_segments",
+    "quality_source_gini",
+    "feature_hashing_vectorize",
+    "dedup_blocking_quality",
+    "sample_neyman_allocation",
+    "quality_merkle_checksums",
+    "etl_golden_record",
+    "window_funnel_latency",
+    "etl_incremental_agg",
+    "scan_minmax_skipping",
+    "agg_bitmap_distinct",
+    "join_strategy_hints",
+    "quality_gopher_rules",
+    "dedup_url_canonical",
+    "graph_triangle_count",
+    "graph_community_labels",
+    "text_bpe_merges",
 ]
+
 
 _MODULES = [
     "parquet_batch_spark.operators.scans",

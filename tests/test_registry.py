@@ -28,40 +28,24 @@ def test_every_oracle_has_a_query():
     assert rows_only == [], rows_only
 
 
-def test_driver_window_covers_round4_targets():
-    """Slots 1-50 (the driver's check window) must lead with every op
-    that is new or changed THIS session (21 continuation-session ops +
-    join_interval_bucketed, whose oracle was registered this session +
-    ann_ivf_topk, whose only driver row ever is r3's no_oracle), then
-    fill with the earliest never-checked prior-session batches. The
-    exact spill boundary is pinned so the r5 rotation plan in the
-    ledger comment stays truthful."""
+def test_driver_window_covers_round5_targets():
+    """Slots 1-50 (the driver's check window) must lead with the nine
+    ops CHANGED in r5 (overflow/oracle/dedup-scale fixes — the driver
+    must re-certify them) and fill the rest with never-driver-checked
+    stats_ops entries (VERDICT r4 #1: target >= 45 stats_ops rows).
+    The spill boundary is pinned so the ledger comment stays truthful:
+    window_runs_test is the first never-checked spill and leads r6."""
     first50 = list(all_queries())[:50]
-    session_ops = {
-        "etl_incremental_agg", "scan_minmax_skipping", "agg_bitmap_distinct",
-        "join_strategy_hints", "quality_gopher_rules", "dedup_url_canonical",
-        "graph_triangle_count", "graph_community_labels", "text_bpe_merges",
-        "agg_weighted_median", "window_interval_coalesce",
-        "sql_recursive_hierarchy", "source_binaryfile_ingest",
-        "rollup_ohlc_bars", "quality_mad_outliers", "func_crypto_roundtrip",
-        "agg_pareto_frontier", "set_ops_multiset", "feature_hashing_vectorize",
-        "dedup_blocking_quality", "sample_neyman_allocation",
-        "window_linear_interpolate", "text_overlap_stitch",
-        "join_spatial_grid_radius", "window_max_drawdown",
-        "window_time_weighted_avg", "embedding_dim_stats",
-        "quality_source_gini", "agg_decile_report",
-        "window_funnel_latency", "text_boilerplate_segments",
-        "sink_selective_compaction", "window_rank_shift",
-        "agg_pct_of_parent", "window_winsorize", "func_base64_transport",
-        "etl_golden_record", "window_seasonal_baseline",
-        "agg_period_overlap", "embedding_drift_report",
-        "udtf_dynamic_schema", "agg_vwap", "quality_merkle_checksums",
-        "window_local_extrema",
-        "source_csv_quoted_multiline",
-        "join_interval_bucketed", "ann_ivf_topk"}
-    assert session_ops <= set(first50), session_ops - set(first50)
-    # the remaining 27 slots hold the earliest prior-session batches
-    assert first50[47] == "udf_map_in_arrow"
-    assert first50[49] == "scan_files_metadata"
-    # spill boundary: curation_pipeline_funnel leads the r5 plan
-    assert list(all_queries())[50] == "join_lateral_topk"
+    changed_r5 = [
+        "agg_xyz_classification", "agg_fano_dispersion",
+        "embedding_norm_outliers", "quality_schema_contract",
+        "func_base64_transport", "dedup_ngram_jaccard",
+        "dedup_containment", "dedup_lsh_recall_eval", "dedup_clusters",
+    ]
+    assert first50[:9] == changed_r5
+    from parquet_batch_spark.operators import stats_ops
+
+    stats_in_window = sum(n in stats_ops.QUERIES for n in first50)
+    assert stats_in_window >= 45, stats_in_window
+    # spill boundary pins the r6 plan's head
+    assert list(all_queries())[50] == "window_runs_test"
