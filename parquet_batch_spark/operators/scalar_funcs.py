@@ -738,12 +738,12 @@ def func_base64_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BASE64_SQL = """
 SELECT doc_id,
-       CAST(4 * CEIL(len(text) / 3.0) AS INTEGER) AS b64_len,
-       substr(to_base64(CAST(text AS BLOB)), 1, 16) AS b64_head,
-       (CAST(from_base64(to_base64(CAST(text AS BLOB))) AS VARCHAR) = text)
+       CAST(4 * CEIL(octet_length(encode(text)) / 3.0) AS INTEGER) AS b64_len,
+       substr(to_base64(encode(text)), 1, 16) AS b64_head,
+       (decode(from_base64(to_base64(encode(text)))) = text)
            AS b64_roundtrip_ok,
        TRUE AS hex_roundtrip_ok,
-       CAST(2 * len(text) AS INTEGER) AS hex_len
+       CAST(2 * octet_length(encode(text)) AS INTEGER) AS hex_len
 FROM documents
 WHERE doc_id < 200
 ORDER BY doc_id
@@ -786,7 +786,7 @@ _CRYPTO_SQL = """
 SELECT doc_id,
        sha256(text) AS sha256_hex,
        md5(text) AS md5_hex,
-       CAST(16 * (len(text) // 16 + 1) AS INTEGER) AS cipher_len,
+       CAST(16 * (octet_length(encode(text)) // 16 + 1) AS INTEGER) AS cipher_len,
        TRUE AS roundtrip_ok
 FROM documents
 WHERE doc_id < 200

@@ -3082,7 +3082,10 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nk",
         F.count(F.lit(1)).over(tot).alias("n"),
         F.sum("nk").over(tot).alias("s1"),
-        F.sum(F.col("nk") * F.col("nk")).over(tot).alias("s2"),
+        # nk ≈ 1e6 for unit-norm vectors, so Σ nk² in plain int64
+        # overflows near ~9M rows — decimal keeps the corpus-wide
+        # second moment exact at any N (same hardening as acf/decompose)
+        F.sum(F.col("nk").cast("decimal(18,0)") * F.col("nk")).over(tot).alias("s2"),
     )
     n, s1, s2 = (F.col(c).cast("double") for c in ("n", "s1", "s2"))
     mean = s1 / n
@@ -3117,7 +3120,7 @@ stats AS (
     SELECT vec_id, n2, nk,
            CAST(COUNT(*) OVER () AS DOUBLE) AS n,
            CAST(SUM(nk) OVER () AS DOUBLE) AS s1,
-           CAST(SUM(nk * nk) OVER () AS DOUBLE) AS s2
+           CAST(SUM(CAST(nk AS HUGEINT) * nk) OVER () AS DOUBLE) AS s2
     FROM rescaled
 )
 SELECT vec_id, n2,
@@ -3163,7 +3166,9 @@ def agg_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments = monthly.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("qm").alias("s1"),
-        F.sum(F.col("qm") * F.col("qm")).alias("s2"),
+        # qm is a MONTHLY sum, not a row value — its square can pass
+        # int64 at scale; decimal keeps the moment exact (ANSI-safe)
+        F.sum(F.col("qm").cast("decimal(18,0)") * F.col("qm")).alias("s2"),
     )
     n, s1, s2 = (F.col(c).cast("double") for c in ("n", "s1", "s2"))
     cv_micro = F.floor(
@@ -3199,7 +3204,8 @@ WITH monthly AS (
     GROUP BY 1, 2
 ),
 moments AS (
-    SELECT p_brand, COUNT(*) AS n, SUM(qm) AS s1, SUM(qm * qm) AS s2
+    SELECT p_brand, COUNT(*) AS n, SUM(qm) AS s1,
+           SUM(CAST(qm AS HUGEINT) * qm) AS s2
     FROM monthly GROUP BY p_brand
 ),
 classed AS (
@@ -3467,7 +3473,8 @@ def quality_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 100 TB table. Logical Spark types are normalized to parquet
     physical types (timestamps encode as INT64, strings as
     BYTE_ARRAY) so the check matches what is actually on disk; the
-    oracle reads the same truth from parquet footer metadata.
+    oracle applies the identical normalization to the registered
+    view's logical schema (path-free, follows the harness data root).
 
     Scale: pure metadata — a footer read, zero data rows scanned.
     """
@@ -3496,21 +3503,29 @@ def quality_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _schema_contract_sql() -> str:
-    # The oracle reads footer truth from the sf0.01 file by FIXED path:
-    # the driver's comparison harness only registers table VIEWS (no
-    # path substitution), and the physical schema is scale-factor-
-    # invariant — the contract is a property of the dataset family.
+    # The oracle reads the registered ``orders`` VIEW's logical schema
+    # from information_schema and normalizes logical -> parquet-physical
+    # with the same mapping the Spark side applies (_SPARK_TO_PHYSICAL).
+    # No filesystem path appears in the SQL, so the oracle follows the
+    # harness's data root to ANY scale factor or environment (the r4
+    # ADVICE flagged the previous fixed '/root/testdata/sf0.01' path).
     contract_rows = ", ".join(
         f"('{n}', {i + 1}, '{t}')" for i, (n, t) in enumerate(ORDERS_CONTRACT)
     )
     return f"""
 WITH actual AS (
-    SELECT name AS column_name,
-           CAST(ROW_NUMBER() OVER () AS BIGINT) AS position,
-           type AS physical_type
-    FROM (SELECT name, type
-          FROM parquet_schema('/root/testdata/sf0.01/orders.parquet')
-          WHERE type IS NOT NULL)
+    SELECT column_name,
+           CAST(ordinal_position AS BIGINT) AS position,
+           CASE data_type
+                WHEN 'BIGINT' THEN 'INT64'
+                WHEN 'INTEGER' THEN 'INT32'
+                WHEN 'DOUBLE' THEN 'DOUBLE'
+                WHEN 'FLOAT' THEN 'FLOAT'
+                WHEN 'VARCHAR' THEN 'BYTE_ARRAY'
+                WHEN 'TIMESTAMP' THEN 'INT64'
+                ELSE 'UNKNOWN' END AS physical_type
+    FROM information_schema.columns
+    WHERE table_name = 'orders'
 ),
 contract(column_name, cpos, contract_type) AS (VALUES {contract_rows})
 SELECT a.column_name, a.position, a.physical_type,
@@ -3801,7 +3816,9 @@ def agg_fano_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("c").alias("s1"),
-        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        # c is a DAILY count, not a row value — decimal-cast the square
+        # so the per-type second moment stays exact at any event volume
+        F.sum(F.col("c").cast("decimal(18,0)") * F.col("c")).alias("s2"),
     )
     n, s1, s2 = (F.col(c).cast("double") for c in ("n", "s1", "s2"))
     mean = s1 / n
@@ -3820,7 +3837,8 @@ WITH daily AS (
     FROM events GROUP BY 1, 2
 ),
 m AS (
-    SELECT event_type, COUNT(*) AS n, SUM(c) AS s1, SUM(c * c) AS s2
+    SELECT event_type, COUNT(*) AS n, SUM(c) AS s1,
+           SUM(CAST(c AS HUGEINT) * c) AS s2
     FROM daily GROUP BY event_type
 )
 SELECT event_type, CAST(n AS BIGINT) AS n_days,

@@ -67,3 +67,22 @@ def whole_stage_codegen_spans(df: DataFrame) -> int:
     """
     plan = executed_plan(df)
     return len(set(re.findall(r"\*\((\d+)\)", plan)))
+
+
+def global_window_count(df: DataFrame) -> int:
+    """Number of Window nodes in the OPTIMIZED logical plan whose
+    partition spec is empty — the "WindowExec: No Partition Defined"
+    shape that serializes the whole input through one task.  Acceptable
+    ONLY over a domain-bounded reduced table (bins, days, vocab, a
+    fixed literal domain), never over a raw fact/corpus table; the
+    whitelist test in tests/test_plans.py enforces exactly that.
+    """
+    import json as _json
+
+    plan_json = _json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+    n = 0
+    for node in plan_json:
+        cls = node.get("class", "")
+        if cls.endswith(".Window") and not node.get("partitionSpec"):
+            n += 1
+    return n
