@@ -118,6 +118,11 @@ HEADLINE = [
     "window_peak_concurrency",
     "dedup_lsh_recall_eval",
     "embedding_pca_power_iteration",
+    # r5 additions: the CC op was the slowest in the registry and
+    # deliberately absent — a bench that excludes its slowest op is
+    # grading itself (r4 VERDICT #5).  Now consumes the shared
+    # materialized LSH candidate table.
+    "dedup_clusters",
 ]
 
 

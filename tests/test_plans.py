@@ -152,6 +152,8 @@ def test_dedup_pipelines_avoid_cartesian(spark, sf_dir, monkeypatch):
     )
 
     monkeypatch.setattr(dedup_mod, "COS_SMALL_CORPUS", 0)
+    # audit the LOGICAL pipeline, not the memoized checkpoint scan
+    monkeypatch.setattr(dedup_mod, "MATERIALIZE_SHARED_STAGES", False)
     for fn in (dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard, dedup_embedding_cosine):
         plan = executed_plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, f"{fn.__name__}: cartesian!"
@@ -220,12 +222,14 @@ def test_stratified_sample_filter_is_shuffle_free(spark, sf_dir):
     assert exchange_pos == -1 or filter_pos > exchange_pos, plan[:2000]
 
 
-def test_minhash_band_join_is_equi_join(spark, sf_dir):
+def test_minhash_band_join_is_equi_join(spark, sf_dir, monkeypatch):
     """The LSH candidate join must be a hash/sort-merge EQUI-join on
     the band key (its shuffle is bounded by bucket size), with the
     doc_a < doc_b ordering applied as a post-join condition."""
+    from parquet_batch_spark.operators import dedup as dedup_mod
     from parquet_batch_spark.operators.dedup import dedup_minhash_lsh
 
+    monkeypatch.setattr(dedup_mod, "MATERIALIZE_SHARED_STAGES", False)
     plan = executed_plan(dedup_minhash_lsh(spark, sf_dir))
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
