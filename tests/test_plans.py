@@ -406,3 +406,48 @@ def test_regression_single_shuffle(spark, sf_dir):
     assert plan.count("Exchange") <= 2, plan[:3000]  # agg + final orderBy
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+def test_global_windows_only_over_reduced_tables(spark, sf_smoke):
+    """Registry-wide guard (r4 VERDICT #7): a Window with NO partition
+    spec serializes its whole input through one task — acceptable ONLY
+    over a DOMAIN-BOUNDED reduced table (calendar days, vocab ranks,
+    fixed bins, a literal label domain), never over a raw fact/corpus
+    table. Every op below was audited against that rule when it
+    landed; any op newly acquiring a global window must either
+    partition it or be audited + added here.
+    """
+    from parquet_batch_spark.operators import all_queries
+    from parquet_batch_spark.plans.inspect import global_window_count
+
+    whitelist = {
+        # stats/ML ops: windows over bins / ranks / reduced group tables
+        "embedding_norm_outliers", "text_zipf_fit", "quality_psi_drift",
+        "quality_ks_drift", "agg_survival_km", "window_acf_lags",
+        "window_peak_concurrency", "agg_rfm_segmentation",
+        "window_order_gap_distribution", "text_ngram_coverage_curve",
+        "sample_importance_weights", "agg_seasonality_index",
+        "agg_weekday_hour_heatmap", "seq_event_paths",
+        "sample_kfold_assignment", "func_edit_distance",
+        "sort_nulls_placement", "agg_mann_whitney_u", "window_runs_test",
+        "agg_split_gain_gini", "window_realized_volatility",
+        "window_seasonal_decompose", "agg_spearman_rho", "agg_hist2d_joint",
+        "sample_ab_assignment_srm", "agg_chi_square_independence",
+        # the ONE deliberate dense-key global window (documented in-op)
+        "etl_surrogate_keys",
+        # analytics/curation: day-grain / digit-domain / label-domain tables
+        "agg_abc_classification", "agg_benford_profile", "text_vocab_growth",
+        "sample_balanced_labels", "window_range_interval", "window_funnel",
+        "agg_pct_of_parent", "agg_pareto_frontier", "quality_source_gini",
+    }
+    offenders = {}
+    for name, fn in all_queries().items():
+        n = global_window_count(fn(spark, sf_smoke))
+        if n:
+            offenders[name] = n
+    unexpected = set(offenders) - whitelist
+    assert not unexpected, (
+        f"NEW global (unpartitioned) windows — partition them or audit "
+        f"the reduced-table claim and extend the whitelist: "
+        f"{sorted(unexpected)}"
+    )
