@@ -123,6 +123,10 @@ HEADLINE = [
     # grading itself (r4 VERDICT #5).  Now consumes the shared
     # materialized LSH candidate table.
     "dedup_clusters",
+    # r5 north-star additions: word-aligned duplicated-span detection
+    # and SemDeDup semantic dedup over the IVF cells
+    "dedup_exact_substring",
+    "dedup_semantic_cluster",
 ]
 
 

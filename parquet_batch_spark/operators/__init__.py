@@ -127,6 +127,16 @@ _PRIORITY = [
     "ml_ols_multivar",
     "text_pmi_cooccurrence",
     "sample_bootstrap_means",
+    # --- r5-NEW operators (never checked; in the r6 window behind the
+    #     stats spill): ExactSubstr-style duplicated-span detection,
+    #     SemDeDup semantic dedup over the IVF cells, ANN recall
+    #     acceptance gate, model-based quality-filter inference,
+    #     per-source epoch/mixture plan — each dual-SF swept locally ---
+    "dedup_exact_substring",
+    "dedup_semantic_cluster",
+    "ann_recall_eval",
+    "quality_model_score",
+    "sample_epoch_plan",
     # --- never-driver-checked, remaining modules in module order
     #     (llm_prep, relational, scalar_funcs, windows, joins,
     #     sources_ext, dedup, analytics, multimodal, text, warehouse,

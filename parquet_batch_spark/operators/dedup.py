@@ -23,6 +23,9 @@ run only on candidate pairs.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -634,9 +637,6 @@ def _band_assign(nbits: int):
     throughput of per-row interpreted higher-order-function folds,
     which at billions of vectors is the difference between hours and
     minutes of CPU per corpus pass."""
-    import numpy as np
-    import pandas as pd
-
     from parquet_batch_spark.operators.similarity import _plane_weight
 
     plane_ids = [
@@ -677,9 +677,6 @@ def _cosine_small(nbits: int):
     paths return bit-identical rows. Emits raw cosines; threshold,
     rounding and ordering stay JVM-side so the tail of the plan is
     literally shared with the join path."""
-    import numpy as np
-    import pandas as pd
-
     from parquet_batch_spark.operators.similarity import _plane_weight
 
     plane_ids = [
@@ -1493,6 +1490,90 @@ FROM t, cc
 """
 
 
+# ------------------------------------------- exact duplicated substrings
+
+SUBSTR_K = 8  # words per gram: any shared verbatim span of >= 8 words
+#               yields at least one common gram in both documents —
+#               token-aligned cutting makes alignment CONTENT-defined,
+#               unlike fixed character strides which only match when
+#               span offsets happen to be congruent mod the stride
+
+
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SPAN detection (the ExactSubstr idea of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better"):
+    documents that are not near-duplicates as a whole can still share
+    long verbatim spans (licenses, quotes, templated intros) that
+    memorization-prone models see many times. Spans are detected at
+    word granularity: every {SUBSTR_K}-token gram is hashed, and a
+    gram whose hash appears in >= 2 DISTINCT documents marks a
+    duplicated span — word-aligned cutting is content-defined, so a
+    shared span produces identical grams in both docs regardless of
+    where it sits (a fixed character stride would only match spans at
+    congruent offsets; the suffix-array-free practical equivalent).
+    Output: per-doc duplicated-gram accounting for every doc carrying
+    at least one cross-doc span.
+
+    Scale: join-free — the gram stream (one row per token, linear in
+    corpus size) reduces to per-hash distinct-doc counts, then one
+    linear hash-equi-join back to the (doc, hash) stream and a
+    per-doc reduce. No pair enumeration anywhere, so no df cap is
+    needed: a gram shared by a million docs costs one aggregate row,
+    not a million-squared join bucket.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles_col(tokens_col("text"), SUBSTR_K))
+        ).alias("g"),
+    )
+    wins = grams.select("doc_id", hash32(F.col("g")).alias("h")).distinct()
+    df_counts = wins.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        wins.join(df_counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_dup_windows"),
+        )
+        .filter(F.col("n_dup_windows") > 0)
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.floor(
+                F.lit(1_000_000) * F.col("n_dup_windows") / F.col("n_windows")
+            ).cast("long").alias("dup_frac_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DEDUP_SUBSTR_SQL = f"""
+WITH wins AS (
+    SELECT DISTINCT doc_id, {sql_hash32("g")} AS h
+    FROM (
+        SELECT doc_id,
+            unnest(list_distinct({sql_shingles(sql_tokens("text"), SUBSTR_K)})) AS g
+        FROM documents
+    )
+),
+df AS (
+    SELECT h, COUNT(*) AS n_docs FROM wins GROUP BY h
+)
+SELECT doc_id,
+    COUNT(*) AS n_windows,
+    CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+    CAST(FLOOR(1000000.0 * SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT)
+        AS dup_frac_micro
+FROM wins JOIN df USING (h)
+GROUP BY doc_id
+HAVING SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) > 0
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_lsh_recall_eval": dedup_lsh_recall_eval,
     "dedup_cluster_representative": dedup_cluster_representative,
@@ -1500,6 +1581,7 @@ QUERIES = {
     "graph_pagerank": graph_pagerank,
     "dedup_fuzzy_levenshtein": dedup_fuzzy_levenshtein,
     "dedup_exact": dedup_exact,
+    "dedup_exact_substring": dedup_exact_substring,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1513,6 +1595,7 @@ ORACLES = {
     "graph_pagerank": _pagerank_sql(),
     "dedup_fuzzy_levenshtein": _DEDUP_FUZZY_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_exact_substring": _DEDUP_SUBSTR_SQL,
     "dedup_lsh_recall_eval": _LSH_RECALL_SQL,
     "dedup_minhash_lsh": _DEDUP_MINHASH_SQL,
     "dedup_simhash": _DEDUP_SIMHASH_SQL,

@@ -1649,7 +1649,119 @@ ORDER BY lang
 """
 
 
+# Epoch-plan constants: the target training-token budget is expressed
+# as a multiple of the corpus so the plan is scale-free, and the
+# max-epoch guardrail encodes the data-constrained-scaling rule of
+# thumb that value decays after ~4 repetitions of the same data
+# (Muennighoff et al., "Scaling Data-Constrained Language Models").
+EPOCH_BUDGET_X = 2  # target total tokens = 2x the whole corpus
+EPOCH_MAX = 4  # repetition ceiling before a source is flagged
+EPOCH_MIX_W = {"src0": 5, "src1": 3, "src2": 2}  # upweighted sources
+EPOCH_W_DEFAULT = 1
+
+
+def sample_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source EPOCH plan: given a total training-token budget
+    ({EPOCH_BUDGET_X}x the corpus) split across sources by fixed
+    mixture weights, how many passes (epochs) over each source's
+    tokens does the mix imply — and which sources exceed the
+    {EPOCH_MAX}-epoch repetition ceiling where marginal value decays?
+    This is the planning artifact a data-constrained pretraining run
+    signs off before launch: target tokens, available tokens,
+    milli-epochs (floor(1000·target/available)) and the over-budget
+    flag per source.
+
+    All integer arithmetic on exact token counts — the plan is
+    bit-stable across engines, partitionings and reruns.
+
+    Scale: one token-count reduce per source (map-side combined), then
+    closed-form arithmetic on the ≤|sources| reduced rows.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "source")
+    per_src = d.select(
+        "source", F.size(tokens_col("text")).cast("long").alias("n_tok")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("avail_tokens"),
+    )
+    w = F.coalesce(
+        *[
+            F.when(F.col("source") == k, F.lit(v))
+            for k, v in EPOCH_MIX_W.items()
+        ],
+        F.lit(EPOCH_W_DEFAULT),
+    )
+    tot = Window.partitionBy()
+    weighted = per_src.select(
+        "source",
+        "n_docs",
+        "avail_tokens",
+        w.alias("mix_w"),
+    ).select(
+        "*",
+        F.sum("avail_tokens").over(tot).alias("corpus_tokens"),
+        F.sum("mix_w").over(tot).alias("w_sum"),
+    )
+    target = F.floor(
+        F.lit(EPOCH_BUDGET_X) * F.col("corpus_tokens") * F.col("mix_w") / F.col("w_sum")
+    ).cast("long")
+    plan = weighted.select(
+        "source",
+        "n_docs",
+        "avail_tokens",
+        "mix_w",
+        target.alias("target_tokens"),
+    ).select(
+        "*",
+        F.floor(F.lit(1000) * F.col("target_tokens") / F.col("avail_tokens"))
+        .cast("long")
+        .alias("milli_epochs"),
+    )
+    return plan.select(
+        "source",
+        "n_docs",
+        "avail_tokens",
+        "mix_w",
+        "target_tokens",
+        "milli_epochs",
+        (F.col("milli_epochs") > EPOCH_MAX * 1000).alias("over_repetition_cap"),
+    ).orderBy("source")
+
+
+_EPOCH_W_SQL = " ".join(
+    f"WHEN source = '{k}' THEN {v}" for k, v in EPOCH_MIX_W.items()
+)
+
+_EPOCH_PLAN_SQL = f"""
+WITH per_src AS (
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len({sql_tokens("text")})) AS BIGINT) AS avail_tokens
+    FROM documents GROUP BY source
+),
+weighted AS (
+    SELECT source, n_docs, avail_tokens,
+           CASE {_EPOCH_W_SQL} ELSE {EPOCH_W_DEFAULT} END AS mix_w,
+           SUM(avail_tokens) OVER () AS corpus_tokens,
+           SUM(CASE {_EPOCH_W_SQL} ELSE {EPOCH_W_DEFAULT} END) OVER () AS w_sum
+    FROM per_src
+),
+plan AS (
+    SELECT source, n_docs, avail_tokens, CAST(mix_w AS INTEGER) AS mix_w,
+           CAST(FLOOR({EPOCH_BUDGET_X}.0 * corpus_tokens * mix_w / w_sum) AS BIGINT)
+               AS target_tokens
+    FROM weighted
+)
+SELECT source, n_docs, avail_tokens, mix_w, target_tokens,
+       CAST(FLOOR(1000.0 * target_tokens / avail_tokens) AS BIGINT) AS milli_epochs,
+       CAST(FLOOR(1000.0 * target_tokens / avail_tokens) AS BIGINT) > {EPOCH_MAX * 1000}
+           AS over_repetition_cap
+FROM plan
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "sample_epoch_plan": sample_epoch_plan,
     "text_boilerplate_segments": text_boilerplate_segments,
     "quality_source_gini": quality_source_gini,
     "feature_hashing_vectorize": feature_hashing_vectorize,
@@ -1670,6 +1782,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sample_epoch_plan": _EPOCH_PLAN_SQL,
     "text_boilerplate_segments": _BOILER_SQL,
     "quality_source_gini": _SOURCE_GINI_SQL,
     "feature_hashing_vectorize": _FEAT_HASH_SQL,

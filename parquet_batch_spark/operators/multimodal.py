@@ -17,6 +17,8 @@ while the pandas path is covered by the rows-only check + unit tests.
 
 from __future__ import annotations
 
+import numpy as np
+
 from collections.abc import Iterator
 
 import pandas as pd
@@ -183,8 +185,6 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-side contract — Arrow batches in, fixed schema out, no
     shuffle — is identical. Oracle mirrors the stride arithmetic over
     the source text bytes."""
-    import numpy as np
-
     d = load(spark, sf_dir, "documents")
     p = _with_payload(d)
 

@@ -346,7 +346,116 @@ ORDER BY lang, source, samp_rank
 """
 
 
+# Fixed integer-quantized weights of the linear quality model (a
+# fasttext-style classifier distilled to its decision function).  The
+# logit is monotone in the class probability, so gating on the integer
+# logit is EXACTLY gating on the sigmoid score — no exp(), nothing
+# float, bit-identical across engines and partitionings.
+QM_W_MEANLEN = 3      # longer words: prose-like
+QM_W_DISTINCT = 5     # vocabulary diversity
+QM_W_SYMBOL = -8      # markup/symbol soup
+QM_W_STOP = 4         # function-word mass: natural language
+QM_BIAS = -4_000_000
+QM_THRESH = 0  # logit_micro >= 0  <=>  p >= 0.5
+QM_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "for", "on", "it")
+
+
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the classifier-inference stage
+    (fasttext/logreg style) that follows the rule-based Gopher screen
+    in a production pipeline. Four interpretable features per doc
+    (mean word length, distinct-word ratio, symbol density, stopword
+    fraction), each an exact floor(1e6·a/b) integer micro-ratio, are
+    combined by fixed integer weights into a logit; docs pass at
+    logit >= {QM_THRESH}. Output: per-(lang, source) cohort pass
+    accounting + mean logit — the report that decides which cohorts a
+    model-based filter would starve.
+
+    Scale: one token explode + two reduces, all integer arithmetic in
+    whole-stage codegen; inference is embarrassingly parallel (weights
+    are plan literals, nothing is broadcast or shuffled for the model).
+    """
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
+    words = d.select(
+        "doc_id", "lang", "source", F.explode(tokens_col("text")).alias("w")
+    )
+    sym = F.regexp_count(F.col("w"), F.lit(r"[^A-Za-z0-9\s]"))
+    stop = F.lower(F.col("w")).isin(*QM_STOPWORDS).cast("long")
+    feats = words.groupBy("doc_id", "lang", "source").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.count_distinct("w").alias("n_distinct"),
+        F.sum(F.length("w")).alias("sum_len"),
+        F.sum(sym).alias("sum_sym"),
+        F.sum(stop).alias("sum_stop"),
+    )
+    micro = lambda a, b: F.floor(F.lit(1_000_000) * a / b).cast("long")  # noqa: E731
+    logit = (
+        F.lit(QM_BIAS)
+        + F.lit(QM_W_MEANLEN) * micro(F.col("sum_len"), F.col("n_words"))
+        + F.lit(QM_W_DISTINCT) * micro(F.col("n_distinct"), F.col("n_words"))
+        + F.lit(QM_W_SYMBOL) * micro(F.col("sum_sym"), F.col("n_words"))
+        + F.lit(QM_W_STOP) * micro(F.col("sum_stop"), F.col("n_words"))
+    )
+    scored = feats.select("lang", "source", logit.alias("logit_micro"))
+    return (
+        scored.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("logit_micro") >= QM_THRESH).cast("long")).alias("n_pass"),
+            F.floor(F.avg("logit_micro")).cast("long").alias("mean_logit_micro"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_pass",
+            F.round(F.col("n_pass") / F.col("n_docs"), 6).alias("pass_rate"),
+            "mean_logit_micro",
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_QM_STOP_SQL = ", ".join(f"'{w}'" for w in QM_STOPWORDS)
+
+_QUALITY_MODEL_SQL = f"""
+WITH words AS (
+    SELECT doc_id, lang, source, unnest({sql_tokens("text")}) AS w FROM documents
+),
+feats AS (
+    SELECT doc_id, lang, source,
+        COUNT(*) AS n_words,
+        COUNT(DISTINCT w) AS n_distinct,
+        SUM(length(w)) AS sum_len,
+        SUM(len(regexp_extract_all(w, '[^A-Za-z0-9\\s]'))) AS sum_sym,
+        SUM(CASE WHEN lower(w) IN ({_QM_STOP_SQL}) THEN 1 ELSE 0 END) AS sum_stop
+    FROM words GROUP BY doc_id, lang, source
+),
+scored AS (
+    SELECT lang, source,
+        {QM_BIAS}
+        + {QM_W_MEANLEN} * CAST(FLOOR(1000000.0 * sum_len / n_words) AS BIGINT)
+        + {QM_W_DISTINCT} * CAST(FLOOR(1000000.0 * n_distinct / n_words) AS BIGINT)
+        + ({QM_W_SYMBOL}) * CAST(FLOOR(1000000.0 * sum_sym / n_words) AS BIGINT)
+        + {QM_W_STOP} * CAST(FLOOR(1000000.0 * sum_stop / n_words) AS BIGINT)
+            AS logit_micro
+    FROM feats
+)
+SELECT lang, source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(CASE WHEN logit_micro >= {QM_THRESH} THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_pass,
+    ROUND(CAST(SUM(CASE WHEN logit_micro >= {QM_THRESH} THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*), 6) AS pass_rate,
+    CAST(FLOOR(AVG(logit_micro)) AS BIGINT) AS mean_logit_micro
+FROM scored
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
 QUERIES = {
+    "quality_model_score": quality_model_score,
     "pii_detect": pii_detect,
     "decontam_ngram_overlap": decontam_ngram_overlap,
     "sample_stratified": sample_stratified,
@@ -356,6 +465,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quality_model_score": _QUALITY_MODEL_SQL,
     "sample_train_val_test": _SPLIT_SQL,
     "pii_detect": _PII_SQL,
     "decontam_ngram_overlap": _DECONTAM_SQL,

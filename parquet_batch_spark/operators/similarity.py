@@ -22,6 +22,10 @@ query time): plane p, dim d weight = (affine-LCG(p, d) / P) * 2 - 1.
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -250,8 +254,6 @@ IVF_ASSIGN = 2  # spill assignment: each vector indexed in its 2 nearest cells
 def _ivf_k(n: int) -> int:
     """K = max(16, ceil(sqrt(N))) — integer-exact (isqrt), mirrored by
     the oracle's GREATEST(16, CEIL(SQRT(n)))."""
-    import math
-
     return max(IVF_MIN_K, math.isqrt(n - 1) + 1) if n > 0 else IVF_MIN_K
 
 
@@ -270,8 +272,6 @@ def _hash_seed_cells(spark: SparkSession, sf_dir: str):
     ordering. Training is ONE top-k-by-hash selection — no Lloyd
     corpus passes — and the k×dim collect is bounded (~16 MB at
     N=1e9)."""
-    import numpy as np
-
     em = fan_out(load(spark, sf_dir, "embeddings"), spark)
     base = em.select("vec_id", _dvec().alias("v"))
     n = count_table(spark, sf_dir, "embeddings")
@@ -291,8 +291,6 @@ def _assign_cells(base: DataFrame, cents, n_assign: int) -> DataFrame:
     Arrow-batched numpy corpus pass; dimension-sequential accumulation
     == the oracle's SQL fold, stable argsort ties to the lower cell id
     (matching ORDER BY d2, cell)."""
-    import numpy as np
-
     dim = cents.shape[1]
 
     def assign(batches):
@@ -357,8 +355,6 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical IEEE op order as the oracle's list_sum folds, so cell
     assignment, probe choice, and cosine ranks match DuckDB exactly;
     ties break to the lower cell id / vec_id in both engines."""
-    import numpy as np
-
     base, cents, k = _hash_seed_cells(spark, sf_dir)
     nprobe = _ivf_nprobe(k)
     dim = cents.shape[1]
@@ -702,12 +698,168 @@ FROM per
 """
 
 
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the IVF index against the exact brute-force
+    ground truth, per query — the acceptance gate an ANN index must
+    pass before it replaces exact search in a retrieval pipeline (the
+    similarity-search twin of ``dedup_lsh_recall_eval``). A recall
+    regression here means the K/nprobe ladder needs retuning BEFORE a
+    100 TB index build, not after.
+
+    Scale: both sides are the existing bounded pipelines (brute force
+    over the broadcast query set; IVF's cell equi-join); the eval
+    itself is one equi-join on (query, neighbor) + a per-query reduce.
+    """
+    bf = ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    iv = ann_ivf_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        bf.join(iv, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_recalled"),
+        )
+        .select(
+            "query_id",
+            "k",
+            "n_recalled",
+            F.round(F.col("n_recalled") / F.col("k"), 6).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_ANN_RECALL_SQL = f"""
+WITH bf AS (
+    SELECT query_id, neighbor_id FROM ({_ANN_BRUTE_SQL}) t
+),
+iv AS (
+    SELECT query_id, neighbor_id FROM ({_ANN_IVF_SQL}) t
+)
+SELECT bf.query_id,
+    COUNT(*) AS k,
+    CAST(SUM(CASE WHEN iv.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_recalled,
+    ROUND(CAST(SUM(CASE WHEN iv.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*), 6) AS recall
+FROM bf LEFT JOIN iv USING (query_id, neighbor_id)
+GROUP BY bf.query_id
+ORDER BY bf.query_id
+"""
+
+
+SEM_COS_THRESHOLD = 0.45  # semantic-duplicate cosine gate
+
+
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023):
+    cluster the embedding space with the hash-seeded coarse quantizer
+    (K ≈ √N cells), then compare vectors only WITHIN their cell and
+    drop any vector whose cosine to a lower-id cell-mate reaches
+    {SEM_COS_THRESHOLD} — semantic copies that exact/fuzzy TEXT dedup
+    cannot see (translations, paraphrases, re-renders). Output: one
+    row per dropped vector with its kept representative (the smallest
+    matching id) and the cosine to it.
+
+    Scale: the quantizer bounds all pair work to Θ(Σ cell²) with
+    E[cell] = N/K = √N — the SemDeDup recipe is exactly "make K large
+    enough that clusters are pairwise-comparable"; at 100 TB K grows
+    to N/1000 so cells stay ~constant. Candidate generation is an
+    equi-join on the cell id (no cartesian); 2-way spill assignment
+    (as in ``ann_ivf_topk``) is the recall knob for boundary pairs,
+    kept at 1 here to match the published algorithm.
+    """
+    base, cents, _k = _hash_seed_cells(spark, sf_dir)
+    assigned = _assign_cells(base, cents, 1)
+    nr = assigned.select(
+        "vec_id", "cell", "v", _norm(F.col("v")).alias("nrm")
+    ).filter(F.col("nrm") > 0)
+    a = nr.alias("a")
+    b = nr.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.v", "b.v", lambda x, y: x * y), F.lit(0.0), lambda ac, x: ac + x
+    )
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= SEM_COS_THRESHOLD)
+    )
+    return (
+        pairs.groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(
+            F.min("a.vec_id").alias("kept_id"),
+            F.min_by("cos_sim", F.col("a.vec_id")).alias("cos_raw"),
+        )
+        .select("vec_id", "kept_id", F.round("cos_raw", 6).alias("cos_sim"))
+        .orderBy("vec_id")
+    )
+
+
+_SEM_DEDUP_SQL = f"""
+WITH nv AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+params AS (
+    SELECT GREATEST({IVF_MIN_K}, CAST(CEIL(SQRT(n)) AS INTEGER)) AS k
+    FROM (SELECT COUNT(*) AS n FROM nv)
+),
+seeds AS (
+    SELECT v AS c,
+        ROW_NUMBER() OVER (
+            ORDER BY {sql_hash32("CAST(vec_id AS VARCHAR)")}, vec_id
+        ) - 1 AS cell
+    FROM nv
+    QUALIFY cell < (SELECT k FROM params)
+),
+base AS (
+    SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM nv
+),
+assign AS (
+    SELECT vec_id, v, nrm, cell
+    FROM (
+        SELECT b.vec_id, b.v, b.nrm, s.cell,
+            ROW_NUMBER() OVER (
+                PARTITION BY b.vec_id
+                ORDER BY {_d2("b.v", "s.c")}, s.cell
+            ) AS rn
+        FROM base b, seeds s
+    )
+    WHERE rn <= 1 AND nrm > 0
+),
+pairs AS (
+    SELECT a.vec_id AS keep_cand, b.vec_id AS vec_id,
+        list_sum(list_transform(generate_series(1, {_DIM}),
+                                i -> a.v[i] * b.v[i]))
+            / (a.nrm * b.nrm) AS cos_raw
+    FROM assign a
+    JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT vec_id,
+    MIN(keep_cand) AS kept_id,
+    ROUND(MIN_BY(cos_raw, keep_cand), 6) AS cos_sim
+FROM pairs
+WHERE cos_raw >= {SEM_COS_THRESHOLD}
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "embedding_drift_report": embedding_drift_report,
     "embedding_dim_stats": embedding_dim_stats,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_recall_eval": ann_recall_eval,
+    "dedup_semantic_cluster": dedup_semantic_cluster,
     "embedding_kmeans_rollup": embedding_kmeans_rollup,
 }
 
@@ -720,5 +872,7 @@ ORACLES = {
     # points (the previous Lloyd-refined float geometry wasn't readably
     # SQL-expressible and forced a rows-only driver row)
     "ann_ivf_topk": _ANN_IVF_SQL,
+    "ann_recall_eval": _ANN_RECALL_SQL,
+    "dedup_semantic_cluster": _SEM_DEDUP_SQL,
     "embedding_kmeans_rollup": _KMEANS_ROLLUP_SQL,
 }

@@ -2227,13 +2227,22 @@ def sample_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.alias("weight"),
     )
     wd = F.col("weight").cast("decimal(18,6)")
+    # wd*wd*n_docs naively types as decimal(58,12) > 38, which Spark
+    # silently RESOLVES BY REDUCING SCALE TO 6 — truncating the exact
+    # scale-12 squares (caught by the first full sf0.1 sweep in r5:
+    # sww ended .000000 while DuckDB kept .145512 and the rounded ESS
+    # drifted 1 digit).  Keep every product within precision 38: the
+    # square is <= IW_CAP² so decimal(26,12) holds it exactly, and
+    # (26,12)×(10,0) = (37,12) stays exact for up to 1e10 docs/lang.
+    ww = (wd * wd).cast("decimal(26,12)")
+    nd = F.col("n_docs").cast("decimal(10,0)")
     sums = weighted.select(
         "lang",
         "n_docs",
         "actual_share",
         "weight",
         F.sum(wd * F.col("n_docs")).over(tot).cast("decimal(28,6)").alias("sw"),
-        F.sum(wd * wd * F.col("n_docs")).over(tot).cast("decimal(28,12)").alias("sww"),
+        F.sum(ww * nd).over(tot).cast("decimal(28,12)").alias("sww"),
     )
     ess = F.round(
         F.col("sw").cast("double") * F.col("sw").cast("double")

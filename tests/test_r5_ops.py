@@ -1,0 +1,130 @@
+"""Invariant tests for the r5 operator wave: exact-substring dedup,
+semantic (SemDeDup) dedup, ANN recall gate, model-based quality
+filtering, and the per-source epoch plan."""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_docs(tmp_path, rows):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] if len(r) > 2 else "en" for r in rows], pa.string()),
+            "source": pa.array(
+                [r[3] if len(r) > 3 else "synthetic" for r in rows], pa.string()
+            ),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_exact_substring_catches_planted_span(spark, tmp_path):
+    """Two documents sharing a 16-word verbatim span must both be
+    flagged even though the span sits at DIFFERENT offsets in each
+    (the content-defined-alignment guarantee); fully unique documents
+    must not appear."""
+    from parquet_batch_spark.operators.dedup import dedup_exact_substring
+
+    span = (
+        "this exact licensing paragraph is reproduced verbatim across "
+        "two otherwise unrelated documents in the corpus today"
+    )  # 16 words >= SUBSTR_K
+    rows = [
+        (0, "totally unique document zero with its own words entirely alone here"),
+        (1, "intro one. " + span + " outro one."),
+        (2, "a different intro two goes here. " + span + " tail two."),
+        (3, "another fully unique text three that shares nothing with anybody else"),
+    ]
+    sf_dir = _write_docs(tmp_path, rows)
+    got = {r["doc_id"]: r for r in dedup_exact_substring(spark, sf_dir).collect()}
+    assert set(got) == {1, 2}, got
+    for r in got.values():
+        assert r["n_dup_windows"] >= 1
+        assert 0 < r["dup_frac_micro"] <= 1_000_000
+
+
+def test_semantic_cluster_pairs_verify_against_numpy(spark, sf_smoke):
+    """Every (dropped, kept) row must satisfy kept_id < vec_id and a
+    true cosine >= threshold, recomputed independently with numpy."""
+    import numpy as np
+
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.operators.similarity import (
+        SEM_COS_THRESHOLD,
+        dedup_semantic_cluster,
+    )
+
+    rows = dedup_semantic_cluster(spark, sf_smoke).collect()
+    assert rows, "expected at least one semantic duplicate at sf0.001"
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load(spark, sf_smoke, "embeddings").collect()
+    }
+    for r in rows:
+        assert r["kept_id"] < r["vec_id"]
+        a, b = vecs[r["kept_id"]], vecs[r["vec_id"]]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos >= SEM_COS_THRESHOLD - 1e-9
+        assert math.isclose(cos, r["cos_sim"], abs_tol=5e-6)
+
+
+def test_ann_recall_eval_bounds_and_floor(spark, sf_dir):
+    """Per-query recall in [0,1], k == TOP_K, and the corpus-wide mean
+    must clear the same floor the dedicated IVF recall test pins."""
+    from parquet_batch_spark.operators.similarity import TOP_K, ann_recall_eval
+
+    rows = ann_recall_eval(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["k"] == TOP_K
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["n_recalled"] <= r["k"]
+    mean = sum(r["recall"] for r in rows) / len(rows)
+    assert mean >= 0.55, f"mean IVF recall {mean:.2f} < 0.55"
+
+
+def test_quality_model_separates_prose_from_symbol_soup(spark, tmp_path):
+    """Clean prose must pass the linear model; symbol soup must fail.
+    Cohorts are (lang, source) so plant each in its own source."""
+    from parquet_batch_spark.operators.pipeline_ops import quality_model_score
+
+    prose = (
+        "the quiet library holds a careful record of the town and it "
+        "is a place for patient reading in the long afternoon hours "
+    ) * 3
+    soup = "@@ ## $$ %% ^^ && ** (( )) [[ ]] {{ }} << >> ~~ ;; :: || " * 6
+    sf_dir = _write_docs(
+        tmp_path, [(0, prose, "en", "clean"), (1, soup, "en", "spam")]
+    )
+    got = {r["source"]: r for r in quality_model_score(spark, sf_dir).collect()}
+    assert got["clean"]["n_pass"] == 1, got["clean"]
+    assert got["spam"]["n_pass"] == 0, got["spam"]
+    assert got["clean"]["mean_logit_micro"] > got["spam"]["mean_logit_micro"]
+
+
+def test_epoch_plan_budget_and_flag_arithmetic(spark, sf_dir):
+    """The plan's integer arithmetic must be self-consistent: targets
+    sum to the budget (within per-source floor slack), milli-epochs is
+    the exact floor ratio, and the flag fires iff the cap is crossed."""
+    from parquet_batch_spark.operators.llm_prep import (
+        EPOCH_BUDGET_X,
+        EPOCH_MAX,
+        sample_epoch_plan,
+    )
+
+    rows = sample_epoch_plan(spark, sf_dir).collect()
+    corpus = sum(r["avail_tokens"] for r in rows)
+    budget = EPOCH_BUDGET_X * corpus
+    tgt = sum(r["target_tokens"] for r in rows)
+    assert budget - len(rows) < tgt <= budget
+    for r in rows:
+        assert r["milli_epochs"] == (1000 * r["target_tokens"]) // r["avail_tokens"]
+        assert r["over_repetition_cap"] == (r["milli_epochs"] > EPOCH_MAX * 1000)

@@ -6,10 +6,11 @@
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from parquet_batch_spark.operators import all_queries  # noqa: E402
 from parquet_batch_spark.session import get_spark  # noqa: E402
