@@ -123,10 +123,12 @@ HEADLINE = [
     # grading itself (r4 VERDICT #5).  Now consumes the shared
     # materialized LSH candidate table.
     "dedup_clusters",
-    # r5 north-star additions: word-aligned duplicated-span detection
-    # and SemDeDup semantic dedup over the IVF cells
+    # r5 north-star additions: word-aligned duplicated-span detection,
+    # SemDeDup semantic dedup, audio-frame energy, MRL truncation eval
     "dedup_exact_substring",
     "dedup_semantic_cluster",
+    "multimodal_audio_energy",
+    "embedding_matryoshka_eval",
 ]
 
 

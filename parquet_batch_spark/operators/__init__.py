@@ -137,6 +137,8 @@ _PRIORITY = [
     "ann_recall_eval",
     "quality_model_score",
     "sample_epoch_plan",
+    "multimodal_audio_energy",
+    "embedding_matryoshka_eval",
     # --- never-driver-checked, remaining modules in module order
     #     (llm_prep, relational, scalar_funcs, windows, joins,
     #     sources_ext, dedup, analytics, multimodal, text, warehouse,

@@ -564,7 +564,117 @@ ORDER BY media_type
 """
 
 
+AUDIO_FRAME = 256  # samples per analysis frame
+AUDIO_HOP = 128  # hop: 50% overlap, the standard STFT framing
+
+
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style FRAME analysis over binary payloads: body bytes are
+    treated as unsigned 8-bit PCM samples and cut into
+    {AUDIO_FRAME}-sample frames at hop {AUDIO_HOP} (the STFT framing
+    every audio featurizer uses); per object we emit frame count,
+    total and peak frame ENERGY (exact integer Σ sample² — no float
+    anywhere) and the peak frame index (first maximum). A real
+    deployment swaps the energy kernel for an FFT/mel stage inside the
+    same ``mapInPandas`` contract — Arrow batches in, fixed schema
+    out, no shuffle; this is the audio sibling of
+    ``multimodal_resize``'s stride kernel.
+
+    Short payloads (< {AUDIO_FRAME} samples) analyze as ONE partial
+    frame; otherwise only full windows count (trailing tail unframed),
+    n_frames = (n − {AUDIO_FRAME}) // {AUDIO_HOP} + 1.
+
+    Scale: embarrassingly parallel numpy over Arrow batches, output
+    one fixed-width row per object. Oracle recomputes the identical
+    integer sums from the payload bytes via hex-slicing.
+    """
+    d = load(spark, sf_dir, "documents")
+    p = _with_payload(d)
+
+    def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nsamp, nfr, tot, peak_f, peak_e = [], [], [], [], [], []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                body = np.frombuffer(
+                    bytes(raw)[HEADER_LEN:], dtype=np.uint8
+                ).astype(np.int64)
+                n = len(body)
+                if n >= AUDIO_FRAME:
+                    n_frames = (n - AUDIO_FRAME) // AUDIO_HOP + 1
+                else:
+                    n_frames = 1
+                cs = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(body * body, out=cs[1:])
+                es = [
+                    int(cs[min(f * AUDIO_HOP + AUDIO_FRAME, n)] - cs[f * AUDIO_HOP])
+                    for f in range(n_frames)
+                ]
+                ids.append(doc_id)
+                nsamp.append(n)
+                nfr.append(n_frames)
+                tot.append(sum(es))
+                pk = max(range(n_frames), key=lambda f: (es[f], -f))
+                peak_f.append(pk)
+                peak_e.append(es[pk])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_samples": nsamp,
+                    "n_frames": nfr,
+                    "total_energy": tot,
+                    "peak_frame": peak_f,
+                    "peak_energy": peak_e,
+                }
+            )
+
+    return p.mapInPandas(
+        energy,
+        schema=(
+            "doc_id long, n_samples long, n_frames long, "
+            "total_energy long, peak_frame long, peak_energy long"
+        ),
+    ).orderBy("doc_id")
+
+
+_AUDIO_SQL = f"""
+WITH body AS (
+    SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+    FROM documents
+),
+frames AS (
+    SELECT doc_id, hx, n,
+        CASE WHEN n >= {AUDIO_FRAME}
+             THEN (n - {AUDIO_FRAME}) // {AUDIO_HOP} + 1 ELSE 1 END AS n_frames,
+        unnest(generate_series(0,
+            CASE WHEN n >= {AUDIO_FRAME}
+                 THEN (n - {AUDIO_FRAME}) // {AUDIO_HOP} ELSE 0 END)) AS f
+    FROM body
+),
+fe AS (
+    SELECT doc_id, n, n_frames, f,
+        CAST(list_sum(list_transform(
+            generate_series(f * {AUDIO_HOP} + 1, LEAST(f * {AUDIO_HOP} + {AUDIO_FRAME}, n)),
+            i -> CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS BIGINT)
+                 * CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS BIGINT)
+        )) AS BIGINT) AS e
+    FROM frames
+),
+agg AS (
+    SELECT doc_id, MAX(n) AS n_samples, MAX(n_frames) AS n_frames,
+        CAST(SUM(e) AS BIGINT) AS total_energy, MAX(e) AS peak_energy
+    FROM fe GROUP BY doc_id
+)
+SELECT a.doc_id, a.n_samples, a.n_frames, a.total_energy,
+    (SELECT MIN(f) FROM fe WHERE fe.doc_id = a.doc_id AND fe.e = a.peak_energy)
+        AS peak_frame,
+    a.peak_energy
+FROM agg a
+ORDER BY a.doc_id
+"""
+
+
 QUERIES = {
+    "multimodal_audio_energy": multimodal_audio_energy,
     "multimodal_content_sniff": multimodal_content_sniff,
     "multimodal_payload_chunks": multimodal_payload_chunks,
     "multimodal_metadata": multimodal_metadata,
@@ -575,6 +685,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_audio_energy": _AUDIO_SQL,
     "multimodal_content_sniff": _SNIFF_SQL,
     "multimodal_payload_chunks": _PAYLOAD_CHUNKS_SQL,
     "multimodal_metadata": _MULTIMODAL_METADATA_SQL,

@@ -852,6 +852,117 @@ ORDER BY vec_id
 """
 
 
+MRL_DIM = 16  # truncated prefix length evaluated against the full 64
+
+
+def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation evaluation (Kusupati et al., MRL): how
+    often does the top-1 neighbor under the FIRST {MRL_DIM} dimensions
+    agree with the full-{_DIM}-dim top-1? Truncated prefixes are the
+    standard cheap first-pass tier of a two-stage retrieval cascade
+    (search at {MRL_DIM}, rerank survivors at {_DIM}); this operator
+    measures what that cascade's first stage loses, per query.
+
+    Scale: both passes are the bounded brute-force tier (broadcast
+    query set, corpus-linear scoring); at index scale the truncated
+    pass IS the cheap tier so the eval costs less than one full
+    retrieval. Dimension-sequential fold == the oracle's list_sum, so
+    ranks match bit-for-bit.
+    """
+    em = fan_out(load(spark, sf_dir, "embeddings"), spark)
+    base = em.select("vec_id", _dvec().alias("v"))
+    base = base.select(
+        "vec_id",
+        "v",
+        F.slice("v", 1, MRL_DIM).alias("vt"),
+        _norm(F.col("v")).alias("nrm"),
+        _norm(F.slice("v", 1, MRL_DIM)).alias("nrmt"),
+    )
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("vt").alias("qvt"),
+        F.col("nrm").alias("qnrm"),
+        F.col("nrmt").alias("qnrmt"),
+    )
+    dot_full = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    dot_tr = F.aggregate(
+        F.zip_with("vt", "qvt", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = base.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        (dot_full / (F.col("nrm") * F.col("qnrm"))).alias("cos_full"),
+        (dot_tr / (F.col("nrmt") * F.col("qnrmt"))).alias("cos_trunc"),
+    )
+    top = scored.groupBy("query_id").agg(
+        F.max_by(
+            F.struct("vec_id", "cos_full"),
+            F.struct(F.col("cos_full"), -F.col("vec_id")),
+        ).alias("bf"),
+        F.max_by(
+            F.struct(F.col("vec_id").alias("tid"), "cos_trunc"),
+            F.struct(F.col("cos_trunc"), -F.col("vec_id")),
+        ).alias("bt"),
+    )
+    return top.select(
+        "query_id",
+        F.col("bf.vec_id").alias("top1_full_id"),
+        F.col("bt.tid").alias("top1_trunc_id"),
+        (F.col("bf.vec_id") == F.col("bt.tid")).alias("agree"),
+        F.round("bf.cos_full", 6).alias("cos_full"),
+        F.round("bt.cos_trunc", 6).alias("cos_trunc"),
+    ).orderBy("query_id")
+
+
+_MRL_COS = (
+    "list_sum(list_transform(generate_series(1, {n}), i -> b.{v}[i] * q.{v}[i]))"
+    " / (b.{nr} * q.{nr})"
+)
+
+_MRL_SQL = f"""
+WITH nv AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+base AS (
+    SELECT vec_id, v, v[1:{MRL_DIM}] AS vt,
+        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+        sqrt(list_sum(list_transform(v[1:{MRL_DIM}], x -> x * x))) AS nrmt
+    FROM nv
+),
+scored AS (
+    SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+        {_MRL_COS.format(n=_DIM, v="v", nr="nrm")} AS cos_full,
+        {_MRL_COS.format(n=MRL_DIM, v="vt", nr="nrmt")} AS cos_trunc
+    FROM base b
+    JOIN base q ON q.vec_id < {N_QUERIES} AND b.vec_id <> q.vec_id
+),
+ranked AS (
+    SELECT query_id, vec_id, cos_full, cos_trunc,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cos_full DESC, vec_id) AS rf,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cos_trunc DESC, vec_id) AS rt
+    FROM scored
+)
+SELECT f.query_id,
+    f.vec_id AS top1_full_id,
+    t.vec_id AS top1_trunc_id,
+    f.vec_id = t.vec_id AS agree,
+    ROUND(f.cos_full, 6) AS cos_full,
+    ROUND(t.cos_trunc, 6) AS cos_trunc
+FROM ranked f
+JOIN ranked t ON f.query_id = t.query_id AND t.rt = 1
+WHERE f.rf = 1
+ORDER BY f.query_id
+"""
+
+
 QUERIES = {
     "embedding_drift_report": embedding_drift_report,
     "embedding_dim_stats": embedding_dim_stats,
@@ -860,6 +971,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_recall_eval": ann_recall_eval,
     "dedup_semantic_cluster": dedup_semantic_cluster,
+    "embedding_matryoshka_eval": embedding_matryoshka_eval,
     "embedding_kmeans_rollup": embedding_kmeans_rollup,
 }
 
@@ -874,5 +986,6 @@ ORACLES = {
     "ann_ivf_topk": _ANN_IVF_SQL,
     "ann_recall_eval": _ANN_RECALL_SQL,
     "dedup_semantic_cluster": _SEM_DEDUP_SQL,
+    "embedding_matryoshka_eval": _MRL_SQL,
     "embedding_kmeans_rollup": _KMEANS_ROLLUP_SQL,
 }

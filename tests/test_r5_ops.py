@@ -128,3 +128,57 @@ def test_epoch_plan_budget_and_flag_arithmetic(spark, sf_dir):
     for r in rows:
         assert r["milli_epochs"] == (1000 * r["target_tokens"]) // r["avail_tokens"]
         assert r["over_repetition_cap"] == (r["milli_epochs"] > EPOCH_MAX * 1000)
+
+
+def test_audio_energy_matches_numpy_reference(spark, sf_smoke):
+    """Frame energies recomputed independently (python ints, no numpy
+    cumsum) for a handful of docs must match exactly — pins the
+    framing arithmetic (full windows + single short frame) and the
+    first-max peak tie-break."""
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.operators.multimodal import (
+        AUDIO_FRAME,
+        AUDIO_HOP,
+        multimodal_audio_energy,
+    )
+
+    rows = {r["doc_id"]: r for r in multimodal_audio_energy(spark, sf_smoke).collect()}
+    docs = load(spark, sf_smoke, "documents").filter("doc_id < 5").collect()
+    assert docs
+    for d in docs:
+        body = d["text"].encode("utf-8")
+        n = len(body)
+        n_frames = (n - AUDIO_FRAME) // AUDIO_HOP + 1 if n >= AUDIO_FRAME else 1
+        es = [
+            sum(b * b for b in body[f * AUDIO_HOP : min(f * AUDIO_HOP + AUDIO_FRAME, n)])
+            for f in range(n_frames)
+        ]
+        r = rows[d["doc_id"]]
+        assert r["n_samples"] == n
+        assert r["n_frames"] == n_frames
+        assert r["total_energy"] == sum(es)
+        assert r["peak_energy"] == max(es)
+        assert r["peak_frame"] == es.index(max(es))
+
+
+def test_matryoshka_eval_agreement_is_honest(spark, sf_dir):
+    """agree must be exactly (top1_full_id == top1_trunc_id), cosines
+    in [-1, 1], and the full-dim top-1 must match the brute-force
+    operator's rank-1 row for every query."""
+    from parquet_batch_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        embedding_matryoshka_eval,
+    )
+
+    mrl = {r["query_id"]: r for r in embedding_matryoshka_eval(spark, sf_dir).collect()}
+    bf1 = {
+        r["query_id"]: r
+        for r in ann_bruteforce_topk(spark, sf_dir).collect()
+        if r["rank"] == 1
+    }
+    assert set(mrl) == set(bf1)
+    for q, r in mrl.items():
+        assert r["agree"] == (r["top1_full_id"] == r["top1_trunc_id"])
+        assert -1.0 <= r["cos_full"] <= 1.0 and -1.0 <= r["cos_trunc"] <= 1.0
+        assert r["top1_full_id"] == bf1[q]["neighbor_id"]
+        assert r["cos_full"] == bf1[q]["cos_sim"]
