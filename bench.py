@@ -129,6 +129,8 @@ HEADLINE = [
     "dedup_semantic_cluster",
     "multimodal_audio_energy",
     "embedding_matryoshka_eval",
+    "multimodal_video_frame_diff",
+    "sample_coreset_kcenter",
 ]
 
 

@@ -139,6 +139,8 @@ _PRIORITY = [
     "sample_epoch_plan",
     "multimodal_audio_energy",
     "embedding_matryoshka_eval",
+    "multimodal_video_frame_diff",
+    "sample_coreset_kcenter",
     # --- never-driver-checked, remaining modules in module order
     #     (llm_prep, relational, scalar_funcs, windows, joins,
     #     sources_ext, dedup, analytics, multimodal, text, warehouse,

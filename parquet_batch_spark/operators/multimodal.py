@@ -673,8 +673,111 @@ ORDER BY a.doc_id
 """
 
 
+VFD_FRAME = 64  # bytes per video "frame" (matches multimodal_frame_sample)
+
+
+def multimodal_video_frame_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-to-frame MOTION proxy over binary payloads: body bytes cut
+    into consecutive {VFD_FRAME}-byte full frames; each transition's
+    motion is the exact integer Σ|b_i − b'_i| over aligned bytes — the
+    shot-boundary / static-scene detector a video curation pipeline
+    runs before deciding which clips are worth decoding. Per object:
+    full-frame count, transition count, total and peak motion, and the
+    peak transition index (first maximum; −1 when fewer than 2 full
+    frames). Same ``mapInPandas`` contract as the other multimodal
+    kernels — a real deployment swaps in decoded-luma frame diffs.
+
+    Scale: embarrassingly parallel numpy over Arrow batches, one
+    fixed-width row per object; the oracle recomputes the identical
+    sums from the payload bytes via hex-slicing.
+    """
+    d = load(spark, sf_dir, "documents")
+    p = _with_payload(d)
+
+    def diff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nfr, ntr, tot, pk_i, pk_m = [], [], [], [], [], []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                body = np.frombuffer(
+                    bytes(raw)[HEADER_LEN:], dtype=np.uint8
+                ).astype(np.int64)
+                n_full = len(body) // VFD_FRAME
+                ids.append(doc_id)
+                nfr.append(n_full)
+                if n_full < 2:
+                    ntr.append(0); tot.append(0); pk_i.append(-1); pk_m.append(0)
+                    continue
+                fr = body[: n_full * VFD_FRAME].reshape(n_full, VFD_FRAME)
+                deltas = np.abs(fr[1:] - fr[:-1]).sum(axis=1)
+                ntr.append(n_full - 1)
+                tot.append(int(deltas.sum()))
+                pk = int(np.argmax(deltas))  # first max
+                pk_i.append(pk)
+                pk_m.append(int(deltas[pk]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_full_frames": nfr,
+                    "n_transitions": ntr,
+                    "total_motion": tot,
+                    "peak_transition": pk_i,
+                    "peak_motion": pk_m,
+                }
+            )
+
+    return p.mapInPandas(
+        diff,
+        schema=(
+            "doc_id long, n_full_frames long, n_transitions long, "
+            "total_motion long, peak_transition long, peak_motion long"
+        ),
+    ).orderBy("doc_id")
+
+
+_VFD_BYTE = "CAST(('0x' || substr(hx, 2 * ({pos}) - 1, 2)) AS BIGINT)"
+
+_VFD_SQL = f"""
+WITH body AS (
+    SELECT doc_id, hex(encode(text)) AS hx,
+        octet_length(encode(text)) // {VFD_FRAME} AS n_full
+    FROM documents
+),
+tr AS (
+    SELECT doc_id, n_full,
+        unnest(generate_series(0, n_full - 2)) AS f
+    FROM body WHERE n_full >= 2
+),
+deltas AS (
+    SELECT t.doc_id, t.n_full, t.f,
+        CAST(list_sum(list_transform(generate_series(1, {VFD_FRAME}),
+            i -> ABS({_VFD_BYTE.format(pos=f"t.f * {VFD_FRAME} + i")}
+                     - {_VFD_BYTE.format(pos=f"(t.f + 1) * {VFD_FRAME} + i")})
+        )) AS BIGINT) AS d
+    FROM tr t JOIN body b USING (doc_id)
+),
+agg AS (
+    SELECT doc_id, MAX(n_full) AS n_full_frames,
+        COUNT(*) AS n_transitions,
+        CAST(SUM(d) AS BIGINT) AS total_motion,
+        MAX(d) AS peak_motion
+    FROM deltas GROUP BY doc_id
+)
+SELECT b.doc_id,
+    b.n_full AS n_full_frames,
+    COALESCE(a.n_transitions, 0) AS n_transitions,
+    COALESCE(a.total_motion, 0) AS total_motion,
+    COALESCE((SELECT MIN(f) FROM deltas d
+              WHERE d.doc_id = b.doc_id AND d.d = a.peak_motion), -1)
+        AS peak_transition,
+    COALESCE(a.peak_motion, 0) AS peak_motion
+FROM body b LEFT JOIN agg a USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
 QUERIES = {
     "multimodal_audio_energy": multimodal_audio_energy,
+    "multimodal_video_frame_diff": multimodal_video_frame_diff,
     "multimodal_content_sniff": multimodal_content_sniff,
     "multimodal_payload_chunks": multimodal_payload_chunks,
     "multimodal_metadata": multimodal_metadata,
@@ -686,6 +789,7 @@ QUERIES = {
 
 ORACLES = {
     "multimodal_audio_energy": _AUDIO_SQL,
+    "multimodal_video_frame_diff": _VFD_SQL,
     "multimodal_content_sniff": _SNIFF_SQL,
     "multimodal_payload_chunks": _PAYLOAD_CHUNKS_SQL,
     "multimodal_metadata": _MULTIMODAL_METADATA_SQL,

@@ -963,6 +963,88 @@ ORDER BY f.query_id
 """
 
 
+KCENTER_K = 8  # coreset size: the greedy 2-approximation's center count
+
+
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center GREEDY coreset selection (Gonzalez's farthest-point
+    2-approximation) over the embedding corpus — the data-pruning
+    stage that picks {KCENTER_K} maximally-spread exemplars (diverse
+    few-shot pools, eval-set seeding, cluster initialization that
+    beats random). Seed = the lowest vec_id; each round adds the
+    vector FARTHEST (max min-squared-distance, tie → lowest id) from
+    the chosen set, and the selection value is the classic
+    non-increasing radius sequence r_t.
+
+    Scale: each of the {KCENTER_K}−1 rounds is ONE corpus pass — the
+    min-distance is a least() over ≤{KCENTER_K} dimension-sequential
+    JVM folds against plan-literal center vectors (no join, no
+    broadcast state), and only the 1-row argmax returns to the driver.
+    Driver state is {KCENTER_K}×{_DIM} doubles. The oracle unrolls the
+    identical greedy rounds as chained CTEs.
+    """
+    em = fan_out(load(spark, sf_dir, "embeddings"), spark)
+    base = em.select("vec_id", _dvec().alias("v"))
+    seed = base.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(int(seed["vec_id"]), [float(x) for x in seed["v"]])]
+    radii: list[float | None] = [None]
+    for _t in range(1, KCENTER_K):
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    "v",
+                    F.array(*[F.lit(x) for x in cv]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            for _cid, cv in centers
+        ]
+        mind = F.least(*dists) if len(dists) > 1 else dists[0]
+        far = (
+            base.select("vec_id", "v", mind.alias("md"))
+            .orderBy(F.desc("md"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((int(far["vec_id"]), [float(x) for x in far["v"]]))
+        radii.append(float(far["md"]))
+    rows = [
+        (t, cid, round(r, 6) if r is not None else None)
+        for t, ((cid, _v), r) in enumerate(zip(centers, radii))
+    ]
+    return spark.createDataFrame(
+        rows, "round int, center_id long, radius2 double"
+    ).orderBy("round")
+
+
+def _kcenter_sql() -> str:
+    # single-row center CTEs cross-joined (DuckDB binds these cleanly
+    # where correlated scalar subqueries against an outer CTE do not)
+    ctes = [
+        "nv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        "c0 AS (SELECT vec_id, v FROM nv ORDER BY vec_id LIMIT 1)",
+    ]
+    for t in range(1, KCENTER_K):
+        terms = ", ".join(_d2("nv.v", f"c{j}.v") for j in range(t))
+        md = f"LEAST({terms})" if t > 1 else terms
+        srcs = ", ".join(["nv"] + [f"c{j}" for j in range(t)])
+        ctes.append(
+            f"c{t} AS (SELECT nv.vec_id AS vec_id, nv.v AS v, {md} AS md "
+            f"FROM {srcs} ORDER BY md DESC, nv.vec_id LIMIT 1)"
+        )
+    selects = ["SELECT 0 AS round, vec_id AS center_id, CAST(NULL AS DOUBLE) AS radius2 FROM c0"]
+    for t in range(1, KCENTER_K):
+        selects.append(
+            f"SELECT {t} AS round, vec_id AS center_id, ROUND(md, 6) AS radius2 FROM c{t}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(selects) + "\nORDER BY round"
+    )
+
+
 QUERIES = {
     "embedding_drift_report": embedding_drift_report,
     "embedding_dim_stats": embedding_dim_stats,
@@ -972,6 +1054,7 @@ QUERIES = {
     "ann_recall_eval": ann_recall_eval,
     "dedup_semantic_cluster": dedup_semantic_cluster,
     "embedding_matryoshka_eval": embedding_matryoshka_eval,
+    "sample_coreset_kcenter": sample_coreset_kcenter,
     "embedding_kmeans_rollup": embedding_kmeans_rollup,
 }
 
@@ -987,5 +1070,6 @@ ORACLES = {
     "ann_recall_eval": _ANN_RECALL_SQL,
     "dedup_semantic_cluster": _SEM_DEDUP_SQL,
     "embedding_matryoshka_eval": _MRL_SQL,
+    "sample_coreset_kcenter": _kcenter_sql(),
     "embedding_kmeans_rollup": _KMEANS_ROLLUP_SQL,
 }

@@ -182,3 +182,74 @@ def test_matryoshka_eval_agreement_is_honest(spark, sf_dir):
         assert -1.0 <= r["cos_full"] <= 1.0 and -1.0 <= r["cos_trunc"] <= 1.0
         assert r["top1_full_id"] == bf1[q]["neighbor_id"]
         assert r["cos_full"] == bf1[q]["cos_sim"]
+
+
+def test_video_frame_diff_matches_python_reference(spark, sf_smoke):
+    """Transition motions recomputed with plain python ints for a few
+    docs must match exactly — pins full-frame framing, the abs-delta
+    sum, and the first-max peak."""
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.operators.multimodal import (
+        VFD_FRAME,
+        multimodal_video_frame_diff,
+    )
+
+    rows = {
+        r["doc_id"]: r for r in multimodal_video_frame_diff(spark, sf_smoke).collect()
+    }
+    for d in load(spark, sf_smoke, "documents").filter("doc_id < 5").collect():
+        body = d["text"].encode("utf-8")
+        n_full = len(body) // VFD_FRAME
+        frames = [
+            body[f * VFD_FRAME : (f + 1) * VFD_FRAME] for f in range(n_full)
+        ]
+        deltas = [
+            sum(abs(a - b) for a, b in zip(frames[f], frames[f + 1]))
+            for f in range(n_full - 1)
+        ]
+        r = rows[d["doc_id"]]
+        assert r["n_full_frames"] == n_full
+        assert r["n_transitions"] == max(0, n_full - 1)
+        if deltas:
+            assert r["total_motion"] == sum(deltas)
+            assert r["peak_motion"] == max(deltas)
+            assert r["peak_transition"] == deltas.index(max(deltas))
+        else:
+            assert (r["total_motion"], r["peak_transition"]) == (0, -1)
+
+
+def test_kcenter_greedy_matches_numpy_reference(spark, sf_smoke):
+    """The full greedy trace (center ids AND radii) recomputed with
+    numpy at smoke scale must match; radii must be non-increasing."""
+    import numpy as np
+
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.operators.similarity import (
+        KCENTER_K,
+        sample_coreset_kcenter,
+    )
+
+    got = sample_coreset_kcenter(spark, sf_smoke).collect()
+    assert len(got) == KCENTER_K
+    emb = sorted(
+        (r["vec_id"], np.asarray(r["embedding"], dtype=np.float64))
+        for r in load(spark, sf_smoke, "embeddings").collect()
+    )
+    ids = [i for i, _ in emb]
+    V = np.stack([v for _, v in emb])
+    centers = [0]  # position of min vec_id in the sorted list
+    mind = ((V - V[0]) ** 2).sum(axis=1)
+    trace = [(ids[0], None)]
+    for _ in range(1, KCENTER_K):
+        far = int(np.argmax(mind))  # first max == lowest id on ties
+        trace.append((ids[far], float(mind[far])))
+        centers.append(far)
+        mind = np.minimum(mind, ((V - V[far]) ** 2).sum(axis=1))
+    for r, (cid, rad) in zip(got, trace):
+        assert r["center_id"] == cid
+        if rad is None:
+            assert r["radius2"] is None
+        else:
+            assert abs(r["radius2"] - rad) < 5e-6
+    radii = [r["radius2"] for r in got[1:]]
+    assert all(a >= b - 1e-12 for a, b in zip(radii, radii[1:])), radii
