@@ -453,3 +453,17 @@ def test_global_windows_only_over_reduced_tables(spark, sf_smoke):
         f"the reduced-table claim and extend the whitelist: "
         f"{sorted(unexpected)}"
     )
+
+
+def test_r5_pair_ops_scale_shapes(spark, sf_dir, monkeypatch):
+    """r5 pair-generating ops must pair rows only through equi-joins
+    (cell id / gram hash) — no cartesian, no NLJ, no whole-bucket
+    collect_list — the same 100 TB contract as the dedup family."""
+    from parquet_batch_spark.operators.dedup import dedup_exact_substring
+    from parquet_batch_spark.operators.similarity import dedup_semantic_cluster
+
+    for fn in (dedup_exact_substring, dedup_semantic_cluster):
+        plan = executed_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{fn.__name__}: cartesian!"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{fn.__name__}: NLJ!"
+        assert "collect_list" not in plan, f"{fn.__name__}: bucket collect_list!"
