@@ -141,6 +141,9 @@ _PRIORITY = [
     "embedding_matryoshka_eval",
     "multimodal_video_frame_diff",
     "sample_coreset_kcenter",
+    "sql_pipe_syntax",
+    "sql_session_variables",
+    "udf_apply_in_arrow",
     # --- never-driver-checked, remaining modules in module order
     #     (llm_prep, relational, scalar_funcs, windows, joins,
     #     sources_ext, dedup, analytics, multimodal, text, warehouse,

@@ -1203,7 +1203,82 @@ ORDER BY op
 """
 
 
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL PIPE syntax (`|>`): the linear query form where each
+    stage reads top-to-bottom — the same logical plan Catalyst builds
+    from nested SQL, surfaced in pipeline order. The query itself is a
+    pushdown-friendly filter → exact-decimal aggregate → sort over
+    orders; the oracle is the equivalent classic SQL, proving the pipe
+    form changes SYNTAX, not semantics or plan quality.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe_v")
+    return spark.sql(
+        """
+        FROM orders_pipe_v
+        |> WHERE o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+        |> EXTEND CAST(o_totalprice AS DECIMAL(18,4)) AS price_dec
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(CAST(SUM(price_dec) AS DECIMAL(28,6)) AS DOUBLE)
+                         AS revenue
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+_PIPE_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,6)) AS DOUBLE)
+           AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+SESSION_VAR_THRESHOLD = 200_000  # order-value cutoff the variable carries
+
+
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL session variables (DECLARE / SET VAR): a typed
+    server-side variable parameterizes a query in two places (filter
+    and CASE label) without string templating — the injection-safe
+    way to thread a runtime threshold through SQL, and unlike string
+    interpolation the variable folds to a literal at plan time so
+    pushdown still applies. The oracle inlines the same literal.
+    """
+    spark.sql("DECLARE OR REPLACE VARIABLE big_order_cutoff DOUBLE DEFAULT 0.0")
+    spark.sql(f"SET VAR big_order_cutoff = {SESSION_VAR_THRESHOLD}.0")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_var_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               CASE WHEN o_totalprice >= big_order_cutoff THEN 'big'
+                    ELSE 'small' END AS bucket,
+               COUNT(*) AS n_orders
+        FROM orders_var_v
+        GROUP BY o_orderstatus, bucket
+        ORDER BY o_orderstatus, bucket
+        """
+    )
+
+
+_SESSION_VAR_SQL = f"""
+SELECT o_orderstatus,
+       CASE WHEN o_totalprice >= {SESSION_VAR_THRESHOLD}.0 THEN 'big'
+            ELSE 'small' END AS bucket,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus, bucket
+ORDER BY o_orderstatus, bucket
+"""
+
+
 QUERIES = {
+    "sql_pipe_syntax": sql_pipe_syntax,
+    "sql_session_variables": sql_session_variables,
     "agg_basket_pairs": agg_basket_pairs,
     "agg_abc_classification": agg_abc_classification,
     "agg_new_vs_returning": agg_new_vs_returning,
@@ -1232,6 +1307,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sql_pipe_syntax": _PIPE_SQL,
+    "sql_session_variables": _SESSION_VAR_SQL,
     "agg_basket_pairs": _basket_sql(),
     "agg_abc_classification": _ABC_SQL,
     "agg_new_vs_returning": _NEW_RET_SQL,

@@ -984,7 +984,11 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical greedy rounds as chained CTEs.
     """
     em = fan_out(load(spark, sf_dir, "embeddings"), spark)
-    base = em.select("vec_id", _dvec().alias("v"))
+    # persist the projected corpus: all K-1 greedy rounds scan the SAME
+    # (vec_id, v) projection — materialize it once instead of re-reading
+    # and re-transforming parquet per round (at 100 TB this is the
+    # standard persist-the-working-set step before an iterative sweep)
+    base = em.select("vec_id", _dvec().alias("v")).persist()
     seed = base.orderBy("vec_id").limit(1).collect()[0]
     centers = [(int(seed["vec_id"]), [float(x) for x in seed["v"]])]
     radii: list[float | None] = [None]
@@ -1010,6 +1014,7 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         centers.append((int(far["vec_id"]), [float(x) for x in far["v"]]))
         radii.append(float(far["md"]))
+    base.unpersist()
     rows = [
         (t, cid, round(r, 6) if r is not None else None)
         for t, ((cid, _v), r) in enumerate(zip(centers, radii))

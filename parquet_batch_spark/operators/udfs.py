@@ -349,7 +349,56 @@ LIMIT 10
 """
 
 
+def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ``applyInArrow`` — the SEVENTH Python surface: the whole
+    group arrives as one raw ``pyarrow.Table`` (no pandas conversion
+    at all) and pyarrow.compute kernels produce the per-group result.
+    The closest grouped analogue to the reference's own Arrow-batch
+    consumption model (reference reader.py:47-49 hands batches to the
+    consumer the same way). Exact integer arithmetic: quantities are
+    ≤4dp, so ×10⁴ scaled int64 sums match the decimal oracle
+    bit-for-bit.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def group_stats(t: pa.Table) -> pa.Table:
+        scaled = pc.round(pc.multiply(t["l_quantity"], 10_000)).cast(pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": [t["l_returnflag"][0].as_py()],
+                "sum_qty": [pc.sum(scaled).as_py() / 10_000.0],
+                "n_rows": [t.num_rows],
+                "max_qty": [pc.max(t["l_quantity"]).as_py()],
+            }
+        )
+
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_quantity")
+        .groupBy("l_returnflag")
+        .applyInArrow(
+            group_stats,
+            "l_returnflag string, sum_qty double, n_rows long, max_qty double",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_APPLY_ARROW_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(ROUND(l_quantity * 10000) AS BIGINT)) AS DOUBLE) / 10000.0
+           AS sum_qty,
+       COUNT(*) AS n_rows,
+       MAX(l_quantity) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
+    "udf_apply_in_arrow": udf_apply_in_arrow,
     "udtf_dynamic_schema": udtf_dynamic_schema,
     "udf_map_in_arrow": udf_map_in_arrow,
     "udf_arrow_scalar": udf_arrow_scalar,
@@ -359,6 +408,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "udf_apply_in_arrow": _APPLY_ARROW_SQL,
     "udtf_dynamic_schema": _DYN_UDTF_SQL,
     "udf_map_in_arrow": _MAP_IN_ARROW_SQL,
     "udf_arrow_scalar": _ARROW_UDF_SQL,

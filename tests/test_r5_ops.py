@@ -253,3 +253,30 @@ def test_kcenter_greedy_matches_numpy_reference(spark, sf_smoke):
             assert abs(r["radius2"] - rad) < 5e-6
     radii = [r["radius2"] for r in got[1:]]
     assert all(a >= b - 1e-12 for a, b in zip(radii, radii[1:])), radii
+
+
+def test_pipe_syntax_still_pushes_filters(spark, sf_dir):
+    """The |> pipeline form must compile to the same pushdown-friendly
+    plan as classic SQL: the WHERE stage's date predicate reaches the
+    parquet scan."""
+    from parquet_batch_spark.operators.relational import sql_pipe_syntax
+    from parquet_batch_spark.plans.inspect import pushed_filters
+
+    df = sql_pipe_syntax(spark, sf_dir)
+    assert any("o_orderdate" in f for f in pushed_filters(df))
+
+
+def test_session_variable_folds_to_literal(spark, sf_dir):
+    """The session variable must fold to a literal at plan time (no
+    variable lookup at runtime): the optimized plan contains the
+    threshold constant, and re-running after SET VAR with the same
+    value is idempotent."""
+    from parquet_batch_spark.operators.relational import (
+        SESSION_VAR_THRESHOLD,
+        sql_session_variables,
+    )
+
+    df = sql_session_variables(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert str(SESSION_VAR_THRESHOLD) in plan.replace(".0", ""), plan[:1500]
+    assert df.collect() == sql_session_variables(spark, sf_dir).collect()
