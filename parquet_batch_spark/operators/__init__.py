@@ -144,6 +144,7 @@ _PRIORITY = [
     "sql_pipe_syntax",
     "sql_session_variables",
     "udf_apply_in_arrow",
+    "source_xml_roundtrip",
     # --- never-driver-checked, remaining modules in module order
     #     (llm_prep, relational, scalar_funcs, windows, joins,
     #     sources_ext, dedup, analytics, multimodal, text, warehouse,

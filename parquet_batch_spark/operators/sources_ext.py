@@ -1183,7 +1183,49 @@ FROM part
 """
 
 
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → XML → read back → per-region rollup. Spark 4 ships XML
+    as a BUILT-IN source (previously the external spark-xml package —
+    the reference is parquet-only, reference reader.py:128-129); the
+    round trip exercises rowTag framing and schema inference on the
+    read side. XML is a text format, so only exactly-representable
+    columns ride the hop (keys, names, comments stay lossless as
+    text/int); the oracle reads the original parquet — matching
+    hashes prove the XML hop lossless for the carried columns.
+    """
+    out = _io_dir(sf_dir, "nation_xml")
+    (
+        load(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .format("xml")
+        .save(out)
+    )
+    back = spark.read.option("rowTag", "nation").format("xml").load(out)
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_name"),
+            F.max("n_nationkey").alias("max_key"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+_XML_SQL = """
+SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, COUNT(*) AS n_nations,
+       MIN(n_name) AS first_name, CAST(MAX(n_nationkey) AS BIGINT) AS max_key
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
 QUERIES = {
+    "source_xml_roundtrip": source_xml_roundtrip,
     "source_jsonl_corrupt_tolerant": source_jsonl_corrupt_tolerant,
     "sink_retention_prune": sink_retention_prune,
     "source_multiformat_union": source_multiformat_union,
@@ -1206,6 +1248,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "source_xml_roundtrip": _XML_SQL,
     "source_jsonl_corrupt_tolerant": _JSONL_CORRUPT_SQL,
     "sink_retention_prune": _RETENTION_SQL,
     "source_multiformat_union": _MULTIFMT_SQL,
