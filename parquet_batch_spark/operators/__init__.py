@@ -40,10 +40,12 @@ from pyspark.sql import DataFrame, SparkSession
 #     fixes, 4 dedup ops touched by the absolute shingle cap / shared
 #     intersection pass / CC rewrite), slots 10-50 = 41 never-checked
 #     stats_ops entries.  45 of 50 slots are stats_ops (VERDICT r4 #1).
-#   r6 plan: the remaining 22 never-checked stats_ops, then the 69
-#     never-checked entries from the other modules in module order
-#     (llm_prep, relational, scalar_funcs, windows, joins, sources_ext,
-#     dedup, analytics, multimodal, text, warehouse, streaming...).
+#   r6 plan: the remaining 22 never-checked stats_ops, then the 13
+#     r5-NEW ops (dedup_exact_substring ... source_xml_roundtrip, each
+#     locally dual-SF swept), then the 69 never-checked entries from
+#     the other modules in module order (llm_prep, relational,
+#     scalar_funcs, windows, joins, sources_ext, dedup, analytics,
+#     multimodal, text, warehouse, streaming...).
 #   r7+: driver-checked entries, stalest round first (r1 block leads).
 _PRIORITY = [
     # --- r5-CHANGED ops (re-verify first): the three int64 second-moment
