@@ -147,6 +147,8 @@ _PRIORITY = [
     "sql_session_variables",
     "udf_apply_in_arrow",
     "source_xml_roundtrip",
+    "decontam_bloom_filter",
+    "dedup_cdc_chunking",
     # --- never-driver-checked, remaining modules in module order
     #     (llm_prep, relational, scalar_funcs, windows, joins,
     #     sources_ext, dedup, analytics, multimodal, text, warehouse,

@@ -1574,8 +1574,132 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------- content-defined chunking
+
+CDC_W = 8  # rolling-window width (chars) for the boundary test
+CDC_DIV = 32  # boundary when window-hash % CDC_DIV == 0 -> ~32-char chunks
+
+
+def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup: the storage-layer complement to
+    ``dedup_exact_substring``'s fixed-stride windows.
+
+    A chunk boundary opens at every position whose {CDC_W}-char window
+    hashes to 0 mod {CDC_DIV} (Rabin-style CDC, ~{CDC_DIV}-char average
+    chunks).  Because boundaries depend on CONTENT, not offsets, an
+    insertion early in a document shifts only the chunk it lands in —
+    the chunks after the next boundary re-align and still dedup, which
+    is exactly why backup/storage systems (LBFS, restic, borg) and
+    payload-level corpus dedup use CDC instead of fixed blocks.
+
+    Production CDC adds min/max chunk-size clamps; those make boundary
+    acceptance sequentially dependent (a boundary suppresses the next
+    min-size worth), so this operator implements the stateless variant
+    — every boundary decision is a pure function of its window, which
+    keeps the whole chunker a per-row JVM array program (sequence →
+    filter → transform → substr): no shuffle, no UDF, embarrassingly
+    parallel.  (An incremental rolling hash instead of per-position
+    re-hash is a mapPartitions micro-optimization the plan shape
+    doesn't depend on.)  The only shuffles are the chunk-hash groupBy
+    (fixed-width keys) and the per-doc rollup — the same topology as
+    dedup_exact, linear in corpus size.
+
+    Output per document: chunk count, chunks also present in ≥2 docs,
+    duplicated chars, and the duplicated-char share."""
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id").filter(
+        F.length("text") > 0
+    )
+    L = F.length("text")
+    cand = F.when(
+        L - CDC_W + 1 >= 2, F.sequence(F.lit(2), L - CDC_W + 1)
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    hits = F.filter(
+        cand,
+        lambda i: hash32(F.col("text").substr(i, F.lit(CDC_W))) % CDC_DIV == 0,
+    )
+    starts = F.concat(F.array(F.lit(1)), hits)
+    n = F.size(starts)
+    chunks = F.transform(
+        starts,
+        lambda s, j: F.col("text").substr(
+            s,
+            F.when(j < n - 1, F.element_at(starts, j + 2)).otherwise(L + 1) - s,
+        ),
+    )
+    ch = d.select(
+        "doc_id", L.alias("len_chars"), F.explode(chunks).alias("c")
+    ).select(
+        "doc_id",
+        "len_chars",
+        F.md5("c").alias("h"),
+        F.length("c").alias("clen"),
+    )
+    gstats = ch.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    dup = F.col("nd") >= 2
+    return (
+        ch.join(gstats, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(dup, 1).otherwise(0)).cast("long").alias("n_dup_chunks"),
+            F.sum(F.when(dup, F.col("clen")).otherwise(0))
+            .cast("long")
+            .alias("dup_chars"),
+            F.max("len_chars").alias("len_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            "dup_chars",
+            F.round(F.col("dup_chars") / F.col("len_chars"), 6).alias("dup_share"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DEDUP_CDC_SQL = f"""
+WITH docs AS (
+    SELECT doc_id, text, len(text) AS L FROM documents WHERE len(text) > 0
+),
+st AS (
+    SELECT doc_id, text, L,
+        list_concat([CAST(1 AS BIGINT)],
+            CASE WHEN L - {CDC_W} + 1 >= 2 THEN
+                list_filter(generate_series(CAST(2 AS BIGINT), CAST(L - {CDC_W - 1} AS BIGINT)),
+                    i -> {sql_hash32(f"substring(text, CAST(i AS INTEGER), {CDC_W})")} % {CDC_DIV} = 0)
+            ELSE CAST([] AS BIGINT[]) END) AS starts
+    FROM docs
+),
+chunks AS (
+    SELECT doc_id, L,
+        unnest(list_transform(generate_series(1, len(starts)),
+            j -> substring(text, CAST(starts[j] AS INTEGER),
+                CAST((CASE WHEN j < len(starts) THEN starts[j + 1]
+                      ELSE L + 1 END) - starts[j] AS INTEGER)))) AS c
+    FROM st
+),
+ch AS (
+    SELECT doc_id, L, md5(c) AS h, len(c) AS clen FROM chunks
+),
+g AS (
+    SELECT h, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY h
+)
+SELECT doc_id,
+    COUNT(*) AS n_chunks,
+    CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+    CAST(SUM(CASE WHEN nd >= 2 THEN clen ELSE 0 END) AS BIGINT) AS dup_chars,
+    ROUND(CAST(SUM(CASE WHEN nd >= 2 THEN clen ELSE 0 END) AS DOUBLE) / MAX(L), 6)
+        AS dup_share
+FROM ch JOIN g USING (h)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_lsh_recall_eval": dedup_lsh_recall_eval,
+    "dedup_cdc_chunking": dedup_cdc_chunking,
     "dedup_cluster_representative": dedup_cluster_representative,
     "dedup_clusters": dedup_clusters,
     "graph_pagerank": graph_pagerank,
@@ -1591,6 +1715,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_cluster_representative": _DEDUP_REP_SQL,
+    "dedup_cdc_chunking": _DEDUP_CDC_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "graph_pagerank": _pagerank_sql(),
     "dedup_fuzzy_levenshtein": _DEDUP_FUZZY_SQL,

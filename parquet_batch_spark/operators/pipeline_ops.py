@@ -25,7 +25,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_batch_spark.catalog import fan_out, load
-from parquet_batch_spark.functions.hashing import hash32, sql_hash32
+from parquet_batch_spark.functions.hashing import (
+    MERSENNE_P,
+    hash32,
+    hash_params,
+    sql_affine_hash,
+    sql_hash32,
+)
 from parquet_batch_spark.functions.text import (
     shingles_col,
     sql_shingles,
@@ -160,6 +166,135 @@ SELECT d.doc_id AS doc_id,
 FROM (SELECT doc_id FROM documents WHERE doc_id % {BENCH_MOD} <> 0) d
 LEFT JOIN hits ON d.doc_id = hits.doc_id
 ORDER BY d.doc_id
+"""
+
+
+# ------------------------------------------------------- bloom decontam
+
+BLOOM_M = 16384  # filter size in bits (2^14)
+BLOOM_WORD_BITS = 16  # bit-pack width; 16-bit words keep every mask exact
+BLOOM_K_PARAMS = hash_params(3, seed=1013)  # 3-hash family (portable affine)
+
+
+def _bloom_word_count() -> int:
+    return BLOOM_M // BLOOM_WORD_BITS
+
+
+def decontam_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination via a broadcast Bloom filter — the
+    100 TB fast path that ``decontam_ngram_overlap``'s exact equi-join
+    refines.
+
+    The benchmark slice's {DECONTAM_K}-gram hashes are folded into a
+    {BLOOM_M}-bit Bloom filter (3 portable affine hashes of the shared
+    md5-derived gram hash).  The filter is ~2 KB — it broadcasts as a
+    plan literal, so screening the train corpus is a MAP-ONLY pass:
+    per document, the shingle array is filtered by a pure-JVM bit test
+    (``element_at`` on the packed word array + ``bitwiseAND``; 16-bit
+    words so the ``pow(2, p % 16)`` mask stays integer-exact), with no
+    explode, no join, and no shuffle before the output sort.  At scale
+    this is the screen you run FIRST: the exact join then only pays for
+    the (tiny) bloom-positive survivors.  False positives are inherent
+    to the filter and deterministic — both engines compute the same
+    bit positions, so the oracle reproduces them bit-for-bit (position
+    membership in SQL ≡ testing the packed bit in Spark).
+
+    Driver step: collecting the set bit positions (≤ {BLOOM_M} ints)
+    to embed the filter as a literal — bounded by the filter size, not
+    the corpus.  Output: per train doc, distinct-gram count, bloom-hit
+    count, hit rate, and the flagged screen decision."""
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = tokens_col("text")
+    sh = F.array_distinct(shingles_col(toks, DECONTAM_K))
+    grams = d.select("doc_id", F.explode(sh).alias("g"))
+    bench_h = (
+        grams.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select(hash32(F.col("g")).alias("h"))
+    )
+    pos_cols = [
+        ((F.lit(a) * (F.col("h") % MERSENNE_P) + F.lit(b)) % MERSENNE_P % BLOOM_M)
+        for a, b in BLOOM_K_PARAMS
+    ]
+    positions = {
+        r["p"]
+        for r in bench_h.select(F.explode(F.array(*pos_cols)).alias("p"))
+        .distinct()
+        .collect()
+    }
+    words = [0] * _bloom_word_count()
+    for p in positions:
+        words[p // BLOOM_WORD_BITS] |= 1 << (p % BLOOM_WORD_BITS)
+    bits = F.array(*[F.lit(w) for w in words])
+
+    def _is_hit(g):
+        h = hash32(g)
+        cond = None
+        for a, b in BLOOM_K_PARAMS:
+            p = (F.lit(a) * (h % MERSENNE_P) + F.lit(b)) % MERSENNE_P % BLOOM_M
+            widx = F.floor(p / BLOOM_WORD_BITS).cast("int") + 1
+            mask = F.pow(F.lit(2.0), (p % BLOOM_WORD_BITS).cast("double")).cast("int")
+            c = F.element_at(bits, widx).bitwiseAND(mask) != F.lit(0)
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    train = d.filter(F.col("doc_id") % BENCH_MOD != 0)
+    return (
+        train.select(
+            "doc_id",
+            F.size(sh).cast("long").alias("n_grams"),
+            F.size(F.filter(sh, _is_hit)).cast("long").alias("n_bloom_hits"),
+        )
+        .withColumn(
+            "hit_rate", F.round(F.col("n_bloom_hits") / F.col("n_grams"), 6)
+        )
+        .withColumn("flagged", F.col("n_bloom_hits") > 0)
+        .orderBy("doc_id")
+    )
+
+
+def _bloom_pos_sql(h_expr: str) -> list[str]:
+    return [
+        f"({sql_affine_hash(h_expr, a, b)} % {BLOOM_M})" for a, b in BLOOM_K_PARAMS
+    ]
+
+
+_BLOOM_SQL = f"""
+WITH grams AS (
+    SELECT doc_id, {sql_hash32("g")} AS h FROM (
+        SELECT doc_id,
+            unnest(list_distinct({sql_shingles("toks", DECONTAM_K)})) AS g
+        FROM (SELECT doc_id, {sql_tokens("text")} AS toks FROM documents)
+    )
+),
+bench_pos AS (
+    SELECT DISTINCT p FROM (
+        SELECT unnest([{", ".join(_bloom_pos_sql("h"))}]) AS p
+        FROM grams WHERE doc_id % {BENCH_MOD} = 0
+    )
+),
+train AS (
+    SELECT doc_id,
+        {_bloom_pos_sql("h")[0]} AS p0,
+        {_bloom_pos_sql("h")[1]} AS p1,
+        {_bloom_pos_sql("h")[2]} AS p2
+    FROM grams WHERE doc_id % {BENCH_MOD} <> 0
+),
+hits AS (
+    SELECT doc_id,
+        COUNT(*) AS n_grams,
+        SUM(CASE WHEN p0 IN (SELECT p FROM bench_pos)
+                  AND p1 IN (SELECT p FROM bench_pos)
+                  AND p2 IN (SELECT p FROM bench_pos)
+             THEN 1 ELSE 0 END) AS n_bloom_hits
+    FROM train GROUP BY doc_id
+)
+SELECT doc_id,
+    CAST(n_grams AS BIGINT) AS n_grams,
+    CAST(n_bloom_hits AS BIGINT) AS n_bloom_hits,
+    ROUND(CAST(n_bloom_hits AS DOUBLE) / n_grams, 6) AS hit_rate,
+    n_bloom_hits > 0 AS flagged
+FROM hits
+ORDER BY doc_id
 """
 
 
@@ -458,6 +593,7 @@ QUERIES = {
     "quality_model_score": quality_model_score,
     "pii_detect": pii_detect,
     "decontam_ngram_overlap": decontam_ngram_overlap,
+    "decontam_bloom_filter": decontam_bloom_filter,
     "sample_stratified": sample_stratified,
     "sample_reservoir_per_group": sample_reservoir_per_group,
     "sample_train_val_test": sample_train_val_test,
@@ -469,6 +605,7 @@ ORACLES = {
     "sample_train_val_test": _SPLIT_SQL,
     "pii_detect": _PII_SQL,
     "decontam_ngram_overlap": _DECONTAM_SQL,
+    "decontam_bloom_filter": _BLOOM_SQL,
     "sample_stratified": _SAMPLE_SQL,
     "sample_reservoir_per_group": _RESERVOIR_SQL,
     "quality_repetition": _QUALITY_SQL,

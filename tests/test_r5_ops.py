@@ -280,3 +280,48 @@ def test_session_variable_folds_to_literal(spark, sf_dir):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert str(SESSION_VAR_THRESHOLD) in plan.replace(".0", ""), plan[:1500]
     assert df.collect() == sql_session_variables(spark, sf_dir).collect()
+
+
+def test_bloom_screen_supersets_exact_overlap(spark, sf_dir):
+    """The Bloom screen can false-positive but never false-negative:
+    per train doc, bloom hits >= exact contaminated grams, and every
+    doc the exact join flags must be flagged by the screen."""
+    from parquet_batch_spark.operators.pipeline_ops import (
+        decontam_bloom_filter,
+        decontam_ngram_overlap,
+    )
+
+    bloom = {r["doc_id"]: r for r in decontam_bloom_filter(spark, sf_dir).collect()}
+    exact = {r["doc_id"]: r for r in decontam_ngram_overlap(spark, sf_dir).collect()}
+    assert set(bloom) == set(exact)
+    assert any(r["contaminated"] for r in exact.values()), "vacuous corpus"
+    for did, er in exact.items():
+        assert bloom[did]["n_bloom_hits"] >= er["n_contaminated_grams"], did
+        if er["contaminated"]:
+            assert bloom[did]["flagged"], did
+
+
+def test_cdc_chunking_realigns_after_insertion(spark, tmp_path):
+    """The CDC property fixed-size blocks lack: after an insertion at
+    the FRONT of a document, boundaries inside the unchanged suffix
+    re-align (they depend only on window content), so the bulk of the
+    shifted copy still dedups against the original."""
+    from parquet_batch_spark.operators.dedup import dedup_cdc_chunking
+
+    base = " ".join(f"token{i} payload{i % 7}" for i in range(40))
+    rows = [
+        (0, base),
+        (1, "ZZZ inserted preamble shifts every offset. " + base),
+        (2, "an unrelated short document that shares no chunks with the others"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = {r["doc_id"]: r for r in dedup_cdc_chunking(spark, sf).collect()}
+    assert set(got) == {0, 1, 2}
+    # realignment: most of the original's chars are found duplicated in
+    # the shifted copy despite every absolute offset differing
+    assert got[0]["dup_share"] >= 0.5, got[0]
+    assert got[1]["dup_chars"] > 0, got[1]
+    assert got[2]["n_dup_chunks"] == 0, got[2]
+    for r in got.values():
+        assert r["dup_chars"] <= r["n_chunks"] * 1_000
+        assert 0.0 <= r["dup_share"] <= 1.0
