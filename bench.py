@@ -131,6 +131,12 @@ HEADLINE = [
     "embedding_matryoshka_eval",
     "multimodal_video_frame_diff",
     "sample_coreset_kcenter",
+    # r5 wave 2: Bloom decontam screen, CDC chunk dedup, DSIR
+    # selection, PQ+rerank ANN cascade
+    "decontam_bloom_filter",
+    "dedup_cdc_chunking",
+    "text_dsir_importance",
+    "ann_pq_adc",
 ]
 
 

@@ -149,6 +149,8 @@ _PRIORITY = [
     "source_xml_roundtrip",
     "decontam_bloom_filter",
     "dedup_cdc_chunking",
+    "text_dsir_importance",
+    "ann_pq_adc",
     # --- never-driver-checked, remaining modules in module order
     #     (llm_prep, relational, scalar_funcs, windows, joins,
     #     sources_ext, dedup, analytics, multimodal, text, warehouse,

@@ -1760,8 +1760,130 @@ ORDER BY source
 """
 
 
+# ------------------------------------------------------ DSIR selection
+
+DSIR_B = 256  # hashed-feature buckets
+DSIR_TARGET_MOD = 97  # doc_id % 97 == 0 -> the target ("benchmark-like") slice
+
+
+def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    score each raw document by how much more likely its hashed-unigram
+    features are under the TARGET distribution than under the RAW
+    corpus distribution.
+
+    Features are tokens hashed into {DSIR_B} buckets (portable md5
+    hash32 % {DSIR_B}); both bucket LMs use add-1 smoothing.  The
+    per-bucket log-ratio Δ_b = ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B))
+    is quantized to integer MICRO-units, so every per-doc score is an
+    exact int64 dot product Σ_b c_b·Δ_b — AQE-reorder-proof and
+    bit-identical to the oracle (the established ``round(ln·1e6)``
+    discipline from stats_ops).
+
+    Scale shape: ONE token pass builds both bucket LMs ({DSIR_B}-row
+    reduced table, partial-aggregated map-side); Δ_b joins back as a
+    broadcast; the per-doc rollup shuffles on (doc_id, b) then doc_id.
+    No collect anywhere — the {DSIR_B}-row LM table stays distributed
+    and broadcasts from the plan.  Selected = score strictly above the
+    corpus MEAN (compared as score·N > Σscores in exact integer/decimal
+    arithmetic — no float division; factors kept ≤ decimal(38) per the
+    r5 silent-scale-drop gotcha), the top-half acceptance a DSIR
+    resampling pass would feed its Gumbel top-k with.  An absolute
+    score>0 cut is degenerate here: with a tiny target slice nearly
+    every bucket is raw-dominated, so all scores go negative."""
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
+    tok = d.select(
+        "doc_id", F.explode(tokens_col("text")).alias("t")
+    ).select(
+        "doc_id",
+        (hash32(F.col("t")) % DSIR_B).alias("b"),
+        (F.col("doc_id") % DSIR_TARGET_MOD == 0).alias("is_t"),
+    )
+    buckets = tok.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("tb"),
+        F.sum(F.when(~F.col("is_t"), 1).otherwise(0)).alias("rb"),
+    )
+    tot = buckets.agg(F.sum("tb").alias("tt"), F.sum("rb").alias("rr"))
+    dm = F.round(
+        F.lit(1000000.0)
+        * (
+            F.log((F.col("tb") + 1).cast("double"))
+            - F.log((F.col("tt") + DSIR_B).cast("double"))
+            - F.log((F.col("rb") + 1).cast("double"))
+            + F.log((F.col("rr") + DSIR_B).cast("double"))
+        )
+    ).cast("long")
+    delta = buckets.crossJoin(F.broadcast(tot)).select("b", dm.alias("dm"))
+    docb = (
+        tok.filter(~F.col("is_t"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = (
+        docb.join(F.broadcast(delta), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("dm")).cast("long").alias("dsir_micro"),
+        )
+    )
+    g = per_doc.agg(
+        F.count(F.lit(1)).cast("decimal(12,0)").alias("nd"),
+        F.sum("dsir_micro").cast("decimal(25,0)").alias("tot"),
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(g))
+        .withColumn(
+            "selected",
+            F.col("dsir_micro").cast("decimal(25,0)") * F.col("nd") > F.col("tot"),
+        )
+        .select("doc_id", "n_tokens", "dsir_micro", "selected")
+        .orderBy("doc_id")
+    )
+
+
+_DSIR_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, {sql_hash32("t")} % {DSIR_B} AS b,
+        doc_id % {DSIR_TARGET_MOD} = 0 AS is_t
+    FROM (SELECT doc_id, unnest({sql_tokens("text")}) AS t FROM documents)
+),
+buckets AS (
+    SELECT b,
+        SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS tb,
+        SUM(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS rb
+    FROM tok GROUP BY b
+),
+tot AS (SELECT SUM(tb) AS tt, SUM(rb) AS rr FROM buckets),
+delta AS (
+    SELECT b,
+        CAST(ROUND(1000000.0 * (LN(CAST(tb + 1 AS DOUBLE))
+            - LN(CAST(tt + {DSIR_B} AS DOUBLE))
+            - LN(CAST(rb + 1 AS DOUBLE))
+            + LN(CAST(rr + {DSIR_B} AS DOUBLE)))) AS BIGINT) AS dm
+    FROM buckets, tot
+),
+docb AS (
+    SELECT doc_id, b, COUNT(*) AS c FROM tok WHERE NOT is_t GROUP BY doc_id, b
+),
+docagg AS (
+    SELECT doc_id,
+        CAST(SUM(c) AS BIGINT) AS n_tokens,
+        CAST(SUM(c * dm) AS BIGINT) AS dsir
+    FROM docb JOIN delta USING (b)
+    GROUP BY doc_id
+),
+g AS (SELECT COUNT(*) AS nd, SUM(dsir) AS tot FROM docagg)
+SELECT doc_id, n_tokens, dsir AS dsir_micro,
+    CAST(dsir AS HUGEINT) * nd > tot AS selected
+FROM docagg, g
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "sample_epoch_plan": sample_epoch_plan,
+    "text_dsir_importance": text_dsir_importance,
     "text_boilerplate_segments": text_boilerplate_segments,
     "quality_source_gini": quality_source_gini,
     "feature_hashing_vectorize": feature_hashing_vectorize,
@@ -1783,6 +1905,7 @@ QUERIES = {
 
 ORACLES = {
     "sample_epoch_plan": _EPOCH_PLAN_SQL,
+    "text_dsir_importance": _DSIR_SQL,
     "text_boilerplate_segments": _BOILER_SQL,
     "quality_source_gini": _SOURCE_GINI_SQL,
     "feature_hashing_vectorize": _FEAT_HASH_SQL,

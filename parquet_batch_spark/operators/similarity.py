@@ -1050,8 +1050,222 @@ def _kcenter_sql() -> str:
     )
 
 
+# ---------------------------------------------------------------- PQ path
+
+PQ_M = 8  # subspaces
+PQ_SUB = 8  # dims per subspace (PQ_M * PQ_SUB == the 64-dim embedding)
+PQ_KS = 16  # codes per subspace -> 4 bits/subspace, 4 bytes/vector
+PQ_SHORTLIST = 50  # ADC shortlist size fed to the exact re-rank stage
+
+
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation —
+    the memory-compression tier of the ANN family (brute-force = exact,
+    LSH/IVF = candidate pruning, PQ = 16× vector compression: 64
+    float32 dims → 8 four-bit codes).
+
+    Codebooks: the {PQ_KS} corpus vectors with the smallest portable
+    md5 hash of their id (the same hash-sampled "data points as
+    centroids" initialization as ann_ivf_topk — exactly
+    SQL-expressible, no Lloyd corpus passes); subspace m's codebook is
+    their dims [m·{PQ_SUB}, (m+1)·{PQ_SUB}).  Encoding is ONE
+    Arrow-batched corpus pass (numpy, dimension-sequential
+    accumulation == the oracle's SQL fold; ties to the lower code).
+
+    ADC: per query, an {PQ_M}×{PQ_KS} lookup table of exact
+    query-to-centroid subspace distances is built driver-side (Q·M·K
+    doubles — tiny) and broadcast; each corpus vector's approximate
+    distance is then Σ_m lut[m][code_m], a pure JVM fold over the
+    8-byte code — the compressed scan never touches the original
+    vectors.  Stage two is the standard production cascade: the ADC
+    top-{PQ_SHORTLIST} shortlist (per query) joins back to the raw
+    vectors — a broadcast of Q·{PQ_SHORTLIST} keys into one corpus
+    probe, NOT a second full scan at 100 TB — and exact distances
+    re-rank the final top-{TOP_K}.  Measured at sf0.01 the cascade
+    recovers recall@5 ≈ 0.5 where raw ADC ranking alone gives ~0.1
+    (tests/test_r5_ops.py pins the floor; these near-uniform synthetic
+    embeddings are PQ's worst case — no cluster structure for 16
+    sampled centroids to exploit, so the shortlist does the work): a
+    4-byte-per-vector screen that scans 16× less data, then exact math
+    on a bounded shortlist.
+
+    Bit-exactness: subspace distances accumulate dimension-
+    sequentially in numpy; the ADC sum folds subspaces in order via
+    F.aggregate; the exact re-rank folds zip_with products in dim
+    order — all identical to the oracle's nested list_sum folds, so
+    codes, distances, and ranks match DuckDB exactly."""
+    em = fan_out(load(spark, sf_dir, "embeddings"), spark)
+    base = em.select("vec_id", _dvec().alias("v"))
+    seed_rows = (
+        base.withColumn("hk", hash32(F.col("vec_id").cast("string")))
+        .orderBy("hk", "vec_id")
+        .limit(PQ_KS)
+        .collect()
+    )
+    cents = np.asarray([np.asarray(r["v"], dtype=np.float64) for r in seed_rows])
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray([np.asarray(x) for x in pdf["v"]], dtype=np.float64)
+            codes = np.zeros((len(V), PQ_M), dtype=np.int32)
+            for m in range(PQ_M):
+                acc = np.zeros((len(V), PQ_KS))
+                for d in range(m * PQ_SUB, (m + 1) * PQ_SUB):
+                    diff = V[:, d][:, None] - cents[None, :, d]
+                    acc += diff * diff
+                codes[:, m] = np.argmin(acc, axis=1)  # first-min -> lowest code
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": [list(c) for c in codes.tolist()]}
+            )
+
+    enc = base.mapInPandas(encode, schema="vec_id long, codes array<int>")
+
+    q_rows = base.filter(F.col("vec_id") < N_QUERIES).collect()
+    lut_rows = []
+    for r in q_rows:
+        qv = np.asarray(r["v"], dtype=np.float64)
+        lut = np.zeros((PQ_M, PQ_KS))
+        for m in range(PQ_M):
+            for d in range(m * PQ_SUB, (m + 1) * PQ_SUB):
+                diff = qv[d] - cents[:, d]
+                lut[m] += diff * diff
+        lut_rows.append(
+            (
+                int(r["vec_id"]),
+                [float(x) for x in r["v"]],
+                [[float(x) for x in row] for row in lut.tolist()],
+            )
+        )
+    probes = spark.createDataFrame(
+        lut_rows, "query_id long, qv array<double>, lut array<array<double>>"
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.element_at(
+            F.element_at(F.col("lut"), m + 1),
+            F.element_at(F.col("codes"), m + 1) + 1,
+        ),
+    )
+    scored = enc.join(
+        F.broadcast(probes.drop("qv")), F.col("vec_id") != F.col("query_id")
+    ).withColumn("adc_d2", adc)
+    wa = W.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("vec_id"))
+    shortlist = (
+        scored.withColumn("srank", F.row_number().over(wa))
+        .filter(F.col("srank") <= PQ_SHORTLIST)
+        .select("query_id", "vec_id", "adc_d2")
+    )
+    exact_d2 = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    reranked = (
+        base.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(probes.select("query_id", "qv")), "query_id")
+        .withColumn("d2", exact_d2)
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("vec_id"))
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("adc_d2", 6).alias("adc_d2"),
+            F.round("d2", 6).alias("d2"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _sub_d2(v: str, c: str, m: str) -> str:
+    """Subspace-m squared distance: sequential fold over the PQ_SUB dims."""
+    idx = f"(({m}) - 1) * {PQ_SUB} + d"
+    return (
+        f"list_sum(list_transform(generate_series(1, {PQ_SUB}), "
+        f"d -> (({v})[{idx}] - ({c})[{idx}]) * (({v})[{idx}] - ({c})[{idx}])))"
+    )
+
+
+_ANN_PQ_SQL = f"""
+WITH nv AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+seeds AS (
+    SELECT v AS c,
+        ROW_NUMBER() OVER (
+            ORDER BY {sql_hash32("CAST(vec_id AS VARCHAR)")}, vec_id
+        ) - 1 AS cell
+    FROM nv
+    QUALIFY cell < {PQ_KS}
+),
+cbook AS (SELECT list(c ORDER BY cell) AS cl FROM seeds),
+enc AS (
+    SELECT vec_id, m, code FROM (
+        SELECT b.vec_id, t.m, s.cell AS code,
+            ROW_NUMBER() OVER (
+                PARTITION BY b.vec_id, t.m
+                ORDER BY {_sub_d2("b.v", "s.c", "t.m")}, s.cell
+            ) AS rn
+        FROM nv b, generate_series(1, {PQ_M}) AS t(m), seeds s
+    ) WHERE rn = 1
+),
+codes AS (
+    SELECT vec_id, list(code ORDER BY m) AS codes FROM enc GROUP BY vec_id
+),
+scored AS (
+    SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+        list_sum(list_transform(generate_series(1, {PQ_M}), m ->
+            list_sum(list_transform(generate_series(1, {PQ_SUB}), d ->
+                (q.v[(m - 1) * {PQ_SUB} + d]
+                 - cb.cl[b.codes[m] + 1][(m - 1) * {PQ_SUB} + d])
+                * (q.v[(m - 1) * {PQ_SUB} + d]
+                   - cb.cl[b.codes[m] + 1][(m - 1) * {PQ_SUB} + d])
+            )))) AS adc_raw
+    FROM codes b
+    JOIN nv q ON q.vec_id < {N_QUERIES} AND b.vec_id <> q.vec_id
+    CROSS JOIN cbook cb
+),
+shortlist AS (
+    SELECT query_id, neighbor_id, adc_raw,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY adc_raw ASC, neighbor_id) AS srank
+    FROM scored
+    QUALIFY srank <= {PQ_SHORTLIST}
+),
+rerank AS (
+    SELECT s.query_id, s.neighbor_id, s.adc_raw,
+        list_sum(list_transform(generate_series(1, {PQ_M * PQ_SUB}),
+            i -> (b.v[i] - q.v[i]) * (b.v[i] - q.v[i]))) AS d2_raw
+    FROM shortlist s
+    JOIN nv b ON b.vec_id = s.neighbor_id
+    JOIN nv q ON q.vec_id = s.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, adc_raw, d2_raw,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY d2_raw ASC, neighbor_id) AS rank
+    FROM rerank
+)
+SELECT query_id, neighbor_id, ROUND(adc_raw, 6) AS adc_d2,
+    ROUND(d2_raw, 6) AS d2, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "embedding_drift_report": embedding_drift_report,
+    "ann_pq_adc": ann_pq_adc,
     "embedding_dim_stats": embedding_dim_stats,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
@@ -1065,6 +1279,7 @@ QUERIES = {
 
 ORACLES = {
     "embedding_drift_report": _DRIFT_SQL,
+    "ann_pq_adc": _ANN_PQ_SQL,
     "embedding_dim_stats": _DIM_STATS_SQL,
     "ann_bruteforce_topk": _ANN_BRUTE_SQL,
     "ann_lsh_bucketed": _ANN_LSH_SQL,
