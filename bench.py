@@ -137,6 +137,7 @@ HEADLINE = [
     "dedup_cdc_chunking",
     "text_dsir_importance",
     "ann_pq_adc",
+    "text_watermark_greenlist",
 ]
 
 

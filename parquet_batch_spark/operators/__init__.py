@@ -151,6 +151,9 @@ _PRIORITY = [
     "dedup_cdc_chunking",
     "text_dsir_importance",
     "ann_pq_adc",
+    "sql_udf_create_function",
+    "text_watermark_greenlist",
+    "privacy_k_anonymity",
     # --- never-driver-checked, remaining modules in module order
     #     (llm_prep, relational, scalar_funcs, windows, joins,
     #     sources_ext, dedup, analytics, multimodal, text, warehouse,

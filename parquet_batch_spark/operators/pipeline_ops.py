@@ -169,6 +169,51 @@ ORDER BY d.doc_id
 """
 
 
+# ------------------------------------------------------- k-anonymity
+
+KANON_K = 5  # groups smaller than this are re-identification risks
+KANON_LEN_BUCKET = 100  # n_chars quantization for the quasi-identifier
+
+
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the release quasi-identifiers (lang,
+    source, coarse length bucket): any combination shared by fewer
+    than k={KANON_K} documents is a re-identification risk — the
+    check privacy review runs before publishing corpus metadata or
+    per-group statistics.
+
+    One groupBy over the quasi-identifier tuple (partial-aggregated
+    map-side; group count is bounded by the QI domain, not the corpus)
+    — the 100 TB cost is one scan plus a tiny shuffle.  Output lists
+    every equivalence class with its size and risk flag; suppressing
+    or generalizing the risky classes is the downstream action."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / KANON_LEN_BUCKET)
+            .cast("long")
+            .alias("len_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("k"))
+        .withColumn("risky", F.col("k") < KANON_K)
+        .orderBy("lang", "source", "len_bucket")
+    )
+
+
+_KANON_SQL = f"""
+SELECT lang, source,
+    CAST(FLOOR(CAST(n_chars AS DOUBLE) / {KANON_LEN_BUCKET}) AS BIGINT)
+        AS len_bucket,
+    COUNT(*) AS k,
+    COUNT(*) < {KANON_K} AS risky
+FROM documents
+GROUP BY 1, 2, 3
+ORDER BY lang, source, len_bucket
+"""
+
+
 # ------------------------------------------------------- bloom decontam
 
 BLOOM_M = 16384  # filter size in bits (2^14)
@@ -594,6 +639,7 @@ QUERIES = {
     "pii_detect": pii_detect,
     "decontam_ngram_overlap": decontam_ngram_overlap,
     "decontam_bloom_filter": decontam_bloom_filter,
+    "privacy_k_anonymity": privacy_k_anonymity,
     "sample_stratified": sample_stratified,
     "sample_reservoir_per_group": sample_reservoir_per_group,
     "sample_train_val_test": sample_train_val_test,
@@ -606,6 +652,7 @@ ORACLES = {
     "pii_detect": _PII_SQL,
     "decontam_ngram_overlap": _DECONTAM_SQL,
     "decontam_bloom_filter": _BLOOM_SQL,
+    "privacy_k_anonymity": _KANON_SQL,
     "sample_stratified": _SAMPLE_SQL,
     "sample_reservoir_per_group": _RESERVOIR_SQL,
     "quality_repetition": _QUALITY_SQL,

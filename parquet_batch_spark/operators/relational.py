@@ -1276,8 +1276,71 @@ ORDER BY o_orderstatus, bucket
 """
 
 
+# --------------------------------------------------------- SQL UDFs
+
+def sql_udf_create_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL UDFs (CREATE FUNCTION ... RETURN <expr>): the
+    engine surface that lets analysts package expression logic WITHOUT
+    leaving the JVM.  Two temporary functions — a decimal-exact
+    discounted-revenue scalar and a CASE-based quantity tier — are
+    declared and then used in an aggregation (the tier even drives the
+    GROUP BY).
+
+    The scale property that matters: SQL UDFs are INLINED into the
+    Catalyst plan at analysis time (no function-call node survives —
+    asserted in tests/test_r5_ops.py), so they whole-stage-codegen
+    exactly like hand-written expressions: zero serialization
+    boundary, unlike Python/pandas UDFs.  The oracle simply inlines
+    the same expressions.  Decimal discipline matches functions/
+    numeric.py: (12,4)×(13,4) product = (26,8) < 38, summed then
+    squeezed to (18,6) before the double cast."""
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_rev(
+            p DECIMAL(12,4), d DECIMAL(12,4)) RETURNS DECIMAL(26,8)
+        RETURN p * (1 - d)
+    """)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION qty_tier(q DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN q < 10 THEN 'small'
+                    WHEN q < 30 THEN 'mid'
+                    ELSE 'bulk' END
+    """)
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_udf_view")
+    return spark.sql("""
+        SELECT qty_tier(CAST(l_quantity AS DOUBLE)) AS tier,
+               l_returnflag,
+               CAST(CAST(SUM(disc_rev(CAST(l_extendedprice AS DECIMAL(12,4)),
+                                      CAST(l_discount AS DECIMAL(12,4))))
+                    AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM li_udf_view
+        GROUP BY 1, 2
+        ORDER BY tier, l_returnflag
+    """)
+
+
+_SQL_UDF_SQL = """
+SELECT CASE WHEN CAST(l_quantity AS DOUBLE) < 10 THEN 'small'
+            WHEN CAST(l_quantity AS DOUBLE) < 30 THEN 'mid'
+            ELSE 'bulk' END AS tier,
+       l_returnflag,
+       {dsum} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY 1, 2
+ORDER BY tier, l_returnflag
+""".format(
+    dsum=sql_dsum_expr(
+        "CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))"
+    )
+)
+
+
 QUERIES = {
     "sql_pipe_syntax": sql_pipe_syntax,
+    "sql_udf_create_function": sql_udf_create_function,
     "sql_session_variables": sql_session_variables,
     "agg_basket_pairs": agg_basket_pairs,
     "agg_abc_classification": agg_abc_classification,
@@ -1307,6 +1370,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sql_udf_create_function": _SQL_UDF_SQL,
     "sql_pipe_syntax": _PIPE_SQL,
     "sql_session_variables": _SESSION_VAR_SQL,
     "agg_basket_pairs": _basket_sql(),

@@ -18,7 +18,12 @@ from pyspark.sql import functions as F
 
 from parquet_batch_spark.catalog import fan_out, load
 from parquet_batch_spark.functions.hashing import MERSENNE_P, hash32, sql_hash32
-from parquet_batch_spark.functions.text import sql_tokens, tokens_col
+from parquet_batch_spark.functions.text import (
+    shingles_col,
+    sql_shingles,
+    sql_tokens,
+    tokens_col,
+)
 
 # ---------------------------------------------------------------- stats
 
@@ -681,8 +686,82 @@ ORDER BY a, b
 """
 
 
+# --------------------------------------------------- watermark detection
+
+WM_GAMMA_DEN = 4  # green-list fraction gamma = 1/4
+WM_Z_FLAG_MICRO = 4_000_000  # flag docs with z >= 4 (Kirchenbauer et al.)
+
+
+def text_watermark_greenlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Green-list LLM-watermark detector (Kirchenbauer et al. 2023):
+    the screen a training pipeline runs to keep watermarked synthetic
+    text OUT of the corpus.
+
+    Token t_i is "green" when the previous token's context selects it:
+    hash(t_{i-1} ‖ t_i) lands in the γ = 1/{WM_GAMMA_DEN} green
+    partition.  Natural text is green at rate γ; a soft-watermarked
+    generator biases toward green, so the one-proportion z-score
+    z = (g − γn)/√(nγ(1−γ)) separates them; z ≥ 4 flags a doc.
+
+    Implementation is per-row JVM array algebra: the bigram stream is
+    ``shingles_col(toks, 2)`` (each window = "t_{i-1} t_i"), greenness
+    is a portable-hash filter over that array, so the corpus pass is
+    map-only — no explode, no shuffle before the output sort; at
+    100 TB this costs one scan.  z is quantized to integer micro-units
+    from exact integer (g, n) per the round(·1e6) discipline (√ is
+    IEEE-correctly-rounded, identical in both engines)."""
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    toks = tokens_col("text")
+    bigrams = shingles_col(toks, 2)
+    greens = F.filter(bigrams, lambda g: hash32(g) % WM_GAMMA_DEN == 0)
+    n = F.size(bigrams).cast("long")
+    g = F.size(greens).cast("long")
+    gamma = 1.0 / WM_GAMMA_DEN
+    z_micro = F.round(
+        F.lit(1000000.0)
+        * (g.cast("double") - F.lit(gamma) * n.cast("double"))
+        / F.sqrt(n.cast("double") * F.lit(gamma * (1.0 - gamma)))
+    ).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            n.alias("n_scored"),
+            g.alias("n_green"),
+            F.round(g / n, 6).alias("green_frac"),
+            z_micro.alias("z_micro"),
+            (z_micro >= WM_Z_FLAG_MICRO).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_WATERMARK_SQL = f"""
+WITH b AS (
+    SELECT doc_id, {sql_shingles("toks", 2)} AS bg
+    FROM (SELECT doc_id, {sql_tokens("text")} AS toks FROM documents)
+),
+counts AS (
+    SELECT doc_id,
+        CAST(len(bg) AS BIGINT) AS n,
+        CAST(len(list_filter(bg, g -> {sql_hash32("g")} % {WM_GAMMA_DEN} = 0))
+             AS BIGINT) AS g
+    FROM b
+)
+SELECT doc_id, n AS n_scored, g AS n_green,
+    ROUND(CAST(g AS DOUBLE) / n, 6) AS green_frac,
+    CAST(ROUND(1000000.0 * (CAST(g AS DOUBLE) - 0.25 * CAST(n AS DOUBLE))
+         / SQRT(CAST(n AS DOUBLE) * 0.1875)) AS BIGINT) AS z_micro,
+    CAST(ROUND(1000000.0 * (CAST(g AS DOUBLE) - 0.25 * CAST(n AS DOUBLE))
+         / SQRT(CAST(n AS DOUBLE) * 0.1875)) AS BIGINT) >= {WM_Z_FLAG_MICRO}
+        AS flagged
+FROM counts
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_vocab_growth": text_vocab_growth,
+    "text_watermark_greenlist": text_watermark_greenlist,
     "text_overlap_stitch": text_overlap_stitch,
     "quality_langid_confusion": quality_langid_confusion,
     "text_bigram_surprisal": text_bigram_surprisal,
@@ -697,6 +776,7 @@ QUERIES = {
 
 ORACLES = {
     "text_vocab_growth": _VOCAB_GROWTH_SQL,
+    "text_watermark_greenlist": _WATERMARK_SQL,
     "text_overlap_stitch": _STITCH_SQL,
     "quality_langid_confusion": _LANGID_CONFUSION_SQL,
     "text_bigram_surprisal": _BIGRAM_SURPRISAL_SQL,

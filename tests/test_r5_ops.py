@@ -412,3 +412,59 @@ def test_dsir_matches_pure_python_recompute(spark, sf_smoke):
         assert got[did]["selected"] == (s * n > mean_num), did
     n_sel = sum(1 for r in got.values() if r["selected"])
     assert 0 < n_sel < len(got), n_sel
+
+
+def test_sql_udf_inlines_into_plan(spark, sf_dir):
+    """Spark 4 SQL UDFs must inline at analysis time — no function
+    call survives into the optimized plan (that is the whole scale
+    argument vs Python UDFs)."""
+    from parquet_batch_spark.operators.relational import sql_udf_create_function
+
+    df = sql_udf_create_function(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # no function-call node survives; the bodies appear as plain
+    # Catalyst expressions (alias attribute names like qty_tier#N are
+    # just names, not calls)
+    assert "ScalaUDF" not in plan and "PythonUDF" not in plan, plan[:1200]
+    assert "disc_rev(" not in plan and "qty_tier(" not in plan, plan[:1200]
+    assert "CASE WHEN" in plan  # qty_tier body, inlined
+    assert len(df.collect()) == 9  # 3 tiers x 3 return flags
+
+
+def test_watermark_separates_natural_from_planted(spark, tmp_path):
+    """Natural text sits at the gamma=0.25 green rate and never trips
+    z>=4; a doc GENERATED to stay on the green list flags
+    immediately."""
+    import hashlib
+
+    from parquet_batch_spark.operators.text_analysis import (
+        WM_GAMMA_DEN,
+        text_watermark_greenlist,
+    )
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    vocab = [f"w{i}" for i in range(50)]
+    toks = ["w0"]
+    for _ in range(40):  # greedy soft-watermark generator
+        toks.append(
+            next(t for t in vocab if h32(f"{toks[-1]} {t}") % WM_GAMMA_DEN == 0)
+        )
+    natural = "the quick brown fox jumps over the lazy dog again and again today"
+    sf = _write_docs(tmp_path, [(0, " ".join(toks)), (1, natural)])
+    got = {r["doc_id"]: r for r in text_watermark_greenlist(spark, sf).collect()}
+    assert got[0]["green_frac"] == 1.0
+    assert got[0]["flagged"] and got[0]["z_micro"] >= 4_000_000
+    assert not got[1]["flagged"]
+
+
+def test_watermark_natural_corpus_rate(spark, sf_dir):
+    """Corpus-level sanity: the mean green fraction of natural text
+    tracks gamma and essentially nothing flags."""
+    from parquet_batch_spark.operators.text_analysis import text_watermark_greenlist
+
+    rows = text_watermark_greenlist(spark, sf_dir).collect()
+    mean_frac = sum(r["green_frac"] for r in rows) / len(rows)
+    assert abs(mean_frac - 0.25) < 0.03, mean_frac
+    assert sum(r["flagged"] for r in rows) <= len(rows) * 0.01
