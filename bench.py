@@ -138,6 +138,7 @@ HEADLINE = [
     "text_dsir_importance",
     "ann_pq_adc",
     "text_watermark_greenlist",
+    "ann_ivfpq_topk",
 ]
 
 

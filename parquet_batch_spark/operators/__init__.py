@@ -154,6 +154,7 @@ _PRIORITY = [
     "sql_udf_create_function",
     "text_watermark_greenlist",
     "privacy_k_anonymity",
+    "ann_ivfpq_topk",
     # --- never-driver-checked, remaining modules in module order
     #     (llm_prep, relational, scalar_funcs, windows, joins,
     #     sources_ext, dedup, analytics, multimodal, text, warehouse,

