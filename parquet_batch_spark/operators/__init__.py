@@ -155,6 +155,7 @@ _PRIORITY = [
     "text_watermark_greenlist",
     "privacy_k_anonymity",
     "ann_ivfpq_topk",
+    "quality_perplexity_buckets",
     # --- never-driver-checked, remaining modules in module order
     #     (llm_prep, relational, scalar_funcs, windows, joins,
     #     sources_ext, dedup, analytics, multimodal, text, warehouse,

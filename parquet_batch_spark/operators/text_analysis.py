@@ -512,6 +512,137 @@ ORDER BY p.doc_id
 """
 
 
+# --------------------------------------- CCNet perplexity tertiles
+
+PPL_NTILES = 3  # CCNet buckets: head / middle / tail
+
+
+def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): within
+    each language, rank documents by LM score and split into
+    head/middle/tail tertiles — head (most fluent) feeds pre-training
+    first, tail is usually dropped.
+
+    The LM is the corpus bigram model of ``text_bigram_surprisal``
+    (exact integer bit-length surprisal — no floats in the model);
+    the per-doc score is mean surprisal in integer MILLI-bits via
+    exact integer division.  Tertile assignment is NTILE({PPL_NTILES})
+    over (score, doc_id) per language — deterministic tie-break, and
+    a PARTITIONED window (per-lang), so no global sort; at 100 TB
+    CCNet actually fits the per-lang score histogram and cuts at
+    quantiles, which this reduces to when the histogram is exact.
+    Output: per (lang, bucket) — doc count and the score boundaries,
+    i.e. the thresholds a streaming assigner would reuse."""
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = tokens_col("text")
+    n = F.size(toks)
+    pairs = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array()),
+        ).alias("pr"),
+    ).select("doc_id", "lang", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    pairs = pairs.localCheckpoint(eager=False)
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    scored_pairs = c2.join(c1, "w1").select(
+        "w1",
+        "w2",
+        (F.length(F.bin(F.col("c1"))) - F.length(F.bin(F.col("c2"))))
+        .cast("long")
+        .alias("bits"),
+    )
+    from pyspark.sql import Window as W
+
+    doc_scores = (
+        pairs.join(F.broadcast(scored_pairs), ["w1", "w2"])
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum("bits").alias("ssum"))
+        .select(
+            "doc_id",
+            "lang",
+            F.expr("(1000 * ssum) div n_pairs").alias("score_milli"),
+        )
+    )
+    wl = W.partitionBy("lang").orderBy("score_milli", "doc_id")
+    bucketed = doc_scores.withColumn("t", F.ntile(PPL_NTILES).over(wl))
+    bucket_name = (
+        F.when(F.col("t") == 1, "head")
+        .when(F.col("t") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        bucketed.groupBy("lang", "t")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("score_milli").alias("min_score_milli"),
+            F.max("score_milli").alias("max_score_milli"),
+        )
+        .select(
+            "lang",
+            bucket_name.alias("bucket"),
+            "n_docs",
+            "min_score_milli",
+            "max_score_milli",
+        )
+        .orderBy("lang", "min_score_milli")
+    )
+
+
+_PPL_BUCKETS_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, lang, {sql_tokens("text")} AS tk FROM documents
+),
+pairs AS (
+    SELECT doc_id, lang, tk[i] AS w1, tk[i + 1] AS w2
+    FROM toks, UNNEST(
+        CASE WHEN len(tk) >= 2 THEN generate_series(1, len(tk) - 1)
+             ELSE [] END) AS u(i)
+),
+c2 AS (
+    SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY w1, w2
+),
+c1 AS (
+    SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+),
+scored AS (
+    SELECT c2.w1, c2.w2,
+           CAST(length(bin(c1.c1)) - length(bin(c2.c2)) AS BIGINT) AS bits
+    FROM c2 JOIN c1 ON c2.w1 = c1.w1
+),
+doc_scores AS (
+    SELECT p.doc_id, p.lang,
+        (1000 * CAST(SUM(s.bits) AS BIGINT)) // COUNT(*) AS score_milli
+    FROM pairs p JOIN scored s ON p.w1 = s.w1 AND p.w2 = s.w2
+    GROUP BY p.doc_id, p.lang
+),
+bucketed AS (
+    SELECT lang, score_milli,
+        NTILE({PPL_NTILES}) OVER (
+            PARTITION BY lang ORDER BY score_milli, doc_id) AS t
+    FROM doc_scores
+)
+SELECT lang,
+    CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+    COUNT(*) AS n_docs,
+    MIN(score_milli) AS min_score_milli,
+    MAX(score_milli) AS max_score_milli
+FROM bucketed
+GROUP BY lang, t
+ORDER BY lang, min_score_milli
+"""
+
+
 # -------------------------------------------- langid confusion matrix
 
 def quality_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -762,6 +893,7 @@ ORDER BY doc_id
 QUERIES = {
     "text_vocab_growth": text_vocab_growth,
     "text_watermark_greenlist": text_watermark_greenlist,
+    "quality_perplexity_buckets": quality_perplexity_buckets,
     "text_overlap_stitch": text_overlap_stitch,
     "quality_langid_confusion": quality_langid_confusion,
     "text_bigram_surprisal": text_bigram_surprisal,
@@ -777,6 +909,7 @@ QUERIES = {
 ORACLES = {
     "text_vocab_growth": _VOCAB_GROWTH_SQL,
     "text_watermark_greenlist": _WATERMARK_SQL,
+    "quality_perplexity_buckets": _PPL_BUCKETS_SQL,
     "text_overlap_stitch": _STITCH_SQL,
     "quality_langid_confusion": _LANGID_CONFUSION_SQL,
     "text_bigram_surprisal": _BIGRAM_SURPRISAL_SQL,

@@ -495,3 +495,26 @@ def test_ivfpq_recall_floor_and_candidate_containment(spark, sf_dir):
     assert set(P) == set(B)
     recall = sum(len(P[q] & B[q]) / len(B[q]) for q in B) / len(B)
     assert recall >= 0.3, recall
+
+
+def test_perplexity_buckets_are_balanced_and_ordered(spark, sf_dir):
+    """Per language: tertile sizes differ by at most one (NTILE
+    contract) and the head/middle/tail score ranges are
+    non-overlapping and ordered."""
+    from collections import defaultdict
+
+    from parquet_batch_spark.operators.text_analysis import (
+        quality_perplexity_buckets,
+    )
+
+    by_lang = defaultdict(dict)
+    for r in quality_perplexity_buckets(spark, sf_dir).collect():
+        by_lang[r["lang"]][r["bucket"]] = r
+    for lang, bks in by_lang.items():
+        assert set(bks) == {"head", "middle", "tail"}, (lang, bks)
+        sizes = [bks[b]["n_docs"] for b in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        assert bks["head"]["max_score_milli"] <= bks["middle"]["min_score_milli"]
+        assert bks["middle"]["max_score_milli"] <= bks["tail"]["min_score_milli"]
+        for b in bks.values():
+            assert b["min_score_milli"] <= b["max_score_milli"]
