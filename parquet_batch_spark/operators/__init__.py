@@ -156,6 +156,8 @@ _PRIORITY = [
     "privacy_k_anonymity",
     "ann_ivfpq_topk",
     "quality_perplexity_buckets",
+    "sample_weighted_without_replacement",
+    "graph_adamic_adar",
     # --- never-driver-checked, remaining modules in module order
     #     (llm_prep, relational, scalar_funcs, windows, joins,
     #     sources_ext, dedup, analytics, multimodal, text, warehouse,

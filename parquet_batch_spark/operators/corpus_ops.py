@@ -44,6 +44,7 @@ from parquet_batch_spark.operators.llm_prep import (
     SEG_TOKENS,
     SEGMENT_EDGES_CTE,
     segment_edges as _segment_edges,
+    segment_incidence as _segment_incidence,
 )
 
 # ---------------------------------------------------------------------------
@@ -632,8 +633,76 @@ w{k} AS (
     return "WITH " + ",".join(parts) + f"\n{selects}\nORDER BY merge_rank"
 
 
+# -------------------------------------------------- Adamic-Adar scoring
+
+AA_SCALE = 1_000_000  # per-segment term quantization
+
+
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link scoring on the segment-sharing graph: for each
+    candidate doc pair, Σ over shared segments of 1/ln(df) — rare
+    shared segments count for much more than common ones.  The
+    link-prediction refinement of plain co-occurrence counting: use it
+    to rank dedup/merge candidates before expensive exact comparison.
+
+    Same capped inverted-index topology as the rest of the graph
+    family (segments in > {DEGREE_HOT_CAP} docs generate no pairs, so
+    no quadratic key).  The float-sum trap is dodged by design: each
+    segment's 1/ln(df) term is quantized ONCE to integer micro-units
+    from its exact integer df, and the per-pair score is an integer
+    SUM — associative, AQE-reorder-proof, bit-identical to the
+    oracle."""
+    cold = _segment_incidence(spark, sf_dir)
+    dfh = (
+        cold.groupBy("seg_h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+    )
+    terms = dfh.select(
+        "seg_h",
+        F.round(F.lit(float(AA_SCALE)) / F.log(F.col("df").cast("double")))
+        .cast("long")
+        .alias("term_micro"),
+    )
+    inc = cold.join(terms, "seg_h")
+    pairs = inc.join(
+        cold.select(F.col("seg_h").alias("h2"), F.col("doc_id").alias("doc_b")),
+        (F.col("seg_h") == F.col("h2")) & (F.col("doc_id") < F.col("doc_b")),
+    )
+    return (
+        pairs.groupBy(F.col("doc_id").alias("a"), F.col("doc_b").alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.sum("term_micro").cast("long").alias("aa_micro"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+_AA_SQL = f"""
+WITH {SEGMENT_EDGES_CTE},
+dfh AS (
+    SELECT seg_h, COUNT(*) AS df FROM cold GROUP BY seg_h HAVING COUNT(*) >= 2
+),
+terms AS (
+    SELECT seg_h,
+        CAST(ROUND({AA_SCALE}.0 / LN(CAST(df AS DOUBLE))) AS BIGINT) AS term_micro
+    FROM dfh
+),
+pairs AS (
+    SELECT s1.doc_id AS a, s2.doc_id AS b, t.term_micro
+    FROM cold s1
+    JOIN cold s2 ON s1.seg_h = s2.seg_h AND s1.doc_id < s2.doc_id
+    JOIN terms t ON t.seg_h = s1.seg_h
+)
+SELECT a, b, COUNT(*) AS n_shared, CAST(SUM(term_micro) AS BIGINT) AS aa_micro
+FROM pairs GROUP BY a, b ORDER BY a, b
+"""
+
+
 QUERIES = {
     "dedup_cross_source_matrix": dedup_cross_source_matrix,
+    "graph_adamic_adar": graph_adamic_adar,
     "quality_gopher_rules": quality_gopher_rules,
     "dedup_url_canonical": dedup_url_canonical,
     "graph_triangle_count": graph_triangle_count,
@@ -643,6 +712,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_cross_source_matrix": _CROSS_SOURCE_SQL,
+    "graph_adamic_adar": _AA_SQL,
     "graph_community_labels": _lpa_sql(),
     "quality_gopher_rules": _GOPHER_SQL,
     "dedup_url_canonical": _URL_SQL,

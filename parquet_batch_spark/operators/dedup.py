@@ -1618,16 +1618,28 @@ def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: hash32(F.col("text").substr(i, F.lit(CDC_W))) % CDC_DIV == 0,
     )
     starts = F.concat(F.array(F.lit(1)), hits)
-    n = F.size(starts)
+    # Materialize the boundary array as a PROJECTED COLUMN before the
+    # chunk transform: higher-order lambdas evaluate interpreted, so if
+    # `starts` stayed an inline expression the element_at() inside the
+    # lambda would recompute the whole L-window hash scan PER CHUNK —
+    # O(L·chunks) md5s per row (measured 5.6 s at sf0.1; 1.6 s with
+    # the bound attribute).  Three references below keep CollapseProject
+    # from inlining it back.
+    st = d.select("doc_id", "text", L.alias("len_chars"), starts.alias("starts"))
+    sc = F.col("starts")
+    n = F.size(sc)
     chunks = F.transform(
-        starts,
+        sc,
         lambda s, j: F.col("text").substr(
             s,
-            F.when(j < n - 1, F.element_at(starts, j + 2)).otherwise(L + 1) - s,
+            F.when(j < n - 1, F.element_at(sc, j + 2)).otherwise(
+                F.col("len_chars") + 1
+            )
+            - s,
         ),
     )
-    ch = d.select(
-        "doc_id", L.alias("len_chars"), F.explode(chunks).alias("c")
+    ch = st.select(
+        "doc_id", "len_chars", F.explode(chunks).alias("c")
     ).select(
         "doc_id",
         "len_chars",

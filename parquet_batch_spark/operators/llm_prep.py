@@ -969,10 +969,11 @@ ORDER BY r.lang
 DEGREE_HOT_CAP = 256  # segments shared by more docs don't form edges
 
 
-def segment_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Undirected unique edges (a < b) of the segment-sharing graph —
-    the capped inverted-index construction shared by
-    ``graph_degree_histogram`` and the corpus_ops graph family."""
+def segment_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, seg_h) incidence list of the capped segment index —
+    the shared substrate under ``segment_edges`` and corpus_ops'
+    Adamic-Adar scoring: distinct per-doc segments, hot segments
+    (> {DEGREE_HOT_CAP} docs) removed so no key can go quadratic."""
     d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
     toks = tokens_col("text")
     n_seg = F.ceil(F.size(toks) / F.lit(SEG_TOKENS)).cast("int")
@@ -995,7 +996,14 @@ def segment_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") > DEGREE_HOT_CAP)
         .select("seg_h")
     )
-    cold = segs.join(F.broadcast(hot), "seg_h", "left_anti")
+    return segs.join(F.broadcast(hot), "seg_h", "left_anti")
+
+
+def segment_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected unique edges (a < b) of the segment-sharing graph —
+    the capped inverted-index construction shared by
+    ``graph_degree_histogram`` and the corpus_ops graph family."""
+    cold = segment_incidence(spark, sf_dir)
     return (
         cold.join(
             cold.select(F.col("seg_h").alias("h2"), F.col("doc_id").alias("doc_b")),
@@ -1881,9 +1889,60 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------- weighted sampling w/o replacement
+
+WSAMPLE_K = 100  # sample size
+
+
+def sample_weighted_without_replacement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement at corpus scale —
+    Efraimidis–Spirakis A-ES: each item draws u ∈ (0,1] and exposes
+    key = ln(u)/w; the sample is simply the top-{WSAMPLE_K} keys.
+    This is THE distributed algorithm for the job: no sequential
+    state, no rejection loop — any executor computes its items' keys
+    independently and a top-K (tree-aggregated TakeOrdered, never a
+    full sort at 100 TB) finishes it.  Inclusion probabilities are
+    exactly the sequential weighted draw's (Efraimidis & Spirakis
+    2006).
+
+    u is the portable hash of doc_id mapped to (0,1] — (h+1)/2³²,
+    exact in double since 2³² is a power of two — so the "random"
+    draw is reproducible across engines and runs; w = n_chars.  Keys
+    are quantized to integer NANO-units from identical doubles (ln of
+    an exact dyadic rational; division by an exact integer), so the
+    selected set and its order hash-match the oracle."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (hash32(F.col("doc_id").cast("string")) + 1) / F.lit(4294967296.0)
+    key_micro = F.round(
+        F.lit(1e9) * F.log(u) / F.col("n_chars").cast("double")
+    ).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            key_micro.alias("key_nano"),
+        )
+        .orderBy(F.col("key_nano").desc(), "doc_id")
+        .limit(WSAMPLE_K)
+    )
+
+
+_WSAMPLE_SQL = f"""
+SELECT doc_id, n_chars AS weight,
+    CAST(ROUND(1000000000.0
+        * LN(({sql_hash32("CAST(doc_id AS VARCHAR)")} + 1) / 4294967296.0)
+        / CAST(n_chars AS DOUBLE)) AS BIGINT) AS key_nano
+FROM documents
+WHERE n_chars > 0
+ORDER BY key_nano DESC, doc_id
+LIMIT {WSAMPLE_K}
+"""
+
+
 QUERIES = {
     "sample_epoch_plan": sample_epoch_plan,
     "text_dsir_importance": text_dsir_importance,
+    "sample_weighted_without_replacement": sample_weighted_without_replacement,
     "text_boilerplate_segments": text_boilerplate_segments,
     "quality_source_gini": quality_source_gini,
     "feature_hashing_vectorize": feature_hashing_vectorize,
@@ -1906,6 +1965,7 @@ QUERIES = {
 ORACLES = {
     "sample_epoch_plan": _EPOCH_PLAN_SQL,
     "text_dsir_importance": _DSIR_SQL,
+    "sample_weighted_without_replacement": _WSAMPLE_SQL,
     "text_boilerplate_segments": _BOILER_SQL,
     "quality_source_gini": _SOURCE_GINI_SQL,
     "feature_hashing_vectorize": _FEAT_HASH_SQL,

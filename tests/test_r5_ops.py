@@ -518,3 +518,53 @@ def test_perplexity_buckets_are_balanced_and_ordered(spark, sf_dir):
         assert bks["middle"]["max_score_milli"] <= bks["tail"]["min_score_milli"]
         for b in bks.values():
             assert b["min_score_milli"] <= b["max_score_milli"]
+
+
+def test_weighted_sample_matches_python_topk(spark, sf_smoke):
+    """Recompute every A-ES key in pure python (md5 -> dyadic u ->
+    ln(u)/w) and check the operator returns exactly the python top-K
+    in order."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    from parquet_batch_spark.operators.llm_prep import (
+        WSAMPLE_K,
+        sample_weighted_without_replacement,
+    )
+
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, n_chars FROM read_parquet('{sf_smoke}/documents.parquet') "
+        "WHERE n_chars > 0"
+    ).fetchall()
+    keys = []
+    for did, w in rows:
+        h = int(hashlib.md5(str(did).encode()).hexdigest()[:8], 16)
+        key = 1e9 * math.log((h + 1) / 4294967296.0) / float(w)
+        keys.append((int(Decimal(key).quantize(0, rounding=ROUND_HALF_UP)), did, w))
+    expect = sorted(keys, key=lambda t: (-t[0], t[1]))[:WSAMPLE_K]
+    got = sample_weighted_without_replacement(spark, sf_smoke).collect()
+    assert [(r["key_nano"], r["doc_id"], r["weight"]) for r in got] == expect
+
+
+def test_adamic_adar_bounds_and_edge_containment(spark, sf_smoke):
+    """Every scored pair must be an edge of the segment graph, and the
+    integer score must sit inside [n_shared*term(min_df_cap),
+    n_shared*term(2)] — the per-term quantization bounds."""
+    import math
+
+    from parquet_batch_spark.operators.corpus_ops import AA_SCALE, graph_adamic_adar
+    from parquet_batch_spark.operators.llm_prep import DEGREE_HOT_CAP, segment_edges
+
+    rows = graph_adamic_adar(spark, sf_smoke).collect()
+    assert rows, "expected shared-segment pairs at sf0.001"
+    edges = {(r["a"], r["b"]) for r in segment_edges(spark, sf_smoke).collect()}
+    t_max = round(AA_SCALE / math.log(2))
+    t_min = round(AA_SCALE / math.log(DEGREE_HOT_CAP))
+    for r in rows:
+        assert (r["a"], r["b"]) in edges
+        assert r["a"] < r["b"]
+        assert r["n_shared"] >= 1
+        assert t_min * r["n_shared"] <= r["aa_micro"] <= t_max * r["n_shared"], r
