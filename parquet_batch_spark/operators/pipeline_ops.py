@@ -269,10 +269,15 @@ def decontam_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = [0] * _bloom_word_count()
     for p in positions:
         words[p // BLOOM_WORD_BITS] |= 1 << (p % BLOOM_WORD_BITS)
-    bits = F.array(*[F.lit(w) for w in words])
+    # a TRUE array literal (one Literal node), not CreateArray(1024
+    # literals): higher-order lambdas are interpreted, so a CreateArray
+    # here would be rebuilt for every bit test of every gram
+    bits = F.lit(words)
 
-    def _is_hit(g):
-        h = hash32(g)
+    def _is_hit(h):
+        # h is the gram's 32-bit hash (already computed once) — each
+        # bit test is pure integer arithmetic + element_at on the
+        # literal, so the 3-hash membership costs no further md5
         cond = None
         for a, b in BLOOM_K_PARAMS:
             p = (F.lit(a) * (h % MERSENNE_P) + F.lit(b)) % MERSENNE_P % BLOOM_M
@@ -283,11 +288,18 @@ def decontam_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cond
 
     train = d.filter(F.col("doc_id") % BENCH_MOD != 0)
+    # hash every distinct gram ONCE into a projected column — the
+    # membership filter then references bound int64s (the inline form
+    # re-derived the shingle array and its md5s per use; interpreted
+    # higher-order lambdas do no common-subexpression elimination)
+    hashed = train.select(
+        "doc_id", F.transform(sh, lambda g: hash32(g)).alias("hs")
+    )
     return (
-        train.select(
+        hashed.select(
             "doc_id",
-            F.size(sh).cast("long").alias("n_grams"),
-            F.size(F.filter(sh, _is_hit)).cast("long").alias("n_bloom_hits"),
+            F.size(F.col("hs")).cast("long").alias("n_grams"),
+            F.size(F.filter(F.col("hs"), _is_hit)).cast("long").alias("n_bloom_hits"),
         )
         .withColumn(
             "hit_rate", F.round(F.col("n_bloom_hits") / F.col("n_grams"), 6)
