@@ -158,6 +158,9 @@ _PRIORITY = [
     "quality_perplexity_buckets",
     "sample_weighted_without_replacement",
     "graph_adamic_adar",
+    "rollup_downsample_ltob",
+    "text_kneser_ney_score",
+    "multimodal_webdataset_index",
     # --- never-driver-checked, remaining modules in module order
     #     (llm_prep, relational, scalar_funcs, windows, joins,
     #     sources_ext, dedup, analytics, multimodal, text, warehouse,

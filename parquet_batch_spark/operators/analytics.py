@@ -1248,7 +1248,158 @@ ORDER BY l_returnflag
 """
 
 
+# ------------------------------------------------ LTOB downsampling
+
+LTOB_BUCKET_US = 3_600_000_000  # one representative point per hour (epoch µs)
+
+
+def rollup_downsample_ltob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-One-Bucket time-series downsampling (Steinarsson
+    2013 — the algorithm behind Grafana/Timescale's visualization
+    downsampling): keep, per time bucket, the point forming the
+    largest triangle with its neighbor buckets' anchors, preserving
+    visual extremes that plain averaging erases.
+
+    This is the ONE-bucket variant: anchors are the neighbor buckets'
+    (midpoint, floor-mean) — a pure function of the bucket stats, so
+    every bucket selects INDEPENDENTLY (the classic LTTB chains
+    selections sequentially and cannot parallelize).  All geometry is
+    exact int64: x = epoch MICROseconds (unix_micros / epoch_us — second-granularity casts round vs floor differently across engines), y = centi-units, area = |cross
+    product| of integer differences; floor-mean via integer division.
+    First/last buckets (no neighbor) emit their earliest point.
+
+    Scale: bucket stats are one partial-aggregated groupBy; the
+    lag/lead anchor pass runs over the REDUCED bucket table (bounded
+    by the time domain, whitelisted global window); selection is a
+    per-bucket rank — shuffles touch only bucket-keyed reductions,
+    never the raw stream twice."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    x = F.unix_micros(F.col("ts").cast("timestamp"))
+    y = F.round(F.col("value") * 100).cast("long")
+    pts = ev.select(
+        F.floor(x / LTOB_BUCKET_US).cast("long").alias("b"),
+        x.alias("x"),
+        y.alias("y"),
+        "event_id",
+    )
+    stats = pts.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.min("x").alias("first_x"),
+    )
+    mid = (F.col("b") * LTOB_BUCKET_US + LTOB_BUCKET_US // 2).cast("long")
+    anchors = stats.select(
+        "b",
+        mid.alias("ax"),
+        F.expr("sy div n").alias("ay"),
+        "first_x",
+    )
+    wb = W.orderBy("b")  # reduced table: one row per hour bucket
+    nb = anchors.select(
+        "b",
+        "first_x",
+        F.lag("ax").over(wb).alias("px"),
+        F.lag("ay").over(wb).alias("py"),
+        F.lead("ax").over(wb).alias("nx"),
+        F.lead("ay").over(wb).alias("ny"),
+    )
+    j = pts.join(F.broadcast(nb), "b")
+    area = F.abs(
+        (F.col("px") - F.col("x")) * (F.col("ny") - F.col("y"))
+        - (F.col("nx") - F.col("x")) * (F.col("py") - F.col("y"))
+    )
+    scored = j.select(
+        "b",
+        "x",
+        "y",
+        "event_id",
+        F.when(
+            F.col("px").isNotNull() & F.col("nx").isNotNull(), area
+        ).otherwise(F.lit(None)).alias("area2"),
+        (F.col("x") == F.col("first_x")).alias("is_first"),
+    )
+    wr = W.partitionBy("b").orderBy(
+        F.col("area2").desc_nulls_last(), F.col("x"), F.col("event_id")
+    )
+    picked_mid = scored.filter(F.col("area2").isNotNull())
+    picked_edge = scored.filter(F.col("area2").isNull() & F.col("is_first"))
+    ranked = picked_mid.withColumn("rn", F.row_number().over(wr)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        ranked.select("b", "x", "y", F.col("area2").alias("area2"))
+        .unionByName(
+            picked_edge.select("b", "x", "y", F.lit(None).cast("long").alias("area2"))
+            # an edge bucket can hold several events at the same first_x
+            # timestamp — keep one deterministic representative
+            .withColumn(
+                "rn",
+                F.row_number().over(W.partitionBy("b").orderBy("x", "y")),
+            )
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        .orderBy("b")
+    )
+
+
+_LTOB_SQL = f"""
+WITH pts AS (
+    SELECT CAST(FLOOR(epoch_us(ts) / {LTOB_BUCKET_US}) AS BIGINT) AS b,
+        epoch_us(ts) AS x,
+        CAST(ROUND(value * 100) AS BIGINT) AS y,
+        event_id
+    FROM events
+),
+stats AS (
+    SELECT b, COUNT(*) AS n, SUM(y) AS sy, MIN(x) AS first_x
+    FROM pts GROUP BY b
+),
+anchors AS (
+    SELECT b,
+        CAST(b * {LTOB_BUCKET_US} + {LTOB_BUCKET_US // 2} AS BIGINT) AS ax,
+        CAST(sy // n AS BIGINT) AS ay,
+        first_x
+    FROM stats
+),
+nb AS (
+    SELECT b, first_x,
+        LAG(ax) OVER (ORDER BY b) AS px,
+        LAG(ay) OVER (ORDER BY b) AS py,
+        LEAD(ax) OVER (ORDER BY b) AS nx,
+        LEAD(ay) OVER (ORDER BY b) AS ny
+    FROM anchors
+),
+scored AS (
+    SELECT p.b, p.x, p.y, p.event_id,
+        CASE WHEN nb.px IS NOT NULL AND nb.nx IS NOT NULL THEN
+            ABS((nb.px - p.x) * (nb.ny - p.y) - (nb.nx - p.x) * (nb.py - p.y))
+        END AS area2,
+        p.x = nb.first_x AS is_first
+    FROM pts p JOIN nb ON p.b = nb.b
+),
+mid AS (
+    SELECT b, x, y, area2,
+        ROW_NUMBER() OVER (PARTITION BY b
+                           ORDER BY area2 DESC, x, event_id) AS rn
+    FROM scored WHERE area2 IS NOT NULL
+),
+edge AS (
+    SELECT b, x, y, CAST(NULL AS BIGINT) AS area2,
+        ROW_NUMBER() OVER (PARTITION BY b ORDER BY x, y) AS rn
+    FROM scored WHERE area2 IS NULL AND is_first
+)
+SELECT b, x, y, area2 FROM mid WHERE rn = 1
+UNION ALL
+SELECT b, x, y, area2 FROM edge WHERE rn = 1
+ORDER BY b
+"""
+
+
 QUERIES = {
+    "rollup_downsample_ltob": rollup_downsample_ltob,
     "agg_benford_profile": agg_benford_profile,
     "agg_vwap": agg_vwap,
     "window_winsorize": window_winsorize,
@@ -1272,6 +1423,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rollup_downsample_ltob": _LTOB_SQL,
     "agg_benford_profile": _BENFORD_SQL,
     "agg_vwap": _VWAP_SQL,
     "window_winsorize": _WINSOR_SQL,

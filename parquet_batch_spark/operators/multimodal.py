@@ -775,7 +775,83 @@ ORDER BY b.doc_id
 """
 
 
+# --------------------------------------------- WebDataset tar index
+
+WDS_SHARDS = 8  # tar shards (doc_id mod)
+TAR_BLOCK = 512  # POSIX tar block size
+
+
+def multimodal_webdataset_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style tar shard index — the manifest a multimodal
+    training loader seeks with.  WebDataset stores samples as members
+    of plain tar shards; random access needs each member's byte
+    offset, which is pure arithmetic over the predecessors: a member
+    occupies one {TAR_BLOCK}-byte header plus its payload padded up to
+    a {TAR_BLOCK} multiple.
+
+    Offsets are an exact-integer running sum PARTITIONED BY SHARD
+    (rows-between window) — every shard computes independently, which
+    is the whole point of sharding the dataset: at 100 TB you have
+    ~100k shards and the index job is embarrassingly parallel per
+    shard with one bounded shuffle on the shard key.  ``data_offset``
+    ( = offset + header) is the seek position for the payload itself.
+    Payload size derives from the synthetic payload contract
+    (header {HEADER_LEN} + utf-8 body, multimodal.py:35)."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    nbytes = (F.length("text") + HEADER_LEN).cast("long")
+    padded = (F.ceil(nbytes / TAR_BLOCK) * TAR_BLOCK).cast("long")
+    base = d.select(
+        "doc_id",
+        (F.col("doc_id") % WDS_SHARDS).cast("long").alias("shard"),
+        nbytes.alias("payload_bytes"),
+        (padded + TAR_BLOCK).alias("member_bytes"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("member_bytes").over(w), F.lit(0)).cast("long")
+    return (
+        base.select(
+            "shard",
+            "doc_id",
+            "payload_bytes",
+            "member_bytes",
+            offset.alias("offset"),
+            (offset + TAR_BLOCK).alias("data_offset"),
+        )
+        .orderBy("shard", "doc_id")
+    )
+
+
+_WDS_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+        CAST(doc_id % {WDS_SHARDS} AS BIGINT) AS shard,
+        CAST(strlen(text) + {HEADER_LEN} AS BIGINT) AS payload_bytes,
+        CAST(CEIL((strlen(text) + {HEADER_LEN}) / {TAR_BLOCK}.0) * {TAR_BLOCK}
+             + {TAR_BLOCK} AS BIGINT) AS member_bytes
+    FROM documents
+)
+SELECT shard, doc_id, payload_bytes, member_bytes,
+    CAST(COALESCE(SUM(member_bytes) OVER (
+        PARTITION BY shard ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        AS offset,
+    CAST(COALESCE(SUM(member_bytes) OVER (
+        PARTITION BY shard ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        + {TAR_BLOCK} AS BIGINT) AS data_offset
+FROM base
+ORDER BY shard, doc_id
+"""
+
+
 QUERIES = {
+    "multimodal_webdataset_index": multimodal_webdataset_index,
     "multimodal_audio_energy": multimodal_audio_energy,
     "multimodal_video_frame_diff": multimodal_video_frame_diff,
     "multimodal_content_sniff": multimodal_content_sniff,
@@ -788,6 +864,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_webdataset_index": _WDS_SQL,
     "multimodal_audio_energy": _AUDIO_SQL,
     "multimodal_video_frame_diff": _VFD_SQL,
     "multimodal_content_sniff": _SNIFF_SQL,

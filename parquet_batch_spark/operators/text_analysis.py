@@ -512,6 +512,124 @@ ORDER BY p.doc_id
 """
 
 
+# ------------------------------------------ Kneser-Ney LM scoring
+
+KN_D = 0.75  # absolute discount (exact quarters — no float drift)
+
+
+def text_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scoring — the smoothing the
+    bit-length surprisal ops skip, and the standard n-gram LM behind
+    CCNet/KenLM-style quality filtering:
+
+        P(w2|w1) = (c(w1,w2) − D)/c(w1·)
+                 + (D·N1+(w1·)/c(w1·)) · N1+(·w2)/N1+(··)
+
+    with D = {KN_D}.  The continuation probability N1+(·w2)/N1+(··)
+    is KN's insight: "how many contexts does w2 complete" rather than
+    raw frequency (the 'San Francisco' effect).  Every count (pair,
+    head, forward/backward type counts, total types) is an exact
+    integer from one pair-table reduction; the per-pair log-prob is
+    quantized ONCE to integer micro-units, so per-doc scores are
+    order-free integer sums, bit-identical to the oracle.
+
+    Scale: identical topology to text_bigram_surprisal — one corpus
+    pair explode, vocabulary²-bounded count tables, broadcast join
+    back, per-doc rollup.  All observed pairs have c ≥ 1 > D, so the
+    max(c−D, 0) clamp never binds and the formula stays a single
+    expression."""
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = tokens_col("text")
+    n = F.size(toks)
+    pairs = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array()),
+        ).alias("pr"),
+    ).select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    pairs = pairs.localCheckpoint(eager=False)
+    c2t = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1t = c2t.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("nf")
+    )
+    nbt = c2t.groupBy("w2").agg(F.count(F.lit(1)).alias("nb"))
+    nt = c2t.agg(F.count(F.lit(1)).alias("ntot"))
+    c1d = F.col("c1").cast("double")
+    p_kn = (F.col("c2").cast("double") - KN_D) / c1d + (
+        KN_D * F.col("nf").cast("double") / c1d
+    ) * (F.col("nb").cast("double") / F.col("ntot").cast("double"))
+    scored = (
+        c2t.join(c1t, "w1")
+        .join(nbt, "w2")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "w1",
+            "w2",
+            F.round(F.lit(1000000.0) * F.log(p_kn)).cast("long").alias("term_micro"),
+        )
+    )
+    return (
+        pairs.join(F.broadcast(scored), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("term_micro").cast("long").alias("kn_logprob_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_KN_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, {sql_tokens("text")} AS tk FROM documents
+),
+pairs AS (
+    SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+    FROM toks, UNNEST(
+        CASE WHEN len(tk) >= 2 THEN generate_series(1, len(tk) - 1)
+             ELSE [] END) AS u(i)
+),
+c2t AS (
+    SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY w1, w2
+),
+c1t AS (
+    SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1, COUNT(*) AS nf
+    FROM c2t GROUP BY w1
+),
+nbt AS (
+    SELECT w2, COUNT(*) AS nb FROM c2t GROUP BY w2
+),
+nt AS (SELECT COUNT(*) AS ntot FROM c2t),
+scored AS (
+    SELECT c2t.w1, c2t.w2,
+        CAST(ROUND(1000000.0 * LN(
+            (CAST(c2 AS DOUBLE) - {KN_D}) / CAST(c1 AS DOUBLE)
+            + ({KN_D} * CAST(nf AS DOUBLE) / CAST(c1 AS DOUBLE))
+              * (CAST(nb AS DOUBLE) / CAST(ntot AS DOUBLE))
+        )) AS BIGINT) AS term_micro
+    FROM c2t
+    JOIN c1t ON c2t.w1 = c1t.w1
+    JOIN nbt ON c2t.w2 = nbt.w2
+    CROSS JOIN nt
+)
+SELECT p.doc_id,
+    COUNT(*) AS n_pairs,
+    CAST(SUM(s.term_micro) AS BIGINT) AS kn_logprob_micro
+FROM pairs p JOIN scored s ON p.w1 = s.w1 AND p.w2 = s.w2
+GROUP BY p.doc_id
+ORDER BY p.doc_id
+"""
+
+
 # --------------------------------------- CCNet perplexity tertiles
 
 PPL_NTILES = 3  # CCNet buckets: head / middle / tail
@@ -894,6 +1012,7 @@ QUERIES = {
     "text_vocab_growth": text_vocab_growth,
     "text_watermark_greenlist": text_watermark_greenlist,
     "quality_perplexity_buckets": quality_perplexity_buckets,
+    "text_kneser_ney_score": text_kneser_ney_score,
     "text_overlap_stitch": text_overlap_stitch,
     "quality_langid_confusion": quality_langid_confusion,
     "text_bigram_surprisal": text_bigram_surprisal,
@@ -910,6 +1029,7 @@ ORACLES = {
     "text_vocab_growth": _VOCAB_GROWTH_SQL,
     "text_watermark_greenlist": _WATERMARK_SQL,
     "quality_perplexity_buckets": _PPL_BUCKETS_SQL,
+    "text_kneser_ney_score": _KN_SQL,
     "text_overlap_stitch": _STITCH_SQL,
     "quality_langid_confusion": _LANGID_CONFUSION_SQL,
     "text_bigram_surprisal": _BIGRAM_SURPRISAL_SQL,

@@ -568,3 +568,126 @@ def test_adamic_adar_bounds_and_edge_containment(spark, sf_smoke):
         assert r["a"] < r["b"]
         assert r["n_shared"] >= 1
         assert t_min * r["n_shared"] <= r["aa_micro"] <= t_max * r["n_shared"], r
+
+
+def test_kneser_ney_matches_python_recompute(spark, sf_smoke):
+    """Full pure-python KN recompute at sf0.001: pair/head/type counts,
+    interpolated probability, micro-quantized log terms, per-doc sums
+    must match exactly; probabilities must be proper (sum over
+    observed continuations < 1 leaves mass for unseen)."""
+    import hashlib  # noqa: F401  (parallel structure with sibling tests)
+    import math
+    from collections import Counter, defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    from parquet_batch_spark.operators.text_analysis import (
+        KN_D,
+        text_kneser_ney_score,
+    )
+
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_smoke}/documents.parquet')"
+    ).fetchall()
+    c2, docs = Counter(), {}
+    for did, text in rows:
+        tk = text.strip().split()
+        prs = list(zip(tk, tk[1:]))
+        docs[did] = prs
+        c2.update(prs)
+    c1, nf, nb = Counter(), Counter(), Counter()
+    for (w1, w2), c in c2.items():
+        c1[w1] += c
+        nf[w1] += 1
+        nb[w2] += 1
+    ntot = len(c2)
+    term = {}
+    bysum = defaultdict(float)
+    for (w1, w2), c in c2.items():
+        p = (c - KN_D) / c1[w1] + (KN_D * nf[w1] / c1[w1]) * (nb[w2] / ntot)
+        bysum[w1] += p
+        term[(w1, w2)] = int(
+            Decimal(1000000.0 * math.log(p)).quantize(0, rounding=ROUND_HALF_UP)
+        )
+    assert all(s < 1.0 + 1e-9 for s in bysum.values())
+    got = {r["doc_id"]: r for r in text_kneser_ney_score(spark, sf_smoke).collect()}
+    for did, prs in docs.items():
+        if not prs:
+            continue
+        assert got[did]["n_pairs"] == len(prs)
+        assert got[did]["kn_logprob_micro"] == sum(term[p] for p in prs), did
+
+
+def test_ltob_selects_max_area_point_per_bucket(spark, sf_smoke):
+    """Python recompute of the whole LTOB pass at sf0.001: bucket
+    stats, neighbor anchors, integer cross-product areas — the
+    selected (x, y) per bucket must match exactly."""
+    import duckdb
+
+    from parquet_batch_spark.operators.analytics import (
+        LTOB_BUCKET_US,
+        rollup_downsample_ltob,
+    )
+
+    ev = duckdb.connect().execute(
+        f"SELECT epoch_us(ts), CAST(ROUND(value*100) AS BIGINT), event_id "
+        f"FROM read_parquet('{sf_smoke}/events.parquet')"
+    ).fetchall()
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for x, y, eid in ev:
+        buckets[x // LTOB_BUCKET_US].append((x, y, eid))
+    anchors = {}
+    for b, pts in buckets.items():
+        anchors[b] = (
+            b * LTOB_BUCKET_US + LTOB_BUCKET_US // 2,
+            sum(p[1] for p in pts) // len(pts),
+        )
+    order = sorted(buckets)
+    prev_b = {b: order[i - 1] if i > 0 else None for i, b in enumerate(order)}
+    next_b = {
+        b: order[i + 1] if i < len(order) - 1 else None for i, b in enumerate(order)
+    }
+    expect = {}
+    for b, pts in sorted(buckets.items()):
+        # neighbors are the adjacent PRESENT buckets (lag/lead over the
+        # bucket row sequence) — sparse hours don't break the chain
+        if prev_b[b] is not None and next_b[b] is not None:
+            (px, py), (nx, ny) = anchors[prev_b[b]], anchors[next_b[b]]
+            best = max(
+                pts,
+                key=lambda p: (abs((px - p[0]) * (ny - p[1]) - (nx - p[0]) * (py - p[1])), -p[0], -p[2]),
+            )
+            expect[b] = (best[0], best[1])
+        else:
+            first_x = min(p[0] for p in pts)
+            cands = [p for p in pts if p[0] == first_x]
+            expect[b] = min((p[0], p[1]) for p in cands)
+    got = {r["b"]: (r["x"], r["y"]) for r in rollup_downsample_ltob(spark, sf_smoke).collect()}
+    assert got == expect
+
+
+def test_webdataset_offsets_chain_exactly(spark, sf_dir):
+    """Per shard: offsets start at 0, every member is 512-aligned, and
+    each offset equals the previous offset + previous member size."""
+    from collections import defaultdict
+
+    from parquet_batch_spark.operators.multimodal import (
+        TAR_BLOCK,
+        multimodal_webdataset_index,
+    )
+
+    by_shard = defaultdict(list)
+    for r in multimodal_webdataset_index(spark, sf_dir).collect():
+        by_shard[r["shard"]].append(r)
+    assert len(by_shard) > 1
+    for shard, rows in by_shard.items():
+        assert rows[0]["offset"] == 0
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur["offset"] == prev["offset"] + prev["member_bytes"]
+        for r in rows:
+            assert r["member_bytes"] % TAR_BLOCK == 0
+            assert r["data_offset"] == r["offset"] + TAR_BLOCK
+            assert r["member_bytes"] >= TAR_BLOCK + r["payload_bytes"]
