@@ -139,6 +139,10 @@ HEADLINE = [
     "ann_pq_adc",
     "text_watermark_greenlist",
     "ann_ivfpq_topk",
+    # r5 third-session additions
+    "graph_kcore",
+    "privacy_l_diversity",
+    "text_tokenizer_fertility",
 ]
 
 

@@ -161,6 +161,9 @@ _PRIORITY = [
     "rollup_downsample_ltob",
     "text_kneser_ney_score",
     "multimodal_webdataset_index",
+    "graph_kcore",
+    "privacy_l_diversity",
+    "text_tokenizer_fertility",
     # --- never-driver-checked, remaining modules in module order
     #     (llm_prep, relational, scalar_funcs, windows, joins,
     #     sources_ext, dedup, analytics, multimodal, text, warehouse,

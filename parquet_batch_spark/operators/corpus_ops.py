@@ -700,7 +700,105 @@ FROM pairs GROUP BY a, b ORDER BY a, b
 """
 
 
+# ---------------------------------------------------------------------------
+# graph_kcore — bounded-round k-core peeling of the segment-sharing graph
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3  # core order: keep nodes with ≥ K surviving neighbors
+KCORE_ROUNDS = 8  # fixed peeling budget (keeps the oracle unrollable)
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core extraction ({KCORE_K}-core) of the segment-sharing doc
+    graph by synchronous peeling: each round drops every vertex whose
+    degree *within the surviving subgraph* is < {KCORE_K}.  The k-core
+    is the standard "dense nucleus" screen on a dedup-cluster graph —
+    boilerplate/template families survive peeling while chains of
+    incidental overlaps do not (contrast: ``dedup_clusters`` keeps any
+    reachable blob, ``graph_community_labels`` needs density only
+    locally).
+
+    Fixed {KCORE_ROUNDS}-round budget: both engines run the identical
+    synchronous schedule, so results are bit-equal whether or not the
+    peel has reached its fixpoint (a fixed budget yields a superset of
+    the true core; at the tested SFs it converges).  At 100 TB you run
+    the same plan to fixpoint with a driver-side stability probe, as
+    ``dedup_clusters`` does.
+
+    Scale: each round is two hash equi-joins of the edge list against
+    the shrinking vertex set (both sides partitioned by id — no
+    broadcast needed, no all-pairs anywhere; edges come from the
+    df-capped inverted segment index) plus one partial-aggregated
+    degree count.  ``localCheckpoint`` flattens the 8-round lineage.
+    Output: surviving vertices with their in-core degree."""
+    e = _segment_edges(spark, sf_dir).localCheckpoint(eager=False)
+    adj = e.select(F.col("a").alias("v"), F.col("b").alias("u")).unionAll(
+        e.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    )
+    nodes = adj.select("v").distinct()
+    for _ in range(KCORE_ROUNDS):
+        surv = adj.join(nodes, "v").join(
+            nodes.select(F.col("v").alias("u")), "u"
+        )
+        nodes = (
+            surv.groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select("v")
+            .localCheckpoint(eager=False)
+        )
+    final = (
+        adj.join(nodes, "v")
+        .join(nodes.select(F.col("v").alias("u")), "u")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return final.select(
+        F.col("v").alias("doc_id"),
+        F.col("deg").cast("long").alias("kcore_degree"),
+    ).orderBy("doc_id")
+
+
+def _kcore_sql() -> str:
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at
+    # every reference, and each round references the previous node set
+    # twice — un-materialized, the segment pipeline would re-expand
+    # ~2^ROUNDS times and the query never finishes.
+    parts = [
+        f"""{SEGMENT_EDGES_CTE},
+adj AS MATERIALIZED (
+    SELECT a AS v, b AS u FROM edges UNION ALL SELECT b AS v, a AS u FROM edges
+),
+n0 AS MATERIALIZED (
+    SELECT DISTINCT v FROM adj
+)"""
+    ]
+    for k in range(1, KCORE_ROUNDS + 1):
+        parts.append(f"""
+n{k} AS MATERIALIZED (
+    SELECT v FROM (
+        SELECT adj.v, COUNT(*) AS deg
+        FROM adj
+        JOIN n{k - 1} x ON adj.v = x.v
+        JOIN n{k - 1} y ON adj.u = y.v
+        GROUP BY adj.v
+    ) WHERE deg >= {KCORE_K}
+)""")
+    r = KCORE_ROUNDS
+    return (
+        "WITH " + ",".join(parts) + f"""
+SELECT adj.v AS doc_id, CAST(COUNT(*) AS BIGINT) AS kcore_degree
+FROM adj
+JOIN n{r} x ON adj.v = x.v
+JOIN n{r} y ON adj.u = y.v
+GROUP BY adj.v
+ORDER BY doc_id
+"""
+    )
+
+
 QUERIES = {
+    "graph_kcore": graph_kcore,
     "dedup_cross_source_matrix": dedup_cross_source_matrix,
     "graph_adamic_adar": graph_adamic_adar,
     "quality_gopher_rules": quality_gopher_rules,
@@ -711,6 +809,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_kcore": _kcore_sql(),
     "dedup_cross_source_matrix": _CROSS_SOURCE_SQL,
     "graph_adamic_adar": _AA_SQL,
     "graph_community_labels": _lpa_sql(),

@@ -646,8 +646,114 @@ ORDER BY lang, source
 """
 
 
+# ------------------------------------------------------- l-diversity
+
+LDIV_L = 2  # require at least 2 distinct sensitive values per class
+LDIV_C = 2  # recursive (c,l)-diversity multiplier
+
+
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive (c,l)-diversity audit — the attribute-disclosure check
+    that k-anonymity misses: an equivalence class can be large (k-safe)
+    yet still leak its sensitive attribute if almost every member
+    shares one value.  Quasi-identifiers are (source, coarse length
+    bucket) — ``privacy_k_anonymity``'s QI tuple minus the sensitive
+    column — and the sensitive attribute is ``lang``.
+
+    Per QI class this reports k, l (distinct sensitive values), the
+    modal value's frequency r1 and the tail mass Σr2..rm, and flags
+    classes failing l ≥ {LDIV_L} or the recursive test
+    r1 < {LDIV_C}·(r2+…+rm).  All tests are exact integer compares —
+    no float anywhere — so the DuckDB oracle is bit-identical.
+
+    Scale: one partial-aggregated groupBy to the (QI, lang) frequency
+    table (bounded by the QI×lang domain, not the corpus), then a
+    window over QI classes — partitioned by QI, and the window input
+    is the already-reduced frequency table, so no global shuffle of
+    fact rows ever happens."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    freq = (
+        d.groupBy(
+            "source",
+            F.floor(F.col("n_chars") / KANON_LEN_BUCKET)
+            .cast("long")
+            .alias("len_bucket"),
+            "lang",
+        )
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    w = W.partitionBy("source", "len_bucket")
+    rn = F.row_number().over(w.orderBy(F.desc("r"), F.asc("lang")))
+    per_class = (
+        freq.withColumn("rn", rn)
+        .groupBy("source", "len_bucket")
+        .agg(
+            F.sum("r").alias("k"),
+            F.count(F.lit(1)).alias("l_distinct"),
+            F.max(F.when(F.col("rn") == 1, F.col("lang"))).alias("top_lang"),
+            F.sum(F.when(F.col("rn") == 1, F.col("r")).otherwise(0)).alias(
+                "top_freq"
+            ),
+            F.sum(F.when(F.col("rn") > 1, F.col("r")).otherwise(0)).alias(
+                "tail_mass"
+            ),
+        )
+    )
+    return per_class.select(
+        "source",
+        "len_bucket",
+        "k",
+        "l_distinct",
+        "top_lang",
+        "top_freq",
+        "tail_mass",
+        (F.col("l_distinct") >= LDIV_L).alias("ok_l"),
+        (F.col("top_freq") < LDIV_C * F.col("tail_mass")).alias("ok_recursive"),
+        (
+            (F.col("l_distinct") >= LDIV_L)
+            & (F.col("top_freq") < LDIV_C * F.col("tail_mass"))
+        ).alias("diverse"),
+    ).orderBy("source", "len_bucket")
+
+
+_LDIV_SQL = f"""
+WITH freq AS (
+    SELECT source,
+        CAST(FLOOR(CAST(n_chars AS DOUBLE) / {KANON_LEN_BUCKET}) AS BIGINT)
+            AS len_bucket,
+        lang, COUNT(*) AS r
+    FROM documents
+    GROUP BY 1, 2, 3
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source, len_bucket ORDER BY r DESC, lang ASC) AS rn
+    FROM freq
+),
+per_class AS (
+    SELECT source, len_bucket,
+        CAST(SUM(r) AS BIGINT) AS k,
+        COUNT(*) AS l_distinct,
+        MAX(CASE WHEN rn = 1 THEN lang END) AS top_lang,
+        CAST(SUM(CASE WHEN rn = 1 THEN r ELSE 0 END) AS BIGINT) AS top_freq,
+        CAST(SUM(CASE WHEN rn > 1 THEN r ELSE 0 END) AS BIGINT) AS tail_mass
+    FROM ranked
+    GROUP BY source, len_bucket
+)
+SELECT source, len_bucket, k, l_distinct, top_lang, top_freq, tail_mass,
+    l_distinct >= {LDIV_L} AS ok_l,
+    top_freq < {LDIV_C} * tail_mass AS ok_recursive,
+    (l_distinct >= {LDIV_L} AND top_freq < {LDIV_C} * tail_mass) AS diverse
+FROM per_class
+ORDER BY source, len_bucket
+"""
+
+
 QUERIES = {
     "quality_model_score": quality_model_score,
+    "privacy_l_diversity": privacy_l_diversity,
     "pii_detect": pii_detect,
     "decontam_ngram_overlap": decontam_ngram_overlap,
     "decontam_bloom_filter": decontam_bloom_filter,
@@ -665,6 +771,7 @@ ORACLES = {
     "decontam_ngram_overlap": _DECONTAM_SQL,
     "decontam_bloom_filter": _BLOOM_SQL,
     "privacy_k_anonymity": _KANON_SQL,
+    "privacy_l_diversity": _LDIV_SQL,
     "sample_stratified": _SAMPLE_SQL,
     "sample_reservoir_per_group": _RESERVOIR_SQL,
     "quality_repetition": _QUALITY_SQL,

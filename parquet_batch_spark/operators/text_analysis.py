@@ -1008,7 +1008,88 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------- tokenizer fertility
+
+
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility profile per (lang, source) cohort — the
+    budgeting table every pre-training run starts from: how many
+    (BPE-ish) tokens a cohort's text costs per whitespace word and per
+    UTF-8 byte.  Fertility (subword tokens / word) is THE comparative
+    metric for tokenizer quality across languages; bytes-per-token is
+    what converts a raw-corpus size estimate into a token budget.
+    (Reference scope: the reference is a scan-only Arrow wrapper —
+    reference: src/parquetreader/reader.py:128-129 — so this, like the
+    rest of the text family, is north-star pipeline surface.)
+
+    Ratios are exact integer micro-units via BIGINT integer division
+    (``(1e6·a) div b``) — no float division anywhere, so the DuckDB
+    oracle is bit-identical and AQE/partial-agg reordering can't move
+    a result.  Scale: one corpus pass of pure-JVM regexp counting
+    (whole-stage codegen), then a cohort-grain partial-aggregated
+    groupBy; shuffle carries only the tiny cohort table."""
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    toks = tokens_col("text")
+    words = F.size(toks).cast("bigint")
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPEISH), 0)).cast("bigint")
+    nbytes = F.octet_length("text").cast("bigint")
+    per_doc = d.select(
+        "lang",
+        "source",
+        words.alias("w"),
+        bpe.alias("t"),
+        nbytes.alias("b"),
+    )
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w").alias("n_words"),
+            F.sum("t").alias("n_tokens"),
+            F.sum("b").alias("n_bytes"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            "n_bytes",
+            F.expr("(1000000 * n_tokens) div n_words").alias("fertility_micro"),
+            F.expr("(1000000 * n_bytes) div n_tokens").alias(
+                "bytes_per_token_micro"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_FERTILITY_SQL = f"""
+WITH per_doc AS (
+    SELECT lang, source,
+        CAST(len({sql_tokens("text")}) AS BIGINT) AS w,
+        CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+'))
+             AS BIGINT) AS t,
+        CAST(octet_length(encode(text)) AS BIGINT) AS b
+    FROM documents
+),
+cohort AS (
+    SELECT lang, source, COUNT(*) AS n_docs,
+        CAST(SUM(w) AS BIGINT) AS n_words,
+        CAST(SUM(t) AS BIGINT) AS n_tokens,
+        CAST(SUM(b) AS BIGINT) AS n_bytes
+    FROM per_doc GROUP BY lang, source
+)
+SELECT lang, source, n_docs, n_words, n_tokens, n_bytes,
+    (1000000 * n_tokens) // n_words AS fertility_micro,
+    (1000000 * n_bytes) // n_tokens AS bytes_per_token_micro
+FROM cohort
+ORDER BY lang, source
+"""
+
+
 QUERIES = {
+    "text_tokenizer_fertility": text_tokenizer_fertility,
     "text_vocab_growth": text_vocab_growth,
     "text_watermark_greenlist": text_watermark_greenlist,
     "quality_perplexity_buckets": quality_perplexity_buckets,
@@ -1026,6 +1107,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_tokenizer_fertility": _FERTILITY_SQL,
     "text_vocab_growth": _VOCAB_GROWTH_SQL,
     "text_watermark_greenlist": _WATERMARK_SQL,
     "quality_perplexity_buckets": _PPL_BUCKETS_SQL,

@@ -1,0 +1,86 @@
+"""Invariant tests for the r5 third-session ops: k-core peeling,
+l-diversity audit, tokenizer fertility.  The oracle-parity suite
+covers hash equality; these pin the semantics independently."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquet_batch_spark.operators.corpus_ops import (
+    KCORE_K,
+    KCORE_ROUNDS,
+    graph_kcore,
+)
+from parquet_batch_spark.operators.llm_prep import segment_edges
+from parquet_batch_spark.operators.pipeline_ops import (
+    LDIV_C,
+    LDIV_L,
+    privacy_l_diversity,
+)
+from parquet_batch_spark.operators.text_analysis import text_tokenizer_fertility
+
+
+def _python_kcore(edges: list[tuple[int, int]], k: int, rounds: int) -> dict[int, int]:
+    """Reference synchronous peel in pure Python: after `rounds` rounds
+    of dropping deg<k vertices, return {vertex: in-core degree}."""
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    for _ in range(rounds):
+        alive = {
+            v for v in alive if sum(1 for u in adj[v] if u in alive) >= k
+        }
+    return {
+        v: sum(1 for u in adj[v] if u in alive)
+        for v in alive
+        if any(u in alive for u in adj[v])
+    }
+
+
+def test_kcore_matches_python_reference(spark, sf_dir):
+    edges = [
+        (r["a"], r["b"]) for r in segment_edges(spark, sf_dir).collect()
+    ]
+    expected = _python_kcore(edges, KCORE_K, KCORE_ROUNDS)
+    got = {
+        r["doc_id"]: r["kcore_degree"]
+        for r in graph_kcore(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # at this SF the peel has converged: every survivor meets the bar
+    assert all(d >= KCORE_K for d in got.values())
+
+
+def test_l_diversity_class_accounting(spark, sf_dir):
+    rows = privacy_l_diversity(spark, sf_dir).collect()
+    assert rows, "no equivalence classes"
+    assert sum(r["k"] for r in rows) == 500  # every document in one class
+    for r in rows:
+        assert r["top_freq"] + r["tail_mass"] == r["k"]
+        assert 1 <= r["l_distinct"] <= r["k"]
+        assert r["ok_l"] == (r["l_distinct"] >= LDIV_L)
+        assert r["ok_recursive"] == (r["top_freq"] < LDIV_C * r["tail_mass"])
+        assert r["diverse"] == (r["ok_l"] and r["ok_recursive"])
+        # modal frequency is at least the class mean frequency
+        assert r["top_freq"] * r["l_distinct"] >= r["k"]
+
+
+def test_fertility_ratio_bounds(spark, sf_dir):
+    rows = text_tokenizer_fertility(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # the BPE-ish pretokenizer never merges across whitespace, so
+        # every whitespace word contributes >= 1 token
+        assert r["n_tokens"] >= r["n_words"]
+        assert r["fertility_micro"] >= 1_000_000
+        # a token costs at least one byte
+        assert r["n_bytes"] >= r["n_tokens"]
+        assert r["bytes_per_token_micro"] >= 1_000_000
+        # exact integer division cross-check
+        assert r["fertility_micro"] == (1_000_000 * r["n_tokens"]) // r["n_words"]
+        assert (
+            r["bytes_per_token_micro"]
+            == (1_000_000 * r["n_bytes"]) // r["n_tokens"]
+        )
