@@ -143,6 +143,9 @@ HEADLINE = [
     "graph_kcore",
     "privacy_l_diversity",
     "text_tokenizer_fertility",
+    "multimodal_aspect_bucket",
+    "text_lexical_diversity",
+    "etl_time_travel",
 ]
 
 

@@ -164,6 +164,9 @@ _PRIORITY = [
     "graph_kcore",
     "privacy_l_diversity",
     "text_tokenizer_fertility",
+    "multimodal_aspect_bucket",
+    "text_lexical_diversity",
+    "etl_time_travel",
     # --- never-driver-checked, remaining modules in module order
     #     (llm_prep, relational, scalar_funcs, windows, joins,
     #     sources_ext, dedup, analytics, multimodal, text, warehouse,

@@ -850,7 +850,119 @@ ORDER BY shard, doc_id
 """
 
 
+# ------------------------------------------------- aspect-ratio bucketing
+
+# SDXL-style training bucket ladder (width, height); ~1 Mpx each so a
+# batch is memory-uniform regardless of shape.
+ASPECT_BUCKETS = [
+    (512, 2048), (576, 1728), (640, 1536), (704, 1408), (768, 1280),
+    (832, 1216), (896, 1152), (960, 1088), (1024, 1024), (1088, 960),
+    (1152, 896), (1216, 832), (1280, 768), (1408, 704), (1536, 640),
+    (1728, 576), (2048, 512),
+]
+# synthetic-but-deterministic source dims (container has no codecs; a
+# real run reads these from multimodal_metadata's decoded header)
+_DIM_W = "256 + (doc_id * 37) % 768"
+_DIM_H = "256 + (doc_id * 53) % 768"
+
+
+def multimodal_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing for image training (the NovelAI/SDXL
+    batching scheme): each image is assigned to the ladder bucket with
+    the nearest aspect ratio, so a batch contains same-shaped tensors
+    and center-crop waste is minimized — the step between "decoded
+    metadata" and "training shards" for any vision corpus.
+
+    Dims are the deterministic synthetic ones (no codecs in this
+    container — real runs substitute decoder output; the plumbing is
+    identical).  Aspect ratios are exact integer micro-units
+    ((1e6·w) div h) and the per-image argmin over the {len(ASPECT_BUCKETS)}
+    -bucket ladder is a lexicographic struct array_min over a plan
+    literal — MAP-ONLY, no explode, no join, no shuffle before the
+    final per-bucket aggregate.  Crop waste is the integer
+    cross-multiplied deviation |w·bh − h·bw| (the numerator of the
+    relative crop fraction).  Output: per bucket — image count, total
+    crop-waste numerator, and the member aspect range."""
+    d = load(spark, sf_dir, "documents")
+    dims = d.select(
+        "doc_id",
+        F.expr(_DIM_W).cast("long").alias("w"),
+        F.expr(_DIM_H).cast("long").alias("h"),
+    ).withColumn("ar_micro", F.expr("(1000000 * w) div h"))
+    cands = F.array(
+        *[
+            F.struct(
+                F.abs(
+                    F.col("ar_micro") - F.lit((1_000_000 * bw) // bh)
+                ).alias("dev"),
+                F.lit(i).alias("idx"),
+                F.lit(bw).alias("bw"),
+                F.lit(bh).alias("bh"),
+            )
+            for i, (bw, bh) in enumerate(ASPECT_BUCKETS)
+        ]
+    )
+    best = dims.withColumn("best", F.array_min(cands)).select(
+        "doc_id",
+        "ar_micro",
+        F.col("best.idx").alias("bucket_idx"),
+        F.col("best.bw").alias("bucket_w"),
+        F.col("best.bh").alias("bucket_h"),
+        F.abs(
+            F.col("w") * F.col("best.bh") - F.col("h") * F.col("best.bw")
+        ).alias("crop_waste"),
+    )
+    return (
+        best.groupBy("bucket_idx", "bucket_w", "bucket_h")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("crop_waste").alias("sum_crop_waste"),
+            F.min("ar_micro").alias("ar_min_micro"),
+            F.max("ar_micro").alias("ar_max_micro"),
+        )
+        .orderBy("bucket_idx")
+    )
+
+
+def _aspect_sql() -> str:
+    vals = ", ".join(
+        f"({i}, {bw}, {bh}, {(1_000_000 * bw) // bh})"
+        for i, (bw, bh) in enumerate(ASPECT_BUCKETS)
+    )
+    return f"""
+WITH buckets(idx, bw, bh, bar_micro) AS (VALUES {vals}),
+dims AS (
+    SELECT doc_id,
+        CAST({_DIM_W} AS BIGINT) AS w,
+        CAST({_DIM_H} AS BIGINT) AS h,
+        (1000000 * CAST({_DIM_W} AS BIGINT)) // CAST({_DIM_H} AS BIGINT)
+            AS ar_micro
+    FROM documents
+),
+ranked AS (
+    SELECT d.doc_id, d.ar_micro, b.idx, b.bw, b.bh,
+        ABS(d.w * b.bh - d.h * b.bw) AS crop_waste,
+        ROW_NUMBER() OVER (
+            PARTITION BY d.doc_id
+            ORDER BY ABS(d.ar_micro - b.bar_micro) ASC, b.idx ASC
+        ) AS rn
+    FROM dims d CROSS JOIN buckets b
+)
+SELECT idx AS bucket_idx,
+    CAST(bw AS INTEGER) AS bucket_w,
+    CAST(bh AS INTEGER) AS bucket_h,
+    COUNT(*) AS n_images,
+    CAST(SUM(crop_waste) AS BIGINT) AS sum_crop_waste,
+    CAST(MIN(ar_micro) AS BIGINT) AS ar_min_micro,
+    CAST(MAX(ar_micro) AS BIGINT) AS ar_max_micro
+FROM ranked WHERE rn = 1
+GROUP BY idx, bw, bh
+ORDER BY bucket_idx
+"""
+
+
 QUERIES = {
+    "multimodal_aspect_bucket": multimodal_aspect_bucket,
     "multimodal_webdataset_index": multimodal_webdataset_index,
     "multimodal_audio_energy": multimodal_audio_energy,
     "multimodal_video_frame_diff": multimodal_video_frame_diff,
@@ -864,6 +976,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_aspect_bucket": _aspect_sql(),
     "multimodal_webdataset_index": _WDS_SQL,
     "multimodal_audio_energy": _AUDIO_SQL,
     "multimodal_video_frame_diff": _VFD_SQL,

@@ -1008,6 +1008,97 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------- lexical diversity
+
+MSTTR_W = 25  # tokens per MSTTR segment (complete segments only)
+
+
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity profile per document: raw type-token ratio
+    (TTR) plus MSTTR — mean segmental TTR over consecutive complete
+    {MSTTR_W}-token segments, the standard length-independent
+    diversity measure (raw TTR falls with length, so it can't compare
+    docs of different sizes; MSTTR fixes the window).  Low diversity
+    flags templated/boilerplate text that repetition counters miss
+    when the repeats are spread out.
+
+    Exact integer micro-units via BIGINT integer division; the MSTTR
+    numerator is a per-row fold over the segment array — MAP-ONLY
+    (no explode, no shuffle, no window), with the token array
+    projected once so the higher-order lambdas never re-derive it.
+    Docs shorter than one segment report NULL MSTTR (DuckDB mirrors
+    via CASE — integer division by zero would error there)."""
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    t = d.select("doc_id", tokens_col("text").alias("tk"))
+    n = F.size("tk").cast("bigint")
+    n_segs = F.floor(n / MSTTR_W).cast("bigint")
+    seg_types = F.when(
+        F.col("n_segs") >= 1,
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_segs").cast("int")),
+                lambda i: F.size(
+                    F.array_distinct(
+                        F.slice("tk", (i - 1) * MSTTR_W + 1, MSTTR_W)
+                    )
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    staged = t.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        n_segs.alias("n_segs"),
+        F.size(F.array_distinct("tk")).cast("bigint").alias("n_types"),
+        F.col("tk"),
+    ).withColumn("sum_seg_types", seg_types)
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        "n_segs",
+        F.expr("(1000000 * n_types) div n_tokens").alias("ttr_micro"),
+        F.expr(
+            f"(1000000 * sum_seg_types) div (n_segs * {MSTTR_W})"
+        ).alias("msttr_micro"),
+    ).orderBy("doc_id")
+
+
+_MSTTR_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, {sql_tokens("text")} AS tk FROM documents
+),
+per AS (
+    SELECT doc_id,
+        CAST(len(tk) AS BIGINT) AS n_tokens,
+        CAST(len(tk) // {MSTTR_W} AS BIGINT) AS n_segs,
+        CAST(len(list_distinct(tk)) AS BIGINT) AS n_types
+    FROM toks
+),
+seg AS (
+    SELECT doc_id,
+        UNNEST(list_transform(
+            generate_series(1, CAST(len(tk) // {MSTTR_W} AS INTEGER)),
+            i -> len(list_distinct(
+                tk[(i-1)*{MSTTR_W}+1 : (i-1)*{MSTTR_W}+{MSTTR_W}]))
+        )) AS st
+    FROM toks
+),
+segagg AS (
+    SELECT doc_id, CAST(SUM(st) AS BIGINT) AS sum_seg_types
+    FROM seg GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_tokens, p.n_segs,
+    (1000000 * p.n_types) // p.n_tokens AS ttr_micro,
+    CASE WHEN p.n_segs >= 1
+         THEN (1000000 * a.sum_seg_types) // (p.n_segs * {MSTTR_W})
+    END AS msttr_micro
+FROM per p LEFT JOIN segagg a ON p.doc_id = a.doc_id
+ORDER BY p.doc_id
+"""
+
+
 # ------------------------------------------------- tokenizer fertility
 
 
@@ -1089,6 +1180,7 @@ ORDER BY lang, source
 
 
 QUERIES = {
+    "text_lexical_diversity": text_lexical_diversity,
     "text_tokenizer_fertility": text_tokenizer_fertility,
     "text_vocab_growth": text_vocab_growth,
     "text_watermark_greenlist": text_watermark_greenlist,
@@ -1107,6 +1199,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_lexical_diversity": _MSTTR_SQL,
     "text_tokenizer_fertility": _FERTILITY_SQL,
     "text_vocab_growth": _VOCAB_GROWTH_SQL,
     "text_watermark_greenlist": _WATERMARK_SQL,

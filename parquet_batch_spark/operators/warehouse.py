@@ -37,7 +37,13 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from parquet_batch_spark.catalog import load
-from parquet_batch_spark.functions.numeric import dsum, sql_dsum
+from parquet_batch_spark.functions.numeric import (
+    dec,
+    dsum,
+    dsum_expr,
+    sql_dsum,
+    sql_dsum_expr,
+)
 from parquet_batch_spark.operators.sources_ext import _io_dir
 
 # ---------------------------------------------------------------------------
@@ -978,7 +984,99 @@ ORDER BY 1
 """
 
 
+# ------------------------------------------------------- time travel
+
+TT_AS_OF = (2, 4, 8)  # snapshot versions queried (the "AS OF" ladder)
+TT_DELETE_MOD = 17  # orders whose key ≡ 0 (mod this) become deletes
+
+
+def etl_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-based time travel (Delta/Iceberg ``VERSION AS OF``
+    semantics) over a change log, three snapshots in one query.  The
+    log is derived from orders: per customer, successive orders are
+    successive VERSIONS of that customer's row (upserts), and every
+    {TT_DELETE_MOD}th order key is a DELETE marker.  For each version
+    v in {TT_AS_OF}, the snapshot is "latest change with ver ≤ v per
+    key, minus keys whose latest change is a delete" — exactly the
+    compaction a versioned table format resolves at read time.
+
+    Scale shape: the AS-OF ladder is a 3-row broadcast dim non-equi
+    joined (ver ≤ as_of) onto the log — a bounded ≤|ladder|× fan-out,
+    NOT a shuffle of history per snapshot; compaction is max_by per
+    (as_of, key) (partial-aggregating, no window straggler — same
+    shape as ``etl_cdc_apply``); per-snapshot rollup sums are exact
+    decimal.  At 100 TB the version column is the partition/manifest
+    key, so each snapshot read prunes files by ver ≤ v before any of
+    this runs.  Output: per AS-OF version — live keys, deleted keys,
+    exact total of live values (monotone history growth ⇒ row counts
+    rise with v)."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    log = o.select(
+        F.col("o_custkey").alias("key"),
+        F.row_number().over(w).alias("ver"),
+        F.col("o_totalprice").alias("val"),
+        (F.col("o_orderkey") % TT_DELETE_MOD == 0).alias("is_delete"),
+    )
+    ladder = spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in TT_AS_OF])).alias("as_of")
+    )
+    hist = log.join(F.broadcast(ladder), F.col("ver") <= F.col("as_of"))
+    latest = hist.groupBy("as_of", "key").agg(
+        F.max_by(
+            F.struct(F.col("is_delete"), F.col("val")), F.col("ver")
+        ).alias("last")
+    )
+    return (
+        latest.groupBy("as_of")
+        .agg(
+            F.sum(F.when(~F.col("last.is_delete"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_live"),
+            F.sum(F.when(F.col("last.is_delete"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_deleted"),
+            dsum_expr(
+                F.when(
+                    ~F.col("last.is_delete"),
+                    dec(F.col("last.val")),
+                ).otherwise(F.lit(0).cast("decimal(18,4)"))
+            ).alias("live_total"),
+        )
+        .orderBy("as_of")
+    )
+
+
+_TT_SQL = f"""
+WITH log AS (
+    SELECT o_custkey AS key,
+        ROW_NUMBER() OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS ver,
+        o_totalprice AS val,
+        o_orderkey % {TT_DELETE_MOD} = 0 AS is_delete
+    FROM orders
+),
+ladder(as_of) AS (VALUES {", ".join(f"({v})" for v in TT_AS_OF)}),
+latest AS (
+    SELECT l.as_of, g.key,
+        MAX_BY(g.is_delete, g.ver) AS is_delete,
+        MAX_BY(g.val, g.ver) AS val
+    FROM log g JOIN ladder l ON g.ver <= l.as_of
+    GROUP BY l.as_of, g.key
+)
+SELECT CAST(as_of AS INTEGER) AS as_of,
+    CAST(SUM(CASE WHEN NOT is_delete THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+    CAST(SUM(CASE WHEN is_delete THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+    {sql_dsum_expr("CASE WHEN NOT is_delete THEN CAST(val AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END")}
+        AS live_total
+FROM latest
+GROUP BY as_of
+ORDER BY as_of
+"""
+
+
 QUERIES = {
+    "etl_time_travel": etl_time_travel,
     "quality_merkle_checksums": quality_merkle_checksums,
     "etl_golden_record": etl_golden_record,
     "window_funnel_latency": window_funnel_latency,
@@ -1002,6 +1100,7 @@ ORACLES = {
     "quality_expectations": _EXPECT_SQL,
     "etl_scd2": _SCD2_SQL,
     "etl_cdc_apply": _CDC_SQL,
+    "etl_time_travel": _TT_SQL,
     "sink_zorder_cluster": _zorder_sql(),
     "table_stats_profile": _STATS_SQL,
 }

@@ -67,6 +67,58 @@ def test_l_diversity_class_accounting(spark, sf_dir):
         assert r["top_freq"] * r["l_distinct"] >= r["k"]
 
 
+def test_aspect_bucket_matches_python_argmin(spark, sf_dir):
+    from parquet_batch_spark.operators.multimodal import (
+        ASPECT_BUCKETS,
+        multimodal_aspect_bucket,
+    )
+
+    n_docs = 500
+    counts: dict[int, int] = {}
+    waste: dict[int, int] = {}
+    bars = [(1_000_000 * bw) // bh for bw, bh in ASPECT_BUCKETS]
+    for doc_id in range(n_docs):
+        w = 256 + (doc_id * 37) % 768
+        h = 256 + (doc_id * 53) % 768
+        ar = (1_000_000 * w) // h
+        best = min(range(len(ASPECT_BUCKETS)), key=lambda i: (abs(ar - bars[i]), i))
+        counts[best] = counts.get(best, 0) + 1
+        bw, bh = ASPECT_BUCKETS[best]
+        waste[best] = waste.get(best, 0) + abs(w * bh - h * bw)
+    rows = multimodal_aspect_bucket(spark, sf_dir).collect()
+    assert sum(r["n_images"] for r in rows) == n_docs
+    got = {r["bucket_idx"]: (r["n_images"], r["sum_crop_waste"]) for r in rows}
+    assert got == {i: (counts[i], waste[i]) for i in counts}
+
+
+def test_lexical_diversity_bounds(spark, sf_dir):
+    from parquet_batch_spark.operators.text_analysis import (
+        MSTTR_W,
+        text_lexical_diversity,
+    )
+
+    rows = text_lexical_diversity(spark, sf_dir).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert 0 < r["ttr_micro"] <= 1_000_000
+        assert (r["msttr_micro"] is None) == (r["n_segs"] == 0)
+        if r["msttr_micro"] is not None:
+            # a complete segment has between 1 and W types
+            assert (1_000_000 // MSTTR_W) <= r["msttr_micro"] <= 1_000_000
+
+
+def test_time_travel_snapshots_grow_monotonically(spark, sf_dir):
+    from parquet_batch_spark.operators.warehouse import TT_AS_OF, etl_time_travel
+
+    rows = etl_time_travel(spark, sf_dir).collect()
+    assert [r["as_of"] for r in rows] == list(TT_AS_OF)
+    seen = [r["n_live"] + r["n_deleted"] for r in rows]
+    # each later snapshot has seen at least every key an earlier one saw
+    assert seen == sorted(seen)
+    for r in rows:
+        assert r["live_total"] > 0
+
+
 def test_fertility_ratio_bounds(spark, sf_dir):
     rows = text_tokenizer_fertility(spark, sf_dir).collect()
     assert rows
