@@ -146,6 +146,9 @@ HEADLINE = [
     "multimodal_aspect_bucket",
     "text_lexical_diversity",
     "etl_time_travel",
+    "agg_hodges_lehmann",
+    "graph_neighborhood_jaccard",
+    "multimodal_caption_alignment",
 ]
 
 

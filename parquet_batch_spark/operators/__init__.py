@@ -167,6 +167,9 @@ _PRIORITY = [
     "multimodal_aspect_bucket",
     "text_lexical_diversity",
     "etl_time_travel",
+    "agg_hodges_lehmann",
+    "graph_neighborhood_jaccard",
+    "multimodal_caption_alignment",
     # --- never-driver-checked, remaining modules in module order
     #     (llm_prep, relational, scalar_funcs, windows, joins,
     #     sources_ext, dedup, analytics, multimodal, text, warehouse,

@@ -1398,7 +1398,125 @@ ORDER BY b
 """
 
 
+# ------------------------------------------- Hodges-Lehmann estimator
+
+HL_BUCKET = 1000  # price quantization (dollars) bounding the pair domain
+
+
+def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges–Lehmann robust location estimate of order value per
+    order priority: the weighted median of all Walsh averages
+    (x_i+x_j)/2, i ≤ j — the location estimator behind the Wilcoxon
+    signed-rank test (~95% Gaussian efficiency, 29% breakdown; the
+    robust alternative when a mean is outlier-poisoned and a median
+    wastes too much information).
+
+    Exactness and scale come from the same move: prices are quantized
+    to {HL_BUCKET}-dollar buckets FIRST, so the pairwise stage runs on
+    the reduced (group, bucket, count) table and its size is bounded
+    by the fixed price-domain² — independent of row count (the
+    market-basket / weighted-median reduce-first discipline).  Walsh
+    averages stay integral as bucket SUMS (2× the mean); pair weights
+    are exact products (same-bucket pairs get c·(c+1)/2 — i ≤ j); the
+    weighted median is the 2·cumw ≥ total rule over a window
+    partitioned by group on the reduced pair table.  Everything is
+    int64.  Output per group: pair mass, the HL estimate in bucket-sum
+    units, and its dollar value (bucket floors — documented
+    quantization semantics)."""
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders")
+    b = (
+        o.select(
+            F.col("o_orderpriority").alias("grp"),
+            F.floor(F.col("o_totalprice") / HL_BUCKET)
+            .cast("long")
+            .alias("bkt"),
+        )
+        .groupBy("grp", "bkt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    b2 = b.select(
+        F.col("grp").alias("grp2"),
+        F.col("bkt").alias("bkt2"),
+        F.col("c").alias("c2"),
+    )
+    pairs = b.join(
+        b2,
+        (F.col("grp") == F.col("grp2")) & (F.col("bkt") <= F.col("bkt2")),
+    ).select(
+        "grp",
+        (F.col("bkt") + F.col("bkt2")).alias("walsh2"),
+        F.when(
+            F.col("bkt") == F.col("bkt2"),
+            F.col("c") * (F.col("c") + 1) / 2,
+        )
+        .otherwise(F.col("c") * F.col("c2"))
+        .cast("long")
+        .alias("wt"),
+    )
+    g = pairs.groupBy("grp", "walsh2").agg(F.sum("wt").alias("wt"))
+    cum = F.sum("wt").over(
+        W.partitionBy("grp").orderBy("walsh2").rowsBetween(
+            W.unboundedPreceding, 0
+        )
+    )
+    tot = F.sum("wt").over(W.partitionBy("grp"))
+    return (
+        g.select("grp", "walsh2", cum.alias("cumw"), tot.alias("total"))
+        .filter(2 * F.col("cumw") >= F.col("total"))
+        .groupBy("grp")
+        .agg(
+            F.max("total").alias("n_pairs"),
+            F.min("walsh2").alias("hl_walsh2"),
+        )
+        .select(
+            "grp",
+            "n_pairs",
+            "hl_walsh2",
+            (F.col("hl_walsh2") * (HL_BUCKET // 2)).alias("hl_dollars"),
+        )
+        .orderBy("grp")
+    )
+
+
+_HL_SQL = f"""
+WITH b AS (
+    SELECT o_orderpriority AS grp,
+        CAST(FLOOR(o_totalprice / {HL_BUCKET}) AS BIGINT) AS bkt,
+        COUNT(*) AS c
+    FROM orders GROUP BY 1, 2
+),
+pairs AS (
+    SELECT x.grp, x.bkt + y.bkt AS walsh2,
+        CAST(CASE WHEN x.bkt = y.bkt THEN x.c * (x.c + 1) / 2
+                  ELSE x.c * y.c END AS BIGINT) AS wt
+    FROM b x JOIN b y ON x.grp = y.grp AND x.bkt <= y.bkt
+),
+g AS (
+    SELECT grp, walsh2, CAST(SUM(wt) AS BIGINT) AS wt
+    FROM pairs GROUP BY grp, walsh2
+),
+cums AS (
+    SELECT grp, walsh2, wt,
+        SUM(wt) OVER (PARTITION BY grp ORDER BY walsh2
+                      ROWS UNBOUNDED PRECEDING) AS cumw,
+        SUM(wt) OVER (PARTITION BY grp) AS total
+    FROM g
+)
+SELECT grp,
+    CAST(MAX(total) AS BIGINT) AS n_pairs,
+    CAST(MIN(walsh2) AS BIGINT) AS hl_walsh2,
+    CAST(MIN(walsh2) * {HL_BUCKET // 2} AS BIGINT) AS hl_dollars
+FROM cums
+WHERE 2 * cumw >= total
+GROUP BY grp
+ORDER BY grp
+"""
+
+
 QUERIES = {
+    "agg_hodges_lehmann": agg_hodges_lehmann,
     "rollup_downsample_ltob": rollup_downsample_ltob,
     "agg_benford_profile": agg_benford_profile,
     "agg_vwap": agg_vwap,
@@ -1423,6 +1541,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_hodges_lehmann": _HL_SQL,
     "rollup_downsample_ltob": _LTOB_SQL,
     "agg_benford_profile": _BENFORD_SQL,
     "agg_vwap": _VWAP_SQL,

@@ -797,7 +797,107 @@ ORDER BY doc_id
     )
 
 
+# ---------------------------------------------------------------------------
+# graph_neighborhood_jaccard — structural-equivalence similarity
+# ---------------------------------------------------------------------------
+
+WEDGE_CAP = 64  # centers with more neighbors don't generate wedges
+NJ_MIN_MICRO = 200_000  # report pairs with neighborhood Jaccard ≥ 0.2
+
+
+def graph_neighborhood_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural-equivalence scores on the segment-sharing graph:
+    J(N(a), N(b)) over doc pairs that share at least one neighbor —
+    "two docs whose *overlap partners* coincide", which catches
+    template siblings that never directly share a segment (the
+    role-similarity complement to ``graph_adamic_adar``'s direct-link
+    scores).
+
+    Candidate pairs come from a wedge join (a←w→b) through each
+    shared neighbor w, so |N∩| is just the wedge count per pair.
+    Scale: centers with degree > {WEDGE_CAP} are excluded from wedge
+    generation AND from the neighborhoods being compared (one
+    consistent filtered graph), so per-center fan-out is ≤
+    {WEDGE_CAP}² at any corpus size — the same hot-key cap discipline
+    as the dedup inverted indexes.  Jaccard is exact integer
+    micro-units; only pairs ≥ {NJ_MIN_MICRO} µ survive."""
+    e = _segment_edges(spark, sf_dir).localCheckpoint(eager=False)
+    adj = e.select(F.col("a").alias("v"), F.col("b").alias("u")).unionAll(
+        e.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    cold = deg.filter(F.col("d") <= WEDGE_CAP).select("v")
+    # adjacency restricted to cold CENTERS: center side is `v` below
+    fadj = adj.join(cold.select(F.col("v").alias("u")), "u")
+    fdeg = fadj.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    wedges = (
+        fadj.select(F.col("u").alias("w"), F.col("v").alias("a"))
+        .join(
+            fadj.select(F.col("u").alias("w"), F.col("v").alias("b")),
+            "w",
+        )
+        .filter(F.col("a") < F.col("b"))
+    )
+    inter = wedges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter"))
+    da = fdeg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = fdeg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    return (
+        inter.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "inter",
+            "da",
+            "db",
+            F.expr("(1000000 * inter) div (da + db - inter)").alias(
+                "jaccard_micro"
+            ),
+        )
+        .filter(F.col("jaccard_micro") >= NJ_MIN_MICRO)
+        .orderBy("a", "b")
+    )
+
+
+_NJ_SQL = f"""
+WITH {SEGMENT_EDGES_CTE},
+adj AS MATERIALIZED (
+    SELECT a AS v, b AS u FROM edges UNION ALL SELECT b AS v, a AS u FROM edges
+),
+deg AS (
+    SELECT v, COUNT(*) AS d FROM adj GROUP BY v
+),
+okv AS (
+    SELECT v FROM deg WHERE d <= {WEDGE_CAP}
+),
+fadj AS MATERIALIZED (
+    SELECT adj.v, adj.u FROM adj JOIN okv c ON adj.u = c.v
+),
+fdeg AS (
+    SELECT v, COUNT(*) AS d FROM fadj GROUP BY v
+),
+inter AS (
+    SELECT x.v AS a, y.v AS b, COUNT(*) AS inter
+    FROM fadj x JOIN fadj y ON x.u = y.u AND x.v < y.v
+    GROUP BY x.v, y.v
+)
+SELECT i.a, i.b, CAST(i.inter AS BIGINT) AS inter,
+    CAST(dx.d AS BIGINT) AS da, CAST(dy.d AS BIGINT) AS db,
+    (1000000 * CAST(i.inter AS BIGINT))
+        // (CAST(dx.d AS BIGINT) + CAST(dy.d AS BIGINT)
+            - CAST(i.inter AS BIGINT)) AS jaccard_micro
+FROM inter i
+JOIN fdeg dx ON i.a = dx.v
+JOIN fdeg dy ON i.b = dy.v
+WHERE (1000000 * CAST(i.inter AS BIGINT))
+        // (CAST(dx.d AS BIGINT) + CAST(dy.d AS BIGINT)
+            - CAST(i.inter AS BIGINT)) >= {NJ_MIN_MICRO}
+ORDER BY a, b
+"""
+
+
 QUERIES = {
+    "graph_neighborhood_jaccard": graph_neighborhood_jaccard,
     "graph_kcore": graph_kcore,
     "dedup_cross_source_matrix": dedup_cross_source_matrix,
     "graph_adamic_adar": graph_adamic_adar,
@@ -809,6 +909,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_neighborhood_jaccard": _NJ_SQL,
     "graph_kcore": _kcore_sql(),
     "dedup_cross_source_matrix": _CROSS_SOURCE_SQL,
     "graph_adamic_adar": _AA_SQL,

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from parquet_batch_spark.catalog import fan_out, load
 from parquet_batch_spark.functions.hashing import hash32, sql_hash32
+from parquet_batch_spark.functions.text import sql_tokens, tokens_col
 
 HEADER_LEN = 12
 _MAGIC = "IMGX"
@@ -961,7 +962,134 @@ ORDER BY bucket_idx
 """
 
 
+# ------------------------------------------------- caption alignment
+
+CAP_DIMS = 64  # projection width = embedding width
+
+
+def multimodal_caption_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-style caption↔embedding alignment screen (the LAION
+    filter: drop pairs whose text does not match their image).  The
+    caption side is projected into the embedding space by signed
+    feature hashing — each token lands in dimension h mod {CAP_DIMS}
+    with sign ±1 from the next hash bit (sparse random projection of
+    the bag of words, one portable md5 per token) — and alignment is
+    the cosine between that integer projection and the stored vector.
+    With synthetic embeddings the scores center on 0; the operator IS
+    the production plumbing (real CLIP text towers just replace the
+    projection).
+
+    Exactness: dot product and both norms are exact int64 sums of
+    quantized terms (embedding components floored at 1e6 after the
+    documented float→double cast); the only float math is the final
+    single-expression sqrt/divide rounded to 6 dp — identical
+    expression shape in both engines.  Scale: token explode →
+    partial-agg to (doc, dim); embedding posexplode to (vec, dim);
+    ONE co-partitioned equi-join on (id, dim) — never a row-pair
+    join; everything downstream is id-grain aggregation."""
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = d.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+    h = hash32(F.col("tok"))
+    sd = (
+        toks.select(
+            "doc_id",
+            (h % CAP_DIMS).alias("dim"),
+            F.when((h / CAP_DIMS).cast("long") % 2 == 0, 1)
+            .otherwise(-1)
+            .alias("sign"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sign").alias("s"))
+    )
+    tn2 = sd.groupBy("doc_id").agg(
+        F.sum(F.col("s") * F.col("s")).alias("tn2")
+    )
+    e = fan_out(load(spark, sf_dir, "embeddings"), spark, "vec_id")
+    emb = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("x").cast("double") * 1000000).cast("long").alias("q"),
+    )
+    qn2 = emb.groupBy("vec_id").agg(F.sum(F.col("q") * F.col("q")).alias("qn2"))
+    dot = (
+        sd.join(emb, (sd.doc_id == emb.vec_id) & (sd.dim == emb.dim))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("s") * F.col("q")).alias("dot"))
+    )
+    cos = F.round(
+        F.col("dot").cast("double")
+        / (
+            F.sqrt(F.col("tn2").cast("double"))
+            * F.sqrt(F.col("qn2").cast("double"))
+        ),
+        6,
+    )
+    return (
+        dot.join(tn2, "doc_id")
+        .join(qn2, dot.doc_id == qn2.vec_id)
+        .select(
+            "doc_id",
+            "dot",
+            "tn2",
+            "qn2",
+            cos.alias("cosine"),
+            (cos >= 0).alias("aligned"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CAP_ALIGN_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, UNNEST({sql_tokens("text")}) AS tok FROM documents
+),
+hashed AS (
+    SELECT doc_id,
+        {sql_hash32("tok")} % {CAP_DIMS} AS dim,
+        CASE WHEN ({sql_hash32("tok")} // {CAP_DIMS}) % 2 = 0
+             THEN 1 ELSE -1 END AS sign
+    FROM toks
+),
+sd AS (
+    SELECT doc_id, dim, CAST(SUM(sign) AS BIGINT) AS s
+    FROM hashed GROUP BY doc_id, dim
+),
+tn2 AS (
+    SELECT doc_id, CAST(SUM(s * s) AS BIGINT) AS tn2 FROM sd GROUP BY doc_id
+),
+emb AS (
+    SELECT vec_id, CAST(dim - 1 AS BIGINT) AS dim,
+        CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS q
+    FROM (SELECT vec_id, UNNEST(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS dim
+          FROM embeddings)
+),
+qn2 AS (
+    SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS qn2 FROM emb GROUP BY vec_id
+),
+dots AS (
+    SELECT sd.doc_id, CAST(SUM(sd.s * emb.q) AS BIGINT) AS dot
+    FROM sd JOIN emb ON sd.doc_id = emb.vec_id AND sd.dim = emb.dim
+    GROUP BY sd.doc_id
+)
+SELECT d.doc_id, d.dot, t.tn2, q.qn2,
+    ROUND(CAST(d.dot AS DOUBLE)
+          / (SQRT(CAST(t.tn2 AS DOUBLE)) * SQRT(CAST(q.qn2 AS DOUBLE))),
+    6) AS cosine,
+    ROUND(CAST(d.dot AS DOUBLE)
+          / (SQRT(CAST(t.tn2 AS DOUBLE)) * SQRT(CAST(q.qn2 AS DOUBLE))),
+    6) >= 0 AS aligned
+FROM dots d
+JOIN tn2 t ON d.doc_id = t.doc_id
+JOIN qn2 q ON d.doc_id = q.vec_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
+    "multimodal_caption_alignment": multimodal_caption_alignment,
     "multimodal_aspect_bucket": multimodal_aspect_bucket,
     "multimodal_webdataset_index": multimodal_webdataset_index,
     "multimodal_audio_energy": multimodal_audio_energy,
@@ -976,6 +1104,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_caption_alignment": _CAP_ALIGN_SQL,
     "multimodal_aspect_bucket": _aspect_sql(),
     "multimodal_webdataset_index": _WDS_SQL,
     "multimodal_audio_energy": _AUDIO_SQL,

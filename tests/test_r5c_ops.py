@@ -119,6 +119,100 @@ def test_time_travel_snapshots_grow_monotonically(spark, sf_dir):
         assert r["live_total"] > 0
 
 
+def test_hodges_lehmann_matches_python(spark, sf_dir):
+    from parquet_batch_spark.operators.analytics import (
+        HL_BUCKET,
+        agg_hodges_lehmann,
+    )
+    from parquet_batch_spark.catalog import load
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    by_grp: dict[str, dict[int, int]] = {}
+    for r in orders:
+        b = int(r["o_totalprice"] // HL_BUCKET)
+        by_grp.setdefault(r["o_orderpriority"], {}).setdefault(b, 0)
+        by_grp[r["o_orderpriority"]][b] += 1
+    expected = {}
+    for grp, cnt in by_grp.items():
+        walsh: dict[int, int] = {}
+        bks = sorted(cnt)
+        for i, bi in enumerate(bks):
+            for bj in bks[i:]:
+                w = (
+                    cnt[bi] * (cnt[bi] + 1) // 2
+                    if bi == bj
+                    else cnt[bi] * cnt[bj]
+                )
+                walsh[bi + bj] = walsh.get(bi + bj, 0) + w
+        total = sum(walsh.values())
+        cum = 0
+        for w2 in sorted(walsh):
+            cum += walsh[w2]
+            if 2 * cum >= total:
+                expected[grp] = (total, w2)
+                break
+    rows = agg_hodges_lehmann(spark, sf_dir).collect()
+    got = {r["grp"]: (r["n_pairs"], r["hl_walsh2"]) for r in rows}
+    assert got == expected
+
+
+def test_neighborhood_jaccard_bounds(spark, sf_dir):
+    from parquet_batch_spark.operators.corpus_ops import (
+        NJ_MIN_MICRO,
+        graph_neighborhood_jaccard,
+    )
+
+    rows = graph_neighborhood_jaccard(spark, sf_dir).collect()
+    for r in rows:
+        assert r["a"] < r["b"]
+        assert 1 <= r["inter"] <= min(r["da"], r["db"])
+        assert NJ_MIN_MICRO <= r["jaccard_micro"] <= 1_000_000
+        union = r["da"] + r["db"] - r["inter"]
+        assert r["jaccard_micro"] == (1_000_000 * r["inter"]) // union
+
+
+def test_caption_alignment_matches_python(spark, sf_dir):
+    import hashlib
+    import math
+
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.operators.multimodal import (
+        CAP_DIMS,
+        multimodal_caption_alignment,
+    )
+
+    rows = multimodal_caption_alignment(spark, sf_dir).collect()
+    assert rows
+    by_id = {r["doc_id"]: r for r in rows}
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_dir, "documents")
+        .filter("doc_id < 5")
+        .collect()
+    }
+    embs = {
+        r["vec_id"]: r["embedding"]
+        for r in load(spark, sf_dir, "embeddings")
+        .filter("vec_id < 5")
+        .collect()
+    }
+    for doc_id, text in docs.items():
+        s = [0] * CAP_DIMS
+        for tok in text.split():
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+            s[h % CAP_DIMS] += 1 if (h // CAP_DIMS) % 2 == 0 else -1
+        q = [math.floor(float(x) * 1_000_000) for x in embs[doc_id]]
+        dot = sum(si * qi for si, qi in zip(s, q))
+        tn2 = sum(si * si for si in s)
+        qn2 = sum(qi * qi for qi in q)
+        r = by_id[doc_id]
+        assert (r["dot"], r["tn2"], r["qn2"]) == (dot, tn2, qn2)
+        assert abs(r["cosine"] - dot / (math.sqrt(tn2) * math.sqrt(qn2))) < 1e-6
+        assert -1.0 <= r["cosine"] <= 1.0
+
+
 def test_fertility_ratio_bounds(spark, sf_dir):
     rows = text_tokenizer_fertility(spark, sf_dir).collect()
     assert rows
