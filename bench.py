@@ -149,6 +149,9 @@ HEADLINE = [
     "agg_hodges_lehmann",
     "graph_neighborhood_jaccard",
     "multimodal_caption_alignment",
+    "scan_rowgroup_stats",
+    "privacy_randomized_response",
+    "sample_pps_systematic",
 ]
 
 

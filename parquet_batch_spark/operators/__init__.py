@@ -170,6 +170,9 @@ _PRIORITY = [
     "agg_hodges_lehmann",
     "graph_neighborhood_jaccard",
     "multimodal_caption_alignment",
+    "scan_rowgroup_stats",
+    "privacy_randomized_response",
+    "sample_pps_systematic",
     # --- never-driver-checked, remaining modules in module order
     #     (llm_prep, relational, scalar_funcs, windows, joins,
     #     sources_ext, dedup, analytics, multimodal, text, warehouse,

@@ -751,9 +751,165 @@ ORDER BY source, len_bucket
 """
 
 
+# ------------------------------------------- randomized response
+
+RR_FLIP_DEN = 4  # flip probability 1/4 → report is truthful with p = 3/4
+# ε = ln(p/(1-p)) = ln 3 ≈ 1.10 — the local-DP budget this mechanism buys
+
+
+def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner randomized response — the local-differential-privacy
+    mechanism for releasing a sensitive-bit rate without trusting the
+    aggregator: each record reports its bit truthfully with
+    p = {RR_FLIP_DEN - 1}/{RR_FLIP_DEN} and flipped otherwise, and the
+    population rate is recovered by the unbiased inversion
+    (p̂_rep − (1−p)) / (2p − 1).  The "coin" is the portable doc-id
+    hash, so both engines flip the SAME records and the debiasing is
+    reproducible — exactly how a deterministic-salt LDP pipeline
+    replays (production uses a secret salt; the plumbing is
+    identical).
+
+    Everything is exact integers: flip = (h mod {RR_FLIP_DEN} = 0),
+    reported/true counts are plain sums, and the debiased estimate is
+    BIGINT micro-units ((2e6·n_rep) div n − 5e5 for p = 3/4).  One
+    map-only pass + a lang-grain partial aggregate.  Output keeps the
+    ground-truth rate alongside the recovered one to show the
+    inversion lands (unknowable in production — diagnostic here)."""
+    d = load(spark, sf_dir, "documents")
+    h = hash32(F.col("doc_id").cast("string"))
+    truth = (F.col("n_chars") % 2 == 0).alias("truth")
+    flip = (h % RR_FLIP_DEN == 0).alias("flip")
+    rep = d.select(
+        "lang",
+        truth,
+        flip,
+        (
+            (F.col("n_chars") % 2 == 0) != (h % RR_FLIP_DEN == 0)
+        ).alias("reported"),
+    )
+    return (
+        rep.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("truth"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_true"),
+            F.sum(F.when(F.col("reported"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_reported"),
+        )
+        .select(
+            "lang",
+            "n",
+            "n_true",
+            "n_reported",
+            F.expr("(1000000 * n_true) div n").alias("true_rate_micro"),
+            (
+                F.expr("(2000000 * n_reported) div n") - F.lit(500_000)
+            ).alias("est_rate_micro"),
+        )
+        .orderBy("lang")
+    )
+
+
+_RR_SQL = f"""
+WITH rep AS (
+    SELECT lang,
+        n_chars % 2 = 0 AS truth,
+        ({sql_hash32("CAST(doc_id AS VARCHAR)")}) % {RR_FLIP_DEN} = 0 AS flip,
+        (n_chars % 2 = 0) <> (({sql_hash32("CAST(doc_id AS VARCHAR)")}) % {RR_FLIP_DEN} = 0)
+            AS reported
+    FROM documents
+),
+g AS (
+    SELECT lang, COUNT(*) AS n,
+        CAST(SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        CAST(SUM(CASE WHEN reported THEN 1 ELSE 0 END) AS BIGINT) AS n_reported
+    FROM rep GROUP BY lang
+)
+SELECT lang, n, n_true, n_reported,
+    (1000000 * n_true) // n AS true_rate_micro,
+    (2000000 * n_reported) // n - 500000 AS est_rate_micro
+FROM g
+ORDER BY lang
+"""
+
+
+# ------------------------------------------- PPS systematic sampling
+
+PPS_K = 20  # target draws per stratum
+
+
+def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size systematic sampling (Madow)
+    per language stratum: walk the hash-shuffled unit list with a
+    fixed skip = total_size div {PPS_K} and take every unit whose
+    cumulative size crosses a multiple of the skip — inclusion
+    probability ∝ n_chars with ZERO random state (the portable hash
+    is the shuffle), the classic single-pass survey design that
+    ``sample_weighted_without_replacement``'s A-ES keys generalize.
+    Units at least one skip long are certainty units (always drawn) —
+    the PPS property the test pins.
+
+    All integer arithmetic (crossing test compares integer divisions,
+    nonnegative everywhere, so truncation ≡ floor in both engines).
+    Scale: one window per lang stratum for the running size (the
+    seq_pack_chunks prefix-sum discipline — shard the partition key at
+    100 TB), then a map-side filter; output is the K-per-stratum
+    sample, not the corpus."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    h = hash32(F.col("doc_id").cast("string"))
+    base = d.select(
+        "lang", "doc_id", F.col("n_chars").alias("w"), h.alias("h")
+    )
+    w_cum = W.partitionBy("lang").orderBy("h", "doc_id")
+    staged = base.select(
+        "lang",
+        "doc_id",
+        "w",
+        F.sum("w").over(
+            w_cum.rowsBetween(W.unboundedPreceding, 0)
+        ).alias("cumw"),
+        F.sum("w").over(W.partitionBy("lang")).alias("total"),
+    ).withColumn("skip", F.expr(f"total div {PPS_K}"))
+    return (
+        staged.filter(
+            F.expr("cumw div skip") > F.expr("(cumw - w) div skip")
+        )
+        .select("lang", "doc_id", "w", "cumw")
+        .orderBy("lang", "doc_id")
+    )
+
+
+_PPS_SQL = f"""
+WITH base AS (
+    SELECT lang, doc_id, n_chars AS w,
+        {sql_hash32("CAST(doc_id AS VARCHAR)")} AS h
+    FROM documents
+),
+staged AS (
+    SELECT lang, doc_id, w,
+        SUM(w) OVER (PARTITION BY lang ORDER BY h, doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cumw,
+        SUM(w) OVER (PARTITION BY lang) AS total
+    FROM base
+)
+SELECT lang, doc_id, CAST(w AS BIGINT) AS w, CAST(cumw AS BIGINT) AS cumw
+FROM staged
+WHERE CAST(cumw AS BIGINT) // (CAST(total AS BIGINT) // {PPS_K})
+      > (CAST(cumw AS BIGINT) - CAST(w AS BIGINT))
+        // (CAST(total AS BIGINT) // {PPS_K})
+ORDER BY lang, doc_id
+"""
+
+
 QUERIES = {
     "quality_model_score": quality_model_score,
     "privacy_l_diversity": privacy_l_diversity,
+    "privacy_randomized_response": privacy_randomized_response,
+    "sample_pps_systematic": sample_pps_systematic,
     "pii_detect": pii_detect,
     "decontam_ngram_overlap": decontam_ngram_overlap,
     "decontam_bloom_filter": decontam_bloom_filter,
@@ -772,6 +928,8 @@ ORACLES = {
     "decontam_bloom_filter": _BLOOM_SQL,
     "privacy_k_anonymity": _KANON_SQL,
     "privacy_l_diversity": _LDIV_SQL,
+    "privacy_randomized_response": _RR_SQL,
+    "sample_pps_systematic": _PPS_SQL,
     "sample_stratified": _SAMPLE_SQL,
     "sample_reservoir_per_group": _RESERVOIR_SQL,
     "quality_repetition": _QUALITY_SQL,

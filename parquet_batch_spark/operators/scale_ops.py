@@ -322,7 +322,99 @@ ORDER BY c_mktsegment
 """
 
 
+# ------------------------------------------------- row-group statistics
+
+RG_SIZE = 64  # rows per row group in the staged file
+RG_PRUNE_MIN = 300  # pruning predicate under audit: doc_id >= this
+
+_RG_STAGED: set[str] = set()
+
+
+def scan_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-group statistics audit — one level below
+    ``scan_minmax_skipping``'s file-grain manifest: parquet footers
+    carry per-ROW-GROUP min/max, and row-group pruning inside a file
+    is the scan optimization every engine (Spark included) applies
+    before decoding a single page.  This surfaces that footer as a
+    queryable table and marks which groups the predicate
+    ``doc_id >= {RG_PRUNE_MIN}`` would skip.
+
+    Staging (once per process): documents sorted by doc_id rewritten
+    as ONE parquet file with {RG_SIZE}-row row groups (pyarrow's
+    deterministic row_group_size cut — Spark's own writer cuts groups
+    by memory, which is not reproducible).  The operator under
+    measurement is the FOOTER read: metadata only, never data pages;
+    driver-side cost is bounded by row-group count (manifest scale —
+    the same bound as every stats-manifest collect in this module).
+    The oracle recomputes each group's expected stats from the data
+    itself, so a hash match proves footer stats ≡ data stats — the
+    integrity property stats-based pruning silently relies on."""
+    import pyarrow.parquet as pq
+
+    stage_dir = _io_dir(sf_dir, "documents_rowgroups")
+    path = os.path.join(stage_dir, "part-0.parquet")
+    if path not in _RG_STAGED:
+        tmp = os.path.join(stage_dir, "_spark_sorted")
+        (
+            load(spark, sf_dir, "documents")
+            .select("doc_id", "n_chars")
+            .orderBy("doc_id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        os.makedirs(stage_dir, exist_ok=True)
+        pq.write_table(
+            pq.read_table(tmp), path, row_group_size=RG_SIZE
+        )
+        _RG_STAGED.add(path)
+    md = pq.ParquetFile(path).metadata
+    cols = {md.schema.column(j).name: j for j in range(md.num_columns)}
+    rows = []
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        sd = rg.column(cols["doc_id"]).statistics
+        sc = rg.column(cols["n_chars"]).statistics
+        rows.append(
+            (
+                i,
+                rg.num_rows,
+                sd.min,
+                sd.max,
+                sc.min,
+                sc.max,
+                sd.max < RG_PRUNE_MIN,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "row_group_id int, num_rows bigint, min_doc bigint, "
+            "max_doc bigint, min_chars bigint, max_chars bigint, "
+            "pruned boolean"
+        ),
+    ).orderBy("row_group_id")
+
+
+_RG_SQL = f"""
+WITH ordered AS (
+    SELECT doc_id, n_chars,
+        ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+    FROM documents
+)
+SELECT CAST(rn // {RG_SIZE} AS INTEGER) AS row_group_id,
+    COUNT(*) AS num_rows,
+    MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+    MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+    MAX(doc_id) < {RG_PRUNE_MIN} AS pruned
+FROM ordered
+GROUP BY rn // {RG_SIZE}
+ORDER BY row_group_id
+"""
+
+
 QUERIES = {
+    "scan_rowgroup_stats": scan_rowgroup_stats,
     "etl_incremental_agg": etl_incremental_agg,
     "scan_minmax_skipping": scan_minmax_skipping,
     "agg_bitmap_distinct": agg_bitmap_distinct,
@@ -330,6 +422,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "scan_rowgroup_stats": _RG_SQL,
     "etl_incremental_agg": _INC_AGG_SQL,
     "scan_minmax_skipping": _SKIP_SQL,
     "agg_bitmap_distinct": _BITMAP_SQL,

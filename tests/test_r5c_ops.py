@@ -213,6 +213,85 @@ def test_caption_alignment_matches_python(spark, sf_dir):
         assert -1.0 <= r["cosine"] <= 1.0
 
 
+def test_rowgroup_stats_layout(spark, sf_dir):
+    from parquet_batch_spark.operators.scale_ops import (
+        RG_PRUNE_MIN,
+        RG_SIZE,
+        scan_rowgroup_stats,
+    )
+
+    rows = scan_rowgroup_stats(spark, sf_dir).collect()
+    assert sum(r["num_rows"] for r in rows) == 500
+    assert all(r["num_rows"] == RG_SIZE for r in rows[:-1])
+    for prev, cur in zip(rows, rows[1:]):
+        # sorted staging ⇒ contiguous, non-overlapping doc ranges
+        assert prev["max_doc"] < cur["min_doc"]
+    for r in rows:
+        assert r["min_doc"] <= r["max_doc"]
+        assert r["min_chars"] <= r["max_chars"]
+        assert r["pruned"] == (r["max_doc"] < RG_PRUNE_MIN)
+    assert any(r["pruned"] for r in rows) and not all(r["pruned"] for r in rows)
+    # double invocation (memoized staging) is stable
+    again = scan_rowgroup_stats(spark, sf_dir).collect()
+    assert again == rows
+
+
+def test_randomized_response_debiasing(spark, sf_dir):
+    from parquet_batch_spark.operators.pipeline_ops import (
+        privacy_randomized_response,
+    )
+
+    rows = privacy_randomized_response(spark, sf_dir).collect()
+    assert sum(r["n"] for r in rows) == 500
+    for r in rows:
+        assert 0 <= r["n_true"] <= r["n"]
+        assert 0 <= r["n_reported"] <= r["n"]
+        # the unbiased inversion recovers the true rate well within the
+        # RR noise envelope (sd ≈ 2·sqrt(3/16/n) ≈ 8% at n≈125)
+        assert abs(r["est_rate_micro"] - r["true_rate_micro"]) < 250_000
+
+
+def test_pps_certainty_units_and_python_replay(spark, sf_dir):
+    import hashlib
+
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.operators.pipeline_ops import (
+        PPS_K,
+        sample_pps_systematic,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    ).collect()
+    strata: dict[str, list] = {}
+    for r in docs:
+        h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+        strata.setdefault(r["lang"], []).append((h, r["doc_id"], r["n_chars"]))
+    expected = set()
+    for lang, units in strata.items():
+        units.sort()
+        total = sum(w for _, _, w in units)
+        skip = total // PPS_K
+        cum = 0
+        for _, doc_id, w in units:
+            prev = cum
+            cum += w
+            if cum // skip > prev // skip:
+                expected.add((lang, doc_id))
+    got = {
+        (r["lang"], r["doc_id"])
+        for r in sample_pps_systematic(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # certainty property: any unit at least one skip long is drawn
+    for lang, units in strata.items():
+        total = sum(w for _, _, w in units)
+        skip = total // PPS_K
+        for _, doc_id, w in units:
+            if w >= skip:
+                assert (lang, doc_id) in got
+
+
 def test_fertility_ratio_bounds(spark, sf_dir):
     rows = text_tokenizer_fertility(spark, sf_dir).collect()
     assert rows
