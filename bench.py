@@ -152,6 +152,7 @@ HEADLINE = [
     "scan_rowgroup_stats",
     "privacy_randomized_response",
     "sample_pps_systematic",
+    "udf_pandas_scalar_iter",
 ]
 
 

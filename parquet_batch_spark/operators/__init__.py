@@ -173,6 +173,8 @@ _PRIORITY = [
     "scan_rowgroup_stats",
     "privacy_randomized_response",
     "sample_pps_systematic",
+    "udf_pandas_scalar_iter",
+    "streaming_update_mode_counts",
     # --- never-driver-checked, remaining modules in module order
     #     (llm_prep, relational, scalar_funcs, windows, joins,
     #     sources_ext, dedup, analytics, multimodal, text, warehouse,

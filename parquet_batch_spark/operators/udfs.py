@@ -21,6 +21,7 @@ DECIMAL sum.
 from __future__ import annotations
 
 import re
+from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -397,7 +398,61 @@ ORDER BY l_returnflag
 """
 
 
+# --------------------------------------------- iterator-form pandas UDF
+
+
+def udf_pandas_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form pandas UDF (``Iterator[pd.Series] → Iterator[
+    pd.Series]``) — the eighth Python-execution surface, and the one
+    whose POINT is amortized per-partition initialization: the
+    function body runs once per partition, does its expensive setup
+    (model load, dictionary build — here a deterministic tier table
+    standing in for one), then streams Arrow batches through the
+    already-initialized state.  The per-batch math is exact integer
+    (price cents → tier lookup + checksum), so the whole iterator
+    protocol — init, multi-batch streaming, tail batch — is
+    value-checked against the SQL mirror.
+
+    Scale: same Arrow transfer as a scalar pandas UDF; the iterator
+    form only changes WHERE init cost is paid (once per partition, not
+    per batch) — at 1000 executors that is the difference between
+    loading a scorer 1000 times and 1e6 times."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+
+    @pandas_udf("long")
+    def tier_checksum(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # one-time per-partition "model load": tier cut points
+        tiers = [0, 5_000_00, 15_000_00, 30_000_00]  # cents
+        for prices in batches:
+            cents = (prices * 100).round().astype("int64")
+            tier = sum((cents >= t).astype("int64") for t in tiers[1:])
+            yield tier * 1_000_000_000 + cents % 1_000_000
+
+    return (
+        o.select(
+            "o_orderkey",
+            tier_checksum(F.col("o_totalprice")).alias("tier_checksum"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_ITER_UDF_SQL = """
+SELECT o_orderkey,
+    CAST(CASE WHEN ROUND(o_totalprice * 100) >= 3000000 THEN 3
+              WHEN ROUND(o_totalprice * 100) >= 1500000 THEN 2
+              WHEN ROUND(o_totalprice * 100) >= 500000 THEN 1
+              ELSE 0 END AS BIGINT) * 1000000000
+        + CAST(ROUND(o_totalprice * 100) AS BIGINT) % 1000000
+        AS tier_checksum
+FROM orders
+WHERE o_orderkey < 5000
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
+    "udf_pandas_scalar_iter": udf_pandas_scalar_iter,
     "udf_apply_in_arrow": udf_apply_in_arrow,
     "udtf_dynamic_schema": udtf_dynamic_schema,
     "udf_map_in_arrow": udf_map_in_arrow,
@@ -408,6 +463,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "udf_pandas_scalar_iter": _ITER_UDF_SQL,
     "udf_apply_in_arrow": _APPLY_ARROW_SQL,
     "udtf_dynamic_schema": _DYN_UDTF_SQL,
     "udf_map_in_arrow": _MAP_IN_ARROW_SQL,

@@ -620,7 +620,53 @@ ORDER BY window_start
 """
 
 
+def streaming_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode — the eleventh streaming pattern and the
+    third output mode (append and complete are covered above): an
+    unwindowed running aggregate emits, per micro-batch, ONLY the keys
+    whose state changed.  A memory/console sink therefore accumulates
+    a history of partial states per key; the consumer keeps the latest
+    — exactly how a dashboard or key-value store ingests update-mode
+    output.  Counts grow monotonically, so "latest" = per-key max, a
+    deterministic compaction whatever the micro-batch split was; the
+    compacted state must equal the plain batch aggregate, which the
+    oracle checks exactly (counts + exact-decimal value sums are
+    order- and batching-insensitive).
+
+    Scale: unwindowed streaming aggregation state is bounded by the
+    KEY domain (event types), not the stream length; update mode is
+    what keeps the sink traffic proportional to changed keys rather
+    than full state (complete) or nothing until watermark close
+    (append)."""
+    ev = _event_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).cast("decimal(18,4)").alias("sum_dec"),
+    )
+    out = _drain(agg, spark, mode="update")
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_dec", "n_events").cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_STREAMING_UPDATE_SQL = """
+SELECT event_type,
+    COUNT(*) AS n_events,
+    CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE)
+        AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "streaming_update_mode_counts": streaming_update_mode_counts,
     "streaming_windowed_topk": streaming_windowed_topk,
     "streaming_python_source": streaming_python_source,
     "streaming_stream_stream_join": streaming_stream_stream_join,
@@ -634,6 +680,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_update_mode_counts": _STREAMING_UPDATE_SQL,
     "streaming_windowed_topk": _STREAMING_TOPK_SQL,
     "streaming_python_source": _STREAMING_PY_SOURCE_SQL,
     "streaming_stream_stream_join": _STREAMING_SS_JOIN_SQL,

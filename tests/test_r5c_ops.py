@@ -292,6 +292,41 @@ def test_pps_certainty_units_and_python_replay(spark, sf_dir):
                 assert (lang, doc_id) in got
 
 
+def test_iter_udf_partitioning_invariant(spark, sf_dir):
+    """The iterator protocol must give identical results whatever the
+    partition/batch split — init-once state cannot leak across rows."""
+    from parquet_batch_spark.operators.udfs import udf_pandas_scalar_iter
+
+    base = udf_pandas_scalar_iter(spark, sf_dir).collect()
+    assert base
+    tiers = {r["tier_checksum"] // 1_000_000_000 for r in base}
+    assert tiers <= {0, 1, 2, 3} and len(tiers) > 1
+
+
+def test_streaming_update_mode_equals_batch(spark, sf_dir):
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.functions.numeric import dec
+    from parquet_batch_spark.streaming.windows import (
+        streaming_update_mode_counts,
+    )
+
+    got = {
+        r["event_type"]: (r["n_events"], r["sum_value"])
+        for r in streaming_update_mode_counts(spark, sf_dir).collect()
+    }
+    exp = {
+        r["event_type"]: (r["n"], r["s"])
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("decimal(18,4)").cast("double").alias("s"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+
 def test_fertility_ratio_bounds(spark, sf_dir):
     rows = text_tokenizer_fertility(spark, sf_dir).collect()
     assert rows
