@@ -153,6 +153,9 @@ HEADLINE = [
     "privacy_randomized_response",
     "sample_pps_systematic",
     "udf_pandas_scalar_iter",
+    "dedup_threshold_sweep",
+    "agg_expected_calibration_error",
+    "text_bm25_topk",
 ]
 
 

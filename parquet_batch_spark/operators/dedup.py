@@ -1709,7 +1709,93 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------- threshold sweep
+
+SWEEP_THRESHOLDS_MICRO = (500_000, 600_000, 700_000, 800_000, 900_000)
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-threshold sensitivity sweep — the table you read BEFORE
+    committing a dedup threshold on a 100 TB corpus: for each
+    candidate threshold, how many pairs fire and how many documents
+    would drop (keep-first policy: a doc drops when it is the LATER
+    member of any flagged pair).  One run answers "is 0.8 vs 0.7 a 2%
+    or a 30% corpus-size decision?" — rerunning the full dedup per
+    candidate is the naive alternative this replaces.
+
+    Costs ONE intersection pass: reuses ``_inter_pair_stats``'s
+    memoized pair table (the same materialized stage Jaccard,
+    containment and the LSH recall eval consume), then a broadcast
+    non-equi join against the {len(SWEEP_THRESHOLDS_MICRO)}-row
+    threshold ladder (bounded ≤|ladder|× fan-out of the already-
+    reduced pair table — never of the corpus).  Jaccard is compared
+    in exact integer micro-units."""
+    pairs = _inter_pair_stats(spark, sf_dir)
+    jm = pairs.select(
+        "doc_a",
+        "doc_b",
+        F.floor(
+            F.lit(1_000_000)
+            * F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        )
+        .cast("long")
+        .alias("jac_micro"),
+    )
+    ladder = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in SWEEP_THRESHOLDS_MICRO])
+        ).alias("thr_micro")
+    )
+    hits = jm.join(F.broadcast(ladder), F.col("jac_micro") >= F.col("thr_micro"))
+    return (
+        hits.groupBy("thr_micro")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("doc_b").alias("n_docs_dropped"),
+            F.sum("jac_micro").alias("sum_jac_micro"),
+        )
+        .select(
+            "thr_micro",
+            "n_pairs",
+            "n_docs_dropped",
+            F.expr("sum_jac_micro div n_pairs").alias("mean_jac_micro"),
+        )
+        .orderBy("thr_micro")
+    )
+
+
+_SWEEP_SQL = f"""
+WITH {_sql_capped_hash_ctes()},
+sizes AS (
+    SELECT doc_id, COUNT(*) AS n_sh FROM hashes GROUP BY doc_id
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+    FROM hashes a JOIN hashes b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jm AS (
+    SELECT doc_a, doc_b,
+        CAST(FLOOR(1000000.0 * n_inter
+                   / (sa.n_sh + sb.n_sh - n_inter)) AS BIGINT) AS jac_micro
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+),
+ladder(thr_micro) AS (VALUES {", ".join(f"({t})" for t in SWEEP_THRESHOLDS_MICRO)})
+SELECT CAST(l.thr_micro AS INTEGER) AS thr_micro,
+    COUNT(*) AS n_pairs,
+    CAST(COUNT(DISTINCT jm.doc_b) AS BIGINT) AS n_docs_dropped,
+    CAST(SUM(jm.jac_micro) AS BIGINT) // COUNT(*) AS mean_jac_micro
+FROM jm JOIN ladder l ON jm.jac_micro >= l.thr_micro
+GROUP BY l.thr_micro
+ORDER BY thr_micro
+"""
+
+
 QUERIES = {
+    "dedup_threshold_sweep": dedup_threshold_sweep,
     "dedup_lsh_recall_eval": dedup_lsh_recall_eval,
     "dedup_cdc_chunking": dedup_cdc_chunking,
     "dedup_cluster_representative": dedup_cluster_representative,
@@ -1726,6 +1812,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_threshold_sweep": _SWEEP_SQL,
     "dedup_cluster_representative": _DEDUP_REP_SQL,
     "dedup_cdc_chunking": _DEDUP_CDC_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,

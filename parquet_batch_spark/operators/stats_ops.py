@@ -5579,7 +5579,87 @@ FROM m
 """
 
 
+# ------------------------------------------------- calibration (ECE)
+
+ECE_BUCKETS = 10
+ECE_SCALE_CHARS = 3000  # score saturates at this doc length
+
+
+def agg_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + per-bucket calibration gaps — the
+    Expected-Calibration-Error decomposition every score-based
+    curation filter needs audited before its threshold is trusted:
+    bucket predictions by confidence decile, compare mean confidence
+    to empirical accuracy per bucket; ECE is the n-weighted mean
+    |gap| (emitted per bucket; the scalar is the trivial rollup).
+    The audited "model" is a deterministic stand-in (confidence =
+    saturating length score, label = doc mentions 'data'): at 100 TB
+    the score column comes from a real classifier — the audit plan is
+    identical and model-free.
+
+    All exact integers: confidence in micro-units via BIGINT division,
+    bucket = conf div 100000 (capped to the top bucket), per-bucket
+    sums/counts, accuracy micro by integer division.  One map-only
+    pass + a {ECE_BUCKETS}-row aggregate."""
+    d = load(spark, sf_dir, "documents")
+    conf = F.least(
+        F.lit(1_000_000),
+        F.expr(f"(1000000 * n_chars) div {ECE_SCALE_CHARS}"),
+    )
+    label = F.array_contains(tokens_col("text"), "data")
+    staged = d.select(
+        conf.alias("conf_micro"),
+        F.when(label, 1).otherwise(0).alias("y"),
+    ).select(
+        F.least(
+            F.lit(ECE_BUCKETS - 1), F.expr("conf_micro div 100000")
+        ).alias("bucket"),
+        "conf_micro",
+        "y",
+    )
+    return (
+        staged.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("conf_micro").alias("sum_conf"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+        .select(
+            "bucket",
+            "n",
+            F.expr("sum_conf div n").alias("mean_conf_micro"),
+            F.expr("(1000000 * n_pos) div n").alias("acc_micro"),
+            F.abs(
+                F.expr("sum_conf div n") - F.expr("(1000000 * n_pos) div n")
+            ).alias("gap_micro"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_ECE_SQL = f"""
+WITH staged AS (
+    SELECT LEAST({ECE_BUCKETS - 1},
+                 LEAST(1000000, (1000000 * n_chars) // {ECE_SCALE_CHARS})
+                 // 100000) AS bucket,
+        LEAST(1000000, (1000000 * n_chars) // {ECE_SCALE_CHARS}) AS conf_micro,
+        CASE WHEN list_contains({sql_tokens("text")}, 'data')
+             THEN 1 ELSE 0 END AS y
+    FROM documents
+)
+SELECT bucket, COUNT(*) AS n,
+    CAST(SUM(conf_micro) AS BIGINT) // COUNT(*) AS mean_conf_micro,
+    (1000000 * CAST(SUM(y) AS BIGINT)) // COUNT(*) AS acc_micro,
+    ABS(CAST(SUM(conf_micro) AS BIGINT) // COUNT(*)
+        - (1000000 * CAST(SUM(y) AS BIGINT)) // COUNT(*)) AS gap_micro
+FROM staged
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 QUERIES = {
+    "agg_expected_calibration_error": agg_expected_calibration_error,
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
     "window_rolling_corr": window_rolling_corr,
@@ -5650,6 +5730,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_expected_calibration_error": _ECE_SQL,
     "quality_ks_drift": _KS_SQL,
     "agg_survival_km": _KM_SQL,
     "window_acf_lags": _acf_sql(),

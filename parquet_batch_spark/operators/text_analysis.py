@@ -1008,6 +1008,129 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------- BM25 retrieval
+
+BM25_QUERY = ("spark", "data", "merge")  # fixed audit query
+BM25_TOPK = 10
+# k1 = 1.2 and b = 0.75 as exact rationals: k1(1−b) = 3/10, k1·b = 9/10,
+# k1+1 = 22/10 — every coefficient a small integer once scaled by 10.
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson k1=1.2, b=0.75) for a fixed
+    query — the scoring function behind every sparse-retrieval
+    baseline.  Deviations for engine-exactness, both documented:
+    the idf is the rational surrogate (2(N−df)+1)/(2df+1) (monotone in
+    the true log-idf's argument — same trade ``text_tfidf_topk``
+    makes, because libm ln differs in last ulp across engines), and
+    the doc-length ratio dl/avgdl is pre-quantized to integer milli
+    units.  With those two moves the whole score is a ratio of two
+    exact int64 products, and the final micro-score is one BIGINT
+    integer division — bit-identical in both engines.
+
+    Scale: tf needs (doc × query-term) — a broadcast of the 3-term
+    literal, never a corpus shuffle; df/N/Σdl are one partial-agg
+    pass; top-{BM25_TOPK} is orderBy+limit = Spark's
+    TakeOrderedAndProject (map-side heap per partition, only K rows
+    to the driver)."""
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    t = d.select("doc_id", tokens_col("text").alias("tk"))
+    stats = t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("tk")).cast("long").alias("sum_dl"),
+    )
+    terms = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in BM25_QUERY])).alias("term")
+    )
+    tf = (
+        t.crossJoin(F.broadcast(terms))
+        .select(
+            "doc_id",
+            "term",
+            F.size("tk").cast("long").alias("dl"),
+            F.size(
+                F.filter(F.col("tk"), lambda x: x == F.col("term"))
+            )
+            .cast("long")
+            .alias("tf"),
+        )
+        .filter(F.col("tf") > 0)
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            F.expr("(1000 * dl * n_docs) div sum_dl").alias("r_milli"),
+            "tf",
+            "df",
+            "n_docs",
+        )
+        .select(
+            "doc_id",
+            "term",
+            F.expr(
+                "(1000000 * (2 * (n_docs - df) + 1) * (2200 * tf))"
+                " div ((2 * df + 1)"
+                "      * (1000 * tf + 300 + (9 * r_milli) div 10))"
+            ).alias("score_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.sum("score_micro").alias("bm25_micro"),
+        )
+        .orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+    )
+
+
+_BM25_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, {sql_tokens("text")} AS tk FROM documents
+),
+stats AS (
+    SELECT COUNT(*) AS n_docs, CAST(SUM(len(tk)) AS BIGINT) AS sum_dl
+    FROM toks
+),
+terms(term) AS (VALUES {", ".join(f"('{q}')" for q in BM25_QUERY)}),
+tf AS (
+    SELECT t.doc_id, q.term,
+        CAST(len(t.tk) AS BIGINT) AS dl,
+        CAST(len(list_filter(t.tk, x -> x = q.term)) AS BIGINT) AS tf
+    FROM toks t CROSS JOIN terms q
+),
+hits AS (
+    SELECT * FROM tf WHERE tf > 0
+),
+dfreq AS (
+    SELECT term, COUNT(*) AS df FROM hits GROUP BY term
+),
+scored AS (
+    SELECT h.doc_id,
+        (1000000 * (2 * (s.n_docs - d.df) + 1) * (2200 * h.tf))
+        // ((2 * d.df + 1)
+            * (1000 * h.tf + 300
+               + (9 * ((1000 * h.dl * s.n_docs) // s.sum_dl)) // 10))
+            AS score_micro
+    FROM hits h
+    JOIN dfreq d ON h.term = d.term
+    CROSS JOIN stats s
+)
+SELECT doc_id,
+    COUNT(*) AS n_terms_hit,
+    CAST(SUM(score_micro) AS BIGINT) AS bm25_micro
+FROM scored
+GROUP BY doc_id
+ORDER BY bm25_micro DESC, doc_id ASC
+LIMIT {BM25_TOPK}
+"""
+
+
 # ------------------------------------------------- lexical diversity
 
 MSTTR_W = 25  # tokens per MSTTR segment (complete segments only)
@@ -1180,6 +1303,7 @@ ORDER BY lang, source
 
 
 QUERIES = {
+    "text_bm25_topk": text_bm25_topk,
     "text_lexical_diversity": text_lexical_diversity,
     "text_tokenizer_fertility": text_tokenizer_fertility,
     "text_vocab_growth": text_vocab_growth,
@@ -1199,6 +1323,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_bm25_topk": _BM25_SQL,
     "text_lexical_diversity": _MSTTR_SQL,
     "text_tokenizer_fertility": _FERTILITY_SQL,
     "text_vocab_growth": _VOCAB_GROWTH_SQL,

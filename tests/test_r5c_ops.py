@@ -327,6 +327,85 @@ def test_streaming_update_mode_equals_batch(spark, sf_dir):
     assert got == exp
 
 
+def test_threshold_sweep_is_monotone(spark, sf_dir):
+    from parquet_batch_spark.operators.dedup import (
+        SWEEP_THRESHOLDS_MICRO,
+        dedup_threshold_sweep,
+    )
+
+    rows = dedup_threshold_sweep(spark, sf_dir).collect()
+    assert [r["thr_micro"] for r in rows] == list(SWEEP_THRESHOLDS_MICRO)
+    for lo, hi in zip(rows, rows[1:]):
+        # raising the threshold can only shrink the flagged set
+        assert hi["n_pairs"] <= lo["n_pairs"]
+        assert hi["n_docs_dropped"] <= lo["n_docs_dropped"]
+        # ...and can only raise the mean similarity of survivors
+        assert hi["mean_jac_micro"] >= lo["mean_jac_micro"]
+    for r in rows:
+        assert r["n_docs_dropped"] <= r["n_pairs"]
+        assert r["thr_micro"] <= r["mean_jac_micro"] <= 1_000_000
+
+
+def test_ece_bucket_accounting(spark, sf_dir):
+    from parquet_batch_spark.operators.stats_ops import (
+        ECE_BUCKETS,
+        agg_expected_calibration_error,
+    )
+
+    rows = agg_expected_calibration_error(spark, sf_dir).collect()
+    assert sum(r["n"] for r in rows) == 500
+    for r in rows:
+        assert 0 <= r["bucket"] < ECE_BUCKETS
+        assert 0 <= r["acc_micro"] <= 1_000_000
+        assert 0 <= r["mean_conf_micro"] <= 1_000_000
+        assert r["gap_micro"] == abs(r["mean_conf_micro"] - r["acc_micro"])
+        # bucket contains only confidences from its decile (top bucket
+        # also absorbs the saturated 1.0 scores)
+        lo = r["bucket"] * 100_000
+        hi = 1_000_000 if r["bucket"] == ECE_BUCKETS - 1 else lo + 100_000
+        assert lo <= r["mean_conf_micro"] <= hi
+
+
+def test_bm25_matches_python(spark, sf_dir):
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.operators.text_analysis import (
+        BM25_QUERY,
+        BM25_TOPK,
+        text_bm25_topk,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    toks = {r["doc_id"]: r["text"].split() for r in docs}
+    n_docs = len(toks)
+    sum_dl = sum(len(t) for t in toks.values())
+    df = {
+        q: sum(1 for t in toks.values() if q in t) for q in BM25_QUERY
+    }
+    scores: dict[int, tuple[int, int]] = {}
+    for doc_id, t in toks.items():
+        dl = len(t)
+        r_milli = (1000 * dl * n_docs) // sum_dl
+        total, hits = 0, 0
+        for q in BM25_QUERY:
+            tf = t.count(q)
+            if tf == 0:
+                continue
+            hits += 1
+            total += (1_000_000 * (2 * (n_docs - df[q]) + 1) * (2200 * tf)) // (
+                (2 * df[q] + 1) * (1000 * tf + 300 + (9 * r_milli) // 10)
+            )
+        if hits:
+            scores[doc_id] = (hits, total)
+    expected = sorted(
+        scores.items(), key=lambda kv: (-kv[1][1], kv[0])
+    )[:BM25_TOPK]
+    got = [
+        (r["doc_id"], (r["n_terms_hit"], r["bm25_micro"]))
+        for r in text_bm25_topk(spark, sf_dir).collect()
+    ]
+    assert got == expected
+
+
 def test_fertility_ratio_bounds(spark, sf_dir):
     rows = text_tokenizer_fertility(spark, sf_dir).collect()
     assert rows
