@@ -156,6 +156,8 @@ HEADLINE = [
     "dedup_threshold_sweep",
     "agg_expected_calibration_error",
     "text_bm25_topk",
+    "ml_naive_bayes_langid",
+    "embedding_pq_distortion",
 ]
 
 

@@ -1519,7 +1519,105 @@ ORDER BY query_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# embedding_pq_distortion — PQ reconstruction-error report
+# ---------------------------------------------------------------------------
+
+
+def embedding_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ reconstruction-distortion report — the index-
+    quality diagnostic you read before trusting a PQ deployment (the
+    compression analog of ``dedup_lsh_recall_eval`` and
+    ``ann_recall_eval``): for each of the {PQ_M} subspaces, the
+    mean/max squared distance between vectors and their assigned
+    codebook centroid.  A subspace whose distortion dwarfs the others
+    needs more codes (or OPQ rotation); flat high distortion across
+    subspaces means the corpus has no cluster structure for PQ to
+    exploit — which is exactly what this synthetic corpus shows.
+
+    Same hash-sampled codebook and dimension-sequential IEEE
+    distance fold as ``ann_pq_adc`` (codes and distances mirror the
+    oracle bit-for-bit); per-vector subspace distortion is quantized
+    to integer nano-units BEFORE summation, so the report aggregates
+    in exact int64 regardless of reduction order.  One Arrow-batched
+    corpus pass; output is {PQ_M} rows."""
+    em = fan_out(load(spark, sf_dir, "embeddings"), spark)
+    base = em.select("vec_id", _dvec().alias("v"))
+    seed_rows = (
+        base.withColumn("hk", hash32(F.col("vec_id").cast("string")))
+        .orderBy("hk", "vec_id")
+        .limit(PQ_KS)
+        .collect()
+    )
+    cents = np.asarray([np.asarray(r["v"], dtype=np.float64) for r in seed_rows])
+
+    def encode_d2(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray([np.asarray(x) for x in pdf["v"]], dtype=np.float64)
+            out_m, out_d2 = [], []
+            for m in range(PQ_M):
+                acc = np.zeros((len(V), PQ_KS))
+                for d in range(m * PQ_SUB, (m + 1) * PQ_SUB):
+                    diff = V[:, d][:, None] - cents[None, :, d]
+                    acc += diff * diff
+                best = acc.min(axis=1)  # first-min == argmin's value
+                out_m.append(np.full(len(V), m + 1, dtype=np.int64))
+                out_d2.append(np.floor(best * 1e9).astype(np.int64))
+            yield pd.DataFrame(
+                {
+                    "m": np.concatenate(out_m),
+                    "d2_nano": np.concatenate(out_d2),
+                }
+            )
+
+    per = base.mapInPandas(encode_d2, schema="m long, d2_nano long")
+    return (
+        per.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.expr("sum(d2_nano) div count(1)").alias("mean_d2_nano"),
+            F.max("d2_nano").alias("max_d2_nano"),
+        )
+        .orderBy("m")
+    )
+
+
+_PQ_DISTORTION_SQL = f"""
+WITH nv AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+seeds AS (
+    SELECT v AS c,
+        ROW_NUMBER() OVER (
+            ORDER BY {sql_hash32("CAST(vec_id AS VARCHAR)")}, vec_id
+        ) - 1 AS cell
+    FROM nv
+    QUALIFY cell < {PQ_KS}
+),
+best AS (
+    SELECT vec_id, m,
+        CAST(FLOOR(1000000000.0 * MIN({_sub_d2("v", "c", "m")}))
+             AS BIGINT) AS d2_nano
+    FROM nv, generate_series(1, {PQ_M}) AS t(m), seeds
+    GROUP BY vec_id, m
+)
+SELECT CAST(m AS BIGINT) AS m,
+    COUNT(*) AS n_vecs,
+    CAST(SUM(d2_nano) AS BIGINT) // COUNT(*) AS mean_d2_nano,
+    CAST(MAX(d2_nano) AS BIGINT) AS max_d2_nano
+FROM best
+GROUP BY m
+ORDER BY m
+"""
+
+
 QUERIES = {
+    "embedding_pq_distortion": embedding_pq_distortion,
     "embedding_drift_report": embedding_drift_report,
     "ann_pq_adc": ann_pq_adc,
     "ann_ivfpq_topk": ann_ivfpq_topk,
@@ -1535,6 +1633,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_pq_distortion": _PQ_DISTORTION_SQL,
     "embedding_drift_report": _DRIFT_SQL,
     "ann_pq_adc": _ANN_PQ_SQL,
     "ann_ivfpq_topk": _ANN_IVFPQ_SQL,

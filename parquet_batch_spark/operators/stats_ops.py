@@ -5579,6 +5579,128 @@ FROM m
 """
 
 
+# ------------------------------------------------- naive Bayes lang ID
+
+
+def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language classifier trained ON the
+    corpus and evaluated in the same query — the learned counterpart
+    to ``text_langid``'s hand-written marker heuristic (and the
+    supervised sibling of its confusion-matrix audit): per-class
+    token likelihoods with add-1 smoothing, per-doc surprisal
+    scoring, argmin class, labeled-vs-predicted confusion matrix out.
+
+    Engine-exactness: every log2 is the integer bit-length surrogate
+    (``bitlen(T_l + V) − bitlen(c(w,l)+1)`` — the text_rarity_score /
+    bigram_surprisal discipline: no transcendentals, no floats), so
+    training counts, scores and the argmin are all int64 and
+    bit-identical cross-engine.  Ties break by language order.
+
+    Scale: training is ONE (word, lang) count reduction (vocab-
+    bounded); scoring joins each doc's reduced (doc, word, tf) table
+    against the broadcast-sized model; the per-doc argmin is a window
+    over {4} candidate rows per doc.  No iteration — NB's closed-form
+    training is why it remains the 100 TB baseline classifier."""
+    from pyspark.sql import Window as W
+
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = d.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        F.explode(tokens_col("text")).alias("w"),
+    )
+    tf = toks.groupBy("doc_id", "lang_true", "w").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    model = toks.groupBy("w", F.col("lang_true").alias("l")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = model.groupBy("l").agg(F.sum("c").alias("t_l"))
+    vocab = model.select("w").distinct().agg(F.count(F.lit(1)).alias("v"))
+    langs = totals.select("l")
+    bitlen = lambda c: F.length(F.bin(c))  # noqa: E731
+    cand = (
+        tf.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(model), ["w", "l"], "left")
+        .join(F.broadcast(totals), "l")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "lang_true",
+            "l",
+            (
+                F.col("tf")
+                * (
+                    bitlen(F.col("t_l") + F.col("v"))
+                    - bitlen(F.coalesce(F.col("c"), F.lit(0)) + 1)
+                )
+            ).alias("bits"),
+        )
+    )
+    scores = cand.groupBy("doc_id", "lang_true", "l").agg(
+        F.sum("bits").cast("long").alias("score_bits")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.asc("score_bits"), F.asc("l"))
+    )
+    pred = (
+        scores.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang_true", F.col("l").alias("lang_pred"))
+    )
+    return (
+        pred.groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_true", "lang_pred")
+    )
+
+
+_NB_LANGID_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, lang AS lang_true, UNNEST({sql_tokens("text")}) AS w
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, lang_true, w, COUNT(*) AS tf
+    FROM toks GROUP BY doc_id, lang_true, w
+),
+model AS (
+    SELECT w, lang_true AS l, COUNT(*) AS c FROM toks GROUP BY w, lang_true
+),
+totals AS (
+    SELECT l, CAST(SUM(c) AS BIGINT) AS t_l FROM model GROUP BY l
+),
+vocab AS (
+    SELECT COUNT(DISTINCT w) AS v FROM model
+),
+cand AS (
+    SELECT tf.doc_id, tf.lang_true, t.l,
+        tf.tf * (length(bin(t.t_l + vocab.v))
+                 - length(bin(COALESCE(m.c, 0) + 1))) AS bits
+    FROM tf
+    CROSS JOIN totals t
+    LEFT JOIN model m ON m.w = tf.w AND m.l = t.l
+    CROSS JOIN vocab
+),
+scores AS (
+    SELECT doc_id, lang_true, l, CAST(SUM(bits) AS BIGINT) AS score_bits
+    FROM cand GROUP BY doc_id, lang_true, l
+),
+pred AS (
+    SELECT doc_id, lang_true, l AS lang_pred
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score_bits ASC, l ASC) AS rn
+        FROM scores
+    ) WHERE rn = 1
+)
+SELECT lang_true, lang_pred, COUNT(*) AS n_docs
+FROM pred
+GROUP BY lang_true, lang_pred
+ORDER BY lang_true, lang_pred
+"""
+
+
 # ------------------------------------------------- calibration (ECE)
 
 ECE_BUCKETS = 10
@@ -5660,6 +5782,7 @@ ORDER BY bucket
 
 QUERIES = {
     "agg_expected_calibration_error": agg_expected_calibration_error,
+    "ml_naive_bayes_langid": ml_naive_bayes_langid,
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
     "window_rolling_corr": window_rolling_corr,
@@ -5731,6 +5854,7 @@ QUERIES = {
 
 ORACLES = {
     "agg_expected_calibration_error": _ECE_SQL,
+    "ml_naive_bayes_langid": _NB_LANGID_SQL,
     "quality_ks_drift": _KS_SQL,
     "agg_survival_km": _KM_SQL,
     "window_acf_lags": _acf_sql(),

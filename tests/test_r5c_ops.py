@@ -406,6 +406,30 @@ def test_bm25_matches_python(spark, sf_dir):
     assert got == expected
 
 
+def test_nb_langid_confusion_accounting(spark, sf_dir):
+    from parquet_batch_spark.operators.stats_ops import ml_naive_bayes_langid
+
+    rows = ml_naive_bayes_langid(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in rows) == 500
+    langs = {r["lang_true"] for r in rows}
+    assert {r["lang_pred"] for r in rows} <= langs
+    assert all(r["n_docs"] > 0 for r in rows)
+
+
+def test_pq_distortion_shape(spark, sf_dir):
+    from parquet_batch_spark.operators.similarity import (
+        PQ_M,
+        embedding_pq_distortion,
+    )
+
+    rows = embedding_pq_distortion(spark, sf_dir).collect()
+    assert [r["m"] for r in rows] == list(range(1, PQ_M + 1))
+    n = {r["n_vecs"] for r in rows}
+    assert len(n) == 1  # every subspace encodes every vector
+    for r in rows:
+        assert 0 <= r["mean_d2_nano"] <= r["max_d2_nano"]
+
+
 def test_fertility_ratio_bounds(spark, sf_dir):
     rows = text_tokenizer_fertility(spark, sf_dir).collect()
     assert rows
