@@ -158,6 +158,9 @@ HEADLINE = [
     "text_bm25_topk",
     "ml_naive_bayes_langid",
     "embedding_pq_distortion",
+    "sample_negative_sampling",
+    "window_allen_interval_relations",
+    "agg_ratio_delta_ci",
 ]
 
 

@@ -1939,7 +1939,93 @@ LIMIT {WSAMPLE_K}
 """
 
 
+# ------------------------------------------------- negative sampling
+
+NEG_VOCAB = 200  # table covers the top-V corpus words
+
+
+def sample_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec/contrastive-training negative-sampling table: the
+    top-{NEG_VOCAB} vocabulary with unigram^(3/4) sampling weights and
+    the cumulative ranges a trainer's alias/binary-search sampler
+    consumes.  The 3/4 power is THE published word2vec smoothing; it
+    is computed as ``sqrt(c · sqrt(c))`` — two correctly-rounded IEEE
+    sqrts and one multiply, the same determinism argument as
+    ``sample_temperature_mixture``'s sqrt (a ``pow(c, 0.75)`` call
+    would NOT be cross-engine reproducible; this identity is why 3/4
+    specifically is safe).  Weights quantize to integer micro-units
+    before the cumulative sum, so ranges are exact int64.
+
+    Scale: vocabulary count-reduce (partial-agg), top-V by
+    (count, word) = one TakeOrdered, then the cumulative window runs
+    over the {NEG_VOCAB}-row REDUCED rank table (whitelisted global
+    window — bounded by V, never the corpus)."""
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
+    counts = (
+        d.select(F.explode(tokens_col("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(NEG_VOCAB)
+    )
+    wmic = F.floor(
+        F.lit(1_000_000.0) * F.sqrt(F.col("c") * F.sqrt(F.col("c")))
+    ).cast("long")
+    staged = counts.select("w", "c", wmic.alias("w_micro"))
+    cum = F.sum("w_micro").over(
+        Window.orderBy(F.desc("c"), F.asc("w")).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    tot = F.sum("w_micro").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        staged.select(
+            "w",
+            "c",
+            "w_micro",
+            (cum - F.col("w_micro")).alias("cum_start"),
+            cum.alias("cum_end"),
+            tot.alias("total_micro"),
+        )
+        .withColumn("p_micro", F.expr("(1000000 * w_micro) div total_micro"))
+        .orderBy("cum_start")
+    )
+
+
+_NEG_SAMPLING_SQL = f"""
+WITH counts AS (
+    SELECT w, COUNT(*) AS c
+    FROM (SELECT UNNEST({sql_tokens("text")}) AS w FROM documents)
+    GROUP BY w
+    ORDER BY c DESC, w ASC
+    LIMIT {NEG_VOCAB}
+),
+staged AS (
+    SELECT w, c,
+        CAST(FLOOR(1000000.0 * SQRT(c * SQRT(c))) AS BIGINT) AS w_micro
+    FROM counts
+),
+cums AS (
+    SELECT w, c, w_micro,
+        CAST(SUM(w_micro) OVER (ORDER BY c DESC, w ASC
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end,
+        CAST(SUM(w_micro) OVER () AS BIGINT) AS total_micro
+    FROM staged
+)
+SELECT w, c, w_micro,
+    cum_end - w_micro AS cum_start,
+    cum_end,
+    total_micro,
+    (1000000 * w_micro) // total_micro AS p_micro
+FROM cums
+ORDER BY cum_start
+"""
+
+
 QUERIES = {
+    "sample_negative_sampling": sample_negative_sampling,
     "sample_epoch_plan": sample_epoch_plan,
     "text_dsir_importance": text_dsir_importance,
     "sample_weighted_without_replacement": sample_weighted_without_replacement,
@@ -1963,6 +2049,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sample_negative_sampling": _NEG_SAMPLING_SQL,
     "sample_epoch_plan": _EPOCH_PLAN_SQL,
     "text_dsir_importance": _DSIR_SQL,
     "sample_weighted_without_replacement": _WSAMPLE_SQL,

@@ -5579,6 +5579,131 @@ FROM m
 """
 
 
+# ------------------------------------------------- delta-method ratio CI
+
+
+def agg_ratio_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric (revenue
+    per unit = Σ extendedprice / Σ quantity per return flag) — ratio
+    metrics are the norm in experiments (revenue/user, CTR) and their
+    variance is NOT the numerator's: Var(X̄/Ȳ) ≈ (σx² − 2rσxy +
+    r²σy²)/(nȲ²), the first-order Taylor expansion every A/B platform
+    implements.  Complements ``agg_conversion_wilson_ci`` (binomial
+    proportions) and ``agg_welch_ttest`` (mean differences).
+
+    The five moment sums (Σx, Σy, Σx², Σy², Σxy) accumulate as exact
+    integers on cent-quantized values (decimal(38,0) absorbs any
+    corpus size), so reduction order cannot move them; the CI itself
+    is one fixed-shape double expression (divides, one sqrt, ±1.96)
+    rounded to 6 dp — the identical op sequence in both engines.
+    One scan, partial-aggregated, |flags| rows out."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.floor(F.col("l_extendedprice") * 100).cast("long")  # cents
+    y = F.col("l_quantity").cast("long")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = (
+        li.select(F.col("l_returnflag").alias("flag"), x.alias("x"), y.alias("y"))
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(d38(F.col("x"))).alias("sx"),
+            F.sum(d38(F.col("y"))).alias("sy"),
+            F.sum(d38(F.col("x") * F.col("x"))).alias("sxx"),
+            F.sum(d38(F.col("y") * F.col("y"))).alias("syy"),
+            F.sum(d38(F.col("x") * F.col("y"))).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / nd
+    my = F.col("sy").cast("double") / nd
+    vx = F.col("sxx").cast("double") / nd - mx * mx
+    vy = F.col("syy").cast("double") / nd - my * my
+    cxy = F.col("sxy").cast("double") / nd - mx * my
+    r = F.col("sx").cast("double") / F.col("sy").cast("double")
+    var_r = (vx - F.lit(2.0) * r * cxy + r * r * vy) / (nd * my * my)
+    se = F.sqrt(var_r)
+    return m.select(
+        "flag",
+        "n",
+        F.round(r, 6).alias("ratio"),
+        F.round(se, 6).alias("se"),
+        F.round(r - F.lit(1.96) * se, 6).alias("ci_lo"),
+        F.round(r + F.lit(1.96) * se, 6).alias("ci_hi"),
+    ).orderBy("flag")
+
+
+_RATIO_CI_SQL = """
+WITH m AS (
+    SELECT l_returnflag AS flag, COUNT(*) AS n,
+        SUM(CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                 AS DECIMAL(38,0))) AS sx,
+        SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS sy,
+        SUM(CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                 * CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                 AS DECIMAL(38,0))) AS sxx,
+        SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                 AS DECIMAL(38,0))) AS syy,
+        SUM(CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                 * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS sxy
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT flag, n,
+    ROUND(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE), 6) AS ratio,
+    ROUND(SQRT((
+        (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+         - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+        - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+          * (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+        + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+          * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+          * (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+    ) / (CAST(n AS DOUBLE)
+         * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+         * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))), 6) AS se,
+    ROUND(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)
+          - 1.96 * SQRT((
+        (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+         - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+        - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+          * (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+        + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+          * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+          * (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+    ) / (CAST(n AS DOUBLE)
+         * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+         * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))), 6) AS ci_lo,
+    ROUND(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)
+          + 1.96 * SQRT((
+        (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+         - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+        - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+          * (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+        + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+          * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+          * (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+    ) / (CAST(n AS DOUBLE)
+         * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+         * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))), 6) AS ci_hi
+FROM m
+ORDER BY flag
+"""
+
+
 # ------------------------------------------------- naive Bayes lang ID
 
 
@@ -5782,6 +5907,7 @@ ORDER BY bucket
 
 QUERIES = {
     "agg_expected_calibration_error": agg_expected_calibration_error,
+    "agg_ratio_delta_ci": agg_ratio_delta_ci,
     "ml_naive_bayes_langid": ml_naive_bayes_langid,
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -5854,6 +5980,7 @@ QUERIES = {
 
 ORACLES = {
     "agg_expected_calibration_error": _ECE_SQL,
+    "agg_ratio_delta_ci": _RATIO_CI_SQL,
     "ml_naive_bayes_langid": _NB_LANGID_SQL,
     "quality_ks_drift": _KS_SQL,
     "agg_survival_km": _KM_SQL,

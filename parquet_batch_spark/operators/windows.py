@@ -1246,7 +1246,106 @@ ORDER BY user_id
 """
 
 
+# ----------------------------------------- Allen interval relations
+
+ALLEN_DUR_MOD = 20  # synthetic duration: 2 + key % 20 days
+
+
+def window_allen_interval_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval-algebra census over consecutive order
+    intervals per customer — the classification layer interval
+    reasoning (temporal joins, conflict detection, coverage audits)
+    is built on: each adjacent pair (sorted by start, so a.start ≤
+    b.start) lands in exactly one of the eight start-ordered Allen
+    relations (precedes, meets, overlaps, finished_by, contains,
+    starts, started_by, equals).  ``window_interval_coalesce`` merges
+    overlaps; this names them — the diagnostic before choosing a
+    merge/split policy.
+
+    Intervals are synthetic-deterministic (start = order date, length
+    2 + key mod {ALLEN_DUR_MOD} days) in exact integer epoch days, so
+    every comparison is int64.  Scale: one lead() window per customer
+    (hash-partitioned by key like every per-entity sequence op) and a
+    relation-grain aggregate — the census output is 8 rows."""
+    o = load(spark, sf_dir, "orders")
+    # integer division on both sides: DuckDB's double->BIGINT cast
+    # ROUNDS while Spark's truncates, so a float quotient would be a
+    # cross-engine trap the moment a timestamp isn't midnight-aligned
+    day = F.expr(
+        "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+    )
+    base = o.select(
+        "o_custkey",
+        "o_orderkey",
+        day.alias("s"),
+    ).withColumn(
+        "e", F.col("s") + 2 + F.col("o_orderkey") % ALLEN_DUR_MOD
+    )
+    w = W.partitionBy("o_custkey").orderBy("s", "o_orderkey")
+    paired = (
+        base.withColumn("s2", F.lead("s").over(w))
+        .withColumn("e2", F.lead("e").over(w))
+        .filter(F.col("s2").isNotNull())
+    )
+    rel = (
+        F.when(F.col("e") < F.col("s2"), "precedes")
+        .when(F.col("e") == F.col("s2"), "meets")
+        .when(
+            (F.col("s") < F.col("s2")) & (F.col("e") < F.col("e2")), "overlaps"
+        )
+        .when(
+            (F.col("s") < F.col("s2")) & (F.col("e") == F.col("e2")),
+            "finished_by",
+        )
+        .when((F.col("s") < F.col("s2")), "contains")
+        .when(F.col("e") < F.col("e2"), "starts")
+        .when(F.col("e") == F.col("e2"), "equals")
+        .otherwise("started_by")
+    )
+    return (
+        paired.select(rel.alias("relation"))
+        .groupBy("relation")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("relation")
+    )
+
+
+_ALLEN_SQL = f"""
+WITH base AS (
+    SELECT o_custkey, o_orderkey,
+        epoch_us(o_orderdate) // 86400000000 AS s,
+        epoch_us(o_orderdate) // 86400000000
+            + 2 + o_orderkey % {ALLEN_DUR_MOD} AS e
+    FROM orders
+),
+paired AS (
+    SELECT s, e,
+        LEAD(s) OVER w AS s2, LEAD(e) OVER w AS e2
+    FROM base
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY s, o_orderkey)
+),
+rels AS (
+    SELECT CASE
+        WHEN e < s2 THEN 'precedes'
+        WHEN e = s2 THEN 'meets'
+        WHEN s < s2 AND e < e2 THEN 'overlaps'
+        WHEN s < s2 AND e = e2 THEN 'finished_by'
+        WHEN s < s2 THEN 'contains'
+        WHEN e < e2 THEN 'starts'
+        WHEN e = e2 THEN 'equals'
+        ELSE 'started_by'
+    END AS relation
+    FROM paired WHERE s2 IS NOT NULL
+)
+SELECT relation, COUNT(*) AS n_pairs
+FROM rels
+GROUP BY relation
+ORDER BY relation
+"""
+
+
 QUERIES = {
+    "window_allen_interval_relations": window_allen_interval_relations,
     "window_bollinger_breaches": window_bollinger_breaches,
     "window_local_extrema": window_local_extrema,
     "window_seasonal_baseline": window_seasonal_baseline,
@@ -1272,6 +1371,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_allen_interval_relations": _ALLEN_SQL,
     "window_bollinger_breaches": _BOLL_SQL,
     "window_local_extrema": _EXTREMA_SQL,
     "window_seasonal_baseline": _seasonal_sql(),

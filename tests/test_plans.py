@@ -435,6 +435,9 @@ def test_global_windows_only_over_reduced_tables(spark, sf_smoke):
         "sample_ab_assignment_srm", "agg_chi_square_independence",
         # r5: windows over the <=|sources|-row per-source token table
         "sample_epoch_plan",
+        # r5 third session: cumulative ranges over the top-200-word
+        # reduced vocab rank table (bounded by NEG_VOCAB)
+        "sample_negative_sampling",
         # r5 second session: lag/lead anchors over the hour-bucket
         # table (bounded by the time domain, ~720 rows at sf0.1)
         "rollup_downsample_ltob",

@@ -430,6 +430,85 @@ def test_pq_distortion_shape(spark, sf_dir):
         assert 0 <= r["mean_d2_nano"] <= r["max_d2_nano"]
 
 
+def test_negative_sampling_table_contract(spark, sf_dir):
+    from parquet_batch_spark.operators.llm_prep import (
+        NEG_VOCAB,
+        sample_negative_sampling,
+    )
+
+    rows = sample_negative_sampling(spark, sf_dir).collect()
+    # synthetic corpus vocab (~31 words) is below the top-V cap
+    assert 10 < len(rows) <= NEG_VOCAB
+    # contiguous, gap-free cumulative ranges covering [0, total)
+    assert rows[0]["cum_start"] == 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["cum_start"] == prev["cum_end"]
+    assert rows[-1]["cum_end"] == rows[0]["total_micro"]
+    for r in rows:
+        # w^(3/4) flattening: micro weight between c^(1/2) and c scales
+        assert r["cum_end"] - r["cum_start"] == r["w_micro"]
+        assert 0 <= r["p_micro"] <= 1_000_000
+        expected = int((r["c"] * (r["c"] ** 0.5)) ** 0.5 * 1_000_000)
+        assert abs(r["w_micro"] - expected) <= 1  # float-assoc slack
+
+
+def test_allen_relations_partition_pairs(spark, sf_dir):
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.operators.windows import (
+        window_allen_interval_relations,
+    )
+
+    rows = window_allen_interval_relations(spark, sf_dir).collect()
+    names = {r["relation"] for r in rows}
+    assert names <= {
+        "precedes", "meets", "overlaps", "finished_by", "contains",
+        "starts", "started_by", "equals",
+    }
+    n_orders = load(spark, sf_dir, "orders").count()
+    n_custs = (
+        load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    # every consecutive pair classified exactly once
+    assert sum(r["n_pairs"] for r in rows) == n_orders - n_custs
+
+
+def test_ratio_ci_matches_python(spark, sf_dir):
+    import math
+
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.operators.stats_ops import agg_ratio_delta_ci
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect()
+    groups: dict[str, list] = {}
+    for r in li:
+        groups.setdefault(r["l_returnflag"], []).append(
+            (math.floor(r["l_extendedprice"] * 100), int(r["l_quantity"]))
+        )
+    got = {r["flag"]: r for r in agg_ratio_delta_ci(spark, sf_dir).collect()}
+    for flag, vals in groups.items():
+        n = len(vals)
+        sx = sum(v[0] for v in vals)
+        sy = sum(v[1] for v in vals)
+        sxx = sum(v[0] * v[0] for v in vals)
+        syy = sum(v[1] * v[1] for v in vals)
+        sxy = sum(v[0] * v[1] for v in vals)
+        mx, my = sx / n, sy / n
+        r_hat = sx / sy
+        var = (
+            (sxx / n - mx * mx)
+            - 2.0 * r_hat * (sxy / n - mx * my)
+            + r_hat * r_hat * (syy / n - my * my)
+        ) / (n * my * my)
+        se = math.sqrt(var)
+        row = got[flag]
+        assert row["n"] == n
+        assert abs(row["ratio"] - r_hat) < 1e-5
+        assert abs(row["se"] - se) < 1e-5
+        assert row["ci_lo"] < row["ratio"] < row["ci_hi"]
+
+
 def test_fertility_ratio_bounds(spark, sf_dir):
     rows = text_tokenizer_fertility(spark, sf_dir).collect()
     assert rows
