@@ -161,6 +161,8 @@ HEADLINE = [
     "sample_negative_sampling",
     "window_allen_interval_relations",
     "agg_ratio_delta_ci",
+    "text_winnowing_fingerprints",
+    "quality_luhn_validation",
 ]
 
 

@@ -751,6 +751,86 @@ ORDER BY source, len_bucket
 """
 
 
+# ------------------------------------------- Luhn checksum validation
+
+LUHN_DIGITS = 16
+
+
+def quality_luhn_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn mod-10 checksum validation — the second stage of credit-
+    card PII detection: a 16-digit regex (``pii_detect``'s job) has a
+    ~10% false-positive rate on arbitrary digit runs, and the Luhn
+    check is the standard filter that removes 9 of those 10.
+    Candidates here are deterministic synthetic account numbers
+    derived from order keys (a production run feeds the regex
+    extractor's hits through the identical validator).
+
+    The checksum is pure integer digit arithmetic in one in-row fold
+    (double every second digit from the right, subtract 9 above 9,
+    sum mod 10) — map-only, whole-stage codegen, no Python.  Output:
+    per order priority, candidates / Luhn-valid count / valid rate in
+    exact micro-units (≈1/10 by construction — the false-positive
+    rate the checksum screens at)."""
+    o = load(spark, sf_dir, "orders")
+    cand = F.lpad(
+        (F.col("o_orderkey") * 48271 % F.lit(10**15)).cast("string"),
+        LUHN_DIGITS,
+        "0",
+    )
+    staged = o.select(F.col("o_orderpriority").alias("prio"), cand.alias("s"))
+    digit = lambda i: F.substring(F.col("s"), i, 1).cast("int")  # noqa: E731
+    # position from the right p = LUHN_DIGITS - i + 1; double evens
+    term = lambda i: F.when(  # noqa: E731
+        F.lit((LUHN_DIGITS - i + 1) % 2 == 0),
+        F.when(digit(i) * 2 > 9, digit(i) * 2 - 9).otherwise(digit(i) * 2),
+    ).otherwise(digit(i))
+    total = sum([term(i) for i in range(1, LUHN_DIGITS + 1)], F.lit(0))
+    flagged = staged.select("prio", (total % 10 == 0).alias("valid"))
+    return (
+        flagged.groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.when(F.col("valid"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_valid"),
+        )
+        .withColumn(
+            "valid_rate_micro", F.expr("(1000000 * n_valid) div n_candidates")
+        )
+        .orderBy("prio")
+    )
+
+
+def _luhn_term_sql(i: int) -> str:
+    d = f"CAST(substr(s, {i}, 1) AS INTEGER)"
+    if (LUHN_DIGITS - i + 1) % 2 == 0:
+        return f"(CASE WHEN {d} * 2 > 9 THEN {d} * 2 - 9 ELSE {d} * 2 END)"
+    return d
+
+
+_LUHN_SQL = f"""
+WITH staged AS (
+    SELECT o_orderpriority AS prio,
+        lpad(CAST(o_orderkey * 48271 % 1000000000000000 AS VARCHAR),
+             {LUHN_DIGITS}, '0') AS s
+    FROM orders
+),
+flagged AS (
+    SELECT prio,
+        ({" + ".join(_luhn_term_sql(i) for i in range(1, LUHN_DIGITS + 1))})
+            % 10 = 0 AS valid
+    FROM staged
+)
+SELECT prio, COUNT(*) AS n_candidates,
+    CAST(SUM(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+    (1000000 * CAST(SUM(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT))
+        // COUNT(*) AS valid_rate_micro
+FROM flagged
+GROUP BY prio
+ORDER BY prio
+"""
+
+
 # ------------------------------------------- randomized response
 
 RR_FLIP_DEN = 4  # flip probability 1/4 → report is truthful with p = 3/4
@@ -910,6 +990,7 @@ QUERIES = {
     "privacy_l_diversity": privacy_l_diversity,
     "privacy_randomized_response": privacy_randomized_response,
     "sample_pps_systematic": sample_pps_systematic,
+    "quality_luhn_validation": quality_luhn_validation,
     "pii_detect": pii_detect,
     "decontam_ngram_overlap": decontam_ngram_overlap,
     "decontam_bloom_filter": decontam_bloom_filter,
@@ -930,6 +1011,7 @@ ORACLES = {
     "privacy_l_diversity": _LDIV_SQL,
     "privacy_randomized_response": _RR_SQL,
     "sample_pps_systematic": _PPS_SQL,
+    "quality_luhn_validation": _LUHN_SQL,
     "sample_stratified": _SAMPLE_SQL,
     "sample_reservoir_per_group": _RESERVOIR_SQL,
     "quality_repetition": _QUALITY_SQL,

@@ -1008,6 +1008,107 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------- winnowing (MOSS)
+
+WIN_K = 4  # tokens per gram
+WIN_W = 8  # winnowing window (guarantee: any match ≥ w+k-1 tokens shares
+#            a fingerprint; expected density 2/(w+1))
+
+
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken —
+    the MOSS plagiarism-detector scheme): hash every {WIN_K}-token
+    gram, then keep the MINIMUM hash of each sliding {WIN_W}-window.
+    Unlike minhash (a per-document global sketch), winnowing gives a
+    POSITIONAL guarantee: any shared run of ≥ {WIN_W + WIN_K - 1}
+    tokens contributes at least one common fingerprint — the property
+    substring-level dedup needs and document-level sketches cannot
+    give.  Output per doc: gram/window/fingerprint counts and the
+    selected density (theory: ≈ 2/(w+1) of grams on random input),
+    plus a fingerprint-set checksum so selection itself is
+    oracle-checked.
+
+    Map-only: gram hashes are projected ONCE as a column (higher-
+    order lambdas re-evaluate captured expressions per element —
+    the recorded interpreter-no-CSE gotcha), and window minima are an
+    O(n·w) in-row fold in exact int64.  At 100 TB the fingerprint
+    EXPLODE + equi-join (the dedup consumer) rides the same inverted-
+    index discipline as the shingle family."""
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    # project the token array FIRST: a lambda that captured the split()
+    # expression would re-tokenize per element (interpreted HOFs do no
+    # CSE); referencing the bound column is free
+    tkd = d.select("doc_id", tokens_col("text").alias("tk"))
+    n = F.size("tk")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - WIN_K + 1, F.lit(0))),
+        lambda i: hash32(F.concat_ws(" ", F.slice("tk", i, WIN_K))),
+    )
+    staged = tkd.select("doc_id", grams.alias("g"))
+    n_g = F.size("g")
+    n_w = F.greatest(n_g - WIN_W + 1, F.lit(0))
+    sel = F.when(
+        F.col("n_w") >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_w")),
+                lambda j: F.array_min(F.slice("g", j, WIN_W)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    out = (
+        staged.withColumn("n_g", n_g)
+        .withColumn("n_w", n_w)
+        .withColumn("sel", sel)
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_g").cast("long").alias("n_grams"),
+        F.col("n_w").cast("long").alias("n_windows"),
+        F.size("sel").cast("long").alias("n_fingerprints"),
+        F.expr("(1000000 * size(sel)) div greatest(n_w, 1)").alias(
+            "density_micro"
+        ),
+        F.aggregate(
+            F.col("sel"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("fp_checksum"),
+    ).orderBy("doc_id")
+
+
+_WINNOW_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, {sql_tokens("text")} AS tk FROM documents
+),
+grams AS (
+    SELECT doc_id,
+        list_transform(
+            generate_series(1, GREATEST(len(tk) - {WIN_K} + 1, 0)),
+            i -> {sql_hash32(f"array_to_string(tk[i : i + {WIN_K} - 1], ' ')")}
+        ) AS g
+    FROM toks
+),
+sel AS (
+    SELECT doc_id, g, len(g) AS n_g,
+        GREATEST(len(g) - {WIN_W} + 1, 0) AS n_w,
+        CASE WHEN len(g) - {WIN_W} + 1 >= 1 THEN
+            list_distinct(list_transform(
+                generate_series(1, len(g) - {WIN_W} + 1),
+                j -> list_min(g[j : j + {WIN_W} - 1])))
+        ELSE [] END AS s
+    FROM grams
+)
+SELECT doc_id,
+    CAST(n_g AS BIGINT) AS n_grams,
+    CAST(n_w AS BIGINT) AS n_windows,
+    CAST(len(s) AS BIGINT) AS n_fingerprints,
+    (1000000 * CAST(len(s) AS BIGINT)) // GREATEST(CAST(n_w AS BIGINT), 1)
+        AS density_micro,
+    CAST(COALESCE(list_sum(s), 0) AS BIGINT) AS fp_checksum
+FROM sel
+ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------- BM25 retrieval
 
 BM25_QUERY = ("spark", "data", "merge")  # fixed audit query
@@ -1304,6 +1405,7 @@ ORDER BY lang, source
 
 QUERIES = {
     "text_bm25_topk": text_bm25_topk,
+    "text_winnowing_fingerprints": text_winnowing_fingerprints,
     "text_lexical_diversity": text_lexical_diversity,
     "text_tokenizer_fertility": text_tokenizer_fertility,
     "text_vocab_growth": text_vocab_growth,
@@ -1324,6 +1426,7 @@ QUERIES = {
 
 ORACLES = {
     "text_bm25_topk": _BM25_SQL,
+    "text_winnowing_fingerprints": _WINNOW_SQL,
     "text_lexical_diversity": _MSTTR_SQL,
     "text_tokenizer_fertility": _FERTILITY_SQL,
     "text_vocab_growth": _VOCAB_GROWTH_SQL,

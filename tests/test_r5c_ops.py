@@ -509,6 +509,76 @@ def test_ratio_ci_matches_python(spark, sf_dir):
         assert row["ci_lo"] < row["ratio"] < row["ci_hi"]
 
 
+def test_winnowing_matches_python(spark, sf_dir):
+    import hashlib
+
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.operators.text_analysis import (
+        WIN_K,
+        WIN_W,
+        text_winnowing_fingerprints,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter("doc_id < 10").collect()
+    got = {
+        r["doc_id"]: r
+        for r in text_winnowing_fingerprints(spark, sf_dir).collect()
+    }
+    for row in docs:
+        t = row["text"].split()
+        grams = [
+            int(
+                hashlib.md5(" ".join(t[i : i + WIN_K]).encode()).hexdigest()[:8],
+                16,
+            )
+            for i in range(len(t) - WIN_K + 1)
+        ]
+        n_w = max(len(grams) - WIN_W + 1, 0)
+        sel = []
+        for j in range(n_w):
+            m = min(grams[j : j + WIN_W])
+            if m not in sel:
+                sel.append(m)
+        r = got[row["doc_id"]]
+        assert r["n_grams"] == len(grams)
+        assert r["n_windows"] == n_w
+        assert r["n_fingerprints"] == len(sel)
+        assert r["fp_checksum"] == sum(sel)
+    # density theory check: ~2/(w+1) of windows select a new fingerprint
+    dens = [r["density_micro"] for r in got.values() if r["n_windows"] > 50]
+    if dens:
+        mean = sum(dens) / len(dens)
+        assert 2_000_000 // (WIN_W + 1) * 0.4 < mean < 2_000_000 // (WIN_W + 1) * 3
+
+
+def test_luhn_validates_about_a_tenth(spark, sf_dir):
+    from parquet_batch_spark.operators.pipeline_ops import (
+        quality_luhn_validation,
+    )
+
+    rows = quality_luhn_validation(spark, sf_dir).collect()
+    n = sum(r["n_candidates"] for r in rows)
+    v = sum(r["n_valid"] for r in rows)
+    assert n > 0
+    # mod-10 checksum passes ~1/10 of arbitrary digit strings
+    assert 0.05 < v / n < 0.15
+    # python cross-check of the checksum on a few candidates
+    def luhn_ok(s: str) -> bool:
+        tot = 0
+        for i, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            tot += d
+        return tot % 10 == 0
+
+    sample = [f"{(k * 48271) % 10**15:016d}" for k in range(1, 200)]
+    rate = sum(luhn_ok(s) for s in sample) / len(sample)
+    assert 0.03 < rate < 0.2
+
+
 def test_fertility_ratio_bounds(spark, sf_dir):
     rows = text_tokenizer_fertility(spark, sf_dir).collect()
     assert rows
