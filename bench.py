@@ -163,6 +163,8 @@ HEADLINE = [
     "agg_ratio_delta_ci",
     "text_winnowing_fingerprints",
     "quality_luhn_validation",
+    "agg_shapley_attribution",
+    "rollup_sax_symbols",
 ]
 
 

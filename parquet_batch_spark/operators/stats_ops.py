@@ -5579,6 +5579,255 @@ FROM m
 """
 
 
+# ------------------------------------------------- SAX symbolization
+
+SAX_SLOTS = 24  # hour-of-day profile length
+SAX_SEG = 4  # hours per PAA segment → 6 symbols
+SAX_BP = 0.6745  # N(0,1) quartile breakpoints for a 4-symbol alphabet
+
+
+def rollup_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation, Lin/Keogh) of each
+    user's hour-of-day activity profile: PAA-average the 24-slot
+    series into {SAX_SLOTS // SAX_SEG} segments, z-normalize against
+    the user's own profile, and map each segment to a 4-letter
+    alphabet at the published N(0,1) quartile breakpoints (±{SAX_BP},
+    0).  The resulting 6-character word is the classic
+    similarity-searchable time-series signature (two users with the
+    same word have provably close profiles under the SAX lower bound)
+    — the symbolic layer motif mining and anomaly grouping build on.
+
+    Variant note: PAA-then-normalize (segment means normalized by the
+    profile's own μ/σ) — algebraically equal to classic
+    normalize-then-PAA up to the σ scale, chosen because every input
+    to the one double expression (μ_s − μ in exact milli-ints,
+    σ via one sqrt of an exact int64 variance numerator) is integer,
+    so both engines evaluate the identical IEEE comparison against
+    bp·σ.  Zero-variance profiles emit the middle symbol.
+
+    Scale: two partial-aggregated reductions (user×hour, then user —
+    the segment sums are FILTER-style conditional aggregates, no
+    window, no pivot), map-only symbol assembly; one row per user."""
+    ev = load(spark, sf_dir, "events")
+    hour = F.expr("unix_micros(cast(ts as timestamp)) div 3600000000 % 24")
+    slots = (
+        ev.select(
+            "user_id",
+            hour.alias("h"),
+            F.floor(F.col("value") * 1000).cast("long").alias("v_milli"),
+        )
+        .groupBy("user_id", "h")
+        .agg(F.sum("v_milli").alias("s"))
+    )
+    n_segs = SAX_SLOTS // SAX_SEG
+    seg_aggs = [
+        F.sum(
+            F.when(F.col("h").between(i * SAX_SEG, (i + 1) * SAX_SEG - 1), F.col("s")).otherwise(0)
+        ).alias(f"seg{i}")
+        for i in range(n_segs)
+    ]
+    per_user = slots.groupBy("user_id").agg(
+        F.sum("s").alias("sx"),
+        F.sum(F.col("s") * F.col("s")).alias("sxx"),
+        *seg_aggs,
+    )
+    varnum = F.lit(SAX_SLOTS) * F.col("sxx") - F.col("sx") * F.col("sx")
+    staged = per_user.withColumn("varnum", varnum).withColumn(
+        "mu", F.expr(f"sx div {SAX_SLOTS}")
+    )
+    thr = F.lit(SAX_BP) * F.sqrt(F.col("varnum").cast("double"))
+
+    def sym(i: int):
+        diff = (
+            (F.expr(f"seg{i} div {SAX_SEG}") - F.col("mu")).cast("double")
+            * F.lit(float(SAX_SLOTS))
+        )
+        return (
+            F.when(F.col("varnum") == 0, "b")
+            .when(diff < -thr, "a")
+            .when(diff < 0, "b")
+            .when(diff < thr, "c")
+            .otherwise("d")
+        )
+
+    return staged.select(
+        "user_id",
+        F.col("sx").alias("total_milli"),
+        F.concat(*[sym(i) for i in range(n_segs)]).alias("sax"),
+    ).orderBy("user_id")
+
+
+def _sax_sql() -> str:
+    n_segs = SAX_SLOTS // SAX_SEG
+    segs = ",\n        ".join(
+        f"CAST(SUM(CASE WHEN h BETWEEN {i * SAX_SEG} AND {(i + 1) * SAX_SEG - 1}"
+        f" THEN s ELSE 0 END) AS BIGINT) AS seg{i}"
+        for i in range(n_segs)
+    )
+    syms = []
+    for i in range(n_segs):
+        diff = f"CAST(seg{i} // {SAX_SEG} - mu AS DOUBLE) * {float(SAX_SLOTS)}"
+        syms.append(
+            f"CASE WHEN varnum = 0 THEN 'b' "
+            f"WHEN {diff} < -thr THEN 'a' "
+            f"WHEN {diff} < 0 THEN 'b' "
+            f"WHEN {diff} < thr THEN 'c' ELSE 'd' END"
+        )
+    return f"""
+WITH slots AS (
+    SELECT user_id,
+        epoch_us(ts) // 3600000000 % 24 AS h,
+        CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS s
+    FROM events GROUP BY user_id, epoch_us(ts) // 3600000000 % 24
+),
+per_user AS (
+    SELECT user_id,
+        CAST(SUM(s) AS BIGINT) AS sx,
+        CAST(SUM(s * s) AS BIGINT) AS sxx,
+        {segs}
+    FROM slots GROUP BY user_id
+),
+staged AS (
+    SELECT *, {SAX_SLOTS} * sxx - sx * sx AS varnum,
+        sx // {SAX_SLOTS} AS mu,
+        {SAX_BP} * SQRT(CAST({SAX_SLOTS} * sxx - sx * sx AS DOUBLE)) AS thr
+    FROM per_user
+)
+SELECT user_id, sx AS total_milli,
+    {" || ".join(syms)} AS sax
+FROM staged
+ORDER BY user_id
+"""
+
+
+# ------------------------------------------------- Shapley attribution
+
+SHAP_CHANNELS = ("click", "error", "signup", "view")  # bit i = channel i
+# w(|S|) = |S|!·(k−|S|−1)!  for k=4; φ denominators carry k! = 24
+_SHAP_W = {0: 6, 1: 2, 2: 2, 3: 6}
+
+
+def _shap_pairs() -> list[tuple[str, int, int, int]]:
+    """(channel, S_mask, S∪{c}_mask, w) for every channel and every
+    coalition S not containing it — the 32-row literal Shapley map."""
+    out = []
+    for ci, ch in enumerate(SHAP_CHANNELS):
+        bit = 1 << ci
+        for s in range(1 << len(SHAP_CHANNELS)):
+            if s & bit:
+                continue
+            out.append((ch, s, s | bit, _SHAP_W[bin(s).count("1")]))
+    return out
+
+
+def agg_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution — the game-theoretic
+    credit split (Google Ads' data-driven attribution) that first/
+    last-touch heuristics (``agg_touch_attribution``) approximate:
+    with k={len(SHAP_CHANNELS)} channels there are only 2^k observable
+    coalition types, so the characteristic function v(S) = conversion
+    rate of users whose touched-channel set is exactly S reduces the
+    CORPUS to a 16-row table, and φ_c = Σ_S |S|!(k−|S|−1)!/k! ·
+    (v(S∪c) − v(S)) is an exact 32-term integer sum over it.
+    Unobserved coalitions take v = 0 (the standard practical
+    fallback, stated here because it IS a modeling choice).
+
+    Everything is integer micro-units: v in micro via BIGINT division,
+    weights the exact factorial products, φ emitted both ×k! (pure
+    integer) and divided down.  Scale: one user-grain bitmask
+    reduction (bit_or partial-agg), one 16-row aggregate, then joins
+    against the 32-row literal map — corpus cost is ONE pass."""
+    ev = load(spark, sf_dir, "events")
+    bit = F.lit(0)
+    for i, ch in enumerate(SHAP_CHANNELS):
+        bit = bit + F.when(F.col("event_type") == ch, 1 << i).otherwise(0)
+    users = (
+        ev.select(
+            "user_id",
+            bit.alias("b"),
+            (F.col("event_type") == "purchase").cast("int").alias("p"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.bit_or("b").alias("mask"),
+            F.max("p").alias("converted"),
+        )
+    )
+    subsets = users.groupBy("mask").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_conv"),
+    ).withColumn("v_micro", F.expr("(1000000 * n_conv) div n_users"))
+    pairs = spark.createDataFrame(
+        _shap_pairs(), "channel string, s_mask int, u_mask int, w int"
+    )
+    vs = subsets.select(
+        F.col("mask").alias("s_mask"), F.col("v_micro").alias("v_s")
+    )
+    vu = subsets.select(
+        F.col("mask").alias("u_mask"), F.col("v_micro").alias("v_u")
+    )
+    terms = (
+        pairs.join(F.broadcast(vs), "s_mask", "left")
+        .join(F.broadcast(vu), "u_mask", "left")
+        .select(
+            "channel",
+            (
+                F.col("w")
+                * (
+                    F.coalesce(F.col("v_u"), F.lit(0))
+                    - F.coalesce(F.col("v_s"), F.lit(0))
+                )
+            ).alias("t"),
+        )
+    )
+    # NB: only the x24-scaled value is emitted — phi itself would need
+    # a signed integer division, and Spark's div truncates toward zero
+    # while DuckDB's // floors (they differ on negatives)
+    return (
+        terms.groupBy("channel")
+        .agg(F.sum("t").cast("long").alias("phi_scaled_micro"))
+        .orderBy("channel")
+    )
+
+
+def _shap_sql() -> str:
+    vals = ", ".join(
+        f"('{c}', {s}, {u}, {w})" for c, s, u, w in _shap_pairs()
+    )
+    bits = " + ".join(
+        f"CASE WHEN event_type = '{ch}' THEN {1 << i} ELSE 0 END"
+        for i, ch in enumerate(SHAP_CHANNELS)
+    )
+    return f"""
+WITH users AS (
+    SELECT user_id, bit_or({bits}) AS mask,
+        MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+    FROM events GROUP BY user_id
+),
+subsets AS (
+    SELECT mask, COUNT(*) AS n_users,
+        CAST(SUM(converted) AS BIGINT) AS n_conv
+    FROM users GROUP BY mask
+),
+v AS (
+    SELECT mask, (1000000 * n_conv) // n_users AS v_micro FROM subsets
+),
+pairs(channel, s_mask, u_mask, w) AS (VALUES {vals}),
+terms AS (
+    SELECT p.channel,
+        p.w * (COALESCE(vu.v_micro, 0) - COALESCE(vs.v_micro, 0)) AS t
+    FROM pairs p
+    LEFT JOIN v vs ON vs.mask = p.s_mask
+    LEFT JOIN v vu ON vu.mask = p.u_mask
+)
+SELECT channel,
+    CAST(SUM(t) AS BIGINT) AS phi_scaled_micro
+FROM terms
+GROUP BY channel
+ORDER BY channel
+"""
+
+
 # ------------------------------------------------- delta-method ratio CI
 
 
@@ -5908,6 +6157,8 @@ ORDER BY bucket
 QUERIES = {
     "agg_expected_calibration_error": agg_expected_calibration_error,
     "agg_ratio_delta_ci": agg_ratio_delta_ci,
+    "agg_shapley_attribution": agg_shapley_attribution,
+    "rollup_sax_symbols": rollup_sax_symbols,
     "ml_naive_bayes_langid": ml_naive_bayes_langid,
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -5981,6 +6232,8 @@ QUERIES = {
 ORACLES = {
     "agg_expected_calibration_error": _ECE_SQL,
     "agg_ratio_delta_ci": _RATIO_CI_SQL,
+    "agg_shapley_attribution": _shap_sql(),
+    "rollup_sax_symbols": _sax_sql(),
     "ml_naive_bayes_langid": _NB_LANGID_SQL,
     "quality_ks_drift": _KS_SQL,
     "agg_survival_km": _KM_SQL,

@@ -579,6 +579,53 @@ def test_luhn_validates_about_a_tenth(spark, sf_dir):
     assert 0.03 < rate < 0.2
 
 
+def test_shapley_efficiency_axiom(spark, sf_dir):
+    """Shapley values must sum to v(grand coalition) − v(∅) — the
+    efficiency axiom, exact in the ×k! scaled integers."""
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.operators.stats_ops import (
+        SHAP_CHANNELS,
+        agg_shapley_attribution,
+    )
+
+    rows = agg_shapley_attribution(spark, sf_dir).collect()
+    assert [r["channel"] for r in rows] == sorted(SHAP_CHANNELS)
+    ev = load(spark, sf_dir, "events").collect()
+    users: dict[int, tuple[int, int]] = {}
+    for e in ev:
+        mask, conv = users.get(e["user_id"], (0, 0))
+        for i, ch in enumerate(SHAP_CHANNELS):
+            if e["event_type"] == ch:
+                mask |= 1 << i
+        users[e["user_id"]] = (mask, conv | (e["event_type"] == "purchase"))
+    from collections import Counter
+
+    n_u: Counter = Counter()
+    n_c: Counter = Counter()
+    for mask, conv in users.values():
+        n_u[mask] += 1
+        n_c[mask] += conv
+    def v(mask: int) -> int:
+        return (1_000_000 * n_c[mask]) // n_u[mask] if n_u[mask] else 0
+
+    full = (1 << len(SHAP_CHANNELS)) - 1
+    total_phi = sum(r["phi_scaled_micro"] for r in rows)
+    assert total_phi == 24 * (v(full) - v(0))
+
+
+def test_sax_words_shape(spark, sf_dir):
+    from parquet_batch_spark.operators.stats_ops import rollup_sax_symbols
+
+    rows = rollup_sax_symbols(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert len(r["sax"]) == 6
+        assert set(r["sax"]) <= set("abcd")
+        assert r["total_milli"] >= 0
+    # profiles are not degenerate: more than one distinct word
+    assert len({r["sax"] for r in rows}) > 1
+
+
 def test_fertility_ratio_bounds(spark, sf_dir):
     rows = text_tokenizer_fertility(spark, sf_dir).collect()
     assert rows
