@@ -165,6 +165,9 @@ HEADLINE = [
     "quality_luhn_validation",
     "agg_shapley_attribution",
     "rollup_sax_symbols",
+    "dedup_sorted_neighborhood",
+    "etl_data_vault_keys",
+    "embedding_random_projection_jl",
 ]
 
 

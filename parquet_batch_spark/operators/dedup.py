@@ -1709,6 +1709,107 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------- sorted neighborhood
+
+SNM_KEY_LEN = 16  # sort-key prefix length
+SNM_WINDOW = 3  # compare each record to its next W neighbors
+SNM_MIN_CPL = 8  # emit pairs sharing at least this long a prefix
+SNM_BLOCK_CHARS = 2  # distributed blocks = (lang, first chars of key)
+
+
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record-linkage blocking (Hernández/Stolfo):
+    sort by a domain key (here the first {SNM_KEY_LEN} chars of text —
+    boilerplate duplicates cluster under it), then compare each record
+    only to its next {SNM_WINDOW} neighbors — O(n·w) candidate pairs
+    where naive blocking on a hot key goes quadratic.  The third
+    blocking style in the registry next to inverted-index
+    (jaccard/minhash) and anchor blocking (fuzzy_levenshtein); SNM is
+    what record-linkage uses when keys have TYPOS (neighbors in sort
+    order still adjacent).
+
+    Distributed form: windows run inside (lang, first
+    {SNM_BLOCK_CHARS} key chars) blocks, so the sort is per-block, not
+    global — the standard distributed-SNM trade: pairs straddling a
+    block boundary are missed (production overlaps blocks by w; the
+    loss is confined to key-prefix boundaries and stated here).
+    Common-prefix length is a {SNM_KEY_LEN}-term integer sum of
+    prefix-equality flags — exact in both engines."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "lang",
+        "doc_id",
+        F.substring("text", 1, SNM_KEY_LEN).alias("k"),
+    ).withColumn("blk", F.substring("k", 1, SNM_BLOCK_CHARS))
+    w = W.partitionBy("lang", "blk").orderBy("k", "doc_id")
+    pairs = []
+    for j in range(1, SNM_WINDOW + 1):
+        pairs.append(
+            base.withColumn("k2", F.lead("k", j).over(w))
+            .withColumn("doc_b", F.lead("doc_id", j).over(w))
+            .filter(F.col("doc_b").isNotNull())
+        )
+    cand = pairs[0]
+    for p in pairs[1:]:
+        cand = cand.unionAll(p)
+    cpl = sum(
+        [
+            F.when(
+                F.substring("k", 1, i) == F.substring("k2", 1, i), 1
+            ).otherwise(0)
+            for i in range(1, SNM_KEY_LEN + 1)
+        ],
+        F.lit(0),
+    )
+    return (
+        cand.withColumn("cpl", cpl.cast("long"))
+        .filter(F.col("cpl") >= SNM_MIN_CPL)
+        .select(
+            F.least("doc_id", "doc_b").alias("doc_a"),
+            F.greatest("doc_id", "doc_b").alias("doc_b"),
+            "cpl",
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _snm_sql() -> str:
+    cpl = " + ".join(
+        f"CASE WHEN substr(k, 1, {i}) = substr(k2, 1, {i}) THEN 1 ELSE 0 END"
+        for i in range(1, SNM_KEY_LEN + 1)
+    )
+    leads = "\nUNION ALL\n".join(
+        f"""SELECT lang, doc_id, k,
+        LEAD(k, {j}) OVER w{j} AS k2, LEAD(doc_id, {j}) OVER w{j} AS doc_b
+    FROM base
+    WINDOW w{j} AS (PARTITION BY lang, blk ORDER BY k, doc_id)"""
+        for j in range(1, SNM_WINDOW + 1)
+    )
+    return f"""
+WITH base AS (
+    SELECT lang, doc_id, substr(text, 1, {SNM_KEY_LEN}) AS k,
+        substr(text, 1, {SNM_BLOCK_CHARS}) AS blk
+    FROM documents
+),
+cand AS (
+    {leads}
+),
+scored AS (
+    SELECT LEAST(doc_id, doc_b) AS doc_a,
+        GREATEST(doc_id, doc_b) AS doc_b,
+        CAST({cpl} AS BIGINT) AS cpl
+    FROM cand WHERE doc_b IS NOT NULL
+)
+SELECT DISTINCT doc_a, doc_b, cpl
+FROM scored
+WHERE cpl >= {SNM_MIN_CPL}
+ORDER BY doc_a, doc_b
+"""
+
+
 # ------------------------------------------------- threshold sweep
 
 SWEEP_THRESHOLDS_MICRO = (500_000, 600_000, 700_000, 800_000, 900_000)
@@ -1796,6 +1897,7 @@ ORDER BY thr_micro
 
 QUERIES = {
     "dedup_threshold_sweep": dedup_threshold_sweep,
+    "dedup_sorted_neighborhood": dedup_sorted_neighborhood,
     "dedup_lsh_recall_eval": dedup_lsh_recall_eval,
     "dedup_cdc_chunking": dedup_cdc_chunking,
     "dedup_cluster_representative": dedup_cluster_representative,
@@ -1813,6 +1915,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_threshold_sweep": _SWEEP_SQL,
+    "dedup_sorted_neighborhood": _snm_sql(),
     "dedup_cluster_representative": _DEDUP_REP_SQL,
     "dedup_cdc_chunking": _DEDUP_CDC_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,

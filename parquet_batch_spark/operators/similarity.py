@@ -1520,6 +1520,113 @@ ORDER BY query_id, rank
 
 
 # ---------------------------------------------------------------------------
+# embedding_random_projection_jl — signed JL projection 64 → 16
+# ---------------------------------------------------------------------------
+
+JL_OUT = 16  # output dimensionality
+
+
+def _jl_signs() -> list[int]:
+    """±1 projection matrix entries (row-major, JL_OUT × _DIM),
+    derived from a tiny LCG so both engines embed the same literals."""
+    out, state = [], 20_240_517
+    for _ in range(JL_OUT * _DIM):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        out.append(1 if state % 2 == 0 else -1)
+    return out
+
+
+def embedding_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction by a fixed ±1
+    sign matrix (Achlioptas' database-friendly projection): 64 dims →
+    {JL_OUT}, the cheap front-end for ANN prefilters and sketch
+    storage.  For a ±1 matrix R, E‖Rx‖² = {JL_OUT}·‖x‖², so the
+    per-vector ratio ‖y‖²/({JL_OUT}‖x‖²) concentrates near 1 — the
+    distortion diagnostic emitted alongside each projection
+    (``embedding_matryoshka_eval`` measures truncation loss; this is
+    its projection-based sibling with a GUARANTEE).
+
+    Exactness: inputs quantize to integer micro-units first, the
+    projection is an integer dot with a plan-literal sign matrix, and
+    norms/ratios are exact int64 — no float anywhere after the
+    quantizer.  Scale: map-only (the sign matrix is a literal, no
+    join, no shuffle); output one row per vector."""
+    signs = _jl_signs()
+    em = fan_out(load(spark, sf_dir, "embeddings"), spark)
+    # F.lit(list) is ONE Literal node; F.array(*lits) is a 1024-child
+    # CreateArray an interpreted lambda would rebuild per element (the
+    # recorded bloom-filter gotcha: 5.7s -> 1.7s when fixed there)
+    base = em.select(
+        "vec_id",
+        F.transform(
+            _dvec(), lambda x: F.floor(x * 1_000_000).cast("long")
+        ).alias("xq"),
+    )
+    sarr = F.lit(signs)
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(JL_OUT - 1)),
+        lambda j: F.aggregate(
+            F.sequence(F.lit(1), F.lit(_DIM)),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc
+            + F.element_at(F.col("xq"), d)
+            * F.element_at(sarr, j * _DIM + d),
+        ),
+    )
+    staged = base.withColumn("y", proj)
+    norm2 = lambda col: F.aggregate(  # noqa: E731
+        F.col(col), F.lit(0).cast("long"), lambda a, x: a + x * x
+    )
+    return staged.select(
+        "vec_id",
+        norm2("xq").alias("x_norm2"),
+        norm2("y").alias("y_norm2"),
+        F.aggregate(
+            F.col("y"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("y_checksum"),
+    ).withColumn(
+        # milli ratio via a pre-scaled denominator: the naive
+        # (1000*y_norm2) numerator can exceed int64 (y_norm2 ~ 1.6e13
+        # on unit-norm vectors already puts 1e6·y over 2^63)
+        "ratio_milli",
+        F.expr(f"y_norm2 div ({JL_OUT} * (x_norm2 div 1000))"),
+    ).orderBy("vec_id")
+
+
+def _jl_sql() -> str:
+    signs = _jl_signs()
+    sarr = "[" + ", ".join(str(s) for s in signs) + "]"
+    return f"""
+WITH sg AS MATERIALIZED (
+    SELECT {sarr} AS sg
+),
+base AS (
+    SELECT vec_id,
+        list_transform(embedding,
+            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq
+    FROM embeddings
+),
+proj AS (
+    SELECT vec_id, xq,
+        list_transform(generate_series(0, {JL_OUT - 1}), j ->
+            list_sum(list_transform(generate_series(1, {_DIM}), d ->
+                xq[d] * sg.sg[j * {_DIM} + d]))) AS y
+    FROM base CROSS JOIN sg
+)
+SELECT vec_id,
+    CAST(list_sum(list_transform(xq, v -> v * v)) AS BIGINT) AS x_norm2,
+    CAST(list_sum(list_transform(y, v -> v * v)) AS BIGINT) AS y_norm2,
+    CAST(list_sum(y) AS BIGINT) AS y_checksum,
+    CAST(list_sum(list_transform(y, v -> v * v)) AS BIGINT)
+        // ({JL_OUT} * (CAST(list_sum(list_transform(xq, v -> v * v))
+                        AS BIGINT) // 1000))
+        AS ratio_milli
+FROM proj
+ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # embedding_pq_distortion — PQ reconstruction-error report
 # ---------------------------------------------------------------------------
 
@@ -1618,6 +1725,7 @@ ORDER BY m
 
 QUERIES = {
     "embedding_pq_distortion": embedding_pq_distortion,
+    "embedding_random_projection_jl": embedding_random_projection_jl,
     "embedding_drift_report": embedding_drift_report,
     "ann_pq_adc": ann_pq_adc,
     "ann_ivfpq_topk": ann_ivfpq_topk,
@@ -1634,6 +1742,7 @@ QUERIES = {
 
 ORACLES = {
     "embedding_pq_distortion": _PQ_DISTORTION_SQL,
+    "embedding_random_projection_jl": _jl_sql(),
     "embedding_drift_report": _DRIFT_SQL,
     "ann_pq_adc": _ANN_PQ_SQL,
     "ann_ivfpq_topk": _ANN_IVFPQ_SQL,

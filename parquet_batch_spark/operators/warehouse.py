@@ -984,6 +984,109 @@ ORDER BY 1
 """
 
 
+# ------------------------------------------------------- data vault
+
+
+def etl_data_vault_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Vault 2.0 hash-key layer — hubs, links and satellite
+    hashdiffs for the order/customer core: hub keys are md5 of the
+    business key, the link key is md5 of the concatenated parent
+    keys, and the satellite hashdiff digests the descriptive
+    attributes (the change-detection column an incremental load
+    compares before writing a new satellite row).  Hash keys are what
+    make DV loads order-independent and join-stable across systems —
+    the same reason this repo's oracles standardize on md5.
+
+    Output is the audit summary per entity (row counts, distinct hash
+    keys, an order-insensitive int64 checksum of the hash values) —
+    exactly the reconciliation a DV load emits.  Collision check is
+    implicit: distinct hashes must equal distinct business keys.
+    Scale: one scan per entity, partial-aggregated; checksums are
+    sums of the portable 32-bit hash-prefix, so no collect and no
+    sort anywhere."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    h32 = lambda col: F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast(  # noqa: E731
+        "long"
+    )
+    hub_cust = c.select(
+        h32(F.col("c_custkey").cast("string")).alias("hk")
+    )
+    hub_order = o.select(
+        h32(F.col("o_orderkey").cast("string")).alias("hk")
+    )
+    link = o.select(
+        h32(
+            F.concat_ws(
+                "||",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+            )
+        ).alias("hk")
+    )
+    sat = o.select(
+        h32(
+            F.concat_ws(
+                "||",
+                F.col("o_orderstatus"),
+                F.col("o_orderpriority"),
+                F.col("o_totalprice").cast("string"),
+            )
+        ).alias("hk")
+    )
+    def summarize(df: DataFrame, entity: str) -> DataFrame:
+        return df.agg(
+            F.lit(entity).alias("entity"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("hk").alias("n_keys"),
+            F.sum("hk").alias("checksum"),
+        )
+
+    return (
+        summarize(hub_cust, "hub_customer")
+        .unionAll(summarize(hub_order, "hub_order"))
+        .unionAll(summarize(link, "link_order_customer"))
+        .unionAll(summarize(sat, "sat_order_attrs"))
+        .orderBy("entity")
+    )
+
+
+def _dv_sql() -> str:
+    def h32(expr: str) -> str:
+        return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS UBIGINT)::BIGINT"
+
+    return f"""
+WITH hub_customer AS (
+    SELECT {h32("CAST(c_custkey AS VARCHAR)")} AS hk FROM customer
+),
+hub_order AS (
+    SELECT {h32("CAST(o_orderkey AS VARCHAR)")} AS hk FROM orders
+),
+link_oc AS (
+    SELECT {h32("CAST(o_orderkey AS VARCHAR) || '||' || CAST(o_custkey AS VARCHAR)")}
+        AS hk FROM orders
+),
+sat AS (
+    SELECT {h32("o_orderstatus || '||' || o_orderpriority || '||' || CAST(o_totalprice AS VARCHAR)")}
+        AS hk FROM orders
+)
+SELECT 'hub_customer' AS entity, COUNT(*) AS n_rows,
+    CAST(COUNT(DISTINCT hk) AS BIGINT) AS n_keys,
+    CAST(SUM(hk) AS BIGINT) AS checksum
+FROM hub_customer
+UNION ALL
+SELECT 'hub_order', COUNT(*), CAST(COUNT(DISTINCT hk) AS BIGINT),
+    CAST(SUM(hk) AS BIGINT) FROM hub_order
+UNION ALL
+SELECT 'link_order_customer', COUNT(*), CAST(COUNT(DISTINCT hk) AS BIGINT),
+    CAST(SUM(hk) AS BIGINT) FROM link_oc
+UNION ALL
+SELECT 'sat_order_attrs', COUNT(*), CAST(COUNT(DISTINCT hk) AS BIGINT),
+    CAST(SUM(hk) AS BIGINT) FROM sat
+ORDER BY entity
+"""
+
+
 # ------------------------------------------------------- time travel
 
 TT_AS_OF = (2, 4, 8)  # snapshot versions queried (the "AS OF" ladder)
@@ -1077,6 +1180,7 @@ ORDER BY as_of
 
 QUERIES = {
     "etl_time_travel": etl_time_travel,
+    "etl_data_vault_keys": etl_data_vault_keys,
     "quality_merkle_checksums": quality_merkle_checksums,
     "etl_golden_record": etl_golden_record,
     "window_funnel_latency": window_funnel_latency,
@@ -1101,6 +1205,7 @@ ORACLES = {
     "etl_scd2": _SCD2_SQL,
     "etl_cdc_apply": _CDC_SQL,
     "etl_time_travel": _TT_SQL,
+    "etl_data_vault_keys": _dv_sql(),
     "sink_zorder_cluster": _zorder_sql(),
     "table_stats_profile": _STATS_SQL,
 }

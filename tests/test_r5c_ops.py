@@ -626,6 +626,64 @@ def test_sax_words_shape(spark, sf_dir):
     assert len({r["sax"] for r in rows}) > 1
 
 
+def test_sorted_neighborhood_pairs_share_prefix(spark, sf_dir):
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.operators.dedup import (
+        SNM_KEY_LEN,
+        SNM_MIN_CPL,
+        dedup_sorted_neighborhood,
+    )
+
+    rows = dedup_sorted_neighborhood(spark, sf_dir).collect()
+    assert rows
+    texts = {
+        r["doc_id"]: r["text"][:SNM_KEY_LEN]
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        a, b = texts[r["doc_a"]], texts[r["doc_b"]]
+        cpl = 0
+        for i in range(1, SNM_KEY_LEN + 1):
+            if a[:i] == b[:i]:
+                cpl = i
+        assert r["cpl"] == cpl >= SNM_MIN_CPL
+
+
+def test_data_vault_keys_are_collision_free(spark, sf_dir):
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.operators.warehouse import etl_data_vault_keys
+
+    rows = {r["entity"]: r for r in etl_data_vault_keys(spark, sf_dir).collect()}
+    n_orders = load(spark, sf_dir, "orders").count()
+    n_cust = load(spark, sf_dir, "customer").count()
+    assert rows["hub_customer"]["n_rows"] == n_cust
+    assert rows["hub_order"]["n_rows"] == n_orders
+    assert rows["link_order_customer"]["n_rows"] == n_orders
+    # hash keys are collision-free over the business keys
+    assert rows["hub_customer"]["n_keys"] == n_cust
+    assert rows["hub_order"]["n_keys"] == n_orders
+    assert rows["link_order_customer"]["n_keys"] == n_orders
+
+
+def test_jl_ratio_concentrates(spark, sf_dir):
+    from parquet_batch_spark.operators.similarity import (
+        embedding_random_projection_jl,
+    )
+
+    rows = embedding_random_projection_jl(spark, sf_dir).collect()
+    assert len(rows) == 500
+    ratios = [r["ratio_milli"] for r in rows]
+    mean = sum(ratios) / len(ratios)
+    # E||Rx||^2 = d_out * ||x||^2 holds in EXPECTATION over vectors;
+    # per-vector concentration does NOT hold here because the synthetic
+    # embeddings share a large constant component that balanced ±1 rows
+    # annihilate (ratio ~0 for near-constant vectors) — so only the
+    # corpus mean is pinned
+    assert 700 < mean < 1300
+    assert all(r["x_norm2"] > 0 and r["y_norm2"] >= 0 for r in rows)
+
+
 def test_fertility_ratio_bounds(spark, sf_dir):
     rows = text_tokenizer_fertility(spark, sf_dir).collect()
     assert rows
