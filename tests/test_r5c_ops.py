@@ -684,6 +684,48 @@ def test_jl_ratio_concentrates(spark, sf_dir):
     assert all(r["x_norm2"] > 0 and r["y_norm2"] >= 0 for r in rows)
 
 
+def test_ct_langid_confusion_accounting(spark, sf_dir):
+    from parquet_batch_spark.operators.text_analysis import (
+        text_langid_ngram_profile,
+    )
+
+    rows = text_langid_ngram_profile(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in rows) == 500
+    langs = {r["lang_true"] for r in rows}
+    assert {r["lang_pred"] for r in rows} <= langs
+
+
+def test_burstiness_bounds(spark, sf_dir):
+    from parquet_batch_spark.operators.stats_ops import (
+        BURST_MIN_DF,
+        text_word_burstiness,
+    )
+
+    rows = text_word_burstiness(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["df"] >= BURST_MIN_DF
+        assert r["s"] >= r["df"]
+        assert r["fano_micro"] >= 0
+        assert r["extra_per_doc_micro"] == (1_000_000 * (r["s"] - r["df"])) // r["df"]
+    fanos = [r["fano_micro"] for r in rows]
+    assert fanos == sorted(fanos, reverse=True)
+
+
+def test_wap_published_equals_staged(spark, sf_dir):
+    from parquet_batch_spark.operators.warehouse import etl_write_audit_publish
+
+    rows = {r["phase"]: r for r in etl_write_audit_publish(spark, sf_dir).collect()}
+    s, p = rows["1_staged"], rows["2_published"]
+    assert s["gate_passed"] and p["gate_passed"]
+    assert s["n_null_keys"] == 0
+    # promotion copied exactly what was audited
+    assert (s["n_rows"], s["revenue"]) == (p["n_rows"], p["revenue"])
+    # double invocation stable (memoized staging)
+    again = {r["phase"]: r for r in etl_write_audit_publish(spark, sf_dir).collect()}
+    assert again["2_published"]["revenue"] == p["revenue"]
+
+
 def test_fertility_ratio_bounds(spark, sf_dir):
     rows = text_tokenizer_fertility(spark, sf_dir).collect()
     assert rows
