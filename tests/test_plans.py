@@ -473,3 +473,54 @@ def test_r5_pair_ops_scale_shapes(spark, sf_dir, monkeypatch):
         assert "CartesianProduct" not in plan, f"{fn.__name__}: cartesian!"
         assert "BroadcastNestedLoopJoin" not in plan, f"{fn.__name__}: NLJ!"
         assert "collect_list" not in plan, f"{fn.__name__}: bucket collect_list!"
+
+
+# --------------------------------------------------------------- r5 third-
+# session ops: plan shapes that must survive 100x
+
+
+def test_kcore_rounds_are_hash_joins_no_cartesian(spark, sf_smoke):
+    from parquet_batch_spark.operators.corpus_ops import graph_kcore
+
+    plan = executed_plan(graph_kcore(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    # the shrinking-node-set joins stay equi (hash/SMJ), never NLJ
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_topk_is_map_side_heap(spark, sf_smoke):
+    from parquet_batch_spark.operators.text_analysis import text_bm25_topk
+
+    plan = executed_plan(text_bm25_topk(spark, sf_smoke))
+    # orderBy+limit must compile to TakeOrderedAndProject (per-partition
+    # heap, K rows to driver), never a global Sort
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_caption_alignment_has_no_cartesian(spark, sf_smoke):
+    from parquet_batch_spark.operators.multimodal import (
+        multimodal_caption_alignment,
+    )
+
+    plan = executed_plan(multimodal_caption_alignment(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_threshold_sweep_ladder_is_broadcast(spark, sf_smoke):
+    from parquet_batch_spark.operators.dedup import dedup_threshold_sweep
+
+    plan = executed_plan(dedup_threshold_sweep(spark, sf_smoke))
+    # the non-equi ladder join is a BROADCAST NLJ over 5 literal rows —
+    # acceptable; an un-broadcast cartesian is not
+    assert "CartesianProduct" not in plan
+
+
+def test_neighborhood_jaccard_no_cartesian(spark, sf_smoke):
+    from parquet_batch_spark.operators.corpus_ops import (
+        graph_neighborhood_jaccard,
+    )
+
+    plan = executed_plan(graph_neighborhood_jaccard(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
