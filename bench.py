@@ -171,6 +171,8 @@ HEADLINE = [
     "text_langid_ngram_profile",
     "text_word_burstiness",
     "etl_write_audit_publish",
+    "quality_ndcg_ranking_eval",
+    "func_geohash_encode",
 ]
 
 

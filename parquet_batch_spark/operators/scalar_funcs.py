@@ -794,7 +794,118 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------- geohash encoding
+
+GH_BITS = 20  # bits per axis → 40-bit cell → 8 base32 chars
+GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+GH_SPACE = 100_000  # synthetic coordinate space per axis
+GH_PREFIX = 3  # locality rollup granularity
+
+
+def func_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encoding in pure integer arithmetic — the base32
+    Z-order cell id geo systems index on (neighbors share prefixes,
+    so a prefix GROUP BY is a spatial rollup and a prefix range scan
+    is a bounding-box probe).  Neither engine ships a geohash
+    builtin; both get the IDENTICAL construction: quantize each axis
+    to {GH_BITS} bits, interleave (even bit positions = x/longitude —
+    the published layout), then slice the 40-bit word into eight
+    5-bit base32 characters from a shared literal alphabet.  Bit
+    extraction is (z div 2^k) mod 2 — no bitwise builtins needed, so
+    the expression is portable to ANY SQL engine.
+
+    Points are the deterministic synthetic coords of
+    ``join_spatial_grid_radius``.  Output: per {GH_PREFIX}-char
+    prefix — point count and the coordinate bounding box, which the
+    test checks for the locality guarantee (box diameter bounded by
+    the prefix's cell size).  Map-only + one rollup."""
+    ev = load(spark, sf_dir, "events").select("event_id")
+    px = (F.col("event_id") * 2654435761) % GH_SPACE
+    py = (F.col("event_id") * 2246822519 + 12345) % GH_SPACE
+    pts = ev.select("event_id", px.alias("px"), py.alias("py")).select(
+        "event_id",
+        "px",
+        "py",
+        F.expr(f"(px * {1 << GH_BITS}) div {GH_SPACE}").alias("lx"),
+        F.expr(f"(py * {1 << GH_BITS}) div {GH_SPACE}").alias("ly"),
+    )
+    z = F.lit(0).cast("long")
+    for i in range(GH_BITS):  # i = bit index from MSB of each axis
+        src_bit = GH_BITS - 1 - i
+        z = (
+            z
+            + F.expr(f"((lx div {1 << src_bit}) % 2) * {1 << (39 - 2 * i)}")
+            + F.expr(f"((ly div {1 << src_bit}) % 2) * {1 << (38 - 2 * i)}")
+        )
+    gh = F.concat(
+        *[
+            F.expr(
+                f"substring('{GH_ALPHABET}', "
+                f"cast((z div {32 ** (7 - c)}) % 32 as int) + 1, 1)"
+            )
+            for c in range(8)
+        ]
+    )
+    hashed = pts.withColumn("z", z).withColumn("gh", gh)
+    return (
+        hashed.groupBy(F.substring("gh", 1, GH_PREFIX).alias("prefix"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("px").alias("min_px"),
+            F.max("px").alias("max_px"),
+            F.min("py").alias("min_py"),
+            F.max("py").alias("max_py"),
+        )
+        .orderBy("prefix")
+    )
+
+
+def _geohash_sql() -> str:
+    terms = []
+    for i in range(GH_BITS):
+        src_bit = GH_BITS - 1 - i
+        terms.append(
+            f"((lx // {1 << src_bit}) % 2) * {1 << (39 - 2 * i)}"
+        )
+        terms.append(
+            f"((ly // {1 << src_bit}) % 2) * {1 << (38 - 2 * i)}"
+        )
+    z = " + ".join(terms)
+    chars = " || ".join(
+        f"substr('{GH_ALPHABET}', CAST((z // {32 ** (7 - c)}) % 32 AS INTEGER) + 1, 1)"
+        for c in range(8)
+    )
+    return f"""
+WITH pts AS (
+    SELECT event_id,
+        (event_id * 2654435761) % {GH_SPACE} AS px,
+        (event_id * 2246822519 + 12345) % {GH_SPACE} AS py
+    FROM events
+),
+quant AS (
+    SELECT event_id, px, py,
+        (px * {1 << GH_BITS}) // {GH_SPACE} AS lx,
+        (py * {1 << GH_BITS}) // {GH_SPACE} AS ly
+    FROM pts
+),
+zed AS (
+    SELECT event_id, px, py, {z} AS z FROM quant
+),
+hashed AS (
+    SELECT event_id, px, py, {chars} AS gh FROM zed
+)
+SELECT substr(gh, 1, {GH_PREFIX}) AS prefix,
+    COUNT(*) AS n_points,
+    CAST(MIN(px) AS BIGINT) AS min_px, CAST(MAX(px) AS BIGINT) AS max_px,
+    CAST(MIN(py) AS BIGINT) AS min_py, CAST(MAX(py) AS BIGINT) AS max_py
+FROM hashed
+GROUP BY substr(gh, 1, {GH_PREFIX})
+ORDER BY prefix
+"""
+
+
 QUERIES = {
+    "func_geohash_encode": func_geohash_encode,
     "func_base64_transport": func_base64_transport,
     "func_crypto_roundtrip": func_crypto_roundtrip,
     "func_csv_struct": func_csv_struct,
@@ -817,6 +928,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "func_geohash_encode": _geohash_sql(),
     "func_base64_transport": _BASE64_SQL,
     "func_crypto_roundtrip": _CRYPTO_SQL,
     "func_csv_struct": _FUNC_CSV_SQL,

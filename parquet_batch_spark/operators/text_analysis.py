@@ -1008,6 +1008,145 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------- NDCG ranking eval
+
+# 1e6/log2(rank+1) for ranks 1..10, computed ONCE here so both engines
+# share the identical literal (log2 at query time would be the usual
+# cross-engine libm trap)
+_NDCG_DISC = [
+    round(1_000_000 / __import__("math").log2(i + 1)) for i in range(1, 11)
+]
+
+
+def quality_ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 ranking — the graded-relevance ranking
+    audit that completes the retrieval-eval family
+    (``ann_recall_eval`` scores set overlap; NDCG scores ORDER with
+    position discounts).  Relevance is the count of the first query
+    term in the doc (a deterministic stand-in for editorial labels —
+    the audit plan is label-source-agnostic).  Discounts
+    1/log2(rank+1) are micro-quantized PYTHON-side literals, so no
+    transcendental ever runs in either engine; DCG/IDCG are exact
+    int64 dot products and NDCG one integer division.
+
+    Output: the 10 ranked rows (rank, doc, relevance, discounted
+    gain) plus running DCG and the final NDCG denominator — the
+    per-position view a ranking dashboard plots.  Scale: inherits
+    ``text_bm25_topk``'s plan (broadcast terms, map-side top-k);
+    the ideal ordering sorts the SAME 10-row result, not the corpus."""
+    from pyspark.sql import Window as W
+
+    top = text_bm25_topk(spark, sf_dir)
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    rel = d.select(
+        "doc_id",
+        F.size(
+            F.filter(tokens_col("text"), lambda t: t == BM25_QUERY[0])
+        )
+        .cast("long")
+        .alias("rel"),
+    )
+    ranked = (
+        top.join(rel, "doc_id")
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
+            ),
+        )
+    )
+    disc = F.element_at(F.lit(_NDCG_DISC), F.col("rank"))
+    ideal_rank = F.row_number().over(
+        W.orderBy(F.desc("rel"), F.asc("doc_id"))
+    )
+    gains = ranked.select(
+        "rank",
+        "doc_id",
+        "rel",
+        (F.col("rel") * disc).alias("gain_micro"),
+    )
+    ideal = ranked.select(
+        "rel", ideal_rank.alias("irank")
+    ).select((F.col("rel") * F.element_at(F.lit(_NDCG_DISC), F.col("irank"))).alias("ig"))
+    idcg = ideal.agg(F.sum("ig").alias("idcg_micro"))
+    w_run = W.orderBy("rank").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        gains.withColumn("dcg_running_micro", F.sum("gain_micro").over(w_run))
+        .crossJoin(F.broadcast(idcg))
+        .withColumn(
+            "ndcg_micro",
+            F.expr("(1000000 * dcg_running_micro) div idcg_micro"),
+        )
+        .orderBy("rank")
+    )
+
+
+def _ndcg_sql() -> str:
+    disc = "[" + ", ".join(str(x) for x in _NDCG_DISC) + "]"
+    # re-derive the BM25 top-10 (same CTE body as _BM25_SQL) then score
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {sql_tokens("text")} AS tk FROM documents
+),
+stats AS (
+    SELECT COUNT(*) AS n_docs, CAST(SUM(len(tk)) AS BIGINT) AS sum_dl
+    FROM toks
+),
+terms(term) AS (VALUES {", ".join(f"('{q}')" for q in BM25_QUERY)}),
+tf AS (
+    SELECT t.doc_id, q.term,
+        CAST(len(t.tk) AS BIGINT) AS dl,
+        CAST(len(list_filter(t.tk, x -> x = q.term)) AS BIGINT) AS tf
+    FROM toks t CROSS JOIN terms q
+),
+hits AS (SELECT * FROM tf WHERE tf > 0),
+dfreq AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY term),
+scored AS (
+    SELECT h.doc_id,
+        (1000000 * (2 * (s.n_docs - d.df) + 1) * (2200 * h.tf))
+        // ((2 * d.df + 1)
+            * (1000 * h.tf + 300
+               + (9 * ((1000 * h.dl * s.n_docs) // s.sum_dl)) // 10))
+            AS score_micro
+    FROM hits h JOIN dfreq d ON h.term = d.term CROSS JOIN stats s
+),
+top AS (
+    SELECT doc_id, CAST(SUM(score_micro) AS BIGINT) AS bm25_micro
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_micro DESC, doc_id ASC LIMIT {BM25_TOPK}
+),
+rel AS (
+    SELECT doc_id,
+        CAST(len(list_filter(tk, t -> t = '{BM25_QUERY[0]}')) AS BIGINT)
+            AS rel
+    FROM toks
+),
+ranked AS (
+    SELECT t.doc_id, r.rel,
+        ROW_NUMBER() OVER (ORDER BY t.bm25_micro DESC, t.doc_id ASC) AS rank,
+        ROW_NUMBER() OVER (ORDER BY r.rel DESC, t.doc_id ASC) AS irank
+    FROM top t JOIN rel r ON t.doc_id = r.doc_id
+),
+dlist AS MATERIALIZED (SELECT {disc} AS d),
+gains AS (
+    SELECT rank, doc_id, rel,
+        rel * dlist.d[rank] AS gain_micro,
+        rel * dlist.d[irank] AS ig
+    FROM ranked CROSS JOIN dlist
+),
+idcg AS (SELECT CAST(SUM(ig) AS BIGINT) AS idcg_micro FROM gains)
+SELECT CAST(g.rank AS INTEGER) AS rank, g.doc_id, g.rel,
+    CAST(g.gain_micro AS BIGINT) AS gain_micro,
+    CAST(SUM(g.gain_micro) OVER (ORDER BY g.rank
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS dcg_running_micro,
+    i.idcg_micro,
+    (1000000 * CAST(SUM(g.gain_micro) OVER (ORDER BY g.rank
+         ROWS UNBOUNDED PRECEDING) AS BIGINT)) // i.idcg_micro AS ndcg_micro
+FROM gains g CROSS JOIN idcg i
+ORDER BY g.rank
+"""
+
+
 # ------------------------------------------- Cavnar-Trenkle lang ID
 
 CT_NGRAM = 3  # char n-gram length
@@ -1546,6 +1685,7 @@ ORDER BY lang, source
 QUERIES = {
     "text_bm25_topk": text_bm25_topk,
     "text_langid_ngram_profile": text_langid_ngram_profile,
+    "quality_ndcg_ranking_eval": quality_ndcg_ranking_eval,
     "text_winnowing_fingerprints": text_winnowing_fingerprints,
     "text_lexical_diversity": text_lexical_diversity,
     "text_tokenizer_fertility": text_tokenizer_fertility,
@@ -1568,6 +1708,7 @@ QUERIES = {
 ORACLES = {
     "text_bm25_topk": _BM25_SQL,
     "text_langid_ngram_profile": _CT_LANGID_SQL,
+    "quality_ndcg_ranking_eval": _ndcg_sql(),
     "text_winnowing_fingerprints": _WINNOW_SQL,
     "text_lexical_diversity": _MSTTR_SQL,
     "text_tokenizer_fertility": _FERTILITY_SQL,

@@ -438,6 +438,8 @@ def test_global_windows_only_over_reduced_tables(spark, sf_smoke):
         # r5 third session: cumulative ranges over the top-200-word
         # reduced vocab rank table (bounded by NEG_VOCAB)
         "sample_negative_sampling",
+        # windows over the 10-row BM25 top-k result
+        "quality_ndcg_ranking_eval",
         # r5 second session: lag/lead anchors over the hour-bucket
         # table (bounded by the time domain, ~720 rows at sf0.1)
         "rollup_downsample_ltob",

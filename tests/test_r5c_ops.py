@@ -726,6 +726,47 @@ def test_wap_published_equals_staged(spark, sf_dir):
     assert again["2_published"]["revenue"] == p["revenue"]
 
 
+def test_ndcg_contract(spark, sf_dir):
+    from parquet_batch_spark.operators.text_analysis import (
+        quality_ndcg_ranking_eval,
+    )
+
+    rows = quality_ndcg_ranking_eval(spark, sf_dir).collect()
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+    running = 0
+    for r in rows:
+        running += r["gain_micro"]
+        assert r["dcg_running_micro"] == running
+    final = rows[-1]
+    # DCG <= IDCG always; ndcg column is the running ratio
+    assert 0 <= final["ndcg_micro"] <= 1_000_000
+    assert final["ndcg_micro"] == (1_000_000 * final["dcg_running_micro"]) // final["idcg_micro"]
+
+
+def test_geohash_prefix_locality(spark, sf_dir):
+    from parquet_batch_spark.operators.scalar_funcs import (
+        GH_PREFIX,
+        GH_SPACE,
+        func_geohash_encode,
+    )
+
+    rows = func_geohash_encode(spark, sf_dir).collect()
+    assert rows
+    # a 3-char prefix fixes 15 bits = 8 per x-axis, 7 per y-axis →
+    # cells of GH_SPACE/2^8 by GH_SPACE/2^7 (+1 quantization slack)
+    max_dx = GH_SPACE // (1 << 8) + (GH_SPACE >> 20) + 2
+    max_dy = GH_SPACE // (1 << 7) + (GH_SPACE >> 20) + 2
+    total = 0
+    for r in rows:
+        total += r["n_points"]
+        assert len(r["prefix"]) == GH_PREFIX
+        assert r["max_px"] - r["min_px"] <= max_dx
+        assert r["max_py"] - r["min_py"] <= max_dy
+    from parquet_batch_spark.catalog import load
+
+    assert total == load(spark, sf_dir, "events").count()
+
+
 def test_fertility_ratio_bounds(spark, sf_dir):
     rows = text_tokenizer_fertility(spark, sf_dir).collect()
     assert rows
