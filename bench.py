@@ -173,6 +173,9 @@ HEADLINE = [
     "etl_write_audit_publish",
     "quality_ndcg_ranking_eval",
     "func_geohash_encode",
+    "agg_mann_kendall_trend",
+    "ml_bradley_terry_ranking",
+    "multimodal_patch_token_budget",
 ]
 
 

@@ -962,6 +962,87 @@ ORDER BY bucket_idx
 """
 
 
+# ------------------------------------------------- ViT patch budget
+
+VIT_PATCH = 14  # ViT-L patch side
+
+
+def multimodal_patch_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision-token budgeting — ``text_tokenizer_fertility``'s
+    multimodal sibling: a ViT consumes ⌈w/{VIT_PATCH}⌉·⌈h/{VIT_PATCH}⌉
+    patch tokens (+1 CLS) per image, and the per-cohort token budget
+    is what decides batch shapes, packing, and training cost for any
+    vision corpus (the reason aspect bucketing exists at all).  Dims
+    are the deterministic synthetic pair shared with
+    ``multimodal_aspect_bucket``.
+
+    Pure integer ceiling division ((x + p − 1) div p — identical in
+    both engines, no float), one map-only pass, lang-grain partial
+    aggregate.  Output per lang: images, total/mean/max vision
+    tokens, and the padding waste of rounding up to patch grids
+    (pixels in the padded grid minus real pixels)."""
+    d = load(spark, sf_dir, "documents")
+    dims = d.select(
+        "lang",
+        F.expr(_DIM_W).cast("long").alias("w"),
+        F.expr(_DIM_H).cast("long").alias("h"),
+    ).select(
+        "lang",
+        "w",
+        "h",
+        F.expr(f"(w + {VIT_PATCH - 1}) div {VIT_PATCH}").alias("pw"),
+        F.expr(f"(h + {VIT_PATCH - 1}) div {VIT_PATCH}").alias("ph"),
+    )
+    toks = dims.select(
+        "lang",
+        (F.col("pw") * F.col("ph") + 1).alias("n_tokens"),
+        (
+            F.col("pw") * F.col("ph") * (VIT_PATCH * VIT_PATCH)
+            - F.col("w") * F.col("h")
+        ).alias("pad_px"),
+    )
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("pad_px").alias("total_pad_px"),
+        )
+        .withColumn(
+            "mean_tokens", F.expr("total_tokens div n_images")
+        )
+        .orderBy("lang")
+    )
+
+
+_PATCH_SQL = f"""
+WITH dims AS (
+    SELECT lang,
+        CAST({_DIM_W} AS BIGINT) AS w,
+        CAST({_DIM_H} AS BIGINT) AS h
+    FROM documents
+),
+toks AS (
+    SELECT lang,
+        ((w + {VIT_PATCH - 1}) // {VIT_PATCH})
+            * ((h + {VIT_PATCH - 1}) // {VIT_PATCH}) + 1 AS n_tokens,
+        ((w + {VIT_PATCH - 1}) // {VIT_PATCH})
+            * ((h + {VIT_PATCH - 1}) // {VIT_PATCH}) * {VIT_PATCH * VIT_PATCH}
+            - w * h AS pad_px
+    FROM dims
+)
+SELECT lang, COUNT(*) AS n_images,
+    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+    CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+    CAST(SUM(pad_px) AS BIGINT) AS total_pad_px,
+    CAST(SUM(n_tokens) AS BIGINT) // COUNT(*) AS mean_tokens
+FROM toks
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 # ------------------------------------------------- caption alignment
 
 CAP_DIMS = 64  # projection width = embedding width
@@ -1090,6 +1171,7 @@ ORDER BY d.doc_id
 
 QUERIES = {
     "multimodal_caption_alignment": multimodal_caption_alignment,
+    "multimodal_patch_token_budget": multimodal_patch_token_budget,
     "multimodal_aspect_bucket": multimodal_aspect_bucket,
     "multimodal_webdataset_index": multimodal_webdataset_index,
     "multimodal_audio_energy": multimodal_audio_energy,
@@ -1105,6 +1187,7 @@ QUERIES = {
 
 ORACLES = {
     "multimodal_caption_alignment": _CAP_ALIGN_SQL,
+    "multimodal_patch_token_budget": _PATCH_SQL,
     "multimodal_aspect_bucket": _aspect_sql(),
     "multimodal_webdataset_index": _WDS_SQL,
     "multimodal_audio_energy": _AUDIO_SQL,

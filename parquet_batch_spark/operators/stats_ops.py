@@ -5579,6 +5579,283 @@ FROM m
 """
 
 
+# ------------------------------------------------- Bradley-Terry
+
+BT_ROUNDS = 3
+BT_SCALE = 1_000_000_000_000  # 1e12 working scale for the MM terms
+
+
+def ml_bradley_terry_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry pairwise-preference ranking — the model behind
+    LLM arena leaderboards and match-making: from win/loss counts
+    between players, estimate strengths p with P(i beats j) =
+    p_i/(p_i+p_j).  Players are order priorities; a "match" is each
+    customer's consecutive order pair (higher total wins, earlier
+    order breaks ties) — at 100 TB the same op ranks models from
+    human-preference battles.
+
+    {BT_ROUNDS} rounds of Hunter's MM update p_i ← W_i / Σ_j
+    n_ij/(p_i+p_j), with EVERY division floored to integers at a
+    fixed working scale and a renormalization to Σp = |players|·1e6
+    per round — so the sums that a float implementation would leave
+    reduction-order-dependent are exact int64 and the whole iteration
+    is bit-identical cross-engine (the quantized-EM discipline; the
+    oracle unrolls the rounds as MATERIALIZED CTEs).
+
+    Scale: matches reduce to the |players|² count matrix via one
+    lead() window per customer + a partial-agg count; every MM round
+    is arithmetic on that tiny matrix — corpus cost is ONE pass."""
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    m = (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_orderpriority").alias("pa"),
+            F.col("o_totalprice").alias("va"),
+        )
+        .withColumn("pb", F.lead("pa").over(w))
+        .withColumn("vb", F.lead("va").over(w))
+        .filter(F.col("pb").isNotNull() & (F.col("pa") != F.col("pb")))
+    )
+    winner_is_a = (F.col("va") > F.col("vb")) | (
+        (F.col("va") == F.col("vb"))
+    )
+    matches = m.select(
+        F.when(winner_is_a, F.col("pa")).otherwise(F.col("pb")).alias("wi"),
+        F.when(winner_is_a, F.col("pb")).otherwise(F.col("pa")).alias("lo"),
+    )
+    wins = matches.groupBy(F.col("wi").alias("i"), F.col("lo").alias("j")).agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    rev = wins.select(
+        F.col("j").alias("i"), F.col("i").alias("j"), F.col("w").alias("w2")
+    )
+    n_ij = (
+        wins.join(rev, ["i", "j"], "full")
+        .select(
+            F.coalesce("i", "i").alias("i"),
+            "j",
+            (F.coalesce("w", F.lit(0)) + F.coalesce("w2", F.lit(0))).alias(
+                "n"
+            ),
+            F.coalesce("w", F.lit(0)).alias("wins_ij"),
+        )
+    ).localCheckpoint(eager=False)
+    players = n_ij.select("i").distinct()
+    n_players = players.count()  # bounded by the priority domain
+    p = players.select("i", F.lit(1_000_000).cast("long").alias("p"))
+    w_i = n_ij.groupBy("i").agg(F.sum("wins_ij").alias("big_w"))
+    for _ in range(BT_ROUNDS):
+        pj = p.select(F.col("i").alias("j"), F.col("p").alias("p_j"))
+        t = (
+            n_ij.join(p, "i")
+            .join(pj, "j")
+            .select(
+                "i",
+                F.expr(f"({BT_SCALE} * n) div (p + p_j)").alias("t"),
+            )
+        )
+        d = t.groupBy("i").agg(F.sum("t").alias("d"))
+        praw = (
+            w_i.join(d, "i")
+            .select("i", F.expr(f"({BT_SCALE} * big_w) div d").alias("praw"))
+        )
+        tot = praw.agg(F.sum("praw").alias("tot"))
+        p = (
+            praw.crossJoin(F.broadcast(tot))
+            .select(
+                "i",
+                F.expr(f"({n_players} * 1000000 * praw) div tot").alias("p"),
+            )
+        )
+    return (
+        p.join(w_i, "i")
+        .join(
+            n_ij.groupBy("i").agg(F.sum("n").alias("n_matches")), "i"
+        )
+        .select(
+            F.col("i").alias("player"),
+            F.col("big_w").cast("long").alias("wins"),
+            F.col("n_matches").cast("long").alias("n_matches"),
+            F.col("p").alias("strength_micro"),
+        )
+        .orderBy("player")
+    )
+
+
+def _bt_sql() -> str:
+    rounds = []
+    for k in range(1, BT_ROUNDS + 1):
+        rounds.append(f"""
+t{k} AS (
+    SELECT n.i, ({BT_SCALE} * n.n) // (pi.p + pj.p) AS t
+    FROM n_ij n
+    JOIN p{k - 1} pi ON pi.i = n.i
+    JOIN p{k - 1} pj ON pj.i = n.j
+),
+d{k} AS (
+    SELECT i, CAST(SUM(t) AS BIGINT) AS d FROM t{k} GROUP BY i
+),
+praw{k} AS (
+    SELECT w.i, ({BT_SCALE} * w.big_w) // d.d AS praw
+    FROM w_i w JOIN d{k} d ON w.i = d.i
+),
+p{k} AS MATERIALIZED (
+    SELECT i, (np.np * 1000000 * praw)
+        // (SELECT CAST(SUM(praw) AS BIGINT) FROM praw{k}) AS p
+    FROM praw{k} CROSS JOIN np
+)""")
+    return f"""
+WITH m AS (
+    SELECT o_orderpriority AS pa, o_totalprice AS va,
+        LEAD(o_orderpriority) OVER w AS pb,
+        LEAD(o_totalprice) OVER w AS vb
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+matches AS (
+    SELECT CASE WHEN va >= vb THEN pa ELSE pb END AS wi,
+        CASE WHEN va >= vb THEN pb ELSE pa END AS lo
+    FROM m WHERE pb IS NOT NULL AND pa <> pb
+),
+wins AS (
+    SELECT wi AS i, lo AS j, COUNT(*) AS w FROM matches GROUP BY wi, lo
+),
+n_ij AS MATERIALIZED (
+    SELECT COALESCE(a.i, b.j) AS i, COALESCE(a.j, b.i) AS j,
+        COALESCE(a.w, 0) + COALESCE(b.w, 0) AS n,
+        COALESCE(a.w, 0) AS wins_ij
+    FROM wins a
+    FULL JOIN wins b ON a.i = b.j AND a.j = b.i
+),
+w_i AS MATERIALIZED (
+    SELECT i, CAST(SUM(wins_ij) AS BIGINT) AS big_w FROM n_ij GROUP BY i
+),
+np AS (SELECT CAST(COUNT(DISTINCT i) AS BIGINT) AS np FROM n_ij),
+p0 AS MATERIALIZED (
+    SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS p FROM n_ij
+),{",".join(rounds)}
+SELECT p.i AS player,
+    w.big_w AS wins,
+    (SELECT CAST(SUM(n) AS BIGINT) FROM n_ij x WHERE x.i = p.i) AS n_matches,
+    p.p AS strength_micro
+FROM p{BT_ROUNDS} p JOIN w_i w ON p.i = w.i
+ORDER BY player
+"""
+
+
+# ------------------------------------------------- Mann-Kendall trend
+
+
+def agg_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test per order priority — the nonparametric
+    "is this series trending?" answer (no normality, no linearity
+    assumption) that monitoring standardizes on; complements
+    ``window_runs_test`` (randomness) and ``agg_regression_per_group``
+    (parametric slope).  S = Σ_{i<j} sign(x_j − x_i) over the monthly
+    order-count series; the variance uses the exact tie-corrected
+    formula.  Everything except the final z is exact integers: S from
+    the pair sum, 18·Var as an integer (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)),
+    and z = (S ∓ 1)/sqrt(var) as one fixed-shape double expression
+    rounded to 6 dp.
+
+    Scale: the corpus reduces to ≤|months| rows per group BEFORE the
+    pair stage, so the self-join is domain-bounded (84² pairs), the
+    reduce-first discipline every pairwise statistic here follows."""
+    o = load(spark, sf_dir, "orders")
+    series = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("grp"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    b = series.select(
+        F.col("grp").alias("grp2"), F.col("m").alias("m2"), F.col("c").alias("c2")
+    )
+    s_stat = (
+        series.join(
+            b, (F.col("grp") == F.col("grp2")) & (F.col("m") < F.col("m2"))
+        )
+        .groupBy("grp")
+        .agg(
+            F.sum(F.signum(F.col("c2") - F.col("c")).cast("long")).alias("s")
+        )
+    )
+    base = series.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        series.groupBy("grp", "c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_corr")
+        )
+    )
+    joined = s_stat.join(base, "grp").join(ties, "grp").select(
+        "grp",
+        "n",
+        "s",
+        (
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.col("tie_corr")
+        ).alias("var18"),
+    )
+    z = F.round(
+        (
+            F.col("s").cast("double")
+            - F.signum(F.col("s").cast("double"))
+        )
+        / F.sqrt(F.col("var18").cast("double") / F.lit(18.0)),
+        6,
+    )
+    return joined.select(
+        "grp", "n", "s", "var18", z.alias("z"),
+        (F.abs(z) > 1.96).alias("trending"),
+    ).orderBy("grp")
+
+
+_MK_SQL = """
+WITH series AS (
+    SELECT o_orderpriority AS grp, strftime(o_orderdate, '%Y-%m') AS m,
+        COUNT(*) AS c
+    FROM orders GROUP BY 1, 2
+),
+s_stat AS (
+    SELECT a.grp,
+        CAST(SUM(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1
+                 ELSE 0 END) AS BIGINT) AS s
+    FROM series a JOIN series b ON a.grp = b.grp AND a.m < b.m
+    GROUP BY a.grp
+),
+base AS (
+    SELECT grp, COUNT(*) AS n FROM series GROUP BY grp
+),
+ties AS (
+    SELECT grp, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_corr
+    FROM (SELECT grp, c, COUNT(*) AS t FROM series GROUP BY grp, c)
+    GROUP BY grp
+),
+joined AS (
+    SELECT s.grp, b.n, s.s,
+        b.n * (b.n - 1) * (2 * b.n + 5) - t.tie_corr AS var18
+    FROM s_stat s JOIN base b ON s.grp = b.grp JOIN ties t ON s.grp = t.grp
+)
+SELECT grp, n, s, var18,
+    ROUND((CAST(s AS DOUBLE) - SIGN(CAST(s AS DOUBLE)))
+          / SQRT(CAST(var18 AS DOUBLE) / 18.0), 6) AS z,
+    ABS(ROUND((CAST(s AS DOUBLE) - SIGN(CAST(s AS DOUBLE)))
+          / SQRT(CAST(var18 AS DOUBLE) / 18.0), 6)) > 1.96 AS trending
+FROM joined
+ORDER BY grp
+"""
+
+
 # ------------------------------------------------- word burstiness
 
 BURST_MIN_DF = 5  # profile words appearing in at least this many docs
@@ -6236,6 +6513,8 @@ QUERIES = {
     "agg_shapley_attribution": agg_shapley_attribution,
     "rollup_sax_symbols": rollup_sax_symbols,
     "text_word_burstiness": text_word_burstiness,
+    "agg_mann_kendall_trend": agg_mann_kendall_trend,
+    "ml_bradley_terry_ranking": ml_bradley_terry_ranking,
     "ml_naive_bayes_langid": ml_naive_bayes_langid,
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -6312,6 +6591,8 @@ ORACLES = {
     "agg_shapley_attribution": _shap_sql(),
     "rollup_sax_symbols": _sax_sql(),
     "text_word_burstiness": _burstiness_sql(),
+    "agg_mann_kendall_trend": _MK_SQL,
+    "ml_bradley_terry_ranking": _bt_sql(),
     "ml_naive_bayes_langid": _NB_LANGID_SQL,
     "quality_ks_drift": _KS_SQL,
     "agg_survival_km": _KM_SQL,

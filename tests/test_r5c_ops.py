@@ -767,6 +767,69 @@ def test_geohash_prefix_locality(spark, sf_dir):
     assert total == load(spark, sf_dir, "events").count()
 
 
+def test_mann_kendall_matches_python(spark, sf_dir):
+    from collections import Counter
+
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.operators.stats_ops import agg_mann_kendall_trend
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.date_format("o_orderdate", "yyyy-MM").alias("m")
+    ).collect()
+    series: dict[str, Counter] = {}
+    for r in orders:
+        series.setdefault(r["o_orderpriority"], Counter())[r["m"]] += 1
+    got = {r["grp"]: r for r in agg_mann_kendall_trend(spark, sf_dir).collect()}
+    for grp, cnt in series.items():
+        xs = [c for _, c in sorted(cnt.items())]
+        n = len(xs)
+        s = sum(
+            (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        ties = Counter(xs)
+        var18 = n * (n - 1) * (2 * n + 5) - sum(
+            t * (t - 1) * (2 * t + 5) for t in ties.values()
+        )
+        r = got[grp]
+        assert (r["n"], r["s"], r["var18"]) == (n, s, var18)
+
+
+def test_bradley_terry_strengths_normalized(spark, sf_dir):
+    from parquet_batch_spark.operators.stats_ops import ml_bradley_terry_ranking
+
+    rows = ml_bradley_terry_ranking(spark, sf_dir).collect()
+    assert len(rows) == 5  # the five order priorities
+    total = sum(r["strength_micro"] for r in rows)
+    # renormalized to ~|players|·1e6 (integer floors can undershoot)
+    assert 5_000_000 - 50 <= total <= 5_000_000
+    for r in rows:
+        assert r["strength_micro"] > 0
+        assert 0 <= r["wins"] <= r["n_matches"]
+    # strengths must order consistently with win RATES on symmetric
+    # match counts (all priorities play each other about equally)
+    by_rate = sorted(rows, key=lambda r: r["wins"] / r["n_matches"])
+    by_strength = sorted(rows, key=lambda r: r["strength_micro"])
+    assert [r["player"] for r in by_rate] == [
+        r["player"] for r in by_strength
+    ]
+
+
+def test_patch_budget_exact(spark, sf_dir):
+    from parquet_batch_spark.operators.multimodal import (
+        VIT_PATCH,
+        multimodal_patch_token_budget,
+    )
+
+    rows = multimodal_patch_token_budget(spark, sf_dir).collect()
+    assert sum(r["n_images"] for r in rows) == 500
+    for r in rows:
+        assert r["mean_tokens"] == r["total_tokens"] // r["n_images"]
+        assert r["max_tokens"] <= ((1024 // VIT_PATCH) + 1) ** 2 + 1
+        assert r["total_pad_px"] >= 0
+
+
 def test_fertility_ratio_bounds(spark, sf_dir):
     rows = text_tokenizer_fertility(spark, sf_dir).collect()
     assert rows
