@@ -176,6 +176,8 @@ HEADLINE = [
     "agg_mann_kendall_trend",
     "ml_bradley_terry_ranking",
     "multimodal_patch_token_budget",
+    "agg_cohen_kappa",
+    "ml_auc_roc",
 ]
 
 

@@ -5579,6 +5579,209 @@ FROM m
 """
 
 
+# ------------------------------------------------- Cohen's kappa
+
+
+def agg_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ agreement between two INDEPENDENT classifiers over
+    the same documents — here the marker-heuristic langid
+    (``text_langid``'s predictor) vs the true label, per-and-beyond
+    raw accuracy: κ corrects agreement for chance (two raters that
+    both say 'en' 90% of the time agree 81% by luck alone), which is
+    why model-eval and annotation QA report κ, not accuracy.
+
+    Exact rational arithmetic: with N docs, observed agreement
+    a = Σ diag counts and expected agreement e·N² = Σ_k row_k·col_k,
+    κ = (N·a − Σrc)/(N² − Σrc) — emitted in exact integer micro-units
+    as (1e6·(N·a − Σrc)) div (N² − Σrc), plus both marginals'
+    accuracy.  One corpus pass to the confusion counts (the
+    label×prediction domain bounds the table), then scalar algebra."""
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    toks = tokens_col("text")
+
+    def marker_score(markers: list[str]):
+        return F.size(F.filter(toks, lambda t: t.isin(markers))).cast("bigint")
+
+    markers = {
+        "en": ["the", "a", "of", "and", "to"],
+        "es": ["el", "la", "de", "que", "y"],
+        "fr": ["le", "la", "les", "et", "une"],
+        "de": ["der", "die", "das", "und", "ein"],
+    }
+    scores = {lang: marker_score(m) for lang, m in markers.items()}
+    pred = F.lit("unknown")
+    best = F.lit(0).cast("bigint")
+    for lang in reversed(list(markers)):
+        s = scores[lang]
+        pred = F.when((s >= best) & (s > 0), F.lit(lang)).otherwise(pred)
+        best = F.greatest(best, s)
+    conf = (
+        d.select(F.col("lang").alias("y"), pred.alias("p"))
+        .groupBy("y", "p")
+        .agg(F.count(F.lit(1)).alias("c"))
+    ).localCheckpoint(eager=False)
+    n = conf.agg(F.sum("c")).collect()[0][0]
+    agree = conf.filter(F.col("y") == F.col("p")).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("a")
+    )
+    rows_m = conf.groupBy("y").agg(F.sum("c").alias("r"))
+    cols_m = conf.groupBy("p").agg(F.sum("c").alias("k"))
+    rc = (
+        rows_m.join(cols_m, rows_m.y == cols_m.p)
+        .agg(F.coalesce(F.sum(F.col("r") * F.col("k")), F.lit(0)).alias("src"))
+    )
+    return (
+        agree.crossJoin(rc)
+        .select(
+            F.lit(int(n)).cast("long").alias("n"),
+            F.col("a").cast("long").alias("n_agree"),
+            F.col("src").cast("long").alias("sum_rc"),
+            F.expr(f"(1000000 * a) div {int(n)}").alias("accuracy_micro"),
+            F.expr(
+                f"(1000000 * ({int(n)} * a - src))"
+                f" div ({int(n)} * {int(n)} - src)"
+            ).alias("kappa_micro"),
+        )
+    )
+
+
+_KAPPA_SQL = f"""
+WITH scored AS (
+    SELECT lang AS y,
+        CASE
+            WHEN {{en}} >= GREATEST({{es}}, {{fr}}, {{de}}) AND {{en}} > 0 THEN 'en'
+            WHEN {{es}} >= GREATEST({{fr}}, {{de}}) AND {{es}} > 0 THEN 'es'
+            WHEN {{fr}} >= {{de}} AND {{fr}} > 0 THEN 'fr'
+            WHEN {{de}} > 0 THEN 'de'
+            ELSE 'unknown'
+        END AS p
+    FROM (SELECT lang, {sql_tokens("text")} AS toks FROM documents)
+),
+conf AS (SELECT y, p, COUNT(*) AS c FROM scored GROUP BY y, p),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM conf),
+agree AS (
+    SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS a FROM conf WHERE y = p
+),
+rc AS (
+    SELECT CAST(COALESCE(SUM(r.r * k.k), 0) AS BIGINT) AS src
+    FROM (SELECT y, CAST(SUM(c) AS BIGINT) AS r FROM conf GROUP BY y) r
+    JOIN (SELECT p, CAST(SUM(c) AS BIGINT) AS k FROM conf GROUP BY p) k
+      ON r.y = k.p
+)
+SELECT n.n, agree.a AS n_agree, rc.src AS sum_rc,
+    (1000000 * agree.a) // n.n AS accuracy_micro,
+    (1000000 * (n.n * agree.a - rc.src)) // (n.n * n.n - rc.src)
+        AS kappa_micro
+FROM n CROSS JOIN agree CROSS JOIN rc
+"""
+
+
+def _kappa_sql() -> str:
+    def sc(lang: str, markers: list[str]) -> str:
+        m = ", ".join(f"'{x}'" for x in markers)
+        return (
+            f"CAST(len(list_filter(toks, t -> list_contains([{m}], t)))"
+            f" AS BIGINT)"
+        )
+
+    markers = {
+        "en": ["the", "a", "of", "and", "to"],
+        "es": ["el", "la", "de", "que", "y"],
+        "fr": ["le", "la", "les", "et", "une"],
+        "de": ["der", "die", "das", "und", "ein"],
+    }
+    return _KAPPA_SQL.format(**{k: sc(k, v) for k, v in markers.items()})
+
+
+# ------------------------------------------------- exact AUC-ROC
+
+
+def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUC-ROC of the length-score classifier (same score/label
+    pair ``agg_expected_calibration_error`` audits for calibration —
+    AUC audits DISCRIMINATION, the other half of classifier QA): AUC
+    = P(score⁺ > score⁻) + ½P(tie) = (U statistic)/(n₁·n₀), computed
+    from rank sums over the score-DISTINCT reduced table so ties are
+    handled exactly and no corpus-size sort ever runs.
+
+    Everything is integers ×2 (the ½-tie credit stays integral):
+    2·U = 2·ΣR₁ − n₁(n₁+1), AUC2_micro = (1e6·2U) div (2n₁n₀).
+    One reduction to (score, label-count) rows — bounded by the score
+    domain — then a cumulative window over that reduced table and a
+    scalar readout."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    conf = F.least(
+        F.lit(1_000_000),
+        F.expr("(1000000 * n_chars) div 3000"),
+    )
+    label = F.array_contains(tokens_col("text"), "data")
+    staged = d.select(
+        conf.alias("s"), F.when(label, 1).otherwise(0).alias("y")
+    )
+    grid = staged.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("long").alias("n1"),
+    )
+    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    # average rank of the tied block at score s (doubled to stay int):
+    # 2·r̄ = 2·(below) + n + 1
+    ranked = grid.withColumn(
+        "below", F.coalesce(F.sum("n").over(w), F.lit(0))
+    ).select(
+        "s",
+        "n",
+        "n1",
+        (F.col("n1") * (2 * F.col("below") + F.col("n") + 1)).alias("two_r1"),
+    )
+    tot = ranked.agg(
+        F.sum("n").alias("n_total"),
+        F.sum("n1").alias("n_pos"),
+        F.sum("two_r1").alias("two_sum_r1"),
+    )
+    return tot.select(
+        F.col("n_total").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        (F.col("n_total") - F.col("n_pos")).cast("long").alias("n_neg"),
+        F.expr(
+            "(1000000 * (two_sum_r1 - n_pos * (n_pos + 1)))"
+            " div (2 * n_pos * (n_total - n_pos))"
+        ).alias("auc_micro"),
+    )
+
+
+_AUC_SQL = """
+WITH staged AS (
+    SELECT LEAST(1000000, (1000000 * n_chars) // 3000) AS s,
+        CASE WHEN list_contains(string_split_regex(trim(text), '\s+'), 'data')
+             THEN 1 ELSE 0 END AS y
+    FROM documents
+),
+grid AS (
+    SELECT s, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n1
+    FROM staged GROUP BY s
+),
+ranked AS (
+    SELECT s, n, n1,
+        n1 * (2 * CAST(COALESCE(SUM(n) OVER (ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              + n + 1) AS two_r1
+    FROM grid
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+        CAST(SUM(n1) AS BIGINT) AS n_pos,
+        CAST(SUM(two_r1) AS BIGINT) AS two_sum_r1
+    FROM ranked
+)
+SELECT n_total AS n, n_pos, n_total - n_pos AS n_neg,
+    (1000000 * (two_sum_r1 - n_pos * (n_pos + 1)))
+        // (2 * n_pos * (n_total - n_pos)) AS auc_micro
+FROM tot
+"""
+
+
 # ------------------------------------------------- Bradley-Terry
 
 BT_ROUNDS = 3
@@ -6515,6 +6718,8 @@ QUERIES = {
     "text_word_burstiness": text_word_burstiness,
     "agg_mann_kendall_trend": agg_mann_kendall_trend,
     "ml_bradley_terry_ranking": ml_bradley_terry_ranking,
+    "agg_cohen_kappa": agg_cohen_kappa,
+    "ml_auc_roc": ml_auc_roc,
     "ml_naive_bayes_langid": ml_naive_bayes_langid,
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -6593,6 +6798,8 @@ ORACLES = {
     "text_word_burstiness": _burstiness_sql(),
     "agg_mann_kendall_trend": _MK_SQL,
     "ml_bradley_terry_ranking": _bt_sql(),
+    "agg_cohen_kappa": _kappa_sql(),
+    "ml_auc_roc": _AUC_SQL,
     "ml_naive_bayes_langid": _NB_LANGID_SQL,
     "quality_ks_drift": _KS_SQL,
     "agg_survival_km": _KM_SQL,

@@ -830,6 +830,59 @@ def test_patch_budget_exact(spark, sf_dir):
         assert r["total_pad_px"] >= 0
 
 
+def test_kappa_matches_python(spark, sf_dir):
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.operators.stats_ops import agg_cohen_kappa
+    from parquet_batch_spark.operators.text_analysis import text_langid
+
+    preds = {
+        r["doc_id"]: (r["lang_label"], r["lang_pred"])
+        for r in text_langid(spark, sf_dir).collect()
+    }
+    from collections import Counter
+
+    conf = Counter(preds.values())
+    n = sum(conf.values())
+    agree = sum(c for (y, p), c in conf.items() if y == p)
+    rows = Counter()
+    cols = Counter()
+    for (y, p), c in conf.items():
+        rows[y] += c
+        cols[p] += c
+    src = sum(rows[k] * cols.get(k, 0) for k in rows)
+    row = agg_cohen_kappa(spark, sf_dir).collect()[0]
+    assert (row["n"], row["n_agree"], row["sum_rc"]) == (n, agree, src)
+    assert row["kappa_micro"] == (1_000_000 * (n * agree - src)) // (n * n - src)
+    assert load(spark, sf_dir, "documents").count() == n
+
+
+def test_auc_matches_python(spark, sf_dir):
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.operators.stats_ops import ml_auc_roc
+
+    docs = load(spark, sf_dir, "documents").select("n_chars", "text").collect()
+    pairs = [
+        (
+            min(1_000_000, (1_000_000 * r["n_chars"]) // 3000),
+            1 if "data" in r["text"].split() else 0,
+        )
+        for r in docs
+    ]
+    pos = sorted(s for s, y in pairs if y)
+    neg = sorted(s for s, y in pairs if not y)
+    wins = sum(1 for p in pos for q in neg if p > q)
+    ties = sum(1 for p in pos for q in neg if p == q)
+    auc2 = 2 * wins + ties
+    row = ml_auc_roc(spark, sf_dir).collect()[0]
+    assert (row["n"], row["n_pos"], row["n_neg"]) == (
+        len(pairs),
+        len(pos),
+        len(neg),
+    )
+    assert row["auc_micro"] == (1_000_000 * auc2) // (2 * len(pos) * len(neg))
+    assert 0 <= row["auc_micro"] <= 1_000_000
+
+
 def test_fertility_ratio_bounds(spark, sf_dir):
     rows = text_tokenizer_fertility(spark, sf_dir).collect()
     assert rows
