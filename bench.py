@@ -178,6 +178,7 @@ HEADLINE = [
     "multimodal_patch_token_budget",
     "agg_cohen_kappa",
     "ml_auc_roc",
+    "ml_kmeans_lloyd",
 ]
 
 

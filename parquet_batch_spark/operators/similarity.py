@@ -1520,6 +1520,162 @@ ORDER BY query_id, rank
 
 
 # ---------------------------------------------------------------------------
+# ml_kmeans_lloyd — fixed-round fully-integer Lloyd iteration
+# ---------------------------------------------------------------------------
+
+KM_K = 8
+KM_ROUNDS = 2
+
+
+def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means, {KM_ROUNDS} rounds, ENTIRELY in integers —
+    the proof that even iterative centroid refinement fits the
+    exact-oracle discipline: vectors quantize to micro ints once,
+    centroid updates are integer-floor means, and distances are
+    Σ(xq−c)² in int64 — so there is NO floating point anywhere and
+    both engines replay the identical trajectory (``ann_ivf_topk``
+    deliberately avoids Lloyd's corpus passes for its index; this op
+    exists for the clustering itself, and the fixed budget is the
+    standard mini-batch production compromise).
+
+    Per round: one corpus pass assigns each vector to the nearest of
+    {KM_K} centroids (argmin by (d2, cluster) over a plan-literal
+    centroid array — map-only), one partial-agg computes per-cluster
+    dim sums; the 8×64 centroid ints return to the driver (bounded by
+    K·dim, the same scalar-collect class as PCA's 64-dim vector) and
+    re-embed as literals.  Output per cluster: size, exact integer
+    inertia, centroid checksum."""
+    em = fan_out(load(spark, sf_dir, "embeddings"), spark)
+    base = em.select(
+        "vec_id",
+        F.transform(
+            _dvec(), lambda x: F.floor(x * 1_000_000).cast("long")
+        ).alias("xq"),
+    ).localCheckpoint(eager=False)
+    seed_rows = (
+        base.withColumn("hk", hash32(F.col("vec_id").cast("string")))
+        .orderBy("hk", "vec_id")
+        .limit(KM_K)
+        .collect()
+    )
+    cents = [list(r["xq"]) for r in seed_rows]
+
+    def assign(cents_lit: list[list[int]]):
+        carr = F.lit(cents_lit)  # ONE literal node (the CreateArray trap)
+        cand = F.transform(
+            F.sequence(F.lit(1), F.lit(KM_K)),
+            lambda k: F.struct(
+                F.aggregate(
+                    F.sequence(F.lit(1), F.lit(_DIM)),
+                    F.lit(0).cast("long"),
+                    lambda acc, d: acc
+                    + (
+                        F.element_at(F.col("xq"), d)
+                        - F.element_at(F.element_at(carr, k), d)
+                    )
+                    * (
+                        F.element_at(F.col("xq"), d)
+                        - F.element_at(F.element_at(carr, k), d)
+                    ),
+                ).alias("d2"),
+                k.alias("k"),
+            ),
+        )
+        return base.withColumn("best", F.array_min(cand)).select(
+            "vec_id",
+            "xq",
+            F.col("best.k").alias("k"),
+            F.col("best.d2").alias("d2"),
+        )
+
+    assigned = assign(cents)
+    for _ in range(KM_ROUNDS - 1):
+        sums = (
+            assigned.select(
+                "k", F.posexplode("xq").alias("d", "x")
+            )
+            .groupBy("k", "d")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_k: dict[int, list[int]] = {}
+        for r in sums:
+            # TRUNCATING division: DuckDB's `//` (and Spark's `div`)
+            # truncate toward zero; python's `//` floors — they differ
+            # on negative dim sums (measured: ~half the centroid dims
+            # here are negative)
+            sx, nn = r["sx"], r["n"]
+            q = sx // nn if sx >= 0 else -((-sx) // nn)
+            by_k.setdefault(r["k"], [0] * _DIM)[r["d"]] = q
+        # distinct seed vectors guaranteed at the tested SFs; a
+        # duplicate seed (possible only in artificially replicated
+        # corpora) would collapse its cluster — documented limitation
+        cents = [by_k.get(k + 1, cents[k]) for k in range(KM_K)]
+        assigned = assign(cents)
+    return (
+        assigned.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("d2").alias("inertia"),
+        )
+        .withColumn(
+            "centroid_checksum",
+            F.element_at(F.lit([sum(c) for c in cents]), F.col("k")).cast(
+                "long"
+            ),
+        )
+        .orderBy("k")
+    )
+
+
+def _kmeans_sql() -> str:
+    assign = lambda cent_cte, out: f"""
+{out} AS MATERIALIZED (
+    SELECT vec_id, xq, k, d2 FROM (
+        SELECT b.vec_id, b.xq, c.k,
+            list_sum(list_transform(generate_series(1, {_DIM}),
+                d -> (b.xq[d] - c.c[d]) * (b.xq[d] - c.c[d]))) AS d2,
+            ROW_NUMBER() OVER (
+                PARTITION BY b.vec_id
+                ORDER BY list_sum(list_transform(generate_series(1, {_DIM}),
+                    d -> (b.xq[d] - c.c[d]) * (b.xq[d] - c.c[d]))) ASC,
+                    c.k ASC) AS rn
+        FROM base b CROSS JOIN {cent_cte} c
+    ) WHERE rn = 1
+)"""  # noqa: E731
+    return f"""
+WITH base AS MATERIALIZED (
+    SELECT vec_id,
+        list_transform(embedding,
+            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq
+    FROM embeddings
+),
+c0 AS MATERIALIZED (
+    SELECT ROW_NUMBER() OVER (
+            ORDER BY {sql_hash32("CAST(vec_id AS VARCHAR)")}, vec_id) AS k,
+        xq AS c
+    FROM base
+    QUALIFY k <= {KM_K}
+),{assign("c0", "a1")},
+c1 AS MATERIALIZED (
+    SELECT k, list(m ORDER BY d) AS c FROM (
+        SELECT a.k, t.d,
+            CAST(SUM(a.xq[t.d]) AS BIGINT) // COUNT(*) AS m
+        FROM a1 a, generate_series(1, {_DIM}) AS t(d)
+        GROUP BY a.k, t.d
+    ) GROUP BY k
+),{assign("c1", "a2")}
+SELECT CAST(a.k AS INTEGER) AS k, COUNT(*) AS n_vecs,
+    CAST(SUM(a.d2) AS BIGINT) AS inertia,
+    CAST(cs.s AS BIGINT) AS centroid_checksum
+FROM a2 a
+JOIN (SELECT k, list_sum(c) AS s FROM c1) cs ON cs.k = a.k
+GROUP BY a.k, cs.s
+ORDER BY a.k
+"""
+
+
+# ---------------------------------------------------------------------------
 # embedding_random_projection_jl — signed JL projection 64 → 16
 # ---------------------------------------------------------------------------
 
@@ -1725,6 +1881,7 @@ ORDER BY m
 
 QUERIES = {
     "embedding_pq_distortion": embedding_pq_distortion,
+    "ml_kmeans_lloyd": ml_kmeans_lloyd,
     "embedding_random_projection_jl": embedding_random_projection_jl,
     "embedding_drift_report": embedding_drift_report,
     "ann_pq_adc": ann_pq_adc,
@@ -1742,6 +1899,7 @@ QUERIES = {
 
 ORACLES = {
     "embedding_pq_distortion": _PQ_DISTORTION_SQL,
+    "ml_kmeans_lloyd": _kmeans_sql(),
     "embedding_random_projection_jl": _jl_sql(),
     "embedding_drift_report": _DRIFT_SQL,
     "ann_pq_adc": _ANN_PQ_SQL,

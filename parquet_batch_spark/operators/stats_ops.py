@@ -6336,9 +6336,11 @@ def agg_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("t"),
         )
     )
-    # NB: only the x24-scaled value is emitted — phi itself would need
-    # a signed integer division, and Spark's div truncates toward zero
-    # while DuckDB's // floors (they differ on negatives)
+    # NB: only the x24-scaled value is emitted — keeping phi integral
+    # avoids signed division entirely.  (Measured semantics, for the
+    # record: Spark `div` AND DuckDB `//` both truncate toward zero on
+    # integers — they agree; it is PYTHON's // that floors, which bit
+    # ml_kmeans_lloyd's driver-side centroid mirror.)
     return (
         terms.groupBy("channel")
         .agg(F.sum("t").cast("long").alias("phi_scaled_micro"))

@@ -883,6 +883,20 @@ def test_auc_matches_python(spark, sf_dir):
     assert 0 <= row["auc_micro"] <= 1_000_000
 
 
+def test_kmeans_partition_is_total_and_inertia_positive(spark, sf_dir):
+    from parquet_batch_spark.operators.similarity import (
+        KM_K,
+        ml_kmeans_lloyd,
+    )
+
+    rows = ml_kmeans_lloyd(spark, sf_dir).collect()
+    assert [r["k"] for r in rows] == list(range(1, KM_K + 1))
+    assert sum(r["n_vecs"] for r in rows) == 500
+    for r in rows:
+        assert r["n_vecs"] > 0
+        assert r["inertia"] > 0
+
+
 def test_fertility_ratio_bounds(spark, sf_dir):
     rows = text_tokenizer_fertility(spark, sf_dir).collect()
     assert rows
