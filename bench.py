@@ -179,6 +179,8 @@ HEADLINE = [
     "agg_cohen_kappa",
     "ml_auc_roc",
     "ml_kmeans_lloyd",
+    "agg_mcnemar_test",
+    "ml_lift_curve",
 ]
 
 

@@ -5693,6 +5693,214 @@ def _kappa_sql() -> str:
     return _KAPPA_SQL.format(**{k: sc(k, v) for k, v in markers.items()})
 
 
+# ------------------------------------------------- McNemar's test
+
+
+def agg_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test: is classifier A actually BETTER than
+    classifier B, or do their accuracies differ by luck?  Accuracy
+    deltas on the same data are correlated, so the unpaired tests are
+    invalid — McNemar uses only the DISCORDANT pairs (A right/B wrong
+    = b, A wrong/B right = c): χ² = (|b−c|−1)²/(b+c) with continuity
+    correction.  Completes the classifier-comparison suite: κ
+    measures agreement, this measures significance of the
+    difference.  A = the marker langid, B = predicting the majority
+    class ('en') — the baseline every classifier must beat.
+
+    Exact integers end-to-end: b, c are counts, the χ² numerator is
+    integer, and the statistic is one micro-division.  One corpus
+    pass to four paired-outcome counts."""
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    toks = tokens_col("text")
+
+    def marker_score(markers: list[str]):
+        return F.size(F.filter(toks, lambda t: t.isin(markers))).cast("bigint")
+
+    markers = {
+        "en": ["the", "a", "of", "and", "to"],
+        "es": ["el", "la", "de", "que", "y"],
+        "fr": ["le", "la", "les", "et", "une"],
+        "de": ["der", "die", "das", "und", "ein"],
+    }
+    scores = {lang: marker_score(m) for lang, m in markers.items()}
+    pred = F.lit("unknown")
+    best = F.lit(0).cast("bigint")
+    for lang in reversed(list(markers)):
+        s = scores[lang]
+        pred = F.when((s >= best) & (s > 0), F.lit(lang)).otherwise(pred)
+        best = F.greatest(best, s)
+    paired = d.select(
+        (pred == F.col("lang")).alias("a_ok"),
+        (F.lit("en") == F.col("lang")).alias("b_ok"),
+    )
+    agg = paired.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("a_ok") & ~F.col("b_ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when(~F.col("a_ok") & F.col("b_ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when(F.col("a_ok") & F.col("b_ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("both_ok"),
+    )
+    return agg.select(
+        "n",
+        "b",
+        "c",
+        "both_ok",
+        F.expr(
+            "(1000000 * (abs(b - c) - 1) * (abs(b - c) - 1)) div (b + c)"
+        ).alias("chi2_micro"),
+        (
+            F.expr(
+                "(1000000 * (abs(b - c) - 1) * (abs(b - c) - 1)) div (b + c)"
+            )
+            > 3_841_000  # χ²(1df, 0.05) = 3.841
+        ).alias("significant"),
+    )
+
+
+def _mcnemar_sql() -> str:
+    def sc(markers: list[str]) -> str:
+        m = ", ".join(f"'{x}'" for x in markers)
+        return (
+            f"CAST(len(list_filter(toks, t -> list_contains([{m}], t)))"
+            f" AS BIGINT)"
+        )
+
+    mk = {
+        "en": ["the", "a", "of", "and", "to"],
+        "es": ["el", "la", "de", "que", "y"],
+        "fr": ["le", "la", "les", "et", "une"],
+        "de": ["der", "die", "das", "und", "ein"],
+    }
+    en, es, fr, de = (sc(mk[k]) for k in ("en", "es", "fr", "de"))
+    return f"""
+WITH scored AS (
+    SELECT lang,
+        CASE
+            WHEN {en} >= GREATEST({es}, {fr}, {de}) AND {en} > 0 THEN 'en'
+            WHEN {es} >= GREATEST({fr}, {de}) AND {es} > 0 THEN 'es'
+            WHEN {fr} >= {de} AND {fr} > 0 THEN 'fr'
+            WHEN {de} > 0 THEN 'de'
+            ELSE 'unknown'
+        END AS p
+    FROM (SELECT lang, {sql_tokens("text")} AS toks FROM documents)
+),
+paired AS (
+    SELECT p = lang AS a_ok, lang = 'en' AS b_ok FROM scored
+),
+agg AS (
+    SELECT COUNT(*) AS n,
+        CAST(SUM(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        CAST(SUM(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN a_ok AND b_ok THEN 1 ELSE 0 END) AS BIGINT)
+            AS both_ok
+    FROM paired
+)
+SELECT n, b, c, both_ok,
+    (1000000 * (ABS(b - c) - 1) * (ABS(b - c) - 1)) // (b + c) AS chi2_micro,
+    (1000000 * (ABS(b - c) - 1) * (ABS(b - c) - 1)) // (b + c) > 3841000
+        AS significant
+FROM agg
+"""
+
+
+# ------------------------------------------------- lift curve
+
+
+def ml_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table — the marketing-facing view of
+    the same score the ECE op calibrates and AUC discriminates: sort
+    the population by model score, and per decile report what share
+    of all positives the top-k% captures vs the random baseline
+    (lift = capture ÷ share).  This is THE table that prices a
+    targeting model ("top 20% of the list finds 45% of buyers").
+
+    Deciles come from the ECE bucket boundaries (no global sort —
+    bucket counts reduce first, cumulative sums run over the
+    ≤10-row reduced table); capture and lift are exact integer
+    micro-units."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    conf = F.least(
+        F.lit(1_000_000),
+        F.expr("(1000000 * n_chars) div 3000"),
+    )
+    label = F.array_contains(tokens_col("text"), "data")
+    staged = d.select(
+        conf.alias("conf_micro"),
+        F.when(label, 1).otherwise(0).alias("y"),
+    ).select(
+        F.least(F.lit(9), F.expr("conf_micro div 100000")).alias("bucket"),
+        "y",
+    )
+    g = staged.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    w = W.orderBy(F.desc("bucket")).rowsBetween(W.unboundedPreceding, 0)
+    tot = g.agg(
+        F.sum("n").alias("n_total"), F.sum("n_pos").alias("pos_total")
+    )
+    return (
+        g.withColumn("cum_n", F.sum("n").over(w))
+        .withColumn("cum_pos", F.sum("n_pos").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n",
+            "n_pos",
+            F.col("cum_n").cast("long").alias("cum_n"),
+            F.col("cum_pos").cast("long").alias("cum_pos"),
+            F.expr("(1000000 * cum_pos) div pos_total").alias(
+                "capture_micro"
+            ),
+            F.expr(
+                "(1000000 * cum_pos * n_total) div (pos_total * cum_n)"
+            ).alias("lift_micro"),
+        )
+        .orderBy(F.desc("bucket"))
+    )
+
+
+_LIFT_SQL = f"""
+WITH staged AS (
+    SELECT LEAST(9, LEAST(1000000, (1000000 * n_chars) // 3000) // 100000)
+        AS bucket,
+        CASE WHEN list_contains({sql_tokens("text")}, 'data')
+             THEN 1 ELSE 0 END AS y
+    FROM documents
+),
+g AS (
+    SELECT bucket, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos
+    FROM staged GROUP BY bucket
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+        CAST(SUM(n_pos) AS BIGINT) AS pos_total
+    FROM g
+),
+cums AS (
+    SELECT bucket, n, n_pos,
+        CAST(SUM(n) OVER (ORDER BY bucket DESC
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+        CAST(SUM(n_pos) OVER (ORDER BY bucket DESC
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+    FROM g
+)
+SELECT c.bucket, c.n, c.n_pos, c.cum_n, c.cum_pos,
+    (1000000 * c.cum_pos) // t.pos_total AS capture_micro,
+    (1000000 * c.cum_pos * t.n_total) // (t.pos_total * c.cum_n)
+        AS lift_micro
+FROM cums c CROSS JOIN tot t
+ORDER BY c.bucket DESC
+"""
+
+
 # ------------------------------------------------- exact AUC-ROC
 
 
@@ -6722,6 +6930,8 @@ QUERIES = {
     "ml_bradley_terry_ranking": ml_bradley_terry_ranking,
     "agg_cohen_kappa": agg_cohen_kappa,
     "ml_auc_roc": ml_auc_roc,
+    "agg_mcnemar_test": agg_mcnemar_test,
+    "ml_lift_curve": ml_lift_curve,
     "ml_naive_bayes_langid": ml_naive_bayes_langid,
     "agg_regression_per_group": agg_regression_per_group,
     "text_zipf_fit": text_zipf_fit,
@@ -6802,6 +7012,8 @@ ORACLES = {
     "ml_bradley_terry_ranking": _bt_sql(),
     "agg_cohen_kappa": _kappa_sql(),
     "ml_auc_roc": _AUC_SQL,
+    "agg_mcnemar_test": _mcnemar_sql(),
+    "ml_lift_curve": _LIFT_SQL,
     "ml_naive_bayes_langid": _NB_LANGID_SQL,
     "quality_ks_drift": _KS_SQL,
     "agg_survival_km": _KM_SQL,

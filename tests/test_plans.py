@@ -442,6 +442,8 @@ def test_global_windows_only_over_reduced_tables(spark, sf_smoke):
         "quality_ndcg_ranking_eval",
         # cumulative ranks over the <=1001-row score-distinct grid
         "ml_auc_roc",
+        # cumulative capture over the <=10-row decile table
+        "ml_lift_curve",
         # r5 second session: lag/lead anchors over the hour-bucket
         # table (bounded by the time domain, ~720 rows at sf0.1)
         "rollup_downsample_ltob",

@@ -897,6 +897,35 @@ def test_kmeans_partition_is_total_and_inertia_positive(spark, sf_dir):
         assert r["inertia"] > 0
 
 
+def test_mcnemar_discordant_accounting(spark, sf_dir):
+    from parquet_batch_spark.operators.stats_ops import agg_mcnemar_test
+
+    row = agg_mcnemar_test(spark, sf_dir).collect()[0]
+    assert row["n"] == 500
+    assert row["b"] + row["c"] + row["both_ok"] <= row["n"]
+    num = (abs(row["b"] - row["c"]) - 1) ** 2
+    assert row["chi2_micro"] == (1_000_000 * num) // (row["b"] + row["c"])
+    assert row["significant"] == (row["chi2_micro"] > 3_841_000)
+
+
+def test_lift_curve_contract(spark, sf_dir):
+    from parquet_batch_spark.operators.stats_ops import ml_lift_curve
+
+    rows = ml_lift_curve(spark, sf_dir).collect()
+    assert rows
+    # buckets descend; cumulative counts ascend; final capture = 100%
+    assert [r["bucket"] for r in rows] == sorted(
+        (r["bucket"] for r in rows), reverse=True
+    )
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["cum_n"] > prev["cum_n"]
+        assert cur["cum_pos"] >= prev["cum_pos"]
+        assert cur["capture_micro"] >= prev["capture_micro"]
+    assert rows[-1]["capture_micro"] == 1_000_000
+    # the bottom row's lift is exactly 1 (whole population)
+    assert rows[-1]["lift_micro"] == 1_000_000
+
+
 def test_fertility_ratio_bounds(spark, sf_dir):
     rows = text_tokenizer_fertility(spark, sf_dir).collect()
     assert rows
