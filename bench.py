@@ -181,6 +181,10 @@ HEADLINE = [
     "ml_kmeans_lloyd",
     "agg_mcnemar_test",
     "ml_lift_curve",
+    # r5 fourth session
+    "agg_kruskal_wallis",
+    "agg_tukey_hsd",
+    "agg_cuped_variance_reduction",
 ]
 
 

@@ -6920,8 +6920,405 @@ ORDER BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# agg_kruskal_wallis — k-group rank ANOVA (ties-corrected)
+# ---------------------------------------------------------------------------
+
+KW_CHI2_CRIT_MICRO = 9_487_729  # χ²(4 df, 0.05) = 9.487729 — fixed literal
+
+
+def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H across ALL five priority classes — the
+    rank-based counterpart of ``agg_anova_oneway`` (and the k-group
+    generalization of ``agg_mann_whitney_u``): does priority shift
+    the order-value DISTRIBUTION at all, with no normality story.
+
+    Average ranks are exact over the value-DISTINCT reduced table —
+    doubling every rank sum keeps tied-rank averages integral
+    (2·R_g = Σ_v n_gv·(2·cum_before + t_v + 1)); the tie correction
+    C = 1 − Σ(t_v³−t_v)/(N³−N) accumulates t_v³ in decimal(38,0)
+    (t_v can reach corpus scale, so int64 cubes overflow at ~2×10⁶ —
+    same policy as the hardened second moments). H then derives in
+    double with the Σ over the FIXED literal group domain written as
+    a fixed-order expression (a float SUM over groups is
+    partial-agg-order-dependent — the ANOVA gotcha).
+
+    Scale: value-grain reduction (domain-bounded for whole-dollar
+    prices), one cumulative window over that reduced table, scalar
+    output.
+    """
+    o = load(spark, sf_dir, "orders")
+    y = F.floor("o_totalprice").cast("long")
+    k = len(ANOVA_PRIORITIES)
+    vals = (
+        o.select(y.alias("v"), F.col("o_orderpriority").alias("g"))
+        .groupBy("v")
+        .agg(
+            *[
+                F.sum(F.when(F.col("g") == p, 1).otherwise(0))
+                .cast("long")
+                .alias(f"n{i}")
+                for i, p in enumerate(ANOVA_PRIORITIES)
+            ]
+        )
+    )
+    tv = sum((F.col(f"n{i}") for i in range(k)), F.lit(0))
+    cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    stepped = vals.select(
+        "v",
+        *[f"n{i}" for i in range(k)],
+        tv.alias("tv"),
+        F.coalesce(F.sum(tv).over(cum), F.lit(0)).alias("cum_before"),
+    )
+    dec38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731 - exact sums
+    m = stepped.agg(
+        *[
+            F.sum(
+                dec38(F.col(f"n{i}"))
+                * (2 * F.col("cum_before") + F.col("tv") + 1)
+            ).alias(f"two_r{i}")
+            for i in range(k)
+        ],
+        *[F.sum(f"n{i}").alias(f"nn{i}") for i in range(k)],
+        F.sum(
+            dec38(F.col("tv")) * F.col("tv") * F.col("tv") - dec38(F.col("tv"))
+        ).alias("tie3"),
+    )
+    nn = sum((F.col(f"nn{i}").cast("double") for i in range(k)), F.lit(0.0))
+    # Σ_g (2R_g)²/n_g as a fixed-order expression over the literal domain
+    sg = sum(
+        (
+            F.col(f"two_r{i}").cast("double")
+            * F.col(f"two_r{i}").cast("double")
+            / F.col(f"nn{i}").cast("double")
+            for i in range(k)
+        ),
+        F.lit(0.0),
+    )
+    h = F.lit(3.0) / (nn * (nn + 1.0)) * sg - F.lit(3.0) * (nn + 1.0)
+    c = F.lit(1.0) - F.col("tie3").cast("double") / (nn * nn * nn - nn)
+    h_adj = h / c
+    return m.select(
+        nn.cast("long").alias("n_rows"),
+        F.lit(k - 1).cast("long").alias("df"),
+        F.round(h, 6).alias("h_stat"),
+        F.round(c, 6).alias("tie_correction"),
+        F.round(h_adj, 6).alias("h_adjusted"),
+        (h_adj > F.lit(KW_CHI2_CRIT_MICRO / 1e6)).alias("significant"),
+    )
+
+
+def _kruskal_sql() -> str:
+    k = len(ANOVA_PRIORITIES)
+    ncols = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n{i}"
+        for i, p in enumerate(ANOVA_PRIORITIES)
+    )
+    tv = " + ".join(f"n{i}" for i in range(k))
+    two_r = ",\n           ".join(
+        f"SUM(CAST(n{i} AS HUGEINT) * (2 * cum_before + tv + 1)) AS two_r{i}"
+        for i in range(k)
+    )
+    nns = ",\n           ".join(f"SUM(n{i}) AS nn{i}" for i in range(k))
+    nn = " + ".join(f"CAST(nn{i} AS DOUBLE)" for i in range(k))
+    sg = " + ".join(
+        f"CAST(two_r{i} AS DOUBLE) * CAST(two_r{i} AS DOUBLE)"
+        f" / CAST(nn{i} AS DOUBLE)"
+        for i in range(k)
+    )
+    return f"""
+WITH vals AS (
+    SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS v,
+           {ncols}
+    FROM orders
+    GROUP BY 1
+),
+stepped AS (
+    SELECT v, {", ".join(f"n{i}" for i in range(k))}, ({tv}) AS tv,
+           COALESCE(SUM({tv}) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+    FROM vals
+),
+m AS (
+    SELECT {two_r},
+           {nns},
+           SUM(CAST(tv AS HUGEINT) * tv * tv - CAST(tv AS HUGEINT)) AS tie3
+    FROM stepped
+),
+d AS (
+    SELECT ({nn}) AS nn, ({sg}) AS sg, CAST(tie3 AS DOUBLE) AS tie3 FROM m
+)
+SELECT CAST(nn AS BIGINT) AS n_rows, CAST({k - 1} AS BIGINT) AS df,
+       ROUND(3.0 / (nn * (nn + 1.0)) * sg - 3.0 * (nn + 1.0), 6) AS h_stat,
+       ROUND(1.0 - tie3 / (nn * nn * nn - nn), 6) AS tie_correction,
+       ROUND((3.0 / (nn * (nn + 1.0)) * sg - 3.0 * (nn + 1.0))
+             / (1.0 - tie3 / (nn * nn * nn - nn)), 6) AS h_adjusted,
+       (3.0 / (nn * (nn + 1.0)) * sg - 3.0 * (nn + 1.0))
+           / (1.0 - tie3 / (nn * nn * nn - nn))
+           > {KW_CHI2_CRIT_MICRO / 1e6} AS significant
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# agg_tukey_hsd — post-hoc pairwise comparisons after ANOVA
+# ---------------------------------------------------------------------------
+
+TUKEY_Q_CRIT = 3.858  # studentized range q(k=5, df=∞, α=0.05), fixed literal
+
+
+def agg_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD over all C(5,2)=10 priority pairs — the post-hoc
+    step after ``agg_anova_oneway`` says "something differs": WHICH
+    pairs differ, with the studentized-range statistic that keeps the
+    familywise error rate at α across all ten simultaneous
+    comparisons (ten Welch t-tests would not).
+
+    One conditional-aggregation pass produces the per-group (n, Σy)
+    pairs and the global Σy² (decimal-exact); MSW and every pairwise
+    q statistic derive in double from those exact sums, with the
+    within-group Σ s_g²/n_g written as a fixed-order expression over
+    the literal group domain. The 10 output rows are exploded from a
+    literal pair array — no second scan, no join.
+
+    Scale: ONE map-side-combinable pass over orders; everything after
+    is constant-size arithmetic.
+    """
+    o = load(spark, sf_dir, "orders")
+    y = F.floor("o_totalprice").cast("long")
+    k = len(ANOVA_PRIORITIES)
+    aggs = []
+    for i, p in enumerate(ANOVA_PRIORITIES):
+        is_p = F.col("o_orderpriority") == p
+        aggs.append(F.sum(F.when(is_p, 1).otherwise(0)).alias(f"n{i}"))
+        aggs.append(
+            F.sum(F.when(is_p, F.col("y")).otherwise(0)).alias(f"s{i}")
+        )
+    aggs.append(F.sum(F.col("y").cast("decimal(18,0)") * F.col("y")).alias("qq"))
+    m = o.select("o_orderpriority", y.alias("y")).agg(*aggs)
+    nn = sum((F.col(f"n{i}").cast("double") for i in range(k)), F.lit(0.0))
+    sg = sum(
+        (
+            F.col(f"s{i}").cast("double")
+            * F.col(f"s{i}").cast("double")
+            / F.col(f"n{i}").cast("double")
+            for i in range(k)
+        ),
+        F.lit(0.0),
+    )
+    msw = (F.col("qq").cast("double") - sg) / (nn - F.lit(float(k)))
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(ANOVA_PRIORITIES[i]).alias("ga"),
+                F.lit(ANOVA_PRIORITIES[j]).alias("gb"),
+                F.col(f"n{i}").cast("long").alias("na"),
+                F.col(f"n{j}").cast("long").alias("nb"),
+                F.col(f"s{i}").cast("long").alias("sa"),
+                F.col(f"s{j}").cast("long").alias("sb"),
+            )
+            for i in range(k)
+            for j in range(i + 1, k)
+        ]
+    )
+    e = m.select(msw.alias("msw"), F.explode(pairs).alias("p"))
+    na, nb = F.col("p.na").cast("double"), F.col("p.nb").cast("double")
+    mean_a = F.col("p.sa").cast("double") / na
+    mean_b = F.col("p.sb").cast("double") / nb
+    diff = mean_a - mean_b
+    se = F.sqrt(
+        F.col("msw") / F.lit(2.0) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    q = F.abs(diff) / se
+    return e.select(
+        F.col("p.ga").alias("group_a"),
+        F.col("p.gb").alias("group_b"),
+        F.col("p.na").alias("n_a"),
+        F.col("p.nb").alias("n_b"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(diff, 6).alias("mean_diff"),
+        F.round(q, 6).alias("q_stat"),
+        (q > F.lit(TUKEY_Q_CRIT)).alias("significant"),
+    ).orderBy("group_a", "group_b")
+
+
+def _tukey_sql() -> str:
+    k = len(ANOVA_PRIORITIES)
+    cols = []
+    for i, p in enumerate(ANOVA_PRIORITIES):
+        cols.append(
+            f"SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS n{i}"
+        )
+        cols.append(
+            f"SUM(CASE WHEN o_orderpriority = '{p}'"
+            f" THEN CAST(FLOOR(o_totalprice) AS BIGINT) ELSE 0 END) AS s{i}"
+        )
+    cols.append(
+        "SUM(CAST(FLOOR(o_totalprice) AS HUGEINT)"
+        " * CAST(FLOOR(o_totalprice) AS BIGINT)) AS qq"
+    )
+    nn = " + ".join(f"CAST(n{i} AS DOUBLE)" for i in range(k))
+    sg = " + ".join(
+        f"CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE) / CAST(n{i} AS DOUBLE)"
+        for i in range(k)
+    )
+    unions = "\n    UNION ALL\n    ".join(
+        f"SELECT '{ANOVA_PRIORITIES[i]}' AS group_a,"
+        f" '{ANOVA_PRIORITIES[j]}' AS group_b,"
+        f" CAST(n{i} AS BIGINT) AS n_a, CAST(n{j} AS BIGINT) AS n_b,"
+        f" CAST(s{i} AS BIGINT) AS s_a, CAST(s{j} AS BIGINT) AS s_b,"
+        f" msw FROM d"
+        for i in range(k)
+        for j in range(i + 1, k)
+    )
+    return f"""
+WITH m AS (
+    SELECT {", ".join(cols)}
+    FROM orders
+),
+d AS (
+    SELECT *, (CAST(qq AS DOUBLE) - ({sg})) / (({nn}) - {float(k)}) AS msw
+    FROM m
+),
+pairs AS (
+    {unions}
+)
+SELECT group_a, group_b, n_a, n_b,
+       ROUND(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS mean_a,
+       ROUND(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS mean_b,
+       ROUND(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS mean_diff,
+       ROUND(ABS(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / SQRT(msw / 2.0 * (1.0 / CAST(n_a AS DOUBLE)
+                                 + 1.0 / CAST(n_b AS DOUBLE))), 6) AS q_stat,
+       ABS(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+           - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+           / SQRT(msw / 2.0 * (1.0 / CAST(n_a AS DOUBLE)
+                               + 1.0 / CAST(n_b AS DOUBLE)))
+           > {TUKEY_Q_CRIT} AS significant
+FROM pairs
+ORDER BY group_a, group_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# agg_cuped_variance_reduction — pre-period covariate adjustment
+# ---------------------------------------------------------------------------
+
+CUPED_SPLIT_DATE = "1998-01-01"  # pre-period < split ≤ post-period
+
+
+def agg_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED — the variance-reduction workhorse of every modern
+    experimentation platform: regress each customer's POST-period
+    spend on their PRE-period spend (θ = cov/var) and report how much
+    metric variance the adjustment removes (= ρ², the fraction a CUPED
+    A/B test shrinks its confidence intervals by, i.e. how many fewer
+    samples the same power needs).
+
+    Customer-grain reduce first (pre/post whole-dollar spend per
+    customer — exact int64 conditional sums), then the five cross
+    moments accumulate in decimal(38,0) (spend × spend crosses int64
+    at ~3×10⁹-customer × large-spend scale); θ and the variance ratio
+    derive in double and round to 6dp.
+
+    Scale: one scan → customer-grain shuffle → 5 scalars; no window,
+    no second pass.
+    """
+    o = load(spark, sf_dir, "orders")
+    pre = F.col("o_orderdate").cast("date") < F.lit(CUPED_SPLIT_DATE)
+    y = F.floor("o_totalprice").cast("long")
+    cust = (
+        o.select(F.col("o_custkey").alias("c"), pre.alias("pre"), y.alias("y"))
+        .groupBy("c")
+        .agg(
+            F.sum(F.when(F.col("pre"), F.col("y")).otherwise(0)).alias("x"),
+            F.sum(F.when(~F.col("pre"), F.col("y")).otherwise(0)).alias("yy"),
+        )
+    )
+    dec38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731 - exact sums
+    m = cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yy").alias("sy"),
+        F.sum(dec38(F.col("x")) * F.col("yy")).alias("sxy"),
+        F.sum(dec38(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(dec38(F.col("yy")) * F.col("yy")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    theta = cov_n / varx_n
+    rho2 = cov_n * cov_n / (varx_n * vary_n)
+    return m.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(theta, 6).alias("theta"),
+        F.round(rho2, 6).alias("variance_reduction"),
+        F.round(F.lit(1.0) - rho2, 6).alias("residual_variance_ratio"),
+        F.round(F.lit(1.0) / (F.lit(1.0) - rho2), 6).alias(
+            "sample_size_multiplier"
+        ),
+    )
+
+
+_CUPED_SQL = f"""
+WITH cust AS (
+    SELECT o_custkey AS c,
+           CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE)
+                              < DATE '{CUPED_SPLIT_DATE}'
+                         THEN CAST(FLOOR(o_totalprice) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS x,
+           CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE)
+                              < DATE '{CUPED_SPLIT_DATE}'
+                         THEN 0
+                         ELSE CAST(FLOOR(o_totalprice) AS BIGINT)
+                         END) AS BIGINT) AS yy
+    FROM orders
+    GROUP BY 1
+),
+m AS (
+    SELECT COUNT(*) AS n,
+           SUM(x) AS sx, SUM(yy) AS sy,
+           SUM(CAST(x AS HUGEINT) * yy) AS sxy,
+           SUM(CAST(x AS HUGEINT) * x) AS sxx,
+           SUM(CAST(yy AS HUGEINT) * yy) AS syy
+    FROM cust
+),
+d AS (
+    SELECT CAST(n AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS sx,
+           CAST(sy AS DOUBLE) AS sy, CAST(sxy AS DOUBLE) AS sxy,
+           CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+           CAST(n AS BIGINT) AS n_int
+    FROM m
+)
+SELECT n_int AS n_customers,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS theta,
+       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           AS variance_reduction,
+       ROUND(1.0 - (n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           AS residual_variance_ratio,
+       ROUND(1.0 / (1.0 - (n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy))), 6)
+           AS sample_size_multiplier
+FROM d
+"""
+
+
 QUERIES = {
     "agg_expected_calibration_error": agg_expected_calibration_error,
+    "agg_kruskal_wallis": agg_kruskal_wallis,
+    "agg_tukey_hsd": agg_tukey_hsd,
+    "agg_cuped_variance_reduction": agg_cuped_variance_reduction,
     "agg_ratio_delta_ci": agg_ratio_delta_ci,
     "agg_shapley_attribution": agg_shapley_attribution,
     "rollup_sax_symbols": rollup_sax_symbols,
@@ -7004,6 +7401,9 @@ QUERIES = {
 
 ORACLES = {
     "agg_expected_calibration_error": _ECE_SQL,
+    "agg_kruskal_wallis": _kruskal_sql(),
+    "agg_tukey_hsd": _tukey_sql(),
+    "agg_cuped_variance_reduction": _CUPED_SQL,
     "agg_ratio_delta_ci": _RATIO_CI_SQL,
     "agg_shapley_attribution": _shap_sql(),
     "rollup_sax_symbols": _sax_sql(),

@@ -430,6 +430,9 @@ def test_global_windows_only_over_reduced_tables(spark, sf_smoke):
         "agg_weekday_hour_heatmap", "seq_event_paths",
         "sample_kfold_assignment", "func_edit_distance",
         "sort_nulls_placement", "agg_mann_whitney_u", "window_runs_test",
+        # r5 fourth session: cumulative rank over the whole-dollar
+        # price-distinct reduced table (same shape as mann_whitney)
+        "agg_kruskal_wallis",
         "agg_split_gain_gini", "window_realized_volatility",
         "window_seasonal_decompose", "agg_spearman_rho", "agg_hist2d_joint",
         "sample_ab_assignment_srm", "agg_chi_square_independence",

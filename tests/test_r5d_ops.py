@@ -1,0 +1,142 @@
+"""Invariant tests for the r5 fourth-session ops.  The oracle-parity
+suite covers cross-engine hash equality; these pin the statistical
+semantics independently (against scipy-free closed forms computed in
+pure Python on collected reductions)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from parquet_batch_spark.operators.stats_ops import (
+    ANOVA_PRIORITIES,
+    CUPED_SPLIT_DATE,
+    TUKEY_Q_CRIT,
+    agg_cuped_variance_reduction,
+    agg_kruskal_wallis,
+    agg_tukey_hsd,
+)
+from parquet_batch_spark.catalog import load
+
+
+def _rankdata(values: list[float]) -> list[float]:
+    """Average-rank (tie-aware) ranking, 1-based — pure Python."""
+    order = sorted(range(len(values)), key=lambda i: values[i])
+    ranks = [0.0] * len(values)
+    i = 0
+    while i < len(order):
+        j = i
+        while j + 1 < len(order) and values[order[j + 1]] == values[order[i]]:
+            j += 1
+        avg = (i + j) / 2.0 + 1.0
+        for k in range(i, j + 1):
+            ranks[order[k]] = avg
+        i = j + 1
+    return ranks
+
+
+def test_kruskal_wallis_matches_python_reference(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").select(
+        F.floor("o_totalprice").cast("long").alias("v"),
+        F.col("o_orderpriority").alias("g"),
+    )
+    rows = o.collect()
+    values = [r["v"] for r in rows]
+    groups = [r["g"] for r in rows]
+    ranks = _rankdata(values)
+    n = len(values)
+    # per-group rank sums
+    rsum: dict[str, float] = {}
+    cnt: dict[str, int] = {}
+    for g, r in zip(groups, ranks):
+        rsum[g] = rsum.get(g, 0.0) + r
+        cnt[g] = cnt.get(g, 0) + 1
+    h = 12.0 / (n * (n + 1)) * sum(
+        rsum[g] ** 2 / cnt[g] for g in ANOVA_PRIORITIES
+    ) - 3.0 * (n + 1)
+    # tie correction
+    from collections import Counter
+
+    tie3 = sum(t**3 - t for t in Counter(values).values())
+    c = 1.0 - tie3 / (n**3 - n)
+    got = agg_kruskal_wallis(spark, sf_dir).collect()[0]
+    assert got["n_rows"] == n
+    assert got["df"] == len(ANOVA_PRIORITIES) - 1
+    assert math.isclose(got["h_stat"], h, rel_tol=1e-6, abs_tol=1e-5)
+    assert math.isclose(got["tie_correction"], c, rel_tol=1e-9)
+    assert math.isclose(got["h_adjusted"], h / c, rel_tol=1e-6, abs_tol=1e-5)
+    assert got["significant"] == (h / c > 9.487729)
+
+
+def test_tukey_hsd_pairs_and_msw(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").select(
+        F.floor("o_totalprice").cast("long").alias("v"),
+        F.col("o_orderpriority").alias("g"),
+    )
+    rows = o.collect()
+    by_g: dict[str, list[int]] = {}
+    for r in rows:
+        by_g.setdefault(r["g"], []).append(r["v"])
+    k = len(ANOVA_PRIORITIES)
+    n = len(rows)
+    ssw = sum(
+        sum(v * v for v in vs) - sum(vs) ** 2 / len(vs)
+        for vs in by_g.values()
+    )
+    msw = ssw / (n - k)
+    got = agg_tukey_hsd(spark, sf_dir).collect()
+    assert len(got) == k * (k - 1) // 2  # all 10 unordered pairs
+    seen = set()
+    for row in got:
+        a, b = row["group_a"], row["group_b"]
+        assert a < b  # canonical order, no duplicate/reversed pairs
+        seen.add((a, b))
+        ma = sum(by_g[a]) / len(by_g[a])
+        mb = sum(by_g[b]) / len(by_g[b])
+        q = abs(ma - mb) / math.sqrt(
+            msw / 2.0 * (1.0 / len(by_g[a]) + 1.0 / len(by_g[b]))
+        )
+        assert math.isclose(row["mean_diff"], ma - mb, abs_tol=1e-5)
+        assert math.isclose(row["q_stat"], q, rel_tol=1e-6, abs_tol=1e-5)
+        assert row["significant"] == (q > TUKEY_Q_CRIT)
+    assert len(seen) == k * (k - 1) // 2
+
+
+def test_cuped_matches_python_reference(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"),
+        (F.col("o_orderdate").cast("date") < F.lit(CUPED_SPLIT_DATE)).alias(
+            "pre"
+        ),
+        F.floor("o_totalprice").cast("long").alias("v"),
+    )
+    pre: dict[int, int] = {}
+    post: dict[int, int] = {}
+    for r in o.collect():
+        d = pre if r["pre"] else post
+        d[r["c"]] = d.get(r["c"], 0) + r["v"]
+    custs = sorted(set(pre) | set(post))
+    xs = [pre.get(c, 0) for c in custs]
+    ys = [post.get(c, 0) for c in custs]
+    n = len(custs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    theta = cov_n / varx_n
+    rho2 = cov_n * cov_n / (varx_n * vary_n)
+    got = agg_cuped_variance_reduction(spark, sf_dir).collect()[0]
+    assert got["n_customers"] == n
+    assert math.isclose(got["theta"], theta, rel_tol=1e-6, abs_tol=1e-6)
+    assert math.isclose(
+        got["variance_reduction"], rho2, rel_tol=1e-6, abs_tol=1e-6
+    )
+    # the two derived readouts are consistent with rho2
+    assert math.isclose(
+        got["residual_variance_ratio"], 1.0 - rho2, abs_tol=2e-6
+    )
+    assert 0.0 <= got["variance_reduction"] <= 1.0
