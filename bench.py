@@ -185,6 +185,9 @@ HEADLINE = [
     "agg_kruskal_wallis",
     "agg_tukey_hsd",
     "agg_cuped_variance_reduction",
+    "ml_average_precision",
+    "seq_markov_stationary",
+    "window_average_true_range",
 ]
 
 

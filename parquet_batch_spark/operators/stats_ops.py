@@ -6921,6 +6921,378 @@ ORDER BY bucket
 
 
 # ---------------------------------------------------------------------------
+# ml_average_precision — tie-aware AP over the score-distinct grid
+# ---------------------------------------------------------------------------
+
+
+def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision of the length-score classifier — the
+    PR-curve summary that complements ``ml_auc_roc`` (AUC rewards
+    ranking everywhere; AP concentrates on the positive-sparse head,
+    which is what retrieval and filtering pipelines care about).
+
+    Step-function convention (sklearn's): AP = Σ_k ΔR_k · P_k with
+    precision/recall taken at the END of each distinct-score block,
+    so ties never depend on within-block order. Each block's
+    contribution is micro-quantized BEFORE the sum —
+    floor(10⁶·p_k·cumP_k/cumN_k) — making the accumulation an exact
+    integer sum (order-insensitive, AQE-safe) instead of a
+    fold-order-dependent float Σ of ratios; the ≤10⁻³ quantization
+    slack is part of the metric contract. The p_k·cumP_k product
+    accumulates in decimal(38,0) (both factors reach corpus scale).
+
+    Scale: corpus pass → ≤1001-row score-distinct grid, cumulative
+    window over that reduced table, scalar readout.
+    """
+    d = load(spark, sf_dir, "documents")
+    conf = F.least(
+        F.lit(1_000_000),
+        F.expr(f"(1000000 * n_chars) div {ECE_SCALE_CHARS}"),
+    )
+    label = F.array_contains(tokens_col("text"), "data")
+    grid = (
+        d.select(conf.alias("s"), F.when(label, 1).otherwise(0).alias("y"))
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n_k"),
+            F.sum("y").cast("long").alias("p_k"),
+        )
+    )
+    cum = Window.orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    stepped = grid.select(
+        "s",
+        "n_k",
+        "p_k",
+        F.sum("n_k").over(cum).alias("cum_n"),
+        F.sum("p_k").over(cum).alias("cum_p"),
+    )
+    contrib = F.expr(
+        "CAST((1000000 * CAST(p_k AS DECIMAL(38,0)) * cum_p) div cum_n"
+        " AS BIGINT)"
+    )
+    m = stepped.agg(
+        F.sum("n_k").alias("n"),
+        F.sum("p_k").alias("n_pos"),
+        F.sum(contrib).alias("sum_contrib"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.expr("(1000000 * n_pos) div n").alias("prevalence_micro"),
+        F.expr("sum_contrib div n_pos").alias("ap_micro"),
+        F.expr(
+            "(1000000 * (sum_contrib div n_pos))"
+            " div ((1000000 * n_pos) div n)"
+        ).alias("ap_over_prevalence_micro"),
+    )
+
+
+_AP_SQL = f"""
+WITH grid AS (
+    SELECT LEAST(1000000, (1000000 * n_chars) // {ECE_SCALE_CHARS}) AS s,
+        COUNT(*) AS n_k,
+        CAST(SUM(CASE WHEN list_contains({sql_tokens("text")}, 'data')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS p_k
+    FROM documents
+    GROUP BY 1
+),
+stepped AS (
+    SELECT s, n_k, p_k,
+        CAST(SUM(n_k) OVER (ORDER BY s DESC
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+        CAST(SUM(p_k) OVER (ORDER BY s DESC
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_p
+    FROM grid
+),
+m AS (
+    SELECT CAST(SUM(n_k) AS BIGINT) AS n,
+        CAST(SUM(p_k) AS BIGINT) AS n_pos,
+        CAST(SUM((1000000 * CAST(p_k AS HUGEINT) * cum_p) // cum_n)
+             AS BIGINT) AS sum_contrib
+    FROM stepped
+)
+SELECT n AS n_rows, n_pos,
+    (1000000 * n_pos) // n AS prevalence_micro,
+    sum_contrib // n_pos AS ap_micro,
+    (1000000 * (sum_contrib // n_pos)) // ((1000000 * n_pos) // n)
+        AS ap_over_prevalence_micro
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# seq_markov_stationary — stationary distribution by power iteration
+# ---------------------------------------------------------------------------
+
+MS_SCALE = 1_000_000_000  # fixed-point: products stay < 2^63
+MS_ITERS = 12
+
+
+def seq_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-event Markov chain — where
+    does a long random session SPEND its time, the one-vector summary
+    of ``seq_transition_matrix`` (session-mix forecasting, bot
+    fingerprinting). π is computed by {MS_ITERS} fixed power
+    iterations π ← πP from the uniform start.
+
+    Engine-exact by construction (the ``graph_pagerank`` recipe on a
+    domain-bounded chain): transition probabilities and π live in
+    BIGINT fixed-point (10⁹ units; π·p products stay < 2⁶³), every
+    update is truncating integer division (all values non-negative,
+    so Spark's ``div`` and DuckDB's ``//`` agree) and an integer sum
+    — order-insensitive, no float fold anywhere. The oracle unrolls
+    the same iterations as chained CTEs. States = event types with
+    outgoing transitions; edges into unseen states are dropped and
+    rows renormalized over the kept edges (documented closure).
+
+    Scale: ONE corpus pass builds the (types × types) matrix; the
+    iteration runs on that constant-size table — iteration cost is
+    independent of corpus size.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    raw = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    states = raw.select(F.col("from_type").alias("state")).distinct()
+    kept = raw.join(
+        F.broadcast(states.select(F.col("state").alias("to_type"))),
+        "to_type",
+    )
+    ci = kept.groupBy("from_type").agg(F.sum("c").alias("ci"))
+    edges = (
+        kept.join(F.broadcast(ci), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.expr(
+                f"CAST((CAST(c AS DECIMAL(38,0)) * {MS_SCALE}) div ci"
+                " AS BIGINT)"
+            ).alias("p_fp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    m = states.count()
+    pi = states.select("state", F.lit(MS_SCALE // m).alias("r"))
+    for _ in range(MS_ITERS):
+        contrib = (
+            edges.join(pi, edges.from_type == pi.state)
+            .select(
+                F.col("to_type").alias("state"),
+                F.expr(f"(r * p_fp) div {MS_SCALE}").alias("t"),
+            )
+            .groupBy("state")
+            .agg(F.sum("t").alias("r_new"))
+        )
+        pi = (
+            states.join(contrib, "state", "left")
+            .select("state", F.coalesce("r_new", F.lit(0)).alias("r"))
+            .localCheckpoint(eager=True)
+        )
+    return pi.select(
+        "state",
+        F.col("r").alias("pi_fp"),
+        F.round(F.col("r").cast("double") / F.lit(float(MS_SCALE)), 9).alias(
+            "pi"
+        ),
+    ).orderBy("state")
+
+
+def _markov_stationary_sql() -> str:
+    steps = []
+    for i in range(MS_ITERS):
+        steps.append(f"""
+c{i} AS (
+    SELECT e.to_type AS state,
+           CAST(SUM((p.r * e.p_fp) // {MS_SCALE}) AS BIGINT) AS r_new
+    FROM st{i} p
+    JOIN edges e ON e.from_type = p.state
+    GROUP BY 1
+),
+st{i + 1} AS (
+    SELECT s.state, COALESCE(c.r_new, 0) AS r
+    FROM states s LEFT JOIN c{i} c ON c.state = s.state
+)""")
+    return f"""
+WITH raw AS (
+    SELECT from_type, to_type, COUNT(*) AS c
+    FROM (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS to_type
+        FROM events
+    )
+    WHERE to_type IS NOT NULL
+    GROUP BY 1, 2
+),
+states AS (
+    SELECT DISTINCT from_type AS state FROM raw
+),
+kept AS (
+    SELECT r.* FROM raw r JOIN states s ON r.to_type = s.state
+),
+ci AS (
+    SELECT from_type, SUM(c) AS ci FROM kept GROUP BY 1
+),
+edges AS (
+    SELECT k.from_type, k.to_type,
+           CAST((CAST(k.c AS HUGEINT) * {MS_SCALE}) // ci.ci AS BIGINT)
+               AS p_fp
+    FROM kept k JOIN ci ON ci.from_type = k.from_type
+),
+st0 AS (
+    SELECT state,
+           {MS_SCALE} // (SELECT COUNT(*) FROM states) AS r
+    FROM states
+),{",".join(steps)}
+SELECT state, r AS pi_fp,
+    ROUND(CAST(r AS DOUBLE) / {float(MS_SCALE)}, 9) AS pi
+FROM st{MS_ITERS}
+ORDER BY state
+"""
+
+
+# ---------------------------------------------------------------------------
+# window_average_true_range — ATR volatility over daily bars
+# ---------------------------------------------------------------------------
+
+ATR_WINDOW = 14  # trailing days, SMA variant (documented: not Wilder EMA)
+
+
+def window_average_true_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average True Range over daily per-type value bars — the
+    volatility gauge that, unlike ``window_realized_volatility``'s
+    close-to-close sigma, credits INTRADAY range and overnight gaps:
+    TR = max(high−low, |high−prev_close|, |low−prev_close|), ATR =
+    {ATR_WINDOW}-day trailing mean (SMA variant — Wilder's recursive
+    EMA is fold-order-free too but needs per-row recursion; the SMA
+    is the standard screening variant and windows exactly).
+
+    TR is micro-quantized per row (floor(10⁶·tr)) so the trailing
+    sum is an exact integer and ATR is one integer division — no
+    float accumulation across the window frame. First bar of each
+    type has no prev_close: GREATEST ignores the NULL gap terms in
+    BOTH engines, so its TR is the plain high−low range — the
+    standard first-bar convention, pinned by test_r5d_ops.
+
+    Scale: day-grain reduce per type first; the lag/rolling windows
+    run over the (types × days)-bounded bar table, partitioned by
+    type.
+    """
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "day")
+    rn_d = F.row_number().over(w.orderBy(F.desc("us"), F.desc("event_id")))
+    bars = (
+        base.withColumn("rn_d", rn_d)
+        .groupBy("event_type", "day")
+        .agg(
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        )
+    )
+    seq = Window.partitionBy("event_type").orderBy("day")
+    pc = F.lag("close").over(seq)
+    tr = F.greatest(
+        F.col("high") - F.col("low"),
+        F.abs(F.col("high") - pc),
+        F.abs(F.col("low") - pc),
+    )
+    stepped = bars.select(
+        "event_type",
+        "day",
+        F.floor(F.lit(1_000_000.0) * tr).cast("long").alias("tr_micro"),
+    ).where(F.col("tr_micro").isNotNull())
+    roll = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(ATR_WINDOW - 1), 0)
+    )
+    out = stepped.select(
+        "event_type",
+        "day",
+        "tr_micro",
+        F.count(F.lit(1)).over(roll).alias("n_days"),
+        F.expr(
+            f"sum(tr_micro) OVER (PARTITION BY event_type ORDER BY day"
+            f" ROWS BETWEEN {ATR_WINDOW - 1} PRECEDING AND CURRENT ROW)"
+            f" div count(1) OVER (PARTITION BY event_type ORDER BY day"
+            f" ROWS BETWEEN {ATR_WINDOW - 1} PRECEDING AND CURRENT ROW)"
+        ).alias("atr_micro"),
+    )
+    return out.where(F.col("n_days") == ATR_WINDOW).orderBy(
+        "event_type", "day"
+    )
+
+
+_ATR_SQL = f"""
+WITH base AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, value,
+           epoch_us(ts) AS us, event_id
+    FROM events
+),
+marked AS (
+    SELECT event_type, day, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type, day
+                              ORDER BY us DESC, event_id DESC) AS rn_d
+    FROM base
+),
+bars AS (
+    SELECT event_type, day,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+    FROM marked
+    GROUP BY 1, 2
+),
+tr AS (
+    SELECT event_type, day,
+           CAST(FLOOR(1000000.0 * GREATEST(
+               high - low,
+               ABS(high - LAG(close) OVER (PARTITION BY event_type
+                                           ORDER BY day)),
+               ABS(low - LAG(close) OVER (PARTITION BY event_type
+                                          ORDER BY day))
+           )) AS BIGINT) AS tr_micro
+    FROM bars
+),
+stepped AS (
+    SELECT event_type, day, tr_micro,
+           COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {ATR_WINDOW - 1} PRECEDING AND CURRENT ROW)
+               AS n_days,
+           CAST(SUM(tr_micro) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {ATR_WINDOW - 1} PRECEDING AND CURRENT ROW)
+               AS BIGINT)
+           // COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {ATR_WINDOW - 1} PRECEDING AND CURRENT ROW)
+               AS atr_micro
+    FROM tr
+    WHERE tr_micro IS NOT NULL
+)
+SELECT event_type, day, tr_micro, n_days, atr_micro
+FROM stepped
+WHERE n_days = {ATR_WINDOW}
+ORDER BY event_type, day
+"""
+
+
+# ---------------------------------------------------------------------------
 # agg_kruskal_wallis — k-group rank ANOVA (ties-corrected)
 # ---------------------------------------------------------------------------
 
@@ -7317,6 +7689,9 @@ FROM d
 QUERIES = {
     "agg_expected_calibration_error": agg_expected_calibration_error,
     "agg_kruskal_wallis": agg_kruskal_wallis,
+    "ml_average_precision": ml_average_precision,
+    "seq_markov_stationary": seq_markov_stationary,
+    "window_average_true_range": window_average_true_range,
     "agg_tukey_hsd": agg_tukey_hsd,
     "agg_cuped_variance_reduction": agg_cuped_variance_reduction,
     "agg_ratio_delta_ci": agg_ratio_delta_ci,
@@ -7402,6 +7777,9 @@ QUERIES = {
 ORACLES = {
     "agg_expected_calibration_error": _ECE_SQL,
     "agg_kruskal_wallis": _kruskal_sql(),
+    "ml_average_precision": _AP_SQL,
+    "seq_markov_stationary": _markov_stationary_sql(),
+    "window_average_true_range": _ATR_SQL,
     "agg_tukey_hsd": _tukey_sql(),
     "agg_cuped_variance_reduction": _CUPED_SQL,
     "agg_ratio_delta_ci": _RATIO_CI_SQL,

@@ -140,3 +140,142 @@ def test_cuped_matches_python_reference(spark, sf_dir):
         got["residual_variance_ratio"], 1.0 - rho2, abs_tol=2e-6
     )
     assert 0.0 <= got["variance_reduction"] <= 1.0
+
+
+def test_average_precision_matches_python_reference(spark, sf_dir):
+    """Replicate the micro-quantized step-function AP contract in
+    pure Python from the raw (score, label) pairs."""
+    from parquet_batch_spark.operators.stats_ops import (
+        ECE_SCALE_CHARS,
+        ml_average_precision,
+    )
+    from parquet_batch_spark.functions.text import tokens_col
+
+    d = load(spark, sf_dir, "documents").select(
+        F.least(
+            F.lit(1_000_000),
+            F.expr(f"(1000000 * n_chars) div {ECE_SCALE_CHARS}"),
+        ).alias("s"),
+        F.array_contains(tokens_col("text"), "data")
+        .cast("int")
+        .alias("y"),
+    )
+    from collections import defaultdict
+
+    blocks: dict[int, list[int]] = defaultdict(lambda: [0, 0])
+    for r in d.collect():
+        blocks[r["s"]][0] += 1
+        blocks[r["s"]][1] += r["y"]
+    n = sum(b[0] for b in blocks.values())
+    n_pos = sum(b[1] for b in blocks.values())
+    cum_n = cum_p = 0
+    sum_contrib = 0
+    for s in sorted(blocks, reverse=True):
+        n_k, p_k = blocks[s]
+        cum_n += n_k
+        cum_p += p_k
+        sum_contrib += (1_000_000 * p_k * cum_p) // cum_n
+    got = ml_average_precision(spark, sf_dir).collect()[0]
+    assert got["n_rows"] == n and got["n_pos"] == n_pos
+    assert got["ap_micro"] == sum_contrib // n_pos
+    assert got["prevalence_micro"] == (1_000_000 * n_pos) // n
+    # AP of a better-than-random ranker beats prevalence
+    assert got["ap_micro"] >= got["prevalence_micro"]
+
+
+def test_markov_stationary_fixed_point_properties(spark, sf_dir):
+    """Replicate the integer power iteration in pure Python from the
+    collected transition counts; check mass conservation."""
+    from parquet_batch_spark.operators.stats_ops import (
+        MS_ITERS,
+        MS_SCALE,
+        seq_markov_stationary,
+        seq_transition_matrix,
+    )
+
+    counts = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in seq_transition_matrix(spark, sf_dir).collect()
+    }
+    states = sorted({f for f, _ in counts})
+    kept = {
+        (f, t): c for (f, t), c in counts.items() if t in set(states)
+    }
+    ci = {f: sum(c for (ff, _), c in kept.items() if ff == f) for f in states}
+    p_fp = {
+        (f, t): (c * MS_SCALE) // ci[f] for (f, t), c in kept.items()
+    }
+    pi = {s: MS_SCALE // len(states) for s in states}
+    for _ in range(MS_ITERS):
+        nxt = {s: 0 for s in states}
+        for (f, t), p in p_fp.items():
+            nxt[t] += (pi[f] * p) // MS_SCALE
+        pi = nxt
+    got = {
+        r["state"]: r["pi_fp"]
+        for r in seq_markov_stationary(spark, sf_dir).collect()
+    }
+    assert got == pi
+    # truncating fixed-point loses mass but never gains it
+    assert sum(got.values()) <= MS_SCALE
+    assert sum(got.values()) >= MS_SCALE - MS_ITERS * (
+        len(states) * len(states) + len(states)
+    )
+
+
+def test_atr_matches_python_reference(spark, sf_dir):
+    from parquet_batch_spark.operators.stats_ops import (
+        ATR_WINDOW,
+        window_average_true_range,
+    )
+    from parquet_batch_spark.operators.analytics import rollup_ohlc_bars  # noqa: F401
+
+    ev = load(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    ).collect()
+    bars: dict[tuple, dict] = {}
+    for r in rows:
+        k = (r["event_type"], r["day"])
+        b = bars.setdefault(
+            k, {"high": r["value"], "low": r["value"], "close": None, "mx": None}
+        )
+        b["high"] = max(b["high"], r["value"])
+        b["low"] = min(b["low"], r["value"])
+        key = (r["us"], r["event_id"])
+        if b["mx"] is None or key > b["mx"]:
+            b["mx"] = key
+            b["close"] = r["value"]
+    import math
+
+    expected = {}
+    for et in sorted({k[0] for k in bars}):
+        days = sorted(k[1] for k in bars if k[0] == et)
+        trs = []
+        for i, day in enumerate(days):
+            b = bars[(et, day)]
+            if i == 0:
+                # no prev close: GREATEST ignores the NULL gap terms in
+                # both engines, so day 0's TR is the plain range —
+                # the standard first-bar ATR convention
+                tr = b["high"] - b["low"]
+            else:
+                pc = bars[(et, days[i - 1])]["close"]
+                tr = max(
+                    b["high"] - b["low"],
+                    abs(b["high"] - pc),
+                    abs(b["low"] - pc),
+                )
+            trs.append((day, math.floor(1_000_000.0 * tr)))
+        for i in range(ATR_WINDOW - 1, len(trs)):
+            window = [t for _, t in trs[i - ATR_WINDOW + 1 : i + 1]]
+            expected[(et, trs[i][0])] = sum(window) // len(window)
+    got = {
+        (r["event_type"], r["day"]): r["atr_micro"]
+        for r in window_average_true_range(spark, sf_dir).collect()
+    }
+    assert got == expected
