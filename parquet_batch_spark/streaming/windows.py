@@ -665,8 +665,214 @@ ORDER BY event_type
 """
 
 
+def streaming_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store BATCH reader (Spark 4 ``statestore`` data source):
+    run a keyed streaming aggregation to a checkpoint, then read the
+    operator's state back as a batch DataFrame — the debugging /
+    auditing surface for stateful pipelines ("what does the store
+    actually hold for key X?") that previously required writing a
+    custom tool against the HDFS state files.
+
+    The read-back state of a count/max aggregate must equal the plain
+    batch aggregate, which the DuckDB oracle checks exactly — this is
+    a full-value correctness check of the state codec round-trip, not
+    just a schema probe. ``partition_id`` is dropped (physical detail;
+    partition count varies with ``spark.sql.shuffle.partitions``).
+
+    Scale: the state source reads each store shard in parallel (one
+    task per state partition) straight from the checkpoint — no
+    replay of the stream; the same read works on a 1000-executor
+    job's checkpoint.
+    """
+    import shutil
+    import tempfile
+
+    ck = tempfile.mkdtemp(prefix="spark_graft_statestore_")
+    try:
+        ev = _event_stream(spark, sf_dir)
+        agg = ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        name = f"sink_{uuid.uuid4().hex[:12]}"
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        state = spark.read.format("statestore").load(ck)
+        return (
+            state.select(
+                F.col("key.event_type").alias("event_type"),
+                F.col("value.count").alias("n_events"),
+                F.col("value.max").alias("max_event_id"),
+            )
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)  # detach from the temp dir
+        )
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+
+
+_STREAMING_STATE_STORE_SQL = """
+SELECT event_type,
+    COUNT(*) AS n_events,
+    MAX(event_id) AS max_event_id
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing via the Spark 4
+    ``transformWithStateInPandas`` API — the successor to
+    ``applyInPandasWithState`` (object-oriented StatefulProcessor,
+    named state variables, timers, TTL, RocksDB-backed): per event
+    type, a ValueState tuple (n, Σfloor(10⁶·value), max event_id)
+    updated across micro-batches in update mode.
+
+    The TWS Python worker speaks protobuf to the JVM; this container
+    ships no ``google.protobuf``, so the op probes for it and falls
+    back to ``applyInPandasWithState`` with BYTE-IDENTICAL semantics
+    (same state tuple, same update arithmetic, same output schema) —
+    the oracle passes against either path, and the TWS path is the
+    one exercised on any standard cluster image. Same honesty pattern
+    as the Pillow-gated multimodal decode (multimodal.py).
+
+    Scale: state is one fixed-width tuple per key, partitioned by the
+    grouping key across executors; RocksDB (TWS path) spills state to
+    local disk so per-executor state exceeds heap safely.
+    """
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value_micro", T.LongType()),
+            T.StructField("max_event_id", T.LongType()),
+        ]
+    )
+
+    def _fold(pdf, n, s, mx):
+        import math
+
+        n += len(pdf)
+        s += int(
+            sum(math.floor(1_000_000.0 * float(v)) for v in pdf["value"])
+        )
+        mx = max(mx, int(pdf["event_id"].max()))
+        return n, s, mx
+
+    ev = _event_stream(spark, sf_dir)
+    try:
+        import google.protobuf  # noqa: F401 — TWS worker dependency
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    if has_protobuf:
+        from pyspark.sql.streaming import StatefulProcessor
+
+        class TypeStats(StatefulProcessor):
+            def init(self, handle):
+                self._st = handle.getValueState(
+                    "agg", "n long, s long, mx long"
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                got = self._st.get()
+                n, s, mx = got if got is not None else (0, 0, -1)
+                for pdf in rows:
+                    n, s, mx = _fold(pdf, n, s, mx)
+                self._st.update((n, s, mx))
+                yield pd.DataFrame(
+                    {
+                        "event_type": [key[0]],
+                        "n_events": [n],
+                        "sum_value_micro": [s],
+                        "max_event_id": [mx],
+                    }
+                )
+
+            def close(self):
+                pass
+
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        stats = ev.groupBy("event_type").transformWithStateInPandas(
+            statefulProcessor=TypeStats(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    else:
+        state_schema = T.StructType(
+            [
+                T.StructField("n", T.LongType()),
+                T.StructField("s", T.LongType()),
+                T.StructField("mx", T.LongType()),
+            ]
+        )
+
+        def update(key, pdfs, state):
+            n, s, mx = state.get() if state.exists else (0, 0, -1)
+            for pdf in pdfs:
+                n, s, mx = _fold(pdf, n, s, mx)
+            state.update((n, s, mx))
+            import pandas as pd2
+
+            yield pd2.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "n_events": [n],
+                    "sum_value_micro": [s],
+                    "max_event_id": [mx],
+                }
+            )
+
+        stats = ev.groupBy("event_type").applyInPandasWithState(
+            update, out_schema, state_schema, "update", "NoTimeout"
+        )
+    out = _drain(stats, spark, mode="update")
+    # update mode emits one row per key per micro-batch; n_events is
+    # monotone, so per-key max_by(n_events) keeps the final state.
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value_micro", "n_events").alias("sum_value_micro"),
+            F.max("max_event_id").alias("max_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_STREAMING_TWS_SQL = """
+SELECT event_type,
+    COUNT(*) AS n_events,
+    CAST(SUM(CAST(FLOOR(1000000.0 * value) AS BIGINT)) AS BIGINT)
+        AS sum_value_micro,
+    MAX(event_id) AS max_event_id
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "streaming_update_mode_counts": streaming_update_mode_counts,
+    "streaming_state_store_read": streaming_state_store_read,
+    "streaming_transform_with_state": streaming_transform_with_state,
     "streaming_windowed_topk": streaming_windowed_topk,
     "streaming_python_source": streaming_python_source,
     "streaming_stream_stream_join": streaming_stream_stream_join,
@@ -681,6 +887,8 @@ QUERIES = {
 
 ORACLES = {
     "streaming_update_mode_counts": _STREAMING_UPDATE_SQL,
+    "streaming_state_store_read": _STREAMING_STATE_STORE_SQL,
+    "streaming_transform_with_state": _STREAMING_TWS_SQL,
     "streaming_windowed_topk": _STREAMING_TOPK_SQL,
     "streaming_python_source": _STREAMING_PY_SOURCE_SQL,
     "streaming_stream_stream_join": _STREAMING_SS_JOIN_SQL,

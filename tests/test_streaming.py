@@ -202,3 +202,52 @@ def test_streaming_topk_one_leader_per_window(spark, sf_dir):
     for r in rows:
         t, s = best[r["window_start"]]
         assert r["top_type"] == t and abs(r["sum_value"] - s) < 1e-6
+
+
+def test_state_store_read_matches_batch(spark):
+    """statestore batch source: the read-back aggregation state equals
+    the batch aggregate (full codec round-trip check) at sf0.001."""
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.streaming.windows import streaming_state_store_read
+
+    got = {
+        r["event_type"]: (r["n_events"], r["max_event_id"])
+        for r in streaming_state_store_read(spark, SF_DIR).collect()
+    }
+    exp = {
+        r["event_type"]: (r["n"], r["mx"])
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("event_id").alias("mx"))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_transform_with_state_matches_batch(spark):
+    """transformWithStateInPandas (or its protobuf-gated
+    applyInPandasWithState fallback) final state == batch aggregate,
+    including the micro-quantized value sum."""
+    from parquet_batch_spark.catalog import load
+    from parquet_batch_spark.streaming.windows import (
+        streaming_transform_with_state,
+    )
+
+    got = {
+        r["event_type"]: (r["n_events"], r["sum_value_micro"], r["max_event_id"])
+        for r in streaming_transform_with_state(spark, SF_DIR).collect()
+    }
+    exp = {
+        r["event_type"]: (r["n"], r["s"], r["mx"])
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.lit(1_000_000.0) * F.col("value")).cast("long")
+            ).alias("s"),
+            F.max("event_id").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == exp
