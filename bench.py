@@ -188,6 +188,8 @@ HEADLINE = [
     "ml_average_precision",
     "seq_markov_stationary",
     "window_average_true_range",
+    "sql_execute_immediate",
+    "privacy_dp_laplace_counts",
 ]
 
 

@@ -985,8 +985,75 @@ ORDER BY lang, doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# privacy_dp_laplace_counts — ε-DP noisy group counts (seeded, auditable)
+# ---------------------------------------------------------------------------
+
+DP_EPSILON_MICRO = 500_000  # ε = 0.5; sensitivity 1 ⇒ Laplace scale b = 2
+DP_SALT = "dp_salt_r5"
+
+
+def privacy_dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private per-language document counts via the
+    Laplace mechanism — the release format privacy reviews ask for
+    when group-by counts leave the enclave. Noise is drawn by INVERSE
+    CDF from a SEEDED uniform (portable md5 hash of the group key +
+    salt), which is what a reproducible DP release pipeline does
+    anyway (draws must be auditable and replayable); the uniform is
+    u = (h+½)/2³² − ½ ∈ (−½,½) strictly, so ln(1−2|u|) is finite.
+    noise = −b·sign(u)·ln(1−2|u|), b = Δ/ε = 1/ε.
+
+    The demo keeps the TRUE count column so the oracle (and a privacy
+    auditor) can verify the mechanism exactly; a production release
+    drops it — noted here so nobody ships this projection as-is.
+
+    Scale: one count aggregate over the key domain; noise is O(1)
+    arithmetic per GROUP, not per row.
+    """
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_true"))
+    h = hash32(F.concat(F.col("lang"), F.lit("|" + DP_SALT)))
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0) - F.lit(0.5)
+    b = F.lit(1e6 / DP_EPSILON_MICRO)
+    noise = (
+        -b
+        * F.signum(u)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
+    )
+    return counts.select(
+        "lang",
+        "n_true",
+        F.lit(DP_EPSILON_MICRO).alias("epsilon_micro"),
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("n_true").cast("double") + noise, 6).alias("n_noisy"),
+    ).orderBy("lang")
+
+
+_DP_LAPLACE_SQL = f"""
+WITH counts AS (
+    SELECT lang, COUNT(*) AS n_true FROM documents GROUP BY lang
+),
+seeded AS (
+    SELECT lang, n_true,
+        (CAST({sql_hash32("lang || '|" + DP_SALT + "'")} AS DOUBLE) + 0.5)
+            / 4294967296.0 - 0.5 AS u
+    FROM counts
+)
+SELECT lang, n_true,
+    CAST({DP_EPSILON_MICRO} AS INTEGER) AS epsilon_micro,
+    ROUND(-{1e6 / DP_EPSILON_MICRO} * SIGN(u) * LN(1.0 - 2.0 * ABS(u)), 6)
+        AS noise,
+    ROUND(CAST(n_true AS DOUBLE)
+          - {1e6 / DP_EPSILON_MICRO} * SIGN(u) * LN(1.0 - 2.0 * ABS(u)), 6)
+        AS n_noisy
+FROM seeded
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "quality_model_score": quality_model_score,
+    "privacy_dp_laplace_counts": privacy_dp_laplace_counts,
     "privacy_l_diversity": privacy_l_diversity,
     "privacy_randomized_response": privacy_randomized_response,
     "sample_pps_systematic": sample_pps_systematic,
@@ -1003,6 +1070,7 @@ QUERIES = {
 
 ORACLES = {
     "quality_model_score": _QUALITY_MODEL_SQL,
+    "privacy_dp_laplace_counts": _DP_LAPLACE_SQL,
     "sample_train_val_test": _SPLIT_SQL,
     "pii_detect": _PII_SQL,
     "decontam_ngram_overlap": _DECONTAM_SQL,

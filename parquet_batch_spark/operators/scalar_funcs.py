@@ -659,6 +659,50 @@ ORDER BY o_orderpriority
 """
 
 
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``EXECUTE IMMEDIATE`` (Spark 4 dynamic SQL): the query TEXT
+    lives in a session variable and executes with positional ``?``
+    parameters bound via ``USING`` — the metadata-driven-job surface
+    (rule engines, saved reports) where the statement itself is data.
+    Completes the parameterized-SQL family: ``sql_named_params`` binds
+    into a static statement, ``sql_session_variables`` holds state,
+    this one composes both into dynamic execution. Parameters bind as
+    typed literals (no string splicing), so constant folding and
+    filter pushdown see real constants.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("pbs_exec_orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE pbs_exec_q STRING")
+    spark.sql(
+        """SET VAR pbs_exec_q =
+        'SELECT o_orderstatus,
+                COUNT(*) AS n_orders,
+                CAST(SUM(CASE WHEN o_totalprice > ? THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_above,
+                CAST(MIN(FLOOR(o_totalprice)) AS BIGINT) AS min_price_usd
+         FROM pbs_exec_orders
+         WHERE o_orderpriority <> ?
+         GROUP BY o_orderstatus
+         ORDER BY o_orderstatus'
+        """
+    )
+    return spark.sql(
+        "EXECUTE IMMEDIATE pbs_exec_q USING 200000.0, '5-LOW'"
+    )
+
+
+_SQL_EXECUTE_IMMEDIATE_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_above,
+       CAST(MIN(FLOOR(o_totalprice)) AS BIGINT) AS min_price_usd
+FROM orders
+WHERE o_orderpriority <> '5-LOW'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def func_struct_field_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-struct surgery — ``Column.withField`` / ``dropFields``
     (Spark 3.1+): patch one field inside a nested struct WITHOUT
@@ -905,6 +949,7 @@ ORDER BY prefix
 
 
 QUERIES = {
+    "sql_execute_immediate": sql_execute_immediate,
     "func_geohash_encode": func_geohash_encode,
     "func_base64_transport": func_base64_transport,
     "func_crypto_roundtrip": func_crypto_roundtrip,
@@ -928,6 +973,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sql_execute_immediate": _SQL_EXECUTE_IMMEDIATE_SQL,
     "func_geohash_encode": _geohash_sql(),
     "func_base64_transport": _BASE64_SQL,
     "func_crypto_roundtrip": _CRYPTO_SQL,

@@ -279,3 +279,49 @@ def test_atr_matches_python_reference(spark, sf_dir):
         for r in window_average_true_range(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_execute_immediate_matches_static_sql(spark, sf_dir):
+    from parquet_batch_spark.operators.scalar_funcs import sql_execute_immediate
+
+    got = [tuple(r) for r in sql_execute_immediate(spark, sf_dir).collect()]
+    load(spark, sf_dir, "orders").createOrReplaceTempView("pbs_exec_chk")
+    exp = [
+        tuple(r)
+        for r in spark.sql(
+            """SELECT o_orderstatus, COUNT(*) AS n_orders,
+                  CAST(SUM(CASE WHEN o_totalprice > 200000.0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+                  CAST(MIN(FLOOR(o_totalprice)) AS BIGINT) AS min_price_usd
+           FROM pbs_exec_chk WHERE o_orderpriority <> '5-LOW'
+           GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+        ).collect()
+    ]
+    assert got == exp
+
+
+def test_dp_laplace_noise_is_seeded_inverse_cdf(spark, sf_dir):
+    """Reproduce the noise in pure Python from the md5-derived uniform
+    and check the released count is exactly true + noise."""
+    import hashlib
+
+    from parquet_batch_spark.operators.pipeline_ops import (
+        DP_EPSILON_MICRO,
+        DP_SALT,
+        privacy_dp_laplace_counts,
+    )
+
+    rows = privacy_dp_laplace_counts(spark, sf_dir).collect()
+    assert rows
+    b = 1e6 / DP_EPSILON_MICRO
+    for r in rows:
+        h = int(
+            hashlib.md5(f"{r['lang']}|{DP_SALT}".encode()).hexdigest()[:8], 16
+        )
+        u = (h + 0.5) / 4294967296.0 - 0.5
+        noise = -b * math.copysign(1.0, u) * math.log(1.0 - 2.0 * abs(u))
+        assert math.isclose(r["noise"], round(noise, 6), abs_tol=1.1e-6)
+        assert math.isclose(
+            r["n_noisy"], round(r["n_true"] + noise, 6), abs_tol=1.1e-6
+        )
+        assert r["epsilon_micro"] == DP_EPSILON_MICRO
