@@ -190,6 +190,7 @@ HEADLINE = [
     "window_average_true_range",
     "sql_execute_immediate",
     "privacy_dp_laplace_counts",
+    "text_rake_keywords",
 ]
 
 

@@ -1682,7 +1682,136 @@ ORDER BY lang, source
 """
 
 
+# ---------------------------------------------------------------------------
+# text_rake_keywords — RAKE keyword extraction (degree/frequency)
+# ---------------------------------------------------------------------------
+
+RAKE_STOPWORDS = (
+    "the", "a", "of", "and", "to", "in", "is", "for", "on", "with",
+    "as", "by", "at", "an", "be", "this", "that", "it", "are", "was",
+)
+RAKE_TOPK = 20
+# Separator = any non-letter/space char OR a stopword. \b is the ASCII
+# word boundary in BOTH Java regex (Spark) and RE2 (DuckDB); no
+# lookarounds (RE2 has none). Spaces stay INSIDE phrases — that is
+# what makes RAKE phrases multi-word.
+_RAKE_SEP = "(?:[^a-z ]|\\b(?:" + "|".join(RAKE_STOPWORDS) + ")\\b)+"
+
+
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE (Rapid Automatic Keyword Extraction): split each document
+    into candidate phrases at stopwords/punctuation, score each word
+    by degree/frequency over the phrase corpus (degree = Σ length of
+    phrases containing it — words that travel in long phrases score
+    high), score each phrase by the sum of its member-word scores,
+    report the global top-{RAKE_TOPK}. The unsupervised keyword
+    extractor run before anyone has labels — and the standard quick
+    topic readout over a new corpus.
+
+    Exact integers: word scores are micro-units via truncating
+    division (degree sums in decimal(38,0) — corpus-scale counts
+    squared by the 10⁶ scale cross int64); phrase scores are integer
+    sums of member scores. Ties break on the phrase string.
+
+    Scale: phrase split is embarrassingly parallel; word stats reduce
+    to the vocabulary; phrase scoring joins the DISTINCT-phrase table
+    (never per-occurrence) against the broadcast-size word-score
+    table; top-k is TakeOrderedAndProject, no global sort
+    materialization.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    pieces = F.split(F.lower(F.col("text")), _RAKE_SEP, -1)
+    raw = d.select(F.explode(pieces).alias("piece")).select(
+        F.trim(F.col("piece")).alias("piece")
+    )
+    words_arr = F.filter(
+        F.split(F.col("piece"), " +", -1), lambda w: w != ""
+    )
+    phrases = raw.where(F.col("piece") != "").select(
+        F.array_join(words_arr, " ").alias("phrase"),
+        F.size(words_arr).alias("n_words"),
+        words_arr.alias("words"),
+    )
+    # corpus word stats over phrase OCCURRENCES
+    wstats = (
+        phrases.select(F.explode("words").alias("w"), "n_words")
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("n_words").alias("deg"),
+        )
+        .select(
+            "w",
+            F.expr(
+                "CAST((1000000 * CAST(deg AS DECIMAL(38,0))) div freq"
+                " AS BIGINT)"
+            ).alias("w_score_micro"),
+        )
+    )
+    dphr = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.max("n_words").alias("n_words"),
+        F.max("words").alias("words"),
+    )
+    scored = (
+        dphr.select(
+            "phrase", "n_occurrences", "n_words", F.explode("words").alias("w")
+        )
+        .join(F.broadcast(wstats), "w")
+        .groupBy("phrase", "n_occurrences", "n_words")
+        .agg(F.sum("w_score_micro").alias("score_micro"))
+    )
+    return scored.orderBy(
+        F.desc("score_micro"), F.asc("phrase")
+    ).limit(RAKE_TOPK)
+
+
+_RAKE_SQL = f"""
+WITH raw AS (
+    SELECT trim(p) AS piece
+    FROM documents,
+         UNNEST(regexp_split_to_array(lower(text), '{_RAKE_SEP}')) AS t(p)
+),
+phrases AS (
+    SELECT array_to_string(words, ' ') AS phrase,
+           len(words) AS n_words, words
+    FROM (
+        SELECT list_filter(string_split_regex(piece, ' +'), w -> w <> '')
+                   AS words
+        FROM raw WHERE piece <> ''
+    )
+),
+wstats AS (
+    SELECT w,
+           CAST((1000000 * CAST(SUM(n_words) AS HUGEINT)) // COUNT(*)
+                AS BIGINT) AS w_score_micro
+    FROM (SELECT unnest(words) AS w, n_words FROM phrases)
+    GROUP BY w
+),
+dphr AS (
+    SELECT phrase, COUNT(*) AS n_occurrences,
+           MAX(n_words) AS n_words, MAX(words) AS words
+    FROM phrases
+    GROUP BY phrase
+),
+scored AS (
+    SELECT d.phrase, d.n_occurrences, d.n_words,
+           CAST(SUM(s.w_score_micro) AS BIGINT) AS score_micro
+    FROM (SELECT phrase, n_occurrences, n_words, unnest(words) AS w
+          FROM dphr) d
+    JOIN wstats s ON s.w = d.w
+    GROUP BY d.phrase, d.n_occurrences, d.n_words
+)
+SELECT phrase, n_occurrences, CAST(n_words AS INTEGER) AS n_words,
+       score_micro
+FROM scored
+ORDER BY score_micro DESC, phrase ASC
+LIMIT {RAKE_TOPK}
+"""
+
+
 QUERIES = {
+    "text_rake_keywords": text_rake_keywords,
     "text_bm25_topk": text_bm25_topk,
     "text_langid_ngram_profile": text_langid_ngram_profile,
     "quality_ndcg_ranking_eval": quality_ndcg_ranking_eval,
@@ -1706,6 +1835,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_rake_keywords": _RAKE_SQL,
     "text_bm25_topk": _BM25_SQL,
     "text_langid_ngram_profile": _CT_LANGID_SQL,
     "quality_ndcg_ranking_eval": _ndcg_sql(),

@@ -325,3 +325,50 @@ def test_dp_laplace_noise_is_seeded_inverse_cdf(spark, sf_dir):
             r["n_noisy"], round(r["n_true"] + noise, 6), abs_tol=1.1e-6
         )
         assert r["epsilon_micro"] == DP_EPSILON_MICRO
+
+
+def test_rake_keywords_python_reference(spark, sf_dir):
+    """Replicate RAKE end-to-end in pure Python (regex split, degree/
+    freq word scores, phrase scores) and compare the top-k exactly."""
+    import re
+    from collections import defaultdict
+
+    from parquet_batch_spark.operators.text_analysis import (
+        RAKE_STOPWORDS,
+        RAKE_TOPK,
+        text_rake_keywords,
+    )
+
+    sep = re.compile(
+        "(?:[^a-z ]|\\b(?:" + "|".join(RAKE_STOPWORDS) + ")\\b)+"
+    )
+    freq: dict[str, int] = defaultdict(int)
+    deg: dict[str, int] = defaultdict(int)
+    phr: dict[str, int] = defaultdict(int)
+    phr_words: dict[str, list[str]] = {}
+    for r in load(spark, sf_dir, "documents").select("text").collect():
+        for piece in sep.split(r["text"].lower()):
+            words = [w for w in piece.strip().split(" ") if w]
+            if not words:
+                continue
+            phrase = " ".join(words)
+            phr[phrase] += 1
+            phr_words[phrase] = words
+            for w in words:
+                freq[w] += 1
+                deg[w] += len(words)
+    wscore = {w: (1_000_000 * deg[w]) // freq[w] for w in freq}
+    scored = [
+        (-sum(wscore[w] for w in phr_words[p]), p, phr[p], len(phr_words[p]))
+        for p in phr
+    ]
+    scored.sort()
+    exp = [
+        (p, n_occ, n_words, -negscore)
+        for negscore, p, n_occ, n_words in scored[:RAKE_TOPK]
+    ]
+    got = [
+        (r["phrase"], r["n_occurrences"], r["n_words"], r["score_micro"])
+        for r in text_rake_keywords(spark, sf_dir).collect()
+    ]
+    assert got == exp
