@@ -191,6 +191,8 @@ HEADLINE = [
     "sql_execute_immediate",
     "privacy_dp_laplace_counts",
     "text_rake_keywords",
+    "agg_theil_index",
+    "window_hurst_exponent",
 ]
 
 

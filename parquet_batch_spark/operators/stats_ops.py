@@ -6921,6 +6921,353 @@ ORDER BY bucket
 
 
 # ---------------------------------------------------------------------------
+# agg_theil_index — decomposable inequality (between/within groups)
+# ---------------------------------------------------------------------------
+
+THEIL_SEGMENTS = (
+    "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY",
+)
+
+
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of positive customer balances, with
+    the between/within-segment decomposition — the property Gini
+    (``quality_source_gini``) famously LACKS: T = T_between + T_within
+    splits corpus concentration into "segments differ" vs "spread
+    inside segments", the first question a fairness or concentration
+    review asks.
+
+    The x·ln x corpus sum is a float trap (fold-order-dependent), so
+    it is exactified the value-distinct way: reduce to (segment,
+    whole-dollar value) counts, quantize t(v) = floor(10⁶·v·ln v)
+    ONCE per distinct value — deterministic in both engines; a last-
+    ulp libm disagreement shifts the micro-sum by ≤ count and washes
+    out at 6dp — then Σ count·t is an exact decimal(38,0) integer.
+    T_total = Σxlnx/X − ln(X/N); T_between runs over the FIXED literal
+    segment domain as a fixed-order expression. Non-positive balances
+    are excluded (ln undefined), reported as n_excluded.
+
+    Scale: one value-grain reduce (domain-bounded), conditional
+    aggregation to 5×2+3 scalars, constant arithmetic after.
+    """
+    c = load(spark, sf_dir, "customer")
+    v = F.floor("c_acctbal").cast("long")
+    base = c.select(F.col("c_mktsegment").alias("seg"), v.alias("v"))
+    n_excluded = base.where(F.col("v") < 1).count()
+    vals = (
+        base.where(F.col("v") >= 1)
+        .groupBy("seg", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "t",
+            F.floor(
+                F.lit(1e6) * F.col("v").cast("double") * F.log(F.col("v").cast("double"))
+            ).cast("long"),
+        )
+    )
+    dec38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    aggs = [
+        F.sum("cnt").alias("n"),
+        F.sum(dec38(F.col("cnt")) * F.col("v")).alias("sx"),
+        F.sum(dec38(F.col("cnt")) * F.col("t")).alias("sxlnx"),
+    ]
+    for i, s in enumerate(THEIL_SEGMENTS):
+        is_s = F.col("seg") == s
+        aggs.append(F.sum(F.when(is_s, F.col("cnt")).otherwise(0)).alias(f"n{i}"))
+        aggs.append(
+            F.sum(F.when(is_s, dec38(F.col("cnt")) * F.col("v")).otherwise(0)).alias(
+                f"x{i}"
+            )
+        )
+    m = vals.agg(*aggs)
+    n = F.col("n").cast("double")
+    x = F.col("sx").cast("double")
+    t_total = F.col("sxlnx").cast("double") / F.lit(1e6) / x - F.log(x / n)
+    t_between = sum(
+        (
+            (F.col(f"x{i}").cast("double") / x)
+            * F.log(
+                (F.col(f"x{i}").cast("double") / x)
+                / (F.col(f"n{i}").cast("double") / n)
+            )
+            for i in range(len(THEIL_SEGMENTS))
+        ),
+        F.lit(0.0),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.lit(n_excluded).cast("long").alias("n_excluded"),
+        F.round(t_total, 6).alias("theil_total"),
+        F.round(t_between, 6).alias("theil_between"),
+        F.round(t_total - t_between, 6).alias("theil_within"),
+    )
+
+
+def _theil_sql() -> str:
+    k = len(THEIL_SEGMENTS)
+    segcols = []
+    for i, s in enumerate(THEIL_SEGMENTS):
+        segcols.append(
+            f"SUM(CASE WHEN seg = '{s}' THEN cnt ELSE 0 END) AS n{i}"
+        )
+        segcols.append(
+            f"SUM(CASE WHEN seg = '{s}' THEN CAST(cnt AS HUGEINT) * v"
+            f" ELSE 0 END) AS x{i}"
+        )
+    between = " + ".join(
+        f"(CAST(x{i} AS DOUBLE) / x) * LN((CAST(x{i} AS DOUBLE) / x)"
+        f" / (CAST(n{i} AS DOUBLE) / n))"
+        for i in range(k)
+    )
+    return f"""
+WITH base AS (
+    SELECT c_mktsegment AS seg, CAST(FLOOR(c_acctbal) AS BIGINT) AS v
+    FROM customer
+),
+vals AS (
+    SELECT seg, v, COUNT(*) AS cnt,
+           CAST(FLOOR(1000000.0 * CAST(v AS DOUBLE) * LN(CAST(v AS DOUBLE)))
+                AS BIGINT) AS t
+    FROM base WHERE v >= 1
+    GROUP BY seg, v
+),
+m AS (
+    SELECT SUM(cnt) AS n,
+           SUM(CAST(cnt AS HUGEINT) * v) AS sx,
+           SUM(CAST(cnt AS HUGEINT) * t) AS sxlnx,
+           {", ".join(segcols)}
+    FROM vals
+),
+d AS (
+    SELECT CAST(n AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS x,
+           CAST(sxlnx AS DOUBLE) AS sxlnx,
+           {", ".join(f"n{i}, x{i}" for i in range(k))},
+           CAST(n AS BIGINT) AS n_int
+    FROM m
+)
+SELECT n_int AS n_customers,
+       (SELECT COUNT(*) FROM base WHERE v < 1) AS n_excluded,
+       ROUND(sxlnx / 1000000.0 / x - LN(x / n), 6) AS theil_total,
+       ROUND({between}, 6) AS theil_between,
+       ROUND(sxlnx / 1000000.0 / x - LN(x / n) - ({between}), 6)
+           AS theil_within
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# window_hurst_exponent — R/S analysis of the daily revenue series
+# ---------------------------------------------------------------------------
+
+HURST_LAGS = (8, 16, 32, 64)
+
+
+def window_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of daily revenue by rescaled-range (R/S)
+    analysis — the long-memory probe behind "is demand trending,
+    mean-reverting, or a random walk" (H>½ persistent, H≈½ random,
+    H<½ anti-persistent); the classic pre-check before ARIMA-class
+    models assume away long-range dependence.
+
+    For each lag n ∈ {HURST_LAGS}: split the day-indexed series into
+    full n-day chunks; within a chunk the cumulative deviation is
+    exactified by scaling through by n (n·cum_j − j·S — exact
+    integers, no fractional mean), so R/S = (max−min of that) /
+    √(n·Σx²−S²) comes from exact decimal sums. ln(R/S) is micro-
+    quantized per chunk BEFORE averaging (same policy as Theil's
+    x·ln x), making the per-lag mean an integer ratio; H is the OLS
+    slope of mean ln(R/S) on ln n over the 4 lag points, written as
+    a fixed-order expression on one row.
+
+    Scale: day-grain reduce first; chunk windows run over the
+    (lags × days)-bounded series; output is 4 rows + the shared H.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.floor("o_totalprice").cast("long").alias("yd"),
+        )
+        .groupBy("day")
+        .agg(F.sum("yd").alias("x"))
+    )
+    seq = Window.orderBy("day")
+    idx = daily.select(
+        "x", (F.row_number().over(seq) - 1).alias("i")
+    )
+    dec38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    # Per lag: chunk totals first (the deviation needs the chunk sum
+    # S), then a cumulative window pass joined back against the tiny
+    # (≤ days/8 rows, broadcast) totals table.
+    outs = []
+    for n in HURST_LAGS:
+        chunked = idx.select(
+            "x",
+            (F.col("i") % n + 1).alias("j"),
+            F.floor(F.col("i") / n).alias("chunk"),
+        )
+        totals = chunked.groupBy("chunk").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("x").alias("s"),
+            F.sum(dec38(F.col("x")) * F.col("x")).alias("q"),
+        )
+        cw = (
+            Window.partitionBy("chunk")
+            .orderBy("j")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        stepped = (
+            chunked.select(
+                "chunk", "j", F.sum("x").over(cw).alias("cum")
+            )
+            .join(F.broadcast(totals.where(F.col("cnt") == n)), "chunk")
+            .select(
+                "chunk",
+                "q",
+                "s",
+                (
+                    F.lit(n) * dec38(F.col("cum"))
+                    - dec38(F.col("j")) * F.col("s")
+                ).alias("dev"),
+            )
+        )
+        chunks = stepped.groupBy("chunk", "q", "s").agg(
+            (F.max("dev") - F.min("dev")).alias("r_scaled")
+        )
+        var_scaled = (
+            F.lit(n) * F.col("q").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+        )
+        ln_rs_micro = F.floor(
+            F.lit(1e6)
+            * F.log(
+                F.col("r_scaled").cast("double") / F.sqrt(var_scaled)
+            )
+        ).cast("long")
+        lag_out = (
+            chunks.where((F.col("r_scaled") > 0) & (var_scaled > 0))
+            .select(ln_rs_micro.alias("lnrs"))
+            .agg(
+                F.count(F.lit(1)).alias("n_chunks"),
+                F.sum("lnrs").alias("sum_lnrs"),
+            )
+            .select(
+                F.lit(n).cast("long").alias("lag_n"),
+                "n_chunks",
+                F.expr("sum_lnrs div n_chunks").alias("mean_lnrs_micro"),
+            )
+        )
+        outs.append(lag_out)
+    pts = outs[0]
+    for df in outs[1:]:
+        pts = pts.unionByName(df)
+    # OLS slope over the 4 (ln n, mean lnrs) points — fixed k=4 rows;
+    # collect-free: conditional-pivot the literal lag domain.
+    aggs = []
+    for n in HURST_LAGS:
+        aggs.append(
+            F.max(
+                F.when(F.col("lag_n") == n, F.col("mean_lnrs_micro"))
+            ).alias(f"m{n}")
+        )
+        aggs.append(
+            F.max(F.when(F.col("lag_n") == n, F.col("n_chunks"))).alias(
+                f"c{n}"
+            )
+        )
+    wide = pts.agg(*aggs)
+    import math as _math
+
+    lns = {n: _math.log(float(n)) for n in HURST_LAGS}
+    ln_mean = sum(lns.values()) / len(HURST_LAGS)
+    denom = sum((lv - ln_mean) ** 2 for lv in lns.values())
+    slope = sum(
+        (
+            F.lit((lns[n] - ln_mean) / denom)
+            * F.col(f"m{n}").cast("double")
+            / F.lit(1e6)
+            for n in HURST_LAGS
+        ),
+        F.lit(0.0),
+    )
+    wide = wide.select(
+        *[F.col(f"m{n}") for n in HURST_LAGS],
+        *[F.col(f"c{n}") for n in HURST_LAGS],
+        F.round(slope, 6).alias("hurst"),
+    )
+    final = pts.crossJoin(F.broadcast(wide.select("hurst"))).select(
+        "lag_n", "n_chunks", "mean_lnrs_micro", "hurst"
+    )
+    return final.orderBy("lag_n")
+
+
+def _hurst_sql() -> str:
+    lag_ctes = []
+    for n in HURST_LAGS:
+        lag_ctes.append(f"""
+chunked{n} AS (
+    SELECT x, (i % {n}) + 1 AS j, i // {n} AS chunk FROM idx
+),
+totals{n} AS (
+    SELECT chunk, COUNT(*) AS cnt, SUM(x) AS s,
+           SUM(CAST(x AS HUGEINT) * x) AS q
+    FROM chunked{n} GROUP BY chunk
+),
+stepped{n} AS (
+    SELECT c.chunk, t.q, t.s,
+           {n} * CAST(SUM(c.x) OVER (PARTITION BY c.chunk ORDER BY c.j
+                ROWS UNBOUNDED PRECEDING) AS HUGEINT)
+           - CAST(c.j AS HUGEINT) * t.s AS dev
+    FROM chunked{n} c
+    JOIN totals{n} t ON t.chunk = c.chunk AND t.cnt = {n}
+),
+chunks{n} AS (
+    SELECT chunk, q, s, MAX(dev) - MIN(dev) AS r_scaled
+    FROM stepped{n} GROUP BY chunk, q, s
+),
+lag{n} AS (
+    SELECT CAST({n} AS BIGINT) AS lag_n,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CAST(FLOOR(1000000.0 * LN(CAST(r_scaled AS DOUBLE)
+                / SQRT({n} * CAST(q AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))))
+                AS BIGINT)) AS BIGINT)
+           // COUNT(*) AS mean_lnrs_micro
+    FROM chunks{n}
+    WHERE r_scaled > 0
+      AND {n} * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) > 0
+)""")
+    import math as _math
+
+    lns = {n: _math.log(float(n)) for n in HURST_LAGS}
+    ln_mean = sum(lns.values()) / len(HURST_LAGS)
+    denom = sum((lv - ln_mean) ** 2 for lv in lns.values())
+    slope = " + ".join(
+        f"({(lns[n] - ln_mean) / denom!r})"
+        f" * CAST((SELECT mean_lnrs_micro FROM lag{n}) AS DOUBLE) / 1000000.0"
+        for n in HURST_LAGS
+    )
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT lag_n, n_chunks, mean_lnrs_micro FROM lag{n}"
+        for n in HURST_LAGS
+    )
+    return f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS x
+    FROM orders GROUP BY 1
+),
+idx AS (
+    SELECT x, ROW_NUMBER() OVER (ORDER BY day) - 1 AS i FROM daily
+),{",".join(lag_ctes)}
+SELECT p.lag_n, p.n_chunks, p.mean_lnrs_micro,
+       ROUND({slope}, 6) AS hurst
+FROM ({union}) p
+ORDER BY p.lag_n
+"""
+
+
+# ---------------------------------------------------------------------------
 # ml_average_precision — tie-aware AP over the score-distinct grid
 # ---------------------------------------------------------------------------
 
@@ -7690,6 +8037,8 @@ QUERIES = {
     "agg_expected_calibration_error": agg_expected_calibration_error,
     "agg_kruskal_wallis": agg_kruskal_wallis,
     "ml_average_precision": ml_average_precision,
+    "agg_theil_index": agg_theil_index,
+    "window_hurst_exponent": window_hurst_exponent,
     "seq_markov_stationary": seq_markov_stationary,
     "window_average_true_range": window_average_true_range,
     "agg_tukey_hsd": agg_tukey_hsd,
@@ -7778,6 +8127,8 @@ ORACLES = {
     "agg_expected_calibration_error": _ECE_SQL,
     "agg_kruskal_wallis": _kruskal_sql(),
     "ml_average_precision": _AP_SQL,
+    "agg_theil_index": _theil_sql(),
+    "window_hurst_exponent": _hurst_sql(),
     "seq_markov_stationary": _markov_stationary_sql(),
     "window_average_true_range": _ATR_SQL,
     "agg_tukey_hsd": _tukey_sql(),

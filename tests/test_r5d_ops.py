@@ -372,3 +372,102 @@ def test_rake_keywords_python_reference(spark, sf_dir):
         for r in text_rake_keywords(spark, sf_dir).collect()
     ]
     assert got == exp
+
+
+def test_theil_index_python_reference(spark, sf_dir):
+    """Replicate the quantized Theil computation and its decomposition
+    in pure Python from the raw balances."""
+    from collections import defaultdict
+
+    from parquet_batch_spark.operators.stats_ops import (
+        THEIL_SEGMENTS,
+        agg_theil_index,
+    )
+
+    rows = load(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.floor("c_acctbal").cast("long").alias("v"),
+    ).collect()
+    cnt: dict[tuple, int] = defaultdict(int)
+    n_excluded = 0
+    for r in rows:
+        if r["v"] < 1:
+            n_excluded += 1
+        else:
+            cnt[(r["seg"], r["v"])] += 1
+    n = sum(cnt.values())
+    sx = sum(c * v for (_, v), c in cnt.items())
+    sxlnx = sum(
+        c * math.floor(1e6 * float(v) * math.log(float(v)))
+        for (_, v), c in cnt.items()
+    )
+    t_total = sxlnx / 1e6 / sx - math.log(sx / n)
+    t_between = 0.0
+    for s in THEIL_SEGMENTS:
+        ns = sum(c for (g, _), c in cnt.items() if g == s)
+        xs = sum(c * v for (g, v), c in cnt.items() if g == s)
+        t_between += (xs / sx) * math.log((xs / sx) / (ns / n))
+    got = agg_theil_index(spark, sf_dir).collect()[0]
+    assert got["n_customers"] == n and got["n_excluded"] == n_excluded
+    assert math.isclose(got["theil_total"], t_total, abs_tol=2e-6)
+    assert math.isclose(got["theil_between"], t_between, abs_tol=2e-6)
+    assert math.isclose(
+        got["theil_within"], t_total - t_between, abs_tol=2e-6
+    )
+    # inequality axioms: T >= 0; between-component cannot exceed total
+    assert got["theil_total"] >= 0
+    assert got["theil_between"] <= got["theil_total"] + 1e-9
+
+
+def test_hurst_python_reference(spark, sf_dir):
+    from parquet_batch_spark.operators.stats_ops import (
+        HURST_LAGS,
+        window_hurst_exponent,
+    )
+
+    daily_rows = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.floor("o_totalprice").cast("long").alias("y"),
+        )
+        .groupBy("day")
+        .agg(F.sum("y").alias("x"))
+        .orderBy("day")
+        .collect()
+    )
+    xs = [r["x"] for r in daily_rows]
+    means = {}
+    for n in HURST_LAGS:
+        lnrs = []
+        for c0 in range(0, len(xs) - n + 1, n):
+            chunk = xs[c0 : c0 + n]
+            s = sum(chunk)
+            q = sum(v * v for v in chunk)
+            cum = 0
+            devs = []
+            for j, v in enumerate(chunk, start=1):
+                cum += v
+                devs.append(n * cum - j * s)
+            r_scaled = max(devs) - min(devs)
+            var_scaled = n * q - s * s
+            if r_scaled > 0 and var_scaled > 0:
+                lnrs.append(
+                    math.floor(
+                        1e6 * math.log(r_scaled / math.sqrt(var_scaled))
+                    )
+                )
+        means[n] = (len(lnrs), sum(lnrs) // len(lnrs))
+    lns = {n: math.log(float(n)) for n in HURST_LAGS}
+    ln_mean = sum(lns.values()) / len(HURST_LAGS)
+    denom = sum((lv - ln_mean) ** 2 for lv in lns.values())
+    hurst = sum(
+        (lns[n] - ln_mean) / denom * means[n][1] / 1e6 for n in HURST_LAGS
+    )
+    got = window_hurst_exponent(spark, sf_dir).collect()
+    assert len(got) == len(HURST_LAGS)
+    for r in got:
+        n_chunks, mean_micro = means[r["lag_n"]]
+        assert r["n_chunks"] == n_chunks
+        assert r["mean_lnrs_micro"] == mean_micro
+        assert math.isclose(r["hurst"], round(hurst, 6), abs_tol=1.1e-6)
