@@ -193,6 +193,8 @@ HEADLINE = [
     "text_rake_keywords",
     "agg_theil_index",
     "window_hurst_exponent",
+    "agg_benjamini_hochberg",
+    "text_textrank_keywords",
 ]
 
 

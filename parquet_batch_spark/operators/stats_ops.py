@@ -6921,6 +6921,198 @@ ORDER BY bucket
 
 
 # ---------------------------------------------------------------------------
+# agg_benjamini_hochberg — FDR-controlled multiple-testing screen
+# ---------------------------------------------------------------------------
+
+BH_ALPHA_MICRO = 50_000  # α = 0.05
+BH_M = 25  # one test per nation
+
+
+def _erfinv(y: float) -> float:
+    """Inverse error function by Newton iteration on math.erf —
+    build-time only: the per-rank z thresholds are embedded as the
+    SAME literals in the Spark plan and the oracle SQL, so there is
+    no cross-engine transcendental at query time."""
+    import math
+
+    x = 0.0 if y == 0 else math.copysign(
+        math.sqrt(-math.log((1 - abs(y)) * (1 + abs(y)))), y
+    )
+    for _ in range(60):
+        err = math.erf(x) - y
+        x -= err * math.sqrt(math.pi) / 2 * math.exp(x * x)
+    return x
+
+
+def _bh_thresholds() -> list[float]:
+    """z threshold per BH rank r: |z| >= Phi^-1(1 - (r·α/m)/2) is
+    equivalent to the two-sided p-value ≤ r·α/m (the step-up line)."""
+    import math
+
+    out = []
+    for r in range(1, BH_M + 1):
+        t = r * (BH_ALPHA_MICRO / 1e6) / BH_M
+        out.append(round(math.sqrt(2.0) * _erfinv(1.0 - t), 9))
+    return out
+
+
+def agg_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR screen over 25 simultaneous per-nation
+    Welch z-tests ("which nations' order values differ from the rest")
+    — the multiple-testing control every metrics platform needs once
+    it tests more than a handful of segments (25 uncorrected α=.05
+    tests fire ~1.2 false positives per run; Bonferroni over-corrects;
+    BH controls the false-DISCOVERY rate).
+
+    No transcendental inversion at query time: the per-rank critical
+    z values Φ⁻¹(1−rα/2m) are Newton-computed ONCE in Python and
+    embedded as identical literals in both engines, so the step-up
+    test |z|₍ᵣ₎ ≥ z_crit(r) is an exact float comparison on identical
+    operands. Moments are exact decimal sums; ranks break ties on the
+    nation name; the step-up "reject all ranks ≤ max passing r" is a
+    cumulative max over the 25-row reduced table.
+
+    Scale: one conditional-aggregation pass to 25×3 scalars (the
+    nation domain is literal), windows only over 25 rows.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    n_t = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    y = F.floor("o_totalprice").cast("long")
+    base = (
+        o.select("o_custkey", y.alias("y"))
+        .join(F.broadcast(c), "o_custkey")
+        .join(F.broadcast(n_t), "c_nationkey")
+        .select("n_name", "y")
+    )
+    dec18 = lambda col: col.cast("decimal(18,0)")  # noqa: E731
+    g = base.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("y").alias("sg"),
+        F.sum(dec18(F.col("y")) * F.col("y")).alias("qg"),
+    )
+    tot = g.agg(
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("qg").alias("q"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    ng = F.col("ng").cast("double")
+    nr = (F.col("n") - F.col("ng")).cast("double")
+    mg = F.col("sg").cast("double") / ng
+    mr = (F.col("s") - F.col("sg")).cast("double") / nr
+    varg = (F.col("qg").cast("double") - ng * mg * mg) / (ng - 1.0)
+    varr = (
+        (F.col("q") - F.col("qg")).cast("double") - nr * mr * mr
+    ) / (nr - 1.0)
+    z = (mg - mr) / F.sqrt(varg / ng + varr / nr)
+    scored = j.select(
+        "n_name",
+        F.col("ng").cast("long").alias("n_orders"),
+        F.round(z, 6).alias("z"),
+        F.abs(F.round(z, 6)).alias("az"),
+    )
+    rw = Window.orderBy(F.desc("az"), F.asc("n_name"))
+    thresholds = _bh_thresholds()
+    crit = F.element_at(
+        F.lit(thresholds), F.col("rank").cast("int")
+    )
+    ranked = scored.select(
+        "n_name",
+        "n_orders",
+        "z",
+        "az",
+        F.row_number().over(rw).cast("long").alias("rank"),
+    ).select(
+        "n_name",
+        "n_orders",
+        "z",
+        "rank",
+        crit.alias("z_crit"),
+        (F.col("az") >= crit).alias("raw_pass"),
+    )
+    # step-up: reject every rank <= the LARGEST passing rank
+    su = Window.orderBy(F.desc("rank")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = ranked.select(
+        "n_name",
+        "n_orders",
+        "z",
+        "rank",
+        "z_crit",
+        "raw_pass",
+        (
+            F.max(F.when(F.col("raw_pass"), F.col("rank")).otherwise(0)).over(
+                su
+            )
+            >= F.col("rank")
+        ).alias("bh_reject"),
+    )
+    return out.orderBy("rank")
+
+
+def _bh_sql() -> str:
+    thresholds = _bh_thresholds()
+    crit_list = "[" + ", ".join(repr(t) for t in thresholds) + "]"
+    return f"""
+WITH base AS (
+    SELECT n.n_name, CAST(FLOOR(o.o_totalprice) AS BIGINT) AS y
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+g AS (
+    SELECT n_name, COUNT(*) AS ng, SUM(y) AS sg,
+           SUM(CAST(y AS HUGEINT) * y) AS qg
+    FROM base GROUP BY 1
+),
+tot AS (
+    SELECT SUM(ng) AS n, SUM(sg) AS s, SUM(qg) AS q FROM g
+),
+scored AS (
+    SELECT n_name, CAST(ng AS BIGINT) AS n_orders,
+        ROUND((CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)
+               - CAST(s - sg AS DOUBLE) / CAST(n - ng AS DOUBLE))
+              / SQRT(((CAST(qg AS DOUBLE)
+                       - CAST(ng AS DOUBLE)
+                         * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+                         * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)))
+                      / (CAST(ng AS DOUBLE) - 1.0)) / CAST(ng AS DOUBLE)
+                     + ((CAST(q - qg AS DOUBLE)
+                         - CAST(n - ng AS DOUBLE)
+                           * (CAST(s - sg AS DOUBLE) / CAST(n - ng AS DOUBLE))
+                           * (CAST(s - sg AS DOUBLE) / CAST(n - ng AS DOUBLE)))
+                        / (CAST(n - ng AS DOUBLE) - 1.0))
+                       / CAST(n - ng AS DOUBLE)), 6) AS z
+    FROM g CROSS JOIN tot
+),
+ranked AS (
+    SELECT n_name, n_orders, z, ABS(z) AS az,
+           CAST(ROW_NUMBER() OVER (ORDER BY ABS(z) DESC, n_name ASC)
+                AS BIGINT) AS rank
+    FROM scored
+),
+flagged AS (
+    SELECT n_name, n_orders, z, rank,
+           CAST(({crit_list})[rank] AS DOUBLE) AS z_crit,
+           az >= ({crit_list})[rank] AS raw_pass
+    FROM ranked
+)
+SELECT n_name, n_orders, z, rank, z_crit, raw_pass,
+       MAX(CASE WHEN raw_pass THEN rank ELSE 0 END)
+           OVER (ORDER BY rank DESC ROWS UNBOUNDED PRECEDING) >= rank
+           AS bh_reject
+FROM flagged
+ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # agg_theil_index — decomposable inequality (between/within groups)
 # ---------------------------------------------------------------------------
 
@@ -8038,6 +8230,7 @@ QUERIES = {
     "agg_kruskal_wallis": agg_kruskal_wallis,
     "ml_average_precision": ml_average_precision,
     "agg_theil_index": agg_theil_index,
+    "agg_benjamini_hochberg": agg_benjamini_hochberg,
     "window_hurst_exponent": window_hurst_exponent,
     "seq_markov_stationary": seq_markov_stationary,
     "window_average_true_range": window_average_true_range,
@@ -8128,6 +8321,7 @@ ORACLES = {
     "agg_kruskal_wallis": _kruskal_sql(),
     "ml_average_precision": _AP_SQL,
     "agg_theil_index": _theil_sql(),
+    "agg_benjamini_hochberg": _bh_sql(),
     "window_hurst_exponent": _hurst_sql(),
     "seq_markov_stationary": _markov_stationary_sql(),
     "window_average_true_range": _ATR_SQL,

@@ -1683,6 +1683,206 @@ ORDER BY lang, source
 
 
 # ---------------------------------------------------------------------------
+# text_textrank_keywords — graph-based keywords (TextRank)
+# ---------------------------------------------------------------------------
+
+TR_VOCAB = 100  # graph restricted to the top-V corpus words
+TR_ITERS = 8
+TR_SCALE = 10**9  # rank fixed-point: r·p products stay < 2^63
+TR_DAMP_NUM, TR_DAMP_DEN = 85, 100
+TR_TOPK = 20
+
+
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords (Mihalcea & Tarau): damped PageRank over the
+    word co-occurrence graph (consecutive-token edges, weights =
+    corpus bigram counts) — the GRAPH-based keyword extractor that
+    complements ``text_rake_keywords``'s degree/frequency heuristic:
+    RAKE rewards words that travel in long phrases, TextRank rewards
+    words recommended by other central words.
+
+    The ``graph_pagerank`` integer recipe on a vocabulary-bounded
+    graph: graph restricted to the top-{TR_VOCAB} words (count desc,
+    word asc — deterministic), ranks in BIGINT 10⁹ fixed-point,
+    weighted contributions (r·p_fp) div SCALE — all non-negative, so
+    Spark ``div`` ≡ DuckDB ``//``; {TR_ITERS} fixed iterations; the
+    oracle unrolls them as MATERIALIZED CTEs (plain CTEs re-inline
+    exponentially).
+
+    Scale: ONE corpus pass builds bigram counts; everything after
+    runs on the ≤V²-edge graph — iteration cost independent of corpus
+    size. Top-k is TakeOrderedAndProject.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    toks = tokens_col("text")
+    pairs = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("a"),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("b"),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    freq = (
+        d.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = freq.orderBy(F.desc("freq"), F.asc("w")).limit(TR_VOCAB)
+    e_dir = (
+        pairs.where(F.col("a") != F.col("b"))
+        .join(F.broadcast(vocab.select(F.col("w").alias("a"))), "a")
+        .join(F.broadcast(vocab.select(F.col("w").alias("b"))), "b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    edges_u = e_dir.select("a", "b", "c").union(
+        e_dir.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), F.col("c")
+        )
+    )
+    edges = (
+        edges_u.groupBy("a", "b").agg(F.sum("c").alias("c"))
+    )
+    ci = edges.groupBy("a").agg(F.sum("c").alias("ci"))
+    e2 = (
+        edges.join(F.broadcast(ci), "a")
+        .select(
+            F.col("a").alias("src"),
+            F.col("b").alias("dst"),
+            F.expr(
+                f"CAST((CAST(c AS DECIMAL(38,0)) * {TR_SCALE}) div ci"
+                " AS BIGINT)"
+            ).alias("p_fp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = e2.select(F.col("src").alias("w")).distinct()
+    n_nodes = nodes.count()
+    base = (TR_SCALE * (TR_DAMP_DEN - TR_DAMP_NUM)) // (
+        TR_DAMP_DEN * n_nodes
+    )
+    ranks = nodes.select("w", F.lit(TR_SCALE // n_nodes).alias("r"))
+    for _ in range(TR_ITERS):
+        contrib = (
+            e2.join(ranks, e2.src == ranks.w)
+            .select(
+                F.col("dst").alias("w"),
+                F.expr(f"(r * p_fp) div {TR_SCALE}").alias("t"),
+            )
+            .groupBy("w")
+            .agg(F.sum("t").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "w", "left")
+            .select(
+                "w",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({TR_DAMP_NUM} * coalesce(s, 0))"
+                        f" div {TR_DAMP_DEN}"
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = (
+        ranks.join(F.broadcast(vocab), ranks.w == vocab.w)
+        .select(
+            ranks.w.alias("word"),
+            "freq",
+            F.col("r").alias("rank_fp"),
+            F.round(
+                F.col("r").cast("double") / F.lit(float(TR_SCALE)), 9
+            ).alias("rank"),
+        )
+    )
+    return out.orderBy(F.desc("rank_fp"), F.asc("word")).limit(TR_TOPK)
+
+
+def _textrank_sql() -> str:
+    steps = []
+    for i in range(TR_ITERS):
+        steps.append(f"""
+c{i} AS MATERIALIZED (
+    SELECT e.dst AS w, SUM((p.r * e.p_fp) // {TR_SCALE}) AS s
+    FROM tr{i} p JOIN e2 e ON e.src = p.w
+    GROUP BY 1
+),
+tr{i + 1} AS MATERIALIZED (
+    SELECT n.w,
+           (SELECT base FROM consts)
+           + ({TR_DAMP_NUM} * COALESCE(c.s, 0)) // {TR_DAMP_DEN} AS r
+    FROM nodes n LEFT JOIN c{i} c ON c.w = n.w
+)""")
+    return f"""
+WITH toks AS (
+    SELECT {sql_tokens("text")} AS t FROM documents
+),
+pairs AS (
+    -- generate_series as a LIST function: the table-function form
+    -- rejects lateral column arguments (cross-engine gotcha)
+    SELECT p.a AS a, p.b AS b FROM (
+        SELECT unnest(list_transform(
+            generate_series(1, len(t) - 1),
+            i -> struct_pack(a := t[i], b := t[i + 1]))) AS p
+        FROM toks
+    )
+),
+freq AS (
+    SELECT w, COUNT(*) AS freq
+    FROM (SELECT unnest(t) AS w FROM toks)
+    GROUP BY w
+),
+vocab AS MATERIALIZED (
+    SELECT w, freq FROM freq ORDER BY freq DESC, w ASC LIMIT {TR_VOCAB}
+),
+e_dir AS (
+    SELECT p.a, p.b, COUNT(*) AS c
+    FROM pairs p
+    JOIN vocab va ON va.w = p.a
+    JOIN vocab vb ON vb.w = p.b
+    WHERE p.a <> p.b
+    GROUP BY p.a, p.b
+),
+edges AS (
+    SELECT a, b, SUM(c) AS c FROM (
+        SELECT a, b, c FROM e_dir
+        UNION ALL
+        SELECT b AS a, a AS b, c FROM e_dir
+    ) GROUP BY a, b
+),
+ci AS (
+    SELECT a, SUM(c) AS ci FROM edges GROUP BY a
+),
+e2 AS MATERIALIZED (
+    SELECT e.a AS src, e.b AS dst,
+           CAST((CAST(e.c AS HUGEINT) * {TR_SCALE}) // ci.ci AS BIGINT)
+               AS p_fp
+    FROM edges e JOIN ci ON ci.a = e.a
+),
+nodes AS MATERIALIZED (
+    SELECT DISTINCT src AS w FROM e2
+),
+consts AS (
+    SELECT (CAST({TR_SCALE} AS BIGINT) * {TR_DAMP_DEN - TR_DAMP_NUM})
+               // ({TR_DAMP_DEN} * COUNT(*)) AS base,
+           CAST({TR_SCALE} AS BIGINT) // COUNT(*) AS init
+    FROM nodes
+),
+tr0 AS (
+    SELECT w, (SELECT init FROM consts) AS r FROM nodes
+),{",".join(steps)}
+SELECT t.w AS word, v.freq, CAST(t.r AS BIGINT) AS rank_fp,
+       ROUND(CAST(t.r AS DOUBLE) / {float(TR_SCALE)}, 9) AS rank
+FROM tr{TR_ITERS} t JOIN vocab v ON v.w = t.w
+ORDER BY t.r DESC, t.w ASC
+LIMIT {TR_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # text_rake_keywords — RAKE keyword extraction (degree/frequency)
 # ---------------------------------------------------------------------------
 
@@ -1812,6 +2012,7 @@ LIMIT {RAKE_TOPK}
 
 QUERIES = {
     "text_rake_keywords": text_rake_keywords,
+    "text_textrank_keywords": text_textrank_keywords,
     "text_bm25_topk": text_bm25_topk,
     "text_langid_ngram_profile": text_langid_ngram_profile,
     "quality_ndcg_ranking_eval": quality_ndcg_ranking_eval,
@@ -1836,6 +2037,7 @@ QUERIES = {
 
 ORACLES = {
     "text_rake_keywords": _RAKE_SQL,
+    "text_textrank_keywords": _textrank_sql(),
     "text_bm25_topk": _BM25_SQL,
     "text_langid_ngram_profile": _CT_LANGID_SQL,
     "quality_ndcg_ranking_eval": _ndcg_sql(),

@@ -435,6 +435,8 @@ def test_global_windows_only_over_reduced_tables(spark, sf_smoke):
         "agg_kruskal_wallis",
         # day-index row_number over the day-grain reduced series
         "window_hurst_exponent",
+        # rank + step-up max over the 25-row nation test table
+        "agg_benjamini_hochberg",
         "agg_split_gain_gini", "window_realized_volatility",
         "window_seasonal_decompose", "agg_spearman_rho", "agg_hist2d_joint",
         "sample_ab_assignment_srm", "agg_chi_square_independence",

@@ -471,3 +471,119 @@ def test_hurst_python_reference(spark, sf_dir):
         assert r["n_chunks"] == n_chunks
         assert r["mean_lnrs_micro"] == mean_micro
         assert math.isclose(r["hurst"], round(hurst, 6), abs_tol=1.1e-6)
+
+
+def test_benjamini_hochberg_python_reference(spark, sf_dir):
+    from parquet_batch_spark.operators.stats_ops import (
+        _bh_thresholds,
+        agg_benjamini_hochberg,
+    )
+
+    rows = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+            ),
+            "o_custkey",
+        )
+        .join(
+            load(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("c_nationkey"), "n_name"
+            ),
+            "c_nationkey",
+        )
+        .select("n_name", F.floor("o_totalprice").cast("long").alias("y"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    agg: dict[str, list[int]] = defaultdict(lambda: [0, 0, 0])
+    for r in rows:
+        a = agg[r["n_name"]]
+        a[0] += 1
+        a[1] += r["y"]
+        a[2] += r["y"] * r["y"]
+    n = sum(a[0] for a in agg.values())
+    s = sum(a[1] for a in agg.values())
+    q = sum(a[2] for a in agg.values())
+    zs = {}
+    for g, (ng, sg, qg) in agg.items():
+        nr, sr, qr = n - ng, s - sg, q - qg
+        mg, mr = sg / ng, sr / nr
+        vg = (qg - ng * mg * mg) / (ng - 1)
+        vr = (qr - nr * mr * mr) / (nr - 1)
+        zs[g] = round((mg - mr) / math.sqrt(vg / ng + vr / nr), 6)
+    order = sorted(zs, key=lambda g: (-abs(zs[g]), g))
+    th = _bh_thresholds()
+    raw = [abs(zs[g]) >= th[i] for i, g in enumerate(order)]
+    max_pass = max((i + 1 for i, p in enumerate(raw) if p), default=0)
+    got = agg_benjamini_hochberg(spark, sf_dir).collect()
+    assert [r["n_name"] for r in got] == order
+    for i, r in enumerate(got):
+        assert r["rank"] == i + 1
+        assert math.isclose(r["z"], zs[r["n_name"]], abs_tol=1.1e-6)
+        assert r["z_crit"] == th[i]
+        assert r["raw_pass"] == raw[i]
+        assert r["bh_reject"] == (i + 1 <= max_pass)
+    # step-up property: rejections form a prefix of the ranking
+    flags = [r["bh_reject"] for r in got]
+    assert flags == sorted(flags, reverse=True)
+
+
+def test_textrank_python_reference(spark, sf_dir):
+    from collections import defaultdict
+
+    from parquet_batch_spark.operators.text_analysis import (
+        TR_DAMP_DEN,
+        TR_DAMP_NUM,
+        TR_ITERS,
+        TR_SCALE,
+        TR_TOPK,
+        TR_VOCAB,
+        text_textrank_keywords,
+    )
+
+    docs = [
+        r["text"].strip().split()
+        for r in load(spark, sf_dir, "documents").select("text").collect()
+    ]
+    freq: dict[str, int] = defaultdict(int)
+    for toks in docs:
+        for w in toks:
+            freq[w] += 1
+    vocab = set(
+        sorted(freq, key=lambda w: (-freq[w], w))[:TR_VOCAB]
+    )
+    e_dir: dict[tuple, int] = defaultdict(int)
+    for toks in docs:
+        for a, b in zip(toks, toks[1:]):
+            if a != b and a in vocab and b in vocab:
+                e_dir[(a, b)] += 1
+    edges: dict[tuple, int] = defaultdict(int)
+    for (a, b), c in e_dir.items():
+        edges[(a, b)] += c
+        edges[(b, a)] += c
+    ci: dict[str, int] = defaultdict(int)
+    for (a, _), c in edges.items():
+        ci[a] += c
+    p_fp = {(a, b): (c * TR_SCALE) // ci[a] for (a, b), c in edges.items()}
+    nodes = sorted(ci)
+    base = (TR_SCALE * (TR_DAMP_DEN - TR_DAMP_NUM)) // (
+        TR_DAMP_DEN * len(nodes)
+    )
+    r = {w: TR_SCALE // len(nodes) for w in nodes}
+    for _ in range(TR_ITERS):
+        s: dict[str, int] = defaultdict(int)
+        for (a, b), p in p_fp.items():
+            s[b] += (r[a] * p) // TR_SCALE
+        r = {
+            w: base + (TR_DAMP_NUM * s.get(w, 0)) // TR_DAMP_DEN
+            for w in nodes
+        }
+    exp = sorted(r.items(), key=lambda kv: (-kv[1], kv[0]))[:TR_TOPK]
+    got = [
+        (row["word"], row["rank_fp"])
+        for row in text_textrank_keywords(spark, sf_dir).collect()
+    ]
+    assert got == exp
