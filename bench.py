@@ -195,6 +195,9 @@ HEADLINE = [
     "window_hurst_exponent",
     "agg_benjamini_hochberg",
     "text_textrank_keywords",
+    "agg_levene_test",
+    "window_theil_sen",
+    "ml_brier_decomposition",
 ]
 
 

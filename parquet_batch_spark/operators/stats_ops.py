@@ -6921,6 +6921,140 @@ ORDER BY bucket
 
 
 # ---------------------------------------------------------------------------
+# agg_levene_test — Brown–Forsythe variance-homogeneity test
+# ---------------------------------------------------------------------------
+
+
+def agg_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test (Levene's test with group MEDIANS): do the
+    priority classes have equal VARIANCE — the homogeneity assumption
+    ``agg_anova_oneway`` quietly makes, checked the robust way (median
+    centers keep the test honest under the heavy right tail money data
+    always has; mean-centered Levene inflates there).
+
+    Group medians are exact over the per-group value-distinct grid
+    (LOWER median: smallest v with 2·cum ≥ n — a pinned deterministic
+    convention, no interpolation); |y − median_g| is then an exact
+    integer per row, and the second pass is the standard ANOVA F on
+    those deviations with the Σ over the literal priority domain
+    written fixed-order (the float-over-groups gotcha).
+
+    Scale: two passes — a value-grain reduce for the medians (the
+    5-row result broadcast back), then one conditional-aggregation
+    pass. No corpus-size window, no join wider than 5 rows.
+    """
+    o = load(spark, sf_dir, "orders")
+    y = F.floor("o_totalprice").cast("long")
+    base = o.select(F.col("o_orderpriority").alias("g"), y.alias("y"))
+    grid = base.groupBy("g", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    cw = (
+        Window.partitionBy("g")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    gw = Window.partitionBy("g")
+    meds = (
+        grid.select(
+            "g",
+            "y",
+            F.sum("cnt").over(cw).alias("cum"),
+            F.sum("cnt").over(gw).alias("n_g"),
+        )
+        .where(2 * F.col("cum") >= F.col("n_g"))
+        .groupBy("g")
+        .agg(F.min("y").alias("med"))
+    )
+    dev = base.join(F.broadcast(meds), "g").select(
+        "g", F.abs(F.col("y") - F.col("med")).alias("z")
+    )
+    k = len(ANOVA_PRIORITIES)
+    aggs = []
+    for i, p in enumerate(ANOVA_PRIORITIES):
+        is_p = F.col("g") == p
+        aggs.append(F.sum(F.when(is_p, 1).otherwise(0)).alias(f"n{i}"))
+        aggs.append(F.sum(F.when(is_p, F.col("z")).otherwise(0)).alias(f"s{i}"))
+    aggs.append(
+        F.sum(F.col("z").cast("decimal(18,0)") * F.col("z")).alias("qq")
+    )
+    m = dev.agg(*aggs)
+    nn = sum((F.col(f"n{i}").cast("double") for i in range(k)), F.lit(0.0))
+    sg = sum(
+        (
+            F.col(f"s{i}").cast("double")
+            * F.col(f"s{i}").cast("double")
+            / F.col(f"n{i}").cast("double")
+            for i in range(k)
+        ),
+        F.lit(0.0),
+    )
+    ss = sum((F.col(f"s{i}").cast("double") for i in range(k)), F.lit(0.0))
+    qq = F.col("qq").cast("double")
+    ssb = sg - ss * ss / nn
+    ssw = qq - sg
+    f_stat = (ssb / (k - 1.0)) / (ssw / (nn - k))
+    return m.select(
+        nn.cast("long").alias("n_rows"),
+        F.lit(k - 1).cast("long").alias("df_between"),
+        F.round(f_stat, 6).alias("bf_stat"),
+        # F(4, inf) 5% critical value — fixed literal in both engines
+        (f_stat > F.lit(2.372)).alias("heteroscedastic"),
+    )
+
+
+def _levene_sql() -> str:
+    k = len(ANOVA_PRIORITIES)
+    cols = []
+    for i, p in enumerate(ANOVA_PRIORITIES):
+        cols.append(f"SUM(CASE WHEN g = '{p}' THEN 1 ELSE 0 END) AS n{i}")
+        cols.append(f"SUM(CASE WHEN g = '{p}' THEN z ELSE 0 END) AS s{i}")
+    nn = " + ".join(f"CAST(n{i} AS DOUBLE)" for i in range(k))
+    ss = " + ".join(f"CAST(s{i} AS DOUBLE)" for i in range(k))
+    sg = " + ".join(
+        f"CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE) / CAST(n{i} AS DOUBLE)"
+        for i in range(k)
+    )
+    return f"""
+WITH base AS (
+    SELECT o_orderpriority AS g, CAST(FLOOR(o_totalprice) AS BIGINT) AS y
+    FROM orders
+),
+grid AS (
+    SELECT g, y, COUNT(*) AS cnt FROM base GROUP BY g, y
+),
+meds AS (
+    SELECT g, MIN(y) AS med FROM (
+        SELECT g, y,
+               SUM(cnt) OVER (PARTITION BY g ORDER BY y
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER (PARTITION BY g) AS n_g
+        FROM grid
+    ) WHERE 2 * cum >= n_g
+    GROUP BY g
+),
+dev AS (
+    SELECT b.g, ABS(b.y - m.med) AS z
+    FROM base b JOIN meds m ON m.g = b.g
+),
+m AS (
+    SELECT {", ".join(cols)},
+           SUM(CAST(z AS HUGEINT) * z) AS qq
+    FROM dev
+),
+d AS (
+    SELECT ({nn}) AS nn, ({ss}) AS ss, ({sg}) AS sg,
+           CAST(qq AS DOUBLE) AS qq
+    FROM m
+)
+SELECT CAST(nn AS BIGINT) AS n_rows, CAST({k - 1} AS BIGINT) AS df_between,
+       ROUND(((sg - ss * ss / nn) / ({k}.0 - 1.0))
+             / ((qq - sg) / (nn - {k}.0)), 6) AS bf_stat,
+       ((sg - ss * ss / nn) / ({k}.0 - 1.0))
+           / ((qq - sg) / (nn - {k}.0)) > 2.372 AS heteroscedastic
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
 # agg_benjamini_hochberg — FDR-controlled multiple-testing screen
 # ---------------------------------------------------------------------------
 
@@ -7109,6 +7243,269 @@ SELECT n_name, n_orders, z, rank, z_crit, raw_pass,
            AS bh_reject
 FROM flagged
 ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# window_theil_sen — robust trend slope (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+
+def window_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen estimator of the monthly-revenue trend: the MEDIAN
+    of all pairwise slopes — the robust line ``agg_regression_per_
+    group``'s OLS is not (one crazy month moves OLS, not the slope
+    median; 29% breakdown point). The significance-test sibling of
+    ``agg_mann_kendall_trend`` (same pair lattice, point estimate
+    instead of test).
+
+    Pairwise slopes are micro-quantized by truncating integer
+    division ((10⁶·Δy) div Δmonths — both engines truncate toward
+    zero); the median over the C(M,2) pair lattice is the pinned
+    LOWER median via cumulative counts — no float anywhere.
+
+    Scale: month-grain reduce first; the pair join is over the
+    month-DOMAIN lattice (C(M,2) pairs for M months — independent of
+    row count), then a cumulative window over the slope-distinct
+    reduced table.
+    """
+    o = load(spark, sf_dir, "orders")
+    monthly = (
+        o.select(
+            (
+                (F.year("o_orderdate") - F.lit(1970)) * 12
+                + F.month("o_orderdate")
+                - 1
+            ).alias("m"),
+            F.floor("o_totalprice").cast("long").alias("yd"),
+        )
+        .groupBy("m")
+        .agg(F.sum("yd").alias("y"))
+    )
+    a, b = monthly.alias("a"), monthly.alias("b")
+    slopes = (
+        a.join(b, F.col("a.m") < F.col("b.m"))
+        .select(
+            F.expr(
+                "CAST((1000000 * CAST(b.y - a.y AS DECIMAL(38,0)))"
+                " div (b.m - a.m) AS BIGINT)"
+            ).alias("s")
+        )
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cw = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    med = (
+        slopes.select(
+            "s",
+            F.sum("cnt").over(cw).alias("cum"),
+            F.sum("cnt").over(tot).alias("n_pairs"),
+        )
+        .where(2 * F.col("cum") >= F.col("n_pairs"))
+        .agg(
+            F.min("s").alias("sen_slope_micro"),
+            F.max("n_pairs").alias("n_pairs"),
+        )
+    )
+    n_months = monthly.count()
+    return med.select(
+        F.lit(n_months).cast("long").alias("n_months"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        "sen_slope_micro",
+        F.round(
+            F.col("sen_slope_micro").cast("double") / F.lit(1e6), 6
+        ).alias("sen_slope"),
+        (F.col("sen_slope_micro") > 0).alias("trending_up"),
+    )
+
+
+_THEIL_SEN_SQL = """
+WITH monthly AS (
+    SELECT (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1 AS m,
+           SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS y
+    FROM orders GROUP BY 1
+),
+slopes AS (
+    SELECT CAST((1000000 * CAST(b.y - a.y AS HUGEINT)) // (b.m - a.m)
+                AS BIGINT) AS s,
+           COUNT(*) AS cnt
+    FROM monthly a JOIN monthly b ON a.m < b.m
+    GROUP BY 1
+),
+stepped AS (
+    SELECT s,
+           SUM(cnt) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(cnt) OVER () AS n_pairs
+    FROM slopes
+),
+med AS (
+    SELECT MIN(s) AS sen_slope_micro, MAX(n_pairs) AS n_pairs
+    FROM stepped WHERE 2 * cum >= n_pairs
+)
+SELECT (SELECT COUNT(*) FROM monthly) AS n_months,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       sen_slope_micro,
+       ROUND(CAST(sen_slope_micro AS DOUBLE) / 1000000.0, 6) AS sen_slope,
+       sen_slope_micro > 0 AS trending_up
+FROM med
+"""
+
+
+# ---------------------------------------------------------------------------
+# ml_brier_decomposition — Murphy reliability/resolution/uncertainty
+# ---------------------------------------------------------------------------
+
+
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the binned Brier score for the same
+    score/label pair the ECE op audits: BRIER = RELIABILITY −
+    RESOLUTION + UNCERTAINTY — the one-line answer to "is my score
+    bad because it is miscalibrated (reliability) or because it
+    cannot separate (low resolution)?", which ECE alone cannot say.
+
+    Binned forecast: each document forecasts its decile's mean
+    confidence c_k = sum_conf div n_k. With o_k = (10⁶·p_k) div n_k
+    and ō = (10⁶·P) div N pinned as micro integers, every component
+    is an exact integer sum over the ≤10-row bucket table (decimal
+    accumulators) divided ONCE at the end — micro² units (10⁻¹²).
+    The Murphy identity holds up to micro-truncation; the residual is
+    emitted as identity_gap_micro2 and bounded in the invariant test.
+
+    Scale: one corpus pass → 10-row reduce; constant arithmetic
+    after.
+    """
+    d = load(spark, sf_dir, "documents")
+    conf = F.least(
+        F.lit(1_000_000),
+        F.expr(f"(1000000 * n_chars) div {ECE_SCALE_CHARS}"),
+    )
+    label = F.array_contains(tokens_col("text"), "data")
+    staged = d.select(
+        F.least(
+            F.lit(ECE_BUCKETS - 1), (conf / F.lit(100_000)).cast("long")
+        ).alias("bucket"),
+        conf.alias("conf_micro"),
+        F.when(label, 1).otherwise(0).alias("y"),
+    )
+    g = staged.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_k"),
+        F.sum("y").cast("long").alias("p_k"),
+        F.sum("conf_micro").alias("sum_conf"),
+    )
+    per = g.select(
+        "n_k",
+        "p_k",
+        F.expr("(1000000 * p_k) div n_k").alias("o_k"),
+        F.expr("sum_conf div n_k").alias("c_k"),
+    )
+    dec38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    m = per.agg(
+        F.sum("n_k").alias("n"),
+        F.sum("p_k").alias("p"),
+        F.sum(dec38(F.col("n_k")) * F.col("o_k") * F.col("o_k")).alias("s_no2"),
+        F.sum(dec38(F.col("n_k")) * F.col("o_k")).alias("s_no"),
+        F.sum(
+            dec38(F.col("n_k"))
+            * (F.col("c_k") - F.col("o_k"))
+            * (F.col("c_k") - F.col("o_k"))
+        ).alias("rel_num"),
+        F.sum(
+            dec38(F.col("n_k")) * F.col("c_k") * F.col("c_k")
+            - 2 * dec38(F.col("c_k")) * 1_000_000 * F.col("p_k")
+            + dec38(F.col("p_k")) * 1_000_000 * 1_000_000
+        ).alias("brier_num"),
+    )
+    stage2 = m.select(
+        "n",
+        "p",
+        "s_no2",
+        "s_no",
+        "rel_num",
+        "brier_num",
+        F.expr("(1000000 * p) div n").alias("obar"),
+    )
+    # `div` truncates in both engines; a decimal(38,0) CAST would
+    # ROUND half-up in Spark while DuckDB's // truncates — gotcha.
+    out = stage2.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("p").cast("long").alias("n_pos"),
+        F.col("obar").cast("long").alias("base_rate_micro"),
+        F.expr("CAST(brier_num div n AS BIGINT)").alias("brier_micro2"),
+        F.expr("CAST(rel_num div n AS BIGINT)").alias("reliability_micro2"),
+        F.expr(
+            "CAST((s_no2 - 2 * CAST(obar AS DECIMAL(38,0)) * s_no"
+            " + CAST(n AS DECIMAL(38,0)) * obar * obar) div n AS BIGINT)"
+        ).alias("resolution_micro2"),
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * obar * (1000000 - obar))"
+            " div n AS BIGINT)"
+        ).alias("uncertainty_micro2"),
+    )
+    return out.select(
+        "*",
+        (
+            F.col("brier_micro2")
+            - (
+                F.col("reliability_micro2")
+                - F.col("resolution_micro2")
+                + F.col("uncertainty_micro2")
+            )
+        ).alias("identity_gap_micro2"),
+    )
+
+
+_BRIER_DECOMP_SQL = f"""
+WITH staged AS (
+    SELECT LEAST({ECE_BUCKETS - 1},
+                 LEAST(1000000, (1000000 * n_chars) // {ECE_SCALE_CHARS})
+                 // 100000) AS bucket,
+        LEAST(1000000, (1000000 * n_chars) // {ECE_SCALE_CHARS}) AS conf_micro,
+        CASE WHEN list_contains({sql_tokens("text")}, 'data')
+             THEN 1 ELSE 0 END AS y
+    FROM documents
+),
+g AS (
+    SELECT bucket, COUNT(*) AS n_k, CAST(SUM(y) AS BIGINT) AS p_k,
+           CAST(SUM(conf_micro) AS BIGINT) AS sum_conf
+    FROM staged GROUP BY bucket
+),
+per AS (
+    SELECT n_k, p_k,
+           (1000000 * p_k) // n_k AS o_k,
+           sum_conf // n_k AS c_k
+    FROM g
+),
+m AS (
+    SELECT CAST(SUM(n_k) AS BIGINT) AS n, CAST(SUM(p_k) AS BIGINT) AS p,
+           SUM(CAST(n_k AS HUGEINT) * o_k * o_k) AS s_no2,
+           SUM(CAST(n_k AS HUGEINT) * o_k) AS s_no,
+           SUM(CAST(n_k AS HUGEINT) * (c_k - o_k) * (c_k - o_k)) AS rel_num,
+           SUM(CAST(n_k AS HUGEINT) * c_k * c_k
+               - 2 * CAST(c_k AS HUGEINT) * 1000000 * p_k
+               + CAST(p_k AS HUGEINT) * 1000000 * 1000000) AS brier_num
+    FROM per
+),
+s2 AS (
+    SELECT *, (1000000 * p) // n AS obar FROM m
+)
+SELECT n AS n_rows, p AS n_pos, obar AS base_rate_micro,
+    CAST(brier_num // n AS BIGINT) AS brier_micro2,
+    CAST(rel_num // n AS BIGINT) AS reliability_micro2,
+    CAST((s_no2 - 2 * CAST(obar AS HUGEINT) * s_no
+          + CAST(n AS HUGEINT) * obar * obar) // n AS BIGINT)
+        AS resolution_micro2,
+    CAST((CAST(n AS HUGEINT) * obar * (1000000 - obar)) // n AS BIGINT)
+        AS uncertainty_micro2,
+    CAST(brier_num // n AS BIGINT)
+    - (CAST(rel_num // n AS BIGINT)
+       - CAST((s_no2 - 2 * CAST(obar AS HUGEINT) * s_no
+               + CAST(n AS HUGEINT) * obar * obar) // n AS BIGINT)
+       + CAST((CAST(n AS HUGEINT) * obar * (1000000 - obar)) // n AS BIGINT))
+        AS identity_gap_micro2
+FROM s2
 """
 
 
@@ -8232,6 +8629,9 @@ QUERIES = {
     "agg_theil_index": agg_theil_index,
     "agg_benjamini_hochberg": agg_benjamini_hochberg,
     "window_hurst_exponent": window_hurst_exponent,
+    "agg_levene_test": agg_levene_test,
+    "window_theil_sen": window_theil_sen,
+    "ml_brier_decomposition": ml_brier_decomposition,
     "seq_markov_stationary": seq_markov_stationary,
     "window_average_true_range": window_average_true_range,
     "agg_tukey_hsd": agg_tukey_hsd,
@@ -8323,6 +8723,9 @@ ORACLES = {
     "agg_theil_index": _theil_sql(),
     "agg_benjamini_hochberg": _bh_sql(),
     "window_hurst_exponent": _hurst_sql(),
+    "agg_levene_test": _levene_sql(),
+    "window_theil_sen": _THEIL_SEN_SQL,
+    "ml_brier_decomposition": _BRIER_DECOMP_SQL,
     "seq_markov_stationary": _markov_stationary_sql(),
     "window_average_true_range": _ATR_SQL,
     "agg_tukey_hsd": _tukey_sql(),

@@ -437,6 +437,8 @@ def test_global_windows_only_over_reduced_tables(spark, sf_smoke):
         "window_hurst_exponent",
         # rank + step-up max over the 25-row nation test table
         "agg_benjamini_hochberg",
+        # cumulative median scan over the C(M,2) slope-distinct table
+        "window_theil_sen",
         "agg_split_gain_gini", "window_realized_volatility",
         "window_seasonal_decompose", "agg_spearman_rho", "agg_hist2d_joint",
         "sample_ab_assignment_srm", "agg_chi_square_independence",

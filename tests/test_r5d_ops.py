@@ -587,3 +587,103 @@ def test_textrank_python_reference(spark, sf_dir):
         for row in text_textrank_keywords(spark, sf_dir).collect()
     ]
     assert got == exp
+
+
+def test_levene_brown_forsythe_python_reference(spark, sf_dir):
+    from collections import defaultdict
+
+    from parquet_batch_spark.operators.stats_ops import agg_levene_test
+
+    rows = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor("o_totalprice").cast("long").alias("y"),
+    ).collect()
+    by_g: dict[str, list[int]] = defaultdict(list)
+    for r in rows:
+        by_g[r["g"]].append(r["y"])
+    devs: dict[str, list[int]] = {}
+    for g, vs in by_g.items():
+        vs.sort()
+        n = len(vs)
+        # lower median: smallest v with 2*cum >= n
+        cum = 0
+        med = None
+        from collections import Counter
+
+        for v, c in sorted(Counter(vs).items()):
+            cum += c
+            if 2 * cum >= n:
+                med = v
+                break
+        devs[g] = [abs(v - med) for v in vs]
+    k = len(devs)
+    n = sum(len(v) for v in devs.values())
+    ss = sum(sum(v) for v in devs.values())
+    sg = sum(sum(v) ** 2 / len(v) for v in devs.values())
+    qq = sum(sum(x * x for x in v) for v in devs.values())
+    ssb = sg - ss * ss / n
+    ssw = qq - sg
+    f_stat = (ssb / (k - 1)) / (ssw / (n - k))
+    got = agg_levene_test(spark, sf_dir).collect()[0]
+    assert got["n_rows"] == n
+    assert math.isclose(got["bf_stat"], f_stat, rel_tol=1e-6, abs_tol=1e-5)
+    assert got["heteroscedastic"] == (f_stat > 2.372)
+
+
+def test_theil_sen_python_reference(spark, sf_dir):
+    from collections import defaultdict
+
+    from parquet_batch_spark.operators.stats_ops import window_theil_sen
+
+    monthly: dict[int, int] = defaultdict(int)
+    for r in load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.floor("o_totalprice").cast("long").alias("y"),
+    ).collect():
+        monthly[(r["yr"] - 1970) * 12 + r["mo"] - 1] += r["y"]
+    ms = sorted(monthly)
+    slopes = []
+    for i, a in enumerate(ms):
+        for b in ms[i + 1 :]:
+            dy = monthly[b] - monthly[a]
+            dm = b - a
+            q = (1_000_000 * dy) // dm
+            if (1_000_000 * dy) % dm and dy < 0:
+                q += 1  # engines truncate toward zero; python floors
+            slopes.append(q)
+    slopes.sort()
+    n_pairs = len(slopes)
+    # lower median: smallest s with 2*cum >= n_pairs
+    med = slopes[(n_pairs - 1) // 2] if n_pairs % 2 else slopes[
+        n_pairs // 2 - 1
+    ]
+    got = window_theil_sen(spark, sf_dir).collect()[0]
+    assert got["n_months"] == len(ms)
+    assert got["n_pairs"] == n_pairs
+    assert got["sen_slope_micro"] == med
+    assert got["trending_up"] == (med > 0)
+
+
+def test_brier_decomposition_identity_and_bounds(spark, sf_dir):
+    from parquet_batch_spark.operators.stats_ops import ml_brier_decomposition
+
+    got = ml_brier_decomposition(spark, sf_dir).collect()[0]
+    # all components are squared micro quantities: non-negative, <= 1e12
+    for c in (
+        "brier_micro2",
+        "reliability_micro2",
+        "resolution_micro2",
+        "uncertainty_micro2",
+    ):
+        assert 0 <= got[c] <= 10**12, (c, got[c])
+    # Murphy identity up to micro-truncation: each of the 4 terms
+    # truncates at most 1 micro^2 per bucket plus the o_k/obar micro
+    # grids contribute O(obar) slack
+    assert abs(got["identity_gap_micro2"]) <= 2_000_000
+    # binned Brier can never beat the uncertainty floor by more than
+    # resolution: brier >= uncertainty - resolution (reliability >= 0)
+    assert (
+        got["brier_micro2"]
+        >= got["uncertainty_micro2"] - got["resolution_micro2"] - 2_000_000
+    )
