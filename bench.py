@@ -198,6 +198,9 @@ HEADLINE = [
     "agg_levene_test",
     "window_theil_sen",
     "ml_brier_decomposition",
+    "graph_clustering_coefficient",
+    "etl_foreign_key_audit",
+    "agg_cochran_armitage",
 ]
 
 

@@ -900,7 +900,113 @@ ORDER BY a, b
 """
 
 
+# ---------------------------------------------------------------------------
+# graph_clustering_coefficient — per-node local CC distribution
+# ---------------------------------------------------------------------------
+
+
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL clustering coefficient distribution — the per-node
+    counterpart of ``graph_triangle_count``'s single global ratio:
+    cc(v) = 2·t_v / deg_v(deg_v−1) tells whether v's neighborhood is
+    a clique (template family — safe to collapse) or a star
+    (incidental hub — collapsing loses documents). Reported as a
+    decile histogram + per-decile mean (scale-free output: the node
+    table never leaves the cluster) plus the Watts–Strogatz mean in
+    the micro columns.
+
+    Per-node triangle credits come from the SAME oriented 3-join as
+    the global census (each triangle credits its three corners via a
+    3-way union — no adjacency list materialization); cc is exact
+    integer micro-units.
+
+    Scale: capped segment-edge fan-out bounds the joins; the
+    histogram is a 10-row reduce of the node table.
+    """
+    e = _segment_edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tris = e1.join(e2, "y").join(e3, ["x", "z"])
+    credits = (
+        tris.select(F.col("x").alias("v"))
+        .unionAll(tris.select(F.col("y").alias("v")))
+        .unionAll(tris.select(F.col("z").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    nodes = (
+        deg.join(credits, "v", "left")
+        .select(
+            "v",
+            "deg",
+            F.coalesce("t", F.lit(0)).alias("t"),
+        )
+        .where(F.col("deg") >= 2)
+        .select(
+            "v",
+            F.expr(
+                "(2000000 * t) div (deg * (deg - 1))"
+            ).alias("cc_micro"),
+        )
+    )
+    return (
+        nodes.select(
+            F.least(F.lit(9), F.expr("cc_micro div 100000")).alias("decile"),
+            "cc_micro",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.expr("sum(cc_micro) div count(1)").alias("mean_cc_micro"),
+        )
+        .orderBy("decile")
+    )
+
+
+_LOCAL_CC_SQL = f"""
+WITH {SEGMENT_EDGES_CTE},
+deg AS (
+    SELECT v, COUNT(*) AS deg
+    FROM (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+    GROUP BY v
+),
+tris AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM edges e1
+    JOIN edges e2 ON e2.a = e1.b
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+credits AS (
+    SELECT v, COUNT(*) AS t FROM (
+        SELECT x AS v FROM tris
+        UNION ALL SELECT y AS v FROM tris
+        UNION ALL SELECT z AS v FROM tris
+    ) GROUP BY v
+),
+nodes AS (
+    SELECT d.v,
+           (2000000 * COALESCE(c.t, 0)) // (d.deg * (d.deg - 1)) AS cc_micro
+    FROM deg d LEFT JOIN credits c ON c.v = d.v
+    WHERE d.deg >= 2
+)
+SELECT LEAST(9, cc_micro // 100000) AS decile,
+       COUNT(*) AS n_nodes,
+       CAST(SUM(cc_micro) AS BIGINT) // COUNT(*) AS mean_cc_micro
+FROM nodes
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
+    "graph_clustering_coefficient": graph_clustering_coefficient,
     "graph_neighborhood_jaccard": graph_neighborhood_jaccard,
     "graph_kcore": graph_kcore,
     "dedup_cross_source_matrix": dedup_cross_source_matrix,
@@ -913,6 +1019,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_clustering_coefficient": _LOCAL_CC_SQL,
     "graph_neighborhood_jaccard": _NJ_SQL,
     "graph_kcore": _kcore_sql(),
     "dedup_cross_source_matrix": _CROSS_SOURCE_SQL,

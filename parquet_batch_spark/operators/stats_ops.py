@@ -6921,6 +6921,118 @@ ORDER BY bucket
 
 
 # ---------------------------------------------------------------------------
+# agg_cochran_armitage — trend test for proportions over ordered groups
+# ---------------------------------------------------------------------------
+
+
+def agg_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage trend test: does the FULFILLED-order rate
+    rise or fall MONOTONICALLY across the ordered priority classes
+    (scores 1..5)? The χ² independence test (``agg_chi_square_
+    independence``) answers "is there any association"; this one
+    spends its single degree of freedom on the ordered alternative —
+    far more power when the suspicion is a dose-response trend.
+
+    T = Σ sᵢ(rᵢ − nᵢ·R/N) exactified as N·T = Σ sᵢ(N·rᵢ − nᵢ·R);
+    Var(N·T) = R(N−R)·[N·Σ sᵢ²nᵢ − (Σ sᵢnᵢ)²] / N — every bracket an
+    exact decimal integer; z derives in double from the exact
+    operands and rounds to 6dp. One conditional-aggregation pass over
+    the literal priority domain; no shuffle beyond the single agg.
+    """
+    o = load(spark, sf_dir, "orders")
+    k = len(ANOVA_PRIORITIES)
+    aggs = []
+    for i, p in enumerate(ANOVA_PRIORITIES):
+        is_p = F.col("o_orderpriority") == p
+        aggs.append(F.sum(F.when(is_p, 1).otherwise(0)).alias(f"n{i}"))
+        aggs.append(
+            F.sum(
+                F.when(is_p & (F.col("o_orderstatus") == "F"), 1).otherwise(0)
+            ).alias(f"r{i}")
+        )
+    m = o.agg(*aggs)
+    dec38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    n_tot = sum((F.col(f"n{i}") for i in range(k)), F.lit(0))
+    r_tot = sum((F.col(f"r{i}") for i in range(k)), F.lit(0))
+    s_n = sum(
+        (F.lit(i + 1) * F.col(f"n{i}") for i in range(k)), F.lit(0)
+    )
+    s2_n = sum(
+        (F.lit((i + 1) ** 2) * F.col(f"n{i}") for i in range(k)), F.lit(0)
+    )
+    s_r = sum(
+        (F.lit(i + 1) * F.col(f"r{i}") for i in range(k)), F.lit(0)
+    )
+    staged = m.select(
+        n_tot.alias("n"),
+        r_tot.alias("r"),
+        s_n.alias("sn"),
+        s2_n.alias("s2n"),
+        s_r.alias("sr"),
+    )
+    nt = dec38(F.col("n"))
+    t_scaled = nt * F.col("sr") - dec38(F.col("sn")) * F.col("r")  # = N·T
+    var_scaled = (
+        dec38(F.col("r"))
+        * (F.col("n") - F.col("r"))
+        * (nt * F.col("s2n") - dec38(F.col("sn")) * F.col("sn"))
+    )  # = N³·Var(T) = N·Var(N·T)·... (z uses the ratio below)
+    # z = N·T / sqrt(N · [R(N−R)(N·Σs²n − (Σsn)²)] / N) — algebra:
+    # z = T/√Var(T) with Var(T) = R(N−R)[NΣs²n−(Σsn)²]/N³
+    z = t_scaled.cast("double") / F.sqrt(
+        var_scaled.cast("double") / F.col("n").cast("double")
+    )
+    return staged.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("r").cast("long").alias("n_success"),
+        F.round(z, 6).alias("z_trend"),
+        (F.abs(F.round(z, 6)) > F.lit(1.959964)).alias("significant"),
+    )
+
+
+def _cochran_armitage_sql() -> str:
+    k = len(ANOVA_PRIORITIES)
+    cols = []
+    for i, p in enumerate(ANOVA_PRIORITIES):
+        cols.append(
+            f"SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS n{i}"
+        )
+        cols.append(
+            f"SUM(CASE WHEN o_orderpriority = '{p}'"
+            f" AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS r{i}"
+        )
+    n_tot = " + ".join(f"n{i}" for i in range(k))
+    r_tot = " + ".join(f"r{i}" for i in range(k))
+    s_n = " + ".join(f"{i + 1} * n{i}" for i in range(k))
+    s2_n = " + ".join(f"{(i + 1) ** 2} * n{i}" for i in range(k))
+    s_r = " + ".join(f"{i + 1} * r{i}" for i in range(k))
+    return f"""
+WITH m AS (
+    SELECT {", ".join(cols)} FROM orders
+),
+staged AS (
+    SELECT CAST({n_tot} AS BIGINT) AS n, CAST({r_tot} AS BIGINT) AS r,
+           CAST({s_n} AS BIGINT) AS sn, CAST({s2_n} AS BIGINT) AS s2n,
+           CAST({s_r} AS BIGINT) AS sr
+    FROM m
+)
+SELECT n AS n_rows, r AS n_success,
+    ROUND(CAST(CAST(n AS HUGEINT) * sr - CAST(sn AS HUGEINT) * r AS DOUBLE)
+          / SQRT(CAST(CAST(r AS HUGEINT) * (n - r)
+                      * (CAST(n AS HUGEINT) * s2n
+                         - CAST(sn AS HUGEINT) * sn) AS DOUBLE)
+                 / CAST(n AS DOUBLE)), 6) AS z_trend,
+    ABS(ROUND(CAST(CAST(n AS HUGEINT) * sr
+                   - CAST(sn AS HUGEINT) * r AS DOUBLE)
+          / SQRT(CAST(CAST(r AS HUGEINT) * (n - r)
+                      * (CAST(n AS HUGEINT) * s2n
+                         - CAST(sn AS HUGEINT) * sn) AS DOUBLE)
+                 / CAST(n AS DOUBLE)), 6)) > 1.959964 AS significant
+FROM staged
+"""
+
+
+# ---------------------------------------------------------------------------
 # agg_levene_test — Brown–Forsythe variance-homogeneity test
 # ---------------------------------------------------------------------------
 
@@ -8630,6 +8742,7 @@ QUERIES = {
     "agg_benjamini_hochberg": agg_benjamini_hochberg,
     "window_hurst_exponent": window_hurst_exponent,
     "agg_levene_test": agg_levene_test,
+    "agg_cochran_armitage": agg_cochran_armitage,
     "window_theil_sen": window_theil_sen,
     "ml_brier_decomposition": ml_brier_decomposition,
     "seq_markov_stationary": seq_markov_stationary,
@@ -8724,6 +8837,7 @@ ORACLES = {
     "agg_benjamini_hochberg": _bh_sql(),
     "window_hurst_exponent": _hurst_sql(),
     "agg_levene_test": _levene_sql(),
+    "agg_cochran_armitage": _cochran_armitage_sql(),
     "window_theil_sen": _THEIL_SEN_SQL,
     "ml_brier_decomposition": _BRIER_DECOMP_SQL,
     "seq_markov_stationary": _markov_stationary_sql(),

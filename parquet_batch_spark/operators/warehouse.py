@@ -1258,7 +1258,135 @@ ORDER BY as_of
 """
 
 
+# ---------------------------------------------------------------------------
+# etl_foreign_key_audit — referential-integrity report
+# ---------------------------------------------------------------------------
+
+
+def etl_foreign_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the warehouse's FK edges —
+    the report a nightly data-quality job publishes before anyone
+    joins: per edge, child rows / distinct child keys / ORPHAN rows
+    (child keys with no parent) and the orphan rate in micro-units.
+    Three real edges (lineitem→orders, orders→customer,
+    customer→nation) plus one edge against a DELIBERATELY stale
+    parent snapshot (customers with c_custkey % 3 = 0 removed) so the
+    nonzero-orphan path is exercised, not just the all-green one.
+
+    Scale: each edge is one left-anti join on the key — broadcast
+    when the parent is a dim, shuffle hash otherwise; counts are
+    map-side partial aggregates. No row ever leaves the cluster.
+    """
+
+    def edge(name: str, child, key_col: str, parent_keys) -> DataFrame:
+        orphans = child.join(
+            parent_keys, child[key_col] == parent_keys["pk"], "left_anti"
+        )
+        return (
+            child.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(key_col).alias("n_keys"),
+            )
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphan_rows")))
+            .select(
+                F.lit(name).alias("fk_edge"),
+                "n_rows",
+                "n_keys",
+                "n_orphan_rows",
+                F.expr("(1000000 * n_orphan_rows) div n_rows").alias(
+                    "orphan_micro"
+                ),
+            )
+        )
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey")
+    out = (
+        edge(
+            "lineitem.l_orderkey->orders",
+            li,
+            "l_orderkey",
+            o.select(F.col("o_orderkey").alias("pk")),
+        )
+        .unionByName(
+            edge(
+                "orders.o_custkey->customer",
+                o.select("o_custkey"),
+                "o_custkey",
+                c.select(F.col("c_custkey").alias("pk")),
+            )
+        )
+        .unionByName(
+            edge(
+                "customer.c_nationkey->nation",
+                c.select("c_nationkey"),
+                "c_nationkey",
+                F.broadcast(n.select(F.col("n_nationkey").alias("pk"))),
+            )
+        )
+        .unionByName(
+            edge(
+                "orders.o_custkey->customer_stale_snapshot",
+                o.select("o_custkey"),
+                "o_custkey",
+                c.where(F.col("c_custkey") % 3 != 0).select(
+                    F.col("c_custkey").alias("pk")
+                ),
+            )
+        )
+    )
+    return out.orderBy("fk_edge")
+
+
+_FK_AUDIT_SQL = """
+WITH e1 AS (
+    SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_keys,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphan_rows
+    FROM lineitem LEFT JOIN orders ON o_orderkey = l_orderkey
+),
+e2 AS (
+    SELECT 'orders.o_custkey->customer' AS fk_edge,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_custkey) AS n_keys,
+           CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphan_rows
+    FROM orders LEFT JOIN customer ON c_custkey = o_custkey
+),
+e3 AS (
+    SELECT 'customer.c_nationkey->nation' AS fk_edge,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT c_nationkey) AS n_keys,
+           CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphan_rows
+    FROM customer LEFT JOIN nation ON n_nationkey = c_nationkey
+),
+e4 AS (
+    SELECT 'orders.o_custkey->customer_stale_snapshot' AS fk_edge,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_custkey) AS n_keys,
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphan_rows
+    FROM orders LEFT JOIN (
+        SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0
+    ) c ON c.c_custkey = o_custkey
+)
+SELECT fk_edge, n_rows, n_keys, n_orphan_rows,
+       (1000000 * n_orphan_rows) // n_rows AS orphan_micro
+FROM (
+    SELECT * FROM e1 UNION ALL SELECT * FROM e2
+    UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
+)
+ORDER BY fk_edge
+"""
+
+
 QUERIES = {
+    "etl_foreign_key_audit": etl_foreign_key_audit,
     "etl_time_travel": etl_time_travel,
     "etl_data_vault_keys": etl_data_vault_keys,
     "etl_write_audit_publish": etl_write_audit_publish,
@@ -1276,6 +1404,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "etl_foreign_key_audit": _FK_AUDIT_SQL,
     "quality_merkle_checksums": _MERKLE_SQL,
     "etl_golden_record": _GOLDEN_SQL,
     "window_funnel_latency": _FUNNEL_LATENCY_SQL,

@@ -687,3 +687,96 @@ def test_brier_decomposition_identity_and_bounds(spark, sf_dir):
         got["brier_micro2"]
         >= got["uncertainty_micro2"] - got["resolution_micro2"] - 2_000_000
     )
+
+
+def test_local_clustering_coefficient_python_reference(spark, sf_dir):
+    from collections import defaultdict
+
+    from parquet_batch_spark.operators.corpus_ops import (
+        graph_clustering_coefficient,
+    )
+    from parquet_batch_spark.operators.llm_prep import segment_edges
+
+    adj: dict[int, set[int]] = defaultdict(set)
+    for r in segment_edges(spark, sf_dir).collect():
+        adj[r["a"]].add(r["b"])
+        adj[r["b"]].add(r["a"])
+    hist: dict[int, list[int]] = defaultdict(lambda: [0, 0])
+    for v, nb in adj.items():
+        deg = len(nb)
+        if deg < 2:
+            continue
+        nbl = sorted(nb)
+        t = sum(
+            1
+            for i, x in enumerate(nbl)
+            for yy in nbl[i + 1 :]
+            if yy in adj[x]
+        )
+        cc = (2_000_000 * t) // (deg * (deg - 1))
+        d = min(9, cc // 100_000)
+        hist[d][0] += 1
+        hist[d][1] += cc
+    exp = {
+        d: (n, s // n) for d, (n, s) in hist.items()
+    }
+    got = {
+        r["decile"]: (r["n_nodes"], r["mean_cc_micro"])
+        for r in graph_clustering_coefficient(spark, sf_dir).collect()
+    }
+    assert got == exp
+
+
+def test_fk_audit_orphan_accounting(spark, sf_dir):
+    from parquet_batch_spark.operators.warehouse import etl_foreign_key_audit
+
+    rows = {r["fk_edge"]: r for r in etl_foreign_key_audit(spark, sf_dir).collect()}
+    assert len(rows) == 4
+    # the three REAL edges are referentially intact in TPC-H data
+    for e in (
+        "lineitem.l_orderkey->orders",
+        "orders.o_custkey->customer",
+        "customer.c_nationkey->nation",
+    ):
+        assert rows[e]["n_orphan_rows"] == 0
+        assert rows[e]["orphan_micro"] == 0
+    # the deliberately stale snapshot edge must catch orphans
+    stale = rows["orders.o_custkey->customer_stale_snapshot"]
+    assert stale["n_orphan_rows"] > 0
+    assert (
+        stale["orphan_micro"]
+        == (1_000_000 * stale["n_orphan_rows"]) // stale["n_rows"]
+    )
+
+
+def test_cochran_armitage_python_reference(spark, sf_dir):
+    from parquet_batch_spark.operators.stats_ops import (
+        ANOVA_PRIORITIES,
+        agg_cochran_armitage,
+    )
+
+    rows = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", (F.col("o_orderstatus") == "F").alias("f")
+    ).collect()
+    n_i = {p: 0 for p in ANOVA_PRIORITIES}
+    r_i = {p: 0 for p in ANOVA_PRIORITIES}
+    for r in rows:
+        n_i[r["o_orderpriority"]] += 1
+        r_i[r["o_orderpriority"]] += int(r["f"])
+    s = {p: i + 1 for i, p in enumerate(ANOVA_PRIORITIES)}
+    n = sum(n_i.values())
+    rr = sum(r_i.values())
+    t = sum(s[p] * (r_i[p] - n_i[p] * rr / n) for p in ANOVA_PRIORITIES)
+    var = (
+        (rr / n)
+        * (1 - rr / n)
+        * (
+            sum(s[p] ** 2 * n_i[p] for p in ANOVA_PRIORITIES)
+            - sum(s[p] * n_i[p] for p in ANOVA_PRIORITIES) ** 2 / n
+        )
+    )
+    z = t / math.sqrt(var)
+    got = agg_cochran_armitage(spark, sf_dir).collect()[0]
+    assert got["n_rows"] == n and got["n_success"] == rr
+    assert math.isclose(got["z_trend"], z, rel_tol=1e-6, abs_tol=1e-5)
+    assert got["significant"] == (abs(round(z, 6)) > 1.959964)
