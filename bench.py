@@ -201,6 +201,8 @@ HEADLINE = [
     "graph_clustering_coefficient",
     "etl_foreign_key_audit",
     "agg_cochran_armitage",
+    "sql_table_function",
+    "source_text_lines",
 ]
 
 

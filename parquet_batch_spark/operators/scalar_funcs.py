@@ -703,6 +703,48 @@ ORDER BY o_orderstatus
 """
 
 
+def sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL TABLE function (``CREATE FUNCTION ... RETURNS TABLE`` —
+    Spark 4 SQL UDFs): a parameterized relational view invoked in the
+    FROM clause, the catalog-native way to package a reusable
+    filtered/aggregated slice (``sql_udf_create_function`` covers the
+    scalar flavor; this is the table flavor — together they are the
+    SQL-only UDF surface, no Python involved). The body is inlined
+    into the calling plan, so pushdown/pruning see through it; the
+    query LATERAL-joins the function against a literal priority list
+    — each call parameterized by the joined row.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("pbs_tf_orders")
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION pbs_priority_stats(
+               prio STRING)
+           RETURNS TABLE (o_orderstatus STRING, n BIGINT, rev BIGINT)
+           RETURN SELECT o_orderstatus, COUNT(*),
+                         CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT))
+                              AS BIGINT)
+                  FROM pbs_tf_orders
+                  WHERE o_orderpriority = prio
+                  GROUP BY o_orderstatus"""
+    )
+    return spark.sql(
+        """SELECT p.prio, t.o_orderstatus, t.n, t.rev
+           FROM VALUES ('1-URGENT'), ('5-LOW') AS p(prio),
+                LATERAL pbs_priority_stats(p.prio) t
+           ORDER BY p.prio, t.o_orderstatus"""
+    )
+
+
+_SQL_TABLE_FUNCTION_SQL = """
+SELECT p.prio, o.o_orderstatus AS o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+FROM (SELECT '1-URGENT' AS prio UNION ALL SELECT '5-LOW') p
+JOIN orders o ON o.o_orderpriority = p.prio
+GROUP BY p.prio, o.o_orderstatus
+ORDER BY p.prio, o.o_orderstatus
+"""
+
+
 def func_struct_field_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-struct surgery — ``Column.withField`` / ``dropFields``
     (Spark 3.1+): patch one field inside a nested struct WITHOUT
@@ -950,6 +992,7 @@ ORDER BY prefix
 
 QUERIES = {
     "sql_execute_immediate": sql_execute_immediate,
+    "sql_table_function": sql_table_function,
     "func_geohash_encode": func_geohash_encode,
     "func_base64_transport": func_base64_transport,
     "func_crypto_roundtrip": func_crypto_roundtrip,
@@ -974,6 +1017,7 @@ QUERIES = {
 
 ORACLES = {
     "sql_execute_immediate": _SQL_EXECUTE_IMMEDIATE_SQL,
+    "sql_table_function": _SQL_TABLE_FUNCTION_SQL,
     "func_geohash_encode": _geohash_sql(),
     "func_base64_transport": _BASE64_SQL,
     "func_crypto_roundtrip": _CRYPTO_SQL,

@@ -1224,7 +1224,50 @@ ORDER BY n_regionkey
 """
 
 
+def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw TEXT line source (``spark.read.text``) — the format every
+    log/corpus ingest starts from before schema exists (the reference
+    reads parquet only, reference reader.py:128-129). Document texts
+    are staged as a plain line-per-doc text file (the synthetic corpus
+    is [a-z ]-only, so the line framing is lossless), read back as the
+    one-column ``value`` schema, and summarized by an order-
+    independent digest + token count. The oracle recomputes the same
+    digest from the documents TABLE — a matching hash proves the
+    text-file hop byte-lossless without the oracle touching the file.
+
+    Scale: read.text splits large files on line boundaries and
+    parallelizes per split; the digest is a sorted-fold, same
+    order-independence recipe as quality_merkle_checksums.
+    """
+    out = _io_dir(sf_dir, "documents_text")
+    (
+        load(spark, sf_dir, "documents")
+        .select("text")
+        .write.mode("overwrite")
+        .text(out)
+    )
+    back = spark.read.text(out)
+    toks = F.split(F.trim(F.col("value")), r"\s+")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.size(toks)).cast("long").alias("n_tokens"),
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list(F.md5("value"))), "")
+        ).alias("corpus_digest"),
+    )
+
+
+_TEXT_LINES_SQL = """
+SELECT COUNT(*) AS n_lines,
+       CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens,
+       md5(string_agg(md5(text), '' ORDER BY md5(text))) AS corpus_digest
+FROM documents
+"""
+
+
 QUERIES = {
+    "source_text_lines": source_text_lines,
     "source_xml_roundtrip": source_xml_roundtrip,
     "source_jsonl_corrupt_tolerant": source_jsonl_corrupt_tolerant,
     "sink_retention_prune": sink_retention_prune,
@@ -1249,6 +1292,7 @@ QUERIES = {
 
 ORACLES = {
     "source_xml_roundtrip": _XML_SQL,
+    "source_text_lines": _TEXT_LINES_SQL,
     "source_jsonl_corrupt_tolerant": _JSONL_CORRUPT_SQL,
     "sink_retention_prune": _RETENTION_SQL,
     "source_multiformat_union": _MULTIFMT_SQL,

@@ -780,3 +780,46 @@ def test_cochran_armitage_python_reference(spark, sf_dir):
     assert got["n_rows"] == n and got["n_success"] == rr
     assert math.isclose(got["z_trend"], z, rel_tol=1e-6, abs_tol=1e-5)
     assert got["significant"] == (abs(round(z, 6)) > 1.959964)
+
+
+def test_sql_table_function_inlines_and_matches(spark, sf_dir):
+    from parquet_batch_spark.operators.scalar_funcs import sql_table_function
+
+    got = {
+        (r["prio"], r["o_orderstatus"]): (r["n"], r["rev"])
+        for r in sql_table_function(spark, sf_dir).collect()
+    }
+    exp_rows = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor("o_totalprice").cast("long")).alias("rev"),
+        )
+        .collect()
+    )
+    exp = {
+        (r["o_orderpriority"], r["o_orderstatus"]): (r["n"], r["rev"])
+        for r in exp_rows
+    }
+    assert got == exp
+
+
+def test_text_lines_source_roundtrip_lossless(spark, sf_dir):
+    import hashlib
+
+    from parquet_batch_spark.operators.sources_ext import source_text_lines
+
+    got = source_text_lines(spark, sf_dir).collect()[0]
+    texts = [
+        r["text"]
+        for r in load(spark, sf_dir, "documents").select("text").collect()
+    ]
+    assert got["n_lines"] == len(texts)
+    digest = hashlib.md5(
+        "".join(
+            sorted(hashlib.md5(t.encode()).hexdigest() for t in texts)
+        ).encode()
+    ).hexdigest()
+    assert got["corpus_digest"] == digest
