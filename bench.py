@@ -203,6 +203,8 @@ HEADLINE = [
     "agg_cochran_armitage",
     "sql_table_function",
     "source_text_lines",
+    "sample_horvitz_thompson",
+    "quality_krippendorff_alpha",
 ]
 
 

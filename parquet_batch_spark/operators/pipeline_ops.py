@@ -986,6 +986,117 @@ ORDER BY lang, doc_id
 
 
 # ---------------------------------------------------------------------------
+# sample_horvitz_thompson — design-based total estimation from PPS
+# ---------------------------------------------------------------------------
+
+
+def sample_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz–Thompson estimator over the Madow PPS sample
+    (``sample_pps_systematic``'s design, closed-loop): estimate each
+    language's TOTAL TOKEN count from only the sampled documents,
+    weighting every draw by 1/π (π_i = min(1, w_i/skip) under
+    systematic PPS with skip = total_chars div K) — then report the
+    estimate against the true total, which is the audit that tells
+    you whether the sampling design is usable for corpus accounting
+    before anyone trusts sampled metrics at 100 TB.
+
+    Exact integers: contributions are (y_i·skip) div w_i (truncating,
+    all non-negative) with certainty units (w ≥ skip, π=1) passing y
+    through; the relative error is integer micro-units.
+
+    Scale: the sample is drawn with the same one-window + map-filter
+    plan as the PPS op; the HT sum is a per-stratum reduce of K≈{PPS_K}
+    rows; the true totals come from the same single corpus pass.
+    """
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    h = hash32(F.col("doc_id").cast("string"))
+    y = F.size(tokens_col("text")).cast("long")
+    base = d.select(
+        "lang",
+        "doc_id",
+        F.col("n_chars").alias("w"),
+        y.alias("y"),
+        h.alias("h"),
+    )
+    w_cum = W.partitionBy("lang").orderBy("h", "doc_id")
+    staged = base.select(
+        "lang",
+        "doc_id",
+        "w",
+        "y",
+        F.sum("w").over(w_cum.rowsBetween(W.unboundedPreceding, 0)).alias(
+            "cumw"
+        ),
+        F.sum("w").over(W.partitionBy("lang")).alias("total"),
+        F.sum("y").over(W.partitionBy("lang")).alias("true_tokens"),
+    ).withColumn("skip", F.expr(f"total div {PPS_K}"))
+    sampled = staged.filter(
+        F.expr("cumw div skip") > F.expr("(cumw - w) div skip")
+    ).select(
+        "lang",
+        "true_tokens",
+        F.when(F.col("w") >= F.col("skip"), F.col("y"))
+        .otherwise(
+            F.expr("CAST((CAST(y AS DECIMAL(38,0)) * skip) div w AS BIGINT)")
+        )
+        .alias("contrib"),
+    )
+    out = sampled.groupBy("lang", "true_tokens").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("contrib").cast("long").alias("ht_tokens"),
+    )
+    return out.select(
+        "lang",
+        "n_sampled",
+        "ht_tokens",
+        F.col("true_tokens").cast("long").alias("true_tokens"),
+        F.expr(
+            "(1000000 * abs(ht_tokens - CAST(true_tokens AS BIGINT)))"
+            " div true_tokens"
+        ).alias("rel_err_micro"),
+    ).orderBy("lang")
+
+
+_HT_SQL = f"""
+WITH base AS (
+    SELECT lang, doc_id, n_chars AS w,
+        CAST(len({sql_tokens("text")}) AS BIGINT) AS y,
+        {sql_hash32("CAST(doc_id AS VARCHAR)")} AS h
+    FROM documents
+),
+staged AS (
+    SELECT lang, doc_id, w, y,
+        CAST(SUM(w) OVER (PARTITION BY lang ORDER BY h, doc_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+        CAST(SUM(w) OVER (PARTITION BY lang) AS BIGINT) AS total,
+        CAST(SUM(y) OVER (PARTITION BY lang) AS BIGINT) AS true_tokens
+    FROM base
+),
+skipped AS (
+    SELECT *, total // {PPS_K} AS skip FROM staged
+),
+sampled AS (
+    SELECT lang, true_tokens,
+        CASE WHEN w >= skip THEN y
+             ELSE CAST((CAST(y AS HUGEINT) * skip) // w AS BIGINT)
+        END AS contrib
+    FROM skipped
+    WHERE cumw // skip > (cumw - w) // skip
+)
+SELECT lang, COUNT(*) AS n_sampled,
+    CAST(SUM(contrib) AS BIGINT) AS ht_tokens,
+    true_tokens,
+    (1000000 * ABS(CAST(SUM(contrib) AS BIGINT) - true_tokens))
+        // true_tokens AS rel_err_micro
+FROM sampled
+GROUP BY lang, true_tokens
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # privacy_dp_laplace_counts — ε-DP noisy group counts (seeded, auditable)
 # ---------------------------------------------------------------------------
 
@@ -1054,6 +1165,7 @@ ORDER BY lang
 QUERIES = {
     "quality_model_score": quality_model_score,
     "privacy_dp_laplace_counts": privacy_dp_laplace_counts,
+    "sample_horvitz_thompson": sample_horvitz_thompson,
     "privacy_l_diversity": privacy_l_diversity,
     "privacy_randomized_response": privacy_randomized_response,
     "sample_pps_systematic": sample_pps_systematic,
@@ -1071,6 +1183,7 @@ QUERIES = {
 ORACLES = {
     "quality_model_score": _QUALITY_MODEL_SQL,
     "privacy_dp_laplace_counts": _DP_LAPLACE_SQL,
+    "sample_horvitz_thompson": _HT_SQL,
     "sample_train_val_test": _SPLIT_SQL,
     "pii_detect": _PII_SQL,
     "decontam_ngram_overlap": _DECONTAM_SQL,

@@ -6921,6 +6921,176 @@ ORDER BY bucket
 
 
 # ---------------------------------------------------------------------------
+# quality_krippendorff_alpha — multi-rater nominal agreement
+# ---------------------------------------------------------------------------
+
+KRIPP_LANGS = ("de", "en", "es", "fr", "unknown")
+
+
+def quality_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's α (nominal) across THREE raters — the
+    agreement coefficient that generalizes ``agg_cohen_kappa`` beyond
+    two raters (the label-QA standard once annotation fans out):
+    rater A = the 5-marker langid, rater B = the majority-class
+    baseline, rater C = a strongest-single-marker variant. Low α here
+    means the cheap classifiers disagree too much for any of them to
+    serve as silver labels.
+
+    Exact rational α: with m=3 raters and N = 3·units ratings,
+    α = 1 − (N−1)·D₂ / (2·(N² − Σn_c²)) where D₂ counts disagreeing
+    ORDERED pairs per unit (2·Σ pairwise ≠, an integer) and n_c are
+    per-category rating counts over the LITERAL language domain —
+    one conditional-aggregation corpus pass, α in integer micro-units
+    by truncating division.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    toks = tokens_col("text")
+
+    def marker_score(markers: list[str]):
+        return F.size(F.filter(toks, lambda t: t.isin(markers))).cast(
+            "bigint"
+        )
+
+    multi = {
+        "en": ["the", "a", "of", "and", "to"],
+        "es": ["el", "la", "de", "que", "y"],
+        "fr": ["le", "la", "les", "et", "une"],
+        "de": ["der", "die", "das", "und", "ein"],
+    }
+    single = {"en": ["the"], "es": ["el"], "fr": ["les"], "de": ["der"]}
+
+    def classify(markers: dict[str, list[str]]):
+        scores = {lang: marker_score(m) for lang, m in markers.items()}
+        pred = F.lit("unknown")
+        best = F.lit(0).cast("bigint")
+        for lang in reversed(list(markers)):
+            sc = scores[lang]
+            pred = F.when((sc >= best) & (sc > 0), F.lit(lang)).otherwise(
+                pred
+            )
+            best = F.greatest(best, sc)
+        return pred
+
+    rated = d.select(
+        classify(multi).alias("ra"),
+        F.lit("en").alias("rb"),
+        classify(single).alias("rc"),
+    )
+    d2 = (
+        2
+        * (
+            (F.col("ra") != F.col("rb")).cast("long")
+            + (F.col("ra") != F.col("rc")).cast("long")
+            + (F.col("rb") != F.col("rc")).cast("long")
+        )
+    )
+    aggs = [F.count(F.lit(1)).alias("units"), F.sum(d2).alias("d2")]
+    for c in KRIPP_LANGS:
+        aggs.append(
+            F.sum(
+                (F.col("ra") == c).cast("long")
+                + (F.col("rb") == c).cast("long")
+                + (F.col("rc") == c).cast("long")
+            ).alias(f"n_{c}")
+        )
+    m = rated.agg(*aggs)
+    n_total = sum((F.col(f"n_{c}") for c in KRIPP_LANGS), F.lit(0))
+    sum_nc2 = sum(
+        (
+            F.col(f"n_{c}").cast("decimal(38,0)") * F.col(f"n_{c}")
+            for c in KRIPP_LANGS
+        ),
+        F.lit(0).cast("decimal(38,0)"),
+    )
+    staged = m.select(
+        "units",
+        "d2",
+        n_total.alias("n"),
+        sum_nc2.alias("nc2"),
+    )
+    alpha_micro = F.expr(
+        "1000000 - CAST((1000000 * CAST(n - 1 AS DECIMAL(38,0)) * d2)"
+        " div (2 * (CAST(n AS DECIMAL(38,0)) * n - nc2)) AS BIGINT)"
+    )
+    return staged.select(
+        F.col("units").cast("long").alias("n_units"),
+        F.col("n").cast("long").alias("n_ratings"),
+        F.col("d2").cast("long").alias("d2_disagreements"),
+        alpha_micro.alias("alpha_micro"),
+        (alpha_micro >= 800_000).alias("reliable"),
+    )
+
+
+def _krippendorff_sql() -> str:
+    def sc(markers: list[str]) -> str:
+        m = ", ".join(f"'{x}'" for x in markers)
+        return (
+            f"CAST(len(list_filter(toks, t -> list_contains([{m}], t)))"
+            f" AS BIGINT)"
+        )
+
+    multi = {
+        "en": ["the", "a", "of", "and", "to"],
+        "es": ["el", "la", "de", "que", "y"],
+        "fr": ["le", "la", "les", "et", "une"],
+        "de": ["der", "die", "das", "und", "ein"],
+    }
+    single = {"en": ["the"], "es": ["el"], "fr": ["les"], "de": ["der"]}
+
+    def classify(markers: dict[str, list[str]]) -> str:
+        en, es, fr, de = (sc(markers[k]) for k in ("en", "es", "fr", "de"))
+        return f"""CASE
+            WHEN {en} >= GREATEST({es}, {fr}, {de}) AND {en} > 0 THEN 'en'
+            WHEN {es} >= GREATEST({fr}, {de}) AND {es} > 0 THEN 'es'
+            WHEN {fr} >= {de} AND {fr} > 0 THEN 'fr'
+            WHEN {de} > 0 THEN 'de'
+            ELSE 'unknown'
+        END"""
+
+    ncols = ",\n        ".join(
+        f"SUM((CASE WHEN ra = '{c}' THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN rb = '{c}' THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN rc = '{c}' THEN 1 ELSE 0 END)) AS n_{c}"
+        for c in KRIPP_LANGS
+    )
+    n_total = " + ".join(f"n_{c}" for c in KRIPP_LANGS)
+    nc2 = " + ".join(
+        f"CAST(n_{c} AS HUGEINT) * n_{c}" for c in KRIPP_LANGS
+    )
+    return f"""
+WITH rated AS (
+    SELECT {classify(multi)} AS ra,
+           'en' AS rb,
+           {classify(single)} AS rc
+    FROM (SELECT {sql_tokens("text")} AS toks FROM documents)
+),
+m AS (
+    SELECT COUNT(*) AS units,
+        CAST(SUM(2 * ((CASE WHEN ra <> rb THEN 1 ELSE 0 END)
+                      + (CASE WHEN ra <> rc THEN 1 ELSE 0 END)
+                      + (CASE WHEN rb <> rc THEN 1 ELSE 0 END)))
+             AS BIGINT) AS d2,
+        {ncols}
+    FROM rated
+),
+staged AS (
+    SELECT units, d2,
+        CAST({n_total} AS BIGINT) AS n,
+        ({nc2}) AS nc2
+    FROM m
+)
+SELECT CAST(units AS BIGINT) AS n_units, n AS n_ratings,
+    d2 AS d2_disagreements,
+    1000000 - CAST((1000000 * CAST(n - 1 AS HUGEINT) * d2)
+        // (2 * (CAST(n AS HUGEINT) * n - nc2)) AS BIGINT) AS alpha_micro,
+    (1000000 - CAST((1000000 * CAST(n - 1 AS HUGEINT) * d2)
+        // (2 * (CAST(n AS HUGEINT) * n - nc2)) AS BIGINT)) >= 800000
+        AS reliable
+FROM staged
+"""
+
+
+# ---------------------------------------------------------------------------
 # agg_cochran_armitage — trend test for proportions over ordered groups
 # ---------------------------------------------------------------------------
 
@@ -8743,6 +8913,7 @@ QUERIES = {
     "window_hurst_exponent": window_hurst_exponent,
     "agg_levene_test": agg_levene_test,
     "agg_cochran_armitage": agg_cochran_armitage,
+    "quality_krippendorff_alpha": quality_krippendorff_alpha,
     "window_theil_sen": window_theil_sen,
     "ml_brier_decomposition": ml_brier_decomposition,
     "seq_markov_stationary": seq_markov_stationary,
@@ -8838,6 +9009,7 @@ ORACLES = {
     "window_hurst_exponent": _hurst_sql(),
     "agg_levene_test": _levene_sql(),
     "agg_cochran_armitage": _cochran_armitage_sql(),
+    "quality_krippendorff_alpha": _krippendorff_sql(),
     "window_theil_sen": _THEIL_SEN_SQL,
     "ml_brier_decomposition": _BRIER_DECOMP_SQL,
     "seq_markov_stationary": _markov_stationary_sql(),

@@ -823,3 +823,69 @@ def test_text_lines_source_roundtrip_lossless(spark, sf_dir):
         ).encode()
     ).hexdigest()
     assert got["corpus_digest"] == digest
+
+
+def test_horvitz_thompson_estimator_properties(spark, sf_dir):
+    from parquet_batch_spark.operators.pipeline_ops import (
+        PPS_K,
+        sample_horvitz_thompson,
+    )
+
+    rows = sample_horvitz_thompson(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # systematic PPS draws ~K units (certainty units can add more)
+        assert 1 <= r["n_sampled"] <= 3 * PPS_K
+        # the estimate lands: Madow systematic PPS with a size measure
+        # correlated to y keeps the estimator within a loose band
+        assert r["rel_err_micro"] < 500_000, (r["lang"], r["rel_err_micro"])
+        assert (
+            r["rel_err_micro"]
+            == (1_000_000 * abs(r["ht_tokens"] - r["true_tokens"]))
+            // r["true_tokens"]
+        )
+
+
+def test_krippendorff_alpha_python_reference(spark, sf_dir):
+    from collections import Counter
+
+    from parquet_batch_spark.operators.stats_ops import (
+        quality_krippendorff_alpha,
+    )
+
+    multi = {
+        "en": ["the", "a", "of", "and", "to"],
+        "es": ["el", "la", "de", "que", "y"],
+        "fr": ["le", "la", "les", "et", "une"],
+        "de": ["der", "die", "das", "und", "ein"],
+    }
+    single = {"en": ["the"], "es": ["el"], "fr": ["les"], "de": ["der"]}
+
+    def classify(toks, markers):
+        best, pred = 0, "unknown"
+        for lang in markers:  # insertion order = en,es,fr,de priority
+            sc = sum(1 for t in toks if t in set(markers[lang]))
+            if sc > best:
+                best, pred = sc, lang
+        return pred if best > 0 else "unknown"
+
+    d2 = 0
+    counts: Counter = Counter()
+    units = 0
+    for r in load(spark, sf_dir, "documents").select("text").collect():
+        toks = r["text"].strip().split()
+        ra = classify(toks, multi)
+        rb = "en"
+        rc = classify(toks, single)
+        units += 1
+        d2 += 2 * ((ra != rb) + (ra != rc) + (rb != rc))
+        counts.update([ra, rb, rc])
+    n = 3 * units
+    e = n * n - sum(v * v for v in counts.values())
+    alpha_micro = 1_000_000 - (1_000_000 * (n - 1) * d2) // (2 * e)
+    got = quality_krippendorff_alpha(spark, sf_dir).collect()[0]
+    assert got["n_units"] == units
+    assert got["n_ratings"] == n
+    assert got["d2_disagreements"] == d2
+    assert got["alpha_micro"] == alpha_micro
+    assert got["reliable"] == (alpha_micro >= 800_000)
