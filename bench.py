@@ -205,6 +205,9 @@ HEADLINE = [
     "source_text_lines",
     "sample_horvitz_thompson",
     "quality_krippendorff_alpha",
+    "ml_reciprocal_rank_fusion",
+    "agg_capture_recapture",
+    "etl_late_arriving_dimension",
 ]
 
 

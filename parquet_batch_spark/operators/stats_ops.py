@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_batch_spark.catalog import count_table, fan_out, load
+from parquet_batch_spark.functions.hashing import hash32, sql_hash32
 from parquet_batch_spark.functions.text import sql_tokens, tokens_col
 
 # ---------------------------------------------------------------------------
@@ -6921,6 +6922,182 @@ ORDER BY bucket
 
 
 # ---------------------------------------------------------------------------
+# ml_reciprocal_rank_fusion — hybrid-retrieval rank combiner
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the published RRF damping constant
+RRF_POOL = 50  # per-ranker candidate pool
+RRF_TOPK = 10
+RRF_QUERY = ("data", "query", "table")
+
+
+def ml_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al.) — THE standard
+    hybrid-search combiner: two retrievers rank documents for the
+    same query (A: raw query-term hit count — a BM25-ish lexical
+    signal; B: hit DENSITY per token — a length-normalized signal),
+    and RRF merges them by Σ 1/(k + rank) with k={RRF_K}, which
+    outperforms score-level fusion because it never has to calibrate
+    incomparable score scales.
+
+    1/(k+rank) is micro-quantized by truncating division (10⁶ div
+    (k+r)) so the fused score is an exact integer sum; ranks break
+    ties on doc_id; documents missing from a pool contribute 0 from
+    that ranker (standard convention).
+
+    Scale: each ranker is one corpus pass + TakeOrderedAndProject to
+    its {RRF_POOL}-row pool; ranking windows run over the pooled
+    rows only; the fusion join is pool-sized.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    toks = tokens_col("text")
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(*RRF_QUERY))
+    ).cast("long")
+    base = d.select(
+        "doc_id",
+        hits.alias("hits"),
+        F.size(toks).cast("long").alias("n_toks"),
+    ).where(F.col("hits") > 0)
+    pool_a = base.orderBy(
+        F.desc("hits"), F.asc("doc_id")
+    ).limit(RRF_POOL)
+    dens = F.expr("(1000000 * hits) div n_toks")
+    pool_b = base.select(
+        "doc_id", dens.alias("dens")
+    ).orderBy(F.desc("dens"), F.asc("doc_id")).limit(RRF_POOL)
+    ra = pool_a.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("hits"), F.asc("doc_id")))
+        .alias("rank_a"),
+    )
+    rb = pool_b.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("dens"), F.asc("doc_id")))
+        .alias("rank_b"),
+    )
+    fused = ra.join(rb, "doc_id", "full").select(
+        "doc_id",
+        "rank_a",
+        "rank_b",
+        (
+            F.coalesce(
+                F.expr(f"1000000 div ({RRF_K} + rank_a)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"1000000 div ({RRF_K} + rank_b)"), F.lit(0)
+            )
+        ).alias("rrf_micro"),
+    )
+    return fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(
+        RRF_TOPK
+    )
+
+
+def _rrf_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in RRF_QUERY)
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+        CAST(len(list_filter(toks, t -> list_contains([{terms}], t)))
+             AS BIGINT) AS hits,
+        CAST(len(toks) AS BIGINT) AS n_toks
+    FROM (SELECT doc_id, {sql_tokens("text")} AS toks FROM documents)
+),
+pos AS (SELECT * FROM base WHERE hits > 0),
+ra AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY hits DESC, doc_id ASC)
+                AS INTEGER) AS rank_a
+    FROM pos
+    QUALIFY rank_a <= {RRF_POOL}
+),
+rb AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY (1000000 * hits) // n_toks DESC, doc_id ASC)
+                AS INTEGER) AS rank_b
+    FROM pos
+    QUALIFY rank_b <= {RRF_POOL}
+)
+SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id, ra.rank_a, rb.rank_b,
+       CAST(COALESCE(1000000 // ({RRF_K} + ra.rank_a), 0)
+        + COALESCE(1000000 // ({RRF_K} + rb.rank_b), 0) AS BIGINT)
+           AS rrf_micro
+FROM ra FULL JOIN rb ON ra.doc_id = rb.doc_id
+ORDER BY rrf_micro DESC, doc_id ASC
+LIMIT {RRF_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# agg_capture_recapture — Lincoln–Petersen/Chapman universe estimate
+# ---------------------------------------------------------------------------
+
+
+def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture–recapture (Chapman-corrected Lincoln–Petersen): two
+    independent hash-sampled "crawls" of the corpus estimate the
+    TOTAL universe size from overlap alone — N̂ = (n₁+1)(n₂+1)/(m+1)−1
+    — the estimator crawl teams use to answer "how many documents
+    exist out there" and dedup teams use to size the undiscovered
+    remainder. Both capture flags are per-row hash predicates, so the
+    whole op is ONE conditional aggregate: no join, no shuffle beyond
+    the single reduce; the truth column makes it a self-auditing
+    demo of estimator bias at the tested scale.
+    """
+    d = load(spark, sf_dir, "documents")
+    c1 = hash32(F.concat(F.col("doc_id").cast("string"), F.lit("|c1"))) % 2 == 0
+    c2 = hash32(F.concat(F.col("doc_id").cast("string"), F.lit("|c2"))) % 2 == 0
+    m = d.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(F.when(c1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(c2, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(c1 & c2, 1).otherwise(0)).cast("long").alias("m"),
+    )
+    # decimal product: (n1+1)(n2+1) crosses int64 past ~3e9 captures
+    est = F.expr(
+        "CAST((CAST(n1 + 1 AS DECIMAL(38,0)) * (n2 + 1)) div (m + 1) - 1"
+        " AS BIGINT)"
+    )
+    return m.select(
+        "n_true",
+        "n1",
+        "n2",
+        "m",
+        est.alias("n_estimated"),
+        F.expr(
+            "(1000000 * abs(CAST((CAST(n1 + 1 AS DECIMAL(38,0)) * (n2 + 1))"
+            " div (m + 1) - 1 AS BIGINT) - n_true)) div n_true"
+        ).alias("rel_err_micro"),
+    )
+
+
+def _capture_recapture_sql() -> str:
+    c1 = sql_hash32("CAST(doc_id AS VARCHAR) || '|c1'")
+    c2 = sql_hash32("CAST(doc_id AS VARCHAR) || '|c2'")
+    return f"""
+WITH m AS (
+    SELECT COUNT(*) AS n_true,
+        CAST(SUM(CASE WHEN {c1} % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN {c2} % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        CAST(SUM(CASE WHEN {c1} % 2 = 0 AND {c2} % 2 = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS m
+    FROM documents
+)
+SELECT n_true, n1, n2, m,
+    CAST((CAST(n1 + 1 AS HUGEINT) * (n2 + 1)) // (m + 1) - 1 AS BIGINT)
+        AS n_estimated,
+    (1000000 * ABS(CAST((CAST(n1 + 1 AS HUGEINT) * (n2 + 1)) // (m + 1) - 1
+                        AS BIGINT) - n_true))
+        // n_true AS rel_err_micro
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
 # quality_krippendorff_alpha — multi-rater nominal agreement
 # ---------------------------------------------------------------------------
 
@@ -8914,6 +9091,8 @@ QUERIES = {
     "agg_levene_test": agg_levene_test,
     "agg_cochran_armitage": agg_cochran_armitage,
     "quality_krippendorff_alpha": quality_krippendorff_alpha,
+    "ml_reciprocal_rank_fusion": ml_reciprocal_rank_fusion,
+    "agg_capture_recapture": agg_capture_recapture,
     "window_theil_sen": window_theil_sen,
     "ml_brier_decomposition": ml_brier_decomposition,
     "seq_markov_stationary": seq_markov_stationary,
@@ -9010,6 +9189,8 @@ ORACLES = {
     "agg_levene_test": _levene_sql(),
     "agg_cochran_armitage": _cochran_armitage_sql(),
     "quality_krippendorff_alpha": _krippendorff_sql(),
+    "ml_reciprocal_rank_fusion": _rrf_sql(),
+    "agg_capture_recapture": _capture_recapture_sql(),
     "window_theil_sen": _THEIL_SEN_SQL,
     "ml_brier_decomposition": _BRIER_DECOMP_SQL,
     "seq_markov_stationary": _markov_stationary_sql(),

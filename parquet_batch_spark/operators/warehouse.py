@@ -1259,6 +1259,86 @@ ORDER BY as_of
 
 
 # ---------------------------------------------------------------------------
+# etl_late_arriving_dimension — park-and-resolve fact loading
+# ---------------------------------------------------------------------------
+
+
+def etl_late_arriving_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension handling — the warehouse pattern
+    ``etl_scd2``/``etl_cdc_apply`` don't cover: facts land BEFORE
+    their dimension row exists, get parked under an inferred
+    placeholder member (segment 'UNKNOWN'), and a later dimension
+    batch re-resolves them in place. Simulated deterministically: the
+    initial customer snapshot is missing every c_custkey % 3 = 0 row;
+    the late batch delivers exactly those. Output: per load phase,
+    resolved/parked fact counts and exact-decimal resolved revenue —
+    the reconciliation report that proves no fact was dropped or
+    double-counted across the two passes.
+
+    Scale: each phase is one left join of facts to the snapshot
+    (broadcast at dim size) + a map-side aggregate; the re-resolution
+    touches only the PARKED slice, not the full fact table.
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    initial_dim = c.where(F.col("c_custkey") % 3 != 0)
+    late_dim = c.where(F.col("c_custkey") % 3 == 0)
+
+    def phase(name: str, dim) -> DataFrame:
+        j = o.join(
+            F.broadcast(dim), o.o_custkey == dim.c_custkey, "left"
+        ).select(
+            F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("seg"),
+            "o_totalprice",
+        )
+        return j.agg(
+            F.lit(name).alias("phase"),
+            F.sum(F.when(F.col("seg") != "UNKNOWN", 1).otherwise(0))
+            .cast("long")
+            .alias("n_resolved"),
+            F.sum(F.when(F.col("seg") == "UNKNOWN", 1).otherwise(0))
+            .cast("long")
+            .alias("n_parked"),
+            dsum(
+                F.when(
+                    F.col("seg") != "UNKNOWN", F.col("o_totalprice")
+                ).otherwise(F.lit(0.0)),
+                "resolved_revenue",
+            ),
+        )
+
+    out = phase("1_initial_load", initial_dim).unionByName(
+        phase("2_after_late_batch", initial_dim.unionByName(late_dim))
+    )
+    return out.orderBy("phase")
+
+
+_LATE_DIM_SQL = f"""
+WITH p1 AS (
+    SELECT '1_initial_load' AS phase,
+        CAST(SUM(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_resolved,
+        CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_parked,
+        {sql_dsum("CASE WHEN c.c_custkey IS NOT NULL THEN o.o_totalprice ELSE 0.0 END")} AS resolved_revenue
+    FROM orders o LEFT JOIN (
+        SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0
+    ) c ON c.c_custkey = o.o_custkey
+),
+p2 AS (
+    SELECT '2_after_late_batch' AS phase,
+        CAST(SUM(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_resolved,
+        CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_parked,
+        {sql_dsum("CASE WHEN c.c_custkey IS NOT NULL THEN o.o_totalprice ELSE 0.0 END")} AS resolved_revenue
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+)
+SELECT * FROM p1 UNION ALL SELECT * FROM p2 ORDER BY phase
+"""
+
+
+# ---------------------------------------------------------------------------
 # etl_foreign_key_audit — referential-integrity report
 # ---------------------------------------------------------------------------
 
@@ -1387,6 +1467,7 @@ ORDER BY fk_edge
 
 QUERIES = {
     "etl_foreign_key_audit": etl_foreign_key_audit,
+    "etl_late_arriving_dimension": etl_late_arriving_dimension,
     "etl_time_travel": etl_time_travel,
     "etl_data_vault_keys": etl_data_vault_keys,
     "etl_write_audit_publish": etl_write_audit_publish,
@@ -1405,6 +1486,7 @@ QUERIES = {
 
 ORACLES = {
     "etl_foreign_key_audit": _FK_AUDIT_SQL,
+    "etl_late_arriving_dimension": _LATE_DIM_SQL,
     "quality_merkle_checksums": _MERKLE_SQL,
     "etl_golden_record": _GOLDEN_SQL,
     "window_funnel_latency": _FUNNEL_LATENCY_SQL,

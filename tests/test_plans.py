@@ -439,6 +439,8 @@ def test_global_windows_only_over_reduced_tables(spark, sf_smoke):
         "agg_benjamini_hochberg",
         # cumulative median scan over the C(M,2) slope-distinct table
         "window_theil_sen",
+        # rank windows over the two 50-row retrieval pools
+        "ml_reciprocal_rank_fusion",
         "agg_split_gain_gini", "window_realized_volatility",
         "window_seasonal_decompose", "agg_spearman_rho", "agg_hist2d_joint",
         "sample_ab_assignment_srm", "agg_chi_square_independence",

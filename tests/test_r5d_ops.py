@@ -889,3 +889,77 @@ def test_krippendorff_alpha_python_reference(spark, sf_dir):
     assert got["d2_disagreements"] == d2
     assert got["alpha_micro"] == alpha_micro
     assert got["reliable"] == (alpha_micro >= 800_000)
+
+
+def test_rrf_python_reference(spark, sf_dir):
+    from parquet_batch_spark.operators.stats_ops import (
+        RRF_K,
+        RRF_POOL,
+        RRF_QUERY,
+        RRF_TOPK,
+        ml_reciprocal_rank_fusion,
+    )
+
+    rows = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    base = []
+    q = set(RRF_QUERY)
+    for r in rows:
+        toks = r["text"].strip().split()
+        hits = sum(1 for t in toks if t in q)
+        if hits > 0:
+            base.append((r["doc_id"], hits, len(toks)))
+    pool_a = sorted(base, key=lambda x: (-x[1], x[0]))[:RRF_POOL]
+    pool_b = sorted(
+        base, key=lambda x: (-((1_000_000 * x[1]) // x[2]), x[0])
+    )[:RRF_POOL]
+    ra = {d: i + 1 for i, (d, _, _) in enumerate(pool_a)}
+    rb = {d: i + 1 for i, (d, _, _) in enumerate(pool_b)}
+    fused = {
+        d: (1_000_000 // (RRF_K + ra[d]) if d in ra else 0)
+        + (1_000_000 // (RRF_K + rb[d]) if d in rb else 0)
+        for d in set(ra) | set(rb)
+    }
+    exp = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:RRF_TOPK]
+    got = [
+        (r["doc_id"], r["rrf_micro"])
+        for r in ml_reciprocal_rank_fusion(spark, sf_dir).collect()
+    ]
+    assert got == exp
+
+
+def test_capture_recapture_estimator_lands(spark, sf_dir):
+    from parquet_batch_spark.operators.stats_ops import agg_capture_recapture
+
+    got = agg_capture_recapture(spark, sf_dir).collect()[0]
+    # ~50% capture probability per crawl
+    assert 0.3 * got["n_true"] < got["n1"] < 0.7 * got["n_true"]
+    assert 0.3 * got["n_true"] < got["n2"] < 0.7 * got["n_true"]
+    assert got["m"] <= min(got["n1"], got["n2"])
+    # Chapman estimator with ~25% overlap of a 500+-doc corpus lands
+    # well inside +/-20%
+    assert got["rel_err_micro"] < 200_000
+    assert (
+        got["n_estimated"]
+        == ((got["n1"] + 1) * (got["n2"] + 1)) // (got["m"] + 1) - 1
+    )
+
+
+def test_late_arriving_dimension_reconciliation(spark, sf_dir):
+    from parquet_batch_spark.operators.warehouse import (
+        etl_late_arriving_dimension,
+    )
+
+    rows = {
+        r["phase"]: r
+        for r in etl_late_arriving_dimension(spark, sf_dir).collect()
+    }
+    p1, p2 = rows["1_initial_load"], rows["2_after_late_batch"]
+    n_orders = load(spark, sf_dir, "orders").count()
+    # no fact dropped or duplicated in either phase
+    assert p1["n_resolved"] + p1["n_parked"] == n_orders
+    assert p2["n_resolved"] + p2["n_parked"] == n_orders
+    # the late batch resolves every parked fact (full dim coverage)
+    assert p1["n_parked"] > 0
+    assert p2["n_parked"] == 0
+    assert p2["n_resolved"] == n_orders
+    assert p2["resolved_revenue"] >= p1["resolved_revenue"]
