@@ -208,6 +208,8 @@ HEADLINE = [
     "ml_reciprocal_rank_fusion",
     "agg_capture_recapture",
     "etl_late_arriving_dimension",
+    "ml_score_separation_report",
+    "agg_market_concentration",
 ]
 
 

@@ -6922,6 +6922,214 @@ ORDER BY bucket
 
 
 # ---------------------------------------------------------------------------
+# ml_score_separation_report — KS / Youden-J optimal threshold
+# ---------------------------------------------------------------------------
+
+
+def ml_score_separation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-separation report for the length-score classifier: the
+    Kolmogorov–Smirnov separation between positive and negative score
+    distributions and the Youden-J-optimal decision threshold (the
+    two coincide for a score cutoff: KS = max over thresholds of
+    TPR − FPR) plus the full confusion matrix AT that threshold — the
+    missing piece after ``ml_auc_roc`` says "it ranks well": WHERE to
+    actually cut. Credit-scoring KS and clinical Youden are the same
+    computation; both come free from the cumulative grid.
+
+    Integer micro-units throughout: TPR/FPR by truncating division
+    over the ≤1001-row score-distinct grid; the optimum is the
+    SMALLEST threshold attaining max J (pinned tie-break).
+    """
+    d = load(spark, sf_dir, "documents")
+    conf = F.least(
+        F.lit(1_000_000),
+        F.expr(f"(1000000 * n_chars) div {ECE_SCALE_CHARS}"),
+    )
+    label = F.array_contains(tokens_col("text"), "data")
+    grid = (
+        d.select(conf.alias("s"), F.when(label, 1).otherwise(0).alias("y"))
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n_k"),
+            F.sum("y").cast("long").alias("p_k"),
+        )
+    )
+    cum = Window.orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stepped = grid.select(
+        "s",
+        F.sum("p_k").over(cum).alias("tp"),
+        (F.sum("n_k").over(cum) - F.sum("p_k").over(cum)).alias("fp"),
+        F.sum("p_k").over(tot).alias("pos"),
+        (F.sum("n_k").over(tot) - F.sum("p_k").over(tot)).alias("neg"),
+    ).select(
+        "s",
+        "tp",
+        "fp",
+        "pos",
+        "neg",
+        (
+            F.expr("(1000000 * tp) div pos")
+            - F.expr("(1000000 * fp) div neg")
+        ).alias("j_micro"),
+    )
+    best = (
+        stepped.orderBy(F.desc("j_micro"), F.asc("s"))
+        .limit(1)
+        .select(
+            F.col("s").alias("threshold_micro"),
+            F.col("j_micro").alias("ks_youden_micro"),
+            F.col("tp").cast("long").alias("tp"),
+            F.col("fp").cast("long").alias("fp"),
+            (F.col("pos") - F.col("tp")).cast("long").alias("fn"),
+            (F.col("neg") - F.col("fp")).cast("long").alias("tn"),
+            F.expr(
+                "(1000000 * (tp + (neg - fp))) div (pos + neg)"
+            ).alias("acc_micro"),
+        )
+    )
+    return best
+
+
+_SCORE_SEP_SQL = f"""
+WITH grid AS (
+    SELECT LEAST(1000000, (1000000 * n_chars) // {ECE_SCALE_CHARS}) AS s,
+        COUNT(*) AS n_k,
+        CAST(SUM(CASE WHEN list_contains({sql_tokens("text")}, 'data')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS p_k
+    FROM documents
+    GROUP BY 1
+),
+stepped AS (
+    SELECT s,
+        CAST(SUM(p_k) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS tp,
+        CAST(SUM(n_k) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+             - SUM(p_k) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS fp,
+        CAST(SUM(p_k) OVER () AS BIGINT) AS pos,
+        CAST(SUM(n_k) OVER () - SUM(p_k) OVER () AS BIGINT) AS neg
+    FROM grid
+),
+scored AS (
+    SELECT *,
+        (1000000 * tp) // pos - (1000000 * fp) // neg AS j_micro
+    FROM stepped
+)
+SELECT s AS threshold_micro, j_micro AS ks_youden_micro,
+       tp, fp, pos - tp AS fn, neg - fp AS tn,
+       (1000000 * (tp + (neg - fp))) // (pos + neg) AS acc_micro
+FROM scored
+ORDER BY j_micro DESC, s ASC
+LIMIT 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# agg_market_concentration — HHI + CR4 per region
+# ---------------------------------------------------------------------------
+
+
+def agg_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration report per region: the Herfindahl–
+    Hirschman Index (Σ share², in the regulator's 0–10000 points
+    scale — >2500 = "highly concentrated" under the DOJ merger
+    guidelines) and the CR4 top-4 concentration ratio of order
+    revenue across the region's nations. The concentration view that
+    complements ``agg_theil_index``'s inequality view — and the
+    standard corpus-governance readout when "nation" is a data
+    source ("is this region's corpus dominated by 4 feeds?").
+
+    Shares are basis points by truncating division, HHI an integer
+    sum of their squares; CR4 is the cumulative share of the top-4
+    rank window over the ≤25-row (region, nation) reduced table.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    n_t = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name", "n_regionkey"
+    )
+    r_t = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        o.select("o_custkey", F.floor("o_totalprice").cast("long").alias("y"))
+        .join(F.broadcast(c), "o_custkey")
+        .join(F.broadcast(n_t), "c_nationkey")
+        .join(
+            F.broadcast(r_t),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("y").alias("x"))
+    )
+    rw = Window.partitionBy("r_name")
+    share_bp = F.expr(
+        "(10000 * x) div (sum(x) OVER (PARTITION BY r_name))"
+    )
+    rnk = F.row_number().over(
+        rw.orderBy(F.desc("x"), F.asc("n_name"))
+    )
+    staged = rev.select(
+        "r_name",
+        share_bp.alias("bp"),
+        rnk.alias("rnk"),
+    )
+    return (
+        staged.groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum(F.col("bp") * F.col("bp")).alias("hhi_x10000"),
+            F.sum(F.when(F.col("rnk") <= 4, F.col("bp")).otherwise(0))
+            .cast("long")
+            .alias("cr4_bp"),
+        )
+        .select(
+            "r_name",
+            "n_nations",
+            F.expr("hhi_x10000 div 10000").alias("hhi_points"),
+            "cr4_bp",
+            (F.expr("hhi_x10000 div 10000") > 2500).alias(
+                "highly_concentrated"
+            ),
+        )
+        .orderBy("r_name")
+    )
+
+
+_MARKET_CONC_SQL = """
+WITH rev AS (
+    SELECT r.r_name, n.n_name,
+           SUM(CAST(FLOOR(o.o_totalprice) AS BIGINT)) AS x
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name, n.n_name
+),
+staged AS (
+    SELECT r_name,
+        (10000 * x) // CAST(SUM(x) OVER (PARTITION BY r_name) AS BIGINT)
+            AS bp,
+        ROW_NUMBER() OVER (PARTITION BY r_name
+                           ORDER BY x DESC, n_name ASC) AS rnk
+    FROM rev
+)
+SELECT r_name, COUNT(*) AS n_nations,
+    CAST(SUM(bp * bp) AS BIGINT) // 10000 AS hhi_points,
+    CAST(SUM(CASE WHEN rnk <= 4 THEN bp ELSE 0 END) AS BIGINT) AS cr4_bp,
+    CAST(SUM(bp * bp) AS BIGINT) // 10000 > 2500 AS highly_concentrated
+FROM staged
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # ml_reciprocal_rank_fusion — hybrid-retrieval rank combiner
 # ---------------------------------------------------------------------------
 
@@ -9092,6 +9300,8 @@ QUERIES = {
     "agg_cochran_armitage": agg_cochran_armitage,
     "quality_krippendorff_alpha": quality_krippendorff_alpha,
     "ml_reciprocal_rank_fusion": ml_reciprocal_rank_fusion,
+    "ml_score_separation_report": ml_score_separation_report,
+    "agg_market_concentration": agg_market_concentration,
     "agg_capture_recapture": agg_capture_recapture,
     "window_theil_sen": window_theil_sen,
     "ml_brier_decomposition": ml_brier_decomposition,
@@ -9190,6 +9400,8 @@ ORACLES = {
     "agg_cochran_armitage": _cochran_armitage_sql(),
     "quality_krippendorff_alpha": _krippendorff_sql(),
     "ml_reciprocal_rank_fusion": _rrf_sql(),
+    "ml_score_separation_report": _SCORE_SEP_SQL,
+    "agg_market_concentration": _MARKET_CONC_SQL,
     "agg_capture_recapture": _capture_recapture_sql(),
     "window_theil_sen": _THEIL_SEN_SQL,
     "ml_brier_decomposition": _BRIER_DECOMP_SQL,

@@ -452,7 +452,7 @@ def test_global_windows_only_over_reduced_tables(spark, sf_smoke):
         # windows over the 10-row BM25 top-k result
         "quality_ndcg_ranking_eval",
         # cumulative ranks over the <=1001-row score-distinct grid
-        "ml_auc_roc", "ml_average_precision",
+        "ml_auc_roc", "ml_average_precision", "ml_score_separation_report",
         # cumulative capture over the <=10-row decile table
         "ml_lift_curve",
         # r5 second session: lag/lead anchors over the hour-bucket

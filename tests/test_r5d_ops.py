@@ -963,3 +963,58 @@ def test_late_arriving_dimension_reconciliation(spark, sf_dir):
     assert p2["n_parked"] == 0
     assert p2["n_resolved"] == n_orders
     assert p2["resolved_revenue"] >= p1["resolved_revenue"]
+
+
+def test_score_separation_python_reference(spark, sf_dir):
+    from collections import defaultdict
+
+    from parquet_batch_spark.operators.stats_ops import (
+        ECE_SCALE_CHARS,
+        ml_score_separation_report,
+    )
+
+    blocks: dict[int, list[int]] = defaultdict(lambda: [0, 0])
+    for r in load(spark, sf_dir, "documents").select(
+        "n_chars", "text"
+    ).collect():
+        s = min(1_000_000, (1_000_000 * r["n_chars"]) // ECE_SCALE_CHARS)
+        y = 1 if "data" in r["text"].strip().split() else 0
+        blocks[s][0] += 1
+        blocks[s][1] += y
+    pos = sum(b[1] for b in blocks.values())
+    neg = sum(b[0] for b in blocks.values()) - pos
+    tp = fp = 0
+    best = None
+    for s in sorted(blocks, reverse=True):
+        n_k, p_k = blocks[s]
+        tp += p_k
+        fp += n_k - p_k
+        j = (1_000_000 * tp) // pos - (1_000_000 * fp) // neg
+        cand = (-j, s, tp, fp)
+        if best is None or cand < best:
+            best = cand
+    j, s, tp, fp = -best[0], best[1], best[2], best[3]
+    got = ml_score_separation_report(spark, sf_dir).collect()[0]
+    assert got["threshold_micro"] == s
+    assert got["ks_youden_micro"] == j
+    assert (got["tp"], got["fp"]) == (tp, fp)
+    assert got["fn"] == pos - tp and got["tn"] == neg - fp
+    # KS of a usable score is strictly positive
+    assert got["ks_youden_micro"] > 0
+
+
+def test_market_concentration_axioms(spark, sf_dir):
+    from parquet_batch_spark.operators.stats_ops import (
+        agg_market_concentration,
+    )
+
+    rows = agg_market_concentration(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # HHI bounds: 10000/n <= HHI <= 10000 (up to bp truncation)
+        assert r["hhi_points"] <= 10_000
+        assert r["hhi_points"] >= 10_000 // r["n_nations"] - 10
+        # CR4 never exceeds total share, never below HHI-implied floor
+        assert r["cr4_bp"] <= 10_000
+        if r["n_nations"] <= 4:
+            assert r["cr4_bp"] >= 9_990  # all share inside top-4
