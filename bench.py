@@ -210,6 +210,8 @@ HEADLINE = [
     "etl_late_arriving_dimension",
     "ml_score_separation_report",
     "agg_market_concentration",
+    "window_haar_wavelet_energy",
+    "seq_markov_attribution",
 ]
 
 

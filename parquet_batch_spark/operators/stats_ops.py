@@ -6922,6 +6922,368 @@ ORDER BY bucket
 
 
 # ---------------------------------------------------------------------------
+# window_haar_wavelet_energy — multi-resolution energy decomposition
+# ---------------------------------------------------------------------------
+
+HAAR_LEVELS = 3
+
+
+def window_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized Haar wavelet decomposition of the daily-revenue
+    series: per level ℓ ∈ 1..{HAAR_LEVELS}, the detail-coefficient
+    energy Σd² at scale 2^ℓ days — the multi-resolution answer to
+    "does revenue vary day-to-day, every few days, or weekly?" that a
+    single variance or the ACF smears together. Dyadic truncation:
+    each level pairs complete (even, odd) coefficient pairs and drops
+    a trailing singleton (pinned convention).
+
+    All integers: a = even+odd, d = even−odd, energies Σd² in
+    decimal(38,0), emitted in 10⁶-unit buckets (div) so the output
+    stays int64 at any plausible daily-total magnitude.
+
+    Scale: day-grain reduce, then {HAAR_LEVELS} pair-reduce rounds on
+    the geometrically SHRINKING coefficient table.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.floor("o_totalprice").cast("long").alias("yd"),
+        )
+        .groupBy("day")
+        .agg(F.sum("yd").alias("x"))
+    )
+    seq = Window.orderBy("day")
+    cur = daily.select(
+        (F.row_number().over(seq) - 1).alias("i"), F.col("x")
+    )
+    outs = []
+    for lvl in range(1, HAAR_LEVELS + 1):
+        paired = cur.select(
+            F.expr("i div 2").alias("pi"),
+            F.when(F.col("i") % 2 == 0, F.col("x")).alias("ev"),
+            F.when(F.col("i") % 2 == 1, F.col("x")).alias("od"),
+        ).groupBy("pi").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("ev").alias("ev"),
+            F.max("od").alias("od"),
+        ).where(F.col("cnt") == 2)
+        coeffs = paired.select(
+            "pi",
+            (F.col("ev") + F.col("od")).alias("a"),
+            (F.col("ev") - F.col("od")).alias("d"),
+        )
+        outs.append(
+            coeffs.agg(
+                F.lit(lvl).cast("long").alias("level"),
+                F.count(F.lit(1)).alias("n_coeffs"),
+                F.expr(
+                    "CAST(sum(CAST(d AS DECIMAL(38,0)) * d) div 1000000"
+                    " AS BIGINT)"
+                ).alias("detail_energy_1e6"),
+            )
+        )
+        cur = coeffs.select(F.col("pi").alias("i"), F.col("a").alias("x"))
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("level")
+
+
+def _haar_sql() -> str:
+    ctes = ["""
+daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS x
+    FROM orders GROUP BY 1
+),
+lvl0 AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY day) - 1 AS i, x FROM daily
+)"""]
+    sels = []
+    for lvl in range(1, HAAR_LEVELS + 1):
+        ctes.append(f"""
+pair{lvl} AS (
+    SELECT i // 2 AS pi,
+           MAX(CASE WHEN i % 2 = 0 THEN x END) AS ev,
+           MAX(CASE WHEN i % 2 = 1 THEN x END) AS od,
+           COUNT(*) AS cnt
+    FROM lvl{lvl - 1} GROUP BY i // 2
+),
+coef{lvl} AS (
+    SELECT pi, ev + od AS a, ev - od AS d FROM pair{lvl} WHERE cnt = 2
+),
+lvl{lvl} AS (
+    SELECT pi AS i, a AS x FROM coef{lvl}
+)""")
+        sels.append(
+            f"SELECT CAST({lvl} AS BIGINT) AS level,"
+            f" COUNT(*) AS n_coeffs,"
+            f" CAST(SUM(CAST(d AS HUGEINT) * d) // 1000000 AS BIGINT)"
+            f" AS detail_energy_1e6 FROM coef{lvl}"
+        )
+    union = "\nUNION ALL\n".join(sels)
+    return f"""
+WITH {",".join(ctes)}
+{union}
+ORDER BY level
+"""
+
+
+# ---------------------------------------------------------------------------
+# seq_markov_attribution — removal-effect channel attribution
+# ---------------------------------------------------------------------------
+
+MA_SCALE = 10**9
+MA_ITERS = 16
+MA_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _ma_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(from_type, to_type, c) journey-transition counts: per user,
+    journeys split at each purchase; START→first touch, touch→touch,
+    last touch→CONV (journey converted) or NULL (trailing touches),
+    START→CONV for zero-touch conversions."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("j"),
+    )
+    touches = ordered.where(F.col("event_type") != "purchase")
+    conv_j = (
+        ordered.where(F.col("event_type") == "purchase")
+        .select("user_id", "j")
+        .distinct()
+    )
+    jw = Window.partitionBy("user_id", "j").orderBy("ts", "event_id")
+    steps = touches.select(
+        "user_id",
+        "j",
+        F.col("event_type").alias("from_t"),
+        F.lead("event_type").over(jw).alias("next_t"),
+        F.row_number().over(jw).alias("rn"),
+    )
+    start_edges = steps.where(F.col("rn") == 1).select(
+        F.lit("START").alias("from_type"), F.col("from_t").alias("to_type")
+    )
+    mid_edges = steps.where(F.col("next_t").isNotNull()).select(
+        F.col("from_t").alias("from_type"), F.col("next_t").alias("to_type")
+    )
+    last = steps.where(F.col("next_t").isNull())
+    end_edges = last.join(conv_j, ["user_id", "j"], "left_semi").select(
+        F.col("from_t").alias("from_type"), F.lit("CONV").alias("to_type")
+    ).unionByName(
+        last.join(conv_j, ["user_id", "j"], "left_anti").select(
+            F.col("from_t").alias("from_type"),
+            F.lit("NULL").alias("to_type"),
+        )
+    )
+    zero_touch = conv_j.join(
+        steps.select("user_id", "j").distinct(), ["user_id", "j"], "left_anti"
+    ).select(
+        F.lit("START").alias("from_type"), F.lit("CONV").alias("to_type")
+    )
+    return (
+        start_edges.unionByName(mid_edges)
+        .unionByName(end_edges)
+        .unionByName(zero_touch)
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _ma_absorb(edges: dict, removed: str | None) -> int:
+    """K-step CONV-absorption probability from START (10⁹ fixed
+    point) — the same integer recursion the oracle unrolls."""
+    states = ["START", *MA_CHANNELS]
+    v = {s: 0 for s in states}
+    for _ in range(MA_ITERS):
+        nv = {}
+        for s in states:
+            acc = 0
+            for (f, t), p in edges.items():
+                if f != s or t == removed:
+                    continue
+                if t == "CONV":
+                    acc += p
+                elif t in v:
+                    acc += (p * v[t]) // MA_SCALE
+            nv[s] = acc
+        v = nv
+    return v["START"]
+
+
+def seq_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution — the DATA-DRIVEN channel
+    attribution completing the trio (``agg_touch_attribution`` =
+    positional rules, ``agg_shapley_attribution`` = cooperative game
+    on coalitions): model journeys as a first-order chain, and credit
+    each channel by how much the {MA_ITERS}-step conversion
+    probability DROPS when that channel's edges are severed (the
+    walker that would have entered it is lost, no renormalization —
+    the standard removal-effect definition).
+
+    The corpus pass (journey split + transition counts) is fully
+    distributed; the chain itself is DOMAIN-BOUNDED (≤6×6), so the
+    absorption recursion runs on the driver over the collected count
+    table — the same bounded-collect pattern as ml_kmeans_lloyd's
+    centroids — in exact 10⁹ fixed-point integers; the oracle unrolls
+    the identical recursion as {MA_ITERS} chained CTEs per scenario.
+    """
+    counts = {
+        (r["from_type"], r["to_type"]): r["c"]
+        for r in _ma_transitions(spark, sf_dir).collect()
+    }
+    row_tot: dict[str, int] = {}
+    for (f, _), c in counts.items():
+        row_tot[f] = row_tot.get(f, 0) + c
+    edges = {
+        (f, t): (c * MA_SCALE) // row_tot[f] for (f, t), c in counts.items()
+    }
+    base = _ma_absorb(edges, None)
+    rows = []
+    effects = {}
+    for ch in MA_CHANNELS:
+        rem = _ma_absorb(edges, ch)
+        effects[ch] = base - rem
+    tot_eff = sum(effects.values())
+    for ch in MA_CHANNELS:
+        rem = base - effects[ch]
+        rows.append(
+            (
+                ch,
+                base,
+                rem,
+                (1_000_000 * effects[ch]) // base if base else 0,
+                (1_000_000 * effects[ch]) // tot_eff if tot_eff else 0,
+            )
+        )
+    out = spark.createDataFrame(
+        rows,
+        "channel string, base_conv_fp long, removed_conv_fp long,"
+        " removal_effect_micro long, attribution_micro long",
+    )
+    return out.orderBy("channel")
+
+
+def _markov_attribution_sql() -> str:
+    states = ["START", *MA_CHANNELS]
+    state_rows = " UNION ALL ".join(
+        f"SELECT '{s}' AS state" for s in states
+    )
+
+    def scenario(tag: str, removed: str | None) -> str:
+        rm = (
+            f"AND e.to_type <> '{removed}'" if removed is not None else ""
+        )
+        ctes = [
+            f"it_{tag}_0 AS (SELECT state, CAST(0 AS BIGINT) AS v"
+            f" FROM states)"
+        ]
+        for k in range(1, MA_ITERS + 1):
+            ctes.append(f"""
+it_{tag}_{k} AS MATERIALIZED (
+    SELECT s.state,
+        CAST(COALESCE(SUM(CASE WHEN e.to_type = 'CONV' THEN e.p
+                          ELSE COALESCE((e.p * v.v) // {MA_SCALE}, 0)
+                     END), 0) AS BIGINT) AS v
+    FROM states s
+    LEFT JOIN edges e ON e.from_type = s.state {rm}
+    LEFT JOIN it_{tag}_{k - 1} v ON v.state = e.to_type
+    GROUP BY s.state
+)""")
+        return ",\n".join(ctes)
+
+    scen_sql = [scenario("base", None)]
+    for ch in MA_CHANNELS:
+        scen_sql.append(scenario(ch, ch))
+    scen_joined = ",\n".join(scen_sql)
+    finals = " UNION ALL ".join(
+        f"SELECT '{ch}' AS channel,"
+        f" (SELECT v FROM it_base_{MA_ITERS} WHERE state = 'START')"
+        f" AS base_conv_fp,"
+        f" (SELECT v FROM it_{ch}_{MA_ITERS} WHERE state = 'START')"
+        f" AS removed_conv_fp"
+        for ch in MA_CHANNELS
+    )
+    return f"""
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+        COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) AS j
+    FROM events
+),
+touches AS (
+    SELECT user_id, j, event_type, ts, event_id
+    FROM ordered WHERE event_type <> 'purchase'
+),
+conv_j AS (
+    SELECT DISTINCT user_id, j FROM ordered WHERE event_type = 'purchase'
+),
+steps AS (
+    SELECT user_id, j, event_type AS from_t,
+        LEAD(event_type) OVER (PARTITION BY user_id, j
+                               ORDER BY ts, event_id) AS next_t,
+        ROW_NUMBER() OVER (PARTITION BY user_id, j
+                           ORDER BY ts, event_id) AS rn
+    FROM touches
+),
+trans AS (
+    SELECT 'START' AS from_type, from_t AS to_type FROM steps WHERE rn = 1
+    UNION ALL
+    SELECT from_t, next_t FROM steps WHERE next_t IS NOT NULL
+    UNION ALL
+    SELECT s.from_t,
+           CASE WHEN c.user_id IS NOT NULL THEN 'CONV' ELSE 'NULL' END
+    FROM steps s
+    LEFT JOIN conv_j c ON c.user_id = s.user_id AND c.j = s.j
+    WHERE s.next_t IS NULL
+    UNION ALL
+    SELECT 'START', 'CONV'
+    FROM conv_j c
+    WHERE NOT EXISTS (SELECT 1 FROM steps s
+                      WHERE s.user_id = c.user_id AND s.j = c.j)
+),
+counts AS (
+    SELECT from_type, to_type, COUNT(*) AS c FROM trans GROUP BY 1, 2
+),
+edges AS (
+    SELECT from_type, to_type,
+        CAST((CAST(c AS HUGEINT) * {MA_SCALE})
+             // SUM(c) OVER (PARTITION BY from_type) AS BIGINT) AS p
+    FROM counts
+),
+states AS ({state_rows}),
+{scen_joined},
+finals AS ({finals})
+SELECT channel, CAST(base_conv_fp AS BIGINT) AS base_conv_fp,
+    CAST(removed_conv_fp AS BIGINT) AS removed_conv_fp,
+    CAST(CASE WHEN base_conv_fp > 0
+         THEN (1000000 * (base_conv_fp - removed_conv_fp)) // base_conv_fp
+         ELSE 0 END AS BIGINT) AS removal_effect_micro,
+    CAST(CASE
+         WHEN (SELECT SUM(base_conv_fp - removed_conv_fp) FROM finals) > 0
+         THEN (1000000 * (base_conv_fp - removed_conv_fp))
+              // (SELECT SUM(f2.base_conv_fp - f2.removed_conv_fp)
+                  FROM finals f2)
+         ELSE 0 END AS BIGINT) AS attribution_micro
+FROM finals
+ORDER BY channel
+"""
+
+
+# ---------------------------------------------------------------------------
 # ml_score_separation_report — KS / Youden-J optimal threshold
 # ---------------------------------------------------------------------------
 
@@ -9301,6 +9663,8 @@ QUERIES = {
     "quality_krippendorff_alpha": quality_krippendorff_alpha,
     "ml_reciprocal_rank_fusion": ml_reciprocal_rank_fusion,
     "ml_score_separation_report": ml_score_separation_report,
+    "window_haar_wavelet_energy": window_haar_wavelet_energy,
+    "seq_markov_attribution": seq_markov_attribution,
     "agg_market_concentration": agg_market_concentration,
     "agg_capture_recapture": agg_capture_recapture,
     "window_theil_sen": window_theil_sen,
@@ -9401,6 +9765,8 @@ ORACLES = {
     "quality_krippendorff_alpha": _krippendorff_sql(),
     "ml_reciprocal_rank_fusion": _rrf_sql(),
     "ml_score_separation_report": _SCORE_SEP_SQL,
+    "window_haar_wavelet_energy": _haar_sql(),
+    "seq_markov_attribution": _markov_attribution_sql(),
     "agg_market_concentration": _MARKET_CONC_SQL,
     "agg_capture_recapture": _capture_recapture_sql(),
     "window_theil_sen": _THEIL_SEN_SQL,

@@ -1018,3 +1018,107 @@ def test_market_concentration_axioms(spark, sf_dir):
         assert r["cr4_bp"] <= 10_000
         if r["n_nations"] <= 4:
             assert r["cr4_bp"] >= 9_990  # all share inside top-4
+
+
+def test_haar_wavelet_python_reference(spark, sf_dir):
+    from parquet_batch_spark.operators.stats_ops import (
+        HAAR_LEVELS,
+        window_haar_wavelet_energy,
+    )
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.floor("o_totalprice").cast("long").alias("y"),
+        )
+        .groupBy("day")
+        .agg(F.sum("y").alias("x"))
+        .orderBy("day")
+        .collect()
+    )
+    xs = [r["x"] for r in daily]
+    exp = {}
+    for lvl in range(1, HAAR_LEVELS + 1):
+        pairs = [(xs[i], xs[i + 1]) for i in range(0, len(xs) - 1, 2)]
+        ds = [e - o for e, o in pairs]
+        xs = [e + o for e, o in pairs]
+        exp[lvl] = (len(ds), sum(d * d for d in ds) // 1_000_000)
+    got = {
+        r["level"]: (r["n_coeffs"], r["detail_energy_1e6"])
+        for r in window_haar_wavelet_energy(spark, sf_dir).collect()
+    }
+    assert got == exp
+    # Parseval sanity: total detail energy is positive at every level
+    assert all(v[1] > 0 for v in got.values())
+
+
+def test_markov_attribution_python_reference(spark, sf_dir):
+    from collections import defaultdict
+
+    from parquet_batch_spark.operators.stats_ops import (
+        MA_CHANNELS,
+        MA_SCALE,
+        _ma_absorb,
+        seq_markov_attribution,
+    )
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .orderBy("user_id", "ts", "event_id")
+        .collect()
+    )
+    by_user: dict[int, list[str]] = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r["event_type"])
+    counts: dict[tuple, int] = defaultdict(int)
+    for seq in by_user.values():
+        journeys: list[tuple[list[str], bool]] = []
+        cur: list[str] = []
+        for e in seq:
+            if e == "purchase":
+                journeys.append((cur, True))
+                cur = []
+            else:
+                cur.append(e)
+        if cur:
+            journeys.append((cur, False))
+        for touches, conv in journeys:
+            if not touches:
+                if conv:
+                    counts[("START", "CONV")] += 1
+                continue
+            counts[("START", touches[0])] += 1
+            for a, b in zip(touches, touches[1:]):
+                counts[(a, b)] += 1
+            counts[(touches[-1], "CONV" if conv else "NULL")] += 1
+    row_tot: dict[str, int] = defaultdict(int)
+    for (f, _), c in counts.items():
+        row_tot[f] += c
+    edges = {
+        (f, t): (c * MA_SCALE) // row_tot[f] for (f, t), c in counts.items()
+    }
+    base = _ma_absorb(edges, None)
+    effects = {ch: base - _ma_absorb(edges, ch) for ch in MA_CHANNELS}
+    tot = sum(effects.values())
+    got = {
+        r["channel"]: r for r in seq_markov_attribution(spark, sf_dir).collect()
+    }
+    assert set(got) == set(MA_CHANNELS)
+    for ch in MA_CHANNELS:
+        assert got[ch]["base_conv_fp"] == base
+        assert got[ch]["removed_conv_fp"] == base - effects[ch]
+        assert (
+            got[ch]["removal_effect_micro"]
+            == (1_000_000 * effects[ch]) // base
+        )
+        assert (
+            got[ch]["attribution_micro"] == (1_000_000 * effects[ch]) // tot
+        )
+    # removal can only hurt conversion; attribution sums to ~100%
+    assert all(e >= 0 for e in effects.values())
+    assert (
+        sum(got[ch]["attribution_micro"] for ch in MA_CHANNELS)
+        <= 1_000_000
+    )
