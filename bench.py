@@ -212,6 +212,8 @@ HEADLINE = [
     "agg_market_concentration",
     "window_haar_wavelet_energy",
     "seq_markov_attribution",
+    "agg_lorenz_curve",
+    "dedup_fellegi_sunter_weights",
 ]
 
 

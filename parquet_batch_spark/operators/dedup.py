@@ -1895,7 +1895,209 @@ ORDER BY thr_micro
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_fellegi_sunter_weights — record-linkage agreement weights
+# ---------------------------------------------------------------------------
+
+FS_LEN_BUCKET = 500  # n_chars quantization for the length field
+FS_DERANGE_OFFSET = 37  # deterministic non-match pairing shift
+
+
+def dedup_fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter record-linkage weights — the probabilistic
+    foundation UNDER every blocking/threshold choice in this module:
+    per comparison field, estimate m = P(agree | match) from the
+    minhash near-dup pairs and u = P(agree | non-match) from a
+    deterministic derangement pairing (doc at rank r vs rank
+    r+{FS_DERANGE_OFFSET} mod N — an unbiased non-match sample
+    without an all-pairs join; the rare true match inside it biases u
+    upward negligibly and is the standard estimation shortcut). The
+    log₂(m/u) agreement weight per field is what a linkage rule sums
+    to score a candidate pair.
+
+    m/u are exact integer micro-rates; the weight is one log₂ of
+    their double ratio, rounded to 6dp. Match pairs reuse the SHARED
+    memoized LSH candidate stage — no new pair enumeration.
+
+    Scale: LSH pairs are banded equi-joins (inherited); the
+    derangement needs a rank — computed over the doc_id-DENSE synth
+    corpus as a plain offset join keyed on doc_id, no global window.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr(f"n_chars div {FS_LEN_BUCKET}").alias("len_bucket"),
+    )
+    feats_a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("source_a"),
+        F.col("len_bucket").alias("len_a"),
+    )
+    feats_b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("len_bucket").alias("len_b"),
+    )
+    n_docs = d.count()
+    matches = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .join(feats_a, "doc_a")
+        .join(feats_b, "doc_b")
+    )
+    randoms = (
+        d.select(
+            F.col("doc_id").alias("doc_a"),
+            ((F.col("doc_id") + FS_DERANGE_OFFSET) % n_docs).alias("doc_b"),
+        )
+        .join(feats_a, "doc_a")
+        .join(feats_b, "doc_b")
+    )
+
+    def rates(pairs: DataFrame, kind: str) -> DataFrame:
+        agg = pairs.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(
+                    F.when(F.col(f"{f}_a") == F.col(f"{f}_b"), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"agree_{f}")
+                for f in ("lang", "source", "len")
+            ],
+        )
+        rows = [
+            agg.select(
+                F.lit(f).alias("field"),
+                F.lit(kind).alias("kind"),
+                F.col("n").cast("long").alias("n_pairs"),
+                F.expr(f"(1000000 * agree_{f}) div n").alias("rate_micro"),
+            )
+            for f in ("lang", "source", "len")
+        ]
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return out
+
+    m = rates(matches, "m").select(
+        "field",
+        F.col("n_pairs").alias("n_match_pairs"),
+        F.col("rate_micro").alias("m_micro"),
+    )
+    u = rates(randoms, "u").select(
+        "field",
+        F.col("n_pairs").alias("n_random_pairs"),
+        F.col("rate_micro").alias("u_micro"),
+    )
+    return (
+        m.join(u, "field")
+        .select(
+            "field",
+            "n_match_pairs",
+            "n_random_pairs",
+            "m_micro",
+            "u_micro",
+            F.when(
+                (F.col("m_micro") > 0) & (F.col("u_micro") > 0),
+                F.round(
+                    F.log2(
+                        F.col("m_micro").cast("double")
+                        / F.col("u_micro").cast("double")
+                    ),
+                    6,
+                ),
+            ).alias("weight_log2"),
+        )
+        .orderBy("field")
+    )
+
+
+def _fellegi_sunter_sql() -> str:
+    fields = ("lang", "source", "len")
+    agree_cols = lambda: ",\n        ".join(  # noqa: E731
+        f"CAST(SUM(CASE WHEN {f}_a = {f}_b THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS agree_{f}"
+        for f in fields
+    )
+    m_rows = " UNION ALL ".join(
+        f"SELECT '{f}' AS field, n AS n_match_pairs,"
+        f" (1000000 * agree_{f}) // n AS m_micro FROM m_agg"
+        for f in fields
+    )
+    u_rows = " UNION ALL ".join(
+        f"SELECT '{f}' AS field, n AS n_random_pairs,"
+        f" (1000000 * agree_{f}) // n AS u_micro FROM u_agg"
+        for f in fields
+    )
+    return f"""
+WITH {_sql_minhash_core()},
+bands AS (
+    SELECT doc_id, sig, i - 1 AS band_idx, ([{_BAND_EXPRS}])[i] AS band_sig
+    FROM sigarr, generate_series(1, {N_BANDS}) t(i)
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.sig AS sig_a, b.sig AS sig_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+        AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT doc_a, doc_b FROM cands
+    WHERE CAST(len(list_filter(generate_series(1, {N_HASHES}),
+            i -> sig_a[i] = sig_b[i])) AS DOUBLE) / {N_HASHES}
+        >= {MINHASH_EST_THRESHOLD}
+),
+feats AS (
+    SELECT doc_id, lang, source, n_chars // {FS_LEN_BUCKET} AS len_bucket
+    FROM documents
+),
+m_pairs AS (
+    SELECT fa.lang AS lang_a, fb.lang AS lang_b,
+           fa.source AS source_a, fb.source AS source_b,
+           fa.len_bucket AS len_a, fb.len_bucket AS len_b
+    FROM pairs p
+    JOIN feats fa ON fa.doc_id = p.doc_a
+    JOIN feats fb ON fb.doc_id = p.doc_b
+),
+u_pairs AS (
+    SELECT fa.lang AS lang_a, fb.lang AS lang_b,
+           fa.source AS source_a, fb.source AS source_b,
+           fa.len_bucket AS len_a, fb.len_bucket AS len_b
+    FROM feats fa
+    JOIN feats fb ON fb.doc_id =
+        (fa.doc_id + {FS_DERANGE_OFFSET})
+        % (SELECT COUNT(*) FROM documents)
+),
+m_agg AS (
+    SELECT COUNT(*) AS n,
+        {agree_cols()}
+    FROM m_pairs
+),
+u_agg AS (
+    SELECT COUNT(*) AS n,
+        {agree_cols()}
+    FROM u_pairs
+),
+m_r AS ({m_rows}),
+u_r AS ({u_rows})
+SELECT m_r.field, m_r.n_match_pairs, u_r.n_random_pairs,
+       m_r.m_micro, u_r.u_micro,
+       CASE WHEN m_r.m_micro > 0 AND u_r.u_micro > 0
+            THEN ROUND(LOG2(CAST(m_r.m_micro AS DOUBLE)
+                            / CAST(u_r.u_micro AS DOUBLE)), 6)
+       END AS weight_log2
+FROM m_r JOIN u_r ON u_r.field = m_r.field
+ORDER BY m_r.field
+"""
+
+
 QUERIES = {
+    "dedup_fellegi_sunter_weights": dedup_fellegi_sunter_weights,
     "dedup_threshold_sweep": dedup_threshold_sweep,
     "dedup_sorted_neighborhood": dedup_sorted_neighborhood,
     "dedup_lsh_recall_eval": dedup_lsh_recall_eval,
@@ -1914,6 +2116,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_fellegi_sunter_weights": _fellegi_sunter_sql(),
     "dedup_threshold_sweep": _SWEEP_SQL,
     "dedup_sorted_neighborhood": _snm_sql(),
     "dedup_cluster_representative": _DEDUP_REP_SQL,

@@ -6922,6 +6922,138 @@ ORDER BY bucket
 
 
 # ---------------------------------------------------------------------------
+# agg_lorenz_curve — decile cumulative-share table
+# ---------------------------------------------------------------------------
+
+LORENZ_DECILES = 10
+
+
+def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer spend — the graphical companion to
+    ``agg_theil_index``/``quality_source_gini``: per spend decile
+    (customers ranked poorest→richest), the cumulative share of total
+    spend; "the bottom 50% of customers hold 21% of revenue" is this
+    table read aloud.
+
+    Scale-safe decile assignment WITHOUT a corpus-grain sort: reduce
+    to the whole-dollar spend-DISTINCT grid (domain-bounded), then
+    split each grid row's customer count across the decile boundaries
+    b_d = (d·N) div 10 by pure integer interval overlap — exact and
+    shuffle-free beyond the grid window. Spend attribution within a
+    grid row is exact because every customer on the row has the SAME
+    value.
+    """
+    o = load(spark, sf_dir, "orders")
+    cust = (
+        o.select(
+            F.col("o_custkey").alias("c"),
+            F.floor("o_totalprice").cast("long").alias("y"),
+        )
+        .groupBy("c")
+        .agg(F.sum("y").alias("v"))
+    )
+    grid = cust.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stepped = grid.select(
+        "v",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(cum), F.lit(0)).alias("cum_before"),
+        F.sum("cnt").over(tot).alias("n"),
+    )
+    deciles = F.explode(
+        F.array(*[F.lit(d) for d in range(LORENZ_DECILES)])
+    ).alias("decile")
+    exploded = stepped.select("v", "cnt", "cum_before", "n", deciles)
+    lo = F.expr(f"(decile * n) div {LORENZ_DECILES}")
+    hi = F.expr(f"((decile + 1) * n) div {LORENZ_DECILES}")
+    overlap = F.greatest(
+        F.lit(0),
+        F.least(F.col("cum_before") + F.col("cnt"), hi)
+        - F.greatest(F.col("cum_before"), lo),
+    )
+    per_decile = (
+        exploded.select(
+            "decile",
+            overlap.alias("k"),
+            (overlap.cast("decimal(38,0)") * F.col("v")).alias("spend"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.sum("k").cast("long").alias("n_customers"),
+            F.sum("spend").alias("spend"),
+        )
+    )
+    cumw = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    totw = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per_decile.select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_customers",
+            F.expr("CAST(spend AS BIGINT)").alias("decile_spend"),
+            F.expr(
+                "CAST((1000000 * CAST(sum(spend) OVER (ORDER BY decile"
+                " ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,0)))"
+                " div (sum(spend) OVER ()) AS BIGINT)"
+            ).alias("cum_share_micro"),
+        )
+        .orderBy("decile")
+    )
+
+
+_LORENZ_SQL = f"""
+WITH cust AS (
+    SELECT o_custkey AS c,
+           SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS v
+    FROM orders GROUP BY 1
+),
+grid AS (
+    SELECT v, COUNT(*) AS cnt FROM cust GROUP BY v
+),
+stepped AS (
+    SELECT v, cnt,
+        COALESCE(SUM(cnt) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS cum_before,
+        SUM(cnt) OVER () AS n
+    FROM grid
+),
+exploded AS (
+    SELECT s.v, s.cnt, s.cum_before, s.n, d.decile
+    FROM stepped s,
+         (SELECT unnest(generate_series(0, {LORENZ_DECILES - 1}))
+              AS decile) d
+),
+per_decile AS (
+    SELECT decile,
+        CAST(SUM(GREATEST(0, LEAST(cum_before + cnt,
+                ((decile + 1) * n) // {LORENZ_DECILES})
+            - GREATEST(cum_before, (decile * n) // {LORENZ_DECILES})))
+            AS BIGINT) AS n_customers,
+        SUM(CAST(GREATEST(0, LEAST(cum_before + cnt,
+                ((decile + 1) * n) // {LORENZ_DECILES})
+            - GREATEST(cum_before, (decile * n) // {LORENZ_DECILES}))
+            AS HUGEINT) * v) AS spend
+    FROM exploded
+    GROUP BY decile
+)
+SELECT decile, n_customers,
+    CAST(spend AS BIGINT) AS decile_spend,
+    CAST((1000000 * CAST(SUM(spend) OVER (ORDER BY decile
+            ROWS UNBOUNDED PRECEDING) AS HUGEINT))
+         // (SUM(spend) OVER ()) AS BIGINT) AS cum_share_micro
+FROM per_decile
+ORDER BY decile
+"""
+
+
+# ---------------------------------------------------------------------------
 # window_haar_wavelet_energy — multi-resolution energy decomposition
 # ---------------------------------------------------------------------------
 
@@ -9664,6 +9796,7 @@ QUERIES = {
     "ml_reciprocal_rank_fusion": ml_reciprocal_rank_fusion,
     "ml_score_separation_report": ml_score_separation_report,
     "window_haar_wavelet_energy": window_haar_wavelet_energy,
+    "agg_lorenz_curve": agg_lorenz_curve,
     "seq_markov_attribution": seq_markov_attribution,
     "agg_market_concentration": agg_market_concentration,
     "agg_capture_recapture": agg_capture_recapture,
@@ -9766,6 +9899,7 @@ ORACLES = {
     "ml_reciprocal_rank_fusion": _rrf_sql(),
     "ml_score_separation_report": _SCORE_SEP_SQL,
     "window_haar_wavelet_energy": _haar_sql(),
+    "agg_lorenz_curve": _LORENZ_SQL,
     "seq_markov_attribution": _markov_attribution_sql(),
     "agg_market_concentration": _MARKET_CONC_SQL,
     "agg_capture_recapture": _capture_recapture_sql(),

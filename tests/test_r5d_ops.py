@@ -1122,3 +1122,60 @@ def test_markov_attribution_python_reference(spark, sf_dir):
         sum(got[ch]["attribution_micro"] for ch in MA_CHANNELS)
         <= 1_000_000
     )
+
+
+def test_lorenz_curve_python_reference(spark, sf_dir):
+    from collections import defaultdict
+
+    from parquet_batch_spark.operators.stats_ops import (
+        LORENZ_DECILES,
+        agg_lorenz_curve,
+    )
+
+    spend: dict[int, int] = defaultdict(int)
+    for r in load(spark, sf_dir, "orders").select(
+        "o_custkey", F.floor("o_totalprice").cast("long").alias("y")
+    ).collect():
+        spend[r["o_custkey"]] += r["y"]
+    vals = sorted(spend.values())
+    n = len(vals)
+    exp = {}
+    total = sum(vals)
+    cum = 0
+    for d in range(LORENZ_DECILES):
+        lo, hi = (d * n) // LORENZ_DECILES, ((d + 1) * n) // LORENZ_DECILES
+        dspend = sum(vals[lo:hi])
+        cum += dspend
+        exp[d] = (hi - lo, dspend, (1_000_000 * cum) // total)
+    got = {
+        r["decile"]: (r["n_customers"], r["decile_spend"], r["cum_share_micro"])
+        for r in agg_lorenz_curve(spark, sf_dir).collect()
+    }
+    assert got == exp
+    # Lorenz curve properties: monotone, convex-ish, ends at ~100%
+    shares = [got[d][2] for d in range(LORENZ_DECILES)]
+    assert shares == sorted(shares)
+    assert shares[-1] >= 999_999 - LORENZ_DECILES
+
+
+def test_fellegi_sunter_weights_properties(spark, sf_dir):
+    from parquet_batch_spark.operators.dedup import (
+        dedup_fellegi_sunter_weights,
+    )
+
+    rows = {
+        r["field"]: r
+        for r in dedup_fellegi_sunter_weights(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"lang", "source", "len"}
+    for r in rows.values():
+        assert r["n_match_pairs"] > 0 and r["n_random_pairs"] > 0
+        assert 0 <= r["m_micro"] <= 1_000_000
+        assert 0 <= r["u_micro"] <= 1_000_000
+    # length is the one reliably discriminative field in the synthetic
+    # corpus (near-dup shingle overlap crosses languages by design, so
+    # lang/source agreement among matches can sit BELOW random — which
+    # is exactly the insight the m/u table is for)
+    assert rows["len"]["m_micro"] >= rows["len"]["u_micro"]
+    if rows["len"]["weight_log2"] is not None:
+        assert rows["len"]["weight_log2"] >= 0
