@@ -214,6 +214,8 @@ HEADLINE = [
     "seq_markov_attribution",
     "agg_lorenz_curve",
     "dedup_fellegi_sunter_weights",
+    "agg_icc_design_effect",
+    "window_record_highs",
 ]
 
 

@@ -6922,6 +6922,195 @@ ORDER BY bucket
 
 
 # ---------------------------------------------------------------------------
+# agg_icc_design_effect — intra-cluster correlation + DEFF
+# ---------------------------------------------------------------------------
+
+
+def agg_icc_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-class correlation of order values within customers and
+    the cluster-sampling DESIGN EFFECT — the number that tells a
+    sampling plan how much information customer-clustered draws lose:
+    DEFF = 1 + (m̄−1)·ICC means a DEFF of 1.5 needs 50% more sampled
+    rows for the same variance as independent draws. The planning
+    companion to ``sample_horvitz_thompson``'s estimation audit.
+
+    ANOVA-estimator ICC from exact sums: MSB/MSW via the per-cluster
+    (n_g, Σy, and global Σy²-in-decimal) moments — cluster grain is
+    the only shuffle; Σ s_g²/n_g accumulates per-cluster as an exact
+    micro-quantized integer (floor(10⁶·s²/n) per cluster — the same
+    quantize-then-integer-sum policy as Theil's x·ln x, making the
+    cluster-sum order-insensitive); m̄ uses the unequal-size
+    correction m₀ = (N − Σn²/N)/(k−1).
+    """
+    o = load(spark, sf_dir, "orders")
+    y = F.floor("o_totalprice").cast("long")
+    cl = (
+        o.select(F.col("o_custkey").alias("c"), y.alias("y"))
+        .groupBy("c")
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum("y").alias("s_g"),
+            F.sum(F.col("y").cast("decimal(18,0)") * F.col("y")).alias(
+                "q_g"
+            ),
+        )
+    )
+    m = cl.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("q_g").alias("q"),
+        F.sum(F.col("n_g").cast("decimal(38,0)") * F.col("n_g")).alias(
+            "sn2"
+        ),
+        F.sum(
+            F.expr(
+                "CAST((1000000 * CAST(s_g AS DECIMAL(38,0)) * s_g)"
+                " div n_g AS DECIMAL(38,0))"
+            )
+        ).alias("sg2n_micro"),
+    )
+    k = F.col("k").cast("double")
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    q = F.col("q").cast("double")
+    sg = F.col("sg2n_micro").cast("double") / F.lit(1e6)
+    ssb = sg - s * s / n
+    ssw = q - sg
+    msb = ssb / (k - 1.0)
+    msw = ssw / (n - k)
+    m0 = (n - F.col("sn2").cast("double") / n) / (k - 1.0)
+    icc = (msb - msw) / (msb + (m0 - 1.0) * msw)
+    deff = 1.0 + (m0 - 1.0) * icc
+    return m.select(
+        F.col("k").cast("long").alias("n_clusters"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(m0, 6).alias("m0_cluster_size"),
+        F.round(icc, 6).alias("icc"),
+        F.round(deff, 6).alias("design_effect"),
+    )
+
+
+_ICC_SQL = """
+WITH cl AS (
+    SELECT o_custkey AS c, COUNT(*) AS n_g,
+           SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS s_g,
+           SUM(CAST(FLOOR(o_totalprice) AS HUGEINT)
+               * CAST(FLOOR(o_totalprice) AS BIGINT)) AS q_g
+    FROM orders GROUP BY 1
+),
+m AS (
+    SELECT COUNT(*) AS k, SUM(n_g) AS n, SUM(s_g) AS s, SUM(q_g) AS q,
+           SUM(CAST(n_g AS HUGEINT) * n_g) AS sn2,
+           SUM((1000000 * CAST(s_g AS HUGEINT) * s_g) // n_g) AS sg2n_micro
+    FROM cl
+),
+d AS (
+    SELECT CAST(k AS DOUBLE) AS k, CAST(n AS DOUBLE) AS n,
+           CAST(s AS DOUBLE) AS s, CAST(q AS DOUBLE) AS q,
+           CAST(sg2n_micro AS DOUBLE) / 1000000.0 AS sg,
+           CAST(sn2 AS DOUBLE) AS sn2,
+           CAST(k AS BIGINT) AS k_int, CAST(n AS BIGINT) AS n_int
+    FROM m
+)
+SELECT k_int AS n_clusters, n_int AS n_rows,
+    ROUND((n - sn2 / n) / (k - 1.0), 6) AS m0_cluster_size,
+    ROUND(((sg - s * s / n) / (k - 1.0) - (q - sg) / (n - k))
+          / ((sg - s * s / n) / (k - 1.0)
+             + ((n - sn2 / n) / (k - 1.0) - 1.0) * ((q - sg) / (n - k))),
+          6) AS icc,
+    ROUND(1.0 + ((n - sn2 / n) / (k - 1.0) - 1.0)
+          * (((sg - s * s / n) / (k - 1.0) - (q - sg) / (n - k))
+             / ((sg - s * s / n) / (k - 1.0)
+                + ((n - sn2 / n) / (k - 1.0) - 1.0)
+                  * ((q - sg) / (n - k)))),
+          6) AS design_effect
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# window_record_highs — running-record census vs the iid expectation
+# ---------------------------------------------------------------------------
+
+
+def window_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-high census of daily revenue: how many days set a new
+    all-time high, when was the last record, and how does the count
+    compare to the iid expectation H_n = Σ 1/i (≈ ln n + γ) — under
+    exchangeability day i is a record with probability 1/i, so a
+    record count far above H_n is direct evidence of TREND (growth
+    keeps breaking highs), far below of early-peak decay. A two-line
+    trend diagnostic that needs no model.
+
+    Records are exact (strict running max over the day series);
+    H_n is micro-quantized per day (10⁶ div i) then integer-summed —
+    no float fold. Window over the day-grain reduced table.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.floor("o_totalprice").cast("long").alias("yd"),
+        )
+        .groupBy("day")
+        .agg(F.sum("yd").alias("x"))
+    )
+    seq = Window.orderBy("day")
+    prev_max = F.max("x").over(seq.rowsBetween(Window.unboundedPreceding, -1))
+    staged = daily.select(
+        "day",
+        "x",
+        F.row_number().over(seq).alias("i"),
+        (prev_max.isNull() | (F.col("x") > prev_max)).alias("is_record"),
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.when(F.col("is_record"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_records"),
+        F.max(F.when(F.col("is_record"), F.col("day"))).alias(
+            "last_record_day"
+        ),
+        F.expr("sum(1000000 div i)").alias("expected_micro"),
+    ).select(
+        "n_days",
+        "n_records",
+        "last_record_day",
+        "expected_micro",
+        (
+            F.col("n_records") * F.lit(1_000_000) > F.col("expected_micro")
+        ).alias("trending"),
+    )
+
+
+_RECORD_HIGHS_SQL = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS x
+    FROM orders GROUP BY 1
+),
+staged AS (
+    SELECT day, x,
+        ROW_NUMBER() OVER (ORDER BY day) AS i,
+        (MAX(x) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         OR x > MAX(x) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+            AS is_record
+    FROM daily
+)
+SELECT COUNT(*) AS n_days,
+    CAST(SUM(CASE WHEN is_record THEN 1 ELSE 0 END) AS BIGINT) AS n_records,
+    MAX(CASE WHEN is_record THEN day END) AS last_record_day,
+    CAST(SUM(1000000 // i) AS BIGINT) AS expected_micro,
+    CAST(SUM(CASE WHEN is_record THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+        > CAST(SUM(1000000 // i) AS BIGINT) AS trending
+FROM staged
+"""
+
+
+# ---------------------------------------------------------------------------
 # agg_lorenz_curve — decile cumulative-share table
 # ---------------------------------------------------------------------------
 
@@ -9797,6 +9986,8 @@ QUERIES = {
     "ml_score_separation_report": ml_score_separation_report,
     "window_haar_wavelet_energy": window_haar_wavelet_energy,
     "agg_lorenz_curve": agg_lorenz_curve,
+    "agg_icc_design_effect": agg_icc_design_effect,
+    "window_record_highs": window_record_highs,
     "seq_markov_attribution": seq_markov_attribution,
     "agg_market_concentration": agg_market_concentration,
     "agg_capture_recapture": agg_capture_recapture,
@@ -9900,6 +10091,8 @@ ORACLES = {
     "ml_score_separation_report": _SCORE_SEP_SQL,
     "window_haar_wavelet_energy": _haar_sql(),
     "agg_lorenz_curve": _LORENZ_SQL,
+    "agg_icc_design_effect": _ICC_SQL,
+    "window_record_highs": _RECORD_HIGHS_SQL,
     "seq_markov_attribution": _markov_attribution_sql(),
     "agg_market_concentration": _MARKET_CONC_SQL,
     "agg_capture_recapture": _capture_recapture_sql(),

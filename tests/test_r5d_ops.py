@@ -1179,3 +1179,67 @@ def test_fellegi_sunter_weights_properties(spark, sf_dir):
     assert rows["len"]["m_micro"] >= rows["len"]["u_micro"]
     if rows["len"]["weight_log2"] is not None:
         assert rows["len"]["weight_log2"] >= 0
+
+
+def test_icc_design_effect_python_reference(spark, sf_dir):
+    from collections import defaultdict
+
+    from parquet_batch_spark.operators.stats_ops import agg_icc_design_effect
+
+    by_c: dict[int, list[int]] = defaultdict(list)
+    for r in load(spark, sf_dir, "orders").select(
+        "o_custkey", F.floor("o_totalprice").cast("long").alias("y")
+    ).collect():
+        by_c[r["o_custkey"]].append(r["y"])
+    k = len(by_c)
+    n = sum(len(v) for v in by_c.values())
+    s = sum(sum(v) for v in by_c.values())
+    q = sum(sum(x * x for x in v) for v in by_c.values())
+    sg = (
+        sum((1_000_000 * sum(v) ** 2) // len(v) for v in by_c.values())
+        / 1e6
+    )
+    sn2 = sum(len(v) ** 2 for v in by_c.values())
+    msb = (sg - s * s / n) / (k - 1)
+    msw = (q - sg) / (n - k)
+    m0 = (n - sn2 / n) / (k - 1)
+    icc = (msb - msw) / (msb + (m0 - 1) * msw)
+    deff = 1 + (m0 - 1) * icc
+    got = agg_icc_design_effect(spark, sf_dir).collect()[0]
+    assert got["n_clusters"] == k and got["n_rows"] == n
+    assert math.isclose(got["m0_cluster_size"], m0, abs_tol=1e-5)
+    assert math.isclose(got["icc"], icc, abs_tol=1e-5)
+    assert math.isclose(got["design_effect"], deff, abs_tol=1e-5)
+    # DEFF >= 1 when clustering hurts, and never below ~0
+    assert got["design_effect"] > 0
+
+
+def test_record_highs_python_reference(spark, sf_dir):
+    from parquet_batch_spark.operators.stats_ops import window_record_highs
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.floor("o_totalprice").cast("long").alias("y"),
+        )
+        .groupBy("day")
+        .agg(F.sum("y").alias("x"))
+        .orderBy("day")
+        .collect()
+    )
+    mx = None
+    n_rec = 0
+    last = None
+    for r in daily:
+        if mx is None or r["x"] > mx:
+            n_rec += 1
+            last = r["day"]
+            mx = r["x"]
+    expected = sum(1_000_000 // i for i in range(1, len(daily) + 1))
+    got = window_record_highs(spark, sf_dir).collect()[0]
+    assert got["n_days"] == len(daily)
+    assert got["n_records"] == n_rec
+    assert got["last_record_day"] == last
+    assert got["expected_micro"] == expected
+    assert got["trending"] == (n_rec * 1_000_000 > expected)
