@@ -216,6 +216,8 @@ HEADLINE = [
     "dedup_fellegi_sunter_weights",
     "agg_icc_design_effect",
     "window_record_highs",
+    "agg_gumbel_extreme_value",
+    "sql_identifier_clause",
 ]
 
 

@@ -745,6 +745,41 @@ ORDER BY p.prio, o.o_orderstatus
 """
 
 
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``IDENTIFIER()`` clause (Spark 4): table and column names
+    resolved from session-variable STRINGS without string-spliced SQL
+    — the injection-safe half of dynamic SQL that ``EXECUTE
+    IMMEDIATE`` composes with (there the STATEMENT is dynamic, here
+    only the IDENTIFIERS are, keeping the plan statically analyzable:
+    pushdown and pruning still see one fixed query shape).
+    The query reads the table name AND the aggregated column name
+    from variables — the metadata-driven report pattern.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("pbs_ident_orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE pbs_ident_tab STRING")
+    spark.sql("DECLARE OR REPLACE VARIABLE pbs_ident_col STRING")
+    spark.sql("SET VAR pbs_ident_tab = 'pbs_ident_orders'")
+    spark.sql("SET VAR pbs_ident_col = 'o_totalprice'")
+    return spark.sql(
+        """SELECT o_orderstatus,
+                  COUNT(*) AS n,
+                  CAST(SUM(CAST(FLOOR(IDENTIFIER(pbs_ident_col))
+                                AS BIGINT)) AS BIGINT) AS total_usd
+           FROM IDENTIFIER(pbs_ident_tab)
+           GROUP BY o_orderstatus
+           ORDER BY o_orderstatus"""
+    )
+
+
+_SQL_IDENTIFIER_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS total_usd
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def func_struct_field_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-struct surgery — ``Column.withField`` / ``dropFields``
     (Spark 3.1+): patch one field inside a nested struct WITHOUT
@@ -993,6 +1028,7 @@ ORDER BY prefix
 QUERIES = {
     "sql_execute_immediate": sql_execute_immediate,
     "sql_table_function": sql_table_function,
+    "sql_identifier_clause": sql_identifier_clause,
     "func_geohash_encode": func_geohash_encode,
     "func_base64_transport": func_base64_transport,
     "func_crypto_roundtrip": func_crypto_roundtrip,
@@ -1018,6 +1054,7 @@ QUERIES = {
 ORACLES = {
     "sql_execute_immediate": _SQL_EXECUTE_IMMEDIATE_SQL,
     "sql_table_function": _SQL_TABLE_FUNCTION_SQL,
+    "sql_identifier_clause": _SQL_IDENTIFIER_SQL,
     "func_geohash_encode": _geohash_sql(),
     "func_base64_transport": _BASE64_SQL,
     "func_crypto_roundtrip": _CRYPTO_SQL,

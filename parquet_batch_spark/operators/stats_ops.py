@@ -6922,6 +6922,120 @@ ORDER BY bucket
 
 
 # ---------------------------------------------------------------------------
+# agg_gumbel_extreme_value — block-maxima EVT fit + return level
+# ---------------------------------------------------------------------------
+
+GUMBEL_GAMMA = 0.5772156649015329  # Euler–Mascheroni, fixed literal
+GUMBEL_RETURN_T = 100
+
+
+def _gumbel_c() -> float:
+    import math
+
+    return math.log(-math.log(1.0 - 1.0 / GUMBEL_RETURN_T))
+
+
+def agg_gumbel_extreme_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel extreme-value fit on MONTHLY MAXIMA of daily revenue —
+    the capacity-planning question none of the mean/variance ops
+    answer: "what daily peak should we provision for once per
+    {GUMBEL_RETURN_T} months?" Method-of-moments fit (β = s√6/π,
+    μ = x̄ − γβ) on the block-maxima series, and the T-block return
+    level z_T = μ − β·ln(−ln(1−1/T)) with the double-log constant
+    computed ONCE in Python and embedded as the same literal in both
+    engines (no query-time transcendental inversion — the BH-threshold
+    recipe).
+
+    Exact integer block maxima and moments (Σm in int64, Σm² in
+    decimal); the fit is constant arithmetic on one row.
+
+    Scale: day-grain reduce → month-grain max — two shuffles on
+    calendar keys, block count independent of row count.
+    """
+    import math
+
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.floor("o_totalprice").cast("long").alias("yd"),
+        )
+        .groupBy("day")
+        .agg(F.sum("yd").alias("x"))
+    )
+    blocks = (
+        daily.select(
+            (
+                (F.year("day") - F.lit(1970)) * 12 + F.month("day") - 1
+            ).alias("m"),
+            "x",
+        )
+        .groupBy("m")
+        .agg(F.max("x").alias("mx"))
+    )
+    agg = blocks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mx").alias("s"),
+        F.sum(F.col("mx").cast("decimal(38,0)") * F.col("mx")).alias("q"),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    q = F.col("q").cast("double")
+    mean = s / n
+    var = (q - n * mean * mean) / (n - 1.0)
+    beta = F.sqrt(var * F.lit(6.0)) / F.lit(math.pi)
+    mu = mean - F.lit(GUMBEL_GAMMA) * beta
+    z = mu - beta * F.lit(_gumbel_c())
+    return agg.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        F.round(mean, 6).alias("block_max_mean"),
+        F.round(beta, 6).alias("gumbel_beta"),
+        F.round(mu, 6).alias("gumbel_mu"),
+        F.round(z, 6).alias(f"return_level_{GUMBEL_RETURN_T}"),
+    )
+
+
+def _gumbel_sql() -> str:
+    import math
+
+    return f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS x
+    FROM orders GROUP BY 1
+),
+blocks AS (
+    SELECT (year(day) - 1970) * 12 + month(day) - 1 AS m, MAX(x) AS mx
+    FROM daily GROUP BY 1
+),
+agg AS (
+    SELECT COUNT(*) AS n, SUM(mx) AS s,
+           SUM(CAST(mx AS HUGEINT) * mx) AS q
+    FROM blocks
+),
+d AS (
+    SELECT CAST(n AS DOUBLE) AS n, CAST(s AS DOUBLE) AS s,
+           CAST(q AS DOUBLE) AS q, CAST(n AS BIGINT) AS n_int
+    FROM agg
+)
+SELECT n_int AS n_blocks,
+    ROUND(s / n, 6) AS block_max_mean,
+    ROUND(SQRT((q - n * (s / n) * (s / n)) / (n - 1.0) * 6.0)
+          / {math.pi!r}, 6) AS gumbel_beta,
+    ROUND(s / n - {GUMBEL_GAMMA!r}
+          * (SQRT((q - n * (s / n) * (s / n)) / (n - 1.0) * 6.0)
+             / {math.pi!r}), 6) AS gumbel_mu,
+    ROUND(s / n - {GUMBEL_GAMMA!r}
+          * (SQRT((q - n * (s / n) * (s / n)) / (n - 1.0) * 6.0)
+             / {math.pi!r})
+          - (SQRT((q - n * (s / n) * (s / n)) / (n - 1.0) * 6.0)
+             / {math.pi!r}) * {_gumbel_c()!r}, 6)
+        AS return_level_{GUMBEL_RETURN_T}
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
 # agg_icc_design_effect — intra-cluster correlation + DEFF
 # ---------------------------------------------------------------------------
 
@@ -9987,6 +10101,7 @@ QUERIES = {
     "window_haar_wavelet_energy": window_haar_wavelet_energy,
     "agg_lorenz_curve": agg_lorenz_curve,
     "agg_icc_design_effect": agg_icc_design_effect,
+    "agg_gumbel_extreme_value": agg_gumbel_extreme_value,
     "window_record_highs": window_record_highs,
     "seq_markov_attribution": seq_markov_attribution,
     "agg_market_concentration": agg_market_concentration,
@@ -10092,6 +10207,7 @@ ORACLES = {
     "window_haar_wavelet_energy": _haar_sql(),
     "agg_lorenz_curve": _LORENZ_SQL,
     "agg_icc_design_effect": _ICC_SQL,
+    "agg_gumbel_extreme_value": _gumbel_sql(),
     "window_record_highs": _RECORD_HIGHS_SQL,
     "seq_markov_attribution": _markov_attribution_sql(),
     "agg_market_concentration": _MARKET_CONC_SQL,

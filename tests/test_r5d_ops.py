@@ -1243,3 +1243,59 @@ def test_record_highs_python_reference(spark, sf_dir):
     assert got["last_record_day"] == last
     assert got["expected_micro"] == expected
     assert got["trending"] == (n_rec * 1_000_000 > expected)
+
+
+def test_gumbel_fit_python_reference(spark, sf_dir):
+    from collections import defaultdict
+
+    from parquet_batch_spark.operators.stats_ops import (
+        GUMBEL_GAMMA,
+        _gumbel_c,
+        agg_gumbel_extreme_value,
+    )
+
+    daily: dict = defaultdict(int)
+    for r in load(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.floor("o_totalprice").cast("long").alias("y"),
+    ).collect():
+        daily[r["day"]] += r["y"]
+    blocks: dict = defaultdict(int)
+    for day, x in daily.items():
+        m = (day.year - 1970) * 12 + day.month - 1
+        blocks[m] = max(blocks[m], x)
+    vals = list(blocks.values())
+    n = len(vals)
+    mean = sum(vals) / n
+    var = (sum(v * v for v in vals) - n * mean * mean) / (n - 1)
+    beta = math.sqrt(var * 6.0) / math.pi
+    mu = mean - GUMBEL_GAMMA * beta
+    z = mu - beta * _gumbel_c()
+    got = agg_gumbel_extreme_value(spark, sf_dir).collect()[0]
+    assert got["n_blocks"] == n
+    assert math.isclose(got["block_max_mean"], mean, abs_tol=1e-4)
+    assert math.isclose(got["gumbel_beta"], beta, abs_tol=1e-4)
+    assert math.isclose(got["gumbel_mu"], mu, abs_tol=1e-4)
+    assert math.isclose(got["return_level_100"], z, abs_tol=1e-4)
+    # the 100-block return level sits above the observed mean max
+    assert got["return_level_100"] > got["block_max_mean"]
+
+
+def test_identifier_clause_matches_static(spark, sf_dir):
+    from parquet_batch_spark.operators.scalar_funcs import (
+        sql_identifier_clause,
+    )
+
+    got = [tuple(r) for r in sql_identifier_clause(spark, sf_dir).collect()]
+    exp = [
+        tuple(r)
+        for r in load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor("o_totalprice").cast("long")).alias("total_usd"),
+        )
+        .orderBy("o_orderstatus")
+        .collect()
+    ]
+    assert got == exp
