@@ -218,6 +218,8 @@ HEADLINE = [
     "window_record_highs",
     "agg_gumbel_extreme_value",
     "sql_identifier_clause",
+    "scan_partition_pruning_report",
+    "sink_clustering_factor",
 ]
 
 

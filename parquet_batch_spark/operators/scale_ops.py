@@ -413,7 +413,228 @@ ORDER BY row_group_id
 """
 
 
+# ---------------------------------------------------------------------------
+# scan_partition_pruning_report — stats-pruning effectiveness ladder
+# ---------------------------------------------------------------------------
+
+# (label, lo, hi) — literal o_orderdate ranges of increasing width
+PRUNE_PREDICATES = (
+    ("1_one_day", "1996-03-15", "1996-03-16"),
+    ("2_one_month", "1996-03-01", "1996-04-01"),
+    ("3_one_year", "1996-01-01", "1997-01-01"),
+    ("4_three_years", "1996-01-01", "1999-01-01"),
+)
+
+
+def scan_partition_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruning effectiveness ladder: for predicate ranges of
+    increasing width, how many MONTH partitions of a time-partitioned
+    orders table survive manifest min/max intersection — the planning
+    table that justifies a partition scheme before the 100 TB
+    migration ("a one-day query touches 1 of 80 partitions; a
+    three-year query touches 37 — is month the right grain?").
+    ``scan_minmax_skipping`` proves skipping is CORRECT; this one
+    quantifies how much each query class gets.
+
+    The manifest derives from the deterministic month-shard
+    expression (the layout a ``partitionBy(month)`` sink produces),
+    so the report is exact and layout-reproducible; intersection
+    counts are a ≤(predicates × months) literal cross join.
+    """
+    o = load(spark, sf_dir, "orders")
+    manifest = (
+        o.select(
+            (
+                (F.year("o_orderdate") - F.lit(1970)) * 12
+                + F.month("o_orderdate")
+                - 1
+            ).alias("month_id"),
+            F.col("o_orderdate").alias("d"),
+        )
+        .groupBy("month_id")
+        .agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    )
+    preds = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(label).alias("predicate"),
+                    F.lit(lo).cast("timestamp_ntz").alias("lo"),
+                    F.lit(hi).cast("timestamp_ntz").alias("hi"),
+                )
+                for label, lo, hi in PRUNE_PREDICATES
+            ]
+        )
+    ).alias("p")
+    crossed = manifest.select(preds, "mn", "mx").select(
+        F.col("p.predicate").alias("predicate"),
+        F.col("p.lo").alias("lo"),
+        F.col("p.hi").alias("hi"),
+        "mn",
+        "mx",
+    )
+    return (
+        crossed.groupBy("predicate")
+        .agg(
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.sum(
+                F.when(
+                    (F.col("mx") >= F.col("lo")) & (F.col("mn") < F.col("hi")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .select(
+            "predicate",
+            "n_partitions",
+            "n_kept",
+            F.expr("(1000000 * n_kept) div n_partitions").alias(
+                "keep_micro"
+            ),
+        )
+        .orderBy("predicate")
+    )
+
+
+def _prune_report_sql() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT '{label}' AS predicate,"
+        f" TIMESTAMP '{lo} 00:00:00' AS lo,"
+        f" TIMESTAMP '{hi} 00:00:00' AS hi"
+        for label, lo, hi in PRUNE_PREDICATES
+    )
+    return f"""
+WITH manifest AS (
+    SELECT (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1
+               AS month_id,
+           MIN(o_orderdate) AS mn, MAX(o_orderdate) AS mx
+    FROM orders GROUP BY 1
+),
+preds AS ({rows})
+SELECT p.predicate,
+       COUNT(*) AS n_partitions,
+       CAST(SUM(CASE WHEN m.mx >= p.lo AND m.mn < p.hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       (1000000 * CAST(SUM(CASE WHEN m.mx >= p.lo AND m.mn < p.hi
+                           THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*)
+           AS keep_micro
+FROM preds p CROSS JOIN manifest m
+GROUP BY p.predicate
+ORDER BY p.predicate
+"""
+
+
+# ---------------------------------------------------------------------------
+# sink_clustering_factor — layout quality: range vs hash sharding
+# ---------------------------------------------------------------------------
+
+CF_SHARDS = 16
+
+
+def sink_clustering_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-factor comparison of two {CF_SHARDS}-file layouts of
+    the same table — WHY sorted writes prune and hash-scattered ones
+    don't, as one number per layout: the expected FILES TOUCHED by a
+    point lookup = Σ_shards span_i / key_domain (a shard whose min/max
+    covers the whole domain is hit by every probe). Range sharding
+    scores ≈1, hash sharding ≈{CF_SHARDS} — the quantified version of
+    the z-order/sort advice every table-layout doc hand-waves.
+
+    Shard functions are deterministic expressions (range: key-band
+    div; hash: portable md5 mod), so both manifests are exact and the
+    oracle reproduces them from the table alone.
+    """
+    from parquet_batch_spark.functions.hashing import hash32
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    )
+    bounds = o.agg(
+        F.min("k").alias("kmin"), F.max("k").alias("kmax")
+    )
+    base = o.crossJoin(F.broadcast(bounds))
+
+    def manifest(shard_col, label: str) -> DataFrame:
+        return (
+            base.select(shard_col.alias("shard"), "k", "kmin", "kmax")
+            .groupBy("shard")
+            .agg(
+                F.min("k").alias("mn"),
+                F.max("k").alias("mx"),
+                F.max("kmax").alias("kmax"),
+                F.min("kmin").alias("kmin"),
+            )
+            .agg(
+                F.lit(label).alias("layout"),
+                F.count(F.lit(1)).alias("n_shards"),
+                F.expr(
+                    "CAST((1000000 * sum(mx - mn + 1))"
+                    " div (max(kmax) - min(kmin) + 1) AS BIGINT)"
+                ).alias("files_touched_micro"),
+            )
+        )
+
+    rng = manifest(
+        F.least(
+            F.lit(CF_SHARDS - 1),
+            F.expr(
+                f"((k - kmin) * {CF_SHARDS}) div (kmax - kmin + 1)"
+            ),
+        ),
+        "1_range_clustered",
+    )
+    hsh = manifest(
+        hash32(F.col("k").cast("string")) % CF_SHARDS, "2_hash_scattered"
+    )
+    return rng.unionByName(hsh).orderBy("layout")
+
+
+def _clustering_factor_sql() -> str:
+    from parquet_batch_spark.functions.hashing import sql_hash32
+
+    h = sql_hash32("CAST(k AS VARCHAR)")
+    return f"""
+WITH base AS (
+    SELECT o_custkey AS k FROM orders
+),
+bounds AS (
+    SELECT MIN(k) AS kmin, MAX(k) AS kmax FROM base
+),
+rng AS (
+    SELECT LEAST({CF_SHARDS - 1},
+               ((k - (SELECT kmin FROM bounds)) * {CF_SHARDS})
+               // ((SELECT kmax - kmin + 1 FROM bounds))) AS shard, k
+    FROM base
+),
+hsh AS (
+    SELECT {h} % {CF_SHARDS} AS shard, k FROM base
+),
+m_rng AS (
+    SELECT shard, MIN(k) AS mn, MAX(k) AS mx FROM rng GROUP BY shard
+),
+m_hsh AS (
+    SELECT shard, MIN(k) AS mn, MAX(k) AS mx FROM hsh GROUP BY shard
+)
+SELECT '1_range_clustered' AS layout,
+       COUNT(*) AS n_shards,
+       CAST((1000000 * SUM(mx - mn + 1))
+            // (SELECT kmax - kmin + 1 FROM bounds) AS BIGINT)
+           AS files_touched_micro
+FROM m_rng
+UNION ALL
+SELECT '2_hash_scattered', COUNT(*),
+       CAST((1000000 * SUM(mx - mn + 1))
+            // (SELECT kmax - kmin + 1 FROM bounds) AS BIGINT)
+FROM m_hsh
+ORDER BY layout
+"""
+
+
 QUERIES = {
+    "scan_partition_pruning_report": scan_partition_pruning_report,
+    "sink_clustering_factor": sink_clustering_factor,
     "scan_rowgroup_stats": scan_rowgroup_stats,
     "etl_incremental_agg": etl_incremental_agg,
     "scan_minmax_skipping": scan_minmax_skipping,
@@ -422,6 +643,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "scan_partition_pruning_report": _prune_report_sql(),
+    "sink_clustering_factor": _clustering_factor_sql(),
     "scan_rowgroup_stats": _RG_SQL,
     "etl_incremental_agg": _INC_AGG_SQL,
     "scan_minmax_skipping": _SKIP_SQL,

@@ -1299,3 +1299,40 @@ def test_identifier_clause_matches_static(spark, sf_dir):
         .collect()
     ]
     assert got == exp
+
+
+def test_partition_pruning_report_monotone(spark, sf_dir):
+    from parquet_batch_spark.operators.scale_ops import (
+        scan_partition_pruning_report,
+    )
+
+    rows = {
+        r["predicate"]: r
+        for r in scan_partition_pruning_report(spark, sf_dir).collect()
+    }
+    assert len(rows) == 4
+    kept = [rows[k]["n_kept"] for k in sorted(rows)]
+    # wider predicates keep at least as many partitions
+    assert kept == sorted(kept)
+    # a one-day query prunes almost everything; all rows share a total
+    totals = {r["n_partitions"] for r in rows.values()}
+    assert len(totals) == 1
+    assert rows["1_one_day"]["n_kept"] <= 2
+    assert rows["4_three_years"]["n_kept"] >= 36
+
+
+def test_clustering_factor_separates_layouts(spark, sf_dir):
+    from parquet_batch_spark.operators.scale_ops import (
+        CF_SHARDS,
+        sink_clustering_factor,
+    )
+
+    rows = {
+        r["layout"]: r for r in sink_clustering_factor(spark, sf_dir).collect()
+    }
+    rng = rows["1_range_clustered"]["files_touched_micro"]
+    hsh = rows["2_hash_scattered"]["files_touched_micro"]
+    # range layout: ~1 file per point lookup; hash: ~all files
+    assert rng < 1_300_000, rng
+    assert hsh > (CF_SHARDS - 2) * 1_000_000, hsh
+    assert rows["1_range_clustered"]["n_shards"] == CF_SHARDS
