@@ -220,6 +220,7 @@ HEADLINE = [
     "sql_identifier_clause",
     "scan_partition_pruning_report",
     "sink_clustering_factor",
+    "agg_energy_distance",
 ]
 
 

@@ -1336,3 +1336,46 @@ def test_clustering_factor_separates_layouts(spark, sf_dir):
     assert rng < 1_300_000, rng
     assert hsh > (CF_SHARDS - 2) * 1_000_000, hsh
     assert rows["1_range_clustered"]["n_shards"] == CF_SHARDS
+
+
+def test_energy_distance_python_reference(spark, sf_dir):
+    """Brute-force O(grid²) recompute of Székely's E from the value
+    counts; the op must match exactly (it is exact, not binned)."""
+    from collections import Counter
+
+    from parquet_batch_spark.operators.stats_ops import (
+        TT_GROUP_A,
+        TT_GROUP_B,
+        agg_energy_distance,
+    )
+
+    xa: Counter = Counter()
+    xb: Counter = Counter()
+    for r in load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin(TT_GROUP_A, TT_GROUP_B)
+    ).select(
+        "o_orderpriority", F.floor("o_totalprice").cast("long").alias("v")
+    ).collect():
+        (xa if r["o_orderpriority"] == TT_GROUP_A else xb)[r["v"]] += 1
+
+    def cross_sum(ca: Counter, cb: Counter) -> int:
+        return sum(
+            na * nb * abs(va - vb)
+            for va, na in ca.items()
+            for vb, nb in cb.items()
+        )
+
+    na, nb = sum(xa.values()), sum(xb.values())
+    e = (
+        2 * cross_sum(xa, xb) / (na * nb)
+        - cross_sum(xa, xa) / (na * na)
+        - cross_sum(xb, xb) / (nb * nb)
+    )
+    got = agg_energy_distance(spark, sf_dir).collect()[0]
+    assert got["n_a"] == na and got["n_b"] == nb
+    assert math.isclose(got["energy_distance"], e, rel_tol=1e-6, abs_tol=1e-5)
+    assert math.isclose(
+        got["e_stat"], na * nb / (na + nb) * e, rel_tol=1e-6, abs_tol=1e-4
+    )
+    # E >= 0 always; equality only for identical distributions
+    assert got["energy_distance"] >= 0
