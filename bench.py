@@ -221,6 +221,8 @@ HEADLINE = [
     "scan_partition_pruning_report",
     "sink_clustering_factor",
     "agg_energy_distance",
+    "graph_degree_assortativity",
+    "text_yule_k",
 ]
 
 

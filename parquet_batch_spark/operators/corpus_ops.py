@@ -1005,8 +1005,106 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# graph_degree_assortativity — degree-degree mixing coefficient
+# ---------------------------------------------------------------------------
+
+
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the segment-sharing graph — Newman's r:
+    the Pearson correlation of endpoint degrees over all DIRECTED
+    edge slots. Positive r = hubs prefer hubs (one merged template
+    blob — collapse policies behave very differently there), negative
+    = hub-and-spoke (a few boilerplate anchors touch everything, the
+    common crawl shape). The one-number topology readout after
+    ``graph_degree_histogram`` shows the marginals.
+
+    Exact: degrees from the edge list, the five correlation moments
+    as decimal(38,0) sums over the symmetrized edge slots, r derived
+    in double and rounded. Joins are two hash lookups of the degree
+    table against the edge list — no adjacency materialization.
+    """
+    e = _segment_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    sym = e.select("a", "b").unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("dx"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("dy"))
+    pairs = sym.join(da, "a").join(db, "b")
+    dec38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(dec38(F.col("dx")) * F.col("dy")).alias("sxy"),
+        F.sum(dec38(F.col("dx")) * F.col("dx")).alias("sxx"),
+        F.sum(dec38(F.col("dy")) * F.col("dy")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    r = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.round(r, 6).alias("assortativity"),
+        (F.round(r, 6) > 0).alias("hub_attracts_hub"),
+    )
+
+
+_ASSORT_SQL = f"""
+WITH {SEGMENT_EDGES_CTE},
+deg AS (
+    SELECT v, COUNT(*) AS deg
+    FROM (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+    GROUP BY v
+),
+sym AS (
+    SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
+),
+pairs AS (
+    SELECT da.deg AS dx, db.deg AS dy
+    FROM sym s
+    JOIN deg da ON da.v = s.a
+    JOIN deg db ON db.v = s.b
+),
+m AS (
+    SELECT COUNT(*) AS n, SUM(dx) AS sx, SUM(dy) AS sy,
+           SUM(CAST(dx AS HUGEINT) * dy) AS sxy,
+           SUM(CAST(dx AS HUGEINT) * dx) AS sxx,
+           SUM(CAST(dy AS HUGEINT) * dy) AS syy
+    FROM pairs
+)
+SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+    ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        AS assortativity,
+    ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) > 0
+        AS hub_attracts_hub
+FROM m
+"""
+
+
 QUERIES = {
     "graph_clustering_coefficient": graph_clustering_coefficient,
+    "graph_degree_assortativity": graph_degree_assortativity,
     "graph_neighborhood_jaccard": graph_neighborhood_jaccard,
     "graph_kcore": graph_kcore,
     "dedup_cross_source_matrix": dedup_cross_source_matrix,
@@ -1020,6 +1118,7 @@ QUERIES = {
 
 ORACLES = {
     "graph_clustering_coefficient": _LOCAL_CC_SQL,
+    "graph_degree_assortativity": _ASSORT_SQL,
     "graph_neighborhood_jaccard": _NJ_SQL,
     "graph_kcore": _kcore_sql(),
     "dedup_cross_source_matrix": _CROSS_SOURCE_SQL,

@@ -1683,6 +1683,73 @@ ORDER BY lang, source
 
 
 # ---------------------------------------------------------------------------
+# text_yule_k — Yule's characteristic K vocabulary richness
+# ---------------------------------------------------------------------------
+
+
+def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K per language — the LENGTH-INVARIANT
+    vocabulary-richness constant (unlike raw TTR, which collapses as
+    corpora grow; MSTTR in ``text_lexical_diversity`` fixes that by
+    segmenting, Yule fixes it in closed form): K = 10⁴·(Σ m²·V_m − N)
+    / N², computed from the frequency-of-frequencies spectrum V_m
+    (how many word types occur exactly m times). Repetitive/templated
+    corpora score high K; rich prose scores low — the stylometric
+    screen used from authorship studies to synthetic-text detection.
+
+    Exact integers end-to-end: the spectrum reduces token counts
+    twice (word grain → count grain, both vocabulary-bounded);
+    Σ m²·V_m accumulates in decimal(38,0); K is emitted in exact
+    milli-units by truncating division.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    words = d.select("lang", F.explode(tokens_col("text")).alias("w"))
+    freq = words.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("m"))
+    spectrum = freq.groupBy("lang", "m").agg(
+        F.count(F.lit(1)).alias("v_m")
+    )
+    dec38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    agg = spectrum.groupBy("lang").agg(
+        F.sum(dec38(F.col("m")) * F.col("v_m")).alias("n_tokens"),
+        F.sum("v_m").alias("n_types"),
+        F.sum(dec38(F.col("m")) * F.col("m") * F.col("v_m")).alias("s_m2v"),
+    )
+    return agg.select(
+        "lang",
+        F.expr("CAST(n_tokens AS BIGINT)").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.expr(
+            "CAST((10000000 * (s_m2v - n_tokens))"
+            " div (n_tokens * n_tokens) AS BIGINT)"
+        ).alias("yule_k_milli"),
+    ).orderBy("lang")
+
+
+_YULE_SQL = f"""
+WITH freq AS (
+    SELECT lang, w, COUNT(*) AS m
+    FROM (SELECT lang, unnest({sql_tokens("text")}) AS w FROM documents)
+    GROUP BY lang, w
+),
+spectrum AS (
+    SELECT lang, m, COUNT(*) AS v_m FROM freq GROUP BY lang, m
+),
+agg AS (
+    SELECT lang,
+        SUM(CAST(m AS HUGEINT) * v_m) AS n_tokens,
+        CAST(SUM(v_m) AS BIGINT) AS n_types,
+        SUM(CAST(m AS HUGEINT) * m * v_m) AS s_m2v
+    FROM spectrum GROUP BY lang
+)
+SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens, n_types,
+    CAST((10000000 * (s_m2v - n_tokens)) // (n_tokens * n_tokens)
+         AS BIGINT) AS yule_k_milli
+FROM agg
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # text_textrank_keywords — graph-based keywords (TextRank)
 # ---------------------------------------------------------------------------
 
@@ -2013,6 +2080,7 @@ LIMIT {RAKE_TOPK}
 QUERIES = {
     "text_rake_keywords": text_rake_keywords,
     "text_textrank_keywords": text_textrank_keywords,
+    "text_yule_k": text_yule_k,
     "text_bm25_topk": text_bm25_topk,
     "text_langid_ngram_profile": text_langid_ngram_profile,
     "quality_ndcg_ranking_eval": quality_ndcg_ranking_eval,
@@ -2038,6 +2106,7 @@ QUERIES = {
 ORACLES = {
     "text_rake_keywords": _RAKE_SQL,
     "text_textrank_keywords": _textrank_sql(),
+    "text_yule_k": _YULE_SQL,
     "text_bm25_topk": _BM25_SQL,
     "text_langid_ngram_profile": _CT_LANGID_SQL,
     "quality_ndcg_ranking_eval": _ndcg_sql(),

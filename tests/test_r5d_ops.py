@@ -1379,3 +1379,54 @@ def test_energy_distance_python_reference(spark, sf_dir):
     )
     # E >= 0 always; equality only for identical distributions
     assert got["energy_distance"] >= 0
+
+
+def test_degree_assortativity_python_reference(spark, sf_dir):
+    from collections import defaultdict
+
+    from parquet_batch_spark.operators.corpus_ops import (
+        graph_degree_assortativity,
+    )
+    from parquet_batch_spark.operators.llm_prep import segment_edges
+
+    edges = [(r["a"], r["b"]) for r in segment_edges(spark, sf_dir).collect()]
+    deg: dict[int, int] = defaultdict(int)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    slots = [(deg[a], deg[b]) for a, b in edges] + [
+        (deg[b], deg[a]) for a, b in edges
+    ]
+    n = len(slots)
+    sx = sum(x for x, _ in slots)
+    sy = sum(y for _, y in slots)
+    sxy = sum(x * y for x, y in slots)
+    sxx = sum(x * x for x, _ in slots)
+    syy = sum(y * y for _, y in slots)
+    r = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    )
+    got = graph_degree_assortativity(spark, sf_dir).collect()[0]
+    assert got["n_edges"] == len(edges)
+    assert math.isclose(got["assortativity"], r, abs_tol=1.1e-6)
+    assert -1.0 <= got["assortativity"] <= 1.0
+
+
+def test_yule_k_python_reference(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    from parquet_batch_spark.operators.text_analysis import text_yule_k
+
+    freq: dict[str, Counter] = defaultdict(Counter)
+    for r in load(spark, sf_dir, "documents").select("lang", "text").collect():
+        freq[r["lang"]].update(r["text"].strip().split())
+    got = {r["lang"]: r for r in text_yule_k(spark, sf_dir).collect()}
+    assert set(got) == set(freq)
+    for lang, c in freq.items():
+        n = sum(c.values())
+        s_m2v = sum(m * m for m in c.values())
+        k_milli = (10_000_000 * (s_m2v - n)) // (n * n)
+        assert got[lang]["n_tokens"] == n
+        assert got[lang]["n_types"] == len(c)
+        assert got[lang]["yule_k_milli"] == k_milli
+        assert got[lang]["yule_k_milli"] >= 0
