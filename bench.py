@@ -223,6 +223,7 @@ HEADLINE = [
     "agg_energy_distance",
     "graph_degree_assortativity",
     "text_yule_k",
+    "multimodal_interleaved_budget",
 ]
 
 

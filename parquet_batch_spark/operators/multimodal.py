@@ -967,6 +967,112 @@ ORDER BY bucket_idx
 VIT_PATCH = 14  # ViT-L patch side
 
 
+MM_PACK_BUDGET = 8192  # interleaved context length (tokens)
+
+
+def multimodal_interleaved_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved vision-language packing plan — what a
+    Flamingo/LLaVA-style trainer actually feeds: each document costs
+    TEXT tokens PLUS its image's ViT patch tokens, and sequences are
+    packed to the {MM_PACK_BUDGET}-token context across BOTH
+    modalities (the pure-text plan in ``seq_pack_chunks`` and the
+    pure-vision budget in ``multimodal_patch_token_budget`` each miss
+    half the cost). Output per (lang, seq): member docs, text/vision
+    token split, and fill rate — the table that prices an interleaved
+    training run.
+
+    Same deterministic-shuffle prefix-sum recipe as seq_pack_chunks
+    (portable-hash order, window partitioned by lang — shard further
+    at 100 TB); image cost is the exact integer patch formula shared
+    with the budget op.
+
+    Scale: one corpus pass, one lang-partitioned window, one packed
+    aggregate.
+    """
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    from parquet_batch_spark.functions.hashing import hash32 as _h32
+    from parquet_batch_spark.functions.text import tokens_col as _tc
+
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.size(_tc("text")).cast("long").alias("txt_tok"),
+        F.expr(
+            f"((({_DIM_W}) + {VIT_PATCH - 1}) div {VIT_PATCH})"
+            f" * ((({_DIM_H}) + {VIT_PATCH - 1}) div {VIT_PATCH}) + 1"
+        )
+        .cast("long")
+        .alias("img_tok"),
+        _h32(F.col("doc_id").cast("string")).alias("hk"),
+    ).withColumn("n_tok", F.col("txt_tok") + F.col("img_tok"))
+    w = (
+        W.partitionBy("lang")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("long"))
+    seq = t.withColumn(
+        "seq_id", F.floor(off / F.lit(MM_PACK_BUDGET)).cast("long")
+    )
+    return (
+        seq.groupBy("lang", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("txt_tok").alias("text_tokens"),
+            F.sum("img_tok").alias("vision_tokens"),
+        )
+        .select(
+            "lang",
+            "seq_id",
+            "n_docs",
+            "text_tokens",
+            "vision_tokens",
+            F.expr(
+                "(1000000 * vision_tokens)"
+                " div (text_tokens + vision_tokens)"
+            ).alias("vision_share_micro"),
+        )
+        .orderBy("lang", "seq_id")
+    )
+
+
+def _interleaved_sql() -> str:
+    from parquet_batch_spark.functions.hashing import sql_hash32
+    from parquet_batch_spark.functions.text import sql_tokens
+
+    return f"""
+WITH t AS (
+    SELECT doc_id, lang,
+        CAST(len({sql_tokens("text")}) AS BIGINT) AS txt_tok,
+        CAST(((({_DIM_W}) + {VIT_PATCH - 1}) // {VIT_PATCH})
+             * ((({_DIM_H}) + {VIT_PATCH - 1}) // {VIT_PATCH}) + 1
+             AS BIGINT) AS img_tok,
+        {sql_hash32("CAST(doc_id AS VARCHAR)")} AS hk
+    FROM documents
+),
+seqd AS (
+    SELECT lang, txt_tok, img_tok,
+        COALESCE(SUM(txt_tok + img_tok) OVER (PARTITION BY lang
+            ORDER BY hk, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // {MM_PACK_BUDGET} AS seq_id
+    FROM t
+)
+SELECT lang, CAST(seq_id AS BIGINT) AS seq_id,
+    COUNT(*) AS n_docs,
+    CAST(SUM(txt_tok) AS BIGINT) AS text_tokens,
+    CAST(SUM(img_tok) AS BIGINT) AS vision_tokens,
+    (1000000 * CAST(SUM(img_tok) AS BIGINT))
+        // (CAST(SUM(txt_tok) AS BIGINT) + CAST(SUM(img_tok) AS BIGINT))
+        AS vision_share_micro
+FROM seqd
+GROUP BY lang, seq_id
+ORDER BY lang, seq_id
+"""
+
+
 def multimodal_patch_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vision-token budgeting — ``text_tokenizer_fertility``'s
     multimodal sibling: a ViT consumes ⌈w/{VIT_PATCH}⌉·⌈h/{VIT_PATCH}⌉
@@ -1170,6 +1276,7 @@ ORDER BY d.doc_id
 
 
 QUERIES = {
+    "multimodal_interleaved_budget": multimodal_interleaved_budget,
     "multimodal_caption_alignment": multimodal_caption_alignment,
     "multimodal_patch_token_budget": multimodal_patch_token_budget,
     "multimodal_aspect_bucket": multimodal_aspect_bucket,
@@ -1186,6 +1293,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_interleaved_budget": _interleaved_sql(),
     "multimodal_caption_alignment": _CAP_ALIGN_SQL,
     "multimodal_patch_token_budget": _PATCH_SQL,
     "multimodal_aspect_bucket": _aspect_sql(),

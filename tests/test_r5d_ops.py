@@ -1430,3 +1430,51 @@ def test_yule_k_python_reference(spark, sf_dir):
         assert got[lang]["n_types"] == len(c)
         assert got[lang]["yule_k_milli"] == k_milli
         assert got[lang]["yule_k_milli"] >= 0
+
+
+def test_interleaved_budget_python_reference(spark, sf_dir):
+    import hashlib
+    from collections import defaultdict
+
+    from parquet_batch_spark.operators.multimodal import (
+        MM_PACK_BUDGET,
+        VIT_PATCH,
+        multimodal_interleaved_budget,
+    )
+
+    rows = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    per_lang: dict[str, list] = defaultdict(list)
+    for r in rows:
+        txt = len(r["text"].strip().split())
+        w = 256 + (r["doc_id"] * 37) % 768
+        h = 256 + (r["doc_id"] * 53) % 768
+        img = ((w + VIT_PATCH - 1) // VIT_PATCH) * (
+            (h + VIT_PATCH - 1) // VIT_PATCH
+        ) + 1
+        hk = int(
+            hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16
+        )
+        per_lang[r["lang"]].append((hk, r["doc_id"], txt, img))
+    exp: dict[tuple, list[int]] = {}
+    for lang, docs in per_lang.items():
+        docs.sort()
+        off = 0
+        for _, _, txt, img in docs:
+            seq = off // MM_PACK_BUDGET
+            k = (lang, seq)
+            e = exp.setdefault(k, [0, 0, 0])
+            e[0] += 1
+            e[1] += txt
+            e[2] += img
+            off += txt + img
+    got = {
+        (r["lang"], r["seq_id"]): [
+            r["n_docs"],
+            r["text_tokens"],
+            r["vision_tokens"],
+        ]
+        for r in multimodal_interleaved_budget(spark, sf_dir).collect()
+    }
+    assert got == exp
