@@ -224,6 +224,8 @@ HEADLINE = [
     "graph_degree_assortativity",
     "text_yule_k",
     "multimodal_interleaved_budget",
+    "text_chao1_vocabulary",
+    "dedup_prefix_cluster",
 ]
 
 

@@ -1896,6 +1896,75 @@ ORDER BY thr_micro
 
 
 # ---------------------------------------------------------------------------
+# dedup_prefix_cluster — shared-opening boilerplate groups
+# ---------------------------------------------------------------------------
+
+PREFIX_K = 10  # tokens in the prefix key
+
+
+def dedup_prefix_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-PREFIX duplicate groups: documents opening with the
+    same first {PREFIX_K} tokens — the crawl pathology none of the
+    whole-document sketches isolate (mirrored article headers, feed
+    boilerplate openers, licence preambles): minhash sees the whole
+    doc, paragraph dedup needs identical paragraphs; prefix grouping
+    is the two-minute report that catches templated OPENINGS
+    specifically. Per group: size, representative (min doc_id),
+    whether the group crosses sources (cross-source prefix reuse =
+    syndication, within-source = template).
+
+    One hash groupBy on the prefix key (portable md5 — fixed-width
+    shuffle exactly like dedup_exact); short docs key on their whole
+    text. Only groups >1 survive.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    prefix = F.array_join(
+        F.slice(toks, 1, PREFIX_K), " "
+    )
+    keyed = d.select(
+        "doc_id",
+        "source",
+        hash32(prefix).alias("pk"),
+    )
+    return (
+        keyed.groupBy("pk")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("representative"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .where(F.col("n_docs") > 1)
+        .select(
+            "pk",
+            "n_docs",
+            "representative",
+            F.col("n_sources").cast("long").alias("n_sources"),
+            (F.col("n_sources") > 1).alias("cross_source"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("representative"))
+    )
+
+
+def _prefix_cluster_sql() -> str:
+    toks = sql_tokens("text")
+    prefix = f"array_to_string(({toks})[1:{PREFIX_K}], ' ')"
+    return f"""
+WITH keyed AS (
+    SELECT doc_id, source, {sql_hash32(prefix)} AS pk
+    FROM documents
+)
+SELECT pk, COUNT(*) AS n_docs, MIN(doc_id) AS representative,
+       COUNT(DISTINCT source) AS n_sources,
+       COUNT(DISTINCT source) > 1 AS cross_source
+FROM keyed
+GROUP BY pk
+HAVING COUNT(*) > 1
+ORDER BY n_docs DESC, representative ASC
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup_fellegi_sunter_weights — record-linkage agreement weights
 # ---------------------------------------------------------------------------
 
@@ -2098,6 +2167,7 @@ ORDER BY m_r.field
 
 QUERIES = {
     "dedup_fellegi_sunter_weights": dedup_fellegi_sunter_weights,
+    "dedup_prefix_cluster": dedup_prefix_cluster,
     "dedup_threshold_sweep": dedup_threshold_sweep,
     "dedup_sorted_neighborhood": dedup_sorted_neighborhood,
     "dedup_lsh_recall_eval": dedup_lsh_recall_eval,
@@ -2117,6 +2187,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_fellegi_sunter_weights": _fellegi_sunter_sql(),
+    "dedup_prefix_cluster": _prefix_cluster_sql(),
     "dedup_threshold_sweep": _SWEEP_SQL,
     "dedup_sorted_neighborhood": _snm_sql(),
     "dedup_cluster_representative": _DEDUP_REP_SQL,

@@ -1683,6 +1683,76 @@ ORDER BY lang, source
 
 
 # ---------------------------------------------------------------------------
+# text_chao1_vocabulary — unseen-species vocabulary estimate
+# ---------------------------------------------------------------------------
+
+
+def text_chao1_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 estimator of TOTAL vocabulary per language — the
+    unseen-species bound ecology lends to corpus planning: observed
+    types V plus F₁²/(2F₂) from the singleton/doubleton counts
+    estimates how many word types the corpus has NOT yet seen, i.e.
+    whether more crawl budget still buys vocabulary (the asymptote
+    ``text_vocab_growth`` plots, in closed form). Coverage = V/V̂ in
+    micro-units is the "how done are we" readout.
+
+    Exact integers: the frequency spectrum reduces twice (both
+    vocabulary-bounded); the bias-corrected form
+    F₁(F₁−1)/(2(F₂+1)) keeps the estimate finite when F₂=0 and is one
+    truncating division.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    freq = (
+        d.select("lang", F.explode(tokens_col("text")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    agg = freq.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("v_obs"),
+        F.sum(F.when(F.col("m") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("m") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+    )
+    unseen = F.expr("(f1 * (f1 - 1)) div (2 * (f2 + 1))")
+    return agg.select(
+        "lang",
+        F.col("v_obs").cast("long").alias("v_observed"),
+        "f1",
+        "f2",
+        (F.col("v_obs") + unseen).cast("long").alias("chao1_estimate"),
+        F.expr(
+            "(1000000 * v_obs) div (v_obs + (f1 * (f1 - 1))"
+            " div (2 * (f2 + 1)))"
+        ).alias("coverage_micro"),
+    ).orderBy("lang")
+
+
+_CHAO1_SQL = f"""
+WITH freq AS (
+    SELECT lang, w, COUNT(*) AS m
+    FROM (SELECT lang, unnest({sql_tokens("text")}) AS w FROM documents)
+    GROUP BY lang, w
+),
+agg AS (
+    SELECT lang, COUNT(*) AS v_obs,
+        CAST(SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        CAST(SUM(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+    FROM freq GROUP BY lang
+)
+SELECT lang, CAST(v_obs AS BIGINT) AS v_observed, f1, f2,
+    CAST(v_obs + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS BIGINT)
+        AS chao1_estimate,
+    (1000000 * v_obs) // (v_obs + (f1 * (f1 - 1)) // (2 * (f2 + 1)))
+        AS coverage_micro
+FROM agg
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # text_yule_k — Yule's characteristic K vocabulary richness
 # ---------------------------------------------------------------------------
 
@@ -2081,6 +2151,7 @@ QUERIES = {
     "text_rake_keywords": text_rake_keywords,
     "text_textrank_keywords": text_textrank_keywords,
     "text_yule_k": text_yule_k,
+    "text_chao1_vocabulary": text_chao1_vocabulary,
     "text_bm25_topk": text_bm25_topk,
     "text_langid_ngram_profile": text_langid_ngram_profile,
     "quality_ndcg_ranking_eval": quality_ndcg_ranking_eval,
@@ -2107,6 +2178,7 @@ ORACLES = {
     "text_rake_keywords": _RAKE_SQL,
     "text_textrank_keywords": _textrank_sql(),
     "text_yule_k": _YULE_SQL,
+    "text_chao1_vocabulary": _CHAO1_SQL,
     "text_bm25_topk": _BM25_SQL,
     "text_langid_ngram_profile": _CT_LANGID_SQL,
     "quality_ndcg_ranking_eval": _ndcg_sql(),

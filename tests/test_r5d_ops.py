@@ -1478,3 +1478,59 @@ def test_interleaved_budget_python_reference(spark, sf_dir):
         for r in multimodal_interleaved_budget(spark, sf_dir).collect()
     }
     assert got == exp
+
+
+def test_chao1_python_reference(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    from parquet_batch_spark.operators.text_analysis import (
+        text_chao1_vocabulary,
+    )
+
+    freq: dict[str, Counter] = defaultdict(Counter)
+    for r in load(spark, sf_dir, "documents").select("lang", "text").collect():
+        freq[r["lang"]].update(r["text"].strip().split())
+    got = {r["lang"]: r for r in text_chao1_vocabulary(spark, sf_dir).collect()}
+    for lang, c in freq.items():
+        v = len(c)
+        f1 = sum(1 for m in c.values() if m == 1)
+        f2 = sum(1 for m in c.values() if m == 2)
+        est = v + (f1 * (f1 - 1)) // (2 * (f2 + 1))
+        assert got[lang]["v_observed"] == v
+        assert got[lang]["f1"] == f1 and got[lang]["f2"] == f2
+        assert got[lang]["chao1_estimate"] == est
+        # estimator never goes below the observed vocabulary
+        assert est >= v
+        assert got[lang]["coverage_micro"] == (1_000_000 * v) // est
+
+
+def test_prefix_cluster_python_reference(spark, sf_dir):
+    import hashlib
+    from collections import defaultdict
+
+    from parquet_batch_spark.operators.dedup import (
+        PREFIX_K,
+        dedup_prefix_cluster,
+    )
+
+    groups: dict[int, list] = defaultdict(list)
+    for r in load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).collect():
+        prefix = " ".join(r["text"].strip().split()[:PREFIX_K])
+        pk = int(hashlib.md5(prefix.encode()).hexdigest()[:8], 16)
+        groups[pk].append((r["doc_id"], r["source"]))
+    exp = {
+        pk: (
+            len(v),
+            min(d for d, _ in v),
+            len({s for _, s in v}),
+        )
+        for pk, v in groups.items()
+        if len(v) > 1
+    }
+    got = {
+        r["pk"]: (r["n_docs"], r["representative"], r["n_sources"])
+        for r in dedup_prefix_cluster(spark, sf_dir).collect()
+    }
+    assert got == exp
