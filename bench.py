@@ -226,6 +226,8 @@ HEADLINE = [
     "multimodal_interleaved_budget",
     "text_chao1_vocabulary",
     "dedup_prefix_cluster",
+    "agg_price_index_laspeyres",
+    "text_good_turing_mass",
 ]
 
 

@@ -6922,6 +6922,127 @@ ORDER BY bucket
 
 
 # ---------------------------------------------------------------------------
+# agg_price_index_laspeyres — fixed-basket price indices
+# ---------------------------------------------------------------------------
+
+PI_BASE_YEAR = 1996
+PI_CURR_YEAR = 1998
+
+
+def agg_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres, Paasche, and Fisher price indices between
+    {PI_BASE_YEAR} and {PI_CURR_YEAR} over the common-parts basket —
+    the economics-grade answer to "did OUR prices rise or did the MIX
+    shift", which a raw average-price delta conflates (Laspeyres
+    weights by base-period quantities, Paasche by current, Fisher is
+    their geometric mean; the gap between L and P IS the
+    substitution/mix effect).
+
+    Per (part, year): cent-exact unit value (Σ cents div Σ qty) and
+    quantity from lineitem; indices are ratios of decimal-exact
+    basket sums over parts traded in BOTH periods. The only
+    transcendental is Fisher's one sqrt, rounded to 6dp.
+
+    Scale: part-grain reduce per period (partial-aggregated), one
+    co-partitioned equi-join on partkey, 4 scalar sums.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.year("o_orderdate").alias("yr"),
+    )
+    base = (
+        li.select(
+            "l_orderkey",
+            "l_partkey",
+            F.col("l_quantity").cast("long").alias("q"),
+            F.floor(F.lit(100.0) * F.col("l_extendedprice"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .join(o, "l_orderkey")
+        .where(F.col("yr").isin(PI_BASE_YEAR, PI_CURR_YEAR))
+        .groupBy("l_partkey", "yr")
+        .agg(F.sum("q").alias("q"), F.sum("cents").alias("cents"))
+        .select(
+            "l_partkey",
+            "yr",
+            "q",
+            F.expr("cents div q").alias("unit_cents"),
+        )
+    )
+    p0 = base.where(F.col("yr") == PI_BASE_YEAR).select(
+        "l_partkey",
+        F.col("q").alias("q0"),
+        F.col("unit_cents").alias("p0"),
+    )
+    p1 = base.where(F.col("yr") == PI_CURR_YEAR).select(
+        "l_partkey",
+        F.col("q").alias("q1"),
+        F.col("unit_cents").alias("p1"),
+    )
+    dec38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    j = p0.join(p1, "l_partkey")
+    m = j.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(dec38(F.col("p1")) * F.col("q0")).alias("p1q0"),
+        F.sum(dec38(F.col("p0")) * F.col("q0")).alias("p0q0"),
+        F.sum(dec38(F.col("p1")) * F.col("q1")).alias("p1q1"),
+        F.sum(dec38(F.col("p0")) * F.col("q1")).alias("p0q1"),
+    )
+    lasp = F.col("p1q0").cast("double") / F.col("p0q0").cast("double")
+    paas = F.col("p1q1").cast("double") / F.col("p0q1").cast("double")
+    return m.select(
+        F.col("n_parts").cast("long").alias("n_common_parts"),
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+        F.round(lasp - paas, 6).alias("substitution_gap"),
+    )
+
+
+_PRICE_INDEX_SQL = f"""
+WITH base AS (
+    SELECT l.l_partkey, year(o.o_orderdate) AS yr,
+        CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q,
+        CAST(SUM(CAST(FLOOR(100.0 * l.l_extendedprice) AS BIGINT))
+             AS BIGINT) AS cents
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE year(o.o_orderdate) IN ({PI_BASE_YEAR}, {PI_CURR_YEAR})
+    GROUP BY 1, 2
+),
+uv AS (
+    SELECT l_partkey, yr, q, cents // q AS unit_cents FROM base
+),
+j AS (
+    SELECT b0.l_partkey, b0.q AS q0, b0.unit_cents AS p0,
+           b1.q AS q1, b1.unit_cents AS p1
+    FROM (SELECT * FROM uv WHERE yr = {PI_BASE_YEAR}) b0
+    JOIN (SELECT * FROM uv WHERE yr = {PI_CURR_YEAR}) b1
+         ON b1.l_partkey = b0.l_partkey
+),
+m AS (
+    SELECT COUNT(*) AS n_parts,
+        SUM(CAST(p1 AS HUGEINT) * q0) AS p1q0,
+        SUM(CAST(p0 AS HUGEINT) * q0) AS p0q0,
+        SUM(CAST(p1 AS HUGEINT) * q1) AS p1q1,
+        SUM(CAST(p0 AS HUGEINT) * q1) AS p0q1
+    FROM j
+)
+SELECT CAST(n_parts AS BIGINT) AS n_common_parts,
+    ROUND(CAST(p1q0 AS DOUBLE) / CAST(p0q0 AS DOUBLE), 6) AS laspeyres,
+    ROUND(CAST(p1q1 AS DOUBLE) / CAST(p0q1 AS DOUBLE), 6) AS paasche,
+    ROUND(SQRT((CAST(p1q0 AS DOUBLE) / CAST(p0q0 AS DOUBLE))
+               * (CAST(p1q1 AS DOUBLE) / CAST(p0q1 AS DOUBLE))), 6)
+        AS fisher,
+    ROUND(CAST(p1q0 AS DOUBLE) / CAST(p0q0 AS DOUBLE)
+          - CAST(p1q1 AS DOUBLE) / CAST(p0q1 AS DOUBLE), 6)
+        AS substitution_gap
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
 # agg_energy_distance — exact two-sample energy statistic
 # ---------------------------------------------------------------------------
 
@@ -10272,6 +10393,7 @@ QUERIES = {
     "agg_icc_design_effect": agg_icc_design_effect,
     "agg_gumbel_extreme_value": agg_gumbel_extreme_value,
     "agg_energy_distance": agg_energy_distance,
+    "agg_price_index_laspeyres": agg_price_index_laspeyres,
     "window_record_highs": window_record_highs,
     "seq_markov_attribution": seq_markov_attribution,
     "agg_market_concentration": agg_market_concentration,
@@ -10379,6 +10501,7 @@ ORACLES = {
     "agg_icc_design_effect": _ICC_SQL,
     "agg_gumbel_extreme_value": _gumbel_sql(),
     "agg_energy_distance": _ENERGY_SQL,
+    "agg_price_index_laspeyres": _PRICE_INDEX_SQL,
     "window_record_highs": _RECORD_HIGHS_SQL,
     "seq_markov_attribution": _markov_attribution_sql(),
     "agg_market_concentration": _MARKET_CONC_SQL,

@@ -1683,6 +1683,99 @@ ORDER BY lang, source
 
 
 # ---------------------------------------------------------------------------
+# text_good_turing_mass — missing probability mass per language
+# ---------------------------------------------------------------------------
+
+GT_MAX_R = 5  # smoothed-count ladder depth
+
+
+def text_good_turing_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing missing mass and the smoothed low-count ladder per
+    language: P₀ = F₁/N is the probability the NEXT token is a word
+    never seen — the number that calibrates OOV handling and tells a
+    language-model smoother how much mass to reserve (Kneser–Ney's
+    discount, ``text_kneser_ney_score``, is the per-n-gram version of
+    exactly this reservation). The ladder r* = (r+1)·F_{{r+1}}/F_r
+    for r ≤ {GT_MAX_R} shows how far raw counts overstate rare-word
+    probability.
+
+    All exact integers from the frequency-of-frequencies spectrum:
+    P₀ and each r* in micro-units by truncating division; rows with
+    F_r = 0 emit NULL r* (mirrored CASE).
+    """
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    freq = (
+        d.select("lang", F.explode(tokens_col("text")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    spectrum = freq.groupBy("lang", "m").agg(
+        F.count(F.lit(1)).alias("f")
+    )
+    caps = [
+        F.sum(F.when(F.col("m") == r, F.col("f")).otherwise(0))
+        .cast("long")
+        .alias(f"f{r}")
+        for r in range(1, GT_MAX_R + 2)
+    ]
+    agg = spectrum.groupBy("lang").agg(
+        F.sum(F.col("m").cast("decimal(38,0)") * F.col("f")).alias(
+            "n_tokens"
+        ),
+        *caps,
+    )
+    rstars = [
+        F.when(
+            F.col(f"f{r}") > 0,
+            F.expr(f"(1000000 * {r + 1} * f{r + 1}) div f{r}"),
+        ).alias(f"rstar{r}_micro")
+        for r in range(1, GT_MAX_R + 1)
+    ]
+    return agg.select(
+        "lang",
+        F.expr("CAST(n_tokens AS BIGINT)").alias("n_tokens"),
+        "f1",
+        F.expr("CAST((1000000 * f1) div n_tokens AS BIGINT)").alias(
+            "missing_mass_micro"
+        ),
+        *rstars,
+    ).orderBy("lang")
+
+
+def _good_turing_sql() -> str:
+    caps = ",\n        ".join(
+        f"CAST(SUM(CASE WHEN m = {r} THEN f ELSE 0 END) AS BIGINT) AS f{r}"
+        for r in range(1, GT_MAX_R + 2)
+    )
+    rstars = ",\n    ".join(
+        f"CASE WHEN f{r} > 0 THEN (1000000 * {r + 1} * f{r + 1}) // f{r}"
+        f" END AS rstar{r}_micro"
+        for r in range(1, GT_MAX_R + 1)
+    )
+    return f"""
+WITH freq AS (
+    SELECT lang, w, COUNT(*) AS m
+    FROM (SELECT lang, unnest({sql_tokens("text")}) AS w FROM documents)
+    GROUP BY lang, w
+),
+spectrum AS (
+    SELECT lang, m, COUNT(*) AS f FROM freq GROUP BY lang, m
+),
+agg AS (
+    SELECT lang,
+        SUM(CAST(m AS HUGEINT) * f) AS n_tokens,
+        {caps}
+    FROM spectrum GROUP BY lang
+)
+SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens, f1,
+    CAST((1000000 * f1) // n_tokens AS BIGINT) AS missing_mass_micro,
+    {rstars}
+FROM agg
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # text_chao1_vocabulary — unseen-species vocabulary estimate
 # ---------------------------------------------------------------------------
 
@@ -2152,6 +2245,7 @@ QUERIES = {
     "text_textrank_keywords": text_textrank_keywords,
     "text_yule_k": text_yule_k,
     "text_chao1_vocabulary": text_chao1_vocabulary,
+    "text_good_turing_mass": text_good_turing_mass,
     "text_bm25_topk": text_bm25_topk,
     "text_langid_ngram_profile": text_langid_ngram_profile,
     "quality_ndcg_ranking_eval": quality_ndcg_ranking_eval,
@@ -2179,6 +2273,7 @@ ORACLES = {
     "text_textrank_keywords": _textrank_sql(),
     "text_yule_k": _YULE_SQL,
     "text_chao1_vocabulary": _CHAO1_SQL,
+    "text_good_turing_mass": _good_turing_sql(),
     "text_bm25_topk": _BM25_SQL,
     "text_langid_ngram_profile": _CT_LANGID_SQL,
     "quality_ndcg_ranking_eval": _ndcg_sql(),

@@ -1534,3 +1534,86 @@ def test_prefix_cluster_python_reference(spark, sf_dir):
         for r in dedup_prefix_cluster(spark, sf_dir).collect()
     }
     assert got == exp
+
+
+def test_price_index_python_reference(spark, sf_dir):
+    from collections import defaultdict
+
+    from parquet_batch_spark.operators.stats_ops import (
+        PI_BASE_YEAR,
+        PI_CURR_YEAR,
+        agg_price_index_laspeyres,
+    )
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .join(
+            load(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                F.year("o_orderdate").alias("yr"),
+            ),
+            "l_orderkey",
+        )
+        .where(F.col("yr").isin(PI_BASE_YEAR, PI_CURR_YEAR))
+        .select(
+            "l_partkey",
+            "yr",
+            F.col("l_quantity").cast("long").alias("q"),
+            F.floor(F.lit(100.0) * F.col("l_extendedprice"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .collect()
+    )
+    agg: dict[tuple, list[int]] = defaultdict(lambda: [0, 0])
+    for r in li:
+        a = agg[(r["l_partkey"], r["yr"])]
+        a[0] += r["q"]
+        a[1] += r["cents"]
+    uv = {k: (v[0], v[1] // v[0]) for k, v in agg.items()}
+    parts = {p for p, y in uv if y == PI_BASE_YEAR} & {
+        p for p, y in uv if y == PI_CURR_YEAR
+    }
+    p1q0 = sum(uv[(p, PI_CURR_YEAR)][1] * uv[(p, PI_BASE_YEAR)][0] for p in parts)
+    p0q0 = sum(uv[(p, PI_BASE_YEAR)][1] * uv[(p, PI_BASE_YEAR)][0] for p in parts)
+    p1q1 = sum(uv[(p, PI_CURR_YEAR)][1] * uv[(p, PI_CURR_YEAR)][0] for p in parts)
+    p0q1 = sum(uv[(p, PI_BASE_YEAR)][1] * uv[(p, PI_CURR_YEAR)][0] for p in parts)
+    got = agg_price_index_laspeyres(spark, sf_dir).collect()[0]
+    assert got["n_common_parts"] == len(parts)
+    assert math.isclose(got["laspeyres"], p1q0 / p0q0, abs_tol=1e-5)
+    assert math.isclose(got["paasche"], p1q1 / p0q1, abs_tol=1e-5)
+    assert math.isclose(
+        got["fisher"],
+        math.sqrt((p1q0 / p0q0) * (p1q1 / p0q1)),
+        abs_tol=1e-5,
+    )
+
+
+def test_good_turing_python_reference(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    from parquet_batch_spark.operators.text_analysis import (
+        GT_MAX_R,
+        text_good_turing_mass,
+    )
+
+    freq: dict[str, Counter] = defaultdict(Counter)
+    for r in load(spark, sf_dir, "documents").select("lang", "text").collect():
+        freq[r["lang"]].update(r["text"].strip().split())
+    got = {r["lang"]: r for r in text_good_turing_mass(spark, sf_dir).collect()}
+    for lang, c in freq.items():
+        n = sum(c.values())
+        spec = Counter(c.values())
+        assert got[lang]["n_tokens"] == n
+        assert got[lang]["f1"] == spec.get(1, 0)
+        assert (
+            got[lang]["missing_mass_micro"]
+            == (1_000_000 * spec.get(1, 0)) // n
+        )
+        for r_ in range(1, GT_MAX_R + 1):
+            fr, fr1 = spec.get(r_, 0), spec.get(r_ + 1, 0)
+            exp = (1_000_000 * (r_ + 1) * fr1) // fr if fr > 0 else None
+            assert got[lang][f"rstar{r_}_micro"] == exp
+        # Good-Turing deflates singleton counts (r*=1 < 1 in a Zipfian
+        # corpus); missing mass is a probability
+        assert 0 <= got[lang]["missing_mass_micro"] <= 1_000_000
