@@ -228,6 +228,7 @@ HEADLINE = [
     "dedup_prefix_cluster",
     "agg_price_index_laspeyres",
     "text_good_turing_mass",
+    "window_spc_control_limits",
 ]
 
 

@@ -6922,6 +6922,131 @@ ORDER BY bucket
 
 
 # ---------------------------------------------------------------------------
+# window_spc_control_limits — Shewhart XmR individuals chart
+# ---------------------------------------------------------------------------
+
+SPC_D2_INV_MICRO = 886_525  # 1/1.128 in micro units (d2 for n=2), exact lit
+SPC_SIGMA_MULT = 3
+
+
+def window_spc_control_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart XmR (individuals + moving range) control chart over
+    daily revenue — the process-control view that asks a different
+    question than anomaly z-scores: not "is today odd vs its recent
+    window" (``window_anomaly_zscore``) but "is the PROCESS stable" —
+    limits derive from the average MOVING RANGE (short-term noise),
+    so a drifting mean shows up as out-of-control points instead of
+    silently inflating the σ it is judged against (the classic
+    Shewhart insight).
+
+    Exact integers: daily totals and moving ranges are int64; the
+    center line and the ±3σ̂ limits (σ̂ = MR̄/d₂, d₂=1.128 pinned as a
+    micro literal) derive in integer micro-units by truncating
+    division. Output: chart constants + violation census (count +
+    first/last out-of-control day).
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.floor("o_totalprice").cast("long").alias("yd"),
+        )
+        .groupBy("day")
+        .agg(F.sum("yd").alias("x"))
+    )
+    seq = Window.orderBy("day")
+    mr = F.abs(F.col("x") - F.lag("x").over(seq))
+    staged = daily.select("day", "x", mr.alias("mr"))
+    m = staged.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("mr").alias("smr"),
+        F.sum(F.when(F.col("mr").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_mr"),
+    )
+    center = F.expr("sx div n_days")
+    sigma_hat = F.expr(
+        f"(((smr div n_mr) * {SPC_D2_INV_MICRO}) div 1000000)"
+    )
+    consts = m.select(
+        "n_days",
+        center.alias("center"),
+        F.expr("smr div n_mr").alias("mr_bar"),
+        sigma_hat.alias("sigma_hat"),
+        (center + F.lit(SPC_SIGMA_MULT) * sigma_hat).alias("ucl"),
+        (center - F.lit(SPC_SIGMA_MULT) * sigma_hat).alias("lcl"),
+    )
+    flagged = staged.crossJoin(F.broadcast(consts)).select(
+        "day",
+        "x",
+        "n_days",
+        "center",
+        "mr_bar",
+        "sigma_hat",
+        "ucl",
+        "lcl",
+        ((F.col("x") > F.col("ucl")) | (F.col("x") < F.col("lcl"))).alias(
+            "ooc"
+        ),
+    )
+    return flagged.groupBy(
+        "n_days", "center", "mr_bar", "sigma_hat", "ucl", "lcl"
+    ).agg(
+        F.sum(F.when(F.col("ooc"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_out_of_control"),
+        F.min(F.when(F.col("ooc"), F.col("day"))).alias("first_ooc_day"),
+        F.max(F.when(F.col("ooc"), F.col("day"))).alias("last_ooc_day"),
+    )
+
+
+_SPC_SQL = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS x
+    FROM orders GROUP BY 1
+),
+staged AS (
+    SELECT day, x,
+           ABS(x - LAG(x) OVER (ORDER BY day)) AS mr
+    FROM daily
+),
+m AS (
+    SELECT COUNT(*) AS n_days, SUM(x) AS sx, SUM(mr) AS smr,
+           CAST(SUM(CASE WHEN mr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_mr
+    FROM staged
+),
+consts AS (
+    SELECT CAST(n_days AS BIGINT) AS n_days,
+        sx // n_days AS center,
+        smr // n_mr AS mr_bar,
+        ((smr // n_mr) * {SPC_D2_INV_MICRO}) // 1000000 AS sigma_hat,
+        sx // n_days
+            + {SPC_SIGMA_MULT} * (((smr // n_mr) * {SPC_D2_INV_MICRO})
+                                  // 1000000) AS ucl,
+        sx // n_days
+            - {SPC_SIGMA_MULT} * (((smr // n_mr) * {SPC_D2_INV_MICRO})
+                                  // 1000000) AS lcl
+    FROM m
+)
+SELECT c.n_days, CAST(c.center AS BIGINT) AS center,
+    CAST(c.mr_bar AS BIGINT) AS mr_bar,
+    CAST(c.sigma_hat AS BIGINT) AS sigma_hat,
+    CAST(c.ucl AS BIGINT) AS ucl, CAST(c.lcl AS BIGINT) AS lcl,
+    CAST(SUM(CASE WHEN s.x > c.ucl OR s.x < c.lcl THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_out_of_control,
+    MIN(CASE WHEN s.x > c.ucl OR s.x < c.lcl THEN s.day END)
+        AS first_ooc_day,
+    MAX(CASE WHEN s.x > c.ucl OR s.x < c.lcl THEN s.day END)
+        AS last_ooc_day
+FROM staged s CROSS JOIN consts c
+GROUP BY 1, 2, 3, 4, 5, 6
+"""
+
+
+# ---------------------------------------------------------------------------
 # agg_price_index_laspeyres — fixed-basket price indices
 # ---------------------------------------------------------------------------
 
@@ -10394,6 +10519,7 @@ QUERIES = {
     "agg_gumbel_extreme_value": agg_gumbel_extreme_value,
     "agg_energy_distance": agg_energy_distance,
     "agg_price_index_laspeyres": agg_price_index_laspeyres,
+    "window_spc_control_limits": window_spc_control_limits,
     "window_record_highs": window_record_highs,
     "seq_markov_attribution": seq_markov_attribution,
     "agg_market_concentration": agg_market_concentration,
@@ -10502,6 +10628,7 @@ ORACLES = {
     "agg_gumbel_extreme_value": _gumbel_sql(),
     "agg_energy_distance": _ENERGY_SQL,
     "agg_price_index_laspeyres": _PRICE_INDEX_SQL,
+    "window_spc_control_limits": _SPC_SQL,
     "window_record_highs": _RECORD_HIGHS_SQL,
     "seq_markov_attribution": _markov_attribution_sql(),
     "agg_market_concentration": _MARKET_CONC_SQL,

@@ -1617,3 +1617,40 @@ def test_good_turing_python_reference(spark, sf_dir):
         # Good-Turing deflates singleton counts (r*=1 < 1 in a Zipfian
         # corpus); missing mass is a probability
         assert 0 <= got[lang]["missing_mass_micro"] <= 1_000_000
+
+
+def test_spc_control_limits_python_reference(spark, sf_dir):
+    from parquet_batch_spark.operators.stats_ops import (
+        SPC_D2_INV_MICRO,
+        SPC_SIGMA_MULT,
+        window_spc_control_limits,
+    )
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.floor("o_totalprice").cast("long").alias("y"),
+        )
+        .groupBy("day")
+        .agg(F.sum("y").alias("x"))
+        .orderBy("day")
+        .collect()
+    )
+    xs = [r["x"] for r in daily]
+    days = [r["day"] for r in daily]
+    mrs = [abs(b - a) for a, b in zip(xs, xs[1:])]
+    center = sum(xs) // len(xs)
+    mr_bar = sum(mrs) // len(mrs)
+    sigma = (mr_bar * SPC_D2_INV_MICRO) // 1_000_000
+    ucl, lcl = center + SPC_SIGMA_MULT * sigma, center - SPC_SIGMA_MULT * sigma
+    ooc = [d for d, x in zip(days, xs) if x > ucl or x < lcl]
+    got = window_spc_control_limits(spark, sf_dir).collect()[0]
+    assert got["n_days"] == len(xs)
+    assert got["center"] == center and got["mr_bar"] == mr_bar
+    assert got["sigma_hat"] == sigma
+    assert got["ucl"] == ucl and got["lcl"] == lcl
+    assert got["n_out_of_control"] == len(ooc)
+    if ooc:
+        assert got["first_ooc_day"] == min(ooc)
+        assert got["last_ooc_day"] == max(ooc)
