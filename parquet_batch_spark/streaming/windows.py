@@ -728,6 +728,63 @@ ORDER BY event_type
 """
 
 
+def streaming_state_metadata_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``state-metadata`` batch source (Spark 4): the checkpoint's
+    OPERATOR CATALOG — which stateful operators exist, their store
+    names and batch-id ranges — read as a table. The discovery step
+    before ``streaming_state_store_read`` can target a store, and the
+    ops tool for "what state does this job carry" across upgrades.
+
+    Deterministic projection only (operator name/id, store name,
+    batch range under the single availableNow replay); partition
+    count is the writing session's shuffle setting and is excluded.
+    """
+    import shutil
+    import tempfile
+
+    ck = tempfile.mkdtemp(prefix="spark_graft_statemeta_")
+    try:
+        ev = _event_stream(spark, sf_dir)
+        agg = ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+        name = f"sink_{uuid.uuid4().hex[:12]}"
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        md = spark.read.format("state-metadata").load(ck)
+        return (
+            md.select(
+                "operatorId",
+                "operatorName",
+                "stateStoreName",
+                "minBatchId",
+                "maxBatchId",
+            )
+            .orderBy("operatorId", "stateStoreName")
+            .localCheckpoint(eager=True)  # detach from the temp dir
+        )
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+
+
+# The metadata of a single-operator availableNow aggregation is a
+# constant: one stateStoreSave operator, default store, batch 0 only.
+_STREAMING_STATE_META_SQL = """
+SELECT CAST(0 AS BIGINT) AS operatorId,
+       'stateStoreSave' AS operatorName,
+       'default' AS stateStoreName,
+       CAST(0 AS BIGINT) AS minBatchId,
+       CAST(0 AS BIGINT) AS maxBatchId
+"""
+
+
 def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful processing via the Spark 4
     ``transformWithStateInPandas`` API — the successor to
@@ -872,6 +929,7 @@ ORDER BY event_type
 QUERIES = {
     "streaming_update_mode_counts": streaming_update_mode_counts,
     "streaming_state_store_read": streaming_state_store_read,
+    "streaming_state_metadata_source": streaming_state_metadata_source,
     "streaming_transform_with_state": streaming_transform_with_state,
     "streaming_windowed_topk": streaming_windowed_topk,
     "streaming_python_source": streaming_python_source,
@@ -888,6 +946,7 @@ QUERIES = {
 ORACLES = {
     "streaming_update_mode_counts": _STREAMING_UPDATE_SQL,
     "streaming_state_store_read": _STREAMING_STATE_STORE_SQL,
+    "streaming_state_metadata_source": _STREAMING_STATE_META_SQL,
     "streaming_transform_with_state": _STREAMING_TWS_SQL,
     "streaming_windowed_topk": _STREAMING_TOPK_SQL,
     "streaming_python_source": _STREAMING_PY_SOURCE_SQL,

@@ -251,3 +251,18 @@ def test_transform_with_state_matches_batch(spark):
         .collect()
     }
     assert got == exp
+
+
+def test_state_metadata_source_catalog(spark):
+    """state-metadata source: one stateStoreSave operator, default
+    store, single availableNow batch."""
+    from parquet_batch_spark.streaming.windows import (
+        streaming_state_metadata_source,
+    )
+
+    rows = streaming_state_metadata_source(spark, SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["operatorName"] == "stateStoreSave"
+    assert r["stateStoreName"] == "default"
+    assert r["minBatchId"] == 0 and r["maxBatchId"] == 0
