@@ -430,9 +430,9 @@ def test_global_windows_only_over_reduced_tables(spark, sf_smoke):
         "agg_weekday_hour_heatmap", "seq_event_paths",
         "sample_kfold_assignment", "func_edit_distance",
         "sort_nulls_placement", "agg_mann_whitney_u", "window_runs_test",
-        # r5 fourth session: cumulative rank over the whole-dollar
-        # price-distinct reduced table (same shape as mann_whitney)
-        "agg_kruskal_wallis",
+        # r5 fourth session: cumulative scans over value-distinct /
+        # spend-distinct reduced grids (same shape as mann_whitney)
+        "agg_kruskal_wallis", "agg_lorenz_curve", "agg_energy_distance",
         # day-index row_number over the day-grain reduced series
         "window_hurst_exponent", "window_haar_wavelet_energy",
         "window_record_highs", "window_spc_control_limits",
