@@ -229,6 +229,8 @@ HEADLINE = [
     "agg_price_index_laspeyres",
     "text_good_turing_mass",
     "window_spc_control_limits",
+    "window_ljung_box",
+    "ml_cost_sensitive_threshold",
 ]
 
 

@@ -6922,6 +6922,252 @@ ORDER BY bucket
 
 
 # ---------------------------------------------------------------------------
+# window_ljung_box — portmanteau whiteness test
+# ---------------------------------------------------------------------------
+
+LB_LAGS = 10
+LB_CHI2_CRIT = 18.307  # χ²(10 df, 0.05), fixed literal
+
+
+def window_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau test over the first {LB_LAGS} daily-
+    revenue autocorrelations: Q = n(n+2)·Σ ρ²_k/(n−k) — the ONE
+    number that says "this series is not white noise" where
+    ``window_acf_lags`` shows 7 separate correlations and leaves the
+    joint call to the reader; it is the residual-whiteness gate every
+    fitted forecast model must pass.
+
+    Each ρ_k derives from the same exact integer moments as the ACF
+    op; the Σ over lags is written FIXED-ORDER over the literal lag
+    domain (per-lag rows pivot to columns first — the float-over-
+    groups gotcha), and Q rounds to 6dp against the pinned χ²
+    critical value.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.floor("o_totalprice").cast("long").alias("yd"),
+        )
+        .groupBy("day")
+        .agg(F.sum("yd").alias("x"))
+    )
+    seq = Window.orderBy("day")
+    glob = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("x")).alias("sxx"),
+    )
+    per_lag = None
+    for k in range(1, LB_LAGS + 1):
+        lagged = daily.select(
+            "x", F.lag("x", k).over(seq).alias("xl")
+        ).where(F.col("xl").isNotNull())
+        row = lagged.agg(
+            F.lit(k).cast("long").alias("lag"),
+            F.count(F.lit(1)).alias("np"),
+            F.sum(F.col("x").cast("decimal(18,0)") * F.col("xl")).alias(
+                "sxy"
+            ),
+            F.sum("x").alias("sa"),
+            F.sum("xl").alias("sb"),
+        )
+        per_lag = row if per_lag is None else per_lag.unionAll(row)
+    wide = per_lag.agg(
+        *[
+            F.max(
+                F.when(F.col("lag") == k, F.col(c))
+            ).alias(f"{c}{k}")
+            for k in range(1, LB_LAGS + 1)
+            for c in ("np", "sxy", "sa", "sb")
+        ]
+    ).crossJoin(F.broadcast(glob))
+    n = F.col("n").cast("double")
+    mean = F.col("sx").cast("double") / n
+    denom = F.col("sxx").cast("double") - n * mean * mean
+
+    def rho(k: int):
+        return (
+            F.col(f"sxy{k}").cast("double")
+            - mean
+            * (F.col(f"sa{k}").cast("double") + F.col(f"sb{k}").cast("double"))
+            + F.col(f"np{k}").cast("double") * mean * mean
+        ) / denom
+
+    q = (
+        n
+        * (n + 2.0)
+        * sum(
+            (rho(k) * rho(k) / (n - float(k)) for k in range(1, LB_LAGS + 1)),
+            F.lit(0.0),
+        )
+    )
+    return wide.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.lit(LB_LAGS).cast("long").alias("n_lags"),
+        F.round(q, 6).alias("q_stat"),
+        (q > F.lit(LB_CHI2_CRIT)).alias("reject_whiteness"),
+    )
+
+
+def _ljung_box_sql() -> str:
+    lag_ctes = ",\n".join(
+        f"""l{k} AS (
+    SELECT COUNT(*) AS np{k},
+           SUM(CAST(x AS HUGEINT) * xl) AS sxy{k},
+           SUM(x) AS sa{k}, SUM(xl) AS sb{k}
+    FROM (SELECT x, LAG(x, {k}) OVER (ORDER BY day) AS xl FROM daily)
+    WHERE xl IS NOT NULL
+)"""
+        for k in range(1, LB_LAGS + 1)
+    )
+    mean = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    denom = f"(CAST(sxx AS DOUBLE) - CAST(n AS DOUBLE) * {mean} * {mean})"
+    rho = lambda k: (  # noqa: E731
+        f"((CAST(sxy{k} AS DOUBLE) - {mean} * (CAST(sa{k} AS DOUBLE)"
+        f" + CAST(sb{k} AS DOUBLE))"
+        f" + CAST(np{k} AS DOUBLE) * {mean} * {mean}) / {denom})"
+    )
+    q = (
+        "CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * ("
+        + " + ".join(
+            f"{rho(k)} * {rho(k)} / (CAST(n AS DOUBLE) - {k}.0)"
+            for k in range(1, LB_LAGS + 1)
+        )
+        + ")"
+    )
+    crossed = ", ".join(f"l{k}" for k in range(1, LB_LAGS + 1))
+    return f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS x
+    FROM orders GROUP BY 1
+),
+overall AS (
+    SELECT COUNT(*) AS n, SUM(x) AS sx,
+           SUM(CAST(x AS HUGEINT) * x) AS sxx
+    FROM daily
+),
+{lag_ctes}
+SELECT CAST(n AS BIGINT) AS n_days, CAST({LB_LAGS} AS BIGINT) AS n_lags,
+       ROUND({q}, 6) AS q_stat,
+       {q} > {LB_CHI2_CRIT} AS reject_whiteness
+FROM overall, {crossed}
+"""
+
+
+# ---------------------------------------------------------------------------
+# ml_cost_sensitive_threshold — cost-matrix-optimal decision cut
+# ---------------------------------------------------------------------------
+
+COST_FP = 1
+COST_FN = 5
+
+
+def ml_cost_sensitive_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-sensitive decision threshold: with a business cost matrix
+    (FP={COST_FP}, FN={COST_FN} — missing a positive costs 5× a false
+    alarm, the shape of most screening problems), pick the score cut
+    minimizing TOTAL COST — which sits well below the Youden/KS cut
+    (``ml_score_separation_report``) because expensive misses push
+    the threshold toward recall. Also reports the do-nothing baseline
+    (reject-all = {COST_FN}·P) and the saving — the number that
+    justifies deploying the model at all.
+
+    Pure integers over the ≤1001-row score grid: cost(s) =
+    {COST_FP}·FP(s) + {COST_FN}·FN(s); smallest-threshold tie-break
+    pinned.
+    """
+    d = load(spark, sf_dir, "documents")
+    conf = F.least(
+        F.lit(1_000_000),
+        F.expr(f"(1000000 * n_chars) div {ECE_SCALE_CHARS}"),
+    )
+    label = F.array_contains(tokens_col("text"), "data")
+    grid = (
+        d.select(conf.alias("s"), F.when(label, 1).otherwise(0).alias("y"))
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n_k"),
+            F.sum("y").cast("long").alias("p_k"),
+        )
+    )
+    cum = Window.orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stepped = grid.select(
+        "s",
+        (F.sum("n_k").over(cum) - F.sum("p_k").over(cum)).alias("fp"),
+        (F.sum("p_k").over(tot) - F.sum("p_k").over(cum)).alias("fn"),
+        F.sum("p_k").over(tot).alias("pos"),
+    ).select(
+        "s",
+        "fp",
+        "fn",
+        "pos",
+        (F.lit(COST_FP) * F.col("fp") + F.lit(COST_FN) * F.col("fn")).alias(
+            "cost"
+        ),
+    )
+    return (
+        stepped.orderBy(F.asc("cost"), F.asc("s"))
+        .limit(1)
+        .select(
+            F.col("s").alias("threshold_micro"),
+            F.col("fp").cast("long").alias("fp"),
+            F.col("fn").cast("long").alias("fn"),
+            F.col("cost").cast("long").alias("total_cost"),
+            (F.lit(COST_FN) * F.col("pos")).cast("long").alias(
+                "baseline_cost"
+            ),
+            F.expr(
+                f"(1000000 * ({COST_FN} * pos - cost))"
+                f" div ({COST_FN} * pos)"
+            ).alias("saving_micro"),
+        )
+    )
+
+
+_COST_THRESHOLD_SQL = f"""
+WITH grid AS (
+    SELECT LEAST(1000000, (1000000 * n_chars) // {ECE_SCALE_CHARS}) AS s,
+        COUNT(*) AS n_k,
+        CAST(SUM(CASE WHEN list_contains({sql_tokens("text")}, 'data')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS p_k
+    FROM documents
+    GROUP BY 1
+),
+stepped AS (
+    SELECT s,
+        CAST(SUM(n_k) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+             - SUM(p_k) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS fp,
+        CAST(SUM(p_k) OVER ()
+             - SUM(p_k) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS fn,
+        CAST(SUM(p_k) OVER () AS BIGINT) AS pos
+    FROM grid
+),
+scored AS (
+    SELECT s, fp, fn, pos,
+        {COST_FP} * fp + {COST_FN} * fn AS cost
+    FROM stepped
+)
+SELECT s AS threshold_micro, fp, fn,
+    CAST(cost AS BIGINT) AS total_cost,
+    CAST({COST_FN} * pos AS BIGINT) AS baseline_cost,
+    (1000000 * ({COST_FN} * pos - cost)) // ({COST_FN} * pos)
+        AS saving_micro
+FROM scored
+ORDER BY cost ASC, s ASC
+LIMIT 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # window_spc_control_limits — Shewhart XmR individuals chart
 # ---------------------------------------------------------------------------
 
@@ -10520,6 +10766,8 @@ QUERIES = {
     "agg_energy_distance": agg_energy_distance,
     "agg_price_index_laspeyres": agg_price_index_laspeyres,
     "window_spc_control_limits": window_spc_control_limits,
+    "window_ljung_box": window_ljung_box,
+    "ml_cost_sensitive_threshold": ml_cost_sensitive_threshold,
     "window_record_highs": window_record_highs,
     "seq_markov_attribution": seq_markov_attribution,
     "agg_market_concentration": agg_market_concentration,
@@ -10629,6 +10877,8 @@ ORACLES = {
     "agg_energy_distance": _ENERGY_SQL,
     "agg_price_index_laspeyres": _PRICE_INDEX_SQL,
     "window_spc_control_limits": _SPC_SQL,
+    "window_ljung_box": _ljung_box_sql(),
+    "ml_cost_sensitive_threshold": _COST_THRESHOLD_SQL,
     "window_record_highs": _RECORD_HIGHS_SQL,
     "seq_markov_attribution": _markov_attribution_sql(),
     "agg_market_concentration": _MARKET_CONC_SQL,

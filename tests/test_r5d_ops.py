@@ -1654,3 +1654,80 @@ def test_spc_control_limits_python_reference(spark, sf_dir):
     if ooc:
         assert got["first_ooc_day"] == min(ooc)
         assert got["last_ooc_day"] == max(ooc)
+
+
+def test_ljung_box_python_reference(spark, sf_dir):
+    from parquet_batch_spark.operators.stats_ops import (
+        LB_CHI2_CRIT,
+        LB_LAGS,
+        window_ljung_box,
+    )
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.floor("o_totalprice").cast("long").alias("y"),
+        )
+        .groupBy("day")
+        .agg(F.sum("y").alias("x"))
+        .orderBy("day")
+        .collect()
+    )
+    xs = [r["x"] for r in daily]
+    n = len(xs)
+    mean = sum(xs) / n
+    denom = sum(x * x for x in xs) - n * mean * mean
+    q = 0.0
+    for k in range(1, LB_LAGS + 1):
+        pairs = list(zip(xs[k:], xs[:-k]))
+        sxy = sum(a * b for a, b in pairs)
+        sa = sum(a for a, _ in pairs)
+        sb = sum(b for _, b in pairs)
+        rho = (sxy - mean * (sa + sb) + len(pairs) * mean * mean) / denom
+        q += rho * rho / (n - k)
+    q *= n * (n + 2)
+    got = window_ljung_box(spark, sf_dir).collect()[0]
+    assert got["n_days"] == n and got["n_lags"] == LB_LAGS
+    assert math.isclose(got["q_stat"], q, rel_tol=1e-6, abs_tol=1e-4)
+    assert got["reject_whiteness"] == (q > LB_CHI2_CRIT)
+
+
+def test_cost_threshold_python_reference(spark, sf_dir):
+    from collections import defaultdict
+
+    from parquet_batch_spark.operators.stats_ops import (
+        COST_FN,
+        COST_FP,
+        ECE_SCALE_CHARS,
+        ml_cost_sensitive_threshold,
+        ml_score_separation_report,
+    )
+
+    blocks: dict[int, list[int]] = defaultdict(lambda: [0, 0])
+    for r in load(spark, sf_dir, "documents").select(
+        "n_chars", "text"
+    ).collect():
+        s = min(1_000_000, (1_000_000 * r["n_chars"]) // ECE_SCALE_CHARS)
+        y = 1 if "data" in r["text"].strip().split() else 0
+        blocks[s][0] += 1
+        blocks[s][1] += y
+    pos = sum(b[1] for b in blocks.values())
+    tp = fp = 0
+    best = None
+    for s in sorted(blocks, reverse=True):
+        n_k, p_k = blocks[s]
+        tp += p_k
+        fp += n_k - p_k
+        cost = COST_FP * fp + COST_FN * (pos - tp)
+        cand = (cost, s, fp, pos - tp)
+        if best is None or cand < best:
+            best = cand
+    cost, s, fp, fn = best
+    got = ml_cost_sensitive_threshold(spark, sf_dir).collect()[0]
+    assert got["threshold_micro"] == s
+    assert (got["fp"], got["fn"], got["total_cost"]) == (fp, fn, cost)
+    assert got["baseline_cost"] == COST_FN * pos
+    # the cost-optimal cut recalls at least as hard as Youden's
+    youden = ml_score_separation_report(spark, sf_dir).collect()[0]
+    assert got["threshold_micro"] <= youden["threshold_micro"]
