@@ -231,6 +231,8 @@ HEADLINE = [
     "window_spc_control_limits",
     "window_ljung_box",
     "ml_cost_sensitive_threshold",
+    "agg_mutual_information",
+    "sample_ipw_ate",
 ]
 
 

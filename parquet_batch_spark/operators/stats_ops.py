@@ -6922,6 +6922,279 @@ ORDER BY bucket
 
 
 # ---------------------------------------------------------------------------
+# agg_mutual_information — categorical MI in exact micro-nats
+# ---------------------------------------------------------------------------
+
+
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between order status and priority — the
+    information-theoretic size of the association ``agg_chi_square_
+    independence`` tests the significance of (χ² says "not
+    independent"; MI says how many nats of one label the other
+    reveals — comparable across tables, the feature-selection
+    currency). Normalized MI (÷ min entropy) lands in [0,1].
+
+    Per-cell terms n_sp·ln(N·n_sp/(n_s·n_p)) are micro-quantized
+    BEFORE summation (the Theil x·ln x policy) so the cell sum is an
+    exact integer regardless of aggregation order; marginals come
+    from windows over the ≤15-cell reduced table.
+    """
+    o = load(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_orderpriority").alias("p"),
+    ).agg(F.count(F.lit(1)).alias("n_sp"))
+    row_w = Window.partitionBy("s")
+    col_w = Window.partitionBy("p")
+    tot_w = Window.partitionBy()
+    staged = cells.select(
+        "s",
+        "p",
+        "n_sp",
+        F.sum("n_sp").over(row_w).alias("n_s"),
+        F.sum("n_sp").over(col_w).alias("n_p"),
+        F.sum("n_sp").over(tot_w).alias("n"),
+        # first-cell markers so each marginal entropy term is summed
+        # exactly once (windows must live OUTSIDE the aggregate)
+        F.row_number().over(row_w.orderBy("p")).alias("rn_s"),
+        F.row_number().over(col_w.orderBy("s")).alias("rn_p"),
+    )
+    term_micro = F.floor(
+        F.lit(1e6)
+        * F.col("n_sp").cast("double")
+        * F.log(
+            F.col("n").cast("double")
+            * F.col("n_sp").cast("double")
+            / (F.col("n_s").cast("double") * F.col("n_p").cast("double"))
+        )
+    ).cast("long")
+    hs_term = F.floor(
+        F.lit(1e6)
+        * F.col("n_s").cast("double")
+        * F.log(F.col("n").cast("double") / F.col("n_s").cast("double"))
+    ).cast("long")
+    hp_term = F.floor(
+        F.lit(1e6)
+        * F.col("n_p").cast("double")
+        * F.log(F.col("n").cast("double") / F.col("n_p").cast("double"))
+    ).cast("long")
+    m = staged.agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(term_micro).alias("mi_num"),
+        F.sum(F.when(F.col("rn_s") == 1, hs_term).otherwise(0)).alias(
+            "hs_num"
+        ),
+        F.sum(F.when(F.col("rn_p") == 1, hp_term).otherwise(0)).alias(
+            "hp_num"
+        ),
+    )
+    mi = F.col("mi_num").cast("double") / F.lit(1e6) / F.col("n").cast("double")
+    hs = F.col("hs_num").cast("double") / F.lit(1e6) / F.col("n").cast("double")
+    hp = F.col("hp_num").cast("double") / F.lit(1e6) / F.col("n").cast("double")
+    return m.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.round(mi, 6).alias("mi_nats"),
+        F.round(hs, 6).alias("h_status"),
+        F.round(hp, 6).alias("h_priority"),
+        F.round(mi / F.least(hs, hp), 6).alias("nmi"),
+    )
+
+
+_MI_SQL = """
+WITH cells AS (
+    SELECT o_orderstatus AS s, o_orderpriority AS p, COUNT(*) AS n_sp
+    FROM orders GROUP BY 1, 2
+),
+staged AS (
+    SELECT s, p, n_sp,
+        SUM(n_sp) OVER (PARTITION BY s) AS n_s,
+        SUM(n_sp) OVER (PARTITION BY p) AS n_p,
+        SUM(n_sp) OVER () AS n,
+        ROW_NUMBER() OVER (PARTITION BY s ORDER BY p) AS rn_s,
+        ROW_NUMBER() OVER (PARTITION BY p ORDER BY s) AS rn_p
+    FROM cells
+),
+m AS (
+    SELECT CAST(MAX(n) AS BIGINT) AS n, COUNT(*) AS n_cells,
+        CAST(SUM(CAST(FLOOR(1000000.0 * CAST(n_sp AS DOUBLE)
+            * LN(CAST(n AS DOUBLE) * CAST(n_sp AS DOUBLE)
+                 / (CAST(n_s AS DOUBLE) * CAST(n_p AS DOUBLE))))
+            AS BIGINT)) AS BIGINT) AS mi_num,
+        CAST(SUM(CASE WHEN rn_s = 1 THEN CAST(FLOOR(1000000.0
+            * CAST(n_s AS DOUBLE)
+            * LN(CAST(n AS DOUBLE) / CAST(n_s AS DOUBLE))) AS BIGINT)
+            ELSE 0 END) AS BIGINT) AS hs_num,
+        CAST(SUM(CASE WHEN rn_p = 1 THEN CAST(FLOOR(1000000.0
+            * CAST(n_p AS DOUBLE)
+            * LN(CAST(n AS DOUBLE) / CAST(n_p AS DOUBLE))) AS BIGINT)
+            ELSE 0 END) AS BIGINT) AS hp_num
+    FROM staged
+)
+SELECT n AS n_rows, CAST(n_cells AS BIGINT) AS n_cells,
+    ROUND(CAST(mi_num AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE), 6)
+        AS mi_nats,
+    ROUND(CAST(hs_num AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE), 6)
+        AS h_status,
+    ROUND(CAST(hp_num AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE), 6)
+        AS h_priority,
+    ROUND((CAST(mi_num AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE))
+          / LEAST(CAST(hs_num AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE),
+                  CAST(hp_num AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)),
+          6) AS nmi
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# sample_ipw_ate — inverse-propensity-weighted treatment effect
+# ---------------------------------------------------------------------------
+
+# Literal propensity map: exposure probability by market segment (the
+# confounder) — richer segments see the "treatment" more often.
+IPW_PROPENSITY_PCT = {
+    "AUTOMOBILE": 30,
+    "BUILDING": 50,
+    "FURNITURE": 40,
+    "HOUSEHOLD": 60,
+    "MACHINERY": 70,
+}
+
+
+def sample_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted ATE (Hájek estimator) — completes
+    the causal toolkit (``agg_diff_in_diff`` uses time, ``agg_cuped_
+    variance_reduction`` uses a pre-period covariate; IPW reweights a
+    CONFOUNDED cross-section): treatment assignment is a portable-
+    hash draw whose probability depends on market segment (a literal
+    propensity map — the confounder), outcome is customer spend, and
+    weighting by 1/p (treated) and 1/(1−p) (control) recovers a
+    balanced comparison the naive difference gets wrong.
+
+    Everything exact until the last division: weights are literal
+    rationals (×100), weighted sums accumulate in decimal(38,0); the
+    naive and IPW estimates emit side by side so the CONFOUNDING BIAS
+    the weighting removes is part of the output.
+    """
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.floor("o_totalprice").cast("long").alias("y"),
+    )
+    spend = o.groupBy("c_custkey").agg(F.sum("y").alias("y"))
+    p_pct = F.lit(None).cast("int")
+    for seg, pct in IPW_PROPENSITY_PCT.items():
+        p_pct = F.when(F.col("c_mktsegment") == seg, pct).otherwise(p_pct)
+    draw = hash32(F.concat(F.col("c_custkey").cast("string"), F.lit("|ipw")))
+    base = (
+        c.join(spend, "c_custkey")
+        .select(
+            "c_custkey",
+            "y",
+            p_pct.alias("p_pct"),
+            (draw % 100).alias("u"),
+        )
+        .select(
+            "y",
+            "p_pct",
+            (F.col("u") < F.col("p_pct")).alias("t"),
+        )
+    )
+    dec38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    m = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("t"), 1).otherwise(0)).cast("long").alias("nt"),
+        F.sum(F.when(F.col("t"), F.col("y")).otherwise(0)).alias("syt"),
+        F.sum(F.when(~F.col("t"), F.col("y")).otherwise(0)).alias("syc"),
+        # IPW sums with INTEGER weights: 4200 = LCM of every p and
+        # 100−p in the literal map, so w = 4200 div p is exact and the
+        # weighted sums are decimal integers (no float folds)
+        F.sum(
+            F.when(
+                F.col("t"),
+                dec38(F.col("y")) * F.expr("4200 div p_pct"),
+            ).otherwise(0)
+        ).alias("wyt"),
+        F.sum(
+            F.when(F.col("t"), F.expr("4200 div p_pct")).otherwise(0)
+        ).cast("long").alias("wt"),
+        F.sum(
+            F.when(
+                ~F.col("t"),
+                dec38(F.col("y")) * F.expr("4200 div (100 - p_pct)"),
+            ).otherwise(0)
+        ).alias("wyc"),
+        F.sum(
+            F.when(~F.col("t"), F.expr("4200 div (100 - p_pct)")).otherwise(0)
+        ).cast("long").alias("wc"),
+    )
+    naive = F.col("syt").cast("double") / F.col("nt").cast("double") - F.col(
+        "syc"
+    ).cast("double") / (F.col("n") - F.col("nt")).cast("double")
+    ipw = F.col("wyt").cast("double") / F.col("wt").cast("double") - F.col(
+        "wyc"
+    ).cast("double") / F.col("wc").cast("double")
+    return m.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("nt").alias("n_treated"),
+        F.round(naive, 4).alias("naive_diff"),
+        F.round(ipw, 4).alias("ipw_ate"),
+        F.round(naive - ipw, 4).alias("confounding_bias"),
+    )
+
+
+def _ipw_sql() -> str:
+    pmap = " ".join(
+        f"WHEN c_mktsegment = '{seg}' THEN {pct}"
+        for seg, pct in IPW_PROPENSITY_PCT.items()
+    )
+    h = sql_hash32("CAST(c.c_custkey AS VARCHAR) || '|ipw'")
+    return f"""
+WITH spend AS (
+    SELECT o_custkey AS c_custkey,
+           SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS y
+    FROM orders GROUP BY 1
+),
+base AS (
+    SELECT s.y,
+        CASE {pmap} END AS p_pct,
+        ({h} % 100) < CASE {pmap} END AS t
+    FROM customer c JOIN spend s ON s.c_custkey = c.c_custkey
+),
+m AS (
+    SELECT COUNT(*) AS n,
+        CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        SUM(CASE WHEN t THEN y ELSE 0 END) AS syt,
+        SUM(CASE WHEN NOT t THEN y ELSE 0 END) AS syc,
+        SUM(CASE WHEN t THEN CAST(y AS HUGEINT) * (4200 // p_pct)
+                 ELSE 0 END) AS wyt,
+        CAST(SUM(CASE WHEN t THEN 4200 // p_pct ELSE 0 END) AS BIGINT)
+            AS wt,
+        SUM(CASE WHEN NOT t
+                 THEN CAST(y AS HUGEINT) * (4200 // (100 - p_pct))
+                 ELSE 0 END) AS wyc,
+        CAST(SUM(CASE WHEN NOT t THEN 4200 // (100 - p_pct) ELSE 0 END)
+             AS BIGINT) AS wc
+    FROM base
+)
+SELECT CAST(n AS BIGINT) AS n_customers, nt AS n_treated,
+    ROUND(CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
+          - CAST(syc AS DOUBLE) / CAST(n - nt AS DOUBLE), 4) AS naive_diff,
+    ROUND(CAST(wyt AS DOUBLE) / CAST(wt AS DOUBLE)
+          - CAST(wyc AS DOUBLE) / CAST(wc AS DOUBLE), 4) AS ipw_ate,
+    ROUND((CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
+           - CAST(syc AS DOUBLE) / CAST(n - nt AS DOUBLE))
+          - (CAST(wyt AS DOUBLE) / CAST(wt AS DOUBLE)
+             - CAST(wyc AS DOUBLE) / CAST(wc AS DOUBLE)), 4)
+        AS confounding_bias
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
 # window_ljung_box — portmanteau whiteness test
 # ---------------------------------------------------------------------------
 
@@ -10767,6 +11040,8 @@ QUERIES = {
     "agg_price_index_laspeyres": agg_price_index_laspeyres,
     "window_spc_control_limits": window_spc_control_limits,
     "window_ljung_box": window_ljung_box,
+    "agg_mutual_information": agg_mutual_information,
+    "sample_ipw_ate": sample_ipw_ate,
     "ml_cost_sensitive_threshold": ml_cost_sensitive_threshold,
     "window_record_highs": window_record_highs,
     "seq_markov_attribution": seq_markov_attribution,
@@ -10878,6 +11153,8 @@ ORACLES = {
     "agg_price_index_laspeyres": _PRICE_INDEX_SQL,
     "window_spc_control_limits": _SPC_SQL,
     "window_ljung_box": _ljung_box_sql(),
+    "agg_mutual_information": _MI_SQL,
+    "sample_ipw_ate": _ipw_sql(),
     "ml_cost_sensitive_threshold": _COST_THRESHOLD_SQL,
     "window_record_highs": _RECORD_HIGHS_SQL,
     "seq_markov_attribution": _markov_attribution_sql(),

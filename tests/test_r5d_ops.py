@@ -1731,3 +1731,83 @@ def test_cost_threshold_python_reference(spark, sf_dir):
     # the cost-optimal cut recalls at least as hard as Youden's
     youden = ml_score_separation_report(spark, sf_dir).collect()[0]
     assert got["threshold_micro"] <= youden["threshold_micro"]
+
+
+def test_mutual_information_python_reference(spark, sf_dir):
+    from collections import Counter
+
+    from parquet_batch_spark.operators.stats_ops import agg_mutual_information
+
+    cells: Counter = Counter()
+    for r in load(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority"
+    ).collect():
+        cells[(r["o_orderstatus"], r["o_orderpriority"])] += 1
+    n = sum(cells.values())
+    n_s: Counter = Counter()
+    n_p: Counter = Counter()
+    for (sv, pv), c in cells.items():
+        n_s[sv] += c
+        n_p[pv] += c
+    mi_num = sum(
+        math.floor(1e6 * c * math.log(n * c / (n_s[sv] * n_p[pv])))
+        for (sv, pv), c in cells.items()
+    )
+    hs_num = sum(
+        math.floor(1e6 * c * math.log(n / c)) for c in n_s.values()
+    )
+    hp_num = sum(
+        math.floor(1e6 * c * math.log(n / c)) for c in n_p.values()
+    )
+    got = agg_mutual_information(spark, sf_dir).collect()[0]
+    assert got["n_rows"] == n and got["n_cells"] == len(cells)
+    assert math.isclose(got["mi_nats"], mi_num / 1e6 / n, abs_tol=2e-6)
+    assert math.isclose(got["h_status"], hs_num / 1e6 / n, abs_tol=2e-6)
+    assert math.isclose(got["h_priority"], hp_num / 1e6 / n, abs_tol=2e-6)
+    # information axioms: 0 <= MI <= min(H); NMI in [0, 1]
+    assert -1e-6 <= got["mi_nats"] <= min(got["h_status"], got["h_priority"]) + 1e-6
+    assert -1e-6 <= got["nmi"] <= 1 + 1e-6
+
+
+def test_ipw_ate_python_reference(spark, sf_dir):
+    import hashlib
+    from collections import defaultdict
+
+    from parquet_batch_spark.operators.stats_ops import (
+        IPW_PROPENSITY_PCT,
+        sample_ipw_ate,
+    )
+
+    spend: dict[int, int] = defaultdict(int)
+    for r in load(spark, sf_dir, "orders").select(
+        "o_custkey", F.floor("o_totalprice").cast("long").alias("y")
+    ).collect():
+        spend[r["o_custkey"]] += r["y"]
+    seg = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in load(spark, sf_dir, "customer").collect()
+    }
+    n = nt = syt = syc = wt = wc = wyt = wyc = 0
+    for ck, y in spend.items():
+        p = IPW_PROPENSITY_PCT[seg[ck]]
+        u = int(hashlib.md5(f"{ck}|ipw".encode()).hexdigest()[:8], 16) % 100
+        t = u < p
+        n += 1
+        if t:
+            nt += 1
+            syt += y
+            wyt += y * (4200 // p)
+            wt += 4200 // p
+        else:
+            syc += y
+            wyc += y * (4200 // (100 - p))
+            wc += 4200 // (100 - p)
+    naive = syt / nt - syc / (n - nt)
+    ipw = wyt / wt - wyc / wc
+    got = sample_ipw_ate(spark, sf_dir).collect()[0]
+    assert got["n_customers"] == n and got["n_treated"] == nt
+    assert math.isclose(got["naive_diff"], naive, abs_tol=1e-3)
+    assert math.isclose(got["ipw_ate"], ipw, abs_tol=1e-3)
+    # the treatment is a pure hash draw (no real effect), so IPW must
+    # sit CLOSER to zero than the confounded naive difference
+    assert abs(got["ipw_ate"]) <= abs(got["naive_diff"]) + 1e-6
