@@ -233,6 +233,8 @@ HEADLINE = [
     "ml_cost_sensitive_threshold",
     "agg_mutual_information",
     "sample_ipw_ate",
+    "agg_partial_correlation",
+    "quality_digit_preference",
 ]
 
 

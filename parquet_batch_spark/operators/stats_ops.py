@@ -6922,6 +6922,214 @@ ORDER BY bucket
 
 
 # ---------------------------------------------------------------------------
+# agg_partial_correlation — confound-adjusted correlation
+# ---------------------------------------------------------------------------
+
+
+def agg_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of customer SPEND vs ORDER COUNT given
+    TENURE (days between first and last order): raw spend/count
+    correlation is inflated by the shared driver "has been around
+    longer"; partialling tenure out answers whether heavier ordering
+    itself carries higher spend — the algebraic cousin of
+    ``sample_ipw_ate``'s reweighting, for continuous confounders:
+    r_xy·z = (r_xy − r_xz·r_yz)/√((1−r²_xz)(1−r²_yz)).
+
+    Customer-grain reduce → nine exact decimal(38,0) cross moments in
+    ONE aggregate; all three pairwise correlations and the partial
+    derive in double and round to 6dp.
+    """
+    o = load(spark, sf_dir, "orders")
+    cust = (
+        o.select(
+            F.col("o_custkey").alias("c"),
+            F.floor("o_totalprice").cast("long").alias("y"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .groupBy("c")
+        .agg(
+            F.sum("y").alias("x"),
+            F.count(F.lit(1)).alias("yy"),
+            F.datediff(F.max("d"), F.min("d")).cast("long").alias("z"),
+        )
+    )
+    dec38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    m = cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yy").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(dec38(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(dec38(F.col("yy")) * F.col("yy")).alias("syy"),
+        F.sum(dec38(F.col("z")) * F.col("z")).alias("szz"),
+        F.sum(dec38(F.col("x")) * F.col("yy")).alias("sxy"),
+        F.sum(dec38(F.col("x")) * F.col("z")).alias("sxz"),
+        F.sum(dec38(F.col("yy")) * F.col("z")).alias("syz"),
+    )
+    n = F.col("n").cast("double")
+
+    def r(sab, sa, sb, saa, sbb):
+        num = n * F.col(sab).cast("double") - F.col(sa).cast(
+            "double"
+        ) * F.col(sb).cast("double")
+        da = F.sqrt(
+            n * F.col(saa).cast("double")
+            - F.col(sa).cast("double") * F.col(sa).cast("double")
+        )
+        db = F.sqrt(
+            n * F.col(sbb).cast("double")
+            - F.col(sb).cast("double") * F.col(sb).cast("double")
+        )
+        return num / (da * db)
+
+    rxy = r("sxy", "sx", "sy", "sxx", "syy")
+    rxz = r("sxz", "sx", "sz", "sxx", "szz")
+    ryz = r("syz", "sy", "sz", "syy", "szz")
+    partial = (rxy - rxz * ryz) / F.sqrt(
+        (1.0 - rxz * rxz) * (1.0 - ryz * ryz)
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(rxy, 6).alias("r_spend_orders"),
+        F.round(rxz, 6).alias("r_spend_tenure"),
+        F.round(ryz, 6).alias("r_orders_tenure"),
+        F.round(partial, 6).alias("partial_r_given_tenure"),
+        F.round(rxy - partial, 6).alias("confound_inflation"),
+    )
+
+
+_PARTIAL_CORR_SQL = """
+WITH cust AS (
+    SELECT o_custkey AS c,
+        SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS x,
+        COUNT(*) AS yy,
+        date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                  MAX(CAST(o_orderdate AS DATE))) AS z
+    FROM orders GROUP BY 1
+),
+m AS (
+    SELECT COUNT(*) AS n,
+        SUM(x) AS sx, SUM(yy) AS sy, SUM(z) AS sz,
+        SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        SUM(CAST(yy AS HUGEINT) * yy) AS syy,
+        SUM(CAST(z AS HUGEINT) * z) AS szz,
+        SUM(CAST(x AS HUGEINT) * yy) AS sxy,
+        SUM(CAST(x AS HUGEINT) * z) AS sxz,
+        SUM(CAST(yy AS HUGEINT) * z) AS syz
+    FROM cust
+),
+d AS (
+    SELECT CAST(n AS BIGINT) AS n_int, CAST(n AS DOUBLE) AS n,
+        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rxy,
+        (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+        / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * SQRT(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                  - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS rxz,
+        (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+         - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+        / (SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+           * SQRT(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                  - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS ryz
+    FROM m
+)
+SELECT n_int AS n_customers,
+    ROUND(rxy, 6) AS r_spend_orders,
+    ROUND(rxz, 6) AS r_spend_tenure,
+    ROUND(ryz, 6) AS r_orders_tenure,
+    ROUND((rxy - rxz * ryz) / SQRT((1.0 - rxz * rxz)
+                                   * (1.0 - ryz * ryz)), 6)
+        AS partial_r_given_tenure,
+    ROUND(rxy - (rxy - rxz * ryz) / SQRT((1.0 - rxz * rxz)
+                                         * (1.0 - ryz * ryz)), 6)
+        AS confound_inflation
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality_digit_preference — last-digit bias audit
+# ---------------------------------------------------------------------------
+
+
+def quality_digit_preference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-digit preference audit of account balances — the fraud/
+    hand-entry screen Benford's law does NOT cover (Benford governs
+    FIRST digits of multiplicative processes; LAST digits of organic
+    amounts should be UNIFORM, and spikes at 0/5/9 are the signature
+    of rounding, price anchoring, or fabricated figures). Per last
+    cent digit: count, share, and the uniformity χ² with its 9-df
+    verdict.
+
+    Exact integers: the digit histogram is one conditional reduce;
+    χ² = Σ(o−e)²·100/N·… is exactified as Σ(100·o − N)² div (100·N)
+    in micro-units (e = N/10 cleared of fractions by scaling through
+    by 100).
+    """
+    c = load(spark, sf_dir, "customer")
+    digit = (
+        F.floor(F.abs(F.lit(100.0) * F.col("c_acctbal"))).cast("long") % 10
+    )
+    hist = c.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("n_d")
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = hist.select(
+        "digit",
+        "n_d",
+        F.sum("n_d").over(tot).alias("n"),
+    )
+    # χ² = Σ (o − N/10)² / (N/10) = Σ (10·o − N)² / (10·N), exact in
+    # micro-units via decimal division
+    chi2_micro = F.expr(
+        "CAST(sum(CAST((10 * n_d - n) AS DECIMAL(38,0))"
+        " * (10 * n_d - n) * 1000000 div (10 * CAST(n AS DECIMAL(38,0))))"
+        " OVER () AS BIGINT)"
+    )
+    return (
+        staged.select(
+            "digit",
+            "n_d",
+            F.expr("(1000000 * n_d) div n").alias("share_micro"),
+            chi2_micro.alias("chi2_micro"),
+            (chi2_micro > 16_919_000).alias("biased"),  # χ²(9, .05)
+        )
+        .orderBy("digit")
+    )
+
+
+_DIGIT_PREF_SQL = """
+WITH hist AS (
+    SELECT CAST(FLOOR(ABS(100.0 * c_acctbal)) AS BIGINT) % 10 AS digit,
+           COUNT(*) AS n_d
+    FROM customer GROUP BY 1
+),
+staged AS (
+    SELECT digit, n_d, SUM(n_d) OVER () AS n FROM hist
+)
+SELECT digit, CAST(n_d AS BIGINT) AS n_d,
+    (1000000 * CAST(n_d AS BIGINT)) // CAST(n AS BIGINT) AS share_micro,
+    CAST(SUM(CAST((10 * n_d - n) AS HUGEINT) * (10 * n_d - n) * 1000000
+             // (10 * CAST(n AS HUGEINT))) OVER () AS BIGINT)
+        AS chi2_micro,
+    CAST(SUM(CAST((10 * n_d - n) AS HUGEINT) * (10 * n_d - n) * 1000000
+             // (10 * CAST(n AS HUGEINT))) OVER () AS BIGINT) > 16919000
+        AS biased
+FROM staged
+ORDER BY digit
+"""
+
+
+# ---------------------------------------------------------------------------
 # agg_mutual_information — categorical MI in exact micro-nats
 # ---------------------------------------------------------------------------
 
@@ -11041,6 +11249,8 @@ QUERIES = {
     "window_spc_control_limits": window_spc_control_limits,
     "window_ljung_box": window_ljung_box,
     "agg_mutual_information": agg_mutual_information,
+    "agg_partial_correlation": agg_partial_correlation,
+    "quality_digit_preference": quality_digit_preference,
     "sample_ipw_ate": sample_ipw_ate,
     "ml_cost_sensitive_threshold": ml_cost_sensitive_threshold,
     "window_record_highs": window_record_highs,
@@ -11154,6 +11364,8 @@ ORACLES = {
     "window_spc_control_limits": _SPC_SQL,
     "window_ljung_box": _ljung_box_sql(),
     "agg_mutual_information": _MI_SQL,
+    "agg_partial_correlation": _PARTIAL_CORR_SQL,
+    "quality_digit_preference": _DIGIT_PREF_SQL,
     "sample_ipw_ate": _ipw_sql(),
     "ml_cost_sensitive_threshold": _COST_THRESHOLD_SQL,
     "window_record_highs": _RECORD_HIGHS_SQL,

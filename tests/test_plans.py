@@ -446,7 +446,7 @@ def test_global_windows_only_over_reduced_tables(spark, sf_smoke):
         "agg_split_gain_gini", "window_realized_volatility",
         "window_seasonal_decompose", "agg_spearman_rho", "agg_hist2d_joint",
         "sample_ab_assignment_srm", "agg_chi_square_independence",
-        "agg_mutual_information",
+        "agg_mutual_information", "quality_digit_preference",
         # r5: windows over the <=|sources|-row per-source token table
         "sample_epoch_plan",
         # r5 third session: cumulative ranges over the top-200-word

@@ -1811,3 +1811,69 @@ def test_ipw_ate_python_reference(spark, sf_dir):
     # the treatment is a pure hash draw (no real effect), so IPW must
     # sit CLOSER to zero than the confounded naive difference
     assert abs(got["ipw_ate"]) <= abs(got["naive_diff"]) + 1e-6
+
+
+def test_partial_correlation_python_reference(spark, sf_dir):
+    from collections import defaultdict
+
+    from parquet_batch_spark.operators.stats_ops import agg_partial_correlation
+
+    agg: dict[int, list] = defaultdict(lambda: [0, 0, None, None])
+    for r in load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor("o_totalprice").cast("long").alias("y"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).collect():
+        a = agg[r["o_custkey"]]
+        a[0] += r["y"]
+        a[1] += 1
+        a[2] = r["d"] if a[2] is None else min(a[2], r["d"])
+        a[3] = r["d"] if a[3] is None else max(a[3], r["d"])
+    xs, ys, zs = [], [], []
+    for x, yy, dmin, dmax in agg.values():
+        xs.append(x)
+        ys.append(yy)
+        zs.append((dmax - dmin).days)
+    n = len(xs)
+
+    def corr(a, b):
+        sa, sb = sum(a), sum(b)
+        sab = sum(x * y for x, y in zip(a, b))
+        saa = sum(x * x for x in a)
+        sbb = sum(x * x for x in b)
+        return (n * sab - sa * sb) / (
+            math.sqrt(n * saa - sa * sa) * math.sqrt(n * sbb - sb * sb)
+        )
+
+    rxy, rxz, ryz = corr(xs, ys), corr(xs, zs), corr(ys, zs)
+    partial = (rxy - rxz * ryz) / math.sqrt(
+        (1 - rxz * rxz) * (1 - ryz * ryz)
+    )
+    got = agg_partial_correlation(spark, sf_dir).collect()[0]
+    assert got["n_customers"] == n
+    assert math.isclose(got["r_spend_orders"], rxy, abs_tol=1e-5)
+    assert math.isclose(got["partial_r_given_tenure"], partial, abs_tol=1e-5)
+    # partialling a shared positive driver out shrinks the correlation
+    assert abs(got["partial_r_given_tenure"]) <= abs(got["r_spend_orders"]) + 1e-6
+
+
+def test_digit_preference_python_reference(spark, sf_dir):
+    from collections import Counter
+
+    from parquet_batch_spark.operators.stats_ops import (
+        quality_digit_preference,
+    )
+
+    hist: Counter = Counter()
+    for r in load(spark, sf_dir, "customer").select("c_acctbal").collect():
+        hist[int(math.floor(abs(100.0 * r["c_acctbal"]))) % 10] += 1
+    n = sum(hist.values())
+    chi2 = sum(
+        ((10 * hist[d] - n) ** 2 * 1_000_000) // (10 * n) for d in hist
+    )
+    got = {r["digit"]: r for r in quality_digit_preference(spark, sf_dir).collect()}
+    assert len(got) == 10
+    for d in range(10):
+        assert got[d]["n_d"] == hist[d]
+        assert got[d]["chi2_micro"] == chi2
+        assert got[d]["share_micro"] == (1_000_000 * hist[d]) // n
