@@ -235,6 +235,8 @@ HEADLINE = [
     "sample_ipw_ate",
     "agg_partial_correlation",
     "quality_digit_preference",
+    "window_interarrival_burstiness",
+    "seq_markov_predictive_accuracy",
 ]
 
 

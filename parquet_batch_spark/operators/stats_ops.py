@@ -6922,6 +6922,180 @@ ORDER BY bucket
 
 
 # ---------------------------------------------------------------------------
+# window_interarrival_burstiness — Goh–Barabási B per event type
+# ---------------------------------------------------------------------------
+
+
+def window_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh–Barabási burstiness B = (σ−μ)/(σ+μ) of per-user
+    inter-event times, by event type — the human-dynamics constant
+    that separates Poisson traffic (B≈0), clockwork bots (B→−1) and
+    bursty humans (B→1); ``text_word_burstiness`` is the lexical
+    analogue, this is the TEMPORAL one, and it feeds the same bot/
+    anomaly screens as ``seq_transition_matrix``.
+
+    Gaps are exact integer seconds from consecutive same-user events
+    (lag over (user, type)); σ/μ derive from exact int64/decimal
+    moments per type and B rounds to 6dp.
+
+    Scale: one user-partitioned lag pass, then a type-grain moment
+    aggregate — no global window, no second scan.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gaps = (
+        ev.select(
+            "event_type",
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(
+                    F.lag(F.col("ts").cast("timestamp")).over(w)
+                )
+            ).alias("gap_us"),
+        )
+        .where(F.col("gap_us").isNotNull())
+        .select("event_type", F.expr("gap_us div 1000000").alias("g"))
+    )
+    dec38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    m = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("g").alias("sg"),
+        F.sum(dec38(F.col("g")) * F.col("g")).alias("qg"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("sg").cast("double") / n
+    sigma = F.sqrt(F.col("qg").cast("double") / n - mu * mu)
+    b = (sigma - mu) / (sigma + mu)
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_gaps"),
+        F.round(mu, 6).alias("mean_gap_s"),
+        F.round(sigma, 6).alias("std_gap_s"),
+        F.round(b, 6).alias("burstiness"),
+        (F.round(b, 6) > 0).alias("bursty"),
+    ).orderBy("event_type")
+
+
+_BURSTINESS_TIME_SQL = """
+WITH gaps AS (
+    SELECT event_type,
+        (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+            PARTITION BY user_id, event_type ORDER BY ts, event_id))
+            // 1000000 AS g
+    FROM events
+),
+m AS (
+    SELECT event_type, COUNT(*) AS n, SUM(g) AS sg,
+           SUM(CAST(g AS HUGEINT) * g) AS qg
+    FROM gaps WHERE g IS NOT NULL
+    GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+    ROUND(CAST(sg AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_gap_s,
+    ROUND(SQRT(CAST(qg AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+        AS std_gap_s,
+    ROUND((SQRT(CAST(qg AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)))
+           - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+          / (SQRT(CAST(qg AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)))
+             + CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS burstiness,
+    ROUND((SQRT(CAST(qg AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)))
+           - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+          / (SQRT(CAST(qg AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)))
+             + CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)), 6) > 0 AS bursty
+FROM m
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# seq_markov_predictive_accuracy — how predictable is the next event?
+# ---------------------------------------------------------------------------
+
+
+def seq_markov_predictive_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predictive ceiling of the first-order chain: if you always
+    guess the MODAL next event type, how often are you right — per
+    from-type and overall? This is the model-eval view of
+    ``seq_transition_matrix`` (its entropy cousin is the chain's
+    predictability bound) and the baseline any sequence model must
+    beat before it earns GPU time.
+
+    Exact integers: accuracy = Σ_f max_t c(f,t) over Σ c, computed
+    with one max-by window over the (types × types)-bounded count
+    table; micro-units by truncating division.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    counts = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    fw = Window.partitionBy("from_type")
+    ranked = counts.select(
+        "from_type",
+        "to_type",
+        "c",
+        F.sum("c").over(fw).alias("row_total"),
+        F.row_number()
+        .over(fw.orderBy(F.desc("c"), F.asc("to_type")))
+        .alias("rn"),
+    ).where(F.col("rn") == 1)
+    return ranked.select(
+        "from_type",
+        F.col("to_type").alias("modal_next"),
+        F.col("c").cast("long").alias("n_correct"),
+        F.col("row_total").cast("long").alias("n_total"),
+        F.expr("(1000000 * c) div row_total").alias("accuracy_micro"),
+    ).orderBy("from_type")
+
+
+_MARKOV_PRED_SQL = """
+WITH counts AS (
+    SELECT from_type, to_type, COUNT(*) AS c
+    FROM (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS to_type
+        FROM events
+    )
+    WHERE to_type IS NOT NULL
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT from_type, to_type, c,
+        SUM(c) OVER (PARTITION BY from_type) AS row_total,
+        ROW_NUMBER() OVER (PARTITION BY from_type
+                           ORDER BY c DESC, to_type ASC) AS rn
+    FROM counts
+)
+SELECT from_type, to_type AS modal_next,
+    CAST(c AS BIGINT) AS n_correct,
+    CAST(row_total AS BIGINT) AS n_total,
+    (1000000 * CAST(c AS BIGINT)) // CAST(row_total AS BIGINT)
+        AS accuracy_micro
+FROM ranked WHERE rn = 1
+ORDER BY from_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # agg_partial_correlation — confound-adjusted correlation
 # ---------------------------------------------------------------------------
 
@@ -11250,6 +11424,8 @@ QUERIES = {
     "window_ljung_box": window_ljung_box,
     "agg_mutual_information": agg_mutual_information,
     "agg_partial_correlation": agg_partial_correlation,
+    "window_interarrival_burstiness": window_interarrival_burstiness,
+    "seq_markov_predictive_accuracy": seq_markov_predictive_accuracy,
     "quality_digit_preference": quality_digit_preference,
     "sample_ipw_ate": sample_ipw_ate,
     "ml_cost_sensitive_threshold": ml_cost_sensitive_threshold,
@@ -11365,6 +11541,8 @@ ORACLES = {
     "window_ljung_box": _ljung_box_sql(),
     "agg_mutual_information": _MI_SQL,
     "agg_partial_correlation": _PARTIAL_CORR_SQL,
+    "window_interarrival_burstiness": _BURSTINESS_TIME_SQL,
+    "seq_markov_predictive_accuracy": _MARKOV_PRED_SQL,
     "quality_digit_preference": _DIGIT_PREF_SQL,
     "sample_ipw_ate": _ipw_sql(),
     "ml_cost_sensitive_threshold": _COST_THRESHOLD_SQL,

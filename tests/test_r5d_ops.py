@@ -1877,3 +1877,73 @@ def test_digit_preference_python_reference(spark, sf_dir):
         assert got[d]["n_d"] == hist[d]
         assert got[d]["chi2_micro"] == chi2
         assert got[d]["share_micro"] == (1_000_000 * hist[d]) // n
+
+
+def test_interarrival_burstiness_python_reference(spark, sf_dir):
+    from collections import defaultdict
+
+    from parquet_batch_spark.operators.stats_ops import (
+        window_interarrival_burstiness,
+    )
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "event_id",
+        )
+        .orderBy("user_id", "event_type", "us", "event_id")
+        .collect()
+    )
+    gaps: dict[str, list[int]] = defaultdict(list)
+    prev: dict[tuple, int] = {}
+    for r in ev:
+        k = (r["user_id"], r["event_type"])
+        if k in prev:
+            gaps[r["event_type"]].append((r["us"] - prev[k]) // 1_000_000)
+        prev[k] = r["us"]
+    got = {
+        r["event_type"]: r
+        for r in window_interarrival_burstiness(spark, sf_dir).collect()
+    }
+    for et, gs in gaps.items():
+        n = len(gs)
+        mu = sum(gs) / n
+        sigma = math.sqrt(sum(g * g for g in gs) / n - mu * mu)
+        b = (sigma - mu) / (sigma + mu)
+        assert got[et]["n_gaps"] == n
+        assert math.isclose(got[et]["burstiness"], b, abs_tol=1e-5)
+        assert -1.0 <= got[et]["burstiness"] <= 1.0
+
+
+def test_markov_predictive_accuracy_python_reference(spark, sf_dir):
+    from collections import defaultdict
+
+    from parquet_batch_spark.operators.stats_ops import (
+        seq_markov_predictive_accuracy,
+        seq_transition_matrix,
+    )
+
+    counts = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in seq_transition_matrix(spark, sf_dir).collect()
+    }
+    by_from: dict[str, dict[str, int]] = defaultdict(dict)
+    for (f, t), c in counts.items():
+        by_from[f][t] = c
+    got = {
+        r["from_type"]: r
+        for r in seq_markov_predictive_accuracy(spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_from)
+    for f, tos in by_from.items():
+        modal = min(tos, key=lambda t: (-tos[t], t))
+        total = sum(tos.values())
+        assert got[f]["modal_next"] == modal
+        assert got[f]["n_correct"] == tos[modal]
+        assert got[f]["n_total"] == total
+        assert got[f]["accuracy_micro"] == (1_000_000 * tos[modal]) // total
+        # modal accuracy can never be below uniform guessing
+        assert got[f]["accuracy_micro"] >= 1_000_000 // (len(tos) + 1)
