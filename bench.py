@@ -237,6 +237,8 @@ HEADLINE = [
     "quality_digit_preference",
     "window_interarrival_burstiness",
     "seq_markov_predictive_accuracy",
+    "window_peak_over_threshold",
+    "graph_rich_club",
 ]
 
 

@@ -1006,6 +1006,86 @@ ORDER BY 1
 
 
 # ---------------------------------------------------------------------------
+# graph_rich_club — connectivity among the high-degree core
+# ---------------------------------------------------------------------------
+
+RICH_CLUB_KS = (2, 4, 8, 16)
+
+
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient ladder φ(k) = 2·E_{{>k}} / (N_{{>k}}·
+    (N_{{>k}}−1)) over the segment-sharing graph: do the high-degree
+    documents (the template cores) preferentially connect to EACH
+    OTHER — the "one merged boilerplate blob" structure that makes a
+    single connected-components pass collapse half the corpus — or do
+    hubs sit in separate clubs? Complements ``graph_degree_
+    assortativity``'s one global number with the level-by-level view.
+
+    Per literal k: node census via a degree filter, surviving edges
+    via two semi-join-style degree lookups; φ in exact integer
+    micro-units of the clique bound.
+    """
+    e = _segment_edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("db"))
+    joined = e.join(da, "a").join(db, "b")
+    rows = None
+    for k in RICH_CLUB_KS:
+        nodes_k = deg.where(F.col("deg") > k).agg(
+            F.lit(k).cast("long").alias("k"),
+            F.count(F.lit(1)).alias("n_nodes"),
+        )
+        edges_k = joined.where(
+            (F.col("da") > k) & (F.col("db") > k)
+        ).agg(F.count(F.lit(1)).alias("n_edges"))
+        row = nodes_k.crossJoin(edges_k)
+        rows = row if rows is None else rows.unionByName(row)
+    return rows.select(
+        "k",
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.when(
+            F.col("n_nodes") >= 2,
+            F.expr("(2000000 * n_edges) div (n_nodes * (n_nodes - 1))"),
+        ).alias("phi_micro"),
+    ).orderBy("k")
+
+
+def _rich_club_sql() -> str:
+    rows = " UNION ALL ".join(
+        f"""SELECT CAST({k} AS BIGINT) AS k,
+        (SELECT COUNT(*) FROM deg WHERE deg > {k}) AS n_nodes,
+        (SELECT COUNT(*) FROM edges e
+         JOIN deg x ON x.v = e.a JOIN deg y ON y.v = e.b
+         WHERE x.deg > {k} AND y.deg > {k}) AS n_edges"""
+        for k in RICH_CLUB_KS
+    )
+    return f"""
+WITH {SEGMENT_EDGES_CTE},
+deg AS (
+    SELECT v, COUNT(*) AS deg
+    FROM (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+    GROUP BY v
+),
+ladder AS ({rows})
+SELECT k, CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CASE WHEN n_nodes >= 2
+            THEN (2000000 * CAST(n_edges AS BIGINT))
+                 // (CAST(n_nodes AS BIGINT) * (n_nodes - 1))
+       END AS phi_micro
+FROM ladder
+ORDER BY k
+"""
+
+
+# ---------------------------------------------------------------------------
 # graph_degree_assortativity — degree-degree mixing coefficient
 # ---------------------------------------------------------------------------
 
@@ -1105,6 +1185,7 @@ FROM m
 QUERIES = {
     "graph_clustering_coefficient": graph_clustering_coefficient,
     "graph_degree_assortativity": graph_degree_assortativity,
+    "graph_rich_club": graph_rich_club,
     "graph_neighborhood_jaccard": graph_neighborhood_jaccard,
     "graph_kcore": graph_kcore,
     "dedup_cross_source_matrix": dedup_cross_source_matrix,
@@ -1119,6 +1200,7 @@ QUERIES = {
 ORACLES = {
     "graph_clustering_coefficient": _LOCAL_CC_SQL,
     "graph_degree_assortativity": _ASSORT_SQL,
+    "graph_rich_club": _rich_club_sql(),
     "graph_neighborhood_jaccard": _NJ_SQL,
     "graph_kcore": _kcore_sql(),
     "dedup_cross_source_matrix": _CROSS_SOURCE_SQL,

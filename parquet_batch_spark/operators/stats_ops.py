@@ -6922,6 +6922,123 @@ ORDER BY bucket
 
 
 # ---------------------------------------------------------------------------
+# window_peak_over_threshold — POT/GPD tail fit
+# ---------------------------------------------------------------------------
+
+POT_PCT = 95  # exceedance threshold percentile
+
+
+def window_peak_over_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold tail analysis of daily revenue — the
+    SECOND pillar of extreme-value theory next to
+    ``agg_gumbel_extreme_value``'s block maxima (POT uses every
+    exceedance, not one point per block, so it sees more tail data):
+    exceedances over the {POT_PCT}th-percentile day, with the
+    method-of-moments GPD fit ξ̂ = ½(1 − μ̄²/s²), β̂ = ½μ̄(μ̄²/s² + 1)
+    — ξ > 0 flags a heavy (Pareto-like) tail where provisioning by
+    σ-multiples fails.
+
+    The threshold is the exact LOWER {POT_PCT}th percentile via
+    cumulative counts over the value-distinct grid (no interpolation
+    — pinned convention); excesses are exact integers; the GPD fit
+    derives from exact moments in double.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.floor("o_totalprice").cast("long").alias("yd"),
+        )
+        .groupBy("day")
+        .agg(F.sum("yd").alias("x"))
+    )
+    grid = daily.groupBy("x").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    thr = (
+        grid.select(
+            "x",
+            F.sum("cnt").over(cum).alias("c"),
+            F.sum("cnt").over(tot).alias("n"),
+        )
+        .where(100 * F.col("c") >= POT_PCT * F.col("n"))
+        .agg(F.min("x").alias("u"), F.max("n").alias("n_days"))
+    )
+    dec38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    exc = (
+        daily.crossJoin(F.broadcast(thr))
+        .where(F.col("x") > F.col("u"))
+        .select((F.col("x") - F.col("u")).alias("e"), "u", "n_days")
+    )
+    m = exc.groupBy("u", "n_days").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("e").alias("se"),
+        F.sum(dec38(F.col("e")) * F.col("e")).alias("qe"),
+    )
+    k = F.col("k").cast("double")
+    mu = F.col("se").cast("double") / k
+    s2 = F.col("qe").cast("double") / k - mu * mu
+    ratio = mu * mu / s2
+    xi = F.lit(0.5) * (F.lit(1.0) - ratio)
+    beta = F.lit(0.5) * mu * (ratio + F.lit(1.0))
+    return m.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("u").cast("long").alias("threshold"),
+        F.col("k").cast("long").alias("n_exceedances"),
+        F.round(mu, 6).alias("mean_excess"),
+        F.round(xi, 6).alias("gpd_xi"),
+        F.round(beta, 6).alias("gpd_beta"),
+        (xi > 0).alias("heavy_tail"),
+    )
+
+
+_POT_SQL = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS x
+    FROM orders GROUP BY 1
+),
+grid AS (
+    SELECT x, COUNT(*) AS cnt FROM daily GROUP BY x
+),
+thr AS (
+    SELECT MIN(x) AS u, MAX(n) AS n_days FROM (
+        SELECT x,
+            SUM(cnt) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS c,
+            SUM(cnt) OVER () AS n
+        FROM grid
+    ) WHERE 100 * c >= {POT_PCT} * n
+),
+m AS (
+    SELECT t.u, t.n_days, COUNT(*) AS k,
+        SUM(d.x - t.u) AS se,
+        SUM(CAST(d.x - t.u AS HUGEINT) * (d.x - t.u)) AS qe
+    FROM daily d CROSS JOIN thr t
+    WHERE d.x > t.u
+    GROUP BY t.u, t.n_days
+),
+d2 AS (
+    SELECT CAST(n_days AS BIGINT) AS n_days, CAST(u AS BIGINT) AS u,
+        CAST(k AS BIGINT) AS k_int, CAST(k AS DOUBLE) AS k,
+        CAST(se AS DOUBLE) AS se, CAST(qe AS DOUBLE) AS qe
+    FROM m
+)
+SELECT n_days, u AS threshold, k_int AS n_exceedances,
+    ROUND(se / k, 6) AS mean_excess,
+    ROUND(0.5 * (1.0 - (se / k) * (se / k)
+                 / (qe / k - (se / k) * (se / k))), 6) AS gpd_xi,
+    ROUND(0.5 * (se / k) * ((se / k) * (se / k)
+                            / (qe / k - (se / k) * (se / k)) + 1.0), 6)
+        AS gpd_beta,
+    0.5 * (1.0 - (se / k) * (se / k)
+           / (qe / k - (se / k) * (se / k))) > 0 AS heavy_tail
+FROM d2
+"""
+
+
+# ---------------------------------------------------------------------------
 # window_interarrival_burstiness — Goh–Barabási B per event type
 # ---------------------------------------------------------------------------
 
@@ -11425,6 +11542,7 @@ QUERIES = {
     "agg_mutual_information": agg_mutual_information,
     "agg_partial_correlation": agg_partial_correlation,
     "window_interarrival_burstiness": window_interarrival_burstiness,
+    "window_peak_over_threshold": window_peak_over_threshold,
     "seq_markov_predictive_accuracy": seq_markov_predictive_accuracy,
     "quality_digit_preference": quality_digit_preference,
     "sample_ipw_ate": sample_ipw_ate,
@@ -11542,6 +11660,7 @@ ORACLES = {
     "agg_mutual_information": _MI_SQL,
     "agg_partial_correlation": _PARTIAL_CORR_SQL,
     "window_interarrival_burstiness": _BURSTINESS_TIME_SQL,
+    "window_peak_over_threshold": _POT_SQL,
     "seq_markov_predictive_accuracy": _MARKOV_PRED_SQL,
     "quality_digit_preference": _DIGIT_PREF_SQL,
     "sample_ipw_ate": _ipw_sql(),

@@ -1947,3 +1947,77 @@ def test_markov_predictive_accuracy_python_reference(spark, sf_dir):
         assert got[f]["accuracy_micro"] == (1_000_000 * tos[modal]) // total
         # modal accuracy can never be below uniform guessing
         assert got[f]["accuracy_micro"] >= 1_000_000 // (len(tos) + 1)
+
+
+def test_pot_gpd_python_reference(spark, sf_dir):
+    from collections import defaultdict
+
+    from parquet_batch_spark.operators.stats_ops import (
+        POT_PCT,
+        window_peak_over_threshold,
+    )
+
+    daily: dict = defaultdict(int)
+    for r in load(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.floor("o_totalprice").cast("long").alias("y"),
+    ).collect():
+        daily[r["day"]] += r["y"]
+    xs = sorted(daily.values())
+    n = len(xs)
+    # lower percentile via cumulative counts (pinned convention)
+    cum = 0
+    u = None
+    from collections import Counter
+
+    for v, c in sorted(Counter(xs).items()):
+        cum += c
+        if 100 * cum >= POT_PCT * n:
+            u = v
+            break
+    exc = [x - u for x in xs if x > u]
+    k = len(exc)
+    mu = sum(exc) / k
+    s2 = sum(e * e for e in exc) / k - mu * mu
+    xi = 0.5 * (1 - mu * mu / s2)
+    beta = 0.5 * mu * (mu * mu / s2 + 1)
+    got = window_peak_over_threshold(spark, sf_dir).collect()[0]
+    assert got["n_days"] == n and got["threshold"] == u
+    assert got["n_exceedances"] == k
+    assert math.isclose(got["mean_excess"], mu, abs_tol=1e-4)
+    assert math.isclose(got["gpd_xi"], xi, abs_tol=1e-5)
+    assert math.isclose(got["gpd_beta"], beta, abs_tol=1e-3)
+    # exceedances are ~5% of days by construction
+    assert k <= n - math.ceil(POT_PCT * n / 100) + 1
+
+
+def test_rich_club_python_reference(spark, sf_dir):
+    from collections import defaultdict
+
+    from parquet_batch_spark.operators.corpus_ops import (
+        RICH_CLUB_KS,
+        graph_rich_club,
+    )
+    from parquet_batch_spark.operators.llm_prep import segment_edges
+
+    edges = [(r["a"], r["b"]) for r in segment_edges(spark, sf_dir).collect()]
+    deg: dict[int, int] = defaultdict(int)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    got = {r["k"]: r for r in graph_rich_club(spark, sf_dir).collect()}
+    assert set(got) == set(RICH_CLUB_KS)
+    prev_nodes = None
+    for k in RICH_CLUB_KS:
+        nodes = [v for v, d in deg.items() if d > k]
+        n_edges = sum(1 for a, b in edges if deg[a] > k and deg[b] > k)
+        assert got[k]["n_nodes"] == len(nodes)
+        assert got[k]["n_edges"] == n_edges
+        if len(nodes) >= 2:
+            assert got[k]["phi_micro"] == (2_000_000 * n_edges) // (
+                len(nodes) * (len(nodes) - 1)
+            )
+        # clubs shrink as k rises
+        if prev_nodes is not None:
+            assert len(nodes) <= prev_nodes
+        prev_nodes = len(nodes)
