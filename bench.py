@@ -239,6 +239,7 @@ HEADLINE = [
     "seq_markov_predictive_accuracy",
     "window_peak_over_threshold",
     "graph_rich_club",
+    "text_burrows_delta",
 ]
 
 

@@ -1683,6 +1683,152 @@ ORDER BY lang, source
 
 
 # ---------------------------------------------------------------------------
+# text_burrows_delta — stylometric distance between sources
+# ---------------------------------------------------------------------------
+
+BD_VOCAB = 50  # top-V function words define the style space
+
+
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta between every source pair — THE stylometric
+    distance (authorship attribution's workhorse): represent each
+    source by z-scored relative frequencies of the top-{BD_VOCAB}
+    corpus words, Delta = mean |z_a − z_b|. Low Delta between two
+    "independent" feeds is the same-author/same-generator signal that
+    ``dedup_cross_source_matrix`` (content overlap) misses when the
+    wording is paraphrased but the STYLE leaks through.
+
+    Exactness: relative frequencies are 10⁹-unit integers; per-word
+    μ/σ across sources come from exact sums over the DENSE source ×
+    vocab profile (missing cells are true zeros — a sparse join would
+    silently bias μ); per-pair |z| differences are micro-quantized
+    BEFORE the word sum (fold-order-free).
+
+    Scale: vocab and source domains are bounded, so every stage after
+    the corpus token count is constant-size.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    words = d.select("source", F.explode(tokens_col("text")).alias("w"))
+    counts = words.groupBy("source", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = words.groupBy("source").agg(F.count(F.lit(1)).alias("tok"))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("w"))
+        .limit(BD_VOCAB)
+        .select("w")
+    )
+    from pyspark.sql import Window
+
+    dense = (
+        totals.crossJoin(F.broadcast(vocab))
+        .join(counts, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.expr(
+                "(1000000000 * CAST(coalesce(c, 0) AS BIGINT)) div tok"
+            ).alias("f"),
+        )
+    )
+    ww = Window.partitionBy("w")
+    dec38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    prof = dense.select(
+        "source",
+        "w",
+        "f",
+        F.count(F.lit(1)).over(ww).alias("ns"),
+        F.sum("f").over(ww).alias("sf"),
+        F.sum(dec38(F.col("f")) * F.col("f")).over(ww).alias("qf"),
+    )
+    ns = F.col("ns").cast("double")
+    mu = F.col("sf").cast("double") / ns
+    sigma = F.sqrt(F.col("qf").cast("double") / ns - mu * mu)
+    z = prof.select(
+        "source",
+        "w",
+        ((F.col("f").cast("double") - mu) / sigma).alias("z"),
+    )
+    a = z.select(
+        F.col("source").alias("source_a"),
+        "w",
+        F.col("z").alias("za"),
+    )
+    b = z.select(
+        F.col("source").alias("source_b"),
+        "w",
+        F.col("z").alias("zb"),
+    )
+    pairs = a.join(b, "w").where(F.col("source_a") < F.col("source_b"))
+    term = F.floor(F.lit(1e6) * F.abs(F.col("za") - F.col("zb"))).cast(
+        "long"
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(term).alias("sum_micro"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.expr("sum_micro div n_words").alias("delta_micro"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _burrows_sql() -> str:
+    return f"""
+WITH words AS (
+    SELECT source, unnest({sql_tokens("text")}) AS w FROM documents
+),
+counts AS (
+    SELECT source, w, COUNT(*) AS c FROM words GROUP BY source, w
+),
+totals AS (
+    SELECT source, COUNT(*) AS tok FROM words GROUP BY source
+),
+vocab AS (
+    SELECT w FROM (
+        SELECT w, COUNT(*) AS cf FROM words GROUP BY w
+        ORDER BY cf DESC, w ASC LIMIT {BD_VOCAB}
+    )
+),
+dense AS (
+    SELECT t.source, v.w,
+        (1000000000 * CAST(COALESCE(c.c, 0) AS BIGINT)) // t.tok AS f
+    FROM totals t
+    CROSS JOIN vocab v
+    LEFT JOIN counts c ON c.source = t.source AND c.w = v.w
+),
+prof AS (
+    SELECT source, w, f,
+        COUNT(*) OVER (PARTITION BY w) AS ns,
+        SUM(f) OVER (PARTITION BY w) AS sf,
+        SUM(CAST(f AS HUGEINT) * f) OVER (PARTITION BY w) AS qf
+    FROM dense
+),
+z AS (
+    SELECT source, w,
+        (CAST(f AS DOUBLE) - CAST(sf AS DOUBLE) / CAST(ns AS DOUBLE))
+        / SQRT(CAST(qf AS DOUBLE) / CAST(ns AS DOUBLE)
+               - (CAST(sf AS DOUBLE) / CAST(ns AS DOUBLE))
+                 * (CAST(sf AS DOUBLE) / CAST(ns AS DOUBLE))) AS z
+    FROM prof
+)
+SELECT a.source AS source_a, b.source AS source_b,
+    CAST(SUM(CAST(FLOOR(1000000.0 * ABS(a.z - b.z)) AS BIGINT))
+         AS BIGINT) // COUNT(*) AS delta_micro
+FROM z a JOIN z b ON b.w = a.w AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY a.source, b.source
+"""
+
+
+# ---------------------------------------------------------------------------
 # text_good_turing_mass — missing probability mass per language
 # ---------------------------------------------------------------------------
 
@@ -2246,6 +2392,7 @@ QUERIES = {
     "text_yule_k": text_yule_k,
     "text_chao1_vocabulary": text_chao1_vocabulary,
     "text_good_turing_mass": text_good_turing_mass,
+    "text_burrows_delta": text_burrows_delta,
     "text_bm25_topk": text_bm25_topk,
     "text_langid_ngram_profile": text_langid_ngram_profile,
     "quality_ndcg_ranking_eval": quality_ndcg_ranking_eval,
@@ -2274,6 +2421,7 @@ ORACLES = {
     "text_yule_k": _YULE_SQL,
     "text_chao1_vocabulary": _CHAO1_SQL,
     "text_good_turing_mass": _good_turing_sql(),
+    "text_burrows_delta": _burrows_sql(),
     "text_bm25_topk": _BM25_SQL,
     "text_langid_ngram_profile": _CT_LANGID_SQL,
     "quality_ndcg_ranking_eval": _ndcg_sql(),

@@ -2021,3 +2021,50 @@ def test_rich_club_python_reference(spark, sf_dir):
         if prev_nodes is not None:
             assert len(nodes) <= prev_nodes
         prev_nodes = len(nodes)
+
+
+def test_burrows_delta_python_reference(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    from parquet_batch_spark.operators.text_analysis import (
+        BD_VOCAB,
+        text_burrows_delta,
+    )
+
+    by_src: dict[str, Counter] = defaultdict(Counter)
+    for r in load(spark, sf_dir, "documents").select("source", "text").collect():
+        by_src[r["source"]].update(r["text"].strip().split())
+    corpus: Counter = Counter()
+    for c in by_src.values():
+        corpus.update(c)
+    vocab = sorted(corpus, key=lambda w: (-corpus[w], w))[:BD_VOCAB]
+    srcs = sorted(by_src)
+    f = {
+        (s, w): (1_000_000_000 * by_src[s][w]) // sum(by_src[s].values())
+        for s in srcs
+        for w in vocab
+    }
+    z = {}
+    for w in vocab:
+        vals = [f[(s, w)] for s in srcs]
+        ns = len(vals)
+        mu = sum(vals) / ns
+        sigma = math.sqrt(sum(v * v for v in vals) / ns - mu * mu)
+        for s in srcs:
+            z[(s, w)] = (f[(s, w)] - mu) / sigma
+    exp = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            tot = sum(
+                math.floor(1e6 * abs(z[(a, w)] - z[(b, w)])) for w in vocab
+            )
+            # the op divides by the ACTUAL vocab size (< BD_VOCAB when
+            # the corpus has fewer distinct words, as at sf0.001)
+            exp[(a, b)] = tot // len(vocab)
+    got = {
+        (r["source_a"], r["source_b"]): r["delta_micro"]
+        for r in text_burrows_delta(spark, sf_dir).collect()
+    }
+    assert got == exp
+    # delta is a distance: strictly positive for distinct sources
+    assert all(v > 0 for v in got.values())
