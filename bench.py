@@ -240,6 +240,8 @@ HEADLINE = [
     "window_peak_over_threshold",
     "graph_rich_club",
     "text_burrows_delta",
+    "window_sortino_ratio",
+    "agg_indirect_standardization",
 ]
 
 

@@ -6922,6 +6922,193 @@ ORDER BY bucket
 
 
 # ---------------------------------------------------------------------------
+# window_sortino_ratio — downside-only risk adjustment
+# ---------------------------------------------------------------------------
+
+
+def window_sortino_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sortino ratio of day-over-day revenue changes — the downside
+    counterpart of ``window_realized_volatility``'s symmetric σ:
+    penalize only BELOW-target moves (target = 0 change), because
+    upside variance is not risk; Sortino > Sharpe on the same series
+    means the volatility is mostly good news. Completes the
+    drawdown/volatility/RSI finance-window family with the
+    asymmetric-risk view.
+
+    Day deltas are exact integers; mean and downside semi-deviation
+    derive from exact int64/decimal conditional moments; the ratio
+    rounds to 6dp.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.floor("o_totalprice").cast("long").alias("yd"),
+        )
+        .groupBy("day")
+        .agg(F.sum("yd").alias("x"))
+    )
+    seq = Window.orderBy("day")
+    deltas = daily.select(
+        (F.col("x") - F.lag("x").over(seq)).alias("r")
+    ).where(F.col("r").isNotNull())
+    dec38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    m = deltas.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("sr"),
+        F.sum(F.when(F.col("r") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_down"),
+        F.sum(
+            F.when(F.col("r") < 0, dec38(F.col("r")) * F.col("r")).otherwise(
+                0
+            )
+        ).alias("qdown"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("sr").cast("double") / n
+    ddev = F.sqrt(F.col("qdown").cast("double") / n)
+    return m.select(
+        F.col("n").cast("long").alias("n_deltas"),
+        F.col("n_down").alias("n_down_days"),
+        F.round(mean, 6).alias("mean_delta"),
+        F.round(ddev, 6).alias("downside_dev"),
+        F.round(mean / ddev, 6).alias("sortino"),
+    )
+
+
+_SORTINO_SQL = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS x
+    FROM orders GROUP BY 1
+),
+deltas AS (
+    SELECT x - LAG(x) OVER (ORDER BY day) AS r FROM daily
+),
+m AS (
+    SELECT COUNT(*) AS n, SUM(r) AS sr,
+        CAST(SUM(CASE WHEN r < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+        SUM(CASE WHEN r < 0 THEN CAST(r AS HUGEINT) * r ELSE 0 END)
+            AS qdown
+    FROM deltas WHERE r IS NOT NULL
+)
+SELECT CAST(n AS BIGINT) AS n_deltas, n_down AS n_down_days,
+    ROUND(CAST(sr AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_delta,
+    ROUND(SQRT(CAST(qdown AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        AS downside_dev,
+    ROUND((CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))
+          / SQRT(CAST(qdown AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS sortino
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# agg_indirect_standardization — SMR-style observed/expected ratios
+# ---------------------------------------------------------------------------
+
+
+def agg_indirect_standardization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indirect standardization (the epidemiologists' SMR, repurposed
+    for ops): is a nation's FULFILLED-order rate high because of its
+    own behavior, or because of its SEGMENT MIX? Expected counts
+    apply the GLOBAL per-segment rates to each nation's segment
+    composition; the O/E ratio > 1 flags genuinely-above-expected
+    nations after mix adjustment — the same confound logic as
+    ``sample_ipw_ate``, in the standardization idiom every public-
+    health/claims shop uses.
+
+    Exact integers: O and the segment cells are counts; E is a sum of
+    cell·rate products computed as (cell·global_f·10⁶) div global_n
+    per segment — micro-quantized before the nation sum, so order-
+    insensitive. χ²-free by design: the ladder of O/E ratios IS the
+    report.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment", "c_nationkey"
+    )
+    n_t = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    base = (
+        o.select(
+            "o_custkey", (F.col("o_orderstatus") == "F").alias("f")
+        )
+        .join(F.broadcast(c), "o_custkey")
+        .join(F.broadcast(n_t), "c_nationkey")
+    )
+    cells = base.groupBy("n_name", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cell"),
+        F.sum(F.when(F.col("f"), 1).otherwise(0)).cast("long").alias("o_cell"),
+    )
+    sw = Window.partitionBy("c_mktsegment")
+    staged = cells.select(
+        "n_name",
+        "n_cell",
+        "o_cell",
+        F.sum("n_cell").over(sw).alias("seg_n"),
+        F.sum("o_cell").over(sw).alias("seg_f"),
+    )
+    e_micro = F.expr(
+        "(1000000 * CAST(n_cell AS DECIMAL(38,0)) * seg_f) div seg_n"
+    )
+    out = staged.groupBy("n_name").agg(
+        F.sum("n_cell").cast("long").alias("n_orders"),
+        F.sum("o_cell").cast("long").alias("observed"),
+        F.sum(e_micro).alias("expected_micro"),
+    )
+    return out.select(
+        "n_name",
+        "n_orders",
+        "observed",
+        F.expr("CAST(expected_micro div 1000000 AS BIGINT)").alias(
+            "expected"
+        ),
+        F.expr(
+            "(1000000 * CAST(observed AS DECIMAL(38,0)) * 1000000)"
+            " div expected_micro"
+        ).cast("long").alias("smr_micro"),
+    ).orderBy("n_name")
+
+
+_SMR_SQL = """
+WITH base AS (
+    SELECT n.n_name, c.c_mktsegment,
+           o.o_orderstatus = 'F' AS f
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+cells AS (
+    SELECT n_name, c_mktsegment, COUNT(*) AS n_cell,
+        CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS o_cell
+    FROM base GROUP BY 1, 2
+),
+staged AS (
+    SELECT n_name, n_cell, o_cell,
+        SUM(n_cell) OVER (PARTITION BY c_mktsegment) AS seg_n,
+        SUM(o_cell) OVER (PARTITION BY c_mktsegment) AS seg_f
+    FROM cells
+),
+agg AS (
+    SELECT n_name,
+        CAST(SUM(n_cell) AS BIGINT) AS n_orders,
+        CAST(SUM(o_cell) AS BIGINT) AS observed,
+        SUM((1000000 * CAST(n_cell AS HUGEINT) * seg_f) // seg_n)
+            AS expected_micro
+    FROM staged GROUP BY n_name
+)
+SELECT n_name, n_orders, observed,
+    CAST(expected_micro // 1000000 AS BIGINT) AS expected,
+    CAST((1000000 * CAST(observed AS HUGEINT) * 1000000)
+         // expected_micro AS BIGINT) AS smr_micro
+FROM agg
+ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # window_peak_over_threshold — POT/GPD tail fit
 # ---------------------------------------------------------------------------
 
@@ -11543,6 +11730,8 @@ QUERIES = {
     "agg_partial_correlation": agg_partial_correlation,
     "window_interarrival_burstiness": window_interarrival_burstiness,
     "window_peak_over_threshold": window_peak_over_threshold,
+    "window_sortino_ratio": window_sortino_ratio,
+    "agg_indirect_standardization": agg_indirect_standardization,
     "seq_markov_predictive_accuracy": seq_markov_predictive_accuracy,
     "quality_digit_preference": quality_digit_preference,
     "sample_ipw_ate": sample_ipw_ate,
@@ -11661,6 +11850,8 @@ ORACLES = {
     "agg_partial_correlation": _PARTIAL_CORR_SQL,
     "window_interarrival_burstiness": _BURSTINESS_TIME_SQL,
     "window_peak_over_threshold": _POT_SQL,
+    "window_sortino_ratio": _SORTINO_SQL,
+    "agg_indirect_standardization": _SMR_SQL,
     "seq_markov_predictive_accuracy": _MARKOV_PRED_SQL,
     "quality_digit_preference": _DIGIT_PREF_SQL,
     "sample_ipw_ate": _ipw_sql(),

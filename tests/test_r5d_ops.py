@@ -2068,3 +2068,85 @@ def test_burrows_delta_python_reference(spark, sf_dir):
     assert got == exp
     # delta is a distance: strictly positive for distinct sources
     assert all(v > 0 for v in got.values())
+
+
+def test_sortino_python_reference(spark, sf_dir):
+    from collections import defaultdict
+
+    from parquet_batch_spark.operators.stats_ops import window_sortino_ratio
+
+    daily: dict = defaultdict(int)
+    for r in load(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.floor("o_totalprice").cast("long").alias("y"),
+    ).collect():
+        daily[r["day"]] += r["y"]
+    xs = [daily[d] for d in sorted(daily)]
+    rs = [b - a for a, b in zip(xs, xs[1:])]
+    n = len(rs)
+    mean = sum(rs) / n
+    ddev = math.sqrt(sum(r * r for r in rs if r < 0) / n)
+    got = window_sortino_ratio(spark, sf_dir).collect()[0]
+    assert got["n_deltas"] == n
+    assert got["n_down_days"] == sum(1 for r in rs if r < 0)
+    assert math.isclose(got["mean_delta"], mean, abs_tol=1e-4)
+    assert math.isclose(got["downside_dev"], ddev, abs_tol=1e-4)
+    assert math.isclose(got["sortino"], mean / ddev, abs_tol=1e-5)
+
+
+def test_indirect_standardization_python_reference(spark, sf_dir):
+    from collections import defaultdict
+
+    from parquet_batch_spark.operators.stats_ops import (
+        agg_indirect_standardization,
+    )
+
+    cust = {
+        r["c_custkey"]: (r["c_mktsegment"], r["c_nationkey"])
+        for r in load(spark, sf_dir, "customer").collect()
+    }
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load(spark, sf_dir, "nation").collect()
+    }
+    cells: dict[tuple, list[int]] = defaultdict(lambda: [0, 0])
+    for r in load(spark, sf_dir, "orders").select(
+        "o_custkey", (F.col("o_orderstatus") == "F").alias("f")
+    ).collect():
+        seg, nk = cust[r["o_custkey"]]
+        c = cells[(nation[nk], seg)]
+        c[0] += 1
+        c[1] += int(r["f"])
+    seg_n: dict[str, int] = defaultdict(int)
+    seg_f: dict[str, int] = defaultdict(int)
+    for (nm, seg), (n_cell, o_cell) in cells.items():
+        seg_n[seg] += n_cell
+        seg_f[seg] += o_cell
+    exp = {}
+    for nm in {k[0] for k in cells}:
+        n_orders = sum(v[0] for k, v in cells.items() if k[0] == nm)
+        observed = sum(v[1] for k, v in cells.items() if k[0] == nm)
+        e_micro = sum(
+            (1_000_000 * v[0] * seg_f[k[1]]) // seg_n[k[1]]
+            for k, v in cells.items()
+            if k[0] == nm
+        )
+        exp[nm] = (
+            n_orders,
+            observed,
+            e_micro // 1_000_000,
+            (1_000_000 * observed * 1_000_000) // e_micro,
+        )
+    got = {
+        r["n_name"]: (
+            r["n_orders"],
+            r["observed"],
+            r["expected"],
+            r["smr_micro"],
+        )
+        for r in agg_indirect_standardization(spark, sf_dir).collect()
+    }
+    assert got == exp
+    # mix-adjusted ratios scatter around 1.0
+    smrs = [v[3] for v in got.values()]
+    assert min(smrs) < 1_000_000 < max(smrs)
