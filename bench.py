@@ -242,6 +242,7 @@ HEADLINE = [
     "text_burrows_delta",
     "window_sortino_ratio",
     "agg_indirect_standardization",
+    "sample_sprt_monitor",
 ]
 
 

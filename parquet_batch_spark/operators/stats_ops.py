@@ -6922,6 +6922,143 @@ ORDER BY bucket
 
 
 # ---------------------------------------------------------------------------
+# sample_sprt_monitor — Wald sequential probability ratio test
+# ---------------------------------------------------------------------------
+
+SPRT_P0_PCT = 12  # H0: purchase share of events = 12%
+SPRT_P1_PCT = 14  # H1: = 14%
+SPRT_ALPHA = 0.05
+SPRT_BETA = 0.20
+
+
+def _sprt_consts() -> dict:
+    """Literal log-likelihood increments and Wald boundaries, in
+    micro-nats — computed ONCE in Python, embedded identically in
+    both engines (the BH/Gumbel no-query-time-transcendental
+    recipe)."""
+    import math
+
+    p0, p1 = SPRT_P0_PCT / 100.0, SPRT_P1_PCT / 100.0
+    return {
+        "w_hit": round(1e6 * math.log(p1 / p0)),
+        "w_miss": round(1e6 * math.log((1 - p1) / (1 - p0))),
+        "upper": round(1e6 * math.log((1 - SPRT_BETA) / SPRT_ALPHA)),
+        "lower": round(1e6 * math.log(SPRT_BETA / (1 - SPRT_ALPHA))),
+    }
+
+
+def sample_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT over the daily purchase share of events — the
+    sequential monitor that stops an experiment THE DAY the evidence
+    suffices instead of waiting for a fixed horizon (the math under
+    every "early stopping" feature an experimentation platform
+    sells, and the reason peeking at fixed-horizon tests inflates
+    false positives — SPRT's boundaries price the peeking in).
+
+    Fully exact: per-day hit/miss counts are integers, the log-
+    likelihood increments and the Wald A/B boundaries are micro-nat
+    LITERALS (python-computed — no query-time transcendentals), so
+    the cumulative LLR path is an exact integer cumulative sum over
+    the day-grain series; the decision day is its first boundary
+    crossing.
+    """
+    k = _sprt_consts()
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.col("ts").cast("date").alias("day"),
+            (F.col("event_type") == "purchase").alias("hit"),
+        )
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("hits"),
+            F.sum(F.when(F.col("hit"), 0).otherwise(1))
+            .cast("long")
+            .alias("misses"),
+        )
+    )
+    seq = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    path = daily.select(
+        "day",
+        F.sum(
+            F.col("hits") * F.lit(k["w_hit"])
+            + F.col("misses") * F.lit(k["w_miss"])
+        )
+        .over(seq)
+        .alias("llr_micro"),
+    )
+    crossed = path.select(
+        "day",
+        "llr_micro",
+        F.when(F.col("llr_micro") >= k["upper"], "accept_H1")
+        .when(F.col("llr_micro") <= k["lower"], "accept_H0")
+        .alias("verdict"),
+    )
+    first = (
+        crossed.where(F.col("verdict").isNotNull())
+        .orderBy("day")
+        .limit(1)
+        .select(
+            F.col("day").alias("decision_day"),
+            F.col("llr_micro").alias("llr_at_decision_micro"),
+            "verdict",
+        )
+    )
+    totals = crossed.agg(F.count(F.lit(1)).alias("n_days"))
+    return totals.crossJoin(first).select(
+        "n_days",
+        "decision_day",
+        "verdict",
+        "llr_at_decision_micro",
+        F.lit(k["upper"]).cast("long").alias("upper_micro"),
+        F.lit(k["lower"]).cast("long").alias("lower_micro"),
+    )
+
+
+def _sprt_sql() -> str:
+    k = _sprt_consts()
+    return f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS hits,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+             AS BIGINT) AS misses
+    FROM events GROUP BY 1
+),
+path AS (
+    SELECT day,
+        SUM(hits * {k["w_hit"]} + misses * ({k["w_miss"]}))
+            OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS llr_micro
+    FROM daily
+),
+crossed AS (
+    SELECT day, llr_micro,
+        CASE WHEN llr_micro >= {k["upper"]} THEN 'accept_H1'
+             WHEN llr_micro <= {k["lower"]} THEN 'accept_H0'
+        END AS verdict
+    FROM path
+),
+first AS (
+    SELECT day AS decision_day,
+           CAST(llr_micro AS BIGINT) AS llr_at_decision_micro, verdict
+    FROM crossed WHERE verdict IS NOT NULL
+    ORDER BY day LIMIT 1
+),
+totals AS (
+    SELECT COUNT(*) AS n_days FROM crossed
+)
+SELECT CAST(t.n_days AS BIGINT) AS n_days, f.decision_day, f.verdict,
+    f.llr_at_decision_micro,
+    CAST({k["upper"]} AS BIGINT) AS upper_micro,
+    CAST({k["lower"]} AS BIGINT) AS lower_micro
+FROM totals t CROSS JOIN first f
+"""
+
+
+# ---------------------------------------------------------------------------
 # window_sortino_ratio — downside-only risk adjustment
 # ---------------------------------------------------------------------------
 
@@ -11731,6 +11868,7 @@ QUERIES = {
     "window_interarrival_burstiness": window_interarrival_burstiness,
     "window_peak_over_threshold": window_peak_over_threshold,
     "window_sortino_ratio": window_sortino_ratio,
+    "sample_sprt_monitor": sample_sprt_monitor,
     "agg_indirect_standardization": agg_indirect_standardization,
     "seq_markov_predictive_accuracy": seq_markov_predictive_accuracy,
     "quality_digit_preference": quality_digit_preference,
@@ -11851,6 +11989,7 @@ ORACLES = {
     "window_interarrival_burstiness": _BURSTINESS_TIME_SQL,
     "window_peak_over_threshold": _POT_SQL,
     "window_sortino_ratio": _SORTINO_SQL,
+    "sample_sprt_monitor": _sprt_sql(),
     "agg_indirect_standardization": _SMR_SQL,
     "seq_markov_predictive_accuracy": _MARKOV_PRED_SQL,
     "quality_digit_preference": _DIGIT_PREF_SQL,

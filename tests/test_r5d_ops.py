@@ -2150,3 +2150,44 @@ def test_indirect_standardization_python_reference(spark, sf_dir):
     # mix-adjusted ratios scatter around 1.0
     smrs = [v[3] for v in got.values()]
     assert min(smrs) < 1_000_000 < max(smrs)
+
+
+def test_sprt_python_reference(spark, sf_dir):
+    from collections import defaultdict
+
+    from parquet_batch_spark.operators.stats_ops import (
+        _sprt_consts,
+        sample_sprt_monitor,
+    )
+
+    k = _sprt_consts()
+    daily: dict = defaultdict(lambda: [0, 0])
+    for r in load(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"),
+        (F.col("event_type") == "purchase").alias("hit"),
+    ).collect():
+        d = daily[r["day"]]
+        d[0] += int(r["hit"])
+        d[1] += int(not r["hit"])
+    llr = 0
+    decision = None
+    for day in sorted(daily):
+        h, m = daily[day]
+        llr += h * k["w_hit"] + m * k["w_miss"]
+        if decision is None and llr >= k["upper"]:
+            decision = (day, llr, "accept_H1")
+        elif decision is None and llr <= k["lower"]:
+            decision = (day, llr, "accept_H0")
+    got = sample_sprt_monitor(spark, sf_dir).collect()
+    assert len(got) == (1 if decision else 0)
+    if decision:
+        r = got[0]
+        assert r["n_days"] == len(daily)
+        assert (
+            r["decision_day"],
+            r["llr_at_decision_micro"],
+            r["verdict"],
+        ) == decision
+        # the synthetic purchase share (~20%) is far above H1 (14%):
+        # the monitor must accept H1
+        assert r["verdict"] == "accept_H1"
