@@ -243,6 +243,7 @@ HEADLINE = [
     "window_sortino_ratio",
     "agg_indirect_standardization",
     "sample_sprt_monitor",
+    "agg_expected_shortfall",
 ]
 
 

@@ -6922,6 +6922,121 @@ ORDER BY bucket
 
 
 # ---------------------------------------------------------------------------
+# agg_expected_shortfall — tail mean beyond VaR (CVaR)
+# ---------------------------------------------------------------------------
+
+ES_PCT = 95  # VaR/ES level
+
+
+def agg_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-Risk and Expected Shortfall (CVaR) of daily order-
+    value DROPS at the {ES_PCT}% level — the coherent tail measure
+    that replaced VaR in Basel III precisely because VaR ignores HOW
+    BAD the tail is once crossed; ``window_peak_over_threshold`` fits
+    the tail's shape, ES prices its mean. Losses = negative
+    day-over-day deltas.
+
+    EXACT tail mean with boundary splitting: the worst ⌈5%·n⌉ losses
+    define the tail; the loss value straddling the cutoff contributes
+    only its partial count (the Lorenz interval-overlap recipe), so
+    ES is an integer ratio — no sort of the raw series, just
+    cumulative counts over the loss-distinct grid.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.floor("o_totalprice").cast("long").alias("yd"),
+        )
+        .groupBy("day")
+        .agg(F.sum("yd").alias("x"))
+    )
+    seq = Window.orderBy("day")
+    losses = daily.select(
+        (F.lag("x").over(seq) - F.col("x")).alias("loss")
+    ).where(F.col("loss").isNotNull())
+    grid = losses.groupBy("loss").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = Window.orderBy(F.desc("loss")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stepped = grid.select(
+        "loss",
+        "cnt",
+        F.sum("cnt").over(cum).alias("cum"),
+        F.sum("cnt").over(tot).alias("n"),
+    )
+    # tail size k = ceil((100-ES_PCT)% of n); the straddling grid row
+    # contributes only the overlap
+    k = F.expr(f"(n * {100 - ES_PCT} + 99) div 100")
+    take = F.greatest(
+        F.lit(0),
+        F.least(F.col("cnt"), k - (F.col("cum") - F.col("cnt"))),
+    )
+    m = stepped.select(
+        "loss",
+        "n",
+        k.alias("k"),
+        take.alias("take"),
+    ).agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+        F.min(F.when(F.col("take") > 0, F.col("loss"))).alias("var_loss"),
+        F.sum(F.col("take").cast("decimal(38,0)") * F.col("loss")).alias(
+            "tail_sum"
+        ),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_deltas"),
+        F.col("k").cast("long").alias("n_tail"),
+        F.col("var_loss").cast("long").alias("var_loss"),
+        F.expr("CAST(tail_sum div k AS BIGINT)").alias(
+            "expected_shortfall"
+        ),
+    )
+
+
+_ES_SQL = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS x
+    FROM orders GROUP BY 1
+),
+losses AS (
+    SELECT LAG(x) OVER (ORDER BY day) - x AS loss FROM daily
+),
+grid AS (
+    SELECT loss, COUNT(*) AS cnt FROM losses WHERE loss IS NOT NULL
+    GROUP BY loss
+),
+stepped AS (
+    SELECT loss, cnt,
+        SUM(cnt) OVER (ORDER BY loss DESC ROWS UNBOUNDED PRECEDING) AS cum,
+        SUM(cnt) OVER () AS n
+    FROM grid
+),
+taken AS (
+    SELECT loss, n,
+        (n * {100 - ES_PCT} + 99) // 100 AS k,
+        GREATEST(0, LEAST(cnt,
+            (n * {100 - ES_PCT} + 99) // 100 - (cum - cnt))) AS take
+    FROM stepped
+),
+m AS (
+    SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(k) AS BIGINT) AS k,
+        CAST(MIN(CASE WHEN take > 0 THEN loss END) AS BIGINT) AS var_loss,
+        SUM(CAST(take AS HUGEINT) * loss) AS tail_sum
+    FROM taken
+)
+SELECT n AS n_deltas, k AS n_tail, var_loss,
+    CAST(tail_sum // k AS BIGINT) AS expected_shortfall
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
 # sample_sprt_monitor — Wald sequential probability ratio test
 # ---------------------------------------------------------------------------
 
@@ -11869,6 +11984,7 @@ QUERIES = {
     "window_peak_over_threshold": window_peak_over_threshold,
     "window_sortino_ratio": window_sortino_ratio,
     "sample_sprt_monitor": sample_sprt_monitor,
+    "agg_expected_shortfall": agg_expected_shortfall,
     "agg_indirect_standardization": agg_indirect_standardization,
     "seq_markov_predictive_accuracy": seq_markov_predictive_accuracy,
     "quality_digit_preference": quality_digit_preference,
@@ -11990,6 +12106,7 @@ ORACLES = {
     "window_peak_over_threshold": _POT_SQL,
     "window_sortino_ratio": _SORTINO_SQL,
     "sample_sprt_monitor": _sprt_sql(),
+    "agg_expected_shortfall": _ES_SQL,
     "agg_indirect_standardization": _SMR_SQL,
     "seq_markov_predictive_accuracy": _MARKOV_PRED_SQL,
     "quality_digit_preference": _DIGIT_PREF_SQL,

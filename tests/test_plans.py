@@ -438,7 +438,7 @@ def test_global_windows_only_over_reduced_tables(spark, sf_smoke):
         "window_record_highs", "window_spc_control_limits",
         "window_ljung_box", "ml_cost_sensitive_threshold",
         "window_peak_over_threshold", "window_sortino_ratio",
-        "sample_sprt_monitor",
+        "sample_sprt_monitor", "agg_expected_shortfall",
         # rank + step-up max over the 25-row nation test table
         "agg_benjamini_hochberg",
         # cumulative median scan over the C(M,2) slope-distinct table

@@ -2191,3 +2191,30 @@ def test_sprt_python_reference(spark, sf_dir):
         # the synthetic purchase share (~20%) is far above H1 (14%):
         # the monitor must accept H1
         assert r["verdict"] == "accept_H1"
+
+
+def test_expected_shortfall_python_reference(spark, sf_dir):
+    from collections import defaultdict
+
+    from parquet_batch_spark.operators.stats_ops import (
+        ES_PCT,
+        agg_expected_shortfall,
+    )
+
+    daily: dict = defaultdict(int)
+    for r in load(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.floor("o_totalprice").cast("long").alias("y"),
+    ).collect():
+        daily[r["day"]] += r["y"]
+    xs = [daily[d] for d in sorted(daily)]
+    losses = sorted((a - b for a, b in zip(xs, xs[1:])), reverse=True)
+    n = len(losses)
+    k = (n * (100 - ES_PCT) + 99) // 100
+    tail = losses[:k]
+    got = agg_expected_shortfall(spark, sf_dir).collect()[0]
+    assert got["n_deltas"] == n and got["n_tail"] == k
+    assert got["var_loss"] == tail[-1]
+    assert got["expected_shortfall"] == sum(tail) // k
+    # ES dominates VaR (coherence)
+    assert got["expected_shortfall"] >= got["var_loss"]
