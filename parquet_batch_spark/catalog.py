@@ -101,7 +101,29 @@ def fan_out(df: DataFrame, spark: SparkSession, *cols: str) -> DataFrame:
     partitioning on the key lets Catalyst elide the next shuffle.
     """
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    est = len(files)
+    if est and est < target:
+        # Few files can still mean many splits: parquet is splittable at
+        # spark.sql.files.maxPartitionBytes (128 MiB default).  Refine the
+        # estimate for stat-able local paths; remote URIs keep the file
+        # count (a 100 TB table has >> cores files anyway).
+        try:
+            import math
+            import os
+            from urllib.parse import urlparse
+
+            for uri in files:
+                parsed = urlparse(uri)
+                if parsed.scheme in ("file", ""):
+                    size = os.path.getsize(parsed.path)
+                    est += max(0, math.ceil(size / (128 << 20)) - 1)
+        except OSError:
+            pass
+    if est >= target:
         return df
     return df.repartition(target, *cols) if cols else df.repartition(target)
 

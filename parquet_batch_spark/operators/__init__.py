@@ -35,80 +35,35 @@ from pyspark.sql import DataFrame, SparkSession
 #   r4 window: slots 1-45 = the 45 continuation-session ops, 46 =
 #     join_interval_bucketed, 47 = ann_ivf_topk (first hash check),
 #     48-50 = mapInArrow/hll_union/scan_files_metadata.  50/50 green.
-#   r5 window (this ordering): slots 1-9 = the ops CHANGED this round
+#   r5 window: slots 1-9 = the ops CHANGED this round
 #     (3 int64 second-moment overflow fixes, 2 oracle-portability
 #     fixes, 4 dedup ops touched by the absolute shingle cap / shared
 #     intersection pass / CC rewrite), slots 10-50 = 41 never-checked
 #     stats_ops entries.  45 of 50 slots are stats_ops (VERDICT r4 #1).
-#   r6 plan: the remaining 22 never-checked stats_ops, then the 61
-#     r5-NEW ops (dedup_exact_substring ... multimodal_patch_token_
-#     budget — the second/third-session waves, each locally dual-SF
-#     swept + full-gate-sim green), then the 69 never-checked entries
-#     from the other modules in module order (llm_prep, relational,
-#     scalar_funcs, windows, joins, sources_ext, dedup, analytics,
-#     multimodal, text, warehouse, streaming...).  At 50 slots/round
-#     the never-checked backlog (~152) clears in ~3 rounds.
-#   r7+: driver-checked entries, stalest round first (r1 block leads).
+#   r6 window (this ordering): 225 never-driver-checked entries lead,
+#     strictly never-checked-first (VERDICT r5 #1).  Slots 1-6 = the
+#     six never-checked streaming patterns (VERDICT r5 #7), slots
+#     7-50 = 44 never-checked stats_ops in registry order.  Behind the
+#     window: the remaining 30 stats_ops, text_analysis (18),
+#     llm_prep (16), then the other modules' never-checked in module
+#     order — so r7/r8 windows are pre-staged.  Arithmetic note: with
+#     a 50-slot window the never-checked count floors at 225-50=175
+#     plus any r6-new ops; sub-160 needs two more registry-frozen
+#     rounds.
+#   r7 plan: next 50 of this list (stats_ops spill + text_analysis
+#     head).  r8: llm_prep + module-order tail.
+#   r9+: driver-checked entries, stalest round first (r1 block leads).
 _PRIORITY = [
-    # --- r5-CHANGED ops (re-verify first): the three int64 second-moment
-    #     overflow fixes + the two oracle-portability fixes (ADVICE r4),
-    #     and the dedup family touched by the absolute shingle-df cap,
-    #     the shared jaccard/containment intersection pass, and the
-    #     large-star/small-star connected-components rewrite ---
-    "agg_xyz_classification",
-    "agg_fano_dispersion",
-    "embedding_norm_outliers",
-    "quality_schema_contract",
-    "func_base64_transport",
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "dedup_lsh_recall_eval",
-    "dedup_clusters",
-    # --- never-driver-checked, stats_ops first (63 of the 67 stats/ML
-    #     entries that have zero driver rows across r1-r4; the other 4
-    #     are in the CHANGED block above).  Slots 1-50 = 9 changed +
-    #     41 of these => 45 stats_ops driver rows this round ---
-    "agg_regression_per_group",
-    "text_zipf_fit",
-    "window_rolling_corr",
-    "quality_psi_drift",
-    "agg_entropy_balance",
-    "seq_transition_matrix",
-    "quality_ks_drift",
-    "agg_survival_km",
-    "window_acf_lags",
-    "quality_freshness_sla",
-    "window_peak_concurrency",
-    "agg_touch_attribution",
-    "agg_rfm_segmentation",
-    "window_order_gap_distribution",
-    "text_ngram_coverage_curve",
-    "sample_importance_weights",
-    "embedding_pca_power_iteration",
-    "agg_seasonality_index",
-    "agg_weekday_hour_heatmap",
-    "agg_price_elasticity",
-    "window_rsi_momentum",
-    "etl_surrogate_keys",
-    "agg_growth_cmgr",
-    "text_readability_scores",
-    "seq_event_paths",
-    "agg_dau_mau_stickiness",
-    "quality_duplicate_token_share",
-    "text_code_detection",
-    "sample_time_split_leakage",
-    "agg_welch_ttest",
-    "sample_kfold_assignment",
-    "func_edit_distance",
-    "sort_nulls_placement",
-    "agg_smoothed_group_means",
-    "agg_anova_oneway",
-    "agg_conversion_wilson_ci",
-    "agg_power_mde",
-    "window_ship_latency_histogram",
-    "agg_diff_in_diff",
-    "text_js_divergence",
-    "agg_mann_whitney_u",
+    # --- r6 window (slots 1-50): the six never-driver-checked
+    #     streaming patterns (VERDICT r5 #7) + 44 never-checked
+    #     stats_ops (VERDICT r5 #1: never-checked-first) ---
+    "streaming_update_mode_counts",
+    "streaming_windowed_topk",
+    "streaming_python_source",
+    "streaming_state_store_read",
+    "streaming_state_metadata_source",
+    "streaming_transform_with_state",
+    # --- remaining never-checked stats_ops (74 total) ---
     "window_runs_test",
     "agg_split_gain_gini",
     "text_char_entropy",
@@ -131,16 +86,99 @@ _PRIORITY = [
     "ml_ols_multivar",
     "text_pmi_cooccurrence",
     "sample_bootstrap_means",
-    # --- r5-NEW operators (never checked; in the r6 window behind the
-    #     stats spill): ExactSubstr-style duplicated-span detection,
-    #     SemDeDup semantic dedup over the IVF cells, ANN recall
-    #     acceptance gate, model-based quality-filter inference,
-    #     per-source epoch/mixture plan — each dual-SF swept locally ---
+    "agg_expected_calibration_error",
+    "ml_naive_bayes_langid",
+    "agg_ratio_delta_ci",
+    "agg_shapley_attribution",
+    "rollup_sax_symbols",
+    "text_word_burstiness",
+    "agg_mann_kendall_trend",
+    "ml_bradley_terry_ranking",
+    "agg_cohen_kappa",
+    "ml_auc_roc",
+    "agg_mcnemar_test",
+    "ml_lift_curve",
+    "agg_kruskal_wallis",
+    "ml_average_precision",
+    "agg_theil_index",
+    "agg_benjamini_hochberg",
+    "window_hurst_exponent",
+    "agg_levene_test",
+    "agg_cochran_armitage",
+    "quality_krippendorff_alpha",
+    "ml_reciprocal_rank_fusion",
+    "ml_score_separation_report",
+    "window_haar_wavelet_energy",
+    "agg_lorenz_curve",
+    "agg_icc_design_effect",
+    "agg_gumbel_extreme_value",
+    "agg_energy_distance",
+    "agg_price_index_laspeyres",
+    "window_spc_control_limits",
+    "window_ljung_box",
+    "agg_mutual_information",
+    "agg_partial_correlation",
+    "window_interarrival_burstiness",
+    "window_peak_over_threshold",
+    "window_sortino_ratio",
+    "sample_sprt_monitor",
+    "agg_expected_shortfall",
+    "agg_indirect_standardization",
+    "seq_markov_predictive_accuracy",
+    "quality_digit_preference",
+    "sample_ipw_ate",
+    "ml_cost_sensitive_threshold",
+    "window_record_highs",
+    "seq_markov_attribution",
+    "agg_market_concentration",
+    "agg_capture_recapture",
+    "window_theil_sen",
+    "ml_brier_decomposition",
+    "seq_markov_stationary",
+    "window_average_true_range",
+    "agg_tukey_hsd",
+    "agg_cuped_variance_reduction",
+    # --- never-checked text_analysis (18) ---
+    "text_watermark_greenlist",
+    "quality_perplexity_buckets",
+    "text_kneser_ney_score",
+    "text_tokenizer_fertility",
+    "text_lexical_diversity",
+    "text_bm25_topk",
+    "text_winnowing_fingerprints",
+    "text_langid_ngram_profile",
+    "quality_ndcg_ranking_eval",
+    "text_vocab_growth",
+    "quality_langid_confusion",
+    "text_bigram_surprisal",
+    "text_rake_keywords",
+    "text_textrank_keywords",
+    "text_yule_k",
+    "text_chao1_vocabulary",
+    "text_good_turing_mass",
+    "text_burrows_delta",
+    # --- never-checked llm_prep (16) ---
+    "sample_epoch_plan",
+    "text_dsir_importance",
+    "sample_weighted_without_replacement",
+    "sample_negative_sampling",
+    "seq_shard_manifest",
+    "sample_balanced_labels",
+    "sample_temperature_mixture",
+    "graph_degree_histogram",
+    "seq_pack_chunks",
+    "sample_mix_domains",
+    "dedup_paragraph",
+    "dedup_incremental_novelty",
+    "embedding_quantize_int8",
+    "text_rarity_score",
+    "window_ewma_decay",
+    "curation_pipeline_funnel",
+    # --- remaining never-checked, module order (111) ---
     "dedup_exact_substring",
     "dedup_semantic_cluster",
     "ann_recall_eval",
     "quality_model_score",
-    "sample_epoch_plan",
     "multimodal_audio_energy",
     "embedding_matryoshka_eval",
     "multimodal_video_frame_diff",
@@ -151,23 +189,16 @@ _PRIORITY = [
     "source_xml_roundtrip",
     "decontam_bloom_filter",
     "dedup_cdc_chunking",
-    "text_dsir_importance",
     "ann_pq_adc",
     "sql_udf_create_function",
-    "text_watermark_greenlist",
     "privacy_k_anonymity",
     "ann_ivfpq_topk",
-    "quality_perplexity_buckets",
-    "sample_weighted_without_replacement",
     "graph_adamic_adar",
     "rollup_downsample_ltob",
-    "text_kneser_ney_score",
     "multimodal_webdataset_index",
     "graph_kcore",
     "privacy_l_diversity",
-    "text_tokenizer_fertility",
     "multimodal_aspect_bucket",
-    "text_lexical_diversity",
     "etl_time_travel",
     "agg_hodges_lehmann",
     "graph_neighborhood_jaccard",
@@ -176,39 +207,17 @@ _PRIORITY = [
     "privacy_randomized_response",
     "sample_pps_systematic",
     "udf_pandas_scalar_iter",
-    "streaming_update_mode_counts",
     "dedup_threshold_sweep",
-    "agg_expected_calibration_error",
-    "text_bm25_topk",
-    "ml_naive_bayes_langid",
     "embedding_pq_distortion",
-    "sample_negative_sampling",
     "window_allen_interval_relations",
-    "agg_ratio_delta_ci",
-    "text_winnowing_fingerprints",
     "quality_luhn_validation",
-    "agg_shapley_attribution",
-    "rollup_sax_symbols",
     "dedup_sorted_neighborhood",
     "etl_data_vault_keys",
     "embedding_random_projection_jl",
-    "text_langid_ngram_profile",
-    "text_word_burstiness",
     "etl_write_audit_publish",
-    "quality_ndcg_ranking_eval",
     "func_geohash_encode",
-    "agg_mann_kendall_trend",
-    "ml_bradley_terry_ranking",
     "multimodal_patch_token_budget",
-    "agg_cohen_kappa",
-    "ml_auc_roc",
     "ml_kmeans_lloyd",
-    "agg_mcnemar_test",
-    "ml_lift_curve",
-    # --- never-driver-checked, remaining modules in module order
-    #     (llm_prep, relational, scalar_funcs, windows, joins,
-    #     sources_ext, dedup, analytics, multimodal, text, warehouse,
-    #     streaming, ...).  These lead the r6 window ---
     "scan_observed_metrics",
     "source_jsonl_corrupt_tolerant",
     "sink_retention_prune",
@@ -252,205 +261,31 @@ _PRIORITY = [
     "func_url",
     "func_bitwise",
     "udf_arrow_scalar",
-    "text_vocab_growth",
-    "quality_langid_confusion",
-    "text_bigram_surprisal",
     "dedup_cluster_representative",
     "embedding_kmeans_rollup",
     "multimodal_content_sniff",
     "multimodal_payload_chunks",
     "multimodal_dedup_phash",
     "sample_reservoir_per_group",
-    "seq_shard_manifest",
-    "sample_balanced_labels",
-    "sample_temperature_mixture",
-    "graph_degree_histogram",
-    "seq_pack_chunks",
-    "sample_mix_domains",
-    "dedup_paragraph",
-    "dedup_incremental_novelty",
-    "embedding_quantize_int8",
-    "text_rarity_score",
-    "window_ewma_decay",
-    "curation_pipeline_funnel",
     "etl_snapshot_diff",
     "etl_cdc_apply",
     "dedup_cross_source_matrix",
-    "streaming_windowed_topk",
-    "streaming_python_source",
-    # --- driver-checked entries, stalest round first (r1 -> r4), each
-    #     in module order within its round.  Tail of the rotation ---
-    "reshape_unpivot",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "agg_stats",
-    "sort_topk",
-    "set_ops",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q10",
-    "tpch_q18",
-    "tpch_q2",
-    "tpch_q11",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q4",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q22",
-    "window_distribution",
-    "source_json_roundtrip",
-    "tpch_q12",
-    "window_range_interval",
-    "window_topk_per_group",
-    "window_ranks",
-    "window_running_sum",
-    "window_lag_lead",
-    "window_sessionize",
-    "agg_percentiles",
-    "agg_histogram",
-    "agg_corr_exact",
-    "sample_systematic",
-    "explode_word_counts",
-    "func_json_struct",
-    "func_string",
-    "func_date",
-    "func_math",
-    "func_json",
-    "func_array",
-    "func_conditional",
-    "udtf_bigram_topk",
-    "udaf_pandas_exact_sum",
-    "apply_in_pandas_profile",
-    "text_token_count",
-    "text_stats",
-    "text_langid",
-    "text_fingerprint",
-    "text_corpus_rollup",
-    "dedup_fuzzy_levenshtein",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "ann_bruteforce_topk",
-    "ann_lsh_bucketed",
-    "multimodal_metadata",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "streaming_stream_stream_join",
-    "streaming_static_join",
-    "streaming_tumbling_window",
-    "streaming_sliding_window",
-    "streaming_session_window",
-    "streaming_stateful_user_stats",
-    "scan_projection",
-    "scan_count",
-    "scan_multifile",
-    "filter_pushdown",
-    "filter_null_semantics",
-    "etl_merge_upsert",
-    "join_dpp_prune",
-    "sink_compact_small_files",
-    "source_schema_evolution",
-    "source_csv_roundtrip",
-    "source_orc_roundtrip",
-    "sink_partitioned_prune",
-    "q1_pricing_summary",
-    "agg_mode_per_group",
-    "agg_distinct",
-    "join_bucketed_colocate",
-    "join_skew_salted",
-    "join_broadcast_dims",
-    "join_fact_fact",
-    "join_outer",
-    "join_semi_anti",
-    "join_range",
-    "join_asof",
-    "join_cross_small",
-    "window_anomaly_zscore",
-    "window_gap_fill",
-    "approx_percentile_sketch",
-    "rollup_hypertable",
-    "approx_heavy_hitters_cms",
-    "approx_distinct_sketch",
-    "func_variant",
-    "func_map",
-    "text_tfidf_topk",
-    "text_chunk_windows",
-    "graph_pagerank",
-    "multimodal_resize",
-    "pii_detect",
-    "decontam_ngram_overlap",
-    "sample_stratified",
-    "sample_train_val_test",
-    "quality_repetition",
-    "window_funnel",
-    "window_retention_cohort",
-    "quality_expectations",
-    "etl_scd2",
-    "sink_zorder_cluster",
-    "table_stats_profile",
-    "streaming_foreach_batch_merge",
-    "streaming_dedup_watermark",
-    "sink_selective_compaction",
-    "source_csv_quoted_multiline",
-    "source_binaryfile_ingest",
-    "scan_files_metadata",
-    "agg_period_overlap",
-    "agg_pct_of_parent",
-    "set_ops_multiset",
-    "sql_recursive_hierarchy",
-    "join_spatial_grid_radius",
-    "join_interval_bucketed",
-    "window_local_extrema",
-    "window_seasonal_baseline",
-    "window_rank_shift",
-    "window_max_drawdown",
-    "window_time_weighted_avg",
-    "window_linear_interpolate",
-    "window_interval_coalesce",
-    "agg_vwap",
-    "window_winsorize",
-    "agg_decile_report",
-    "agg_pareto_frontier",
-    "rollup_ohlc_bars",
-    "quality_mad_outliers",
-    "agg_weighted_median",
-    "approx_hll_union_sketch",
-    "func_crypto_roundtrip",
-    "udtf_dynamic_schema",
-    "udf_map_in_arrow",
-    "text_overlap_stitch",
-    "embedding_drift_report",
-    "embedding_dim_stats",
-    "ann_ivf_topk",
-    "text_boilerplate_segments",
-    "quality_source_gini",
-    "feature_hashing_vectorize",
-    "dedup_blocking_quality",
-    "sample_neyman_allocation",
-    "quality_merkle_checksums",
-    "etl_golden_record",
-    "window_funnel_latency",
-    "etl_incremental_agg",
-    "scan_minmax_skipping",
-    "agg_bitmap_distinct",
-    "join_strategy_hints",
-    "quality_gopher_rules",
-    "dedup_url_canonical",
-    "graph_triangle_count",
-    "graph_community_labels",
-    "text_bpe_merges",
+    "source_text_lines",
+    "sql_execute_immediate",
+    "sql_table_function",
+    "sql_identifier_clause",
+    "dedup_fellegi_sunter_weights",
+    "dedup_prefix_cluster",
+    "multimodal_interleaved_budget",
+    "privacy_dp_laplace_counts",
+    "sample_horvitz_thompson",
+    "etl_foreign_key_audit",
+    "etl_late_arriving_dimension",
+    "scan_partition_pruning_report",
+    "sink_clustering_factor",
+    "graph_clustering_coefficient",
+    "graph_degree_assortativity",
+    "graph_rich_club",
 ]
 
 

@@ -5960,7 +5960,7 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_AUC_SQL = """
+_AUC_SQL = r"""
 WITH staged AS (
     SELECT LEAST(1000000, (1000000 * n_chars) // 3000) AS s,
         CASE WHEN list_contains(string_split_regex(trim(text), '\s+'), 'data')

@@ -28,24 +28,32 @@ def test_every_oracle_has_a_query():
     assert rows_only == [], rows_only
 
 
-def test_driver_window_covers_round5_targets():
-    """Slots 1-50 (the driver's check window) must lead with the nine
-    ops CHANGED in r5 (overflow/oracle/dedup-scale fixes — the driver
-    must re-certify them) and fill the rest with never-driver-checked
-    stats_ops entries (VERDICT r4 #1: target >= 45 stats_ops rows).
-    The spill boundary is pinned so the ledger comment stays truthful:
-    window_runs_test is the first never-checked spill and leads r6."""
+def test_driver_window_covers_round6_targets():
+    """Slots 1-50 (the driver's check window) must be entirely
+    never-driver-checked entries (VERDICT r5 #1: strictly
+    never-checked-first), leading with the six never-checked streaming
+    patterns (VERDICT r5 #7) and filling the rest with never-checked
+    stats_ops.  The ever-checked set is pinned from the recorded
+    CORRECTNESS_r01-r05 artifacts."""
+    import glob
+    import json
+    import os
+
     first50 = list(all_queries())[:50]
-    changed_r5 = [
-        "agg_xyz_classification", "agg_fano_dispersion",
-        "embedding_norm_outliers", "quality_schema_contract",
-        "func_base64_transport", "dedup_ngram_jaccard",
-        "dedup_containment", "dedup_lsh_recall_eval", "dedup_clusters",
+    streaming6 = [
+        "streaming_update_mode_counts", "streaming_windowed_topk",
+        "streaming_python_source", "streaming_state_store_read",
+        "streaming_state_metadata_source",
+        "streaming_transform_with_state",
     ]
-    assert first50[:9] == changed_r5
+    assert first50[:6] == streaming6
     from parquet_batch_spark.operators import stats_ops
 
     stats_in_window = sum(n in stats_ops.QUERIES for n in first50)
-    assert stats_in_window >= 45, stats_in_window
-    # spill boundary pins the r6 plan's head
-    assert list(all_queries())[50] == "window_runs_test"
+    assert stats_in_window == 44, stats_in_window
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked = set()
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r0[1-5].json")):
+        checked.update(json.load(open(f)))
+    rechecks = [n for n in first50 if n in checked]
+    assert rechecks == [], f"window wastes slots on re-checks: {rechecks}"
