@@ -251,26 +251,65 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _round_tag() -> int:
+    """Next round number, inferred from the recorded BENCH_r0N files."""
+    import glob
+    import re
+
+    ns = []
+    for f in glob.glob(os.path.join(REPO, "BENCH_r[0-9]*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", f)
+        if m:
+            ns.append(int(m.group(1)))
+    return max(ns, default=0) + 1
+
+
 def main() -> None:
     spark = get_spark("bench")
     queries = all_queries()
     # warmup: JVM + parquet footer caches
     _materialize(queries["scan_count"](spark, SF_DIR))
 
-    # best-of-2 per query: first run pays codegen/JIT; min is the
-    # steady-state number (timeit convention) and is far less noisy
-    # under 32-thread local contention.
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.monotonic()
-            _materialize(queries[name](spark, SF_DIR))
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
+    # Pass 1 — FULL registry, one timed run each (VERDICT r5 #3: a
+    # regression in a non-headline op must be visible in an artifact,
+    # not a session log).  Written to BENCH_FULL_r0N.json.
+    full: dict[str, float] = {}
+    full_errs: dict[str, str] = {}
+    for name, fn in queries.items():
+        t0 = time.monotonic()
+        try:
+            _materialize(fn(spark, SF_DIR))
+            full[name] = round(time.monotonic() - t0, 3)
+        except Exception as ex:  # noqa: BLE001 — record, don't abort
+            full_errs[name] = f"{type(ex).__name__}: {ex}"[:200]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full_doc = {
+        "metric": "full registry wall time (noop-materialized, 1 run)",
+        "value": round(sum(full.values()), 3),
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(full),
+        "errors": full_errs,
+        "slowest10": dict(sorted(full.items(), key=lambda kv: -kv[1])[:10]),
+        "queries": full,
+    }
+    with open(
+        os.path.join(REPO, f"BENCH_FULL_r{_round_tag():02d}.json"), "w"
+    ) as fh:
+        json.dump(full_doc, fh, indent=1)
+
+    # Pass 2 — HEADLINE, one more run each; best-of-2 with the full-pass
+    # time (first run pays codegen/JIT; min is the steady-state number,
+    # timeit convention, far less noisy under 32-thread contention).
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        _materialize(queries[name](spark, SF_DIR))
+        second = time.monotonic() - t0
+        timings[name] = round(min(full.get(name, float("inf")), second), 3)
+
     detail = {
         "metric": "headline suite wall time (noop-materialized)",
         "value": round(sum(timings.values()), 3),
