@@ -244,6 +244,11 @@ HEADLINE = [
     "agg_indirect_standardization",
     "sample_sprt_monitor",
     "agg_expected_shortfall",
+    # r6 additions
+    "ml_mcc_balanced_accuracy",
+    "ml_isotonic_calibration",
+    "quality_nullity_patterns",
+    "quality_wimbd_top_ngrams",
 ]
 
 

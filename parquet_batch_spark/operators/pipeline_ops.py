@@ -1162,6 +1162,110 @@ ORDER BY lang
 """
 
 
+NULLITY_BIG_ORDER = 400_000  # ~top 15% of o_totalprice — both sides populated
+
+
+def quality_nullity_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md.pattern-style missingness audit over an entity-wide view —
+    the first table a data QA pass prints: which COMBINATIONS of
+    fields are absent together, not just per-field null rates
+    (co-missingness is what breaks imputation and silently biases
+    joins downstream).
+
+    The wide view is customer-grain with two genuinely-optional
+    facts: last event activity (only ~10% of customers appear in the
+    events stream) and a big-ticket order (>= NULLITY_BIG_ORDER).
+    Both optional columns arrive through LEFT joins against
+    per-customer pre-aggregates, so the nulls are REAL relational
+    nulls, not simulated.  Output: one row per observed null-pattern
+    bitmap with its count and corpus share, plus per-field presence
+    counts — exact integers.
+
+    Scale: two partial-agg shuffles (events by user, orders by
+    customer) then two hash equi-joins on the entity key and one
+    ~2^k-row pattern aggregate.  No broadcast of the fact side; the
+    final share window runs over the <= 4-row pattern table.
+    """
+    c = load(spark, sf_dir, "customer")
+    ev = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    big = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= NULLITY_BIG_ORDER)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    wide = (
+        c.select("c_custkey")
+        .join(ev, "c_custkey", "left")
+        .join(big, "c_custkey", "left")
+        .select(
+            F.col("n_events").isNotNull().cast("int").alias("has_events"),
+            F.col("n_big").isNotNull().cast("int").alias("has_big_order"),
+        )
+    )
+    pat = wide.groupBy("has_events", "has_big_order").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    from pyspark.sql import Window
+
+    tot = Window.partitionBy()
+    return pat.select(
+        F.concat_ws(
+            "", F.col("has_events"), F.col("has_big_order")
+        ).alias("pattern"),
+        "has_events",
+        "has_big_order",
+        "n_customers",
+        F.expr(
+            "(1000000 * n_customers)"
+        ).cast("long").alias("_num"),
+        F.sum("n_customers").over(tot).cast("long").alias("n_total"),
+    ).select(
+        "pattern",
+        "has_events",
+        "has_big_order",
+        "n_customers",
+        F.expr("_num div n_total").alias("share_micro"),
+        "n_total",
+    ).orderBy("pattern")
+
+
+_NULLITY_SQL = f"""
+WITH ev AS (
+    SELECT user_id AS c_custkey, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+),
+big AS (
+    SELECT o_custkey AS c_custkey, CAST(COUNT(*) AS BIGINT) AS n_big
+    FROM orders WHERE o_totalprice >= {NULLITY_BIG_ORDER}
+    GROUP BY o_custkey
+),
+wide AS (
+    SELECT CASE WHEN ev.n_events IS NOT NULL THEN 1 ELSE 0 END AS has_events,
+           CASE WHEN big.n_big IS NOT NULL THEN 1 ELSE 0 END AS has_big_order
+    FROM customer c
+    LEFT JOIN ev ON c.c_custkey = ev.c_custkey
+    LEFT JOIN big ON c.c_custkey = big.c_custkey
+),
+pat AS (
+    SELECT has_events, has_big_order, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM wide GROUP BY has_events, has_big_order
+)
+SELECT CAST(has_events AS VARCHAR) || CAST(has_big_order AS VARCHAR)
+           AS pattern,
+       has_events, has_big_order, n_customers,
+       (1000000 * n_customers)
+           // CAST(SUM(n_customers) OVER () AS BIGINT) AS share_micro,
+       CAST(SUM(n_customers) OVER () AS BIGINT) AS n_total
+FROM pat
+ORDER BY pattern
+"""
+
+
 QUERIES = {
     "quality_model_score": quality_model_score,
     "privacy_dp_laplace_counts": privacy_dp_laplace_counts,
@@ -1178,9 +1282,11 @@ QUERIES = {
     "sample_reservoir_per_group": sample_reservoir_per_group,
     "sample_train_val_test": sample_train_val_test,
     "quality_repetition": quality_repetition,
+    "quality_nullity_patterns": quality_nullity_patterns,
 }
 
 ORACLES = {
+    "quality_nullity_patterns": _NULLITY_SQL,
     "quality_model_score": _QUALITY_MODEL_SQL,
     "privacy_dp_laplace_counts": _DP_LAPLACE_SQL,
     "sample_horvitz_thompson": _HT_SQL,

@@ -11958,7 +11958,208 @@ FROM d
 """
 
 
+def ml_mcc_balanced_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation + balanced accuracy + Youden's J for the
+    same binary task the AUC/lift/ECE family evaluates (label = doc
+    mentions 'data', prediction = length rule).  MCC is the single
+    confusion-matrix summary that stays honest under class imbalance
+    (accuracy and even F1 degenerate when negatives dominate — the
+    normal situation for quality filters over a web corpus), so a
+    100 TB filter run should gate on MCC, not accuracy.
+
+    One map-side pass to four integer confusion cells, then scalar
+    algebra.  Balanced accuracy and J are exact integer micro-units
+    (floor division); MCC divides the integer numerator by a
+    correctly-rounded double sqrt — bit-identical in both engines.
+    Reference parity: evaluation-metric surface, not in the reference
+    (reference has no ML-eval ops); north-star quality-filter family.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    toks = tokens_col("text")
+    y = F.array_contains(toks, "data").cast("int")
+    p = (F.col("n_chars") >= 300).cast("int")
+    cells = d.select(y.alias("y"), p.alias("p")).agg(
+        F.sum(((F.col("y") == 1) & (F.col("p") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("y") == 0) & (F.col("p") == 1)).cast("long")).alias("fp"),
+        F.sum(((F.col("y") == 1) & (F.col("p") == 0)).cast("long")).alias("fn"),
+        F.sum(((F.col("y") == 0) & (F.col("p") == 0)).cast("long")).alias("tn"),
+    )
+    return cells.select(
+        (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")).alias("n"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.floor(
+            1_000_000.0
+            * (F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn"))
+            / F.sqrt(
+                ((F.col("tp") + F.col("fp"))
+                 * (F.col("tp") + F.col("fn"))
+                 * (F.col("tn") + F.col("fp"))
+                 * (F.col("tn") + F.col("fn"))).cast("double")
+            )
+        ).cast("long").alias("mcc_micro"),
+        F.expr(
+            "(1000000 * tp * (tn + fp) + 1000000 * tn * (tp + fn))"
+            " div (2 * (tp + fn) * (tn + fp))"
+        ).alias("balanced_accuracy_micro"),
+        F.expr(
+            "(1000000 * tp) div (tp + fn)"
+            " + (1000000 * tn) div (tn + fp) - 1000000"
+        ).alias("youden_j_micro"),
+    )
+
+
+_MCC_SQL = """
+WITH staged AS (
+    SELECT CASE WHEN list_contains(
+               string_split_regex(trim(text), '\\s+'), 'data')
+           THEN 1 ELSE 0 END AS y,
+           CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS p
+    FROM documents
+),
+cells AS (
+    SELECT CAST(SUM(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+    FROM staged
+)
+SELECT tp + fp + fn + tn AS n, tp, fp, fn, tn,
+       CAST(FLOOR(1000000.0 * (tp * tn - fp * fn)
+            / SQRT(CAST((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+                        AS DOUBLE))) AS BIGINT) AS mcc_micro,
+       (1000000 * tp * (tn + fp) + 1000000 * tn * (tp + fn))
+           // (2 * (tp + fn) * (tn + fp)) AS balanced_accuracy_micro,
+       (1000000 * tp) // (tp + fn) + (1000000 * tn) // (tn + fp)
+           - 1000000 AS youden_j_micro
+FROM cells
+"""
+
+
+ISO_BINS = 50
+
+
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of the length
+    score against the 'data'-mention label — the nonparametric
+    alternative to Platt scaling, and the standard production recipe
+    for turning a ranker score into a probability.
+
+    Implemented via the MINIMAX characterization of the
+    pool-adjacent-violators fit: over score bins i,
+    fit_i = max_{j<=i} min_{k>=i} mean(y[j..k]).  PAVA itself is a
+    sequential pointer algorithm, but on the REDUCED bin table
+    (ISO_BINS=50 rows, fixed-width score bins) the closed form is a
+    50x1275 range join — constant work no matter the corpus size.
+    The corpus-size-proportional part is one map-side binning pass +
+    one groupBy(bin).  Prefix sums make each interval mean an exact
+    integer pair; the mean itself is one correctly-rounded double
+    division, so min/max/floor are bit-identical cross-engine.
+    North-star quality-scoring family (model-score calibration).
+    """
+    d = fan_out(load(spark, sf_dir, "documents"), spark)
+    toks = tokens_col("text")
+    # all-integer binning: floor-div in BOTH engines (DuckDB CAST
+    # rounds while Spark's cast truncates — the known gotcha)
+    bin_ = F.expr(
+        f"(least(1000000, (1000000 * n_chars) div 3000) * {ISO_BINS})"
+        " div 1000001"
+    )
+    y = F.array_contains(toks, "data").cast("long")
+    bins = (
+        d.select(bin_.alias("bin"), y.alias("y"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+    )
+    w = Window.orderBy("bin")
+    cum = bins.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("pos").over(w).alias("cpos"),
+    ).localCheckpoint(eager=False)
+    lo = cum.select(
+        F.col("bin").alias("j"),
+        (F.col("cn") - F.col("n")).alias("cn_lo"),
+        (F.col("cpos") - F.col("pos")).alias("cpos_lo"),
+    )
+    hi = cum.select(
+        F.col("bin").alias("k"),
+        F.col("cn").alias("cn_hi"),
+        F.col("cpos").alias("cpos_hi"),
+    )
+    pairs = lo.join(hi, F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        (
+            (F.col("cpos_hi") - F.col("cpos_lo"))
+            / (F.col("cn_hi") - F.col("cn_lo"))
+        ).alias("avg_jk"),
+    )
+    i = cum.select(F.col("bin").alias("i"), "n", "pos")
+    inner = (
+        i.join(pairs, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .groupBy("i", "n", "pos", "j")
+        .agg(F.min("avg_jk").alias("min_k"))
+        .groupBy("i", "n", "pos")
+        .agg(F.max("min_k").alias("fit"))
+    )
+    return inner.select(
+        F.col("i").alias("bin"),
+        "n",
+        F.col("pos").alias("n_pos"),
+        F.expr("(1000000 * pos) div n").alias("raw_rate_micro"),
+        F.floor(1_000_000.0 * F.col("fit")).cast("long").alias("isotonic_micro"),
+    ).orderBy("bin")
+
+
+_ISO_SQL = f"""
+WITH staged AS (
+    SELECT (LEAST(1000000, (1000000 * n_chars) // 3000) * {ISO_BINS})
+               // 1000001 AS bin,
+           CASE WHEN list_contains(
+               string_split_regex(trim(text), '\\s+'), 'data')
+           THEN 1 ELSE 0 END AS y
+    FROM documents
+),
+bins AS (
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+    FROM staged GROUP BY bin
+),
+cum AS (
+    SELECT bin, n, pos,
+           CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+           CAST(SUM(pos) OVER (ORDER BY bin) AS BIGINT) AS cpos
+    FROM bins
+),
+pairs AS (
+    SELECT lo.bin AS j, hi.bin AS k,
+           CAST(hi.cpos - (lo.cpos - lo.pos) AS DOUBLE)
+               / CAST(hi.cn - (lo.cn - lo.n) AS DOUBLE) AS avg_jk
+    FROM cum lo JOIN cum hi ON lo.bin <= hi.bin
+),
+inner_min AS (
+    SELECT i.bin AS i, i.n, i.pos, p.j, MIN(p.avg_jk) AS min_k
+    FROM cum i JOIN pairs p ON p.j <= i.bin AND p.k >= i.bin
+    GROUP BY i.bin, i.n, i.pos, p.j
+),
+fit AS (
+    SELECT i, n, pos, MAX(min_k) AS fit FROM inner_min GROUP BY i, n, pos
+)
+SELECT i AS bin, n, pos AS n_pos,
+       (1000000 * pos) // n AS raw_rate_micro,
+       CAST(FLOOR(1000000.0 * fit) AS BIGINT) AS isotonic_micro
+FROM fit
+ORDER BY bin
+"""
+
+
 QUERIES = {
+    "ml_mcc_balanced_accuracy": ml_mcc_balanced_accuracy,
+    "ml_isotonic_calibration": ml_isotonic_calibration,
     "agg_expected_calibration_error": agg_expected_calibration_error,
     "agg_kruskal_wallis": agg_kruskal_wallis,
     "ml_average_precision": ml_average_precision,
@@ -12081,6 +12282,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ml_mcc_balanced_accuracy": _MCC_SQL,
+    "ml_isotonic_calibration": _ISO_SQL,
     "agg_expected_calibration_error": _ECE_SQL,
     "agg_kruskal_wallis": _kruskal_sql(),
     "ml_average_precision": _AP_SQL,

@@ -2386,7 +2386,101 @@ LIMIT {RAKE_TOPK}
 """
 
 
+WIMBD_TOPK = 20
+
+
+def quality_wimbd_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIMBD-style ('What's In My Big Data', Elazar et al. 2023)
+    most-common-trigram audit: the single most effective smell test
+    for a web corpus — boilerplate, navigation chrome, and license
+    blurbs surface instantly as top n-grams with huge doc spread.
+
+    Per top-{WIMBD_TOPK} trigram (count desc, gram asc —
+    deterministic): occurrence count, distinct-doc count, and its
+    share of ALL trigram positions in micro-units.  The total
+    position count is a map-side identity (sum of max(len-2, 0)) —
+    no second pass over the exploded gram table.
+
+    Scale: explode → two-level aggregate ((gram, doc) then gram) →
+    TakeOrderedAndProject for the top-k; the only full-width shuffle
+    keys on the gram hash, and the final top-k never materializes a
+    global sort.  Same topology as the winnowing/BM25 ops.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = tokens_col("text")
+    n = F.size(toks)
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = d.select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    per_doc = exploded.groupBy("gram", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_gram = per_doc.groupBy("gram").agg(
+        F.sum("c").alias("n_occurrences"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    total = d.select(
+        F.greatest(n - 2, F.lit(0)).cast("long").alias("pos")
+    ).agg(F.sum("pos").alias("n_total_positions"))
+    top = per_gram.orderBy(
+        F.col("n_occurrences").desc(), F.col("gram").asc()
+    ).limit(WIMBD_TOPK)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "gram",
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.expr(
+                "(1000000 * n_occurrences) div n_total_positions"
+            ).alias("share_micro"),
+            F.col("n_total_positions").cast("long").alias("n_total_positions"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+    )
+
+
+_WIMBD_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, unnest(
+        CASE WHEN len(t) >= 3 THEN
+            list_transform(generate_series(1, len(t) - 2),
+                           i -> array_to_string(t[i:i+2], ' '))
+        ELSE [] END) AS gram
+    FROM toks
+),
+per_gram AS (
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM grams GROUP BY gram
+),
+total AS (
+    SELECT CAST(SUM(GREATEST(len(t) - 2, 0)) AS BIGINT)
+               AS n_total_positions
+    FROM toks
+)
+SELECT gram, n_occurrences, n_docs,
+       (1000000 * n_occurrences) // n_total_positions AS share_micro,
+       n_total_positions
+FROM per_gram CROSS JOIN total
+ORDER BY n_occurrences DESC, gram ASC
+LIMIT {WIMBD_TOPK}
+"""
+
+
 QUERIES = {
+    "quality_wimbd_top_ngrams": quality_wimbd_top_ngrams,
     "text_rake_keywords": text_rake_keywords,
     "text_textrank_keywords": text_textrank_keywords,
     "text_yule_k": text_yule_k,
@@ -2416,6 +2510,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quality_wimbd_top_ngrams": _WIMBD_SQL,
     "text_rake_keywords": _RAKE_SQL,
     "text_textrank_keywords": _textrank_sql(),
     "text_yule_k": _YULE_SQL,

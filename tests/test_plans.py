@@ -445,6 +445,10 @@ def test_global_windows_only_over_reduced_tables(spark, sf_smoke):
         "window_theil_sen",
         # rank windows over the two 50-row retrieval pools
         "ml_reciprocal_rank_fusion",
+        # r6: prefix sums over the ISO_BINS=50 reduced bin table
+        "ml_isotonic_calibration",
+        # r6: share window over the <=4-row null-pattern table
+        "quality_nullity_patterns",
         "agg_split_gain_gini", "window_realized_volatility",
         "window_seasonal_decompose", "agg_spearman_rho", "agg_hist2d_joint",
         "sample_ab_assignment_srm", "agg_chi_square_independence",
