@@ -249,6 +249,10 @@ HEADLINE = [
     "ml_isotonic_calibration",
     "quality_nullity_patterns",
     "quality_wimbd_top_ngrams",
+    "sample_doremi_proxy_weights",
+    "seq_curriculum_order",
+    "sample_dataset_cartography",
+    "window_page_hinkley_drift",
 ]
 
 

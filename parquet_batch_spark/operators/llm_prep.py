@@ -2024,7 +2024,370 @@ ORDER BY cum_start
 """
 
 
+# ------------------------------------------------------------------
+# sample_doremi_proxy_weights — DoReMi-style domain reweighting
+# ------------------------------------------------------------------
+
+DOREMI_ETA_MICRO = 2          # MW step: w *= (1 + eta * excess), eta = 2
+DOREMI_SMOOTH_MICRO = 100_000  # uniform smoothing mass c = 0.1
+
+
+def sample_doremi_proxy_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023): run a proxy
+    model, compute each domain's EXCESS loss over a reference, and
+    update the sampling weights multiplicatively — domains the proxy
+    finds hard (relative to reference) get upweighted for the big run.
+
+    One multiplicative-weights round, linearized so it is EXACT
+    integer arithmetic end-to-end: w' = w * (1e6 + eta * excess_micro)
+    div 1e6 (the first-order expansion of exp(eta*excess) — libm exp
+    is not correctly rounded so the exponential form cannot be made
+    bit-identical cross-engine; the linearized MW update is a standard
+    variant and keeps every weight an integer).  The proxy loss here
+    is mean chars-per-token in micro-units — the documented PLUG POINT
+    where a real proxy-model loss column lands; the pipeline shape
+    (per-domain partial aggregate → scalar reference → MW update →
+    smoothed normalization) is exactly what a 100 TB DoReMi pass runs.
+
+    Scale: one partial-agg shuffle to ~|domains| rows, then scalar
+    algebra on the broadcast reference — no second corpus pass.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "source")
+    per_dom = (
+        d.select(
+            "source",
+            "n_chars",
+            F.greatest(F.size(tokens_col("text")), F.lit(1))
+            .cast("long")
+            .alias("n_tok"),
+        )
+        .select(
+            "source",
+            F.expr("(1000000 * n_chars) div n_tok").alias("loss_micro"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("loss_micro").alias("loss_sum"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.expr("loss_sum div n_docs").alias("loss_micro"),
+            "loss_sum",
+        )
+    )
+    ref = per_dom.agg(
+        F.sum("loss_sum").alias("ls"),
+        F.sum("n_docs").alias("nd"),
+        F.count(F.lit(1)).alias("k"),
+    ).select(F.expr("ls div nd").alias("ref_micro"), "k")
+    upd = per_dom.crossJoin(F.broadcast(ref)).select(
+        "source",
+        "n_docs",
+        "loss_micro",
+        "ref_micro",
+        F.greatest(F.col("loss_micro") - F.col("ref_micro"), F.lit(0))
+        .cast("long")
+        .alias("excess_micro"),
+        "k",
+    )
+    upd = upd.select(
+        "source",
+        "n_docs",
+        "loss_micro",
+        "ref_micro",
+        "excess_micro",
+        "k",
+        F.expr(
+            f"(1000000 * (1000000 + {DOREMI_ETA_MICRO} * excess_micro))"
+            " div 1000000"
+        ).alias("w_upd"),
+    )
+    tot = Window.partitionBy()
+    return upd.select(
+        "source",
+        "n_docs",
+        "loss_micro",
+        "excess_micro",
+        F.expr(
+            f"(({1_000_000 - DOREMI_SMOOTH_MICRO} * w_upd)"
+            " div sum(w_upd) over ())"
+            f" + ({DOREMI_SMOOTH_MICRO} div k)"
+        ).alias("alpha_micro"),
+    ).orderBy("source")
+
+
+_DOREMI_SQL = f"""
+WITH per_dom AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM((1000000 * n_chars) // GREATEST(
+            len(string_split_regex(trim(text), '\\s+')), 1)) AS BIGINT)
+            AS loss_sum
+    FROM documents GROUP BY source
+),
+ref AS (
+    SELECT CAST(SUM(loss_sum) AS BIGINT) // CAST(SUM(n_docs) AS BIGINT)
+               AS ref_micro,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM per_dom
+),
+upd AS (
+    SELECT p.source, p.n_docs, p.loss_sum // p.n_docs AS loss_micro,
+           GREATEST(p.loss_sum // p.n_docs - r.ref_micro, 0)
+               AS excess_micro,
+           r.k
+    FROM per_dom p CROSS JOIN ref r
+),
+w AS (
+    SELECT *,
+        (1000000 * (1000000 + {DOREMI_ETA_MICRO} * excess_micro)) // 1000000
+            AS w_upd
+    FROM upd
+)
+SELECT source, n_docs, loss_micro, excess_micro,
+    (({1_000_000 - DOREMI_SMOOTH_MICRO} * w_upd)
+        // CAST(SUM(w_upd) OVER () AS BIGINT))
+        + ({DOREMI_SMOOTH_MICRO} // k) AS alpha_micro
+FROM w
+ORDER BY source
+"""
+
+
+# ------------------------------------------------------------------
+# seq_curriculum_order — difficulty curriculum with source interleave
+# ------------------------------------------------------------------
+
+CURRICULUM_TAKE = 50
+
+
+def seq_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: rank documents easiest-first WITHIN each
+    source, then interleave the sources round-robin so early training
+    sees every domain (a difficulty-sorted corpus that frontloads one
+    domain is the classic curriculum failure mode).  Emits the first
+    {CURRICULUM_TAKE} curriculum positions.
+
+    The interleave is ARITHMETIC, not a global sort: source 'srcN'
+    carries its index N in the name, so
+    position = (rank_within_source - 1) * n_sources + src_idx — a
+    per-source window plus map-side math.  No global window ever
+    touches the corpus; the final top-k is an orderBy().limit()
+    (TakeOrderedAndProject).  Difficulty = mean chars-per-token in
+    integer micro-units (ties → doc_id), the same plug point as the
+    DoReMi proxy loss.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "source")
+    src_idx = F.expr("CAST(substring(source, 4) AS BIGINT)")
+    base = d.select(
+        "doc_id",
+        "source",
+        src_idx.alias("src_idx"),
+        "n_chars",
+        F.greatest(F.size(tokens_col("text")), F.lit(1))
+        .cast("long")
+        .alias("n_tok"),
+    ).select(
+        "doc_id",
+        "source",
+        "src_idx",
+        F.expr("(1000000 * n_chars) div n_tok").alias("difficulty_micro"),
+    )
+    n_src = base.agg(
+        (F.max("src_idx") + 1).cast("long").alias("n_sources")
+    )
+    w = Window.partitionBy("source").orderBy(
+        "difficulty_micro", "doc_id"
+    )
+    ranked = base.select(
+        "doc_id",
+        "source",
+        "src_idx",
+        "difficulty_micro",
+        (F.row_number().over(w) - 1).cast("long").alias("rank_in_source"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n_src))
+        .select(
+            (F.col("rank_in_source") * F.col("n_sources") + F.col("src_idx"))
+            .alias("position"),
+            "doc_id",
+            "source",
+            "difficulty_micro",
+            "rank_in_source",
+        )
+        .orderBy("position")
+        .limit(CURRICULUM_TAKE)
+    )
+
+
+_CURRICULUM_SQL = f"""
+WITH base AS (
+    SELECT doc_id, source,
+        CAST(substring(source, 4) AS BIGINT) AS src_idx,
+        (1000000 * n_chars) // GREATEST(
+            len(string_split_regex(trim(text), '\\s+')), 1)
+            AS difficulty_micro
+    FROM documents
+),
+n_src AS (
+    SELECT CAST(MAX(src_idx) + 1 AS BIGINT) AS n_sources FROM base
+),
+ranked AS (
+    SELECT doc_id, source, src_idx, difficulty_micro,
+        CAST(ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY difficulty_micro, doc_id) - 1 AS BIGINT)
+            AS rank_in_source
+    FROM base
+)
+SELECT r.rank_in_source * s.n_sources + r.src_idx AS position,
+       r.doc_id, r.source, r.difficulty_micro, r.rank_in_source
+FROM ranked r CROSS JOIN n_src s
+ORDER BY position
+LIMIT {CURRICULUM_TAKE}
+"""
+
+
+# ------------------------------------------------------------------
+# sample_dataset_cartography — confidence/variability training map
+# ------------------------------------------------------------------
+
+CARTO_EPOCHS = 5
+CARTO_CONF_HI = 700_000   # mean confidence above → candidate "easy"
+CARTO_VAR_HI = 150_000    # variability above → "ambiguous"
+
+
+def sample_dataset_cartography(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset cartography (Swayamdipta et al. 2020): map every
+    training example by (mean confidence, variability) across epochs —
+    'easy' examples are learned immediately, 'hard' ones never, and
+    the 'ambiguous' band in between is where the training signal
+    lives (and what you keep when subsampling a 100 TB corpus).
+
+    The per-epoch confidences here are a deterministic portable-hash
+    synthesis seeded by (doc_id, epoch) plus a doc-quality base — the
+    documented PLUG POINT where real per-epoch model confidences land
+    (the real artifact is a (doc_id, epoch, confidence) table logged
+    during proxy training).  Everything downstream of that column is
+    the real pipeline: per-example moment aggregation, exact-integer
+    mean/variance, region bucketing, per-region corpus shares.
+
+    Scale: the {CARTO_EPOCHS} epoch terms are INLINE map-side
+    expressions (no explode, no per-example shuffle); the only
+    shuffle is the final ~3-row region aggregate.  Variance uses the
+    integer sum-of-squares identity; the sqrt is one correctly-rounded
+    double op, floored to micro-units — bit-identical cross-engine.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
+    base_half = F.expr("least(1000000, (1000000 * n_chars) div 3000) div 2")
+    confs = []
+    for e in range(1, CARTO_EPOCHS + 1):
+        h = hash32(F.concat_ws(":", F.lit(f"carto{e}"), F.col("doc_id")))
+        # epoch confidence in micro: half base quality + half hash noise
+        confs.append((base_half + (h % 500_001)).cast("long"))
+    s1 = confs[0]
+    s2 = confs[0] * confs[0]
+    for c in confs[1:]:
+        s1 = s1 + c
+        s2 = s2 + c * c
+    n = F.lit(CARTO_EPOCHS).cast("long")
+    mean = F.expr(f"s1 div {CARTO_EPOCHS}")
+    staged = d.select(
+        "doc_id", s1.alias("s1"), s2.alias("s2")
+    ).select(
+        "doc_id",
+        mean.alias("mean_micro"),
+        # population variance * E^2 stays integer: E*s2 - s1^2
+        (n * F.col("s2") - F.col("s1") * F.col("s1")).alias("var_e2"),
+    )
+    # floor(sqrt) FIRST, then integer div — identical expression tree
+    # to the oracle (floor(x/n) == floor(floor(x)/n) holds for real x,
+    # but a double division could round across the boundary)
+    variability = F.expr(
+        f"floor(sqrt(cast(var_e2 as double))) div {CARTO_EPOCHS}"
+    )
+    bucketed = staged.select(
+        "doc_id",
+        "mean_micro",
+        variability.alias("variability_micro"),
+    ).select(
+        "doc_id",
+        "mean_micro",
+        "variability_micro",
+        F.when(
+            F.col("variability_micro") >= CARTO_VAR_HI, F.lit("ambiguous")
+        )
+        .when(F.col("mean_micro") >= CARTO_CONF_HI, F.lit("easy"))
+        .otherwise(F.lit("hard"))
+        .alias("region"),
+    )
+    tot = Window.partitionBy()
+    return (
+        bucketed.groupBy("region")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("mean_micro").alias("conf_sum"),
+            F.sum("variability_micro").alias("var_sum"),
+        )
+        .select(
+            "region",
+            "n_docs",
+            F.expr("conf_sum div n_docs").alias("avg_confidence_micro"),
+            F.expr("var_sum div n_docs").alias("avg_variability_micro"),
+            F.expr(
+                "(1000000 * n_docs) div sum(n_docs) over ()"
+            ).alias("share_micro"),
+        )
+        .orderBy("region")
+    )
+
+
+def _carto_sql() -> str:
+    conf_terms = []
+    for e in range(1, CARTO_EPOCHS + 1):
+        h = sql_hash32(f"'carto{e}' || ':' || CAST(doc_id AS VARCHAR)")
+        conf_terms.append(
+            f"(LEAST(1000000, (1000000 * n_chars) // 3000) // 2"
+            f" + ({h}) % 500001)"
+        )
+    s1 = " + ".join(conf_terms)
+    s2 = " + ".join(f"({t}) * ({t})" for t in conf_terms)
+    return f"""
+WITH staged AS (
+    SELECT doc_id,
+        CAST({s1} AS BIGINT) AS s1,
+        CAST({s2} AS BIGINT) AS s2
+    FROM documents
+),
+mo AS (
+    SELECT doc_id, s1 // {CARTO_EPOCHS} AS mean_micro,
+        CAST(FLOOR(SQRT(CAST({CARTO_EPOCHS} * s2 - s1 * s1 AS DOUBLE)))
+             AS BIGINT) // {CARTO_EPOCHS} AS variability_micro
+    FROM staged
+),
+bucketed AS (
+    SELECT doc_id, mean_micro, variability_micro,
+        CASE WHEN variability_micro >= {CARTO_VAR_HI} THEN 'ambiguous'
+             WHEN mean_micro >= {CARTO_CONF_HI} THEN 'easy'
+             ELSE 'hard' END AS region
+    FROM mo
+)
+SELECT region, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(mean_micro) AS BIGINT) // COUNT(*) AS avg_confidence_micro,
+    CAST(SUM(variability_micro) AS BIGINT) // COUNT(*)
+        AS avg_variability_micro,
+    (1000000 * CAST(COUNT(*) AS BIGINT))
+        // CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS share_micro
+FROM bucketed
+GROUP BY region
+ORDER BY region
+"""
+
+
 QUERIES = {
+    "sample_doremi_proxy_weights": sample_doremi_proxy_weights,
+    "seq_curriculum_order": seq_curriculum_order,
+    "sample_dataset_cartography": sample_dataset_cartography,
     "sample_negative_sampling": sample_negative_sampling,
     "sample_epoch_plan": sample_epoch_plan,
     "text_dsir_importance": text_dsir_importance,
@@ -2049,6 +2412,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sample_doremi_proxy_weights": _DOREMI_SQL,
+    "seq_curriculum_order": _CURRICULUM_SQL,
+    "sample_dataset_cartography": _carto_sql(),
     "sample_negative_sampling": _NEG_SAMPLING_SQL,
     "sample_epoch_plan": _EPOCH_PLAN_SQL,
     "text_dsir_importance": _DSIR_SQL,

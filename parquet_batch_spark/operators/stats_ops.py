@@ -12038,6 +12038,118 @@ FROM cells
 """
 
 
+PH_DELTA_CENTS = 10_00    # Page-Hinkley drift allowance per step
+PH_LAMBDA_CENTS = 500_00  # alarm threshold on the PH statistic
+
+
+def window_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley concept-drift detector per event type: the
+    sequential test that alarms when a metric's level DROPS below its
+    own running mean by more than a drift allowance, cumulatively —
+    the standard online companion to CUSUM (which localizes a shift
+    post-hoc; PH is the one you'd run in the streaming monitor).
+
+    m_t = Σ_{i<=t} (x_i − μ_i − δ) with μ_i the running mean;
+    PH_t = m_t − min_{s<=t} m_s; alarm when PH_t > λ.  Daily totals
+    are exact integer cents and the running mean is a truncating
+    integer division, so every statistic is integer — bit-identical
+    cross-engine.  Sign convention: x − μ − δ detects UPWARD drift
+    (revenue regime shift up); the symmetric test negates x.
+
+    Scale: day-grain reduction first; all windows partition by
+    event_type over the (types × days) REDUCED table — domain-bounded,
+    no global window.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("vc"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("vc").alias("x"))
+    )
+    seq = Window.partitionBy("event_type").orderBy("day")
+    cum = seq.rowsBetween(Window.unboundedPreceding, 0)
+    stepped = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.row_number().over(seq).cast("long").alias("t"),
+        F.sum("x").over(cum).alias("cx"),
+    ).select(
+        "event_type",
+        "day",
+        "t",
+        (F.col("x") - F.expr("cx div t") - PH_DELTA_CENTS).alias("term"),
+    )
+    ph = stepped.select(
+        "event_type",
+        "day",
+        "t",
+        F.sum("term").over(cum).alias("m"),
+    ).select(
+        "event_type",
+        "day",
+        "t",
+        (F.col("m") - F.min("m").over(cum)).alias("ph"),
+    )
+    return (
+        ph.groupBy("event_type")
+        .agg(
+            F.max("t").cast("long").alias("n_days"),
+            F.max("ph").cast("long").alias("max_ph_cents"),
+            F.min(
+                F.when(F.col("ph") > PH_LAMBDA_CENTS, F.col("day"))
+            ).alias("first_alarm_day"),
+            F.max(
+                (F.col("ph") > PH_LAMBDA_CENTS).cast("int")
+            ).alias("drift_detected"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_PH_SQL = f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+stepped AS (
+    SELECT event_type, day,
+        CAST(ROW_NUMBER() OVER w AS BIGINT) AS t,
+        x - (CAST(SUM(x) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS BIGINT)
+             // CAST(ROW_NUMBER() OVER w AS BIGINT))
+          - {PH_DELTA_CENTS} AS term
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type, CAST(MAX(t) AS BIGINT) AS n_days,
+       CAST(MAX(m - mn) AS BIGINT) AS max_ph_cents,
+       MIN(CASE WHEN m - mn > {PH_LAMBDA_CENTS} THEN day END)
+           AS first_alarm_day,
+       CAST(MAX(CASE WHEN m - mn > {PH_LAMBDA_CENTS} THEN 1 ELSE 0 END)
+            AS INTEGER) AS drift_detected
+FROM (
+    SELECT event_type, day, t, m,
+        MIN(m) OVER (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+    FROM (
+        SELECT event_type, day, t,
+            CAST(SUM(term) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS m
+        FROM stepped
+    )
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 ISO_BINS = 50
 
 
@@ -12160,6 +12272,7 @@ ORDER BY bin
 QUERIES = {
     "ml_mcc_balanced_accuracy": ml_mcc_balanced_accuracy,
     "ml_isotonic_calibration": ml_isotonic_calibration,
+    "window_page_hinkley_drift": window_page_hinkley_drift,
     "agg_expected_calibration_error": agg_expected_calibration_error,
     "agg_kruskal_wallis": agg_kruskal_wallis,
     "ml_average_precision": ml_average_precision,
@@ -12284,6 +12397,7 @@ QUERIES = {
 ORACLES = {
     "ml_mcc_balanced_accuracy": _MCC_SQL,
     "ml_isotonic_calibration": _ISO_SQL,
+    "window_page_hinkley_drift": _PH_SQL,
     "agg_expected_calibration_error": _ECE_SQL,
     "agg_kruskal_wallis": _kruskal_sql(),
     "ml_average_precision": _AP_SQL,

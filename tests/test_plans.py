@@ -449,6 +449,9 @@ def test_global_windows_only_over_reduced_tables(spark, sf_smoke):
         "ml_isotonic_calibration",
         # r6: share window over the <=4-row null-pattern table
         "quality_nullity_patterns",
+        # r6: normalization windows over the |domains|-row weight table
+        # and the <=3-row cartography region table
+        "sample_doremi_proxy_weights", "sample_dataset_cartography",
         "agg_split_gain_gini", "window_realized_volatility",
         "window_seasonal_decompose", "agg_spearman_rho", "agg_hist2d_joint",
         "sample_ab_assignment_srm", "agg_chi_square_independence",

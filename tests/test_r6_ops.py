@@ -20,6 +20,22 @@ from parquet_batch_spark.operators.stats_ops import (
     ml_isotonic_calibration,
     ml_mcc_balanced_accuracy,
 )
+from parquet_batch_spark.operators.llm_prep import (
+    CARTO_CONF_HI,
+    CARTO_EPOCHS,
+    CARTO_VAR_HI,
+    CURRICULUM_TAKE,
+    DOREMI_ETA_MICRO,
+    DOREMI_SMOOTH_MICRO,
+    sample_dataset_cartography,
+    sample_doremi_proxy_weights,
+    seq_curriculum_order,
+)
+from parquet_batch_spark.operators.stats_ops import (
+    PH_DELTA_CENTS,
+    PH_LAMBDA_CENTS,
+    window_page_hinkley_drift,
+)
 from parquet_batch_spark.operators.text_analysis import (
     WIMBD_TOPK,
     quality_wimbd_top_ngrams,
@@ -162,3 +178,144 @@ def test_wimbd_top_ngrams_matches_python_counts(spark, sf_dir):
         assert row["n_docs"] == len(docs[g])
         assert row["n_total_positions"] == total
         assert row["share_micro"] == 1_000_000 * cnt // total
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Spark div / DuckDB // semantics: truncation toward zero."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _doc_loss_rows(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text", "n_chars")
+        .collect()
+    )
+
+
+def test_doremi_weights_match_python_mw_round(spark, sf_dir):
+    rows = _doc_loss_rows(spark, sf_dir)
+    sums: dict[str, int] = {}
+    cnts: dict[str, int] = {}
+    for r in rows:
+        n_tok = max(len(r["text"].strip().split()), 1)
+        loss = 1_000_000 * r["n_chars"] // n_tok
+        sums[r["source"]] = sums.get(r["source"], 0) + loss
+        cnts[r["source"]] = cnts.get(r["source"], 0) + 1
+    ref = sum(sums.values()) // sum(cnts.values())
+    k = len(sums)
+    w = {
+        s: (1_000_000 * (1_000_000 + DOREMI_ETA_MICRO * max(sums[s] // cnts[s] - ref, 0)))
+        // 1_000_000
+        for s in sums
+    }
+    w_total = sum(w.values())
+    got = {r["source"]: r for r in sample_doremi_proxy_weights(spark, sf_dir).collect()}
+    assert sorted(got) == sorted(sums)
+    for s, row in got.items():
+        assert row["n_docs"] == cnts[s]
+        assert row["loss_micro"] == sums[s] // cnts[s]
+        assert row["excess_micro"] == max(sums[s] // cnts[s] - ref, 0)
+        alpha = ((1_000_000 - DOREMI_SMOOTH_MICRO) * w[s]) // w_total + (
+            DOREMI_SMOOTH_MICRO // k
+        )
+        assert row["alpha_micro"] == alpha
+    # weights sum to ~1e6 (floor losses only) and hard domains rank higher
+    tot = sum(r["alpha_micro"] for r in got.values())
+    assert 1_000_000 - 2 * k <= tot <= 1_000_000
+    by_excess = sorted(got.values(), key=lambda r: r["excess_micro"])
+    assert by_excess[0]["alpha_micro"] <= by_excess[-1]["alpha_micro"]
+
+
+def test_curriculum_order_interleaves_sources(spark, sf_dir):
+    rows = seq_curriculum_order(spark, sf_dir).collect()
+    assert len(rows) == CURRICULUM_TAKE
+    positions = [r["position"] for r in rows]
+    assert positions == sorted(positions)
+    assert len(set(positions)) == len(positions)
+    # the first full round contains each source at most once, and
+    # difficulty never decreases within a source
+    seen_rank: dict[str, int] = {}
+    last_diff: dict[str, int] = {}
+    for r in rows:
+        s = r["source"]
+        assert r["rank_in_source"] >= seen_rank.get(s, -1)
+        if s in last_diff and r["rank_in_source"] > seen_rank[s]:
+            assert r["difficulty_micro"] >= last_diff[s]
+        seen_rank[s] = r["rank_in_source"]
+        last_diff[s] = r["difficulty_micro"]
+    # round-robin: position p belongs to source p % n_sources
+    n_sources = 1 + max(int(r["source"][3:]) for r in rows)
+    for r in rows:
+        assert int(r["source"][3:]) == r["position"] % n_sources
+        assert r["rank_in_source"] == r["position"] // n_sources
+
+
+def test_cartography_regions_partition_corpus(spark, sf_dir):
+    import hashlib
+
+    rows = _doc_loss_rows(spark, sf_dir)
+    expect: Counter[str] = Counter()
+    for r in rows:
+        base_half = min(1_000_000, 1_000_000 * r["n_chars"] // 3000) // 2
+        confs = []
+        for e in range(1, CARTO_EPOCHS + 1):
+            h = int(
+                hashlib.md5(f"carto{e}:{r['doc_id']}".encode()).hexdigest()[:8],
+                16,
+            )
+            confs.append(base_half + h % 500_001)
+        s1, s2 = sum(confs), sum(c * c for c in confs)
+        mean = s1 // CARTO_EPOCHS
+        var_e2 = CARTO_EPOCHS * s2 - s1 * s1
+        variability = math.floor(math.sqrt(float(var_e2))) // CARTO_EPOCHS
+        if variability >= CARTO_VAR_HI:
+            expect["ambiguous"] += 1
+        elif mean >= CARTO_CONF_HI:
+            expect["easy"] += 1
+        else:
+            expect["hard"] += 1
+    got = {r["region"]: r for r in sample_dataset_cartography(spark, sf_dir).collect()}
+    assert sum(r["n_docs"] for r in got.values()) == len(rows)
+    for region, n in expect.items():
+        assert got[region]["n_docs"] == n
+
+
+def test_page_hinkley_matches_python_recurrence(spark, sf_dir):
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("vc"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("vc").alias("x"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in ev:
+        series.setdefault(r["event_type"], []).append((r["day"], r["x"]))
+    got = {r["event_type"]: r for r in window_page_hinkley_drift(spark, sf_dir).collect()}
+    assert sorted(got) == sorted(series)
+    for et, pts in series.items():
+        pts.sort()
+        m = 0
+        cx = 0
+        mn = 0
+        max_ph = None
+        first_alarm = None
+        for t, (day, x) in enumerate(pts, start=1):
+            cx += x
+            m += x - _trunc_div(cx, t) - PH_DELTA_CENTS
+            mn = min(mn, m) if t > 1 else m
+            ph = m - mn
+            max_ph = ph if max_ph is None else max(max_ph, ph)
+            if ph > PH_LAMBDA_CENTS and first_alarm is None:
+                first_alarm = day
+        row = got[et]
+        assert row["n_days"] == len(pts)
+        assert row["max_ph_cents"] == max_ph
+        assert row["first_alarm_day"] == first_alarm
+        assert row["drift_detected"] == (1 if first_alarm is not None else 0)
