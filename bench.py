@@ -253,6 +253,10 @@ HEADLINE = [
     "seq_curriculum_order",
     "sample_dataset_cartography",
     "window_page_hinkley_drift",
+    "dedup_minhash_b_bit",
+    "embedding_geometric_median",
+    "etl_analyze_table_stats",
+    "scan_schema_evolution",
 ]
 
 

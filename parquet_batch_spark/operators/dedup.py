@@ -2165,8 +2165,101 @@ ORDER BY m_r.field
 """
 
 
+# ------------------------------------------------------------ b-bit minwise
+
+BBIT_B = 2                    # bits kept per minhash slot
+BBIT_MOD = 1 << BBIT_B        # low-bit bucket count (4)
+
+
+def dedup_minhash_b_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minwise hashing (Li & König 2010): store only the lowest
+    b=2 bits of each of the 16 minhash slots — a 16×
+    signature-memory reduction (64-bit slot → 2 bits), THE trick that
+    makes sketch-resident dedup of a 100 TB corpus fit in RAM.  A
+    b-bit slot match is partly luck (two random values collide with
+    prob 1/2^b), so the Jaccard estimate unbiases the raw match rate:
+    J ≈ (m/k − 1/2^b) / (1 − 1/2^b).
+
+    Emits, per LSH candidate pair, the b-bit match count, the full-slot
+    match count, and both estimators in exact integer micro-units —
+    the b-bit column is what a production run would keep; the
+    side-by-side full estimator quantifies the precision traded for
+    the 16× memory cut.  Candidate generation reuses the SHARED
+    materialized LSH candidate table (one band equi-join per run,
+    never all-pairs).
+    """
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
+    m_b = F.expr(
+        f"size(filter(sequence(1, {N_HASHES}), i ->"
+        f" element_at(sig_a, i) % {BBIT_MOD}"
+        f" = element_at(sig_b, i) % {BBIT_MOD}))"
+    ).cast("long")
+    m_f = F.expr(
+        f"size(filter(sequence(1, {N_HASHES}), i ->"
+        " element_at(sig_a, i) = element_at(sig_b, i)))"
+    ).cast("long")
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            m_b.alias("m_bbit"),
+            m_f.alias("m_full"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "m_bbit",
+            "m_full",
+            F.greatest(
+                F.expr(
+                    f"(1000000 * ({BBIT_MOD} * m_bbit - {N_HASHES}))"
+                    f" div ({(BBIT_MOD - 1) * N_HASHES})"
+                ),
+                F.lit(0).cast("long"),
+            ).alias("est_bbit_micro"),
+            F.expr(f"(1000000 * m_full) div {N_HASHES}").alias(
+                "est_full_micro"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _bbit_sql() -> str:
+    return f"""
+WITH {_sql_minhash_core()},
+bands AS (
+    SELECT doc_id, sig, i - 1 AS band_idx, ([{_BAND_EXPRS}])[i] AS band_sig
+    FROM sigarr, generate_series(1, {N_BANDS}) t(i)
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.sig AS sig_a, b.sig AS sig_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+        AND a.doc_id < b.doc_id
+),
+counted AS (
+    SELECT doc_a, doc_b,
+        CAST(len(list_filter(generate_series(1, {N_HASHES}),
+            i -> sig_a[i] % {BBIT_MOD} = sig_b[i] % {BBIT_MOD}))
+            AS BIGINT) AS m_bbit,
+        CAST(len(list_filter(generate_series(1, {N_HASHES}),
+            i -> sig_a[i] = sig_b[i])) AS BIGINT) AS m_full
+    FROM cands
+)
+SELECT doc_a, doc_b, m_bbit, m_full,
+    GREATEST((1000000 * ({BBIT_MOD} * m_bbit - {N_HASHES}))
+        // {(BBIT_MOD - 1) * N_HASHES}, 0) AS est_bbit_micro,
+    (1000000 * m_full) // {N_HASHES} AS est_full_micro
+FROM counted
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "dedup_fellegi_sunter_weights": dedup_fellegi_sunter_weights,
+    "dedup_minhash_b_bit": dedup_minhash_b_bit,
     "dedup_prefix_cluster": dedup_prefix_cluster,
     "dedup_threshold_sweep": dedup_threshold_sweep,
     "dedup_sorted_neighborhood": dedup_sorted_neighborhood,
@@ -2187,6 +2280,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_fellegi_sunter_weights": _fellegi_sunter_sql(),
+    "dedup_minhash_b_bit": _bbit_sql(),
     "dedup_prefix_cluster": _prefix_cluster_sql(),
     "dedup_threshold_sweep": _SWEEP_SQL,
     "dedup_sorted_neighborhood": _snm_sql(),

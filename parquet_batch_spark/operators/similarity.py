@@ -1879,7 +1879,140 @@ ORDER BY m
 """
 
 
+# ------------------------------------------------ geometric median
+
+GM_DIMS = 64
+GM_ITERS = 2          # Weiszfeld refinement rounds after the mean init
+GM_W_SCALE = 10**12   # weight quantum: w = GM_W_SCALE div dist_micro
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Engine div semantics (truncate toward zero) — Python // floors."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def embedding_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension geometric median of the embedding corpus by
+    {GM_ITERS} fixed Weiszfeld iterations from the mean — the ROBUST
+    centroid: unlike the mean, it is insensitive to the far-out junk
+    vectors (dead encoders, truncation artifacts) that a 100 TB
+    embedding QC pass is hunting, so median-vs-mean shift per
+    dimension is itself the anomaly signal this op emits.
+
+    Weiszfeld: c ← Σ wᵢxᵢ / Σ wᵢ with wᵢ = 1/‖xᵢ−c‖.  Matrix-free and
+    integer-exact cross-engine: embeddings quantize to micro ints,
+    distances to floor(sqrt) micro ints, weights to GM_W_SCALE div
+    dist (duplicate-at-center guarded by max(dist,1)), and the
+    weighted per-dim sums aggregate in DECIMAL (Spark) / HUGEINT
+    (DuckDB) — exact, order-insensitive.  Only 64 scalars return to
+    the driver per round (the PCA power-iteration pattern); the
+    oracle unrolls the identical rounds in SQL.
+
+    Output: (dim, median_micro, mean_micro, shift_micro).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    xq = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1000000).cast("long")
+    )
+    rows = emb.select(xq.alias("xq"))
+    rows.cache()
+    sums = (
+        rows.select(F.posexplode("xq").alias("d", "xv"))
+        .groupBy("d")
+        .agg(F.sum("xv").alias("s"), F.count(F.lit(1)).alias("n"))
+        .orderBy("d")
+        .collect()
+    )
+    mean = [_trunc_div(int(r["s"]), int(r["n"])) for r in sums]
+    c = list(mean)
+    for _ in range(GM_ITERS):
+        carr = F.array(*[F.lit(int(v)).cast("long") for v in c])
+        dist2 = F.aggregate(
+            F.zip_with("xq", carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        w = F.expr(
+            f"cast({GM_W_SCALE} as bigint)"
+            " div greatest(cast(floor(sqrt(cast(dist2 as double))) as bigint), 1)"
+        )
+        staged = rows.select(dist2.alias("dist2"), "xq").select(
+            w.alias("w"), "xq"
+        )
+        agg = (
+            staged.select("w", F.posexplode("xq").alias("d", "xv"))
+            .groupBy("d")
+            .agg(
+                F.sum(
+                    (F.col("w") * F.col("xv")).cast("decimal(20,0)")
+                ).alias("num"),
+                F.sum(F.col("w").cast("decimal(20,0)")).alias("den"),
+            )
+            .select(
+                "d",
+                F.expr("cast(num div den as long)").alias("cnew"),
+            )
+            .orderBy("d")
+            .collect()
+        )
+        c = [int(r["cnew"]) for r in agg]
+    out = spark.createDataFrame(
+        [
+            (d + 1, int(c[d]), int(mean[d]), abs(int(c[d]) - int(mean[d])))
+            for d in range(GM_DIMS)
+        ],
+        "dim long, median_micro long, mean_micro long, shift_micro long",
+    )
+    return out.orderBy("dim")
+
+
+def _gm_sql() -> str:
+    parts = [
+        """xrows AS (
+    SELECT list_transform(embedding,
+        x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq
+    FROM embeddings
+)""",
+        f"""c0 AS (
+    SELECT r.d,
+        CAST(SUM(CAST(xq[r.d] AS HUGEINT)) AS HUGEINT)
+            // CAST(COUNT(*) AS HUGEINT) AS v
+    FROM xrows, (SELECT UNNEST(range(1, {GM_DIMS + 1})) AS d) r
+    GROUP BY r.d
+)""",
+    ]
+    for k in range(1, GM_ITERS + 1):
+        parts.append(f"""w{k} AS (
+    SELECT xq,
+        CAST({GM_W_SCALE} AS BIGINT) // GREATEST(CAST(FLOOR(SQRT(CAST(
+            (SELECT SUM((xq[c.d] - c.v) * (xq[c.d] - c.v)) FROM c{k - 1} c)
+            AS DOUBLE))) AS BIGINT), 1) AS w
+    FROM xrows
+)""")
+        parts.append(f"""c{k} AS (
+    SELECT r.d,
+        CAST(SUM(CAST(w AS HUGEINT) * xq[r.d]) AS HUGEINT)
+            // CAST(SUM(CAST(w AS HUGEINT)) AS HUGEINT) AS v
+    FROM w{k}, (SELECT UNNEST(range(1, {GM_DIMS + 1})) AS d) r
+    GROUP BY r.d
+)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(c.d AS BIGINT) AS dim,
+       CAST(c.v AS BIGINT) AS median_micro,
+       CAST(m.v AS BIGINT) AS mean_micro,
+       CAST(ABS(c.v - m.v) AS BIGINT) AS shift_micro
+FROM c{GM_ITERS} c JOIN c0 m ON m.d = c.d
+ORDER BY dim
+"""
+    )
+
+
 QUERIES = {
+    "embedding_geometric_median": embedding_geometric_median,
     "embedding_pq_distortion": embedding_pq_distortion,
     "ml_kmeans_lloyd": ml_kmeans_lloyd,
     "embedding_random_projection_jl": embedding_random_projection_jl,
@@ -1898,6 +2031,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_geometric_median": _gm_sql(),
     "embedding_pq_distortion": _PQ_DISTORTION_SQL,
     "ml_kmeans_lloyd": _kmeans_sql(),
     "embedding_random_projection_jl": _jl_sql(),

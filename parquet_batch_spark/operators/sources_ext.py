@@ -1266,7 +1266,79 @@ FROM documents
 """
 
 
+# ------------------------------------------ schema evolution (mergeSchema)
+
+_EVOLUTION_STAGED: set[str] = set()
+
+
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet "generations" of the same
+    table — generation 2 added a column (``o_orderpriority``) that
+    generation 1's files simply don't contain — unified by one
+    ``mergeSchema`` scan.  This is the standard landing-zone reality
+    at 100 TB: producers add fields over months and a reprocessing
+    job must read YEARS of heterogenous files in one pass, with the
+    missing column surfacing as NULL in old files (never an error,
+    never a silent column shift).
+
+    The audit proves the semantics: per generation — row count, exact
+    revenue, non-null count and distinct count of the evolved column
+    (gen 1 must be 0 / 0).  Generations are real separate file sets
+    under ``gen=N`` partition dirs, so the scan also exercises
+    partition discovery; staged once per (sf, pid) and re-read after.
+
+    Scale note: ``mergeSchema`` unions footer schemas at planning
+    time — cost scales with file COUNT, not data size, and the read
+    itself stays one pruned columnar scan.
+    """
+    out = _io_dir(sf_dir, "orders_schema_evolution")
+    if out not in _EVOLUTION_STAGED:
+        src = load(spark, sf_dir, "orders")
+        gen1 = src.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        )
+        gen2 = src.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        gen1.write.mode("overwrite").parquet(os.path.join(out, "gen=1"))
+        gen2.write.mode("overwrite").parquet(os.path.join(out, "gen=2"))
+        _EVOLUTION_STAGED.add(out)
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    return (
+        merged.groupBy(F.col("gen").cast("int").alias("gen"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "revenue"),
+            F.sum(
+                F.col("o_orderpriority").isNotNull().cast("long")
+            ).alias("n_priority_present"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+        .orderBy("gen")
+    )
+
+
+_EVOLUTION_SQL = f"""
+WITH staged AS (
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS gen,
+           o_totalprice,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+               AS o_orderpriority
+    FROM orders
+)
+SELECT CAST(gen AS INTEGER) AS gen, COUNT(*) AS n_rows,
+       {sql_dsum("o_totalprice")} AS revenue,
+       CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_priority_present,
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+FROM staged
+GROUP BY gen
+ORDER BY gen
+"""
+
+
 QUERIES = {
+    "scan_schema_evolution": scan_schema_evolution,
     "source_text_lines": source_text_lines,
     "source_xml_roundtrip": source_xml_roundtrip,
     "source_jsonl_corrupt_tolerant": source_jsonl_corrupt_tolerant,
@@ -1291,6 +1363,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "scan_schema_evolution": _EVOLUTION_SQL,
     "source_xml_roundtrip": _XML_SQL,
     "source_text_lines": _TEXT_LINES_SQL,
     "source_jsonl_corrupt_tolerant": _JSONL_CORRUPT_SQL,

@@ -1465,7 +1465,77 @@ ORDER BY fk_edge
 """
 
 
+# -------------------------------------------- ANALYZE / CBO statistics
+
+_ANALYZE_COLS = ("n_nationkey", "n_name", "n_regionkey")
+
+
+def etl_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS`` and
+    read the per-column stats back from the catalog — the Spark-native
+    CBO surface the engine relies on for join reordering and broadcast
+    decisions.  Stats-driven planning is a SCALE feature: at 100 TB
+    the optimizer only picks the right build side / join order if
+    ndv+nullcount stats exist, and this operator is the job that
+    maintains them after each load.
+
+    The audited stats (distinct count, null count, min/max of the key)
+    are read via ``DESCRIBE EXTENDED table col`` and emitted as typed
+    columns; the oracle recomputes them relationally.  The table under
+    ANALYZE is the nation dim (25 rows — Spark's HLL++ ndv estimate is
+    EXACT below its dense threshold, so the cross-engine compare is
+    deterministic; on a big fact table ndv would be approximate, which
+    is exactly the production trade).
+
+    Scale: ANALYZE is one corpus pass with a partial-agg sketch per
+    column; the catalog read is metadata-only.
+    """
+    tbl = f"pbs_nation_stats_{os.getpid()}_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    loc = _io_dir(sf_dir, "nation_stats_tbl")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        load(spark, sf_dir, "nation")
+        .write.mode("overwrite")
+        .option("path", loc)
+        .saveAsTable(tbl)
+    )
+    spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR ALL COLUMNS")
+    rows = []
+    for col in _ANALYZE_COLS:
+        info = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(f"DESCRIBE EXTENDED {tbl} {col}").collect()
+        }
+        rows.append(
+            (
+                col,
+                int(info["distinct_count"]),
+                int(info["num_nulls"]),
+            )
+        )
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    # catalog stats are a bounded |columns|-row artifact — re-emitting
+    # them as a DataFrame keeps the op composable with the rest of the
+    # registry (and the driver contract)
+    return spark.createDataFrame(
+        rows, "col_name string, distinct_count long, num_nulls long"
+    ).orderBy("col_name")
+
+
+def _analyze_sql() -> str:
+    parts = [
+        f"""SELECT '{c}' AS col_name,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS distinct_count,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS num_nulls
+FROM nation"""
+        for c in _ANALYZE_COLS
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
 QUERIES = {
+    "etl_analyze_table_stats": etl_analyze_table_stats,
     "etl_foreign_key_audit": etl_foreign_key_audit,
     "etl_late_arriving_dimension": etl_late_arriving_dimension,
     "etl_time_travel": etl_time_travel,
@@ -1485,6 +1555,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "etl_analyze_table_stats": _analyze_sql(),
     "etl_foreign_key_audit": _FK_AUDIT_SQL,
     "etl_late_arriving_dimension": _LATE_DIM_SQL,
     "quality_merkle_checksums": _MERKLE_SQL,

@@ -319,3 +319,108 @@ def test_page_hinkley_matches_python_recurrence(spark, sf_dir):
         assert row["max_ph_cents"] == max_ph
         assert row["first_alarm_day"] == first_alarm
         assert row["drift_detected"] == (1 if first_alarm is not None else 0)
+
+
+def test_bbit_minhash_bounds_and_estimators(spark, sf_dir):
+    from parquet_batch_spark.operators.dedup import (
+        BBIT_MOD,
+        N_HASHES,
+        dedup_minhash_b_bit,
+    )
+
+    rows = dedup_minhash_b_bit(spark, sf_dir).collect()
+    assert rows, "LSH candidates must exist at the test SF"
+    for r in rows:
+        # a full-slot match implies a low-bit match
+        assert 0 <= r["m_full"] <= r["m_bbit"] <= N_HASHES
+        assert r["est_full_micro"] == 1_000_000 * r["m_full"] // N_HASHES
+        expect = max(
+            _trunc_div(
+                1_000_000 * (BBIT_MOD * r["m_bbit"] - N_HASHES),
+                (BBIT_MOD - 1) * N_HASHES,
+            ),
+            0,
+        )
+        assert r["est_bbit_micro"] == expect
+    # the unbiased b-bit estimator tracks the full estimator corpus-wide
+    mean_b = sum(r["est_bbit_micro"] for r in rows) / len(rows)
+    mean_f = sum(r["est_full_micro"] for r in rows) / len(rows)
+    assert abs(mean_b - mean_f) < 250_000, (mean_b, mean_f)
+
+
+def test_geometric_median_matches_python_weiszfeld(spark, sf_dir):
+    from parquet_batch_spark.operators.similarity import (
+        GM_ITERS,
+        GM_W_SCALE,
+        embedding_geometric_median,
+    )
+
+    xs = [
+        [int(round(float(v) * 1_000_000)) for v in r["embedding"]]
+        for r in load(spark, sf_dir, "embeddings").select("embedding").collect()
+    ]
+    dims = len(xs[0])
+    n = len(xs)
+    mean = [
+        _trunc_div(sum(x[d] for x in xs), n) for d in range(dims)
+    ]
+    c = list(mean)
+    for _ in range(GM_ITERS):
+        num = [0] * dims
+        den = 0
+        for x in xs:
+            d2 = sum((x[d] - c[d]) ** 2 for d in range(dims))
+            w = _trunc_div(GM_W_SCALE, max(math.floor(math.sqrt(float(d2))), 1))
+            den += w
+            for d in range(dims):
+                num[d] += w * x[d]
+        c = [_trunc_div(num[d], den) for d in range(dims)]
+    got = embedding_geometric_median(spark, sf_dir).collect()
+    assert len(got) == dims
+    for r in got:
+        d = r["dim"] - 1
+        assert r["mean_micro"] == mean[d]
+        assert r["median_micro"] == c[d], (r["dim"], r["median_micro"], c[d])
+        assert r["shift_micro"] == abs(c[d] - mean[d])
+    # robustness: the median's L1-of-L2 objective must not exceed the
+    # mean's (Weiszfeld descends from the mean init)
+    def objective(center):
+        return sum(
+            math.sqrt(float(sum((x[d] - center[d]) ** 2 for d in range(dims))))
+            for x in xs
+        )
+
+    assert objective(c) <= objective(mean) * 1.0001
+
+
+def test_analyze_table_stats_match_relational_counts(spark, sf_dir):
+    from parquet_batch_spark.operators.warehouse import (
+        _ANALYZE_COLS,
+        etl_analyze_table_stats,
+    )
+
+    nation = load(spark, sf_dir, "nation")
+    got = {r["col_name"]: r for r in etl_analyze_table_stats(spark, sf_dir).collect()}
+    assert sorted(got) == sorted(_ANALYZE_COLS)
+    for col in _ANALYZE_COLS:
+        expect_distinct = nation.select(col).distinct().count()
+        expect_nulls = nation.filter(F.col(col).isNull()).count()
+        assert got[col]["distinct_count"] == expect_distinct
+        assert got[col]["num_nulls"] == expect_nulls
+
+
+def test_schema_evolution_nulls_only_in_old_generation(spark, sf_dir):
+    from parquet_batch_spark.operators.sources_ext import scan_schema_evolution
+
+    o = load(spark, sf_dir, "orders")
+    n_even = o.filter(F.col("o_orderkey") % 2 == 0).count()
+    n_odd = o.filter(F.col("o_orderkey") % 2 == 1).count()
+    rows = {r["gen"]: r for r in scan_schema_evolution(spark, sf_dir).collect()}
+    assert sorted(rows) == [1, 2]
+    assert rows[1]["n_rows"] == n_even
+    assert rows[2]["n_rows"] == n_odd
+    # the evolved column is ALL NULL in gen-1 files, fully present in gen 2
+    assert rows[1]["n_priority_present"] == 0
+    assert rows[1]["n_priorities"] == 0
+    assert rows[2]["n_priority_present"] == n_odd
+    assert rows[2]["n_priorities"] > 0
