@@ -257,6 +257,8 @@ HEADLINE = [
     "embedding_geometric_median",
     "etl_analyze_table_stats",
     "scan_schema_evolution",
+    "sample_rho_loss_selection",
+    "graph_hits_bipartite",
 ]
 
 
@@ -313,15 +315,21 @@ def main() -> None:
     ) as fh:
         json.dump(full_doc, fh, indent=1)
 
-    # Pass 2 — HEADLINE, one more run each; best-of-2 with the full-pass
-    # time (first run pays codegen/JIT; min is the steady-state number,
-    # timeit convention, far less noisy under 32-thread contention).
+    # Pass 2 — HEADLINE, best-of-2 ADJACENT runs (first pays
+    # codegen/JIT; min is the steady-state number, timeit convention).
+    # Deliberately NOT reusing the full-pass leg: it runs minutes
+    # earlier in registry order, so its caches are cold relative to an
+    # adjacent second leg and the min would read ~9% slow vs the
+    # r1-r5 methodology — adjacency keeps the round-over-round trend
+    # comparable.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.monotonic()
-        _materialize(queries[name](spark, SF_DIR))
-        second = time.monotonic() - t0
-        timings[name] = round(min(full.get(name, float("inf")), second), 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            _materialize(queries[name](spark, SF_DIR))
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
 
     detail = {
         "metric": "headline suite wall time (noop-materialized)",

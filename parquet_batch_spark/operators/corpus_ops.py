@@ -1182,7 +1182,137 @@ FROM m
 """
 
 
+# ------------------------------------------------------- HITS (bipartite)
+
+HITS_VOCAB = 30
+HITS_ITERS = 2
+HITS_SCALE = 10**9
+HITS_TOPK = 10
+
+
+def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg) over the doc↔token
+    bipartite graph: documents are hubs, the top-30-df
+    tokens are authorities.  A token is authoritative when it appears
+    in strong hub documents; a document is a strong hub when it
+    contains authoritative tokens — the mutual-reinforcement view of
+    vocabulary centrality that raw df flattens (complements PageRank,
+    which needs a homogeneous graph).
+
+    Integer recipe: scores in BIGINT 10⁹ fixed-point, max-normalized
+    after every half-step via a broadcast 1-row max (no driver round
+    trip); products go through DECIMAL(38,0) before the div so no
+    intermediate overflows at any corpus size; 2 fixed
+    iterations, oracle unrolled as MATERIALIZED CTEs.
+
+    Scale: one corpus pass builds the (doc, token) edge table
+    (≤30 edges per doc); each half-step is one partial-agg
+    shuffle over that edge table; the authority side is
+    vocab-bounded.  Hub sums aggregate in decimal, so 10¹²-doc
+    corpora don't overflow the fold.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
+    tokd = (
+        d.select("doc_id", F.explode(tokens_col("text")).alias("w"))
+        .distinct()
+        .localCheckpoint(eager=True)  # one explode pass feeds df + edges
+    )
+    df_counts = tokd.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    vocab = df_counts.orderBy(F.desc("df"), F.asc("w")).limit(HITS_VOCAB)
+    edges = tokd.join(F.broadcast(vocab.select("w")), "w").localCheckpoint(
+        eager=True
+    )
+    auth = vocab.select("w", F.lit(HITS_SCALE).cast("long").alias("a"))
+    for _ in range(HITS_ITERS):
+        hub_raw = (
+            edges.join(F.broadcast(auth), "w")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("a").cast("decimal(38,0)")).alias("h_raw"))
+        )
+        hmax = hub_raw.agg(F.max("h_raw").alias("hm"))
+        hubs = hub_raw.crossJoin(F.broadcast(hmax)).select(
+            "doc_id",
+            F.expr(
+                f"CAST((h_raw * {HITS_SCALE}) div hm AS BIGINT)"
+            ).alias("h"),
+        )
+        auth_raw = (
+            edges.join(hubs, "doc_id")
+            .groupBy("w")
+            .agg(F.sum(F.col("h").cast("decimal(38,0)")).alias("a_raw"))
+        )
+        amax = auth_raw.agg(F.max("a_raw").alias("am"))
+        auth = auth_raw.crossJoin(F.broadcast(amax)).select(
+            "w",
+            F.expr(
+                f"CAST((a_raw * {HITS_SCALE}) div am AS BIGINT)"
+            ).alias("a"),
+        )
+    out = auth.join(F.broadcast(vocab.select("w", "df")), "w").select(
+        F.col("w").alias("token"),
+        F.col("df").cast("long").alias("df"),
+        F.col("a").alias("authority_fp"),
+    )
+    return out.orderBy(F.desc("authority_fp"), F.asc("token")).limit(
+        HITS_TOPK
+    )
+
+
+def _hits_sql() -> str:
+    parts = [
+        f"""tok AS MATERIALIZED (
+    SELECT DISTINCT doc_id, unnest({sql_tokens("text")}) AS w
+    FROM documents
+)""",
+        f"""vocab AS MATERIALIZED (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS df
+    FROM tok GROUP BY w
+    ORDER BY df DESC, w ASC LIMIT {HITS_VOCAB}
+)""",
+        """edges AS MATERIALIZED (
+    SELECT t.doc_id, t.w FROM tok t JOIN vocab v ON v.w = t.w
+)""",
+        f"""a0 AS MATERIALIZED (
+    SELECT w, CAST({HITS_SCALE} AS BIGINT) AS a FROM vocab
+)""",
+    ]
+    for k in range(1, HITS_ITERS + 1):
+        parts.append(f"""hraw{k} AS MATERIALIZED (
+    SELECT e.doc_id, SUM(CAST(a.a AS HUGEINT)) AS h_raw
+    FROM edges e JOIN a{k - 1} a ON a.w = e.w
+    GROUP BY e.doc_id
+)""")
+        parts.append(f"""h{k} AS MATERIALIZED (
+    SELECT doc_id,
+        CAST((h_raw * {HITS_SCALE})
+             // (SELECT MAX(h_raw) FROM hraw{k}) AS BIGINT) AS h
+    FROM hraw{k}
+)""")
+        parts.append(f"""araw{k} AS MATERIALIZED (
+    SELECT e.w, SUM(CAST(h.h AS HUGEINT)) AS a_raw
+    FROM edges e JOIN h{k} h ON h.doc_id = e.doc_id
+    GROUP BY e.w
+)""")
+        parts.append(f"""a{k} AS MATERIALIZED (
+    SELECT w,
+        CAST((a_raw * {HITS_SCALE})
+             // (SELECT MAX(a_raw) FROM araw{k}) AS BIGINT) AS a
+    FROM araw{k}
+)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT a.w AS token, v.df, a.a AS authority_fp
+FROM a{HITS_ITERS} a JOIN vocab v ON v.w = a.w
+ORDER BY authority_fp DESC, token ASC
+LIMIT {HITS_TOPK}
+"""
+    )
+
+
 QUERIES = {
+    "graph_hits_bipartite": graph_hits_bipartite,
     "graph_clustering_coefficient": graph_clustering_coefficient,
     "graph_degree_assortativity": graph_degree_assortativity,
     "graph_rich_club": graph_rich_club,
@@ -1198,6 +1328,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_hits_bipartite": _hits_sql(),
     "graph_clustering_coefficient": _LOCAL_CC_SQL,
     "graph_degree_assortativity": _ASSORT_SQL,
     "graph_rich_club": _rich_club_sql(),

@@ -2155,6 +2155,138 @@ ORDER BY source
 
 
 # ------------------------------------------------------------------
+# sample_rho_loss_selection — reducible-holdout-loss data selection
+# ------------------------------------------------------------------
+
+RHO_HOLDOUT_MOD = 5  # every 5th doc (portable hash) is the holdout split
+
+
+def sample_rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHO-loss data selection (Mindermann et al. 2022): keep examples
+    with high REDUCIBLE loss — training loss minus the irreducible
+    loss a holdout-trained model assigns — which filters out both the
+    already-learned (low train loss) and the unlearnable noise (high
+    loss everywhere).  The batch-selection recipe for 100 TB corpora
+    where you can afford one proxy-scoring pass but not an epoch of
+    everything.
+
+    Mechanics, all exact integers: a deterministic portable-hash
+    holdout split (hash(doc_id) % 5 == 0), per-lang
+    irreducible baselines = holdout mean loss (truncating div), and
+    reducible = train_loss − baseline(lang) via a broadcast join of
+    the |langs|-row baseline table.  The loss column (chars-per-token
+    micro) is the documented plug point for real proxy/holdout model
+    losses.  Selection rule: reducible > 0.  Output: per source —
+    doc counts, selected counts/share, mean reducible among selected.
+
+    Scale: one corpus pass to score, one |langs|-row reduce +
+    broadcast, one per-source aggregate.  No global sort; the
+    threshold is a per-lang scalar, not a corpus percentile.
+    """
+    d = fan_out(load(spark, sf_dir, "documents"), spark, "source")
+    scored = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.greatest(F.size(tokens_col("text")), F.lit(1))
+        .cast("long")
+        .alias("n_tok"),
+        (hash32(F.col("doc_id").cast("string")) % RHO_HOLDOUT_MOD).alias(
+            "fold"
+        ),
+    ).select(
+        "doc_id",
+        "source",
+        "lang",
+        "fold",
+        F.expr("(1000000 * n_chars) div n_tok").alias("loss_micro"),
+    )
+    baseline = (
+        scored.filter(F.col("fold") == 0)
+        .groupBy("lang")
+        .agg(
+            F.sum("loss_micro").alias("ls"),
+            F.count(F.lit(1)).alias("nh"),
+        )
+        .select("lang", F.expr("ls div nh").alias("baseline_micro"))
+    )
+    train = scored.filter(F.col("fold") != 0).join(
+        F.broadcast(baseline), "lang"
+    )
+    red = train.select(
+        "source",
+        (F.col("loss_micro") - F.col("baseline_micro")).alias(
+            "reducible_micro"
+        ),
+    )
+    return (
+        red.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.sum((F.col("reducible_micro") > 0).cast("long")).alias(
+                "n_selected"
+            ),
+            F.sum(
+                F.when(
+                    F.col("reducible_micro") > 0, F.col("reducible_micro")
+                ).otherwise(F.lit(0))
+            ).alias("red_sum"),
+        )
+        .select(
+            "source",
+            "n_train_docs",
+            "n_selected",
+            F.expr(
+                "(1000000 * n_selected) div n_train_docs"
+            ).alias("selected_share_micro"),
+            F.expr(
+                "case when n_selected > 0 then red_sum div n_selected"
+                " else 0 end"
+            ).alias("mean_selected_reducible_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+_RHO_SQL = f"""
+WITH scored AS (
+    SELECT doc_id, source, lang,
+        {sql_hash32("CAST(doc_id AS VARCHAR)")} % {RHO_HOLDOUT_MOD} AS fold,
+        (1000000 * n_chars) // GREATEST(
+            len(string_split_regex(trim(text), '\\s+')), 1) AS loss_micro
+    FROM documents
+),
+baseline AS (
+    SELECT lang,
+        CAST(SUM(loss_micro) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+            AS baseline_micro
+    FROM scored WHERE fold = 0 GROUP BY lang
+),
+red AS (
+    SELECT s.source, s.loss_micro - b.baseline_micro AS reducible_micro
+    FROM scored s JOIN baseline b ON s.lang = b.lang
+    WHERE s.fold <> 0
+)
+SELECT source,
+    CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+    CAST(SUM(CASE WHEN reducible_micro > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_selected,
+    (1000000 * CAST(SUM(CASE WHEN reducible_micro > 0 THEN 1 ELSE 0 END)
+        AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS selected_share_micro,
+    CASE WHEN SUM(CASE WHEN reducible_micro > 0 THEN 1 ELSE 0 END) > 0
+         THEN CAST(SUM(CASE WHEN reducible_micro > 0
+                   THEN reducible_micro ELSE 0 END) AS BIGINT)
+              // CAST(SUM(CASE WHEN reducible_micro > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT)
+         ELSE 0 END AS mean_selected_reducible_micro
+FROM red
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ------------------------------------------------------------------
 # seq_curriculum_order — difficulty curriculum with source interleave
 # ------------------------------------------------------------------
 
@@ -2388,6 +2520,7 @@ QUERIES = {
     "sample_doremi_proxy_weights": sample_doremi_proxy_weights,
     "seq_curriculum_order": seq_curriculum_order,
     "sample_dataset_cartography": sample_dataset_cartography,
+    "sample_rho_loss_selection": sample_rho_loss_selection,
     "sample_negative_sampling": sample_negative_sampling,
     "sample_epoch_plan": sample_epoch_plan,
     "text_dsir_importance": text_dsir_importance,
@@ -2415,6 +2548,7 @@ ORACLES = {
     "sample_doremi_proxy_weights": _DOREMI_SQL,
     "seq_curriculum_order": _CURRICULUM_SQL,
     "sample_dataset_cartography": _carto_sql(),
+    "sample_rho_loss_selection": _RHO_SQL,
     "sample_negative_sampling": _NEG_SAMPLING_SQL,
     "sample_epoch_plan": _EPOCH_PLAN_SQL,
     "text_dsir_importance": _DSIR_SQL,

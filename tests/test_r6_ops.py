@@ -424,3 +424,101 @@ def test_schema_evolution_nulls_only_in_old_generation(spark, sf_dir):
     assert rows[1]["n_priorities"] == 0
     assert rows[2]["n_priority_present"] == n_odd
     assert rows[2]["n_priorities"] > 0
+
+
+def test_rho_loss_selection_matches_python(spark, sf_dir):
+    import hashlib
+
+    from parquet_batch_spark.operators.llm_prep import (
+        RHO_HOLDOUT_MOD,
+        sample_rho_loss_selection,
+    )
+
+    rows = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", "lang", "text", "n_chars")
+        .collect()
+    )
+    hsum: dict[str, int] = {}
+    hcnt: dict[str, int] = {}
+    scored = []
+    for r in rows:
+        n_tok = max(len(r["text"].strip().split()), 1)
+        loss = 1_000_000 * r["n_chars"] // n_tok
+        fold = (
+            int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+            % RHO_HOLDOUT_MOD
+        )
+        scored.append((r["source"], r["lang"], fold, loss))
+        if fold == 0:
+            hsum[r["lang"]] = hsum.get(r["lang"], 0) + loss
+            hcnt[r["lang"]] = hcnt.get(r["lang"], 0) + 1
+    base = {lg: hsum[lg] // hcnt[lg] for lg in hsum}
+    agg: dict[str, list] = {}
+    for src, lg, fold, loss in scored:
+        if fold == 0 or lg not in base:
+            continue
+        red = loss - base[lg]
+        a = agg.setdefault(src, [0, 0, 0])
+        a[0] += 1
+        if red > 0:
+            a[1] += 1
+            a[2] += red
+    got = {r["source"]: r for r in sample_rho_loss_selection(spark, sf_dir).collect()}
+    assert sorted(got) == sorted(agg)
+    for src, (n, sel, red_sum) in agg.items():
+        row = got[src]
+        assert row["n_train_docs"] == n
+        assert row["n_selected"] == sel
+        assert row["selected_share_micro"] == 1_000_000 * sel // n
+        expect_mean = red_sum // sel if sel else 0
+        assert row["mean_selected_reducible_micro"] == expect_mean
+    # the rule must actually select a strict, non-empty subset somewhere
+    assert any(r["n_selected"] > 0 for r in got.values())
+    assert any(r["n_selected"] < r["n_train_docs"] for r in got.values())
+
+
+def test_hits_bipartite_matches_python_iterations(spark, sf_dir):
+    from parquet_batch_spark.operators.corpus_ops import (
+        HITS_ITERS,
+        HITS_SCALE,
+        HITS_TOPK,
+        HITS_VOCAB,
+        graph_hits_bipartite,
+    )
+
+    rows = (
+        load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    )
+    doc_toks = {r["doc_id"]: set(r["text"].strip().split()) for r in rows}
+    df: Counter[str] = Counter()
+    for toks in doc_toks.values():
+        df.update(toks)
+    vocab = [
+        w for w, _ in sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:HITS_VOCAB]
+    ]
+    vset = set(vocab)
+    edges = [
+        (d, w) for d, toks in doc_toks.items() for w in toks if w in vset
+    ]
+    a = {w: HITS_SCALE for w in vocab}
+    for _ in range(HITS_ITERS):
+        h_raw: dict[int, int] = {}
+        for d, w in edges:
+            h_raw[d] = h_raw.get(d, 0) + a[w]
+        hm = max(h_raw.values())
+        h = {d: v * HITS_SCALE // hm for d, v in h_raw.items()}
+        a_raw: dict[str, int] = {}
+        for d, w in edges:
+            a_raw[w] = a_raw.get(w, 0) + h[d]
+        am = max(a_raw.values())
+        a = {w: v * HITS_SCALE // am for w, v in a_raw.items()}
+    expect = sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[:HITS_TOPK]
+    got = graph_hits_bipartite(spark, sf_dir).collect()
+    assert len(got) == len(expect)
+    for row, (w, score) in zip(got, expect):
+        assert row["token"] == w
+        assert row["authority_fp"] == score
+        assert row["df"] == df[w]
+    # max-normalization invariant: the top authority sits at SCALE
+    assert got[0]["authority_fp"] == HITS_SCALE
