@@ -259,6 +259,13 @@ HEADLINE = [
     "scan_schema_evolution",
     "sample_rho_loss_selection",
     "graph_hits_bipartite",
+    "agg_empirical_bayes_shrinkage",
+    "scan_dictionary_encoding_audit",
+    # window_holt_linear_trend is deliberately NOT in HEADLINE: the
+    # recursive-CTE fixpoint costs a FIXED ~7 s of per-iteration job
+    # scheduling (corpus-independent — same at 10× data), which would
+    # dominate the trend suite the way the streaming drains would.
+    # BENCH_FULL_r0N.json still times it every round.
 ]
 
 

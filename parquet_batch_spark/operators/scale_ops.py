@@ -632,7 +632,104 @@ ORDER BY layout
 """
 
 
+# -------------------------------------------- dictionary-encoding audit
+
+_DICT_COLS = ("doc_id", "n_chars", "lang", "source")
+# lang/source: dictionary is right; doc_id: dictionary DELIBERATELY forced
+# on a unique key — the misconfiguration the audit exists to flag
+_DICT_ON = ("lang", "source", "doc_id")
+DICT_NDV_RATIO_MAX = 100_000  # recommend dict when ndv/rows <= 10%
+_DICT_STAGED: set[str] = set()
+
+
+def scan_dictionary_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-encoding audit: per column, the exact NDV/row ratio
+    (the statistic that decides whether dictionary encoding pays) next
+    to what the parquet footer says the file ACTUALLY used — the
+    layout review that finds the classic 100 TB storage bug, a
+    high-cardinality column silently falling out of dictionary
+    encoding and bloating the table 5×.
+
+    Staging (once per process): the documents projection written via
+    pyarrow with dictionary encoding DELIBERATELY enabled only for
+    {lang, source} AND (deliberately, wrongly) the unique doc_id key —
+    so the footer truth is deterministic and the audit's agreement
+    column (``dict_used == dict_recommended``) exercises both the
+    agree and the flag-the-misconfiguration paths.  The NDV side is a distributed aggregate; the
+    footer side is a metadata-only read bounded by column count.
+
+    Output per column: rows, exact NDV, ndv_ratio_micro,
+    dict_recommended (ratio ≤ 10%), dict_used (footer), agreement.
+    """
+    import pyarrow.parquet as pq
+
+    stage_dir = _io_dir(sf_dir, "documents_dict_audit")
+    path = os.path.join(stage_dir, "part-0.parquet")
+    if path not in _DICT_STAGED:
+        tmp = os.path.join(stage_dir, "_spark_proj")
+        (
+            load(spark, sf_dir, "documents")
+            .select(*_DICT_COLS)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        os.makedirs(stage_dir, exist_ok=True)
+        pq.write_table(
+            pq.read_table(tmp),
+            path,
+            use_dictionary=list(_DICT_ON),
+        )
+        _DICT_STAGED.add(path)
+    md = pq.ParquetFile(path).metadata
+    used = {}
+    for j in range(md.num_columns):
+        name = md.schema.column(j).name
+        encs = set()
+        for i in range(md.num_row_groups):
+            encs.update(md.row_group(i).column(j).encodings)
+        used[name] = int(any("DICTIONARY" in e for e in encs))
+    back = spark.read.parquet(path)
+    ndv = back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.countDistinct(c).alias(f"ndv_{c}") for c in _DICT_COLS],
+    ).collect()[0]
+    rows = []
+    for c in _DICT_COLS:
+        n, d = int(ndv["n_rows"]), int(ndv[f"ndv_{c}"])
+        ratio = 1_000_000 * d // n
+        rec = int(ratio <= DICT_NDV_RATIO_MAX)
+        rows.append((c, n, d, ratio, rec, used[c], int(rec == used[c])))
+    return spark.createDataFrame(
+        rows,
+        "col_name string, n_rows long, ndv long, ndv_ratio_micro long,"
+        " dict_recommended int, dict_used int, agreement int",
+    ).orderBy("col_name")
+
+
+def _dict_audit_sql() -> str:
+    parts = []
+    for c in _DICT_COLS:
+        used = 1 if c in _DICT_ON else 0
+        parts.append(f"""SELECT '{c}' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv,
+       (1000000 * CAST(COUNT(DISTINCT {c}) AS BIGINT))
+           // CAST(COUNT(*) AS BIGINT) AS ndv_ratio_micro,
+       CAST(CASE WHEN (1000000 * CAST(COUNT(DISTINCT {c}) AS BIGINT))
+            // CAST(COUNT(*) AS BIGINT) <= {DICT_NDV_RATIO_MAX}
+            THEN 1 ELSE 0 END AS INTEGER) AS dict_recommended,
+       CAST({used} AS INTEGER) AS dict_used,
+       CAST(CASE WHEN (CASE WHEN (1000000 * CAST(COUNT(DISTINCT {c})
+            AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+            <= {DICT_NDV_RATIO_MAX} THEN 1 ELSE 0 END) = {used}
+            THEN 1 ELSE 0 END AS INTEGER) AS agreement
+FROM documents""")
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
 QUERIES = {
+    "scan_dictionary_encoding_audit": scan_dictionary_encoding_audit,
     "scan_partition_pruning_report": scan_partition_pruning_report,
     "sink_clustering_factor": sink_clustering_factor,
     "scan_rowgroup_stats": scan_rowgroup_stats,
@@ -643,6 +740,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "scan_dictionary_encoding_audit": _dict_audit_sql(),
     "scan_partition_pruning_report": _prune_report_sql(),
     "sink_clustering_factor": _clustering_factor_sql(),
     "scan_rowgroup_stats": _RG_SQL,

@@ -452,6 +452,8 @@ def test_global_windows_only_over_reduced_tables(spark, sf_smoke):
         # r6: normalization windows over the |domains|-row weight table
         # and the <=3-row cartography region table
         "sample_doremi_proxy_weights", "sample_dataset_cartography",
+        # r6: month-index row_number over the <=|months| reduced series
+        "window_holt_linear_trend",
         "agg_split_gain_gini", "window_realized_volatility",
         "window_seasonal_decompose", "agg_spearman_rho", "agg_hist2d_joint",
         "sample_ab_assignment_srm", "agg_chi_square_independence",

@@ -522,3 +522,96 @@ def test_hits_bipartite_matches_python_iterations(spark, sf_dir):
         assert row["df"] == df[w]
     # max-normalization invariant: the top authority sits at SCALE
     assert got[0]["authority_fp"] == HITS_SCALE
+
+
+def test_holt_linear_trend_matches_python_recurrence(spark, sf_dir):
+    from parquet_batch_spark.operators.stats_ops import (
+        HOLT_FORECAST_H,
+        window_holt_linear_trend,
+    )
+
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .select(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("mk"),
+            F.floor("o_totalprice").cast("long").alias("yd"),
+        )
+        .groupBy("mk")
+        .agg(F.sum("yd").alias("x"))
+        .collect()
+    )
+    series = sorted((r["mk"], r["x"]) for r in monthly)
+    l = series[0][1]
+    b = 0
+    expect = [(1, series[0][0], series[0][1], l, b, 0)]
+    for t, (mk, x) in enumerate(series[1:], start=2):
+        e = x - (l + b)
+        l_new = _trunc_div(x + 3 * (l + b), 4)
+        b = _trunc_div(l_new - l + 3 * b, 4)
+        l = l_new
+        expect.append((t, mk, x, l, b, e))
+    got = window_holt_linear_trend(spark, sf_dir).collect()
+    assert len(got) == len(expect)
+    for row, (t, mk, x, l_, b_, e_) in zip(got, expect):
+        assert row["month_idx"] == t
+        assert row["month_key"] == mk
+        assert row["revenue"] == x
+        assert row["level"] == l_, (t, row["level"], l_)
+        assert row["trend"] == b_
+        assert row["fit_error"] == e_
+        assert row[f"forecast_h{HOLT_FORECAST_H}"] == l_ + HOLT_FORECAST_H * b_
+
+
+def test_empirical_bayes_shrinks_toward_prior(spark, sf_dir):
+    from parquet_batch_spark.operators.stats_ops import (
+        EB_M_CAP,
+        agg_empirical_bayes_shrinkage,
+    )
+
+    rows = agg_empirical_bayes_shrinkage(spark, sf_dir).collect()
+    assert len(rows) == 25
+    pbar = rows[0]["pbar_micro"]
+    m = rows[0]["prior_strength_m"]
+    assert 0 <= m <= EB_M_CAP
+    for r in rows:
+        assert r["pbar_micro"] == pbar and r["prior_strength_m"] == m
+        assert r["raw_rate_micro"] == 1_000_000 * r["n_fulfilled"] // r["n_orders"]
+        expect = (1_000_000 * r["n_fulfilled"] + m * pbar) // (
+            r["n_orders"] + m
+        )
+        assert r["shrunk_rate_micro"] == expect
+        # shrinkage: the posterior rate sits between raw and prior
+        lo, hi = sorted((r["raw_rate_micro"], pbar))
+        assert lo - 1 <= r["shrunk_rate_micro"] <= hi + 1
+    # the estimated prior strength must actually shrink SOMETHING
+    assert any(r["shrunk_rate_micro"] != r["raw_rate_micro"] for r in rows)
+
+
+def test_dictionary_audit_footer_matches_construction(spark, sf_dir):
+    from parquet_batch_spark.operators.scale_ops import (
+        _DICT_COLS,
+        _DICT_ON,
+        DICT_NDV_RATIO_MAX,
+        scan_dictionary_encoding_audit,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    n = d.count()
+    got = {r["col_name"]: r for r in scan_dictionary_encoding_audit(spark, sf_dir).collect()}
+    assert sorted(got) == sorted(_DICT_COLS)
+    for c in _DICT_COLS:
+        row = got[c]
+        ndv = d.select(c).distinct().count()
+        assert row["n_rows"] == n
+        assert row["ndv"] == ndv
+        assert row["ndv_ratio_micro"] == 1_000_000 * ndv // n
+        assert row["dict_used"] == (1 if c in _DICT_ON else 0)
+        assert row["dict_recommended"] == (
+            1 if 1_000_000 * ndv // n <= DICT_NDV_RATIO_MAX else 0
+        )
+        assert row["agreement"] == int(row["dict_used"] == row["dict_recommended"])
+    # the audit must exercise BOTH paths: an agree and a disagree row
+    assert any(r["agreement"] == 0 for r in got.values())
+    assert any(r["agreement"] == 1 for r in got.values())
