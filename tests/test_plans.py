@@ -555,3 +555,46 @@ def test_neighborhood_jaccard_no_cartesian(spark, sf_smoke):
     plan = executed_plan(graph_neighborhood_jaccard(spark, sf_smoke))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_r6_ops_have_scale_safe_plans(spark, sf_dir):
+    """Physical-plan guards for the r6 additions: no cartesian blowup
+    anywhere; the map-side-only ops really have no join; the
+    broadcast-baseline joins really broadcast; top-k really plans as
+    TakeOrdered (no global sort)."""
+    from parquet_batch_spark.operators.llm_prep import (
+        sample_dataset_cartography,
+        sample_doremi_proxy_weights,
+        sample_rho_loss_selection,
+        seq_curriculum_order,
+    )
+    from parquet_batch_spark.operators.stats_ops import (
+        agg_empirical_bayes_shrinkage,
+        window_page_hinkley_drift,
+    )
+    from parquet_batch_spark.operators.text_analysis import (
+        quality_wimbd_top_ngrams,
+    )
+
+    for fn in (
+        sample_doremi_proxy_weights,
+        sample_rho_loss_selection,
+        seq_curriculum_order,
+        sample_dataset_cartography,
+        window_page_hinkley_drift,
+        agg_empirical_bayes_shrinkage,
+        quality_wimbd_top_ngrams,
+    ):
+        plan = executed_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{fn.__name__}: cartesian!"
+    # epoch terms are inline map-side expressions; the PH recurrence is
+    # pure windows — neither op may plan ANY join
+    for fn in (sample_dataset_cartography, window_page_hinkley_drift):
+        plan = executed_plan(fn(spark, sf_dir))
+        assert "Join" not in plan, f"{fn.__name__} grew a join: {plan[:1500]}"
+    # the per-lang holdout baseline is a broadcast equi-join
+    plan = executed_plan(sample_rho_loss_selection(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    # WIMBD top-k must be TakeOrdered, never a global sort of the grams
+    plan = executed_plan(quality_wimbd_top_ngrams(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
