@@ -261,6 +261,8 @@ HEADLINE = [
     "graph_hits_bipartite",
     "agg_empirical_bayes_shrinkage",
     "scan_dictionary_encoding_audit",
+    "sample_facility_location",
+    "etl_snapshot_diff_audit",
     # window_holt_linear_trend is deliberately NOT in HEADLINE: the
     # recursive-CTE fixpoint costs a FIXED ~7 s of per-iteration job
     # scheduling (corpus-independent — same at 10× data), which would

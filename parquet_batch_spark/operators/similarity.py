@@ -1879,6 +1879,174 @@ ORDER BY m
 """
 
 
+# ------------------------------------- submodular facility location
+
+FL_ROUNDS = 4       # exemplars selected
+FL_CANDS = 4        # stochastic-greedy candidate pool per round
+
+
+def _fl_hash_order(ids: list[int], rnd: int) -> list[int]:
+    """Deterministic per-round candidate order: vec_ids by portable
+    md5 hash of 'fl{round}:{vec_id}', id-tiebroken.  The caller
+    excludes already-selected ids BEFORE taking the top FL_CANDS —
+    identical to the oracle's WHERE-then-LIMIT."""
+    import hashlib
+
+    return sorted(
+        ids,
+        key=lambda i: (
+            int(hashlib.md5(f"fl{rnd}:{i}".encode()).hexdigest()[:8], 16),
+            i,
+        ),
+    )
+
+
+def sample_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Submodular facility-location data selection (stochastic greedy,
+    Mirzasoleiman et al. 2015): pick exemplars maximizing
+    Σ_v max_{s∈S} sim(v, s) — REPRESENTATIVENESS, the complementary
+    objective to ``sample_coreset_kcenter``'s max-spread (k-center
+    grabs outliers; facility location grabs the modes — the usual
+    choice when pruning a 100 TB corpus down to what to actually
+    train on).
+
+    Exact greedy is O(N²)/round (every candidate needs a corpus sum),
+    so each round scores a deterministic 4-candidate pool
+    (portable-hash draw — the stochastic-greedy trick that keeps
+    (1−1/e−ε) guarantees): ONE corpus pass per round computes all
+    candidate gains Σ_v max(0, sim_c(v) − cov(v)) as plan-literal JVM
+    folds, sims floor-quantized to micro per ROW before the integer
+    sums (order-insensitive, bit-exact).  Only the argmax returns to
+    the driver.  Output per round: selected id, marginal gain, total
+    coverage after.
+
+    Scale: K corpus passes, driver state = K×dim doubles + the
+    candidate pool ids; no join, no broadcast state, no N² anywhere.
+    """
+    em = fan_out(load(spark, sf_dir, "embeddings"), spark)
+    base = em.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).persist()
+    all_ids = [int(r["vec_id"]) for r in base.select("vec_id").collect()]
+
+    def dot_micro(cv: list[float]):
+        return F.floor(
+            1_000_000.0
+            * F.aggregate(
+                F.zip_with(
+                    "v",
+                    F.array(*[F.lit(float(x)) for x in cv]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).cast("long")
+
+    selected: list[tuple[int, list[float]]] = []
+    out_rows = []
+    coverage = 0
+    vecs = {}  # candidate id -> vector, fetched per round (bounded)
+    for rnd in range(FL_ROUNDS):
+        chosen_ids = {s for s, _ in selected}
+        cands = [
+            c for c in _fl_hash_order(all_ids, rnd) if c not in chosen_ids
+        ][:FL_CANDS]
+        need = [c for c in cands if c not in vecs]
+        if need:
+            for r in base.filter(F.col("vec_id").isin(need)).collect():
+                vecs[int(r["vec_id"])] = [float(x) for x in r["v"]]
+        cov = (
+            F.greatest(*[dot_micro(v) for _s, v in selected], F.lit(0).cast("long"))
+            if selected
+            else F.lit(0).cast("long")
+        )
+        gains = base.select(
+            *[
+                F.greatest(
+                    dot_micro(vecs[c]) - cov, F.lit(0).cast("long")
+                ).alias(f"g{j}")
+                for j, c in enumerate(cands)
+            ]
+        ).agg(*[F.sum(f"g{j}").alias(f"g{j}") for j in range(len(cands))])
+        row = gains.collect()[0]
+        best_j = max(
+            range(len(cands)), key=lambda j: (int(row[f"g{j}"]), -cands[j])
+        )
+        gain = int(row[f"g{best_j}"])
+        chosen = cands[best_j]
+        selected.append((chosen, vecs[chosen]))
+        coverage += gain
+        out_rows.append((rnd, chosen, gain, coverage))
+    base.unpersist()
+    return spark.createDataFrame(
+        out_rows,
+        "round int, selected_id long, gain_micro long, coverage_micro long",
+    ).orderBy("round")
+
+
+def _fl_sql() -> str:
+    hashed = (
+        "SELECT vec_id, v, CAST(('0x' || substr(md5('fl{r}:' ||"
+        " CAST(vec_id AS VARCHAR)), 1, 8)) AS UBIGINT)::BIGINT AS hk"
+        " FROM nv"
+    )
+    dot = (
+        "CAST(FLOOR(1000000.0 * list_sum(list_transform("
+        "range(1, {dim} + 1), i -> nv.v[i] * {c}.v[i]))) AS BIGINT)"
+    )
+    ctes = [
+        "nv AS MATERIALIZED (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings)",
+    ]
+    sel_tables: list[str] = []
+    finals = []
+    for r in range(FL_ROUNDS):
+        pool = f"SELECT vec_id, v FROM ({hashed.format(r=r)}) h"
+        if sel_tables:
+            excl = " AND ".join(
+                f"h.vec_id <> (SELECT sid FROM {s})" for s in sel_tables
+            )
+            pool += f" WHERE {excl}"
+        pool += f" ORDER BY hk, vec_id LIMIT {FL_CANDS}"
+        ctes.append(f"pool{r} AS MATERIALIZED ({pool})")
+        cov = (
+            "GREATEST("
+            + ", ".join(
+                [dot.format(dim=GM_DIMS, c=f"s{j}") for j in range(len(sel_tables))]
+                + ["CAST(0 AS BIGINT)"]
+            )
+            + ")"
+        )
+        sel_join = "".join(
+            f" CROSS JOIN {s} s{j}" for j, s in enumerate(sel_tables)
+        )
+        ctes.append(
+            f"""gain{r} AS MATERIALIZED (
+    SELECT c.vec_id AS sid, c.v AS v,
+        CAST(SUM(GREATEST({dot.format(dim=GM_DIMS, c="c")} - {cov},
+             CAST(0 AS BIGINT))) AS BIGINT) AS g
+    FROM pool{r} c CROSS JOIN nv{sel_join}
+    GROUP BY c.vec_id, c.v
+    ORDER BY g DESC, sid ASC LIMIT 1
+)"""
+        )
+        sel_tables.append(f"gain{r}")
+        run = " + ".join(f"(SELECT g FROM gain{j})" for j in range(r + 1))
+        finals.append(
+            f"SELECT {r} AS round, (SELECT sid FROM gain{r}) AS selected_id,"
+            f" (SELECT g FROM gain{r}) AS gain_micro,"
+            f" CAST({run} AS BIGINT) AS coverage_micro"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + " UNION ALL ".join(finals)
+        + " ORDER BY round"
+    )
+
+
 # ------------------------------------------------ geometric median
 
 GM_DIMS = 64
@@ -2012,6 +2180,7 @@ ORDER BY dim
 
 
 QUERIES = {
+    "sample_facility_location": sample_facility_location,
     "embedding_geometric_median": embedding_geometric_median,
     "embedding_pq_distortion": embedding_pq_distortion,
     "ml_kmeans_lloyd": ml_kmeans_lloyd,
@@ -2031,6 +2200,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sample_facility_location": _fl_sql(),
     "embedding_geometric_median": _gm_sql(),
     "embedding_pq_distortion": _PQ_DISTORTION_SQL,
     "ml_kmeans_lloyd": _kmeans_sql(),

@@ -1465,6 +1465,108 @@ ORDER BY fk_edge
 """
 
 
+# -------------------------------------------- snapshot diff / reconciliation
+
+DIFF_DROP_A = 3   # keys % 10 == this are absent from snapshot A
+DIFF_DROP_B = 7   # keys % 10 == this are absent from snapshot B
+DIFF_CHANGE = 5   # keys % this get a value bump in snapshot B
+
+
+def etl_snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (dbt audit-helper / Datafold-style table
+    diff): given two snapshots of the same keyed table, classify every
+    key as added / removed / changed / unchanged and report counts
+    plus the exact value delta per class — the audit a migration,
+    backfill, or CDC pipeline runs before swapping a 100 TB table.
+
+    The two snapshots derive deterministically from orders (A drops
+    keys ≡3, B drops keys ≡7 mod 10 and bumps
+    every 5th key's price by one cent), so all four diff
+    classes are populated and the oracle reproduces the construction.
+    The diff itself — the operator under test — is ONE full outer
+    hash join on the key with cent-exact value comparison, then a
+    4-row classification aggregate.
+
+    Scale: the join shuffles both snapshots once on the key (the
+    minimum possible for an exact diff); counts and deltas are exact
+    integer cents, so partial aggregation is order-insensitive.  A
+    z-ordered / bucketed layout would make the join co-located.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    snap_a = o.filter(F.col("o_orderkey") % 10 != DIFF_DROP_A).select(
+        F.col("o_orderkey").alias("key"), F.col("cents").alias("val_a")
+    )
+    snap_b = (
+        o.filter(F.col("o_orderkey") % 10 != DIFF_DROP_B)
+        .select(
+            F.col("o_orderkey").alias("key"),
+            (
+                F.col("cents")
+                + F.when(F.col("o_orderkey") % DIFF_CHANGE == 0, 1).otherwise(0)
+            ).alias("val_b"),
+        )
+    )
+    diff = snap_a.join(snap_b, "key", "full_outer").select(
+        "key",
+        "val_a",
+        "val_b",
+        F.when(F.col("val_a").isNull(), F.lit("added"))
+        .when(F.col("val_b").isNull(), F.lit("removed"))
+        .when(F.col("val_a") != F.col("val_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+    return (
+        diff.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.coalesce(F.col("val_b"), F.lit(0))).alias("_vb"),
+            F.sum(F.coalesce(F.col("val_a"), F.lit(0))).alias("_va"),
+        )
+        .select(
+            "status",
+            "n_keys",
+            (F.col("_vb") - F.col("_va")).cast("long").alias("delta_cents"),
+        )
+        .orderBy("status")
+    )
+
+
+_DIFF_SQL = f"""
+WITH o AS (
+    SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+),
+snap_a AS (
+    SELECT o_orderkey AS key, cents AS val_a FROM o
+    WHERE o_orderkey % 10 <> {DIFF_DROP_A}
+),
+snap_b AS (
+    SELECT o_orderkey AS key,
+           cents + CASE WHEN o_orderkey % {DIFF_CHANGE} = 0
+                   THEN 1 ELSE 0 END AS val_b
+    FROM o WHERE o_orderkey % 10 <> {DIFF_DROP_B}
+),
+diff AS (
+    SELECT COALESCE(a.key, b.key) AS key, a.val_a, b.val_b,
+        CASE WHEN a.val_a IS NULL THEN 'added'
+             WHEN b.val_b IS NULL THEN 'removed'
+             WHEN a.val_a <> b.val_b THEN 'changed'
+             ELSE 'unchanged' END AS status
+    FROM snap_a a FULL OUTER JOIN snap_b b ON a.key = b.key
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(COALESCE(val_b, 0)) - SUM(COALESCE(val_a, 0)) AS BIGINT)
+           AS delta_cents
+FROM diff
+GROUP BY status
+ORDER BY status
+"""
+
+
 # -------------------------------------------- ANALYZE / CBO statistics
 
 _ANALYZE_COLS = ("n_nationkey", "n_name", "n_regionkey")
@@ -1535,6 +1637,7 @@ FROM nation"""
 
 
 QUERIES = {
+    "etl_snapshot_diff_audit": etl_snapshot_diff_audit,
     "etl_analyze_table_stats": etl_analyze_table_stats,
     "etl_foreign_key_audit": etl_foreign_key_audit,
     "etl_late_arriving_dimension": etl_late_arriving_dimension,
@@ -1555,6 +1658,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "etl_snapshot_diff_audit": _DIFF_SQL,
     "etl_analyze_table_stats": _analyze_sql(),
     "etl_foreign_key_audit": _FK_AUDIT_SQL,
     "etl_late_arriving_dimension": _LATE_DIM_SQL,

@@ -615,3 +615,79 @@ def test_dictionary_audit_footer_matches_construction(spark, sf_dir):
     # the audit must exercise BOTH paths: an agree and a disagree row
     assert any(r["agreement"] == 0 for r in got.values())
     assert any(r["agreement"] == 1 for r in got.values())
+
+
+def test_facility_location_matches_python_greedy(spark, sf_dir):
+    from parquet_batch_spark.operators.similarity import (
+        FL_CANDS,
+        FL_ROUNDS,
+        _fl_hash_order,
+        sample_facility_location,
+    )
+
+    rows = (
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    )
+    vec = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
+    ids = sorted(vec)
+
+    def dot_micro(a, b):
+        return math.floor(1e6 * sum(x * y for x, y in zip(a, b)))
+
+    selected = []
+    coverage = 0
+    expect = []
+    for rnd in range(FL_ROUNDS):
+        cands = [c for c in _fl_hash_order(ids, rnd) if c not in {s for s, _ in selected}][:FL_CANDS]
+        best = None
+        for c in cands:
+            g = 0
+            for i in ids:
+                sim = dot_micro(vec[i], vec[c])
+                cov = max(
+                    [dot_micro(vec[i], sv) for _s, sv in selected] + [0]
+                )
+                g += max(sim - cov, 0)
+            if best is None or (g, -c) > (best[0], -best[1]):
+                best = (g, c)
+        selected.append((best[1], vec[best[1]]))
+        coverage += best[0]
+        expect.append((rnd, best[1], best[0], coverage))
+    got = sample_facility_location(spark, sf_dir).collect()
+    assert [(r["round"], r["selected_id"], r["gain_micro"], r["coverage_micro"]) for r in got] == expect
+    # submodularity: marginal gains are non-increasing
+    gains = [r["gain_micro"] for r in got]
+    assert all(gains[i] >= gains[i + 1] for i in range(len(gains) - 1))
+
+
+def test_snapshot_diff_accounts_every_key(spark, sf_dir):
+    from parquet_batch_spark.operators.warehouse import (
+        DIFF_CHANGE,
+        DIFF_DROP_A,
+        DIFF_DROP_B,
+        etl_snapshot_diff_audit,
+    )
+
+    keys = [
+        int(r["o_orderkey"])
+        for r in load(spark, sf_dir, "orders").select("o_orderkey").collect()
+    ]
+    expect = Counter()
+    for k in keys:
+        in_a = k % 10 != DIFF_DROP_A
+        in_b = k % 10 != DIFF_DROP_B
+        if in_a and in_b:
+            expect["changed" if k % DIFF_CHANGE == 0 else "unchanged"] += 1
+        elif in_b:
+            expect["added"] += 1
+        elif in_a:
+            expect["removed"] += 1
+    got = {r["status"]: r for r in etl_snapshot_diff_audit(spark, sf_dir).collect()}
+    assert sorted(got) == sorted(expect)
+    for status, n in expect.items():
+        assert got[status]["n_keys"] == n
+    # every changed key contributes exactly +1 cent; unchanged nets 0
+    assert got["changed"]["delta_cents"] == expect["changed"]
+    assert got["unchanged"]["delta_cents"] == 0
+    assert got["added"]["delta_cents"] > 0
+    assert got["removed"]["delta_cents"] < 0
