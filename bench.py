@@ -263,6 +263,8 @@ HEADLINE = [
     "scan_dictionary_encoding_audit",
     "sample_facility_location",
     "etl_snapshot_diff_audit",
+    # r7 addition (the one new op this round — VERDICT r6 #4)
+    "table_stats_profile_approx",
     # window_holt_linear_trend is deliberately NOT in HEADLINE: the
     # recursive-CTE fixpoint costs a FIXED ~7 s of per-iteration job
     # scheduling (corpus-independent — same at 10× data), which would

@@ -106,23 +106,39 @@ def fan_out(df: DataFrame, spark: SparkSession, *cols: str) -> DataFrame:
     except Exception:
         files = []
     est = len(files)
-    if est and est < target:
-        # Few files can still mean many splits: parquet is splittable at
-        # spark.sql.files.maxPartitionBytes (128 MiB default).  Refine the
-        # estimate for stat-able local paths; remote URIs keep the file
-        # count (a 100 TB table has >> cores files anyway).
+    if files:
+        # File count alone mis-estimates in BOTH directions: one big
+        # file arrives as many 128 MiB splits, and many SMALL files are
+        # bin-packed into far fewer partitions (maxPartitionBytes +
+        # openCostInBytes), so `len(files) >= target` can still mean an
+        # under-parallelized scan.  For stat-able local paths reproduce
+        # Spark's own packing arithmetic (FilePartition.maxSplitBytes):
+        # split = min(maxPartitionBytes, max(openCost, bytes/core)),
+        # partitions ~= ceil(total_with_open_cost / split).  Remote
+        # URIs keep the file count (a 100 TB table has >> cores files
+        # anyway, and at that scale this helper is a no-op).
         try:
             import math
             import os
             from urllib.parse import urlparse
 
+            sizes = []
             for uri in files:
                 parsed = urlparse(uri)
-                if parsed.scheme in ("file", ""):
-                    size = os.path.getsize(parsed.path)
-                    est += max(0, math.ceil(size / (128 << 20)) - 1)
+                if parsed.scheme not in ("file", ""):
+                    raise OSError(uri)  # remote: fall back to count
+                sizes.append(os.path.getsize(parsed.path))
+            open_cost = 4 << 20
+            total = sum(sizes) + open_cost * len(sizes)
+            split = min(128 << 20, max(open_cost, total // max(target, 1)))
+            est = max(1, math.ceil(total / split))
         except OSError:
             pass
+    # est == 0 (non-file-backed plan): partition count is unknowable
+    # without materializing the RDD (banned — .rdd conversion costs a
+    # full analysis pass).  Callers only hand this helper raw scans or
+    # small driver-created frames, so the unconditional spread is the
+    # safe default there.
     if est >= target:
         return df
     return df.repartition(target, *cols) if cols else df.repartition(target)

@@ -50,64 +50,81 @@ from pyspark.sql import DataFrame, SparkSession
 #     a 50-slot window the never-checked count floors at 225-50=175
 #     plus any r6-new ops; sub-160 needs two more registry-frozen
 #     rounds.
-#   r7 plan: next 50 of this list (stats_ops spill + text_analysis
-#     head).  r8: llm_prep + module-order tail.
-#   r9+: driver-checked entries, stalest round first (r1 block leads).
+#   r7 window (this ordering): 3 changed ops + 1 new op lead, then
+#     never-checked llm_prep/text_analysis/similarity (VERDICT r6 #1:
+#     the least-certified north-star families).  50/50 first-time;
+#     never-checked drops 195 -> 145 (incl. the one r7-new op).
+#   r8 plan: next 50 of this list (3 similarity leftovers +
+#     never-checked stats_ops + module-order head).  r9: the tail.
+#   r10+: driver-checked entries, stalest round first (r1 block leads).
 _PRIORITY = [
-    # --- r6 window (slots 1-50): the six never-driver-checked
-    #     streaming patterns (VERDICT r5 #7) + 44 never-checked
-    #     stats_ops (VERDICT r5 #1: never-checked-first) ---
-    "streaming_update_mode_counts",
-    "streaming_windowed_topk",
-    "streaming_python_source",
-    "streaming_state_store_read",
-    "streaming_state_metadata_source",
-    "streaming_transform_with_state",
-    # --- remaining never-checked stats_ops (74 total) ---
-    "window_runs_test",
-    "agg_split_gain_gini",
-    "text_char_entropy",
-    "window_bounce_rate",
-    "approx_hll_precision_sweep",
-    "quality_cross_field_consistency",
-    "ml_rule_eval_f1",
-    "agg_lognormal_fit",
-    "rollup_iso_week",
-    "window_realized_volatility",
-    "agg_kendall_tau",
-    "window_seasonal_decompose",
-    "agg_spearman_rho",
-    "agg_hist2d_joint",
-    "agg_cohort_ltv_curve",
-    "window_cusum_changepoint",
-    "agg_pivot_multi",
-    "sample_ab_assignment_srm",
-    "agg_chi_square_independence",
-    "ml_ols_multivar",
-    "text_pmi_cooccurrence",
-    "sample_bootstrap_means",
-    "agg_expected_calibration_error",
-    "ml_naive_bayes_langid",
-    "agg_ratio_delta_ci",
-    "agg_shapley_attribution",
-    "rollup_sax_symbols",
-    "text_word_burstiness",
-    "agg_mann_kendall_trend",
-    "ml_bradley_terry_ranking",
-    "agg_cohen_kappa",
-    "ml_auc_roc",
-    "agg_mcnemar_test",
-    "ml_lift_curve",
-    "agg_kruskal_wallis",
-    "ml_average_precision",
-    "agg_theil_index",
-    "agg_benjamini_hochberg",
-    "window_hurst_exponent",
-    "agg_levene_test",
-    "agg_cochran_armitage",
-    "quality_krippendorff_alpha",
-    "ml_reciprocal_rank_fusion",
-    "ml_score_separation_report",
+    # --- r7 window (slots 1-50, all first-time): slots 1-3 = the ops
+    #     CHANGED this round (MCC overflow fix, facility-location
+    #     distributed candidate draw, geometric-median decimal cast),
+    #     slot 4 = the one r7-new op (VERDICT r6 #4), slots 5-50 =
+    #     never-checked llm_prep (20) + text_analysis (19) +
+    #     similarity (7) — the three least-certified north-star
+    #     families (VERDICT r6 #1) ---
+    "ml_mcc_balanced_accuracy",
+    "sample_facility_location",
+    "embedding_geometric_median",
+    "table_stats_profile_approx",
+    "sample_doremi_proxy_weights",
+    "seq_curriculum_order",
+    "sample_dataset_cartography",
+    "sample_rho_loss_selection",
+    "sample_negative_sampling",
+    "sample_epoch_plan",
+    "text_dsir_importance",
+    "sample_weighted_without_replacement",
+    "seq_shard_manifest",
+    "sample_balanced_labels",
+    "sample_temperature_mixture",
+    "graph_degree_histogram",
+    "seq_pack_chunks",
+    "sample_mix_domains",
+    "dedup_paragraph",
+    "dedup_incremental_novelty",
+    "embedding_quantize_int8",
+    "text_rarity_score",
+    "window_ewma_decay",
+    "curation_pipeline_funnel",
+    "quality_wimbd_top_ngrams",
+    "text_rake_keywords",
+    "text_textrank_keywords",
+    "text_yule_k",
+    "text_chao1_vocabulary",
+    "text_good_turing_mass",
+    "text_burrows_delta",
+    "text_bm25_topk",
+    "text_langid_ngram_profile",
+    "quality_ndcg_ranking_eval",
+    "text_winnowing_fingerprints",
+    "text_lexical_diversity",
+    "text_tokenizer_fertility",
+    "text_vocab_growth",
+    "text_watermark_greenlist",
+    "quality_perplexity_buckets",
+    "text_kneser_ney_score",
+    "quality_langid_confusion",
+    "text_bigram_surprisal",
+    "embedding_pq_distortion",
+    "ml_kmeans_lloyd",
+    "embedding_random_projection_jl",
+    "ann_pq_adc",
+    "ann_ivfpq_topk",
+    "ann_recall_eval",
+    "dedup_semantic_cluster",
+    # --- behind the window (r8 pre-stage): the 3 leftover
+    #     never-checked similarity, then never-checked stats_ops,
+    #     then the remaining never-checked in module order ---
+    "embedding_matryoshka_eval",
+    "sample_coreset_kcenter",
+    "embedding_kmeans_rollup",
+    "ml_isotonic_calibration",
+    "window_page_hinkley_drift",
+    "window_holt_linear_trend",
+    "agg_empirical_bayes_shrinkage",
     "window_haar_wavelet_energy",
     "agg_lorenz_curve",
     "agg_icc_design_effect",
@@ -138,87 +155,10 @@ _PRIORITY = [
     "window_average_true_range",
     "agg_tukey_hsd",
     "agg_cuped_variance_reduction",
-    # --- never-checked text_analysis (18) ---
-    "text_watermark_greenlist",
-    "quality_perplexity_buckets",
-    "text_kneser_ney_score",
-    "text_tokenizer_fertility",
-    "text_lexical_diversity",
-    "text_bm25_topk",
-    "text_winnowing_fingerprints",
-    "text_langid_ngram_profile",
-    "quality_ndcg_ranking_eval",
-    "text_vocab_growth",
-    "quality_langid_confusion",
-    "text_bigram_surprisal",
-    "text_rake_keywords",
-    "text_textrank_keywords",
-    "text_yule_k",
-    "text_chao1_vocabulary",
-    "text_good_turing_mass",
-    "text_burrows_delta",
-    # --- never-checked llm_prep (16) ---
-    "sample_epoch_plan",
-    "text_dsir_importance",
-    "sample_weighted_without_replacement",
-    "sample_negative_sampling",
-    "seq_shard_manifest",
-    "sample_balanced_labels",
-    "sample_temperature_mixture",
-    "graph_degree_histogram",
-    "seq_pack_chunks",
-    "sample_mix_domains",
-    "dedup_paragraph",
-    "dedup_incremental_novelty",
-    "embedding_quantize_int8",
-    "text_rarity_score",
-    "window_ewma_decay",
-    "curation_pipeline_funnel",
-    # --- remaining never-checked, module order (111) ---
-    "dedup_exact_substring",
-    "dedup_semantic_cluster",
-    "ann_recall_eval",
-    "quality_model_score",
-    "multimodal_audio_energy",
-    "embedding_matryoshka_eval",
-    "multimodal_video_frame_diff",
-    "sample_coreset_kcenter",
-    "sql_pipe_syntax",
-    "sql_session_variables",
-    "udf_apply_in_arrow",
-    "source_xml_roundtrip",
-    "decontam_bloom_filter",
-    "dedup_cdc_chunking",
-    "ann_pq_adc",
-    "sql_udf_create_function",
-    "privacy_k_anonymity",
-    "ann_ivfpq_topk",
-    "graph_adamic_adar",
-    "rollup_downsample_ltob",
-    "multimodal_webdataset_index",
-    "graph_kcore",
-    "privacy_l_diversity",
-    "multimodal_aspect_bucket",
-    "etl_time_travel",
-    "agg_hodges_lehmann",
-    "graph_neighborhood_jaccard",
-    "multimodal_caption_alignment",
-    "scan_rowgroup_stats",
-    "privacy_randomized_response",
-    "sample_pps_systematic",
-    "udf_pandas_scalar_iter",
-    "dedup_threshold_sweep",
-    "embedding_pq_distortion",
-    "window_allen_interval_relations",
-    "quality_luhn_validation",
-    "dedup_sorted_neighborhood",
-    "etl_data_vault_keys",
-    "embedding_random_projection_jl",
-    "etl_write_audit_publish",
-    "func_geohash_encode",
-    "multimodal_patch_token_budget",
-    "ml_kmeans_lloyd",
     "scan_observed_metrics",
+    "scan_schema_evolution",
+    "source_text_lines",
+    "source_xml_roundtrip",
     "source_jsonl_corrupt_tolerant",
     "sink_retention_prune",
     "source_multiformat_union",
@@ -226,6 +166,9 @@ _PRIORITY = [
     "sink_dynamic_partition_overwrite",
     "scan_ignore_corrupt",
     "sink_compression_codecs",
+    "sql_pipe_syntax",
+    "sql_udf_create_function",
+    "sql_session_variables",
     "agg_basket_pairs",
     "agg_abc_classification",
     "agg_new_vs_returning",
@@ -243,15 +186,22 @@ _PRIORITY = [
     "join_null_safe",
     "join_asof_tolerance",
     "join_bloom_prefilter",
+    "window_allen_interval_relations",
     "window_bollinger_breaches",
     "window_streak_islands",
     "window_nth_value",
     "window_percent_change",
     "window_running_distinct",
     "window_rolling_median",
+    "agg_hodges_lehmann",
+    "rollup_downsample_ltob",
     "agg_benford_profile",
     "explode_positional_tokens",
     "agg_moments_exact",
+    "sql_execute_immediate",
+    "sql_table_function",
+    "sql_identifier_clause",
+    "func_geohash_encode",
     "func_csv_struct",
     "sql_named_params",
     "func_struct_field_ops",
@@ -260,32 +210,59 @@ _PRIORITY = [
     "func_try_arith",
     "func_url",
     "func_bitwise",
+    "udf_pandas_scalar_iter",
+    "udf_apply_in_arrow",
     "udf_arrow_scalar",
+    "dedup_fellegi_sunter_weights",
+    "dedup_minhash_b_bit",
+    "dedup_prefix_cluster",
+    "dedup_threshold_sweep",
+    "dedup_sorted_neighborhood",
+    "dedup_cdc_chunking",
     "dedup_cluster_representative",
-    "embedding_kmeans_rollup",
+    "dedup_exact_substring",
+    "multimodal_interleaved_budget",
+    "multimodal_caption_alignment",
+    "multimodal_patch_token_budget",
+    "multimodal_aspect_bucket",
+    "multimodal_webdataset_index",
+    "multimodal_audio_energy",
+    "multimodal_video_frame_diff",
     "multimodal_content_sniff",
     "multimodal_payload_chunks",
     "multimodal_dedup_phash",
-    "sample_reservoir_per_group",
-    "etl_snapshot_diff",
-    "etl_cdc_apply",
-    "dedup_cross_source_matrix",
-    "source_text_lines",
-    "sql_execute_immediate",
-    "sql_table_function",
-    "sql_identifier_clause",
-    "dedup_fellegi_sunter_weights",
-    "dedup_prefix_cluster",
-    "multimodal_interleaved_budget",
+    "quality_model_score",
     "privacy_dp_laplace_counts",
     "sample_horvitz_thompson",
+    "privacy_l_diversity",
+    "privacy_randomized_response",
+    "sample_pps_systematic",
+    "quality_luhn_validation",
+    "decontam_bloom_filter",
+    "privacy_k_anonymity",
+    "sample_reservoir_per_group",
+    "quality_nullity_patterns",
+    "etl_snapshot_diff_audit",
+    "etl_analyze_table_stats",
     "etl_foreign_key_audit",
     "etl_late_arriving_dimension",
+    "etl_time_travel",
+    "etl_data_vault_keys",
+    "etl_write_audit_publish",
+    "etl_snapshot_diff",
+    "etl_cdc_apply",
+    "scan_dictionary_encoding_audit",
     "scan_partition_pruning_report",
     "sink_clustering_factor",
+    "scan_rowgroup_stats",
+    "graph_hits_bipartite",
     "graph_clustering_coefficient",
     "graph_degree_assortativity",
     "graph_rich_club",
+    "graph_neighborhood_jaccard",
+    "graph_kcore",
+    "dedup_cross_source_matrix",
+    "graph_adamic_adar",
 ]
 
 

@@ -1885,20 +1885,21 @@ FL_ROUNDS = 4       # exemplars selected
 FL_CANDS = 4        # stochastic-greedy candidate pool per round
 
 
-def _fl_hash_order(ids: list[int], rnd: int) -> list[int]:
-    """Deterministic per-round candidate order: vec_ids by portable
-    md5 hash of 'fl{round}:{vec_id}', id-tiebroken.  The caller
-    excludes already-selected ids BEFORE taking the top FL_CANDS —
-    identical to the oracle's WHERE-then-LIMIT."""
-    import hashlib
-
-    return sorted(
-        ids,
-        key=lambda i: (
-            int(hashlib.md5(f"fl{rnd}:{i}".encode()).hexdigest()[:8], 16),
-            i,
-        ),
-    )
+def _fl_candidates(base: DataFrame, rnd: int, exclude: list[int]) -> list[int]:
+    """Deterministic per-round candidate pool, drawn DISTRIBUTED: rank
+    vec_ids by portable md5 hash of 'fl{round}:{vec_id}' (id-tiebroken)
+    and take the top FL_CANDS after excluding already-selected ids —
+    a TakeOrderedAndProject (per-partition top-K, K ids to the driver),
+    bit-identical to the oracle's WHERE-then-LIMIT.  Never collects
+    the id column."""
+    pool = base.select("vec_id")
+    if exclude:
+        pool = pool.filter(~F.col("vec_id").isin(sorted(exclude)))
+    ranked = pool.withColumn(
+        "hk",
+        hash32(F.concat(F.lit(f"fl{rnd}:"), F.col("vec_id").cast("string"))),
+    ).orderBy("hk", "vec_id").limit(FL_CANDS)
+    return [int(r["vec_id"]) for r in ranked.collect()]
 
 
 def sample_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1911,24 +1912,26 @@ def sample_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     train on).
 
     Exact greedy is O(N²)/round (every candidate needs a corpus sum),
-    so each round scores a deterministic 4-candidate pool
-    (portable-hash draw — the stochastic-greedy trick that keeps
-    (1−1/e−ε) guarantees): ONE corpus pass per round computes all
-    candidate gains Σ_v max(0, sim_c(v) − cov(v)) as plan-literal JVM
-    folds, sims floor-quantized to micro per ROW before the integer
-    sums (order-insensitive, bit-exact).  Only the argmax returns to
-    the driver.  Output per round: selected id, marginal gain, total
-    coverage after.
+    so each round scores a deterministic 4-candidate pool drawn
+    DISTRIBUTED (hash-rank + limit = per-partition top-K, the
+    stochastic-greedy trick that keeps (1−1/e−ε) guarantees): ONE
+    corpus pass per round computes all candidate gains
+    Σ_v max(0, sim_c(v) − cov(v)) as plan-literal JVM folds, sims
+    floor-quantized to micro per ROW before the integer sums
+    (order-insensitive, bit-exact).  Only the argmax and the
+    FL_CANDS pool ids return to the driver.  Output per round:
+    selected id, marginal gain, total coverage after.
 
     Scale: K corpus passes, driver state = K×dim doubles + the
-    candidate pool ids; no join, no broadcast state, no N² anywhere.
+    candidate pool ids; no join, no broadcast state, no N² anywhere,
+    no O(N) driver materialization (the candidate draw is a
+    TakeOrderedAndProject).
     """
     em = fan_out(load(spark, sf_dir, "embeddings"), spark)
     base = em.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     ).persist()
-    all_ids = [int(r["vec_id"]) for r in base.select("vec_id").collect()]
 
     def dot_micro(cv: list[float]):
         return F.floor(
@@ -1949,10 +1952,7 @@ def sample_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverage = 0
     vecs = {}  # candidate id -> vector, fetched per round (bounded)
     for rnd in range(FL_ROUNDS):
-        chosen_ids = {s for s, _ in selected}
-        cands = [
-            c for c in _fl_hash_order(all_ids, rnd) if c not in chosen_ids
-        ][:FL_CANDS]
+        cands = _fl_candidates(base, rnd, [s for s, _ in selected])
         need = [c for c in cands if c not in vecs]
         if need:
             for r in base.filter(F.col("vec_id").isin(need)).collect():
@@ -2112,8 +2112,13 @@ def embedding_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             staged.select("w", F.posexplode("xq").alias("d", "xv"))
             .groupBy("d")
             .agg(
+                # w reaches GM_W_SCALE (1e12) for points at the center,
+                # so w*xv must not multiply in BIGINT (silent wrap at
+                # |xv| >= ~9.2e6 micro); cast w to decimal FIRST —
+                # decimal(20,0)*bigint = decimal(38,0), exact, matching
+                # the oracle's CAST(w AS HUGEINT) * xq[d].
                 F.sum(
-                    (F.col("w") * F.col("xv")).cast("decimal(20,0)")
+                    F.col("w").cast("decimal(20,0)") * F.col("xv")
                 ).alias("num"),
                 F.sum(F.col("w").cast("decimal(20,0)")).alias("den"),
             )

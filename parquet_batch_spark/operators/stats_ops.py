@@ -11990,23 +11990,35 @@ def ml_mcc_balanced_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp",
         "fn",
         "tn",
+        # The cell products must NOT multiply in BIGINT: the 4-marginal
+        # denominator wraps once each marginal reaches ~55k (a few 1e5
+        # docs) and the numerator at ~3e9 — Spark wraps silently where
+        # DuckDB errors, a silent cross-engine divergence.  Cast every
+        # factor to double FIRST (left-assoc IEEE chain, mirrored
+        # term-for-term in _MCC_SQL → bit-identical); the integer
+        # ratios go through decimal(20,0) (Spark) / HUGEINT (DuckDB),
+        # the geometric-median pattern.
         F.floor(
             1_000_000.0
-            * (F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn"))
+            * (F.col("tp").cast("double") * F.col("tn")
+               - F.col("fp").cast("double") * F.col("fn"))
             / F.sqrt(
-                ((F.col("tp") + F.col("fp"))
-                 * (F.col("tp") + F.col("fn"))
-                 * (F.col("tn") + F.col("fp"))
-                 * (F.col("tn") + F.col("fn"))).cast("double")
+                (F.col("tp") + F.col("fp")).cast("double")
+                * (F.col("tp") + F.col("fn")).cast("double")
+                * (F.col("tn") + F.col("fp")).cast("double")
+                * (F.col("tn") + F.col("fn")).cast("double")
             )
         ).cast("long").alias("mcc_micro"),
         F.expr(
-            "(1000000 * tp * (tn + fp) + 1000000 * tn * (tp + fn))"
-            " div (2 * (tp + fn) * (tn + fp))"
+            "cast((1000000 * cast(tp as decimal(20,0)) * (tn + fp)"
+            " + 1000000 * cast(tn as decimal(20,0)) * (tp + fn))"
+            " div (2 * cast(tp + fn as decimal(20,0)) * (tn + fp))"
+            " as bigint)"
         ).alias("balanced_accuracy_micro"),
         F.expr(
-            "(1000000 * tp) div (tp + fn)"
-            " + (1000000 * tn) div (tn + fp) - 1000000"
+            "cast((1000000 * cast(tp as decimal(20,0))) div (tp + fn)"
+            " + (1000000 * cast(tn as decimal(20,0))) div (tn + fp)"
+            " - 1000000 as bigint)"
         ).alias("youden_j_micro"),
     )
 
@@ -12027,13 +12039,18 @@ cells AS (
     FROM staged
 )
 SELECT tp + fp + fn + tn AS n, tp, fp, fn, tn,
-       CAST(FLOOR(1000000.0 * (tp * tn - fp * fn)
-            / SQRT(CAST((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
-                        AS DOUBLE))) AS BIGINT) AS mcc_micro,
-       (1000000 * tp * (tn + fp) + 1000000 * tn * (tp + fn))
-           // (2 * (tp + fn) * (tn + fp)) AS balanced_accuracy_micro,
-       (1000000 * tp) // (tp + fn) + (1000000 * tn) // (tn + fp)
-           - 1000000 AS youden_j_micro
+       CAST(FLOOR(1000000.0
+            * (CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+            / SQRT(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+                   * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)))
+            AS BIGINT) AS mcc_micro,
+       CAST((1000000 * CAST(tp AS HUGEINT) * (tn + fp)
+             + 1000000 * CAST(tn AS HUGEINT) * (tp + fn))
+           // (2 * CAST(tp + fn AS HUGEINT) * (tn + fp))
+           AS BIGINT) AS balanced_accuracy_micro,
+       CAST((1000000 * CAST(tp AS HUGEINT)) // (tp + fn)
+            + (1000000 * CAST(tn AS HUGEINT)) // (tn + fp)
+            - 1000000 AS BIGINT) AS youden_j_micro
 FROM cells
 """
 

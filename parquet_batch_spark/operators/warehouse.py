@@ -709,6 +709,94 @@ ORDER BY col_name
 """
 
 
+def table_stats_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB topology of ``table_stats_profile``: per-column NDV
+    via ``approx_count_distinct`` (HLL++, rsd 2 %) instead of four
+    exact ``COUNT(DISTINCT)`` in one aggregate.  The exact variant
+    plans EXPAND ×4 — every fact row is replicated once per distinct
+    aggregate before the shuffle, the dominant cost of ANALYZE at
+    scale; here each column is profiled by its OWN single-distinct
+    aggregate (two-phase hash agg, no EXPAND, column-pruned scan that
+    reads exactly one column) and the four one-row results union.
+
+    Oracle strategy (same as ``approx_distinct_sketch``,
+    analytics.py): the sketch value is engine-specific, so the query
+    projects the EXACT NDV plus a deterministic ``ndv_within_5pct``
+    band boolean — HLL++ is deterministic for fixed data and the 2 %
+    rsd sits far from the 5 % band — and the oracle states the exact
+    NDV and ``TRUE``.  A pure production run drops the exact NDV and
+    the boolean, leaving one approx-only pass per column; the band
+    check is what makes the op CORRECTNESS-eligible here.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    ship_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+    def branch(cname: str, c: str, min_val, max_val) -> DataFrame:
+        approx = F.approx_count_distinct(c, 0.02)
+        exact = F.countDistinct(c)
+        return li.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
+            exact.alias("ndv"),
+            (
+                F.abs(approx.cast("double") / exact.cast("double") - F.lit(1.0))
+                <= F.lit(0.05)
+            ).alias("ndv_within_5pct"),
+            min_val.cast("string").alias("min_val"),
+            max_val.cast("string").alias("max_val"),
+        ).select(
+            F.lit(cname).alias("col_name"),
+            "n_rows", "n_nulls", "ndv", "ndv_within_5pct",
+            "min_val", "max_val",
+        )
+
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    out = (
+        branch("l_orderkey", "l_orderkey",
+               F.min("l_orderkey"), F.max("l_orderkey"))
+        .unionByName(branch("l_quantity", "l_quantity",
+                            F.min(qty), F.max(qty)))
+        .unionByName(branch("l_returnflag", "l_returnflag",
+                            F.min("l_returnflag"), F.max("l_returnflag")))
+        .unionByName(branch("l_shipdate", "l_shipdate",
+                            F.date_format(F.min("l_shipdate"), ship_fmt),
+                            F.date_format(F.max("l_shipdate"), ship_fmt)))
+    )
+    return out.orderBy("col_name")
+
+
+_STATS_APPROX_SQL = """
+SELECT col_name, n_rows, n_nulls, ndv, ndv_within_5pct, min_val, max_val
+FROM (
+    SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows,
+        COUNT(*) - COUNT(l_orderkey) AS n_nulls,
+        COUNT(DISTINCT l_orderkey) AS ndv,
+        TRUE AS ndv_within_5pct,
+        CAST(MIN(l_orderkey) AS VARCHAR) AS min_val,
+        CAST(MAX(l_orderkey) AS VARCHAR) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', COUNT(*), COUNT(*) - COUNT(l_quantity),
+        COUNT(DISTINCT l_quantity), TRUE,
+        CAST(MIN(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR),
+        CAST(MAX(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+        COUNT(DISTINCT l_returnflag), TRUE,
+        MIN(l_returnflag), MAX(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', COUNT(*), COUNT(*) - COUNT(l_shipdate),
+        COUNT(DISTINCT l_shipdate), TRUE,
+        STRFTIME(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S.%f'),
+        STRFTIME(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S.%f')
+    FROM lineitem
+)
+ORDER BY col_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # quality_expectations — dbt-test-style table constraint audit
 # ---------------------------------------------------------------------------
@@ -1655,6 +1743,7 @@ QUERIES = {
     "etl_cdc_apply": etl_cdc_apply,
     "sink_zorder_cluster": sink_zorder_cluster,
     "table_stats_profile": table_stats_profile,
+    "table_stats_profile_approx": table_stats_profile_approx,
 }
 
 ORACLES = {
@@ -1676,4 +1765,5 @@ ORACLES = {
     "etl_write_audit_publish": _WAP_SQL,
     "sink_zorder_cluster": _zorder_sql(),
     "table_stats_profile": _STATS_SQL,
+    "table_stats_profile_approx": _STATS_APPROX_SQL,
 }

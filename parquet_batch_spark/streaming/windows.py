@@ -69,7 +69,12 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-def _drain(stream_df: DataFrame, spark: SparkSession, mode: str = "append") -> DataFrame:
+def _drain(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    mode: str = "append",
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
     """Run the streaming query to completion into a memory sink and
     return the materialized result as a batch DataFrame.
 
@@ -77,16 +82,31 @@ def _drain(stream_df: DataFrame, spark: SparkSession, mode: str = "append") -> D
     the final windows (whose end the watermark never passes before the
     availableNow replay terminates) would be withheld — complete mode
     emits every window, which is also what the batch oracle computes.
+
+    ``shuffle_partitions`` (applied only for the drain, restored
+    after): a STATEFUL streaming query materializes one state store
+    per shuffle partition per stateful operator and pays a
+    task+commit per store per micro-batch — for an availableNow drain
+    of one small file that fixed cost dominates wall time (VERDICT r6
+    #7). Values are partition-count invariant; a deployed continuous
+    job sizes this to its throughput instead.
     """
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -391,7 +411,10 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") > F.col("c_ts"))
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
     )
-    out = _drain(joined, spark, mode="append")
+    # 8 partitions: a stream-stream join keeps FOUR state stores per
+    # shuffle partition; at 32 partitions the 128 store commits are
+    # ~all of this drain's wall time (6.0 s in BENCH_FULL_r06).
+    out = _drain(joined, spark, mode="append", shuffle_partitions=8)
     return (
         out.groupBy(F.col("c_user").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
@@ -463,7 +486,12 @@ ORDER BY user_id
 
 
 STREAM_SYNTH_ROWS = 2000
-STREAM_SYNTH_STEP = 500  # rows per micro-batch → 4 deterministic batches
+# rows per micro-batch → 2 deterministic batches: the minimum that
+# still exercises cross-batch offset/state merge.  Each Python-source
+# micro-batch costs ~1.5 s of worker orchestration regardless of rows
+# (BENCH_FULL_r06: 7.4 s at 4 batches — VERDICT r6 #7), so the batch
+# count IS the op's latency.
+STREAM_SYNTH_STEP = 1000
 
 
 def streaming_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -477,7 +505,8 @@ def streaming_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry, and the streaming half of ``source_python_datasource``'s
     O11 story. Drained with ``processAllAvailable`` (availableNow is
     not supported for Python stream sources — Spark logs the fallback
-    to single-batch; the explicit drain keeps ALL four micro-batches).
+    to single-batch; the explicit drain keeps BOTH micro-batches, so
+    cross-batch state merge is still exercised).
 
     At scale this is the shape of a custom queue/api connector:
     offsets partition the upstream, executors read slices, the
@@ -531,14 +560,22 @@ def streaming_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("amount")).cast("double").alias("amount_sum"),
     )
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    # 8 shuffle partitions for the drain (restored after): 13 keys of
+    # state don't need 32 stores × 2 micro-batches of commits — the
+    # same fixed-cost trim as _drain's shuffle_partitions knob.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name).orderBy("k")
 
 
@@ -824,6 +861,11 @@ def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFram
         # element-for-element identical to math.floor(1e6 * float(v)),
         # pinned by the DuckDB oracle.  No per-row Python iteration.
         vals = pdf["value"].to_numpy(dtype="float64")
+        # NaN/None would flow through floor().astype('int64') as an
+        # undefined int64 and silently corrupt the running sum (the
+        # pre-vectorization math.floor path raised) — keep the raise.
+        if not np.isfinite(vals).all():
+            raise ValueError("non-finite value in stream batch")
         s += int(np.floor(1_000_000.0 * vals).astype("int64").sum())
         mx = max(mx, int(pdf["event_id"].max()))
         return n, s, mx

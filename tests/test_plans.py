@@ -598,3 +598,149 @@ def test_r6_ops_have_scale_safe_plans(spark, sf_dir):
     # WIMBD top-k must be TakeOrdered, never a global sort of the grams
     plan = executed_plan(quality_wimbd_top_ngrams(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide driver-materialization guard (VERDICT r6 #3)
+# ---------------------------------------------------------------------------
+
+# Every call that pulls rows to the driver, keyed by
+# (package-relative file, enclosing function, method) -> (allowed call
+# count, the stated bound that makes it safe at 100 TB).  Adding a new
+# `.collect()`/`.toPandas()`/... anywhere in the package fails this
+# test until the site is audited and listed here WITH its bound.
+_DRIVER_MATERIALIZATION_WHITELIST = {
+    ("operators/corpus_ops.py", "text_bpe_merges", "collect"):
+        (1, "limit(1) argmax pair per bounded BPE merge round"),
+    ("operators/dedup.py", "_hot_shingles", "collect"):
+        (1, "hot-key list: at most sum(df)/cap entries survive the "
+            "absolute df cap (pigeonhole), memoized per sf_dir"),
+    ("operators/dedup.py", "dedup_clusters", "collect"):
+        (2, "1-row scalar SUM(label) convergence probes per CC round"),
+    ("operators/pipeline_ops.py", "decontam_bloom_filter", "collect"):
+        (1, "bloom bit positions of the BOUNDED benchmark suite "
+            "(|bench| x K rows), broadcast back as a plan literal"),
+    ("operators/scale_ops.py", "scan_dictionary_encoding_audit", "collect"):
+        (1, "parquet footer metadata, one row per file (file-count "
+            "bounded manifest, not data rows)"),
+    ("operators/scale_ops.py", "scan_minmax_skipping", "collect"):
+        (1, "row-group stats manifest: one row per file, file-count "
+            "bounded"),
+    ("operators/similarity.py", "_fl_candidates", "collect"):
+        (1, "TakeOrderedAndProject limit(FL_CANDS): exactly the "
+            "per-round stochastic-greedy pool (<=4 ids)"),
+    ("operators/similarity.py", "_hash_seed_cells", "collect"):
+        (1, "hash-ordered limit(K) seed draw, K = ceil(sqrt(N)) "
+            "centroids of dim doubles"),
+    ("operators/similarity.py", "ann_ivf_topk", "collect"):
+        (1, "query side: vec_id < N_QUERIES (<=10 rows)"),
+    ("operators/similarity.py", "ann_ivfpq_topk", "collect"):
+        (1, "query side: vec_id < N_QUERIES (<=10 rows)"),
+    ("operators/similarity.py", "ann_pq_adc", "collect"):
+        (2, "limit(K) codebook seed draw + <=N_QUERIES query rows"),
+    ("operators/similarity.py", "embedding_geometric_median", "collect"):
+        (2, "GM_DIMS(=64)-row per-dimension sums, once per Weiszfeld "
+            "round"),
+    ("operators/similarity.py", "embedding_pq_distortion", "collect"):
+        (1, "hash-ordered limit(K) codebook seed draw"),
+    ("operators/similarity.py", "ml_kmeans_lloyd", "collect"):
+        (2, "limit(K) seed draw + K-row centroid sums per Lloyd round"),
+    ("operators/similarity.py", "sample_coreset_kcenter", "collect"):
+        (2, "limit(1) seed + 1-row farthest-point argmax per round"),
+    ("operators/similarity.py", "sample_facility_location", "collect"):
+        (2, "<=FL_CANDS candidate-vector fetch + 1-row gains argmax "
+            "per round (the O(N) id collect was removed in r7)"),
+    ("operators/sources_ext.py", "sink_selective_compaction", "collect"):
+        (1, "compaction manifest: one row per over-threshold partition "
+            "(|partition domain| bounded)"),
+    ("operators/sources_ext.py", "source_jsonl_corrupt_tolerant", "collect"):
+        (1, "writes the staged fixture: bounded LIMIT sample of part "
+            "rows serialized to the local JSONL fixture"),
+    ("operators/stats_ops.py", "agg_cohen_kappa", "collect"):
+        (1, "label-pair confusion table, <=|labels|^2 rows (labels is "
+            "a literal domain)"),
+    ("operators/stats_ops.py", "embedding_pca_power_iteration", "collect"):
+        (1, "dim-sized (64) vector of sums per power-iteration round"),
+    ("operators/stats_ops.py", "seq_markov_attribution", "collect"):
+        (1, "event-type transition matrix, <=|event types|^2 (6x6) "
+            "rows"),
+    ("operators/warehouse.py", "etl_analyze_table_stats", "collect"):
+        (1, "DESCRIBE EXTENDED output: a fixed handful of catalog "
+            "stat rows"),
+    ("operators/warehouse.py", "etl_write_audit_publish", "collect"):
+        (1, "1-row audit gate aggregate (the WAP go/no-go scalar)"),
+    ("operators/warehouse.py", "sink_zorder_cluster", "first"):
+        (1, "single-row min/max bounds aggregate"),
+    ("operators/windows.py", "window_lag_lead", "first"):
+        (1, "single-row probe"),
+    ("operators/windows.py", "window_linear_interpolate", "first"):
+        (2, "single-row boundary probes"),
+    ("operators/windows.py", "window_nth_value", "first"):
+        (1, "single-row probe"),
+    ("sources/reader.py", "get_rows_with_args", "toLocalIterator"):
+        (1, "the reference O8 contract IS a lazy driver-side row "
+            "iterator (reference reader.py:105); toLocalIterator "
+            "streams one partition at a time, never the full frame"),
+}
+
+_DRIVER_MATERIALIZATION_METHODS = (
+    "collect", "toPandas", "toLocalIterator", "take", "head", "first",
+)
+
+
+def test_no_unbounded_driver_materialization():
+    """Walk the package AST: every .collect()/.toPandas()/... call
+    site must be on the whitelist above with its stated bound, and the
+    whitelist must not go stale (no phantom entries)."""
+    import ast
+    import os
+    from collections import Counter
+
+    import parquet_batch_spark
+
+    pkg_root = os.path.dirname(os.path.abspath(parquet_batch_spark.__file__))
+    found: Counter = Counter()
+    for root, _dirs, files in os.walk(pkg_root):
+        if "__pycache__" in root:
+            continue
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            rel = os.path.relpath(path, pkg_root).replace(os.sep, "/")
+            tree = ast.parse(open(path).read())
+            funcs = [
+                (n.lineno, n.end_lineno, n.name)
+                for n in ast.walk(tree)
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+            ]
+            for node in ast.walk(tree):
+                if not (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr in _DRIVER_MATERIALIZATION_METHODS
+                ):
+                    continue
+                enclosing = [
+                    f for f in funcs if f[0] <= node.lineno <= f[1]
+                ]
+                name = (
+                    min(enclosing, key=lambda f: f[1] - f[0])[2]
+                    if enclosing
+                    else "<module>"
+                )
+                found[(rel, name, node.func.attr)] += 1
+
+    unlisted = {
+        k: v for k, v in found.items()
+        if k not in _DRIVER_MATERIALIZATION_WHITELIST
+        or v > _DRIVER_MATERIALIZATION_WHITELIST[k][0]
+    }
+    assert not unlisted, (
+        "unaudited driver materialization site(s) — audit the bound "
+        f"and whitelist them: {sorted(unlisted)}"
+    )
+    stale = [
+        k for k in _DRIVER_MATERIALIZATION_WHITELIST if k not in found
+    ]
+    assert not stale, f"whitelist entries with no matching site: {stale}"

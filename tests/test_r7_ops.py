@@ -1,0 +1,157 @@
+"""Invariant tests for the r7 changes (VERDICT r6 #2/#4, ADVICE r6).
+
+The oracle-parity suite covers cross-engine hash equality; these pin
+the fix semantics independently:
+
+- the MCC / balanced-accuracy arithmetic no longer wraps int64 at
+  realistic corpus sizes (the ADVICE r6 medium finding),
+- ``sample_facility_location``'s distributed candidate draw matches
+  the documented hash order exactly (same pool the removed O(N)
+  driver sort produced),
+- ``table_stats_profile_approx`` agrees with the exact profile on
+  everything but the NDV path and plans WITHOUT the EXPAND the exact
+  variant pays.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from parquet_batch_spark.catalog import load
+from parquet_batch_spark.operators.similarity import (
+    FL_CANDS,
+    _fl_candidates,
+)
+from parquet_batch_spark.operators.warehouse import (
+    table_stats_profile,
+    table_stats_profile_approx,
+)
+
+
+def test_mcc_arithmetic_survives_web_scale_cells(spark):
+    """The confusion-cell algebra from ml_mcc_balanced_accuracy,
+    evaluated on marginals far past the old int64 wrap point
+    (each cell ~2.5e9 => the 4-marginal product ~6e38, the
+    1e6-scaled balanced-accuracy numerator ~2.5e25).  The old
+    BIGINT-multiply version wrapped silently here; the fixed
+    double/decimal paths must produce the closed-form answers."""
+    tp, fp, fn, tn = 2_500_000_000, 500_000_000, 1_500_000_000, 3_000_000_000
+    cells = spark.createDataFrame(
+        [(tp, fp, fn, tn)], "tp long, fp long, fn long, tn long"
+    )
+    row = cells.select(
+        F.floor(
+            1_000_000.0
+            * (F.col("tp").cast("double") * F.col("tn")
+               - F.col("fp").cast("double") * F.col("fn"))
+            / F.sqrt(
+                (F.col("tp") + F.col("fp")).cast("double")
+                * (F.col("tp") + F.col("fn")).cast("double")
+                * (F.col("tn") + F.col("fp")).cast("double")
+                * (F.col("tn") + F.col("fn")).cast("double")
+            )
+        ).cast("long").alias("mcc_micro"),
+        F.expr(
+            "cast((1000000 * cast(tp as decimal(20,0)) * (tn + fp)"
+            " + 1000000 * cast(tn as decimal(20,0)) * (tp + fn))"
+            " div (2 * cast(tp + fn as decimal(20,0)) * (tn + fp))"
+            " as bigint)"
+        ).alias("bacc_micro"),
+        F.expr(
+            "cast((1000000 * cast(tp as decimal(20,0))) div (tp + fn)"
+            " + (1000000 * cast(tn as decimal(20,0))) div (tn + fp)"
+            " - 1000000 as bigint)"
+        ).alias("youden_micro"),
+    ).collect()[0]
+    # closed forms in exact Python integer/float arithmetic
+    import math
+
+    num = float(tp) * tn - float(fp) * fn
+    den = math.sqrt(
+        float(tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    assert row["mcc_micro"] == math.floor(1_000_000.0 * num / den)
+    bacc = (1_000_000 * tp * (tn + fp) + 1_000_000 * tn * (tp + fn)) // (
+        2 * (tp + fn) * (tn + fp)
+    )
+    assert row["bacc_micro"] == bacc
+    youden = (
+        1_000_000 * tp // (tp + fn) + 1_000_000 * tn // (tn + fp) - 1_000_000
+    )
+    assert row["youden_micro"] == youden
+    # sanity: the old wrap point is well behind us
+    assert (tp + fp) * (tp + fn) > 2**63  # would have wrapped in int64
+
+
+def test_fl_candidate_draw_matches_hash_order(spark, sf_dir):
+    """The distributed TakeOrderedAndProject draw returns exactly the
+    top-FL_CANDS vec_ids under the documented portable hash order
+    (md5('fl{round}:{id}') first 8 hex chars, id-tiebroken), with the
+    exclusion applied BEFORE the limit — the same pool the removed
+    driver-side sort produced."""
+    base = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .limit(500)
+        .persist()
+    )
+    ids = [int(r["vec_id"]) for r in base.collect()]
+
+    def py_order(rnd, exclude):
+        pool = [i for i in ids if i not in exclude]
+        return sorted(
+            pool,
+            key=lambda i: (
+                int(
+                    hashlib.md5(f"fl{rnd}:{i}".encode()).hexdigest()[:8], 16
+                ),
+                i,
+            ),
+        )[:FL_CANDS]
+
+    got0 = _fl_candidates(base, 0, [])
+    assert got0 == py_order(0, set())
+    got1 = _fl_candidates(base, 1, got0)
+    assert got1 == py_order(1, set(got0))
+    assert not set(got0) & set(got1)
+    base.unpersist()
+
+
+def test_stats_profile_approx_matches_exact_profile(spark, sf_dir):
+    """Row counts, null counts, exact NDV, and min/max agree with the
+    exact variant column-for-column, and every HLL++ estimate sits in
+    the 5 % band (the boolean the oracle pins to TRUE)."""
+    exact = {
+        r["col_name"]: r.asDict()
+        for r in table_stats_profile(spark, sf_dir).collect()
+    }
+    approx = {
+        r["col_name"]: r.asDict()
+        for r in table_stats_profile_approx(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for col, e in exact.items():
+        a = approx[col]
+        for k in ("n_rows", "n_nulls", "ndv", "min_val", "max_val"):
+            assert a[k] == e[k], (col, k, a[k], e[k])
+        assert a["ndv_within_5pct"] is True, col
+
+
+def test_stats_profile_approx_plans_without_expand(spark, sf_dir):
+    """The point of the op: no EXPAND (the exact variant replicates
+    every fact row once per distinct aggregate), and each union branch
+    scans exactly one pruned column."""
+    import re
+
+    plan = (
+        table_stats_profile_approx(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in plan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert len(schemas) == 4
+    assert all(s.count(":") == 1 for s in schemas), schemas

@@ -28,32 +28,34 @@ def test_every_oracle_has_a_query():
     assert rows_only == [], rows_only
 
 
-def test_driver_window_covers_round6_targets():
+def test_driver_window_covers_round7_targets():
     """Slots 1-50 (the driver's check window) must be entirely
-    never-driver-checked entries (VERDICT r5 #1: strictly
-    never-checked-first), leading with the six never-checked streaming
-    patterns (VERDICT r5 #7) and filling the rest with never-checked
-    stats_ops.  The ever-checked set is pinned from the recorded
-    CORRECTNESS_r01-r05 artifacts."""
+    never-driver-checked entries (VERDICT r6 #1: never-checked-first,
+    llm_prep/text_analysis/similarity — the least-certified north-star
+    families), leading with the three ops CHANGED this round plus the
+    one r7-new op.  The ever-checked set is pinned from the recorded
+    CORRECTNESS_r01-r06 artifacts."""
     import glob
     import json
     import os
 
     first50 = list(all_queries())[:50]
-    streaming6 = [
-        "streaming_update_mode_counts", "streaming_windowed_topk",
-        "streaming_python_source", "streaming_state_store_read",
-        "streaming_state_metadata_source",
-        "streaming_transform_with_state",
+    assert first50[:4] == [
+        "ml_mcc_balanced_accuracy",       # ADVICE r6: int64 overflow fix
+        "sample_facility_location",       # VERDICT r6 #2: distributed draw
+        "embedding_geometric_median",     # ADVICE r6: decimal cast fix
+        "table_stats_profile_approx",     # VERDICT r6 #4: the r7-new op
     ]
-    assert first50[:6] == streaming6
-    from parquet_batch_spark.operators import stats_ops
+    from parquet_batch_spark.operators import (
+        llm_prep, similarity, text_analysis,
+    )
 
-    stats_in_window = sum(n in stats_ops.QUERIES for n in first50)
-    assert stats_in_window == 44, stats_in_window
+    assert sum(n in llm_prep.QUERIES for n in first50) == 20
+    assert sum(n in text_analysis.QUERIES for n in first50) == 19
+    assert sum(n in similarity.QUERIES for n in first50) == 9
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     checked = set()
-    for f in glob.glob(os.path.join(root, "CORRECTNESS_r0[1-5].json")):
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r0[1-6].json")):
         checked.update(json.load(open(f)))
     rechecks = [n for n in first50 if n in checked]
     assert rechecks == [], f"window wastes slots on re-checks: {rechecks}"
