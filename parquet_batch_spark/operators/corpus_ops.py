@@ -951,8 +951,11 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("deg") >= 2)
         .select(
             "v",
+            # t and deg² are hub-degree-scale: decimal (oracle:
+            # HUGEINT) so a 1e9-degree hub can't wrap int64
             F.expr(
-                "(2000000 * t) div (deg * (deg - 1))"
+                "cast((2000000 * cast(t as decimal(19,0)))"
+                " div (cast(deg as decimal(19,0)) * (deg - 1)) as bigint)"
             ).alias("cc_micro"),
         )
     )
@@ -992,7 +995,9 @@ credits AS (
 ),
 nodes AS (
     SELECT d.v,
-           (2000000 * COALESCE(c.t, 0)) // (d.deg * (d.deg - 1)) AS cc_micro
+           CAST((2000000 * CAST(COALESCE(c.t, 0) AS HUGEINT))
+               // (CAST(d.deg AS HUGEINT) * (d.deg - 1)) AS BIGINT)
+               AS cc_micro
     FROM deg d LEFT JOIN credits c ON c.v = d.v
     WHERE d.deg >= 2
 )
@@ -1052,7 +1057,11 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_edges").cast("long").alias("n_edges"),
         F.when(
             F.col("n_nodes") >= 2,
-            F.expr("(2000000 * n_edges) div (n_nodes * (n_nodes - 1))"),
+            F.expr(
+                "cast((2000000 * cast(n_edges as decimal(19,0)))"
+                " div (cast(n_nodes as decimal(19,0)) * (n_nodes - 1))"
+                " as bigint)"
+            ),
         ).alias("phi_micro"),
     ).orderBy("k")
 
@@ -1077,8 +1086,8 @@ ladder AS ({rows})
 SELECT k, CAST(n_nodes AS BIGINT) AS n_nodes,
        CAST(n_edges AS BIGINT) AS n_edges,
        CASE WHEN n_nodes >= 2
-            THEN (2000000 * CAST(n_edges AS BIGINT))
-                 // (CAST(n_nodes AS BIGINT) * (n_nodes - 1))
+            THEN CAST((2000000 * CAST(n_edges AS HUGEINT))
+                 // (CAST(n_nodes AS HUGEINT) * (n_nodes - 1)) AS BIGINT)
        END AS phi_micro
 FROM ladder
 ORDER BY k
@@ -1120,8 +1129,10 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     m = pairs.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("dx").alias("sx"),
-        F.sum("dy").alias("sy"),
+        # DuckDB SUM(BIGINT) auto-widens to HUGEINT; match with
+        # decimal sums so Σdeg can't silently wrap Spark-side
+        F.sum(dec38(F.col("dx"))).alias("sx"),
+        F.sum(dec38(F.col("dy"))).alias("sy"),
         F.sum(dec38(F.col("dx")) * F.col("dy")).alias("sxy"),
         F.sum(dec38(F.col("dx")) * F.col("dx")).alias("sxx"),
         F.sum(dec38(F.col("dy")) * F.col("dy")).alias("syy"),

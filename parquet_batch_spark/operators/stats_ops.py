@@ -5627,9 +5627,18 @@ def agg_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows_m = conf.groupBy("y").agg(F.sum("c").alias("r"))
     cols_m = conf.groupBy("p").agg(F.sum("c").alias("k"))
+    # marginal products are N^2-scale: multiply/sum in decimal
+    # (oracle: HUGEINT) so the chance-agreement term can't wrap int64
+    # at corpus scale.  The raw sum_rc DIAGNOSTIC column stays long
+    # (saturates past N ~ 3e9 docs); the statistics are decimal-exact.
     rc = (
         rows_m.join(cols_m, rows_m.y == cols_m.p)
-        .agg(F.coalesce(F.sum(F.col("r") * F.col("k")), F.lit(0)).alias("src"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("r").cast("decimal(19,0)") * F.col("k")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("src")
+        )
     )
     return (
         agree.crossJoin(rc)
@@ -5637,10 +5646,15 @@ def agg_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(int(n)).cast("long").alias("n"),
             F.col("a").cast("long").alias("n_agree"),
             F.col("src").cast("long").alias("sum_rc"),
-            F.expr(f"(1000000 * a) div {int(n)}").alias("accuracy_micro"),
             F.expr(
-                f"(1000000 * ({int(n)} * a - src))"
-                f" div ({int(n)} * {int(n)} - src)"
+                f"cast((1000000 * cast(a as decimal(19,0)))"
+                f" div {int(n)} as bigint)"
+            ).alias("accuracy_micro"),
+            F.expr(
+                f"cast((1000000 * ({int(n)} * cast(a as decimal(19,0))"
+                f" - src))"
+                f" div (cast({int(n)} as decimal(19,0)) * {int(n)} - src)"
+                f" as bigint)"
             ).alias("kappa_micro"),
         )
     )
@@ -5664,14 +5678,17 @@ agree AS (
     SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS a FROM conf WHERE y = p
 ),
 rc AS (
-    SELECT CAST(COALESCE(SUM(r.r * k.k), 0) AS BIGINT) AS src
+    SELECT CAST(COALESCE(SUM(CAST(r.r AS HUGEINT) * k.k), 0) AS HUGEINT)
+        AS src
     FROM (SELECT y, CAST(SUM(c) AS BIGINT) AS r FROM conf GROUP BY y) r
     JOIN (SELECT p, CAST(SUM(c) AS BIGINT) AS k FROM conf GROUP BY p) k
       ON r.y = k.p
 )
-SELECT n.n, agree.a AS n_agree, rc.src AS sum_rc,
-    (1000000 * agree.a) // n.n AS accuracy_micro,
-    (1000000 * (n.n * agree.a - rc.src)) // (n.n * n.n - rc.src)
+SELECT n.n, agree.a AS n_agree, CAST(rc.src AS BIGINT) AS sum_rc,
+    CAST((1000000 * CAST(agree.a AS HUGEINT)) // n.n AS BIGINT)
+        AS accuracy_micro,
+    CAST((1000000 * (n.n * CAST(agree.a AS HUGEINT) - rc.src))
+        // (CAST(n.n AS HUGEINT) * n.n - rc.src) AS BIGINT)
         AS kappa_micro
 FROM n CROSS JOIN agree CROSS JOIN rc
 """
@@ -5752,11 +5769,11 @@ def agg_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         "both_ok",
         F.expr(
-            "(1000000 * (abs(b - c) - 1) * (abs(b - c) - 1)) div (b + c)"
+            "cast((1000000 * cast(abs(b - c) - 1 as decimal(19,0)) * (abs(b - c) - 1)) div (b + c) as bigint)"
         ).alias("chi2_micro"),
         (
             F.expr(
-                "(1000000 * (abs(b - c) - 1) * (abs(b - c) - 1)) div (b + c)"
+                "cast((1000000 * cast(abs(b - c) - 1 as decimal(19,0)) * (abs(b - c) - 1)) div (b + c) as bigint)"
             )
             > 3_841_000  # χ²(1df, 0.05) = 3.841
         ).alias("significant"),
@@ -5802,8 +5819,8 @@ agg AS (
     FROM paired
 )
 SELECT n, b, c, both_ok,
-    (1000000 * (ABS(b - c) - 1) * (ABS(b - c) - 1)) // (b + c) AS chi2_micro,
-    (1000000 * (ABS(b - c) - 1) * (ABS(b - c) - 1)) // (b + c) > 3841000
+    CAST((1000000 * CAST(ABS(b - c) - 1 AS HUGEINT) * (ABS(b - c) - 1)) // (b + c) AS BIGINT) AS chi2_micro,
+    CAST((1000000 * CAST(ABS(b - c) - 1 AS HUGEINT) * (ABS(b - c) - 1)) // (b + c) AS BIGINT) > 3841000
         AS significant
 FROM agg
 """
@@ -5860,8 +5877,12 @@ def ml_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * cum_pos) div pos_total").alias(
                 "capture_micro"
             ),
+            # cum_pos*n_total is N^2-scale: BIGINT wraps at N ~ 3e6
+            # with the 1e6 factor — route through decimal/HUGEINT
+            # (denominator likewise at N ~ 3e9).
             F.expr(
-                "(1000000 * cum_pos * n_total) div (pos_total * cum_n)"
+                "cast((1000000 * cast(cum_pos as decimal(19,0)) * n_total)"
+                " div (cast(pos_total as decimal(19,0)) * cum_n) as bigint)"
             ).alias("lift_micro"),
         )
         .orderBy(F.desc("bucket"))
@@ -5895,7 +5916,8 @@ cums AS (
 )
 SELECT c.bucket, c.n, c.n_pos, c.cum_n, c.cum_pos,
     (1000000 * c.cum_pos) // t.pos_total AS capture_micro,
-    (1000000 * c.cum_pos * t.n_total) // (t.pos_total * c.cum_n)
+    CAST((1000000 * CAST(c.cum_pos AS HUGEINT) * t.n_total)
+        // (CAST(t.pos_total AS HUGEINT) * c.cum_n) AS BIGINT)
         AS lift_micro
 FROM cums c CROSS JOIN tot t
 ORDER BY c.bucket DESC
@@ -5942,7 +5964,12 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s",
         "n",
         "n1",
-        (F.col("n1") * (2 * F.col("below") + F.col("n") + 1)).alias("two_r1"),
+        # rank sums are N^2-scale: the per-cell product and its SUM
+        # wrap int64 at N ~ 2e9 in Spark while DuckDB SUM(BIGINT)
+        # auto-widens to HUGEINT — a silent cross-engine divergence.
+        # Multiply and sum in decimal (mirrors the oracle's HUGEINT).
+        (F.col("n1").cast("decimal(19,0)")
+         * (2 * F.col("below") + F.col("n") + 1)).alias("two_r1"),
     )
     tot = ranked.agg(
         F.sum("n").alias("n_total"),
@@ -5954,8 +5981,10 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pos").cast("long").alias("n_pos"),
         (F.col("n_total") - F.col("n_pos")).cast("long").alias("n_neg"),
         F.expr(
-            "(1000000 * (two_sum_r1 - n_pos * (n_pos + 1)))"
-            " div (2 * n_pos * (n_total - n_pos))"
+            "cast((1000000 * (two_sum_r1"
+            " - cast(n_pos as decimal(19,0)) * (n_pos + 1)))"
+            " div (2 * cast(n_pos as decimal(19,0)) * (n_total - n_pos))"
+            " as bigint)"
         ).alias("auc_micro"),
     )
 
@@ -5973,7 +6002,8 @@ grid AS (
 ),
 ranked AS (
     SELECT s, n, n1,
-        n1 * (2 * CAST(COALESCE(SUM(n) OVER (ORDER BY s
+        CAST(n1 AS HUGEINT)
+            * (2 * CAST(COALESCE(SUM(n) OVER (ORDER BY s
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
               + n + 1) AS two_r1
     FROM grid
@@ -5981,12 +6011,13 @@ ranked AS (
 tot AS (
     SELECT CAST(SUM(n) AS BIGINT) AS n_total,
         CAST(SUM(n1) AS BIGINT) AS n_pos,
-        CAST(SUM(two_r1) AS BIGINT) AS two_sum_r1
+        CAST(SUM(two_r1) AS HUGEINT) AS two_sum_r1
     FROM ranked
 )
 SELECT n_total AS n, n_pos, n_total - n_pos AS n_neg,
-    (1000000 * (two_sum_r1 - n_pos * (n_pos + 1)))
-        // (2 * n_pos * (n_total - n_pos)) AS auc_micro
+    CAST((1000000 * (two_sum_r1 - CAST(n_pos AS HUGEINT) * (n_pos + 1)))
+        // (2 * CAST(n_pos AS HUGEINT) * (n_total - n_pos)) AS BIGINT)
+        AS auc_micro
 FROM tot
 """
 
@@ -6303,17 +6334,26 @@ def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = per.groupBy("w").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum("c").alias("s"),
-        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        # Σc² is N·L²-scale — sum in decimal (oracle: HUGEINT) so a
+        # stopword's second moment can't wrap int64 at corpus scale
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c")).alias("s2"),
     ).filter(F.col("df") >= BURST_MIN_DF)
     return (
         vocab.select(
             "w",
             "df",
             "s",
+            # s² is (total word count)²: decimal end-to-end, mirrored
+            # by the oracle's HUGEINT — BIGINT wraps at s ~ 3e9
             F.expr(
-                f"(1000000 * ({n_docs} * s2 - s * s)) div ({n_docs} * s)"
+                f"cast((1000000 * ({n_docs} * s2"
+                f" - cast(s as decimal(19,0)) * s))"
+                f" div ({n_docs} * cast(s as decimal(19,0))) as bigint)"
             ).alias("fano_micro"),
-            F.expr("(1000000 * (s - df)) div df").alias("extra_per_doc_micro"),
+            F.expr(
+                "cast((1000000 * cast(s - df as decimal(19,0))) div df"
+                " as bigint)"
+            ).alias("extra_per_doc_micro"),
         )
         .orderBy(F.desc("fano_micro"), F.asc("w"))
         .limit(BURST_TOPK)
@@ -6330,14 +6370,16 @@ WITH per AS (
 vocab AS (
     SELECT w, COUNT(*) AS df,
         CAST(SUM(c) AS BIGINT) AS s,
-        CAST(SUM(c * c) AS BIGINT) AS s2
+        CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
     FROM per GROUP BY w
     HAVING COUNT(*) >= {BURST_MIN_DF}
 ),
 nd AS (SELECT CAST({n_docs_expr} AS BIGINT) AS n)
 SELECT w, df, s,
-    (1000000 * (nd.n * s2 - s * s)) // (nd.n * s) AS fano_micro,
-    (1000000 * (s - df)) // df AS extra_per_doc_micro
+    CAST((1000000 * (nd.n * s2 - CAST(s AS HUGEINT) * s))
+        // (nd.n * CAST(s AS HUGEINT)) AS BIGINT) AS fano_micro,
+    CAST((1000000 * CAST(s - df AS HUGEINT)) // df AS BIGINT)
+        AS extra_per_doc_micro
 FROM vocab CROSS JOIN nd
 ORDER BY fano_micro DESC, w ASC
 LIMIT {BURST_TOPK}

@@ -1103,11 +1103,12 @@ hits AS (SELECT * FROM tf WHERE tf > 0),
 dfreq AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY term),
 scored AS (
     SELECT h.doc_id,
-        (1000000 * (2 * (s.n_docs - d.df) + 1) * (2200 * h.tf))
-        // ((2 * d.df + 1)
+        CAST((1000000 * CAST(2 * (s.n_docs - d.df) + 1 AS HUGEINT)
+              * (2200 * h.tf))
+        // (CAST(2 * d.df + 1 AS HUGEINT)
             * (1000 * h.tf + 300
-               + (9 * ((1000 * h.dl * s.n_docs) // s.sum_dl)) // 10))
-            AS score_micro
+               + (9 * CAST((1000 * CAST(h.dl AS HUGEINT) * s.n_docs) // s.sum_dl AS BIGINT)) // 10))
+            AS BIGINT) AS score_micro
     FROM hits h JOIN dfreq d ON h.term = d.term CROSS JOIN stats s
 ),
 top AS (
@@ -1443,7 +1444,12 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "term",
-            F.expr("(1000 * dl * n_docs) div sum_dl").alias("r_milli"),
+            # dl·n_docs is (doc length)×(corpus count): BIGINT wraps
+            # at ~9.2e15 — decimal, mirrored by the oracle's HUGEINT
+            F.expr(
+                "cast((1000 * cast(dl as decimal(19,0)) * n_docs)"
+                " div sum_dl as bigint)"
+            ).alias("r_milli"),
             "tf",
             "df",
             "n_docs",
@@ -1451,10 +1457,14 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "term",
+            # numerator ~ 1e6·N·tf and denominator ~ df·tf are both
+            # N-scale products — decimal/HUGEINT end-to-end
             F.expr(
-                "(1000000 * (2 * (n_docs - df) + 1) * (2200 * tf))"
-                " div ((2 * df + 1)"
+                "cast((1000000 * cast(2 * (n_docs - df) + 1"
+                " as decimal(19,0)) * (2200 * tf))"
+                " div (cast(2 * df + 1 as decimal(19,0))"
                 "      * (1000 * tf + 300 + (9 * r_milli) div 10))"
+                " as bigint)"
             ).alias("score_micro"),
         )
     )
@@ -1492,11 +1502,12 @@ dfreq AS (
 ),
 scored AS (
     SELECT h.doc_id,
-        (1000000 * (2 * (s.n_docs - d.df) + 1) * (2200 * h.tf))
-        // ((2 * d.df + 1)
+        CAST((1000000 * CAST(2 * (s.n_docs - d.df) + 1 AS HUGEINT)
+              * (2200 * h.tf))
+        // (CAST(2 * d.df + 1 AS HUGEINT)
             * (1000 * h.tf + 300
-               + (9 * ((1000 * h.dl * s.n_docs) // s.sum_dl)) // 10))
-            AS score_micro
+               + (9 * CAST((1000 * CAST(h.dl AS HUGEINT) * s.n_docs) // s.sum_dl AS BIGINT)) // 10))
+            AS BIGINT) AS score_micro
     FROM hits h
     JOIN dfreq d ON h.term = d.term
     CROSS JOIN stats s

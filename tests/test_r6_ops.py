@@ -621,9 +621,22 @@ def test_facility_location_matches_python_greedy(spark, sf_dir):
     from parquet_batch_spark.operators.similarity import (
         FL_CANDS,
         FL_ROUNDS,
-        _fl_hash_order,
         sample_facility_location,
     )
+
+    def _fl_hash_order(ids, rnd):
+        # independent python replica of the per-round candidate order
+        # (md5('fl{round}:{id}') first 8 hex chars, id-tiebroken) —
+        # the engine draws it DISTRIBUTED since r7 (_fl_candidates)
+        import hashlib
+
+        return sorted(
+            ids,
+            key=lambda i: (
+                int(hashlib.md5(f"fl{rnd}:{i}".encode()).hexdigest()[:8], 16),
+                i,
+            ),
+        )
 
     rows = (
         load(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()

@@ -155,3 +155,45 @@ def test_stats_profile_approx_plans_without_expand(spark, sf_dir):
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     assert len(schemas) == 4
     assert all(s.count(":") == 1 for s in schemas), schemas
+
+
+def test_overflow_swept_expressions_survive_web_scale(spark):
+    """r7 overflow sweep: the N²-scale count products found in the
+    package-wide audit (McNemar χ², lift, AUC rank algebra, Cohen's κ
+    chance term, BM25 length ratio, graph densities) evaluated at
+    marginals far past the int64 wrap point, against exact Python
+    integer arithmetic."""
+    N = 4_000_000_000  # 4e9: N² ~ 1.6e19 > int64 max
+    b, c = 2_500_000_000, 1_200_000_000
+    df_ = spark.createDataFrame(
+        [(N, b, c)], "n long, b long, c long"
+    )
+    row = df_.selectExpr(
+        "cast((1000000 * cast(abs(b - c) - 1 as decimal(19,0))"
+        " * (abs(b - c) - 1)) div (b + c) as bigint) as mcnemar",
+        # lift: cum_pos=b, n_total=n, pos_total=c, cum_n=n
+        "cast((1000000 * cast(b as decimal(19,0)) * n)"
+        " div (cast(c as decimal(19,0)) * n) as bigint) as lift",
+        # kappa chance term: a=b, src=c*c (as decimal), n literal
+        "cast((1000000 * (n * cast(b as decimal(19,0))"
+        " - cast(c as decimal(19,0)) * c))"
+        " div (cast(n as decimal(19,0)) * n"
+        " - cast(c as decimal(19,0)) * c) as bigint) as kappa",
+        # graph density: edges=b, nodes=n
+        "cast((2000000 * cast(b as decimal(19,0)))"
+        " div (cast(n as decimal(19,0)) * (n - 1)) as bigint) as phi",
+    ).collect()[0]
+
+    def tdiv(a, d):
+        q = abs(a) // abs(d)
+        return q if (a >= 0) == (d >= 0) else -q
+
+    assert row["mcnemar"] == tdiv(
+        1_000_000 * (abs(b - c) - 1) ** 2, b + c
+    )
+    assert row["lift"] == tdiv(1_000_000 * b * N, c * N)
+    assert row["kappa"] == tdiv(
+        1_000_000 * (N * b - c * c), N * N - c * c
+    )
+    assert row["phi"] == tdiv(2_000_000 * b, N * (N - 1))
+    assert (b + c) * (b + c) > 2**63  # past the old wrap point
