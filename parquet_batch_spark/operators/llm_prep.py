@@ -1392,19 +1392,29 @@ def quality_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mass",
         F.row_number().over(W.orderBy("mass", "source")).alias("i"),
     )
-    return ranked.agg(
+    # rank x mass products reach |sources| x total_chars (~1e22 on a
+    # 100 TB corpus) — sum in decimal and divide with exact integer
+    # div (identical to the old double floor for the non-negative
+    # Gini, with no 2^53 precision cliff), HUGEINT in the oracle.
+    agg = ranked.agg(
         F.count(F.lit(1)).alias("n_sources"),
         F.sum("mass").alias("total_chars"),
-        F.floor(
-            F.lit(1000000.0)
-            * (2 * F.sum(F.col("i") * F.col("mass")) - (F.count(F.lit(1)) + 1) * F.sum("mass"))
-            / (F.count(F.lit(1)) * F.sum("mass"))
-        )
-        .cast("long")
-        .alias("gini_micro"),
-        F.floor(F.lit(1000000.0) * F.max("mass") / F.sum("mass"))
-        .cast("long")
-        .alias("top_share_micro"),
+        F.sum(F.col("i").cast("decimal(19,0)") * F.col("mass")).alias("sxi"),
+        F.max("mass").alias("max_mass"),
+    )
+    return agg.select(
+        "n_sources",
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.expr(
+            "cast((1000000 * (2 * sxi"
+            " - (n_sources + 1) * cast(total_chars as decimal(19,0))))"
+            " div (n_sources * cast(total_chars as decimal(19,0)))"
+            " as bigint)"
+        ).alias("gini_micro"),
+        F.expr(
+            "cast((1000000 * cast(max_mass as decimal(19,0)))"
+            " div total_chars as bigint)"
+        ).alias("top_share_micro"),
     )
 
 
@@ -1418,10 +1428,11 @@ ranked AS (
 )
 SELECT COUNT(*) AS n_sources,
        CAST(SUM(mass) AS BIGINT) AS total_chars,
-       CAST(FLOOR(1000000.0
-            * (2 * SUM(i * mass) - (COUNT(*) + 1) * SUM(mass))
-            / (COUNT(*) * SUM(mass))) AS BIGINT) AS gini_micro,
-       CAST(FLOOR(1000000.0 * MAX(mass) / SUM(mass)) AS BIGINT)
+       CAST((1000000 * (2 * SUM(CAST(i AS HUGEINT) * mass)
+             - (COUNT(*) + 1) * CAST(SUM(mass) AS HUGEINT)))
+            // (COUNT(*) * CAST(SUM(mass) AS HUGEINT)) AS BIGINT)
+           AS gini_micro,
+       CAST((1000000 * CAST(MAX(mass) AS HUGEINT)) // SUM(mass) AS BIGINT)
            AS top_share_micro
 FROM ranked
 """

@@ -4387,8 +4387,9 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_before"
         ),
     )
+    # rank products are N^2-scale — decimal sum (oracle: HUGEINT)
     two_ra = F.sum(
-        F.col("na_v")
+        F.col("na_v").cast("decimal(19,0)")
         * (2 * F.col("cum_before") + F.col("na_v") + F.col("nb_v") + 1)
     )
     m = stepped.agg(
@@ -4426,7 +4427,7 @@ stepped AS (
 ),
 m AS (
     SELECT SUM(na_v) AS na, SUM(nb_v) AS nb,
-           SUM(na_v * (2 * cum_before + na_v + nb_v + 1)) AS two_ra
+           SUM(CAST(na_v AS HUGEINT) * (2 * cum_before + na_v + nb_v + 1)) AS two_ra
     FROM stepped
 )
 SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
@@ -6280,7 +6281,7 @@ base AS (
     SELECT grp, COUNT(*) AS n FROM series GROUP BY grp
 ),
 ties AS (
-    SELECT grp, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_corr
+    SELECT grp, CAST(SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS HUGEINT) AS tie_corr
     FROM (SELECT grp, c, COUNT(*) AS t FROM series GROUP BY grp, c)
     GROUP BY grp
 ),
