@@ -6281,7 +6281,7 @@ base AS (
     SELECT grp, COUNT(*) AS n FROM series GROUP BY grp
 ),
 ties AS (
-    SELECT grp, CAST(SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS HUGEINT) AS tie_corr
+    SELECT grp, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_corr
     FROM (SELECT grp, c, COUNT(*) AS t FROM series GROUP BY grp, c)
     GROUP BY grp
 ),

@@ -197,3 +197,40 @@ def test_overflow_swept_expressions_survive_web_scale(spark):
     )
     assert row["phi"] == tdiv(2_000_000 * b, N * (N - 1))
     assert (b + c) * (b + c) > 2**63  # past the old wrap point
+
+
+def test_fan_out_bin_packing_estimate(spark, tmp_path):
+    """fan_out's parallelism estimate reproduces Spark's file
+    bin-packing arithmetic (openCost padding + bytes-per-core split):
+
+    - many tiny files: Spark's own packing already lands ~target
+      partitions, so fan_out must NOT add a redundant shuffle (and
+      the scan must really be that wide),
+    - ONE small file: one input split -> the spread must happen
+      (this is the case the helper exists for),
+    - a non-file-backed frame: documented safe default is to spread.
+    """
+    from parquet_batch_spark.catalog import fan_out
+
+    target = spark.sparkContext.defaultParallelism
+
+    tiny = str(tmp_path / "tiny")
+    spark.range(2 * target).repartition(2 * target).write.parquet(tiny)
+    df = spark.read.parquet(tiny)
+    assert len(df.inputFiles()) >= target
+    out = fan_out(df, spark)
+    assert out is df  # estimate >= target: no redundant shuffle
+    # and the skip is justified: the scan really is ~target-wide
+    assert df.rdd.getNumPartitions() >= target // 2
+
+    one = str(tmp_path / "one")
+    spark.range(10_000).coalesce(1).write.parquet(one)
+    dfo = spark.read.parquet(one)
+    assert dfo.rdd.getNumPartitions() < target
+    out1 = fan_out(dfo, spark)
+    assert out1 is not dfo
+    assert out1.rdd.getNumPartitions() == target
+
+    mem = spark.range(100)
+    out2 = fan_out(mem, spark)
+    assert out2.rdd.getNumPartitions() == target
