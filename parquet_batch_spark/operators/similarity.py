@@ -1885,21 +1885,38 @@ FL_ROUNDS = 4       # exemplars selected
 FL_CANDS = 4        # stochastic-greedy candidate pool per round
 
 
-def _fl_candidates(base: DataFrame, rnd: int, exclude: list[int]) -> list[int]:
-    """Deterministic per-round candidate pool, drawn DISTRIBUTED: rank
-    vec_ids by portable md5 hash of 'fl{round}:{vec_id}' (id-tiebroken)
-    and take the top FL_CANDS after excluding already-selected ids —
-    a TakeOrderedAndProject (per-partition top-K, K ids to the driver),
-    bit-identical to the oracle's WHERE-then-LIMIT.  Never collects
-    the id column."""
-    pool = base.select("vec_id")
-    if exclude:
-        pool = pool.filter(~F.col("vec_id").isin(sorted(exclude)))
-    ranked = pool.withColumn(
-        "hk",
-        hash32(F.concat(F.lit(f"fl{rnd}:"), F.col("vec_id").cast("string"))),
-    ).orderBy("hk", "vec_id").limit(FL_CANDS)
-    return [int(r["vec_id"]) for r in ranked.collect()]
+def _fl_candidate_pools(base: DataFrame) -> list[list[int]]:
+    """Every round's candidate pool drawn DISTRIBUTED in ONE job: for
+    round r, the top (FL_CANDS + FL_ROUNDS − 1) vec_ids by portable md5
+    hash of 'fl{r}:{vec_id}' (id-tiebroken) — a union of
+    TakeOrderedAndProject subtrees, ≤ FL_ROUNDS·(FL_CANDS+FL_ROUNDS−1)
+    ids to the driver, never the id column.
+
+    Bit-identical to the oracle's per-round WHERE-then-LIMIT: round r
+    excludes at most r previously-selected ids, so the first FL_CANDS
+    non-excluded ids always sit inside the unfiltered top
+    (FL_CANDS + r) ≤ (FL_CANDS + FL_ROUNDS − 1); the caller filters
+    the exclusions and truncates to FL_CANDS."""
+    from functools import reduce
+
+    k = FL_CANDS + FL_ROUNDS - 1
+    ids = base.select("vec_id")
+    parts = []
+    for rnd in range(FL_ROUNDS):
+        hk = hash32(
+            F.concat(F.lit(f"fl{rnd}:"), F.col("vec_id").cast("string"))
+        )
+        parts.append(
+            ids.withColumn("hk", hk)
+            .orderBy("hk", "vec_id")
+            .limit(k)
+            .select(F.lit(rnd).alias("rnd"), "vec_id", "hk")
+        )
+    rows = reduce(DataFrame.unionByName, parts).collect()
+    pools: list[list[int]] = [[] for _ in range(FL_ROUNDS)]
+    for r in sorted(rows, key=lambda r: (r["rnd"], r["hk"], r["vec_id"])):
+        pools[r["rnd"]].append(int(r["vec_id"]))
+    return pools
 
 
 def sample_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1947,16 +1964,19 @@ def sample_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("long")
 
+    pools = _fl_candidate_pools(base)
+    # one bounded fetch covers every round's pool vectors (≤ 28 ids)
+    pool_ids = sorted({c for p in pools for c in p})
+    vecs = {
+        int(r["vec_id"]): [float(x) for x in r["v"]]
+        for r in base.filter(F.col("vec_id").isin(pool_ids)).collect()
+    }
     selected: list[tuple[int, list[float]]] = []
     out_rows = []
     coverage = 0
-    vecs = {}  # candidate id -> vector, fetched per round (bounded)
     for rnd in range(FL_ROUNDS):
-        cands = _fl_candidates(base, rnd, [s for s, _ in selected])
-        need = [c for c in cands if c not in vecs]
-        if need:
-            for r in base.filter(F.col("vec_id").isin(need)).collect():
-                vecs[int(r["vec_id"])] = [float(x) for x in r["v"]]
+        chosen_ids = {s for s, _ in selected}
+        cands = [c for c in pools[rnd] if c not in chosen_ids][:FL_CANDS]
         cov = (
             F.greatest(*[dot_micro(v) for _s, v in selected], F.lit(0).cast("long"))
             if selected

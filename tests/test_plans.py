@@ -626,9 +626,9 @@ _DRIVER_MATERIALIZATION_WHITELIST = {
     ("operators/scale_ops.py", "scan_minmax_skipping", "collect"):
         (1, "row-group stats manifest: one row per file, file-count "
             "bounded"),
-    ("operators/similarity.py", "_fl_candidates", "collect"):
-        (1, "TakeOrderedAndProject limit(FL_CANDS): exactly the "
-            "per-round stochastic-greedy pool (<=4 ids)"),
+    ("operators/similarity.py", "_fl_candidate_pools", "collect"):
+        (1, "ONE union of FL_ROUNDS TakeOrderedAndProject limits: "
+            "<= FL_ROUNDS*(FL_CANDS+FL_ROUNDS-1) = 28 ids total"),
     ("operators/similarity.py", "_hash_seed_cells", "collect"):
         (1, "hash-ordered limit(K) seed draw, K = ceil(sqrt(N)) "
             "centroids of dim doubles"),
@@ -648,7 +648,7 @@ _DRIVER_MATERIALIZATION_WHITELIST = {
     ("operators/similarity.py", "sample_coreset_kcenter", "collect"):
         (2, "limit(1) seed + 1-row farthest-point argmax per round"),
     ("operators/similarity.py", "sample_facility_location", "collect"):
-        (2, "<=FL_CANDS candidate-vector fetch + 1-row gains argmax "
+        (2, "one <=28-row pool-vector fetch + 1-row gains argmax "
             "per round (the O(N) id collect was removed in r7)"),
     ("operators/sources_ext.py", "sink_selective_compaction", "collect"):
         (1, "compaction manifest: one row per over-threshold partition "

@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 from parquet_batch_spark.catalog import load
 from parquet_batch_spark.operators.similarity import (
     FL_CANDS,
-    _fl_candidates,
+    FL_ROUNDS,
+    _fl_candidate_pools,
 )
 from parquet_batch_spark.operators.warehouse import (
     table_stats_profile,
@@ -86,11 +87,12 @@ def test_mcc_arithmetic_survives_web_scale_cells(spark):
 
 
 def test_fl_candidate_draw_matches_hash_order(spark, sf_dir):
-    """The distributed TakeOrderedAndProject draw returns exactly the
-    top-FL_CANDS vec_ids under the documented portable hash order
-    (md5('fl{round}:{id}') first 8 hex chars, id-tiebroken), with the
-    exclusion applied BEFORE the limit — the same pool the removed
-    driver-side sort produced."""
+    """The single-job distributed draw returns, per round, the top
+    (FL_CANDS + FL_ROUNDS - 1) vec_ids under the documented portable
+    hash order (md5('fl{round}:{id}') first 8 hex chars,
+    id-tiebroken) — wide enough that excluding up to FL_ROUNDS - 1
+    already-selected ids and truncating to FL_CANDS is bit-identical
+    to the oracle's exclusion-before-limit on the full id set."""
     base = (
         load(spark, sf_dir, "embeddings")
         .select("vec_id")
@@ -99,23 +101,27 @@ def test_fl_candidate_draw_matches_hash_order(spark, sf_dir):
     )
     ids = [int(r["vec_id"]) for r in base.collect()]
 
-    def py_order(rnd, exclude):
-        pool = [i for i in ids if i not in exclude]
+    def py_order(rnd):
         return sorted(
-            pool,
+            ids,
             key=lambda i: (
                 int(
                     hashlib.md5(f"fl{rnd}:{i}".encode()).hexdigest()[:8], 16
                 ),
                 i,
             ),
-        )[:FL_CANDS]
+        )
 
-    got0 = _fl_candidates(base, 0, [])
-    assert got0 == py_order(0, set())
-    got1 = _fl_candidates(base, 1, got0)
-    assert got1 == py_order(1, set(got0))
-    assert not set(got0) & set(got1)
+    pools = _fl_candidate_pools(base)
+    assert len(pools) == FL_ROUNDS
+    k = FL_CANDS + FL_ROUNDS - 1
+    for rnd, pool in enumerate(pools):
+        assert pool == py_order(rnd)[:k]
+    # exclusion-then-truncate equals WHERE-then-LIMIT on the full set
+    excl = set(pools[0][:FL_ROUNDS - 1])
+    truncated = [c for c in pools[1] if c not in excl][:FL_CANDS]
+    full = [c for c in py_order(1) if c not in excl][:FL_CANDS]
+    assert truncated == full
     base.unpersist()
 
 
