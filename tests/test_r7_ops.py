@@ -240,3 +240,42 @@ def test_fan_out_bin_packing_estimate(spark, tmp_path):
     mem = spark.range(100)
     out2 = fan_out(mem, spark)
     assert out2.rdd.getNumPartitions() == target
+
+
+def test_overflow_swept_rank_and_moment_sums_survive_web_scale(spark):
+    """The second half of the r7 sweep: rank-sum products
+    (Mann-Whitney / AUC two_r1), word second moments (burstiness
+    fano), and BM25's length/score terms, at magnitudes where the old
+    BIGINT paths wrapped, against exact Python integers."""
+    n1, below, n, nb = 3_000_000_000, 5_000_000_000, 2_000_000_000, 4_000_000_000
+    s, s2, df_, ndocs = 6_000_000_000, 4 * 10**19, 2_000_000_000, 10**12
+    dl, tf, ddf = 100_000, 900, 800_000_000_000
+    frame = spark.createDataFrame(
+        [(n1, below, n, nb, s, df_, dl, tf, ddf)],
+        "n1 long, below long, n long, nb long, s long, df long,"
+        " dl long, tf long, ddf long",
+    ).withColumn("s2", F.lit(str(s2)).cast("decimal(38,0)"))
+    row = frame.selectExpr(
+        # MWU/AUC rank product: n1 * (2*below + n + nb + 1)
+        "cast(cast(n1 as decimal(19,0))"
+        " * (2 * below + n + nb + 1) as decimal(38,0)) as two_r",
+        # burstiness fano: (1e6 * (N*s2 - s^2)) div (N*s)
+        f"cast((1000000 * ({ndocs} * s2"
+        f" - cast(s as decimal(19,0)) * s))"
+        f" div ({ndocs} * cast(s as decimal(19,0))) as bigint) as fano",
+        # BM25 r_milli: (1000 * dl * n_docs) div sum_dl  (sum_dl = s)
+        f"cast((1000 * cast(dl as decimal(19,0)) * {ndocs})"
+        " div s as bigint) as r_milli",
+        # BM25 score numerator/denominator with df ~ 8e11 docs
+        f"cast((1000000 * cast(2 * ({ndocs} - ddf) + 1 as decimal(19,0))"
+        " * (2200 * tf))"
+        " div (cast(2 * ddf + 1 as decimal(19,0))"
+        "      * (1000 * tf + 300)) as bigint) as score",
+    ).collect()[0]
+    assert int(row["two_r"]) == n1 * (2 * below + n + nb + 1)
+    assert n1 * (2 * below + n + nb + 1) > 2**63  # old path wrapped
+    assert row["fano"] == (1_000_000 * (ndocs * s2 - s * s)) // (ndocs * s)
+    assert row["r_milli"] == (1000 * dl * ndocs) // s
+    assert row["score"] == (
+        1_000_000 * (2 * (ndocs - ddf) + 1) * (2200 * tf)
+    ) // ((2 * ddf + 1) * (1000 * tf + 300))
