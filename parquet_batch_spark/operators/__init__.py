@@ -54,73 +54,79 @@ from pyspark.sql import DataFrame, SparkSession
 #     never-checked llm_prep/text_analysis/similarity (VERDICT r6 #1:
 #     the least-certified north-star families).  50/50 first-time;
 #     never-checked drops 195 -> 145 (incl. the one r7-new op).
-#   r8 plan: next 50 of this list (3 similarity leftovers +
-#     never-checked stats_ops + module-order head).  r9: the tail.
-#   r10+: driver-checked entries, stalest round first (r1 block leads).
+#   r8 window (this ordering): VERDICT r7 #1 — the full 50-slot
+#     window never-checked-first, north-star families before the stats
+#     tail: similarity's last 3, multimodal 10, pipeline_ops 11,
+#     dedup 8, corpus_ops 8, udfs 3, scale_ops 4, scans 1 (= 48),
+#     topped up with 2 warehouse entries.  Clears dedup/similarity/
+#     multimodal/pipeline_ops/corpus_ops to 0 judge-only; never-checked
+#     drops 145 -> 95.
+#   r9 pre-stage (VERDICT r7 #7): 34 stats_ops + 13 relational +
+#     3 scalar_funcs head.  r10: the remaining 45 (scalar_funcs 9,
+#     sources_ext 10, warehouse 7, joins 7, windows 7, analytics 5) —
+#     full driver certification of all 466 lands at r10.
+#   r11+: driver-checked entries, stalest round first (r1 block leads).
 _PRIORITY = [
-    # --- r7 window (slots 1-50, all first-time): slots 1-3 = the ops
-    #     CHANGED this round (MCC overflow fix, facility-location
-    #     distributed candidate draw, geometric-median decimal cast),
-    #     slot 4 = the one r7-new op (VERDICT r6 #4), slots 5-50 =
-    #     never-checked llm_prep (20) + text_analysis (19) +
-    #     similarity (7) — the three least-certified north-star
-    #     families (VERDICT r6 #1) ---
-    "ml_mcc_balanced_accuracy",
-    "sample_facility_location",
-    "embedding_geometric_median",
-    "table_stats_profile_approx",
-    "sample_doremi_proxy_weights",
-    "seq_curriculum_order",
-    "sample_dataset_cartography",
-    "sample_rho_loss_selection",
-    "sample_negative_sampling",
-    "sample_epoch_plan",
-    "text_dsir_importance",
-    "sample_weighted_without_replacement",
-    "seq_shard_manifest",
-    "sample_balanced_labels",
-    "sample_temperature_mixture",
-    "graph_degree_histogram",
-    "seq_pack_chunks",
-    "sample_mix_domains",
-    "dedup_paragraph",
-    "dedup_incremental_novelty",
-    "embedding_quantize_int8",
-    "text_rarity_score",
-    "window_ewma_decay",
-    "curation_pipeline_funnel",
-    "quality_wimbd_top_ngrams",
-    "text_rake_keywords",
-    "text_textrank_keywords",
-    "text_yule_k",
-    "text_chao1_vocabulary",
-    "text_good_turing_mass",
-    "text_burrows_delta",
-    "text_bm25_topk",
-    "text_langid_ngram_profile",
-    "quality_ndcg_ranking_eval",
-    "text_winnowing_fingerprints",
-    "text_lexical_diversity",
-    "text_tokenizer_fertility",
-    "text_vocab_growth",
-    "text_watermark_greenlist",
-    "quality_perplexity_buckets",
-    "text_kneser_ney_score",
-    "quality_langid_confusion",
-    "text_bigram_surprisal",
-    "embedding_pq_distortion",
-    "ml_kmeans_lloyd",
-    "embedding_random_projection_jl",
-    "ann_pq_adc",
-    "ann_ivfpq_topk",
-    "ann_recall_eval",
-    "dedup_semantic_cluster",
-    # --- behind the window (r8 pre-stage): the 3 leftover
-    #     never-checked similarity, then never-checked stats_ops,
-    #     then the remaining never-checked in module order ---
+    # --- r8 window slots 1-3: the 3 never-checked similarity leftovers (VERDICT r7 #1: north-star families first) ---
     "embedding_matryoshka_eval",
     "sample_coreset_kcenter",
     "embedding_kmeans_rollup",
+    # --- r8 slots 4-13: all 10 never-checked multimodal ---
+    "multimodal_interleaved_budget",
+    "multimodal_caption_alignment",
+    "multimodal_patch_token_budget",
+    "multimodal_aspect_bucket",
+    "multimodal_webdataset_index",
+    "multimodal_audio_energy",
+    "multimodal_video_frame_diff",
+    "multimodal_content_sniff",
+    "multimodal_payload_chunks",
+    "multimodal_dedup_phash",
+    # --- r8 slots 14-24: all 11 never-checked pipeline_ops ---
+    "quality_model_score",
+    "privacy_dp_laplace_counts",
+    "sample_horvitz_thompson",
+    "privacy_l_diversity",
+    "privacy_randomized_response",
+    "sample_pps_systematic",
+    "quality_luhn_validation",
+    "decontam_bloom_filter",
+    "privacy_k_anonymity",
+    "sample_reservoir_per_group",
+    "quality_nullity_patterns",
+    # --- r8 slots 25-32: all 8 never-checked dedup ---
+    "dedup_fellegi_sunter_weights",
+    "dedup_minhash_b_bit",
+    "dedup_prefix_cluster",
+    "dedup_threshold_sweep",
+    "dedup_sorted_neighborhood",
+    "dedup_cdc_chunking",
+    "dedup_cluster_representative",
+    "dedup_exact_substring",
+    # --- r8 slots 33-40: all 8 never-checked corpus_ops ---
+    "graph_hits_bipartite",
+    "graph_clustering_coefficient",
+    "graph_degree_assortativity",
+    "graph_rich_club",
+    "graph_neighborhood_jaccard",
+    "graph_kcore",
+    "dedup_cross_source_matrix",
+    "graph_adamic_adar",
+    # --- r8 slots 41-43: all 3 never-checked udfs ---
+    "udf_pandas_scalar_iter",
+    "udf_apply_in_arrow",
+    "udf_arrow_scalar",
+    # --- r8 slots 44-47: all 4 never-checked scale_ops ---
+    "scan_dictionary_encoding_audit",
+    "scan_partition_pruning_report",
+    "sink_clustering_factor",
+    "scan_rowgroup_stats",
+    # --- r8 slot 48: the 1 never-checked scans entry ---
+    "scan_observed_metrics",
+    # --- r8 slots 49-50: warehouse top-up (registry order) ---
+    "etl_snapshot_diff_audit",
+    "etl_analyze_table_stats",
+    # --- r9 pre-stage (VERDICT r7 #7): the 34 never-checked stats_ops ---
     "ml_isotonic_calibration",
     "window_page_hinkley_drift",
     "window_holt_linear_trend",
@@ -155,17 +161,7 @@ _PRIORITY = [
     "window_average_true_range",
     "agg_tukey_hsd",
     "agg_cuped_variance_reduction",
-    "scan_observed_metrics",
-    "scan_schema_evolution",
-    "source_text_lines",
-    "source_xml_roundtrip",
-    "source_jsonl_corrupt_tolerant",
-    "sink_retention_prune",
-    "source_multiformat_union",
-    "source_python_datasource",
-    "sink_dynamic_partition_overwrite",
-    "scan_ignore_corrupt",
-    "sink_compression_codecs",
+    # --- r9: the 13 never-checked relational ---
     "sql_pipe_syntax",
     "sql_udf_create_function",
     "sql_session_variables",
@@ -179,28 +175,11 @@ _PRIORITY = [
     "explode_outer_semantics",
     "agg_filtered",
     "agg_listagg_sorted",
-    "join_null_aware_anti",
-    "join_point_in_time_scd2",
-    "join_nearest_price",
-    "join_lateral_topk",
-    "join_null_safe",
-    "join_asof_tolerance",
-    "join_bloom_prefilter",
-    "window_allen_interval_relations",
-    "window_bollinger_breaches",
-    "window_streak_islands",
-    "window_nth_value",
-    "window_percent_change",
-    "window_running_distinct",
-    "window_rolling_median",
-    "agg_hodges_lehmann",
-    "rollup_downsample_ltob",
-    "agg_benford_profile",
-    "explode_positional_tokens",
-    "agg_moments_exact",
+    # --- r9 top-up: scalar_funcs head ---
     "sql_execute_immediate",
     "sql_table_function",
     "sql_identifier_clause",
+    # --- r10: remaining scalar_funcs ---
     "func_geohash_encode",
     "func_csv_struct",
     "sql_named_params",
@@ -210,40 +189,18 @@ _PRIORITY = [
     "func_try_arith",
     "func_url",
     "func_bitwise",
-    "udf_pandas_scalar_iter",
-    "udf_apply_in_arrow",
-    "udf_arrow_scalar",
-    "dedup_fellegi_sunter_weights",
-    "dedup_minhash_b_bit",
-    "dedup_prefix_cluster",
-    "dedup_threshold_sweep",
-    "dedup_sorted_neighborhood",
-    "dedup_cdc_chunking",
-    "dedup_cluster_representative",
-    "dedup_exact_substring",
-    "multimodal_interleaved_budget",
-    "multimodal_caption_alignment",
-    "multimodal_patch_token_budget",
-    "multimodal_aspect_bucket",
-    "multimodal_webdataset_index",
-    "multimodal_audio_energy",
-    "multimodal_video_frame_diff",
-    "multimodal_content_sniff",
-    "multimodal_payload_chunks",
-    "multimodal_dedup_phash",
-    "quality_model_score",
-    "privacy_dp_laplace_counts",
-    "sample_horvitz_thompson",
-    "privacy_l_diversity",
-    "privacy_randomized_response",
-    "sample_pps_systematic",
-    "quality_luhn_validation",
-    "decontam_bloom_filter",
-    "privacy_k_anonymity",
-    "sample_reservoir_per_group",
-    "quality_nullity_patterns",
-    "etl_snapshot_diff_audit",
-    "etl_analyze_table_stats",
+    # --- r10: sources_ext ---
+    "scan_schema_evolution",
+    "source_text_lines",
+    "source_xml_roundtrip",
+    "source_jsonl_corrupt_tolerant",
+    "sink_retention_prune",
+    "source_multiformat_union",
+    "source_python_datasource",
+    "sink_dynamic_partition_overwrite",
+    "scan_ignore_corrupt",
+    "sink_compression_codecs",
+    # --- r10: warehouse tail ---
     "etl_foreign_key_audit",
     "etl_late_arriving_dimension",
     "etl_time_travel",
@@ -251,18 +208,28 @@ _PRIORITY = [
     "etl_write_audit_publish",
     "etl_snapshot_diff",
     "etl_cdc_apply",
-    "scan_dictionary_encoding_audit",
-    "scan_partition_pruning_report",
-    "sink_clustering_factor",
-    "scan_rowgroup_stats",
-    "graph_hits_bipartite",
-    "graph_clustering_coefficient",
-    "graph_degree_assortativity",
-    "graph_rich_club",
-    "graph_neighborhood_jaccard",
-    "graph_kcore",
-    "dedup_cross_source_matrix",
-    "graph_adamic_adar",
+    # --- r10: joins ---
+    "join_null_aware_anti",
+    "join_point_in_time_scd2",
+    "join_nearest_price",
+    "join_lateral_topk",
+    "join_null_safe",
+    "join_asof_tolerance",
+    "join_bloom_prefilter",
+    # --- r10: windows ---
+    "window_allen_interval_relations",
+    "window_bollinger_breaches",
+    "window_streak_islands",
+    "window_nth_value",
+    "window_percent_change",
+    "window_running_distinct",
+    "window_rolling_median",
+    # --- r10: analytics ---
+    "agg_hodges_lehmann",
+    "rollup_downsample_ltob",
+    "agg_benford_profile",
+    "explode_positional_tokens",
+    "agg_moments_exact",
 ]
 
 

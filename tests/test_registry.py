@@ -28,34 +28,37 @@ def test_every_oracle_has_a_query():
     assert rows_only == [], rows_only
 
 
-def test_driver_window_covers_round7_targets():
+def test_driver_window_covers_round8_targets():
     """Slots 1-50 (the driver's check window) must be entirely
-    never-driver-checked entries (VERDICT r6 #1: never-checked-first,
-    llm_prep/text_analysis/similarity — the least-certified north-star
-    families), leading with the three ops CHANGED this round plus the
-    one r7-new op.  The ever-checked set is pinned from the recorded
-    CORRECTNESS_r01-r06 artifacts."""
+    never-driver-checked entries in VERDICT r7 #1's composition —
+    north-star families before the stats tail: similarity 3,
+    multimodal 10, pipeline_ops 11, dedup 8, corpus_ops 8, udfs 3,
+    scale_ops 4, scans 1, warehouse top-up 2.  Clears every north-star
+    family to 0 judge-only.  The ever-checked set is pinned from the
+    recorded CORRECTNESS_r01-r07 artifacts."""
     import glob
     import json
     import os
 
     first50 = list(all_queries())[:50]
-    assert first50[:4] == [
-        "ml_mcc_balanced_accuracy",       # ADVICE r6: int64 overflow fix
-        "sample_facility_location",       # VERDICT r6 #2: distributed draw
-        "embedding_geometric_median",     # ADVICE r6: decimal cast fix
-        "table_stats_profile_approx",     # VERDICT r6 #4: the r7-new op
-    ]
     from parquet_batch_spark.operators import (
-        llm_prep, similarity, text_analysis,
+        corpus_ops, dedup, multimodal, pipeline_ops, scale_ops, scans,
+        similarity, udfs, warehouse,
     )
 
-    assert sum(n in llm_prep.QUERIES for n in first50) == 20
-    assert sum(n in text_analysis.QUERIES for n in first50) == 19
-    assert sum(n in similarity.QUERIES for n in first50) == 9
+    assert sum(n in similarity.QUERIES for n in first50) == 3
+    assert sum(n in multimodal.QUERIES for n in first50) == 10
+    assert sum(n in pipeline_ops.QUERIES for n in first50) == 11
+    # dedup_cross_source_matrix lives in corpus_ops, not dedup
+    assert sum(n in dedup.QUERIES for n in first50) == 8
+    assert sum(n in corpus_ops.QUERIES for n in first50) == 8
+    assert sum(n in udfs.QUERIES for n in first50) == 3
+    assert sum(n in scale_ops.QUERIES for n in first50) == 4
+    assert sum(n in scans.QUERIES for n in first50) == 1
+    assert sum(n in warehouse.QUERIES for n in first50) == 2
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     checked = set()
-    for f in glob.glob(os.path.join(root, "CORRECTNESS_r0[1-6].json")):
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r0[1-7].json")):
         checked.update(json.load(open(f)))
     rechecks = [n for n in first50 if n in checked]
     assert rechecks == [], f"window wastes slots on re-checks: {rechecks}"
