@@ -86,6 +86,36 @@ def count_table(spark: SparkSession, sf_dir: str, name: str) -> int:
     return _TABLE_COUNTS[key]
 
 
+def _spark_pack_estimate(sizes: list[int], target: int) -> int:
+    """Partition count Spark's FilePartition.getFilePartitions yields
+    for files of the given byte sizes at the default read configs
+    (maxPartitionBytes 128 MiB, openCostInBytes 4 MiB), reproduced
+    step-for-step: the split size pads every file with the open cost,
+    each file is chunked at the split size (only REAL bytes split),
+    and chunks greedy-pack largest-first, closing a partition when
+    the next chunk's real bytes would overflow it (the open cost is
+    charged per packed chunk, not chunked itself — which is why a
+    plain ceil(totalWithCost/split) over-counts near the boundary:
+    one 10 MB file at target 4 estimates 4 but Spark packs 3)."""
+    open_cost = 4 << 20
+    total = sum(sizes) + open_cost * len(sizes)
+    split = min(128 << 20, max(open_cost, total // max(target, 1)))
+    chunks = []
+    for s in sizes:
+        n_full, rem = divmod(s, split)
+        chunks.extend([split] * n_full)
+        if rem or s == 0:
+            chunks.append(rem)
+    chunks.sort(reverse=True)
+    est, cur = 0, 0
+    for c in chunks:
+        if est == 0 or cur + c > split:
+            est += 1
+            cur = 0
+        cur += c + open_cost
+    return max(1, est)
+
+
 def fan_out(df: DataFrame, spark: SparkSession, *cols: str) -> DataFrame:
     """Widen a small scan feeding a computation-heavy derivation.
 
@@ -112,13 +142,10 @@ def fan_out(df: DataFrame, spark: SparkSession, *cols: str) -> DataFrame:
         # bin-packed into far fewer partitions (maxPartitionBytes +
         # openCostInBytes), so `len(files) >= target` can still mean an
         # under-parallelized scan.  For stat-able local paths reproduce
-        # Spark's own packing arithmetic (FilePartition.maxSplitBytes):
-        # split = min(maxPartitionBytes, max(openCost, bytes/core)),
-        # partitions ~= ceil(total_with_open_cost / split).  Remote
-        # URIs keep the file count (a 100 TB table has >> cores files
-        # anyway, and at that scale this helper is a no-op).
+        # Spark's own packing exactly (see _spark_pack_estimate).
+        # Remote URIs keep the file count (a 100 TB table has >> cores
+        # files anyway, and at that scale this helper is a no-op).
         try:
-            import math
             import os
             from urllib.parse import urlparse
 
@@ -128,10 +155,7 @@ def fan_out(df: DataFrame, spark: SparkSession, *cols: str) -> DataFrame:
                 if parsed.scheme not in ("file", ""):
                     raise OSError(uri)  # remote: fall back to count
                 sizes.append(os.path.getsize(parsed.path))
-            open_cost = 4 << 20
-            total = sum(sizes) + open_cost * len(sizes)
-            split = min(128 << 20, max(open_cost, total // max(target, 1)))
-            est = max(1, math.ceil(total / split))
+            est = _spark_pack_estimate(sizes, target)
         except OSError:
             pass
     # est == 0 (non-file-backed plan): partition count is unknowable

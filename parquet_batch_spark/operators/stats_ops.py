@@ -5630,8 +5630,11 @@ def agg_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols_m = conf.groupBy("p").agg(F.sum("c").alias("k"))
     # marginal products are N^2-scale: multiply/sum in decimal
     # (oracle: HUGEINT) so the chance-agreement term can't wrap int64
-    # at corpus scale.  The raw sum_rc DIAGNOSTIC column stays long
-    # (saturates past N ~ 3e9 docs); the statistics are decimal-exact.
+    # at corpus scale.  The raw sum_rc DIAGNOSTIC column stays long,
+    # clamped to int64-max on BOTH engines past N ~ 3e9 docs (ADVICE
+    # r7: a bare cast silently NULLs in non-ANSI Spark but ERRORS in
+    # DuckDB — LEAST makes the saturation mode match); the statistics
+    # are decimal-exact.
     rc = (
         rows_m.join(cols_m, rows_m.y == cols_m.p)
         .agg(
@@ -5646,7 +5649,10 @@ def agg_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.lit(int(n)).cast("long").alias("n"),
             F.col("a").cast("long").alias("n_agree"),
-            F.col("src").cast("long").alias("sum_rc"),
+            F.least(
+                F.col("src"),
+                F.lit("9223372036854775807").cast("decimal(38,0)"),
+            ).cast("long").alias("sum_rc"),
             F.expr(
                 f"cast((1000000 * cast(a as decimal(19,0)))"
                 f" div {int(n)} as bigint)"
@@ -5685,7 +5691,9 @@ rc AS (
     JOIN (SELECT p, CAST(SUM(c) AS BIGINT) AS k FROM conf GROUP BY p) k
       ON r.y = k.p
 )
-SELECT n.n, agree.a AS n_agree, CAST(rc.src AS BIGINT) AS sum_rc,
+SELECT n.n, agree.a AS n_agree,
+    CAST(LEAST(rc.src, CAST(9223372036854775807 AS HUGEINT)) AS BIGINT)
+        AS sum_rc,
     CAST((1000000 * CAST(agree.a AS HUGEINT)) // n.n AS BIGINT)
         AS accuracy_micro,
     CAST((1000000 * (n.n * CAST(agree.a AS HUGEINT) - rc.src))

@@ -721,12 +721,17 @@ def table_stats_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle strategy (same as ``approx_distinct_sketch``,
     analytics.py): the sketch value is engine-specific, so the query
-    projects the EXACT NDV plus a deterministic ``ndv_within_5pct``
-    band boolean — HLL++ is deterministic for fixed data and the 2 %
-    rsd sits far from the 5 % band — and the oracle states the exact
-    NDV and ``TRUE``.  A pure production run drops the exact NDV and
-    the boolean, leaving one approx-only pass per column; the band
-    check is what makes the op CORRECTNESS-eligible here.
+    projects the EXACT NDV plus a deterministic ``ndv_within_10pct``
+    band boolean — HLL++ is deterministic for fixed data, and at
+    rsd 2 % the 10 % band is 5 sigma, so even a regenerated dataset
+    can't flip it (ADVICE r7: the old 5 % band was ~2.5 sigma) — and
+    the oracle states the exact NDV and ``TRUE``.  An all-null column
+    (exact NDV 0, approx 0) is in-band by definition, guarded
+    explicitly so the 0/0 NaN can't read as out-of-band.  A pure
+    production run drops the exact NDV and the boolean, leaving one
+    approx-only pass per column; the band check is what makes the op
+    CORRECTNESS-eligible here (the 2 % observed error is asserted in
+    tests/test_r7_ops.py, where a regeneration CAN legitimately fail).
     """
     li = load(spark, sf_dir, "lineitem")
     ship_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -738,15 +743,15 @@ def table_stats_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
             exact.alias("ndv"),
-            (
+            F.when(exact == 0, F.lit(True)).otherwise(
                 F.abs(approx.cast("double") / exact.cast("double") - F.lit(1.0))
-                <= F.lit(0.05)
-            ).alias("ndv_within_5pct"),
+                <= F.lit(0.10)
+            ).alias("ndv_within_10pct"),
             min_val.cast("string").alias("min_val"),
             max_val.cast("string").alias("max_val"),
         ).select(
             F.lit(cname).alias("col_name"),
-            "n_rows", "n_nulls", "ndv", "ndv_within_5pct",
+            "n_rows", "n_nulls", "ndv", "ndv_within_10pct",
             "min_val", "max_val",
         )
 
@@ -766,12 +771,12 @@ def table_stats_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STATS_APPROX_SQL = """
-SELECT col_name, n_rows, n_nulls, ndv, ndv_within_5pct, min_val, max_val
+SELECT col_name, n_rows, n_nulls, ndv, ndv_within_10pct, min_val, max_val
 FROM (
     SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows,
         COUNT(*) - COUNT(l_orderkey) AS n_nulls,
         COUNT(DISTINCT l_orderkey) AS ndv,
-        TRUE AS ndv_within_5pct,
+        TRUE AS ndv_within_10pct,
         CAST(MIN(l_orderkey) AS VARCHAR) AS min_val,
         CAST(MAX(l_orderkey) AS VARCHAR) AS max_val
     FROM lineitem

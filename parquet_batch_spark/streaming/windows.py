@@ -103,7 +103,13 @@ def _drain(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        try:
+            q.awaitTermination()
+        finally:
+            # availableNow self-terminates on success; the stop is for
+            # the exception path, where it's a no-op-or-cleanup either
+            # way (ADVICE r7: never leak a query past the conf restore)
+            q.stop()
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -572,8 +578,12 @@ def streaming_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .queryName(name)
             .start()
         )
-        q.processAllAvailable()
-        q.stop()
+        try:
+            q.processAllAvailable()
+        finally:
+            # ADVICE r7: a drain exception must not leak a running
+            # query past the conf restore
+            q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name).orderBy("k")

@@ -628,7 +628,8 @@ _DRIVER_MATERIALIZATION_WHITELIST = {
             "bounded"),
     ("operators/similarity.py", "_fl_candidate_pools", "collect"):
         (1, "ONE union of FL_ROUNDS TakeOrderedAndProject limits: "
-            "<= FL_ROUNDS*(FL_CANDS+FL_ROUNDS-1) = 28 ids total"),
+            "<= FL_ROUNDS*(FL_CANDS+FL_ROUNDS-1) = 28 rows total "
+            "(pool vectors ride along — the fused draw+fetch)"),
     ("operators/similarity.py", "_hash_seed_cells", "collect"):
         (1, "hash-ordered limit(K) seed draw, K = ceil(sqrt(N)) "
             "centroids of dim doubles"),
@@ -648,8 +649,9 @@ _DRIVER_MATERIALIZATION_WHITELIST = {
     ("operators/similarity.py", "sample_coreset_kcenter", "collect"):
         (2, "limit(1) seed + 1-row farthest-point argmax per round"),
     ("operators/similarity.py", "sample_facility_location", "collect"):
-        (2, "one <=28-row pool-vector fetch + 1-row gains argmax "
-            "per round (the O(N) id collect was removed in r7)"),
+        (1, "1-row gains argmax per round (the O(N) id collect was "
+            "removed in r7; the pool-vector fetch fused into the "
+            "draw job in r8)"),
     ("operators/sources_ext.py", "sink_selective_compaction", "collect"):
         (1, "compaction manifest: one row per over-threshold partition "
             "(|partition domain| bounded)"),

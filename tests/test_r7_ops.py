@@ -112,7 +112,8 @@ def test_fl_candidate_draw_matches_hash_order(spark, sf_dir):
             ),
         )
 
-    pools = _fl_candidate_pools(base)
+    pools, vecs = _fl_candidate_pools(base)
+    assert vecs == {}  # no vector column on this base: ids only
     assert len(pools) == FL_ROUNDS
     k = FL_CANDS + FL_ROUNDS - 1
     for rnd, pool in enumerate(pools):
@@ -128,7 +129,11 @@ def test_fl_candidate_draw_matches_hash_order(spark, sf_dir):
 def test_stats_profile_approx_matches_exact_profile(spark, sf_dir):
     """Row counts, null counts, exact NDV, and min/max agree with the
     exact variant column-for-column, and every HLL++ estimate sits in
-    the 5 % band (the boolean the oracle pins to TRUE)."""
+    the 10 % band (the boolean the oracle pins to TRUE; ADVICE r7
+    widened it from 5 % — 2.5 sigma at rsd 2 % — so a regenerated
+    dataset can't flip parity).  The TIGHT band lives here instead:
+    this test may legitimately fail on regeneration, the oracle must
+    not."""
     exact = {
         r["col_name"]: r.asDict()
         for r in table_stats_profile(spark, sf_dir).collect()
@@ -142,7 +147,20 @@ def test_stats_profile_approx_matches_exact_profile(spark, sf_dir):
         a = approx[col]
         for k in ("n_rows", "n_nulls", "ndv", "min_val", "max_val"):
             assert a[k] == e[k], (col, k, a[k], e[k])
-        assert a["ndv_within_5pct"] is True, col
+        assert a["ndv_within_10pct"] is True, col
+
+    # tight-band assertion (not in the oracle): HLL++ at rsd 2 % on
+    # this data actually lands within 5 % of exact for every column
+    from pyspark.sql import functions as F
+
+    from parquet_batch_spark.catalog import load
+
+    li = load(spark, sf_dir, "lineitem")
+    for col in exact:
+        a, e = li.agg(
+            F.approx_count_distinct(col, 0.02), F.countDistinct(col)
+        ).collect()[0]
+        assert e == 0 or abs(a / e - 1.0) <= 0.05, (col, a, e)
 
 
 def test_stats_profile_approx_plans_without_expand(spark, sf_dir):
@@ -207,11 +225,14 @@ def test_overflow_swept_expressions_survive_web_scale(spark):
 
 def test_fan_out_bin_packing_estimate(spark, tmp_path):
     """fan_out's parallelism estimate reproduces Spark's file
-    bin-packing arithmetic (openCost padding + bytes-per-core split):
+    bin-packing EXACTLY (ADVICE r7 replaced the ceil(totalWithCost/
+    split) approximation, which over-counted near boundaries and
+    skipped spreads the contract intends), so its skip/spread
+    decision must equal `actual partitions >= target`:
 
-    - many tiny files: Spark's own packing already lands ~target
-      partitions, so fan_out must NOT add a redundant shuffle (and
-      the scan must really be that wide),
+    - many tiny files: openCost bin-packing usually lands BELOW
+      target (floor(split/openCost)+1 chunks per bin), so the spread
+      the old estimate skipped must now happen,
     - ONE small file: one input split -> the spread must happen
       (this is the case the helper exists for),
     - a non-file-backed frame: documented safe default is to spread.
@@ -224,10 +245,13 @@ def test_fan_out_bin_packing_estimate(spark, tmp_path):
     spark.range(2 * target).repartition(2 * target).write.parquet(tiny)
     df = spark.read.parquet(tiny)
     assert len(df.inputFiles()) >= target
+    actual = df.rdd.getNumPartitions()
     out = fan_out(df, spark)
-    assert out is df  # estimate >= target: no redundant shuffle
-    # and the skip is justified: the scan really is ~target-wide
-    assert df.rdd.getNumPartitions() >= target // 2
+    if actual >= target:
+        assert out is df  # no redundant shuffle
+    else:
+        assert out is not df  # under-parallelized scan: must spread
+        assert out.rdd.getNumPartitions() == target
 
     one = str(tmp_path / "one")
     spark.range(10_000).coalesce(1).write.parquet(one)
@@ -240,6 +264,39 @@ def test_fan_out_bin_packing_estimate(spark, tmp_path):
     mem = spark.range(100)
     out2 = fan_out(mem, spark)
     assert out2.rdd.getNumPartitions() == target
+
+
+def test_pack_estimate_matches_spark_exactly(spark, tmp_path):
+    """_spark_pack_estimate reproduces Spark's FilePartition packing
+    byte-for-byte on real scans, including ADVICE r7's boundary case
+    (one file a bit over 2 split sizes, where the old
+    ceil(totalWithCost/split) over-counted by one and fan_out skipped
+    a spread it should have made)."""
+    import os
+
+    from parquet_batch_spark.catalog import _spark_pack_estimate
+
+    target = spark.sparkContext.defaultParallelism
+
+    # ~10 MB single file: with openCost padding the split lands near
+    # total/target, so the estimate sits exactly on the boundary the
+    # advisor flagged (est must equal Spark's packing, not exceed it)
+    big = str(tmp_path / "big")
+    spark.range(1_500_000).select(
+        F.col("id"), F.sha2(F.col("id").cast("string"), 256).alias("pad")
+    ).coalesce(1).write.parquet(big)
+    for path in (big, str(tmp_path / "big2")):
+        if path != big:
+            spark.range(40_000).repartition(6).write.parquet(path)
+        df = spark.read.parquet(path)
+        sizes = [
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+        est = _spark_pack_estimate(sizes, target)
+        actual = df.rdd.getNumPartitions()
+        assert est == actual, (path, sizes, est, actual)
 
 
 def test_overflow_swept_rank_and_moment_sums_survive_web_scale(spark):
