@@ -305,11 +305,67 @@ def main() -> None:
     for _t in ("documents", "embeddings", "events", "orders"):
         _materialize(_load(spark, SF_DIR, _t).select(F.count(F.lit(1))))
 
+    # Data-independent CPU calibration: one whole-stage-codegen sum
+    # over a literal range, best-of-3 AFTER the JVM warm-up above.
+    # Shared-box throughput drifts 10%+ between capture windows (r7:
+    # four same-day runs spread 1.035-1.102x), so round-over-round
+    # comparisons should normalize per-query seconds by this line
+    # before calling anything a regression.
+    cal = float("inf")
+    for _ in range(3):
+        t0 = time.monotonic()
+        _materialize(spark.range(1 << 31).selectExpr("sum(id) AS s"))
+        cal = min(cal, time.monotonic() - t0)
+    calibration = round(cal, 3)
+
     # Pass 1 — FULL registry, one timed run each (VERDICT r5 #3: a
     # regression in a non-headline op must be visible in an artifact,
     # not a session log).  Written to BENCH_FULL_r0N.json.
     full: dict[str, float] = {}
     full_errs: dict[str, str] = {}
+
+    # Shared one-time stages, charged to NAMED warm-up lines (VERDICT
+    # r7 #3): the memoized LSH candidate table, the memoized reduced
+    # pair table, the corpus-count memos, and the Python/Arrow worker
+    # pool used to be billed to whichever consumer ran first, so every
+    # _PRIORITY reorder manufactured phantom 3-4x "regressions"
+    # (r7: dedup_fellegi_sunter_weights 0.8->2.5 s with the family
+    # total unchanged).  Timing them here makes per-op numbers
+    # reorder-stable; the lines stay in the total so round-over-round
+    # BENCH_FULL values remain comparable.
+    from parquet_batch_spark.catalog import count_table as _count_table
+    from parquet_batch_spark.operators.dedup import (
+        _inter_pair_stats,
+        _lsh_candidate_pairs,
+    )
+
+    def _warm_python_workers() -> None:
+        _materialize(
+            spark.range(spark.sparkContext.defaultParallelism).mapInArrow(
+                lambda it: it, "id long"
+            )
+        )
+
+    warmups = {
+        "_warmup/python_workers": _warm_python_workers,
+        "_warmup/corpus_counts": lambda: [
+            _count_table(spark, SF_DIR, t)
+            for t in ("documents", "embeddings")
+        ],
+        "_warmup/lsh_candidate_pairs": lambda: _materialize(
+            _lsh_candidate_pairs(spark, SF_DIR)
+        ),
+        "_warmup/inter_pair_stats": lambda: _materialize(
+            _inter_pair_stats(spark, SF_DIR)
+        ),
+    }
+    for name, warm in warmups.items():
+        t0 = time.monotonic()
+        try:
+            warm()
+            full[name] = round(time.monotonic() - t0, 3)
+        except Exception as ex:  # noqa: BLE001 — record, don't abort
+            full_errs[name] = f"{type(ex).__name__}: {ex}"[:200]
     for name, fn in queries.items():
         t0 = time.monotonic()
         try:
@@ -320,15 +376,61 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Reorder-stability guard (VERDICT r7 #3, second half): the named
+    # warm-ups absorb the SHARED one-time stages, but an op that
+    # rotates to the front of the registry still pays position-
+    # dependent first-run costs (codegen/JIT of its own operator
+    # tree).  Any op reading >2x its previous committed record (and
+    # >0.5 s) gets ONE adjacent re-run, recording the min — so a
+    # _PRIORITY reorder can't read as a per-op regression, while a
+    # REAL regression (slow on the re-run too) stays visible.
+    import statistics
+
+    prev: dict[str, list[float]] = {}
+    try:
+        import glob as _glob
+
+        prev_files = sorted(
+            _glob.glob(os.path.join(REPO, "BENCH_FULL_r[0-9]*.json"))
+        )
+        for f in prev_files[-3:]:
+            with open(f) as fh:
+                for n, t in json.load(fh).get("queries", {}).items():
+                    prev.setdefault(n, []).append(t)
+    except Exception:  # noqa: BLE001 — no trailing record, no re-runs
+        prev = {}
+    trailing = {n: statistics.median(ts) for n, ts in prev.items()}
+    reruns = sorted(
+        n
+        for n, t in full.items()
+        if not n.startswith("_warmup/")
+        and t > 0.5
+        and n in trailing
+        and t > 2 * trailing[n]
+    )
+    for name in reruns:
+        t0 = time.monotonic()
+        try:
+            _materialize(queries[name](spark, SF_DIR))
+            full[name] = round(min(full[name], time.monotonic() - t0), 3)
+        except Exception:  # noqa: BLE001 — keep the first-run number
+            pass
+
+    warm = {k: v for k, v in full.items() if k.startswith("_warmup/")}
+    ops = {k: v for k, v in full.items() if not k.startswith("_warmup/")}
     full_doc = {
-        "metric": "full registry wall time (noop-materialized, 1 run)",
+        "metric": "full registry wall time (noop-materialized, 1 run; "
+                  "value includes the named shared-stage warmups)",
         "value": round(sum(full.values()), 3),
         "unit": "sec",
         "sf": sf_val,
-        "n_queries": len(full),
+        "n_queries": len(ops),
         "errors": full_errs,
-        "slowest10": dict(sorted(full.items(), key=lambda kv: -kv[1])[:10]),
-        "queries": full,
+        "warmups": warm,
+        "reruns": reruns,
+        "cpu_calibration_sec": calibration,
+        "slowest10": dict(sorted(ops.items(), key=lambda kv: -kv[1])[:10]),
+        "queries": ops,
     }
     with open(
         os.path.join(REPO, f"BENCH_FULL_r{_round_tag():02d}.json"), "w"
@@ -357,6 +459,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "cpu_calibration_sec": calibration,
     }
     # Full per-query detail: sidecar file + an EARLY stdout line.  The
     # driver's capture keeps only the last ~2000 chars of stdout, so the
@@ -372,6 +475,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_val,
         "n_queries": len(timings),
+        "cpu_calibration_sec": calibration,
         "queries": {k: round(v, 2) for k, v in slowest.items()},
         "queries_detail": "BENCH_DETAIL.json",
     }
