@@ -1,10 +1,15 @@
 """Build the 10x key-shifted replication testdata used by ROADMAP's
 scale-evidence tables.
 
-Replicates documents / embeddings / events / orders 10x with shifted
-keys (dup-dense by construction: every document gains 9 exact copies —
-the adversarial case for the dedup family) and links the remaining
-tables unchanged. Usage:
+Replicates the FACT tables (documents / embeddings / events / orders /
+lineitem / customer) 10x with consistently shifted keys — dup-dense by
+construction (every document gains 9 exact copies, the adversarial
+case for the dedup family) and FK-consistent (lineitem.l_orderkey and
+orders.o_orderkey shift together, o_custkey with c_custkey), so
+fact-fact joins and the TPC-H core see real 10x/100x cardinality, not
+a 10x orders table dangling against a 1x lineitem.  The slow-growing
+dimensions (region/nation/supplier/part) pass through unchanged, as
+they would at 100 TB.  Usage:
 
     python tools/replicate_10x.py [src_sf_dir] [dst_dir]
 
@@ -24,8 +29,10 @@ SHIFTS = {
     "embeddings": [("vec_id", 100_000)],
     "events": [("event_id", 10_000_000), ("user_id", 100_000)],
     "orders": [("o_orderkey", 100_000_000), ("o_custkey", 10_000_000)],
+    "lineitem": [("l_orderkey", 100_000_000)],
+    "customer": [("c_custkey", 10_000_000)],
 }
-PASSTHROUGH = ("region", "nation", "customer", "supplier", "part", "lineitem")
+PASSTHROUGH = ("region", "nation", "supplier", "part")
 
 
 def replicate(src: str, dst: str, factor: int = 10) -> None:
