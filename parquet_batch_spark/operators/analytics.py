@@ -281,10 +281,14 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query projects the EXACT count plus a deterministic bound
     check — Spark's HLL++ is deterministic for fixed data (hash-based,
     merge is a register-wise max, so partial order cannot change it),
-    and the configured 2 % standard error leaves the 5 % assertion
-    band far from the boundary. The oracle states the exact count and
-    ``TRUE``; tests/test_analytics.py additionally bounds the raw
-    relative error."""
+    and the configured 2 % standard error leaves the 10 % assertion
+    band 5 sigma from the boundary (ADVICE r7 class sweep: the old
+    5 % band was ~2.5 sigma PER GROUP, so a regenerated dataset had a
+    few-percent chance of flipping oracle parity; the TIGHT 5 % bound
+    lives in tests/test_analytics.py, where a legitimate failure
+    belongs).  An empty/all-null group is in-band by definition,
+    guarded so the 0/0 case can't error under ANSI.  The oracle
+    states the exact count and ``TRUE``."""
     o = load(spark, sf_dir, "orders")
     approx = F.approx_count_distinct("o_custkey", 0.02)
     exact = F.countDistinct("o_custkey")
@@ -292,10 +296,10 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_orderpriority")
         .agg(
             exact.alias("exact_customers"),
-            (
+            F.when(exact == 0, F.lit(True)).otherwise(
                 F.abs(approx.cast("double") / exact.cast("double") - F.lit(1.0))
-                <= F.lit(0.05)
-            ).alias("within_5pct"),
+                <= F.lit(0.10)
+            ).alias("within_10pct"),
         )
         .orderBy("o_orderpriority")
     )
@@ -304,7 +308,7 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ADS_SQL = """
 SELECT o_orderpriority,
     CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
-    TRUE AS within_5pct
+    TRUE AS within_10pct
 FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
@@ -333,7 +337,14 @@ def approx_hll_union_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     HLL_8 accumulator and the estimates legitimately differ in the
     last few counts (measured 15041 vs 15072 against 14999 exact at
     sf0.1 — the scale-dependent behavior the dual-SF sweep exists to
-    catch; an == check here failed at sf0.1 and passed at sf0.01)."""
+    catch; an == check here failed at sf0.1 and passed at sf0.01).
+
+    Band-fragility note (ADVICE r7 class sweep): unlike the rsd-2%
+    ops, this op's 5 % band is SAFE against dataset regeneration —
+    lgConfigK=14 gives rsd ≈ 1.04/sqrt(2^14) ≈ 0.8 %, so 5 % is
+    ~6 sigma, and the union-vs-whole ±2 % check compares two sketches
+    of the SAME item set (register-wise max over a partition of the
+    rows), which is near-structural — so the bands stay as-is."""
     o = load(spark, sf_dir, "orders")
     per = o.groupBy("o_orderpriority").agg(
         F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk"),

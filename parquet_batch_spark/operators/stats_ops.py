@@ -4888,8 +4888,13 @@ def approx_hll_precision_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle strategy (as ``approx_distinct_sketch``): sketch values
     are engine-specific, so the projection is the exact count plus a
-    deterministic within-3σ bound check per precision — Spark's HLL++
-    is deterministic for fixed data; oracle states TRUE.
+    deterministic within-5σ bound check per precision — Spark's HLL++
+    is deterministic for fixed data; oracle states TRUE.  ADVICE r7
+    class sweep: the oracle-checked band was 3σ (≈0.3 % flip chance
+    per cell per dataset regeneration × 4 cells); the TIGHT 3σ
+    assertion lives in tests/test_stats_ops.py, where a legitimate
+    failure belongs — the oracle band only certifies the sketch
+    didn't blow up.
     """
     o = load(spark, sf_dir, "orders")
     aggs = [F.countDistinct("o_custkey").alias("exact_customers")]
@@ -4905,13 +4910,13 @@ def approx_hll_precision_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("exact_customers").cast("double")
             - 1.0
         )
-        cols.append((rel_err <= 3.0 * rsd).alias(f"within_3sigma_{tag}"))
+        cols.append((rel_err <= 5.0 * rsd).alias(f"within_5sigma_{tag}"))
     return m.select(*cols)
 
 
 def _hll_sweep_sql() -> str:
     bools = ",\n       ".join(
-        f"TRUE AS within_3sigma_{str(r).replace('.', '_')}" for r in HLL_RSDS
+        f"TRUE AS within_5sigma_{str(r).replace('.', '_')}" for r in HLL_RSDS
     )
     return f"""
 SELECT COUNT(DISTINCT o_custkey) AS exact_customers,

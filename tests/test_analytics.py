@@ -10,14 +10,32 @@ from parquet_batch_spark.operators.analytics import (
 
 
 def test_hll_sketch_error_bound(spark, sf_dir):
-    """HLL++ at rsd=0.02 should land well within 5% of the exact
-    distinct count for every group (the query projects that check as
-    the ``within_5pct`` boolean the oracle asserts TRUE)."""
+    """HLL++ at rsd=0.02 lands within the oracle's 10% band for every
+    group, AND within the tight 5% band asserted HERE instead of in
+    the oracle (ADVICE r7: 5% is ~2.5 sigma per group, so a dataset
+    regeneration may legitimately fail this test — it must not be
+    able to fail driver parity)."""
+    from pyspark.sql import functions as F
+
+    from parquet_batch_spark.catalog import load
+
     rows = approx_distinct_sketch(spark, sf_dir).collect()
     assert rows, "sketch query returned no groups"
     for r in rows:
         assert r.exact_customers > 0
-        assert r.within_5pct, f"{r.o_orderpriority}: sketch outside 5% band"
+        assert r.within_10pct, f"{r.o_orderpriority}: sketch outside 10% band"
+    # tight band, recomputed directly
+    tight = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.02).alias("a"),
+            F.countDistinct("o_custkey").alias("e"),
+        )
+        .collect()
+    )
+    for r in tight:
+        assert abs(r.a / r.e - 1.0) <= 0.05, (r.o_orderpriority, r.a, r.e)
 
 
 def test_corr_in_valid_range(spark, sf_dir):
