@@ -393,10 +393,19 @@ def main() -> None:
         prev_files = sorted(
             _glob.glob(os.path.join(REPO, "BENCH_FULL_r[0-9]*.json"))
         )
-        for f in prev_files[-3:]:
+        same_sf = []
+        for f in prev_files:
             with open(f) as fh:
-                for n, t in json.load(fh).get("queries", {}).items():
-                    prev.setdefault(n, []).append(t)
+                doc = json.load(fh)
+            # only records captured at THIS scale factor are a valid
+            # baseline — cross-SF comparison would either re-run the
+            # whole registry (bigger SF) or mask real regressions
+            # (smaller SF)
+            if doc.get("sf") == sf_val:
+                same_sf.append(doc)
+        for doc in same_sf[-3:]:
+            for n, t in doc.get("queries", {}).items():
+                prev.setdefault(n, []).append(t)
     except Exception:  # noqa: BLE001 — no trailing record, no re-runs
         prev = {}
     trailing = {n: statistics.median(ts) for n, ts in prev.items()}

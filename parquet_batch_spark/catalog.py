@@ -104,7 +104,10 @@ def _spark_pack_estimate(sizes: list[int], target: int) -> int:
     for s in sizes:
         n_full, rem = divmod(s, split)
         chunks.extend([split] * n_full)
-        if rem or s == 0:
+        # a zero-length file yields NO chunk (Spark's splitFiles loop
+        # `0 until length by split` is empty), so it must not charge
+        # an open cost at pack time either
+        if rem:
             chunks.append(rem)
     chunks.sort(reverse=True)
     est, cur = 0, 0
@@ -146,7 +149,6 @@ def fan_out(df: DataFrame, spark: SparkSession, *cols: str) -> DataFrame:
         # Remote URIs keep the file count (a 100 TB table has >> cores
         # files anyway, and at that scale this helper is a no-op).
         try:
-            import os
             from urllib.parse import urlparse
 
             sizes = []

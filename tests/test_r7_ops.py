@@ -298,6 +298,21 @@ def test_pack_estimate_matches_spark_exactly(spark, tmp_path):
         actual = df.rdd.getNumPartitions()
         assert est == actual, (path, sizes, est, actual)
 
+    # zero-length files yield NO chunk in Spark's splitFiles (the
+    # `0 until length by split` loop is empty), so they must not add
+    # partitions or charge pack-time open cost — they only pad the
+    # split-size derivation's totalBytes, as Spark's arithmetic does
+    ten_mb = 10 << 20
+    # at target >= 7 the split sits at the 4 MiB openCost floor in
+    # both layouts, so the estimates must be IDENTICAL: 3 real chunks,
+    # one partition each
+    assert (
+        _spark_pack_estimate([0, 0, 0, ten_mb], target)
+        == _spark_pack_estimate([ten_mb], target)
+        == 3
+    )
+    assert _spark_pack_estimate([0, 0, 0], target) == 1
+
 
 def test_overflow_swept_rank_and_moment_sums_survive_web_scale(spark):
     """The second half of the r7 sweep: rank-sum products

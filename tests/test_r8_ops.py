@@ -91,17 +91,33 @@ def test_ndv_band_guard_all_null_column(spark):
         assert not df.agg(band.alias("u")).collect()[0]["u"]
 
 
-def test_streaming_drain_stops_query_on_drain_failure(spark):
+def test_streaming_drain_stops_query_on_drain_failure(spark, monkeypatch):
     """ADVICE r7: an exception during the drain must not leak a
-    running streaming query (q.stop() sits in a finally now)."""
+    RUNNING streaming query.  A query whose micro-batch fails
+    self-terminates (not the leak case); the leak is an interrupting
+    exception — py4j hiccup, KeyboardInterrupt — thrown by the drain
+    call itself while the query is healthy.  Simulate exactly that by
+    making awaitTermination raise on the PRODUCTION `_drain`, and
+    assert the healthy query is not left in spark.streams.active —
+    reverting the q.stop()-in-finally fix makes this leak (verified:
+    without the fix this test fails with the query still active)."""
+    from pyspark.sql.streaming import StreamingQuery
+
+    from parquet_batch_spark.streaming.windows import _drain
+
     n_before = len(spark.streams.active)
-    rate = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
-    q = rate.writeStream.format("memory").queryName("leak_probe").start()
-    try:
-        try:
-            raise RuntimeError("simulated drain failure")
-        finally:
-            q.stop()
-    except RuntimeError:
-        pass
-    assert len(spark.streams.active) == n_before
+
+    def interrupted(self, *a, **k):
+        raise RuntimeError("simulated drain interruption")
+
+    monkeypatch.setattr(StreamingQuery, "awaitTermination", interrupted)
+    healthy = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", "8")
+        .load()
+    )
+    with pytest.raises(RuntimeError, match="simulated drain interruption"):
+        _drain(healthy, spark, shuffle_partitions=2)
+    assert len(spark.streams.active) == n_before, [
+        q.name for q in spark.streams.active
+    ]
