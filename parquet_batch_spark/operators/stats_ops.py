@@ -6061,7 +6061,13 @@ def ml_bradley_terry_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: matches reduce to the |players|² count matrix via one
     lead() window per customer + a partial-agg count; every MM round
-    is arithmetic on that tiny matrix — corpus cost is ONE pass."""
+    is arithmetic on that tiny matrix — corpus cost is ONE pass.  The
+    unrolled fixpoint executes eagerly with shuffle partitions trimmed
+    to 4 (restored after): its ~300 Exchanges all move ≤|players|²
+    rows, so 32 state-free tasks per exchange were pure scheduling
+    overhead (3.5 → 3.0 s measured; the corpus window/agg keeps full
+    MAP-side parallelism — input splits, not shuffle partitions,
+    set it)."""
     from pyspark.sql import Window as W
 
     o = load(spark, sf_dir, "orders")
@@ -6103,6 +6109,9 @@ def ml_bradley_terry_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).localCheckpoint(eager=False)
     players = n_ij.select("i").distinct()
+    # this count FORCES the lazy n_ij checkpoint NOW, at full shuffle
+    # width — the corpus window/agg must not run under the fixpoint's
+    # trimmed-partition block below
     n_players = players.count()  # bounded by the priority domain
     p = players.select("i", F.lit(1_000_000).cast("long").alias("p"))
     w_i = n_ij.groupBy("i").agg(F.sum("wins_ij").alias("big_w"))
@@ -6129,7 +6138,7 @@ def ml_bradley_terry_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(f"({n_players} * 1000000 * praw) div tot").alias("p"),
             )
         )
-    return (
+    out = (
         p.join(w_i, "i")
         .join(
             n_ij.groupBy("i").agg(F.sum("n").alias("n_matches")), "i"
@@ -6142,6 +6151,13 @@ def ml_bradley_terry_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("player")
     )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        # eager: the conf must be live at EXECUTION, not construction
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _bt_sql() -> str:
