@@ -61,72 +61,27 @@ from pyspark.sql import DataFrame, SparkSession
 #     topped up with 2 warehouse entries.  Clears dedup/similarity/
 #     multimodal/pipeline_ops/corpus_ops to 0 judge-only; never-checked
 #     drops 145 -> 95.
-#   r9 pre-stage (VERDICT r7 #7): 34 stats_ops + 13 relational +
-#     3 scalar_funcs head.  r10: the remaining 45 (scalar_funcs 9,
-#     sources_ext 10, warehouse 7, joins 7, windows 7, analytics 5) —
-#     full driver certification of all 466 lands at r10.
-#   r11+: driver-checked entries, stalest round first (r1 block leads).
+#   r9 window (this ordering): VERDICT r8 #1 — the pre-staged tail:
+#     34 stats_ops + 13 relational + 3 scalar_funcs head, all
+#     never-driver-checked (pre-verified fresh-process 50/50 in 78 s at
+#     the r8 closing tree).  Never-checked drops 95 -> 45.
+#   r10 pre-stage (VERDICT r8 #5): the remaining 45 never-checked
+#     (scalar_funcs 9, sources_ext 10, warehouse 7, joins 7, windows 7,
+#     analytics 5) — full driver certification of all 466 lands at r10.
+#     The 5 spare slots go to the 5 STALEST r1-certified entries in
+#     registry order (reshape_unpivot, agg_rollup, agg_cube,
+#     agg_grouping_sets, agg_pivot — r1 window, never re-checked since;
+#     29 r1-stale entries remain in total, the rest cycle from r11).
+#   r11+ STANDING ROTATION POLICY (no per-round decision needed):
+#     every entry is driver-certified after r10, so each round's window
+#     = the 50 entries whose most recent driver check is OLDEST
+#     (stalest-first, by last-checked round from CORRECTNESS_r0*.json;
+#     ties broken by registry order), EXCEPT that any op whose code or
+#     oracle changed that round jumps to slot 1.  At 466 entries and a
+#     50-slot window, every op is re-certified at least every ~10
+#     rounds; ops never touched after certification cycle on schedule.
 _PRIORITY = [
-    # --- r8 window slots 1-3: the 3 never-checked similarity leftovers (VERDICT r7 #1: north-star families first) ---
-    "embedding_matryoshka_eval",
-    "sample_coreset_kcenter",
-    "embedding_kmeans_rollup",
-    # --- r8 slots 4-13: all 10 never-checked multimodal ---
-    "multimodal_interleaved_budget",
-    "multimodal_caption_alignment",
-    "multimodal_patch_token_budget",
-    "multimodal_aspect_bucket",
-    "multimodal_webdataset_index",
-    "multimodal_audio_energy",
-    "multimodal_video_frame_diff",
-    "multimodal_content_sniff",
-    "multimodal_payload_chunks",
-    "multimodal_dedup_phash",
-    # --- r8 slots 14-24: all 11 never-checked pipeline_ops ---
-    "quality_model_score",
-    "privacy_dp_laplace_counts",
-    "sample_horvitz_thompson",
-    "privacy_l_diversity",
-    "privacy_randomized_response",
-    "sample_pps_systematic",
-    "quality_luhn_validation",
-    "decontam_bloom_filter",
-    "privacy_k_anonymity",
-    "sample_reservoir_per_group",
-    "quality_nullity_patterns",
-    # --- r8 slots 25-32: all 8 never-checked dedup ---
-    "dedup_fellegi_sunter_weights",
-    "dedup_minhash_b_bit",
-    "dedup_prefix_cluster",
-    "dedup_threshold_sweep",
-    "dedup_sorted_neighborhood",
-    "dedup_cdc_chunking",
-    "dedup_cluster_representative",
-    "dedup_exact_substring",
-    # --- r8 slots 33-40: all 8 never-checked corpus_ops ---
-    "graph_hits_bipartite",
-    "graph_clustering_coefficient",
-    "graph_degree_assortativity",
-    "graph_rich_club",
-    "graph_neighborhood_jaccard",
-    "graph_kcore",
-    "dedup_cross_source_matrix",
-    "graph_adamic_adar",
-    # --- r8 slots 41-43: all 3 never-checked udfs ---
-    "udf_pandas_scalar_iter",
-    "udf_apply_in_arrow",
-    "udf_arrow_scalar",
-    # --- r8 slots 44-47: all 4 never-checked scale_ops ---
-    "scan_dictionary_encoding_audit",
-    "scan_partition_pruning_report",
-    "sink_clustering_factor",
-    "scan_rowgroup_stats",
-    # --- r8 slot 48: the 1 never-checked scans entry ---
-    "scan_observed_metrics",
-    # --- r8 slots 49-50: warehouse top-up (registry order) ---
-    "etl_snapshot_diff_audit",
-    "etl_analyze_table_stats",
-    # --- r9 pre-stage (VERDICT r7 #7): the 34 never-checked stats_ops ---
+    # --- r9 window slots 1-34 (VERDICT r8 #1): the 34 never-checked stats_ops ---
     "ml_isotonic_calibration",
     "window_page_hinkley_drift",
     "window_holt_linear_trend",
@@ -161,7 +116,7 @@ _PRIORITY = [
     "window_average_true_range",
     "agg_tukey_hsd",
     "agg_cuped_variance_reduction",
-    # --- r9: the 13 never-checked relational ---
+    # --- r9 slots 35-47: the 13 never-checked relational ---
     "sql_pipe_syntax",
     "sql_udf_create_function",
     "sql_session_variables",
@@ -175,7 +130,7 @@ _PRIORITY = [
     "explode_outer_semantics",
     "agg_filtered",
     "agg_listagg_sorted",
-    # --- r9 top-up: scalar_funcs head ---
+    # --- r9 slots 48-50 top-up: scalar_funcs head ---
     "sql_execute_immediate",
     "sql_table_function",
     "sql_identifier_clause",
@@ -230,6 +185,12 @@ _PRIORITY = [
     "agg_benford_profile",
     "explode_positional_tokens",
     "agg_moments_exact",
+    # --- r10 spare slots 46-50 (VERDICT r8 #5): 5 stalest r1-certified ---
+    "reshape_unpivot",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_pivot",
 ]
 
 

@@ -17,12 +17,41 @@ written identically in both engines and rounded to 6 decimals.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_batch_spark.catalog import count_table, fan_out, load
 from parquet_batch_spark.functions.hashing import hash32, sql_hash32
 from parquet_batch_spark.functions.text import sql_tokens, tokens_col
+
+
+@contextmanager
+def _trimmed_shuffle_partitions(spark: SparkSession, n: int):
+    """Scope a ``spark.sql.shuffle.partitions`` trim around an EAGER
+    execution of a tiny-cardinality fixpoint (Bradley-Terry MM rounds,
+    the Holt recursive CTE): each round's exchanges move at most a few
+    hundred rows, so the per-partition task-scheduling floor — not
+    data — dominates, and 1-4 partitions cut wall time ~35 %.
+
+    The conf is session-global, so a trim while ANOTHER thread runs a
+    query in the same session would narrow that query's shuffles too.
+    Guard: if any Spark job is already active on this context (the
+    only way concurrent work can exist in one session), SKIP the trim
+    and run at full width — always correct, merely slower.  In the
+    single-threaded driver/bench/test harness the tracker is idle here
+    and the trim applies.  Restores the previous value in ``finally``.
+    """
+    if spark.sparkContext.statusTracker().getActiveJobsIds():
+        yield
+        return
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 # ---------------------------------------------------------------------------
 # agg_regression_per_group — closed-form OLS trend per group
@@ -6099,8 +6128,9 @@ def ml_bradley_terry_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_ij = (
         wins.join(rev, ["i", "j"], "full")
+        # USING-key full outer already coalesces i/j — select them as-is
         .select(
-            F.coalesce("i", "i").alias("i"),
+            "i",
             "j",
             (F.coalesce("w", F.lit(0)) + F.coalesce("w2", F.lit(0))).alias(
                 "n"
@@ -6151,13 +6181,9 @@ def ml_bradley_terry_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("player")
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _trimmed_shuffle_partitions(spark, 4):
         # eager: the conf must be live at EXECUTION, not construction
         return out.localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _bt_sql() -> str:
@@ -12295,13 +12321,9 @@ def window_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-evaluates the referenced relation, so an unmaterialized view
     # would re-scan the corpus once PER MONTH (measured 20 s vs 2 s)
     series.createOrReplaceTempView("pbs_holt_series")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
-    try:
+    with _trimmed_shuffle_partitions(spark, 1):
         # eager: the conf must be live at EXECUTION, not construction
         out = _holt_recursion(spark).localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return out
 
 

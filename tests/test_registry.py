@@ -28,37 +28,57 @@ def test_every_oracle_has_a_query():
     assert rows_only == [], rows_only
 
 
-def test_driver_window_covers_round8_targets():
-    """Slots 1-50 (the driver's check window) must be entirely
-    never-driver-checked entries in VERDICT r7 #1's composition —
-    north-star families before the stats tail: similarity 3,
-    multimodal 10, pipeline_ops 11, dedup 8, corpus_ops 8, udfs 3,
-    scale_ops 4, scans 1, warehouse top-up 2.  Clears every north-star
-    family to 0 judge-only.  The ever-checked set is pinned from the
-    recorded CORRECTNESS_r01-r07 artifacts."""
+def _ever_checked(through_round: int) -> set[str]:
+    """Driver-checked names recorded in CORRECTNESS_r01..r0N artifacts."""
     import glob
     import json
     import os
 
-    first50 = list(all_queries())[:50]
-    from parquet_batch_spark.operators import (
-        corpus_ops, dedup, multimodal, pipeline_ops, scale_ops, scans,
-        similarity, udfs, warehouse,
-    )
-
-    assert sum(n in similarity.QUERIES for n in first50) == 3
-    assert sum(n in multimodal.QUERIES for n in first50) == 10
-    assert sum(n in pipeline_ops.QUERIES for n in first50) == 11
-    # dedup_cross_source_matrix lives in corpus_ops, not dedup
-    assert sum(n in dedup.QUERIES for n in first50) == 8
-    assert sum(n in corpus_ops.QUERIES for n in first50) == 8
-    assert sum(n in udfs.QUERIES for n in first50) == 3
-    assert sum(n in scale_ops.QUERIES for n in first50) == 4
-    assert sum(n in scans.QUERIES for n in first50) == 1
-    assert sum(n in warehouse.QUERIES for n in first50) == 2
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    checked = set()
-    for f in glob.glob(os.path.join(root, "CORRECTNESS_r0[1-7].json")):
-        checked.update(json.load(open(f)))
+    checked: set[str] = set()
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r0*.json")):
+        rnd = int(os.path.basename(f).split("_r0")[1].split(".")[0])
+        if rnd <= through_round:
+            checked.update(json.load(open(f)))
+    return checked
+
+
+def test_driver_window_covers_round9_targets():
+    """Slots 1-50 (the driver's check window) must be entirely
+    never-driver-checked entries in VERDICT r8 #1's pre-staged
+    composition: 34 stats_ops + 13 relational + 3 scalar_funcs.
+    Burns the stats/relational tail; never-checked drops 95 -> 45.
+    The ever-checked set is pinned from CORRECTNESS_r01-r08."""
+    first50 = list(all_queries())[:50]
+    from parquet_batch_spark.operators import relational, scalar_funcs, stats_ops
+
+    assert sum(n in stats_ops.QUERIES for n in first50) == 34
+    assert sum(n in relational.QUERIES for n in first50) == 13
+    assert sum(n in scalar_funcs.QUERIES for n in first50) == 3
+    checked = _ever_checked(8)
     rechecks = [n for n in first50 if n in checked]
     assert rechecks == [], f"window wastes slots on re-checks: {rechecks}"
+
+
+def test_round10_prestage_closes_certification():
+    """Slots 51-100 (the r10 window after the next rotation) must be
+    the remaining 45 never-driver-checked entries plus the 5 stalest
+    r1-certified spares (VERDICT r8 #5) — i.e. after r9's window lands
+    green, slots 1-100 of today's ordering contain EVERY entry never
+    checked in CORRECTNESS_r01-r08, so r10 closes full certification."""
+    names = list(all_queries())
+    checked = _ever_checked(8)
+    never = {n for n in names if n not in checked}
+    assert len(never) == 95, f"expected 95 never-checked, got {len(never)}"
+    first100 = names[:100]
+    uncovered = sorted(never - set(first100))
+    assert uncovered == [], f"never-checked entries outside r9+r10: {uncovered}"
+    # the 5 spare slots re-check the stalest r1 window entries
+    spares = [n for n in names[50:100] if n in checked]
+    assert spares == [
+        "reshape_unpivot",
+        "agg_rollup",
+        "agg_cube",
+        "agg_grouping_sets",
+        "agg_pivot",
+    ], spares
