@@ -400,8 +400,16 @@ def main() -> None:
             # only records captured at THIS scale factor are a valid
             # baseline — cross-SF comparison would either re-run the
             # whole registry (bigger SF) or mask real regressions
-            # (smaller SF)
-            if doc.get("sf") == sf_val:
+            # (smaller SF).  And only SAME-ACCOUNTING records (ADVICE
+            # r8): pre-r8 artifacts bill shared memoized stages to
+            # their first consumer, so their per-op medians are
+            # inflated vs the warmup-split accounting and the >2x
+            # trigger would under-fire.  "warmups" marks accounting
+            # v2 for the r8 artifact; "accounting" is explicit from
+            # r9 on.
+            if doc.get("sf") == sf_val and (
+                doc.get("accounting") == 2 or "warmups" in doc
+            ):
                 same_sf.append(doc)
         for doc in same_sf[-3:]:
             for n, t in doc.get("queries", {}).items():
@@ -425,6 +433,33 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — keep the first-run number
             pass
 
+    # Scheduling-floor ops (VERDICT r8 #2): the fixpoint/launch-bound
+    # queries are ±40 % noisy on a single cold run (job-scheduling
+    # floor, not data), so their steady state is invisible in the
+    # cold capture — record an explicit warm best-of-2 sidecar so
+    # latency trims show up in a committed artifact.  The cold number
+    # stays in "queries" (same accounting as every other op).
+    warm_best: dict[str, float] = {}
+    for name in (
+        "window_holt_linear_trend",
+        "ml_bradley_terry_ranking",
+        "sample_coreset_kcenter",
+        "source_python_datasource",
+    ):
+        if name not in queries or name in full_errs:
+            continue
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            try:
+                _materialize(queries[name](spark, SF_DIR))
+            except Exception:  # noqa: BLE001 — keep the cold number
+                best = float("inf")
+                break
+            best = min(best, time.monotonic() - t0)
+        if best != float("inf"):
+            warm_best[name] = round(best, 3)
+
     warm = {k: v for k, v in full.items() if k.startswith("_warmup/")}
     ops = {k: v for k, v in full.items() if not k.startswith("_warmup/")}
     full_doc = {
@@ -434,8 +469,16 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_val,
         "n_queries": len(ops),
+        # accounting v2 = shared memoized stages billed to named
+        # _warmup/ lines, not their first consumer (since r8; explicit
+        # field since r9 — the rerun guard only baselines against
+        # same-accounting artifacts).  NOTE: the guard's min(first,
+        # rerun) can understate a regression concentrated in one-time
+        # work; the warm_best_of_2 sidecar exists for exactly those ops.
+        "accounting": 2,
         "errors": full_errs,
         "warmups": warm,
+        "warm_best_of_2": warm_best,
         "reruns": reruns,
         "cpu_calibration_sec": calibration,
         "slowest10": dict(sorted(ops.items(), key=lambda kv: -kv[1])[:10]),

@@ -86,20 +86,58 @@ def count_table(spark: SparkSession, sf_dir: str, name: str) -> int:
     return _TABLE_COUNTS[key]
 
 
-def _spark_pack_estimate(sizes: list[int], target: int) -> int:
+_BYTE_SUFFIX = {
+    "b": 1,
+    "k": 1 << 10,
+    "kb": 1 << 10,
+    "m": 1 << 20,
+    "mb": 1 << 20,
+    "g": 1 << 30,
+    "gb": 1 << 30,
+    "t": 1 << 40,
+    "tb": 1 << 40,
+}
+
+
+def _bytes_conf(spark: SparkSession, key: str, default: int) -> int:
+    """Read a Spark byte-size conf ("128MB", "4194304b", plain int) as
+    bytes, with a fixed fallback.  Parsing mirrors Spark's
+    JavaUtils.byteStringAs (case-insensitive suffix, binary units)."""
+    try:
+        raw = spark.conf.get(key, None)
+    except Exception:  # noqa: BLE001 — unreadable conf: use the default
+        raw = None
+    if raw is None:
+        return default
+    s = str(raw).strip().lower()
+    num = s.rstrip("bgkmt")
+    try:
+        return int(num) * _BYTE_SUFFIX.get(s[len(num):], 1)
+    except ValueError:
+        return default
+
+
+def _spark_pack_estimate(
+    sizes: list[int],
+    target: int,
+    max_partition_bytes: int = 128 << 20,
+    open_cost: int = 4 << 20,
+) -> int:
     """Partition count Spark's FilePartition.getFilePartitions yields
-    for files of the given byte sizes at the default read configs
-    (maxPartitionBytes 128 MiB, openCostInBytes 4 MiB), reproduced
-    step-for-step: the split size pads every file with the open cost,
-    each file is chunked at the split size (only REAL bytes split),
-    and chunks greedy-pack largest-first, closing a partition when
-    the next chunk's real bytes would overflow it (the open cost is
-    charged per packed chunk, not chunked itself — which is why a
-    plain ceil(totalWithCost/split) over-counts near the boundary:
-    one 10 MB file at target 4 estimates 4 but Spark packs 3)."""
-    open_cost = 4 << 20
+    for files of the given byte sizes at the given read configs
+    (defaults = Spark's: maxPartitionBytes 128 MiB, openCostInBytes
+    4 MiB; fan_out reads the live session values — ADVICE r8: a
+    deployment overriding them would silently diverge from Spark's
+    actual packing), reproduced step-for-step: the split size pads
+    every file with the open cost, each file is chunked at the split
+    size (only REAL bytes split), and chunks greedy-pack largest-first,
+    closing a partition when the next chunk's real bytes would
+    overflow it (the open cost is charged per packed chunk, not
+    chunked itself — which is why a plain ceil(totalWithCost/split)
+    over-counts near the boundary: one 10 MB file at target 4
+    estimates 4 but Spark packs 3)."""
     total = sum(sizes) + open_cost * len(sizes)
-    split = min(128 << 20, max(open_cost, total // max(target, 1)))
+    split = min(max_partition_bytes, max(open_cost, total // max(target, 1)))
     chunks = []
     for s in sizes:
         n_full, rem = divmod(s, split)
@@ -157,7 +195,24 @@ def fan_out(df: DataFrame, spark: SparkSession, *cols: str) -> DataFrame:
                 if parsed.scheme not in ("file", ""):
                     raise OSError(uri)  # remote: fall back to count
                 sizes.append(os.path.getsize(parsed.path))
-            est = _spark_pack_estimate(sizes, target)
+            # Spark derives the split size from minPartitionNum (conf,
+            # else leafNodeDefaultParallelism, else defaultParallelism)
+            # — match that, not the spread target
+            min_parts = spark.conf.get("spark.sql.files.minPartitionNum", None)
+            if min_parts is None:
+                min_parts = spark.conf.get(
+                    "spark.sql.leafNodeDefaultParallelism", None
+                )
+            est = _spark_pack_estimate(
+                sizes,
+                int(min_parts) if min_parts else target,
+                _bytes_conf(
+                    spark, "spark.sql.files.maxPartitionBytes", 128 << 20
+                ),
+                _bytes_conf(
+                    spark, "spark.sql.files.openCostInBytes", 4 << 20
+                ),
+            )
         except OSError:
             pass
     # est == 0 (non-file-backed plan): partition count is unknowable
