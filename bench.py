@@ -311,12 +311,15 @@ def main() -> None:
     # four same-day runs spread 1.035-1.102x), so round-over-round
     # comparisons should normalize per-query seconds by this line
     # before calling anything a regression.
-    cal = float("inf")
-    for _ in range(3):
-        t0 = time.monotonic()
-        _materialize(spark.range(1 << 31).selectExpr("sum(id) AS s"))
-        cal = min(cal, time.monotonic() - t0)
-    calibration = round(cal, 3)
+    def _calibrate() -> float:
+        cal = float("inf")
+        for _ in range(3):
+            t0 = time.monotonic()
+            _materialize(spark.range(1 << 31).selectExpr("sum(id) AS s"))
+            cal = min(cal, time.monotonic() - t0)
+        return round(cal, 3)
+
+    calibration = _calibrate()
 
     # Pass 1 — FULL registry, one timed run each (VERDICT r5 #3: a
     # regression in a non-headline op must be visible in an artifact,
@@ -481,6 +484,11 @@ def main() -> None:
         "warm_best_of_2": warm_best,
         "reruns": reruns,
         "cpu_calibration_sec": calibration,
+        # re-measured after the full pass: r9 found the shared box
+        # drifts IN BURSTS within a single capture (0.253 at start,
+        # 0.554 mid-run, 0.282 at end of the same session), so one
+        # start-of-run line can understate what hit mid-run queries
+        "cpu_calibration_mid_sec": _calibrate(),
         "slowest10": dict(sorted(ops.items(), key=lambda kv: -kv[1])[:10]),
         "queries": ops,
     }
@@ -512,6 +520,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "cpu_calibration_sec": calibration,
+        # taken right after the headline pass: brackets the headline
+        # numbers between two probes (see cpu_calibration_mid_sec in
+        # BENCH_FULL for the post-full-pass probe)
+        "cpu_calibration_end_sec": _calibrate(),
     }
     # Full per-query detail: sidecar file + an EARLY stdout line.  The
     # driver's capture keeps only the last ~2000 chars of stdout, so the
