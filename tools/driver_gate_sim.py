@@ -3,7 +3,11 @@ session-factory configs), entry() smoke check, then every registered
 query compared against its DuckDB oracle at sf0.01 — the exact shape
 of the grading driver's correctness pass, in one fresh process.
 
-    python tools/driver_gate_sim.py [sf_dir]
+    python tools/driver_gate_sim.py [sf_dir] [slice]
+
+``slice`` (optional, e.g. ``0:50`` or ``50:100``) restricts the run to
+that window of registry order — the shape of one driver round's
+50-entry check window, for pre-verifying an upcoming window exactly.
 """
 
 from __future__ import annotations
@@ -33,6 +37,10 @@ def main() -> None:
     print(f"entry(): {len(rows)} rows", flush=True)
     con = duckdb_conn(sf)
     qs, osql = e.queries(), e.oracle_sql()
+    if len(sys.argv) > 2:
+        a, _, b = sys.argv[2].partition(":")
+        names = list(qs)[int(a or 0): int(b) if b else None]
+        qs = {n: qs[n] for n in names}
     t0 = time.monotonic()
     fails = []
     for i, (name, fn) in enumerate(qs.items(), 1):
