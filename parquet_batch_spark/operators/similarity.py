@@ -264,25 +264,42 @@ def _ivf_nprobe(k: int) -> int:
     return max(IVF_NPROBE_FLOOR, k // 4)
 
 
+# Memoized coarse-quantizer centroids per sf_dir (r9): four registered
+# ops (ann_ivf_topk, ann_ivfpq_topk, embedding_kmeans_rollup,
+# dedup_semantic_cluster) train the SAME hash-seeded quantizer, each
+# paying the ~1 s top-k-by-hash corpus job — the same repeated-shared-
+# stage shape the LSH candidate-table memo solved in dedup.py.  Only
+# PLAIN DATA (numpy centroids + k) is memoized, never a DataFrame: the
+# memo must survive session restarts within one process (the source
+# parquet is immutable for a process lifetime, so it can't go stale).
+_CELL_MEMO: dict[str, tuple] = {}
+
+
 def _hash_seed_cells(spark: SparkSession, sf_dir: str):
     """(base df, centroid matrix, k) for the hash-sampled coarse
-    quantizer shared by ann_ivf_topk and embedding_kmeans_rollup:
-    centroids are the k = max(16, ceil(sqrt(N))) corpus vectors with
-    the smallest portable md5 hash of their id; cell id = rank in that
-    ordering. Training is ONE top-k-by-hash selection — no Lloyd
-    corpus passes — and the k×dim collect is bounded (~16 MB at
-    N=1e9)."""
+    quantizer shared by ann_ivf_topk / ann_ivfpq_topk /
+    embedding_kmeans_rollup / dedup_semantic_cluster: centroids are
+    the k = max(16, ceil(sqrt(N))) corpus vectors with the smallest
+    portable md5 hash of their id; cell id = rank in that ordering.
+    Training is ONE top-k-by-hash selection — no Lloyd corpus passes —
+    the k×dim collect is bounded (~16 MB at N=1e9), and the result is
+    memoized per sf_dir so the four consumers train once."""
     em = fan_out(load(spark, sf_dir, "embeddings"), spark)
     base = em.select("vec_id", _dvec().alias("v"))
-    n = count_table(spark, sf_dir, "embeddings")
-    k = _ivf_k(n)
-    seed_rows = (
-        base.withColumn("hk", hash32(F.col("vec_id").cast("string")))
-        .orderBy("hk", "vec_id")
-        .limit(k)
-        .collect()
-    )
-    cents = np.asarray([np.asarray(r["v"], dtype=np.float64) for r in seed_rows])
+    if sf_dir not in _CELL_MEMO:
+        n = count_table(spark, sf_dir, "embeddings")
+        k = _ivf_k(n)
+        seed_rows = (
+            base.withColumn("hk", hash32(F.col("vec_id").cast("string")))
+            .orderBy("hk", "vec_id")
+            .limit(k)
+            .collect()
+        )
+        cents = np.asarray(
+            [np.asarray(r["v"], dtype=np.float64) for r in seed_rows]
+        )
+        _CELL_MEMO[sf_dir] = (cents, k)
+    cents, k = _CELL_MEMO[sf_dir]
     return base, cents, k
 
 

@@ -510,9 +510,13 @@ def test_r5_pair_ops_scale_shapes(spark, sf_dir, monkeypatch):
 # session ops: plan shapes that must survive 100x
 
 
-def test_kcore_rounds_are_hash_joins_no_cartesian(spark, sf_smoke):
+def test_kcore_rounds_are_hash_joins_no_cartesian(spark, sf_smoke, monkeypatch):
+    from parquet_batch_spark.operators import dedup as dedup_mod
     from parquet_batch_spark.operators.corpus_ops import graph_kcore
 
+    # assert on the FULL edge-build subtree, not the memoized
+    # checkpoint scan (r9: segment_edges materializes once per session)
+    monkeypatch.setattr(dedup_mod, "MATERIALIZE_SHARED_STAGES", False)
     plan = executed_plan(graph_kcore(spark, sf_smoke))
     assert "CartesianProduct" not in plan
     # the shrinking-node-set joins stay equi (hash/SMJ), never NLJ
@@ -547,11 +551,13 @@ def test_threshold_sweep_ladder_is_broadcast(spark, sf_smoke):
     assert "CartesianProduct" not in plan
 
 
-def test_neighborhood_jaccard_no_cartesian(spark, sf_smoke):
+def test_neighborhood_jaccard_no_cartesian(spark, sf_smoke, monkeypatch):
+    from parquet_batch_spark.operators import dedup as dedup_mod
     from parquet_batch_spark.operators.corpus_ops import (
         graph_neighborhood_jaccard,
     )
 
+    monkeypatch.setattr(dedup_mod, "MATERIALIZE_SHARED_STAGES", False)
     plan = executed_plan(graph_neighborhood_jaccard(spark, sf_smoke))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
