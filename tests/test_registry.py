@@ -1,20 +1,53 @@
 """Registry integrity: the driver checks roughly the first 50 entries,
-so ordering is coverage policy — guard it against silent drift."""
+so ordering is coverage policy — guard it against silent drift.
+
+From r10 the window is computed (``current_window``), not hand-pinned:
+through r10 it is the judge-pre-verified ``_R10_WINDOW`` literal; once
+a round-10+ CORRECTNESS artifact lands, the mechanical stalest-first
+rotation takes over (VERDICT r9 #2)."""
 
 from __future__ import annotations
 
-from parquet_batch_spark.operators import _PRIORITY, all_oracles, all_queries
+import glob
+import json
+import os
+import re
+
+from parquet_batch_spark.operators import (
+    _R10_WINDOW,
+    _WINDOW_SIZE,
+    _last_checked,
+    _stalest_window,
+    all_oracles,
+    all_queries,
+    current_window,
+)
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_priority_names_exist_and_are_unique():
+def _ever_checked(through_round: int = 10**6) -> set[str]:
+    """Driver-checked names recorded in CORRECTNESS_r*.json artifacts."""
+    checked: set[str] = set()
+    for f in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")):
+        m = re.match(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(f))
+        if m and int(m.group(1)) <= through_round:
+            checked.update(json.load(open(f)))
+    return checked
+
+
+def test_window_names_exist_and_are_unique():
     qs = all_queries()
-    missing = [n for n in _PRIORITY if n not in qs]
-    assert not missing, f"_PRIORITY names not in registry: {missing}"
-    assert len(set(_PRIORITY)) == len(_PRIORITY), "duplicate priority entries"
+    window = current_window()
+    missing = [n for n in window if n not in qs]
+    assert not missing, f"window names not in registry: {missing}"
+    assert len(set(window)) == len(window), "duplicate window entries"
+    assert len(window) == _WINDOW_SIZE
 
 
-def test_priority_prefix_is_registry_prefix():
-    assert list(all_queries())[: len(_PRIORITY)] == _PRIORITY
+def test_window_is_registry_prefix():
+    window = current_window()
+    assert list(all_queries())[: len(window)] == window
 
 
 def test_every_oracle_has_a_query():
@@ -28,57 +61,86 @@ def test_every_oracle_has_a_query():
     assert rows_only == [], rows_only
 
 
-def _ever_checked(through_round: int) -> set[str]:
-    """Driver-checked names recorded in CORRECTNESS_r01..r0N artifacts."""
-    import glob
-    import json
-    import os
-
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    checked: set[str] = set()
-    for f in glob.glob(os.path.join(root, "CORRECTNESS_r0*.json")):
-        rnd = int(os.path.basename(f).split("_r0")[1].split(".")[0])
-        if rnd <= through_round:
-            checked.update(json.load(open(f)))
-    return checked
+def test_certification_closes_after_this_window():
+    """The standing invariant that replaces every per-round hand-pinned
+    composition test: every registry entry must either already appear
+    in a committed CORRECTNESS artifact or sit in THIS round's window —
+    i.e. once the current window lands green, certification is total.
+    Holds for r10 by the pre-staged composition and trivially for every
+    round after."""
+    names = set(all_queries())
+    covered = _ever_checked() | set(current_window())
+    uncovered = sorted(names - covered)
+    assert uncovered == [], f"entries certification can never reach: {uncovered}"
 
 
-def test_driver_window_covers_round9_targets():
-    """Slots 1-50 (the driver's check window) must be entirely
-    never-driver-checked entries in VERDICT r8 #1's pre-staged
-    composition: 34 stats_ops + 13 relational + 3 scalar_funcs.
-    Burns the stats/relational tail; never-checked drops 95 -> 45.
-    The ever-checked set is pinned from CORRECTNESS_r01-r08."""
-    first50 = list(all_queries())[:50]
-    from parquet_batch_spark.operators import relational, scalar_funcs, stats_ops
+def test_round10_window_matches_judge_preverified_composition():
+    """Until CORRECTNESS_r10 lands, slots 1-50 must be the composition
+    the judge pre-verified 50/50 green (VERDICT r9 #1) — the 45 entries
+    never checked in r01-r09 + stalest-r1 spares — except that ops in
+    _CHANGED_THIS_ROUND jump to the head per the standing policy,
+    displacing spares only (never one of the 45)."""
+    from parquet_batch_spark.operators import _CHANGED_THIS_ROUND
 
-    assert sum(n in stats_ops.QUERIES for n in first50) == 34
-    assert sum(n in relational.QUERIES for n in first50) == 13
-    assert sum(n in scalar_funcs.QUERIES for n in first50) == 3
-    checked = _ever_checked(8)
-    rechecks = [n for n in first50 if n in checked]
-    assert rechecks == [], f"window wastes slots on re-checks: {rechecks}"
+    seen = dict(_last_checked())
+    if max(seen.values(), default=0) >= 10:
+        return  # r10 landed — the mechanical rotation owns the window
+    window = current_window()
+    n_changed = len(_CHANGED_THIS_ROUND)
+    assert window[:n_changed] == _CHANGED_THIS_ROUND
+    kept = [n for n in _R10_WINDOW if n not in _CHANGED_THIS_ROUND]
+    assert window[n_changed:] == kept[: _WINDOW_SIZE - n_changed]
+    checked_r9 = _ever_checked(9)
+    never = [n for n in window if n not in checked_r9]
+    assert len(never) == 45, f"expected 45 never-checked in window, got {len(never)}"
+    # changed ops may only displace spares (re-checks), never the 45
+    displaced = set(_R10_WINDOW) - set(window)
+    assert all(d in checked_r9 for d in displaced), displaced
 
 
-def test_round10_prestage_closes_certification():
-    """Slots 51-100 (the r10 window after the next rotation) must be
-    the remaining 45 never-driver-checked entries plus the 5 stalest
-    r1-certified spares (VERDICT r8 #5) — i.e. after r9's window lands
-    green, slots 1-100 of today's ordering contain EVERY entry never
-    checked in CORRECTNESS_r01-r08, so r10 closes full certification."""
-    names = list(all_queries())
-    checked = _ever_checked(8)
-    never = {n for n in names if n not in checked}
-    assert len(never) == 95, f"expected 95 never-checked, got {len(never)}"
-    first100 = names[:100]
-    uncovered = sorted(never - set(first100))
-    assert uncovered == [], f"never-checked entries outside r9+r10: {uncovered}"
-    # the 5 spare slots re-check the stalest r1 window entries
-    spares = [n for n in names[50:100] if n in checked]
-    assert spares == [
-        "reshape_unpivot",
-        "agg_rollup",
-        "agg_cube",
-        "agg_grouping_sets",
-        "agg_pivot",
-    ], spares
+def test_stalest_window_policy_mechanics():
+    """Unit-test the pure rotation policy: changed ops lead, then
+    stalest-first (never-checked = round 0), ties broken by module
+    order, truncated to the window size."""
+    names = [f"op{i}" for i in range(8)]
+    seen = {"op0": 3, "op1": 1, "op3": 1, "op4": 2, "op6": 5}
+    # op2, op5, op7 never checked -> lead in name order; then r1 ties
+    # (op1 before op3 by order), r2, r3, r5
+    assert _stalest_window(names, seen, [], size=8) == [
+        "op2", "op5", "op7", "op1", "op3", "op4", "op0", "op6",
+    ]
+    # changed ops jump to slot 1 regardless of staleness; window truncates
+    assert _stalest_window(names, seen, ["op6"], size=4) == [
+        "op6", "op2", "op5", "op7",
+    ]
+    # changed names not in the registry are ignored
+    assert _stalest_window(names, seen, ["ghost"], size=2) == ["op2", "op5"]
+
+
+def test_rotation_takes_over_once_r10_lands(monkeypatch):
+    """Simulate the post-r10 world: with a seen-map where every entry is
+    checked (r10 closes certification), ``current_window`` must return
+    the stalest-first computation over module order — the hand-pinned
+    era is over."""
+    import parquet_batch_spark.operators as ops
+
+    names_mod = _module_order()
+    seen = dict(_last_checked())
+    future = {n: seen.get(n, 10) for n in names_mod}  # r10 catches the rest
+    monkeypatch.setattr(ops, "_last_checked", lambda: tuple(future.items()))
+    monkeypatch.setattr(ops, "_CHANGED_THIS_ROUND", [])
+    got = ops.current_window(list(names_mod))
+    assert got == _stalest_window(names_mod, future, [])
+    assert len(got) == _WINDOW_SIZE
+    assert got != _R10_WINDOW  # genuinely rotated off the pinned literal
+    # the window is entirely the stalest cohort: no entry outside the
+    # window is staler than any entry inside it
+    cutoff = max(future[n] for n in got)
+    outside = [n for n in names_mod if n not in set(got)]
+    assert all(future[n] >= cutoff for n in outside)
+
+
+def _module_order() -> list[str]:
+    from parquet_batch_spark.operators import _raw_queries
+
+    return list(_raw_queries())
