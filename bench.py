@@ -498,19 +498,14 @@ def main() -> None:
         "warmups": warm,
         "warm_best_of_2": warm_best,
         "reruns": reruns,
-        "cpu_calibration_sec": calibration,
-        # re-measured after the full pass: r9 found the shared box
-        # drifts IN BURSTS within a single capture (0.253 at start,
-        # 0.554 mid-run, 0.282 at end of the same session), so one
-        # start-of-run line can understate what hit mid-run queries
-        "cpu_calibration_mid_sec": _calibrate(),
         "slowest10": dict(sorted(ops.items(), key=lambda kv: -kv[1])[:10]),
         "queries": ops,
     }
-    with open(
-        os.path.join(REPO, f"BENCH_FULL_r{_round_tag():02d}.json"), "w"
-    ) as fh:
-        json.dump(full_doc, fh, indent=1)
+    # re-measured after the full pass: r9 found the shared box drifts
+    # IN BURSTS within a single capture (0.253 at start, 0.554 mid-run,
+    # 0.282 at end of the same session), so one start-of-run line can
+    # understate what hit mid-run queries
+    cal_mid = _calibrate()
 
     # Pass 2 — HEADLINE, best-of-2 ADJACENT runs (first pays
     # codegen/JIT; min is the steady-state number, timeit convention).
@@ -528,6 +523,19 @@ def main() -> None:
             best = min(best, time.monotonic() - t0)
         timings[name] = round(best, 3)
 
+    cal_end = _calibrate()
+    # All three probes (start / post-full-pass / post-headline-pass) go
+    # in BOTH artifacts (VERDICT r9 #3: r9 shipped FULL without end and
+    # DETAIL without mid, so burst detection depended on which file you
+    # read) — which is why BENCH_FULL's dump waits until here.
+    full_doc["cpu_calibration_sec"] = calibration
+    full_doc["cpu_calibration_mid_sec"] = cal_mid
+    full_doc["cpu_calibration_end_sec"] = cal_end
+    with open(
+        os.path.join(REPO, f"BENCH_FULL_r{_round_tag():02d}.json"), "w"
+    ) as fh:
+        json.dump(full_doc, fh, indent=1)
+
     detail = {
         "metric": "headline suite wall time (noop-materialized)",
         "value": round(sum(timings.values()), 3),
@@ -535,10 +543,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "cpu_calibration_sec": calibration,
-        # taken right after the headline pass: brackets the headline
-        # numbers between two probes (see cpu_calibration_mid_sec in
-        # BENCH_FULL for the post-full-pass probe)
-        "cpu_calibration_end_sec": _calibrate(),
+        "cpu_calibration_mid_sec": cal_mid,
+        "cpu_calibration_end_sec": cal_end,
     }
     # Full per-query detail: sidecar file + an EARLY stdout line.  The
     # driver's capture keeps only the last ~2000 chars of stdout, so the

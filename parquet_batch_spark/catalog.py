@@ -7,6 +7,7 @@ table roots; the loader is path-based so the same code serves both.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -96,13 +97,19 @@ _BYTE_SUFFIX = {
     "gb": 1 << 30,
     "t": 1 << 40,
     "tb": 1 << 40,
+    "p": 1 << 50,
+    "pb": 1 << 50,
 }
 
 
 def _bytes_conf(spark: SparkSession, key: str, default: int) -> int:
     """Read a Spark byte-size conf ("128MB", "4194304b", plain int) as
     bytes, with a fixed fallback.  Parsing mirrors Spark's
-    JavaUtils.byteStringAs (case-insensitive suffix, binary units)."""
+    JavaUtils.byteStringAs: case-insensitive suffix, binary units, the
+    full b/k/m/g/t/p ladder, integer-only magnitude.  An unparseable
+    value (which Spark itself would reject at read time) is WARNED
+    about, not silently defaulted — the estimate this feeds exists to
+    match Spark's actual packing (ADVICE r9)."""
     try:
         raw = spark.conf.get(key, None)
     except Exception:  # noqa: BLE001 — unreadable conf: use the default
@@ -110,10 +117,15 @@ def _bytes_conf(spark: SparkSession, key: str, default: int) -> int:
     if raw is None:
         return default
     s = str(raw).strip().lower()
-    num = s.rstrip("bgkmt")
+    num = s.rstrip("bgkmpt")
+    suffix = s[len(num):]
     try:
-        return int(num) * _BYTE_SUFFIX.get(s[len(num):], 1)
-    except ValueError:
+        return int(num) * _BYTE_SUFFIX[suffix or "b"]
+    except (ValueError, KeyError):
+        logging.getLogger(__name__).warning(
+            "unparseable byte conf %s=%r; pack estimate falls back to %d",
+            key, raw, default,
+        )
         return default
 
 
@@ -197,15 +209,23 @@ def fan_out(df: DataFrame, spark: SparkSession, *cols: str) -> DataFrame:
                 sizes.append(os.path.getsize(parsed.path))
             # Spark derives the split size from minPartitionNum (conf,
             # else leafNodeDefaultParallelism, else defaultParallelism)
-            # — match that, not the spread target
-            min_parts = spark.conf.get("spark.sql.files.minPartitionNum", None)
-            if min_parts is None:
+            # — match that, not the spread target.  A malformed conf
+            # string degrades to target instead of crashing the query
+            # (ADVICE r9: ValueError escaped the OSError-only catch).
+            try:
                 min_parts = spark.conf.get(
-                    "spark.sql.leafNodeDefaultParallelism", None
+                    "spark.sql.files.minPartitionNum", None
                 )
+                if min_parts is None:
+                    min_parts = spark.conf.get(
+                        "spark.sql.leafNodeDefaultParallelism", None
+                    )
+                min_parts = int(min_parts) if min_parts else target
+            except (ValueError, TypeError):
+                min_parts = target
             est = _spark_pack_estimate(
                 sizes,
-                int(min_parts) if min_parts else target,
+                min_parts,
                 _bytes_conf(
                     spark, "spark.sql.files.maxPartitionBytes", 128 << 20
                 ),

@@ -54,11 +54,20 @@ def test_triangle_census_invariants(spark, sf_dir):
     assert e <= v * (v - 1) // 2
 
 
-def test_triangle_plan_no_cartesian(spark, sf_dir):
+def test_triangle_plan_no_cartesian(spark, sf_dir, monkeypatch):
+    # assert on the FULL edge-build subtree, not the memoized
+    # localCheckpoint scan (ADVICE r9: segment_edges materializes once
+    # per session, which silently removed the edge joins from this plan)
+    from parquet_batch_spark.operators import dedup as dedup_mod
+
+    monkeypatch.setattr(dedup_mod, "MATERIALIZE_SHARED_STAGES", False)
     plan = executed_plan(graph_triangle_count(spark, sf_dir))
-    # the three scalar-combine crossJoins are broadcast single-row;
-    # a CartesianProduct would mean the edge joins degenerated
+    # the three scalar-combine crossJoins are broadcast single-row NLJs
+    # (acceptable); a CartesianProduct would mean the edge joins
+    # degenerated.  The wedge/triangle edge joins themselves must stay
+    # equi-joins — visible again now that the memo is off.
     assert "CartesianProduct" not in plan, plan
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") >= 1, plan
 
 
 def test_bpe_merge_counts_non_increasing(spark, sf_dir):

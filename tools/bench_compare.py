@@ -6,9 +6,16 @@ cal ratio isolates shared-box CPU drift from plan drift).
 
     python tools/bench_compare.py <old.json|git:REF:PATH> <new.json|git:REF:PATH>
 
-Prints a JSON doc: common-set raw ratio, cal-normalized ratio, and
-every query whose NORMALIZED ratio exceeds 1.3x (the VERDICT r8 #3
-re-run threshold), plus the improvements side for symmetry.
+Prints a JSON doc whose HEADLINE is ``median_per_op_ratio`` — the
+median over common queries of new/old seconds.  ROADMAP r9 argues (and
+a VERDICT r9 re-run demonstrated: raw 0.91x vs probe-normalized 1.38x
+for the same capture pair, purely because one start probe landed in a
+CPU burst) that probe-based normalization is unreliable on a bursty
+shared box, while the per-op median is robust to both a few genuinely
+changed ops and a burst window hitting a contiguous registry slice.
+The raw and cal-normalized sums plus every query whose NORMALIZED
+ratio exceeds 1.3x (the VERDICT r8 #3 re-run threshold) are kept as
+supporting detail.
 """
 
 from __future__ import annotations
@@ -43,25 +50,43 @@ def compare(old: dict, new: dict) -> dict:
     sn = sum(qn[q] for q in common)
     raw = sn / so if so else float("nan")
 
+    # Like-for-like probe comparison (ADVICE r9): pre-r10 artifacts
+    # carry 1-2 probes while r10+ carry 3, so averaging "whatever each
+    # side has" compares an avg-of-1 to an avg-of-3 on a bursty box.
+    # Use only the probe keys PRESENT IN BOTH docs; `is not None` so a
+    # legitimate 0.0 probe isn't dropped.
+    probe_keys = [
+        k
+        for k in (
+            "cpu_calibration_sec",
+            "cpu_calibration_mid_sec",
+            "cpu_calibration_end_sec",
+        )
+        if old.get(k) is not None and new.get(k) is not None
+    ]
+
     def _cal(doc: dict) -> float | None:
-        # r9 on: captures carry probes at start AND mid/end of the run
-        # (the box drifts in bursts within one capture) — average the
-        # available probes so the normalization reflects the whole
-        # window, not just the start
-        probes = [
-            doc.get(k)
-            for k in (
-                "cpu_calibration_sec",
-                "cpu_calibration_mid_sec",
-                "cpu_calibration_end_sec",
-            )
-            if doc.get(k)
-        ]
+        probes = [doc[k] for k in probe_keys]
         return sum(probes) / len(probes) if probes else None
 
     cal_o, cal_n = _cal(old), _cal(new)
     drift = (cal_n / cal_o) if (cal_o and cal_n) else None
     norm = raw / drift if drift else None
+    # HEADLINE: median per-op ratio — robust to bursts (a burst inflates
+    # a contiguous slice, not the median) and to a handful of genuinely
+    # changed ops.  The >=0.2s variant screens out sub-200ms ops whose
+    # ratios are scheduling noise.
+    ratios = sorted(qn[q] / qo[q] for q in common if qo[q])
+    ratios_big = sorted(
+        qn[q] / qo[q] for q in common if qo[q] and max(qo[q], qn[q]) >= 0.2
+    )
+
+    def _median(xs: list[float]) -> float | None:
+        if not xs:
+            return None
+        mid = len(xs) // 2
+        return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
+
     slow, fast = {}, {}
     for q in common:
         r = qn[q] / qo[q] if qo[q] else float("inf")
@@ -72,7 +97,13 @@ def compare(old: dict, new: dict) -> dict:
             slow[q] = {"old": qo[q], "new": qn[q], "norm_ratio": round(rn, 3)}
         elif rn < 1 / 1.3 and qo[q] > 0.5:
             fast[q] = {"old": qo[q], "new": qn[q], "norm_ratio": round(rn, 3)}
+    med, med_big = _median(ratios), _median(ratios_big)
     return {
+        # the trustworthy trend estimator — quote THIS in round claims
+        "median_per_op_ratio": round(med, 4) if med is not None else None,
+        "median_per_op_ratio_ge_200ms": (
+            round(med_big, 4) if med_big is not None else None
+        ),
         "n_common": len(common),
         "old_sum_sec": round(so, 3),
         "new_sum_sec": round(sn, 3),
