@@ -264,18 +264,18 @@ def _ivf_nprobe(k: int) -> int:
     return max(IVF_NPROBE_FLOOR, k // 4)
 
 
-# Memoized coarse-quantizer centroids per sf_dir (r9): four registered
-# ops (ann_ivf_topk, ann_ivfpq_topk, embedding_kmeans_rollup,
+# Memoized coarse-quantizer centroids per (sf_dir, k) (r9): four
+# registered ops (ann_ivf_topk, ann_ivfpq_topk, embedding_kmeans_rollup,
 # dedup_semantic_cluster) train the SAME hash-seeded quantizer, each
 # paying the ~1 s top-k-by-hash corpus job — the same repeated-shared-
 # stage shape the LSH candidate-table memo solved in dedup.py.  Only
 # PLAIN DATA (numpy centroids + k) is memoized, never a DataFrame: the
 # memo must survive session restarts within one process (the source
 # parquet is immutable for a process lifetime, so it can't go stale).
-_CELL_MEMO: dict[str, tuple] = {}
+_CELL_MEMO: dict[tuple[str, int | None], tuple] = {}
 
 
-def _hash_seed_cells(spark: SparkSession, sf_dir: str):
+def _hash_seed_cells(spark: SparkSession, sf_dir: str, k_override: int | None = None):
     """(base df, centroid matrix, k) for the hash-sampled coarse
     quantizer shared by ann_ivf_topk / ann_ivfpq_topk /
     embedding_kmeans_rollup / dedup_semantic_cluster: centroids are
@@ -283,12 +283,16 @@ def _hash_seed_cells(spark: SparkSession, sf_dir: str):
     portable md5 hash of their id; cell id = rank in that ordering.
     Training is ONE top-k-by-hash selection — no Lloyd corpus passes —
     the k×dim collect is bounded (~16 MB at N=1e9), and the result is
-    memoized per sf_dir so the four consumers train once."""
+    memoized per (sf_dir, k_override) so the four consumers train once.
+    ``k_override`` lets a consumer demand MORE cells than the sqrt rule
+    (dedup_semantic_cluster's cell-population cap, r10) without
+    invalidating the shared default-k memo."""
     em = fan_out(load(spark, sf_dir, "embeddings"), spark)
     base = em.select("vec_id", _dvec().alias("v"))
-    if sf_dir not in _CELL_MEMO:
+    memo_key = (sf_dir, k_override)
+    if memo_key not in _CELL_MEMO:
         n = count_table(spark, sf_dir, "embeddings")
-        k = _ivf_k(n)
+        k = k_override if k_override is not None else _ivf_k(n)
         seed_rows = (
             base.withColumn("hk", hash32(F.col("vec_id").cast("string")))
             .orderBy("hk", "vec_id")
@@ -298,8 +302,8 @@ def _hash_seed_cells(spark: SparkSession, sf_dir: str):
         cents = np.asarray(
             [np.asarray(r["v"], dtype=np.float64) for r in seed_rows]
         )
-        _CELL_MEMO[sf_dir] = (cents, k)
-    cents, k = _CELL_MEMO[sf_dir]
+        _CELL_MEMO[memo_key] = (cents, k)
+    cents, k = _CELL_MEMO[memo_key]
     return base, cents, k
 
 
@@ -768,27 +772,50 @@ ORDER BY bf.query_id
 
 
 SEM_COS_THRESHOLD = 0.45  # semantic-duplicate cosine gate
+# Cell-population cap (r10, VERDICT r9 #5): above N = SEM_MAX_CELL²
+# (1e6 vectors) the sqrt rule's E[cell] = √N exceeds SEM_MAX_CELL and
+# pair work Θ(Σ cell²) = Θ(N·√N) turns super-linear, so K switches to
+# ceil(N / SEM_MAX_CELL) — cells stay ~SEM_MAX_CELL and pair work stays
+# Θ(N·SEM_MAX_CELL), linear in the corpus.  Below the crossover the
+# sqrt rule already yields smaller cells and nothing changes (the cap
+# is behavior-neutral at every committed test SF; measured evidence in
+# ROADMAP's r10 scale table).
+SEM_MAX_CELL = 1000
 
 
 def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023):
-    cluster the embedding space with the hash-seeded coarse quantizer
-    (K ≈ √N cells), then compare vectors only WITHIN their cell and
+    cluster the embedding space with the hash-seeded coarse quantizer,
+    then compare vectors only WITHIN their cell and
     drop any vector whose cosine to a lower-id cell-mate reaches
     {SEM_COS_THRESHOLD} — semantic copies that exact/fuzzy TEXT dedup
     cannot see (translations, paraphrases, re-renders). Output: one
     row per dropped vector with its kept representative (the smallest
     matching id) and the cosine to it.
 
-    Scale: the quantizer bounds all pair work to Θ(Σ cell²) with
-    E[cell] = N/K = √N — the SemDeDup recipe is exactly "make K large
-    enough that clusters are pairwise-comparable"; at 100 TB K grows
-    to N/1000 so cells stay ~constant. Candidate generation is an
-    equi-join on the cell id (no cartesian); 2-way spill assignment
-    (as in ``ann_ivf_topk``) is the recall knob for boundary pairs,
-    kept at 1 here to match the published algorithm.
+    Scale: the quantizer bounds all pair work to Θ(Σ cell²).  K =
+    max(16, ceil(√N), ceil(N / {SEM_MAX_CELL})): below N = 1e6 the
+    sqrt rule (E[cell] = √N) wins, above it the cell-population cap
+    holds E[cell] ≈ {SEM_MAX_CELL} so pair work stays LINEAR in N —
+    the SemDeDup recipe is exactly "make K large enough that clusters
+    are pairwise-comparable".  MEASURED at the 100× dup-dense fixture
+    (N = 50k, every vector a 100-way exact duplicate — ROADMAP r10):
+    sqrt-K 19.9 s → capped 11.6 s at E[cell] = 100 (ratio 8.6× vs 1×,
+    down from 13×), with two honest boundaries: (a) cells cannot shrink
+    below an exact-duplicate group (identical vectors assign
+    identically), so capping past the dup-group size buys no pair-work
+    reduction while (b) assignment cost is Θ(N·K) — at extreme N the
+    next refinement is a two-level quantizer (assign to √K
+    super-cells, then within).  Candidate generation is an equi-join on
+    the cell id (no cartesian); 2-way spill assignment (as in
+    ``ann_ivf_topk``) is the recall knob for boundary pairs, kept at 1
+    here to match the published algorithm.
     """
-    base, cents, _k = _hash_seed_cells(spark, sf_dir)
+    n = count_table(spark, sf_dir, "embeddings")
+    k_sem = max(_ivf_k(n), -(-n // SEM_MAX_CELL))
+    base, cents, _k = _hash_seed_cells(
+        spark, sf_dir, k_sem if k_sem != _ivf_k(n) else None
+    )
     assigned = _assign_cells(base, cents, 1)
     nr = assigned.select(
         "vec_id", "cell", "v", _norm(F.col("v")).alias("nrm")
@@ -825,7 +852,9 @@ WITH nv AS (
     FROM embeddings
 ),
 params AS (
-    SELECT GREATEST({IVF_MIN_K}, CAST(CEIL(SQRT(n)) AS INTEGER)) AS k
+    SELECT GREATEST({IVF_MIN_K},
+                    CAST(CEIL(SQRT(n)) AS INTEGER),
+                    CAST(CEIL(n / {SEM_MAX_CELL}.0) AS INTEGER)) AS k
     FROM (SELECT COUNT(*) AS n FROM nv)
 ),
 seeds AS (
