@@ -6091,12 +6091,15 @@ def ml_bradley_terry_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: matches reduce to the |players|² count matrix via one
     lead() window per customer + a partial-agg count; every MM round
     is arithmetic on that tiny matrix — corpus cost is ONE pass.  The
-    unrolled fixpoint executes eagerly with shuffle partitions trimmed
-    to 4 (restored after): its ~300 Exchanges all move ≤|players|²
-    rows, so 32 state-free tasks per exchange were pure scheduling
-    overhead (3.5 → 3.0 s measured; the corpus window/agg keeps full
-    MAP-side parallelism — input splits, not shuffle partitions,
-    set it)."""
+    rounds fold in ONE ``aggregate()`` higher-order-function expression
+    over the collected matrix (domain-bounded: |players| is the
+    priority domain, ≤ 5·5 entries — the global-collect whitelist
+    rule), so the whole fixpoint is a single task with zero per-round
+    exchanges.  (The r6–r9 implementation unrolled the rounds as ~300
+    DataFrame Exchanges of ≤|players|² rows — a fixed ~2.7 s
+    scheduling floor, VERDICT r9 #7; the fold computes the identical
+    integer trajectory: sums over the matrix are exact int64, so
+    array-order vs group-order addition is bit-identical.)"""
     from pyspark.sql import Window as W
 
     o = load(spark, sf_dir, "orders")
@@ -6137,53 +6140,70 @@ def ml_bradley_terry_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.coalesce("w", F.lit(0)).alias("wins_ij"),
         )
-    ).localCheckpoint(eager=False)
-    players = n_ij.select("i").distinct()
-    # this count FORCES the lazy n_ij checkpoint NOW, at full shuffle
-    # width — the corpus window/agg must not run under the fixpoint's
-    # trimmed-partition block below
-    n_players = players.count()  # bounded by the priority domain
-    p = players.select("i", F.lit(1_000_000).cast("long").alias("p"))
-    w_i = n_ij.groupBy("i").agg(F.sum("wins_ij").alias("big_w"))
-    for _ in range(BT_ROUNDS):
-        pj = p.select(F.col("i").alias("j"), F.col("p").alias("p_j"))
-        t = (
-            n_ij.join(p, "i")
-            .join(pj, "j")
-            .select(
-                "i",
-                F.expr(f"({BT_SCALE} * n) div (p + p_j)").alias("t"),
-            )
+    )
+    # collect the domain-bounded matrix into ONE row and fold the MM
+    # rounds in a single expression — no per-round exchanges
+    mat_row = n_ij.agg(
+        F.sort_array(F.collect_list(F.struct("i", "j", "n", "wins_ij"))).alias(
+            "mat"
         )
-        d = t.groupBy("i").agg(F.sum("t").alias("d"))
-        praw = (
-            w_i.join(d, "i")
-            .select("i", F.expr(f"({BT_SCALE} * big_w) div d").alias("praw"))
+    ).filter(F.size("mat") > 0)
+    zero = "CAST(0 AS BIGINT)"
+    pos = "CAST(array_position(ps, {v}) AS INT)"
+    d_i = (
+        f"aggregate(filter(mat, e -> e.i = x), {zero}, (a, e) -> a + "
+        f"({BT_SCALE} * e.n) div (element_at(p, {pos.format(v='e.i')}) "
+        f"+ element_at(p, {pos.format(v='e.j')})))"
+    )
+    folded = (
+        mat_row.withColumn(
+            "ps", F.expr("array_sort(array_distinct(transform(mat, e -> e.i)))")
         )
-        tot = praw.agg(F.sum("praw").alias("tot"))
-        p = (
-            praw.crossJoin(F.broadcast(tot))
-            .select(
-                "i",
-                F.expr(f"({n_players} * 1000000 * praw) div tot").alias("p"),
-            )
+        .withColumn(
+            "ws",
+            F.expr(
+                f"transform(ps, x -> aggregate(filter(mat, e -> e.i = x), "
+                f"{zero}, (a, e) -> a + e.wins_ij))"
+            ),
         )
-    out = (
-        p.join(w_i, "i")
-        .join(
-            n_ij.groupBy("i").agg(F.sum("n").alias("n_matches")), "i"
+        .withColumn(
+            "nm",
+            F.expr(
+                f"transform(ps, x -> aggregate(filter(mat, e -> e.i = x), "
+                f"{zero}, (a, e) -> a + e.n))"
+            ),
         )
+        .withColumn(
+            "pfin",
+            # transform(array(praw), pr -> ...)[0] binds the per-round
+            # praw vector once so tot and the renorm both read it
+            F.expr(
+                f"""
+                aggregate(
+                    sequence(1, {BT_ROUNDS}),
+                    transform(ps, x -> CAST(1000000 AS BIGINT)),
+                    (p, r) -> transform(array(
+                        transform(ps, x ->
+                            ({BT_SCALE} * element_at(ws, {pos.format(v='x')}))
+                            div ({d_i}))
+                    ), pr -> transform(pr, v ->
+                        (size(ps) * 1000000 * v)
+                        div aggregate(pr, {zero}, (a, x2) -> a + x2)))[0]
+                )
+                """
+            ),
+        )
+    )
+    return (
+        folded.select(F.explode(F.expr("arrays_zip(ps, ws, nm, pfin)")).alias("r"))
         .select(
-            F.col("i").alias("player"),
-            F.col("big_w").cast("long").alias("wins"),
-            F.col("n_matches").cast("long").alias("n_matches"),
-            F.col("p").alias("strength_micro"),
+            F.col("r.ps").alias("player"),
+            F.col("r.ws").cast("long").alias("wins"),
+            F.col("r.nm").cast("long").alias("n_matches"),
+            F.col("r.pfin").alias("strength_micro"),
         )
         .orderBy("player")
     )
-    with _trimmed_shuffle_partitions(spark, 4):
-        # eager: the conf must be live at EXECUTION, not construction
-        return out.localCheckpoint(eager=True)
 
 
 def _bt_sql() -> str:
@@ -12284,27 +12304,25 @@ def window_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The level/trend recurrence l_t = αx_t + (1−α)(l_{t−1}+b_{t−1}),
     b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1} is inherently SEQUENTIAL — the
-    shape windows cannot express — so it runs as a Spark 4
-    ``WITH RECURSIVE`` CTE over the MONTH-GRAIN reduced series: the
-    engine plans the fixpoint, recursion depth = #months (a dozen),
-    each step a 1-row join against the month table.  With rational
-    α = β = 1/4 every step is exact integer arithmetic
-    (trunc-div-by-4, identical in both engines), so the whole
-    trajectory is bit-exact.  Output per month: observed, level,
-    trend, one-step-ahead fit error, and the +3-month
-    linear forecast.
+    shape windows cannot express — so after the distributed month-grain
+    reduce it runs as ONE ``aggregate()`` higher-order-function fold
+    over the collected ≤|months| series: a single whole-stage-codegen
+    expression, zero per-step jobs.  (The r6–r9 implementation was a
+    Spark 4 ``WITH RECURSIVE`` fixpoint — correct and corpus-
+    independent, but each of the ~|months| recursion steps scheduled
+    its own 1-row-join job, a FIXED ~9 s floor that dominated the
+    registry; VERDICT r9 #7.  The fold computes the identical
+    trajectory in one task.)  With rational α = β = 1/4 every step is
+    exact integer arithmetic (trunc-div-by-4, identical in both
+    engines), so the whole trajectory is bit-exact.  Output per month:
+    observed, level, trend, one-step-ahead fit error, and the
+    +3-month linear forecast.
 
-    Scale: one month-grain reduce of the corpus; the recursion runs on
-    the MATERIALIZED ≤|months| series (unmaterialized, each recursive
-    step would re-scan the corpus — measured 20 s vs 8 s) and executes
-    eagerly with shuffle partitions trimmed to 1 (restored after) —
-    each fixpoint step joins ONE row against ≤|months| rows, so 32
-    state-free shuffle tasks per iteration were pure scheduling
-    overhead (11.3 → 8.3 s measured; the same partition-count-
-    invariant trim as the streaming drains, VERDICT r6 #7).  The
-    residual cost is per-iteration job scheduling, FIXED in corpus
-    size (identical at 10× data) — the recursive-CTE analog of a
-    streaming micro-batch drain.
+    Scale: one month-grain reduce of the corpus (distributed, map-side
+    partial agg); the sequential tail folds a DOMAIN-BOUNDED array
+    (≤ a few hundred months even at 100 TB — the same bounded-reduced-
+    table rule as the registry's global-window whitelist), so the fold
+    is O(|months|²) struct copies in one task — microseconds.
     """
     o = load(spark, sf_dir, "orders")
     mk = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast("long")
@@ -12313,40 +12331,40 @@ def window_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("mk")
         .agg(F.sum("yd").alias("x"))
     )
-    w = Window.orderBy("mk")
-    series = monthly.select(
-        F.row_number().over(w).cast("long").alias("t"), "mk", "x"
-    ).localCheckpoint(eager=True)
-    # MATERIALIZED before the recursion: each WITH RECURSIVE step
-    # re-evaluates the referenced relation, so an unmaterialized view
-    # would re-scan the corpus once PER MONTH (measured 20 s vs 2 s)
-    series.createOrReplaceTempView("pbs_holt_series")
-    with _trimmed_shuffle_partitions(spark, 1):
-        # eager: the conf must be live at EXECUTION, not construction
-        out = _holt_recursion(spark).localCheckpoint(eager=True)
-    return out
-
-
-def _holt_recursion(spark: SparkSession) -> DataFrame:
-    return spark.sql(
+    arr = monthly.agg(
+        F.sort_array(F.collect_list(F.struct("mk", "x"))).alias("s")
+    ).filter(F.size("s") > 0)
+    prev = "element_at(acc, -1)"
+    l_new = f"(m.x + 3 * ({prev}.l + {prev}.b)) div 4"
+    traj = F.expr(
         f"""
-        WITH RECURSIVE holt(t, mk, x, l, b, e) AS (
-            SELECT t, mk, x, x, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
-            FROM pbs_holt_series WHERE t = 1
-            UNION ALL
-            SELECT /*+ BROADCAST(s) */ s.t, s.mk, s.x,
-                   (s.x + 3 * (h.l + h.b)) div 4,
-                   (((s.x + 3 * (h.l + h.b)) div 4) - h.l + 3 * h.b) div 4,
-                   s.x - (h.l + h.b)
-            FROM pbs_holt_series s
-            JOIN holt h ON s.t = h.t + 1
+        aggregate(
+            slice(s, 2, size(s) - 1),
+            array(named_struct(
+                't', CAST(1 AS BIGINT), 'mk', s[0].mk, 'x', s[0].x,
+                'l', s[0].x, 'b', CAST(0 AS BIGINT), 'e', CAST(0 AS BIGINT))),
+            (acc, m) -> array_append(acc, named_struct(
+                't', {prev}.t + 1, 'mk', m.mk, 'x', m.x,
+                'l', {l_new},
+                'b', (({l_new}) - {prev}.l + 3 * {prev}.b) div 4,
+                'e', m.x - ({prev}.l + {prev}.b)))
         )
-        SELECT t AS month_idx, mk AS month_key, x AS revenue,
-               l AS level, b AS trend, e AS fit_error,
-               l + {HOLT_FORECAST_H} * b AS forecast_h{HOLT_FORECAST_H}
-        FROM holt
-        ORDER BY t
         """
+    )
+    return (
+        arr.select(F.explode(traj).alias("r"))
+        .select(
+            F.col("r.t").alias("month_idx"),
+            F.col("r.mk").alias("month_key"),
+            F.col("r.x").alias("revenue"),
+            F.col("r.l").alias("level"),
+            F.col("r.b").alias("trend"),
+            F.col("r.e").alias("fit_error"),
+            (F.col("r.l") + HOLT_FORECAST_H * F.col("r.b")).alias(
+                f"forecast_h{HOLT_FORECAST_H}"
+            ),
+        )
+        .orderBy("month_idx")
     )
 
 
