@@ -97,6 +97,9 @@ from pyspark.sql import DataFrame, SparkSession
 # They jump to the window head (displacing the window tail — during
 # r10 that tail is the 5 re-check spares, so certification of the 45
 # never-checked entries survives up to 5 same-round changes).
+# EMPTY THIS LIST AT THE START OF EACH ROUND (last round's entries
+# were certified by the driver when its CORRECTNESS artifact landed),
+# then add every op you touch as you touch it.
 # r10: dedup_semantic_cluster gained the SEM_MAX_CELL cell-population
 # cap (VERDICT r9 #5; behavior-neutral below N=1e6 but the k formula
 # and oracle SQL changed, so it re-certifies, displacing one spare);
