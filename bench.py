@@ -506,6 +506,14 @@ def main() -> None:
     # 0.282 at end of the same session), so one start-of-run line can
     # understate what hit mid-run queries
     cal_mid = _calibrate()
+    # Persist the finished full-pass capture NOW (ADVICE r10 #3): a
+    # crash during the headline pass must not lose it.  Rewritten with
+    # the end probe after pass 2.
+    full_doc["cpu_calibration_sec"] = calibration
+    full_doc["cpu_calibration_mid_sec"] = cal_mid
+    _full_path = os.path.join(REPO, f"BENCH_FULL_r{_round_tag():02d}.json")
+    with open(_full_path, "w") as fh:
+        json.dump(full_doc, fh, indent=1)
 
     # Pass 2 — HEADLINE, best-of-2 ADJACENT runs (first pays
     # codegen/JIT; min is the steady-state number, timeit convention).
@@ -514,6 +522,14 @@ def main() -> None:
     # adjacent second leg and the min would read ~9% slow vs the
     # r1-r5 methodology — adjacency keeps the round-over-round trend
     # comparable.
+    # Prior round's committed headline values, read BEFORE this round's
+    # detail overwrites the file — the mid-capture steal guard below
+    # baselines against them.
+    try:
+        with open(os.path.join(REPO, "BENCH_DETAIL.json")) as fh:
+            prior_headline = json.load(fh).get("queries", {})
+    except Exception:  # noqa: BLE001 — first round, no guard baseline
+        prior_headline = {}
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
@@ -523,17 +539,34 @@ def main() -> None:
             best = min(best, time.monotonic() - t0)
         timings[name] = round(best, 3)
 
+    # Mid-capture steal guard (VERDICT r10 #6): even with bracketing
+    # probes, a host-steal burst inside the pass can inflate one op
+    # ~10x (r10 observed a 0.48 s op read 7.6 s in-burst, best-of-2
+    # notwithstanding).  Any op reading >3x its previously COMMITTED
+    # headline value gets one more adjacent rerun, min kept — a real
+    # regression survives three runs; a burst rarely spans them.
+    headline_reruns = sorted(
+        n
+        for n, t in timings.items()
+        if n in prior_headline and t > 0.05 and t > 3 * prior_headline[n]
+    )
+    for name in headline_reruns:
+        t0 = time.monotonic()
+        try:
+            _materialize(queries[name](spark, SF_DIR))
+            timings[name] = round(
+                min(timings[name], time.monotonic() - t0), 3
+            )
+        except Exception:  # noqa: BLE001 — keep the best-of-2 number
+            pass
+
     cal_end = _calibrate()
     # All three probes (start / post-full-pass / post-headline-pass) go
     # in BOTH artifacts (VERDICT r9 #3: r9 shipped FULL without end and
     # DETAIL without mid, so burst detection depended on which file you
     # read) — which is why BENCH_FULL's dump waits until here.
-    full_doc["cpu_calibration_sec"] = calibration
-    full_doc["cpu_calibration_mid_sec"] = cal_mid
     full_doc["cpu_calibration_end_sec"] = cal_end
-    with open(
-        os.path.join(REPO, f"BENCH_FULL_r{_round_tag():02d}.json"), "w"
-    ) as fh:
+    with open(_full_path, "w") as fh:
         json.dump(full_doc, fh, indent=1)
 
     detail = {
@@ -545,6 +578,7 @@ def main() -> None:
         "cpu_calibration_sec": calibration,
         "cpu_calibration_mid_sec": cal_mid,
         "cpu_calibration_end_sec": cal_end,
+        "steal_guard_reruns": headline_reruns,
     }
     # Full per-query detail: sidecar file + an EARLY stdout line.  The
     # driver's capture keeps only the last ~2000 chars of stdout, so the

@@ -93,29 +93,23 @@ from pyspark.sql import DataFrame, SparkSession
 #     window, every op is re-certified at least every ~10 rounds; ops
 #     never touched after certification cycle on schedule.
 
-# Ops whose implementation or oracle changed in the CURRENT round.
-# They jump to the window head (displacing the window tail — during
-# r10 that tail is the 5 re-check spares, so certification of the 45
-# never-checked entries survives up to 5 same-round changes).
-# EMPTY THIS LIST AT THE START OF EACH ROUND (last round's entries
-# were certified by the driver when its CORRECTNESS artifact landed),
-# then add every op you touch as you touch it.
-# r10: dedup_semantic_cluster gained the SEM_MAX_CELL cell-population
-# cap (VERDICT r9 #5; behavior-neutral below N=1e6 but the k formula
-# and oracle SQL changed, so it re-certifies, displacing one spare);
-# window_holt_linear_trend and ml_bradley_terry_ranking had their
-# fixpoints rewritten as single-expression aggregate() folds over the
-# domain-bounded reduced series/matrix (VERDICT r9 #7: 8.9 s -> 1.0 s
-# and 2.7 s -> 1.1 s warm), identical trajectories, oracles unchanged.
-# text_textrank_keywords: iterations folded the same way + the corpus
-# tokenization materialized once instead of re-running per branch
-# (5.2 s -> 2.6 s warm).
-_CHANGED_THIS_ROUND: list[str] = [
-    "dedup_semantic_cluster",
-    "window_holt_linear_trend",
-    "ml_bradley_terry_ranking",
-    "text_textrank_keywords",
-]
+# Ops whose implementation or oracle changed, keyed by the round the
+# change happened in.  They jump to the window head (displacing the
+# window tail) UNTIL a CORRECTNESS artifact of that round or later
+# exists — at which point the driver certified them and they retire
+# from the head AUTOMATICALLY (``_active_changed``; ADVICE r10 #1
+# closed the manual-reset gap where last round's entries silently led
+# the next round's window).  Add every op you touch, mapped to the
+# current round number; never delete entries by hand — stale ones are
+# inert and document the change history.
+# r10 (certified by CORRECTNESS_r10.json, auto-retired): semdedup cell
+# cap; Holt/Bradley-Terry/TextRank reduce-then-fold rewrites.
+_CHANGED_THIS_ROUND: dict[str, int] = {
+    "dedup_semantic_cluster": 10,
+    "window_holt_linear_trend": 10,
+    "ml_bradley_terry_ranking": 10,
+    "text_textrank_keywords": 10,
+}
 
 _WINDOW_SIZE = 50
 
@@ -240,6 +234,18 @@ def _last_checked() -> tuple[tuple[str, int], ...]:
     return tuple(sorted(latest.items()))
 
 
+def _active_changed(seen: dict[str, int] | None = None) -> list[str]:
+    """The changed-op head still awaiting driver certification: a
+    ``_CHANGED_THIS_ROUND`` entry is active only while its round is
+    NEWER than every committed CORRECTNESS artifact; once the driver's
+    artifact for that round lands, the entry retires automatically
+    (ADVICE r10 #1 — no manual round-start reset to forget)."""
+    if seen is None:
+        seen = dict(_last_checked())
+    latest = max(seen.values(), default=0)
+    return [n for n, rnd in _CHANGED_THIS_ROUND.items() if rnd > latest]
+
+
 def _stalest_window(
     names: list[str],
     seen: dict[str, int],
@@ -269,11 +275,12 @@ def current_window(names: list[str] | None = None) -> list[str]:
     if names is None:
         names = list(_raw_queries())
     seen = dict(_last_checked())
+    changed = _active_changed(seen)
     if max(seen.values(), default=0) < 10:
         window = [n for n in _R10_WINDOW if n in set(names)]
-        head = [n for n in _CHANGED_THIS_ROUND if n in set(names)]
+        head = [n for n in changed if n in set(names)]
         return (head + [n for n in window if n not in head])[:_WINDOW_SIZE]
-    return _stalest_window(names, seen, _CHANGED_THIS_ROUND)
+    return _stalest_window(names, seen, changed)
 
 
 def _prioritized(mapping: dict) -> dict:

@@ -80,15 +80,16 @@ def test_round10_window_matches_judge_preverified_composition():
     never checked in r01-r09 + stalest-r1 spares — except that ops in
     _CHANGED_THIS_ROUND jump to the head per the standing policy,
     displacing spares only (never one of the 45)."""
-    from parquet_batch_spark.operators import _CHANGED_THIS_ROUND
+    from parquet_batch_spark.operators import _active_changed
 
     seen = dict(_last_checked())
     if max(seen.values(), default=0) >= 10:
         return  # r10 landed — the mechanical rotation owns the window
+    changed = _active_changed(seen)
     window = current_window()
-    n_changed = len(_CHANGED_THIS_ROUND)
-    assert window[:n_changed] == _CHANGED_THIS_ROUND
-    kept = [n for n in _R10_WINDOW if n not in _CHANGED_THIS_ROUND]
+    n_changed = len(changed)
+    assert window[:n_changed] == changed
+    kept = [n for n in _R10_WINDOW if n not in changed]
     assert window[n_changed:] == kept[: _WINDOW_SIZE - n_changed]
     checked_r9 = _ever_checked(9)
     never = [n for n in window if n not in checked_r9]
@@ -128,7 +129,7 @@ def test_rotation_takes_over_once_r10_lands(monkeypatch):
     seen = dict(_last_checked())
     future = {n: seen.get(n, 10) for n in names_mod}  # r10 catches the rest
     monkeypatch.setattr(ops, "_last_checked", lambda: tuple(future.items()))
-    monkeypatch.setattr(ops, "_CHANGED_THIS_ROUND", [])
+    monkeypatch.setattr(ops, "_CHANGED_THIS_ROUND", {})
     got = ops.current_window(list(names_mod))
     assert got == _stalest_window(names_mod, future, [])
     assert len(got) == _WINDOW_SIZE
@@ -138,6 +139,38 @@ def test_rotation_takes_over_once_r10_lands(monkeypatch):
     cutoff = max(future[n] for n in got)
     outside = [n for n in names_mod if n not in set(got)]
     assert all(future[n] >= cutoff for n in outside)
+
+
+def test_changed_ops_auto_retire_once_their_round_lands(monkeypatch):
+    """ADVICE r10 #1: a _CHANGED_THIS_ROUND entry leads the window only
+    while its round is newer than every committed CORRECTNESS artifact;
+    the moment the driver's artifact for that round (or any later one)
+    lands, the entry retires with NO manual reset."""
+    import parquet_batch_spark.operators as ops
+
+    monkeypatch.setattr(
+        ops, "_CHANGED_THIS_ROUND", {"op_old": 10, "op_new": 11}
+    )
+    # latest artifact = r10 -> the r10 entry is certified, the r11 one leads
+    assert ops._active_changed({"x": 10}) == ["op_new"]
+    # latest artifact = r11 -> both certified, head empty
+    assert ops._active_changed({"x": 11}) == []
+    # no artifacts at all (fresh clone) -> everything leads
+    assert ops._active_changed({}) == ["op_old", "op_new"]
+    # the LIVE registry state: entries certified by the latest committed
+    # artifact are the freshest ops in the registry, so once retired from
+    # the head they cannot appear anywhere in the stalest-first window
+    seen = dict(_last_checked())
+    latest = max(seen.values(), default=0)
+    live_active = set(ops._active_changed(seen))
+    retired_fresh = [
+        n
+        for n, r in ops._CHANGED_THIS_ROUND.items()
+        if r <= latest and seen.get(n, 0) == latest
+    ]
+    window = set(current_window())
+    leaked = [n for n in retired_fresh if n in window and n not in live_active]
+    assert leaked == [], f"certified changed-ops still occupy the window: {leaked}"
 
 
 def _module_order() -> list[str]:

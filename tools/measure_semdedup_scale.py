@@ -16,6 +16,7 @@ the candidate-pair counts that explain them.
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 import time
@@ -37,7 +38,6 @@ def main() -> None:
     # warm scans
     mat(sim.load(spark, x100, "embeddings"))
     n = count_table(spark, x100, "embeddings")
-    k_sqrt = sim._ivf_k(n)
 
     def run(tag: str, cap: int) -> None:
         old = sim.SEM_MAX_CELL
@@ -59,9 +59,12 @@ def main() -> None:
 
     # sqrt rule (cap never binds) — the ROADMAP 13x row
     run("sqrt-K (status quo)", 10**9)
-    # production rule scaled to the fixture: constant cells ~= 1x's
-    # E[cell]; K = N/23 ~ 2.2k cells (the 100 TB geometry)
-    run("cell-cap (at-scale regime)", max(1, k_sqrt and 23))
+    # production rule scaled to the fixture: constant cells ~= the 1x
+    # fixture's E[cell] = isqrt(N/100) (~23 at N=50k, since the 100x
+    # fixture is a 100-way replication of N/100 base vectors); K = N/23
+    # ~ 2.2k cells (the 100 TB geometry).  ADVICE r10 #4: derived, not
+    # the former obfuscated constant.
+    run("cell-cap (at-scale regime)", max(2, math.isqrt(n // 100)))
     # sensitivity: a 4x looser cap
     run("cell-cap (loose, 100)", 100)
 

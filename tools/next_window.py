@@ -3,7 +3,9 @@ policy (operators/__init__.py — ``current_window`` is the single
 source of truth; this tool only prints it).  Through r10 that is the
 judge-pre-verified ``_R10_WINDOW``; afterwards the 50 registry entries
 whose most recent driver check is OLDEST win the window — changed ops
-first (hand-listed in ``_CHANGED_THIS_ROUND``), then never-checked,
+first (``_CHANGED_THIS_ROUND`` entries newer than every committed
+CORRECTNESS artifact — certified ones retire automatically), then
+never-checked,
 then by last-checked round ascending, ties broken by module order.
 
     python tools/next_window.py [window_size]
@@ -22,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     from parquet_batch_spark.operators import (
-        _CHANGED_THIS_ROUND,
+        _active_changed,
         _last_checked,
         _raw_queries,
         _stalest_window,
@@ -36,7 +38,7 @@ def main() -> None:
         by_round[seen.get(n, 0)] = by_round.get(seen.get(n, 0), 0) + 1
     print("# staleness (last-checked round -> count):", dict(sorted(by_round.items())))
     if len(sys.argv) > 1:
-        window = _stalest_window(names, seen, _CHANGED_THIS_ROUND, int(sys.argv[1]))
+        window = _stalest_window(names, seen, _active_changed(seen), int(sys.argv[1]))
         print(f"# stalest-first {sys.argv[1]}-slot window (policy preview):")
     else:
         window = current_window(names)
