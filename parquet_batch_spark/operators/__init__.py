@@ -109,6 +109,11 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     "window_holt_linear_trend": 10,
     "ml_bradley_terry_ranking": 10,
     "text_textrank_keywords": 10,
+    # r11: the 12-round power-iteration loop (tiny joins + periodic
+    # localCheckpoints, a ~2-3 s scheduling floor) folded into one
+    # aggregate() expression over the one-row-packed types x types
+    # matrix; identical integer trajectory, oracle unchanged.
+    "seq_markov_stationary": 11,
 }
 
 _WINDOW_SIZE = 50
