@@ -105,7 +105,6 @@ from pyspark.sql import DataFrame, SparkSession
 # r10 (certified by CORRECTNESS_r10.json, auto-retired): semdedup cell
 # cap; Holt/Bradley-Terry/TextRank reduce-then-fold rewrites.
 _CHANGED_THIS_ROUND: dict[str, int] = {
-    "dedup_semantic_cluster": 10,
     "window_holt_linear_trend": 10,
     "ml_bradley_terry_ranking": 10,
     "text_textrank_keywords": 10,
@@ -114,6 +113,11 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     # aggregate() expression over the one-row-packed types x types
     # matrix; identical integer trajectory, oracle unchanged.
     "seq_markov_stationary": 11,
+    # r11: SemDeDup assignment moved to the two-level (coarse -> fine)
+    # quantizer, O(N*sqrt(K)) instead of flat Theta(N*K) (VERDICT r10
+    # #2); assignments near coarse boundaries can differ from flat, so
+    # the oracle SQL mirrors the two-level form and the op re-certifies.
+    "dedup_semantic_cluster": 11,
 }
 
 _WINDOW_SIZE = 50
