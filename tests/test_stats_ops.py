@@ -539,9 +539,10 @@ def test_importance_weights_ess(spark, sf_dir):
 
 
 def test_pca_power_iteration_matches_numpy_replica(spark, sf_dir):
-    """The distributed quantized power iteration equals an exact numpy
-    replica of the same integer arithmetic, and the output direction
-    is milli-normalized (max |loading| = 1000)."""
+    """The one-pass moment-reduce + integer power iteration equals an
+    exact arbitrary-precision replica (second moment from the raw
+    corpus, same round-half-away integer normalization), and the
+    output direction is milli-normalized (max |loading| = 1000)."""
     from parquet_batch_spark.operators.stats_ops import (
         PCA_DIMS,
         PCA_ITERS,
@@ -556,13 +557,20 @@ def test_pca_power_iteration_matches_numpy_replica(spark, sf_dir):
     X = np.array(
         [[int(round(x * 1000000)) for x in r["embedding"]] for r in emb], dtype=object
     )
+    M = X.T @ X  # python-int matrix, exact
     v = np.array([1000] * PCA_DIMS, dtype=object)
     for _ in range(PCA_ITERS):
-        y = X @ v
-        yq = np.array([int(math.floor(float(t) / 1000000.0)) for t in y], dtype=object)
-        u = X.T @ yq
+        u = M @ v
         m = max(int(abs(c)) for c in u) or 1
-        v = np.array([int(round(1000.0 * int(c) / m)) for c in u], dtype=object)
+        v = np.array(
+            [
+                (2000 * int(c) + m) // (2 * m)
+                if int(c) >= 0
+                else -((2000 * -int(c) + m) // (2 * m))
+                for c in u
+            ],
+            dtype=object,
+        )
     assert got == [int(c) for c in v]
 
 
