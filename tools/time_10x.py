@@ -24,7 +24,10 @@ def main() -> None:
     def mat(df):
         df.write.format("noop").mode("overwrite").save()
 
-    for sf in ("/root/testdata/sf0.01", "/tmp/sf0.01_x10"):
+    dirs = ["/root/testdata/sf0.01", "/tmp/sf0.01_x10"]
+    if os.path.isdir("/tmp/sf0.01_x100"):
+        dirs.append("/tmp/sf0.01_x100")  # 100x, when built
+    for sf in dirs:
         mat(qs["scan_count"](spark, sf))
         for name in names:
             best = float("inf")
