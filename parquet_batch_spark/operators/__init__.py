@@ -95,13 +95,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Ops whose implementation or oracle changed, keyed by the round the
 # change happened in.  They jump to the window head (displacing the
-# window tail) UNTIL a CORRECTNESS artifact of that round or later
-# exists — at which point the driver certified them and they retire
-# from the head AUTOMATICALLY (``_active_changed``; ADVICE r10 #1
-# closed the manual-reset gap where last round's entries silently led
-# the next round's window).  Add every op you touch, mapped to the
-# current round number; never delete entries by hand — stale ones are
-# inert and document the change history.
+# window tail) UNTIL the op ITSELF appears green in a CORRECTNESS
+# artifact of that round or later — at which point the driver certified
+# it and the entry retires AUTOMATICALLY (``_active_changed``; ADVICE
+# r10 #1 closed the manual-reset gap, ADVICE r11 #1 made retirement
+# per-op: an op the driver skipped, or that failed its row, keeps its
+# head slot instead of silently dropping).  Add every op you touch,
+# mapped to max(current round, latest committed CORRECTNESS round + 1)
+# — an op touched AFTER this round's artifact already landed must map
+# to the NEXT round or it is born retired (ADVICE r11 #2;
+# test_changed_entries_not_born_retired pins this).  Never delete
+# entries by hand — stale ones are inert and document change history.
 # r10 (certified by CORRECTNESS_r10.json, auto-retired): semdedup cell
 # cap; Holt/Bradley-Terry/TextRank reduce-then-fold rewrites.
 _CHANGED_THIS_ROUND: dict[str, int] = {
@@ -117,13 +121,22 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     # quantizer, O(N*sqrt(K)) instead of flat Theta(N*K) (VERDICT r10
     # #2); assignments near coarse boundaries can differ from flat, so
     # the oracle SQL mirrors the two-level form and the op re-certifies.
-    "dedup_semantic_cluster": 11,
+    # r12 (key re-bumped, comment is the history): SemDeDup collapses
+    # exact-duplicate vectors to min-id representatives BEFORE the
+    # quantizer and sizes K from the DISTINCT count (VERDICT r11 #4) —
+    # all quadratic work now sees only distinct mass, members rejoin by
+    # one linear equi-join; oracle mirrors the collapse CTE-for-CTE.
+    "dedup_semantic_cluster": 12,
     # r11: PCA reads the corpus ONCE (64x64 second-moment reduce, then
     # integer power iteration on the reduced matrix) instead of two
     # corpus passes + a corpus-wide cache; normalization moved to pure
     # integer round-half-away so both engines agree without floats.
     # Values change (new quantization path), oracle rewritten to match.
-    "embedding_pca_power_iteration": 11,
+    # r12 (key re-bumped — a dict key can't repeat, the comment is the
+    # history): partial_moments now asserts the |xq| exactness bound
+    # before the int64 matmul (ADVICE r11 #3) — no semantic change for
+    # valid data, but the code path changed, so it re-certifies.
+    "embedding_pca_power_iteration": 12,
 }
 
 _WINDOW_SIZE = 50
@@ -226,12 +239,29 @@ def _modules():
             continue
 
 
+def _entry_green(entry) -> bool:
+    """Whether a CORRECTNESS artifact row certifies its op (ADVICE r11
+    #1: mere presence is not certification — a row recorded with
+    rows_match=False / hash_match=False / err set must NOT advance the
+    op's last-checked round, or a failing op loses its head slot and
+    its re-certification priority)."""
+    if not isinstance(entry, dict):
+        return True  # legacy list-form artifact: presence = checked
+    if entry.get("err"):
+        return False
+    return all(
+        entry.get(k) is not False
+        for k in ("rows_match", "schema_match", "hash_match")
+    )
+
+
 @lru_cache(maxsize=1)
 def _last_checked() -> tuple[tuple[str, int], ...]:
-    """name -> most recent driver round it appeared in, harvested from
-    the committed CORRECTNESS_r*.json artifacts (absent = never
-    checked).  Hashable tuple so the window computation is cacheable;
-    artifacts never change within one process."""
+    """name -> most recent driver round it appeared GREEN in, harvested
+    from the committed CORRECTNESS_r*.json artifacts (absent or only
+    failed = never certified).  Hashable tuple so the window
+    computation is cacheable; artifacts never change within one
+    process."""
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     latest: dict[str, int] = {}
     for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
@@ -241,24 +271,26 @@ def _last_checked() -> tuple[tuple[str, int], ...]:
         rnd = int(m.group(1))
         try:
             with open(f) as fh:
-                names = json.load(fh)
+                rows = json.load(fh)
         except (OSError, ValueError):
             continue
-        for name in names:
-            latest[name] = max(latest.get(name, 0), rnd)
+        entries = rows.items() if isinstance(rows, dict) else ((n, None) for n in rows)
+        for name, entry in entries:
+            if _entry_green(entry):
+                latest[name] = max(latest.get(name, 0), rnd)
     return tuple(sorted(latest.items()))
 
 
 def _active_changed(seen: dict[str, int] | None = None) -> list[str]:
     """The changed-op head still awaiting driver certification: a
-    ``_CHANGED_THIS_ROUND`` entry is active only while its round is
-    NEWER than every committed CORRECTNESS artifact; once the driver's
-    artifact for that round lands, the entry retires automatically
-    (ADVICE r10 #1 — no manual round-start reset to forget)."""
+    ``_CHANGED_THIS_ROUND`` entry is active while its round is NEWER
+    than the most recent round THE OP ITSELF passed a driver check in
+    (per-op, ADVICE r11 #1 — an op the driver skipped or failed stays
+    at the head; a global latest-artifact test would retire it the
+    moment ANY artifact landed)."""
     if seen is None:
         seen = dict(_last_checked())
-    latest = max(seen.values(), default=0)
-    return [n for n, rnd in _CHANGED_THIS_ROUND.items() if rnd > latest]
+    return [n for n, rnd in _CHANGED_THIS_ROUND.items() if rnd > seen.get(n, 0)]
 
 
 def _stalest_window(

@@ -16,6 +16,7 @@ import re
 from parquet_batch_spark.operators import (
     _R10_WINDOW,
     _WINDOW_SIZE,
+    _entry_green,
     _last_checked,
     _stalest_window,
     all_oracles,
@@ -142,21 +143,67 @@ def test_rotation_takes_over_once_r10_lands(monkeypatch):
 
 
 def test_changed_ops_auto_retire_once_their_round_lands(monkeypatch):
-    """ADVICE r10 #1: a _CHANGED_THIS_ROUND entry leads the window only
-    while its round is newer than every committed CORRECTNESS artifact;
-    the moment the driver's artifact for that round (or any later one)
-    lands, the entry retires with NO manual reset."""
+    """ADVICE r10 #1 + r11 #1: a _CHANGED_THIS_ROUND entry leads the
+    window until THE OP ITSELF passes a driver check of its round or
+    later — per-op, so an artifact that merely exists (op skipped, or
+    recorded failing) does NOT retire it; when the op's own green row
+    lands, it retires with NO manual reset."""
     import parquet_batch_spark.operators as ops
 
     monkeypatch.setattr(
         ops, "_CHANGED_THIS_ROUND", {"op_old": 10, "op_new": 11}
     )
-    # latest artifact = r10 -> the r10 entry is certified, the r11 one leads
-    assert ops._active_changed({"x": 10}) == ["op_new"]
-    # latest artifact = r11 -> both certified, head empty
-    assert ops._active_changed({"x": 11}) == []
+    # the op itself certified at its round -> retired; the other leads
+    assert ops._active_changed({"op_old": 10}) == ["op_new"]
+    # both ops certified at (or after) their rounds -> head empty
+    assert ops._active_changed({"op_old": 10, "op_new": 12}) == []
+    # an r10 artifact that SKIPPED op_old does not retire it (the
+    # pre-r11 global-max bug: {"x": 10} used to retire op_old silently)
+    assert ops._active_changed({"x": 10}) == ["op_old", "op_new"]
+    # certified BEFORE the change round -> still active
+    assert ops._active_changed({"op_old": 9, "op_new": 11}) == ["op_old"]
     # no artifacts at all (fresh clone) -> everything leads
     assert ops._active_changed({}) == ["op_old", "op_new"]
+
+
+def test_failed_artifact_rows_do_not_certify():
+    """ADVICE r11 #1 second half: _last_checked must ignore artifact
+    rows whose driver check failed — a rows_match=False / err row is a
+    reason to KEEP the op at the window head, not retire it."""
+    from parquet_batch_spark.operators import _entry_green
+
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True,
+          "spark_rows": 5, "oracle_rows": 5, "err": None}
+    assert _entry_green(ok)
+    assert not _entry_green({**ok, "rows_match": False})
+    assert not _entry_green({**ok, "schema_match": False})
+    assert not _entry_green({**ok, "hash_match": False})
+    assert not _entry_green({**ok, "err": "boom"})
+    # rows-only (weaker) checks omit hash_match -> still certifying
+    assert _entry_green({"rows_match": True, "err": None})
+    # legacy list-form artifacts record bare names
+    assert _entry_green(None)
+
+
+def test_changed_entries_not_born_retired():
+    """ADVICE r11 #2: an entry added to _CHANGED_THIS_ROUND after its
+    round's CORRECTNESS artifact already landed is born retired and
+    never leads the window — the silent-gap failure mode inverted.
+    Every RETIRED entry must therefore have actually been certified
+    (green at round >= its change round); a violation means the entry
+    should have been mapped to latest_artifact + 1."""
+    import parquet_batch_spark.operators as ops
+
+    seen = dict(_last_checked())
+    latest = max(seen.values(), default=0)
+    born_retired = [
+        n for n, rnd in ops._CHANGED_THIS_ROUND.items()
+        if rnd <= latest and seen.get(n, 0) < rnd
+    ]
+    assert born_retired == [], (
+        f"changed ops retired without ever being certified at their "
+        f"change round — map them to {latest + 1}: {born_retired}"
+    )
     # the LIVE registry state: entries certified by the latest committed
     # artifact are the freshest ops in the registry, so once retired from
     # the head they cannot appear anywhere in the stalest-first window
