@@ -455,6 +455,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical IEEE op order as the oracle's list_sum folds, so cell
     assignment, probe choice, and cosine ranks match DuckDB exactly;
     ties break to the lower cell id / vec_id in both engines."""
+    # STANDING REVISIT TRIGGER (VERDICT r11 #5): this op keeps the FLAT
+    # Theta(N*K) = Theta(N*sqrt(N)) assignment deliberately — K = sqrt(N)
+    # keeps it sub-quadratic, it is embarrassingly parallel, and four
+    # driver-certified consumers' recall floors depend on its exact
+    # cell geometry.  IF any ann_* op becomes the measured QUIET tail
+    # at >= 3 s, switch this call to share dedup_semantic_cluster's
+    # `_assign_cells_two_level` (O(N*sqrt(K))) and re-pin the recall
+    # floors.  Mirrored as a ROADMAP standing item so the decision
+    # survives context loss.
     base, cents, k = _hash_seed_cells(spark, sf_dir)
     nprobe = _ivf_nprobe(k)
     dim = cents.shape[1]
@@ -851,15 +860,26 @@ ORDER BY bf.query_id
 
 
 SEM_COS_THRESHOLD = 0.45  # semantic-duplicate cosine gate
-# Cell-population cap (r10, VERDICT r9 #5): above N = SEM_MAX_CELL²
-# (1e6 vectors) the sqrt rule's E[cell] = √N exceeds SEM_MAX_CELL and
-# pair work Θ(Σ cell²) = Θ(N·√N) turns super-linear, so K switches to
-# ceil(N / SEM_MAX_CELL) — cells stay ~SEM_MAX_CELL and pair work stays
-# Θ(N·SEM_MAX_CELL), linear in the corpus.  Below the crossover the
-# sqrt rule already yields smaller cells and nothing changes (the cap
-# is behavior-neutral at every committed test SF; measured evidence in
-# ROADMAP's r10 scale table).
+# Cell-population cap (r10, VERDICT r9 #5; r12 rebased onto DISTINCT
+# mass, VERDICT r11 #4): above D = SEM_MAX_CELL² distinct vectors the
+# sqrt rule's E[cell] = √D exceeds SEM_MAX_CELL and pair work
+# Θ(Σ cell²) = Θ(D·√D) turns super-linear, so K switches to
+# ceil(D / SEM_MAX_CELL) — cells stay ~SEM_MAX_CELL and pair work stays
+# Θ(D·SEM_MAX_CELL), linear.  D (not N) is the right mass: exact-
+# duplicate vectors assign identically, so no K can split a dup group
+# and raw-N caps leave dup-dense corpora at Σ(g·cell_distinct)² —
+# r11's measured 12× wall at the 100-way-dup fixture.  r12 collapses
+# dup groups to one representative BEFORE the quantizer (hash groupBy,
+# map-side combine), so the quadratic stage never sees duplicate mass
+# at all and the cap is sized by the only mass that can pair.
 SEM_MAX_CELL = 1000
+
+# SemDeDup's quantizer memo: (sf_dir, cap) -> (centroids, k, D).
+# Distinct from _CELL_MEMO because the seeds are hash-selected from the
+# DISTINCT-vector table, not the raw corpus (identical on dup-free
+# data, different — and correct — under duplication); D rides along so
+# the dup-free plan choice needs no extra job after the first call.
+_SEM_MEMO: dict[tuple[str, int], tuple] = {}
 
 
 def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -872,32 +892,60 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per dropped vector with its kept representative (the smallest
     matching id) and the cosine to it.
 
-    Scale: the quantizer bounds all pair work to Θ(Σ cell²).  K =
-    max(16, ceil(√N), ceil(N / {SEM_MAX_CELL})): below N = 1e6 the
-    sqrt rule (E[cell] = √N) wins, above it the cell-population cap
-    holds E[cell] ≈ {SEM_MAX_CELL} so pair work stays LINEAR in N —
-    the SemDeDup recipe is exactly "make K large enough that clusters
-    are pairwise-comparable".  Assignment is the TWO-LEVEL quantizer
-    (``_assign_cells_two_level``, VERDICT r10 #2): the {SEM_COARSE_PROBE}
-    nearest of the ⌈√K⌉ coarse seeds first, then refine among those
-    groups' fine centroids
-    — O(N·√K) distance evaluations, so with the cap binding
-    (K = N/{SEM_MAX_CELL}) total assignment work is O(N^1.5/√{SEM_MAX_CELL})
-    flops spread embarrassingly parallel over corpus partitions, not
-    the flat Θ(N²/{SEM_MAX_CELL}).  One honest boundary remains: cells
-    cannot shrink below an exact-duplicate group (identical vectors
-    assign identically), so capping past the dup-group size buys no
-    pair-work reduction.  Candidate generation is an equi-join on
-    the cell id (no cartesian); 2-way spill assignment (as in
-    ``ann_ivf_topk``) is the recall knob for boundary pairs, kept at 1
-    here to match the published algorithm.
+    Scale (r12, VERDICT r11 #4): ALL quadratic work runs over the
+    D DISTINCT vectors, never the N raw rows.  Exact-duplicate groups
+    collapse to their min-id representative first (hash groupBy on the
+    vector — map-side combine, so dup-dense corpora shrink IN the scan
+    stage); the quantizer, with K = max(16, ceil(√D), ceil(D /
+    {SEM_MAX_CELL})), seeds and assigns only representatives (two-level
+    ``_assign_cells_two_level``, O(D·√K) distance evaluations, VERDICT
+    r10 #2), the cell equi-join pairs only representatives (Θ(Σ cell²)
+    over distinct mass — LINEAR once the cap binds), and membership is
+    restored by one linear equi-join at the end.  This is semantics-
+    preserving, not an approximation: identical vectors always land in
+    the same cell, every member of a dup group matches its
+    representative at cosine exactly 1.0 ≥ {SEM_COS_THRESHOLD}, and the
+    min-id candidate for EVERY member of a group is the same M =
+    min(group rep, matching reps) because group/cell minima coincide
+    with representatives — so each member b simply drops iff b > M,
+    with cosine 1.0 when M is its own representative and the rep-level
+    cosine otherwise.  r11's honest boundary ("cells cannot shrink
+    below an exact-duplicate group") is thereby deleted rather than
+    capped around: the 100-way-dup fixture that read 12× wall under
+    raw-N sizing never reaches the pair join at all.  Candidate
+    generation stays an equi-join on the cell id (no cartesian); spill
+    assignment (as in ``ann_ivf_topk``) remains the recall knob for
+    boundary pairs, kept at 1 to match the published algorithm.
     """
-    n = count_table(spark, sf_dir, "embeddings")
-    k_sem = max(_ivf_k(n), -(-n // SEM_MAX_CELL))
-    base, cents, _k = _hash_seed_cells(
-        spark, sf_dir, k_sem if k_sem != _ivf_k(n) else None
-    )
-    assigned = _assign_cells_two_level(base, cents)
+    em = fan_out(load(spark, sf_dir, "embeddings"), spark)
+    nv = em.select("vec_id", _dvec().alias("v"))
+    # distinct-vector collapse: one min-id representative per exact
+    # duplicate group; map-side combine makes this the dup-dense win
+    dist = nv.groupBy("v").agg(F.min("vec_id").alias("vec_id"))
+    memo_key = (sf_dir, SEM_MAX_CELL)
+    if memo_key not in _SEM_MEMO:
+        d_n = dist.count()
+        k_sem = max(_ivf_k(d_n), -(-d_n // SEM_MAX_CELL))
+        seed_rows = (
+            dist.withColumn("hk", hash32(F.col("vec_id").cast("string")))
+            .orderBy("hk", "vec_id")
+            .limit(k_sem)
+            .collect()
+        )
+        cents = np.asarray(
+            [np.asarray(r["v"], dtype=np.float64) for r in seed_rows]
+        )
+        _SEM_MEMO[memo_key] = (cents, k_sem, d_n)
+    cents, _k, d_n = _SEM_MEMO[memo_key]
+    # skew-adaptive plan choice (the AQE pattern, decided from the
+    # memoized distinct count): with zero duplication the collapse is
+    # the IDENTITY, so the groupBy shuffle and the member re-join are
+    # pure overhead — run the pair stage over nv directly and emit
+    # drops straight from the pairs (bit-identical: every group is a
+    # singleton, so rep-level minima ARE row-level minima).
+    dup_free = d_n == count_table(spark, sf_dir, "embeddings")
+    reps = nv if dup_free else dist.select("vec_id", "v")
+    assigned = _assign_cells_two_level(reps, cents)
     nr = assigned.select(
         "vec_id", "cell", "v", _norm(F.col("v")).alias("nrm")
     ).filter(F.col("nrm") > 0)
@@ -907,22 +955,62 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with("a.v", "b.v", lambda x, y: x * y), F.lit(0.0), lambda ac, x: ac + x
     )
     cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
-    pairs = (
+    rp = (
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .withColumn("cos_sim", cos)
-        .filter(F.col("cos_sim") >= SEM_COS_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("ra"),
+            F.col("b.vec_id").alias("rb"),
+            cos.alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= SEM_COS_THRESHOLD)
+    )
+    if dup_free:
+        return (
+            rp.groupBy(F.col("rb").alias("vec_id"))
+            .agg(
+                F.min("ra").alias("kept_id"),
+                F.min_by("cos_raw", F.col("ra")).alias("cos_raw"),
+            )
+            .select("vec_id", "kept_id", F.round("cos_raw", 6).alias("cos_sim"))
+            .orderBy("vec_id")
+        )
+    # matches are needed from BOTH sides: a group pair (ra < rb) also
+    # makes ra's members with ids above rb droppable against rb
+    bidir = rp.union(
+        rp.select(
+            F.col("rb").alias("ra"), F.col("ra").alias("rb"), "cos_raw"
+        )
+    )
+    ext = bidir.groupBy("rb").agg(
+        F.min("ra").alias("ext_min"),
+        F.min_by("cos_raw", F.col("ra")).alias("ext_cos"),
+    )
+    # per-group minimum candidate M and its cosine (1.0 = own rep)
+    grp = (
+        nr.select(F.col("vec_id").alias("rep"), F.col("v").alias("gv"))
+        .join(ext, F.col("rep") == F.col("rb"), "left")
+        .select(
+            "gv",
+            F.when(F.col("ext_min") < F.col("rep"), F.col("ext_min"))
+            .otherwise(F.col("rep"))
+            .alias("m"),
+            F.when(F.col("ext_min") < F.col("rep"), F.col("ext_cos"))
+            .otherwise(F.lit(1.0))
+            .alias("mcos"),
+        )
     )
     return (
-        pairs.groupBy(F.col("b.vec_id").alias("vec_id"))
-        .agg(
-            F.min("a.vec_id").alias("kept_id"),
-            F.min_by("cos_sim", F.col("a.vec_id")).alias("cos_raw"),
+        nv.join(grp, nv["v"] == grp["gv"])
+        .filter(F.col("vec_id") > F.col("m"))
+        .select(
+            "vec_id",
+            F.col("m").alias("kept_id"),
+            F.round("mcos", 6).alias("cos_sim"),
         )
-        .select("vec_id", "kept_id", F.round("cos_raw", 6).alias("cos_sim"))
         .orderBy("vec_id")
     )
 
@@ -932,18 +1020,23 @@ WITH nv AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings
 ),
+-- distinct-vector collapse (r12): quadratic work sees only the D
+-- distinct vectors; members rejoin linearly at the end
+dist AS (
+    SELECT MIN(vec_id) AS vec_id, v FROM nv GROUP BY v
+),
 params AS (
     SELECT GREATEST({IVF_MIN_K},
-                    CAST(CEIL(SQRT(n)) AS INTEGER),
-                    CAST(CEIL(n / {SEM_MAX_CELL}.0) AS INTEGER)) AS k
-    FROM (SELECT COUNT(*) AS n FROM nv)
+                    CAST(CEIL(SQRT(d)) AS INTEGER),
+                    CAST(CEIL(d / {SEM_MAX_CELL}.0) AS INTEGER)) AS k
+    FROM (SELECT COUNT(*) AS d FROM dist)
 ),
 seeds AS (
     SELECT v AS c,
         ROW_NUMBER() OVER (
             ORDER BY {sql_hash32("CAST(vec_id AS VARCHAR)")}, vec_id
         ) - 1 AS cell
-    FROM nv
+    FROM dist
     QUALIFY cell < (SELECT k FROM params)
 ),
 -- two-level quantizer (mirrors _assign_cells_two_level): the first
@@ -965,7 +1058,7 @@ fgrp AS (
     WHERE rn = 1
 ),
 base AS (
-    SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM nv
+    SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM dist
 ),
 vcoarse AS (
     SELECT vec_id, v, nrm, ccell
@@ -993,20 +1086,41 @@ assign AS (
     )
     WHERE rn <= 1
 ),
-pairs AS (
-    SELECT a.vec_id AS keep_cand, b.vec_id AS vec_id,
+rp AS (
+    SELECT a.vec_id AS ra, b.vec_id AS rb,
         list_sum(list_transform(generate_series(1, {_DIM}),
                                 i -> a.v[i] * b.v[i]))
             / (a.nrm * b.nrm) AS cos_raw
     FROM assign a
     JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+matched AS (
+    SELECT * FROM rp WHERE cos_raw >= {SEM_COS_THRESHOLD}
+),
+-- both directions: a pair (ra < rb) also drops ra's members above rb
+bidir AS (
+    SELECT ra, rb, cos_raw FROM matched
+    UNION ALL
+    SELECT rb AS ra, ra AS rb, cos_raw FROM matched
+),
+ext AS (
+    SELECT rb, MIN(ra) AS ext_min, MIN_BY(cos_raw, ra) AS ext_cos
+    FROM bidir GROUP BY rb
+),
+-- per-group minimum candidate M and its cosine (1.0 = own rep)
+grp AS (
+    SELECT s.v AS gv,
+        CASE WHEN e.ext_min < s.vec_id THEN e.ext_min ELSE s.vec_id END AS m,
+        CASE WHEN e.ext_min < s.vec_id THEN e.ext_cos ELSE 1.0 END AS mcos
+    FROM (SELECT vec_id, v FROM base WHERE nrm > 0) s
+    LEFT JOIN ext e ON e.rb = s.vec_id
 )
-SELECT vec_id,
-    MIN(keep_cand) AS kept_id,
-    ROUND(MIN_BY(cos_raw, keep_cand), 6) AS cos_sim
-FROM pairs
-WHERE cos_raw >= {SEM_COS_THRESHOLD}
-GROUP BY vec_id
+SELECT mem.vec_id,
+    g.m AS kept_id,
+    ROUND(g.mcos, 6) AS cos_sim
+FROM nv mem
+JOIN grp g ON mem.v = g.gv
+WHERE mem.vec_id > g.m
 ORDER BY vec_id
 """
 

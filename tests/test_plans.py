@@ -639,6 +639,10 @@ _DRIVER_MATERIALIZATION_WHITELIST = {
     ("operators/similarity.py", "_hash_seed_cells", "collect"):
         (1, "hash-ordered limit(K) seed draw, K = ceil(sqrt(N)) "
             "centroids of dim doubles"),
+    ("operators/similarity.py", "dedup_semantic_cluster", "collect"):
+        (1, "hash-ordered limit(K) seed draw over the DISTINCT-vector "
+            "table (r12 collapse), K = max(16, ceil(sqrt(D)), "
+            "ceil(D/SEM_MAX_CELL)) rows, memoized per (sf_dir, cap)"),
     ("operators/similarity.py", "ann_ivf_topk", "collect"):
         (1, "query side: vec_id < N_QUERIES (<=10 rows)"),
     ("operators/similarity.py", "ann_ivfpq_topk", "collect"):

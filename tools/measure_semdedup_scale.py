@@ -1,22 +1,20 @@
-"""Measure dedup_semantic_cluster's cell-population control at the
-100x dup-dense fixture (VERDICT r9 #5): the ROADMAP scale table shows
-13x wall at 100x under the sqrt-K rule; this script times the SAME
-fixture under the capped-cell regime so the documented mitigation is
-measured, not asserted.
+"""Measure dedup_semantic_cluster at the 100x dup-dense fixture.
 
-At the fixture's N = 50,000 the production crossover (SEM_MAX_CELL =
-1000, binds at N > 1e6) has not been reached, so the at-scale regime
-is emulated by scaling the cap to the fixture: cap = E[cell] at 1x
-(~sqrt(500) = 23), giving K = N/cap — the same constant-cell geometry
-the production rule yields at 100 TB.  Prints per-variant walls plus
-the candidate-pair counts that explain them.
+History: under raw-N sizing the sqrt-K rule read ~13x wall at 100x
+(ROADMAP r10 scale table) because no K can split an exact-duplicate
+group; r11's at-scale cap regime (cells ~= isqrt(N/100)) measured
+8.6 s.  r12 (VERDICT r11 #4) collapses exact-duplicate vectors to one
+representative BEFORE the quantizer and sizes K from the DISTINCT
+count D, so the dup-dense fixture (N = 50,000 raw rows over D = 500
+distinct vectors) never reaches the pair join with duplicate mass at
+all — this script measures that claim on the PRODUCTION rule, no cap
+emulation needed, plus a forced-cap sensitivity point.
 
     python tools/measure_semdedup_scale.py [x100_dir]
 """
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 import time
@@ -43,30 +41,23 @@ def main() -> None:
         old = sim.SEM_MAX_CELL
         sim.SEM_MAX_CELL = cap
         try:
-            k = max(sim._ivf_k(n), -(-n // cap))
             best = float("inf")
             for _ in range(2):
                 t0 = time.monotonic()
                 mat(sim.dedup_semantic_cluster(spark, x100))
                 best = min(best, time.monotonic() - t0)
+            _, k, _d = sim._SEM_MEMO[(x100, cap)]
             print(
-                f"{tag:28s} N={n} K={k} E[cell]={n // k:4d} "
-                f"wall={best:6.2f}s",
+                f"{tag:28s} N={n} K={k} wall={best:6.2f}s",
                 flush=True,
             )
         finally:
             sim.SEM_MAX_CELL = old
 
-    # sqrt rule (cap never binds) — the ROADMAP 13x row
-    run("sqrt-K (status quo)", 10**9)
-    # production rule scaled to the fixture: constant cells ~= the 1x
-    # fixture's E[cell] = isqrt(N/100) (~23 at N=50k, since the 100x
-    # fixture is a 100-way replication of N/100 base vectors); K = N/23
-    # ~ 2.2k cells (the 100 TB geometry).  ADVICE r10 #4: derived, not
-    # the former obfuscated constant.
-    run("cell-cap (at-scale regime)", max(2, math.isqrt(n // 100)))
-    # sensitivity: a 4x looser cap
-    run("cell-cap (loose, 100)", 100)
+    # the production rule, no emulation: K sizes from D = distinct mass
+    run("distinct-K (production)", sim.SEM_MAX_CELL)
+    # sensitivity: force the cap to bind on the distinct table too
+    run("distinct-K (cap 20)", 20)
 
 
 if __name__ == "__main__":
