@@ -2370,6 +2370,21 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
             )
             for s in range(0, len(X), chunk_rows):
                 chunk = X[s : s + chunk_rows]
+                # ADVICE r11 #3: the int64-exactness argument assumes
+                # |xq| ≲ 1e6 (embeddings bounded near [-1, 1]) but
+                # nothing upstream enforces it — a component ≥ ~10
+                # would wrap the int64 matmul SILENTLY while the
+                # oracle's HUGEINT sum does not.  Check the actual
+                # guarantee (Python ints, no wrap in the check itself)
+                # and fail loudly instead of diverging cross-engine.
+                amax = int(np.abs(chunk).max(initial=0))
+                if len(chunk) * amax * amax >= 2**63:
+                    raise ValueError(
+                        f"partial_moments int64 overflow risk: "
+                        f"max|xq| = {amax} over {len(chunk)} rows "
+                        f"exceeds the exactness bound; embeddings must "
+                        f"be micro-quantized from ~[-1, 1]"
+                    )
                 M = chunk.T @ chunk
                 yield pd.DataFrame(
                     {
