@@ -277,6 +277,56 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _committed_json(rel_path: str):
+    """A repo JSON artifact as of HEAD — the last COMMITTED state.
+    Guard baselines must come from here (ADVICE r11 #4): a second bench
+    run in the same round otherwise baselines against the FIRST run's
+    uncommitted output and the 'previously committed' contract silently
+    breaks.  Falls back to the working-tree file only when git itself
+    is unavailable (fresh export); raises if neither source exists."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", REPO, "show", f"HEAD:{rel_path}"],
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        if out.returncode == 0:
+            return json.loads(out.stdout)
+    except Exception:  # noqa: BLE001 — git missing/corrupt -> fall back
+        pass
+    with open(os.path.join(REPO, rel_path)) as fh:
+        return json.load(fh)
+
+
+def _committed_files(pattern: str) -> list[str]:
+    """Repo-relative paths committed at HEAD matching a glob pattern
+    (same fallback rationale as ``_committed_json``)."""
+    import fnmatch
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", REPO, "ls-tree", "--name-only", "HEAD"],
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        if out.returncode == 0:
+            return sorted(
+                n for n in out.stdout.splitlines() if fnmatch.fnmatch(n, pattern)
+            )
+    except Exception:  # noqa: BLE001
+        pass
+    import glob as _glob
+
+    return sorted(
+        os.path.basename(p) for p in _glob.glob(os.path.join(REPO, pattern))
+    )
+
+
 def _round_tag() -> int:
     """Next round number, inferred from the recorded BENCH_r0N files."""
     import glob
@@ -406,15 +456,10 @@ def main() -> None:
 
     prev: dict[str, list[float]] = {}
     try:
-        import glob as _glob
-
-        prev_files = sorted(
-            _glob.glob(os.path.join(REPO, "BENCH_FULL_r[0-9]*.json"))
-        )
+        prev_files = _committed_files("BENCH_FULL_r[0-9]*.json")
         same_sf = []
         for f in prev_files:
-            with open(f) as fh:
-                doc = json.load(fh)
+            doc = _committed_json(f)
             # only records captured at THIS scale factor are a valid
             # baseline — cross-SF comparison would either re-run the
             # whole registry (bigger SF) or mask real regressions
@@ -435,21 +480,33 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — no trailing record, no re-runs
         prev = {}
     trailing = {n: statistics.median(ts) for n, ts in prev.items()}
+    # Full-pass steal guard (VERDICT r11 #3 — extends the headline-only
+    # >3x guard of r11 to the whole registry, which is what
+    # bench_compare trends against): any op reading >2x its committed
+    # same-SF median AND >0.3 s absolute gets ONE adjacent re-run, min
+    # kept.  The r11 driver full pass carried 16 >1.3x-normalized
+    # outliers on untouched code that one rerun each would have
+    # settled; 0.3 s (was 0.5) brings the sub-second ops that burst
+    # 2-3x (text_corpus_rollup r11: 0.58 -> 1.47) inside the guard.
     reruns = sorted(
         n
         for n, t in full.items()
         if not n.startswith("_warmup/")
-        and t > 0.5
+        and t > 0.3
         and n in trailing
         and t > 2 * trailing[n]
     )
+    rerun_errors: dict[str, str] = {}
     for name in reruns:
         t0 = time.monotonic()
         try:
             _materialize(queries[name](spark, SF_DIR))
             full[name] = round(min(full[name], time.monotonic() - t0), 3)
-        except Exception:  # noqa: BLE001 — keep the first-run number
-            pass
+        except Exception as exc:  # noqa: BLE001 — keep the first-run
+            # number, but RECORD the failure (ADVICE r11 #4: a query
+            # that newly fails during a guard rerun must not vanish)
+            rerun_errors[name] = repr(exc)[:200]
+            print(f"steal-guard rerun failed: {name}: {exc!r}", file=sys.stderr)
 
     # Scheduling-floor ops (VERDICT r8 #2): the fixpoint/launch-bound
     # queries are ±40 % noisy on a single cold run (job-scheduling
@@ -497,7 +554,8 @@ def main() -> None:
         "errors": full_errs,
         "warmups": warm,
         "warm_best_of_2": warm_best,
-        "reruns": reruns,
+        "steal_guard_reruns": reruns,
+        "rerun_errors": rerun_errors,
         "slowest10": dict(sorted(ops.items(), key=lambda kv: -kv[1])[:10]),
         "queries": ops,
     }
@@ -522,12 +580,12 @@ def main() -> None:
     # adjacent second leg and the min would read ~9% slow vs the
     # r1-r5 methodology — adjacency keeps the round-over-round trend
     # comparable.
-    # Prior round's committed headline values, read BEFORE this round's
-    # detail overwrites the file — the mid-capture steal guard below
-    # baselines against them.
+    # Prior round's COMMITTED headline values (HEAD state, ADVICE r11
+    # #4 — the working-tree file may already hold THIS round's first
+    # uncommitted run) — the mid-capture steal guard below baselines
+    # against them.
     try:
-        with open(os.path.join(REPO, "BENCH_DETAIL.json")) as fh:
-            prior_headline = json.load(fh).get("queries", {})
+        prior_headline = _committed_json("BENCH_DETAIL.json").get("queries", {})
     except Exception:  # noqa: BLE001 — first round, no guard baseline
         prior_headline = {}
     timings: dict[str, float] = {}
@@ -550,6 +608,7 @@ def main() -> None:
         for n, t in timings.items()
         if n in prior_headline and t > 0.05 and t > 3 * prior_headline[n]
     )
+    headline_rerun_errors: dict[str, str] = {}
     for name in headline_reruns:
         t0 = time.monotonic()
         try:
@@ -557,8 +616,10 @@ def main() -> None:
             timings[name] = round(
                 min(timings[name], time.monotonic() - t0), 3
             )
-        except Exception:  # noqa: BLE001 — keep the best-of-2 number
-            pass
+        except Exception as exc:  # noqa: BLE001 — keep the best-of-2
+            # number, but record the failure (ADVICE r11 #4)
+            headline_rerun_errors[name] = repr(exc)[:200]
+            print(f"steal-guard rerun failed: {name}: {exc!r}", file=sys.stderr)
 
     cal_end = _calibrate()
     # All three probes (start / post-full-pass / post-headline-pass) go
@@ -579,6 +640,7 @@ def main() -> None:
         "cpu_calibration_mid_sec": cal_mid,
         "cpu_calibration_end_sec": cal_end,
         "steal_guard_reruns": headline_reruns,
+        "rerun_errors": headline_rerun_errors,
     }
     # Full per-query detail: sidecar file + an EARLY stdout line.  The
     # driver's capture keeps only the last ~2000 chars of stdout, so the
