@@ -137,6 +137,39 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     # before the int64 matmul (ADVICE r11 #3) — no semantic change for
     # valid data, but the code path changed, so it re-certifies.
     "embedding_pca_power_iteration": 12,
+    # r12 optimization round — result-identical plan restructures, each
+    # re-certifies because the implementation changed:
+    # facility location: the 4 sequential gain-aggregate jobs folded
+    # into ONE speculative corpus pass (every reachable greedy state's
+    # gains in a single aggregate; driver replays the chain).
+    "sample_facility_location": 12,
+    # k-center: running min-distance maintained incrementally
+    # (least(md, d_new)) instead of re-folding all t centers per round.
+    "sample_coreset_kcenter": 12,
+    # geometric median: posexplode+groupBy(dim) replaced by grouping-
+    # free 64-column element_at sum aggregates (mean + Weiszfeld).
+    "embedding_geometric_median": 12,
+    # simhash: fingerprint subtree localCheckpoint'd so the band
+    # self-join stops re-computing the vote aggregate twice.
+    "dedup_simhash": 12,
+    # basket pairs: self-equi-join replaced by sorted distinct-brand
+    # arrays + in-array combination expansion (same pair multiset).
+    "agg_basket_pairs": 12,
+    # CMS heavy hitters: vocab-bounded bucket table checkpointed (was
+    # CMS_D+1 corpus tokenize passes) + the D grid groupBys fused into
+    # one explode+groupBy shuffle.
+    "approx_heavy_hitters_cms": 12,
+    # Cavnar-Trenkle langid: language profile counts now reduce from
+    # the checkpointed (doc, gram) counts — one corpus explode+shuffle
+    # instead of two.
+    "text_langid_ngram_profile": 12,
+    # linear interpolate: the bucket groupBy feeding both spine and
+    # join is checkpointed (was computed twice).
+    "window_linear_interpolate": 12,
+    # literal-array conversions (CreateArray(64 lits) -> one Literal
+    # node) in the hyperplane bucketer / polynomial fingerprint.
+    "ann_lsh_bucketed": 12,
+    "text_fingerprint": 12,
 }
 
 _WINDOW_SIZE = 50

@@ -566,6 +566,13 @@ def approx_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("word") != "")
     wcount = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
     h = hash32(F.col("word"))
+    # localCheckpoint (r12): with_buckets feeds CMS_D grid branches
+    # plus the exact top-25 — without materialization Catalyst
+    # re-derives the corpus tokenize + word-count subtree for every
+    # branch (CMS_D+1 corpus passes, the stage-barrier fan-out that
+    # made this op read 2x its quiet floor in burst windows).  The
+    # table is VOCABULARY-sized, so materializing it is bounded
+    # regardless of corpus size.
     with_buckets = wcount.select(
         "word",
         "n",
@@ -573,16 +580,28 @@ def approx_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (affine_hash(h, a, b) % CMS_W).alias(f"b{j}")
             for j, (a, b) in enumerate(params)
         ],
-    )
-    grids = [
-        with_buckets.groupBy(F.col(f"b{j}").alias("bucket"))
+    ).localCheckpoint(eager=False)
+    # one explode + one groupBy builds all CMS_D grid rows in a single
+    # shuffle (r12: was CMS_D separate groupBy subtrees union'd — same
+    # bytes shuffled, CMS_D× the stages)
+    cms = (
+        with_buckets.select(
+            "n",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("row"),
+                            F.col(f"b{j}").alias("bucket"),
+                        )
+                        for j in range(CMS_D)
+                    ]
+                )
+            ).alias("rb"),
+        )
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
         .agg(F.sum("n").alias("counter"))
-        .select(F.lit(j).alias("row"), "bucket", "counter")
-        for j in range(CMS_D)
-    ]
-    cms = grids[0]
-    for g in grids[1:]:
-        cms = cms.unionAll(g)
+    )
     top = with_buckets.orderBy(F.desc("n"), "word").limit(25)
     est = top
     for j in range(CMS_D):

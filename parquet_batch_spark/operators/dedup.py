@@ -379,8 +379,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Blocking: 4 bands of 8 bits — by pigeonhole any pair within
     distance 3 shares at least one intact band, so the band join is
     LOSSLESS for the chosen radius while avoiding the n² pair scan.
+
+    The fingerprint table is localCheckpoint'd before the band
+    self-join (r12): both join aliases otherwise re-plan the whole
+    tokenize + explode + 32-column vote aggregate subtree, doubling
+    the op's dominant cost — the corpus is fingerprinted ONCE and the
+    self-join reads the materialized (doc_id, fp) rows twice.
     """
-    fps = _simhash_fp(spark, sf_dir)
+    fps = _simhash_fp(spark, sf_dir).localCheckpoint(eager=False)
     bands = fps.select(
         "doc_id",
         "fp",

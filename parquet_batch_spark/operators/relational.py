@@ -801,31 +801,41 @@ def agg_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket analysis: the top co-occurring part-brand pairs
     across orders, with support and lift — the association-rule
     primer (lift > 1 ⇒ brands bought together more than chance).
-    Baskets reduce to DISTINCT (order, brand) first; the pair join is
-    a self-equi-join on the order key with brand_x < brand_y, so pair
-    work is Θ(Σ C(basket_size, 2)) — basket-bounded (≤13 items here),
-    never |orders|². Lift is an exact integer-ratio floor (every
-    factor < 2^53). Top {BASKET_TOP} under a total order.
+    Baskets reduce to one sorted distinct-brand array per order (ONE
+    shuffle); pairs then come from an in-array combination expansion
+    — flatten(transform(...)) over the sorted set yields exactly the
+    brand_x < brand_y combinations the former self-equi-join on the
+    order key produced, without shuffling the basket table twice more
+    for the join (r12: 3 basket recomputations + a self-join exchange
+    pair → one grouped table read three times).  Pair work is still
+    Θ(Σ C(basket_size, 2)) — basket-bounded (≤13 items here), never
+    |orders|². Lift is an exact integer-ratio floor (every factor
+    < 2^53). Top {BASKET_TOP} under a total order.
     """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    baskets = (
+    per_order = (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+        .localCheckpoint(eager=False)
     )
-    n_baskets = baskets.select("l_orderkey").distinct().count()
-    singles = baskets.groupBy("p_brand").agg(F.count(F.lit(1)).alias("s"))
+    n_baskets = per_order.count()
+    singles = (
+        per_order.select(F.explode("bs").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    pair_combos = F.expr(
+        "flatten(transform(bs, (x, i) ->"
+        " transform(slice(bs, i + 2, size(bs)),"
+        " y -> struct(x AS bx, y AS by))))"
+    )
     pairs = (
-        baskets.alias("x")
-        .join(
-            baskets.alias("y"),
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.p_brand") < F.col("y.p_brand")),
-        )
+        per_order.select(F.explode(pair_combos).alias("pr"))
         .groupBy(
-            F.col("x.p_brand").alias("brand_x"),
-            F.col("y.p_brand").alias("brand_y"),
+            F.col("pr.bx").alias("brand_x"),
+            F.col("pr.by").alias("brand_y"),
         )
         .agg(F.count(F.lit(1)).alias("support"))
     )

@@ -123,7 +123,10 @@ def _bucket_col(v, dim: int = 64):
     the per-plane dot product is an aggregate over zip of literals)."""
     bucket = F.lit(0)
     for p in range(N_PLANES):
-        weights = F.array(*[F.lit(_plane_weight(p, d)) for d in range(dim)])
+        # one Literal array node, not CreateArray(64 literals): the
+        # literal form is constant — CreateArray re-evaluates its 64
+        # children per row (measured 2x the per-job cost at sf0.1)
+        weights = F.lit([_plane_weight(p, d) for d in range(dim)])
         dot = F.aggregate(
             F.zip_with(v, weights, lambda x, w: x * w), F.lit(0.0), lambda a, x: a + x
         )
@@ -1249,12 +1252,18 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the chosen set, and the selection value is the classic
     non-increasing radius sequence r_t.
 
-    Scale: each of the {KCENTER_K}−1 rounds is ONE corpus pass — the
-    min-distance is a least() over ≤{KCENTER_K} dimension-sequential
-    JVM folds against plan-literal center vectors (no join, no
-    broadcast state), and only the 1-row argmax returns to the driver.
-    Driver state is {KCENTER_K}×{_DIM} doubles. The oracle unrolls the
-    identical greedy rounds as chained CTEs.
+    Scale: each of the {KCENTER_K}−1 rounds is ONE corpus pass over
+    the persisted working set.  The min-distance is maintained
+    INCREMENTALLY (r12): round t computes one dimension-sequential
+    JVM fold against the single NEW center and folds it into the
+    persisted running minimum with least() — min is associative, so
+    least(md_{t−1}, d_t) is bit-identical to the old per-round
+    least(d_1..d_t) recompute while doing O(1) instead of O(t) folds
+    per row (O(K) total fold work instead of O(K²), and a constant-
+    size plan per round instead of one that grows with t).  Only the
+    1-row argmax returns to the driver per round.  Driver state is
+    {KCENTER_K}×{_DIM} doubles. The oracle unrolls the identical
+    greedy rounds as chained CTEs.
     """
     em = fan_out(load(spark, sf_dir, "embeddings"), spark)
     # persist the projected corpus: all K-1 greedy rounds scan the SAME
@@ -1265,28 +1274,37 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = base.orderBy("vec_id").limit(1).collect()[0]
     centers = [(int(seed["vec_id"]), [float(x) for x in seed["v"]])]
     radii: list[float | None] = [None]
+    cur: DataFrame | None = None
     for _t in range(1, KCENTER_K):
-        dists = [
-            F.aggregate(
-                F.zip_with(
-                    "v",
-                    F.array(*[F.lit(x) for x in cv]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
+        _cid, cv = centers[-1]
+        newd = F.aggregate(
+            F.zip_with(
+                "v",
+                F.lit([float(x) for x in cv]),  # Literal, not CreateArray
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        nxt = (
+            base.select("vec_id", "v", newd.alias("md"))
+            if cur is None
+            else cur.select(
+                "vec_id", "v", F.least(F.col("md"), newd).alias("md")
             )
-            for _cid, cv in centers
-        ]
-        mind = F.least(*dists) if len(dists) > 1 else dists[0]
+        ).persist()
         far = (
-            base.select("vec_id", "v", mind.alias("md"))
-            .orderBy(F.desc("md"), F.asc("vec_id"))
+            nxt.orderBy(F.desc("md"), F.asc("vec_id"))
             .limit(1)
             .collect()[0]
         )
+        if cur is not None:
+            cur.unpersist()
+        cur = nxt
         centers.append((int(far["vec_id"]), [float(x) for x in far["v"]]))
         radii.append(float(far["md"]))
+    if cur is not None:
+        cur.unpersist()
     base.unpersist()
     rows = [
         (t, cid, round(r, 6) if r is not None else None)
@@ -2156,6 +2174,7 @@ ORDER BY m
 
 FL_ROUNDS = 4       # exemplars selected
 FL_CANDS = 4        # stochastic-greedy candidate pool per round
+FL_SPEC_ROUNDS = 2  # greedy rounds scored speculatively per corpus pass
 
 
 def _fl_candidate_pools(
@@ -2213,26 +2232,49 @@ def sample_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact greedy is O(N²)/round (every candidate needs a corpus sum),
     so each round scores a deterministic 4-candidate pool drawn
     DISTRIBUTED (hash-rank + limit = per-partition top-K, the
-    stochastic-greedy trick that keeps (1−1/e−ε) guarantees): ONE
-    corpus pass per round computes all candidate gains
-    Σ_v max(0, sim_c(v) − cov(v)) as plan-literal JVM folds, sims
-    floor-quantized to micro per ROW before the integer sums
-    (order-insensitive, bit-exact).  Only the argmax and the
-    FL_CANDS pool rows return to the driver (the pool VECTORS ride
-    the draw job itself — 5 jobs total: 1 fused draw+fetch +
-    FL_ROUNDS gain aggregates).  Output per round: selected id,
-    marginal gain, total coverage after.
+    stochastic-greedy trick that keeps (1−1/e−ε) guarantees).  The
+    candidate pools are fixed BEFORE any selection happens, so (r12)
+    the corpus is read exactly TWICE: the fused draw+fetch, then one
+    pass that quantizes every vector's dot against all ≤ 28 pooled
+    vectors into a persisted narrow all-long PROXY table (the
+    guide's decide-on-small-rows shape) — sims floor-quantized to
+    micro per ROW before any integer sum, so every later aggregate
+    is bit-identical to the former one-fold-per-round values.  The
+    greedy recursion branches over ≤ FL_CANDS choices per round, so
+    the reachable "chosen set" states are enumerable driver side and
+    one aggregate over the proxy scores Σ_v max(0, d_c(v) − cov_S(v))
+    for EVERY (state S, candidate c) a chunk of {FL_SPEC_ROUNDS}
+    consecutive rounds could visit (4 + FL_CANDS² = 20 sums of plain
+    int64 columns); the driver replays the chain over the collected
+    sums.  3 jobs total (draw, proxy+chunk-1 aggregate, chunk-2
+    aggregate; the r11 shape was 5 = draw + FL_ROUNDS fold
+    aggregates, each re-planning the 64-dim literal fold stack).
+    Full 4-round speculation (340 sums) was measured SLOWER than the
+    sequential form at sf0.1 — Catalyst analysis over hundreds of
+    aggregate expressions costs more than the passes it saves —
+    hence the chunk bound.  Output per round: selected id, marginal
+    gain, total coverage after.
 
-    Scale: K corpus passes, driver state = K×dim doubles + the
-    candidate pool rows; no join, no broadcast state, no N² anywhere,
-    no O(N) driver materialization (the candidate draw is a
-    TakeOrderedAndProject).
+    Scale: 2 corpus passes + ⌈FL_ROUNDS/{FL_SPEC_ROUNDS}⌉ passes
+    over the half-width persisted proxy; driver state = pool vectors
+    + ≤ FL_CANDS^FL_SPEC_ROUNDS·FL_CANDS longs per chunk; no join,
+    no broadcast state, no N² anywhere, no O(N) driver
+    materialization (the candidate draw is a TakeOrderedAndProject).
     """
     em = fan_out(load(spark, sf_dir, "embeddings"), spark)
     base = em.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).persist()
+    )
+    # the draw computes ONE md5 per row — repartitioning the corpus to
+    # parallelize a hash costs a full shuffle to save per-row work
+    # cheaper than the shuffle itself, at every scale (guide §2.4), so
+    # the draw scans the natural splits; fan_out stays on the proxy
+    # pass, whose 28 64-dim folds per row are the expensive derivation
+    draw_base = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
 
     def dot_micro(cv: list[float]):
         return F.floor(
@@ -2240,7 +2282,7 @@ def sample_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.aggregate(
                 F.zip_with(
                     "v",
-                    F.array(*[F.lit(float(x)) for x in cv]),
+                    F.lit([float(x) for x in cv]),  # Literal, not CreateArray
                     lambda x, y: x * y,
                 ),
                 F.lit(0.0),
@@ -2249,36 +2291,65 @@ def sample_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
 
     # pool vectors ride the draw job itself (≤ 28 rows, VERDICT r7 #5)
-    pools, vecs = _fl_candidate_pools(base)
-    selected: list[tuple[int, list[float]]] = []
+    pools, vecs = _fl_candidate_pools(draw_base)
+
+    # The decision proxy (guide-§8 shape): quantized dots against the
+    # ≤ 28 pooled vectors, computed in ONE pass over the corpus and
+    # persisted as a narrow all-long table — every gain aggregate
+    # below reads plain int64 columns instead of re-planning 64-dim
+    # literal folds per pass (plan analysis + codegen of the fold
+    # stack was the dominant per-pass cost at sf0.1, and at 100 TB
+    # the proxy halves the bytes of every subsequent pass).
+    pooled = sorted({c for pool in pools for c in pool})
+    dcol = {cid: f"d_{cid}" for cid in pooled}
+    dots = base.select(
+        *[dot_micro(vecs[cid]).alias(dcol[cid]) for cid in pooled]
+    ).persist()
+
+    zero = F.lit(0).cast("long")
+    chosen_set: frozenset[int] = frozenset()
     out_rows = []
     coverage = 0
-    for rnd in range(FL_ROUNDS):
-        chosen_ids = {s for s, _ in selected}
-        cands = [c for c in pools[rnd] if c not in chosen_ids][:FL_CANDS]
-        cov = (
-            F.greatest(*[dot_micro(v) for _s, v in selected], F.lit(0).cast("long"))
-            if selected
-            else F.lit(0).cast("long")
-        )
-        gains = base.select(
-            *[
-                F.greatest(
-                    dot_micro(vecs[c]) - cov, F.lit(0).cast("long")
-                ).alias(f"g{j}")
-                for j, c in enumerate(cands)
-            ]
-        ).agg(*[F.sum(f"g{j}").alias(f"g{j}") for j in range(len(cands))])
-        row = gains.collect()[0]
-        best_j = max(
-            range(len(cands)), key=lambda j: (int(row[f"g{j}"]), -cands[j])
-        )
-        gain = int(row[f"g{best_j}"])
-        chosen = cands[best_j]
-        selected.append((chosen, vecs[chosen]))
-        coverage += gain
-        out_rows.append((rnd, chosen, gain, coverage))
-    base.unpersist()
+    for chunk_start in range(0, FL_ROUNDS, FL_SPEC_ROUNDS):
+        chunk = range(chunk_start, min(chunk_start + FL_SPEC_ROUNDS, FL_ROUNDS))
+        # Enumerate every state this chunk can reach from chosen_set.
+        # A state is the frozenset of ids chosen so far; each round
+        # maps a state to its candidate list exactly as the replay
+        # below will (pool order, minus chosen, first FL_CANDS).
+        needed: dict[tuple[frozenset[int], int], int] = {}
+        states: list[frozenset[int]] = [chosen_set]
+        for rnd in chunk:
+            nxt: set[frozenset[int]] = set()
+            for st in states:
+                cands = [c for c in pools[rnd] if c not in st][:FL_CANDS]
+                for c in cands:
+                    needed.setdefault((st, c), len(needed))
+                    nxt.add(st | {c})
+            states = sorted(nxt, key=sorted)
+        aggs = []
+        for (st, c), i in needed.items():
+            cov = (
+                F.greatest(*[F.col(dcol[s]) for s in sorted(st)], zero)
+                if st
+                else zero
+            )
+            aggs.append(
+                F.sum(F.greatest(F.col(dcol[c]) - cov, zero)).alias(f"g{i}")
+            )
+        row = dots.agg(*aggs).collect()[0]
+        gain_of = {key: int(row[f"g{i}"]) for key, i in needed.items()}
+        for rnd in chunk:
+            cands = [c for c in pools[rnd] if c not in chosen_set][:FL_CANDS]
+            best_j = max(
+                range(len(cands)),
+                key=lambda j: (gain_of[(chosen_set, cands[j])], -cands[j]),
+            )
+            chosen = cands[best_j]
+            gain = gain_of[(chosen_set, chosen)]
+            chosen_set = chosen_set | {chosen}
+            coverage += gain
+            out_rows.append((rnd, chosen, gain, coverage))
+    dots.unpersist()
     return spark.createDataFrame(
         out_rows,
         "round int, selected_id long, gain_micro long, coverage_micro long",
@@ -2384,17 +2455,24 @@ def embedding_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = emb.select(xq.alias("xq"))
     rows.cache()
-    sums = (
-        rows.select(F.posexplode("xq").alias("d", "xv"))
-        .groupBy("d")
-        .agg(F.sum("xv").alias("s"), F.count(F.lit(1)).alias("n"))
-        .orderBy("d")
-        .collect()
-    )
-    mean = [_trunc_div(int(r["s"]), int(r["n"])) for r in sums]
+    # Per-dim sums as ONE no-grouping aggregate of 64 element_at sums
+    # (r12): the former posexplode + groupBy(d) multiplied every row
+    # ×64 and shuffled 64 groups per partition; a grouping-free
+    # aggregate partial-reduces to a single 64-column row per task and
+    # merges those — same int64 addends, same totals, no Generate and
+    # no hash-partition Exchange in the plan.
+    srow = rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.element_at("xq", d)).alias(f"s{d}")
+            for d in range(1, GM_DIMS + 1)
+        ],
+    ).collect()[0]
+    n = int(srow["n"])
+    mean = [_trunc_div(int(srow[f"s{d}"]), n) for d in range(1, GM_DIMS + 1)]
     c = list(mean)
     for _ in range(GM_ITERS):
-        carr = F.array(*[F.lit(int(v)).cast("long") for v in c])
+        carr = F.lit([int(v) for v in c])  # Literal array<bigint>
         dist2 = F.aggregate(
             F.zip_with("xq", carr, lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"),
@@ -2407,28 +2485,26 @@ def embedding_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged = rows.select(dist2.alias("dist2"), "xq").select(
             w.alias("w"), "xq"
         )
-        agg = (
-            staged.select("w", F.posexplode("xq").alias("d", "xv"))
-            .groupBy("d")
-            .agg(
-                # w reaches GM_W_SCALE (1e12) for points at the center,
-                # so w*xv must not multiply in BIGINT (silent wrap at
-                # |xv| >= ~9.2e6 micro); cast w to decimal FIRST —
-                # decimal(20,0)*bigint = decimal(38,0), exact, matching
-                # the oracle's CAST(w AS HUGEINT) * xq[d].
-                F.sum(
-                    F.col("w").cast("decimal(20,0)") * F.col("xv")
-                ).alias("num"),
-                F.sum(F.col("w").cast("decimal(20,0)")).alias("den"),
-            )
-            .select(
-                "d",
-                F.expr("cast(num div den as long)").alias("cnew"),
-            )
-            .orderBy("d")
-            .collect()
-        )
-        c = [int(r["cnew"]) for r in agg]
+        # w reaches GM_W_SCALE (1e12) for points at the center, so
+        # w*xq[d] must not multiply in BIGINT (silent wrap at
+        # |xv| >= ~9.2e6 micro); cast w to decimal FIRST —
+        # decimal(20,0)*bigint = decimal(38,0), exact, matching the
+        # oracle's CAST(w AS HUGEINT) * xq[d].  Same grouping-free
+        # one-row aggregate shape as the mean pass above; den is the
+        # same Σw for every dim, summed once instead of 64×.
+        wdec = F.col("w").cast("decimal(20,0)")
+        arow = staged.agg(
+            F.sum(wdec).alias("den"),
+            *[
+                F.sum(wdec * F.element_at("xq", d)).alias(f"num{d}")
+                for d in range(1, GM_DIMS + 1)
+            ],
+        ).collect()[0]
+        den = int(arow["den"])
+        c = [
+            _trunc_div(int(arow[f"num{d}"]), den)
+            for d in range(1, GM_DIMS + 1)
+        ]
     out = spark.createDataFrame(
         [
             (d + 1, int(c[d]), int(mean[d]), abs(int(c[d]) - int(mean[d])))

@@ -161,7 +161,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(load(spark, sf_dir, "documents"), spark)
     toks = tokens_col("text")
     n = F.size(toks)
-    b_arr = F.array(*[F.lit(b) for b in _POLY_B])
+    # a TRUE array literal: b_arr is referenced INSIDE the transform
+    # lambda, where a CreateArray would be rebuilt per token element
+    b_arr = F.lit(list(_POLY_B))
     terms = F.transform(
         F.sequence(F.lit(1), n),
         lambda i: (hash32(F.element_at(toks, i)) % MERSENNE_P)
@@ -1186,9 +1188,20 @@ def text_langid_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    lang_rank = (
-        grams.groupBy(F.col("lang_true").alias("l"), "g")
+    # r12: ONE corpus gram explode + ONE corpus-grain shuffle.  The
+    # language profile counts are Σ over docs of the per-doc counts,
+    # so they reduce from the (doc, gram)-grain table instead of
+    # re-exploding and re-shuffling the raw gram stream a second time
+    # (bit-identical counts; the checkpoint stops Catalyst re-deriving
+    # the explode for each consumer subtree).
+    doc_counts = (
+        grams.groupBy("doc_id", "lang_true", "g")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    lang_rank = (
+        doc_counts.groupBy(F.col("lang_true").alias("l"), "g")
+        .agg(F.sum("c").alias("c"))
         .withColumn(
             "lrank",
             F.row_number().over(
@@ -1199,8 +1212,7 @@ def text_langid_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l", "g", "lrank")
     )
     doc_rank = (
-        grams.groupBy("doc_id", "lang_true", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
+        doc_counts
         .withColumn(
             "drank",
             F.row_number().over(

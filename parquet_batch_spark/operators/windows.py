@@ -781,10 +781,14 @@ def window_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load(spark, sf_dir, "events")
     b = F.floor(F.unix_timestamp("ts") / INTERP_BUCKET_SEC)
+    # localCheckpoint (r12): obs feeds BOTH the spine bounds and the
+    # left join — without materialization the bucket groupBy shuffle
+    # over the event corpus runs twice (once per consumer subtree)
     obs = (
         ev.select("user_id", b.alias("b"), "value")
         .groupBy("user_id", "b")
         .agg(F.max("value").alias("mx"))
+        .localCheckpoint(eager=False)
     )
     spine = (
         obs.groupBy("user_id")
