@@ -170,6 +170,29 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     # node) in the hyperplane bucketer / polynomial fingerprint.
     "ann_lsh_bucketed": 12,
     "text_fingerprint": 12,
+    # HITS: iterations restructured to literal-authority-map folds
+    # over per-doc vocab-token arrays — zero corpus-side joins in the
+    # loop (was edges⋈auth broadcast + edges⋈hubs shuffle join per
+    # iteration); bounded ≤VOCAB-row driver normalization.
+    "graph_hits_bipartite": 12,
+    # duplicated-subtree checkpoints: the (doc, hash) window stream /
+    # gram stream / day-grain reduce feeding 2+ consumers is
+    # localCheckpoint'd so the corpus derivation runs once.
+    "dedup_exact_substring": 12,
+    "decontam_ngram_overlap": 12,
+    "window_hurst_exponent": 12,
+    "window_acf_lags": 12,
+    "window_haar_wavelet_energy": 12,
+    # Ljung-Box: all LB_LAGS lag moments from ONE window pass + ONE
+    # aggregate (was one windowed branch per lag union'd + re-pivot).
+    "window_ljung_box": 12,
+    # k-means: centroid update via groupBy(k) + 64 element_at sums
+    # (was posexplode + groupBy(k, d)); same integer trajectory.
+    "ml_kmeans_lloyd": 12,
+    # BPE: bounded vocab checkpointed per merge round (the loop was
+    # quadratic in plan replays); output assembled from the collected
+    # argmax scalars instead of a union of recomputing subtrees.
+    "text_bpe_merges": 12,
 }
 
 _WINDOW_SIZE = 50

@@ -564,25 +564,38 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Merge application is defined as left-to-right non-overlapping
     replacement iterated to fixpoint (≤3 passes), identically in both
     engines.
+
+    r12: the vocab (≤{BPE_VOCAB_WORDS} rows — bounded) is
+    localCheckpoint'd once after the corpus reduce and again after
+    every merge rewrite, so round k's argmax no longer replays the
+    corpus word count plus k chained rewrites (the loop was quadratic
+    in plan work); the output rows are assembled from the argmax
+    scalars ALREADY collected per round instead of a union of
+    subtrees that re-derived every round's pair count at
+    materialization time.
     """
-    vocab = _bpe_vocab(spark, sf_dir)
-    picked: list[tuple[str, str]] = []
-    out: DataFrame | None = None
+    vocab = _bpe_vocab(spark, sf_dir).localCheckpoint(eager=False)
+    out_rows: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, BPE_MERGES + 1):
         pc = _pair_counts(vocab)
         top = pc.orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs")).limit(1)
         row = top.collect()[0]
-        picked.append((row["lhs"], row["rhs"]))
-        step = top.select(
-            F.lit(rank).alias("merge_rank"),
-            "lhs",
-            "rhs",
-            F.concat("lhs", "rhs").alias("merged"),
-            "pair_count",
+        out_rows.append(
+            (
+                rank,
+                row["lhs"],
+                row["rhs"],
+                row["lhs"] + row["rhs"],
+                int(row["pair_count"]),
+            )
         )
-        out = step if out is None else out.unionAll(step)
-        vocab = _apply_merge(vocab, row["lhs"], row["rhs"])
-    return out.orderBy("merge_rank")
+        vocab = _apply_merge(vocab, row["lhs"], row["rhs"]).localCheckpoint(
+            eager=False
+        )
+    return spark.createDataFrame(
+        out_rows,
+        "merge_rank int, lhs string, rhs string, merged string, pair_count bigint",
+    ).orderBy("merge_rank")
 
 
 def _bpe_sql() -> str:
@@ -1211,16 +1224,24 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     which needs a homogeneous graph).
 
     Integer recipe: scores in BIGINT 10⁹ fixed-point, max-normalized
-    after every half-step via a broadcast 1-row max (no driver round
-    trip); products go through DECIMAL(38,0) before the div so no
-    intermediate overflows at any corpus size; 2 fixed
+    after every half-step; per-doc hub sums are vocab-bounded
+    (≤ {HITS_VOCAB}·10⁹ — int64-safe by construction), while the
+    authority sums run over the whole corpus and therefore aggregate
+    in DECIMAL so 10¹²-doc corpora don't overflow; 2 fixed
     iterations, oracle unrolled as MATERIALIZED CTEs.
 
-    Scale: one corpus pass builds the (doc, token) edge table
-    (≤30 edges per doc); each half-step is one partial-agg
-    shuffle over that edge table; the authority side is
-    vocab-bounded.  Hub sums aggregate in decimal, so 10¹²-doc
-    corpora don't overflow the fold.
+    Scale (r12 restructure): the authority side is vocab-bounded
+    (≤ {HITS_VOCAB} scores), so each half-step embeds the current
+    authority vector as a LITERAL map and folds it over each doc's
+    vocab-token array — a map-only pass — instead of the former
+    edges⋈auth broadcast join + edges⋈hubs SHUFFLE join per
+    iteration (the hub table is corpus-sized, so that join re-
+    shuffled the edge table every iteration).  Per iteration: one
+    aggregate for hmax, one explode+partial-agg shuffle whose output
+    is ≤ {HITS_VOCAB} rows, and a ≤ {HITS_VOCAB}-row driver
+    normalization (the PCA bounded-reduced-table pattern).  Zero
+    corpus-side joins anywhere in the loop; per-row work is a
+    ≤ 30-element fold.
     """
     d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
     tokd = (
@@ -1230,43 +1251,60 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_counts = tokd.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     vocab = df_counts.orderBy(F.desc("df"), F.asc("w")).limit(HITS_VOCAB)
-    edges = tokd.join(F.broadcast(vocab.select("w")), "w").localCheckpoint(
-        eager=True
+    # per-doc array of its DISTINCT vocab tokens (the same edge set as
+    # the former (doc, w) edge table, one row per doc instead)
+    doc_toks = (
+        tokd.join(F.broadcast(vocab.select("w")), "w")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("w")).alias("ws"))
+        .localCheckpoint(eager=True)
     )
-    auth = vocab.select("w", F.lit(HITS_SCALE).cast("long").alias("a"))
+    vocab_rows = vocab.collect()  # ≤ HITS_VOCAB rows — bounded
+    auth: dict[str, int] = {r["w"]: HITS_SCALE for r in vocab_rows}
     for _ in range(HITS_ITERS):
-        hub_raw = (
-            edges.join(F.broadcast(auth), "w")
-            .groupBy("doc_id")
-            .agg(F.sum(F.col("a").cast("decimal(38,0)")).alias("h_raw"))
+        # hub half-step: h_raw(doc) = Σ_{w∈doc} a_w as an in-array fold
+        # over the literal authority map (≤ 30·10⁹ — int64-exact)
+        amap = F.create_map(
+            *[x for w, a in sorted(auth.items()) for x in (F.lit(w), F.lit(a))]
         )
-        hmax = hub_raw.agg(F.max("h_raw").alias("hm"))
-        hubs = hub_raw.crossJoin(F.broadcast(hmax)).select(
-            "doc_id",
-            F.expr(
-                f"CAST((h_raw * {HITS_SCALE}) div hm AS BIGINT)"
-            ).alias("h"),
+        h_raw = F.aggregate(
+            "ws",
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + F.element_at(amap, w),
         )
-        auth_raw = (
-            edges.join(hubs, "doc_id")
+        hm = int(
+            doc_toks.agg(F.max(h_raw).alias("hm")).collect()[0]["hm"]
+        )
+        # authority half-step: a_raw(w) = Σ_docs∋w h(doc); h is the
+        # normalized hub score — (h_raw·SCALE) div hmax with the
+        # product in DECIMAL exactly as the r11 form (h_raw ≤ 30·10⁹
+        # times SCALE = 10⁹ would overflow int64), summed in decimal
+        # against corpus growth
+        h = F.expr(
+            "CAST((CAST(hraw AS DECIMAL(38,0)) * "
+            f"{HITS_SCALE}) div {hm} AS BIGINT)"
+        )
+        a_rows = (
+            doc_toks.select(h_raw.alias("hraw"), "ws")
+            .select(h.alias("h"), F.explode("ws").alias("w"))
             .groupBy("w")
             .agg(F.sum(F.col("h").cast("decimal(38,0)")).alias("a_raw"))
-        )
-        amax = auth_raw.agg(F.max("a_raw").alias("am"))
-        auth = auth_raw.crossJoin(F.broadcast(amax)).select(
-            "w",
-            F.expr(
-                f"CAST((a_raw * {HITS_SCALE}) div am AS BIGINT)"
-            ).alias("a"),
-        )
-    out = auth.join(F.broadcast(vocab.select("w", "df")), "w").select(
-        F.col("w").alias("token"),
-        F.col("df").cast("long").alias("df"),
-        F.col("a").alias("authority_fp"),
-    )
-    return out.orderBy(F.desc("authority_fp"), F.asc("token")).limit(
-        HITS_TOPK
-    )
+            .collect()
+        )  # ≤ HITS_VOCAB rows — bounded
+        am = max(int(r["a_raw"]) for r in a_rows)
+        auth = {
+            r["w"]: (int(r["a_raw"]) * HITS_SCALE) // am for r in a_rows
+        }
+    out_rows = sorted(
+        (
+            (w, int(next(r["df"] for r in vocab_rows if r["w"] == w)), a)
+            for w, a in auth.items()
+        ),
+        key=lambda t: (-t[2], t[0]),
+    )[:HITS_TOPK]
+    return spark.createDataFrame(
+        out_rows, "token string, df long, authority_fp long"
+    ).orderBy(F.desc("authority_fp"), F.asc("token"))
 
 
 def _hits_sql() -> str:

@@ -1534,7 +1534,14 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(shingles_col(tokens_col("text"), SUBSTR_K))
         ).alias("g"),
     )
-    wins = grams.select("doc_id", hash32(F.col("g")).alias("h")).distinct()
+    # localCheckpoint (r12): wins feeds the per-hash doc counts AND
+    # the join back — without materialization the corpus tokenize +
+    # shingle + hash subtree runs twice
+    wins = (
+        grams.select("doc_id", hash32(F.col("g")).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     df_counts = wins.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         wins.join(df_counts, "h")

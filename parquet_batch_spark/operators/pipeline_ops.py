@@ -109,12 +109,17 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark side broadcasts and the train side streams once; never an
     all-pairs text comparison."""
     d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
+    # localCheckpoint (r12): grams feeds the benchmark index AND the
+    # train stream — without materialization the corpus tokenize +
+    # shingle + md5 subtree runs twice
     grams = d.select(
         "doc_id",
         F.explode(
             F.array_distinct(shingles_col(tokens_col("text"), DECONTAM_K))
         ).alias("g"),
-    ).select("doc_id", hash32(F.col("g")).alias("h"))
+    ).select("doc_id", hash32(F.col("g")).alias("h")).localCheckpoint(
+        eager=False
+    )
     bench = (
         grams.filter(F.col("doc_id") % BENCH_MOD == 0)
         .select("h")

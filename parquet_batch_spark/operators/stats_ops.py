@@ -1370,6 +1370,11 @@ def window_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("day")
         .agg(F.sum("yd").alias("x"))
+        # localCheckpoint (r12): daily feeds the global moments AND
+        # every lag branch — without materialization the order-corpus
+        # day reduce re-runs per branch (the checkpointed table is
+        # day-grain, a few thousand rows)
+        .localCheckpoint(eager=False)
     )
     seq = Window.orderBy("day")
     glob = daily.agg(
@@ -8337,6 +8342,11 @@ def window_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("day")
         .agg(F.sum("yd").alias("x"))
+        # localCheckpoint (r12): daily feeds the global moments AND
+        # every lag branch — without materialization the order-corpus
+        # day reduce re-runs per branch (the checkpointed table is
+        # day-grain, a few thousand rows)
+        .localCheckpoint(eager=False)
     )
     seq = Window.orderBy("day")
     glob = daily.agg(
@@ -8344,29 +8354,28 @@ def window_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").alias("sx"),
         F.sum(F.col("x").cast("decimal(18,0)") * F.col("x")).alias("sxx"),
     )
-    per_lag = None
-    for k in range(1, LB_LAGS + 1):
-        lagged = daily.select(
-            "x", F.lag("x", k).over(seq).alias("xl")
-        ).where(F.col("xl").isNotNull())
-        row = lagged.agg(
-            F.lit(k).cast("long").alias("lag"),
-            F.count(F.lit(1)).alias("np"),
-            F.sum(F.col("x").cast("decimal(18,0)") * F.col("xl")).alias(
-                "sxy"
-            ),
-            F.sum("x").alias("sa"),
-            F.sum("xl").alias("sb"),
-        )
-        per_lag = row if per_lag is None else per_lag.unionAll(row)
-    wide = per_lag.agg(
-        *[
-            F.max(
-                F.when(F.col("lag") == k, F.col(c))
-            ).alias(f"{c}{k}")
-            for k in range(1, LB_LAGS + 1)
-            for c in ("np", "sxy", "sa", "sb")
+    # r12: ALL lags from ONE window pass + ONE aggregate — lag(x, k)
+    # for every k shares the same sort, and the per-lag moment sums
+    # become null-skipping conditional sums over the lagged columns
+    # (identical addends to the former per-lag WHERE branches, so the
+    # values are bit-equal; was LB_LAGS window passes union'd then
+    # re-pivoted).
+    lagged = daily.select(
+        "x",
+        *[F.lag("x", k).over(seq).alias(f"xl{k}") for k in range(1, LB_LAGS + 1)],
+    )
+
+    def _lag_aggs(k: int):
+        xl = F.col(f"xl{k}")
+        return [
+            F.count(xl).alias(f"np{k}"),
+            F.sum(F.col("x").cast("decimal(18,0)") * xl).alias(f"sxy{k}"),
+            F.sum(F.when(xl.isNotNull(), F.col("x"))).alias(f"sa{k}"),
+            F.sum(xl).alias(f"sb{k}"),
         ]
+
+    wide = lagged.agg(
+        *[a for k in range(1, LB_LAGS + 1) for a in _lag_aggs(k)]
     ).crossJoin(F.broadcast(glob))
     n = F.col("n").cast("double")
     mean = F.col("sx").cast("double") / n
@@ -9445,11 +9454,16 @@ def window_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ev").alias("ev"),
             F.max("od").alias("od"),
         ).where(F.col("cnt") == 2)
+        # localCheckpoint (r12): each level's coefficients feed BOTH
+        # the energy aggregate and the next level — without
+        # materialization level ℓ's branch re-derives the entire chain
+        # from the corpus (HAAR_LEVELS corpus reduces + a quadratic
+        # replan); the table is day-grain and halves per level
         coeffs = paired.select(
             "pi",
             (F.col("ev") + F.col("od")).alias("a"),
             (F.col("ev") - F.col("od")).alias("d"),
-        )
+        ).localCheckpoint(eager=False)
         outs.append(
             coeffs.agg(
                 F.lit(lvl).cast("long").alias("level"),
@@ -11187,9 +11201,13 @@ def window_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("yd").alias("x"))
     )
     seq = Window.orderBy("day")
+    # localCheckpoint (r12): idx feeds all four lag branches — without
+    # materialization the order-corpus day reduce + global row_number
+    # runs once per lag (4 corpus shuffles instead of 1; the
+    # checkpointed table is day-grain, ≤ a few thousand rows)
     idx = daily.select(
         "x", (F.row_number().over(seq) - 1).alias("i")
-    )
+    ).localCheckpoint(eager=False)
     dec38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     # Per lag: chunk totals first (the deviation needs the chunk sum
     # S), then a cumulative window pass joined back against the tiny

@@ -618,6 +618,10 @@ def test_r6_ops_have_scale_safe_plans(spark, sf_dir):
 _DRIVER_MATERIALIZATION_WHITELIST = {
     ("operators/corpus_ops.py", "text_bpe_merges", "collect"):
         (1, "limit(1) argmax pair per bounded BPE merge round"),
+    ("operators/corpus_ops.py", "graph_hits_bipartite", "collect"):
+        (3, "vocab limit(HITS_VOCAB=30) + 1-row hub max per iteration "
+            "+ <=HITS_VOCAB authority rows per iteration (the bounded-"
+            "reduced-table normalization pattern)"),
     ("operators/dedup.py", "_hot_shingles", "collect"):
         (1, "hot-key list: at most sum(df)/cap entries survive the "
             "absolute df cap (pigeonhole), memoized per sf_dir"),
