@@ -139,9 +139,9 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     "embedding_pca_power_iteration": 12,
     # r12 optimization round — result-identical plan restructures, each
     # re-certifies because the implementation changed:
-    # facility location: the 4 sequential gain-aggregate jobs folded
-    # into ONE speculative corpus pass (every reachable greedy state's
-    # gains in a single aggregate; driver replays the chain).
+    # facility location: center vectors now embed as Literal array
+    # nodes (two speculative redesigns were measured SLOWER at sf0.1
+    # and reverted — negative results in the docstring).
     "sample_facility_location": 12,
     # k-center: running min-distance maintained incrementally
     # (least(md, d_new)) instead of re-folding all t centers per round.

@@ -2188,7 +2188,6 @@ ORDER BY m
 
 FL_ROUNDS = 4       # exemplars selected
 FL_CANDS = 4        # stochastic-greedy candidate pool per round
-FL_SPEC_ROUNDS = 2  # greedy rounds scored speculatively per corpus pass
 
 
 def _fl_candidate_pools(
@@ -2246,49 +2245,43 @@ def sample_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact greedy is O(N²)/round (every candidate needs a corpus sum),
     so each round scores a deterministic 4-candidate pool drawn
     DISTRIBUTED (hash-rank + limit = per-partition top-K, the
-    stochastic-greedy trick that keeps (1−1/e−ε) guarantees).  The
-    candidate pools are fixed BEFORE any selection happens, so (r12)
-    the corpus is read exactly TWICE: the fused draw+fetch, then one
-    pass that quantizes every vector's dot against all ≤ 28 pooled
-    vectors into a persisted narrow all-long PROXY table (the
-    guide's decide-on-small-rows shape) — sims floor-quantized to
-    micro per ROW before any integer sum, so every later aggregate
-    is bit-identical to the former one-fold-per-round values.  The
-    greedy recursion branches over ≤ FL_CANDS choices per round, so
-    the reachable "chosen set" states are enumerable driver side and
-    one aggregate over the proxy scores Σ_v max(0, d_c(v) − cov_S(v))
-    for EVERY (state S, candidate c) a chunk of {FL_SPEC_ROUNDS}
-    consecutive rounds could visit (4 + FL_CANDS² = 20 sums of plain
-    int64 columns); the driver replays the chain over the collected
-    sums.  3 jobs total (draw, proxy+chunk-1 aggregate, chunk-2
-    aggregate; the r11 shape was 5 = draw + FL_ROUNDS fold
-    aggregates, each re-planning the 64-dim literal fold stack).
-    Full 4-round speculation (340 sums) was measured SLOWER than the
-    sequential form at sf0.1 — Catalyst analysis over hundreds of
-    aggregate expressions costs more than the passes it saves —
-    hence the chunk bound.  Output per round: selected id, marginal
-    gain, total coverage after.
+    stochastic-greedy trick that keeps (1−1/e−ε) guarantees): ONE
+    corpus pass per round computes all candidate gains
+    Σ_v max(0, sim_c(v) − cov(v)) as plan-literal JVM folds, sims
+    floor-quantized to micro per ROW before the integer sums
+    (order-insensitive, bit-exact).  Only the argmax and the
+    FL_CANDS pool rows return to the driver (the pool VECTORS ride
+    the draw job itself — 5 jobs total: 1 fused draw+fetch +
+    FL_ROUNDS gain aggregates).  Center vectors embed as single
+    Literal array nodes (r12 — cheaper Catalyst analysis per round
+    than CreateArray(64 literals); final plans identical).  Output
+    per round: selected id, marginal gain, total coverage after.
 
-    Scale: 2 corpus passes + ⌈FL_ROUNDS/{FL_SPEC_ROUNDS}⌉ passes
-    over the half-width persisted proxy; driver state = pool vectors
-    + ≤ FL_CANDS^FL_SPEC_ROUNDS·FL_CANDS longs per chunk; no join,
-    no broadcast state, no N² anywhere, no O(N) driver
-    materialization (the candidate draw is a TakeOrderedAndProject).
+    r12 NEGATIVE RESULTS, kept so the next round does not re-try
+    them (full A/B evidence in OPTIMIZATION_r12.md): (1) one-pass
+    full speculation — all 340 reachable (state, candidate) gain
+    sums in one aggregate — measured ~2.7× SLOWER than this form at
+    sf0.1 (Catalyst analysis over hundreds of aggregate expressions
+    dwarfs the corpus passes saved on small inputs); (2) a persisted
+    N×28 quantized-dot PROXY table with chunked 2-round speculation
+    (3 jobs, 2 corpus passes) measured +0.8-1.0 s vs this form in
+    alternating same-session A/B — the extra parquet scan + proxy
+    materialization exceed the per-round savings, with chunk size 1
+    vs 2 indistinguishable.  At a true 100 TB the proxy variant's
+    2 corpus passes beat these 5; if the engine ever targets that
+    regime for THIS op, resurrect the proxy form from the r12
+    history (commit 893d611) behind a size switch.
+
+    Scale: K corpus passes over the persisted working set, driver
+    state = K×dim doubles + the candidate pool rows; no join, no
+    broadcast state, no N² anywhere, no O(N) driver materialization
+    (the candidate draw is a TakeOrderedAndProject).
     """
     em = fan_out(load(spark, sf_dir, "embeddings"), spark)
     base = em.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    # the draw computes ONE md5 per row — repartitioning the corpus to
-    # parallelize a hash costs a full shuffle to save per-row work
-    # cheaper than the shuffle itself, at every scale (guide §2.4), so
-    # the draw scans the natural splits; fan_out stays on the proxy
-    # pass, whose 28 64-dim folds per row are the expensive derivation
-    draw_base = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
+    ).persist()
 
     def dot_micro(cv: list[float]):
         return F.floor(
@@ -2305,65 +2298,36 @@ def sample_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
 
     # pool vectors ride the draw job itself (≤ 28 rows, VERDICT r7 #5)
-    pools, vecs = _fl_candidate_pools(draw_base)
-
-    # The decision proxy (guide-§8 shape): quantized dots against the
-    # ≤ 28 pooled vectors, computed in ONE pass over the corpus and
-    # persisted as a narrow all-long table — every gain aggregate
-    # below reads plain int64 columns instead of re-planning 64-dim
-    # literal folds per pass (plan analysis + codegen of the fold
-    # stack was the dominant per-pass cost at sf0.1, and at 100 TB
-    # the proxy halves the bytes of every subsequent pass).
-    pooled = sorted({c for pool in pools for c in pool})
-    dcol = {cid: f"d_{cid}" for cid in pooled}
-    dots = base.select(
-        *[dot_micro(vecs[cid]).alias(dcol[cid]) for cid in pooled]
-    ).persist()
-
-    zero = F.lit(0).cast("long")
-    chosen_set: frozenset[int] = frozenset()
+    pools, vecs = _fl_candidate_pools(base)
+    selected: list[tuple[int, list[float]]] = []
     out_rows = []
     coverage = 0
-    for chunk_start in range(0, FL_ROUNDS, FL_SPEC_ROUNDS):
-        chunk = range(chunk_start, min(chunk_start + FL_SPEC_ROUNDS, FL_ROUNDS))
-        # Enumerate every state this chunk can reach from chosen_set.
-        # A state is the frozenset of ids chosen so far; each round
-        # maps a state to its candidate list exactly as the replay
-        # below will (pool order, minus chosen, first FL_CANDS).
-        needed: dict[tuple[frozenset[int], int], int] = {}
-        states: list[frozenset[int]] = [chosen_set]
-        for rnd in chunk:
-            nxt: set[frozenset[int]] = set()
-            for st in states:
-                cands = [c for c in pools[rnd] if c not in st][:FL_CANDS]
-                for c in cands:
-                    needed.setdefault((st, c), len(needed))
-                    nxt.add(st | {c})
-            states = sorted(nxt, key=sorted)
-        aggs = []
-        for (st, c), i in needed.items():
-            cov = (
-                F.greatest(*[F.col(dcol[s]) for s in sorted(st)], zero)
-                if st
-                else zero
-            )
-            aggs.append(
-                F.sum(F.greatest(F.col(dcol[c]) - cov, zero)).alias(f"g{i}")
-            )
-        row = dots.agg(*aggs).collect()[0]
-        gain_of = {key: int(row[f"g{i}"]) for key, i in needed.items()}
-        for rnd in chunk:
-            cands = [c for c in pools[rnd] if c not in chosen_set][:FL_CANDS]
-            best_j = max(
-                range(len(cands)),
-                key=lambda j: (gain_of[(chosen_set, cands[j])], -cands[j]),
-            )
-            chosen = cands[best_j]
-            gain = gain_of[(chosen_set, chosen)]
-            chosen_set = chosen_set | {chosen}
-            coverage += gain
-            out_rows.append((rnd, chosen, gain, coverage))
-    dots.unpersist()
+    for rnd in range(FL_ROUNDS):
+        chosen_ids = {s for s, _ in selected}
+        cands = [c for c in pools[rnd] if c not in chosen_ids][:FL_CANDS]
+        cov = (
+            F.greatest(*[dot_micro(v) for _s, v in selected], F.lit(0).cast("long"))
+            if selected
+            else F.lit(0).cast("long")
+        )
+        gains = base.select(
+            *[
+                F.greatest(
+                    dot_micro(vecs[c]) - cov, F.lit(0).cast("long")
+                ).alias(f"g{j}")
+                for j, c in enumerate(cands)
+            ]
+        ).agg(*[F.sum(f"g{j}").alias(f"g{j}") for j in range(len(cands))])
+        row = gains.collect()[0]
+        best_j = max(
+            range(len(cands)), key=lambda j: (int(row[f"g{j}"]), -cands[j])
+        )
+        gain = int(row[f"g{best_j}"])
+        chosen = cands[best_j]
+        selected.append((chosen, vecs[chosen]))
+        coverage += gain
+        out_rows.append((rnd, chosen, gain, coverage))
+    base.unpersist()
     return spark.createDataFrame(
         out_rows,
         "round int, selected_id long, gain_micro long, coverage_micro long",
