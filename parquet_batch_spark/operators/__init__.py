@@ -148,7 +148,11 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     "sample_coreset_kcenter": 12,
     # geometric median: posexplode+groupBy(dim) replaced by grouping-
     # free 64-column element_at sum aggregates (mean + Weiszfeld).
-    "embedding_geometric_median": 12,
+    # r13 (key re-bumped): REVERTED to the posexplode form — the r12
+    # shape was a driver-confirmed 1.87× sf0.1 regression (VERDICT r12
+    # #1); phase-level A/B in tools/ab_gm.py localized it to the
+    # no-grouping 64-sum aggregates.
+    "embedding_geometric_median": 13,
     # simhash: fingerprint subtree localCheckpoint'd so the band
     # self-join stops re-computing the vote aggregate twice.
     "dedup_simhash": 12,
@@ -174,13 +178,21 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     # over per-doc vocab-token arrays — zero corpus-side joins in the
     # loop (was edges⋈auth broadcast + edges⋈hubs shuffle join per
     # iteration); bounded ≤VOCAB-row driver normalization.
-    "graph_hits_bipartite": 12,
+    # r13 (key re-bumped): driver-side vocab-coverage assert added
+    # (ADVICE r12 — the element_at(amap, w) fold must fail loudly if
+    # the coverage invariant ever breaks); distributed plan unchanged.
+    "graph_hits_bipartite": 13,
     # duplicated-subtree checkpoints: the (doc, hash) window stream /
     # gram stream / day-grain reduce feeding 2+ consumers is
     # localCheckpoint'd so the corpus derivation runs once.
     "dedup_exact_substring": 12,
     "decontam_ngram_overlap": 12,
-    "window_hurst_exponent": 12,
+    # r13 (key re-bumped): the 4 per-lag branches collapsed into ONE
+    # exploded-lag pipeline keyed by (n, chunk) — one groupBy, one
+    # window pass, one broadcast join, one per-lag aggregate (66
+    # Exchange nodes → single digits); bit-identical addends, pinned
+    # by test_r13_ops.test_hurst_exploded_lags_bit_identical...
+    "window_hurst_exponent": 13,
     "window_acf_lags": 12,
     "window_haar_wavelet_energy": 12,
     # Ljung-Box: all LB_LAGS lag moments from ONE window pass + ONE

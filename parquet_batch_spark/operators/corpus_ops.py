@@ -1291,6 +1291,16 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("h").cast("decimal(38,0)")).alias("a_raw"))
             .collect()
         )  # ≤ HITS_VOCAB rows — bounded
+        # Safety (ADVICE r12): the h_raw fold's element_at(amap, w)
+        # throws under ANSI for a missing key, so the invariant "every
+        # vocab word survives into a_rows" must fail LOUDLY here (ws
+        # words ⊆ vocab by the broadcast join; a_rows covers every ws
+        # word) rather than silently drift if a future filter breaks it.
+        new_keys = {r["w"] for r in a_rows}
+        assert new_keys == set(auth), (
+            "HITS invariant broken: authority map no longer covers the "
+            f"vocab (diff: {sorted(set(auth) ^ new_keys)[:5]})"
+        )
         am = max(int(r["a_raw"]) for r in a_rows)
         auth = {
             r["w"]: (int(r["a_raw"]) * HITS_SCALE) // am for r in a_rows

@@ -123,9 +123,11 @@ def _bucket_col(v, dim: int = 64):
     the per-plane dot product is an aggregate over zip of literals)."""
     bucket = F.lit(0)
     for p in range(N_PLANES):
-        # one Literal array node, not CreateArray(64 literals): the
-        # literal form is constant — CreateArray re-evaluates its 64
-        # children per row (measured 2x the per-job cost at sf0.1)
+        # one Literal array node, not CreateArray(64 literals).
+        # COSMETIC (ADVICE r12): the committed before/after physical
+        # plans are identical — ConstantFolding already folded the
+        # CreateArray — so this is compile-convenience only, not a
+        # runtime win; the earlier "measured 2x" attribution was noise.
         weights = F.lit([_plane_weight(p, d) for d in range(dim)])
         dot = F.aggregate(
             F.zip_with(v, weights, lambda x, w: x * w), F.lit(0.0), lambda a, x: a + x
@@ -1259,8 +1261,12 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted running minimum with least() — min is associative, so
     least(md_{t−1}, d_t) is bit-identical to the old per-round
     least(d_1..d_t) recompute while doing O(1) instead of O(t) folds
-    per row (O(K) total fold work instead of O(K²), and a constant-
-    size plan per round instead of one that grows with t).  Only the
+    per row (O(K) total fold work instead of O(K²)).  The LOGICAL
+    plan still chains one select per round (analysis cost grows
+    linearly with t; ADVICE r12) — only the per-row fold work and the
+    physical execution, truncated by the persist, are constant — and
+    an evicted partition recomputes through the whole chain, an
+    accepted local-mode trade for K={KCENTER_K}.  Only the
     1-row argmax returns to the driver per round.  Driver state is
     {KCENTER_K}×{_DIM} doubles. The oracle unrolls the identical
     greedy rounds as chained CTEs.
@@ -2433,21 +2439,24 @@ def embedding_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = emb.select(xq.alias("xq"))
     rows.cache()
-    # Per-dim sums as ONE no-grouping aggregate of 64 element_at sums
-    # (r12): the former posexplode + groupBy(d) multiplied every row
-    # ×64 and shuffled 64 groups per partition; a grouping-free
-    # aggregate partial-reduces to a single 64-column row per task and
-    # merges those — same int64 addends, same totals, no Generate and
-    # no hash-partition Exchange in the plan.
-    srow = rows.agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.element_at("xq", d)).alias(f"s{d}")
-            for d in range(1, GM_DIMS + 1)
-        ],
-    ).collect()[0]
-    n = int(srow["n"])
-    mean = [_trunc_div(int(srow[f"s{d}"]), n) for d in range(1, GM_DIMS + 1)]
+    # r13 REVERT to posexplode + groupBy(d) (VERDICT r12 #1): the r12
+    # grouping-free 64-column aggregate was a measured 1.87× sf0.1
+    # regression (driver 2.03 → 3.79 s).  A phase-level A/B on a quiet
+    # box (tools/ab_gm.py) localized it: the no-grouping aggregate of
+    # 64 element_at sums is SLOWER than Generate+hash-agg in both
+    # halves — mean pass 0.395 vs 0.222 s, Weiszfeld pass 0.768 vs
+    # 0.328 s (64 decimal(38,0) sum expressions in one codegen'd
+    # no-grouping aggregate evaluate worse than the 64-group hash
+    # aggregate the explode feeds, whose map-side partial agg reduces
+    # the exchange to 64 rows/task at any corpus size).
+    sums = (
+        rows.select(F.posexplode("xq").alias("d", "xv"))
+        .groupBy("d")
+        .agg(F.sum("xv").alias("s"), F.count(F.lit(1)).alias("n"))
+        .orderBy("d")
+        .collect()
+    )
+    mean = [_trunc_div(int(r["s"]), int(r["n"])) for r in sums]
     c = list(mean)
     for _ in range(GM_ITERS):
         carr = F.lit([int(v) for v in c])  # Literal array<bigint>
@@ -2463,26 +2472,28 @@ def embedding_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged = rows.select(dist2.alias("dist2"), "xq").select(
             w.alias("w"), "xq"
         )
-        # w reaches GM_W_SCALE (1e12) for points at the center, so
-        # w*xq[d] must not multiply in BIGINT (silent wrap at
-        # |xv| >= ~9.2e6 micro); cast w to decimal FIRST —
-        # decimal(20,0)*bigint = decimal(38,0), exact, matching the
-        # oracle's CAST(w AS HUGEINT) * xq[d].  Same grouping-free
-        # one-row aggregate shape as the mean pass above; den is the
-        # same Σw for every dim, summed once instead of 64×.
-        wdec = F.col("w").cast("decimal(20,0)")
-        arow = staged.agg(
-            F.sum(wdec).alias("den"),
-            *[
-                F.sum(wdec * F.element_at("xq", d)).alias(f"num{d}")
-                for d in range(1, GM_DIMS + 1)
-            ],
-        ).collect()[0]
-        den = int(arow["den"])
-        c = [
-            _trunc_div(int(arow[f"num{d}"]), den)
-            for d in range(1, GM_DIMS + 1)
-        ]
+        agg = (
+            staged.select("w", F.posexplode("xq").alias("d", "xv"))
+            .groupBy("d")
+            .agg(
+                # w reaches GM_W_SCALE (1e12) for points at the center,
+                # so w*xv must not multiply in BIGINT (silent wrap at
+                # |xv| >= ~9.2e6 micro); cast w to decimal FIRST —
+                # decimal(20,0)*bigint = decimal(38,0), exact, matching
+                # the oracle's CAST(w AS HUGEINT) * xq[d].
+                F.sum(
+                    F.col("w").cast("decimal(20,0)") * F.col("xv")
+                ).alias("num"),
+                F.sum(F.col("w").cast("decimal(20,0)")).alias("den"),
+            )
+            .select(
+                "d",
+                F.expr("cast(num div den as long)").alias("cnew"),
+            )
+            .orderBy("d")
+            .collect()
+        )
+        c = [int(r["cnew"]) for r in agg]
     out = spark.createDataFrame(
         [
             (d + 1, int(c[d]), int(mean[d]), abs(int(c[d]) - int(mean[d])))

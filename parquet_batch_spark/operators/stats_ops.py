@@ -11201,79 +11201,90 @@ def window_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("yd").alias("x"))
     )
     seq = Window.orderBy("day")
-    # localCheckpoint (r12): idx feeds all four lag branches — without
+    # localCheckpoint (r12): idx feeds every lag's chunking — without
     # materialization the order-corpus day reduce + global row_number
-    # runs once per lag (4 corpus shuffles instead of 1; the
-    # checkpointed table is day-grain, ≤ a few thousand rows)
+    # would replay per consumer (the checkpointed table is day-grain,
+    # ≤ a few thousand rows)
     idx = daily.select(
         "x", (F.row_number().over(seq) - 1).alias("i")
     ).localCheckpoint(eager=False)
     dec38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
-    # Per lag: chunk totals first (the deviation needs the chunk sum
-    # S), then a cumulative window pass joined back against the tiny
-    # (≤ days/8 rows, broadcast) totals table.
-    outs = []
-    for n in HURST_LAGS:
-        chunked = idx.select(
-            "x",
-            (F.col("i") % n + 1).alias("j"),
-            F.floor(F.col("i") / n).alias("chunk"),
+    # ONE lateral explode of the literal lag set (r13, guide §2.4):
+    # the former per-lag branches each planned their own chunk groupBy
+    # + chunk window + broadcast join + two aggregates (66 Exchange
+    # nodes for 4 lags); keying everything by (n, chunk) instead runs
+    # the identical arithmetic through ONE groupBy, ONE window pass,
+    # ONE broadcast join and ONE per-lag aggregate.  The exploded
+    # stream is only lags × days rows (day-grain — bounded at any
+    # corpus size), and every per-(n, chunk) addend is unchanged, so
+    # results are bit-identical.
+    chunked = idx.select(
+        "x", "i", F.explode(F.lit(list(HURST_LAGS))).alias("n")
+    ).select(
+        "x",
+        "n",
+        (F.col("i") % F.col("n") + 1).alias("j"),
+        F.floor(F.col("i") / F.col("n")).alias("chunk"),
+    )
+    totals = chunked.groupBy("n", "chunk").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("x").alias("s"),
+        F.sum(dec38(F.col("x")) * F.col("x")).alias("q"),
+    )
+    cw = (
+        Window.partitionBy("n", "chunk")
+        .orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    stepped = (
+        chunked.select(
+            "n", "chunk", "j", F.sum("x").over(cw).alias("cum")
         )
-        totals = chunked.groupBy("chunk").agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum("x").alias("s"),
-            F.sum(dec38(F.col("x")) * F.col("x")).alias("q"),
+        .join(
+            F.broadcast(totals.where(F.col("cnt") == F.col("n"))),
+            ["n", "chunk"],
         )
-        cw = (
-            Window.partitionBy("chunk")
-            .orderBy("j")
-            .rowsBetween(Window.unboundedPreceding, 0)
+        .select(
+            "n",
+            "chunk",
+            "q",
+            "s",
+            (
+                F.col("n") * dec38(F.col("cum"))
+                - dec38(F.col("j")) * F.col("s")
+            ).alias("dev"),
         )
-        stepped = (
-            chunked.select(
-                "chunk", "j", F.sum("x").over(cw).alias("cum")
-            )
-            .join(F.broadcast(totals.where(F.col("cnt") == n)), "chunk")
-            .select(
-                "chunk",
-                "q",
-                "s",
-                (
-                    F.lit(n) * dec38(F.col("cum"))
-                    - dec38(F.col("j")) * F.col("s")
-                ).alias("dev"),
-            )
+    )
+    chunks = stepped.groupBy("n", "chunk", "q", "s").agg(
+        (F.max("dev") - F.min("dev")).alias("r_scaled")
+    )
+    var_scaled = (
+        F.col("n") * F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+    )
+    ln_rs_micro = F.floor(
+        F.lit(1e6)
+        * F.log(
+            F.col("r_scaled").cast("double") / F.sqrt(var_scaled)
         )
-        chunks = stepped.groupBy("chunk", "q", "s").agg(
-            (F.max("dev") - F.min("dev")).alias("r_scaled")
+    ).cast("long")
+    pts = (
+        chunks.where((F.col("r_scaled") > 0) & (var_scaled > 0))
+        .select(F.col("n").cast("long").alias("lag_n"), ln_rs_micro.alias("lnrs"))
+        .groupBy("lag_n")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("lnrs").alias("sum_lnrs"),
         )
-        var_scaled = (
-            F.lit(n) * F.col("q").cast("double")
-            - F.col("s").cast("double") * F.col("s").cast("double")
+        .select(
+            "lag_n",
+            "n_chunks",
+            F.expr("sum_lnrs div n_chunks").alias("mean_lnrs_micro"),
         )
-        ln_rs_micro = F.floor(
-            F.lit(1e6)
-            * F.log(
-                F.col("r_scaled").cast("double") / F.sqrt(var_scaled)
-            )
-        ).cast("long")
-        lag_out = (
-            chunks.where((F.col("r_scaled") > 0) & (var_scaled > 0))
-            .select(ln_rs_micro.alias("lnrs"))
-            .agg(
-                F.count(F.lit(1)).alias("n_chunks"),
-                F.sum("lnrs").alias("sum_lnrs"),
-            )
-            .select(
-                F.lit(n).cast("long").alias("lag_n"),
-                "n_chunks",
-                F.expr("sum_lnrs div n_chunks").alias("mean_lnrs_micro"),
-            )
-        )
-        outs.append(lag_out)
-    pts = outs[0]
-    for df in outs[1:]:
-        pts = pts.unionByName(df)
+        # len(HURST_LAGS) rows; both the OLS pivot and the output join
+        # consume pts — checkpoint so the chunk pipeline plans ONCE
+        .localCheckpoint(eager=False)
+    )
     # OLS slope over the 4 (ln n, mean lnrs) points — fixed k=4 rows;
     # collect-free: conditional-pivot the literal lag domain.
     aggs = []

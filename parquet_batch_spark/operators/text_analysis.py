@@ -161,8 +161,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(load(spark, sf_dir, "documents"), spark)
     toks = tokens_col("text")
     n = F.size(toks)
-    # a TRUE array literal: b_arr is referenced INSIDE the transform
-    # lambda, where a CreateArray would be rebuilt per token element
+    # a Literal array node; referenced INSIDE the transform lambda.
+    # COSMETIC (ADVICE r12): the captured before/after physical plans
+    # are identical (ConstantFolding folds CreateArray even inside the
+    # lambda), so this is compile-convenience, not a runtime change.
     b_arr = F.lit(list(_POLY_B))
     terms = F.transform(
         F.sequence(F.lit(1), n),

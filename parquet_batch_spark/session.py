@@ -11,6 +11,15 @@ but every config here is chosen to also be the right default on a
 - Arrow-accelerated Python interchange for the Pandas-UDF slow path.
 - ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
   cluster AQE coalescing makes the static number mostly irrelevant.
+
+Local-mode assumption (ADVICE r12): operators use
+``DataFrame.localCheckpoint`` to truncate iterative/shared-subtree
+lineage.  Local checkpoints live in non-replicated executor-local
+blocks — correct and cheap on the ``local[n]`` deployments this
+engine targets, but on a multi-executor cluster an executor loss
+makes an in-flight query fail unrecoverably; a cluster deployment
+should swap those sites to reliable ``checkpoint()`` (or persisted
+tables) via a shared wrapper if that failure mode matters.
 """
 
 from __future__ import annotations
