@@ -200,11 +200,24 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     "window_ljung_box": 12,
     # k-means: centroid update via groupBy(k) + 64 element_at sums
     # (was posexplode + groupBy(k, d)); same integer trajectory.
-    "ml_kmeans_lloyd": 12,
+    # r13 (key re-bumped, entry moved below): that update REVERTED.
     # BPE: bounded vocab checkpointed per merge round (the loop was
     # quadratic in plan replays); output assembled from the collected
     # argmax scalars instead of a union of recomputing subtrees.
     "text_bpe_merges": 12,
+    # r13: tf (doc, term) reduce checkpointed — it feeds BOTH the
+    # document-frequency reduce and the scoring join, so the corpus
+    # tokenize+explode+groupBy planned twice (Exchange 8 -> 4).
+    "text_tfidf_topk": 13,
+    # r13: rank checkpoints every OTHER power iteration (kcore's
+    # measured cadence; A/B 3.08 -> 2.37 s) — half the per-round job
+    # launches, identical integer trajectory.
+    "graph_pagerank": 13,
+    # r13 (key re-bumped from 12): centroid update REVERTED to
+    # posexplode + groupBy(k, d) — the same finding as the geometric-
+    # median revert (wide multi-sum aggregates lose to Generate +
+    # hash-agg; tools/ab_kmeans_update.py 0.62 vs 0.91 s).
+    "ml_kmeans_lloyd": 13,
 }
 
 _WINDOW_SIZE = 50

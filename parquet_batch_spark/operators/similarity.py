@@ -1887,20 +1887,20 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assigned = assign(cents)
     for _ in range(KM_ROUNDS - 1):
-        # centroid update as a grouping-free-per-dim aggregate (r12):
-        # groupBy(k) with 64 element_at sums replaces the former
-        # posexplode + groupBy(k, d) — same int64 addends and totals,
-        # no ×64 row Generate and an 8-group instead of 512-group
-        # shuffle (the geometric-median moment-reduce shape)
+        # centroid update via posexplode + groupBy(k, d) — r13 REVERT
+        # of the r12 groupBy(k)+64-element_at-sum shape, the same
+        # finding as embedding_geometric_median: the wide multi-sum
+        # aggregate evaluates SLOWER than Generate + hash-agg
+        # (tools/ab_kmeans_update.py over a fixed assignment table:
+        # 0.62 s vs 0.91 s per update job, probe 0.333), and the
+        # (k, d) partial agg already reduces the exchange to
+        # K·DIM rows per task at any corpus size.
         sums = (
-            assigned.groupBy("k")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(F.element_at("xq", d)).alias(f"s{d}")
-                    for d in range(1, _DIM + 1)
-                ],
+            assigned.select(
+                "k", F.posexplode("xq").alias("d", "x")
             )
+            .groupBy("k", "d")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
         by_k: dict[int, list[int]] = {}
@@ -1909,15 +1909,9 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             # truncate toward zero; python's `//` floors — they differ
             # on negative dim sums (measured: ~half the centroid dims
             # here are negative)
-            nn = r["n"]
-            by_k[r["k"]] = [
-                (
-                    r[f"s{d}"] // nn
-                    if r[f"s{d}"] >= 0
-                    else -((-r[f"s{d}"]) // nn)
-                )
-                for d in range(1, _DIM + 1)
-            ]
+            sx, nn = r["sx"], r["n"]
+            q = sx // nn if sx >= 0 else -((-sx) // nn)
+            by_k.setdefault(r["k"], [0] * _DIM)[r["d"]] = q
         # distinct seed vectors guaranteed at the tested SFs; a
         # duplicate seed (possible only in artificially replicated
         # corpora) would collapse its cluster — documented limitation

@@ -374,7 +374,16 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = d.select(
         "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("term")
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the document-frequency reduce and the scoring join;
+    # without materialization Catalyst re-derives the corpus tokenize+
+    # explode+groupBy per consumer (r13, guide §2.4 — the same
+    # duplicated-subtree fix as bigram_surprisal's pair checkpoint).
+    # (doc, term) grain: already reduced by the map-side combine.
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(dfreq, "term").withColumn(
         "score", (F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")

@@ -38,7 +38,11 @@ def get_spark(app_name: str = "parquet_batch_spark", cpus: str | None = None) ->
     spark-submit; only local-mode knobs live here.
     """
     cpus = cpus or _DEF_CPUS
-    n_shuffle = os.cpu_count() or 8
+    # Shuffle partitions track the ACTUAL worker count when it is
+    # explicit (the $SPARK_GRAFT_CPUS contract — the driver also runs
+    # at a lower core count, where planning os.cpu_count() tasks per
+    # stage is pure scheduling overhead); "*" keeps the machine size.
+    n_shuffle = int(cpus) if str(cpus).isdigit() else (os.cpu_count() or 8)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -55,6 +59,13 @@ def get_spark(app_name: str = "parquet_batch_spark", cpus: str | None = None) ->
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # Deployment-tuning hook: ``SPARK_GRAFT_CONF="k=v;k=v"`` applies
+    # LAST, so any default above can be overridden per environment
+    # (cluster submit, config sweeps) without code edits.
+    extra = os.environ.get("SPARK_GRAFT_CONF", "")
+    for kv in filter(None, (s.strip() for s in extra.split(";"))):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
