@@ -218,6 +218,17 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     # median revert (wide multi-sum aggregates lose to Generate +
     # hash-agg; tools/ab_kmeans_update.py 0.62 vs 0.91 s).
     "ml_kmeans_lloyd": 13,
+    # r13 duplicated-subtree checkpoints (the r12 disease, second
+    # sweep): the vocab²-bounded bigram-count reduce feeds 2-4
+    # consumers in each LM op and was replanned per consumer; naive
+    # Bayes additionally derives its model FROM the checkpointed
+    # (doc, lang, w) tf table (Σ tf = the same integer counts), so
+    # the corpus tokenize+explode runs once, not four times (final
+    # plan: 10 parquet scans -> 0, 10 Generate -> 0).
+    "text_bigram_surprisal": 13,
+    "text_kneser_ney_score": 13,
+    "quality_perplexity_buckets": 13,
+    "ml_naive_bayes_langid": 13,
 }
 
 _WINDOW_SIZE = 50

@@ -6930,11 +6930,21 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("lang_true"),
         F.explode(tokens_col("text")).alias("w"),
     )
-    tf = toks.groupBy("doc_id", "lang_true", "w").agg(
-        F.count(F.lit(1)).alias("tf")
+    # r13 (guide §2.4): tf is checkpointed and the MODEL now reduces
+    # FROM it (c(w,l) = Σ_docs tf — the same integer counts the direct
+    # toks groupBy produced), and the vocab-bounded model is
+    # checkpointed for its three consumers (totals, vocab, cand join).
+    # Before, toks fed tf and model and model re-derived per consumer:
+    # FOUR corpus tokenize+explode passes in one plan; now ONE.
+    tf = (
+        toks.groupBy("doc_id", "lang_true", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
-    model = toks.groupBy("w", F.col("lang_true").alias("l")).agg(
-        F.count(F.lit(1)).alias("c")
+    model = (
+        tf.groupBy("w", F.col("lang_true").alias("l"))
+        .agg(F.sum("tf").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
     totals = model.groupBy("l").agg(F.sum("c").alias("t_l"))
     vocab = model.select("w").distinct().agg(F.count(F.lit(1)).alias("v"))

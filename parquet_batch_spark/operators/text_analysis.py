@@ -468,7 +468,13 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it once — measured 2.3s → 1.5s at sf0.1 (~35%); at cluster scale
     # the win is one full corpus tokenization pass.
     pairs = pairs.localCheckpoint(eager=False)
-    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # c2 feeds c1 AND the scoring join — checkpoint the vocabulary²-
+    # bounded reduce so the pair-stream aggregation plans once (r13)
+    c2 = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=False)
+    )
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     scored_pairs = (
         c2.join(c1, "w1")
@@ -570,7 +576,14 @@ def text_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pr"),
     ).select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
     pairs = pairs.localCheckpoint(eager=False)
-    c2t = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # c2t feeds FOUR consumers (c1t, nbt, nt, the scored join) — the
+    # vocabulary²-bounded reduce is checkpointed so the pair-stream
+    # aggregation plans once, not per consumer (r13, guide §2.4)
+    c2t = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=False)
+    )
     c1t = c2t.groupBy("w1").agg(
         F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("nf")
     )
@@ -684,7 +697,14 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pr"),
     ).select("doc_id", "lang", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
     pairs = pairs.localCheckpoint(eager=False)
-    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # c2 feeds BOTH the head-count reduce and the scoring join — the
+    # vocabulary²-bounded reduce is checkpointed so the pair-stream
+    # aggregation plans once (r13, guide §2.4)
+    c2 = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=False)
+    )
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     scored_pairs = c2.join(c1, "w1").select(
         "w1",
