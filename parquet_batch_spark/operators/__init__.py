@@ -229,6 +229,25 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     "text_kneser_ney_score": 13,
     "quality_perplexity_buckets": 13,
     "ml_naive_bayes_langid": 13,
+    # r13 duplicated-subtree sweep, third batch (found by the plan
+    # audit: same parquet file scanned 4-15× in one plan).  Reduced/
+    # bounded shared tables checkpointed; fellegi's per-field rows now
+    # unpivot the 1-row aggregate via explode instead of replanning
+    # the pair pipeline per field (15 scans -> 5); naive reductions
+    # (totals/vocab from counts, dsir from the (doc,bucket) grain)
+    # are Σ-of-counts = counts, exact; degree_histogram now consumes
+    # the SHARED memoized segment_edges table it was documented to
+    # share all along (5 scans -> 1).
+    "text_dsir_importance": 13,
+    "window_peak_concurrency": 13,
+    "dedup_fellegi_sunter_weights": 13,
+    "quality_ndcg_ranking_eval": 13,
+    "text_js_divergence": 13,
+    "text_burrows_delta": 13,
+    "text_overlap_stitch": 13,
+    "multimodal_dedup_phash": 13,
+    "dedup_incremental_novelty": 13,
+    "graph_degree_histogram": 13,
 }
 
 _WINDOW_SIZE = 50

@@ -2055,19 +2055,28 @@ def dedup_fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for f in ("lang", "source", "len")
             ],
         )
-        rows = [
-            agg.select(
-                F.lit(f).alias("field"),
-                F.lit(kind).alias("kind"),
-                F.col("n").cast("long").alias("n_pairs"),
-                F.expr(f"(1000000 * agree_{f}) div n").alias("rate_micro"),
-            )
-            for f in ("lang", "source", "len")
-        ]
-        out = rows[0]
-        for r in rows[1:]:
-            out = out.unionByName(r)
-        return out
+        # unpivot the 1-row aggregate by exploding an inline struct
+        # array (r13, guide §2.4): the former per-field select+union
+        # replanned the whole pair pipeline ONCE PER FIELD — the plan
+        # carried 15 document scans; now each kind's pairs aggregate
+        # plans exactly once.
+        return agg.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(f).alias("field"),
+                            F.lit(kind).alias("kind"),
+                            F.col("n").cast("long").alias("n_pairs"),
+                            F.expr(f"(1000000 * agree_{f}) div n").alias(
+                                "rate_micro"
+                            ),
+                        )
+                        for f in ("lang", "source", "len")
+                    ]
+                )
+            ).alias("r")
+        ).select("r.*")
 
     m = rates(matches, "m").select(
         "field",

@@ -371,12 +371,19 @@ def dedup_incremental_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    grams = hashed.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(shingles_col(tokens_col("text"), NOVELTY_K))
-        ).alias("g"),
-    ).select("doc_id", hash32(F.col("g")).alias("h"))
+    # (doc, hash) reduced grain; the existing-index distinct AND the
+    # incoming stream both consume grams — checkpoint so the corpus
+    # tokenize+shingle runs once, not twice (r13, guide §2.4)
+    grams = (
+        hashed.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles_col(tokens_col("text"), NOVELTY_K))
+            ).alias("g"),
+        )
+        .select("doc_id", hash32(F.col("g")).alias("h"))
+        .localCheckpoint(eager=False)
+    )
     seen_index = (
         grams.filter(F.col("doc_id") % 2 == 0).select("h").distinct()
     )
@@ -1082,38 +1089,17 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate.
     """
     d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
-    toks = tokens_col("text")
-    n_seg = F.ceil(F.size(toks) / F.lit(SEG_TOKENS)).cast("int")
-    segs = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), n_seg),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(toks, (i - 1) * SEG_TOKENS + 1, SEG_TOKENS)
-                    ),
-                )
-            )
-        ).alias("seg"),
-    ).select("doc_id", hash32(F.col("seg")).alias("seg_h"))
-    hot = (
-        segs.groupBy("seg_h")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > DEGREE_HOT_CAP)
-        .select("seg_h")
+    # r13: consume the SHARED memoized segment_edges table (the same
+    # capped inverted-index derivation this op previously rebuilt
+    # inline — 5 corpus scans in one plan).  degree(doc) = number of
+    # distinct partners = count over both directions of the unique
+    # a<b edge list, exactly the distinct (doc, partner) pairs the
+    # inline self-join produced.
+    e = segment_edges(spark, sf_dir)
+    adj = e.select(F.col("a").alias("doc_id")).unionAll(
+        e.select(F.col("b").alias("doc_id"))
     )
-    cold = segs.join(F.broadcast(hot), "seg_h", "left_anti")
-    partners = (
-        cold.join(
-            cold.select(F.col("seg_h").alias("h2"), F.col("doc_id").alias("doc_b")),
-            (F.col("seg_h") == F.col("h2")) & (F.col("doc_id") != F.col("doc_b")),
-        )
-        .select("doc_id", "doc_b")
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
+    partners = adj.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
     all_docs = d.select("doc_id")
     return (
         all_docs.join(partners, "doc_id", "left")
@@ -1840,9 +1826,24 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (hash32(F.col("t")) % DSIR_B).alias("b"),
         (F.col("doc_id") % DSIR_TARGET_MOD == 0).alias("is_t"),
     )
-    buckets = tok.groupBy("b").agg(
-        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("tb"),
-        F.sum(F.when(~F.col("is_t"), 1).otherwise(0)).alias("rb"),
+    # r13 (guide §2.4): reduce to (doc, bucket) grain ONCE and derive
+    # everything from the checkpointed reduce — tok previously fed
+    # buckets AND docb, buckets fed tot AND delta, and per_doc fed the
+    # mean aggregate AND the output join, so the corpus tokenize+
+    # explode planned SIX times in one query (is_t is functionally
+    # dependent on doc_id, so the (doc, b) counts split t/r exactly).
+    dbc = (
+        tok.groupBy("doc_id", "b", "is_t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    buckets = (
+        dbc.groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("is_t"), F.col("c")).otherwise(0)).alias("tb"),
+            F.sum(F.when(~F.col("is_t"), F.col("c")).otherwise(0)).alias("rb"),
+        )
+        .localCheckpoint(eager=False)  # {DSIR_B}-row LM table, 2 consumers
     )
     tot = buckets.agg(F.sum("tb").alias("tt"), F.sum("rb").alias("rr"))
     dm = F.round(
@@ -1855,11 +1856,7 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).cast("long")
     delta = buckets.crossJoin(F.broadcast(tot)).select("b", dm.alias("dm"))
-    docb = (
-        tok.filter(~F.col("is_t"))
-        .groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    docb = dbc.filter(~F.col("is_t")).select("doc_id", "b", "c")
     per_doc = (
         docb.join(F.broadcast(delta), "b")
         .groupBy("doc_id")
@@ -1867,6 +1864,7 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("long").alias("n_tokens"),
             F.sum(F.col("c") * F.col("dm")).cast("long").alias("dsir_micro"),
         )
+        .localCheckpoint(eager=False)  # doc-grain; mean agg + join consume
     )
     g = per_doc.agg(
         F.count(F.lit(1)).cast("decimal(12,0)").alias("nd"),

@@ -326,7 +326,11 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("band0") + 1).alias("band_idx"),
         hash32(F.col("seg")).alias("band_hash"),
-    )
+        # (doc, band) grain — {PHASH_BANDS} rows/doc vs the hex-decoded
+        # payload it derives from; hot, both self-join sides and the
+        # per-doc checksum all consume bands (5 payload decodes in one
+        # plan before r13), so checkpoint once (guide §2.4)
+    ).localCheckpoint(eager=False)
     hot = (
         bands.groupBy("band_idx", "band_hash")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -1735,12 +1735,16 @@ def window_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         sessions.select(F.col("s1").alias("sec"), F.lit(-1).alias("delta"), "user_id")
     )
+    # with_day feeds the carry-in reduce, the sweep window AND the
+    # session-start counts — without materialization the two-window
+    # sessionize pipeline replans per consumer (5 event-corpus scans).
+    # Session grain: 2 rows per session (r13, guide §2.4).
     with_day = deltas.select(
         (F.floor(F.col("sec") / 86400)).cast("long").alias("day_idx"),
         "sec",
         "delta",
         "user_id",
-    )
+    ).localCheckpoint(eager=False)
     per_day = with_day.groupBy("day_idx").agg(F.sum("delta").alias("day_delta"))
     days_w = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, -1)
     carry = per_day.select(
@@ -4359,10 +4363,15 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources|²/2 — all domain-bounded.
     """
     d = load(spark, sf_dir, "documents")
+    # counts feeds totals, probs and both grid domains; dense feeds
+    # both sides of the pair self-join — checkpoint the two
+    # (sources × vocab)-bounded tables so the corpus tokenize+explode
+    # plans once, not eight times (r13, guide §2.4)
     counts = (
         d.select("source", F.explode(tokens_col("text")).alias("tok"))
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     totals = counts.groupBy("source").agg(F.sum("c").alias("tot"))
     probs = counts.join(totals, "source").select(
@@ -4374,8 +4383,10 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = (
         counts.select("source").distinct().crossJoin(counts.select("tok").distinct())
     )
-    dense = grid.join(probs, ["source", "tok"], "left").select(
-        "source", "tok", F.coalesce("p", F.lit(0.0)).alias("p")
+    dense = (
+        grid.join(probs, ["source", "tok"], "left")
+        .select("source", "tok", F.coalesce("p", F.lit(0.0)).alias("p"))
+        .localCheckpoint(eager=False)
     )
     a = dense.select(F.col("source").alias("sa"), "tok", F.col("p").alias("pa"))
     b = dense.select(F.col("source").alias("sb"), "tok", F.col("p").alias("pb"))

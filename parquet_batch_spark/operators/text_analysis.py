@@ -912,14 +912,20 @@ def text_overlap_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(load(spark, sf_dir, "documents"), spark, "doc_id")
     toks = tokens_col("text")
     eligible = d.filter(F.size(toks) >= STITCH_K)
-    suf = eligible.select(
-        F.col("doc_id").alias("a"),
-        hash32(F.concat_ws(" ", F.slice(toks, -STITCH_K, STITCH_K))).alias("g"),
-    )
-    pre = eligible.select(
-        F.col("doc_id").alias("b"),
-        hash32(F.concat_ws(" ", F.slice(toks, 1, STITCH_K))).alias("g"),
-    )
+    # r13 (guide §2.4): ONE tokenize pass computes BOTH boundary grams
+    # per doc and is checkpointed ((doc, 2 hashes) grain) — suf and pre
+    # previously each re-tokenized the corpus, and their three
+    # consumers (hot, plus each join side) replanned them: six corpus
+    # scans in one plan, now one.
+    grams = eligible.select(
+        "doc_id",
+        hash32(
+            F.concat_ws(" ", F.slice(toks, -STITCH_K, STITCH_K))
+        ).alias("g_suf"),
+        hash32(F.concat_ws(" ", F.slice(toks, 1, STITCH_K))).alias("g_pre"),
+    ).localCheckpoint(eager=False)
+    suf = grams.select(F.col("doc_id").alias("a"), F.col("g_suf").alias("g"))
+    pre = grams.select(F.col("doc_id").alias("b"), F.col("g_pre").alias("g"))
     hot = (
         suf.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
         .unionAll(pre.groupBy("g").agg(F.count(F.lit(1)).alias("n")))
@@ -1087,6 +1093,10 @@ def quality_ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 W.orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
             ),
         )
+        # ≤BM25_TOPK rows; the gains projection AND the ideal-DCG
+        # aggregate both consume ranked — checkpoint so the BM25 +
+        # relevance corpus derivation plans once (r13, guide §2.4)
+        .localCheckpoint(eager=False)
     )
     disc = F.element_at(F.lit(_NDCG_DISC), F.col("rank"))
     ideal_rank = F.row_number().over(
@@ -1763,13 +1773,22 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = fan_out(load(spark, sf_dir, "documents"), spark)
     words = d.select("source", F.explode(tokens_col("text")).alias("w"))
-    counts = words.groupBy("source", "w").agg(
-        F.count(F.lit(1)).alias("c")
+    # r13 (guide §2.4): ONE corpus tokenize+explode — totals and vocab
+    # now REDUCE from the checkpointed (source, w) counts (Σ c per
+    # source / per word are the identical integer totals the direct
+    # corpus aggregates produced); before, words fed three consumers
+    # and the explode planned three times.
+    counts = (
+        words.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
-    totals = words.groupBy("source").agg(F.count(F.lit(1)).alias("tok"))
+    totals = counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("tok")
+    )
     vocab = (
-        words.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cf"))
+        counts.groupBy("w")
+        .agg(F.sum("c").cast("long").alias("cf"))
         .orderBy(F.desc("cf"), F.asc("w"))
         .limit(BD_VOCAB)
         .select("w")
@@ -1804,7 +1823,10 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "w",
         ((F.col("f").cast("double") - mu) / sigma).alias("z"),
-    )
+        # (sources × BD_VOCAB)-bounded; both sides of the pair
+        # self-join consume z — checkpoint so the profile pipeline
+        # plans once (r13)
+    ).localCheckpoint(eager=False)
     a = z.select(
         F.col("source").alias("source_a"),
         "w",
